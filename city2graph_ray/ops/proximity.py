@@ -1,0 +1,711 @@
+"""Proximity graph builders — Ray-Data-native.
+
+Reimplements the semantics of /root/reference/city2graph/proximity.py
+(kNN ``:771-887``, fixed-radius ``:1303-1437``, Delaunay ``:890-982``,
+Gabriel ``:985-1081``, relative-neighborhood ``:1084-1184``, EMST
+``:1187-1300``, Waxman ``:1440-1567``, contiguity ``:1968-2108``,
+bridge_nodes ``:1609-1827``, group_nodes ``:1830-1965``) as streaming
+cell-bucketed pipelines:
+
+    points → halo-expanded cell assignment (map_batches)
+           → groupby(cell).map_groups(per-tile kernel)
+           → union / dedup shuffles
+
+Input contract: a points Dataset has ``id`` (int64), ``x``, ``y``
+(float64) columns; a polygons Dataset has ``id`` and ``coords``
+(list<double> exterior ring, interleaved x,y).
+
+Distances are computed as ``sqrt(dx*dx + dy*dy)`` (NOT ``hypot``) so
+results are bit-identical to the DuckDB SQL oracles.  Ties in kNN break
+on (distance, id) — deterministic under any execution order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from city2graph_ray import cells
+from city2graph_ray.geom.delaunay import delaunay_edges
+
+_EDGE_SCHEMA = {"src": np.int64, "dst": np.int64, "distance": np.float64}
+
+
+def _empty_edges() -> pd.DataFrame:
+    return pd.DataFrame({k: pd.Series(dtype=v) for k, v in _EDGE_SCHEMA.items()})
+
+
+def _dist(ax, ay, bx, by):
+    dx = ax - bx
+    dy = ay - by
+    return np.sqrt(dx * dx + dy * dy)
+
+
+def expand_halo(
+    ds: ray.data.Dataset, cell_size: float, halo: float, extra_cols: tuple[str, ...] = ()
+) -> ray.data.Dataset:
+    """Assign each point to its home cell plus neighbor cells within
+    ``halo`` of it (duplicated rows flagged ``is_halo``)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, cell, is_halo = cells.halo_assignments(
+            batch["x"].to_numpy(), batch["y"].to_numpy(), cell_size, halo)
+        out = batch.iloc[rows][["id", "x", "y", *extra_cols]].reset_index(drop=True)
+        out["cell"] = cell
+        out["is_halo"] = is_halo
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _bbox_count(points: ray.data.Dataset) -> tuple[int, float, float, float, float]:
+    from ray.data.aggregate import Count, Max, Min
+    row = points.aggregate(Count(), Min("x"), Max("x"), Min("y"), Max("y"))
+    return (row["count()"], row["min(x)"], row["max(x)"], row["min(y)"], row["max(y)"])
+
+
+def _auto_cell_size(points: ray.data.Dataset, per_cell: float) -> float:
+    """Cell size targeting ~per_cell points per cell (density estimate)."""
+    n, x0, x1, y0, y1 = _bbox_count(points)
+    area = max((x1 - x0), 1e-9) * max((y1 - y0), 1e-9)
+    return float(np.sqrt(area * per_cell / max(n, 1)))
+
+
+# ------------------------------------------------------------------ fixed radius
+
+def fixed_radius_graph(
+    points: ray.data.Dataset,
+    radius: float,
+    cell_size: float | None = None,
+    targets: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """All pairs within ``radius`` (reference proximity.py:1303-1437).
+
+    Undirected: rows (src, dst, distance) with src < dst.  With
+    ``targets`` (bridge_nodes directed variant, proximity.py:1609-1827):
+    directed rows source-layer → target-layer, no canonicalization.
+
+    One shuffle, keyed by grid cell of side ``max(cell_size, radius)``;
+    halo = radius bounds cross-cell pairs.  Per-tile kernel is a chunked
+    numpy distance matrix; duplicate suppression: a pair is emitted only
+    by the home cell of its smaller-id (resp. source) endpoint.
+    """
+    cs = max(cell_size or radius, radius)
+
+    if targets is None:
+        expanded = expand_halo(points, cs, radius)
+
+        def kernel(g: pd.DataFrame) -> pd.DataFrame:
+            ids = g["id"].to_numpy()
+            xs = g["x"].to_numpy()
+            ys = g["y"].to_numpy()
+            home = ~g["is_halo"].to_numpy()
+            out = []
+            for lo in range(0, len(g), 2048):
+                hi = min(lo + 2048, len(g))
+                d = _dist(xs[lo:hi, None], ys[lo:hi, None], xs[None, :], ys[None, :])
+                ii, jj = np.nonzero(d <= radius)
+                ii_g = ii + lo
+                keep = (ids[ii_g] < ids[jj]) & home[ii_g]
+                if keep.any():
+                    out.append(pd.DataFrame({
+                        "src": ids[ii_g[keep]], "dst": ids[jj[keep]],
+                        "distance": d[ii[keep], jj[keep]]}))
+            return pd.concat(out) if out else _empty_edges()
+
+        return expanded.groupby("cell").map_groups(kernel, batch_format="pandas")
+
+    # bipartite / directed: queries = points (home cell only), candidates = targets (+halo)
+    def tag(flag):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[["id", "x", "y"]].copy()
+            batch["is_query"] = flag
+            return batch
+        return fn
+
+    qs = points.map_batches(tag(True), batch_format="pandas")
+    ts = targets.map_batches(tag(False), batch_format="pandas")
+    expanded = expand_halo(qs.union(ts), cs, radius, extra_cols=("is_query",))
+
+    def bikernel(g: pd.DataFrame) -> pd.DataFrame:
+        q = g[g["is_query"] & ~g["is_halo"]]
+        c = g[~g["is_query"]]
+        if len(q) == 0 or len(c) == 0:
+            return _empty_edges()
+        d = _dist(q["x"].to_numpy()[:, None], q["y"].to_numpy()[:, None],
+                  c["x"].to_numpy()[None, :], c["y"].to_numpy()[None, :])
+        ii, jj = np.nonzero(d <= radius)
+        return pd.DataFrame({"src": q["id"].to_numpy()[ii],
+                             "dst": c["id"].to_numpy()[jj],
+                             "distance": d[ii, jj]})
+
+    return expanded.groupby("cell").map_groups(bikernel, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ kNN
+
+def knn_graph(
+    points: ray.data.Dataset,
+    k: int,
+    cell_size: float | None = None,
+    targets: ray.data.Dataset | None = None,
+    max_rounds: int = 4,
+) -> ray.data.Dataset:
+    """Directed k-nearest-neighbors (reference proximity.py:771-887;
+    self excluded; undirected view = canonicalize_edges downstream,
+    matching the reference's undirected NX graph construction).
+
+    Distributed scheme: per-tile brute-force kNN with a one-ring halo;
+    a query is *resolved* when its k-th neighbor distance ≤ halo width
+    (then no point outside the searched region can be closer).
+    Unresolved queries — boundary/sparse-region points — retry at
+    doubled cell size; the final round is a single global group.  The
+    candidate side is re-bucketed per round, but rounds after the first
+    see only the unresolved remainder (cheap).
+
+    Output rows: (src, dst, distance), exactly min(k, n-1) per src,
+    ties broken by (distance, dst id).
+    """
+    cand = targets if targets is not None else points
+    bipartite = targets is not None
+    if cell_size is None:
+        cell_size = _auto_cell_size(cand, per_cell=max(4.0 * k, 64.0))
+
+    def tag(flag):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[["id", "x", "y"]].copy()
+            batch["is_query"] = flag
+            return batch
+        return fn
+
+    edge_parts: list[ray.data.Dataset] = []
+    queries = points
+    cs = cell_size
+    for rnd in range(max_rounds):
+        final = rnd == max_rounds - 1
+        qs = queries.map_batches(tag(True), batch_format="pandas")
+        ts = cand.map_batches(tag(False), batch_format="pandas")
+        if final:
+            both = qs.union(ts).map_batches(
+                lambda b: b.assign(cell=np.int64(0), is_halo=False), batch_format="pandas")
+        else:
+            both = expand_halo(qs.union(ts), cs, cs, extra_cols=("is_query",))
+        halo_w = cs
+
+        def _empty() -> pd.DataFrame:
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "dst": pd.Series(dtype=np.int64),
+                                 "distance": pd.Series(dtype=np.float64),
+                                 "resolved": pd.Series(dtype=bool),
+                                 "qx": pd.Series(dtype=np.float64),
+                                 "qy": pd.Series(dtype=np.float64)})
+
+        def kernel(g: pd.DataFrame, halo_w=halo_w, final=final) -> pd.DataFrame:
+            q = g[g["is_query"] & ~g["is_halo"]]
+            # candidate set: target layer in bipartite mode, every point otherwise
+            c = g[~g["is_query"]] if bipartite else g
+            if len(q) == 0:
+                return _empty()
+            cid = c["id"].to_numpy()
+            cx = c["x"].to_numpy()
+            cy = c["y"].to_numpy()
+            # unipartite candidate rows may repeat (query dup as candidate); dedup by id
+            if not bipartite:
+                _, uniq = np.unique(cid, return_index=True)
+                cid, cx, cy = cid[uniq], cx[uniq], cy[uniq]
+            outs = []
+            qid = q["id"].to_numpy()
+            qx = q["x"].to_numpy()
+            qy = q["y"].to_numpy()
+            for lo in range(0, len(q), 1024):
+                hi = min(lo + 1024, len(q))
+                nq = hi - lo
+                if len(cid) == 0:
+                    d = np.empty((nq, 0))
+                else:
+                    d = _dist(qx[lo:hi, None], qy[lo:hi, None], cx[None, :], cy[None, :])
+                if not bipartite and d.shape[1]:
+                    d[cid[None, :] == qid[lo:hi, None]] = np.inf  # exclude self
+                avail = d.shape[1] - (0 if bipartite else 1)
+                kk = min(k, max(avail, 0))
+                if kk <= 0:
+                    # no candidates here: the query must survive to the next
+                    # (coarser) round via an unresolved marker row
+                    if not final:
+                        outs.append(pd.DataFrame({
+                            "src": qid[lo:hi], "dst": np.int64(-1), "distance": np.inf,
+                            "resolved": False, "qx": qx[lo:hi], "qy": qy[lo:hi]}))
+                    continue
+                # top-k by (distance, id): lexsort per row
+                order = np.lexsort((np.broadcast_to(cid, d.shape), d), axis=1)[:, :kk]
+                rows = np.repeat(np.arange(nq), kk)
+                sel = order.ravel()
+                dsel = d[rows, sel]
+                kth = d[np.arange(nq), order[:, -1]]
+                # resolved only with a FULL k within the searched halo —
+                # fewer than k candidates means neighbors may hide beyond it
+                resolved = final | ((kk == k) & (kth <= halo_w))
+                outs.append(pd.DataFrame({
+                    "src": qid[lo + rows], "dst": cid[sel], "distance": dsel,
+                    "resolved": np.repeat(resolved, kk),
+                    "qx": qx[lo + rows], "qy": qy[lo + rows]}))
+            if not outs:
+                return _empty()
+            return pd.concat(outs)
+
+        result = both.groupby("cell").map_groups(kernel, batch_format="pandas")
+        result = result.materialize()
+        resolved = result.filter(expr="resolved == True").drop_columns(
+            ["resolved", "qx", "qy"])
+        edge_parts.append(resolved)
+        if final:
+            break
+        unresolved = result.filter(expr="resolved == False")
+        # distinct unresolved queries → next-round query table
+        nxt = unresolved.groupby("src").map_groups(
+            lambda g: pd.DataFrame({"id": g["src"].iloc[:1],
+                                    "x": g["qx"].iloc[:1], "y": g["qy"].iloc[:1]}),
+            batch_format="pandas")
+        nxt = nxt.materialize()
+        if nxt.count() == 0:
+            break
+        queries = nxt
+        cs *= 2.0
+
+    out = edge_parts[0]
+    for part in edge_parts[1:]:
+        out = out.union(part)
+    return out
+
+
+# ------------------------------------------------------------------ Delaunay family
+
+def _gather_points(points: ray.data.Dataset) -> pd.DataFrame:
+    """Exact-mode gather: the Delaunay-family builders run the global
+    triangulation in one task when the point table fits (the reference is
+    O(n log n) single-process anyway); the tiled variant is
+    delaunay_graph(tiled=True) — see docstring for its boundary caveat."""
+    df = points.select_columns(["id", "x", "y"]).to_pandas()
+    return df.sort_values("id", kind="stable").reset_index(drop=True)
+
+
+def _delaunay_edges_df(df: pd.DataFrame) -> pd.DataFrame:
+    pts = df[["x", "y"]].to_numpy()
+    e = delaunay_edges(pts)
+    ids = df["id"].to_numpy()
+    src = ids[e[:, 0]]
+    dst = ids[e[:, 1]]
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    d = _dist(df["x"].to_numpy()[e[:, 0]], df["y"].to_numpy()[e[:, 0]],
+              df["x"].to_numpy()[e[:, 1]], df["y"].to_numpy()[e[:, 1]])
+    out = pd.DataFrame({"src": lo, "dst": hi, "distance": d})
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def delaunay_graph(points: ray.data.Dataset, tiled: bool = False,
+                   cell_size: float | None = None, max_rounds: int = 3) -> ray.data.Dataset:
+    """Delaunay triangulation edges (reference proximity.py:890-982).
+
+    exact (default): single-group triangulation; fine up to ~10M points
+    per task.
+
+    tiled: EXACT distributed construction via per-tile triangulation
+    with *circumcircle certification* + escalation.  Each tile
+    triangulates its window (home cell + one-ring halo).  A home point
+    is **certified** when it is not on the local hull and every incident
+    triangle's circumcircle lies inside the window — then its local
+    star equals its global Delaunay star (the window contains every
+    point that could invalidate it), so all its incident edges are true
+    global edges.  Uncertified points escalate to a doubled cell size;
+    any survivors after ``max_rounds`` (typically just the global hull)
+    are resolved by one global group that emits only their incident
+    edges.  Matches exact mode bit-for-bit (tests/test_proximity.py).
+    """
+    if not tiled:
+        df = _gather_points(points)
+        return ray.data.from_pandas(_delaunay_edges_df(df))
+
+    from city2graph_ray.geom.delaunay import Delaunator
+
+    cs = cell_size or _auto_cell_size(points, per_cell=4096.0)
+    edge_parts: list[ray.data.Dataset] = []
+    queries = points  # points still needing their star computed
+
+    def tag(flag):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["id", "x", "y"]].copy()
+            out["is_query"] = flag
+            return out
+        return fn
+
+    for rnd in range(max_rounds + 1):
+        final = rnd == max_rounds
+        if final:
+            # global group: emit edges incident to the remaining queries
+            qids = set(queries.select_columns(["id"]).to_pandas()["id"])
+            if not qids:
+                break
+            df = _gather_points(points)
+            e = _delaunay_edges_df(df)
+            mask = e["src"].isin(qids) | e["dst"].isin(qids)
+            edge_parts.append(ray.data.from_pandas(e[mask].reset_index(drop=True)))
+            break
+
+        qs = queries.map_batches(tag(True), batch_format="pandas")
+        ts = points.map_batches(tag(False), batch_format="pandas")
+        expanded = expand_halo(qs.union(ts), cs, cs, extra_cols=("is_query",))
+
+        def kernel(g: pd.DataFrame, cs=cs) -> pd.DataFrame:
+            def empty():
+                return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                     "dst": pd.Series(dtype=np.int64),
+                                     "distance": pd.Series(dtype=np.float64),
+                                     "resolved": pd.Series(dtype=bool),
+                                     "qx": pd.Series(dtype=np.float64),
+                                     "qy": pd.Series(dtype=np.float64)})
+
+            qmask = (g["is_query"] & ~g["is_halo"]).to_numpy()
+            if not qmask.any():
+                return empty()
+            # candidate set: dedup points by id (queries duplicate candidates)
+            u = g.drop_duplicates("id").reset_index(drop=True)
+            ids = u["id"].to_numpy()
+            xs = u["x"].to_numpy()
+            ys = u["y"].to_numpy()
+            home_q = np.unique(g.loc[qmask, "id"].to_numpy())
+            qpos = np.isin(ids, home_q)
+
+            def unresolved(sel: np.ndarray) -> pd.DataFrame:
+                return pd.DataFrame({"src": ids[sel], "dst": np.int64(-1),
+                                     "distance": np.inf, "resolved": False,
+                                     "qx": xs[sel], "qy": ys[sel]})
+
+            if len(u) < 3:
+                return unresolved(qpos)
+            # window bounds = home cell expanded by one ring
+            cell = int(g["cell"].iloc[np.argmax(~g["is_halo"].to_numpy())])
+            cix, ciy = cells.cell_xy(np.array([cell]))
+            wx0 = (cix[0] - 1) * cs
+            wx1 = (cix[0] + 2) * cs
+            wy0 = (ciy[0] - 1) * cs
+            wy1 = (ciy[0] + 2) * cs
+
+            d = Delaunator(np.stack([xs, ys], axis=1))
+            tri = d.triangles.reshape(-1, 3)
+            if len(tri) == 0:
+                return unresolved(qpos)
+            from city2graph_ray.geom.delaunay import _circumcenter
+            safe_tri = np.zeros(len(tri), dtype=bool)
+            ccx = np.empty(len(tri))
+            ccy = np.empty(len(tri))
+            for t in range(len(tri)):
+                a, b, c = tri[t]
+                ccx[t], ccy[t] = _circumcenter(xs[a], ys[a], xs[b], ys[b], xs[c], ys[c])
+            rr = np.sqrt((xs[tri[:, 0]] - ccx) ** 2 + (ys[tri[:, 0]] - ccy) ** 2)
+            eps = 1e-9
+            safe_tri = ((ccx - rr >= wx0 + eps) & (ccx + rr <= wx1 - eps) &
+                        (ccy - rr >= wy0 + eps) & (ccy + rr <= wy1 - eps))
+            # point certified: off-hull and all incident triangles safe
+            certified = np.zeros(len(u), dtype=bool)
+            certified[:] = True
+            certified[d.hull] = False
+            unsafe_pts = np.unique(tri[~safe_tri].ravel())
+            certified[unsafe_pts] = False
+
+            cert_q = qpos & certified
+            uncert_q = qpos & ~certified
+            out = [unresolved(np.nonzero(uncert_q)[0])] if uncert_q.any() else []
+            if cert_q.any():
+                e = np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]])
+                e.sort(axis=1)
+                e = np.unique(e, axis=0)
+                inc = cert_q[e[:, 0]] | cert_q[e[:, 1]]
+                e = e[inc]
+                src = ids[e[:, 0]]
+                dst = ids[e[:, 1]]
+                lo = np.minimum(src, dst)
+                hi = np.maximum(src, dst)
+                dd = _dist(xs[e[:, 0]], ys[e[:, 0]], xs[e[:, 1]], ys[e[:, 1]])
+                out.append(pd.DataFrame({"src": lo, "dst": hi, "distance": dd,
+                                         "resolved": True, "qx": 0.0, "qy": 0.0}))
+            return pd.concat(out) if out else empty()
+
+        result = expanded.groupby("cell").map_groups(kernel, batch_format="pandas")
+        result = result.materialize()
+        edge_parts.append(
+            result.filter(expr="resolved == True").drop_columns(["resolved", "qx", "qy"]))
+        unresolved_ds = result.filter(expr="resolved == False")
+        nxt = unresolved_ds.groupby("src").map_groups(
+            lambda g: pd.DataFrame({"id": g["src"].iloc[:1],
+                                    "x": g["qx"].iloc[:1], "y": g["qy"].iloc[:1]}),
+            batch_format="pandas").materialize()
+        if nxt.count() == 0:
+            break
+        queries = nxt
+        cs *= 2.0
+
+    out = edge_parts[0]
+    for part in edge_parts[1:]:
+        out = out.union(part)
+    # an edge may be emitted by both endpoints' tiles (and by the final
+    # global pass) → distinct on the pair
+    return out.groupby(["src", "dst"]).map_groups(lambda g: g.iloc[:1],
+                                                  batch_format="pandas")
+
+
+def gabriel_graph(points: ray.data.Dataset) -> ray.data.Dataset:
+    """Delaunay subset where the open disc on (u,v) as diameter is empty
+    (reference proximity.py:985-1081: dot-product test vs all points)."""
+    df = _gather_points(points)
+    edges = _delaunay_edges_df(df)
+    keep = _lune_filter(df, edges, mode="gabriel")
+    return ray.data.from_pandas(edges[keep].reset_index(drop=True))
+
+
+def relative_neighborhood_graph(points: ray.data.Dataset) -> ray.data.Dataset:
+    """Delaunay subset with empty lune: no w with
+    max(d(u,w), d(v,w)) < d(u,v) (reference proximity.py:1084-1184)."""
+    df = _gather_points(points)
+    edges = _delaunay_edges_df(df)
+    keep = _lune_filter(df, edges, mode="rng")
+    return ray.data.from_pandas(edges[keep].reset_index(drop=True))
+
+
+def _lune_filter(df: pd.DataFrame, edges: pd.DataFrame, mode: str) -> np.ndarray:
+    ids = df["id"].to_numpy()
+    pos = {int(i): j for j, i in enumerate(ids)}
+    x = df["x"].to_numpy()
+    y = df["y"].to_numpy()
+    ui = np.fromiter((pos[int(s)] for s in edges["src"]), np.int64, len(edges))
+    vi = np.fromiter((pos[int(t)] for t in edges["dst"]), np.int64, len(edges))
+    keep = np.ones(len(edges), dtype=bool)
+    eps = 1e-12
+    for e in range(len(edges)):
+        u, v = ui[e], vi[e]
+        duv2 = (x[u] - x[v]) ** 2 + (y[u] - y[v]) ** 2
+        dw_u = (x - x[u]) ** 2 + (y - y[u]) ** 2
+        dw_v = (x - x[v]) ** 2 + (y - y[v]) ** 2
+        if mode == "gabriel":
+            inside = (dw_u + dw_v) < duv2 - eps
+        else:
+            inside = (np.maximum(dw_u, dw_v) < duv2 - eps)
+        inside[u] = inside[v] = False
+        if inside.any():
+            keep[e] = False
+    return keep
+
+
+def euclidean_minimum_spanning_tree(points: ray.data.Dataset) -> ray.data.Dataset:
+    """Kruskal over Delaunay-pruned candidates (reference
+    proximity.py:1187-1300) — candidates ≪ input, so the MST itself runs
+    on the driver; the Delaunay pruning is the distributed part."""
+    df = _gather_points(points)
+    edges = _delaunay_edges_df(df)
+    order = np.lexsort((edges["dst"].to_numpy(), edges["src"].to_numpy(),
+                        edges["distance"].to_numpy()))
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    keep = []
+    for idx in order:
+        u = int(edges["src"].iloc[idx])
+        v = int(edges["dst"].iloc[idx])
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            keep.append(idx)
+    out = edges.iloc[sorted(keep)].reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+# ------------------------------------------------------------------ Waxman
+
+def waxman_graph(points: ray.data.Dataset, beta: float, r0: float,
+                 seed: int = 42, radius_cutoff: float | None = None) -> ray.data.Dataset:
+    """Seeded random geometric graph, P(u,v) = beta * exp(-d/r0)
+    (reference proximity.py:1440-1567).
+
+    The reference draws one dense n×n random matrix; that draw order
+    cannot be reproduced distributed (SURVEY.md §2.6), so the engine
+    uses a documented *per-pair deterministic* uniform
+    u = ((src*48271 + dst*69621 + seed*9973) % 99991) / 99991 — identical in
+    the SQL oracle.  Pairs are generated cell-bucketed within
+    ``radius_cutoff`` (default r0 * ln(1/1e-6) — beyond it P < beta*1e-6)
+    or exactly all-pairs when cutoff=inf fits one tile.
+    """
+    cutoff = radius_cutoff if radius_cutoff is not None else r0 * 13.8
+    pairs = fixed_radius_graph(points, cutoff)
+
+    def flt(batch: pd.DataFrame) -> pd.DataFrame:
+        p = beta * np.exp(-batch["distance"].to_numpy() / r0)
+        u = ((batch["src"].to_numpy() * 48271 + batch["dst"].to_numpy() * 69621
+              + seed * 9973) % 99991) / 99991.0
+        return batch[u < p]
+
+    return pairs.map_batches(flt, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ contiguity
+
+def contiguity_graph(polys: ray.data.Dataset, contiguity: str = "queen",
+                     quant: float = 1e7) -> ray.data.Dataset:
+    """Queen/Rook polygon adjacency from scratch (libpysal is not
+    distributable; semantics of reference proximity.py:1968-2108,
+    weights :2630-2657): queen = polygons sharing ≥1 boundary vertex,
+    rook = polygons sharing ≥1 boundary segment.  Weight = centroid
+    distance (euclidean).
+
+    Shuffle plan: explode rings → (quantized key, id, centroid) rows →
+    groupby(key) pairs → groupby(pair) distinct.  Exact keys (no hash
+    collisions): vertex key = (qx, qy) int64 pair; segment key = sorted
+    endpoint pair (4 ints).
+    """
+    if contiguity not in ("queen", "rook"):
+        raise ValueError(contiguity)
+
+    from city2graph_ray.geom.kernels import polygon_area_centroid
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"id": [], "k1": [], "k2": [], "k3": [], "k4": [], "cx": [], "cy": []}
+        for pid, coords in zip(batch["id"], batch["coords"]):
+            c = np.asarray(coords, np.float64).reshape(-1, 2)
+            if len(c) and (c[0] == c[-1]).all():
+                c = c[:-1]
+            _, cx, cy = polygon_area_centroid(coords)
+            q = np.round(c * quant).astype(np.int64)
+            if contiguity == "queen":
+                n = len(q)
+                out["id"].extend([pid] * n)
+                out["k1"].extend(q[:, 0])
+                out["k2"].extend(q[:, 1])
+                out["k3"].extend([0] * n)
+                out["k4"].extend([0] * n)
+                out["cx"].extend([cx] * n)
+                out["cy"].extend([cy] * n)
+            else:
+                a = q
+                b = np.roll(q, -1, axis=0)
+                swap = (a[:, 0] > b[:, 0]) | ((a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1]))
+                lo = np.where(swap[:, None], b, a)
+                hi = np.where(swap[:, None], a, b)
+                n = len(q)
+                out["id"].extend([pid] * n)
+                out["k1"].extend(lo[:, 0])
+                out["k2"].extend(lo[:, 1])
+                out["k3"].extend(hi[:, 0])
+                out["k4"].extend(hi[:, 1])
+                out["cx"].extend([cx] * n)
+                out["cy"].extend([cy] * n)
+        return pd.DataFrame(out)
+
+    inc = polys.map_batches(explode, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates("id")
+        if len(u) < 2:
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "dst": pd.Series(dtype=np.int64),
+                                 "distance": pd.Series(dtype=np.float64)})
+        ids = u["id"].to_numpy()
+        cx = u["cx"].to_numpy()
+        cy = u["cy"].to_numpy()
+        o = np.argsort(ids)
+        ids, cx, cy = ids[o], cx[o], cy[o]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"src": ids[ii], "dst": ids[jj],
+                             "distance": _dist(cx[ii], cy[ii], cx[jj], cy[jj])})
+
+    cand = inc.groupby(["k1", "k2", "k3", "k4"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["src", "dst"]).map_groups(lambda g: g.iloc[:1],
+                                                   batch_format="pandas")
+
+
+# ------------------------------------------------------------------ group_nodes (PIP)
+
+def group_nodes(polys: ray.data.Dataset, points: ray.data.Dataset,
+                cell_size: float = 50.0) -> ray.data.Dataset:
+    """Polygon → contained-point bipartite edges, predicate covered_by
+    (boundary inclusive), reference proximity.py:1830-1965 / 2554-2595.
+
+    Plan: polygons replicated to every grid cell their bbox covers;
+    points live in exactly one cell → each (poly, point) pair is tested
+    in exactly one group (no post-dedup).  Per-group refine is an
+    even-odd ray-cast against the exterior ring (geom.kernels).
+    """
+    from city2graph_ray.geom import kernels
+
+    def poly_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        coords_list = list(batch["coords"])
+        bb = np.array([[c.reshape(-1, 2)[:, 0].min(), c.reshape(-1, 2)[:, 1].min(),
+                        c.reshape(-1, 2)[:, 0].max(), c.reshape(-1, 2)[:, 1].max()]
+                       for c in (np.asarray(cc, np.float64) for cc in coords_list)])
+        rows, cell = cells.covering_cells(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], cell_size)
+        out = batch.iloc[rows][["id", "coords"]].reset_index(drop=True)
+        out = out.rename(columns={"id": "poly_id"})
+        out["cell"] = cell
+        out["is_poly"] = True
+        out["x"] = 0.0
+        out["y"] = 0.0
+        return out
+
+    def point_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["id", "x", "y"]].copy()
+        out["cell"] = cells.cell_id(batch["x"].to_numpy(), batch["y"].to_numpy(), cell_size)
+        out["is_poly"] = False
+        out["poly_id"] = np.int64(-1)
+        out["coords"] = [np.empty(0)] * len(batch)
+        return out
+
+    cols = ["poly_id", "id", "x", "y", "cell", "is_poly", "coords"]
+    pc = polys.map_batches(lambda b: poly_cells(b).assign(id=np.int64(-1))[cols],
+                           batch_format="pandas")
+    tc = points.map_batches(lambda b: point_cells(b)[cols], batch_format="pandas")
+
+    def refine(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g[g["is_poly"]]
+        ts = g[~g["is_poly"]]
+        if len(ps) == 0 or len(ts) == 0:
+            return pd.DataFrame({"poly_id": pd.Series(dtype=np.int64),
+                                 "point_id": pd.Series(dtype=np.int64)})
+        px = ts["x"].to_numpy()
+        py = ts["y"].to_numpy()
+        tids = ts["id"].to_numpy()
+        out_p, out_t = [], []
+        for pid, coords in zip(ps["poly_id"], ps["coords"]):
+            mask = kernels.points_in_polygon(px, py, np.asarray(coords, np.float64))
+            out_p.extend([pid] * int(mask.sum()))
+            out_t.extend(tids[mask])
+        return pd.DataFrame({"poly_id": np.array(out_p, np.int64),
+                             "point_id": np.array(out_t, np.int64)})
+
+    return pc.union(tc).groupby("cell").map_groups(refine, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ bridge_nodes
+
+def bridge_nodes(layers: dict[str, ray.data.Dataset], method: str = "knn",
+                 k: int = 1, radius: float = 1.0,
+                 **kwargs) -> dict[tuple[str, str, str], ray.data.Dataset]:
+    """Directed kNN / fixed-radius edges for every ordered pair of node
+    layers, relation "is_nearby" (reference proximity.py:1609-1827)."""
+    out: dict[tuple[str, str, str], ray.data.Dataset] = {}
+    for a, da in layers.items():
+        for b, db in layers.items():
+            if a == b:
+                continue
+            if method == "knn":
+                e = knn_graph(da, k=k, targets=db, **kwargs)
+            elif method == "fixed_radius":
+                e = fixed_radius_graph(da, radius=radius, targets=db, **kwargs)
+            else:
+                raise ValueError(method)
+            out[(a, "is_nearby", b)] = e
+    return out

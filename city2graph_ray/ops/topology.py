@@ -1,0 +1,331 @@
+"""Topology operators: segments→graph, dual graph, edge canonicalization /
+symmetrization, connected components, clip.
+
+Reference semantics: segments_to_graph
+(/root/reference/city2graph/morphology.py:1545-1829 — endpoint dedup +
+dense node ids morphology.py:1741-1756, multigraph keys via cumcount
+:1810), dual_graph (utils/topology.py:163-325, sorted pairs :92-132),
+canonicalize_edges (utils/topology.py:328-471), symmetrize_edges
+(:474-568, self-loop skip :559-561), remove_isolated_components
+(:775-825), clip_graph (:698-772).
+
+Engine differences (documented contracts):
+
+- Node ids from coordinate dedup are assigned by global (x, y) sort
+  order, not input-appearance order (the reference enumerates in input
+  order; ids are labels — the edge *structure* is identical, and (x, y)
+  order is reproducible by both the distributed prefix-sum scheme and
+  the SQL oracle: ``dense_rank() over (order by x, y)``).
+- Multigraph edge keys are assigned by a deterministic within-pair sort
+  on ``row_seq`` (an explicit ingest-order column) rather than implicit
+  pandas row order, making cumcount reproducible under parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def _coord_bucket(x: np.ndarray, width: float = 64.0) -> np.ndarray:
+    return np.floor(np.asarray(x, np.float64) / width).astype(np.int64)
+
+
+def dedup_coords_with_ids(
+    endpoints: ray.data.Dataset, bucket_width: float = 64.0
+) -> ray.data.Dataset:
+    """Distinct (x, y) → dense int64 ``node_id`` by global (x, y) order.
+
+    Distributed scheme (no full materialization): bucket by floor(x/w)
+    — monotone in x, so global (x, y) order == (bucket, x, y) order —
+    dedup per bucket, count per bucket, prefix-sum offsets on the driver
+    (tiny), then id = offset + within-bucket rank.
+    """
+    def to_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["x", "y"]].copy()
+        out["bucket"] = _coord_bucket(batch["x"].to_numpy(), bucket_width)
+        return out
+
+    bucketed = endpoints.map_batches(to_bucket, batch_format="pandas")
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["x", "y"]).sort_values(["x", "y"], kind="stable")
+        u = u.reset_index(drop=True)
+        u["rank"] = np.arange(len(u), dtype=np.int64)
+        return u
+
+    uniq = bucketed.groupby("bucket").map_groups(distinct, batch_format="pandas")
+    uniq = uniq.materialize()
+
+    counts = uniq.groupby("bucket").count().to_pandas()
+    counts = counts.sort_values("bucket").reset_index(drop=True)
+    ccol = "count()" if "count()" in counts.columns else counts.columns[-1]
+    offsets = dict(zip(counts["bucket"],
+                       np.concatenate(([0], np.cumsum(counts[ccol].to_numpy())[:-1]))))
+    ref = ray.put(offsets)
+
+    class AssignIds:
+        def __init__(self):
+            self.offsets = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            off = batch["bucket"].map(self.offsets).to_numpy(dtype=np.int64)
+            out = batch[["x", "y"]].copy()
+            out["node_id"] = off + batch["rank"].to_numpy(dtype=np.int64)
+            return out
+
+    return uniq.map_batches(AssignIds, batch_format="pandas", concurrency=(1, 8))
+
+
+def segments_to_graph(
+    segments: ray.data.Dataset, multigraph: bool = True, directed: bool = False
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """LineString table → (nodes, edges).
+
+    Input: ``seg_id`` (int64), ``coords`` (list<double>), optional
+    ``row_seq`` (defaults to seg_id) and attribute columns.
+    Output nodes: (node_id, x, y); edges: original columns +
+    (src, dst, edge_key) where src/dst are endpoint node ids and
+    edge_key = rank of row_seq within each (src, dst) group (the
+    reference's groupby([from,to]).cumcount(), morphology.py:1810).
+    Undirected mode canonicalizes (src,dst) unordered first
+    (utils/topology.py:328-471).
+    """
+    def endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+        c0 = np.array([np.asarray(c, np.float64)[:2] for c in batch["coords"]])
+        c1 = np.array([np.asarray(c, np.float64)[-2:] for c in batch["coords"]])
+        return pd.DataFrame({
+            "x": np.concatenate([c0[:, 0], c1[:, 0]]),
+            "y": np.concatenate([c0[:, 1], c1[:, 1]])})
+
+    eps = segments.map_batches(endpoints, batch_format="pandas")
+    nodes = dedup_coords_with_ids(eps).materialize()
+
+    # broadcast the (coord → id) map: node table ≪ segments; at larger
+    # scale this becomes a bucketed join on the same x-bucket key.
+    node_df = nodes.to_pandas()
+    ref = ray.put(node_df)
+
+    class Resolve:
+        def __init__(self):
+            nd = ray.get(ref)
+            self.lookup = {(xx, yy): ii for xx, yy, ii in
+                           zip(nd["x"], nd["y"], nd["node_id"])}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            coords = [np.asarray(c, np.float64) for c in batch["coords"]]
+            src = np.fromiter((self.lookup[(c[0], c[1])] for c in coords),
+                              np.int64, len(coords))
+            dst = np.fromiter((self.lookup[(c[-2], c[-1])] for c in coords),
+                              np.int64, len(coords))
+            out = batch.copy()
+            if not directed:
+                lo = np.minimum(src, dst)
+                hi = np.maximum(src, dst)
+                src, dst = lo, hi
+            out["src"] = src
+            out["dst"] = dst
+            if "row_seq" not in out.columns:
+                out["row_seq"] = out["seg_id"].to_numpy(dtype=np.int64)
+            return out
+
+    resolved = segments.map_batches(Resolve, batch_format="pandas", concurrency=(1, 8))
+
+    if multigraph:
+        def keys(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("row_seq", kind="stable").reset_index(drop=True)
+            g["edge_key"] = np.arange(len(g), dtype=np.int64)
+            return g
+        edges = resolved.groupby(["src", "dst"]).map_groups(keys, batch_format="pandas")
+    else:
+        def first_only(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("row_seq", kind="stable").iloc[:1].copy()
+            g["edge_key"] = np.int64(0)
+            return g
+        edges = resolved.groupby(["src", "dst"]).map_groups(first_only,
+                                                            batch_format="pandas")
+    return nodes, edges
+
+
+def dual_graph(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Primal edges → dual edges between primal edges sharing an endpoint
+    (reference utils/topology.py:163-325; deterministic sorted pairs
+    :92-132).  Input: (edge_id, src, dst); output: (src, dst) of
+    edge_ids with src < dst, distinct."""
+    def incidence(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([batch["src"].to_numpy(), batch["dst"].to_numpy()]),
+            "edge_id": np.concatenate([batch["edge_id"].to_numpy()] * 2)})
+
+    inc = edges.map_batches(incidence, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        e = np.unique(g["edge_id"].to_numpy())
+        if len(e) < 2:
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "dst": pd.Series(dtype=np.int64)})
+        ii, jj = np.triu_indices(len(e), k=1)
+        return pd.DataFrame({"src": e[ii], "dst": e[jj]})
+
+    cand = inc.groupby("node").map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["src", "dst"]).map_groups(lambda g: g.iloc[:1],
+                                                   batch_format="pandas")
+
+
+def canonicalize_edges(edges: ray.data.Dataset, policy: str = "first") -> ray.data.Dataset:
+    """Reorder (src,dst) to unordered canonical (src ≤ dst) and resolve
+    duplicates: 'first' keeps the lowest row_seq, 'key' assigns
+    edge_key = rank, 'error' raises (reference utils/topology.py:328-471)."""
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        src = out["src"].to_numpy()
+        dst = out["dst"].to_numpy()
+        out["src"] = np.minimum(src, dst)
+        out["dst"] = np.maximum(src, dst)
+        return out
+
+    c = edges.map_batches(canon, batch_format="pandas")
+    sort_col = "row_seq" if "row_seq" in edges.schema().names else "src"
+
+    if policy == "first":
+        return c.groupby(["src", "dst"]).map_groups(
+            lambda g: g.sort_values(sort_col, kind="stable").iloc[:1],
+            batch_format="pandas")
+    if policy == "key":
+        def keyed(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(sort_col, kind="stable").reset_index(drop=True)
+            g["edge_key"] = np.arange(len(g), dtype=np.int64)
+            return g
+        return c.groupby(["src", "dst"]).map_groups(keyed, batch_format="pandas")
+    if policy == "error":
+        def check(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) > 1:
+                raise ValueError(f"duplicate undirected edge {g['src'].iloc[0]}-{g['dst'].iloc[0]}")
+            return g
+        return c.groupby(["src", "dst"]).map_groups(check, batch_format="pandas")
+    raise ValueError(policy)
+
+
+def symmetrize_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Append (dst,src) reverse rows; idempotent (skip when the reverse
+    already exists), skip self-loops (reference utils/topology.py:474-568).
+
+    One shuffle on the unordered pair: per unordered pair, emit the
+    distinct directed rows present plus missing reverses (attributes
+    copied from the forward row, 'first' wins per direction)."""
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        src = out["src"].to_numpy()
+        dst = out["dst"].to_numpy()
+        out["u"] = np.minimum(src, dst)
+        out["v"] = np.maximum(src, dst)
+        return out
+
+    t = edges.map_batches(tag, batch_format="pandas")
+    sort_col = "row_seq" if "row_seq" in edges.schema().names else "src"
+
+    def complete(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_col, kind="stable")
+        base = g.drop(columns=["u", "v"])
+        if g["u"].iloc[0] == g["v"].iloc[0]:
+            return base.iloc[:1]  # self-loop: never duplicated
+        fwd = base[base["src"] == g["u"].iloc[0]]
+        rev = base[base["src"] == g["v"].iloc[0]]
+        out = [fwd.iloc[:1] if len(fwd) else None, rev.iloc[:1] if len(rev) else None]
+        if len(fwd) and not len(rev):
+            r = fwd.iloc[:1].copy()
+            r["src"], r["dst"] = fwd["dst"].iloc[0], fwd["src"].iloc[0]
+            out[1] = r
+        elif len(rev) and not len(fwd):
+            f = rev.iloc[:1].copy()
+            f["src"], f["dst"] = rev["dst"].iloc[0], rev["src"].iloc[0]
+            out[0] = f
+        return pd.concat([o for o in out if o is not None])
+
+    return t.groupby(["u", "v"]).map_groups(complete, batch_format="pandas")
+
+
+def connected_components(edges: ray.data.Dataset, max_iters: int = 50) -> ray.data.Dataset:
+    """Component label per node via iterated min-label propagation:
+    label(n) ← min(label(n), min over neighbors) until fixpoint — each
+    iteration one groupby shuffle; converges in O(diameter) rounds
+    (large-star/small-star would be O(log n); fine for round 1).
+    Returns (node_id, component) where component = min node id reachable.
+    Reference keeps the largest component (utils/topology.py:775-825) —
+    compose with a count + semi-filter for that."""
+    def seed(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["src"].to_numpy()
+        d = batch["dst"].to_numpy()
+        return pd.DataFrame({"node_id": np.concatenate([s, d]),
+                             "label": np.concatenate([np.minimum(s, d)] * 2)})
+
+    labels = edges.map_batches(seed, batch_format="pandas")
+    labels = labels.groupby("node_id").map_groups(
+        lambda g: pd.DataFrame({"node_id": g["node_id"].iloc[:1],
+                                "label": [g["label"].min()]}),
+        batch_format="pandas").materialize()
+
+    e_small = edges.select_columns(["src", "dst"]).materialize()
+    for _ in range(max_iters):
+        ldf = labels.to_pandas()  # node table ≪ edges; broadcast each round
+        lmap = dict(zip(ldf["node_id"], ldf["label"]))
+        ref = ray.put(lmap)
+
+        class Prop:
+            def __init__(self):
+                self.lmap = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                ls = batch["src"].map(self.lmap).to_numpy()
+                ld = batch["dst"].map(self.lmap).to_numpy()
+                m = np.minimum(ls, ld)
+                return pd.DataFrame({"node_id": np.concatenate([batch["src"], batch["dst"]]),
+                                     "label": np.concatenate([m, m])})
+
+        new = e_small.map_batches(Prop, batch_format="pandas", concurrency=(1, 8))
+        new = new.groupby("node_id").map_groups(
+            lambda g: pd.DataFrame({"node_id": g["node_id"].iloc[:1],
+                                    "label": [g["label"].min()]}),
+            batch_format="pandas").materialize()
+        ndf = new.to_pandas()
+        merged = ndf.merge(ldf, on="node_id", how="outer", suffixes=("", "_old"))
+        merged["label"] = merged[["label", "label_old"]].min(axis=1)
+        changed = (merged["label"] != merged["label_old"]).sum()
+        labels = ray.data.from_pandas(
+            merged[["node_id", "label"]].astype({"node_id": np.int64, "label": np.int64}))
+        labels = labels.materialize()
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda b: b.rename(columns={"label": "component"}), batch_format="pandas")
+
+
+def largest_component_filter(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep edges of the largest connected component
+    (reference utils/topology.py:775-825)."""
+    from city2graph_ray.joins import semi_filter
+    comp = connected_components(edges).to_pandas()
+    top = comp.groupby("component").size().idxmax()
+    keep = set(comp.loc[comp["component"] == top, "node_id"])
+    return semi_filter(edges, keep, "src")
+
+
+def clip_edges(edges: ray.data.Dataset, ring: np.ndarray, strict: bool = True) -> ray.data.Dataset:
+    """Keep edges whose endpoints fall inside a broadcast polygon
+    (reference clip_graph utils/topology.py:698-772: strict = both
+    endpoints inside).  Input needs sx, sy, dx_, dy_ endpoint coords."""
+    from city2graph_ray.geom.kernels import points_in_polygon
+    ref = ray.put(np.asarray(ring, np.float64))
+
+    class Clip:
+        def __init__(self):
+            self.ring = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            a = points_in_polygon(batch["sx"].to_numpy(), batch["sy"].to_numpy(), self.ring)
+            b = points_in_polygon(batch["dx_"].to_numpy(), batch["dy_"].to_numpy(), self.ring)
+            return batch[(a & b) if strict else (a | b)]
+
+    return edges.map_batches(Clip, batch_format="pandas", concurrency=(1, 8))

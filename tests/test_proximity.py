@@ -1,0 +1,178 @@
+"""Proximity builders vs single-process brute-force oracles
+(conformance contract per SURVEY.md §5: exact edge sets)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from city2graph_ray.ops.proximity import (
+    contiguity_graph,
+    delaunay_graph,
+    euclidean_minimum_spanning_tree,
+    fixed_radius_graph,
+    gabriel_graph,
+    group_nodes,
+    knn_graph,
+    relative_neighborhood_graph,
+    waxman_graph,
+)
+from tests.conftest import brute_dist
+
+
+@pytest.fixture(scope="module")
+def pts(customer_points):
+    return customer_points
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_fixed_radius_matches_bruteforce(pts):
+    d = brute_dist(pts)
+    ids = pts["id"].to_numpy()
+    for radius, cell in [(40.0, None), (40.0, 55.0), (15.0, None)]:
+        got = _sorted(fixed_radius_graph(rd.from_pandas(pts), radius,
+                                         cell_size=cell).to_pandas())
+        ii, jj = np.nonzero((d <= radius) & (ids[:, None] < ids[None, :]))
+        exp = _sorted(pd.DataFrame({"src": ids[ii], "dst": ids[jj],
+                                    "distance": d[ii, jj]}))
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_knn_matches_bruteforce(pts):
+    d = brute_dist(pts)
+    ids = pts["id"].to_numpy()
+    for k, cell in [(4, None), (4, 30.0), (1, None), (10, 200.0)]:
+        got = _sorted(knn_graph(rd.from_pandas(pts), k, cell_size=cell).to_pandas())
+        rows = []
+        for i in range(len(pts)):
+            dd = d[i].copy()
+            dd[i] = np.inf
+            for j in np.lexsort((ids, dd))[:k]:
+                rows.append((ids[i], ids[j], d[i, j]))
+        exp = _sorted(pd.DataFrame(rows, columns=["src", "dst", "distance"]))
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_knn_bipartite_directed(pts):
+    a = pts.iloc[::2].reset_index(drop=True)
+    b = pts.iloc[1::2].reset_index(drop=True)
+    k = 3
+    got = _sorted(knn_graph(rd.from_pandas(a), k,
+                            targets=rd.from_pandas(b)).to_pandas())
+    bx = b["x"].to_numpy()
+    by = b["y"].to_numpy()
+    bid = b["id"].to_numpy()
+    rows = []
+    for _, r in a.iterrows():
+        dd = np.sqrt((r.x - bx) ** 2 + (r.y - by) ** 2)
+        for j in np.lexsort((bid, dd))[:k]:
+            rows.append((r.id, bid[j], dd[j]))
+    exp = _sorted(pd.DataFrame(rows, columns=["src", "dst", "distance"])
+                  .astype({"src": np.int64, "dst": np.int64}))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_delaunay_exact_and_tiled(pts):
+    exact = _sorted(delaunay_graph(rd.from_pandas(pts)).to_pandas())
+    assert len(exact) > len(pts)  # planar graph: n-1 < m <= 3n-6
+    assert (exact["src"] < exact["dst"]).all()
+    tiled = _sorted(delaunay_graph(rd.from_pandas(pts), tiled=True,
+                                   cell_size=250.0).to_pandas())
+    # generous halo at fixture density → tiled matches exact
+    pd.testing.assert_frame_equal(tiled, exact)
+
+
+def test_gabriel_subset_of_delaunay(pts):
+    ds = rd.from_pandas(pts)
+    dl = set(map(tuple, delaunay_graph(ds).to_pandas()[["src", "dst"]].to_numpy()))
+    gb = gabriel_graph(ds).to_pandas()
+    rn = relative_neighborhood_graph(ds).to_pandas()
+    gset = set(map(tuple, gb[["src", "dst"]].to_numpy()))
+    rset = set(map(tuple, rn[["src", "dst"]].to_numpy()))
+    assert gset <= dl
+    assert rset <= gset  # RNG ⊆ Gabriel ⊆ Delaunay (triangulation hierarchy)
+    # brute-force Gabriel check on a sample of edges
+    d = brute_dist(pts)
+    pos = {int(i): j for j, i in enumerate(pts["id"])}
+    for (u, v) in list(gset)[:50]:
+        iu, iv = pos[u], pos[v]
+        duv2 = d[iu, iv] ** 2
+        others = [w for w in range(len(pts)) if w not in (iu, iv)]
+        assert not any(d[iu, w] ** 2 + d[iv, w] ** 2 < duv2 - 1e-12 for w in others)
+
+
+def test_emst_is_spanning_tree(pts):
+    mst = euclidean_minimum_spanning_tree(rd.from_pandas(pts)).to_pandas()
+    assert len(mst) == len(pts) - 1
+    import networkx as nx
+    g = nx.Graph()
+    g.add_edges_from(mst[["src", "dst"]].to_numpy())
+    assert nx.is_connected(g)
+    # weight-optimality vs networkx MST over the complete graph
+    d = brute_dist(pts)
+    ids = pts["id"].to_numpy()
+    cg = nx.Graph()
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            cg.add_edge(ids[i], ids[j], weight=d[i, j])
+    ref = nx.minimum_spanning_tree(cg)
+    assert abs(mst["distance"].sum()
+               - sum(w["weight"] for *_, w in ref.edges(data=True))) < 1e-6
+
+
+def test_waxman_deterministic(pts):
+    ds = rd.from_pandas(pts)
+    a = _sorted(waxman_graph(ds, beta=0.5, r0=50.0, seed=7).to_pandas())
+    b = _sorted(waxman_graph(ds, beta=0.5, r0=50.0, seed=7).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    c = waxman_graph(ds, beta=0.5, r0=50.0, seed=8).to_pandas()
+    assert not a.equals(_sorted(c))
+    assert len(a) > 0
+
+
+def test_contiguity_queen_rook(part_polys, pts):
+    pds = rd.from_pandas(part_polys)
+    queen = contiguity_graph(pds, "queen").to_pandas()
+    rook = contiguity_graph(pds, "rook").to_pandas()
+    qset = set(map(tuple, queen[["src", "dst"]].to_numpy()))
+    rset = set(map(tuple, rook[["src", "dst"]].to_numpy()))
+    assert rset <= qset  # rook ⊆ queen
+    # oracle from grid coords
+    from city2graph_ray.synth import part_grid_cell
+    col, row = part_grid_cell(part_polys["id"].to_numpy())
+    cr = dict(zip(part_polys["id"], zip(col, row)))
+    for kind, got in (("queen", qset), ("rook", rset)):
+        exp = set()
+        for a in cr:
+            for b in cr:
+                if a >= b:
+                    continue
+                dc = abs(cr[a][0] - cr[b][0])
+                dr = abs(cr[a][1] - cr[b][1])
+                adj = max(dc, dr) == 1 if kind == "queen" else dc + dr == 1
+                if adj:
+                    exp.add((a, b))
+        assert got == exp, kind
+
+
+def test_group_nodes_pip(part_polys, pts):
+    got = group_nodes(rd.from_pandas(part_polys), rd.from_pandas(pts)).to_pandas()
+    got = _sorted(got)
+    from city2graph_ray.synth import part_grid_cell
+    col, row = part_grid_cell(part_polys["id"].to_numpy())
+    rows = []
+    x = pts["x"].to_numpy()
+    y = pts["y"].to_numpy()
+    ids = pts["id"].to_numpy()
+    for pid, c, r in zip(part_polys["id"], col, row):
+        x0, y0 = c * 25.0, r * 25.0
+        m = (x >= x0) & (x <= x0 + 25) & (y >= y0) & (y <= y0 + 25)
+        rows += [(pid, q) for q in ids[m]]
+    exp = _sorted(pd.DataFrame(rows, columns=["poly_id", "point_id"])
+                  .astype(np.int64))
+    pd.testing.assert_frame_equal(got, exp)

@@ -1,0 +1,114 @@
+"""Topology operators vs single-process oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from city2graph_ray.ops.topology import (
+    canonicalize_edges,
+    connected_components,
+    dual_graph,
+    segments_to_graph,
+    symmetrize_edges,
+)
+from city2graph_ray.synth import key_to_xy
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def segments() -> pd.DataFrame:
+    """Order-derived segments: order point → customer point.  Shared
+    customer endpoints give real coordinate dedup; a duplicated pair is
+    appended to exercise multigraph keys."""
+    t = pq.read_table(f"{SF_DIR}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"]).to_pandas().head(300)
+    ax, ay = key_to_xy(t["o_orderkey"].to_numpy())
+    bx, by = key_to_xy(t["o_custkey"].to_numpy())
+    coords = [np.array([a, b, c, d]) for a, b, c, d in zip(ax, ay, bx, by)]
+    df = pd.DataFrame({"seg_id": t["o_orderkey"].astype(np.int64), "coords": coords})
+    dup = df.iloc[:3].copy()
+    dup["seg_id"] = dup["seg_id"] + 10_000_000  # same endpoints, new ids
+    return pd.concat([df, dup], ignore_index=True)
+
+
+def test_segments_to_graph(segments):
+    nodes_ds, edges_ds = segments_to_graph(rd.from_pandas(segments))
+    nodes = nodes_ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    edges = edges_ds.to_pandas()
+
+    # node ids are dense 0..n-1 in (x, y) order over distinct coords
+    coords = set()
+    for c in segments["coords"]:
+        coords.add((c[0], c[1]))
+        coords.add((c[2], c[3]))
+    assert len(nodes) == len(coords)
+    assert list(nodes["node_id"]) == list(range(len(coords)))
+    exp_order = sorted(coords)
+    assert list(zip(nodes["x"], nodes["y"])) == exp_order
+
+    # every segment resolved; endpoints map back to its coords
+    assert len(edges) == len(segments)
+    lookup = {c: i for i, c in enumerate(exp_order)}
+    em = edges.set_index("seg_id")
+    for _, r in segments.iterrows():
+        a = lookup[(r.coords[0], r.coords[1])]
+        b = lookup[(r.coords[2], r.coords[3])]
+        lo, hi = min(a, b), max(a, b)
+        row = em.loc[r.seg_id]
+        assert (row["src"], row["dst"]) == (lo, hi)
+
+    # duplicated pairs got multigraph keys 0..k-1 by row_seq order
+    key_counts = edges.groupby(["src", "dst"])["edge_key"].agg(["count", "max"])
+    assert ((key_counts["max"] == key_counts["count"] - 1)).all()
+    dups = key_counts[key_counts["count"] > 1]
+    assert len(dups) >= 3
+
+
+def test_dual_graph():
+    e = pd.DataFrame({"edge_id": [10, 20, 30, 40],
+                      "src": [0, 1, 2, 0],
+                      "dst": [1, 2, 3, 3]})
+    got = dual_graph(rd.from_pandas(e)).to_pandas()
+    got = set(map(tuple, got[["src", "dst"]].to_numpy()))
+    # shared endpoints: (10,20)@1 (20,30)@2 (10,40)@0 (30,40)@3
+    assert got == {(10, 20), (20, 30), (10, 40), (30, 40)}
+
+
+def test_canonicalize_and_symmetrize():
+    e = pd.DataFrame({"src": [2, 1, 3, 3, 5],
+                      "dst": [1, 2, 4, 4, 5],
+                      "w": [1.0, 2.0, 3.0, 4.0, 5.0],
+                      "row_seq": [0, 1, 2, 3, 4]})
+    ds = rd.from_pandas(e)
+    first = canonicalize_edges(ds, "first").to_pandas().sort_values(["src", "dst"])
+    assert list(map(tuple, first[["src", "dst", "w"]].to_numpy())) == [
+        (1, 2, 1.0), (3, 4, 3.0), (5, 5, 5.0)]
+    keyed = canonicalize_edges(ds, "key").to_pandas()
+    kc = keyed.groupby(["src", "dst"])["edge_key"].max()
+    assert kc[(1, 2)] == 1 and kc[(3, 4)] == 1 and kc[(5, 5)] == 0
+    with pytest.raises(Exception):
+        canonicalize_edges(ds, "error").to_pandas()
+
+    sym = symmetrize_edges(rd.from_pandas(pd.DataFrame({
+        "src": [1, 2, 3, 7], "dst": [2, 1, 4, 7],
+        "w": [1.0, 9.0, 3.0, 4.0], "row_seq": [0, 1, 2, 3]}))).to_pandas()
+    got = set(map(tuple, sym[["src", "dst"]].to_numpy()))
+    assert got == {(1, 2), (2, 1), (3, 4), (4, 3), (7, 7)}
+    # existing reverse (2,1) kept its own attrs (idempotent, not overwritten)
+    assert float(sym.loc[(sym.src == 2) & (sym.dst == 1), "w"].iloc[0]) == 9.0
+    # generated reverse copies forward attrs
+    assert float(sym.loc[(sym.src == 4) & (sym.dst == 3), "w"].iloc[0]) == 3.0
+
+
+def test_connected_components():
+    e = pd.DataFrame({"src": [1, 2, 10, 11, 20],
+                      "dst": [2, 3, 11, 12, 21]})
+    comp = connected_components(rd.from_pandas(e)).to_pandas()
+    cmap = dict(zip(comp["node_id"], comp["component"]))
+    assert cmap[1] == cmap[2] == cmap[3] == 1
+    assert cmap[10] == cmap[11] == cmap[12] == 10
+    assert cmap[20] == cmap[21] == 20
