@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash).  No ``ray.init``/``ray.shutdown`` here or in the library.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Geometry for the spatial operators is DERIVED deterministically from the
+integer keys of the testdata tables (city2graph_ray.synth) with pure
+integer arithmetic + one float division, computed identically in numpy
+and in the SQL oracles — float results compare bit-exact; aggregate
+sums are rounded (4-6dp) in BOTH systems so summation order can't flip
+the value hash.
 """
 
 from __future__ import annotations
@@ -18,27 +18,518 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+from city2graph_ray import synth
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# Shared SQL fragments (must mirror city2graph_ray.synth exactly)
+_PTS = (f"SELECT c_custkey AS id, {synth.sql_x('c_custkey')} AS x, "
+        f"{synth.sql_y('c_custkey')} AS y FROM customer")
+_GRID = ("SELECT p_partkey AS id, (p_partkey % 40) AS c, (p_partkey // 40) AS r "
+         "FROM part")
+_SEG_EPS = (f"SELECT o_orderkey AS seg_id, {synth.sql_x('o_orderkey')} AS ax, "
+            f"{synth.sql_y('o_orderkey')} AS ay, {synth.sql_x('o_custkey')} AS bx, "
+            f"{synth.sql_y('o_custkey')} AS by FROM orders")
+_SEG_NODES = (f"WITH eps AS (SELECT {synth.sql_x('o_orderkey')} AS x, "
+              f"{synth.sql_y('o_orderkey')} AS y FROM orders UNION ALL "
+              f"SELECT {synth.sql_x('o_custkey')}, {synth.sql_y('o_custkey')} "
+              f"FROM orders) SELECT row_number() OVER (ORDER BY x, y) - 1 AS "
+              f"node_id, x, y FROM (SELECT DISTINCT x, y FROM eps)")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved docs → span-geometry extraction → points +
+    building polygons → kNN ∪ fixed-radius edges + PIP tile assignments,
+    all through the cell-bucketed shuffles.  sf0.001."""
+    import ray.data
+    from city2graph_ray.ops.proximity import (fixed_radius_graph, group_nodes,
+                                              knn_graph)
+    from city2graph_ray.sources.interleaved import (doc_points,
+                                                    extract_geometry_spans,
+                                                    synthesize_documents)
+
+    docs = synthesize_documents(SF_SMOKE)
+    geoms = extract_geometry_spans(docs).materialize()
+    pts = doc_points(docs).materialize()
+
+    def to_polys(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["kind"] == "geom_building"]
+        return pd.DataFrame({
+            "id": [int(d.rsplit("-", 1)[1]) for d in b["doc_id"]],
+            "coords": [np.asarray(c, np.float64) for c in b["coords"]]})
+
+    polys = geoms.map_batches(to_polys, batch_format="pandas")
+
+    knn = knn_graph(pts, 4).map_batches(
+        lambda b: b.assign(op="knn"), batch_format="pandas")
+    rad = fixed_radius_graph(pts, 40.0).map_batches(
+        lambda b: b.assign(op="radius"), batch_format="pandas")
+    pip = group_nodes(polys, pts).map_batches(
+        lambda b: pd.DataFrame({"src": b["poly_id"], "dst": b["point_id"],
+                                "distance": 0.0, "op": "contains"}),
+        batch_format="pandas")
+    return knn.union(rad).union(pip)
+
+
+# --------------------------------------------------------------------- queries
+
+def _pt_radius(sf_dir: str):
+    from city2graph_ray.ops.proximity import fixed_radius_graph
+    from city2graph_ray.pipelines.tables import customer_points
+    return fixed_radius_graph(customer_points(sf_dir), 30.0)
+
+
+def _pt_knn(sf_dir: str):
+    from city2graph_ray.ops.proximity import knn_graph
+    from city2graph_ray.pipelines.tables import customer_points
+    return knn_graph(customer_points(sf_dir), 4)
+
+
+def _doc_span_radius(sf_dir: str):
+    """Same as pt_radius but THROUGH the interleaved-document span path
+    (synthesize → WKT spans → extract → points) — proves the ingress
+    preserves geometry exactly (same oracle as direct derivation)."""
+    from city2graph_ray.ops.proximity import fixed_radius_graph
+    from city2graph_ray.sources.interleaved import doc_points, synthesize_documents
+    return fixed_radius_graph(doc_points(synthesize_documents(sf_dir)), 30.0)
+
+
+def _contiguity(kind):
+    def run(sf_dir: str):
+        from city2graph_ray.ops.proximity import contiguity_graph
+        from city2graph_ray.pipelines.tables import part_polygons
+        return contiguity_graph(part_polygons(sf_dir), kind)
+    return run
+
+
+def _group_nodes(sf_dir: str):
+    from city2graph_ray.ops.proximity import group_nodes
+    from city2graph_ray.pipelines.tables import customer_points, part_polygons
+    return group_nodes(part_polygons(sf_dir), customer_points(sf_dir))
+
+
+def _waxman(sf_dir: str):
+    from city2graph_ray.ops.proximity import waxman_graph
+    from city2graph_ray.pipelines.tables import customer_points
+    return waxman_graph(customer_points(sf_dir), beta=0.6, r0=50.0, seed=7,
+                        radius_cutoff=200.0)
+
+
+def _segment_nodes(sf_dir: str):
+    from city2graph_ray.ops.topology import segments_to_graph
+    from city2graph_ray.pipelines.tables import order_segments
+    nodes, _ = segments_to_graph(order_segments(sf_dir))
+    return nodes.map_batches(lambda b: b[["node_id", "x", "y"]],
+                             batch_format="pandas")
+
+
+def _segment_edges(sf_dir: str):
+    from city2graph_ray.ops.topology import segments_to_graph
+    from city2graph_ray.pipelines.tables import order_segments
+    _, edges = segments_to_graph(order_segments(sf_dir))
+    return edges.map_batches(lambda b: b[["seg_id", "src", "dst", "edge_key"]],
+                             batch_format="pandas")
+
+
+def _dual_edges(sf_dir: str):
+    from city2graph_ray.ops.topology import dual_graph, segments_to_graph
+    from city2graph_ray.pipelines.tables import order_segments
+    _, edges = segments_to_graph(order_segments(sf_dir))
+    e = edges.map_batches(
+        lambda b: pd.DataFrame({"edge_id": b["seg_id"], "src": b["src"],
+                                "dst": b["dst"]}), batch_format="pandas")
+    return dual_graph(e)
+
+
+def _delaunay(sf_dir: str):
+    from city2graph_ray.ops.proximity import delaunay_graph
+    from city2graph_ray.pipelines.tables import customer_points
+    return delaunay_graph(customer_points(sf_dir), tiled=True)
+
+
+def _gabriel(sf_dir: str):
+    from city2graph_ray.ops.proximity import gabriel_graph
+    from city2graph_ray.pipelines.tables import customer_points
+    return gabriel_graph(customer_points(sf_dir))
+
+
+def _rng(sf_dir: str):
+    from city2graph_ray.ops.proximity import relative_neighborhood_graph
+    from city2graph_ray.pipelines.tables import customer_points
+    return relative_neighborhood_graph(customer_points(sf_dir))
+
+
+def _emst(sf_dir: str):
+    from city2graph_ray.ops.proximity import euclidean_minimum_spanning_tree
+    from city2graph_ray.pipelines.tables import customer_points
+    return euclidean_minimum_spanning_tree(customer_points(sf_dir))
+
+
+def _tpch_q1(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.less(t["l_shipdate"],
+                             pa.scalar(pd.Timestamp("1997-01-01"))))
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+                .agg(sum_qty=("l_quantity", "sum"),
+                     sum_base_price=("l_extendedprice", "sum"),
+                     sum_disc_price=("disc_price", "sum"),
+                     count_order=("l_quantity", "size")).reset_index())
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["count_order"].sum())
+        return pd.DataFrame({
+            "l_returnflag": g["l_returnflag"].iloc[:1],
+            "l_linestatus": g["l_linestatus"].iloc[:1],
+            "sum_qty": [round(g["sum_qty"].sum(), 4)],
+            "sum_base_price": [round(g["sum_base_price"].sum(), 4)],
+            "sum_disc_price": [round(g["sum_disc_price"].sum(), 4)],
+            "avg_qty": [round(g["sum_qty"].sum() / n, 4)],
+            "count_order": [np.int64(n)]})
+
+    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pandas")
+
+
+def _od_flows(sf_dir: str):
+    import ray.data
+    from city2graph_ray.ops.mobility import od_graph
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": (batch["o_custkey"].to_numpy() % 100).astype(np.int64),
+            "target": (batch["o_orderkey"].to_numpy() % 97).astype(np.int64),
+            "weight": batch["o_totalprice"].to_numpy()})
+
+    flows = ds.map_batches(derive, batch_format="pandas")
+    return od_graph(flows, zone_ids=np.arange(80), threshold=5000.0,
+                    undirected=True)
+
+
+def _event_legs(sf_dir: str):
+    from city2graph_ray.ops.transport import leg_summary
+    from city2graph_ray.pipelines.tables import events
+    return leg_summary(events(sf_dir))
+
+
+def _metapath(sf_dir: str):
+    import ray.data
+    from city2graph_ray.ops.metapath import add_metapaths
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderkey",
+                                            "o_totalprice"])
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey",
+                                        "l_extendedprice"])
+    hop1 = orders.map_batches(
+        lambda b: pd.DataFrame({"src": b["o_custkey"], "dst": b["o_orderkey"],
+                                "o_totalprice": b["o_totalprice"]}),
+        batch_format="pandas")
+    hop2 = li.map_batches(
+        lambda b: pd.DataFrame({"src": b["l_orderkey"], "dst": b["l_suppkey"],
+                                "l_extendedprice": b["l_extendedprice"]}),
+        batch_format="pandas")
+    return add_metapaths([hop1, hop2],
+                         attr_cols=("o_totalprice", "l_extendedprice"))
+
+
+def _doc_exact_dedup(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import exact_dedup
+    return exact_dedup(documents(sf_dir))
+
+
+def _doc_fingerprint_dedup(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import fingerprint_dedup
+    return fingerprint_dedup(documents(sf_dir))
+
+
+def _doc_tokens(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import token_counts
+    return token_counts(documents(sf_dir))
+
+
+def _doc_quality(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import quality_scores
+    return quality_scores(documents(sf_dir))
+
+
+def _doc_langid(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import lang_id
+    return lang_id(documents(sf_dir))
+
+
+def _minhash_clusters(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import minhash_dedup
+    return minhash_dedup(documents(sf_dir), threshold=0.5)
+
+
+def _simhash(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import simhash_pairs
+    return simhash_pairs(documents(sf_dir), max_hamming=3)
+
+
+def _ann(sf_dir: str):
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.ann import ann_topk
+    emb = embeddings(sf_dir)
+    qdf = (emb.filter(lambda r: r["vec_id"] < 10).to_pandas()
+           .rename(columns={"vec_id": "query_id"}))
+    out = ann_topk(emb, qdf, k=10)
+    return out.map_batches(
+        lambda b: b.astype({"query_id": np.int64, "vec_id": np.int64}),
+        batch_format="pandas")
+
+
+def _ivf_ann(sf_dir: str):
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.ann import ivf_topk
+    emb = embeddings(sf_dir)
+    qdf = (emb.filter(lambda r: r["vec_id"] < 10).to_pandas()
+           .rename(columns={"vec_id": "query_id"}))
+    return ivf_topk(emb, qdf, k=10)
+
+
+def _emb_neardup(sf_dir: str):
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.ann import embedding_neardup
+    emb = embeddings(sf_dir).filter(lambda r: r["vec_id"] % 5 == 0)
+    return embedding_neardup(emb, threshold=0.3, n_centroids=1)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "pt_radius_pairs": _pt_radius,
+        "pt_knn": _pt_knn,
+        "doc_span_radius": _doc_span_radius,
+        "grid_contiguity_queen": _contiguity("queen"),
+        "grid_contiguity_rook": _contiguity("rook"),
+        "grid_group_nodes": _group_nodes,
+        "waxman_edges": _waxman,
+        "segment_nodes": _segment_nodes,
+        "segment_edges": _segment_edges,
+        "dual_edges": _dual_edges,
+        "delaunay_edges": _delaunay,
+        "gabriel_edges": _gabriel,
+        "rng_edges": _rng,
+        "emst_edges": _emst,
+        "tpch_q1": _tpch_q1,
+        "od_flows": _od_flows,
+        "event_leg_summary": _event_legs,
+        "metapath_cust_supp": _metapath,
+        "doc_exact_dedup": _doc_exact_dedup,
+        "doc_fingerprint_dedup": _doc_fingerprint_dedup,
+        "doc_token_stats": _doc_tokens,
+        "doc_quality": _doc_quality,
+        "doc_lang_id": _doc_langid,
+        "minhash_clusters": _minhash_clusters,
+        "simhash_pairs": _simhash,
+        "ann_topk": _ann,
+        "ivf_ann_topk": _ivf_ann,
+        "emb_neardup": _emb_neardup,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _langid_sql() -> str:
+    from city2graph_ray.text.analysis import LANG_MARKERS
+    langs = sorted(LANG_MARKERS)
+
+    def cnt(w):
+        return (f"((length(p) - length(replace(p, ' {w} ', ''))) // {len(w) + 2})")
+
+    counts = {lg: " + ".join(cnt(w) for w in LANG_MARKERS[lg]) for lg in langs}
+    sel = ", ".join(f"({counts[lg]}) AS c_{lg}" for lg in langs)
+    great = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    # argmax, first language in sorted order wins ties (mirrors the
+    # strict-greater scan in city2graph_ray.text.analysis.lang_id)
+    case = f"CASE WHEN {great} = 0 THEN 'und' "
+    for i, lg in enumerate(langs):
+        rest = langs[i + 1:]
+        if rest:
+            cond = " AND ".join(f"c_{lg} >= c_{o}" for o in rest)
+            case += f"WHEN {cond} THEN '{lg}' "
+        else:
+            case += f"ELSE '{lg}' END"
+    return (f"WITH t AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents), "
+            f"c AS (SELECT doc_id, {sel} FROM t) "
+            f"SELECT doc_id, {case} AS lang_pred, {great} AS hits FROM c")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d2 = ("sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y))")
+    return {
+        "pt_radius_pairs": f"""
+            WITH pts AS ({_PTS})
+            SELECT a.id AS src, b.id AS dst, {d2} AS distance
+            FROM pts a JOIN pts b ON a.id < b.id
+            WHERE {d2} <= 30.0""",
+        "pt_knn": f"""
+            WITH pts AS ({_PTS})
+            SELECT a.id AS src, b.id AS dst, {d2} AS distance
+            FROM pts a JOIN pts b ON a.id <> b.id
+            QUALIFY row_number() OVER (PARTITION BY a.id
+                ORDER BY {d2}, b.id) <= 4""",
+        "doc_span_radius": f"""
+            WITH pts AS ({_PTS})
+            SELECT a.id AS src, b.id AS dst, {d2} AS distance
+            FROM pts a JOIN pts b ON a.id < b.id
+            WHERE {d2} <= 30.0""",
+        "grid_contiguity_queen": f"""
+            WITH g AS ({_GRID})
+            SELECT a.id AS src, b.id AS dst,
+                   sqrt(((a.c-b.c)*25.0)*((a.c-b.c)*25.0)
+                      + ((a.r-b.r)*25.0)*((a.r-b.r)*25.0)) AS distance
+            FROM g a JOIN g b ON a.id < b.id
+            WHERE greatest(abs(a.c-b.c), abs(a.r-b.r)) = 1""",
+        "grid_contiguity_rook": f"""
+            WITH g AS ({_GRID})
+            SELECT a.id AS src, b.id AS dst,
+                   sqrt(((a.c-b.c)*25.0)*((a.c-b.c)*25.0)
+                      + ((a.r-b.r)*25.0)*((a.r-b.r)*25.0)) AS distance
+            FROM g a JOIN g b ON a.id < b.id
+            WHERE abs(a.c-b.c) + abs(a.r-b.r) = 1""",
+        "grid_group_nodes": f"""
+            WITH pts AS ({_PTS}), g AS ({_GRID})
+            SELECT g.id AS poly_id, pts.id AS point_id FROM g JOIN pts
+            ON pts.x >= g.c*25.0 AND pts.x <= g.c*25.0+25.0
+            AND pts.y >= g.r*25.0 AND pts.y <= g.r*25.0+25.0""",
+        "waxman_edges": f"""
+            WITH pts AS ({_PTS}),
+            cand AS (SELECT a.id AS src, b.id AS dst, {d2} AS distance
+                     FROM pts a JOIN pts b ON a.id < b.id
+                     WHERE {d2} <= 200.0)
+            SELECT src, dst, distance FROM cand
+            WHERE ((src*48271 + dst*69621 + 7*9973) % 99991)/99991.0
+                  < 0.6 * exp(-distance/50.0)""",
+        "segment_nodes": _SEG_NODES,
+        "segment_edges": f"""
+            WITH nodes AS ({_SEG_NODES}), segs AS ({_SEG_EPS}),
+            resolved AS (
+                SELECT s.seg_id, na.node_id AS a, nb.node_id AS b
+                FROM segs s
+                JOIN nodes na ON na.x = s.ax AND na.y = s.ay
+                JOIN nodes nb ON nb.x = s.bx AND nb.y = s.by)
+            SELECT seg_id, least(a, b) AS src, greatest(a, b) AS dst,
+                   row_number() OVER (PARTITION BY least(a, b), greatest(a, b)
+                       ORDER BY seg_id) - 1 AS edge_key
+            FROM resolved""",
+        "dual_edges": f"""
+            WITH nodes AS ({_SEG_NODES}), segs AS ({_SEG_EPS}),
+            resolved AS (
+                SELECT s.seg_id, na.node_id AS a, nb.node_id AS b
+                FROM segs s
+                JOIN nodes na ON na.x = s.ax AND na.y = s.ay
+                JOIN nodes nb ON nb.x = s.bx AND nb.y = s.by),
+            inc AS (SELECT seg_id, a AS node FROM resolved
+                    UNION ALL SELECT seg_id, b FROM resolved)
+            SELECT DISTINCT i.seg_id AS src, j.seg_id AS dst
+            FROM inc i JOIN inc j ON i.node = j.node AND i.seg_id < j.seg_id""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice*(1-l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_quantity)/count(*), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "od_flows": """
+            WITH f AS (SELECT o_custkey % 100 AS s, o_orderkey % 97 AS t,
+                              o_totalprice AS w FROM orders),
+            canon AS (SELECT least(s, t) AS source, greatest(s, t) AS target, w
+                      FROM f WHERE s < 80 AND t < 80 AND s <> t)
+            SELECT source, target, round(sum(w), 6) AS weight
+            FROM canon GROUP BY source, target
+            HAVING round(sum(w), 6) >= 5000.0""",
+        "event_leg_summary": """
+            WITH legs AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER w AS to_type,
+                       date_diff('microsecond', ts, lead(ts) OVER w)/1000000.0
+                           AS travel_sec,
+                       value AS from_value
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT from_type, to_type,
+                   round(sum(travel_sec*from_value)/sum(from_value), 4)
+                       AS wmean_travel_sec,
+                   round(sum(from_value), 4) AS total_weight,
+                   count(*) AS n_legs
+            FROM legs WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type""",
+        "metapath_cust_supp": """
+            SELECT o.o_custkey AS src, l.l_suppkey AS dst,
+                   count(*) AS weight,
+                   round(sum(o.o_totalprice), 6) AS o_totalprice_sum,
+                   round(sum(l.l_extendedprice), 6) AS l_extendedprice_sum
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey, l.l_suppkey""",
+        "doc_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS group_size
+            FROM documents GROUP BY text""",
+        "doc_fingerprint_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS group_size
+            FROM documents
+            GROUP BY array_to_string(list_sort(list_distinct(
+                string_split(text, ' '))), ' ')""",
+        "doc_token_stats": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct
+            FROM documents""",
+        "doc_quality": """
+            WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                       length(text) - length(replace(text, ' ', '')) AS n_spaces
+                       FROM documents)
+            SELECT doc_id, n_chars, n_spaces + 1 AS n_tokens,
+                   round((n_chars - n_spaces) / (n_spaces + 1.0), 6)
+                       AS mean_token_len,
+                   round(n_spaces / greatest(n_chars, 1)::DOUBLE, 6)
+                       AS space_ratio
+            FROM t""",
+        "doc_lang_id": _langid_sql(),
+        "ann_topk": """
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM embeddings e, embeddings q WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY cosine DESC, e.vec_id) <= 10""",
+        "emb_neardup": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 5 = 0)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6)
+                  >= 0.3""",
+        # delaunay_edges / gabriel_edges / rng_edges / emst_edges /
+        # minhash_clusters / simhash_pairs / ivf_ann_topk: not
+        # SQL-expressible (triangulation / LSH / IVF) → rows-only check;
+        # exactness is covered by the brute-force oracles in tests/.
+    }

@@ -1,0 +1,153 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N,
+   "edge_rows": ..., "edge_rows_per_sec": ...}
+
+--scaling: run the same job in two fresh processes at 8 and 32 CPUs on
+the same input and report both throughputs + scaling efficiency
+(the sandbox substitute for the N vs 4N cluster-size criterion,
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def order_points(sf_dir: str):
+    """150k points at sf0.1 — the big spatial input."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from city2graph_ray.synth import key_to_xy
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        x, y = key_to_xy(k)
+        return pd.DataFrame({"id": k, "x": x, "y": y})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def run_suite(sf_dir: str) -> dict:
+    import ray
+
+    from city2graph_ray.ops.proximity import (contiguity_graph,
+                                              fixed_radius_graph, group_nodes,
+                                              knn_graph)
+    from city2graph_ray.pipelines.tables import (customer_points, documents,
+                                                 embeddings, part_polygons)
+    from city2graph_ray.sources.interleaved import (extract_geometry_spans,
+                                                    synthesize_documents)
+    from city2graph_ray.text.dedup import exact_dedup
+    from city2graph_ray.vector.ann import ann_topk
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        counts[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm the page cache with one untimed read
+    order_points(sf_dir).count()
+
+    pts = order_points(sf_dir).materialize()
+    polys = part_polygons(sf_dir).materialize()
+
+    timed("span_extract",
+          lambda: extract_geometry_spans(synthesize_documents(sf_dir)).count())
+    timed("knn", lambda: knn_graph(pts, 8).count())
+    timed("fixed_radius", lambda: fixed_radius_graph(pts, 5.0, cell_size=25.0).count())
+    timed("contiguity_queen", lambda: contiguity_graph(polys, "queen").count())
+    timed("pip_group_nodes", lambda: group_nodes(polys, pts, cell_size=50.0).count())
+    timed("dedup_exact", lambda: exact_dedup(documents(sf_dir)).count())
+
+    def ann():
+        emb = embeddings(sf_dir)
+        qdf = (emb.filter(expr="vec_id < 32").to_pandas()
+               .rename(columns={"vec_id": "query_id"}))
+        return ann_topk(emb, qdf, k=10).count()
+
+    timed("ann_topk", ann)
+
+    spatial = ["knn", "fixed_radius", "contiguity_queen", "pip_group_nodes"]
+    edge_rows = sum(counts[s] for s in spatial)
+    spatial_sec = sum(timings[s] for s in spatial)
+    return {
+        "metric": "headline suite wall time (span-extract + kNN + fixed-radius "
+                  "+ contiguity + PIP + dedup + ANN) over " + sf_dir,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "counts": counts,
+        "sf": sf_dir,
+        "num_cpus": NUM_CPUS,
+        "edge_rows": int(edge_rows),
+        "edge_rows_per_sec": round(edge_rows / spatial_sec, 1) if spatial_sec else None,
+    }
+
+
+def main():
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    result = run_suite(SF_DIR)
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    thr_lo = r_lo["edge_rows"] / sum(r_lo["queries"][s] for s in
+                                     ["knn", "fixed_radius", "contiguity_queen",
+                                      "pip_group_nodes"])
+    thr_hi = r_hi["edge_rows"] / sum(r_hi["queries"][s] for s in
+                                     ["knn", "fixed_radius", "contiguity_queen",
+                                      "pip_group_nodes"])
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(json.dumps({
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "edge_rows_per_sec_lo": round(thr_lo, 1),
+        "edge_rows_per_sec_hi": round(thr_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,439 @@
+"""Morphological-graph pipeline — the flagship composition.
+
+Reference: /root/reference/city2graph/morphology.py:156-348
+(morphological_graph), tessellation utils/spatial.py:2085-3024,
+reachability field morphology.py:2916-3393, layer builders
+morphology.py:891-1537.
+
+Engine re-expression (SURVEY.md §3.1 "engine shape"):
+
+1. barriers (street segments) → planar **enclosures** by face
+   polygonization — barriers ≪ documents, computed in one task and
+   broadcast (mirrors the reference computing momepy.enclosures once).
+2. buildings bucketed per enclosure → ``groupby(enclosure).map_groups``
+   **zonal tessellation**: the north star's raster↔vector form — each
+   enclosure is rasterized at ``resolution`` and every raster cell is
+   assigned to its nearest building seed (a discrete Voronoi /
+   morphological tessellation); emits TILE ASSIGNMENTS
+   (enclosure, cell, tess_id) + per-cell areas, with the reference's
+   ``tess_id = f"{{enclosure_index}}_{{cell_index}}"`` format
+   (utils/spatial.py:2822-2825).
+3. place↔place edges: tessellation-cell contiguity = adjacent raster
+   cells with different tess_id (same enclosure) — a shifted equi-join,
+   one shuffle (reference place_to_place_graph morphology.py:891-1109).
+4. movement↔movement: dual graph of the segment graph
+   (morphology.py:1427-1537).
+5. place→movement: nearest segment within a distance cap, cell-bucketed
+   point↔segment candidate join + top-1 merge
+   (morphology.py:1117-1419 dwithin + capped nearest fallback).
+6. reachability: Dijkstra cost field from a center over the segment
+   graph (driver task, network ≪ data), broadcast; segments kept when
+   their cheaper endpoint cost ≤ distance (morphology.py:3306-3359).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from city2graph_ray import cells as cellmod
+from city2graph_ray import shuffle
+from city2graph_ray.geom.kernels import points_in_polygon
+
+
+# ------------------------------------------------------------------ enclosures
+
+def polygonize_faces(segments: pd.DataFrame) -> list[np.ndarray]:
+    """Planar faces of a noded segment arrangement (segments intersect
+    only at shared endpoints — true for noded road networks; the
+    reference gets the same guarantee from momepy/shapely polygonize).
+
+    Half-edge walk: at each vertex, order incident edges by angle; the
+    face to the left of each directed edge is traced by repeatedly
+    taking the reverse edge's clockwise-next neighbor.  Returns interior
+    faces (positive signed area) as flat coord rings.
+    """
+    # collect vertices
+    pts: dict[tuple[float, float], int] = {}
+    edges = []
+    for c in segments["coords"]:
+        c = np.asarray(c, np.float64).reshape(-1, 2)
+        for a, b in zip(c[:-1], c[1:]):
+            ka, kb = (a[0], a[1]), (b[0], b[1])
+            if ka == kb:
+                continue
+            for k in (ka, kb):
+                if k not in pts:
+                    pts[k] = len(pts)
+            edges.append((pts[ka], pts[kb]))
+    if not edges:
+        return []
+    coords = np.array(list(pts.keys()))  # dict preserves insertion order = id order
+
+    # adjacency with angular sort
+    nbrs: dict[int, list[int]] = {}
+    eset = set()
+    for a, b in edges:
+        if (a, b) in eset or a == b:
+            continue
+        eset.add((a, b))
+        eset.add((b, a))
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    ang = {}
+    for v, ns in nbrs.items():
+        ns_sorted = sorted(set(ns), key=lambda w: np.arctan2(
+            coords[w][1] - coords[v][1], coords[w][0] - coords[v][0]))
+        nbrs[v] = ns_sorted
+        ang[v] = {w: i for i, w in enumerate(ns_sorted)}
+
+    visited: set[tuple[int, int]] = set()
+    faces = []
+    for a, b in sorted(eset):
+        if (a, b) in visited:
+            continue
+        ring = [a]
+        u, v = a, b
+        while True:
+            visited.add((u, v))
+            ring.append(v)
+            # next half-edge: reverse (v,u), then previous in angular order
+            idx = ang[v][u]
+            w = nbrs[v][(idx - 1) % len(nbrs[v])]
+            u, v = v, w
+            if (u, v) == (a, b):
+                break
+            if len(ring) > 4 * len(eset):
+                ring = None
+                break
+        if ring is None:
+            continue
+        ring = ring[:-1] if ring[0] == ring[-1] else ring
+        rc = coords[ring]
+        x, y = rc[:, 0], rc[:, 1]
+        area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        if area2 > 1e-12:  # interior faces are CCW with this walk
+            faces.append(rc.reshape(-1))
+    return faces
+
+
+def enclosures_from_barriers(barriers: pd.DataFrame) -> pd.DataFrame:
+    """(enclosure_index, coords) for each interior face, indexed in
+    deterministic order (sorted by (minx, miny, area))."""
+    faces = polygonize_faces(barriers)
+    if not faces:
+        return pd.DataFrame({"enclosure_index": pd.Series(dtype=np.int64),
+                             "coords": pd.Series(dtype=object)})
+    keys = []
+    for f in faces:
+        c = f.reshape(-1, 2)
+        keys.append((c[:, 0].min(), c[:, 1].min(), c[:, 0].ptp() * c[:, 1].ptp()))
+    order = sorted(range(len(faces)), key=lambda i: keys[i])
+    return pd.DataFrame({
+        "enclosure_index": np.arange(len(faces), dtype=np.int64),
+        "coords": [faces[i] for i in order]})
+
+
+# ------------------------------------------------------------------ tessellation
+
+def assign_buildings_to_enclosures(buildings: ray.data.Dataset,
+                                   enclosures: pd.DataFrame) -> ray.data.Dataset:
+    """Tag each building (id, x, y centroid) with its enclosure_index
+    (PIP against the broadcast enclosure table; -1 = unenclosed,
+    mirroring momepy's negative indices for out-of-enclosure rows,
+    utils/spatial.py:2908-2911)."""
+    ref = ray.put(enclosures)
+
+    class Assign:
+        def __init__(self):
+            self.enc = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            px = batch["x"].to_numpy()
+            py = batch["y"].to_numpy()
+            idx = np.full(len(batch), -1, dtype=np.int64)
+            for eid, ring in zip(self.enc["enclosure_index"], self.enc["coords"]):
+                todo = idx == -1
+                if not todo.any():
+                    break
+                m = points_in_polygon(px[todo], py[todo], np.asarray(ring))
+                w = np.nonzero(todo)[0][m]
+                idx[w] = eid
+            out = batch.copy()
+            out["enclosure_index"] = idx
+            return out
+
+    return buildings.map_batches(Assign, batch_format="pandas",
+                                 concurrency=(1, 8))
+
+
+def zonal_tessellation(buildings: ray.data.Dataset, enclosures: pd.DataFrame,
+                       resolution: float = 2.0) -> ray.data.Dataset:
+    """Per-enclosure raster↔vector zonal tessellation.
+
+    For each enclosure: rasterize its polygon at ``resolution`` and
+    assign every interior raster cell to the nearest building seed in
+    that enclosure (discrete morphological tessellation).  Enclosures
+    with no buildings emit nothing (the reference drops empty
+    enclosures); single-building enclosures produce one cell covering
+    the enclosure (the recovery path, utils/spatial.py:2829-2919).
+
+    Output tile assignments: (enclosure_index, cell_ix, cell_iy,
+    tess_id, bldg_id, area) — tess_id = "{enclosure}_{rank}" with rank
+    = building order by (x, y) within the enclosure (deterministic).
+
+    Skew note: one Ray group per enclosure; pathologically large
+    enclosures should be pre-split by sub-cell with seam-aware merge
+    (SURVEY.md §4) — resolution bounds per-group work to
+    area/resolution² cells.
+    """
+    tagged = assign_buildings_to_enclosures(buildings, enclosures)
+    ref = ray.put(dict(zip(enclosures["enclosure_index"],
+                           enclosures["coords"])))
+
+    def tess(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "enclosure_index": pd.Series(dtype=np.int64),
+            "cell_ix": pd.Series(dtype=np.int64),
+            "cell_iy": pd.Series(dtype=np.int64),
+            "tess_id": pd.Series(dtype=str),
+            "bldg_id": pd.Series(dtype=np.int64),
+            "area": pd.Series(dtype=np.float64)})
+        eid = int(g["enclosure_index"].iloc[0])
+        if eid < 0:
+            return empty
+        enc_map = ray.get(ref)
+        ring = np.asarray(enc_map[eid], np.float64).reshape(-1, 2)
+        g = g.sort_values(["x", "y"], kind="stable").reset_index(drop=True)
+        bx = g["x"].to_numpy()
+        by = g["y"].to_numpy()
+        bids = g["id"].to_numpy()
+        x0, x1 = ring[:, 0].min(), ring[:, 0].max()
+        y0, y1 = ring[:, 1].min(), ring[:, 1].max()
+        ix = np.arange(np.floor(x0 / resolution), np.ceil(x1 / resolution) + 1)
+        iy = np.arange(np.floor(y0 / resolution), np.ceil(y1 / resolution) + 1)
+        gx, gy = np.meshgrid(ix, iy)
+        cx = (gx.ravel() + 0.5) * resolution
+        cy = (gy.ravel() + 0.5) * resolution
+        inside = points_in_polygon(cx, cy, ring.reshape(-1), boundary=False)
+        cx, cy = cx[inside], cy[inside]
+        gix = gx.ravel()[inside].astype(np.int64)
+        giy = gy.ravel()[inside].astype(np.int64)
+        if len(cx) == 0:
+            return empty
+        d2 = (cx[:, None] - bx[None, :]) ** 2 + (cy[:, None] - by[None, :]) ** 2
+        seed = np.argmin(d2, axis=1)
+        return pd.DataFrame({
+            "enclosure_index": np.full(len(cx), eid, dtype=np.int64),
+            "cell_ix": gix, "cell_iy": giy,
+            "tess_id": [f"{eid}_{s}" for s in seed],
+            "bldg_id": bids[seed],
+            "area": np.full(len(cx), resolution * resolution)})
+
+    return tagged.groupby("enclosure_index").map_groups(tess,
+                                                        batch_format="pandas")
+
+
+def place_to_place_edges(assignments: ray.data.Dataset) -> ray.data.Dataset:
+    """Tessellation-cell contiguity: two places touch when adjacent
+    raster cells (rook) carry different tess_ids in the same enclosure
+    (reference place_to_place_graph morphology.py:891-1109, grouped by
+    enclosure).  One shuffle: shifted self-equi-join on cell keys."""
+
+    def shifted(batch: pd.DataFrame) -> pd.DataFrame:
+        # emit each assignment under its own key and its east/north
+        # neighbor keys; a join collision = adjacency
+        base = pd.DataFrame({
+            "enclosure_index": batch["enclosure_index"],
+            "kx": batch["cell_ix"], "ky": batch["cell_iy"],
+            "tess_id": batch["tess_id"], "bldg_id": batch["bldg_id"],
+            "side": np.int8(0)})
+        east = base.copy()
+        east["kx"] = east["kx"] - 1
+        east["side"] = np.int8(1)
+        north = base.copy()
+        north["ky"] = north["ky"] - 1
+        north["side"] = np.int8(2)
+        return pd.concat([base, east, north])
+
+    keyed = assignments.map_batches(shifted, batch_format="pandas")
+
+    def collide(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["side"] == 0]
+        nb = g[g["side"] != 0]
+        m = own.merge(nb, on=["enclosure_index", "kx", "ky"])
+        m = m[m["tess_id_x"] != m["tess_id_y"]]
+        a = np.minimum(m["tess_id_x"], m["tess_id_y"])
+        b = np.maximum(m["tess_id_x"], m["tess_id_y"])
+        out = pd.DataFrame({"src": a, "dst": b,
+                            "enclosure_index": m["enclosure_index"]})
+        return out.drop_duplicates(["src", "dst"])
+
+    cand = shuffle.grouped_transform(keyed, ["enclosure_index", "kx", "ky"],
+                                     collide)
+    return shuffle.distinct(cand, ["src", "dst"])
+
+
+# ------------------------------------------------------------------ place ↔ movement
+
+def nearest_segments(points: ray.data.Dataset, segments: ray.data.Dataset,
+                     max_distance: float, k: int = 1,
+                     cell_size: float | None = None) -> ray.data.Dataset:
+    """Per point, the k nearest segments within ``max_distance``
+    (point→LineString distance, the reference's capped nearest fallback
+    morphology.py:1336-1419).  Segments replicate to every cell their
+    bbox+max_distance covers; points live in one cell → each (point,
+    segment) candidate is evaluated exactly once; top-k per point."""
+    cs = cell_size or max(max_distance * 2.0, 25.0)
+
+    def seg_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"seg_id": [], "cell": [], "coords": []}
+        for sid, c in zip(batch["seg_id"], batch["coords"]):
+            cc = np.asarray(c, np.float64).reshape(-1, 2)
+            r, cl = cellmod.covering_cells(
+                np.array([cc[:, 0].min() - max_distance]),
+                np.array([cc[:, 1].min() - max_distance]),
+                np.array([cc[:, 0].max() + max_distance]),
+                np.array([cc[:, 1].max() + max_distance]), cs)
+            rows["seg_id"].extend([sid] * len(cl))
+            rows["cell"].extend(cl)
+            rows["coords"].extend([c] * len(cl))
+        return pd.DataFrame(rows)
+
+    def pt_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["id", "x", "y"]].copy()
+        out["cell"] = cellmod.cell_id(batch["x"].to_numpy(),
+                                      batch["y"].to_numpy(), cs)
+        return out
+
+    segs = segments.map_batches(seg_cells, batch_format="pandas")
+    pts = points.map_batches(pt_cells, batch_format="pandas")
+    cols = ["id", "x", "y", "seg_id", "cell", "coords", "is_pt"]
+    s2 = segs.map_batches(lambda b: b.assign(id=np.int64(-1), x=0.0, y=0.0,
+                                             is_pt=False)[cols],
+                          batch_format="pandas")
+    p2 = pts.map_batches(lambda b: b.assign(seg_id=np.int64(-1),
+                                            coords=[np.empty(0)] * len(b),
+                                            is_pt=True)[cols],
+                         batch_format="pandas")
+
+    from city2graph_ray.geom.kernels import point_segment_dist2
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g[g["is_pt"]]
+        ss = g[~g["is_pt"]]
+        if len(ps) == 0 or len(ss) == 0:
+            return pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                                 "seg_id": pd.Series(dtype=np.int64),
+                                 "distance": pd.Series(dtype=np.float64)})
+        px = ps["x"].to_numpy()
+        py = ps["y"].to_numpy()
+        out_rows = []
+        for sid, c in zip(ss["seg_id"], ss["coords"]):
+            cc = np.asarray(c, np.float64).reshape(-1, 2)
+            best = np.full(len(ps), np.inf)
+            for a, b in zip(cc[:-1], cc[1:]):
+                d2 = point_segment_dist2(px, py, a[0], a[1], b[0], b[1])
+                best = np.minimum(best, d2)
+            d = np.sqrt(best)
+            m = d <= max_distance
+            if m.any():
+                out_rows.append(pd.DataFrame({
+                    "id": ps["id"].to_numpy()[m],
+                    "seg_id": np.int64(sid),
+                    "distance": d[m]}))
+        if not out_rows:
+            return pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                                 "seg_id": pd.Series(dtype=np.int64),
+                                 "distance": pd.Series(dtype=np.float64)})
+        return pd.concat(out_rows)
+
+    cand = s2.union(p2).groupby("cell").map_groups(kernel, batch_format="pandas")
+    return shuffle.topk_in_group(cand, ["id"], k,
+                                 ["distance", "seg_id"], [True, True])
+
+
+# ------------------------------------------------------------------ reachability
+
+def reachability_costs(edges: pd.DataFrame, center: tuple[float, float],
+                       nodes: pd.DataFrame) -> dict[int, float]:
+    """Dijkstra cost field from the node nearest to ``center`` over the
+    segment graph (reference morphology.py:2941-2997; network ≪ data →
+    one driver task, result broadcast).  edges: (src, dst, length)."""
+    import networkx as nx
+    g = nx.Graph()
+    for s, d, w in edges[["src", "dst", "length"]].itertuples(index=False):
+        g.add_edge(int(s), int(d), weight=float(w))
+    dx = nodes["x"].to_numpy() - center[0]
+    dy = nodes["y"].to_numpy() - center[1]
+    start = int(nodes["node_id"].to_numpy()[np.argmin(dx * dx + dy * dy)])
+    if start not in g:
+        return {}
+    return {int(k): float(v) for k, v in
+            nx.single_source_dijkstra_path_length(g, start).items()}
+
+
+def filter_segments_by_cost(edges: ray.data.Dataset,
+                            costs: dict[int, float],
+                            distance: float) -> ray.data.Dataset:
+    """Keep segments whose cheaper endpoint cost ≤ distance
+    (reference morphology.py:3306-3359)."""
+    ref = ray.put(costs)
+
+    class Filt:
+        def __init__(self):
+            self.costs = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cs = batch["src"].map(self.costs).to_numpy(dtype=np.float64,
+                                                       na_value=np.inf)
+            cd = batch["dst"].map(self.costs).to_numpy(dtype=np.float64,
+                                                       na_value=np.inf)
+            return batch[np.minimum(cs, cd) <= distance]
+
+    return edges.map_batches(Filt, batch_format="pandas", concurrency=(1, 8))
+
+
+# ------------------------------------------------------------------ composition
+
+def morphological_graph(buildings: ray.data.Dataset,
+                        segments: ray.data.Dataset,
+                        center: tuple[float, float] | None = None,
+                        distance: float | None = None,
+                        resolution: float = 2.0,
+                        pm_max_distance: float = 25.0) -> dict[str, ray.data.Dataset]:
+    """The flagship heterogeneous pipeline (reference morphology.py:156-348).
+
+    buildings: (id, x, y) centroids [+ attrs]; segments: (seg_id, coords).
+    Returns dict with: 'tessellation' (tile assignments),
+    'place_place', 'movement_movement', 'place_movement' edge Datasets,
+    plus 'segment_nodes'/'segment_edges'.
+    """
+    from city2graph_ray.ops.topology import dual_graph, segments_to_graph
+
+    nodes, seg_edges = segments_to_graph(segments)
+    seg_edges = seg_edges.materialize()
+
+    if center is not None and distance is not None:
+        edf = seg_edges.to_pandas()
+        cdf = [np.asarray(c, np.float64) for c in edf["coords"]]
+        from city2graph_ray.geom.kernels import linestring_length
+        edf["length"] = [linestring_length(c) for c in cdf]
+        costs = reachability_costs(edf, center, nodes.to_pandas())
+        seg_edges = filter_segments_by_cost(seg_edges, costs, distance)
+        seg_edges = seg_edges.materialize()
+
+    barriers = seg_edges.to_pandas()[["seg_id", "coords"]]
+    enclosures = enclosures_from_barriers(barriers)
+
+    tess = zonal_tessellation(buildings, enclosures, resolution).materialize()
+    pp = place_to_place_edges(tess)
+    mm = dual_graph(seg_edges.map_batches(
+        lambda b: pd.DataFrame({"edge_id": b["seg_id"], "src": b["src"],
+                                "dst": b["dst"]}), batch_format="pandas"))
+    pm = nearest_segments(buildings, segments, pm_max_distance, k=1)
+    return {"segment_nodes": nodes, "segment_edges": seg_edges,
+            "tessellation": tess, "place_place": pp,
+            "movement_movement": mm, "place_movement": pm}

@@ -27,7 +27,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from city2graph_ray import cells
+from city2graph_ray import cells, shuffle
 from city2graph_ray.geom.delaunay import delaunay_edges
 
 _EDGE_SCHEMA = {"src": np.int64, "dst": np.int64, "distance": np.float64}
@@ -262,13 +262,10 @@ def knn_graph(
         edge_parts.append(resolved)
         if final:
             break
-        unresolved = result.filter(expr="resolved == False")
-        # distinct unresolved queries → next-round query table
-        nxt = unresolved.groupby("src").map_groups(
-            lambda g: pd.DataFrame({"id": g["src"].iloc[:1],
-                                    "x": g["qx"].iloc[:1], "y": g["qy"].iloc[:1]}),
+        unresolved = result.filter(expr="resolved == False").map_batches(
+            lambda b: pd.DataFrame({"id": b["src"], "x": b["qx"], "y": b["qy"]}),
             batch_format="pandas")
-        nxt = nxt.materialize()
+        nxt = shuffle.distinct(unresolved, ["id"]).materialize()
         if nxt.count() == 0:
             break
         queries = nxt
@@ -330,7 +327,13 @@ def delaunay_graph(points: ray.data.Dataset, tiled: bool = False,
 
     from city2graph_ray.geom.delaunay import Delaunator
 
+    n, x0, x1, y0, y1 = _bbox_count(points)
+    extent = max(x1 - x0, y1 - y0, 1e-9)
     cs = cell_size or _auto_cell_size(points, per_cell=4096.0)
+    if cs >= extent:
+        # one tile would cover everything — tiling degenerates to exact
+        df = _gather_points(points)
+        return ray.data.from_pandas(_delaunay_edges_df(df))
     edge_parts: list[ray.data.Dataset] = []
     queries = points  # points still needing their star computed
 
@@ -342,7 +345,9 @@ def delaunay_graph(points: ray.data.Dataset, tiled: bool = False,
         return fn
 
     for rnd in range(max_rounds + 1):
-        final = rnd == max_rounds
+        # once a cell would cover the whole extent, per-tile certification
+        # can't beat the global pass — go straight to it
+        final = rnd == max_rounds or cs >= extent
         if final:
             # global group: emit edges incident to the remaining queries
             qids = set(queries.select_columns(["id"]).to_pandas()["id"])
@@ -437,11 +442,10 @@ def delaunay_graph(points: ray.data.Dataset, tiled: bool = False,
         result = result.materialize()
         edge_parts.append(
             result.filter(expr="resolved == True").drop_columns(["resolved", "qx", "qy"]))
-        unresolved_ds = result.filter(expr="resolved == False")
-        nxt = unresolved_ds.groupby("src").map_groups(
-            lambda g: pd.DataFrame({"id": g["src"].iloc[:1],
-                                    "x": g["qx"].iloc[:1], "y": g["qy"].iloc[:1]}),
-            batch_format="pandas").materialize()
+        unresolved_ds = result.filter(expr="resolved == False").map_batches(
+            lambda b: pd.DataFrame({"id": b["src"], "x": b["qx"], "y": b["qy"]}),
+            batch_format="pandas")
+        nxt = shuffle.distinct(unresolved_ds, ["id"]).materialize()
         if nxt.count() == 0:
             break
         queries = nxt
@@ -452,8 +456,7 @@ def delaunay_graph(points: ray.data.Dataset, tiled: bool = False,
         out = out.union(part)
     # an edge may be emitted by both endpoints' tiles (and by the final
     # global pass) → distinct on the pair
-    return out.groupby(["src", "dst"]).map_groups(lambda g: g.iloc[:1],
-                                                  batch_format="pandas")
+    return shuffle.distinct(out, ["src", "dst"])
 
 
 def gabriel_graph(points: ray.data.Dataset) -> ray.data.Dataset:
@@ -624,8 +627,7 @@ def contiguity_graph(polys: ray.data.Dataset, contiguity: str = "queen",
                              "distance": _dist(cx[ii], cy[ii], cx[jj], cy[jj])})
 
     cand = inc.groupby(["k1", "k2", "k3", "k4"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["src", "dst"]).map_groups(lambda g: g.iloc[:1],
-                                                   batch_format="pandas")
+    return shuffle.distinct(cand, ["src", "dst"])
 
 
 # ------------------------------------------------------------------ group_nodes (PIP)

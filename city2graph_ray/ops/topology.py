@@ -28,6 +28,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from city2graph_ray import shuffle
+
 
 def _coord_bucket(x: np.ndarray, width: float = 64.0) -> np.ndarray:
     return np.floor(np.asarray(x, np.float64) / width).astype(np.int64)
@@ -134,18 +136,12 @@ def segments_to_graph(
     resolved = segments.map_batches(Resolve, batch_format="pandas", concurrency=(1, 8))
 
     if multigraph:
-        def keys(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values("row_seq", kind="stable").reset_index(drop=True)
-            g["edge_key"] = np.arange(len(g), dtype=np.int64)
-            return g
-        edges = resolved.groupby(["src", "dst"]).map_groups(keys, batch_format="pandas")
+        edges = shuffle.rank_in_group(resolved, ["src", "dst"], "row_seq",
+                                      rank_col="edge_key")
     else:
-        def first_only(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values("row_seq", kind="stable").iloc[:1].copy()
-            g["edge_key"] = np.int64(0)
-            return g
-        edges = resolved.groupby(["src", "dst"]).map_groups(first_only,
-                                                            batch_format="pandas")
+        edges = shuffle.first_by(resolved, ["src", "dst"], "row_seq")
+        edges = edges.map_batches(lambda b: b.assign(edge_key=np.int64(0)),
+                                  batch_format="pandas")
     return nodes, edges
 
 
@@ -162,16 +158,14 @@ def dual_graph(edges: ray.data.Dataset) -> ray.data.Dataset:
     inc = edges.map_batches(incidence, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        e = np.unique(g["edge_id"].to_numpy())
-        if len(e) < 2:
-            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
-                                 "dst": pd.Series(dtype=np.int64)})
-        ii, jj = np.triu_indices(len(e), k=1)
-        return pd.DataFrame({"src": e[ii], "dst": e[jj]})
+        # vectorized per bucket: self-join on node, keep ordered pairs
+        m = g.merge(g, on="node")
+        m = m[m["edge_id_x"] < m["edge_id_y"]]
+        return pd.DataFrame({"src": m["edge_id_x"].to_numpy(),
+                             "dst": m["edge_id_y"].to_numpy()}).drop_duplicates()
 
-    cand = inc.groupby("node").map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["src", "dst"]).map_groups(lambda g: g.iloc[:1],
-                                                   batch_format="pandas")
+    cand = shuffle.grouped_transform(inc, ["node"], pairs)
+    return shuffle.distinct(cand, ["src", "dst"])
 
 
 def canonicalize_edges(edges: ray.data.Dataset, policy: str = "first") -> ray.data.Dataset:
@@ -190,21 +184,17 @@ def canonicalize_edges(edges: ray.data.Dataset, policy: str = "first") -> ray.da
     sort_col = "row_seq" if "row_seq" in edges.schema().names else "src"
 
     if policy == "first":
-        return c.groupby(["src", "dst"]).map_groups(
-            lambda g: g.sort_values(sort_col, kind="stable").iloc[:1],
-            batch_format="pandas")
+        return shuffle.first_by(c, ["src", "dst"], sort_col)
     if policy == "key":
-        def keyed(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(sort_col, kind="stable").reset_index(drop=True)
-            g["edge_key"] = np.arange(len(g), dtype=np.int64)
-            return g
-        return c.groupby(["src", "dst"]).map_groups(keyed, batch_format="pandas")
+        return shuffle.rank_in_group(c, ["src", "dst"], sort_col)
     if policy == "error":
         def check(g: pd.DataFrame) -> pd.DataFrame:
-            if len(g) > 1:
-                raise ValueError(f"duplicate undirected edge {g['src'].iloc[0]}-{g['dst'].iloc[0]}")
+            dup = g.duplicated(["src", "dst"])
+            if dup.any():
+                r = g[dup].iloc[0]
+                raise ValueError(f"duplicate undirected edge {r['src']}-{r['dst']}")
             return g
-        return c.groupby(["src", "dst"]).map_groups(check, batch_format="pandas")
+        return shuffle.grouped_transform(c, ["src", "dst"], check)
     raise ValueError(policy)
 
 
@@ -227,24 +217,20 @@ def symmetrize_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     sort_col = "row_seq" if "row_seq" in edges.schema().names else "src"
 
     def complete(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_col, kind="stable")
-        base = g.drop(columns=["u", "v"])
-        if g["u"].iloc[0] == g["v"].iloc[0]:
-            return base.iloc[:1]  # self-loop: never duplicated
-        fwd = base[base["src"] == g["u"].iloc[0]]
-        rev = base[base["src"] == g["v"].iloc[0]]
-        out = [fwd.iloc[:1] if len(fwd) else None, rev.iloc[:1] if len(rev) else None]
-        if len(fwd) and not len(rev):
-            r = fwd.iloc[:1].copy()
-            r["src"], r["dst"] = fwd["dst"].iloc[0], fwd["src"].iloc[0]
-            out[1] = r
-        elif len(rev) and not len(fwd):
-            f = rev.iloc[:1].copy()
-            f["src"], f["dst"] = rev["dst"].iloc[0], rev["src"].iloc[0]
-            out[0] = f
-        return pd.concat([o for o in out if o is not None])
+        # vectorized over many (u,v) pairs per bucket:
+        # keep first row per directed edge, then mirror pairs that have
+        # only one direction; self-loops keep a single row
+        g = (g.sort_values(sort_col, kind="stable")
+             .drop_duplicates(["u", "v", "src"], keep="first"))
+        loops = g[g["u"] == g["v"]].drop_duplicates(["u", "v"])
+        g = g[g["u"] != g["v"]]
+        counts = g.groupby(["u", "v"], sort=False)["src"].transform("size")
+        missing = g[counts == 1].copy()
+        missing["src"], missing["dst"] = missing["dst"].copy(), missing["src"].copy()
+        out = pd.concat([g, missing, loops])
+        return out.drop(columns=["u", "v"])
 
-    return t.groupby(["u", "v"]).map_groups(complete, batch_format="pandas")
+    return shuffle.grouped_transform(t, ["u", "v"], complete)
 
 
 def connected_components(edges: ray.data.Dataset, max_iters: int = 50) -> ray.data.Dataset:
@@ -262,10 +248,8 @@ def connected_components(edges: ray.data.Dataset, max_iters: int = 50) -> ray.da
                              "label": np.concatenate([np.minimum(s, d)] * 2)})
 
     labels = edges.map_batches(seed, batch_format="pandas")
-    labels = labels.groupby("node_id").map_groups(
-        lambda g: pd.DataFrame({"node_id": g["node_id"].iloc[:1],
-                                "label": [g["label"].min()]}),
-        batch_format="pandas").materialize()
+    labels = shuffle.group_agg(labels, ["node_id"],
+                               {"label": ("label", "min")}).materialize()
 
     e_small = edges.select_columns(["src", "dst"]).materialize()
     for _ in range(max_iters):
@@ -285,10 +269,8 @@ def connected_components(edges: ray.data.Dataset, max_iters: int = 50) -> ray.da
                                      "label": np.concatenate([m, m])})
 
         new = e_small.map_batches(Prop, batch_format="pandas", concurrency=(1, 8))
-        new = new.groupby("node_id").map_groups(
-            lambda g: pd.DataFrame({"node_id": g["node_id"].iloc[:1],
-                                    "label": [g["label"].min()]}),
-            batch_format="pandas").materialize()
+        new = shuffle.group_agg(new, ["node_id"],
+                                {"label": ("label", "min")}).materialize()
         ndf = new.to_pandas()
         merged = ndf.merge(ldf, on="node_id", how="outer", suffixes=("", "_old"))
         merged["label"] = merged[["label", "label_old"]].min(axis=1)

@@ -1,0 +1,298 @@
+"""Transportation-graph operators.
+
+Mirrors the reference's GTFS pipeline shapes
+(/root/reference/city2graph/transportation.py): per-trip consecutive-stop
+legs via bounded windows (LEAD over stop_sequence, :798-799,:1066-1080),
+service-weighted aggregation per stop pair (:1109-1117), GTFS time
+parsing (:428-507).  Two layers:
+
+- generic *event-leg* operators over the testdata ``events`` stream
+  table (partition by key, sort by time within group — Ray Data's
+  bounded-window idiom),
+- GTFS-specific ``travel_summary_graph`` over GTFS-shaped tables
+  (stops/trips/stop_times/calendar/calendar_dates/frequencies), with
+  calendar service-day expansion and frequency headway multipliers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from city2graph_ray import shuffle
+
+
+# ------------------------------------------------------------------ generic event legs
+
+def consecutive_legs(events: ray.data.Dataset,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     order_cols: tuple[str, ...] = ("ts", "event_id"),
+                     ) -> ray.data.Dataset:
+    """Per-key consecutive event pairs (the LEAD window):
+    rows ordered by ``order_cols`` within each key; every adjacent pair
+    emits one leg.  Output: (key, from_event_id, to_event_id, from_type,
+    to_type, travel_sec, from_value)."""
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), kind="stable").reset_index(drop=True)
+        if len(g) < 2:
+            return pd.DataFrame({
+                key_col: pd.Series(dtype=g[key_col].dtype),
+                "from_event_id": pd.Series(dtype=np.int64),
+                "to_event_id": pd.Series(dtype=np.int64),
+                "from_type": pd.Series(dtype=str),
+                "to_type": pd.Series(dtype=str),
+                "travel_sec": pd.Series(dtype=np.float64),
+                "from_value": pd.Series(dtype=np.float64)})
+        ts = g[ts_col]
+        dt = (ts.shift(-1) - ts).dt.total_seconds() if hasattr(ts.iloc[0], "to_pydatetime") or str(ts.dtype).startswith("datetime") else (ts.shift(-1) - ts)
+        return pd.DataFrame({
+            key_col: g[key_col].iloc[:-1].to_numpy(),
+            "from_event_id": g["event_id"].iloc[:-1].to_numpy(),
+            "to_event_id": g["event_id"].iloc[1:].to_numpy(),
+            "from_type": g["event_type"].iloc[:-1].to_numpy(),
+            "to_type": g["event_type"].iloc[1:].to_numpy(),
+            "travel_sec": np.asarray(dt.iloc[:-1], np.float64),
+            "from_value": g["value"].iloc[:-1].to_numpy(np.float64)})
+
+    return events.groupby(key_col).map_groups(window, batch_format="pandas")
+
+
+def leg_summary(events: ray.data.Dataset, round_to: int = 4) -> ray.data.Dataset:
+    """GTFS travel-summary shape over event legs: per (from_type,
+    to_type) pair, value-weighted mean travel time + total weight + leg
+    count (reference SQL SUM(tt*sc)/SUM(sc), SUM(sc),
+    transportation.py:1109-1117).  Partial aggregation inside
+    map_batches before the pair groupby keeps the shuffle tiny."""
+    legs = consecutive_legs(events)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(wt=batch["travel_sec"] * batch["from_value"])
+        return (batch.groupby(["from_type", "to_type"], sort=False)
+                .agg(sum_wt=("wt", "sum"), sum_w=("from_value", "sum"),
+                     n_legs=("travel_sec", "size")).reset_index())
+
+    partials = legs.map_batches(partial, batch_format="pandas")
+    summed = shuffle.group_agg(partials, ["from_type", "to_type"],
+                               {"sum_wt": ("sum_wt", "sum"),
+                                "sum_w": ("sum_w", "sum"),
+                                "n_legs": ("n_legs", "sum")}, partial=False)
+
+    def post(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "from_type": batch["from_type"], "to_type": batch["to_type"],
+            "wmean_travel_sec": np.round(batch["sum_wt"].to_numpy()
+                                         / batch["sum_w"].to_numpy(), round_to),
+            "total_weight": np.round(batch["sum_w"].to_numpy(), round_to),
+            "n_legs": batch["n_legs"].astype(np.int64)})
+
+    return summed.map_batches(post, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ GTFS proper
+
+def time_to_seconds(t: str | None) -> float:
+    """GTFS HH:MM:SS (possibly > 24h) → seconds
+    (reference transportation.py:428-471); blank/invalid → NaN."""
+    if t is None:
+        return np.nan
+    t = str(t).strip()
+    if not t or t.lower() == "nan":
+        return np.nan
+    parts = t.split(":")
+    if len(parts) != 3:
+        return np.nan
+    try:
+        h, m, s = int(parts[0]), int(parts[1]), int(parts[2])
+    except ValueError:
+        return np.nan
+    return float(h * 3600 + m * 60 + s)
+
+
+def expand_service_days(calendar: pd.DataFrame,
+                        calendar_dates: pd.DataFrame | None,
+                        start: str | None = None,
+                        end: str | None = None) -> pd.DataFrame:
+    """service_id → active dates (YYYYMMDD strings): weekday-flag
+    expansion over [start_date, end_date] plus calendar_dates add(1)/
+    remove(2) exceptions (reference transportation.py:35-77,130-189).
+    Small driver-side table (dates × services), broadcast downstream."""
+    rows = []
+    wd_cols = ["monday", "tuesday", "wednesday", "thursday", "friday",
+               "saturday", "sunday"]
+    for _, r in calendar.iterrows():
+        d0 = pd.Timestamp(str(r["start_date"]))
+        d1 = pd.Timestamp(str(r["end_date"]))
+        if start:
+            d0 = max(d0, pd.Timestamp(start))
+        if end:
+            d1 = min(d1, pd.Timestamp(end))
+        for d in pd.date_range(d0, d1, freq="D"):
+            if int(r[wd_cols[d.dayofweek]]) == 1:
+                rows.append((r["service_id"], d.strftime("%Y%m%d")))
+    active = pd.DataFrame(rows, columns=["service_id", "date"])
+    if calendar_dates is not None and len(calendar_dates):
+        cd = calendar_dates.astype({"exception_type": int})
+        adds = cd[cd["exception_type"] == 1][["service_id", "date"]].astype(str)
+        removes = cd[cd["exception_type"] == 2][["service_id", "date"]].astype(str)
+        active = pd.concat([active, adds], ignore_index=True)
+        active = active.drop_duplicates()
+        if len(removes):
+            key = active["service_id"].astype(str) + "|" + active["date"]
+            rkey = set(removes["service_id"] + "|" + removes["date"])
+            active = active[~key.isin(rkey)]
+    return active.reset_index(drop=True)
+
+
+def frequency_multipliers(frequencies: pd.DataFrame | None) -> pd.DataFrame:
+    """trip_id → SUM(GREATEST(1, floor((end-start)/headway))) from
+    frequencies.txt (reference transportation.py:687-714); headway<=0
+    rows dropped."""
+    if frequencies is None or not len(frequencies):
+        return pd.DataFrame({"trip_id": pd.Series(dtype=str),
+                             "multiplier": pd.Series(dtype=np.int64)})
+    f = frequencies.copy()
+    f["start_s"] = f["start_time"].map(time_to_seconds)
+    f["end_s"] = f["end_time"].map(time_to_seconds)
+    f["headway"] = pd.to_numeric(f["headway_secs"], errors="coerce")
+    f = f[(f["headway"] > 0) & f["start_s"].notna() & f["end_s"].notna()]
+    f["m"] = np.maximum(1, np.floor((f["end_s"] - f["start_s"]) / f["headway"])
+                        ).astype(np.int64)
+    out = f.groupby("trip_id", sort=False)["m"].sum().reset_index()
+    return out.rename(columns={"m": "multiplier"})
+
+
+def travel_summary_graph(
+    stop_times: ray.data.Dataset,
+    trips: pd.DataFrame,
+    calendar: pd.DataFrame,
+    calendar_dates: pd.DataFrame | None = None,
+    frequencies: pd.DataFrame | None = None,
+    start_time: str | None = None,
+    end_time: str | None = None,
+    directed: bool = True,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """GTFS → stop-pair travel summary (reference
+    transportation.py:1197-1296 semantics):
+
+    consecutive legs per trip (sorted by numeric stop_sequence;
+    non-numeric dropped :1082, null-time legs dropped :1060-1076,
+    optional [start_time, end_time) filter on departure),
+    service_count = COUNT(DISTINCT active date) per service ×
+    frequency multiplier, then per (from_stop, to_stop):
+    weighted mean travel time SUM(tt*sc)/SUM(sc) and frequency SUM(sc).
+    Undirected mode canonicalizes the pair before the final groupby
+    (pandas re-merge :1144-1156).
+
+    stop_times is the big table and streams; trips/calendar/frequencies
+    are dimension tables broadcast via closure capture."""
+    active = expand_service_days(calendar, calendar_dates)
+    svc_counts = active.groupby("service_id").size().rename("service_days")
+    trips2 = trips.copy()
+    trips2["service_days"] = trips2["service_id"].map(svc_counts).fillna(0).astype(int)
+    mult = frequency_multipliers(frequencies).set_index("trip_id")["multiplier"]
+    trips2["multiplier"] = trips2["trip_id"].map(mult).fillna(1).astype(int)
+    trips2["service_count"] = trips2["service_days"] * trips2["multiplier"]
+    sc_map = dict(zip(trips2["trip_id"], trips2["service_count"]))
+    t0 = time_to_seconds(start_time) if start_time else None
+    t1 = time_to_seconds(end_time) if end_time else None
+
+    def legs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["seq"] = pd.to_numeric(g["stop_sequence"], errors="coerce")
+        g = g[g["seq"].notna()].sort_values("seq", kind="stable")
+        arr = g["arrival_time"].map(time_to_seconds).to_numpy()
+        dep = g["departure_time"].map(time_to_seconds).to_numpy()
+        stops = g["stop_id"].to_numpy()
+        trip = g["trip_id"].iloc[0] if len(g) else None
+        sc = sc_map.get(trip, 0)
+        rows = []
+        for i in range(len(g) - 1):
+            tt = arr[i + 1] - dep[i]
+            if np.isnan(tt):
+                continue
+            if t0 is not None and dep[i] < t0:
+                continue
+            if t1 is not None and dep[i] >= t1:
+                continue
+            rows.append((stops[i], stops[i + 1], tt, sc))
+        return pd.DataFrame(rows, columns=["from_stop_id", "to_stop_id",
+                                           "travel_time", "service_count"]) \
+            if rows else pd.DataFrame({"from_stop_id": pd.Series(dtype=str),
+                                       "to_stop_id": pd.Series(dtype=str),
+                                       "travel_time": pd.Series(dtype=np.float64),
+                                       "service_count": pd.Series(dtype=np.int64)})
+
+    leg_ds = stop_times.groupby("trip_id").map_groups(legs, batch_format="pandas")
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        if directed:
+            return batch
+        a = batch["from_stop_id"].to_numpy()
+        b = batch["to_stop_id"].to_numpy()
+        swap = a > b
+        out = batch.copy()
+        out["from_stop_id"] = np.where(swap, b, a)
+        out["to_stop_id"] = np.where(swap, a, b)
+        return out
+
+    leg_ds = leg_ds.map_batches(canon, batch_format="pandas")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["service_count"] > 0].copy()
+        batch["wtt"] = batch["travel_time"] * batch["service_count"]
+        return (batch.groupby(["from_stop_id", "to_stop_id"], sort=False)
+                .agg(sum_wtt=("wtt", "sum"), sum_sc=("service_count", "sum"))
+                .reset_index())
+
+    partials = leg_ds.map_batches(partial, batch_format="pandas")
+    summed = shuffle.group_agg(partials, ["from_stop_id", "to_stop_id"],
+                               {"sum_wtt": ("sum_wtt", "sum"),
+                                "sum_sc": ("sum_sc", "sum")}, partial=False)
+
+    def post(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "from_stop_id": batch["from_stop_id"],
+            "to_stop_id": batch["to_stop_id"],
+            "mean_travel_time": np.round(batch["sum_wtt"].to_numpy()
+                                         / batch["sum_sc"].to_numpy(), round_to),
+            "frequency": batch["sum_sc"].astype(np.int64)})
+
+    return summed.map_batches(post, batch_format="pandas")
+
+
+def get_od_pairs(stop_times: ray.data.Dataset, trips: pd.DataFrame,
+                 calendar: pd.DataFrame,
+                 calendar_dates: pd.DataFrame | None = None,
+                 ) -> ray.data.Dataset:
+    """Per-trip consecutive stop pairs × active service dates
+    (reference transportation.py:717-875): output (trip_id, date,
+    from_stop_id, to_stop_id, travel_time_sec)."""
+    active = expand_service_days(calendar, calendar_dates)
+    svc_dates = active.groupby("service_id")["date"].apply(list).to_dict()
+    trip_svc = dict(zip(trips["trip_id"], trips["service_id"]))
+
+    def legs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["seq"] = pd.to_numeric(g["stop_sequence"], errors="coerce")
+        g = g[g["seq"].notna()].sort_values("seq", kind="stable")
+        arr = g["arrival_time"].map(time_to_seconds).to_numpy()
+        dep = g["departure_time"].map(time_to_seconds).to_numpy()
+        stops = g["stop_id"].to_numpy()
+        trip = g["trip_id"].iloc[0] if len(g) else None
+        dates = svc_dates.get(trip_svc.get(trip), [])
+        rows = []
+        for i in range(len(g) - 1):
+            tt = arr[i + 1] - dep[i]
+            if np.isnan(tt):
+                continue
+            for d in dates:
+                rows.append((trip, d, stops[i], stops[i + 1], tt))
+        cols = ["trip_id", "date", "from_stop_id", "to_stop_id", "travel_time_sec"]
+        return (pd.DataFrame(rows, columns=cols) if rows
+                else pd.DataFrame({c: pd.Series(dtype=(np.float64 if c == "travel_time_sec" else str))
+                                   for c in cols}))
+
+    return stop_times.groupby("trip_id").map_groups(legs, batch_format="pandas")

@@ -1,0 +1,149 @@
+"""Bucketed shuffle primitives.
+
+``ds.groupby(high_cardinality_key).map_groups(fn)`` pays a Python-level
+cost per DISTINCT KEY (pandas slice + fn call); with millions of keys
+(edge pairs, node ids) that dominates wall time.  These helpers shuffle
+on ``hash(key) % num_buckets`` instead — one Ray group per bucket —
+and run a VECTORIZED pandas kernel per bucket (drop_duplicates,
+groupby().agg, cumcount), so the per-key cost is C, not Python.
+
+Every distributed dedup / first-wins / rank / aggregate in the engine
+routes through here.  ``num_buckets`` defaults to a modest constant;
+callers at larger scale raise it (buckets ≈ cluster cores × 2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+DEFAULT_BUCKETS = 64
+
+
+def _bucket_col(df: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> np.ndarray:
+    h = np.zeros(len(df), dtype=np.uint64)
+    for k in keys:
+        col = df[k]
+        if col.dtype.kind in "iu":
+            v = col.to_numpy().astype(np.uint64, copy=False)
+            v = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        else:
+            v = pd.util.hash_array(col.to_numpy(), categorize=False).astype(np.uint64)
+        h = h * np.uint64(1099511628211) ^ v
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _bucketize(ds: ray.data.Dataset, keys: Sequence[str],
+               num_buckets: int) -> ray.data.Dataset:
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket_col(df, keys, num_buckets)
+        return df
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _debucket(fn: Callable[[pd.DataFrame], pd.DataFrame]):
+    def wrapped(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+    return wrapped
+
+
+def distinct(ds: ray.data.Dataset, keys: Sequence[str],
+             num_buckets: int = DEFAULT_BUCKETS) -> ray.data.Dataset:
+    """Distinct rows by key columns (arbitrary winner among duplicates —
+    use first_by for a deterministic one). One shuffle."""
+    keys = list(keys)
+    return _bucketize(ds, keys, num_buckets).groupby("__bucket").map_groups(
+        _debucket(lambda g: g.drop_duplicates(keys)), batch_format="pandas")
+
+
+def first_by(ds: ray.data.Dataset, keys: Sequence[str], order_col: str,
+             num_buckets: int = DEFAULT_BUCKETS) -> ray.data.Dataset:
+    """Per key, the row with the smallest ``order_col`` (deterministic
+    first-wins — the reference's keep='first' in stable input order,
+    with order_col playing the explicit row_seq role)."""
+    keys = list(keys)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(order_col, kind="stable")
+                .drop_duplicates(keys, keep="first"))
+
+    return _bucketize(ds, keys, num_buckets).groupby("__bucket").map_groups(
+        _debucket(kernel), batch_format="pandas")
+
+
+def rank_in_group(ds: ray.data.Dataset, keys: Sequence[str], order_col: str,
+                  rank_col: str = "edge_key",
+                  num_buckets: int = DEFAULT_BUCKETS) -> ray.data.Dataset:
+    """Per key, dense 0..n-1 rank by ``order_col`` (the reference's
+    groupby().cumcount() multigraph keys, morphology.py:1810)."""
+    keys = list(keys)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable")
+        g[rank_col] = g.groupby(keys, sort=False).cumcount().astype(np.int64)
+        return g
+
+    return _bucketize(ds, keys, num_buckets).groupby("__bucket").map_groups(
+        _debucket(kernel), batch_format="pandas")
+
+
+def group_agg(ds: ray.data.Dataset, keys: Sequence[str],
+              aggs: dict[str, tuple[str, str]],
+              num_buckets: int = DEFAULT_BUCKETS,
+              partial: bool = True) -> ray.data.Dataset:
+    """Distributed named aggregation: ``aggs`` maps output column →
+    (input column, 'sum'|'min'|'max'|'size').  With ``partial`` (the
+    default) each input batch pre-aggregates before the shuffle, so
+    bytes moved scale with distinct keys per batch, not rows."""
+    keys = list(keys)
+
+    mergeable = {"sum": "sum", "min": "min", "max": "max", "size": "sum"}
+    for _, (_, how) in aggs.items():
+        if how not in mergeable:
+            raise ValueError(f"non-mergeable agg {how}; use a custom kernel")
+
+    def partial_fn(df: pd.DataFrame) -> pd.DataFrame:
+        named = {out: (col, how) for out, (col, how) in aggs.items()}
+        return df.groupby(keys, sort=False).agg(**named).reset_index()
+
+    src = ds.map_batches(partial_fn, batch_format="pandas") if partial else ds
+
+    def final_fn(g: pd.DataFrame) -> pd.DataFrame:
+        named = {out: (out if partial else aggs[out][0], mergeable[aggs[out][1]])
+                 for out in aggs}
+        return g.groupby(keys, sort=False).agg(**named).reset_index()
+
+    return _bucketize(src, keys, num_buckets).groupby("__bucket").map_groups(
+        _debucket(final_fn), batch_format="pandas")
+
+
+def grouped_transform(ds: ray.data.Dataset, keys: Sequence[str],
+                      kernel: Callable[[pd.DataFrame], pd.DataFrame],
+                      num_buckets: int = DEFAULT_BUCKETS) -> ray.data.Dataset:
+    """General per-bucket kernel: ``kernel`` receives ALL rows of a
+    bucket (many keys) and must handle the within-bucket grouping itself
+    with vectorized pandas.  The escape hatch when distinct/first/rank/
+    agg don't fit (e.g. symmetrize's per-pair completion)."""
+    keys = list(keys)
+    return _bucketize(ds, keys, num_buckets).groupby("__bucket").map_groups(
+        _debucket(kernel), batch_format="pandas")
+
+
+def topk_in_group(ds: ray.data.Dataset, keys: Sequence[str], k: int,
+                  order_cols: Sequence[str], ascending: Sequence[bool],
+                  num_buckets: int = DEFAULT_BUCKETS) -> ray.data.Dataset:
+    """Per key, the k smallest rows by ``order_cols`` — the distributed
+    top-k-per-key merge (kNN candidate merge, ANN partial merge)."""
+    keys = list(keys)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), ascending=list(ascending),
+                          kind="stable")
+        return g.groupby(keys, sort=False).head(k)
+
+    return _bucketize(ds, keys, num_buckets).groupby("__bucket").map_groups(
+        _debucket(kernel), batch_format="pandas")

@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``ann_topk``: brute-force cosine top-k — the exact baseline: per-batch
+  numpy matmul against a *broadcast* normalized query matrix
+  (``ray.put`` once, read per actor), per-batch partial top-k, then a
+  tiny ``groupby(query_id)`` merge.  The corpus streams; nothing
+  materializes.
+- ``ivf_topk``: the scale path — IVF-style bucketing by nearest coarse
+  centroid (deterministic centroids from seeded corpus rows), probing
+  ``nprobe`` buckets; recall < 1 by design, measured in tests.
+- ``embedding_neardup``: cosine near-duplicate pairs via the same
+  bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray([np.asarray(v, np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    return m / np.where(n > 0, n, 1.0)
+
+
+def ann_topk(corpus: ray.data.Dataset, queries: pd.DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             round_to: int | None = 6) -> ray.data.Dataset:
+    """Exact cosine top-k of every query over the corpus.
+
+    ``queries``: DataFrame with (query_id, embedding).  Output rows
+    (query_id, vec_id, cosine) — top-k per query, ties broken by
+    (cosine desc, vec_id asc).  ``round_to`` rounds cosine before
+    ranking so results are reproducible against SQL oracles."""
+    qm = _normalize(_to_matrix(queries[vec_col]))
+    qids = queries["query_id"].to_numpy()
+    ref = ray.put((qids, qm))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qm = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cm = _normalize(_to_matrix(batch[vec_col]))
+            sims = cm @ self.qm.T  # (n_corpus, n_queries)
+            if round_to is not None:
+                sims = np.round(sims, round_to)
+            ids = batch[id_col].to_numpy()
+            kk = min(k, len(ids))
+            # per-query partial top-k within this batch
+            order = np.lexsort((ids[:, None].repeat(sims.shape[1], 1), -sims),
+                               axis=0)[:kk]
+            rows = order.ravel(order="F")
+            qcol = np.repeat(self.qids, kk)
+            return pd.DataFrame({"query_id": qcol, id_col: ids[rows],
+                                 "cosine": sims[rows, np.repeat(
+                                     np.arange(sims.shape[1]), kk)]})
+
+    partials = corpus.map_batches(Score, batch_format="pandas",
+                                  concurrency=(1, 8))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True],
+                          kind="stable").head(k)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def _centroids(corpus: ray.data.Dataset, n_centroids: int,
+               vec_col: str, id_col: str) -> np.ndarray:
+    """Deterministic coarse centroids: the corpus rows whose id ≡ 0
+    (mod ceil(n/n_centroids)), normalized — a seeded stand-in for
+    k-means (no iterative training in round 1)."""
+    n = corpus.count()
+    step = max(n // n_centroids, 1)
+    sample = corpus.filter(lambda r: r[id_col] % step == 0).limit(n_centroids)
+    m = _to_matrix(sample.to_pandas()[vec_col])
+    return _normalize(m)
+
+
+def ivf_topk(corpus: ray.data.Dataset, queries: pd.DataFrame, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             ) -> ray.data.Dataset:
+    """IVF-bucketed approximate top-k: corpus rows shuffle once to their
+    nearest-centroid bucket; each query probes its ``nprobe`` nearest
+    buckets.  Same output schema as ann_topk; recall measured in tests."""
+    cents = _centroids(corpus, n_centroids, vec_col, id_col)
+    qm = _normalize(_to_matrix(queries[vec_col]))
+    qids = queries["query_id"].to_numpy()
+    q_buckets = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    ref = ray.put((cents, qids, qm, q_buckets))
+
+    class Assign:
+        def __init__(self):
+            self.cents, *_ = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cm = _normalize(_to_matrix(batch[vec_col]))
+            b = np.argmax(cm @ self.cents.T, axis=1)
+            out = batch[[id_col, vec_col]].copy()
+            out["bucket"] = b.astype(np.int64)
+            return out
+
+    bucketed = corpus.map_batches(Assign, batch_format="pandas",
+                                  concurrency=(1, 8))
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        _, qids_, qm_, q_buckets_ = ray.get(ref)  # zero-copy object-store read
+        b = int(g["bucket"].iloc[0])
+        probe_q = np.nonzero((q_buckets_ == b).any(axis=1))[0]
+        if len(probe_q) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                                 id_col: pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        cm = _normalize(_to_matrix(g[vec_col]))
+        sims = np.round(cm @ qm_[probe_q].T, 6)
+        ids = g[id_col].to_numpy()
+        kk = min(k, len(ids))
+        order = np.lexsort((ids[:, None].repeat(sims.shape[1], 1), -sims),
+                           axis=0)[:kk]
+        rows = order.ravel(order="F")
+        return pd.DataFrame({
+            "query_id": np.repeat(qids_[probe_q], kk),
+            id_col: ids[rows],
+            "cosine": sims[rows, np.repeat(np.arange(sims.shape[1]), kk)]})
+
+    partials = bucketed.groupby("bucket").map_groups(probe, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", id_col], ascending=[False, True],
+                             kind="stable").head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def embedding_neardup(corpus: ray.data.Dataset, threshold: float = 0.95,
+                      n_centroids: int = 16, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> ray.data.Dataset:
+    """Cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    Scale path: bucket by nearest centroid and compare within buckets
+    (documented recall < 1 across bucket boundaries; high-threshold
+    near-dups almost always share the nearest centroid).  For the
+    exact small-scale oracle set n_centroids=1."""
+    cents = _centroids(corpus, n_centroids, vec_col, id_col)
+    ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cm = _normalize(_to_matrix(batch[vec_col]))
+            out = batch[[id_col, vec_col]].copy()
+            out["bucket"] = (np.argmax(cm @ self.cents.T, axis=1).astype(np.int64)
+                             if len(self.cents) > 1 else np.int64(0))
+            return out
+
+    bucketed = corpus.map_batches(Assign, batch_format="pandas",
+                                  concurrency=(1, 8))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        o = np.argsort(ids)
+        ids = ids[o]
+        cm = _normalize(_to_matrix(g[vec_col]))[o]
+        sims = np.round(cm @ cm.T, 6)
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj],
+                             "cosine": sims[ii, jj]})
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")

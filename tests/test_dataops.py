@@ -1,0 +1,187 @@
+"""Training-data ops: dedup family, ANN, text analysis, mobility,
+metapaths, media stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups() -> pd.DataFrame:
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the party tonight",
+        "how vexingly quick daft zebras jump over fences in the garden",
+        "completely different content about the distributed data processing",
+    ]
+    rows = []
+    i = 0
+    for t in base:
+        rows.append((i, t)); i += 1
+        rows.append((i, t)); i += 1                       # exact dup
+        rows.append((i, t.replace("the", "a")), ); i += 1  # near dup
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_exact_dedup(docs_with_dups):
+    from city2graph_ray.text.dedup import exact_dedup
+    out = exact_dedup(rd.from_pandas(docs_with_dups)).to_pandas()
+    assert len(out) == 8  # 4 texts ×2 variants; exact pairs collapse
+    assert out["group_size"].sum() == len(docs_with_dups)
+    assert (out[out["group_size"] == 2]["doc_id"] % 3 == 0).all()  # min id wins
+
+
+def test_minhash_dedup(docs_with_dups):
+    from city2graph_ray.text.dedup import minhash_dedup
+    out = minhash_dedup(rd.from_pandas(docs_with_dups),
+                        threshold=0.4).to_pandas()
+    cmap = dict(zip(out["doc_id"], out["cluster_id"]))
+    # exact + near dup of the same base text cluster together
+    for base in range(4):
+        a, b, c = base * 3, base * 3 + 1, base * 3 + 2
+        assert cmap[a] == cmap[b] == cmap[c] == a
+    # different base texts stay apart
+    assert len(set(cmap.values())) == 4
+
+
+def test_simhash_pairs(docs_with_dups):
+    from city2graph_ray.text.dedup import simhash_pairs
+    out = simhash_pairs(rd.from_pandas(docs_with_dups),
+                        max_hamming=10).to_pandas()
+    got = set(map(tuple, out[["a", "b"]].to_numpy()))
+    for base in range(4):  # exact dups are hamming 0 → always found
+        assert (base * 3, base * 3 + 1) in got
+
+
+def test_jaccard_and_fingerprint():
+    from city2graph_ray.text.dedup import char_shingles, jaccard
+    a = char_shingles("abcdefgh", 3)
+    assert jaccard(a, a) == 1.0
+    assert jaccard(a, char_shingles("zzzzzzzz", 3)) == 0.0
+
+
+def test_langid_markers():
+    from city2graph_ray.text.analysis import lang_id
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "text": ["the cat and the dog of it",
+                                "le chat et la maison",
+                                "der hund und die katze",
+                                "xyz qrs tuv"]})
+    out = lang_id(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "fr"
+    assert out.loc[2, "lang_pred"] == "de"
+    assert out.loc[3, "lang_pred"] == "und"
+
+
+def test_rolling_fingerprint_shift_invariance():
+    from city2graph_ray.text.analysis import rolling_fingerprints
+    t = "shared long content body that stays identical across documents"
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [t, "PREFIX " + t]})
+    out = rolling_fingerprints(rd.from_pandas(df)).to_pandas()
+    # min-window hash is content-defined: surviving window usually shared
+    assert len(out) == 2 and out["fp"].nunique() <= 2
+
+
+def test_ann_exact_and_ivf_recall():
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.ann import ann_topk, ivf_topk
+    emb = embeddings(SF_DIR)
+    qdf = (emb.filter(lambda r: r["vec_id"] < 5).to_pandas()
+           .rename(columns={"vec_id": "query_id"}))
+    exact = ann_topk(emb, qdf, k=10).to_pandas()
+    assert len(exact) == 50
+    # self-match ranks first with cosine 1.0
+    for q in range(5):
+        top = exact[exact["query_id"] == q].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]).iloc[0]
+        assert top["vec_id"] == q and top["cosine"] == 1.0
+    approx = ivf_topk(emb, qdf, k=10, n_centroids=8, nprobe=3).to_pandas()
+    # recall@10 of the bucketed variant vs exact
+    rec = []
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.5
+
+
+def test_embedding_neardup_exact():
+    from city2graph_ray.vector.ann import embedding_neardup
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 16))
+    vecs = np.vstack([base, base[:3] + rng.normal(scale=1e-3, size=(3, 16))])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs), dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+    out = embedding_neardup(rd.from_pandas(df), threshold=0.99,
+                            n_centroids=1).to_pandas()
+    got = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert {(0, 20), (1, 21), (2, 22)} <= got
+
+
+def test_od_graph_semantics():
+    from city2graph_ray.ops.mobility import od_graph
+    flows = pd.DataFrame({
+        "source": [1, 2, 1, 3, 3, 9, 4],
+        "target": [2, 1, 2, 3, 4, 1, 3],
+        "weight": [5.0, 3.0, 2.0, 9.0, 1.0, 7.0, 2.0]})
+    out = od_graph(rd.from_pandas(flows), zone_ids={1, 2, 3, 4},
+                   threshold=3.0, undirected=True).to_pandas()
+    got = {(r.source, r.target): r.weight for r in out.itertuples()}
+    # 9→1 dropped (unknown zone), 3→3 self-loop dropped,
+    # 1↔2 sums 5+3+2=10; 3↔4 sums 1+2=3 (>= threshold AFTER sum)
+    assert got == {(1, 2): 10.0, (3, 4): 3.0}
+
+
+def test_metapath_2hop():
+    from city2graph_ray.ops.metapath import add_metapaths
+    h1 = pd.DataFrame({"src": [1, 1, 2], "dst": [10, 11, 10],
+                       "w1": [1.0, 2.0, 4.0]})
+    h2 = pd.DataFrame({"src": [10, 10, 11], "dst": [100, 200, 100],
+                       "w2": [10.0, 20.0, 40.0]})
+    out = add_metapaths([rd.from_pandas(h1), rd.from_pandas(h2)],
+                        attr_cols=("w1", "w2")).to_pandas()
+    got = {(r.src, r.dst): (r.weight, r.w1_sum, r.w2_sum)
+           for r in out.itertuples()}
+    # paths 1→10→100, 1→10→200, 1→11→100, 2→10→100, 2→10→200
+    assert got[(1, 100)] == (2, 3.0, 50.0)   # via 10 and via 11
+    assert got[(1, 200)] == (1, 1.0, 20.0)
+    assert got[(2, 100)] == (1, 4.0, 10.0)
+    assert got[(2, 200)] == (1, 4.0, 20.0)
+
+
+def test_metapath_by_weight():
+    from city2graph_ray.ops.metapath import add_metapaths_by_weight
+    edges = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4],
+                          "weight": [1.0, 1.0, 1.0]})
+    nodes = pd.DataFrame({"id": [1, 2, 3, 4]})
+    out = add_metapaths_by_weight(rd.from_pandas(nodes), edges,
+                                  min_cost=2.0, max_cost=2.5).to_pandas()
+    got = set(map(tuple, out[["src", "dst"]].to_numpy()))
+    assert got == {(1, 3), (3, 1), (2, 4), (4, 2)}
+
+
+def test_media_stages():
+    from city2graph_ray.media.stages import (FrameSampler, ImageFeatures,
+                                             media_features)
+    media = pd.DataFrame({"media_id": [1, 2],
+                          "payload": [b"\x01" * 100, b"\x02" * 64]})
+    feats = media_features(rd.from_pandas(media)).to_pandas()
+    assert len(feats) == 2
+    assert all(len(f) == 16 for f in feats["feature"])
+    # deterministic: same payload → same features
+    again = media_features(rd.from_pandas(media)).to_pandas()
+    assert feats.sort_values("media_id")["feature"].tolist() == \
+        again.sort_values("media_id")["feature"].tolist()
+    with pytest.raises(NotImplementedError):
+        ImageFeatures(use_stub=False)
+    frames = rd.from_pandas(media).map_batches(
+        FrameSampler(every_k=2, frame_bytes=16), batch_format="pandas",
+        batch_size=1).to_pandas()
+    assert (frames[frames["media_id"] == 1]["frame_idx"].tolist()
+            == [0, 2, 4])  # 100//16 = 6 frames, every 2nd

@@ -1,0 +1,118 @@
+"""GTFS semantics: time parsing, calendar expansion, frequency
+multipliers, travel summary (mirrors the reference's synthetic-zip
+fixtures, tests/conftest.py:136-257 in /root/reference)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from city2graph_ray.ops.transport import (
+    expand_service_days,
+    frequency_multipliers,
+    get_od_pairs,
+    time_to_seconds,
+    travel_summary_graph,
+)
+
+
+def test_time_to_seconds():
+    assert time_to_seconds("08:30:15") == 8 * 3600 + 30 * 60 + 15
+    assert time_to_seconds("25:10:00") == 25 * 3600 + 600  # >24h extended
+    assert np.isnan(time_to_seconds(""))
+    assert np.isnan(time_to_seconds("nan"))
+    assert np.isnan(time_to_seconds("8:30"))
+    assert np.isnan(time_to_seconds(None))
+
+
+@pytest.fixture(scope="module")
+def gtfs():
+    calendar = pd.DataFrame({
+        "service_id": ["WD", "WE"],
+        "monday": ["1", "0"], "tuesday": ["1", "0"], "wednesday": ["1", "0"],
+        "thursday": ["1", "0"], "friday": ["1", "0"],
+        "saturday": ["0", "1"], "sunday": ["0", "1"],
+        "start_date": ["20240101", "20240101"],
+        "end_date": ["20240114", "20240114"]})
+    calendar_dates = pd.DataFrame({
+        "service_id": ["WD", "WE"],
+        "date": ["20240115", "20240106"],
+        "exception_type": ["1", "2"]})  # add one WD day, remove one WE day
+    trips = pd.DataFrame({
+        "trip_id": ["t1", "t2", "t3"],
+        "route_id": ["r1", "r1", "r2"],
+        "service_id": ["WD", "WD", "WE"]})
+    stop_times = pd.DataFrame({
+        "trip_id": ["t1"] * 3 + ["t2"] * 3 + ["t3"] * 2,
+        "stop_id": ["A", "B", "C", "A", "B", "C", "B", "C"],
+        "stop_sequence": ["1", "2", "3", "1", "2", "x", "1", "2"],
+        "arrival_time": ["08:00:00", "08:10:00", "08:25:00",
+                         "09:00:00", "09:12:00", "09:30:00",
+                         "10:00:00", "10:20:00"],
+        "departure_time": ["08:00:00", "08:11:00", "08:25:00",
+                           "09:00:00", "09:13:00", "09:30:00",
+                           "10:00:00", "10:20:00"]})
+    frequencies = pd.DataFrame({
+        "trip_id": ["t1", "bad"],
+        "start_time": ["07:00:00", "07:00:00"],
+        "end_time": ["09:00:00", "08:00:00"],
+        "headway_secs": ["1800", "0"]})  # t1 ×4; headway 0 dropped
+    return calendar, calendar_dates, trips, stop_times, frequencies
+
+
+def test_expand_service_days(gtfs):
+    calendar, calendar_dates, *_ = gtfs
+    active = expand_service_days(calendar, calendar_dates)
+    wd = active[active["service_id"] == "WD"]["date"].tolist()
+    we = active[active["service_id"] == "WE"]["date"].tolist()
+    # Jan 1-14 2024: 10 weekdays + 1 added = 11; 4 weekend days - 1 removed = 3
+    assert len(wd) == 11 and "20240115" in wd
+    assert len(we) == 3 and "20240106" not in we
+
+
+def test_frequency_multipliers(gtfs):
+    *_, frequencies = gtfs
+    m = frequency_multipliers(frequencies)
+    assert dict(zip(m["trip_id"], m["multiplier"])) == {"t1": 4}
+
+
+def test_travel_summary_graph(gtfs):
+    calendar, calendar_dates, trips, stop_times, frequencies = gtfs
+    out = travel_summary_graph(rd.from_pandas(stop_times), trips, calendar,
+                               calendar_dates, frequencies).to_pandas()
+    out = out.set_index(["from_stop_id", "to_stop_id"])
+    # service counts: t1 = 11 days × 4 (freq) = 44; t2 = 11; t3 = 3
+    # A→B legs: t1 (600s, sc44) + t2 (720s, sc11) → wmean = (600*44+720*11)/55
+    ab = out.loc[("A", "B")]
+    assert ab["frequency"] == 55
+    assert abs(ab["mean_travel_time"] - (600 * 44 + 720 * 11) / 55) < 1e-6
+    # B→C: t2's leg dropped (stop_sequence 'x' non-numeric) → only t1 + t3
+    bc = out.loc[("B", "C")]
+    assert bc["frequency"] == 44 + 3
+    assert abs(bc["mean_travel_time"] - (840 * 44 + 1200 * 3) / 47) < 1e-6
+
+
+def test_travel_summary_time_filter_and_undirected(gtfs):
+    calendar, calendar_dates, trips, stop_times, frequencies = gtfs
+    out = travel_summary_graph(rd.from_pandas(stop_times), trips, calendar,
+                               calendar_dates, frequencies,
+                               start_time="09:00:00").to_pandas()
+    # only t2 (09:xx) and t3 (10:xx) legs survive the departure filter
+    assert set(map(tuple, out[["from_stop_id", "to_stop_id"]].to_numpy())) == \
+        {("A", "B"), ("B", "C")}
+    und = travel_summary_graph(rd.from_pandas(stop_times), trips, calendar,
+                               calendar_dates, frequencies,
+                               directed=False).to_pandas()
+    assert (und["from_stop_id"] <= und["to_stop_id"]).all()
+
+
+def test_get_od_pairs(gtfs):
+    calendar, calendar_dates, trips, stop_times, _ = gtfs
+    od = get_od_pairs(rd.from_pandas(stop_times), trips, calendar,
+                      calendar_dates).to_pandas()
+    # t1: 2 legs × 11 dates; t2: 1 valid leg × 11; t3: 1 leg × 3 dates
+    assert len(od) == 2 * 11 + 11 + 3
+    assert set(od.columns) == {"trip_id", "date", "from_stop_id",
+                               "to_stop_id", "travel_time_sec"}
