@@ -319,6 +319,81 @@ def _emb_neardup(sf_dir: str):
     return embedding_neardup(emb, threshold=0.3, n_centroids=1)
 
 
+def _zonal_tess(sf_dir: str):
+    """Raster↔vector zonal tessellation with part-grid squares as
+    enclosures and boundary-free customer points as building seeds
+    (tile assignments; the morphological-tessellation archetype with an
+    exact SQL twin via generate_series)."""
+    import ray.data
+    from city2graph_ray.ops.morphology import zonal_tessellation
+    from city2graph_ray.pipelines.tables import part_polygons
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def pts(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        xi = (k * k * synth.QX + k * synth.AX + synth.BX) % synth.MOD
+        yi = (k * k * synth.QY + k * synth.AY + synth.BY) % synth.MOD
+        # drop points on grid-square boundaries (PIP ambiguity; the SQL
+        # twin applies the same integer filter)
+        m = (xi % 2500 != 0) & (yi % 2500 != 0)
+        return pd.DataFrame({"id": k[m], "x": xi[m] / 100.0, "y": yi[m] / 100.0})
+
+    buildings = cust.map_batches(pts, batch_format="pandas")
+    polys = part_polygons(sf_dir).to_pandas()
+    enclosures = pd.DataFrame({"enclosure_index": polys["id"],
+                               "coords": polys["coords"]})
+    tess = zonal_tessellation(buildings, enclosures, resolution=5.0)
+    return tess.map_batches(
+        lambda b: b[["enclosure_index", "cell_ix", "cell_iy", "tess_id",
+                     "bldg_id"]], batch_format="pandas")
+
+
+def _split_connectors(sf_dir: str):
+    """Overture split-at-connectors over order segments: even orderkeys
+    get one mid connector → two parts; output (seg_id, split_part,
+    length) rounded (reference data.py:577-702 semantics)."""
+    import ray.data
+    from city2graph_ray.geom.kernels import linestring_length
+    from city2graph_ray.ops.segments import split_segments_at_connectors
+    from city2graph_ray.pipelines.tables import order_segments
+
+    segs = order_segments(sf_dir).map_batches(
+        lambda b: b.assign(connectors=np.where(
+            b["seg_id"] % 2 == 0, "[{'connector_id': 'c', 'at': 0.5}]", "[]")),
+        batch_format="pandas")
+    out = split_segments_at_connectors(segs)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "seg_id": batch["seg_id"].astype(str),
+            "split_part": batch["split_part"].astype(np.int64),
+            "length": np.round([linestring_length(np.asarray(c))
+                                for c in batch["coords"]], 6)})
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _cluster_endpoints(sf_dir: str):
+    """Grid-bin endpoint clustering (reference data.py:735-803): snap
+    order-segment endpoints to their bin mean (θ=20); output snapped
+    endpoint coords rounded 6dp."""
+    from city2graph_ray.ops.segments import cluster_segment_endpoints
+    from city2graph_ray.pipelines.tables import order_segments
+
+    out = cluster_segment_endpoints(order_segments(sf_dir), threshold=20.0)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        c = np.array([np.asarray(x, np.float64) for x in batch["coords"]])
+        return pd.DataFrame({
+            "seg_id": batch["seg_id"].astype(np.int64),
+            "sx": np.round(c[:, 0], 6), "sy": np.round(c[:, 1], 6),
+            "tx": np.round(c[:, 2], 6), "ty": np.round(c[:, 3], 6)})
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -349,6 +424,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann,
         "ivf_ann_topk": _ivf_ann,
         "emb_neardup": _emb_neardup,
+        "zonal_tessellation": _zonal_tess,
+        "split_connectors": _split_connectors,
+        "cluster_endpoints": _cluster_endpoints,
     }
 
 
@@ -528,6 +606,74 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6)
                   >= 0.3""",
+        "zonal_tessellation": f"""
+            WITH raw AS (SELECT c_custkey AS id,
+                   ((c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                     + {synth.BX}) % {synth.MOD}) AS xi,
+                   ((c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                     + {synth.BY}) % {synth.MOD}) AS yi
+                 FROM customer),
+            b AS (SELECT id, xi/100.0 AS x, yi/100.0 AS y FROM raw
+                  WHERE xi % 2500 <> 0 AND yi % 2500 <> 0),
+            g AS (SELECT p_partkey AS gid, (p_partkey % 40) AS c,
+                         (p_partkey // 40) AS r FROM part),
+            contained AS (
+                SELECT g.gid, g.c, g.r, b.id, b.x, b.y,
+                       dense_rank() OVER (PARTITION BY g.gid
+                           ORDER BY b.x, b.y) - 1 AS rnk
+                FROM g JOIN b ON b.x > g.c*25.0 AND b.x < g.c*25.0+25.0
+                             AND b.y > g.r*25.0 AND b.y < g.r*25.0+25.0),
+            occ AS (SELECT DISTINCT gid, c, r FROM contained),
+            cel AS (SELECT occ.gid, occ.c, occ.r, s1.i, s2.j
+                    FROM occ, generate_series(0, 4) s1(i),
+                         generate_series(0, 4) s2(j)),
+            scored AS (
+                SELECT cel.gid AS enclosure_index,
+                       cel.c*5 + cel.i AS cell_ix,
+                       cel.r*5 + cel.j AS cell_iy,
+                       ct.gid || '_' || ct.rnk AS tess_id,
+                       ct.id AS bldg_id,
+                       ((cel.c*5 + cel.i + 0.5)*5.0 - ct.x)
+                         * ((cel.c*5 + cel.i + 0.5)*5.0 - ct.x)
+                       + ((cel.r*5 + cel.j + 0.5)*5.0 - ct.y)
+                         * ((cel.r*5 + cel.j + 0.5)*5.0 - ct.y) AS d2,
+                       ct.x AS bx, ct.y AS by_
+                FROM cel JOIN contained ct ON ct.gid = cel.gid)
+            SELECT enclosure_index, cell_ix, cell_iy, tess_id, bldg_id
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY enclosure_index,
+                cell_ix, cell_iy ORDER BY d2, bx, by_) = 1""",
+        "split_connectors": f"""
+            WITH s AS (SELECT o_orderkey AS k,
+                 sqrt(({synth.sql_x('o_orderkey')} - {synth.sql_x('o_custkey')})
+                    * ({synth.sql_x('o_orderkey')} - {synth.sql_x('o_custkey')})
+                    + ({synth.sql_y('o_orderkey')} - {synth.sql_y('o_custkey')})
+                    * ({synth.sql_y('o_orderkey')} - {synth.sql_y('o_custkey')}))
+                     AS len FROM orders)
+            SELECT k::VARCHAR || '_' || p AS seg_id, p AS split_part,
+                   round(len/2.0, 6) AS length
+            FROM s, generate_series(0, 1) t(p) WHERE k % 2 = 0
+            UNION ALL
+            SELECT k::VARCHAR, 0, round(len, 6) FROM s WHERE k % 2 <> 0""",
+        "cluster_endpoints": f"""
+            WITH segs AS (SELECT o_orderkey AS k,
+                 {synth.sql_x('o_orderkey')} AS ax, {synth.sql_y('o_orderkey')} AS ay,
+                 {synth.sql_x('o_custkey')} AS bx, {synth.sql_y('o_custkey')} AS by_
+                 FROM orders),
+            eps AS (SELECT ax AS x, ay AS y FROM segs
+                    UNION ALL SELECT bx, by_ FROM segs),
+            bins AS (SELECT floor(x/20.0 + 0.5)::BIGINT AS qx,
+                            floor(y/20.0 + 0.5)::BIGINT AS qy,
+                            avg(x) AS cx, avg(y) AS cy
+                     FROM eps GROUP BY 1, 2)
+            SELECT s.k AS seg_id,
+                   round(b1.cx, 6) AS sx, round(b1.cy, 6) AS sy,
+                   round(b2.cx, 6) AS tx, round(b2.cy, 6) AS ty
+            FROM segs s
+            JOIN bins b1 ON b1.qx = floor(s.ax/20.0 + 0.5)
+                        AND b1.qy = floor(s.ay/20.0 + 0.5)
+            JOIN bins b2 ON b2.qx = floor(s.bx/20.0 + 0.5)
+                        AND b2.qy = floor(s.by_/20.0 + 0.5)""",
         # delaunay_edges / gabriel_edges / rng_edges / emst_edges /
         # minhash_clusters / simhash_pairs / ivf_ann_topk: not
         # SQL-expressible (triangulation / LSH / IVF) → rows-only check;

@@ -28,21 +28,37 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
-def order_points(sf_dir: str):
-    """150k points at sf0.1 — the big spatial input."""
+def lineitem_points(sf_dir: str, per_row: int = 2):
+    """~2.4M derived points at sf0.1 (``per_row`` points per lineitem
+    row, key = (orderkey*8 + linenumber)*per_row + j) — sized so the
+    spatial kernels are compute-bound at 32 CPUs (shuffle latency ≪
+    kernel time), which is the regime the engine targets."""
     import numpy as np
     import pandas as pd
     import ray.data
     from city2graph_ray.synth import key_to_xy
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber"])
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        base = (batch["l_orderkey"].to_numpy().astype(np.int64) * 8
+                + batch["l_linenumber"].to_numpy().astype(np.int64))
+        k = (base[:, None] * per_row + np.arange(per_row)[None, :]).ravel()
         x, y = key_to_xy(k)
         return pd.DataFrame({"id": k, "x": x, "y": y})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def warmup(ncpu: int):
+    """Spawn the full worker pool before timing (cold worker start
+    otherwise lands inside the first timed stage)."""
+    import time as _t
+    import ray.data
+
+    ray.data.range(ncpu * 4, override_num_blocks=ncpu * 4).map_batches(
+        lambda b: (_t.sleep(0.05), b)[1]).count()
 
 
 def run_suite(sf_dir: str) -> dict:
@@ -61,21 +77,26 @@ def run_suite(sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "1"))
+
     def timed(name, fn):
-        t0 = time.time()
-        counts[name] = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            counts[name] = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
-    # warm the page cache with one untimed read
-    order_points(sf_dir).count()
-
-    pts = order_points(sf_dir).materialize()
-    polys = part_polygons(sf_dir).materialize()
+    # spawn workers + warm the page cache before timing
+    warmup(NUM_CPUS)
+    pts = lineitem_points(sf_dir).repartition(NUM_CPUS).materialize()
+    polys = part_polygons(sf_dir).repartition(NUM_CPUS).materialize()
 
     timed("span_extract",
           lambda: extract_geometry_spans(synthesize_documents(sf_dir)).count())
     timed("knn", lambda: knn_graph(pts, 8).count())
-    timed("fixed_radius", lambda: fixed_radius_graph(pts, 5.0, cell_size=25.0).count())
+    timed("fixed_radius", lambda: fixed_radius_graph(pts, 2.0).count())
     timed("contiguity_queen", lambda: contiguity_graph(polys, "queen").count())
     timed("pip_group_nodes", lambda: group_nodes(polys, pts, cell_size=50.0).count())
     timed("dedup_exact", lambda: exact_dedup(documents(sf_dir)).count())
@@ -120,13 +141,15 @@ def main():
 
 def scaling():
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     r_lo = run(lo)
     r_hi = run(hi)
     thr_lo = r_lo["edge_rows"] / sum(r_lo["queries"][s] for s in

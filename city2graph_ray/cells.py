@@ -25,30 +25,33 @@ from __future__ import annotations
 
 import numpy as np
 
-# Offset so negative grid coords pack into uint64 cleanly.
-_OFFSET = np.int64(1) << np.int64(31)
-_MASK32 = np.int64((1 << 32) - 1)
+# 31-bit fields with a 2^30 offset: packed id = (iy+OFF) << 31 | (ix+OFF)
+# stays < 2^62, safely inside int64 (a 32-bit field would set bit 63 for
+# iy ≥ 0 and overflow).  Grid-coord range ±2^30 cells per axis.
+_OFFSET = np.int64(1) << np.int64(30)
+_SHIFT = np.int64(31)
+_MASK = np.int64((1 << 31) - 1)
 
 
 def cell_id(x: np.ndarray, y: np.ndarray, cell_size: float) -> np.ndarray:
     """Vectorized cell id for point coords. Returns int64 (packed ix,iy)."""
     ix = np.floor(np.asarray(x, dtype=np.float64) / cell_size).astype(np.int64) + _OFFSET
     iy = np.floor(np.asarray(y, dtype=np.float64) / cell_size).astype(np.int64) + _OFFSET
-    return (iy << np.int64(32)) | (ix & _MASK32)
+    return (iy << _SHIFT) | (ix & _MASK)
 
 
 def cell_xy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of :func:`cell_id` → integer grid coords (ix, iy)."""
     cell = np.asarray(cell, dtype=np.int64)
-    ix = (cell & _MASK32) - _OFFSET
-    iy = (cell >> np.int64(32)) - _OFFSET
+    ix = (cell & _MASK) - _OFFSET
+    iy = (cell >> _SHIFT) - _OFFSET
     return ix, iy
 
 
 def pack(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
     ix = np.asarray(ix, dtype=np.int64) + _OFFSET
     iy = np.asarray(iy, dtype=np.int64) + _OFFSET
-    return (iy << np.int64(32)) | (ix & _MASK32)
+    return (iy << _SHIFT) | (ix & _MASK)
 
 
 def halo_assignments(

@@ -289,7 +289,7 @@ def nearest_segments(points: ray.data.Dataset, segments: ray.data.Dataset,
     cs = cell_size or max(max_distance * 2.0, 25.0)
 
     def seg_cells(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"seg_id": [], "cell": [], "coords": []}
+        rows = {"seg_id": [], "cell": [], "blob": []}
         for sid, c in zip(batch["seg_id"], batch["coords"]):
             cc = np.asarray(c, np.float64).reshape(-1, 2)
             r, cl = cellmod.covering_cells(
@@ -297,9 +297,10 @@ def nearest_segments(points: ray.data.Dataset, segments: ray.data.Dataset,
                 np.array([cc[:, 1].min() - max_distance]),
                 np.array([cc[:, 0].max() + max_distance]),
                 np.array([cc[:, 1].max() + max_distance]), cs)
+            blob = cc.tobytes()  # bytes through the shuffle, not objects
             rows["seg_id"].extend([sid] * len(cl))
             rows["cell"].extend(cl)
-            rows["coords"].extend([c] * len(cl))
+            rows["blob"].extend([blob] * len(cl))
         return pd.DataFrame(rows)
 
     def pt_cells(batch: pd.DataFrame) -> pd.DataFrame:
@@ -310,12 +311,11 @@ def nearest_segments(points: ray.data.Dataset, segments: ray.data.Dataset,
 
     segs = segments.map_batches(seg_cells, batch_format="pandas")
     pts = points.map_batches(pt_cells, batch_format="pandas")
-    cols = ["id", "x", "y", "seg_id", "cell", "coords", "is_pt"]
+    cols = ["id", "x", "y", "seg_id", "cell", "blob", "is_pt"]
     s2 = segs.map_batches(lambda b: b.assign(id=np.int64(-1), x=0.0, y=0.0,
                                              is_pt=False)[cols],
                           batch_format="pandas")
-    p2 = pts.map_batches(lambda b: b.assign(seg_id=np.int64(-1),
-                                            coords=[np.empty(0)] * len(b),
+    p2 = pts.map_batches(lambda b: b.assign(seg_id=np.int64(-1), blob=b"",
                                             is_pt=True)[cols],
                          batch_format="pandas")
 
@@ -331,8 +331,8 @@ def nearest_segments(points: ray.data.Dataset, segments: ray.data.Dataset,
         px = ps["x"].to_numpy()
         py = ps["y"].to_numpy()
         out_rows = []
-        for sid, c in zip(ss["seg_id"], ss["coords"]):
-            cc = np.asarray(c, np.float64).reshape(-1, 2)
+        for sid, blob in zip(ss["seg_id"], ss["blob"]):
+            cc = np.frombuffer(blob, np.float64).reshape(-1, 2)
             best = np.full(len(ps), np.inf)
             for a, b in zip(cc[:-1], cc[1:]):
                 d2 = point_segment_dist2(px, py, a[0], a[1], b[0], b[1])

@@ -66,6 +66,17 @@ def _bbox_count(points: ray.data.Dataset) -> tuple[int, float, float, float, flo
     return (row["count()"], row["min(x)"], row["max(x)"], row["min(y)"], row["max(y)"])
 
 
+def _shuffle_blocks() -> int:
+    """Target block count for cell-keyed groupbys: ~1× cluster CPUs.
+    Ray's sort shuffle cost grows with input block count (sample +
+    partition per block); unioned halo pipelines otherwise end up with
+    2-4× more tiny blocks than cores."""
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 32
+
+
 def _auto_cell_size(points: ray.data.Dataset, per_cell: float) -> float:
     """Cell size targeting ~per_cell points per cell (density estimate)."""
     n, x0, x1, y0, y1 = _bbox_count(points)
@@ -92,10 +103,12 @@ def fixed_radius_graph(
     numpy distance matrix; duplicate suppression: a pair is emitted only
     by the home cell of its smaller-id (resp. source) endpoint.
     """
-    cs = max(cell_size or radius, radius)
+    # default cell = 4× radius: halo duplication factor (1+2r/cs)² ≈ 2.25
+    # instead of the 9× a radius-sized cell would cost
+    cs = max(cell_size or 4.0 * radius, radius)
 
     if targets is None:
-        expanded = expand_halo(points, cs, radius)
+        expanded = expand_halo(points, cs, radius).repartition(_shuffle_blocks())
 
         def kernel(g: pd.DataFrame) -> pd.DataFrame:
             ids = g["id"].to_numpy()
@@ -127,7 +140,8 @@ def fixed_radius_graph(
 
     qs = points.map_batches(tag(True), batch_format="pandas")
     ts = targets.map_batches(tag(False), batch_format="pandas")
-    expanded = expand_halo(qs.union(ts), cs, radius, extra_cols=("is_query",))
+    expanded = expand_halo(qs.union(ts), cs, radius,
+                           extra_cols=("is_query",)).repartition(_shuffle_blocks())
 
     def bikernel(g: pd.DataFrame) -> pd.DataFrame:
         q = g[g["is_query"] & ~g["is_halo"]]
@@ -150,6 +164,7 @@ def knn_graph(
     points: ray.data.Dataset,
     k: int,
     cell_size: float | None = None,
+    halo: float | None = None,
     targets: ray.data.Dataset | None = None,
     max_rounds: int = 4,
 ) -> ray.data.Dataset:
@@ -157,44 +172,79 @@ def knn_graph(
     self excluded; undirected view = canonicalize_edges downstream,
     matching the reference's undirected NX graph construction).
 
-    Distributed scheme: per-tile brute-force kNN with a one-ring halo;
-    a query is *resolved* when its k-th neighbor distance ≤ halo width
-    (then no point outside the searched region can be closer).
-    Unresolved queries — boundary/sparse-region points — retry at
-    doubled cell size; the final round is a single global group.  The
-    candidate side is re-bucketed per round, but rounds after the first
-    see only the unresolved remainder (cheap).
+    Distributed scheme: queries live in their home cell; candidates are
+    duplicated into every cell within ``halo`` of them.  A query is
+    *resolved* when its k-th neighbor distance ≤ halo (then no point
+    outside the duplicated region can be closer).  ``halo`` defaults to
+    3× the expected k-th-neighbor distance from a density estimate
+    (so ≈ all queries resolve in round 0) and ``cell_size`` to 4×halo
+    (candidate duplication factor (1+2·halo/cell)² ≈ 2.25 — NOT the 9×
+    of a full one-ring).  Unresolved queries (sparse regions, borders)
+    retry with doubled halo against candidates PRE-FILTERED to the
+    unresolved cells (broadcast cell set), so later rounds cost ~0.
+    The final round is a single global group.
 
     Output rows: (src, dst, distance), exactly min(k, n-1) per src,
     ties broken by (distance, dst id).
     """
     cand = targets if targets is not None else points
     bipartite = targets is not None
+    n, x0, x1, y0, y1 = _bbox_count(cand)
+    extent = max(x1 - x0, y1 - y0, 1e-9)
+    if halo is None:
+        density = max(n, 1) / max((x1 - x0) * (y1 - y0), 1e-9)
+        rk = np.sqrt(max(k, 1) / (np.pi * density))
+        halo = 3.0 * rk
     if cell_size is None:
-        cell_size = _auto_cell_size(cand, per_cell=max(4.0 * k, 64.0))
-
-    def tag(flag):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch[["id", "x", "y"]].copy()
-            batch["is_query"] = flag
-            return batch
-        return fn
+        cell_size = 4.0 * halo
 
     edge_parts: list[ray.data.Dataset] = []
     queries = points
-    cs = cell_size
-    for rnd in range(max_rounds):
-        final = rnd == max_rounds - 1
-        qs = queries.map_batches(tag(True), batch_format="pandas")
-        ts = cand.map_batches(tag(False), batch_format="pandas")
-        if final:
-            both = qs.union(ts).map_batches(
-                lambda b: b.assign(cell=np.int64(0), is_halo=False), batch_format="pandas")
-        else:
-            both = expand_halo(qs.union(ts), cs, cs, extra_cols=("is_query",))
-        halo_w = cs
+    cs = float(cell_size)
+    hw = min(float(halo), cs)  # duplication width can't exceed the cell
 
-        def _empty() -> pd.DataFrame:
+    def tiled_round(queries, cs, hw, prefilter):
+        """One tiled pass: returns (resolved edges ds, unresolved points ds)."""
+        def q_tag(batch: pd.DataFrame, cs=cs) -> pd.DataFrame:
+            out = batch[["id", "x", "y"]].copy()
+            out["cell"] = cells.cell_id(out["x"].to_numpy(),
+                                        out["y"].to_numpy(), cs)
+            out["is_query"] = True
+            out["is_halo"] = False
+            return out
+
+        qs = queries.map_batches(q_tag, batch_format="pandas")
+        ts = cand.map_batches(
+            lambda b: b[["id", "x", "y"]].assign(is_query=False),
+            batch_format="pandas")
+        if prefilter:
+            # candidates only matter near the (few) unresolved queries:
+            # broadcast their home cells + 1 ring, pre-filter candidates
+            qdf = queries.to_pandas()
+            qc = np.unique(cells.cell_id(qdf["x"].to_numpy(),
+                                         qdf["y"].to_numpy(), cs))
+            qix, qiy = cells.cell_xy(qc)
+            ring = set()
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    ring.update(cells.pack(qix + dx, qiy + dy).tolist())
+            ring_ref = ray.put(np.fromiter(ring, np.int64, len(ring)))
+
+            def near_q(batch: pd.DataFrame, cs=cs) -> pd.DataFrame:
+                keep_cells = ray.get(ring_ref)
+                c = cells.cell_id(batch["x"].to_numpy(),
+                                  batch["y"].to_numpy(), cs)
+                return batch[np.isin(c, keep_cells)]
+
+            ts = ts.map_batches(near_q, batch_format="pandas")
+
+        cols = ["id", "x", "y", "is_query", "cell", "is_halo"]
+        tc = expand_halo(ts, cs, hw, extra_cols=("is_query",)).map_batches(
+            lambda b: b[cols], batch_format="pandas")
+        qs2 = qs.map_batches(lambda b: b[cols], batch_format="pandas")
+        both = qs2.union(tc)
+
+        def _round_empty() -> pd.DataFrame:
             return pd.DataFrame({"src": pd.Series(dtype=np.int64),
                                  "dst": pd.Series(dtype=np.int64),
                                  "distance": pd.Series(dtype=np.float64),
@@ -202,19 +252,16 @@ def knn_graph(
                                  "qx": pd.Series(dtype=np.float64),
                                  "qy": pd.Series(dtype=np.float64)})
 
-        def kernel(g: pd.DataFrame, halo_w=halo_w, final=final) -> pd.DataFrame:
-            q = g[g["is_query"] & ~g["is_halo"]]
-            # candidate set: target layer in bipartite mode, every point otherwise
-            c = g[~g["is_query"]] if bipartite else g
+        def kernel(g: pd.DataFrame, halo_w=hw) -> pd.DataFrame:
+            q = g[g["is_query"]]
+            c = g[~g["is_query"]]
             if len(q) == 0:
-                return _empty()
+                return _round_empty()
             cid = c["id"].to_numpy()
             cx = c["x"].to_numpy()
             cy = c["y"].to_numpy()
-            # unipartite candidate rows may repeat (query dup as candidate); dedup by id
-            if not bipartite:
-                _, uniq = np.unique(cid, return_index=True)
-                cid, cx, cy = cid[uniq], cx[uniq], cy[uniq]
+            _, uniq = np.unique(cid, return_index=True)
+            cid, cx, cy = cid[uniq], cx[uniq], cy[uniq]
             outs = []
             qid = q["id"].to_numpy()
             qx = q["x"].to_numpy()
@@ -225,56 +272,120 @@ def knn_graph(
                 if len(cid) == 0:
                     d = np.empty((nq, 0))
                 else:
-                    d = _dist(qx[lo:hi, None], qy[lo:hi, None], cx[None, :], cy[None, :])
+                    d = _dist(qx[lo:hi, None], qy[lo:hi, None],
+                              cx[None, :], cy[None, :])
                 if not bipartite and d.shape[1]:
-                    d[cid[None, :] == qid[lo:hi, None]] = np.inf  # exclude self
+                    d[cid[None, :] == qid[lo:hi, None]] = np.inf  # no self
                 avail = d.shape[1] - (0 if bipartite else 1)
                 kk = min(k, max(avail, 0))
                 if kk <= 0:
-                    # no candidates here: the query must survive to the next
-                    # (coarser) round via an unresolved marker row
-                    if not final:
-                        outs.append(pd.DataFrame({
-                            "src": qid[lo:hi], "dst": np.int64(-1), "distance": np.inf,
-                            "resolved": False, "qx": qx[lo:hi], "qy": qy[lo:hi]}))
+                    outs.append(pd.DataFrame({
+                        "src": qid[lo:hi], "dst": np.int64(-1),
+                        "distance": np.inf, "resolved": False,
+                        "qx": qx[lo:hi], "qy": qy[lo:hi]}))
                     continue
-                # top-k by (distance, id): lexsort per row
-                order = np.lexsort((np.broadcast_to(cid, d.shape), d), axis=1)[:, :kk]
+                if d.shape[1] > kk + 1:
+                    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                else:
+                    part = np.broadcast_to(np.arange(d.shape[1]),
+                                           (nq, d.shape[1]))
+                rows0 = np.repeat(np.arange(nq)[:, None], part.shape[1], 1)
+                dpart = d[rows0, part]
+                order_in = np.lexsort((cid[part], dpart), axis=1)[:, :kk]
+                sel = part[np.repeat(np.arange(nq)[:, None], kk, 1), order_in]
                 rows = np.repeat(np.arange(nq), kk)
-                sel = order.ravel()
-                dsel = d[rows, sel]
-                kth = d[np.arange(nq), order[:, -1]]
-                # resolved only with a FULL k within the searched halo —
-                # fewer than k candidates means neighbors may hide beyond it
-                resolved = final | ((kk == k) & (kth <= halo_w))
+                dsel = d[rows, sel.ravel()]
+                kth = dsel.reshape(nq, kk)[:, -1]
+                resolved = (kk == k) & (kth <= halo_w)
                 outs.append(pd.DataFrame({
-                    "src": qid[lo + rows], "dst": cid[sel], "distance": dsel,
+                    "src": qid[lo + rows], "dst": cid[sel.ravel()],
+                    "distance": dsel,
                     "resolved": np.repeat(resolved, kk),
                     "qx": qx[lo + rows], "qy": qy[lo + rows]}))
             if not outs:
-                return _empty()
+                return _round_empty()
             return pd.concat(outs)
 
-        result = both.groupby("cell").map_groups(kernel, batch_format="pandas")
+        result = (both.repartition(_shuffle_blocks())
+                  .groupby("cell").map_groups(kernel, batch_format="pandas"))
         result = result.materialize()
         resolved = result.filter(expr="resolved == True").drop_columns(
             ["resolved", "qx", "qy"])
-        edge_parts.append(resolved)
-        if final:
-            break
         unresolved = result.filter(expr="resolved == False").map_batches(
             lambda b: pd.DataFrame({"id": b["src"], "x": b["qx"], "y": b["qy"]}),
             batch_format="pandas")
         nxt = shuffle.distinct(unresolved, ["id"]).materialize()
+        return resolved, nxt
+
+    for rnd in range(max_rounds):
+        if rnd == max_rounds - 1 or hw >= extent:
+            # FINAL: broadcast the (by now small) query set over the full
+            # candidate stream; per-block top-k partials, exact merge.
+            edge_parts.append(_knn_broadcast(queries, cand, k, bipartite))
+            break
+        resolved, nxt = tiled_round(queries, cs, hw, prefilter=rnd > 0)
+        edge_parts.append(resolved)
         if nxt.count() == 0:
             break
         queries = nxt
-        cs *= 2.0
+        hw *= 2.0
+        cs = max(cs, 2.0 * hw)
 
-    out = edge_parts[0]
-    for part in edge_parts[1:]:
-        out = out.union(part)
+    return _union_all(edge_parts)
+
+
+def _union_all(parts: list[ray.data.Dataset]) -> ray.data.Dataset:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
     return out
+
+
+def _knn_broadcast(queries: ray.data.Dataset, cand: ray.data.Dataset, k: int,
+                   bipartite: bool) -> ray.data.Dataset:
+    """Exact kNN for a broadcast query set: per-candidate-block top-k
+    partials (map_batches over the streaming candidate side) merged by
+    a per-query top-k shuffle.  The fallback final round of knn_graph —
+    and a fine standalone strategy when |queries| ≪ |candidates|."""
+    qdf = queries.select_columns(["id", "x", "y"]).to_pandas()
+    if qdf.empty:
+        return ray.data.from_pandas(_empty_edges())
+    qref = ray.put((qdf["id"].to_numpy(), qdf["x"].to_numpy(),
+                    qdf["y"].to_numpy()))
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qid, qx, qy = ray.get(qref)
+        cid = batch["id"].to_numpy()
+        cx = batch["x"].to_numpy()
+        cy = batch["y"].to_numpy()
+        outs = []
+        for lo in range(0, len(qid), 512):
+            hi = min(lo + 512, len(qid))
+            nq = hi - lo
+            d = _dist(qx[lo:hi, None], qy[lo:hi, None], cx[None, :], cy[None, :])
+            if not bipartite:
+                d[cid[None, :] == qid[lo:hi, None]] = np.inf
+            kk = min(k, d.shape[1])
+            if kk <= 0:
+                continue
+            if d.shape[1] > kk + 1:
+                part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(np.arange(d.shape[1]), (nq, d.shape[1]))
+            rows0 = np.repeat(np.arange(nq)[:, None], part.shape[1], 1)
+            order_in = np.lexsort((cid[part], d[rows0, part]), axis=1)[:, :kk]
+            sel = part[np.repeat(np.arange(nq)[:, None], kk, 1), order_in]
+            rows = np.repeat(np.arange(nq), kk)
+            dsel = d[rows, sel.ravel()]
+            keep = np.isfinite(dsel)  # self-only blocks emit nothing
+            outs.append(pd.DataFrame({"src": qid[lo + rows][keep],
+                                      "dst": cid[sel.ravel()][keep],
+                                      "distance": dsel[keep]}))
+        return pd.concat(outs) if outs else _empty_edges()
+
+    partials = cand.map_batches(block_topk, batch_format="pandas")
+    return shuffle.topk_in_group(partials, ["src"], k,
+                                 ["distance", "dst"], [True, True])
 
 
 # ------------------------------------------------------------------ Delaunay family
@@ -645,30 +756,28 @@ def group_nodes(polys: ray.data.Dataset, points: ray.data.Dataset,
     from city2graph_ray.geom import kernels
 
     def poly_cells(batch: pd.DataFrame) -> pd.DataFrame:
-        coords_list = list(batch["coords"])
+        coords_list = [np.asarray(c, np.float64) for c in batch["coords"]]
         bb = np.array([[c.reshape(-1, 2)[:, 0].min(), c.reshape(-1, 2)[:, 1].min(),
                         c.reshape(-1, 2)[:, 0].max(), c.reshape(-1, 2)[:, 1].max()]
-                       for c in (np.asarray(cc, np.float64) for cc in coords_list)])
+                       for c in coords_list])
         rows, cell = cells.covering_cells(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], cell_size)
-        out = batch.iloc[rows][["id", "coords"]].reset_index(drop=True)
-        out = out.rename(columns={"id": "poly_id"})
-        out["cell"] = cell
-        out["is_poly"] = True
-        out["x"] = 0.0
-        out["y"] = 0.0
-        return out
+        # ship ring coords as raw BYTES, not numpy objects: object-dtype
+        # cells sort/pickle ~10× slower through the shuffle
+        blobs = [coords_list[i].tobytes() for i in rows]
+        return pd.DataFrame({"poly_id": batch["id"].to_numpy()[rows],
+                             "id": np.int64(-1), "x": 0.0, "y": 0.0,
+                             "cell": cell, "is_poly": True, "ring": blobs})
 
     def point_cells(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["id", "x", "y"]].copy()
         out["cell"] = cells.cell_id(batch["x"].to_numpy(), batch["y"].to_numpy(), cell_size)
         out["is_poly"] = False
         out["poly_id"] = np.int64(-1)
-        out["coords"] = [np.empty(0)] * len(batch)
+        out["ring"] = b""
         return out
 
-    cols = ["poly_id", "id", "x", "y", "cell", "is_poly", "coords"]
-    pc = polys.map_batches(lambda b: poly_cells(b).assign(id=np.int64(-1))[cols],
-                           batch_format="pandas")
+    cols = ["poly_id", "id", "x", "y", "cell", "is_poly", "ring"]
+    pc = polys.map_batches(lambda b: poly_cells(b)[cols], batch_format="pandas")
     tc = points.map_batches(lambda b: point_cells(b)[cols], batch_format="pandas")
 
     def refine(g: pd.DataFrame) -> pd.DataFrame:
@@ -681,8 +790,9 @@ def group_nodes(polys: ray.data.Dataset, points: ray.data.Dataset,
         py = ts["y"].to_numpy()
         tids = ts["id"].to_numpy()
         out_p, out_t = [], []
-        for pid, coords in zip(ps["poly_id"], ps["coords"]):
-            mask = kernels.points_in_polygon(px, py, np.asarray(coords, np.float64))
+        for pid, blob in zip(ps["poly_id"], ps["ring"]):
+            ring = np.frombuffer(blob, np.float64)
+            mask = kernels.points_in_polygon(px, py, ring)
             out_p.extend([pid] * int(mask.sum()))
             out_t.extend(tids[mask])
         return pd.DataFrame({"poly_id": np.array(out_p, np.int64),

@@ -1,0 +1,158 @@
+"""Spatial utilities: network-distance filtering and isochrone hulls.
+
+Reference: /root/reference/city2graph/utils/spatial.py —
+``filter_graph_by_distance`` :68-159/:376-456 (snap center to nearest
+node, multi-source Dijkstra, induced subgraph) and ``create_isochrone``
+:162-2082 (reachable nodes → polygon via convex / alpha / concave-knn /
+buffer hulls, multi-threshold layering).
+
+Engine shape: the network is the small side (broadcast); Dijkstra runs
+as one driver task; the reachable-id set broadcasts into a semi-filter
+over the (large) node/edge Datasets.  Hull construction is a
+small-result driver op over the reachable points (post-filter), exactly
+as the reference computes it in-process.  Hull algorithms are written
+from scratch: Andrew monotone chain (convex) and Delaunay
+alpha-complex boundary walk (alpha shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from city2graph_ray.geom.delaunay import Delaunator, _circumradius2
+from city2graph_ray.joins import semi_filter
+
+
+def reachable_nodes(edges: pd.DataFrame, nodes: pd.DataFrame,
+                    centers: list[tuple[float, float]],
+                    threshold: float, weight_col: str = "length",
+                    ) -> dict[int, float]:
+    """node_id → min network cost from any snapped center, cost ≤
+    threshold (multi-source Dijkstra; centers snap to nearest node)."""
+    import networkx as nx
+    g = nx.Graph()
+    for s, d, w in edges[["src", "dst", weight_col]].itertuples(index=False):
+        g.add_edge(int(s), int(d), weight=float(w))
+    nx_ids = nodes["node_id"].to_numpy()
+    out: dict[int, float] = {}
+    for cx, cy in centers:
+        dx = nodes["x"].to_numpy() - cx
+        dy = nodes["y"].to_numpy() - cy
+        start = int(nx_ids[np.argmin(dx * dx + dy * dy)])
+        if start not in g:
+            continue
+        lengths = nx.single_source_dijkstra_path_length(
+            g, start, cutoff=threshold)
+        for k, v in lengths.items():
+            k = int(k)
+            if k not in out or v < out[k]:
+                out[k] = float(v)
+    return out
+
+
+def filter_graph_by_distance(nodes: ray.data.Dataset,
+                             edges: ray.data.Dataset,
+                             edge_df: pd.DataFrame,
+                             node_df: pd.DataFrame,
+                             centers: list[tuple[float, float]],
+                             threshold: float,
+                             weight_col: str = "length",
+                             ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Induced subgraph of nodes within network distance of center(s):
+    broadcast reachable-id set, semi-filter both Datasets (strict: both
+    edge endpoints reachable, reference clip semantics)."""
+    reach = reachable_nodes(edge_df, node_df, centers, threshold, weight_col)
+    keep = set(reach)
+    fn = semi_filter(nodes, keep, "node_id")
+    fe = semi_filter(semi_filter(edges, keep, "src"), keep, "dst")
+    return fn, fe
+
+
+# ------------------------------------------------------------------ hulls
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns hull ring (flat coords, CCW)."""
+    pts = np.unique(np.asarray(points, np.float64).reshape(-1, 2), axis=0)
+    if len(pts) <= 2:
+        return pts.reshape(-1)
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(iterable):
+        h = []
+        for p in iterable:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1]).reshape(-1)
+
+
+def alpha_shape_edges(points: np.ndarray, alpha: float) -> np.ndarray:
+    """Boundary edges of the alpha complex: Delaunay triangles with
+    circumradius ≤ 1/alpha; boundary = edges used by exactly one kept
+    triangle.  Returns (m, 2) vertex-index pairs."""
+    pts = np.asarray(points, np.float64).reshape(-1, 2)
+    d = Delaunator(pts)
+    tri = d.triangles.reshape(-1, 3)
+    if len(tri) == 0:
+        return np.empty((0, 2), np.int64)
+    keep = []
+    r_max2 = (1.0 / alpha) ** 2
+    for a, b, c in tri:
+        r2 = _circumradius2(pts[a, 0], pts[a, 1], pts[b, 0], pts[b, 1],
+                            pts[c, 0], pts[c, 1])
+        if r2 <= r_max2:
+            keep.append((a, b, c))
+    if not keep:
+        return np.empty((0, 2), np.int64)
+    kt = np.array(keep)
+    e = np.concatenate([kt[:, [0, 1]], kt[:, [1, 2]], kt[:, [2, 0]]])
+    e.sort(axis=1)
+    uniq, counts = np.unique(e, axis=0, return_counts=True)
+    return uniq[counts == 1]
+
+
+def create_isochrone(reach_nodes: pd.DataFrame, method: str = "convex",
+                     alpha: float | None = None) -> dict:
+    """Isochrone geometry over the reachable node set (small result,
+    driver-side like the reference).  Returns {'method', 'rings'}:
+    convex → one hull ring; alpha → boundary edge segments of the
+    alpha complex (per-component polygons are the caller's concern,
+    matching the reference's per-component output)."""
+    pts = reach_nodes[["x", "y"]].to_numpy()
+    if method == "convex":
+        return {"method": "convex", "rings": [convex_hull(pts)]}
+    if method == "alpha":
+        if alpha is None:
+            # reference auto-alpha: inverse of ~2× mean nearest spacing
+            n = max(len(pts), 2)
+            area = max(pts[:, 0].ptp() * pts[:, 1].ptp(), 1e-9)
+            alpha = 1.0 / (2.0 * np.sqrt(area / n))
+        e = alpha_shape_edges(pts, alpha)
+        rings = [np.array([pts[a], pts[b]]).reshape(-1) for a, b in e]
+        return {"method": "alpha", "rings": rings}
+    raise ValueError(f"unknown isochrone method {method!r} "
+                     "(convex | alpha; buffer/knn-hull need a polygon "
+                     "union primitive — not available without shapely)")
+
+
+def isochrone_layers(edges: pd.DataFrame, nodes: pd.DataFrame,
+                     centers: list[tuple[float, float]],
+                     thresholds: list[float], method: str = "convex",
+                     weight_col: str = "length") -> list[dict]:
+    """Multi-threshold layering (largest threshold first, reference
+    :162-2082): one reachability field per threshold, hull per layer."""
+    out = []
+    for t in sorted(thresholds, reverse=True):
+        reach = reachable_nodes(edges, nodes, centers, t, weight_col)
+        sub = nodes[nodes["node_id"].isin(reach)]
+        iso = create_isochrone(sub, method)
+        iso["threshold"] = t
+        iso["n_nodes"] = len(sub)
+        out.append(iso)
+    return out

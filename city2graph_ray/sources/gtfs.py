@@ -1,0 +1,80 @@
+"""GTFS / GBFS loaders.
+
+Reference: load_gtfs (/root/reference/city2graph/transportation.py:510-570
+— zip members → all-varchar tables, stops geometry from lon/lat) and
+load_gbfs (:573-646 — station_information JSON → lon/lat points).
+
+Engine: one Dataset per member file via ray.data.read_csv (all columns
+read as strings to match the reference's all_varchar=True), stop_times
+as the big streaming table; the small tables (stops, trips, calendar,
+calendar_dates, frequencies) come back as pandas for broadcast into
+city2graph_ray.ops.transport.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+
+import pandas as pd
+import ray.data
+
+GTFS_FILES = ("stops", "trips", "stop_times", "calendar", "calendar_dates",
+              "frequencies")
+
+
+def load_gtfs_dir(path: str) -> dict[str, ray.data.Dataset | pd.DataFrame]:
+    """GTFS directory (or .zip) → {'stop_times': Dataset (streams),
+    others: pandas (broadcast side)}.  All columns string-typed."""
+    members: dict[str, str | bytes] = {}
+    if path.endswith(".zip"):
+        with zipfile.ZipFile(path) as z:
+            for name in z.namelist():
+                base = os.path.basename(name).replace(".txt", "")
+                if base in GTFS_FILES:
+                    members[base] = z.read(name)
+    else:
+        for f in os.listdir(path):
+            base = f.replace(".txt", "").replace(".csv", "")
+            if base in GTFS_FILES:
+                members[base] = os.path.join(path, f)
+
+    out: dict[str, ray.data.Dataset | pd.DataFrame] = {}
+    for base, src in members.items():
+        df = (pd.read_csv(io.BytesIO(src), dtype=str)
+              if isinstance(src, bytes) else pd.read_csv(src, dtype=str))
+        if base == "stop_times":
+            out[base] = ray.data.from_pandas(df)
+        else:
+            out[base] = df
+    return out
+
+
+def stops_with_geometry(stops: pd.DataFrame) -> pd.DataFrame:
+    """stops → (stop_id, x, y); rows with blank/invalid lat/lon dropped
+    with the reference's guard (transportation.py:294-310)."""
+    s = stops.copy()
+    s["x"] = pd.to_numeric(s["stop_lon"], errors="coerce")
+    s["y"] = pd.to_numeric(s["stop_lat"], errors="coerce")
+    return s[s["x"].notna() & s["y"].notna()][["stop_id", "x", "y"]]
+
+
+def load_gbfs_dir(path: str) -> dict[str, pd.DataFrame]:
+    """GBFS JSON directory → {feed_name: DataFrame}; station feeds get
+    x/y from lon/lat (reference transportation.py:573-646)."""
+    import json
+    out = {}
+    for f in os.listdir(path):
+        if not f.endswith(".json"):
+            continue
+        data = json.load(open(os.path.join(path, f)))
+        stations = (data.get("data", {}) or {}).get("stations")
+        if stations is None:
+            continue
+        df = pd.DataFrame(stations)
+        if {"lon", "lat"} <= set(df.columns):
+            df["x"] = pd.to_numeric(df["lon"], errors="coerce")
+            df["y"] = pd.to_numeric(df["lat"], errors="coerce")
+        out[f[:-5]] = df
+    return out

@@ -55,12 +55,18 @@ def synthesize_documents(sf_dir: str) -> ray.data.Dataset:
     - part rows → docs with a text span + a geom_building span (grid
       square polygon).
     """
+    # single-file reads default to ONE block → the (python-heavy) doc
+    # builders would run serially; force enough blocks to parallelize
+    nb = 16
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_mktsegment"])
+                                 columns=["c_custkey", "c_mktsegment"],
+                                 override_num_blocks=nb)
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_orderkey", "o_custkey"])
+                                   columns=["o_orderkey", "o_custkey"],
+                                   override_num_blocks=nb)
     part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
-                                 columns=["p_partkey", "p_type"])
+                                 columns=["p_partkey", "p_type"],
+                                 override_num_blocks=nb)
 
     def cust_docs(batch: pa.Table) -> pa.Table:
         keys = batch["c_custkey"].to_numpy()

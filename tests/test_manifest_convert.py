@@ -1,0 +1,77 @@
+"""Manifest / validation / converter layer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from city2graph_ray.context import (
+    CrsMismatch,
+    GraphManifest,
+    TableManifest,
+    ensure_crs_consistency,
+)
+from city2graph_ray.convert import from_networkx, to_networkx, to_pyg
+from city2graph_ray.ops.validate import drop_count, validate_coords, validate_points
+
+
+def test_manifest_roundtrip():
+    m = GraphManifest(crs="EPSG:27700")
+    m.nodes["place"] = TableManifest(crs="EPSG:27700", id_col="place_id",
+                                     geom_role="point")
+    m.edges["place|touched_to|place"] = TableManifest(crs="EPSG:27700")
+    m.directed["place|touched_to|place"] = False
+    m.symmetrized["place|touched_to|place"] = True
+    back = GraphManifest.from_json(m.to_json())
+    assert back.crs == "EPSG:27700"
+    assert back.nodes["place"].id_col == "place_id"
+    assert back.symmetrized["place|touched_to|place"] is True
+
+
+def test_crs_consistency():
+    a = TableManifest(crs="EPSG:27700")
+    b = TableManifest(crs="EPSG:27700")
+    c = TableManifest(crs="EPSG:4326")
+    assert ensure_crs_consistency(a, b) == "EPSG:27700"
+    with pytest.raises(CrsMismatch):
+        ensure_crs_consistency(a, c)
+    assert ensure_crs_consistency(TableManifest(), TableManifest()) is None
+
+
+def test_validate_points_and_coords():
+    pts = pd.DataFrame({"id": [1, 2, 3],
+                        "x": [0.0, np.nan, 2.0],
+                        "y": [0.0, 1.0, np.inf]})
+    ds = rd.from_pandas(pts)
+    ok = validate_points(ds)
+    assert list(ok.to_pandas()["id"]) == [1]
+    assert drop_count(ds, ok) == 2
+
+    lines = pd.DataFrame({"id": [1, 2, 3, 4], "coords": [
+        np.array([0.0, 0.0, 1.0, 1.0]),
+        np.array([0.0, 0.0]),              # single point → dropped
+        np.array([0.0, np.nan, 1.0, 1.0]),  # NaN vertex → dropped
+        np.array([])]})                     # empty → dropped
+    keep = validate_coords(rd.from_pandas(lines), "linestring").to_pandas()
+    assert list(keep["id"]) == [1]
+
+    polys = pd.DataFrame({"id": [1], "coords": [
+        np.array([0.0, 0.0, 1.0, 0.0, 1.0, 1.0])]})  # open ring
+    rep = validate_coords(rd.from_pandas(polys), "polygon",
+                          repair=True).to_pandas()
+    c = np.asarray(rep["coords"].iloc[0]).reshape(-1, 2)
+    assert (c[0] == c[-1]).all()  # closed
+
+
+def test_networkx_roundtrip():
+    e = pd.DataFrame({"src": [1, 2], "dst": [2, 3], "distance": [1.0, 2.0]})
+    g = to_networkx(e, edge_attrs=("distance",))
+    assert g.number_of_edges() == 2
+    assert g[1][2]["distance"] == 1.0
+    nodes, edges = from_networkx(g)
+    assert set(nodes["node_id"]) == {1, 2, 3}
+    assert len(edges) == 2
+    with pytest.raises(NotImplementedError):
+        to_pyg()

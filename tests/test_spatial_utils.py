@@ -1,0 +1,90 @@
+"""Spatial utilities: hulls, network filtering, GTFS loaders."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from city2graph_ray.ops.spatial import (
+    alpha_shape_edges,
+    convex_hull,
+    create_isochrone,
+    filter_graph_by_distance,
+    isochrone_layers,
+    reachable_nodes,
+)
+
+
+def test_convex_hull_square():
+    pts = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5], [0.2, 0.8]])
+    hull = convex_hull(pts).reshape(-1, 2)
+    assert len(hull) == 4
+    assert set(map(tuple, hull)) == {(0, 0), (1, 0), (1, 1), (0, 1)}
+
+
+def test_convex_hull_collinear():
+    pts = np.array([[0, 0], [1, 1], [2, 2]])
+    hull = convex_hull(pts).reshape(-1, 2)
+    assert len(hull) <= 3
+
+
+def test_alpha_shape_boundary():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 10, (200, 2))
+    e = alpha_shape_edges(pts, alpha=0.5)  # radius cap 2.0
+    assert len(e) > 0
+    # boundary edges must be shorter than 2/alpha (twice the radius cap)
+    for a, b in e:
+        assert np.linalg.norm(pts[a] - pts[b]) <= 4.0 + 1e-9
+
+
+@pytest.fixture()
+def chain_graph():
+    nodes = pd.DataFrame({"node_id": np.arange(5, dtype=np.int64),
+                          "x": np.arange(5, dtype=float) * 10.0,
+                          "y": np.zeros(5)})
+    edges = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4],
+                          "length": [10.0, 10.0, 10.0, 10.0]})
+    return nodes, edges
+
+
+def test_reachable_and_filter(chain_graph):
+    nodes, edges = chain_graph
+    reach = reachable_nodes(edges, nodes, [(0.0, 0.0)], threshold=25.0)
+    assert set(reach) == {0, 1, 2} and reach[2] == 20.0
+    fn, fe = filter_graph_by_distance(
+        rd.from_pandas(nodes), rd.from_pandas(edges), edges, nodes,
+        [(0.0, 0.0)], 25.0)
+    assert set(fn.to_pandas()["node_id"]) == {0, 1, 2}
+    kept = fe.to_pandas()
+    assert set(map(tuple, kept[["src", "dst"]].to_numpy())) == {(0, 1), (1, 2)}
+
+
+def test_isochrone_layers(chain_graph):
+    nodes, edges = chain_graph
+    layers = isochrone_layers(edges, nodes, [(0.0, 0.0)], [15.0, 35.0])
+    assert [la["threshold"] for la in layers] == [35.0, 15.0]  # largest first
+    assert layers[0]["n_nodes"] == 4 and layers[1]["n_nodes"] == 2
+    with pytest.raises(ValueError):
+        create_isochrone(nodes, method="buffer")
+
+
+def test_gtfs_dir_loader(tmp_path):
+    from city2graph_ray.sources.gtfs import load_gtfs_dir, stops_with_geometry
+    (tmp_path / "stops.txt").write_text(
+        "stop_id,stop_name,stop_lat,stop_lon\nA,Alpha,1.0,2.0\nB,Beta,,\n")
+    (tmp_path / "trips.txt").write_text(
+        "trip_id,route_id,service_id\nt1,r1,S\n")
+    (tmp_path / "stop_times.txt").write_text(
+        "trip_id,stop_id,stop_sequence,arrival_time,departure_time\n"
+        "t1,A,1,08:00:00,08:00:00\nt1,B,2,08:10:00,08:10:00\n")
+    tables = load_gtfs_dir(str(tmp_path))
+    assert isinstance(tables["stops"], pd.DataFrame)
+    st = tables["stop_times"]
+    assert st.count() == 2  # Dataset
+    geo = stops_with_geometry(tables["stops"])
+    # blank lat/lon row dropped (reference guard transportation.py:294-310)
+    assert list(geo["stop_id"]) == ["A"]
+    assert geo.iloc[0]["x"] == 2.0 and geo.iloc[0]["y"] == 1.0
