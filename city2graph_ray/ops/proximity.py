@@ -103,9 +103,10 @@ def fixed_radius_graph(
     numpy distance matrix; duplicate suppression: a pair is emitted only
     by the home cell of its smaller-id (resp. source) endpoint.
     """
-    # default cell = 4× radius: halo duplication factor (1+2r/cs)² ≈ 2.25
-    # instead of the 9× a radius-sized cell would cost
-    cs = max(cell_size or 4.0 * radius, radius)
+    # default cell = 8× radius: halo duplication factor (1+2r/cs)² ≈ 1.56
+    # — shuffle bytes are the scaling bottleneck, kernel compute is not
+    # (measured sweep in BASELINE.md)
+    cs = max(cell_size or 8.0 * radius, radius)
 
     if targets is None:
         expanded = expand_halo(points, cs, radius).repartition(_shuffle_blocks())
@@ -314,7 +315,9 @@ def knn_graph(
         unresolved = result.filter(expr="resolved == False").map_batches(
             lambda b: pd.DataFrame({"id": b["src"], "x": b["qx"], "y": b["qy"]}),
             batch_format="pandas")
-        nxt = shuffle.distinct(unresolved, ["id"]).materialize()
+        # unresolved remainder is small: driver-side dedup beats a shuffle
+        udf = unresolved.to_pandas().drop_duplicates("id")
+        nxt = ray.data.from_pandas(udf) if len(udf) else None
         return resolved, nxt
 
     for rnd in range(max_rounds):
@@ -325,7 +328,7 @@ def knn_graph(
             break
         resolved, nxt = tiled_round(queries, cs, hw, prefilter=rnd > 0)
         edge_parts.append(resolved)
-        if nxt.count() == 0:
+        if nxt is None:
             break
         queries = nxt
         hw *= 2.0
