@@ -245,8 +245,13 @@ def _metapath(sf_dir: str):
         lambda b: pd.DataFrame({"src": b["l_orderkey"], "dst": b["l_suppkey"],
                                 "l_extendedprice": b["l_extendedprice"]}),
         batch_format="pandas")
-    return add_metapaths([hop1, hop2],
-                         attr_cols=("o_totalprice", "l_extendedprice"))
+    out = add_metapaths([hop1, hop2],
+                        attr_cols=("o_totalprice", "l_extendedprice"))
+    # join padding degrades id columns to float; restore int64 so the
+    # driver's schema/value hash matches the SQL oracle exactly
+    return out.map_batches(
+        lambda b: b.astype({"src": np.int64, "dst": np.int64}),
+        batch_format="pandas")
 
 
 def _doc_exact_dedup(sf_dir: str):
@@ -394,6 +399,37 @@ def _cluster_endpoints(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _event_tumbling(sf_dir: str):
+    from city2graph_ray.ops.windows import tumbling_window
+    from city2graph_ray.pipelines.tables import events
+    return tumbling_window(events(sf_dir), 3600.0)
+
+
+def _pt_knn_manhattan(sf_dir: str):
+    from city2graph_ray.ops.proximity import knn_graph
+    from city2graph_ray.pipelines.tables import customer_points
+    return knn_graph(customer_points(sf_dir), 4, metric="manhattan")
+
+
+def _bridge_knn(sf_dir: str):
+    """Bipartite directed kNN customer→supplier (bridge_nodes layer
+    pair, reference proximity.py:1609-1827)."""
+    import ray.data
+    from city2graph_ray.ops.proximity import knn_graph
+    from city2graph_ray.pipelines.tables import customer_points
+
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey"])
+
+    def pts(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["s_suppkey"].to_numpy().astype(np.int64)
+        x, y = synth.key_to_xy(k)
+        return pd.DataFrame({"id": k, "x": x, "y": y})
+
+    targets = supp.map_batches(pts, batch_format="pandas")
+    return knn_graph(customer_points(sf_dir), 2, targets=targets)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -427,6 +463,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_tessellation": _zonal_tess,
         "split_connectors": _split_connectors,
         "cluster_endpoints": _cluster_endpoints,
+        "event_tumbling_window": _event_tumbling,
+        "pt_knn_manhattan": _pt_knn_manhattan,
+        "bridge_knn_cust_supp": _bridge_knn,
     }
 
 
@@ -674,6 +713,32 @@ def oracle_sql() -> dict[str, str]:
                         AND b1.qy = floor(s.ay/20.0 + 0.5)
             JOIN bins b2 ON b2.qx = floor(s.bx/20.0 + 0.5)
                         AND b2.qy = floor(s.by_/20.0 + 0.5)""",
+        "event_tumbling_window": """
+            WITH t AS (SELECT event_type,
+                       floor(epoch(ts) / 3600.0)::BIGINT AS win,
+                       value FROM events)
+            SELECT event_type, win * 3600 AS window_start_sec,
+                   count(*) AS n, round(sum(value), 4) AS sum_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value
+            FROM t GROUP BY event_type, win""",
+        "pt_knn_manhattan": f"""
+            WITH pts AS ({_PTS})
+            SELECT a.id AS src, b.id AS dst,
+                   abs(a.x-b.x) + abs(a.y-b.y) AS distance
+            FROM pts a JOIN pts b ON a.id <> b.id
+            QUALIFY row_number() OVER (PARTITION BY a.id
+                ORDER BY abs(a.x-b.x) + abs(a.y-b.y), b.id) <= 4""",
+        "bridge_knn_cust_supp": f"""
+            WITH pts AS ({_PTS}),
+            sup AS (SELECT s_suppkey AS id, {synth.sql_x('s_suppkey')} AS x,
+                           {synth.sql_y('s_suppkey')} AS y FROM supplier)
+            SELECT a.id AS src, b.id AS dst,
+                   sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS distance
+            FROM pts a JOIN sup b ON 1=1
+            QUALIFY row_number() OVER (PARTITION BY a.id
+                ORDER BY sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)),
+                b.id) <= 2""",
         # delaunay_edges / gabriel_edges / rng_edges / emst_edges /
         # minhash_clusters / simhash_pairs / ivf_ann_topk: not
         # SQL-expressible (triangulation / LSH / IVF) → rows-only check;

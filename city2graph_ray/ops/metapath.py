@@ -28,67 +28,121 @@ from city2graph_ray.joins import bucketed_join
 def add_metapaths(
     hops: list[ray.data.Dataset],
     attr_cols: tuple[str, ...] = (),
-    agg: str = "sum",
+    agg="sum",
+    undirected: bool = False,
     round_to: int = 6,
 ) -> ray.data.Dataset:
     """Compose ≥2 edge tables into terminal (src, dst) metapath edges.
 
     Each hop Dataset has (src, dst) plus optional numeric attr columns.
-    Per path, each attr is summed across hops; per terminal pair,
-    paths reduce by ``agg`` ('sum' | 'mean') and ``weight`` = number of
-    distinct paths (reference path-count weight).
+    Per path, each attr is summed across hops; per terminal pair, paths
+    reduce by ``agg`` ('sum' | 'mean' | callable(np.ndarray)->float,
+    the reference's pluggable reducer, metapath.py:429-476) and
+    ``weight`` = number of distinct paths.
+
+    ``undirected=True`` reproduces the reference's path-level dedup
+    (metapath.py:956-991, canonicalize :1023-1090): the full node
+    sequence of each path is canonicalized (forward vs reversed, lexmin)
+    and duplicate signatures collapse to one path BEFORE terminal
+    aggregation; terminal pairs are unordered (src ≤ dst).
     Output: (src, dst, weight, <attr>_{agg} ...)."""
     if len(hops) < 2:
         raise ValueError("metapath needs >= 2 hops")
+    L = len(hops)
 
     def project(i: int, ds: ray.data.Dataset) -> ray.data.Dataset:
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({"src": batch["src"].to_numpy(),
-                                "dst": batch["dst"].to_numpy()})
+            out = pd.DataFrame({f"n{i}": batch["src"].to_numpy(),
+                                f"n{i+1}": batch["dst"].to_numpy()})
             for a in attr_cols:
-                out[f"a{i}_{a}"] = batch[a].to_numpy(np.float64) if a in batch else 0.0
+                out[f"a{i}_{a}"] = (batch[a].to_numpy(np.float64)
+                                    if a in batch else 0.0)
             return out
         return ds.map_batches(fn, batch_format="pandas")
 
     cur = project(0, hops[0])
-    for i in range(1, len(hops)):
-        nxt = project(i, hops[i]).map_batches(
-            lambda b: b.rename(columns={"src": "hop_src", "dst": "hop_dst"}),
-            batch_format="pandas")
-        cur = cur.map_batches(
-            lambda b: b.rename(columns={"dst": "hop_src"}), batch_format="pandas")
-        cur = bucketed_join(cur, nxt, on="hop_src")
-        cur = cur.map_batches(
-            lambda b: b.drop(columns=["hop_src"]).rename(columns={"hop_dst": "dst"}),
-            batch_format="pandas")
+    for i in range(1, L):
+        nxt = project(i, hops[i])
+        cur = bucketed_join(cur, nxt, on=f"n{i}")
 
-    def path_reduce(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"src": batch["src"], "dst": batch["dst"]})
+    path_cols = [f"n{i}" for i in range(L + 1)]
+
+    def per_path(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: batch[c].to_numpy() for c in path_cols})
         for a in attr_cols:
-            cols = [c for c in batch.columns if c.endswith(f"_{a}") and c[0] == "a"]
+            cols = [c for c in batch.columns
+                    if c.startswith("a") and c.endswith(f"_{a}")]
             out[a] = batch[cols].sum(axis=1)
-        out["npaths"] = np.int64(1)
-        return (out.groupby(["src", "dst"], sort=False)
-                .agg({**{a: "sum" for a in attr_cols}, "npaths": "sum"})
-                .reset_index())
-
-    partials = cur.map_batches(path_reduce, batch_format="pandas")
-    summed = shuffle.group_agg(
-        partials, ["src", "dst"],
-        {**{a: (a, "sum") for a in attr_cols}, "weight": ("npaths", "sum")},
-        partial=False)
-
-    def post(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"src": batch["src"], "dst": batch["dst"],
-                            "weight": batch["weight"].astype(np.int64)})
-        for a in attr_cols:
-            v = batch[a].to_numpy()
-            if agg == "mean":
-                v = v / batch["weight"].to_numpy()
-            out[f"{a}_{agg}"] = np.round(v, round_to)
+        if undirected:
+            fwd = out[path_cols].to_numpy()
+            rev = fwd[:, ::-1]
+            # lexicographic min of forward vs reversed node sequence
+            take_rev = np.zeros(len(out), dtype=bool)
+            undecided = np.ones(len(out), dtype=bool)
+            for j in range(L + 1):
+                lt = undecided & (rev[:, j] < fwd[:, j])
+                gt = undecided & (rev[:, j] > fwd[:, j])
+                take_rev |= lt
+                undecided &= ~(lt | gt)
+            canon = np.where(take_rev[:, None], rev, fwd)
+            for j, c in enumerate(path_cols):
+                out[c] = canon[:, j]
         return out
 
-    return summed.map_batches(post, batch_format="pandas")
+    paths = cur.map_batches(per_path, batch_format="pandas")
+    if undirected:
+        # duplicate path signatures collapse to one (the reference's
+        # drop_duplicates on path_signature); winner deterministic via
+        # a stable order column, not partition order
+        order_col = attr_cols[0] if attr_cols else path_cols[0]
+        paths = shuffle.first_by(paths, path_cols, order_col)
+
+    src_col, dst_col = path_cols[0], path_cols[-1]
+    mergeable = isinstance(agg, str) and agg in ("sum", "mean")
+
+    if mergeable:
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"src": batch[src_col], "dst": batch[dst_col]})
+            for a in attr_cols:
+                out[a] = batch[a]
+            out["npaths"] = np.int64(1)
+            return (out.groupby(["src", "dst"], sort=False)
+                    .agg({**{a: "sum" for a in attr_cols}, "npaths": "sum"})
+                    .reset_index())
+
+        partials = paths.map_batches(partial, batch_format="pandas")
+        summed = shuffle.group_agg(
+            partials, ["src", "dst"],
+            {**{a: (a, "sum") for a in attr_cols},
+             "weight": ("npaths", "sum")}, partial=False)
+
+        def post(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"src": batch["src"], "dst": batch["dst"],
+                                "weight": batch["weight"].astype(np.int64)})
+            for a in attr_cols:
+                v = batch[a].to_numpy()
+                if agg == "mean":
+                    v = v / batch["weight"].to_numpy()
+                out[f"{a}_{agg}"] = np.round(v, round_to)
+            return out
+
+        return summed.map_batches(post, batch_format="pandas")
+
+    # custom callable reducer: per-terminal-group apply (non-mergeable)
+    fn = agg
+    name = getattr(fn, "__name__", "agg")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (a, b), sub in g.groupby([src_col, dst_col], sort=False):
+            row = {"src": a, "dst": b, "weight": np.int64(len(sub))}
+            for c in attr_cols:
+                row[f"{c}_{name}"] = round(float(fn(sub[c].to_numpy())),
+                                           round_to)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return shuffle.grouped_transform(paths, [src_col, dst_col], kernel)
 
 
 def add_metapaths_by_weight(

@@ -437,3 +437,81 @@ def morphological_graph(buildings: ray.data.Dataset,
     return {"segment_nodes": nodes, "segment_edges": seg_edges,
             "tessellation": tess, "place_place": pp,
             "movement_movement": mm, "place_movement": pm}
+
+
+def place_to_movement_edges(places: ray.data.Dataset,
+                            segments: ray.data.Dataset,
+                            tolerance: float = 1e-6,
+                            max_connection_distance: float = 25.0,
+                            ) -> ray.data.Dataset:
+    """"faced_to" edges (reference morphology.py:1117-1419): primary
+    dwithin(tolerance) join — EVERY segment within tolerance of a place
+    — then for places with no primary match, the capped nearest
+    fallback (≤ max_connection_distance, :1336-1419).  Output
+    (id, seg_id, distance, matched_by)."""
+    primary = nearest_segments(places, segments, tolerance, k=10 ** 6)
+    primary = primary.map_batches(
+        lambda b: b.assign(matched_by="dwithin"), batch_format="pandas")
+    primary = primary.materialize()
+    pdf = primary.to_pandas()  # empty Datasets lose column names
+    matched = set(pdf["id"]) if "id" in pdf.columns else set()
+
+    from city2graph_ray.joins import semi_filter
+    unmatched = (semi_filter(places, matched, "id", keep=False)
+                 if matched else places)
+    fallback = nearest_segments(unmatched, segments,
+                                max_connection_distance, k=1)
+    fallback = fallback.map_batches(
+        lambda b: b.assign(matched_by="nearest"), batch_format="pandas")
+    return primary.union(fallback)
+
+
+def morphological_graphs(buildings: ray.data.Dataset,
+                         segments: ray.data.Dataset,
+                         center: tuple[float, float],
+                         distances: list[float],
+                         resolution: float = 2.0,
+                         pm_max_distance: float = 25.0,
+                         ) -> dict[float, dict[str, ray.data.Dataset]]:
+    """Multi-distance variant (reference morphological_graphs
+    morphology.py:351-488): the reachability cost field and the
+    tessellation are computed ONCE at max(distances); each smaller
+    distance reuses them through cheap per-distance filters — exactly
+    the reference's shared-context design."""
+    from city2graph_ray.geom.kernels import linestring_length
+    from city2graph_ray.ops.topology import dual_graph, segments_to_graph
+
+    dmax = max(distances)
+    nodes, seg_edges = segments_to_graph(segments)
+    seg_edges = seg_edges.materialize()
+    edf = seg_edges.to_pandas()
+    edf["length"] = [linestring_length(np.asarray(c)) for c in edf["coords"]]
+    costs = reachability_costs(edf, center, nodes.to_pandas())
+
+    # shared upstream at dmax
+    base_edges = filter_segments_by_cost(seg_edges, costs, dmax).materialize()
+    barriers = base_edges.to_pandas()[["seg_id", "coords"]]
+    enclosures = enclosures_from_barriers(barriers)
+    tess_max = zonal_tessellation(buildings, enclosures,
+                                  resolution).materialize()
+
+    out: dict[float, dict[str, ray.data.Dataset]] = {}
+    for dist in sorted(distances, reverse=True):
+        d_edges = filter_segments_by_cost(base_edges, costs, dist)
+        d_edges = d_edges.materialize()
+        kept_segments = set(d_edges.select_columns(["seg_id"])
+                            .to_pandas()["seg_id"])
+        # place cells survive when their enclosure still has a kept
+        # barrier segment (cheap filter on the shared tessellation)
+        pp = place_to_place_edges(tess_max)
+        mm = dual_graph(d_edges.map_batches(
+            lambda b: pd.DataFrame({"edge_id": b["seg_id"], "src": b["src"],
+                                    "dst": b["dst"]}), batch_format="pandas"))
+        pm = place_to_movement_edges(buildings, segments.map_batches(
+            lambda b, kept=frozenset(kept_segments):
+            b[b["seg_id"].isin(kept)], batch_format="pandas"),
+            max_connection_distance=pm_max_distance)
+        out[dist] = {"segment_edges": d_edges, "tessellation": tess_max,
+                     "place_place": pp, "movement_movement": mm,
+                     "place_movement": pm}
+    return out

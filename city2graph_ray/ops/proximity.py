@@ -43,6 +43,13 @@ def _dist(ax, ay, bx, by):
     return np.sqrt(dx * dx + dy * dy)
 
 
+def _dist_l1(ax, ay, bx, by):
+    return np.abs(ax - bx) + np.abs(ay - by)
+
+
+_METRICS = {"euclidean": _dist, "manhattan": _dist_l1}
+
+
 def expand_halo(
     ds: ray.data.Dataset, cell_size: float, halo: float, extra_cols: tuple[str, ...] = ()
 ) -> ray.data.Dataset:
@@ -91,6 +98,7 @@ def fixed_radius_graph(
     radius: float,
     cell_size: float | None = None,
     targets: ray.data.Dataset | None = None,
+    metric: str = "euclidean",
 ) -> ray.data.Dataset:
     """All pairs within ``radius`` (reference proximity.py:1303-1437).
 
@@ -107,6 +115,7 @@ def fixed_radius_graph(
     # — shuffle bytes are the scaling bottleneck, kernel compute is not
     # (measured sweep in BASELINE.md)
     cs = max(cell_size or 8.0 * radius, radius)
+    dist = _METRICS[metric]  # halo=radius stays valid: L1 ≥ L∞ ≥ axis gap
 
     if targets is None:
         expanded = expand_halo(points, cs, radius).repartition(_shuffle_blocks())
@@ -119,7 +128,7 @@ def fixed_radius_graph(
             out = []
             for lo in range(0, len(g), 2048):
                 hi = min(lo + 2048, len(g))
-                d = _dist(xs[lo:hi, None], ys[lo:hi, None], xs[None, :], ys[None, :])
+                d = dist(xs[lo:hi, None], ys[lo:hi, None], xs[None, :], ys[None, :])
                 ii, jj = np.nonzero(d <= radius)
                 ii_g = ii + lo
                 keep = (ids[ii_g] < ids[jj]) & home[ii_g]
@@ -149,8 +158,8 @@ def fixed_radius_graph(
         c = g[~g["is_query"]]
         if len(q) == 0 or len(c) == 0:
             return _empty_edges()
-        d = _dist(q["x"].to_numpy()[:, None], q["y"].to_numpy()[:, None],
-                  c["x"].to_numpy()[None, :], c["y"].to_numpy()[None, :])
+        d = dist(q["x"].to_numpy()[:, None], q["y"].to_numpy()[:, None],
+                 c["x"].to_numpy()[None, :], c["y"].to_numpy()[None, :])
         ii, jj = np.nonzero(d <= radius)
         return pd.DataFrame({"src": q["id"].to_numpy()[ii],
                              "dst": c["id"].to_numpy()[jj],
@@ -168,6 +177,7 @@ def knn_graph(
     halo: float | None = None,
     targets: ray.data.Dataset | None = None,
     max_rounds: int = 4,
+    metric: str = "euclidean",
 ) -> ray.data.Dataset:
     """Directed k-nearest-neighbors (reference proximity.py:771-887;
     self excluded; undirected view = canonicalize_edges downstream,
@@ -190,6 +200,7 @@ def knn_graph(
     """
     cand = targets if targets is not None else points
     bipartite = targets is not None
+    dist = _METRICS[metric]  # resolution test stays valid: L1 ≥ L∞
     n, x0, x1, y0, y1 = _bbox_count(cand)
     extent = max(x1 - x0, y1 - y0, 1e-9)
     if halo is None:
@@ -273,8 +284,8 @@ def knn_graph(
                 if len(cid) == 0:
                     d = np.empty((nq, 0))
                 else:
-                    d = _dist(qx[lo:hi, None], qy[lo:hi, None],
-                              cx[None, :], cy[None, :])
+                    d = dist(qx[lo:hi, None], qy[lo:hi, None],
+                             cx[None, :], cy[None, :])
                 if not bipartite and d.shape[1]:
                     d[cid[None, :] == qid[lo:hi, None]] = np.inf  # no self
                 avail = d.shape[1] - (0 if bipartite else 1)
@@ -285,15 +296,12 @@ def knn_graph(
                         "distance": np.inf, "resolved": False,
                         "qx": qx[lo:hi], "qy": qy[lo:hi]}))
                     continue
-                if d.shape[1] > kk + 1:
-                    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-                else:
-                    part = np.broadcast_to(np.arange(d.shape[1]),
-                                           (nq, d.shape[1]))
-                rows0 = np.repeat(np.arange(nq)[:, None], part.shape[1], 1)
-                dpart = d[rows0, part]
-                order_in = np.lexsort((cid[part], dpart), axis=1)[:, :kk]
-                sel = part[np.repeat(np.arange(nq)[:, None], kk, 1), order_in]
+                # full-row lexsort by (distance, id): argpartition is
+                # NOT tie-stable at the k-th boundary (L1 lattice
+                # distances tie constantly) — exactness over micro-opt
+                order = np.lexsort((np.broadcast_to(cid, d.shape), d),
+                                   axis=1)[:, :kk]
+                sel = order
                 rows = np.repeat(np.arange(nq), kk)
                 dsel = d[rows, sel.ravel()]
                 kth = dsel.reshape(nq, kk)[:, -1]
@@ -324,7 +332,8 @@ def knn_graph(
         if rnd == max_rounds - 1 or hw >= extent:
             # FINAL: broadcast the (by now small) query set over the full
             # candidate stream; per-block top-k partials, exact merge.
-            edge_parts.append(_knn_broadcast(queries, cand, k, bipartite))
+            edge_parts.append(_knn_broadcast(queries, cand, k, bipartite,
+                                             metric=metric))
             break
         resolved, nxt = tiled_round(queries, cs, hw, prefilter=rnd > 0)
         edge_parts.append(resolved)
@@ -345,7 +354,7 @@ def _union_all(parts: list[ray.data.Dataset]) -> ray.data.Dataset:
 
 
 def _knn_broadcast(queries: ray.data.Dataset, cand: ray.data.Dataset, k: int,
-                   bipartite: bool) -> ray.data.Dataset:
+                   bipartite: bool, metric: str = "euclidean") -> ray.data.Dataset:
     """Exact kNN for a broadcast query set: per-candidate-block top-k
     partials (map_batches over the streaming candidate side) merged by
     a per-query top-k shuffle.  The fallback final round of knn_graph —
@@ -356,6 +365,8 @@ def _knn_broadcast(queries: ray.data.Dataset, cand: ray.data.Dataset, k: int,
     qref = ray.put((qdf["id"].to_numpy(), qdf["x"].to_numpy(),
                     qdf["y"].to_numpy()))
 
+    dist = _METRICS[metric]
+
     def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
         qid, qx, qy = ray.get(qref)
         cid = batch["id"].to_numpy()
@@ -365,19 +376,15 @@ def _knn_broadcast(queries: ray.data.Dataset, cand: ray.data.Dataset, k: int,
         for lo in range(0, len(qid), 512):
             hi = min(lo + 512, len(qid))
             nq = hi - lo
-            d = _dist(qx[lo:hi, None], qy[lo:hi, None], cx[None, :], cy[None, :])
+            d = dist(qx[lo:hi, None], qy[lo:hi, None], cx[None, :], cy[None, :])
             if not bipartite:
                 d[cid[None, :] == qid[lo:hi, None]] = np.inf
             kk = min(k, d.shape[1])
             if kk <= 0:
                 continue
-            if d.shape[1] > kk + 1:
-                part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-            else:
-                part = np.broadcast_to(np.arange(d.shape[1]), (nq, d.shape[1]))
-            rows0 = np.repeat(np.arange(nq)[:, None], part.shape[1], 1)
-            order_in = np.lexsort((cid[part], d[rows0, part]), axis=1)[:, :kk]
-            sel = part[np.repeat(np.arange(nq)[:, None], kk, 1), order_in]
+            # tie-exact: full lexsort by (distance, id)
+            sel = np.lexsort((np.broadcast_to(cid, d.shape), d),
+                             axis=1)[:, :kk]
             rows = np.repeat(np.arange(nq), kk)
             dsel = d[rows, sel.ravel()]
             keep = np.isfinite(dsel)  # self-only blocks emit nothing

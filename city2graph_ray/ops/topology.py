@@ -82,7 +82,8 @@ def dedup_coords_with_ids(
 
 
 def segments_to_graph(
-    segments: ray.data.Dataset, multigraph: bool = True, directed: bool = False
+    segments: ray.data.Dataset, multigraph: bool = True, directed: bool = False,
+    on_duplicate: str = "first",
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """LineString table → (nodes, edges).
 
@@ -138,6 +139,20 @@ def segments_to_graph(
     if multigraph:
         edges = shuffle.rank_in_group(resolved, ["src", "dst"], "row_seq",
                                       rank_col="edge_key")
+    elif on_duplicate == "error":
+        # the reference raises on duplicate pairs when multigraph=False
+        # (morphology.py:1807-1828)
+        def check(g: pd.DataFrame) -> pd.DataFrame:
+            dup = g.duplicated(["src", "dst"])
+            if dup.any():
+                r = g[dup].iloc[0]
+                raise ValueError(
+                    f"duplicate segment pair {r['src']}-{r['dst']} with "
+                    f"multigraph=False")
+            g = g.copy()
+            g["edge_key"] = np.int64(0)
+            return g
+        edges = shuffle.grouped_transform(resolved, ["src", "dst"], check)
     else:
         edges = shuffle.first_by(resolved, ["src", "dst"], "row_seq")
         edges = edges.map_batches(lambda b: b.assign(edge_key=np.int64(0)),

@@ -1,0 +1,126 @@
+"""Bounded event-time windows over stream-shaped tables.
+
+The reference's only window is LEAD-per-trip (transportation.py:798,
+1066-1080 — covered by ops/transport.consecutive_legs).  These are the
+engine-added aggregate windows a training-data pipeline needs over an
+ordered, partitioned log (ray_guide: "treat the input as an ordered,
+partitioned log"): tumbling and sliding event-time windows as
+partial+final aggregations — no watermarks (batch semantics; Ray Data
+has no event-time streaming).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from city2graph_ray import shuffle
+
+
+def tumbling_window(events: ray.data.Dataset, size_sec: float,
+                    key_col: str = "event_type", ts_col: str = "ts",
+                    value_col: str = "value", round_to: int = 4,
+                    ) -> ray.data.Dataset:
+    """Per (key, floor(epoch/size)) window: count + sum + min + max.
+    Output: (key, window_start_sec, n, sum_value, min_value, max_value).
+    SQL mirror: GROUP BY key, floor(epoch(ts)/size)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = (batch[ts_col].to_numpy().astype("datetime64[ns]")
+                 .astype(np.int64) / 1e9)  # unit-safe: µs/ns → sec
+        win = np.floor(epoch / size_sec).astype(np.int64)
+        out = pd.DataFrame({key_col: batch[key_col], "win": win,
+                            "v": batch[value_col].to_numpy(np.float64)})
+        return (out.groupby([key_col, "win"], sort=False)
+                .agg(n=("v", "size"), sum_v=("v", "sum"),
+                     min_v=("v", "min"), max_v=("v", "max")).reset_index())
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    summed = shuffle.group_agg(partials, [key_col, "win"],
+                               {"n": ("n", "sum"), "sum_v": ("sum_v", "sum"),
+                                "min_v": ("min_v", "min"),
+                                "max_v": ("max_v", "max")}, partial=False)
+
+    def post(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: batch[key_col],
+            "window_start_sec": (batch["win"].to_numpy(np.int64)
+                                 * np.int64(size_sec)),
+            "n": batch["n"].astype(np.int64),
+            "sum_value": np.round(batch["sum_v"].to_numpy(), round_to),
+            "min_value": np.round(batch["min_v"].to_numpy(), round_to),
+            "max_value": np.round(batch["max_v"].to_numpy(), round_to)})
+
+    return summed.map_batches(post, batch_format="pandas")
+
+
+def sliding_window(events: ray.data.Dataset, size_sec: float, step_sec: float,
+                   key_col: str = "event_type", ts_col: str = "ts",
+                   value_col: str = "value", round_to: int = 4,
+                   ) -> ray.data.Dataset:
+    """Sliding windows as replicated tumbling: each event lands in
+    size/step windows (flat-map), then the same partial+final reduce.
+    ``size`` must be a multiple of ``step``."""
+    reps = int(round(size_sec / step_sec))
+    if abs(reps * step_sec - size_sec) > 1e-9:
+        raise ValueError("size_sec must be a multiple of step_sec")
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = (batch[ts_col].to_numpy().astype("datetime64[ns]")
+                 .astype(np.int64) / 1e9)
+        base = np.floor(epoch / step_sec).astype(np.int64)
+        rows = np.repeat(np.arange(len(batch)), reps)
+        offs = np.tile(np.arange(reps, dtype=np.int64), len(batch))
+        win = base[rows] - offs  # window index in step units
+        out = pd.DataFrame({key_col: batch[key_col].to_numpy()[rows],
+                            "win": win,
+                            "v": batch[value_col].to_numpy(np.float64)[rows]})
+        return (out.groupby([key_col, "win"], sort=False)
+                .agg(n=("v", "size"), sum_v=("v", "sum")).reset_index())
+
+    partials = events.map_batches(explode, batch_format="pandas")
+    summed = shuffle.group_agg(partials, [key_col, "win"],
+                               {"n": ("n", "sum"), "sum_v": ("sum_v", "sum")},
+                               partial=False)
+
+    def post(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: batch[key_col],
+            "window_start_sec": np.round(batch["win"].to_numpy(np.int64)
+                                         * step_sec, 6),
+            "n": batch["n"].astype(np.int64),
+            "sum_value": np.round(batch["sum_v"].to_numpy(), round_to)})
+
+    return summed.map_batches(post, batch_format="pandas")
+
+
+def sessionize(events: ray.data.Dataset, gap_sec: float,
+               key_col: str = "user_id", ts_col: str = "ts",
+               ) -> ray.data.Dataset:
+    """Session windows per key: a new session starts when the gap to
+    the previous event exceeds ``gap_sec``.  Output: (key, session_id,
+    session_start_sec, session_end_sec, n_events).  Per-key sort inside
+    a bucketed group (ordering assumption: one key fits one group)."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, sub in g.groupby(key_col, sort=False):
+            sub = sub.sort_values([ts_col, "event_id"], kind="stable")
+            epoch = (sub[ts_col].to_numpy().astype("datetime64[ns]")
+                     .astype(np.int64) / 1e9)
+            new = np.concatenate(([True], np.diff(epoch) > gap_sec))
+            sid = np.cumsum(new) - 1
+            df = pd.DataFrame({key_col: key, "session_id": sid, "e": epoch})
+            agg = (df.groupby("session_id")
+                   .agg(session_start_sec=("e", "min"),
+                        session_end_sec=("e", "max"),
+                        n_events=("e", "size")).reset_index())
+            agg[key_col] = key
+            outs.append(agg[[key_col, "session_id", "session_start_sec",
+                             "session_end_sec", "n_events"]])
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {key_col: [], "session_id": [], "session_start_sec": [],
+             "session_end_sec": [], "n_events": []})
+
+    return shuffle.grouped_transform(events, [key_col], kernel)

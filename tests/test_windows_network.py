@@ -1,0 +1,147 @@
+"""Windows, network-metric builders, manhattan metric, metapath extras."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def small_events() -> pd.DataFrame:
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:05", "2024-01-01 00:00:55", "2024-01-01 00:01:10",
+        "2024-01-01 00:03:20", "2024-01-01 00:03:30"])
+    return pd.DataFrame({"event_id": np.arange(5, dtype=np.int64),
+                         "ts": ts,
+                         "user_id": [1, 1, 1, 2, 2],
+                         "event_type": ["a", "a", "b", "a", "a"],
+                         "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+
+
+def test_tumbling_window(small_events):
+    from city2graph_ray.ops.windows import tumbling_window
+    out = tumbling_window(rd.from_pandas(small_events), 60.0).to_pandas()
+    out = out.set_index(["event_type", "window_start_sec"]).sort_index()
+    base = pd.Timestamp("2024-01-01").value // 10 ** 9
+    assert out.loc[("a", base), "n"] == 2          # 00:00:05, 00:00:55
+    assert out.loc[("a", base), "sum_value"] == 3.0
+    assert out.loc[("b", base + 60), "n"] == 1
+    assert out.loc[("a", base + 180), "n"] == 2
+
+
+def test_sliding_window(small_events):
+    from city2graph_ray.ops.windows import sliding_window
+    out = sliding_window(rd.from_pandas(small_events), 120.0, 60.0).to_pandas()
+    base = pd.Timestamp("2024-01-01").value // 10 ** 9
+    a = out[out["event_type"] == "a"].set_index("window_start_sec")
+    # windows [base-60, base+60) and [base, base+120) each hold both
+    # minute-0 'a' events (00:00:05 and 00:00:55)
+    assert a.loc[base, "n"] == 2
+    assert a.loc[base - 60, "n"] == 2
+    # the 03:xx events never share a window with minute 0
+    assert a.loc[base + 180, "n"] == 2
+    with pytest.raises(ValueError):
+        sliding_window(rd.from_pandas(small_events), 100.0, 33.0)
+
+
+def test_sessionize(small_events):
+    from city2graph_ray.ops.windows import sessionize
+    out = sessionize(rd.from_pandas(small_events), gap_sec=60.0).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_id")
+    # gaps: 50s (same), 15s (same) → one session of 3 for user 1
+    assert list(u1["n_events"]) == [3]
+    u2 = out[out["user_id"] == 2]
+    assert list(u2["n_events"]) == [2]
+
+
+def test_manhattan_metric(customer_points):
+    from city2graph_ray.ops.proximity import fixed_radius_graph, knn_graph
+    pts = customer_points
+    x = pts["x"].to_numpy()
+    y = pts["y"].to_numpy()
+    ids = pts["id"].to_numpy()
+    d = np.abs(x[:, None] - x[None, :]) + np.abs(y[:, None] - y[None, :])
+    r = 50.0
+    got = fixed_radius_graph(rd.from_pandas(pts), r,
+                             metric="manhattan").to_pandas()
+    ii, jj = np.nonzero((d <= r) & (ids[:, None] < ids[None, :]))
+    assert len(got) == len(ii)
+    assert set(map(tuple, got[["src", "dst"]].to_numpy())) == set(
+        zip(ids[ii], ids[jj]))
+
+    k = 3
+    gk = knn_graph(rd.from_pandas(pts), k, metric="manhattan").to_pandas()
+    rows = []
+    for i in range(len(pts)):
+        dd = d[i].copy()
+        dd[i] = np.inf
+        for j in np.lexsort((ids, dd))[:k]:
+            rows.append((ids[i], ids[j]))
+    assert set(map(tuple, gk[["src", "dst"]].to_numpy())) == set(rows)
+
+
+@pytest.fixture(scope="module")
+def net():
+    """Chain network 0-1-2-3-4 at x=0,10,20,30,40 with unit-per-length
+    weights, plus points snapped near the nodes."""
+    nodes = pd.DataFrame({"node_id": np.arange(5, dtype=np.int64),
+                          "x": np.arange(5) * 10.0, "y": np.zeros(5)})
+    edges = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4],
+                          "length": [10.0] * 4})
+    points = pd.DataFrame({"id": np.array([100, 101, 102, 103], np.int64),
+                           "x": [1.0, 11.0, 21.0, 41.0],
+                           "y": [0.0, 0.0, 0.0, 0.0]})
+    return nodes, edges, points
+
+
+def test_network_knn(net):
+    from city2graph_ray.ops.network import network_knn_graph
+    nodes, edges, points = net
+    got = network_knn_graph(rd.from_pandas(points), nodes, edges,
+                            k=2).to_pandas()
+    m = {(r.src, r.dst): r.distance for r in got.itertuples()}
+    # point 100 snaps to node 0: neighbors 101 (10), 102 (20)
+    assert m[(100, 101)] == 10.0 and m[(100, 102)] == 20.0
+    assert (100, 103) not in m  # k=2 cuts the 40-cost one
+    # point 103 snaps to node 4: nearest 102 (20), 101 (30)
+    assert m[(103, 102)] == 20.0 and m[(103, 101)] == 30.0
+
+
+def test_network_fixed_radius(net):
+    from city2graph_ray.ops.network import network_fixed_radius_graph
+    nodes, edges, points = net
+    got = network_fixed_radius_graph(rd.from_pandas(points), nodes, edges,
+                                     radius=20.0).to_pandas()
+    pairs = set(map(tuple, got[["src", "dst"]].to_numpy()))
+    assert pairs == {(100, 101), (100, 102), (101, 102), (102, 103)}
+
+
+def test_metapath_undirected_and_callable():
+    from city2graph_ray.ops.metapath import add_metapaths
+    # 1-10-2 and 2-10-1 are the same undirected path → dedup to one
+    h1 = pd.DataFrame({"src": [1, 2], "dst": [10, 10], "w": [1.0, 2.0]})
+    h2 = pd.DataFrame({"src": [10, 10], "dst": [2, 1], "w": [4.0, 8.0]})
+    und = add_metapaths([rd.from_pandas(h1), rd.from_pandas(h2)],
+                        attr_cols=("w",), undirected=True).to_pandas()
+    # 4 directed paths; 1-10-2 ≡ 2-10-1 collapse → 3 (incl. two loops)
+    assert len(und) == 3
+    r = und[(und["src"] == 1) & (und["dst"] == 2)].iloc[0]
+    assert r.weight == 1 and r.w_sum == 5.0  # deterministic winner (min w)
+    # directed: all 4 paths distinct → 4 terminal pairs
+    dire = add_metapaths([rd.from_pandas(h1), rd.from_pandas(h2)],
+                         attr_cols=("w",)).to_pandas()
+    assert len(dire) == 4
+
+    # custom callable reducer (max of per-path sums)
+    def pmax(v):
+        return float(np.max(v))
+
+    out = add_metapaths([rd.from_pandas(h1), rd.from_pandas(h2)],
+                        attr_cols=("w",), agg=pmax).to_pandas()
+    got = {(r.src, r.dst): r.w_pmax for r in out.itertuples()}
+    assert got[(1, 2)] == 1.0 + 4.0  # path 1-10-2: w sums to 5
+    assert got[(2, 1)] == 2.0 + 8.0
