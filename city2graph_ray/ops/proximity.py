@@ -698,56 +698,71 @@ def contiguity_graph(polys: ray.data.Dataset, contiguity: str = "queen",
     from city2graph_ray.geom.kernels import polygon_area_centroid
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"id": [], "k1": [], "k2": [], "k3": [], "k4": [], "cx": [], "cy": []}
-        for pid, coords in zip(batch["id"], batch["coords"]):
-            c = np.asarray(coords, np.float64).reshape(-1, 2)
-            if len(c) and (c[0] == c[-1]).all():
-                c = c[:-1]
-            _, cx, cy = polygon_area_centroid(coords)
-            q = np.round(c * quant).astype(np.int64)
-            if contiguity == "queen":
-                n = len(q)
-                out["id"].extend([pid] * n)
-                out["k1"].extend(q[:, 0])
-                out["k2"].extend(q[:, 1])
-                out["k3"].extend([0] * n)
-                out["k4"].extend([0] * n)
-                out["cx"].extend([cx] * n)
-                out["cy"].extend([cy] * n)
-            else:
-                a = q
-                b = np.roll(q, -1, axis=0)
-                swap = (a[:, 0] > b[:, 0]) | ((a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1]))
-                lo = np.where(swap[:, None], b, a)
-                hi = np.where(swap[:, None], a, b)
-                n = len(q)
-                out["id"].extend([pid] * n)
-                out["k1"].extend(lo[:, 0])
-                out["k2"].extend(lo[:, 1])
-                out["k3"].extend(hi[:, 0])
-                out["k4"].extend(hi[:, 1])
-                out["cx"].extend([cx] * n)
-                out["cy"].extend([cy] * n)
-        return pd.DataFrame(out)
+        # fully vectorized over the ragged rings: flat vertex array +
+        # per-ring offsets (Arrow list layout), reduceat shoelace
+        # centroids, per-vertex/segment keys by repeat — no Python loop
+        # over polygons
+        rings = []
+        for c in batch["coords"]:
+            r = np.asarray(c, np.float64).reshape(-1, 2)
+            if len(r) and (r[0] == r[-1]).all():
+                r = r[:-1]
+            rings.append(r)
+        lens = np.fromiter((len(r) for r in rings), np.int64, len(rings))
+        if lens.sum() == 0:
+            return pd.DataFrame({k: [] for k in
+                                 ("id", "k1", "k2", "k3", "k4", "cx", "cy")})
+        V = np.concatenate(rings)
+        x, y = V[:, 0], V[:, 1]
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ends = starts + lens - 1
+        nxt = np.arange(len(V)) + 1
+        nxt[ends] = starts  # wrap within each ring
+        cross = x * y[nxt] - x[nxt] * y
+        a2 = np.add.reduceat(cross, starts)
+        sx = np.add.reduceat((x + x[nxt]) * cross, starts)
+        sy = np.add.reduceat((y + y[nxt]) * cross, starts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cx = np.where(a2 != 0, sx / (3.0 * a2),
+                          np.add.reduceat(x, starts) / np.maximum(lens, 1))
+            cy = np.where(a2 != 0, sy / (3.0 * a2),
+                          np.add.reduceat(y, starts) / np.maximum(lens, 1))
+        pid = np.repeat(batch["id"].to_numpy().astype(np.int64), lens)
+        pcx = np.repeat(cx, lens)
+        pcy = np.repeat(cy, lens)
+        q = np.round(V * quant).astype(np.int64)
+        if contiguity == "queen":
+            return pd.DataFrame({"id": pid, "k1": q[:, 0], "k2": q[:, 1],
+                                 "k3": np.int64(0), "k4": np.int64(0),
+                                 "cx": pcx, "cy": pcy})
+        qn = q[nxt]
+        swap = (q[:, 0] > qn[:, 0]) | ((q[:, 0] == qn[:, 0])
+                                       & (q[:, 1] > qn[:, 1]))
+        lo = np.where(swap[:, None], qn, q)
+        hi = np.where(swap[:, None], q, qn)
+        return pd.DataFrame({"id": pid, "k1": lo[:, 0], "k2": lo[:, 1],
+                             "k3": hi[:, 0], "k4": hi[:, 1],
+                             "cx": pcx, "cy": pcy})
 
     inc = polys.map_batches(explode, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        u = g.drop_duplicates("id")
-        if len(u) < 2:
-            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
-                                 "dst": pd.Series(dtype=np.int64),
-                                 "distance": pd.Series(dtype=np.float64)})
-        ids = u["id"].to_numpy()
-        cx = u["cx"].to_numpy()
-        cy = u["cy"].to_numpy()
-        o = np.argsort(ids)
-        ids, cx, cy = ids[o], cx[o], cy[o]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"src": ids[ii], "dst": ids[jj],
-                             "distance": _dist(cx[ii], cy[ii], cx[jj], cy[jj])})
+    keys = ["k1", "k2", "k3", "k4"]
 
-    cand = inc.groupby(["k1", "k2", "k3", "k4"]).map_groups(pairs, batch_format="pandas")
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per bucket: self-join on the exact vertex/segment
+        # key; ordered id pairs sharing a key are contiguity candidates
+        u = g.drop_duplicates([*keys, "id"])
+        m = u.merge(u, on=keys)
+        m = m[m["id_x"] < m["id_y"]]
+        out = pd.DataFrame({"src": m["id_x"].to_numpy(),
+                            "dst": m["id_y"].to_numpy(),
+                            "distance": _dist(m["cx_x"].to_numpy(),
+                                              m["cy_x"].to_numpy(),
+                                              m["cx_y"].to_numpy(),
+                                              m["cy_y"].to_numpy())})
+        return out.drop_duplicates(["src", "dst"])
+
+    cand = shuffle.grouped_transform(inc, keys, pairs)
     return shuffle.distinct(cand, ["src", "dst"])
 
 
