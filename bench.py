@@ -28,7 +28,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
-def lineitem_points(sf_dir: str, per_row: int = 2):
+def lineitem_points(sf_dir: str, per_row: int = 4):
     """~2.4M derived points at sf0.1 (``per_row`` points per lineitem
     row, key = (orderkey*8 + linenumber)*per_row + j) — sized so the
     spatial kernels are compute-bound at 32 CPUs (shuffle latency ≪
