@@ -225,7 +225,12 @@ def knn_graph(
             out["is_halo"] = False
             return out
 
-        qs = queries.map_batches(q_tag, batch_format="pandas")
+        # unipartite round 0: every point is both query and candidate —
+        # the non-halo candidate rows ARE the queries, so the separate
+        # query side is skipped entirely (~30% less shuffle volume)
+        implicit_queries = not bipartite and not prefilter
+        qs = (None if implicit_queries
+              else queries.map_batches(q_tag, batch_format="pandas"))
         ts = cand.map_batches(
             lambda b: b[["id", "x", "y"]].assign(is_query=False),
             batch_format="pandas")
@@ -253,8 +258,11 @@ def knn_graph(
         cols = ["id", "x", "y", "is_query", "cell", "is_halo"]
         tc = expand_halo(ts, cs, hw, extra_cols=("is_query",)).map_batches(
             lambda b: b[cols], batch_format="pandas")
-        qs2 = qs.map_batches(lambda b: b[cols], batch_format="pandas")
-        both = qs2.union(tc)
+        if implicit_queries:
+            both = tc
+        else:
+            qs2 = qs.map_batches(lambda b: b[cols], batch_format="pandas")
+            both = qs2.union(tc)
 
         def _round_empty() -> pd.DataFrame:
             return pd.DataFrame({"src": pd.Series(dtype=np.int64),
@@ -264,9 +272,14 @@ def knn_graph(
                                  "qx": pd.Series(dtype=np.float64),
                                  "qy": pd.Series(dtype=np.float64)})
 
-        def kernel(g: pd.DataFrame, halo_w=hw) -> pd.DataFrame:
-            q = g[g["is_query"]]
-            c = g[~g["is_query"]]
+        def kernel(g: pd.DataFrame, halo_w=hw,
+                   implicit_queries=implicit_queries) -> pd.DataFrame:
+            if implicit_queries:
+                q = g[~g["is_halo"]]
+                c = g
+            else:
+                q = g[g["is_query"]]
+                c = g[~g["is_query"]]
             if len(q) == 0:
                 return _round_empty()
             cid = c["id"].to_numpy()

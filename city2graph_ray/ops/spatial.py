@@ -136,9 +136,19 @@ def create_isochrone(reach_nodes: pd.DataFrame, method: str = "convex",
         e = alpha_shape_edges(pts, alpha)
         rings = [np.array([pts[a], pts[b]]).reshape(-1) for a, b in e]
         return {"method": "alpha", "rings": rings}
+    if method == "buffer":
+        from city2graph_ray.geom.hulls import raster_buffer_rings
+        n = max(len(pts), 2)
+        area = max(pts[:, 0].ptp() * pts[:, 1].ptp(), 1e-9)
+        radius = 2.0 * np.sqrt(area / n)  # ~2× mean spacing
+        return {"method": "buffer",
+                "rings": raster_buffer_rings(pts, radius)}
+    if method == "concave-knn":
+        from city2graph_ray.geom.hulls import concave_hull_knn
+        return {"method": "concave-knn",
+                "rings": [concave_hull_knn(pts)]}
     raise ValueError(f"unknown isochrone method {method!r} "
-                     "(convex | alpha; buffer/knn-hull need a polygon "
-                     "union primitive — not available without shapely)")
+                     "(convex | alpha | buffer | concave-knn)")
 
 
 def isochrone_layers(edges: pd.DataFrame, nodes: pd.DataFrame,

@@ -68,7 +68,7 @@ def test_isochrone_layers(chain_graph):
     assert [la["threshold"] for la in layers] == [35.0, 15.0]  # largest first
     assert layers[0]["n_nodes"] == 4 and layers[1]["n_nodes"] == 2
     with pytest.raises(ValueError):
-        create_isochrone(nodes, method="buffer")
+        create_isochrone(nodes, method="nope")
 
 
 def test_gtfs_dir_loader(tmp_path):
@@ -88,3 +88,37 @@ def test_gtfs_dir_loader(tmp_path):
     # blank lat/lon row dropped (reference guard transportation.py:294-310)
     assert list(geo["stop_id"]) == ["A"]
     assert geo.iloc[0]["x"] == 2.0 and geo.iloc[0]["y"] == 1.0
+
+
+def test_buffer_rings_two_clusters():
+    from city2graph_ray.geom.hulls import raster_buffer_rings
+    rng = np.random.default_rng(0)
+    pts = np.vstack([rng.uniform(0, 5, (30, 2)), rng.uniform(50, 55, (30, 2))])
+    rings = raster_buffer_rings(pts, 3.0, 1.0)
+    assert len(rings) == 2  # disjoint clusters → two boundary rings
+    for r in rings:
+        c = r.reshape(-1, 2)
+        assert len(c) >= 8
+
+
+def test_concave_knn_hull_l_shape():
+    from city2graph_ray.geom.hulls import concave_hull_knn
+    from city2graph_ray.geom.kernels import (points_in_polygon,
+                                             polygon_area_centroid)
+    from city2graph_ray.ops.spatial import convex_hull
+    L = np.array([[x, y] for x in range(10) for y in range(10)
+                  if x < 3 or y < 3], float)
+    h = concave_hull_knn(L, k=3)
+    a, _, _ = polygon_area_centroid(h)
+    ca, _, _ = polygon_area_centroid(convex_hull(L))
+    assert abs(a) < abs(ca) * 0.7  # genuinely concave, not the fallback
+    assert points_in_polygon(L[:, 0], L[:, 1], h).all()
+
+
+def test_isochrone_buffer_and_concave(chain_graph):
+    from city2graph_ray.ops.spatial import create_isochrone
+    nodes, _ = chain_graph
+    iso_b = create_isochrone(nodes, method="buffer")
+    assert iso_b["method"] == "buffer" and len(iso_b["rings"]) >= 1
+    iso_c = create_isochrone(nodes, method="concave-knn")
+    assert iso_c["method"] == "concave-knn" and len(iso_c["rings"]) == 1
