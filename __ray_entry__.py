@@ -430,6 +430,12 @@ def _bridge_knn(sf_dir: str):
     return knn_graph(customer_points(sf_dir), 2, targets=targets)
 
 
+def _ngram_jaccard(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(documents(sf_dir), threshold=0.35)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -466,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_tumbling_window": _event_tumbling,
         "pt_knn_manhattan": _pt_knn_manhattan,
         "bridge_knn_cust_supp": _bridge_knn,
+        "ngram_jaccard_pairs": _ngram_jaccard,
     }
 
 

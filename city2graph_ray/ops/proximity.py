@@ -99,6 +99,8 @@ def fixed_radius_graph(
     cell_size: float | None = None,
     targets: ray.data.Dataset | None = None,
     metric: str = "euclidean",
+    auto_skew: bool = False,
+    hot_cell_threshold: int = 20000,
 ) -> ray.data.Dataset:
     """All pairs within ``radius`` (reference proximity.py:1303-1437).
 
@@ -115,6 +117,25 @@ def fixed_radius_graph(
     # — shuffle bytes are the scaling bottleneck, kernel compute is not
     # (measured sweep in BASELINE.md)
     cs = max(cell_size or 8.0 * radius, radius)
+    if auto_skew and cell_size is None:
+        # hot-cell mitigation for Zipfian (urban-core) inputs: a cheap
+        # pre-count finds the hottest cell; the grid shrinks (never
+        # below the radius floor) until the per-tile kernel cost
+        # max_count² stays bounded.  For algebraic aggregates the
+        # combiner in shuffle.group_agg already plays the salt role;
+        # per-tile ALGORITHMS need this geometric subdivision instead
+        # (SURVEY.md §4 skew row).
+        probe = points.map_batches(
+            lambda b: pd.DataFrame({"cell": cells.cell_id(
+                b["x"].to_numpy(), b["y"].to_numpy(), cs)}),
+            batch_format="pandas")
+        counts = shuffle.group_agg(probe, ["cell"],
+                                   {"n": ("cell", "size")}).to_pandas()
+        max_n = int(counts["n"].max()) if len(counts) else 0
+        while max_n > hot_cell_threshold and cs > 2.0 * radius:
+            cs = max(cs / 2.0, radius)
+            max_n = max_n // 3  # conservative estimate; exact re-count
+            # is unnecessary — correctness holds for any cs ≥ radius
     dist = _METRICS[metric]  # halo=radius stays valid: L1 ≥ L∞ ≥ axis gap
 
     if targets is None:

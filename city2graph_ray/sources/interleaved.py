@@ -185,3 +185,17 @@ def doc_points(docs: ray.data.Dataset, kind: str = "geom_point") -> ray.data.Dat
                          "x": t["x"], "y": t["y"]})
 
     return g.map_batches(to_points, batch_format="pyarrow")
+
+
+def rejoin_spans(docs: ray.data.Dataset, results: ray.data.Dataset,
+                 on: str = "doc_id") -> ray.data.Dataset:
+    """Re-attach the untouched ``spans`` column to a derived result
+    table (SURVEY.md §2 "wide rows": media-heavy span payloads are
+    projected OUT before heavy shuffles and joined back by ``doc_id``
+    at the end, so span bytes never ride through a shuffle).
+
+    One bucketed hash join on doc_id; span-sequence equality of the
+    joined rows is asserted by tests/test_interleaved.py."""
+    from city2graph_ray.joins import bucketed_join
+    spans_side = docs.select_columns([on, "spans"])
+    return bucketed_join(results, spans_side, on=on)

@@ -161,6 +161,42 @@ def minhash_lsh_candidates(docs: ray.data.Dataset, num_perm: int = 64,
     return shuffle.distinct(cand, ["a", "b"])
 
 
+def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
+                        num_perm: int = 64, bands: int = 16,
+                        shingle_k: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id", round_to: int = 6,
+                        ) -> ray.data.Dataset:
+    """Verified near-duplicate pairs with their exact character-n-gram
+    Jaccard (a < b, jaccard ≥ threshold).  Candidates come from the
+    MinHash-LSH banding; the exact Jaccard verification runs per
+    candidate pair against a broadcast id→text map."""
+    cand = minhash_lsh_candidates(docs, num_perm, bands, shingle_k,
+                                  text_col, id_col)
+    texts_df = docs.select_columns([id_col, text_col]).to_pandas()
+    ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(ref)
+            self.cache: dict[int, set] = {}
+
+        def sh(self, i) -> set:
+            if i not in self.cache:
+                self.cache[i] = char_shingles(self.texts[i], shingle_k)
+            return self.cache[i]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            jac = np.fromiter(
+                (jaccard(self.sh(a), self.sh(b))
+                 for a, b in zip(batch["a"], batch["b"])),
+                np.float64, len(batch))
+            out = batch.copy()
+            out["jaccard"] = np.round(jac, round_to)
+            return out[out["jaccard"] >= threshold]
+
+    return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 8))
+
+
 def minhash_dedup(docs: ray.data.Dataset, threshold: float = 0.5,
                   num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                   text_col: str = "text", id_col: str = "doc_id",

@@ -76,3 +76,22 @@ def test_fixed_radius_on_skewed_cluster():
     assert len(got) == len(ii)
     got_set = set(map(tuple, got[["src", "dst"]].to_numpy()))
     assert got_set == set(zip(ii, jj))
+
+
+def test_fixed_radius_auto_skew_exact():
+    """auto_skew shrinks the grid for a Zipfian hot spot but results
+    stay exact."""
+    from city2graph_ray.ops.proximity import fixed_radius_graph
+    rng = np.random.default_rng(11)
+    hot = rng.uniform(0, 4, (1200, 2))
+    cold = rng.uniform(0, 400, (300, 2))
+    pts = np.vstack([hot, cold])
+    df = pd.DataFrame({"id": np.arange(len(pts), dtype=np.int64),
+                       "x": pts[:, 0], "y": pts[:, 1]})
+    r = 1.5
+    got = fixed_radius_graph(rd.from_pandas(df), r, auto_skew=True,
+                             hot_cell_threshold=200).to_pandas()
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    ii, jj = np.nonzero((d <= r) & (np.arange(len(pts))[:, None]
+                                    < np.arange(len(pts))[None, :]))
+    assert len(got) == len(ii)

@@ -69,3 +69,22 @@ def test_doc_points_match_key_derivation(docs):
     exp["x"] = x[order]
     exp["y"] = y[order]
     pd.testing.assert_frame_equal(got, exp, atol=1e-9)
+
+
+def test_rejoin_spans_preserves_sequences(docs):
+    """Wide-row pattern: spans projected out, result joined back by
+    doc_id — the re-attached span sequence equals the source exactly."""
+    from city2graph_ray.sources.interleaved import doc_points, rejoin_spans
+
+    pts = doc_points(docs)
+    derived = pts.map_batches(
+        lambda b: pd.DataFrame({"doc_id": [f"cust-{i}" for i in b["id"]],
+                                "score": b["x"] + b["y"]}),
+        batch_format="pandas")
+    joined = rejoin_spans(docs, derived).to_pandas()
+    src = docs.to_pandas().set_index("doc_id")["spans"].to_dict()
+    assert len(joined) == pts.count()
+    for _, r in joined.sample(n=min(50, len(joined)), random_state=1).iterrows():
+        sa = [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        sb = [(s["kind"], s["text"], s["media_ref"]) for s in src[r["doc_id"]]]
+        assert sa == sb
