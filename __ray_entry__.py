@@ -430,6 +430,15 @@ def _bridge_knn(sf_dir: str):
     return knn_graph(customer_points(sf_dir), 2, targets=targets)
 
 
+def _event_user_counts(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type — the distributed
+    count-distinct archetype (GTFS service-day counts shape)."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+    return shuffle.count_distinct(events(sf_dir), ["event_type"], "user_id",
+                                  out_col="n_users")
+
+
 def _ngram_jaccard(sf_dir: str):
     from city2graph_ray.pipelines.tables import documents
     from city2graph_ray.text.dedup import ngram_jaccard_pairs
@@ -473,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_knn_manhattan": _pt_knn_manhattan,
         "bridge_knn_cust_supp": _bridge_knn,
         "ngram_jaccard_pairs": _ngram_jaccard,
+        "event_user_counts": _event_user_counts,
     }
 
 
@@ -720,6 +730,9 @@ def oracle_sql() -> dict[str, str]:
                         AND b1.qy = floor(s.ay/20.0 + 0.5)
             JOIN bins b2 ON b2.qx = floor(s.bx/20.0 + 0.5)
                         AND b2.qy = floor(s.by_/20.0 + 0.5)""",
+        "event_user_counts": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type""",
         "event_tumbling_window": """
             WITH t AS (SELECT event_type,
                        floor(epoch(ts) / 3600.0)::BIGINT AS win,

@@ -75,6 +75,38 @@ def first_by(ds: ray.data.Dataset, keys: Sequence[str], order_col: str,
         _debucket(kernel), batch_format="pandas")
 
 
+def last_by(ds: ray.data.Dataset, keys: Sequence[str], order_col: str,
+            num_buckets: int = DEFAULT_BUCKETS) -> ray.data.Dataset:
+    """Per key, the row with the LARGEST ``order_col`` — last-occurrence
+    wins (the reference's _get_last_occurrence_indexer,
+    graph.py:133-163)."""
+    keys = list(keys)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(order_col, kind="stable")
+                .drop_duplicates(keys, keep="last"))
+
+    return _bucketize(ds, keys, num_buckets).groupby("__bucket").map_groups(
+        _debucket(kernel), batch_format="pandas")
+
+
+def count_distinct(ds: ray.data.Dataset, keys: Sequence[str], value_col: str,
+                   out_col: str = "n_distinct",
+                   num_buckets: int = DEFAULT_BUCKETS) -> ray.data.Dataset:
+    """Per key, COUNT(DISTINCT value): two-stage — distinct on
+    (key, value) (first shuffle, pre-deduped per batch), then a size
+    aggregation per key (the reference's per-service active-date counts,
+    transportation.py:965-972)."""
+    keys = list(keys)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[*keys, value_col]].drop_duplicates()
+
+    dd = distinct(ds.map_batches(pre, batch_format="pandas"),
+                  [*keys, value_col], num_buckets)
+    return group_agg(dd, keys, {out_col: (value_col, "size")}, num_buckets)
+
+
 def rank_in_group(ds: ray.data.Dataset, keys: Sequence[str], order_col: str,
                   rank_col: str = "edge_key",
                   num_buckets: int = DEFAULT_BUCKETS) -> ray.data.Dataset:

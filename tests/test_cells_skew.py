@@ -95,3 +95,17 @@ def test_fixed_radius_auto_skew_exact():
     ii, jj = np.nonzero((d <= r) & (np.arange(len(pts))[:, None]
                                     < np.arange(len(pts))[None, :]))
     assert len(got) == len(ii)
+
+
+def test_shuffle_primitives_last_and_count_distinct():
+    from city2graph_ray import shuffle
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 2],
+                       "v": ["a", "b", "a", "c", "c"],
+                       "seq": [0, 1, 2, 3, 4]})
+    ds = rd.from_pandas(df)
+    last = shuffle.last_by(ds, ["k"], "seq").to_pandas()
+    got = dict(zip(last["k"], last["seq"]))
+    assert got == {1: 2, 2: 4}
+    cd = shuffle.count_distinct(ds, ["k"], "v", out_col="n").to_pandas()
+    got = dict(zip(cd["k"], cd["n"]))
+    assert got == {1: 2, 2: 1}
