@@ -248,6 +248,25 @@ def symmetrize_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     return shuffle.grouped_transform(t, ["u", "v"], complete)
 
 
+def clip_graph(nodes: ray.data.Dataset, edges: ray.data.Dataset,
+               ring: np.ndarray, strict: bool = True,
+               ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Clip a graph to a polygon (reference clip_graph,
+    utils/topology.py:698-772): strict keeps edges with BOTH endpoint
+    coordinates inside; nodes are then filtered to those still
+    referenced by a surviving edge (edge-connected filter :757-770).
+
+    ``edges`` needs endpoint coords (sx, sy, dx_, dy_) plus src/dst ids;
+    ``nodes`` needs node_id."""
+    kept_edges = clip_edges(edges, ring, strict=strict).materialize()
+    edf = kept_edges.to_pandas()
+    keep_ids = (set(edf["src"]) | set(edf["dst"])) if len(edf) else set()
+    from city2graph_ray.joins import semi_filter
+    kept_nodes = (semi_filter(nodes, keep_ids, "node_id")
+                  if keep_ids else nodes.filter(lambda r: False))
+    return kept_nodes, kept_edges
+
+
 def connected_components(edges: ray.data.Dataset, max_iters: int = 50) -> ray.data.Dataset:
     """Component label per node via iterated min-label propagation:
     label(n) ← min(label(n), min over neighbors) until fixpoint — each

@@ -112,3 +112,20 @@ def test_connected_components():
     assert cmap[1] == cmap[2] == cmap[3] == 1
     assert cmap[10] == cmap[11] == cmap[12] == 10
     assert cmap[20] == cmap[21] == 20
+
+
+def test_clip_graph():
+    from city2graph_ray.ops.topology import clip_graph
+    nodes = pd.DataFrame({"node_id": [0, 1, 2, 3],
+                          "x": [1.0, 5.0, 9.0, 20.0],
+                          "y": [1.0, 5.0, 9.0, 20.0]})
+    edges = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3],
+                          "sx": [1.0, 5.0, 9.0], "sy": [1.0, 5.0, 9.0],
+                          "dx_": [5.0, 9.0, 20.0], "dy_": [5.0, 9.0, 20.0]})
+    ring = np.array([0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0])
+    kn, ke = clip_graph(rd.from_pandas(nodes), rd.from_pandas(edges), ring)
+    kedf = ke.to_pandas()
+    # strict: edge 2-3 dropped (endpoint 3 outside)
+    assert set(map(tuple, kedf[["src", "dst"]].to_numpy())) == {(0, 1), (1, 2)}
+    # node 3 dropped (no surviving edge references it)
+    assert set(kn.to_pandas()["node_id"]) == {0, 1, 2}
