@@ -445,6 +445,43 @@ def _ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(documents(sf_dir), threshold=0.35)
 
 
+def _network_knn(sf_dir: str):
+    """kNN under NETWORK distance over the order-segment street graph
+    (reference's third DistanceMetric; Dijkstra not SQL-expressible →
+    rows-only, exactness covered by tests/test_windows_network.py)."""
+    from city2graph_ray.geom.kernels import linestring_length
+    from city2graph_ray.ops.network import network_knn_graph
+    from city2graph_ray.ops.topology import segments_to_graph
+    from city2graph_ray.pipelines.tables import customer_points, order_segments
+
+    nodes, edges = segments_to_graph(order_segments(sf_dir))
+    edf = edges.to_pandas()
+    edf["length"] = [linestring_length(np.asarray(c)) for c in edf["coords"]]
+    return network_knn_graph(customer_points(sf_dir), nodes.to_pandas(),
+                             edf[["src", "dst", "length"]], k=3)
+
+
+def _symmetrized_od(sf_dir: str):
+    """symmetrize_edges over an orders-derived directed edge table:
+    keep first row per direction, mirror pairs missing a reverse, keep
+    self-loops single (reference utils/topology.py:474-568)."""
+    import ray.data
+    from city2graph_ray.ops.topology import symmetrize_edges
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_totalprice"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": (batch["o_custkey"].to_numpy() % 50).astype(np.int64),
+            "dst": (batch["o_orderkey"].to_numpy() % 47).astype(np.int64),
+            "w": np.round(batch["o_totalprice"].to_numpy(), 2),
+            "row_seq": batch["o_orderkey"].to_numpy().astype(np.int64)})
+
+    return symmetrize_edges(ds.map_batches(derive, batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -483,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bridge_knn_cust_supp": _bridge_knn,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "event_user_counts": _event_user_counts,
+        "network_knn": _network_knn,
+        "symmetrized_od": _symmetrized_od,
     }
 
 
@@ -730,6 +769,25 @@ def oracle_sql() -> dict[str, str]:
                         AND b1.qy = floor(s.ay/20.0 + 0.5)
             JOIN bins b2 ON b2.qx = floor(s.bx/20.0 + 0.5)
                         AND b2.qy = floor(s.by_/20.0 + 0.5)""",
+        "symmetrized_od": """
+            WITH e AS (SELECT (o_custkey % 50) AS src,
+                              (o_orderkey % 47) AS dst,
+                              round(o_totalprice, 2) AS w,
+                              o_orderkey AS row_seq FROM orders),
+            firsts AS (
+                SELECT src, dst, w, row_seq FROM e
+                QUALIFY row_number() OVER (PARTITION BY src, dst
+                    ORDER BY row_seq) = 1),
+            loops AS (SELECT * FROM firsts WHERE src = dst),
+            fwd AS (SELECT * FROM firsts WHERE src <> dst),
+            mirrored AS (
+                SELECT f.dst AS src, f.src AS dst, f.w, f.row_seq
+                FROM fwd f
+                WHERE NOT EXISTS (SELECT 1 FROM fwd r
+                                  WHERE r.src = f.dst AND r.dst = f.src))
+            SELECT src, dst, w, row_seq FROM fwd
+            UNION ALL SELECT src, dst, w, row_seq FROM mirrored
+            UNION ALL SELECT src, dst, w, row_seq FROM loops""",
         "event_user_counts": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",
