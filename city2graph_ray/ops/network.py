@@ -107,14 +107,58 @@ def _node_points_map(snapped_df: pd.DataFrame):
 
 def network_knn_graph(points: ray.data.Dataset, nodes: pd.DataFrame,
                       edges: pd.DataFrame, k: int,
-                      weight_col: str = "length") -> ray.data.Dataset:
+                      weight_col: str = "length",
+                      max_rounds: int = 4) -> ray.data.Dataset:
     """k nearest points by network distance (reference
-    proximity.py:861-873): snap → per-node Dijkstra → top-k per source,
-    ties by (distance, dst id)."""
+    proximity.py:861-873): snap → bounded Dijkstra → top-k per source,
+    ties by (distance, dst id).
+
+    An UNBOUNDED Dijkstra per source explores the whole graph; instead
+    the cutoff starts near the expected k-neighborhood radius and
+    escalates ×4 for sources that found fewer than k points within it
+    (a source with ≥ k hits inside the cutoff is exact — its true k
+    nearest all lie within).  The final round is unbounded for the
+    stragglers."""
     snapped = snap_to_nodes(points, nodes).materialize()
-    npref = _node_points_map(snapped.to_pandas())
-    cand = _network_distances(snapped, edges, weight_col, None, npref)
-    return shuffle.topk_in_group(cand, ["src"], k,
+    sdf = snapped.to_pandas()
+    npref = _node_points_map(sdf)
+    mean_w = float(edges[weight_col].mean()) if len(edges) else 1.0
+    cutoff = mean_w * 2.0 * np.sqrt(max(k, 1))
+    remaining = snapped
+    parts = []
+    resolved_all: set = set()
+    for rnd in range(max_rounds):
+        final = rnd == max_rounds - 1
+        cand = _network_distances(remaining, edges, weight_col,
+                                  None if final else cutoff, npref)
+        cand = cand.materialize()
+        cdf = cand.to_pandas()
+        if cdf.empty or "src" not in cdf.columns:
+            if final:
+                break
+            cutoff *= 4.0
+            continue
+        counts = cdf.groupby("src").size()
+        ok_src = (set(counts[counts >= k].index) if not final
+                  else set(counts.index))
+        done = cdf[cdf["src"].isin(ok_src)]
+        if len(done):
+            parts.append(ray.data.from_pandas(done.reset_index(drop=True)))
+        resolved_all |= ok_src  # cumulative — never re-run solved sources
+        rem_df = sdf[~sdf["id"].isin(resolved_all)]
+        if rem_df.empty or final:
+            break
+        remaining = ray.data.from_pandas(rem_df.reset_index(drop=True))
+        cutoff *= 4.0
+    if not parts:
+        return ray.data.from_pandas(
+            pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                          "dst": pd.Series(dtype=np.int64),
+                          "distance": pd.Series(dtype=np.float64)}))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.union(p_)
+    return shuffle.topk_in_group(out, ["src"], k,
                                  ["distance", "dst"], [True, True])
 
 
