@@ -482,6 +482,37 @@ def _symmetrized_od(sf_dir: str):
     return symmetrize_edges(ds.map_batches(derive, batch_format="pandas"))
 
 
+def _tess_place_place(sf_dir: str):
+    """place↔place contiguity over the zonal tessellation (reference
+    place_to_place_graph morphology.py:891-1109): adjacent raster cells
+    carrying different tess_ids in the same enclosure."""
+    import ray.data
+    from city2graph_ray.ops.morphology import (place_to_place_edges,
+                                               zonal_tessellation)
+    from city2graph_ray.pipelines.tables import part_polygons
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def pts(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        xi = (k * k * synth.QX + k * synth.AX + synth.BX) % synth.MOD
+        yi = (k * k * synth.QY + k * synth.AY + synth.BY) % synth.MOD
+        m = (xi % 2500 != 0) & (yi % 2500 != 0)
+        return pd.DataFrame({"id": k[m], "x": xi[m] / 100.0, "y": yi[m] / 100.0})
+
+    buildings = cust.map_batches(pts, batch_format="pandas")
+    polys = part_polygons(sf_dir).to_pandas()
+    enclosures = pd.DataFrame({"enclosure_index": polys["id"],
+                               "coords": polys["coords"]})
+    tess = zonal_tessellation(buildings, enclosures, resolution=5.0)
+    pp = place_to_place_edges(tess)
+    return pp.map_batches(
+        lambda b: b[["src", "dst", "enclosure_index"]].astype(
+            {"enclosure_index": np.int64}),
+        batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -522,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_counts": _event_user_counts,
         "network_knn": _network_knn,
         "symmetrized_od": _symmetrized_od,
+        "tess_place_place": _tess_place_place,
     }
 
 
@@ -769,6 +801,51 @@ def oracle_sql() -> dict[str, str]:
                         AND b1.qy = floor(s.ay/20.0 + 0.5)
             JOIN bins b2 ON b2.qx = floor(s.bx/20.0 + 0.5)
                         AND b2.qy = floor(s.by_/20.0 + 0.5)""",
+        "tess_place_place": f"""
+            WITH raw AS (SELECT c_custkey AS id,
+                   ((c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                     + {synth.BX}) % {synth.MOD}) AS xi,
+                   ((c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                     + {synth.BY}) % {synth.MOD}) AS yi
+                 FROM customer),
+            b AS (SELECT id, xi/100.0 AS x, yi/100.0 AS y FROM raw
+                  WHERE xi % 2500 <> 0 AND yi % 2500 <> 0),
+            g AS (SELECT p_partkey AS gid, (p_partkey % 40) AS c,
+                         (p_partkey // 40) AS r FROM part),
+            contained AS (
+                SELECT g.gid, g.c, g.r, b.id, b.x, b.y,
+                       dense_rank() OVER (PARTITION BY g.gid
+                           ORDER BY b.x, b.y) - 1 AS rnk
+                FROM g JOIN b ON b.x > g.c*25.0 AND b.x < g.c*25.0+25.0
+                             AND b.y > g.r*25.0 AND b.y < g.r*25.0+25.0),
+            occ AS (SELECT DISTINCT gid, c, r FROM contained),
+            cel AS (SELECT occ.gid, occ.c, occ.r, s1.i, s2.j
+                    FROM occ, generate_series(0, 4) s1(i),
+                         generate_series(0, 4) s2(j)),
+            scored AS (
+                SELECT cel.gid AS enclosure_index,
+                       cel.c*5 + cel.i AS cell_ix,
+                       cel.r*5 + cel.j AS cell_iy,
+                       ct.gid || '_' || ct.rnk AS tess_id,
+                       ((cel.c*5 + cel.i + 0.5)*5.0 - ct.x)
+                         * ((cel.c*5 + cel.i + 0.5)*5.0 - ct.x)
+                       + ((cel.r*5 + cel.j + 0.5)*5.0 - ct.y)
+                         * ((cel.r*5 + cel.j + 0.5)*5.0 - ct.y) AS d2,
+                       ct.x AS bx, ct.y AS by_
+                FROM cel JOIN contained ct ON ct.gid = cel.gid),
+            assign AS (
+                SELECT enclosure_index, cell_ix, cell_iy, tess_id
+                FROM scored
+                QUALIFY row_number() OVER (PARTITION BY enclosure_index,
+                    cell_ix, cell_iy ORDER BY d2, bx, by_) = 1)
+            SELECT DISTINCT least(a.tess_id, b2.tess_id) AS src,
+                   greatest(a.tess_id, b2.tess_id) AS dst,
+                   a.enclosure_index
+            FROM assign a JOIN assign b2
+              ON a.enclosure_index = b2.enclosure_index
+             AND ((b2.cell_ix = a.cell_ix + 1 AND b2.cell_iy = a.cell_iy)
+               OR (b2.cell_ix = a.cell_ix AND b2.cell_iy = a.cell_iy + 1))
+             AND a.tess_id <> b2.tess_id""",
         "symmetrized_od": """
             WITH e AS (SELECT (o_custkey % 50) AS src,
                               (o_orderkey % 47) AS dst,
