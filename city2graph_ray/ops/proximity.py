@@ -101,6 +101,7 @@ def fixed_radius_graph(
     metric: str = "euclidean",
     auto_skew: bool = False,
     hot_cell_threshold: int = 20000,
+    strategy: str = "groupby",
 ) -> ray.data.Dataset:
     """All pairs within ``radius`` (reference proximity.py:1303-1437).
 
@@ -139,8 +140,6 @@ def fixed_radius_graph(
     dist = _METRICS[metric]  # halo=radius stays valid: L1 ≥ L∞ ≥ axis gap
 
     if targets is None:
-        expanded = expand_halo(points, cs, radius).repartition(_shuffle_blocks())
-
         def kernel(g: pd.DataFrame) -> pd.DataFrame:
             ids = g["id"].to_numpy()
             xs = g["x"].to_numpy()
@@ -159,6 +158,16 @@ def fixed_radius_graph(
                         "distance": d[ii[keep], jj[keep]]}))
             return pd.concat(out) if out else _empty_edges()
 
+        if strategy == "exchange":
+            # fused map/reduce hash exchange (city2graph_ray.exchange):
+            # measured ×1.5-2 over the Dataset sort shuffle, identical
+            # output (tests cross-check both strategies)
+            from city2graph_ray.exchange import cell_halo_exchange
+            return cell_halo_exchange(
+                points.map_batches(lambda b: b[["id", "x", "y"]],
+                                   batch_format="pandas"),
+                cs, radius, kernel)
+        expanded = expand_halo(points, cs, radius).repartition(_shuffle_blocks())
         return expanded.groupby("cell").map_groups(kernel, batch_format="pandas")
 
     # bipartite / directed: queries = points (home cell only), candidates = targets (+halo)
@@ -199,6 +208,7 @@ def knn_graph(
     targets: ray.data.Dataset | None = None,
     max_rounds: int = 4,
     metric: str = "euclidean",
+    strategy: str = "groupby",
 ) -> ray.data.Dataset:
     """Directed k-nearest-neighbors (reference proximity.py:771-887;
     self excluded; undirected view = canonicalize_edges downstream,
@@ -276,14 +286,16 @@ def knn_graph(
 
             ts = ts.map_batches(near_q, batch_format="pandas")
 
-        cols = ["id", "x", "y", "is_query", "cell", "is_halo"]
-        tc = expand_halo(ts, cs, hw, extra_cols=("is_query",)).map_batches(
-            lambda b: b[cols], batch_format="pandas")
-        if implicit_queries:
-            both = tc
-        else:
-            qs2 = qs.map_batches(lambda b: b[cols], batch_format="pandas")
-            both = qs2.union(tc)
+        both = None
+        if not (implicit_queries and strategy == "exchange"):
+            cols = ["id", "x", "y", "is_query", "cell", "is_halo"]
+            tc = expand_halo(ts, cs, hw, extra_cols=("is_query",)).map_batches(
+                lambda b: b[cols], batch_format="pandas")
+            if implicit_queries:
+                both = tc
+            else:
+                qs2 = qs.map_batches(lambda b: b[cols], batch_format="pandas")
+                both = qs2.union(tc)
 
         def _round_empty() -> pd.DataFrame:
             return pd.DataFrame({"src": pd.Series(dtype=np.int64),
@@ -349,8 +361,18 @@ def knn_graph(
                 return _round_empty()
             return pd.concat(outs)
 
-        result = (both.repartition(_shuffle_blocks())
-                  .groupby("cell").map_groups(kernel, batch_format="pandas"))
+        if implicit_queries and strategy == "exchange":
+            # round-0 unipartite: fused map/reduce exchange (see
+            # city2graph_ray.exchange) — same kernel, same output
+            from city2graph_ray.exchange import cell_halo_exchange
+            result = cell_halo_exchange(
+                cand.map_batches(lambda b: b[["id", "x", "y"]],
+                                 batch_format="pandas"),
+                cs, hw, kernel)
+        else:
+            result = (both.repartition(_shuffle_blocks())
+                      .groupby("cell").map_groups(kernel,
+                                                  batch_format="pandas"))
         result = result.materialize()
         resolved = result.filter(expr="resolved == True").drop_columns(
             ["resolved", "qx", "qy"])

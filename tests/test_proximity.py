@@ -176,3 +176,16 @@ def test_group_nodes_pip(part_polys, pts):
     exp = _sorted(pd.DataFrame(rows, columns=["poly_id", "point_id"])
                   .astype(np.int64))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_strategies_agree(pts):
+    """The exchange fast path and the Dataset groupby path produce
+    identical edge sets (fixed-radius and kNN round 0)."""
+    from city2graph_ray.ops.proximity import fixed_radius_graph, knn_graph
+    ds = rd.from_pandas(pts)
+    a = _sorted(fixed_radius_graph(ds, 40.0, strategy="exchange").to_pandas())
+    b = _sorted(fixed_radius_graph(ds, 40.0, strategy="groupby").to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    ka = _sorted(knn_graph(ds, 4, strategy="exchange").to_pandas())
+    kb = _sorted(knn_graph(ds, 4, strategy="groupby").to_pandas())
+    pd.testing.assert_frame_equal(ka, kb)
