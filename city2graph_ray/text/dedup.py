@@ -90,11 +90,27 @@ def fingerprint_dedup(docs: ray.data.Dataset, text_col: str = "text",
 # ------------------------------------------------------------------ shingles / jaccard
 
 def char_shingles(text: str, k: int = 5) -> set[int]:
-    """k-char shingle hashes (64-bit)."""
-    if len(text) < k:
+    """k-byte shingle ids, vectorized: each window's bytes packed into
+    one integer (injective for k ≤ 8 — not a hash at all, so Jaccard
+    over ids == Jaccard over the shingle strings exactly)."""
+    b = np.frombuffer(text.encode(), dtype=np.uint8)
+    if len(b) < k:
         return {int.from_bytes(hashlib.md5(text.encode()).digest()[:8], "big")}
-    return {int.from_bytes(hashlib.md5(text[i:i + k].encode()).digest()[:8], "big")
-            for i in range(len(text) - k + 1)}
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    powers = (np.uint64(256) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
+    ids = (win * powers[None, :]).sum(axis=1)
+    return set(np.unique(ids).tolist())
+
+
+def _shingle_id_array(text: str, k: int = 5) -> np.ndarray:
+    """Unique shingle ids as a uint64 array (no Python set)."""
+    b = np.frombuffer(text.encode(), dtype=np.uint8)
+    if len(b) < k:
+        return np.array([int.from_bytes(hashlib.md5(text.encode()).digest()[:8],
+                                        "big")], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    powers = (np.uint64(256) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
+    return np.unique((win * powers[None, :]).sum(axis=1))
 
 
 def jaccard(a: set, b: set) -> float:
@@ -116,7 +132,7 @@ class MinHasher:
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
-        sh = np.fromiter(char_shingles(text, self.k), np.uint64)
+        sh = _shingle_id_array(text, self.k)
         # (a*x + b) mod p over all shingles; min per permutation
         vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
@@ -234,15 +250,34 @@ def minhash_dedup(docs: ray.data.Dataset, threshold: float = 0.5,
 
     verified = cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 8))
 
-    from city2graph_ray.ops.topology import connected_components
     edges = verified.map_batches(
         lambda b: b.rename(columns={"a": "src", "b": "dst"})[["src", "dst"]],
         batch_format="pandas")
     edges = edges.materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         comp = pd.DataFrame({"node_id": pd.Series(dtype=np.int64),
                              "component": pd.Series(dtype=np.int64)})
+    elif n_edges <= 1_000_000:
+        # near-dup candidate sets are tiny relative to the corpus:
+        # driver union-find beats iterated label-propagation shuffles
+        edf = edges.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(a: int) -> int:
+            while parent.setdefault(a, a) != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for u, v in edf.itertuples(index=False):
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        comp = pd.DataFrame({"node_id": list(parent),
+                             "component": [find(k) for k in parent]})
     else:
+        from city2graph_ray.ops.topology import connected_components
         comp = connected_components(edges).to_pandas()
     cref = ray.put(dict(zip(comp["node_id"], comp["component"])))
 
