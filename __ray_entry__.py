@@ -507,10 +507,13 @@ def _tess_place_place(sf_dir: str):
                                "coords": polys["coords"]})
     tess = zonal_tessellation(buildings, enclosures, resolution=5.0)
     pp = place_to_place_edges(tess)
-    return pp.map_batches(
-        lambda b: b[["src", "dst", "enclosure_index"]].astype(
-            {"enclosure_index": np.int64}),
-        batch_format="pandas")
+    df = pp.to_pandas()  # empty Datasets lose their schema — pin it
+    if df.empty:
+        return pd.DataFrame({"src": pd.Series(dtype=str),
+                             "dst": pd.Series(dtype=str),
+                             "enclosure_index": pd.Series(dtype=np.int64)})
+    return (df[["src", "dst", "enclosure_index"]]
+            .astype({"enclosure_index": np.int64}))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
