@@ -1,0 +1,150 @@
+"""Reference-compatible API façade.
+
+One import surface with the REFERENCE's public names
+(/root/reference/city2graph/__init__.py exports), so a city2graph user
+can switch engines by swapping the import.  Signatures are
+Ray-Data-shaped (Datasets with Arrow-native geometry columns instead of
+GeoDataFrames; see README "Layout") but every operator the reference
+exports has a same-named entry point here.
+
+    from city2graph_ray import api as c2g
+    edges = c2g.knn_graph(points_ds, k=5)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+# --- proximity (reference proximity.py) ---------------------------------
+from city2graph_ray.ops.proximity import (  # noqa: F401
+    bridge_nodes,
+    contiguity_graph,
+    delaunay_graph,
+    euclidean_minimum_spanning_tree,
+    fixed_radius_graph,
+    gabriel_graph,
+    group_nodes,
+    knn_graph,
+    relative_neighborhood_graph,
+    waxman_graph,
+)
+
+# --- network metric (reference DistanceMetric network) ------------------
+from city2graph_ray.ops.network import (  # noqa: F401
+    network_fixed_radius_graph,
+    network_knn_graph,
+)
+
+# --- morphology (reference morphology.py) -------------------------------
+from city2graph_ray.ops.morphology import (  # noqa: F401
+    morphological_graph,
+    morphological_graphs,
+    place_to_movement_edges as place_to_movement_graph,
+    place_to_place_edges as place_to_place_graph,
+    zonal_tessellation as create_tessellation,
+)
+
+# --- topology (reference utils/topology.py, morphology.py) --------------
+from city2graph_ray.ops.topology import (  # noqa: F401
+    canonicalize_edges,
+    clip_graph,
+    dual_graph,
+    largest_component_filter as remove_isolated_components,
+    segments_to_graph,
+    symmetrize_edges,
+)
+
+# --- data / Overture segments (reference data.py) -----------------------
+from city2graph_ray.ops.segments import (  # noqa: F401
+    process_overture_segments,
+)
+
+# --- spatial utils (reference utils/spatial.py) -------------------------
+from city2graph_ray.ops.spatial import (  # noqa: F401
+    create_isochrone,
+    filter_graph_by_distance,
+)
+
+# --- transportation (reference transportation.py) -----------------------
+from city2graph_ray.ops.transport import (  # noqa: F401
+    get_od_pairs,
+    travel_summary_graph,
+)
+from city2graph_ray.sources.gtfs import (  # noqa: F401
+    load_gbfs_dir as load_gbfs,
+    load_gtfs_dir as load_gtfs,
+)
+
+# --- metapaths (reference metapath.py) ----------------------------------
+from city2graph_ray.ops.metapath import (  # noqa: F401
+    add_metapaths,
+    add_metapaths_by_weight,
+)
+
+# --- converters (reference utils/conversion.py, graph.py) ---------------
+from city2graph_ray.convert import (  # noqa: F401
+    from_networkx as nx_to_gdf,
+    to_networkx as gdf_to_nx,
+    to_pyg as gdf_to_pyg,
+    to_rustworkx as nx_to_rx,
+)
+
+
+# --- mobility (reference mobility.py) -----------------------------------
+
+def od_matrix_to_graph(od, zone_ids=None, weight_cols=("weight",),
+                       threshold: float = 0.0, undirected: bool = False,
+                       keep_self_loops: bool = False,
+                       matrix_zone_ids=None) -> ray.data.Dataset:
+    """Reference od_matrix_to_graph (mobility.py:54-191): accepts an
+    edgelist Dataset/DataFrame OR a square numpy adjacency matrix (with
+    ``matrix_zone_ids``); dispatches to the distributed OD pipeline."""
+    from city2graph_ray.ops.mobility import adjacency_to_edgelist, od_graph
+    if isinstance(od, np.ndarray):
+        if matrix_zone_ids is None:
+            raise ValueError("matrix input needs matrix_zone_ids")
+        od = adjacency_to_edgelist(od, matrix_zone_ids)
+    if isinstance(od, pd.DataFrame):
+        od = ray.data.from_pandas(od)
+    return od_graph(od, zone_ids=zone_ids, weight_cols=tuple(weight_cols),
+                    threshold=threshold, undirected=undirected,
+                    keep_self_loops=keep_self_loops)
+
+
+def movement_to_movement_graph(segments: ray.data.Dataset) -> ray.data.Dataset:
+    """Reference movement_to_movement_graph (morphology.py:1427-1537):
+    dual graph of the street-segment graph keyed by segment id."""
+    from city2graph_ray.ops.topology import dual_graph as _dual
+    from city2graph_ray.ops.topology import segments_to_graph as _s2g
+    _, edges = _s2g(segments)
+    e = edges.map_batches(
+        lambda b: pd.DataFrame({"edge_id": b["seg_id"], "src": b["src"],
+                                "dst": b["dst"]}), batch_format="pandas")
+    return _dual(e)
+
+
+__all__ = [
+    # proximity
+    "knn_graph", "fixed_radius_graph", "delaunay_graph", "gabriel_graph",
+    "relative_neighborhood_graph", "euclidean_minimum_spanning_tree",
+    "waxman_graph", "contiguity_graph", "bridge_nodes", "group_nodes",
+    "network_knn_graph", "network_fixed_radius_graph",
+    # morphology
+    "morphological_graph", "morphological_graphs", "create_tessellation",
+    "place_to_place_graph", "place_to_movement_graph",
+    "movement_to_movement_graph",
+    # topology
+    "segments_to_graph", "dual_graph", "canonicalize_edges",
+    "symmetrize_edges", "remove_isolated_components", "clip_graph",
+    # data / spatial
+    "process_overture_segments", "filter_graph_by_distance",
+    "create_isochrone",
+    # transportation
+    "load_gtfs", "load_gbfs", "travel_summary_graph", "get_od_pairs",
+    # mobility / metapath
+    "od_matrix_to_graph", "add_metapaths", "add_metapaths_by_weight",
+    # converters
+    "gdf_to_nx", "nx_to_gdf", "gdf_to_pyg", "nx_to_rx",
+]

@@ -75,3 +75,25 @@ def test_networkx_roundtrip():
     assert len(edges) == 2
     with pytest.raises(NotImplementedError):
         to_pyg()
+
+
+def test_api_facade_exports():
+    """Every reference-named export resolves and the dispatchers work."""
+    from city2graph_ray import api
+
+    for name in api.__all__:
+        assert callable(getattr(api, name)), name
+
+    # od_matrix_to_graph matrix dispatch
+    m = np.array([[0.0, 4.0], [1.0, 0.0]])
+    out = api.od_matrix_to_graph(m, matrix_zone_ids=["a", "b"],
+                                 undirected=True).to_pandas()
+    assert {(r.source, r.target): r.weight for r in out.itertuples()} == \
+        {("a", "b"): 5.0}
+
+    # movement_to_movement_graph over a tiny street pair
+    segs = pd.DataFrame({"seg_id": np.array([1, 2], np.int64),
+                         "coords": [np.array([0.0, 0.0, 1.0, 0.0]),
+                                    np.array([1.0, 0.0, 2.0, 0.0])]})
+    mm = api.movement_to_movement_graph(rd.from_pandas(segs)).to_pandas()
+    assert set(map(tuple, mm[["src", "dst"]].to_numpy())) == {(1, 2)}
