@@ -227,3 +227,37 @@ def process_overture_segments(segments: ray.data.Dataset,
         return batch
 
     return out.map_batches(lengths, batch_format="pandas")
+
+
+def prepare_barriers(segments: ray.data.Dataset,
+                     id_col: str = "seg_id") -> ray.data.Dataset:
+    """Reference _prepare_barriers (morphology.py:2513-2563): prefer the
+    alternative barrier geometry (the passable pieces from
+    ``barrier_geometries``) over the raw geometry, drop empty /
+    fully-impassable rows, explode multi-piece rows (ids suffixed
+    ``_p{i}``).  Output: (seg_id, coords) ready for enclosure
+    polygonization."""
+    has_barrier = "barrier_coords" in segments.schema().names
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_coords = [], []
+        for _, row in batch.iterrows():
+            if has_barrier:
+                if row.get("is_fully_barrier"):
+                    continue
+                pieces = row["barrier_coords"]
+                if pieces is None or len(pieces) == 0:
+                    continue
+            else:
+                pieces = [row["coords"]]
+            multi = len(pieces) > 1
+            for i, piece in enumerate(pieces):
+                piece = np.asarray(piece, np.float64)
+                if len(piece) < 4:
+                    continue
+                out_ids.append(f"{row[id_col]}_p{i}" if multi
+                               else str(row[id_col]))
+                out_coords.append(piece)
+        return pd.DataFrame({id_col: out_ids, "coords": out_coords})
+
+    return segments.map_batches(fn, batch_format="pandas")

@@ -130,3 +130,18 @@ def test_checkpoint_resume(tmp_path):
     assert sorted(back["v"]) == list(range(30))
     m = stage_metrics(root, "stage_a")
     assert len(m) == 3 and all(r["rows"] == 10 for r in m)
+
+
+def test_prepare_barriers(seg_df):
+    from city2graph_ray.ops.segments import barrier_geometries, prepare_barriers
+    with_b = barrier_geometries(rd.from_pandas(seg_df))
+    out = prepare_barriers(with_b).to_pandas()
+    ids = list(out["seg_id"])
+    # s1 passes whole; s2 splits into two passable pieces; s3 (full
+    # barrier) is dropped
+    assert ids == ["s1", "s2_p0", "s2_p1"]
+    np.testing.assert_allclose(np.asarray(out["coords"].iloc[1]),
+                               [0.0, 5.0, 2.0, 5.0])
+    # without a barrier column: passthrough of raw coords
+    raw = prepare_barriers(rd.from_pandas(seg_df[["seg_id", "coords"]]))
+    assert list(raw.to_pandas()["seg_id"]) == ["s1", "s2", "s3"]
