@@ -113,6 +113,94 @@ def od_matrix_to_graph(od, zone_ids=None, weight_cols=("weight",),
                     keep_self_loops=keep_self_loops)
 
 
+# --- data sources (reference data.py) -----------------------------------
+
+def load_overture_data(area=None, types=None, path: str | None = None,
+                       **_kwargs):
+    """Reference load_overture_data (data.py:69-237).  The reference
+    shells out to the ``overturemaps`` CLI over the network; this
+    sandbox has no network, so only LOCAL mode is supported: ``path``
+    is a directory holding one parquet file per requested type
+    (``{path}/{type}.parquet``) → dict[type, Dataset].  The production
+    ingress for this engine is the interleaved-document table
+    (sources/interleaved.py) per BASELINE.json."""
+    if path is None:
+        raise NotImplementedError(
+            "network fetch is unavailable in this environment; pass "
+            "path= pointing at local per-type parquet dumps, or ingest "
+            "via sources.interleaved")
+    import os
+    out = {}
+    for t in (types or []):
+        f = os.path.join(path, f"{t}.parquet")
+        if os.path.exists(f):
+            out[t] = ray.data.read_parquet(f)
+    return out
+
+
+def get_boundaries(*_args, **_kwargs):
+    """Reference get_boundaries (data.py:240-293) geocodes via
+    Nominatim — network-bound, unavailable here."""
+    raise NotImplementedError(
+        "Nominatim geocoding needs network access; supply the boundary "
+        "polygon ring directly to the clipping ops instead")
+
+
+# --- validation (reference base.py validate_gdf / utils validate_nx) ----
+
+def validate_gdf(nodes=None, edges=None, kind: str = "point"):
+    """Reference validate_gdf (base.py:512-587 / utils/conversion.py:1993):
+    returns the validated Datasets (invalid/empty geometry rows
+    dropped)."""
+    from city2graph_ray.ops.validate import validate_coords, validate_points
+    out_nodes = out_edges = None
+    if nodes is not None:
+        out_nodes = (validate_points(nodes) if kind == "point"
+                     else validate_coords(nodes, kind))
+    if edges is not None:
+        out_edges = validate_coords(edges, "linestring")             if "coords" in edges.schema().names else edges
+    return out_nodes, out_edges
+
+
+def validate_nx(graph):
+    """Reference validate_nx: structural sanity of a networkx graph."""
+    import networkx as nx
+    if not isinstance(graph, (nx.Graph, nx.DiGraph, nx.MultiGraph,
+                              nx.MultiDiGraph)):
+        raise TypeError("expected a networkx graph")
+    return graph
+
+
+def is_torch_available() -> bool:
+    """Reference is_torch_available (graph.py): torch is absent here."""
+    try:
+        import torch  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def plot_graph(*_args, **_kwargs):  # pragma: no cover
+    raise NotImplementedError(
+        "matplotlib is not available in this environment")
+
+
+def pyg_to_gdf(*_a, **_k):  # pragma: no cover
+    raise NotImplementedError("torch/PyG are not available here")
+
+
+def pyg_to_nx(*_a, **_k):  # pragma: no cover
+    raise NotImplementedError("torch/PyG are not available here")
+
+
+def nx_to_pyg(*_a, **_k):  # pragma: no cover
+    raise NotImplementedError("torch/PyG are not available here")
+
+
+def rx_to_nx(*_a, **_k):  # pragma: no cover
+    raise NotImplementedError("rustworkx is not available here")
+
+
 def movement_to_movement_graph(segments: ray.data.Dataset) -> ray.data.Dataset:
     """Reference movement_to_movement_graph (morphology.py:1427-1537):
     dual graph of the street-segment graph keyed by segment id."""
@@ -123,6 +211,16 @@ def movement_to_movement_graph(segments: ray.data.Dataset) -> ray.data.Dataset:
         lambda b: pd.DataFrame({"edge_id": b["seg_id"], "src": b["src"],
                                 "dst": b["dst"]}), batch_format="pandas")
     return _dual(e)
+
+
+# deprecated reference aliases (private=place, public=movement renames)
+private_to_private_graph = place_to_place_graph
+private_to_public_graph = place_to_movement_graph
+
+
+def public_to_public_graph(segments: ray.data.Dataset) -> ray.data.Dataset:
+    """Deprecated reference alias for movement_to_movement_graph."""
+    return movement_to_movement_graph(segments)
 
 
 __all__ = [
@@ -145,6 +243,11 @@ __all__ = [
     "load_gtfs", "load_gbfs", "travel_summary_graph", "get_od_pairs",
     # mobility / metapath
     "od_matrix_to_graph", "add_metapaths", "add_metapaths_by_weight",
-    # converters
+    # converters / validation / misc
     "gdf_to_nx", "nx_to_gdf", "gdf_to_pyg", "nx_to_rx",
+    "pyg_to_gdf", "pyg_to_nx", "nx_to_pyg", "rx_to_nx",
+    "validate_gdf", "validate_nx", "is_torch_available", "plot_graph",
+    "load_overture_data", "get_boundaries",
+    "private_to_private_graph", "private_to_public_graph",
+    "public_to_public_graph",
 ]
