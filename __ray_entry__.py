@@ -245,13 +245,8 @@ def _metapath(sf_dir: str):
         lambda b: pd.DataFrame({"src": b["l_orderkey"], "dst": b["l_suppkey"],
                                 "l_extendedprice": b["l_extendedprice"]}),
         batch_format="pandas")
-    out = add_metapaths([hop1, hop2],
-                        attr_cols=("o_totalprice", "l_extendedprice"))
-    # join padding degrades id columns to float; restore int64 so the
-    # driver's schema/value hash matches the SQL oracle exactly
-    return out.map_batches(
-        lambda b: b.astype({"src": np.int64, "dst": np.int64}),
-        batch_format="pandas")
+    return add_metapaths([hop1, hop2],
+                         attr_cols=("o_totalprice", "l_extendedprice"))
 
 
 def _doc_exact_dedup(sf_dir: str):

@@ -80,45 +80,68 @@ def bucketed_join(
 
     Both sides get ``__bucket = hash(key) % B``; the union is grouped by
     bucket and each group merged with pandas.  One shuffle total.
+
+    The padded union stays in Arrow end-to-end: missing columns are
+    ``pa.nulls(n, typed)`` so int64 ids survive the exchange, and each
+    side is projected to its REAL columns before the pandas merge —
+    the padding nulls never reach pandas, so no int→float degradation.
     """
+    import pyarrow as pa
+
     keys = [on] if isinstance(on, str) else list(on)
 
-    def _hash_key(df: pd.DataFrame) -> np.ndarray:
-        h = np.zeros(len(df), dtype=np.uint64)
+    def _hash_key(t: pa.Table) -> np.ndarray:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
         for k in keys:
-            col = df[k]
-            if col.dtype.kind in "iu":
-                v = col.to_numpy().astype(np.uint64)
+            col = t.column(k)
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+                v = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
             else:
-                v = pd.util.hash_array(col.to_numpy(), categorize=False).astype(np.uint64)
-            h = h * np.uint64(1099511628211) + v
+                v = pd.util.hash_array(
+                    np.asarray(col.to_pandas()), categorize=False
+                ).astype(np.uint64)
+            h = h * np.uint64(1099511628211) ^ v
         return (h % np.uint64(num_buckets)).astype(np.int64)
 
-    def _tag(side: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__bucket"] = _hash_key(df)
-            df["__side"] = np.int8(side)
-            return df
-        return fn
-
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
-    # union requires aligned schemas: pad each side with the other's columns
-    all_cols = lcols + [c for c in rcols if c not in lcols] + ["__bucket", "__side"]
-
-    def _pad(fn):
-        def padded(df: pd.DataFrame) -> pd.DataFrame:
-            return fn(df).reindex(columns=all_cols)
-        return padded
-
-    tagged = left.map_batches(_pad(_tag(0)), batch_format="pandas").union(
-        right.map_batches(_pad(_tag(1)), batch_format="pandas"))
-
-    def _merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0][lcols]
-        r = group[group["__side"] == 1][rcols]
-        out = l.merge(r, on=keys, how=how, suffixes=suffixes)
+    def _arrow_types(schema) -> dict[str, pa.DataType]:
+        out = {}
+        for name, typ in zip(schema.names, schema.types):
+            if isinstance(typ, pa.DataType):
+                out[name] = typ
+            else:
+                try:
+                    out[name] = pa.from_numpy_dtype(np.dtype(typ))
+                except (pa.ArrowNotImplementedError, TypeError):
+                    out[name] = pa.string()
         return out
 
-    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pandas")
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    # union requires aligned schemas: pad each side with typed nulls
+    pad_cols = lcols + [c for c in rcols if c not in lcols]
+    types = _arrow_types(rschema)
+    types.update(_arrow_types(lschema))
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            arrays = [
+                t.column(c).cast(types[c]) if c in t.column_names
+                else pa.nulls(t.num_rows, types[c])
+                for c in pad_cols
+            ]
+            arrays.append(pa.array(_hash_key(t), pa.int64()))
+            arrays.append(pa.array(np.full(t.num_rows, side, np.int8)))
+            return pa.Table.from_arrays(arrays, pad_cols + ["__bucket", "__side"])
+        return fn
+
+    tagged = left.map_batches(_tag(0), batch_format="pyarrow").union(
+        right.map_batches(_tag(1), batch_format="pyarrow"))
+
+    def _merge(group: pa.Table) -> pd.DataFrame:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        l = group.filter(pa.array(side == 0)).select(lcols).to_pandas()
+        r = group.filter(pa.array(side == 1)).select(rcols).to_pandas()
+        return l.merge(r, on=keys, how=how, suffixes=suffixes)
+
+    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pyarrow")
