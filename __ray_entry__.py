@@ -892,8 +892,43 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY a.id
                 ORDER BY sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)),
                 b.id) <= 2""",
-        # delaunay_edges / gabriel_edges / rng_edges / emst_edges /
-        # minhash_clusters / simhash_pairs / ivf_ann_topk: not
-        # SQL-expressible (triangulation / LSH / IVF) → rows-only check;
-        # exactness is covered by the brute-force oracles in tests/.
+        # Gabriel / RNG are definable without a triangulation: empty
+        # diametral disc / empty lune via NOT EXISTS.  Candidate pairs
+        # are capped at distance 150 (actual max edge ≈ 83 at sf0.01;
+        # an engine edge longer than the cap would surface as a
+        # mismatch, so the gate stays sound).
+        "gabriel_edges": f"""
+            WITH p AS ({_PTS}),
+            pairs AS (
+              SELECT a.id AS src, b.id AS dst, a.x AS ux, a.y AS uy,
+                     b.x AS vx, b.y AS vy,
+                     (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS dd
+              FROM p a JOIN p b ON a.id < b.id
+              WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 150.0*150.0)
+            SELECT src, dst, sqrt(dd) AS distance FROM pairs t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p w WHERE w.id <> t.src AND w.id <> t.dst
+                AND ((w.x-t.ux)*(w.x-t.ux)+(w.y-t.uy)*(w.y-t.uy))
+                  + ((w.x-t.vx)*(w.x-t.vx)+(w.y-t.vy)*(w.y-t.vy))
+                  < t.dd - 1e-12)""",
+        "rng_edges": f"""
+            WITH p AS ({_PTS}),
+            pairs AS (
+              SELECT a.id AS src, b.id AS dst, a.x AS ux, a.y AS uy,
+                     b.x AS vx, b.y AS vy,
+                     (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS dd
+              FROM p a JOIN p b ON a.id < b.id
+              WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 150.0*150.0)
+            SELECT src, dst, sqrt(dd) AS distance FROM pairs t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p w WHERE w.id <> t.src AND w.id <> t.dst
+                AND greatest(
+                      (w.x-t.ux)*(w.x-t.ux)+(w.y-t.uy)*(w.y-t.uy),
+                      (w.x-t.vx)*(w.x-t.vx)+(w.y-t.vy)*(w.y-t.vy))
+                  < t.dd - 1e-12)""",
+        # delaunay_edges / emst_edges / minhash_clusters / simhash_pairs
+        # / ngram_jaccard_pairs / ivf_ann_topk / network_knn: not
+        # SQL-expressible (triangulation / LSH / IVF / Dijkstra) →
+        # rows-only check; exactness is covered by the brute-force
+        # oracles in tests/.
     }

@@ -116,7 +116,18 @@ def bucketed_join(
                     out[name] = pa.string()
         return out
 
-    lschema, rschema = left.schema(), right.schema()
+    def _schema_of(ds):
+        s = ds.schema(fetch_if_missing=True)
+        if s is None:  # seen under heavy sessions: force execution once
+            ds = ds.materialize()
+            s = ds.schema()
+        if s is None:
+            raise ValueError("bucketed_join: side has no derivable schema "
+                             "(empty dataset with unknown columns)")
+        return ds, s
+
+    left, lschema = _schema_of(left)
+    right, rschema = _schema_of(right)
     lcols, rcols = list(lschema.names), list(rschema.names)
     # union requires aligned schemas: pad each side with typed nulls
     pad_cols = lcols + [c for c in rcols if c not in lcols]
@@ -138,10 +149,34 @@ def bucketed_join(
     tagged = left.map_batches(_tag(0), batch_format="pyarrow").union(
         right.map_batches(_tag(1), batch_format="pyarrow"))
 
-    def _merge(group: pa.Table) -> pd.DataFrame:
+    # deterministic output schema (stable across groups — empty groups
+    # and pandas' int→float promotion on non-inner joins otherwise make
+    # per-block schemas drift, which Ray's schema dedup chokes on)
+    shared = [c for c in lcols if c in rcols and c not in keys]
+    out_fields: list[tuple[str, pa.DataType]] = []
+    for c in lcols:
+        nm = c + suffixes[0] if c in shared else c
+        t = types[c]
+        if how in ("right", "outer") and pa.types.is_integer(t) and c not in keys:
+            t = pa.float64()
+        out_fields.append((nm, t))
+    for c in rcols:
+        if c in keys:
+            continue
+        nm = c + suffixes[1] if c in shared else c
+        t = types[c]
+        if how in ("left", "outer") and pa.types.is_integer(t):
+            t = pa.float64()
+        out_fields.append((nm, t))
+    out_schema = pa.schema(out_fields)
+
+    def _merge(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
         l = group.filter(pa.array(side == 0)).select(lcols).to_pandas()
         r = group.filter(pa.array(side == 1)).select(rcols).to_pandas()
-        return l.merge(r, on=keys, how=how, suffixes=suffixes)
+        out = l.merge(r, on=keys, how=how, suffixes=suffixes)
+        arrays = [pa.array(out[f.name], type=f.type, from_pandas=True)
+                  for f in out_schema]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return tagged.groupby("__bucket").map_groups(_merge, batch_format="pyarrow")

@@ -579,13 +579,17 @@ def delaunay_graph(points: ray.data.Dataset, tiled: bool = False,
             tri = d.triangles.reshape(-1, 3)
             if len(tri) == 0:
                 return unresolved(qpos)
-            from city2graph_ray.geom.delaunay import _circumcenter
-            safe_tri = np.zeros(len(tri), dtype=bool)
-            ccx = np.empty(len(tri))
-            ccy = np.empty(len(tri))
-            for t in range(len(tri)):
-                a, b, c = tri[t]
-                ccx[t], ccy[t] = _circumcenter(xs[a], ys[a], xs[b], ys[b], xs[c], ys[c])
+            # vectorized circumcenters over the triangle array
+            ax_, ay_ = xs[tri[:, 0]], ys[tri[:, 0]]
+            dx, dy = xs[tri[:, 1]] - ax_, ys[tri[:, 1]] - ay_
+            ex, ey = xs[tri[:, 2]] - ax_, ys[tri[:, 2]] - ay_
+            bl = dx * dx + dy * dy
+            cl = ex * ex + ey * ey
+            denom = dx * ey - dy * ex
+            with np.errstate(divide="ignore", invalid="ignore"):
+                half = np.where(denom != 0, 0.5 / denom, np.inf)
+            ccx = ax_ + (ey * bl - dy * cl) * half
+            ccy = ay_ + (dx * cl - ex * bl) * half
             rr = np.sqrt((xs[tri[:, 0]] - ccx) ** 2 + (ys[tri[:, 0]] - ccy) ** 2)
             eps = 1e-9
             safe_tri = ((ccx - rr >= wx0 + eps) & (ccx + rr <= wx1 - eps) &
@@ -636,54 +640,143 @@ def delaunay_graph(points: ray.data.Dataset, tiled: bool = False,
     return shuffle.distinct(out, ["src", "dst"])
 
 
-def gabriel_graph(points: ray.data.Dataset) -> ray.data.Dataset:
+def gabriel_graph(points: ray.data.Dataset,
+                  cell_size: float | None = None) -> ray.data.Dataset:
     """Delaunay subset where the open disc on (u,v) as diameter is empty
-    (reference proximity.py:985-1081: dot-product test vs all points)."""
-    df = _gather_points(points)
-    edges = _delaunay_edges_df(df)
-    keep = _lune_filter(df, edges, mode="gabriel")
-    return ray.data.from_pandas(edges[keep].reset_index(drop=True))
+    (reference proximity.py:985-1081: dot-product test vs all points).
+
+    Fully distributed: candidates come from the certified tiled
+    Delaunay; each edge's emptiness probe runs cell-bucketed against
+    only the points inside the diametral disc's bbox (witness must lie
+    within d/2 of the midpoint) — no driver gather, no O(E·n) loop."""
+    edges = delaunay_graph(points, tiled=True, cell_size=cell_size)
+    return _lune_filter_tiled(points, edges, "gabriel", cell_size)
 
 
-def relative_neighborhood_graph(points: ray.data.Dataset) -> ray.data.Dataset:
+def relative_neighborhood_graph(points: ray.data.Dataset,
+                                cell_size: float | None = None,
+                                ) -> ray.data.Dataset:
     """Delaunay subset with empty lune: no w with
-    max(d(u,w), d(v,w)) < d(u,v) (reference proximity.py:1084-1184)."""
-    df = _gather_points(points)
-    edges = _delaunay_edges_df(df)
-    keep = _lune_filter(df, edges, mode="rng")
-    return ray.data.from_pandas(edges[keep].reset_index(drop=True))
+    max(d(u,w), d(v,w)) < d(u,v) (reference proximity.py:1084-1184).
+    Distributed like :func:`gabriel_graph`; the lune ⊆ disc(midpoint,
+    √3/2·d), so the witness probe is bounded by that bbox."""
+    edges = delaunay_graph(points, tiled=True, cell_size=cell_size)
+    return _lune_filter_tiled(points, edges, "rng", cell_size)
 
 
-def _lune_filter(df: pd.DataFrame, edges: pd.DataFrame, mode: str) -> np.ndarray:
-    ids = df["id"].to_numpy()
-    pos = {int(i): j for j, i in enumerate(ids)}
-    x = df["x"].to_numpy()
-    y = df["y"].to_numpy()
-    ui = np.fromiter((pos[int(s)] for s in edges["src"]), np.int64, len(edges))
-    vi = np.fromiter((pos[int(t)] for t in edges["dst"]), np.int64, len(edges))
-    keep = np.ones(len(edges), dtype=bool)
+def _lune_filter_tiled(points: ray.data.Dataset, edges: ray.data.Dataset,
+                       mode: str, cell_size: float | None = None,
+                       chunk: int = 512) -> ray.data.Dataset:
+    """Cell-bucketed per-edge emptiness probe (SURVEY.md §2.8).
+
+    Plan: attach endpoint coords to the edge stream (two bucketed hash
+    joins), replicate each edge to the grid cells covered by its witness
+    region's bbox (radius d/2 for gabriel, √3/2·d for rng around the
+    midpoint), keep points in their home cell, group by cell, count
+    witnesses with a chunked numpy kernel, then a (src, dst) sum —
+    edges with zero witnesses anywhere survive.  Long edges replicate
+    to more cells; they are O(hull) few in a Delaunay candidate set
+    (the documented partitioning assumption)."""
+    import pyarrow as pa
+    from city2graph_ray.joins import bucketed_join
+
+    cs = cell_size or _auto_cell_size(points, per_cell=4096.0)
+    rfac = 0.5 if mode == "gabriel" else 0.8661  # lune ⊆ disc(m, √3/2·d)
     eps = 1e-12
-    for e in range(len(edges)):
-        u, v = ui[e], vi[e]
-        duv2 = (x[u] - x[v]) ** 2 + (y[u] - y[v]) ** 2
-        dw_u = (x - x[u]) ** 2 + (y - y[u]) ** 2
-        dw_v = (x - x[v]) ** 2 + (y - y[v]) ** 2
-        if mode == "gabriel":
-            inside = (dw_u + dw_v) < duv2 - eps
-        else:
-            inside = (np.maximum(dw_u, dw_v) < duv2 - eps)
-        inside[u] = inside[v] = False
-        if inside.any():
-            keep[e] = False
-    return keep
+
+    def rename(kc, xc, yc):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select(["id", "x", "y"]).rename_columns([kc, xc, yc])
+        return fn
+
+    pu = points.map_batches(rename("src", "ux", "uy"), batch_format="pyarrow")
+    pv = points.map_batches(rename("dst", "vx", "vy"), batch_format="pyarrow")
+    e = bucketed_join(edges, pu, on="src")
+    e = bucketed_join(e, pv, on="dst")
+
+    cols = ["cell", "kind", "id", "x", "y", "src", "dst", "distance",
+            "ux", "uy", "vx", "vy"]
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        mx = (b["ux"].to_numpy() + b["vx"].to_numpy()) * 0.5
+        my = (b["uy"].to_numpy() + b["vy"].to_numpy()) * 0.5
+        r = b["distance"].to_numpy() * rfac
+        rows, cell = cells.covering_cells(mx - r, my - r, mx + r, my + r, cs)
+        out = b.iloc[rows].reset_index(drop=True)
+        out["cell"] = cell
+        out["kind"] = np.int8(1)
+        out["id"] = np.int64(0)
+        out["x"] = 0.0
+        out["y"] = 0.0
+        return out[cols]
+
+    def point_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["id", "x", "y"]].copy()
+        out["cell"] = cells.cell_id(b["x"].to_numpy(), b["y"].to_numpy(), cs)
+        out["kind"] = np.int8(0)
+        for c in ("src", "dst"):
+            out[c] = np.int64(0)
+        for c in ("distance", "ux", "uy", "vx", "vy"):
+            out[c] = 0.0
+        return out[cols]
+
+    combined = e.map_batches(edge_rows, batch_format="pandas").union(
+        points.map_batches(point_rows, batch_format="pandas"))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        eg = g[g["kind"] == 1]
+        if len(eg) == 0:
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "dst": pd.Series(dtype=np.int64),
+                                 "distance": pd.Series(dtype=np.float64),
+                                 "witness": pd.Series(dtype=np.int64)})
+        pts = g[g["kind"] == 0]
+        pid = pts["id"].to_numpy()
+        px = pts["x"].to_numpy()
+        py = pts["y"].to_numpy()
+        src = eg["src"].to_numpy()
+        dst = eg["dst"].to_numpy()
+        d = eg["distance"].to_numpy()
+        ux, uy = eg["ux"].to_numpy(), eg["uy"].to_numpy()
+        vx, vy = eg["vx"].to_numpy(), eg["vy"].to_numpy()
+        wit = np.zeros(len(eg), dtype=np.int64)
+        if len(pts):
+            for lo in range(0, len(eg), chunk):
+                hi = min(lo + chunk, len(eg))
+                dwu2 = ((px[None, :] - ux[lo:hi, None]) ** 2
+                        + (py[None, :] - uy[lo:hi, None]) ** 2)
+                dwv2 = ((px[None, :] - vx[lo:hi, None]) ** 2
+                        + (py[None, :] - vy[lo:hi, None]) ** 2)
+                d2 = (d[lo:hi] * d[lo:hi])[:, None]
+                if mode == "gabriel":
+                    inside = (dwu2 + dwv2) < d2 - eps
+                else:
+                    inside = np.maximum(dwu2, dwv2) < d2 - eps
+                inside &= (pid[None, :] != src[lo:hi, None])
+                inside &= (pid[None, :] != dst[lo:hi, None])
+                wit[lo:hi] = inside.sum(axis=1)
+        return pd.DataFrame({"src": src, "dst": dst, "distance": d,
+                             "witness": wit})
+
+    probe = combined.groupby("cell").map_groups(kernel, batch_format="pandas")
+    tot = shuffle.group_agg(probe, ["src", "dst"],
+                            {"distance": ("distance", "max"),
+                             "witness": ("witness", "sum")})
+    return tot.filter(expr="witness == 0").drop_columns(["witness"])
 
 
-def euclidean_minimum_spanning_tree(points: ray.data.Dataset) -> ray.data.Dataset:
+def euclidean_minimum_spanning_tree(points: ray.data.Dataset,
+                                    cell_size: float | None = None,
+                                    ) -> ray.data.Dataset:
     """Kruskal over Delaunay-pruned candidates (reference
-    proximity.py:1187-1300) — candidates ≪ input, so the MST itself runs
-    on the driver; the Delaunay pruning is the distributed part."""
-    df = _gather_points(points)
-    edges = _delaunay_edges_df(df)
+    proximity.py:1187-1300).  Candidate generation is the certified
+    tiled Delaunay (distributed); only the ~3n (src, dst, distance)
+    candidate rows are collected for the driver Kruskal — never the
+    point table or a global triangulation.  At 10⁹+ nodes, swap the
+    final pass for distributed Borůvka (candidates are already the
+    Dataset this would consume)."""
+    edges = (delaunay_graph(points, tiled=True, cell_size=cell_size)
+             .to_pandas())
     order = np.lexsort((edges["dst"].to_numpy(), edges["src"].to_numpy(),
                         edges["distance"].to_numpy()))
     parent: dict[int, int] = {}
@@ -694,15 +787,16 @@ def euclidean_minimum_spanning_tree(points: ray.data.Dataset) -> ray.data.Datase
             a = parent[a]
         return a
 
+    srcs = edges["src"].to_numpy()
+    dsts = edges["dst"].to_numpy()
     keep = []
     for idx in order:
-        u = int(edges["src"].iloc[idx])
-        v = int(edges["dst"].iloc[idx])
-        ru, rv = find(u), find(v)
+        ru, rv = find(int(srcs[idx])), find(int(dsts[idx]))
         if ru != rv:
             parent[ru] = rv
             keep.append(idx)
-    out = edges.iloc[sorted(keep)].reset_index(drop=True)
+    out = (edges.iloc[keep].sort_values(["src", "dst"])
+           .reset_index(drop=True))
     return ray.data.from_pandas(out)
 
 
