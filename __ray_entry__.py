@@ -350,6 +350,45 @@ def _zonal_tess(sf_dir: str):
                      "bldg_id"]], batch_format="pandas")
 
 
+def _vector_tess(sf_dir: str):
+    """Vector (momepy-style) enclosed tessellation over part-grid
+    enclosures with customer-point buildings; per-enclosure cell count
+    + cell-area sum.  The area sum equals the enclosure area exactly
+    when the Voronoi partition + clip machinery is correct (the
+    reference's area validation, utils/spatial.py:2243-2279), so the
+    SQL twin can assert it without computing any Voronoi geometry."""
+    import ray.data
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.morphology import enclosed_tessellation
+    from city2graph_ray.pipelines.tables import part_polygons
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def pts(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        xi = (k * k * synth.QX + k * synth.AX + synth.BX) % synth.MOD
+        yi = (k * k * synth.QY + k * synth.AY + synth.BY) % synth.MOD
+        m = (xi % 2500 != 0) & (yi % 2500 != 0)
+        return pd.DataFrame({"id": k[m], "x": xi[m] / 100.0,
+                             "y": yi[m] / 100.0})
+
+    buildings = cust.map_batches(pts, batch_format="pandas")
+    polys = part_polygons(sf_dir).to_pandas()
+    enclosures = pd.DataFrame({"enclosure_index": polys["id"],
+                               "coords": polys["coords"]})
+    tess = enclosed_tessellation(buildings, enclosures)
+    agg = shuffle.group_agg(tess, ["enclosure_index"],
+                            {"n_cells": ("bldg_id", "size"),
+                             "area_sum": ("area", "sum")})
+    return agg.map_batches(
+        lambda b: pd.DataFrame({
+            "enclosure_index": b["enclosure_index"].to_numpy(np.int64),
+            "n_cells": b["n_cells"].to_numpy(np.int64),
+            "area_sum": np.round(b["area_sum"].to_numpy(), 4)}),
+        batch_format="pandas")
+
+
 def _split_connectors(sf_dir: str):
     """Overture split-at-connectors over order segments: even orderkeys
     get one mid connector → two parts; output (seg_id, split_part,
@@ -542,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": _ivf_ann,
         "emb_neardup": _emb_neardup,
         "zonal_tessellation": _zonal_tess,
+        "vector_tess_areas": _vector_tess,
         "split_connectors": _split_connectors,
         "cluster_endpoints": _cluster_endpoints,
         "event_tumbling_window": _event_tumbling,
@@ -731,6 +771,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6)
                   >= 0.3""",
+        "vector_tess_areas": f"""
+            WITH raw AS (SELECT c_custkey AS id,
+                   ((c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                     + {synth.BX}) % {synth.MOD}) AS xi,
+                   ((c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                     + {synth.BY}) % {synth.MOD}) AS yi
+                 FROM customer),
+            b AS (SELECT id, xi/100.0 AS x, yi/100.0 AS y FROM raw
+                  WHERE xi % 2500 <> 0 AND yi % 2500 <> 0),
+            g AS (SELECT p_partkey AS gid, (p_partkey % 40) AS c,
+                         (p_partkey // 40) AS r FROM part),
+            counts AS (
+                SELECT g.gid, count(b.id) AS n_pts
+                FROM g LEFT JOIN b ON b.x > g.c*25.0 AND b.x < g.c*25.0+25.0
+                                  AND b.y > g.r*25.0 AND b.y < g.r*25.0+25.0
+                GROUP BY g.gid)
+            SELECT gid AS enclosure_index,
+                   greatest(n_pts, 1) AS n_cells,
+                   625.0 AS area_sum
+            FROM counts""",
         "zonal_tessellation": f"""
             WITH raw AS (SELECT c_custkey AS id,
                    ((c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}

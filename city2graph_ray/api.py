@@ -39,12 +39,52 @@ from city2graph_ray.ops.network import (  # noqa: F401
 
 # --- morphology (reference morphology.py) -------------------------------
 from city2graph_ray.ops.morphology import (  # noqa: F401
+    enclosed_tessellation,
+    enclosures_from_barriers,
     morphological_graph,
     morphological_graphs,
     place_to_movement_edges as place_to_movement_graph,
     place_to_place_edges as place_to_place_graph,
-    zonal_tessellation as create_tessellation,
+    zonal_tessellation,
 )
+
+
+def create_tessellation(geometry, primary_barriers=None, shrink: float = 0.4,
+                        segment: float = 0.5, **kwargs):
+    """Reference create_tessellation (utils/spatial.py:2085-2196) over
+    Ray Datasets: with ``primary_barriers`` → enclosed tessellation
+    (barrier polygonization → per-enclosure Voronoi, vector cells);
+    without → morphological tessellation clipped to the buildings'
+    bounding box (the reference's clip="bounding_box",
+    utils/spatial.py:3016-3022) — one bbox enclosure; tile with halos
+    for corpus-scale morphological runs."""
+    import numpy as np
+    import pandas as pd
+
+    from city2graph_ray.ops.morphology import (
+        enclosed_tessellation as _enc_tess,
+        enclosures_from_barriers as _enc_from_barriers,
+    )
+
+    if primary_barriers is not None:
+        bar = (primary_barriers.to_pandas()
+               if hasattr(primary_barriers, "to_pandas") else primary_barriers)
+        enc = _enc_from_barriers(bar)
+        return _enc_tess(geometry, enc, shrink=shrink, segment=segment,
+                         **kwargs)
+    from ray.data.aggregate import Max, Min
+    pts = geometry
+    if "x" not in pts.schema().names:
+        raise ValueError("morphological tessellation needs point buildings "
+                         "(id, x, y) in this engine")
+    row = pts.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
+    x0, x1 = row["min(x)"], row["max(x)"]
+    y0, y1 = row["min(y)"], row["max(y)"]
+    pad = max(x1 - x0, y1 - y0, 1.0) * 0.05
+    ring = np.array([x0 - pad, y0 - pad, x1 + pad, y0 - pad,
+                     x1 + pad, y1 + pad, x0 - pad, y1 + pad])
+    enc = pd.DataFrame({"enclosure_index": [0], "coords": [ring]})
+    return _enc_tess(geometry, enc, shrink=shrink, segment=segment, **kwargs)
 
 # --- topology (reference utils/topology.py, morphology.py) --------------
 from city2graph_ray.ops.topology import (  # noqa: F401

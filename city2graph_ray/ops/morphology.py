@@ -236,6 +236,210 @@ def zonal_tessellation(buildings: ray.data.Dataset, enclosures: pd.DataFrame,
                                                         batch_format="pandas")
 
 
+_COARSE_GRID_SIZE = 1e-3   # reference utils/spatial.py:51
+_JITTER_MAGNITUDE = 0.01   # reference utils/spatial.py:52
+
+
+def _jitter_hash_unit(coords: np.ndarray, salt: float) -> np.ndarray:
+    """Deterministic pseudo-random unit value per coordinate pair —
+    the reference's exact formula (utils/spatial.py:2290-2313), so
+    shared vertices move identically and reruns are reproducible."""
+    return np.abs(np.sin(coords[:, 0] * 12.9898 + coords[:, 1] * 78.233
+                         + salt) * 43758.5453) % 1.0
+
+
+def _jitter_coords(coords: np.ndarray,
+                   magnitude: float = _JITTER_MAGNITUDE) -> np.ndarray:
+    dx = (_jitter_hash_unit(coords, 0.0) - 0.5) * 2.0 * magnitude
+    dy = (_jitter_hash_unit(coords, 1.0) - 0.5) * 2.0 * magnitude
+    return coords + np.column_stack([dx, dy])
+
+
+def _multipolygon_wkt(pieces: list[np.ndarray]) -> str:
+    from city2graph_ray.geom.wkt import emit_polygon
+    if len(pieces) == 1:
+        return emit_polygon(pieces[0].reshape(-1))
+    inner = ",".join(
+        "((" + ", ".join(f"{x} {y}" for x, y in np.vstack([p, p[:1]])) + "))"
+        for p in pieces)
+    return f"MULTIPOLYGON({inner})"
+
+
+def enclosed_tessellation(buildings: ray.data.Dataset,
+                          enclosures: pd.DataFrame | ray.data.Dataset,
+                          shrink: float = 0.4, segment: float = 0.5,
+                          area_tolerance: float = 0.05,
+                          ) -> ray.data.Dataset:
+    """Vector (momepy-style) enclosed tessellation: per enclosure, the
+    Voronoi partition between its buildings' boundary seeds, clipped to
+    the enclosure polygon (reference create_tessellation →
+    momepy.enclosed_tessellation, utils/spatial.py:2085-3024).
+
+    Buildings: (id, x, y) point seeds, or (id, coords) polygon rings —
+    polygon rings are shrunk inward by ``shrink`` (convex offset;
+    non-convex rings skip the shrink) and densified at ``segment``
+    spacing, each seed labelled by its building (momepy's
+    discretization).  Point buildings contribute one seed each.
+
+    Retry ladder per enclosure, mirroring the reference
+    (utils/spatial.py:2524-2581): plain seeds → coarse-grid snap
+    (grid_size=1e-3) → deterministic jitter (:2290-2360); enclosures
+    still degenerate after the ladder are dropped (cells removed, the
+    reference's _repair_or_drop_degenerate_enclosures :2583-2668) —
+    validation is the cell-area-sum-vs-enclosure-area check
+    (:2243-2279, tolerance 1±``area_tolerance``).
+
+    Single-building enclosures become one cell covering the enclosure
+    (the recovery path :2829-2919); empty enclosures keep one cell with
+    ``bldg_id=-1`` (momepy's negative-index convention, flattened to -1
+    per enclosure).  ``tess_id`` = "{enclosure_index}_{building_id}".
+
+    Distribution: buildings are tagged with their enclosure (broadcast
+    PIP), the enclosure ring rides into the same group as an extra
+    tagged row (no per-building ring duplication, no driver loop), and
+    each enclosure tessellates independently in ``map_groups`` —
+    resumable per enclosure, skew bounded by buildings-per-enclosure.
+
+    Output: one row per cell — (enclosure_index, bldg_id, tess_id,
+    area, n_pieces, attempts, geometry WKT).
+    """
+    from city2graph_ray.geom import voronoi as vr
+
+    enc_df = enclosures.to_pandas() if isinstance(
+        enclosures, ray.data.Dataset) else enclosures
+
+    polygon_mode = "coords" in buildings.schema().names
+    if polygon_mode:
+        def centroids(b: pd.DataFrame) -> pd.DataFrame:
+            from city2graph_ray.geom.kernels import polygon_area_centroid
+            xs, ys = [], []
+            for ring in b["coords"]:
+                _, cx, cy = polygon_area_centroid(np.asarray(ring, np.float64))
+                xs.append(cx)
+                ys.append(cy)
+            out = b.copy()
+            out["x"] = np.asarray(xs)
+            out["y"] = np.asarray(ys)
+            return out
+        pts = buildings.map_batches(centroids, batch_format="pandas")
+    else:
+        pts = buildings
+    tagged = assign_buildings_to_enclosures(pts, enc_df)
+
+    bcols = ["enclosure_index", "kind", "id", "x", "y", "coords"]
+
+    def tag_buildings(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["kind"] = np.int8(0)
+        if "coords" not in out.columns:
+            out["coords"] = [np.empty(0)] * len(out)
+        return out[bcols]
+
+    def tag_enclosures(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "enclosure_index": b["enclosure_index"].to_numpy(np.int64),
+            "kind": np.int8(1), "id": np.int64(-1),
+            "x": 0.0, "y": 0.0,
+            "coords": [np.asarray(c, np.float64) for c in b["coords"]]})
+
+    enc_ds = ray.data.from_pandas(enc_df[["enclosure_index", "coords"]])
+    combined = tagged.map_batches(tag_buildings, batch_format="pandas").union(
+        enc_ds.map_batches(tag_enclosures, batch_format="pandas"))
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "enclosure_index": pd.Series(dtype=np.int64),
+            "bldg_id": pd.Series(dtype=np.int64),
+            "tess_id": pd.Series(dtype=str),
+            "area": pd.Series(dtype=np.float64),
+            "n_pieces": pd.Series(dtype=np.int64),
+            "attempts": pd.Series(dtype=np.int64),
+            "geometry": pd.Series(dtype=str)})
+
+    def row(eid, bid, area, pieces, attempts):
+        return {"enclosure_index": eid, "bldg_id": bid,
+                "tess_id": f"{eid}_{bid}", "area": area,
+                "n_pieces": len(pieces), "attempts": attempts,
+                "geometry": _multipolygon_wkt(pieces)}
+
+    def tess(g: pd.DataFrame) -> pd.DataFrame:
+        eid = int(g["enclosure_index"].iloc[0])
+        if eid < 0:  # unenclosed buildings: no cells here (the
+            return empty()  # morphological fallback handles them)
+        enc_rows = g[g["kind"] == 1]
+        if len(enc_rows) == 0:
+            return empty()
+        ring = np.asarray(enc_rows["coords"].iloc[0], np.float64).reshape(-1, 2)
+        ring = vr.ensure_ccw(ring)
+        enc_area = vr.ring_area(ring)
+        bld = g[g["kind"] == 0].sort_values("id", kind="stable")
+        if len(bld) == 0:
+            return pd.DataFrame([row(eid, -1, enc_area, [ring], 0)])
+        if len(bld) == 1:
+            return pd.DataFrame([row(eid, int(bld["id"].iloc[0]),
+                                     enc_area, [ring], 0)])
+        # seed generation
+        seed_xy_parts, seed_bid_parts = [], []
+        for bid, bx, by, coords in zip(bld["id"], bld["x"], bld["y"],
+                                       bld["coords"]):
+            c = np.asarray(coords, np.float64).reshape(-1, 2)
+            if polygon_mode and len(c) >= 3:
+                base = vr.ensure_ccw(c)
+                if shrink > 0 and vr.is_convex(base):
+                    off = vr.inward_offset_convex(base, shrink)
+                    if off is not None:
+                        base = off
+                s = vr.densify_ring(base, segment)
+            else:
+                s = np.array([[bx, by]])
+            seed_xy_parts.append(s)
+            seed_bid_parts.append(np.full(len(s), bid, np.int64))
+        seeds0 = np.vstack(seed_xy_parts)
+        sbid0 = np.concatenate(seed_bid_parts)
+
+        ring_convex = vr.is_convex(ring)
+        for attempt, xform in enumerate((
+                lambda s: s,
+                lambda s: np.round(s / _COARSE_GRID_SIZE) * _COARSE_GRID_SIZE,
+                _jitter_coords)):
+            seeds = xform(seeds0.copy())
+            # exact-duplicate seeds break the triangulation: keep the
+            # first (lowest building id) occurrence
+            _, uniq = np.unique(seeds.round(9), axis=0, return_index=True)
+            uniq = np.sort(uniq)
+            s_xy, s_bid = seeds[uniq], sbid0[uniq]
+            if len(np.unique(s_bid)) < 2:
+                continue
+            cells = vr.voronoi_cells(s_xy)
+            if any(c is None for c in cells):
+                continue
+            areas: dict[int, float] = {}
+            pieces: dict[int, list] = {}
+            for cell, bid in zip(cells, s_bid):
+                if ring_convex:
+                    clipped = vr.clip_convex(cell, ring)
+                else:
+                    clipped = vr.clip_convex(ring, cell)
+                if len(clipped) < 3:
+                    continue
+                a = abs(vr.ring_area(clipped))
+                if a < 1e-12:
+                    continue
+                areas[bid] = areas.get(bid, 0.0) + a
+                pieces.setdefault(bid, []).append(clipped)
+            total = sum(areas.values())
+            if abs(total - enc_area) <= area_tolerance * enc_area and areas:
+                return pd.DataFrame([
+                    row(eid, int(b), areas[b], pieces[b], attempt)
+                    for b in sorted(areas)])
+        # ladder exhausted: drop the enclosure (reference
+        # _repair_or_drop_degenerate_enclosures terminal branch)
+        return empty()
+
+    return combined.groupby("enclosure_index").map_groups(
+        tess, batch_format="pandas")
+
+
 def place_to_place_edges(assignments: ray.data.Dataset) -> ray.data.Dataset:
     """Tessellation-cell contiguity: two places touch when adjacent
     raster cells (rook) carry different tess_ids in the same enclosure

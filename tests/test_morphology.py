@@ -137,3 +137,102 @@ def test_morphological_graph_composition(street_grid, grid_buildings):
     assert len(mm) > 0 and (mm["src"] < mm["dst"]).all()
     pm = out["place_movement"].to_pandas()
     assert set(pm["id"]) == {1, 2, 3}  # every building finds a street
+
+
+# ------------------------------------------------------------------ vector tessellation
+
+def _vt_enclosures() -> pd.DataFrame:
+    enc = []
+    for r in range(2):
+        for c in range(2):
+            x0, y0 = c * 30.0, r * 30.0
+            enc.append((r * 2 + c, np.array(
+                [x0, y0, x0 + 30, y0, x0 + 30, y0 + 30, x0, y0 + 30])))
+    return pd.DataFrame(enc, columns=["enclosure_index", "coords"])
+
+
+def test_vector_tessellation_partitions_enclosures():
+    """Cell areas per enclosure sum to the enclosure area exactly
+    (reference area validation, utils/spatial.py:2243-2279)."""
+    from city2graph_ray.ops.morphology import enclosed_tessellation
+    rng = np.random.default_rng(3)
+    n = 40
+    pts = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                        "x": rng.uniform(0, 60, n),
+                        "y": rng.uniform(0, 60, n)})
+    out = enclosed_tessellation(rd.from_pandas(pts),
+                                _vt_enclosures()).to_pandas()
+    sums = out.groupby("enclosure_index")["area"].sum()
+    assert np.allclose(sums, 900.0, atol=1e-6)
+    assert len(out) == n  # every building got a cell, no empties here
+    assert (out["attempts"] == 0).all()
+
+
+def test_vector_tessellation_is_true_voronoi():
+    """Cell areas match a brute-force nearest-seed raster estimate."""
+    from city2graph_ray.ops.morphology import enclosed_tessellation
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame({"id": np.arange(8, dtype=np.int64),
+                        "x": rng.uniform(1, 29, 8),
+                        "y": rng.uniform(1, 29, 8)})
+    enc = pd.DataFrame({"enclosure_index": [0],
+                        "coords": [np.array([0.0, 0, 30, 0, 30, 30, 0, 30])]})
+    out = enclosed_tessellation(rd.from_pandas(pts), enc).to_pandas()
+    res = 0.05
+    g = np.arange(res / 2, 30, res)
+    gx, gy = np.meshgrid(g, g)
+    d2 = ((gx.ravel()[:, None] - pts["x"].to_numpy()[None, :]) ** 2
+          + (gy.ravel()[:, None] - pts["y"].to_numpy()[None, :]) ** 2)
+    counts = np.bincount(np.argmin(d2, axis=1), minlength=8)
+    est = counts * res * res
+    got = out.set_index("bldg_id")["area"].reindex(range(8)).to_numpy()
+    assert np.allclose(got, est, atol=2.0)  # raster edge error bound
+
+
+def test_vector_tessellation_single_and_empty_enclosures():
+    from city2graph_ray.ops.morphology import enclosed_tessellation
+    pts = pd.DataFrame({"id": np.array([7], dtype=np.int64),
+                        "x": [10.0], "y": [10.0]})
+    out = enclosed_tessellation(rd.from_pandas(pts),
+                                _vt_enclosures()).to_pandas()
+    # enclosure 0 holds the single building: full-cell recovery
+    sole = out[out["enclosure_index"] == 0]
+    assert len(sole) == 1 and sole["bldg_id"].iloc[0] == 7
+    assert abs(sole["area"].iloc[0] - 900.0) < 1e-9
+    assert sole["tess_id"].iloc[0] == "0_7"
+    # the other three enclosures emit one empty cell each (bldg -1)
+    empties = out[out["bldg_id"] == -1]
+    assert len(empties) == 3
+    assert np.allclose(empties["area"], 900.0)
+
+
+def test_vector_tessellation_jitter_ladder_on_collinear_seeds():
+    """Collinear seeds degenerate the triangulation; the ladder's
+    jitter rung (reference utils/spatial.py:2524-2581) recovers."""
+    from city2graph_ray.ops.morphology import enclosed_tessellation
+    pts = pd.DataFrame({"id": np.arange(3, dtype=np.int64),
+                        "x": [5.0, 15.0, 25.0],
+                        "y": [15.0, 15.0, 15.0]})
+    enc = pd.DataFrame({"enclosure_index": [0],
+                        "coords": [np.array([0.0, 0, 30, 0, 30, 30, 0, 30])]})
+    out = enclosed_tessellation(rd.from_pandas(pts), enc).to_pandas()
+    assert len(out) == 3
+    assert abs(out["area"].sum() - 900.0) < 1e-3
+    assert (out["attempts"] > 0).all()
+
+
+def test_vector_tessellation_polygon_buildings():
+    """Polygon footprints: shrink + densify seeds; party-wall squares
+    split their shared enclosure along the midline."""
+    from city2graph_ray.ops.morphology import enclosed_tessellation
+    sq1 = np.array([4.0, 4, 12, 4, 12, 12, 4, 12])     # centered ~ (8,8)
+    sq2 = np.array([18.0, 18, 26, 18, 26, 26, 18, 26])  # centered ~ (22,22)
+    b = pd.DataFrame({"id": np.array([1, 2], dtype=np.int64),
+                      "coords": [sq1, sq2]})
+    enc = pd.DataFrame({"enclosure_index": [0],
+                        "coords": [np.array([0.0, 0, 30, 0, 30, 30, 0, 30])]})
+    out = enclosed_tessellation(rd.from_pandas(b), enc).to_pandas()
+    assert len(out) == 2
+    assert abs(out["area"].sum() - 900.0) < 1e-6
+    # symmetric layout → equal halves
+    assert np.allclose(out["area"], 450.0, atol=1.0)
