@@ -445,6 +445,46 @@ def _pt_knn_manhattan(sf_dir: str):
     return knn_graph(customer_points(sf_dir), 4, metric="manhattan")
 
 
+def _knn_edge_geom(sf_dir: str):
+    """kNN edges decorated with L-shaped manhattan geometries and node
+    attributes (reference _compute_edge_data proximity.py:580-628 +
+    node-attr carry-through): the corner vertex is parsed back OUT of
+    the WKT geometry column, so a hash match proves the emitted
+    geometry, not just the distance."""
+    import ray.data
+    from city2graph_ray.ops.proximity import (attach_edge_geometry,
+                                              attach_node_attrs, knn_graph)
+    from city2graph_ray.pipelines.tables import customer_points
+
+    pts = customer_points(sf_dir)
+    edges = knn_graph(pts, 4, metric="manhattan")
+    geom = attach_edge_geometry(edges, pts, metric="manhattan")
+
+    nat = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey", "c_nationkey"])
+    nodes = nat.map_batches(
+        lambda b: pd.DataFrame({"id": b["c_custkey"].to_numpy(np.int64),
+                                "nationkey": b["c_nationkey"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    full = attach_node_attrs(geom, nodes, ["nationkey"])
+
+    def parse_corner(b: pd.DataFrame) -> pd.DataFrame:
+        cx, cy = [], []
+        for w in b["geometry"]:
+            mid = w[len("LINESTRING ("):-1].split(", ")[1].split(" ")
+            cx.append(float(mid[0]))
+            cy.append(float(mid[1]))
+        return pd.DataFrame({
+            "src": b["src"].to_numpy(np.int64),
+            "dst": b["dst"].to_numpy(np.int64),
+            "distance": b["distance"].to_numpy(),
+            "corner_x": np.asarray(cx), "corner_y": np.asarray(cy),
+            "src_nationkey": b["src_nationkey"].to_numpy(np.int64),
+            "dst_nationkey": b["dst_nationkey"].to_numpy(np.int64)})
+
+    return full.map_batches(parse_corner, batch_format="pandas")
+
+
 def _bridge_knn(sf_dir: str):
     """Bipartite directed kNN customer→supplier (bridge_nodes layer
     pair, reference proximity.py:1609-1827)."""
@@ -493,6 +533,26 @@ def _network_knn(sf_dir: str):
     edf["length"] = [linestring_length(np.asarray(c)) for c in edf["coords"]]
     return network_knn_graph(customer_points(sf_dir), nodes.to_pandas(),
                              edf[["src", "dst", "length"]], k=3)
+
+
+def _last_occurrence(sf_dir: str):
+    """last-occurrence-wins per (custkey, orderstatus) over orders in
+    o_orderkey order (reference _get_last_occurrence_indexer,
+    graph.py:133-163) — the ``shuffle.last_by`` primitive."""
+    import ray.data
+    from city2graph_ray import shuffle
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_orderstatus", "o_totalprice"])
+    last = shuffle.last_by(ds, ["o_custkey", "o_orderstatus"], "o_orderkey")
+    return last.map_batches(
+        lambda b: pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "o_orderstatus": b["o_orderstatus"],
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "o_totalprice": np.round(b["o_totalprice"].to_numpy(), 2)}),
+        batch_format="pandas")
 
 
 def _symmetrized_od(sf_dir: str):
@@ -586,11 +646,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_endpoints": _cluster_endpoints,
         "event_tumbling_window": _event_tumbling,
         "pt_knn_manhattan": _pt_knn_manhattan,
+        "knn_edge_geom": _knn_edge_geom,
         "bridge_knn_cust_supp": _bridge_knn,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "event_user_counts": _event_user_counts,
         "network_knn": _network_knn,
         "symmetrized_od": _symmetrized_od,
+        "last_occurrence": _last_occurrence,
         "tess_place_place": _tess_place_place,
     }
 
@@ -904,6 +966,12 @@ def oracle_sql() -> dict[str, str]:
              AND ((b2.cell_ix = a.cell_ix + 1 AND b2.cell_iy = a.cell_iy)
                OR (b2.cell_ix = a.cell_ix AND b2.cell_iy = a.cell_iy + 1))
              AND a.tess_id <> b2.tess_id""",
+        "last_occurrence": """
+            SELECT o_custkey, o_orderstatus, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                ORDER BY o_orderkey DESC) = 1""",
         "symmetrized_od": """
             WITH e AS (SELECT (o_custkey % 50) AS src,
                               (o_orderkey % 47) AS dst,
@@ -940,6 +1008,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS src, b.id AS dst,
                    abs(a.x-b.x) + abs(a.y-b.y) AS distance
             FROM pts a JOIN pts b ON a.id <> b.id
+            QUALIFY row_number() OVER (PARTITION BY a.id
+                ORDER BY abs(a.x-b.x) + abs(a.y-b.y), b.id) <= 4""",
+        "knn_edge_geom": f"""
+            WITH pts AS ({_PTS})
+            SELECT a.id AS src, b.id AS dst,
+                   abs(a.x-b.x) + abs(a.y-b.y) AS distance,
+                   b.x AS corner_x, a.y AS corner_y,
+                   ca.c_nationkey AS src_nationkey,
+                   cb.c_nationkey AS dst_nationkey
+            FROM pts a JOIN pts b ON a.id <> b.id
+            JOIN customer ca ON ca.c_custkey = a.id
+            JOIN customer cb ON cb.c_custkey = b.id
             QUALIFY row_number() OVER (PARTITION BY a.id
                 ORDER BY abs(a.x-b.x) + abs(a.y-b.y), b.id) <= 4""",
         "bridge_knn_cust_supp": f"""

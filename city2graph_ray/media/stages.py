@@ -6,7 +6,7 @@ stateful ``map_batches`` actor stages.  The actual codecs (PIL/ffmpeg)
 are NOT in this container, so the decode kernel is stubbed: a clearly
 marked deterministic fake keyed on the payload hash.  The Ray-side
 plumbing — schema, batch sizing for wide binary rows, actor signature,
-output layout — is real and tested (tests/test_media.py).
+output layout — is real and tested (tests/test_dataops.py::test_media_stages).
 """
 
 from __future__ import annotations

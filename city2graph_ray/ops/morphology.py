@@ -55,10 +55,14 @@ def polygonize_faces(segments: pd.DataFrame) -> list[np.ndarray]:
     taking the reverse edge's clockwise-next neighbor.  Returns interior
     faces (positive signed area) as flat coord rings.
     """
-    # collect vertices
+    # collect vertices (tracking the contributing segment id per edge
+    # so faces can be mapped back to their barrier segments)
     pts: dict[tuple[float, float], int] = {}
     edges = []
-    for c in segments["coords"]:
+    edge_seg: dict[tuple[int, int], int] = {}
+    seg_ids = (segments["seg_id"].to_numpy() if "seg_id" in segments.columns
+               else np.arange(len(segments)))
+    for sid, c in zip(seg_ids, segments["coords"]):
         c = np.asarray(c, np.float64).reshape(-1, 2)
         for a, b in zip(c[:-1], c[1:]):
             ka, kb = (a[0], a[1]), (b[0], b[1])
@@ -68,6 +72,8 @@ def polygonize_faces(segments: pd.DataFrame) -> list[np.ndarray]:
                 if k not in pts:
                     pts[k] = len(pts)
             edges.append((pts[ka], pts[kb]))
+            edge_seg.setdefault((pts[ka], pts[kb]), int(sid))
+            edge_seg.setdefault((pts[kb], pts[ka]), int(sid))
     if not edges:
         return []
     coords = np.array(list(pts.keys()))  # dict preserves insertion order = id order
@@ -95,10 +101,13 @@ def polygonize_faces(segments: pd.DataFrame) -> list[np.ndarray]:
         if (a, b) in visited:
             continue
         ring = [a]
+        face_segs: set[int] = set()
         u, v = a, b
         while True:
             visited.add((u, v))
             ring.append(v)
+            if (u, v) in edge_seg:
+                face_segs.add(edge_seg[(u, v)])
             # next half-edge: reverse (v,u), then previous in angular order
             idx = ang[v][u]
             w = nbrs[v][(idx - 1) % len(nbrs[v])]
@@ -115,7 +124,7 @@ def polygonize_faces(segments: pd.DataFrame) -> list[np.ndarray]:
         x, y = rc[:, 0], rc[:, 1]
         area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
         if area2 > 1e-12:  # interior faces are CCW with this walk
-            faces.append(rc.reshape(-1))
+            faces.append((rc.reshape(-1), sorted(face_segs)))
     return faces
 
 
@@ -125,15 +134,17 @@ def enclosures_from_barriers(barriers: pd.DataFrame) -> pd.DataFrame:
     faces = polygonize_faces(barriers)
     if not faces:
         return pd.DataFrame({"enclosure_index": pd.Series(dtype=np.int64),
-                             "coords": pd.Series(dtype=object)})
+                             "coords": pd.Series(dtype=object),
+                             "seg_ids": pd.Series(dtype=object)})
     keys = []
-    for f in faces:
+    for f, _ in faces:
         c = f.reshape(-1, 2)
         keys.append((c[:, 0].min(), c[:, 1].min(), c[:, 0].ptp() * c[:, 1].ptp()))
     order = sorted(range(len(faces)), key=lambda i: keys[i])
     return pd.DataFrame({
         "enclosure_index": np.arange(len(faces), dtype=np.int64),
-        "coords": [faces[i] for i in order]})
+        "coords": [faces[i][0] for i in order],
+        "seg_ids": [np.asarray(faces[i][1], dtype=np.int64) for i in order]})
 
 
 # ------------------------------------------------------------------ tessellation
@@ -619,15 +630,20 @@ def morphological_graph(buildings: ray.data.Dataset,
 
     nodes, seg_edges = segments_to_graph(segments)
     seg_edges = seg_edges.materialize()
+    pm_segments = segments
 
     if center is not None and distance is not None:
-        edf = seg_edges.to_pandas()
-        cdf = [np.asarray(c, np.float64) for c in edf["coords"]]
-        from city2graph_ray.geom.kernels import linestring_length
-        edf["length"] = [linestring_length(c) for c in cdf]
-        costs = reachability_costs(edf, center, nodes.to_pandas())
+        # lengths computed distributed (vectorized per batch); only the
+        # (src, dst, length) triples reach the driver Dijkstra
+        costs = reachability_costs(_edge_lengths(seg_edges), center,
+                                   nodes.to_pandas())
         seg_edges = filter_segments_by_cost(seg_edges, costs, distance)
         seg_edges = seg_edges.materialize()
+        # place→movement must face the same street set as the movement
+        # layer (reference builds faced_to from segments_filtered only)
+        kept = seg_edges.select_columns(["seg_id"]).to_pandas()["seg_id"]
+        from city2graph_ray.joins import semi_filter
+        pm_segments = semi_filter(segments, set(kept.tolist()), "seg_id")
 
     barriers = seg_edges.to_pandas()[["seg_id", "coords"]]
     enclosures = enclosures_from_barriers(barriers)
@@ -637,10 +653,29 @@ def morphological_graph(buildings: ray.data.Dataset,
     mm = dual_graph(seg_edges.map_batches(
         lambda b: pd.DataFrame({"edge_id": b["seg_id"], "src": b["src"],
                                 "dst": b["dst"]}), batch_format="pandas"))
-    pm = nearest_segments(buildings, segments, pm_max_distance, k=1)
+    pm = nearest_segments(buildings, pm_segments, pm_max_distance, k=1)
     return {"segment_nodes": nodes, "segment_edges": seg_edges,
             "tessellation": tess, "place_place": pp,
             "movement_movement": mm, "place_movement": pm}
+
+
+def _edge_lengths(seg_edges: ray.data.Dataset) -> pd.DataFrame:
+    """(src, dst, length) per segment edge — lengths via the vectorized
+    ragged kernel inside map_batches; only the 3-column result is
+    collected for the (small) driver Dijkstra."""
+    from city2graph_ray.geom.kernels import linestring_lengths
+
+    def lens(b: pd.DataFrame) -> pd.DataFrame:
+        coords = [np.asarray(c, np.float64) for c in b["coords"]]
+        sizes = np.array([len(c) for c in coords], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(sizes)))
+        values = (np.concatenate(coords) if coords
+                  else np.empty(0, np.float64))
+        return pd.DataFrame({"src": b["src"].to_numpy(),
+                             "dst": b["dst"].to_numpy(),
+                             "length": linestring_lengths(values, offsets)})
+
+    return seg_edges.map_batches(lens, batch_format="pandas").to_pandas()
 
 
 def place_to_movement_edges(places: ray.data.Dataset,
@@ -682,15 +717,13 @@ def morphological_graphs(buildings: ray.data.Dataset,
     tessellation are computed ONCE at max(distances); each smaller
     distance reuses them through cheap per-distance filters — exactly
     the reference's shared-context design."""
-    from city2graph_ray.geom.kernels import linestring_length
     from city2graph_ray.ops.topology import dual_graph, segments_to_graph
 
     dmax = max(distances)
     nodes, seg_edges = segments_to_graph(segments)
     seg_edges = seg_edges.materialize()
-    edf = seg_edges.to_pandas()
-    edf["length"] = [linestring_length(np.asarray(c)) for c in edf["coords"]]
-    costs = reachability_costs(edf, center, nodes.to_pandas())
+    costs = reachability_costs(_edge_lengths(seg_edges), center,
+                               nodes.to_pandas())
 
     # shared upstream at dmax
     base_edges = filter_segments_by_cost(seg_edges, costs, dmax).materialize()
@@ -705,9 +738,20 @@ def morphological_graphs(buildings: ray.data.Dataset,
         d_edges = d_edges.materialize()
         kept_segments = set(d_edges.select_columns(["seg_id"])
                             .to_pandas()["seg_id"])
-        # place cells survive when their enclosure still has a kept
-        # barrier segment (cheap filter on the shared tessellation)
-        pp = place_to_place_edges(tess_max)
+        # per-distance place pruning (reference
+        # _create_and_filter_tessellation): a tessellation cell is kept
+        # only while its enclosure still touches a reachable segment —
+        # the enclosure→seg_id map comes straight from the polygonizer
+        kept_enc = np.asarray(
+            [eid for eid, sids in zip(enclosures["enclosure_index"],
+                                      enclosures["seg_ids"])
+             if any(int(s) in kept_segments for s in sids)], dtype=np.int64)
+        d_tess = tess_max.map_batches(
+            lambda b, ke=kept_enc:
+            b[np.isin(b["enclosure_index"].to_numpy(), ke)],
+            batch_format="pandas")
+        d_tess = d_tess.materialize()
+        pp = place_to_place_edges(d_tess)
         mm = dual_graph(d_edges.map_batches(
             lambda b: pd.DataFrame({"edge_id": b["seg_id"], "src": b["src"],
                                     "dst": b["dst"]}), batch_format="pandas"))
@@ -715,7 +759,7 @@ def morphological_graphs(buildings: ray.data.Dataset,
             lambda b, kept=frozenset(kept_segments):
             b[b["seg_id"].isin(kept)], batch_format="pandas"),
             max_connection_distance=pm_max_distance)
-        out[dist] = {"segment_edges": d_edges, "tessellation": tess_max,
+        out[dist] = {"segment_edges": d_edges, "tessellation": d_tess,
                      "place_place": pp, "movement_movement": mm,
                      "place_movement": pm}
     return out

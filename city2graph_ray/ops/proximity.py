@@ -800,6 +800,80 @@ def euclidean_minimum_spanning_tree(points: ray.data.Dataset,
     return ray.data.from_pandas(out)
 
 
+# ------------------------------------------------------------ edge decoration
+
+def _joined_endpoint_coords(edges: ray.data.Dataset,
+                            points: ray.data.Dataset) -> ray.data.Dataset:
+    """Attach (ux, uy, vx, vy) endpoint coords to an edge stream with
+    two bucketed hash joins (the edge stream is what moves; no point
+    table broadcast)."""
+    import pyarrow as pa
+    from city2graph_ray.joins import bucketed_join
+
+    def rn(kc, xc, yc):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select(["id", "x", "y"]).rename_columns([kc, xc, yc])
+        return fn
+
+    e = bucketed_join(edges, points.map_batches(rn("src", "ux", "uy"),
+                                                batch_format="pyarrow"),
+                      on="src")
+    return bucketed_join(e, points.map_batches(rn("dst", "vx", "vy"),
+                                               batch_format="pyarrow"),
+                         on="dst")
+
+
+def attach_edge_geometry(edges: ray.data.Dataset, points: ray.data.Dataset,
+                         metric: str = "euclidean") -> ray.data.Dataset:
+    """Edge LineString geometries per the reference's _compute_edge_data
+    (proximity.py:580-628): euclidean → the straight segment
+    (p1, p2); manhattan → the L-shaped path (p1, (p2.x, p1.y), p2).
+    Output = the edge stream + a ``geometry`` WKT column (endpoint
+    coords joined in, never broadcast).  Network-metric edges get their
+    path geometry from network_knn_graph itself."""
+    if metric not in ("euclidean", "manhattan"):
+        raise ValueError(f"unsupported metric for edge geometry: {metric}")
+    withxy = _joined_endpoint_coords(edges, points)
+    keep = [c for c in edges.schema().names]
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        ux, uy = b["ux"].to_numpy(), b["uy"].to_numpy()
+        vx, vy = b["vx"].to_numpy(), b["vy"].to_numpy()
+        if metric == "manhattan":
+            wkt = [f"LINESTRING ({a} {c}, {e} {c}, {e} {f})"
+                   for a, c, e, f in zip(ux, uy, vx, vy)]
+        else:
+            wkt = [f"LINESTRING ({a} {c}, {e} {f})"
+                   for a, c, e, f in zip(ux, uy, vx, vy)]
+        out = b[keep].copy()
+        out["geometry"] = wkt
+        return out
+
+    return withxy.map_batches(emit, batch_format="pandas")
+
+
+def attach_node_attrs(edges: ray.data.Dataset, nodes: ray.data.Dataset,
+                      attrs: list[str],
+                      endpoints: tuple[str, str] = ("src", "dst"),
+                      ) -> ray.data.Dataset:
+    """Carry node attributes onto graph edges (the reference keeps node
+    gdf columns on both endpoints, proximity.py:300-340): each attr in
+    ``attrs`` joins in as ``{endpoint}_{attr}`` via bucketed hash joins
+    keyed on the endpoint id columns."""
+    import pyarrow as pa
+    from city2graph_ray.joins import bucketed_join
+
+    out = edges
+    for ep in endpoints:
+        def rn(t: pa.Table, ep=ep) -> pa.Table:
+            cols = ["id", *attrs]
+            return t.select(cols).rename_columns(
+                [ep, *[f"{ep}_{a}" for a in attrs]])
+        out = bucketed_join(out, nodes.map_batches(rn, batch_format="pyarrow"),
+                            on=ep)
+    return out
+
+
 # ------------------------------------------------------------------ Waxman
 
 def waxman_graph(points: ray.data.Dataset, beta: float, r0: float,

@@ -171,7 +171,7 @@ def travel_summary_graph(
     frequencies: pd.DataFrame | None = None,
     start_time: str | None = None,
     end_time: str | None = None,
-    directed: bool = True,
+    directed: bool = False,
     round_to: int = 6,
 ) -> ray.data.Dataset:
     """GTFS → stop-pair travel summary (reference
@@ -179,7 +179,10 @@ def travel_summary_graph(
 
     consecutive legs per trip (sorted by numeric stop_sequence;
     non-numeric dropped :1082, null-time legs dropped :1060-1076,
-    optional [start_time, end_time) filter on departure),
+    optional inclusive bounds: departure >= start_time AND next-stop
+    arrival <= end_time, and zero/negative-duration legs dropped —
+    the reference's st_filtered/valid_pairs WHERE clauses
+    (:1085-1108)),
     service_count = COUNT(DISTINCT active date) per service ×
     frequency multiplier, then per (from_stop, to_stop):
     weighted mean travel time SUM(tt*sc)/SUM(sc) and frequency SUM(sc).
@@ -211,11 +214,11 @@ def travel_summary_graph(
         rows = []
         for i in range(len(g) - 1):
             tt = arr[i + 1] - dep[i]
-            if np.isnan(tt):
+            if np.isnan(tt) or tt <= 0:
                 continue
             if t0 is not None and dep[i] < t0:
                 continue
-            if t1 is not None and dep[i] >= t1:
+            if t1 is not None and arr[i + 1] > t1:
                 continue
             rows.append((stops[i], stops[i + 1], tt, sc))
         return pd.DataFrame(rows, columns=["from_stop_id", "to_stop_id",

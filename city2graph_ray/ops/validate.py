@@ -26,27 +26,98 @@ def validate_coords(ds: ray.data.Dataset, kind: str = "linestring",
     with NaN vertices, and under-length rings/lines (LineString needs ≥2
     points, Polygon ring ≥3 — reference geometry-type whitelists,
     morphology.py:1871-1888).  ``repair=True`` additionally closes open
-    polygon rings (the engine analogue of buffer(0) repair for the
-    fixture corpus's simple footprints, morphology.py:2194-2264)."""
+    polygon rings and runs the buffer(0) analogue on self-intersecting
+    rings (reference morphology.py:2194-2264): a bowtie ring explodes
+    into one row per repaired positive face."""
     min_pts = 2 if kind == "linestring" else 3
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        keep, fixed = [], []
-        for c in batch["coords"]:
-            c = np.asarray(c, np.float64)
+        rows = []
+        for _, row in batch.iterrows():
+            c = np.asarray(row["coords"], np.float64)
             ok = (len(c) >= 2 * min_pts and len(c) % 2 == 0
                   and np.isfinite(c).all())
-            if ok and repair and kind == "polygon":
-                r = c.reshape(-1, 2)
-                if not (r[0] == r[-1]).all():
-                    c = np.concatenate([c, c[:2]])
-            keep.append(ok)
-            fixed.append(c)
-        out = batch.copy()
-        out["coords"] = fixed
-        return out[np.asarray(keep)]
+            if not ok:
+                continue
+            if repair and kind == "polygon":
+                for face in repair_ring(c):
+                    r2 = row.copy()
+                    r2["coords"] = np.concatenate([face, face[:2]])
+                    rows.append(r2)
+            else:
+                r2 = row.copy()
+                r2["coords"] = c
+                rows.append(r2)
+        return (pd.DataFrame(rows).reset_index(drop=True) if rows
+                else batch.iloc[:0])
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def _ring_self_intersections(r: np.ndarray) -> list[tuple[int, float, np.ndarray]]:
+    """Proper crossings between non-adjacent edges of an open ring:
+    (edge_index, t_along_edge, point) per crossing, both edges listed."""
+    n = len(r)
+    a = r
+    b = np.roll(r, -1, axis=0)
+    out: list[tuple[int, float, np.ndarray]] = []
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent around the wrap
+            p, q = a[i], b[i]
+            s, t_ = a[j], b[j]
+            d1 = q - p
+            d2 = t_ - s
+            denom = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(denom) < 1e-15:
+                continue
+            w = s - p
+            u = (w[0] * d2[1] - w[1] * d2[0]) / denom
+            v = (w[0] * d1[1] - w[1] * d1[0]) / denom
+            if 1e-12 < u < 1 - 1e-12 and 1e-12 < v < 1 - 1e-12:
+                pt = p + u * d1
+                out.append((i, u, pt))
+                out.append((j, v, pt))
+    return out
+
+
+def repair_ring(coords: np.ndarray) -> list[np.ndarray]:
+    """buffer(0) analogue for self-intersecting rings (the reference's
+    invalid-building repair, morphology.py:2194-2264): node the ring at
+    its proper self-crossings, re-polygonize the noded arrangement, and
+    return the positive-area faces (a bowtie square becomes its two
+    triangles).  Rings without self-intersections return unchanged."""
+    r = np.asarray(coords, np.float64).reshape(-1, 2)
+    # drop consecutive duplicates and a closing vertex
+    keep = np.ones(len(r), dtype=bool)
+    keep[1:] = (np.abs(np.diff(r, axis=0)) > 1e-15).any(axis=1)
+    r = r[keep]
+    if len(r) > 1 and (np.abs(r[0] - r[-1]) < 1e-15).all():
+        r = r[:-1]
+    if len(r) < 3:
+        return []
+    crossings = _ring_self_intersections(r)
+    if not crossings:
+        return [r.reshape(-1)]
+    # split each edge at its crossing points (sorted by t)
+    splits: dict[int, list[tuple[float, np.ndarray]]] = {}
+    for i, t, pt in crossings:
+        splits.setdefault(i, []).append((t, pt))
+    pieces = []
+    n = len(r)
+    for i in range(n):
+        pts = [r[i]]
+        for _, pt in sorted(splits.get(i, []), key=lambda x: x[0]):
+            pts.append(pt)
+        pts.append(r[(i + 1) % n])
+        for a_, b_ in zip(pts[:-1], pts[1:]):
+            if (np.abs(a_ - b_) > 1e-15).any():
+                pieces.append(np.array([a_[0], a_[1], b_[0], b_[1]]))
+    from city2graph_ray.ops.morphology import polygonize_faces
+    faces = polygonize_faces(pd.DataFrame({
+        "seg_id": np.arange(len(pieces)), "coords": pieces}))
+    return [f for f, _ in faces]
 
 
 def drop_count(before: ray.data.Dataset, after: ray.data.Dataset) -> int:

@@ -43,10 +43,14 @@ def tumbling_window(events: ray.data.Dataset, size_sec: float,
                                 "max_v": ("max_v", "max")}, partial=False)
 
     def post(batch: pd.DataFrame) -> pd.DataFrame:
+        win = batch["win"].to_numpy(np.int64)
+        # fractional sizes need the float product (win * int(size) would
+        # collapse e.g. size 0.5 to 0); integral sizes keep int64 starts
+        starts = (win * np.int64(size_sec) if float(size_sec).is_integer()
+                  else np.round(win.astype(np.float64) * size_sec, 9))
         return pd.DataFrame({
             key_col: batch[key_col],
-            "window_start_sec": (batch["win"].to_numpy(np.int64)
-                                 * np.int64(size_sec)),
+            "window_start_sec": starts,
             "n": batch["n"].astype(np.int64),
             "sum_value": np.round(batch["sum_v"].to_numpy(), round_to),
             "min_value": np.round(batch["min_v"].to_numpy(), round_to),

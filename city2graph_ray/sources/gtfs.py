@@ -78,3 +78,42 @@ def load_gbfs_dir(path: str) -> dict[str, pd.DataFrame]:
             df["y"] = pd.to_numeric(df["lat"], errors="coerce")
         out[f[:-5]] = df
     return out
+
+
+def travel_summary_from_gtfs(path: str, **kwargs):
+    """One-call facade mirroring the reference's
+    ``travel_summary_graph(load_gtfs(zip))`` flow
+    (transportation.py:510-570 → 1197-1296): load the feed (zip or
+    directory), plumb the tables, return
+    {'nodes': stops (stop_id, x, y), 'edges': Dataset}."""
+    from city2graph_ray.ops.transport import travel_summary_graph
+    g = load_gtfs_dir(path)
+    edges = travel_summary_graph(
+        g["stop_times"], g["trips"], g["calendar"],
+        g.get("calendar_dates"), g.get("frequencies"), **kwargs)
+    nodes = (stops_with_geometry(g["stops"])
+             if "stops" in g else pd.DataFrame(
+                 columns=["stop_id", "x", "y"]))
+    return {"nodes": nodes, "edges": edges}
+
+
+def gbfs_station_graph(path: str, radius: float,
+                       feed: str = "station_information"):
+    """GBFS consumer (the loader previously had none): station points
+    within ``radius`` become an undirected proximity graph
+    (station_information semantics, reference
+    transportation.py:573-646; edges via fixed_radius_graph)."""
+    import numpy as np
+
+    from city2graph_ray.ops.proximity import fixed_radius_graph
+    feeds = load_gbfs_dir(path)
+    if feed not in feeds:
+        raise ValueError(f"GBFS feed {feed!r} not found in {path}")
+    df = feeds[feed]
+    pts = pd.DataFrame({
+        "id": np.arange(len(df), dtype=np.int64),
+        "x": df["x"].to_numpy(np.float64),
+        "y": df["y"].to_numpy(np.float64)}).dropna()
+    nodes = df.assign(id=pts["id"])
+    return {"nodes": nodes,
+            "edges": fixed_radius_graph(ray.data.from_pandas(pts), radius)}

@@ -97,3 +97,47 @@ def test_api_facade_exports():
                                     np.array([1.0, 0.0, 2.0, 0.0])]})
     mm = api.movement_to_movement_graph(rd.from_pandas(segs)).to_pandas()
     assert set(map(tuple, mm[["src", "dst"]].to_numpy())) == {(1, 2)}
+
+
+def test_repair_ring_bowtie():
+    """buffer(0) analogue: a bowtie ring splits into its two positive
+    faces (reference invalid-building repair, morphology.py:2194-2264)."""
+    from city2graph_ray.geom.voronoi import ring_area
+    from city2graph_ray.ops.validate import repair_ring
+    faces = repair_ring(np.array([0.0, 0, 1, 1, 1, 0, 0, 1]))
+    assert len(faces) == 2
+    areas = sorted(abs(ring_area(f.reshape(-1, 2))) for f in faces)
+    assert np.allclose(areas, [0.25, 0.25])
+    # a valid ring passes through unchanged
+    ok = repair_ring(np.array([0.0, 0, 1, 0, 1, 1, 0, 1]))
+    assert len(ok) == 1
+
+
+def test_validate_coords_repair_explodes_bowtie():
+    from city2graph_ray.ops.validate import validate_coords
+    polys = pd.DataFrame({
+        "id": np.array([1, 2], dtype=np.int64),
+        "coords": [np.array([0.0, 0, 1, 1, 1, 0, 0, 1]),     # bowtie
+                   np.array([0.0, 0, 2, 0, 2, 2, 0, 2])]})   # valid
+    out = validate_coords(rd.from_pandas(polys), "polygon",
+                          repair=True).to_pandas()
+    assert len(out) == 3  # bowtie exploded into 2 faces + valid square
+    assert sorted(out["id"]) == [1, 1, 2]
+
+
+def test_reproject_roundtrip_and_harmonize():
+    from city2graph_ray.context import TableManifest
+    from city2graph_ray.ops.crs import harmonize_crs, reproject
+    pts = pd.DataFrame({"id": [0, 1], "x": [0.0, 10.0], "y": [0.0, 45.0]})
+    ds = rd.from_pandas(pts)
+    merc = reproject(ds, "EPSG:4326", "EPSG:3857").to_pandas()
+    assert abs(merc.loc[1, "x"] - 1113194.9079327357) < 1e-6  # 10° lon
+    back = reproject(rd.from_pandas(merc), "EPSG:3857",
+                     "EPSG:4326").to_pandas()
+    assert np.allclose(back[["x", "y"]], pts[["x", "y"]], atol=1e-9)
+    # auto-harmonize mutates the manifest and reprojects
+    prim = TableManifest(crs="EPSG:3857")
+    sec = TableManifest(crs="EPSG:4326")
+    out = harmonize_crs(prim, ds, sec).to_pandas()
+    assert sec.crs == "EPSG:3857"
+    assert abs(out.loc[1, "x"] - 1113194.9079327357) < 1e-6

@@ -236,3 +236,41 @@ def test_vector_tessellation_polygon_buildings():
     assert abs(out["area"].sum() - 900.0) < 1e-6
     # symmetric layout → equal halves
     assert np.allclose(out["area"], 450.0, atol=1.0)
+
+
+def test_morphological_graph_distance_filters_all_layers(street_grid,
+                                                         grid_buildings):
+    """Center+distance path: every layer (movement, place, faced_to)
+    derives from the SAME reachability-filtered street set (reference
+    _segments_for_distance / _create_and_filter_tessellation)."""
+    out = morphological_graph(rd.from_pandas(grid_buildings),
+                              rd.from_pandas(street_grid),
+                              center=(5.0, 5.0), distance=70.0,
+                              resolution=3.0, pm_max_distance=20.0)
+    kept = set(out["segment_edges"].to_pandas()["seg_id"])
+    assert kept  # reachability kept something
+    pm = out["place_movement"].to_pandas()
+    # no dangling heterogeneous edges: faced segments ⊆ movement layer
+    assert set(pm["seg_id"]).issubset(kept)
+
+
+def test_morphological_graphs_prunes_places_per_distance(street_grid,
+                                                         grid_buildings):
+    """Per-distance runs drop tessellation cells whose enclosure lost
+    all reachable segments (the reference's per-distance tessellation
+    filter) — a small budget keeps fewer place cells than the max."""
+    from city2graph_ray.ops.morphology import morphological_graphs
+    out = morphological_graphs(rd.from_pandas(grid_buildings),
+                               rd.from_pandas(street_grid),
+                               center=(5.0, 5.0),
+                               distances=[40.0, 500.0], resolution=3.0)
+    t_small = out[40.0]["tessellation"].to_pandas()
+    t_big = out[500.0]["tessellation"].to_pandas()
+    assert len(t_big) > 0
+    assert len(t_small) <= len(t_big)
+    # the small-budget place layer only references enclosures that kept
+    # a reachable segment
+    kept_small = set(out[40.0]["segment_edges"].to_pandas()["seg_id"])
+    pm_small = out[40.0]["place_movement"].to_pandas()
+    if len(pm_small):
+        assert set(pm_small["seg_id"]).issubset(kept_small)

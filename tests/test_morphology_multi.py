@@ -52,8 +52,13 @@ def test_morphological_graphs_shared(grid):
     n60 = out[60.0]["segment_edges"].count()
     n200 = out[200.0]["segment_edges"].count()
     assert n60 <= n200
-    # shared tessellation object (computed once at max distance)
-    assert out[60.0]["tessellation"] is out[200.0]["tessellation"]
+    # the tessellation is computed once at max distance, then filtered
+    # per distance (reference _create_and_filter_tessellation): the
+    # smaller budget keeps a subset of the max-distance place cells
+    t60 = out[60.0]["tessellation"].to_pandas()
+    t200 = out[200.0]["tessellation"].to_pandas()
+    assert len(t60) <= len(t200)
+    assert set(t60["tess_id"]).issubset(set(t200["tess_id"]))
     assert out[200.0]["movement_movement"].count() > 0
 
 

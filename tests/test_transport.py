@@ -116,3 +116,49 @@ def test_get_od_pairs(gtfs):
     assert len(od) == 2 * 11 + 11 + 3
     assert set(od.columns) == {"trip_id", "date", "from_stop_id",
                                "to_stop_id", "travel_time_sec"}
+
+
+def test_gtfs_one_call_facade(gtfs, tmp_path):
+    """travel_summary_from_gtfs(zip) — the reference's one-call flow —
+    matches the manual table plumbing end-to-end."""
+    import zipfile
+
+    from city2graph_ray.sources.gtfs import travel_summary_from_gtfs
+    calendar, calendar_dates, trips, stop_times, frequencies = gtfs
+    stops = pd.DataFrame({
+        "stop_id": ["A", "B", "C"],
+        "stop_lon": ["0.0", "1.0", "2.0"],
+        "stop_lat": ["0.0", "0.5", "1.0"]})
+    zpath = tmp_path / "feed.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for name, df in [("stops", stops), ("calendar", calendar),
+                         ("calendar_dates", calendar_dates),
+                         ("trips", trips), ("stop_times", stop_times),
+                         ("frequencies", frequencies)]:
+            z.writestr(f"{name}.txt", df.to_csv(index=False))
+    out = travel_summary_from_gtfs(str(zpath))
+    nodes, edges = out["nodes"], out["edges"].to_pandas()
+    assert set(nodes["stop_id"]) == {"A", "B", "C"}
+    e = edges.set_index(["from_stop_id", "to_stop_id"])
+    assert e.loc[("A", "B"), "frequency"] == 55
+    manual = travel_summary_graph(rd.from_pandas(stop_times), trips,
+                                  calendar, calendar_dates,
+                                  frequencies).to_pandas()
+    pd.testing.assert_frame_equal(
+        edges.sort_values(["from_stop_id", "to_stop_id"]).reset_index(drop=True),
+        manual.sort_values(["from_stop_id", "to_stop_id"]).reset_index(drop=True))
+
+
+def test_gbfs_station_graph(tmp_path):
+    import json
+
+    from city2graph_ray.sources.gtfs import gbfs_station_graph
+    feed = {"data": {"stations": [
+        {"station_id": "s1", "lon": 0.0, "lat": 0.0},
+        {"station_id": "s2", "lon": 0.5, "lat": 0.0},
+        {"station_id": "s3", "lon": 5.0, "lat": 5.0}]}}
+    (tmp_path / "station_information.json").write_text(json.dumps(feed))
+    out = gbfs_station_graph(str(tmp_path), radius=1.0)
+    e = out["edges"].to_pandas()
+    assert len(e) == 1  # only s1–s2 within radius
+    assert {int(e["src"].iloc[0]), int(e["dst"].iloc[0])} == {0, 1}
