@@ -49,28 +49,32 @@ def split_segments_at_connectors(segments: ray.data.Dataset,
     (reference data.py:577-702, suffix :691-694).  Purely row-local."""
 
     def splitter(batch: pd.DataFrame) -> pd.DataFrame:
-        out_rows = {c: [] for c in batch.columns}
-        out_rows["split_part"] = []
-        for _, row in batch.iterrows():
-            coords = np.asarray(row["coords"], np.float64)
+        # per-row work is irreducible (JSON parse + arc substring), but
+        # row replication is vectorized: collect (row_idx, piece, id,
+        # part) then one .iloc fancy-index instead of per-column appends
+        ids = batch[id_col].tolist()
+        conns = (batch["connectors"].tolist() if "connectors" in batch
+                 else [None] * len(batch))
+        row_idx, parts, pieces, new_ids = [], [], [], []
+        for i, (cid, coords, conn) in enumerate(
+                zip(ids, batch["coords"], conns)):
+            coords = np.asarray(coords, np.float64)
             total = linestring_length(coords)
             ats = sorted({float(c.get("at", 0.0))
-                          for c in parse_json_permissive(row.get("connectors"))
+                          for c in parse_json_permissive(conn)
                           if isinstance(c, dict)} - {0.0, 1.0})
             cuts = [0.0, *[a * total for a in ats], total]
             multi = len(cuts) > 2
             for p in range(len(cuts) - 1):
-                piece = substring(coords, cuts[p], cuts[p + 1])
-                for c in batch.columns:
-                    if c == "coords":
-                        out_rows[c].append(piece)
-                    elif c == id_col:
-                        out_rows[c].append(f"{row[id_col]}_{p}" if multi
-                                           else str(row[id_col]))
-                    else:
-                        out_rows[c].append(row[c])
-                out_rows["split_part"].append(p)
-        return pd.DataFrame(out_rows)
+                row_idx.append(i)
+                parts.append(p)
+                pieces.append(substring(coords, cuts[p], cuts[p + 1]))
+                new_ids.append(f"{cid}_{p}" if multi else str(cid))
+        out = batch.iloc[row_idx].reset_index(drop=True)
+        out["coords"] = pieces
+        out[id_col] = new_ids
+        out["split_part"] = np.asarray(parts, dtype=np.int64)
+        return out
 
     return segments.map_batches(splitter, batch_format="pandas")
 
@@ -86,10 +90,12 @@ def barrier_geometries(segments: ray.data.Dataset) -> ray.data.Dataset:
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         passable_list, fully = [], []
-        for _, row in batch.iterrows():
-            coords = np.asarray(row["coords"], np.float64)
+        rules_col = (batch["level_rules"].tolist() if "level_rules" in batch
+                     else [None] * len(batch))
+        for coords, rules_raw in zip(batch["coords"], rules_col):
+            coords = np.asarray(coords, np.float64)
             total = linestring_length(coords)
-            rules = parse_json_permissive(row.get("level_rules"))
+            rules = parse_json_permissive(rules_raw)
             intervals = []
             full_block = False
             for r in rules:
@@ -241,22 +247,22 @@ def prepare_barriers(segments: ray.data.Dataset,
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         out_ids, out_coords = [], []
-        for _, row in batch.iterrows():
-            if has_barrier:
-                if row.get("is_fully_barrier"):
-                    continue
-                pieces = row["barrier_coords"]
-                if pieces is None or len(pieces) == 0:
-                    continue
-            else:
-                pieces = [row["coords"]]
+        ids = batch[id_col].tolist()
+        if has_barrier:
+            piece_col = batch["barrier_coords"].tolist()
+            full_col = batch["is_fully_barrier"].tolist()
+        else:
+            piece_col = [[c] for c in batch["coords"]]
+            full_col = [False] * len(batch)
+        for rid, pieces, full in zip(ids, piece_col, full_col):
+            if full or pieces is None or len(pieces) == 0:
+                continue
             multi = len(pieces) > 1
             for i, piece in enumerate(pieces):
                 piece = np.asarray(piece, np.float64)
                 if len(piece) < 4:
                     continue
-                out_ids.append(f"{row[id_col]}_p{i}" if multi
-                               else str(row[id_col]))
+                out_ids.append(f"{rid}_p{i}" if multi else str(rid))
                 out_coords.append(piece)
         return pd.DataFrame({id_col: out_ids, "coords": out_coords})
 

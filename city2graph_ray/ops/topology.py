@@ -268,54 +268,91 @@ def clip_graph(nodes: ray.data.Dataset, edges: ray.data.Dataset,
 
 
 def connected_components(edges: ray.data.Dataset, max_iters: int = 50) -> ray.data.Dataset:
-    """Component label per node via iterated min-label propagation:
-    label(n) ← min(label(n), min over neighbors) until fixpoint — each
-    iteration one groupby shuffle; converges in O(diameter) rounds
-    (large-star/small-star would be O(log n); fine for round 1).
-    Returns (node_id, component) where component = min node id reachable.
-    Reference keeps the largest component (utils/topology.py:775-825) —
-    compose with a count + semi-filter for that."""
-    def seed(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch["src"].to_numpy()
-        d = batch["dst"].to_numpy()
-        return pd.DataFrame({"node_id": np.concatenate([s, d]),
-                             "label": np.concatenate([np.minimum(s, d)] * 2)})
+    """Component label per node via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    public algorithm): each round is two bucketed groupby shuffles over
+    the edge set, no node-label broadcast anywhere, converging in
+    O(log n) rounds.  Returns (node_id, component) with component =
+    min node id reachable.  Reference keeps the largest component
+    (utils/topology.py:775-825) — compose with a count + semi-filter."""
 
-    labels = edges.map_batches(seed, batch_format="pandas")
-    labels = shuffle.group_agg(labels, ["node_id"],
-                               {"label": ("label", "min")}).materialize()
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["src"].to_numpy(np.int64)
+        d = batch["dst"].to_numpy(np.int64)
+        m = s != d
+        u = np.maximum(s[m], d[m])
+        v = np.minimum(s[m], d[m])
+        return pd.DataFrame({"u": u, "v": v})
 
-    e_small = edges.select_columns(["src", "dst"]).materialize()
+    e = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["u", "v"])
+    e = e.materialize()
+
+    def edge_checksum(ds: ray.data.Dataset) -> tuple[int, int]:
+        def part(b: pd.DataFrame) -> pd.DataFrame:
+            u = b["u"].to_numpy(np.uint64)
+            v = b["v"].to_numpy(np.uint64)
+            h = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (v + np.uint64(0x85EB))
+            return pd.DataFrame({"n": [np.int64(len(b))],
+                                 "h": [np.int64(int(h.sum()) & 0x7FFFFFFFFFFFFFF)]})
+        agg = ds.map_batches(part, batch_format="pandas").to_pandas()
+        return int(agg["n"].sum()), int(agg["h"].sum() & 0x7FFFFFFFFFFFFFF)
+
+    def large_star(ds: ray.data.Dataset) -> ray.data.Dataset:
+        # neighborhoods of BOTH endpoints: emit each edge both ways
+        def both(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "c": np.concatenate([b["u"].to_numpy(), b["v"].to_numpy()]),
+                "n": np.concatenate([b["v"].to_numpy(), b["u"].to_numpy()])})
+
+        doubled = ds.map_batches(both, batch_format="pandas")
+
+        def kernel(g: pd.DataFrame) -> pd.DataFrame:
+            # per center c: m = min(neighbors ∪ {c}); link every
+            # LARGER neighbor to m
+            gm = g.groupby("c", sort=False)["n"].min()
+            m = np.minimum(gm.to_numpy(), gm.index.to_numpy())
+            mmap = pd.Series(m, index=gm.index)
+            big = g[g["n"] > g["c"]]
+            return pd.DataFrame({
+                "u": big["n"].to_numpy(np.int64),
+                "v": mmap[big["c"]].to_numpy(np.int64)})
+
+        return shuffle.grouped_transform(doubled, ["c"], kernel)
+
+    def small_star(ds: ray.data.Dataset) -> ray.data.Dataset:
+        # edges already point large→small (u > v): group by u over its
+        # small neighbors; link them (and u) to the minimum
+        def kernel(g: pd.DataFrame) -> pd.DataFrame:
+            gm = g.groupby("u", sort=False)["v"].min()
+            mmap = pd.Series(gm.to_numpy(), index=gm.index)
+            mv = mmap[g["u"]].to_numpy(np.int64)
+            vs = g["v"].to_numpy(np.int64)
+            keep = vs != mv
+            out_u = np.concatenate([vs[keep], gm.index.to_numpy(np.int64)])
+            out_v = np.concatenate([mv[keep], gm.to_numpy(np.int64)])
+            m2 = out_u != out_v
+            return pd.DataFrame({"u": out_u[m2], "v": out_v[m2]})
+
+        return shuffle.grouped_transform(ds, ["u"], kernel)
+
+    prev = edge_checksum(e)
     for _ in range(max_iters):
-        ldf = labels.to_pandas()  # node table ≪ edges; broadcast each round
-        lmap = dict(zip(ldf["node_id"], ldf["label"]))
-        ref = ray.put(lmap)
-
-        class Prop:
-            def __init__(self):
-                self.lmap = ray.get(ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                ls = batch["src"].map(self.lmap).to_numpy()
-                ld = batch["dst"].map(self.lmap).to_numpy()
-                m = np.minimum(ls, ld)
-                return pd.DataFrame({"node_id": np.concatenate([batch["src"], batch["dst"]]),
-                                     "label": np.concatenate([m, m])})
-
-        new = e_small.map_batches(Prop, batch_format="pandas", concurrency=(1, 8))
-        new = shuffle.group_agg(new, ["node_id"],
-                                {"label": ("label", "min")}).materialize()
-        ndf = new.to_pandas()
-        merged = ndf.merge(ldf, on="node_id", how="outer", suffixes=("", "_old"))
-        merged["label"] = merged[["label", "label_old"]].min(axis=1)
-        changed = (merged["label"] != merged["label_old"]).sum()
-        labels = ray.data.from_pandas(
-            merged[["node_id", "label"]].astype({"node_id": np.int64, "label": np.int64}))
-        labels = labels.materialize()
-        if changed == 0:
+        e = shuffle.distinct(large_star(e), ["u", "v"])
+        e = shuffle.distinct(small_star(e), ["u", "v"]).materialize()
+        cur = edge_checksum(e)
+        if cur == prev:
             break
-    return labels.map_batches(
-        lambda b: b.rename(columns={"label": "component"}), batch_format="pandas")
+        prev = cur
+
+    # converged: every edge is (node → root); roots label themselves
+    def labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node_id": np.concatenate([b["u"].to_numpy(), b["v"].to_numpy()]),
+            "component": np.concatenate([b["v"].to_numpy(), b["v"].to_numpy()])})
+
+    lab = e.map_batches(labels, batch_format="pandas")
+    return shuffle.group_agg(lab, ["node_id"], {"component": ("component", "min")})
 
 
 def largest_component_filter(edges: ray.data.Dataset) -> ray.data.Dataset:

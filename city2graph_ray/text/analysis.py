@@ -6,7 +6,6 @@ so the DuckDB oracle can reproduce them bit-for-bit.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -99,22 +98,31 @@ def rolling_fingerprints(docs: ray.data.Dataset, window: int = 16,
     hash (content-defined; robust to token reorder at window scale).
     Output (doc_id, fp)."""
 
+    # polynomial window hash, one vectorized pass per doc: bytes →
+    # sliding windows → dot with base powers (uint64 wraparound) →
+    # splitmix64 finalizer → min.  No per-offset Python/md5 loop.
+    powers = (np.uint64(1099511628211)
+              ** np.arange(window - 1, -1, -1, dtype=np.uint64))
+
+    def mix(h: np.ndarray) -> np.ndarray:
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        fps = []
-        for t in batch[text_col]:
-            if len(t) <= window:
-                fps.append(int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
-                                          "big") >> 1)
+        fps = np.empty(len(batch), np.int64)
+        for i, t in enumerate(batch[text_col]):
+            data = np.frombuffer(t.encode(), dtype=np.uint8)
+            if len(data) <= window:
+                h = mix(np.array([np.uint64(len(data))
+                                  + (data.astype(np.uint64) * powers[-len(data):]
+                                     ).sum() if len(data) else np.uint64(0)]))
+                fps[i] = int(h[0] >> np.uint64(1))
                 continue
-            best = None
-            data = t.encode()
-            for i in range(len(data) - window + 1):
-                h = int.from_bytes(hashlib.md5(data[i:i + window]).digest()[:8],
-                                   "big") >> 1
-                if best is None or h < best:
-                    best = h
-            fps.append(best)
-        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
-                             "fp": np.asarray(fps, np.int64)})
+            win = np.lib.stride_tricks.sliding_window_view(
+                data, window).astype(np.uint64)
+            h = mix((win * powers[None, :]).sum(axis=1))
+            fps[i] = int(h.min() >> np.uint64(1))
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "fp": fps})
 
     return docs.map_batches(fn, batch_format="pandas")

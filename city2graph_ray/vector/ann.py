@@ -74,15 +74,49 @@ def ann_topk(corpus: ray.data.Dataset, queries: pd.DataFrame, k: int = 10,
 
 
 def _centroids(corpus: ray.data.Dataset, n_centroids: int,
-               vec_col: str, id_col: str) -> np.ndarray:
-    """Deterministic coarse centroids: the corpus rows whose id ≡ 0
-    (mod ceil(n/n_centroids)), normalized — a seeded stand-in for
-    k-means (no iterative training in round 1)."""
+               vec_col: str, id_col: str,
+               train_iters: int = 3) -> np.ndarray:
+    """Trained coarse centroids: deterministic seed rows (id ≡ 0 mod
+    ceil(n/n_centroids)) refined by ``train_iters`` Lloyd iterations of
+    spherical k-means.  Each iteration is one streaming pass: per-batch
+    partial (sum, count) per centroid inside ``map_batches``, then a
+    tiny (n_centroids × dim) driver reduce — the corpus never
+    materializes."""
     n = corpus.count()
     step = max(n // n_centroids, 1)
     sample = corpus.filter(lambda r: r[id_col] % step == 0).limit(n_centroids)
-    m = _to_matrix(sample.to_pandas()[vec_col])
-    return _normalize(m)
+    cents = _normalize(_to_matrix(sample.to_pandas()[vec_col]))
+    for _ in range(train_iters):
+        ref = ray.put(cents)
+
+        class Partial:
+            def __init__(self):
+                self.cents = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                cm = _normalize(_to_matrix(batch[vec_col]))
+                a = np.argmax(cm @ self.cents.T, axis=1)
+                sums = np.zeros_like(self.cents)
+                np.add.at(sums, a, cm)
+                counts = np.bincount(a, minlength=len(self.cents))
+                return pd.DataFrame({
+                    "c": np.arange(len(self.cents), dtype=np.int64),
+                    "n": counts.astype(np.int64),
+                    "vec": list(sums)})
+
+
+        parts = corpus.map_batches(Partial, batch_format="pandas",
+                                   concurrency=(1, 8)).to_pandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for c, cnt, vec in zip(parts["c"], parts["n"], parts["vec"]):
+            sums[int(c)] += np.asarray(vec, np.float64)
+            counts[int(c)] += int(cnt)
+        nonzero = counts > 0
+        cents = cents.copy()
+        cents[nonzero] = sums[nonzero] / counts[nonzero, None]
+        cents = _normalize(cents)
+    return cents
 
 
 def ivf_topk(corpus: ray.data.Dataset, queries: pd.DataFrame, k: int = 10,
@@ -167,14 +201,41 @@ def embedding_neardup(corpus: ray.data.Dataset, threshold: float = 0.95,
     bucketed = corpus.map_batches(Assign, batch_format="pandas",
                                   concurrency=(1, 8))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        o = np.argsort(ids)
-        ids = ids[o]
-        cm = _normalize(_to_matrix(g[vec_col]))[o]
+    # hot-bucket cap: a bucket larger than ``cap`` recursively splits on
+    # a deterministic projection with an overlap band of width
+    # √(2(1-threshold)) — any pair with cosine ≥ threshold has
+    # projection gap ≤ the band, so both members land in at least one
+    # common side: NO recall loss, and per-group work stays O(cap²).
+    cap = 4096
+    band = float(np.sqrt(max(2.0 * (1.0 - threshold), 1e-12)))
+
+    def all_pairs(ids: np.ndarray, cm: np.ndarray) -> pd.DataFrame:
         sims = np.round(cm @ cm.T, 6)
         ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
         return pd.DataFrame({"a": ids[ii], "b": ids[jj],
                              "cosine": sims[ii, jj]})
+
+    def split_pairs(ids: np.ndarray, cm: np.ndarray,
+                    depth: int) -> pd.DataFrame:
+        if len(ids) <= cap or depth > 20:
+            return all_pairs(ids, cm)
+        rng = np.random.default_rng(depth + 7)
+        direction = rng.standard_normal(cm.shape[1])
+        direction /= np.linalg.norm(direction)
+        proj = cm @ direction
+        med = float(np.median(proj))
+        left = proj <= med + band / 2.0
+        right = proj >= med - band / 2.0
+        if left.sum() >= 0.95 * len(ids) and right.sum() >= 0.95 * len(ids):
+            return all_pairs(ids, cm)  # band covers everything: degenerate
+        parts = [split_pairs(ids[side], cm[side], depth + 1)
+                 for side in (left, right)]
+        return (pd.concat(parts).drop_duplicates(["a", "b"])
+                .reset_index(drop=True))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        o = np.argsort(ids)
+        return split_pairs(ids[o], _normalize(_to_matrix(g[vec_col]))[o], 0)
 
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
