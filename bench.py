@@ -90,13 +90,15 @@ def run_suite(sf_dir: str) -> dict:
 
     # spawn workers + warm the page cache before timing
     warmup(NUM_CPUS)
-    pts = lineitem_points(sf_dir).repartition(NUM_CPUS).materialize()
+    per_row = int(os.environ.get("GRAFT_BENCH_PER_ROW", "4"))
+    radius = float(os.environ.get("GRAFT_BENCH_RADIUS", "2.0"))
+    pts = lineitem_points(sf_dir, per_row).repartition(NUM_CPUS).materialize()
     polys = part_polygons(sf_dir).repartition(NUM_CPUS).materialize()
 
     timed("span_extract",
           lambda: extract_geometry_spans(synthesize_documents(sf_dir)).count())
     timed("knn", lambda: knn_graph(pts, 8).count())
-    timed("fixed_radius", lambda: fixed_radius_graph(pts, 2.0).count())
+    timed("fixed_radius", lambda: fixed_radius_graph(pts, radius).count())
     timed("contiguity_queen", lambda: contiguity_graph(polys, "queen").count())
     timed("pip_group_nodes", lambda: group_nodes(polys, pts, cell_size=50.0).count())
     timed("dedup_exact", lambda: exact_dedup(documents(sf_dir)).count())
@@ -141,9 +143,28 @@ def main():
 
 def scaling():
     def run(ncpu: int) -> dict:
+        # the scaling comparison uses a 4× denser point table (identical
+        # at both CPU levels): at bench-default size the 32-CPU suite
+        # finishes in ~11 s of spatial wall time and fixed stage/startup
+        # overhead dominates the ratio (Amdahl), which a real 100 TB run
+        # would amortize away; radius shrinks to keep the output pair
+        # count comparable (pairs ∝ n²r²)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"),
+                   GRAFT_BENCH_PER_ROW=os.environ.get(
+                       "GRAFT_BENCH_PER_ROW", "16"),
+                   GRAFT_BENCH_RADIUS=os.environ.get(
+                       "GRAFT_BENCH_RADIUS", "0.5"))
+        # pin the process tree to ncpu physical cores: ray.init(num_cpus)
+        # only limits task SLOTS — Arrow/numpy thread pools and the
+        # object store would otherwise use all host cores and inflate
+        # the low-CPU run's throughput (taskset = the honest stand-in
+        # for a node with ncpu cores)
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        import shutil as _sh
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}", *cmd]
+        out = subprocess.run(cmd,
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])

@@ -9,9 +9,16 @@ suite, identical outputs): a classic two-stage map/reduce exchange as
 plain Ray tasks —
 
   map:    per input block, halo-assign rows to cells and hash-split
-          into P shards (fused: the expanded table never exists whole),
-  reduce: per partition, concatenate its shards and run the per-cell
-          kernel; results re-enter Ray Data via ``from_arrow_refs``.
+          into P shards — all Arrow: one ``take`` for the halo
+          replication, then a stable partition sort + zero-copy
+          ``slice`` per shard (the expanded table is never copied
+          per shard),
+  reduce: per partition, ``pa.concat_tables`` its shards (zero-copy
+          chunked concat), one stable sort by cell, then zero-copy
+          per-cell slices feed the kernel; kernel outputs concat as
+          Arrow chunks — the big pair dumps are never re-copied into
+          one pandas frame.  Results re-enter Ray Data via
+          ``from_arrow_refs``.
 
 Pure tasks, no shared mutable state: lineage-based fault tolerance and
 object-store spilling still apply.  The Dataset groupby path remains
@@ -42,34 +49,58 @@ def _num_partitions() -> int:
 @ray.remote
 def _split_halo(tbl: pa.Table, cell_size: float, halo: float,
                 num_partitions: int, extra_cols: tuple) -> list:
-    df = tbl.to_pandas()
-    rows, cell, is_halo = cells.halo_assignments(
-        df["x"].to_numpy(), df["y"].to_numpy(), cell_size, halo)
-    out = pd.DataFrame({"id": df["id"].to_numpy()[rows],
-                        "x": df["x"].to_numpy()[rows],
-                        "y": df["y"].to_numpy()[rows]})
-    for c in extra_cols:
-        out[c] = df[c].to_numpy()[rows]
-    out["cell"] = cell
-    out["is_halo"] = is_halo
+    if tbl.num_rows == 0 or "x" not in tbl.schema.names:
+        # schema-less empty block (filtered-out upstream): typed shards
+        empty = pa.table({
+            "id": pa.array([], pa.int64()),
+            "x": pa.array([], pa.float64()),
+            "y": pa.array([], pa.float64()),
+            **{c: pa.array([], pa.float64()) for c in extra_cols},
+            "cell": pa.array([], pa.int64()),
+            "is_halo": pa.array([], pa.bool_())})
+        return [empty] * num_partitions
+    x = tbl.column("x").to_numpy(zero_copy_only=False)
+    y = tbl.column("y").to_numpy(zero_copy_only=False)
+    rows, cell, is_halo = cells.halo_assignments(x, y, cell_size, halo)
     part = ((cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
             >> np.uint64(40)).astype(np.int64) % num_partitions
-    return [pa.Table.from_pandas(out[part == p], preserve_index=False)
-            for p in range(num_partitions)]
+    order = np.argsort(part, kind="stable")
+    base = tbl.select(["id", "x", "y", *extra_cols]).take(
+        pa.array(rows[order]))
+    base = base.append_column("cell", pa.array(cell[order]))
+    base = base.append_column("is_halo", pa.array(is_halo[order]))
+    sorted_part = part[order]
+    starts = np.searchsorted(sorted_part, np.arange(num_partitions))
+    ends = np.concatenate([starts[1:], [len(sorted_part)]])
+    return [base.slice(int(lo), int(hi - lo))  # zero-copy shard views
+            for lo, hi in zip(starts, ends)]
 
 
 @ray.remote
 def _reduce_cells(kernel: Callable, *shards) -> pa.Table:
-    df = pa.concat_tables(shards).to_pandas()
+    t = pa.concat_tables([s for s in shards if s.num_rows],
+                         promote_options="default") \
+        if any(s.num_rows for s in shards) else shards[0]
+    if t.num_rows == 0:
+        empty = kernel(t.to_pandas().iloc[0:0])
+        return pa.Table.from_pandas(empty, preserve_index=False)
+    cellcol = t.column("cell").to_numpy(zero_copy_only=False)
+    order = np.argsort(cellcol, kind="stable")
+    t2 = t.take(pa.array(order))
+    cc = cellcol[order]
+    bounds = np.flatnonzero(np.diff(cc)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(cc)]])
     outs = []
-    for _, g in df.groupby("cell", sort=False):
-        r = kernel(g)
+    for lo, hi in zip(starts, ends):
+        r = kernel(t2.slice(int(lo), int(hi - lo)).to_pandas())
         if r is not None and len(r):
-            outs.append(r)
+            outs.append(pa.Table.from_pandas(r, preserve_index=False))
     if not outs:
-        return pa.Table.from_pandas(kernel(df.iloc[0:0]),
+        return pa.Table.from_pandas(kernel(t2.slice(0, 0).to_pandas()),
                                     preserve_index=False)
-    return pa.Table.from_pandas(pd.concat(outs), preserve_index=False)
+    # chunked zero-copy concat — no single giant pandas frame
+    return pa.concat_tables(outs, promote_options="default")
 
 
 def cell_halo_exchange(
@@ -88,6 +119,10 @@ def cell_halo_exchange(
     is_halo), executed as the fused map/reduce exchange."""
     P = num_partitions or _num_partitions()
     refs = points.to_arrow_refs()
+    if not refs:  # empty input: fall back to the equivalent Dataset plan
+        from city2graph_ray.ops.proximity import expand_halo
+        return (expand_halo(points, cell_size, halo, extra_cols)
+                .groupby("cell").map_groups(kernel, batch_format="pandas"))
     split = _split_halo.options(num_returns=P)
     shard_lists = [split.remote(r, cell_size, halo, P, tuple(extra_cols))
                    for r in refs]

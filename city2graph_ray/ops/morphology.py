@@ -611,6 +611,170 @@ def filter_segments_by_cost(edges: ray.data.Dataset,
     return edges.map_batches(Filt, batch_format="pandas", concurrency=(1, 8))
 
 
+def filter_points_by_network_reach(points: ray.data.Dataset,
+                                   seg_edges: ray.data.Dataset,
+                                   costs: dict[int, float],
+                                   distance: float,
+                                   extent_buffer: float = 100.0,
+                                   cell_size: float | None = None,
+                                   ) -> ray.data.Dataset:
+    """Keep points reachable under BOTH caps (reference
+    _reachable_within_caps, morphology.py:3212-3279): some retained
+    segment must have perpendicular access distance (point → projection
+    foot) ≤ ``extent_buffer`` AND network cost to the foot (endpoint
+    Dijkstra cost + along-edge arc) ≤ ``distance``.  Splitting the last
+    leg keeps straight-line access from masquerading as walkable
+    network distance.
+
+    Cell-bucketed: segments replicate to cells within ``extent_buffer``
+    of their bbox, points stay home; the node-cost field is the
+    broadcast small side (it already is for the Dijkstra)."""
+    cs = cell_size or max(extent_buffer * 2.0, 25.0)
+    cref = ray.put(costs)
+
+    def seg_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"src": [], "dst": [], "cell": [], "blob": []}
+        for s_, d_, c in zip(batch["src"], batch["dst"], batch["coords"]):
+            cc = np.asarray(c, np.float64).reshape(-1, 2)
+            _, cl = cellmod.covering_cells(
+                np.array([cc[:, 0].min() - extent_buffer]),
+                np.array([cc[:, 1].min() - extent_buffer]),
+                np.array([cc[:, 0].max() + extent_buffer]),
+                np.array([cc[:, 1].max() + extent_buffer]), cs)
+            rows["src"].extend([s_] * len(cl))
+            rows["dst"].extend([d_] * len(cl))
+            rows["cell"].extend(cl)
+            rows["blob"].extend([cc.tobytes()] * len(cl))
+        return pd.DataFrame(rows)
+
+    segs = seg_edges.map_batches(seg_cells, batch_format="pandas")
+    cols = ["id", "x", "y", "src", "dst", "cell", "blob", "is_pt"]
+
+    def pt_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["id", "x", "y"]].copy()
+        out["cell"] = cellmod.cell_id(batch["x"].to_numpy(),
+                                      batch["y"].to_numpy(), cs)
+        out["src"] = np.int64(-1)
+        out["dst"] = np.int64(-1)
+        out["blob"] = b""
+        out["is_pt"] = True
+        return out[cols]
+
+    s2 = segs.map_batches(lambda b: b.assign(id=np.int64(-1), x=0.0, y=0.0,
+                                             is_pt=False)[cols],
+                          batch_format="pandas")
+    p2 = points.map_batches(pt_cells, batch_format="pandas")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        costs_l = ray.get(cref)  # local object-store read per task, not
+        ps = g[g["is_pt"]]       # a per-task pickle of the dict
+        ss = g[~g["is_pt"]].drop_duplicates(["src", "dst"])
+        if len(ps) == 0 or len(ss) == 0:
+            return pd.DataFrame({"id": pd.Series(dtype=np.int64)})
+        px = ps["x"].to_numpy()
+        py = ps["y"].to_numpy()
+        ok = np.zeros(len(ps), dtype=bool)
+        for s_, d_, blob in zip(ss["src"], ss["dst"], ss["blob"]):
+            c_s = costs_l.get(int(s_), np.inf)
+            c_d = costs_l.get(int(d_), np.inf)
+            if not (np.isfinite(c_s) or np.isfinite(c_d)):
+                continue
+            cc = np.frombuffer(blob, np.float64).reshape(-1, 2)
+            seg_len = np.hypot(*np.diff(cc, axis=0).T)
+            prefix = np.concatenate(([0.0], np.cumsum(seg_len)))
+            total = prefix[-1]
+            todo = ~ok
+            if not todo.any():
+                break
+            qx, qy = px[todo], py[todo]
+            best = np.zeros(len(qx), dtype=bool)
+            for i, (a, b) in enumerate(zip(cc[:-1], cc[1:])):
+                dx, dy = b[0] - a[0], b[1] - a[1]
+                ll = dx * dx + dy * dy
+                t = (((qx - a[0]) * dx + (qy - a[1]) * dy)
+                     / (ll if ll > 0 else 1.0))
+                t = np.clip(t, 0.0, 1.0)
+                fx, fy = a[0] + t * dx, a[1] + t * dy
+                access = np.hypot(qx - fx, qy - fy)
+                along = prefix[i] + t * np.sqrt(ll)
+                cost = np.minimum(c_s + along, c_d + (total - along))
+                best |= (access <= extent_buffer) & (cost <= distance)
+            ok[np.nonzero(todo)[0][best]] = True
+        return pd.DataFrame({"id": ps["id"].to_numpy()[ok]})
+
+    keep = shuffle.distinct(
+        s2.union(p2).groupby("cell").map_groups(kernel,
+                                                batch_format="pandas"),
+        ["id"])
+    kept_ids = keep.to_pandas()
+    from city2graph_ray.joins import semi_filter
+    ids = set(kept_ids["id"]) if "id" in kept_ids.columns else set()
+    return semi_filter(points, ids, "id") if ids else points.limit(0)
+
+
+def unenclosed_fallback_cells(tess: ray.data.Dataset,
+                              buildings: ray.data.Dataset,
+                              enclosures: pd.DataFrame,
+                              fallback_radius: float = 10.0,
+                              ) -> ray.data.Dataset:
+    """Buildings outside every enclosure get square footprint-buffer
+    fallback cells appended to the tessellation (reference
+    include_unenclosed_buildings, morphology.py:2007-2011 + 2044-2056:
+    unenclosed buildings degrade to their own footprints as cells).
+    Point buildings use a ``fallback_radius`` square; cell rows carry
+    enclosure_index = -1 and tess_id = "fallback_{id}"."""
+    tagged = assign_buildings_to_enclosures(buildings, enclosures)
+    tess_cols = list(tess.schema().names)
+
+    def fallback(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[b["enclosure_index"] < 0]
+        r = fallback_radius
+        out = pd.DataFrame({
+            "enclosure_index": np.full(len(u), -1, dtype=np.int64),
+            "bldg_id": u["id"].to_numpy(np.int64),
+            "tess_id": [f"fallback_{i}" for i in u["id"]],
+            "area": np.full(len(u), (2 * r) ** 2)})
+        # align with whichever tessellation schema we're appended to
+        if "cell_ix" in tess_cols:        # zonal raster assignments
+            out["cell_ix"] = np.int64(-1)
+            out["cell_iy"] = np.int64(-1)
+        if "geometry" in tess_cols:       # vector cells
+            out["n_pieces"] = np.int64(1)
+            out["attempts"] = np.int64(0)
+            out["geometry"] = [
+                f"POLYGON (({x - r} {y - r}, {x + r} {y - r}, "
+                f"{x + r} {y + r}, {x - r} {y + r}, {x - r} {y - r}))"
+                for x, y in zip(u["x"], u["y"])]
+        return out[tess_cols]
+
+    extra = tagged.map_batches(fallback, batch_format="pandas")
+    return tess.union(extra)
+
+
+def keep_buildings_join(tess: ray.data.Dataset,
+                        buildings: ray.data.Dataset,
+                        attrs: list[str] | None = None) -> ray.data.Dataset:
+    """LEFT-join building attributes onto tessellation cells by
+    ``bldg_id`` (the reference's keep_buildings _add_building_info,
+    morphology.py:2687-2741) — bucketed hash join; cells without a
+    building (empty enclosures, bldg_id = -1) keep null attrs."""
+    import pyarrow as pa
+
+    from city2graph_ray.joins import bucketed_join
+
+    names = buildings.schema().names
+    attrs = attrs or [c for c in names if c not in ("id",)]
+
+    def rn(t: pa.Table) -> pa.Table:
+        cols = ["id", *attrs]
+        return t.select(cols).rename_columns(
+            ["bldg_id", *[f"bldg_{a}" for a in attrs]])
+
+    return bucketed_join(tess, buildings.map_batches(rn,
+                                                     batch_format="pyarrow"),
+                         on="bldg_id", how="left")
+
+
 # ------------------------------------------------------------------ composition
 
 def morphological_graph(buildings: ray.data.Dataset,
@@ -618,13 +782,24 @@ def morphological_graph(buildings: ray.data.Dataset,
                         center: tuple[float, float] | None = None,
                         distance: float | None = None,
                         resolution: float = 2.0,
-                        pm_max_distance: float = 25.0) -> dict[str, ray.data.Dataset]:
+                        pm_max_distance: float = 25.0,
+                        extent_buffer: float | None = None,
+                        include_unenclosed_buildings: bool = False,
+                        keep_buildings: bool = False,
+                        ) -> dict[str, ray.data.Dataset]:
     """The flagship heterogeneous pipeline (reference morphology.py:156-348).
 
     buildings: (id, x, y) centroids [+ attrs]; segments: (seg_id, coords).
     Returns dict with: 'tessellation' (tile assignments),
     'place_place', 'movement_movement', 'place_movement' edge Datasets,
     plus 'segment_nodes'/'segment_edges'.
+
+    ``extent_buffer`` (with center+distance) applies the reference's
+    perpendicular access cap to building retention
+    (_reachable_within_caps, morphology.py:3212-3279);
+    ``include_unenclosed_buildings`` appends footprint fallback cells
+    for out-of-enclosure buildings (:2007-2011); ``keep_buildings``
+    left-joins building attrs onto the tessellation (:2687-2741).
     """
     from city2graph_ray.ops.topology import dual_graph, segments_to_graph
 
@@ -644,11 +819,19 @@ def morphological_graph(buildings: ray.data.Dataset,
         kept = seg_edges.select_columns(["seg_id"]).to_pandas()["seg_id"]
         from city2graph_ray.joins import semi_filter
         pm_segments = semi_filter(segments, set(kept.tolist()), "seg_id")
+        if extent_buffer is not None:
+            buildings = filter_points_by_network_reach(
+                buildings, seg_edges, costs, distance,
+                extent_buffer).materialize()
 
     barriers = seg_edges.to_pandas()[["seg_id", "coords"]]
     enclosures = enclosures_from_barriers(barriers)
 
     tess = zonal_tessellation(buildings, enclosures, resolution).materialize()
+    if include_unenclosed_buildings:
+        tess = unenclosed_fallback_cells(tess, buildings, enclosures)
+    if keep_buildings:
+        tess = keep_buildings_join(tess, buildings)
     pp = place_to_place_edges(tess)
     mm = dual_graph(seg_edges.map_batches(
         lambda b: pd.DataFrame({"edge_id": b["seg_id"], "src": b["src"],

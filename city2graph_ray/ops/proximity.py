@@ -101,7 +101,7 @@ def fixed_radius_graph(
     metric: str = "euclidean",
     auto_skew: bool = False,
     hot_cell_threshold: int = 20000,
-    strategy: str = "groupby",
+    strategy: str = "exchange",
 ) -> ray.data.Dataset:
     """All pairs within ``radius`` (reference proximity.py:1303-1437).
 
@@ -208,7 +208,7 @@ def knn_graph(
     targets: ray.data.Dataset | None = None,
     max_rounds: int = 4,
     metric: str = "euclidean",
-    strategy: str = "groupby",
+    strategy: str = "exchange",
 ) -> ray.data.Dataset:
     """Directed k-nearest-neighbors (reference proximity.py:771-887;
     self excluded; undirected view = canonicalize_edges downstream,

@@ -274,3 +274,53 @@ def test_morphological_graphs_prunes_places_per_distance(street_grid,
     pm_small = out[40.0]["place_movement"].to_pandas()
     if len(pm_small):
         assert set(pm_small["seg_id"]).issubset(kept_small)
+
+
+def test_filter_points_by_network_reach_access_cap(street_grid):
+    """extent_buffer caps the perpendicular access leg independently of
+    the network budget (reference _reachable_within_caps)."""
+    from city2graph_ray.ops.morphology import (
+        _edge_lengths, filter_points_by_network_reach,
+        reachability_costs)
+    from city2graph_ray.ops.topology import segments_to_graph
+    nodes, seg_edges = segments_to_graph(rd.from_pandas(street_grid))
+    seg_edges = seg_edges.materialize()
+    costs = reachability_costs(_edge_lengths(seg_edges), (0.0, 0.0),
+                               nodes.to_pandas())
+    pts = pd.DataFrame({"id": np.array([1, 2, 3], dtype=np.int64),
+                        "x": [5.0, 15.0, 2.0],
+                        "y": [2.0, 15.0, 5.0]})
+    # generous network budget, tight access cap: the enclosure-center
+    # point (15 units from every street) is dropped, the ones 2 units
+    # off a street survive
+    out = filter_points_by_network_reach(
+        rd.from_pandas(pts), seg_edges, costs, distance=500.0,
+        extent_buffer=5.0).to_pandas()
+    assert set(out["id"]) == {1, 3}
+    # tight network budget drops everything beyond it even with a big
+    # access cap
+    out2 = filter_points_by_network_reach(
+        rd.from_pandas(pts.assign(x=[59.0, 59.0, 59.0])), seg_edges,
+        costs, distance=10.0, extent_buffer=50.0).to_pandas()
+    assert len(out2) == 0
+
+
+def test_unenclosed_fallback_and_keep_buildings(street_grid,
+                                                grid_buildings):
+    from city2graph_ray.ops.morphology import (
+        enclosures_from_barriers, keep_buildings_join,
+        unenclosed_fallback_cells, zonal_tessellation)
+    enc = enclosures_from_barriers(street_grid[["seg_id", "coords"]])
+    blds = pd.concat([grid_buildings, pd.DataFrame(
+        {"id": [9], "x": [200.0], "y": [200.0]})])  # far outside grid
+    tess = zonal_tessellation(rd.from_pandas(blds), enc, resolution=3.0)
+    with_fb = unenclosed_fallback_cells(
+        tess, rd.from_pandas(blds), enc).to_pandas()
+    fb = with_fb[with_fb["tess_id"] == "fallback_9"]
+    assert len(fb) == 1 and fb["enclosure_index"].iloc[0] == -1
+    # keep_buildings: building coords ride onto the cells, absent ones null
+    joined = keep_buildings_join(
+        unenclosed_fallback_cells(tess, rd.from_pandas(blds), enc),
+        rd.from_pandas(blds)).to_pandas()
+    f9 = joined[joined["tess_id"] == "fallback_9"]
+    assert np.isclose(f9["bldg_x"].iloc[0], 200.0)
