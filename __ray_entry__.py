@@ -285,6 +285,18 @@ def _minhash_clusters(sf_dir: str):
     return minhash_dedup(documents(sf_dir), threshold=0.5)
 
 
+def _ssjoin_jaccard(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import jaccard_join_exact
+    return jaccard_join_exact(documents(sf_dir), threshold=0.6, round_to=6)
+
+
+def _neardup_clusters(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import neardup_clusters_exact
+    return neardup_clusters_exact(documents(sf_dir), threshold=0.6)
+
+
 def _simhash(sf_dir: str):
     from city2graph_ray.pipelines.tables import documents
     from city2graph_ray.text.dedup import simhash_pairs
@@ -636,6 +648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_langid,
         "minhash_clusters": _minhash_clusters,
+        "ssjoin_jaccard": _ssjoin_jaccard,
+        "neardup_clusters": _neardup_clusters,
         "simhash_pairs": _simhash,
         "ann_topk": _ann,
         "ivf_ann_topk": _ivf_ann,
@@ -1066,6 +1080,56 @@ def oracle_sql() -> dict[str, str]:
                       (w.x-t.ux)*(w.x-t.ux)+(w.y-t.uy)*(w.y-t.uy),
                       (w.x-t.vx)*(w.x-t.vx)+(w.y-t.vy)*(w.y-t.vy))
                   < t.dd - 1e-12)""",
+        "ssjoin_jaccard": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+              FROM documents, LATERAL unnest(
+                generate_series(1, greatest(length(text)-4, 1))) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y USING (s)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = inter.a
+            JOIN cnt cb ON cb.doc_id = inter.b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6""",
+        "neardup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+              FROM documents, LATERAL unnest(
+                generate_series(1, greatest(length(text)-4, 1))) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y USING (s)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN cnt ca ON ca.doc_id = inter.a
+              JOIN cnt cb ON cb.doc_id = inter.b
+              WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+            ),
+            e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            walk(node, lab) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT w.node, e2.b FROM walk w JOIN e e2 ON w.lab = e2.a
+            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d
+            LEFT JOIN (SELECT node, min(lab) AS cluster_id
+                       FROM walk GROUP BY node) c
+              ON c.node = d.doc_id""",
         # delaunay_edges / emst_edges / minhash_clusters / simhash_pairs
         # / ngram_jaccard_pairs / ivf_ann_topk / network_knn: not
         # SQL-expressible (triangulation / LSH / IVF / Dijkstra) →

@@ -303,8 +303,160 @@ def minhash_dedup(docs: ray.data.Dataset, threshold: float = 0.5,
     verified = withtext.map_batches(
         _JaccardVerify, fn_constructor_args=(shingle_k, threshold),
         batch_format="pandas", concurrency=(1, 8))
+    return _clusters_from_pairs(verified, docs, id_col)
 
-    edges = verified.map_batches(
+
+# ------------------------------------------------------------------ exact set-similarity join
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _explode_shingles(batch: pd.DataFrame, shingle_k: int, text_col: str,
+                      id_col: str) -> pd.DataFrame:
+    """Vectorized batch shingle explode → (doc_id, s, n) with DISTINCT
+    shingles per doc.  All docs' bytes are concatenated once; windows
+    crossing doc boundaries are masked out; per-doc dedup is one lexsort
+    over (doc_idx, shingle)."""
+    texts = batch[text_col].to_numpy(dtype=object)
+    ids = batch[id_col].to_numpy()
+    bs = [t.encode() for t in texts]
+    lens = np.fromiter((len(b) for b in bs), np.int64, len(bs))
+    long = lens >= shingle_k
+    out_ids: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    if long.any():
+        flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        offs = np.zeros(len(bs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        # Horner's rule over k shifted views: no (len×k) intermediate
+        n_flat_win = len(flat) - shingle_k + 1
+        sid = np.zeros(n_flat_win, dtype=np.uint64)
+        for j in range(shingle_k):
+            sid = sid * np.uint64(256) + flat[j:j + n_flat_win]
+        # window start w belongs to doc d iff offs[d] <= w <= offs[d+1]-k
+        n_win = lens - shingle_k + 1
+        starts = np.repeat(offs[:-1][long], n_win[long])
+        within = np.concatenate(
+            [np.arange(c) for c in n_win[long]]) if long.any() else \
+            np.zeros(0, np.int64)
+        doc_idx = np.repeat(np.flatnonzero(long), n_win[long])
+        sids = sid[starts + within]
+        # distinct (doc, shingle)
+        order = np.lexsort((sids, doc_idx))
+        doc_idx, sids = doc_idx[order], sids[order]
+        keep = np.ones(len(sids), dtype=bool)
+        keep[1:] = (doc_idx[1:] != doc_idx[:-1]) | (sids[1:] != sids[:-1])
+        out_ids.append(ids[doc_idx[keep]])
+        out_s.append(sids[keep].astype(np.int64))
+    for i in np.flatnonzero(~long):
+        out_ids.append(ids[i:i + 1])
+        out_s.append(np.array([int.from_bytes(
+            hashlib.md5(bs[i]).digest()[:8], "big") >> 1], dtype=np.int64))
+    sid_all = np.concatenate(out_s) if out_s else np.zeros(0, np.int64)
+    id_all = np.concatenate(out_ids) if out_ids else ids[:0]
+    df = pd.DataFrame({id_col: id_all, "s": sid_all})
+    df["n"] = df.groupby(id_col, sort=False)["s"].transform("size")
+    return df
+
+
+def jaccard_join_exact(docs: ray.data.Dataset, threshold: float = 0.6,
+                       shingle_k: int = 5, text_col: str = "text",
+                       id_col: str = "doc_id", round_to: int = 6,
+                       order: str = "df",
+                       num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                       ) -> ray.data.Dataset:
+    """EXACT set-similarity self-join: ALL pairs (a < b) whose
+    character-``shingle_k``-gram Jaccard is ≥ ``threshold`` — the
+    deterministic companion to the probabilistic MinHash-LSH path
+    (no recall loss).  Output (a, b, jaccard).
+
+    Algorithm is the public AllPairs/PPJoin prefix filter (Bayardo et
+    al. WWW'07; Xiao et al. WWW'08): under ANY global total order on
+    shingles, a pair with Jaccard ≥ t shares its minimal common shingle
+    within BOTH docs' prefixes of length ``n - ceil(t*n) + 1`` (the i
+    common shingles all sit at order-positions ≥ that of the minimal
+    one, so it cannot be deeper than ``n - i ≤ n - ceil(t*n)``).  Only
+    prefix shingles are posted to the inverted index, so bucket fan-out
+    is bounded by rare-shingle document frequency, not corpus size.
+
+    ``order="df"`` sorts prefixes by global shingle document frequency
+    (rare first — smallest buckets; one extra groupby+join shuffle);
+    ``order="hash"`` uses a doc-independent splitmix64 order, computing
+    prefixes inline with NO extra shuffle (one inverted-index shuffle
+    total).  Both are exact.
+
+    Scale shape: shingle ids are packed bytes (injective for
+    shingle_k ≤ 7 — int64-safe), the inverted index moves
+    (8B key, 8B id, 8B n) per posting, candidates carry ids only, and
+    texts are joined back onto the verified-candidate stream with
+    bucketed hash joins (`_pairs_with_texts`) — never broadcast."""
+    if shingle_k > 7:
+        raise ValueError("jaccard_join_exact: shingle_k must be ≤ 7 "
+                         "(packed shingle ids must stay int64-safe)")
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        return _explode_shingles(batch, shingle_k, text_col, id_col)
+
+    sh = docs.map_batches(explode, batch_format="pandas")
+
+    def _prefix(g: pd.DataFrame, order_cols: list[str]) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable")
+        grp = g.groupby(id_col, sort=False)
+        n = g["n"].to_numpy()
+        pos = grp.cumcount().to_numpy()
+        plen = n - np.ceil(threshold * n).astype(np.int64) + 1
+        return g[pos < plen][[id_col, "s", "n"]]
+
+    if order == "df":
+        dfs = shuffle.group_agg(sh, ["s"], {"df": (id_col, "size")},
+                                num_buckets=num_buckets)
+        from city2graph_ray.joins import bucketed_join
+        sh_df = bucketed_join(sh, dfs, on="s", num_buckets=num_buckets)
+        posted = shuffle.grouped_transform(
+            sh_df, [id_col], lambda g: _prefix(g, ["df", "s"]),
+            num_buckets=num_buckets)
+    elif order == "hash":
+        def inline_prefix(batch: pd.DataFrame) -> pd.DataFrame:
+            g = explode(batch)
+            g["hs"] = _splitmix64(g["s"].to_numpy().astype(np.uint64)
+                                  ).astype(np.int64)
+            out = _prefix(g.assign(df=g["hs"]), ["df", "s"])
+            return out
+        posted = docs.map_batches(inline_prefix, batch_format="pandas")
+    else:
+        raise ValueError(f"unknown order {order!r}")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="s")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        lo = np.minimum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
+        hi = np.maximum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
+        m = m[lo >= threshold * hi]  # J >= t needs |A∩B| >= t*max >= ...
+        return pd.DataFrame({"a": m[f"{id_col}_x"].to_numpy(),
+                             "b": m[f"{id_col}_y"].to_numpy()}
+                            ).drop_duplicates()
+
+    cand = shuffle.grouped_transform(posted, ["s"], pairs,
+                                     num_buckets=num_buckets)
+    cand = shuffle.distinct(cand, ["a", "b"], num_buckets=num_buckets)
+    withtext = _pairs_with_texts(cand, docs, text_col, id_col, num_buckets)
+    return withtext.map_batches(
+        _JaccardVerify, fn_constructor_args=(shingle_k, threshold, round_to),
+        batch_format="pandas", concurrency=(1, 8))
+
+
+def _clusters_from_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
+                         id_col: str = "doc_id") -> ray.data.Dataset:
+    """(a, b) pair stream → (doc_id, cluster_id) over the WHOLE corpus;
+    cluster_id = min doc id of the connected component, singletons map
+    to themselves.  Small edge sets use driver union-find; big ones the
+    distributed large-star/small-star components.  Assignment is a
+    bucketed LEFT join — no component-map broadcast."""
+    edges = pairs.map_batches(
         lambda b: b.rename(columns={"a": "src", "b": "dst"})[["src", "dst"]],
         batch_format="pandas")
     edges = edges.materialize()
@@ -314,8 +466,6 @@ def minhash_dedup(docs: ray.data.Dataset, threshold: float = 0.5,
             pd.DataFrame({"node_id": pd.Series(dtype=np.int64),
                           "component": pd.Series(dtype=np.int64)}))
     elif n_edges <= 1_000_000:
-        # near-dup edge sets are tiny relative to the corpus:
-        # driver union-find beats iterated label-propagation shuffles
         edf = edges.to_pandas()
         parent: dict[int, int] = {}
 
@@ -337,11 +487,7 @@ def minhash_dedup(docs: ray.data.Dataset, threshold: float = 0.5,
         from city2graph_ray.ops.topology import connected_components
         comp = connected_components(edges)
 
-    # cluster assignment = bucketed LEFT join of the corpus id stream
-    # against the (tiny or Dataset-sized) component table; singletons
-    # fall through as their own cluster.  No component-map broadcast.
     from city2graph_ray.joins import bucketed_join
-    import pyarrow as pa
 
     ids = docs.map_batches(lambda t: t.select([id_col]),
                            batch_format="pyarrow")
@@ -358,6 +504,19 @@ def minhash_dedup(docs: ray.data.Dataset, threshold: float = 0.5,
                              "cluster_id": cl.astype(np.int64)})
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def neardup_clusters_exact(docs: ray.data.Dataset, threshold: float = 0.6,
+                           shingle_k: int = 5, text_col: str = "text",
+                           id_col: str = "doc_id", order: str = "df",
+                           ) -> ray.data.Dataset:
+    """Deterministic near-dup clusters: exact prefix-filtered similarity
+    join (:func:`jaccard_join_exact`) → connected components → min-id
+    cluster per doc.  Unlike :func:`minhash_dedup` this has NO
+    probabilistic recall term, so it is bit-exactly SQL-oracle-able."""
+    pairs = jaccard_join_exact(docs, threshold, shingle_k, text_col,
+                               id_col, order=order)
+    return _clusters_from_pairs(pairs, docs, id_col)
 
 
 # ------------------------------------------------------------------ SimHash

@@ -49,6 +49,47 @@ def test_minhash_dedup(docs_with_dups):
     assert len(set(cmap.values())) == 4
 
 
+@pytest.mark.parametrize("order", ["df", "hash"])
+def test_jaccard_join_exact_vs_brute(order):
+    from city2graph_ray.text.dedup import (jaccard_join_exact, char_shingles,
+                                           jaccard)
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(8, 30)))
+             for _ in range(120)]
+    texts += [texts[i] + " extra" for i in range(0, 30, 3)]  # near dups
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = (jaccard_join_exact(rd.from_pandas(df).repartition(6),
+                              threshold=0.5, round_to=6, order=order)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    sh = [char_shingles(t, 5) for t in texts]
+    brute = [(a, b, round(jaccard(sh[a], sh[b]), 6))
+             for a in range(len(texts)) for b in range(a + 1, len(texts))
+             if round(jaccard(sh[a], sh[b]), 6) >= 0.5]
+    bdf = pd.DataFrame(brute, columns=["a", "b", "jaccard"])
+    assert len(out) == len(bdf) and len(bdf) > 0
+    pd.testing.assert_frame_equal(out, bdf, check_dtype=False)
+
+
+def test_neardup_clusters_exact():
+    from city2graph_ray.text.dedup import neardup_clusters_exact
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the quick brown fox jumps over the lazy dog tonight",
+                 "the quick brown fox jumps over the lazy dog tonight!",
+                 "a quick brown fox jumps over the lazy dog tonight",
+                 "pack my box with five dozen liquor jugs right now ok",
+                 "pack my box with five dozen liquor jugs right now ok",
+                 "completely unrelated text about data processing engines"]})
+    out = (neardup_clusters_exact(rd.from_pandas(df).repartition(3),
+                                  threshold=0.6)
+           .to_pandas().set_index("doc_id")["cluster_id"])
+    assert out.loc[0] == out.loc[1] == out.loc[2] == 0   # transitive chain
+    assert out.loc[3] == out.loc[4] == 3
+    assert out.loc[5] == 5                               # singleton
+
+
 def test_simhash_pairs(docs_with_dups):
     from city2graph_ray.text.dedup import simhash_pairs
     out = simhash_pairs(rd.from_pandas(docs_with_dups),
