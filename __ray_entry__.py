@@ -285,6 +285,24 @@ def _minhash_clusters(sf_dir: str):
     return minhash_dedup(documents(sf_dir), threshold=0.5)
 
 
+def _token_topk(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import token_topk
+    return token_topk(documents(sf_dir), k=20)
+
+
+def _tfidf_terms(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import tfidf_top_terms
+    return tfidf_top_terms(documents(sf_dir), m=3)
+
+
+def _hash_sample(sf_dir: str):
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import hash_sample
+    return hash_sample(documents(sf_dir), rate=0.1)
+
+
 def _ssjoin_jaccard(sf_dir: str):
     from city2graph_ray.pipelines.tables import documents
     from city2graph_ray.text.dedup import jaccard_join_exact
@@ -650,6 +668,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": _minhash_clusters,
         "ssjoin_jaccard": _ssjoin_jaccard,
         "neardup_clusters": _neardup_clusters,
+        "doc_token_topk": _token_topk,
+        "doc_tfidf_terms": _tfidf_terms,
+        "doc_hash_sample": _hash_sample,
         "simhash_pairs": _simhash,
         "ann_topk": _ann,
         "ivf_ann_topk": _ivf_ann,
@@ -1080,6 +1101,37 @@ def oracle_sql() -> dict[str, str]:
                       (w.x-t.ux)*(w.x-t.ux)+(w.y-t.uy)*(w.y-t.uy),
                       (w.x-t.vx)*(w.x-t.vx)+(w.y-t.vy)*(w.y-t.vy))
                   < t.dd - 1e-12)""",
+        "doc_token_topk": r"""
+            SELECT t AS token, count(*) AS cnt
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+                    AS t FROM documents)
+            WHERE t <> ''
+            GROUP BY t
+            ORDER BY cnt DESC, t
+            LIMIT 20""",
+        "doc_tfidf_terms": r"""
+            WITH tok AS (
+              SELECT doc_id, t AS token, count(*) AS tf
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text), '\s+'))
+                             AS t FROM documents)
+              WHERE t <> ''
+              GROUP BY doc_id, t
+            ),
+            dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, token,
+                   round(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 6)
+                     AS score
+            FROM tok JOIN dfreq USING (token), n
+            QUALIFY row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0) DESC,
+                       token) <= 3""",
+        "doc_hash_sample": """
+            SELECT doc_id, text FROM documents
+            WHERE ((doc_id % 1000000007) * (2654435761 % 1000000007))
+                  % 1000000007 % 10000 < 1000""",
         "ssjoin_jaccard": """
             WITH sh AS (
               SELECT DISTINCT doc_id, substr(text, i, 5) AS s

@@ -65,15 +65,24 @@ def _split_halo(tbl: pa.Table, cell_size: float, halo: float,
     part = ((cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
             >> np.uint64(40)).astype(np.int64) % num_partitions
     order = np.argsort(part, kind="stable")
-    base = tbl.select(["id", "x", "y", *extra_cols]).take(
-        pa.array(rows[order]))
-    base = base.append_column("cell", pa.array(cell[order]))
-    base = base.append_column("is_halo", pa.array(is_halo[order]))
+    rows_o, cell_o, halo_o = rows[order], cell[order], is_halo[order]
     sorted_part = part[order]
     starts = np.searchsorted(sorted_part, np.arange(num_partitions))
     ends = np.concatenate([starts[1:], [len(sorted_part)]])
-    return [base.slice(int(lo), int(hi - lo))  # zero-copy shard views
-            for lo, hi in zip(starts, ends)]
+    # each shard is a fresh `take` of the source block: Arrow pickles a
+    # *sliced* table with its FULL parent buffers (measured: a 1k-row
+    # slice of a 1M-row block serializes all 24 MB), so returning
+    # zero-copy slice views here would ship P copies of every block
+    # into the object store.  Per-shard take copies each row exactly
+    # once in total — same bytes as the logical shuffle.
+    sel = tbl.select(["id", "x", "y", *extra_cols])
+    out = []
+    for lo, hi in zip(starts, ends):
+        sh = sel.take(pa.array(rows_o[int(lo):int(hi)]))
+        sh = sh.append_column("cell", pa.array(cell_o[int(lo):int(hi)]))
+        sh = sh.append_column("is_halo", pa.array(halo_o[int(lo):int(hi)]))
+        out.append(sh)
+    return out
 
 
 @ray.remote

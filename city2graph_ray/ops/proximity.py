@@ -140,22 +140,49 @@ def fixed_radius_graph(
     dist = _METRICS[metric]  # halo=radius stays valid: L1 ≥ L∞ ≥ axis gap
 
     if targets is None:
+        euclid = metric == "euclidean"
+
         def kernel(g: pd.DataFrame) -> pd.DataFrame:
+            # x-sorted sweep: |Δx| ≤ radius is necessary under both
+            # metrics, so each 2048-row chunk only compares against the
+            # x-window [x_lo-r, x_hi+r] instead of the whole cell —
+            # cuts the dense-matrix bytes by ~cell_width/(2r+chunk_span).
+            # Euclidean defers sqrt: candidates via dd ≤ r²(1+1e-12)
+            # (strict superset in fp), then the EXACT original
+            # sqrt(dd) ≤ r comparator on the few survivors — bit-
+            # identical output to the unsorted full-matrix kernel.
             ids = g["id"].to_numpy()
             xs = g["x"].to_numpy()
             ys = g["y"].to_numpy()
             home = ~g["is_halo"].to_numpy()
+            o = np.argsort(xs, kind="stable")
+            ids, xs, ys, home = ids[o], xs[o], ys[o], home[o]
             out = []
+            rr = radius * radius * (1.0 + 1e-12)
             for lo in range(0, len(g), 2048):
                 hi = min(lo + 2048, len(g))
-                d = dist(xs[lo:hi, None], ys[lo:hi, None], xs[None, :], ys[None, :])
-                ii, jj = np.nonzero(d <= radius)
-                ii_g = ii + lo
-                keep = (ids[ii_g] < ids[jj]) & home[ii_g]
+                wlo = int(np.searchsorted(xs, xs[lo] - radius, "left"))
+                whi = int(np.searchsorted(xs, xs[hi - 1] + radius, "right"))
+                dx = xs[lo:hi, None] - xs[None, wlo:whi]
+                dy = ys[lo:hi, None] - ys[None, wlo:whi]
+                if euclid:
+                    dd = dx * dx
+                    dd += dy * dy
+                    ii, jj = np.nonzero(dd <= rr)
+                    dvals = np.sqrt(dd[ii, jj])
+                else:
+                    dd = np.abs(dx)
+                    dd += np.abs(dy)
+                    ii, jj = np.nonzero(dd <= radius)
+                    dvals = dd[ii, jj]
+                sel = dvals <= radius
+                ii_g = ii[sel] + lo
+                jj_g = jj[sel] + wlo
+                keep = (ids[ii_g] < ids[jj_g]) & home[ii_g]
                 if keep.any():
                     out.append(pd.DataFrame({
-                        "src": ids[ii_g[keep]], "dst": ids[jj[keep]],
-                        "distance": d[ii[keep], jj[keep]]}))
+                        "src": ids[ii_g[keep]], "dst": ids[jj_g[keep]],
+                        "distance": dvals[sel][keep]}))
             return pd.concat(out) if out else _empty_edges()
 
         if strategy == "exchange":
@@ -320,20 +347,33 @@ def knn_graph(
             cy = c["y"].to_numpy()
             _, uniq = np.unique(cid, return_index=True)
             cid, cx, cy = cid[uniq], cx[uniq], cy[uniq]
+            # x-sweep window (exact): a candidate with |Δx| > halo_w has
+            # distance > halo_w under both metrics, so it can never be
+            # among the k selected of a row that RESOLVES (kth ≤ halo_w);
+            # rows whose window-local kth exceeds halo_w (or with < k
+            # window candidates) stay unresolved and re-query at a wider
+            # halo — identical output to the full-cell matrix.
+            co = np.argsort(cx, kind="stable")
+            cid, cx, cy = cid[co], cx[co], cy[co]
             outs = []
-            qid = q["id"].to_numpy()
-            qx = q["x"].to_numpy()
-            qy = q["y"].to_numpy()
+            qo = np.argsort(q["x"].to_numpy(), kind="stable")
+            qid = q["id"].to_numpy()[qo]
+            qx = q["x"].to_numpy()[qo]
+            qy = q["y"].to_numpy()[qo]
             for lo in range(0, len(q), 1024):
                 hi = min(lo + 1024, len(q))
                 nq = hi - lo
-                if len(cid) == 0:
+                wlo = int(np.searchsorted(cx, qx[lo] - halo_w, "left"))
+                whi = int(np.searchsorted(cx, qx[hi - 1] + halo_w, "right"))
+                cid_w, cx_w, cy_w = (cid[wlo:whi], cx[wlo:whi],
+                                     cy[wlo:whi])
+                if len(cid_w) == 0:
                     d = np.empty((nq, 0))
                 else:
                     d = dist(qx[lo:hi, None], qy[lo:hi, None],
-                             cx[None, :], cy[None, :])
+                             cx_w[None, :], cy_w[None, :])
                 if not bipartite and d.shape[1]:
-                    d[cid[None, :] == qid[lo:hi, None]] = np.inf  # no self
+                    d[cid_w[None, :] == qid[lo:hi, None]] = np.inf  # no self
                 avail = d.shape[1] - (0 if bipartite else 1)
                 kk = min(k, max(avail, 0))
                 if kk <= 0:
@@ -345,7 +385,7 @@ def knn_graph(
                 # full-row lexsort by (distance, id): argpartition is
                 # NOT tie-stable at the k-th boundary (L1 lattice
                 # distances tie constantly) — exactness over micro-opt
-                order = np.lexsort((np.broadcast_to(cid, d.shape), d),
+                order = np.lexsort((np.broadcast_to(cid_w, d.shape), d),
                                    axis=1)[:, :kk]
                 sel = order
                 rows = np.repeat(np.arange(nq), kk)
@@ -353,7 +393,7 @@ def knn_graph(
                 kth = dsel.reshape(nq, kk)[:, -1]
                 resolved = (kk == k) & (kth <= halo_w)
                 outs.append(pd.DataFrame({
-                    "src": qid[lo + rows], "dst": cid[sel.ravel()],
+                    "src": qid[lo + rows], "dst": cid_w[sel.ravel()],
                     "distance": dsel,
                     "resolved": np.repeat(resolved, kk),
                     "qx": qx[lo + rows], "qy": qy[lo + rows]}))

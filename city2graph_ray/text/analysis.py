@@ -126,3 +126,124 @@ def rolling_fingerprints(docs: ray.data.Dataset, window: int = 16,
         return pd.DataFrame({id_col: batch[id_col].to_numpy(), "fp": fps})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ vocabulary / TF-IDF / sampling
+
+def _explode_tokens(batch: pd.DataFrame, text_col: str,
+                    id_col: str) -> pd.DataFrame:
+    """(doc_id, token, tf): lowercase whitespace-run tokens with per-doc
+    term frequency.  SQL mirror: unnest(regexp_split_to_array(lower(text),
+    '\\s+')) with empty tokens dropped — identical to Python
+    ``str.lower().split()``."""
+    toks = batch[text_col].str.lower().str.split()
+    ex = pd.DataFrame({id_col: batch[id_col].to_numpy()}).join(
+        toks.rename("token").reset_index(drop=True)).explode("token")
+    ex = ex[ex["token"].notna() & (ex["token"] != "")]
+    tf = (ex.groupby([id_col, "token"], sort=False).size()
+          .rename("tf").reset_index())
+    return tf
+
+
+def token_topk(docs: ray.data.Dataset, k: int = 20,
+               text_col: str = "text", id_col: str = "doc_id",
+               ) -> ray.data.Dataset:
+    """Corpus-wide heavy hitters: the ``k`` most frequent tokens,
+    deterministic tie-break (count DESC, token ASC).  Output
+    (token, cnt).
+
+    Scale shape: per-batch partial counts (bytes moved ∝ distinct
+    tokens per batch, not corpus tokens) → keyed ``group_agg`` sum →
+    per-block top-k partials → one tiny global merge.  No vocabulary
+    materialization on the driver beyond k rows."""
+    from city2graph_ray import shuffle
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.lower().str.split().explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    counts = shuffle.group_agg(docs.map_batches(partial,
+                                                batch_format="pandas"),
+                               ["token"], {"cnt": ("cnt", "sum")},
+                               partial=False)
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["cnt", "token"],
+                             ascending=[False, True]).head(k)
+
+    merged = (counts.map_batches(block_topk, batch_format="pandas")
+              .to_pandas()
+              .sort_values(["cnt", "token"], ascending=[False, True])
+              .head(k).reset_index(drop=True))
+    return ray.data.from_pandas(merged)
+
+
+def tfidf_top_terms(docs: ray.data.Dataset, m: int = 3,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    round_to: int = 6,
+                    num_buckets: int | None = None) -> ray.data.Dataset:
+    """Per-document top-``m`` TF-IDF terms (smoothed sklearn-style
+    idf = ln((N+1)/(df+1)) + 1; score = tf·idf), deterministic
+    tie-break (score DESC, token ASC).  Output (doc_id, token, score)
+    with score rounded to ``round_to``.
+
+    Scale shape: token explode with per-doc tf (one pass), document
+    frequency via keyed ``group_agg`` (no vocabulary broadcast), idf
+    joined back by token with a bucketed hash join, per-doc top-m via
+    the distributed ``topk_in_group`` — every stage streams."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+
+    nb = num_buckets or shuffle.DEFAULT_BUCKETS
+    n_docs = docs.count()
+
+    tok = docs.map_batches(
+        lambda b: _explode_tokens(b, text_col, id_col),
+        batch_format="pandas")
+    dfreq = shuffle.group_agg(tok, ["token"], {"df": (id_col, "size")},
+                              num_buckets=nb)
+    joined = bucketed_join(tok, dfreq, on="token", num_buckets=nb)
+
+    def score_fn(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["tf"].to_numpy(np.float64) * (
+            np.log((n_docs + 1.0) / (b["df"].to_numpy(np.float64) + 1.0))
+            + 1.0)
+        out = b[[id_col, "token"]].copy()
+        out["score"] = s
+        return out
+
+    scored = joined.map_batches(score_fn, batch_format="pandas")
+    top = shuffle.topk_in_group(scored, [id_col], m,
+                                order_cols=["score", "token"],
+                                ascending=[False, True],
+                                num_buckets=nb)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = np.round(b["score"].to_numpy(np.float64), round_to)
+        return b
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+def hash_sample(docs: ray.data.Dataset, rate: float = 0.1,
+                id_col: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic id-keyed sample: keeps a row iff
+    ``((id % P) * A % P) % 10000 < rate * 10000`` with P = 1e9+7,
+    A = 2654435761 — overflow-free in int64 for any id, reproducible
+    bit-for-bit in ANSI SQL (the oracle runs the same arithmetic), and
+    stable under resharding/restarts (pure function of the id).  The
+    SQL-friendly alternative to ``Dataset.random_sample``."""
+    P = np.int64(1_000_000_007)
+    A = np.int64(2_654_435_761 % 1_000_000_007)
+    thresh = np.int64(int(round(rate * 10000)))
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        h = ((ids % P) * A) % P % np.int64(10000)
+        return batch[h < thresh]
+
+    return docs.map_batches(fn, batch_format="pandas")

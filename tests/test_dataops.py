@@ -106,6 +106,49 @@ def test_jaccard_and_fingerprint():
     assert jaccard(a, char_shingles("zzzzzzzz", 3)) == 0.0
 
 
+def test_token_topk_tfidf_hash_sample():
+    from city2graph_ray.text.analysis import (hash_sample, tfidf_top_terms,
+                                              token_topk)
+    rng = np.random.default_rng(7)
+    vocab = ["Apple", "banana", "Cherry", "date", "egg", "fig", "grape"]
+    texts = ["  ".join(rng.choice(vocab, rng.integers(5, 40))) + " "
+             for _ in range(150)]
+    df = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64),
+                       "text": texts})
+    docs = rd.from_pandas(df).repartition(5)
+
+    allt = df.text.str.lower().str.split().explode()
+    vc = allt.value_counts().reset_index()
+    vc.columns = ["token", "cnt"]
+    brute = (vc.sort_values(["cnt", "token"], ascending=[False, True])
+             .head(5).reset_index(drop=True))
+    out = token_topk(docs, k=5).to_pandas().reset_index(drop=True)
+    assert (out.token.to_numpy() == brute.token.to_numpy()).all()
+    assert (out.cnt.to_numpy() == brute.cnt.to_numpy()).all()
+
+    N = len(df)
+    tok = df.assign(token=df.text.str.lower().str.split()).explode("token")
+    tf = tok.groupby(["doc_id", "token"]).size().rename("tf").reset_index()
+    dfreq = tf.groupby("token").size().rename("df").reset_index()
+    j = tf.merge(dfreq, on="token")
+    j["score"] = j.tf * (np.log((N + 1.0) / (j.df + 1.0)) + 1.0)
+    j = j.sort_values(["doc_id", "score", "token"],
+                      ascending=[True, False, True], kind="stable")
+    bt = j.groupby("doc_id").head(2)[["doc_id", "token", "score"]]
+    bt = bt.assign(score=bt.score.round(6)).sort_values(
+        ["doc_id", "token"]).reset_index(drop=True)
+    out2 = (tfidf_top_terms(docs, m=2).to_pandas()
+            .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    assert (out2.token.to_numpy() == bt.token.to_numpy()).all()
+    assert np.allclose(out2.score, bt.score)
+
+    out3 = hash_sample(docs, 0.3).to_pandas()
+    ids = df.doc_id.to_numpy()
+    keep = ((ids % 1000000007) * (2654435761 % 1000000007)) \
+        % 1000000007 % 10000 < 3000
+    assert set(out3.doc_id) == set(ids[keep]) and 0 < len(out3) < len(df)
+
+
 def test_langid_markers():
     from city2graph_ray.text.analysis import lang_id
     df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
