@@ -469,6 +469,18 @@ def _event_tumbling(sf_dir: str):
     return tumbling_window(events(sf_dir), 3600.0)
 
 
+def _event_sliding(sf_dir: str):
+    from city2graph_ray.ops.windows import sliding_window
+    from city2graph_ray.pipelines.tables import events
+    return sliding_window(events(sf_dir), size_sec=7200.0, step_sec=3600.0)
+
+
+def _event_sessions(sf_dir: str):
+    from city2graph_ray.ops.windows import sessionize
+    from city2graph_ray.pipelines.tables import events
+    return sessionize(events(sf_dir), gap_sec=1800.0)
+
+
 def _pt_knn_manhattan(sf_dir: str):
     from city2graph_ray.ops.proximity import knn_graph
     from city2graph_ray.pipelines.tables import customer_points
@@ -680,6 +692,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_connectors": _split_connectors,
         "cluster_endpoints": _cluster_endpoints,
         "event_tumbling_window": _event_tumbling,
+        "event_sliding_window": _event_sliding,
+        "event_sessions": _event_sessions,
         "pt_knn_manhattan": _pt_knn_manhattan,
         "knn_edge_geom": _knn_edge_geom,
         "bridge_knn_cust_supp": _bridge_knn,
@@ -1038,6 +1052,36 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 4) AS min_value,
                    round(max(value), 4) AS max_value
             FROM t GROUP BY event_type, win""",
+        "event_sliding_window": """
+            WITH t AS (SELECT event_type,
+                       floor(epoch(ts) / 3600.0)::BIGINT AS base,
+                       value FROM events),
+            e AS (SELECT event_type, base - o AS win, value
+                  FROM t, (VALUES (0), (1)) v(o))
+            SELECT event_type, win * 3600.0 AS window_start_sec,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM e GROUP BY event_type, win""",
+        "event_sessions": """
+            WITH t AS (SELECT user_id, epoch(ts) AS e, event_id
+                       FROM events),
+            o AS (SELECT user_id, e, event_id,
+                    CASE WHEN lag(e) OVER w IS NULL
+                           OR e - lag(e) OVER w > 1800.0
+                         THEN 1 ELSE 0 END AS new
+                  FROM t
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY e, event_id)),
+            s AS (SELECT user_id, e,
+                    CAST(sum(new) OVER (PARTITION BY user_id
+                                        ORDER BY e, event_id
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                         AS BIGINT) AS session_id
+                  FROM o)
+            SELECT user_id, session_id,
+                   min(e) AS session_start_sec,
+                   max(e) AS session_end_sec,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id""",
         "pt_knn_manhattan": f"""
             WITH pts AS ({_PTS})
             SELECT a.id AS src, b.id AS dst,
