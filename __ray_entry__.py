@@ -481,6 +481,13 @@ def _event_sessions(sf_dir: str):
     return sessionize(events(sf_dir), gap_sec=1800.0)
 
 
+def _event_quantiles(sf_dir: str):
+    from city2graph_ray.ops.stats import group_quantiles
+    from city2graph_ray.pipelines.tables import events
+    return group_quantiles(events(sf_dir), ["event_type"], "value",
+                           qs=[0.5, 0.9, 0.99])
+
+
 def _pt_knn_manhattan(sf_dir: str):
     from city2graph_ray.ops.proximity import knn_graph
     from city2graph_ray.pipelines.tables import customer_points
@@ -694,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_tumbling_window": _event_tumbling,
         "event_sliding_window": _event_sliding,
         "event_sessions": _event_sessions,
+        "event_value_quantiles": _event_quantiles,
         "pt_knn_manhattan": _pt_knn_manhattan,
         "knn_edge_geom": _knn_edge_geom,
         "bridge_knn_cust_supp": _bridge_knn,
@@ -1082,6 +1090,37 @@ def oracle_sql() -> dict[str, str]:
                    max(e) AS session_end_sec,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id""",
+        "event_value_quantiles": """
+            WITH o AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) - 1 AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events
+            ),
+            q(q) AS (VALUES (CAST(0.5 AS DOUBLE)),
+                            (CAST(0.9 AS DOUBLE)),
+                            (CAST(0.99 AS DOUBLE))),
+            pos AS (
+              SELECT DISTINCT o.event_type, q.q,
+                     (o.n - 1) * q.q AS p,
+                     CAST(floor((o.n - 1) * q.q) AS BIGINT) AS k,
+                     o.n AS n
+              FROM o, q
+            ),
+            vals AS (
+              SELECT p.event_type, p.q,
+                     x0.value + (p.p - p.k) * (x1.value - x0.value) AS v
+              FROM pos p
+              JOIN o x0 ON x0.event_type = p.event_type AND x0.rn = p.k
+              JOIN o x1 ON x1.event_type = p.event_type
+                       AND x1.rn = least(p.k + 1, p.n - 1)
+            )
+            SELECT event_type,
+                   round(max(CASE WHEN q = 0.5 THEN v END), 6) AS "q0.5",
+                   round(max(CASE WHEN q = 0.9 THEN v END), 6) AS "q0.9",
+                   round(max(CASE WHEN q = 0.99 THEN v END), 6) AS "q0.99"
+            FROM vals GROUP BY event_type""",
         "pt_knn_manhattan": f"""
             WITH pts AS ({_PTS})
             SELECT a.id AS src, b.id AS dst,

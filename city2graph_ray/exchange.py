@@ -40,8 +40,14 @@ from city2graph_ray import cells
 
 
 def _num_partitions() -> int:
+    # 2× the CPU count: each reduce task's peak memory is dominated by
+    # its OUTPUT table (pair dumps run 100×+ the input bytes), and one
+    # wave of cpu-count tasks each holding a ~GB output thrashes the
+    # page cache (measured at 9.6M pts / 955M pairs on 32 CPUs:
+    # P=32 → 81 s, P=64 → 13 s, P=128 → 17 s).  Finer partitions also
+    # shorten the straggler tail of the last wave.
     try:
-        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+        return max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         return 16
 
@@ -86,6 +92,24 @@ def _split_halo(tbl: pa.Table, cell_size: float, halo: float,
 
 
 @ray.remote
+def _reduce_whole(kernel: Callable, *shards) -> pa.Table:
+    """Reduce for multi-cell-aware kernels: one kernel call on the
+    whole cell-sorted partition.  Amortizes the per-call overhead that
+    dominates when cells are small (measured: 45k cells/task × ~0.3 ms
+    slice+to_pandas+kernel overhead = 14 s of a 17 s reduce)."""
+    t = pa.concat_tables([s for s in shards if s.num_rows],
+                         promote_options="default") \
+        if any(s.num_rows for s in shards) else shards[0]
+    if t.num_rows == 0:
+        empty = kernel(t.to_pandas().iloc[0:0])
+        return pa.Table.from_pandas(empty, preserve_index=False)
+    cellcol = t.column("cell").to_numpy(zero_copy_only=False)
+    order = np.argsort(cellcol, kind="stable")
+    r = kernel(t.take(pa.array(order)).to_pandas())
+    return pa.Table.from_pandas(r, preserve_index=False)
+
+
+@ray.remote
 def _reduce_cells(kernel: Callable, *shards) -> pa.Table:
     t = pa.concat_tables([s for s in shards if s.num_rows],
                          promote_options="default") \
@@ -119,13 +143,19 @@ def cell_halo_exchange(
     kernel: Callable[[pd.DataFrame], pd.DataFrame],
     extra_cols: tuple = (),
     num_partitions: int | None = None,
+    per_cell: bool = True,
 ) -> ray.data.Dataset:
     """Run ``kernel`` over every cell group of the halo-expanded points.
 
     Exactly equivalent to
     ``expand_halo(points, cell_size, halo).groupby("cell").map_groups(kernel)``
     (the kernel sees one cell's rows: id, x, y, *extra_cols, cell,
-    is_halo), executed as the fused map/reduce exchange."""
+    is_halo), executed as the fused map/reduce exchange.
+
+    ``per_cell=False`` declares the kernel multi-cell-aware: it is
+    called ONCE per partition with the partition's rows sorted by
+    ``cell`` and must restrict pairing to equal cells itself.  Use for
+    kernels whose per-cell call overhead would dominate at fine grids."""
     P = num_partitions or _num_partitions()
     refs = points.to_arrow_refs()
     if not refs:  # empty input: fall back to the equivalent Dataset plan
@@ -135,6 +165,7 @@ def cell_halo_exchange(
     split = _split_halo.options(num_returns=P)
     shard_lists = [split.remote(r, cell_size, halo, P, tuple(extra_cols))
                    for r in refs]
-    out_refs = [_reduce_cells.remote(kernel, *[s[p] for s in shard_lists])
+    reducer = _reduce_cells if per_cell else _reduce_whole
+    out_refs = [reducer.remote(kernel, *[s[p] for s in shard_lists])
                 for p in range(P)]
     return ray.data.from_arrow_refs(out_refs)

@@ -143,37 +143,55 @@ def fixed_radius_graph(
         euclid = metric == "euclidean"
 
         def kernel(g: pd.DataFrame) -> pd.DataFrame:
-            # x-sorted sweep: |Δx| ≤ radius is necessary under both
-            # metrics, so each 2048-row chunk only compares against the
-            # x-window [x_lo-r, x_hi+r] instead of the whole cell —
-            # cuts the dense-matrix bytes by ~cell_width/(2r+chunk_span).
+            # Multi-cell (cell, x)-sorted sweep over 2048-row chunks:
+            # candidates for a chunk are the rows from the first
+            # |Δx| ≤ r match inside the chunk-start's cell through the
+            # last match inside the chunk-end's cell (middle cells whole)
+            # — a same-cell mask restricts pairing.  One kernel call per
+            # partition amortizes the per-cell overhead that dominates
+            # at fine grids (measured 0.3 ms × 45k cells/task).
             # Euclidean defers sqrt: candidates via dd ≤ r²(1+1e-12)
-            # (strict superset in fp), then the EXACT original
-            # sqrt(dd) ≤ r comparator on the few survivors — bit-
-            # identical output to the unsorted full-matrix kernel.
+            # (strict fp superset), then the EXACT sqrt(dd) ≤ r
+            # comparator on survivors — bit-identical to the dense
+            # per-cell kernel.
             ids = g["id"].to_numpy()
             xs = g["x"].to_numpy()
             ys = g["y"].to_numpy()
             home = ~g["is_halo"].to_numpy()
-            o = np.argsort(xs, kind="stable")
-            ids, xs, ys, home = ids[o], xs[o], ys[o], home[o]
+            cc = g["cell"].to_numpy()
+            n = len(g)
+            if n == 0:
+                return _empty_edges()
+            o = np.lexsort((xs, cc))
+            ids, xs, ys, home, cc = ids[o], xs[o], ys[o], home[o], cc[o]
+            cstarts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(cc)) + 1, [n]])
+            cvals = cc[cstarts[:-1]]
             out = []
             rr = radius * radius * (1.0 + 1e-12)
-            for lo in range(0, len(g), 2048):
-                hi = min(lo + 2048, len(g))
-                wlo = int(np.searchsorted(xs, xs[lo] - radius, "left"))
-                whi = int(np.searchsorted(xs, xs[hi - 1] + radius, "right"))
+            for lo in range(0, n, 2048):
+                hi = min(lo + 2048, n)
+                ci = int(np.searchsorted(cvals, cc[lo], "left"))
+                cj = int(np.searchsorted(cvals, cc[hi - 1], "left"))
+                a0, a1 = int(cstarts[ci]), int(cstarts[ci + 1])
+                b0, b1 = int(cstarts[cj]), int(cstarts[cj + 1])
+                wlo = a0 + int(np.searchsorted(xs[a0:a1],
+                                               xs[lo] - radius, "left"))
+                whi = b0 + int(np.searchsorted(xs[b0:b1],
+                                               xs[hi - 1] + radius,
+                                               "right"))
                 dx = xs[lo:hi, None] - xs[None, wlo:whi]
                 dy = ys[lo:hi, None] - ys[None, wlo:whi]
+                same = cc[lo:hi, None] == cc[None, wlo:whi]
                 if euclid:
                     dd = dx * dx
                     dd += dy * dy
-                    ii, jj = np.nonzero(dd <= rr)
+                    ii, jj = np.nonzero((dd <= rr) & same)
                     dvals = np.sqrt(dd[ii, jj])
                 else:
                     dd = np.abs(dx)
                     dd += np.abs(dy)
-                    ii, jj = np.nonzero(dd <= radius)
+                    ii, jj = np.nonzero((dd <= radius) & same)
                     dvals = dd[ii, jj]
                 sel = dvals <= radius
                 ii_g = ii[sel] + lo
@@ -193,8 +211,9 @@ def fixed_radius_graph(
             return cell_halo_exchange(
                 points.map_batches(lambda b: b[["id", "x", "y"]],
                                    batch_format="pandas"),
-                cs, radius, kernel)
+                cs, radius, kernel, per_cell=False)
         expanded = expand_halo(points, cs, radius).repartition(_shuffle_blocks())
+        # the multi-cell kernel is also valid on a single cell's rows
         return expanded.groupby("cell").map_groups(kernel, batch_format="pandas")
 
     # bipartite / directed: queries = points (home cell only), candidates = targets (+halo)

@@ -18,6 +18,15 @@ import ray.data
 from city2graph_ray import shuffle
 
 
+def _epoch_sec(ts: pd.Series) -> np.ndarray:
+    """Epoch seconds with DuckDB's exact float rounding: ``epoch(ts)``
+    divides the microsecond tick count by 1e6 (timestamps are µs
+    internally), so we truncate to µs first — ``ns/1e9`` rounds the
+    last float bit differently and breaks bit-exact oracle hashes."""
+    return (ts.to_numpy().astype("datetime64[us]")
+            .astype(np.int64) / 1e6)
+
+
 def tumbling_window(events: ray.data.Dataset, size_sec: float,
                     key_col: str = "event_type", ts_col: str = "ts",
                     value_col: str = "value", round_to: int = 4,
@@ -27,8 +36,7 @@ def tumbling_window(events: ray.data.Dataset, size_sec: float,
     SQL mirror: GROUP BY key, floor(epoch(ts)/size)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        epoch = (batch[ts_col].to_numpy().astype("datetime64[ns]")
-                 .astype(np.int64) / 1e9)  # unit-safe: µs/ns → sec
+        epoch = _epoch_sec(batch[ts_col])
         win = np.floor(epoch / size_sec).astype(np.int64)
         out = pd.DataFrame({key_col: batch[key_col], "win": win,
                             "v": batch[value_col].to_numpy(np.float64)})
@@ -71,8 +79,7 @@ def sliding_window(events: ray.data.Dataset, size_sec: float, step_sec: float,
         raise ValueError("size_sec must be a multiple of step_sec")
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        epoch = (batch[ts_col].to_numpy().astype("datetime64[ns]")
-                 .astype(np.int64) / 1e9)
+        epoch = _epoch_sec(batch[ts_col])
         base = np.floor(epoch / step_sec).astype(np.int64)
         rows = np.repeat(np.arange(len(batch)), reps)
         offs = np.tile(np.arange(reps, dtype=np.int64), len(batch))
@@ -111,8 +118,7 @@ def sessionize(events: ray.data.Dataset, gap_sec: float,
         outs = []
         for key, sub in g.groupby(key_col, sort=False):
             sub = sub.sort_values([ts_col, "event_id"], kind="stable")
-            epoch = (sub[ts_col].to_numpy().astype("datetime64[ns]")
-                     .astype(np.int64) / 1e9)
+            epoch = _epoch_sec(sub[ts_col])
             new = np.concatenate(([True], np.diff(epoch) > gap_sec))
             sid = np.cumsum(new) - 1
             df = pd.DataFrame({key_col: key, "session_id": sid, "e": epoch})

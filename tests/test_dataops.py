@@ -149,6 +149,23 @@ def test_token_topk_tfidf_hash_sample():
     assert set(out3.doc_id) == set(ids[keep]) and 0 < len(out3) < len(df)
 
 
+def test_group_quantiles_exact():
+    from city2graph_ray.ops.stats import group_quantiles
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 5000),
+                       "v": np.concatenate([rng.normal(0, 1, 2500),
+                                            rng.exponential(2, 2500)])})
+    df.loc[df.index[:500], "v"] = 7.0     # heavy ties in one bin
+    out = (group_quantiles(rd.from_pandas(df).repartition(6), ["g"], "v",
+                           qs=[0.5, 0.9, 0.99]).to_pandas()
+           .set_index("g"))
+    for g in ("a", "b", "c"):
+        vals = df[df.g == g].v.to_numpy()
+        for q in (0.5, 0.9, 0.99):
+            want = round(float(np.quantile(vals, q, method="linear")), 6)
+            assert out.loc[g, f"q{q}"] == want
+
+
 def test_langid_markers():
     from city2graph_ray.text.analysis import lang_id
     df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
