@@ -659,6 +659,65 @@ def _tess_place_place(sf_dir: str):
             .astype({"enclosure_index": np.int64}))
 
 
+def _event_asof(sf_dir: str):
+    """view→last-click as-of join per user (inner form: matched rows
+    only, so no NULL-vs-NaN hash ambiguity).  Right side pre-reduced to
+    unique (user_id, ts) keeping the max event_id — duplicate right
+    timestamps make every as-of engine's pick order-dependent."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.asof import asof_join
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir)
+    left = ev.map_batches(
+        lambda b: b[b["event_type"] == "view"][["event_id", "ts", "user_id"]],
+        batch_format="pandas")
+    right = ev.map_batches(
+        lambda b: b[b["event_type"] == "click"][["event_id", "ts", "user_id",
+                                                 "value"]],
+        batch_format="pandas")
+    right = shuffle.last_by(right, ["user_id", "ts"], "event_id")
+    out = asof_join(left, right, on="ts", by="user_id").to_pandas()
+    out = out[out["ts_r"].notna()]
+    return pd.DataFrame({
+        "event_id": out["event_id"].astype(np.int64),
+        "user_id": out["user_id"].astype(np.int64),
+        "ts_us": out["ts"].astype("datetime64[us]").to_numpy().view("i8"),
+        "click_event_id": out["event_id_r"].astype(np.int64),
+        "click_ts_us": out["ts_r"].astype("datetime64[us]").to_numpy().view("i8"),
+        "click_value": out["value"].astype(np.float64),
+    })
+
+
+def _event_range_join(sf_dir: str):
+    """signup × clicks-within-1h interval join per user (inclusive
+    bounds both ends)."""
+    from city2graph_ray.ops.asof import range_join
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir)
+    iv = ev.map_batches(
+        lambda b: (b[b["event_type"] == "signup"]
+                   .rename(columns={"event_id": "signup_event_id",
+                                    "ts": "t0"})
+                   .assign(t1=lambda d: d["t0"] + pd.Timedelta(hours=1))
+                   [["signup_event_id", "user_id", "t0", "t1"]]),
+        batch_format="pandas")
+    pt = ev.map_batches(
+        lambda b: (b[b["event_type"] == "click"]
+                   .rename(columns={"event_id": "click_event_id"})
+                   [["click_event_id", "user_id", "ts"]]),
+        batch_format="pandas")
+    out = range_join(iv, pt, "t0", "t1", "ts", by="user_id").to_pandas()
+    return pd.DataFrame({
+        "signup_event_id": out["signup_event_id"].astype(np.int64),
+        "click_event_id": out["click_event_id"].astype(np.int64),
+        "user_id": out["user_id"].astype(np.int64),
+        "dt_us": (out["ts"].astype("datetime64[us]").to_numpy().view("i8")
+                  - out["t0"].astype("datetime64[us]").to_numpy().view("i8")),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -711,6 +770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "symmetrized_od": _symmetrized_od,
         "last_occurrence": _last_occurrence,
         "tess_place_place": _tess_place_place,
+        "event_asof_click": _event_asof,
+        "event_range_join": _event_range_join,
     }
 
 
@@ -1265,6 +1326,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT node, min(lab) AS cluster_id
                        FROM walk GROUP BY node) c
               ON c.node = d.doc_id""",
+        "event_asof_click": """
+            WITH v AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'view'),
+            c0 AS (SELECT user_id, ts, event_id, value FROM events
+                   WHERE event_type = 'click'
+                   QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                       ORDER BY event_id DESC) = 1)
+            SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
+                   c0.event_id AS click_event_id,
+                   epoch_us(c0.ts) AS click_ts_us,
+                   c0.value AS click_value
+            FROM v ASOF JOIN c0
+              ON v.user_id = c0.user_id AND v.ts >= c0.ts""",
+        "event_range_join": """
+            WITH s AS (SELECT event_id AS signup_event_id, user_id,
+                              ts AS t0, ts + INTERVAL 1 HOUR AS t1
+                       FROM events WHERE event_type = 'signup'),
+            c AS (SELECT event_id AS click_event_id, user_id, ts
+                  FROM events WHERE event_type = 'click')
+            SELECT s.signup_event_id, c.click_event_id, s.user_id,
+                   epoch_us(c.ts) - epoch_us(s.t0) AS dt_us
+            FROM s JOIN c ON s.user_id = c.user_id
+              AND c.ts >= s.t0 AND c.ts <= s.t1""",
         # delaunay_edges / emst_edges / minhash_clusters / simhash_pairs
         # / ngram_jaccard_pairs / ivf_ann_topk / network_knn: not
         # SQL-expressible (triangulation / LSH / IVF / Dijkstra) →
