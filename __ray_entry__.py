@@ -659,6 +659,19 @@ def _tess_place_place(sf_dir: str):
             .astype({"enclosure_index": np.int64}))
 
 
+def _simhash_md5(sf_dir: str):
+    """Exact-complete simhash near-dup pairs: bands=8 > max_hamming=7
+    guarantees every qualifying pair shares a band (pigeonhole), and
+    hash_fn='md5' makes the 64-bit signature equal to DuckDB's
+    md5_number_lower bit votes — so the output is the full exact pair
+    set, SQL-oracled."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import simhash_pairs
+
+    return simhash_pairs(documents(sf_dir), max_hamming=7, bands=8,
+                         hash_fn="md5")
+
+
 def _event_asof(sf_dir: str):
     """view→last-click as-of join per user (inner form: matched rows
     only, so no NULL-vs-NaN hash ambiguity).  Right side pre-reduced to
@@ -772,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tess_place_place": _tess_place_place,
         "event_asof_click": _event_asof,
         "event_range_join": _event_range_join,
+        "simhash_md5_pairs": _simhash_md5,
     }
 
 
@@ -1349,6 +1363,26 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(c.ts) - epoch_us(s.t0) AS dt_us
             FROM s JOIN c ON s.user_id = c.user_id
               AND c.ts >= s.t0 AND c.ts <= s.t1""",
+        "simhash_md5_pairs": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            h AS (SELECT doc_id, md5_number_lower(tok) AS hv FROM tok),
+            bits AS (
+              SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (hv >> b.b) & 1 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
+              GROUP BY doc_id, b.b),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote > 0
+                         THEN (1::HUGEINT << b) ELSE 0 END)::UBIGINT AS s
+              FROM bits GROUP BY doc_id)
+            SELECT sa.doc_id AS a, sb.doc_id AS b,
+                   bit_count(xor(sa.s, sb.s)) AS hamming
+            FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
+            WHERE bit_count(xor(sa.s, sb.s)) <= 7""",
         # delaunay_edges / emst_edges / minhash_clusters / simhash_pairs
         # / ngram_jaccard_pairs / ivf_ann_topk / network_knn: not
         # SQL-expressible (triangulation / LSH / IVF / Dijkstra) →

@@ -525,9 +525,18 @@ class SimHasher:
     """64-bit simhash over space-tokens (token-hash bit votes).
 
     Fully vectorized: the whole batch's tokens are exploded to one flat
-    array, hashed with ``pd.util.hash_array`` (deterministic C siphash,
-    one call), and per-doc bit votes are ``np.add.reduceat`` segments —
-    no per-token Python (VERDICT r1 item 9)."""
+    array, hashed in one call, and per-doc bit votes are
+    ``np.add.reduceat`` segments — no per-token Python (VERDICT r1
+    item 9).  ``hash_fn='sip'`` (default) uses ``pd.util.hash_array``
+    (C siphash); ``'md5'`` hashes each UNIQUE token (vocabulary-sized
+    loop, not row-sized) as bytes 8..16 of its md5 digest
+    little-endian — exactly DuckDB's ``md5_number_lower``, which makes
+    the signature SQL-reproducible for the bit-exact oracle."""
+
+    def __init__(self, hash_fn: str = "sip"):
+        if hash_fn not in ("sip", "md5"):
+            raise ValueError(f"bad hash_fn {hash_fn!r}")
+        self.hash_fn = hash_fn
 
     def signatures(self, texts) -> np.ndarray:
         s = pd.Series(list(texts), dtype=object)
@@ -536,7 +545,16 @@ class SimHasher:
         toks = s.str.split(" ")
         counts = toks.str.len().to_numpy(np.int64)
         flat = toks.explode().to_numpy(dtype=object)
-        h = pd.util.hash_array(flat, categorize=True)
+        if self.hash_fn == "md5":
+            codes, uniq = pd.factorize(flat)
+            uh = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(str(u).encode()).digest()[8:16], "little")
+                 for u in uniq),
+                dtype=np.uint64, count=len(uniq))
+            h = uh[codes]
+        else:
+            h = pd.util.hash_array(flat, categorize=True)
         starts = np.zeros(len(s), dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         sig = np.zeros(len(s), dtype=np.uint64)
@@ -552,16 +570,20 @@ class SimHasher:
 
 def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 8,
                   bands: int = 4, text_col: str = "text",
-                  id_col: str = "doc_id") -> ray.data.Dataset:
+                  id_col: str = "doc_id",
+                  hash_fn: str = "sip") -> ray.data.Dataset:
     """Near-dup pairs by simhash: band the 64-bit signature into
-    ``bands`` 16-bit keys (a pair within hamming ≤ bands-1 ... shares at
-    least one exact band by pigeonhole when max_hamming < bands);
-    verify hamming ≤ max_hamming on candidates.
+    ``bands`` equal-width keys (a pair within hamming ≤ bands-1 shares
+    at least one exact band by pigeonhole); verify EXACT 64-bit hamming
+    ≤ max_hamming on candidates.  With ``max_hamming < bands`` the
+    output is the complete exact pair set; beyond that, banding is a
+    recall-documented approximation.  ``hash_fn='md5'`` makes the
+    signature DuckDB-reproducible (see :class:`SimHasher`).
     Output (a, b, hamming)."""
 
     class Stage:
         def __init__(self):
-            self.sh = SimHasher()
+            self.sh = SimHasher(hash_fn)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             width = 64 // bands
@@ -576,7 +598,7 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 8,
                 id_col: np.repeat(batch[id_col].to_numpy(), bands),
                 "band_id": band_arr,
                 "key": keys,
-                "sig": (sig_rep >> np.uint64(1)).astype(np.int64)})  # int64-safe
+                "sig": sig_rep.view(np.int64)})  # bit-exact reinterpret
 
     banded = docs.map_batches(Stage, batch_format="pandas", concurrency=(1, 8))
 
@@ -584,10 +606,10 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 8,
         m = g.merge(g, on=["band_id", "key"])
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]].drop_duplicates(
             [f"{id_col}_x", f"{id_col}_y"])
-        x = m["sig_x"].to_numpy().astype(np.uint64) ^ \
-            m["sig_y"].to_numpy().astype(np.uint64)
+        x = m["sig_x"].to_numpy().view(np.uint64) ^ \
+            m["sig_y"].to_numpy().view(np.uint64)
         ham = np.zeros(len(m), dtype=np.int64)
-        for b in range(63):  # top bit dropped in banding shift
+        for b in range(64):
             ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame({"a": m[f"{id_col}_x"].to_numpy()[keep],
