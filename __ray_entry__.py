@@ -731,6 +731,50 @@ def _event_range_join(sf_dir: str):
     })
 
 
+def _doc_decontam(sf_dir: str):
+    """Benchmark-decontamination screen: per-doc count of distinct word
+    3-grams shared with the 'benchmark' slice (doc_id % 50 == 0).  Gram
+    keys are md5_number_lower hashes on both sides — bit-exact."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.decontam import ngram_overlap
+
+    docs = documents(sf_dir)
+    bench = docs.map_batches(
+        lambda b: b[b["doc_id"].to_numpy() % 50 == 0],
+        batch_format="pandas")
+    return ngram_overlap(docs, bench, n=3)
+
+
+def _doc_stratified(sf_dir: str):
+    """Per-language deterministic 20-doc sample (md5 rank-hash order)."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import stratified_sample
+
+    return stratified_sample(
+        documents(sf_dir, columns=["doc_id", "lang"]), ["lang"], 20)
+
+
+def _doc_len_p90(sf_dir: str):
+    """Docs strictly above the exact global p90 of n_chars (linear-
+    interpolated quantile, manual row_number construction in SQL)."""
+    from city2graph_ray.ops.stats import quantile_threshold_filter
+    from city2graph_ray.pipelines.tables import documents
+
+    docs = documents(sf_dir, columns=["doc_id", "n_chars"])
+    return quantile_threshold_filter(docs, "n_chars", 0.9, round_to=None)
+
+
+def _tpch_q3(sf_dir: str):
+    """Shipping-priority top-10 (3-way join + agg + global top-k)."""
+    from city2graph_ray.pipelines.relational import shipping_priority
+
+    out = shipping_priority(sf_dir).to_pandas()
+    out["o_orderdate_us"] = out["o_orderdate"].astype(
+        "datetime64[us]").to_numpy().view("i8")
+    return out[["l_orderkey", "revenue", "o_orderdate_us",
+                "o_orderpriority"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -786,6 +830,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_asof_click": _event_asof,
         "event_range_join": _event_range_join,
         "simhash_md5_pairs": _simhash_md5,
+        "doc_decontam": _doc_decontam,
+        "doc_stratified_sample": _doc_stratified,
+        "doc_len_p90_filter": _doc_len_p90,
+        "tpch_q3_topk": _tpch_q3,
     }
 
 
@@ -1383,6 +1431,64 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(sa.s, sb.s)) AS hamming
             FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
             WHERE bit_count(xor(sa.s, sb.s)) <= 7""",
+        "doc_decontam": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     md5_number_lower(
+                       array_to_string(ts[i:i+2], ' ')) AS g
+              FROM tok,
+                   LATERAL unnest(generate_series(1, len(ts) - 2)) AS t(i)),
+            dg AS (SELECT DISTINCT doc_id, g FROM g),
+            bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 0)
+            SELECT d.doc_id, count(*) AS hits
+            FROM dg d JOIN bg USING (g)
+            GROUP BY d.doc_id""",
+        "doc_stratified_sample": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 20""",
+        "doc_len_p90_filter": """
+            WITH o AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY n_chars) - 1 AS rn,
+                     count(*) OVER () AS n
+              FROM documents),
+            pos AS (
+              SELECT DISTINCT (n - 1) * CAST(0.9 AS DOUBLE) AS p,
+                     CAST(floor((n - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT)
+                       AS k, n
+              FROM o),
+            thr AS (
+              SELECT x0.n_chars + (p.p - p.k) * (x1.n_chars - x0.n_chars)
+                     AS v
+              FROM pos p
+              JOIN o x0 ON x0.rn = p.k
+              JOIN o x1 ON x1.rn = least(p.k + 1, p.n - 1))
+            SELECT doc_id, n_chars FROM documents, thr
+            WHERE n_chars > thr.v""",
+        "tpch_q3_topk": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS revenue,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1996-01-01'
+              AND l_shipdate > DATE '1996-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10""",
         # delaunay_edges / emst_edges / minhash_clusters / simhash_pairs
         # / ngram_jaccard_pairs / ivf_ann_topk / network_knn: not
         # SQL-expressible (triangulation / LSH / IVF / Dijkstra) →

@@ -180,3 +180,35 @@ def group_quantiles(ds: ray.data.Dataset, keys: Sequence[str],
         rows.append(row)
     return ray.data.from_pandas(
         pd.DataFrame(rows).sort_values(keys).reset_index(drop=True))
+
+
+def global_quantile(ds: ray.data.Dataset, value_col: str, q: float,
+                    n_bins: int = 1024, round_to: int | None = None,
+                    ) -> float:
+    """EXACT corpus-wide ``quantile_cont`` of one column as a scalar —
+    :func:`group_quantiles` under a constant key (two streaming passes,
+    shuffle bytes ∝ bins).  The natural input to a percentile cutoff
+    filter (e.g. "drop documents below the global p90 length")."""
+    tagged = ds.map_batches(
+        lambda b: pd.DataFrame({"__k": np.zeros(len(b), np.int64),
+                                value_col: b[value_col].to_numpy()}),
+        batch_format="pandas")
+    out = group_quantiles(tagged, ["__k"], value_col, [q],
+                          n_bins=n_bins, round_to=round_to).to_pandas()
+    return float(out[f"q{q}"].iloc[0])
+
+
+def quantile_threshold_filter(ds: ray.data.Dataset, value_col: str,
+                              q: float, keep: str = "above",
+                              round_to: int | None = 6,
+                              ) -> ray.data.Dataset:
+    """Keep rows strictly above (``keep="above"``) or ≤ (``"below"``)
+    the exact global ``q``-quantile of ``value_col`` — the
+    percentile-cutoff curation filter.  The threshold is ONE scalar
+    (driver-held, closure-captured); the filter itself streams."""
+    thr = global_quantile(ds, value_col, q, round_to=round_to)
+    if keep == "above":
+        return ds.map_batches(lambda b: b[b[value_col].to_numpy() > thr],
+                              batch_format="pandas")
+    return ds.map_batches(lambda b: b[b[value_col].to_numpy() <= thr],
+                          batch_format="pandas")

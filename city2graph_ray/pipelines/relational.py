@@ -1,0 +1,106 @@
+"""Multi-way relational pipelines over the TPC-H-ish tables.
+
+The engine's joins/aggregates are exercised by the graph operators
+query-by-query; these compose them into the classic multi-join + agg +
+global-top-k shape (TPC-H Q3 "shipping priority") to demonstrate the
+full relational path at scale: column-pruned reads → filter at the
+read → two bucketed hash joins (small side reduced first) → partial
+per-batch aggregation → keyed merge → per-block top-k → tiny driver
+merge.  Every stage streams; nothing wider than the final k rows ever
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import ray.data
+
+from city2graph_ray import shuffle
+from city2graph_ray.joins import bucketed_join
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1996-01-01", k: int = 10,
+                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                      ) -> ray.data.Dataset:
+    """TPC-H-Q3-shaped pipeline: revenue per open order in one customer
+    market segment, top-``k`` by revenue.
+
+    Output (l_orderkey, revenue, o_orderdate, o_orderpriority), revenue
+    rounded to 4dp, ordered ties broken by (revenue DESC, o_orderdate,
+    l_orderkey) — fully deterministic, bit-exact against the SQL twin.
+
+    Scale shape: `customer` reduces to the qualifying keys BEFORE the
+    join (one column); `orders` is filtered at the read on the date
+    predicate; both joins are bucketed hash joins keyed on int64;
+    revenue partials are combined per batch before the keyed merge, and
+    the global top-k is per-block partial top-k + a k-row driver merge
+    (never a full sort)."""
+    cut = pd.Timestamp(cutoff)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], segment))
+        .select(["c_custkey"]), batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cut.to_datetime64())),
+        batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], cut.to_datetime64())),
+        batch_format="pyarrow")
+
+    # customer ⋈ orders on custkey (segment side already reduced)
+    o_cust = bucketed_join(
+        orders.map_batches(
+            lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas"),
+        cust, on="c_custkey", num_buckets=num_buckets)
+
+    # ⋈ lineitem on orderkey; partial revenue per (orderkey) per batch
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["l_extendedprice"].to_numpy() * \
+            (1.0 - b["l_discount"].to_numpy())
+        return (pd.DataFrame({"l_orderkey": b["l_orderkey"], "rev": rev})
+                .groupby("l_orderkey", sort=False).agg(rev=("rev", "sum"))
+                .reset_index())
+
+    li_agg = li.map_batches(li_partial, batch_format="pandas")
+    joined = bucketed_join(
+        li_agg,
+        o_cust.map_batches(
+            lambda b: b.rename(columns={"o_orderkey": "l_orderkey"})[
+                ["l_orderkey", "o_orderdate", "o_orderpriority"]],
+            batch_format="pandas"),
+        on="l_orderkey", num_buckets=num_buckets)
+
+    per_order = shuffle.grouped_transform(
+        joined, ["l_orderkey"],
+        lambda g: (g.groupby(["l_orderkey", "o_orderdate",
+                              "o_orderpriority"], sort=False)
+                   .agg(revenue=("rev", "sum")).reset_index()),
+        num_buckets=num_buckets)
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue"] = np.round(b["revenue"].to_numpy(np.float64), 4)
+        return b.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                             ascending=[False, True, True]).head(k)
+
+    top = (per_order.map_batches(block_topk, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                        ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
+    return ray.data.from_pandas(
+        top[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]])

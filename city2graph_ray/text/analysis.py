@@ -247,3 +247,46 @@ def hash_sample(docs: ray.data.Dataset, rate: float = 0.1,
         return batch[h < thresh]
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def stratified_sample(docs: ray.data.Dataset, strata: Sequence[str],
+                      n: int, id_col: str = "doc_id",
+                      num_buckets: int | None = None) -> ray.data.Dataset:
+    """Deterministic per-stratum sample: for each distinct ``strata``
+    key, the ``n`` rows whose md5 rank-hash of the id is smallest
+    (tie-broken by id).  Output (strata..., id_col) — a uniform,
+    reshard-stable, bit-reproducible sample per group, the stratified
+    companion to :func:`hash_sample`.
+
+    The rank hash is DuckDB ``md5_number_lower(CAST(id AS VARCHAR))``
+    bit-for-bit, so the operator is exactly SQL-oracle-able
+    (``row_number() OVER (PARTITION BY strata ORDER BY hash, id)``).
+
+    Scale shape: each batch pre-prunes to its LOCAL per-stratum top-n
+    (shuffle bytes ∝ strata × n per batch, not corpus size), then one
+    keyed ``topk_in_group`` merge."""
+    import hashlib
+
+    from city2graph_ray import shuffle
+
+    strata = list(strata)
+    nb = num_buckets or shuffle.DEFAULT_BUCKETS
+    cols = strata + [id_col]
+
+    def rank(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16],
+                            "little") for i in ids),
+            dtype=np.uint64, count=len(ids))
+        out = batch[cols].copy()
+        # uint64 order == int64 order after flipping the sign bit
+        out["__h"] = (h ^ np.uint64(1 << 63)).view(np.int64)
+        out = out.sort_values(["__h", id_col], kind="stable")
+        return out.groupby(strata, sort=False).head(n)
+
+    pruned = docs.map_batches(rank, batch_format="pandas")
+    top = shuffle.topk_in_group(pruned, strata, n,
+                                order_cols=["__h", id_col],
+                                ascending=[True, True], num_buckets=nb)
+    return top.map_batches(lambda b: b[cols], batch_format="pandas")

@@ -1,0 +1,95 @@
+"""Benchmark decontamination: word-n-gram overlap screening.
+
+The standard training-data hygiene step (see e.g. GPT-3 App. C /
+Dolma §4): a training document is *contaminated* when it shares any
+word n-gram with a held-out benchmark corpus.  No reference
+counterpart (the reference is a geospatial engine); this is one of the
+engine-added LLM-pipeline first-class operators.
+
+Scale shape: grams never leave a worker as strings — each distinct
+gram is reduced to the 8-byte lower half of its md5 digest (the exact
+value DuckDB's ``md5_number_lower`` computes, so the whole operator is
+bit-exactly SQL-oracle-able), the benchmark side is reduced to its
+DISTINCT gram hashes, and the two sides meet in a bucketed hash join
+on the 8-byte key.  Bytes shuffled ∝ distinct (doc, gram) pairs × 16,
+independent of document length; nothing is broadcast or collected.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from city2graph_ray import shuffle
+
+
+def _md5_lower64(strs: np.ndarray) -> np.ndarray:
+    """uint64 md5 lower-half (bytes 8..16, little-endian) per string —
+    DuckDB ``md5_number_lower`` bit-for-bit.  Hashes each UNIQUE value
+    once (vocabulary-sized loop, not row-sized)."""
+    codes, uniq = pd.factorize(strs)
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:16],
+                        "little") for u in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return uh[codes] if len(codes) else np.zeros(0, np.uint64)
+
+
+def word_ngram_hashes(batch: pd.DataFrame, n: int, text_col: str,
+                      id_col: str) -> pd.DataFrame:
+    """DISTINCT word-``n``-gram hashes per doc → (id, g:int64).
+
+    Grams are space-joined runs of ``n`` consecutive space-split
+    tokens (SQL mirror: ``array_to_string(ts[i:i+n-1], ' ')``).  The
+    whole batch's tokens are exploded to one flat array; windows
+    crossing doc boundaries are masked by doc index equality — no
+    per-row Python."""
+    toks = batch[text_col].str.split(" ")
+    counts = toks.str.len().to_numpy(np.int64)
+    flat = pd.Series(toks.explode().to_numpy(dtype=object))
+    doc_idx = np.repeat(np.arange(len(batch)), counts)
+    gram = flat.copy()
+    for j in range(1, n):
+        gram = gram + (" " + flat.shift(-j))
+    m = len(flat) - (n - 1)
+    ok = (doc_idx[:m] == doc_idx[n - 1:]) if m > 0 else np.zeros(0, bool)
+    gidx = np.flatnonzero(np.concatenate(
+        [ok, np.zeros(n - 1, dtype=bool)])) if m > 0 else np.zeros(0, np.int64)
+    g = _md5_lower64(gram.to_numpy(dtype=object)[gidx])
+    ids = batch[id_col].to_numpy()[doc_idx[gidx]]
+    out = pd.DataFrame({id_col: ids, "g": g.view(np.int64)})
+    return out.drop_duplicates()
+
+
+def ngram_overlap(docs: ray.data.Dataset, benchmark: ray.data.Dataset,
+                  n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                  ) -> ray.data.Dataset:
+    """Per-doc count of DISTINCT word-``n``-grams shared with the
+    ``benchmark`` corpus.  Output (id_col, hits) — docs with zero
+    overlap are absent (inner join; LEFT-join zero rows back with
+    :func:`city2graph_ray.joins.bucketed_join` if needed).
+
+    Both sides stream: doc grams are (id, 8-byte hash) rows, the
+    benchmark reduces to its distinct gram hashes, candidates meet in
+    one bucketed hash join, and the per-doc count is a keyed
+    ``group_agg``."""
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        return word_ngram_hashes(b, n, text_col, id_col)
+
+    doc_grams = docs.map_batches(explode, batch_format="pandas")
+    bench_grams = shuffle.distinct(
+        benchmark.map_batches(explode, batch_format="pandas")
+        .map_batches(lambda b: b[["g"]], batch_format="pandas"),
+        ["g"], num_buckets=num_buckets)
+
+    from city2graph_ray.joins import bucketed_join
+    hits = bucketed_join(doc_grams, bench_grams, on="g",
+                         num_buckets=num_buckets)
+    return shuffle.group_agg(hits, [id_col], {"hits": ("g", "size")},
+                             num_buckets=num_buckets)

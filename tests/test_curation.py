@@ -1,0 +1,99 @@
+"""Curation operators: decontamination, stratified sampling, global
+quantile cutoff, relational top-k — brute-force Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from tests.conftest import SF_DIR
+
+
+def _grams(text: str, n: int = 3) -> set[str]:
+    t = text.split(" ")
+    return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+
+def test_ngram_overlap_bruteforce():
+    from city2graph_ray.text.decontam import ngram_overlap
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["a b c d e", "c d e f g", "x y z w q",
+                 "a b c", "q", "d e f g h"]})
+    bench = docs[docs["doc_id"] % 2 == 0]
+    out = ngram_overlap(rd.from_pandas(docs), rd.from_pandas(bench),
+                        n=3).to_pandas()
+    bg = set().union(*(_grams(t) for t in bench["text"]))
+    want = {int(r.doc_id): len(_grams(r.text) & bg)
+            for r in docs.itertuples() if _grams(r.text) & bg}
+    got = dict(zip(out["doc_id"].astype(int), out["hits"].astype(int)))
+    assert got == want
+
+
+def test_ngram_overlap_short_docs_no_grams():
+    from city2graph_ray.text.decontam import word_ngram_hashes
+    b = pd.DataFrame({"doc_id": [1, 2], "text": ["one two", "a b c d"]})
+    out = word_ngram_hashes(b, 3, "text", "doc_id")
+    assert set(out["doc_id"]) == {2}
+    assert len(out) == 2  # "a b c", "b c d"
+
+
+def test_stratified_sample_matches_md5_order():
+    from city2graph_ray.text.analysis import stratified_sample
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "lang": rng.choice(["en", "fr", "de"], 200)})
+    out = stratified_sample(rd.from_pandas(df), ["lang"], 5).to_pandas()
+
+    def h(i):
+        return int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[8:16], "little")
+
+    for lang, sub in df.groupby("lang"):
+        want = sub.assign(h=[h(i) for i in sub["doc_id"]]) \
+            .sort_values(["h", "doc_id"]).head(5)["doc_id"].tolist()
+        got = sorted(out[out["lang"] == lang]["doc_id"],
+                     key=lambda i: (h(i), i))
+        assert got == want
+
+
+def test_global_quantile_matches_numpy():
+    from city2graph_ray.ops.stats import (global_quantile,
+                                          quantile_threshold_filter)
+    rng = np.random.default_rng(11)
+    v = rng.integers(10, 5000, 500)
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64),
+                       "n": v.astype(np.int64)})
+    thr = global_quantile(rd.from_pandas(df), "n", 0.9)
+    assert thr == float(np.quantile(v.astype(np.float64), 0.9,
+                                    method="linear"))
+    kept = quantile_threshold_filter(rd.from_pandas(df), "n",
+                                     0.9, round_to=None).to_pandas()
+    assert set(kept["doc_id"]) == set(df[df["n"] > thr]["doc_id"])
+
+
+def test_shipping_priority_matches_duckdb():
+    import duckdb
+
+    from city2graph_ray.pipelines.relational import shipping_priority
+    out = shipping_priority(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM read_parquet('{SF_DIR}/customer.parquet') c
+        JOIN read_parquet('{SF_DIR}/orders.parquet') o
+          ON c_custkey = o_custkey
+        JOIN read_parquet('{SF_DIR}/lineitem.parquet') l
+          ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1996-01-01'
+          AND l_shipdate > DATE '1996-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""").df()
+    assert out["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert np.allclose(out["revenue"], want["revenue"], atol=1e-9)
