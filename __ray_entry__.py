@@ -764,6 +764,36 @@ def _doc_len_p90(sf_dir: str):
     return quantile_threshold_filter(docs, "n_chars", 0.9, round_to=None)
 
 
+def _doc_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition features over word 2-grams."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import repetition_scores
+
+    return repetition_scores(documents(sf_dir), n=2)
+
+
+def _doc_source_stats(sf_dir: str):
+    """Per-source corpus stats: doc count, distinct langs, mean/max
+    chars.  Partial per-batch agg + keyed merge; the distinct-lang
+    count reuses the count_distinct primitive; the two tiny per-source
+    results (|sources| rows) merge on the driver."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import documents
+
+    docs = documents(sf_dir, columns=["doc_id", "source", "lang",
+                                      "n_chars"])
+    agg = shuffle.group_agg(
+        docs, ["source"], {"n_docs": ("doc_id", "size"),
+                           "sum_chars": ("n_chars", "sum"),
+                           "max_chars": ("n_chars", "max")}).to_pandas()
+    nl = shuffle.count_distinct(docs, ["source"], "lang").to_pandas()
+    nl = nl.rename(columns={nl.columns[-1]: "n_langs"})
+    out = agg.merge(nl, on="source")
+    out["mean_chars"] = np.round(out["sum_chars"] / out["n_docs"], 6)
+    return out[["source", "n_docs", "n_langs", "mean_chars",
+                "max_chars"]].sort_values("source").reset_index(drop=True)
+
+
 def _tpch_q3(sf_dir: str):
     """Shipping-priority top-10 (3-way join + agg + global top-k)."""
     from city2graph_ray.pipelines.relational import shipping_priority
@@ -834,6 +864,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": _doc_stratified,
         "doc_len_p90_filter": _doc_len_p90,
         "tpch_q3_topk": _tpch_q3,
+        "doc_repetition": _doc_repetition,
+        "doc_source_stats": _doc_source_stats,
     }
 
 
@@ -1474,6 +1506,36 @@ def oracle_sql() -> dict[str, str]:
               JOIN o x1 ON x1.rn = least(p.k + 1, p.n - 1))
             SELECT doc_id, n_chars FROM documents, thr
             WHERE n_chars > thr.v""",
+        "doc_repetition": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+            g AS (
+              SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g
+              FROM tok,
+                   LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)),
+            per_gram AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM g GROUP BY doc_id, g),
+            per_doc AS (
+              SELECT doc_id, sum(c) AS total, count(*) AS distinct_g,
+                     max(c) AS top
+              FROM per_gram GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.total, 0) AS BIGINT) AS n_grams,
+                   round(coalesce((p.total - p.distinct_g)
+                         / greatest(p.total, 1), 0), 6) AS dup_gram_frac,
+                   round(coalesce(p.top / greatest(p.total, 1), 0), 6)
+                     AS top_gram_frac
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
+        "doc_source_stats": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(DISTINCT lang) AS n_langs,
+                   round(sum(n_chars) / count(*), 6) AS mean_chars,
+                   max(n_chars) AS max_chars
+            FROM documents
+            GROUP BY source""",
         "tpch_q3_topk": """
             SELECT l_orderkey,
                    round(sum(l_extendedprice * (1 - l_discount)), 4)

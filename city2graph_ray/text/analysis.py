@@ -249,6 +249,61 @@ def hash_sample(docs: ray.data.Dataset, rate: float = 0.1,
     return docs.map_batches(fn, batch_format="pandas")
 
 
+def repetition_scores(docs: ray.data.Dataset, n: int = 2,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      round_to: int = 6) -> ray.data.Dataset:
+    """Within-document repetition features over word-``n``-grams (the
+    Gopher/MassiveText repetition filters): per doc,
+
+    - ``n_grams``       — total n-gram occurrences,
+    - ``dup_gram_frac`` — 1 − distinct/total (fraction of occurrences
+      that repeat an earlier gram),
+    - ``top_gram_frac`` — occurrences of the most frequent gram / total.
+
+    Docs shorter than ``n`` tokens emit zeros with ``n_grams = 0``.
+    Row-local (no shuffle); gram counting is one lexsort + run-length
+    pass over the batch's flat token array — no per-row Python.  Both
+    fractions round to ``round_to`` so the SQL twin (exploded
+    ``array_to_string(ts[i:i+n-1], ' ')`` + count distinct / max
+    count) matches bit-for-bit."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = pd.Series(toks.explode().to_numpy(dtype=object))
+        doc_idx = np.repeat(np.arange(len(batch)), counts)
+        gram = flat.copy()
+        for j in range(1, n):
+            gram = gram + (" " + flat.shift(-j))
+        m = len(flat) - (n - 1)
+        ok = (doc_idx[:m] == doc_idx[n - 1:]) if m > 0 else \
+            np.zeros(0, bool)
+        gidx = np.flatnonzero(ok)
+        g_doc = doc_idx[gidx]
+        codes, _ = pd.factorize(gram.to_numpy(dtype=object)[gidx])
+        total = np.bincount(g_doc, minlength=len(batch)).astype(np.int64)
+        # run-length stats per (doc, gram)
+        order = np.lexsort((codes, g_doc))
+        gd, gc = g_doc[order], codes[order]
+        new_run = np.ones(len(gd), dtype=bool)
+        new_run[1:] = (gd[1:] != gd[:-1]) | (gc[1:] != gc[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_doc = gd[new_run]
+        distinct = np.bincount(run_doc, minlength=len(batch)).astype(np.int64)
+        top = np.zeros(len(batch), dtype=np.int64)
+        np.maximum.at(top, run_doc, run_len)
+        tot_f = np.maximum(total, 1).astype(np.float64)
+        dup = np.round((total - distinct) / tot_f, round_to)
+        topf = np.round(np.where(total > 0, top, 0) / tot_f, round_to)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "n_grams": total,
+                             "dup_gram_frac": dup,
+                             "top_gram_frac": topf})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
 def stratified_sample(docs: ray.data.Dataset, strata: Sequence[str],
                       n: int, id_col: str = "doc_id",
                       num_buckets: int | None = None) -> ray.data.Dataset:
