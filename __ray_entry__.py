@@ -794,6 +794,36 @@ def _doc_source_stats(sf_dir: str):
                 "max_chars"]].sort_values("source").reset_index(drop=True)
 
 
+def _doc_self_overlap(sf_dir: str):
+    """Cross-doc duplicated-span screen: per-doc count of distinct word
+    4-grams shared with at least one other doc (ExactSubstr candidate
+    stage).  md5_number_lower gram keys — bit-exact vs SQL."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.decontam import self_overlap
+
+    return self_overlap(documents(sf_dir), n=4)
+
+
+def _doc_unigram_lp(sf_dir: str):
+    """Per-doc mean unigram log-likelihood under the corpus unigram
+    model (2-pass: distributed vocab counts, broadcast score)."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import unigram_logprob
+
+    return unigram_logprob(documents(sf_dir))
+
+
+def _doc_c4_filter(sf_dir: str):
+    """C4-style heuristic gate: word-count + mean-word-length bounds +
+    blocklist; emits features and the boolean verdict per doc."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import heuristic_filter
+
+    return heuristic_filter(documents(sf_dir), min_words=30,
+                            max_words=120, min_mwl=4.0, max_mwl=5.0,
+                            blocklist=("dup",))
+
+
 def _tpch_q3(sf_dir: str):
     """Shipping-priority top-10 (3-way join + agg + global top-k)."""
     from city2graph_ray.pipelines.relational import shipping_priority
@@ -866,6 +896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_topk": _tpch_q3,
         "doc_repetition": _doc_repetition,
         "doc_source_stats": _doc_source_stats,
+        "doc_self_overlap": _doc_self_overlap,
+        "doc_unigram_logprob": _doc_unigram_lp,
+        "doc_c4_filter": _doc_c4_filter,
     }
 
 
@@ -1528,6 +1561,47 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.top / greatest(p.total, 1), 0), 6)
                      AS top_gram_frac
             FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
+        "doc_self_overlap": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     md5_number_lower(
+                       array_to_string(ts[i:i+3], ' ')) AS g
+              FROM tok,
+                   LATERAL unnest(generate_series(1, len(ts) - 3)) AS t(i)),
+            dg AS (SELECT DISTINCT doc_id, g FROM g),
+            dup AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2)
+            SELECT doc_id, count(*) AS shared_grams
+            FROM dg JOIN dup USING (g)
+            GROUP BY doc_id""",
+        "doc_unigram_logprob": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents),
+            cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            tot AS (SELECT sum(c) AS s FROM cnt)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln(c / s)), 6) AS logprob
+            FROM tok JOIN cnt USING (t) CROSS JOIN tot
+            GROUP BY doc_id""",
+        "doc_c4_filter": """
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) - length(replace(text, ' ', '')) + 1
+                       AS n_words,
+                     length(replace(text, ' ', '')) AS n_nospace,
+                     (position(' dup ' IN ' ' || text || ' ') > 0)
+                       AS blocked
+              FROM documents)
+            SELECT doc_id, n_words,
+                   round(n_nospace / n_words, 6) AS mean_word_len,
+                   blocked,
+                   ((n_words BETWEEN 30 AND 120)
+                    AND round(n_nospace / n_words, 6) BETWEEN 4.0 AND 5.0
+                    AND NOT blocked) AS kept
+            FROM f""",
         "doc_source_stats": """
             SELECT source,
                    count(*) AS n_docs,

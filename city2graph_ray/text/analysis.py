@@ -7,8 +7,11 @@ so the DuckDB oracle can reproduce them bit-for-bit.
 from __future__ import annotations
 
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
+import ray
 import ray.data
 
 # language → marker stopwords (counted as padded substrings, a
@@ -300,6 +303,94 @@ def repetition_scores(docs: ray.data.Dataset, n: int = 2,
                              "n_grams": total,
                              "dup_gram_frac": dup,
                              "top_gram_frac": topf})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def unigram_logprob(docs: ray.data.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    round_to: int = 6) -> ray.data.Dataset:
+    """Per-doc mean unigram log-likelihood under the corpus's own
+    unigram distribution (the classic LM-quality proxy used by CCNet /
+    Gopher-style filters, with the corpus itself as the model).
+
+    Two passes over the stream:
+
+    1. corpus token counts — per-batch ``factorize`` + ``bincount``
+       partials merged by a keyed :func:`shuffle.group_agg` (shuffle
+       bytes ∝ vocabulary per block, not corpus size);
+    2. the vocabulary table (small by Heaps' law even at 100 TB) is
+       broadcast once via ``ray.put`` and each batch scores its docs
+       with one vectorized ``Index.get_indexer`` lookup + segmented
+       mean.
+
+    Output (id_col, n_tokens, logprob) with ``logprob = avg(ln(c/s))``
+    rounded to ``round_to`` — exactly the DuckDB twin's
+    ``round(avg(ln(c / s)), 6)``."""
+    from city2graph_ray import shuffle
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.split(" ")
+        flat = toks.explode().to_numpy(dtype=object)
+        codes, uniq = pd.factorize(flat)
+        return pd.DataFrame({"token": uniq.astype(object),
+                             "c": np.bincount(codes).astype(np.int64)})
+
+    vocab = shuffle.group_agg(
+        docs.map_batches(partial_counts, batch_format="pandas"),
+        ["token"], {"c": ("c", "sum")}).to_pandas()
+    total = float(vocab["c"].sum())
+    logp = np.log(vocab["c"].to_numpy(np.float64) / total)
+    vocab_ref = ray.put((pd.Index(vocab["token"]), logp))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        index, lp = ray.get(vocab_ref)
+        toks = batch[text_col].str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy(dtype=object)
+        doc_idx = np.repeat(np.arange(len(batch)), counts)
+        pos = index.get_indexer(flat)
+        sums = np.bincount(doc_idx, weights=lp[pos], minlength=len(batch))
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_tokens": counts,
+            "logprob": np.round(sums / np.maximum(counts, 1), round_to)})
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+DEFAULT_BLOCKLIST: tuple[str, ...] = ("spark",)
+
+
+def heuristic_filter(docs: ray.data.Dataset,
+                     min_words: int = 20, max_words: int = 10_000,
+                     min_mwl: float = 2.0, max_mwl: float = 12.0,
+                     blocklist: Sequence[str] = DEFAULT_BLOCKLIST,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     ) -> ray.data.Dataset:
+    """C4-style heuristic quality gate: word-count bounds, mean-word-
+    length bounds and a bad-word blocklist (padded-substring match, so
+    the SQL twin is ``position(' w ' IN ' ' || text || ' ')``).
+    Row-local, fully vectorized; emits every doc with its features and
+    the boolean verdict so downstream stages can either filter on
+    ``kept`` or audit the reasons.  Output
+    (id_col, n_words, mean_word_len, blocked, kept)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col]
+        n_chars = texts.str.len().to_numpy(np.int64)
+        n_spaces = texts.str.count(" ").to_numpy(np.int64)
+        n_words = n_spaces + 1
+        mwl = np.round((n_chars - n_spaces) / n_words, 6)
+        padded = " " + texts + " "
+        blocked = np.zeros(len(batch), dtype=bool)
+        for w in blocklist:
+            blocked |= padded.str.contains(f" {w} ", regex=False).to_numpy()
+        kept = ((n_words >= min_words) & (n_words <= max_words)
+                & (mwl >= min_mwl) & (mwl <= max_mwl) & ~blocked)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "n_words": n_words, "mean_word_len": mwl,
+                             "blocked": blocked, "kept": kept})
 
     return docs.map_batches(fn, batch_format="pandas")
 

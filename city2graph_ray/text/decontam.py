@@ -93,3 +93,37 @@ def ngram_overlap(docs: ray.data.Dataset, benchmark: ray.data.Dataset,
                          num_buckets=num_buckets)
     return shuffle.group_agg(hits, [id_col], {"hits": ("g", "size")},
                              num_buckets=num_buckets)
+
+
+def self_overlap(docs: ray.data.Dataset, n: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 ) -> ray.data.Dataset:
+    """Cross-document duplicated-span detection (the candidate stage of
+    ExactSubstr-style dedup, Lee et al. 2022): per doc, the number of
+    its DISTINCT word-``n``-grams that also occur in at least one
+    OTHER document.  Output (id_col, shared_grams); docs with no
+    shared span are absent (inner join — LEFT-join zeros back if the
+    caller needs every doc).
+
+    Scale shape: one explode to (id, 8-byte gram hash) rows, one keyed
+    count-distinct-docs per gram (partial per-batch dedup already done
+    inside :func:`word_ngram_hashes`), grams with ≥2 docs survive as a
+    hash-only stream, and one bucketed join back to the doc-gram
+    stream.  Nothing is broadcast; bytes shuffled ∝ distinct
+    (doc, gram) pairs × 16."""
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        return word_ngram_hashes(b, n, text_col, id_col)
+
+    doc_grams = docs.map_batches(explode, batch_format="pandas")
+    per_gram = shuffle.group_agg(doc_grams, ["g"],
+                                 {"nd": (id_col, "size")},
+                                 num_buckets=num_buckets)
+    dup = per_gram.map_batches(
+        lambda b: b.loc[b["nd"] >= 2, ["g"]], batch_format="pandas")
+
+    from city2graph_ray.joins import bucketed_join
+    hits = bucketed_join(doc_grams, dup, on="g", num_buckets=num_buckets)
+    return shuffle.group_agg(hits, [id_col],
+                             {"shared_grams": ("g", "size")},
+                             num_buckets=num_buckets)

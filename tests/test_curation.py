@@ -97,3 +97,64 @@ def test_shipping_priority_matches_duckdb():
         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""").df()
     assert out["l_orderkey"].tolist() == want["l_orderkey"].tolist()
     assert np.allclose(out["revenue"], want["revenue"], atol=1e-9)
+
+
+def test_self_overlap_bruteforce():
+    from city2graph_ray.text.decontam import self_overlap
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["a b c d e", "z a b c d", "x y z w q",
+                 "a b c q r s", "m n o p"]})
+    out = self_overlap(rd.from_pandas(docs), n=3).to_pandas()
+    gs = {int(r.doc_id): _grams(r.text) for r in docs.itertuples()}
+    want = {}
+    for i, g in gs.items():
+        others = set().union(*(v for j, v in gs.items() if j != i))
+        if g & others:
+            want[i] = len(g & others)
+    got = dict(zip(out["doc_id"].astype(int),
+                   out["shared_grams"].astype(int)))
+    assert got == want
+
+
+def test_unigram_logprob_bruteforce():
+    import math
+
+    from city2graph_ray.text.analysis import unigram_logprob
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b a", "b c", "a a a a", "c c b a"]})
+    out = (unigram_logprob(rd.from_pandas(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    all_toks = [t for s in docs["text"] for t in s.split(" ")]
+    total = len(all_toks)
+    cnt = pd.Series(all_toks).value_counts()
+    for i, r in out.iterrows():
+        toks = docs["text"].iloc[i].split(" ")
+        want = round(sum(math.log(cnt[t] / total) for t in toks)
+                     / len(toks), 6)
+        assert r["n_tokens"] == len(toks)
+        assert abs(r["logprob"] - want) < 2e-6
+
+
+def test_heuristic_filter_bruteforce():
+    from city2graph_ray.text.analysis import heuristic_filter
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["aa bb cc", "bad word here", "x" * 50,
+                 "one two three four five"]})
+    out = (heuristic_filter(rd.from_pandas(docs), min_words=3,
+                            max_words=10, min_mwl=2.0, max_mwl=4.0,
+                            blocklist=("bad",)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, r in out.iterrows():
+        t = docs["text"].iloc[i]
+        words = t.split(" ")
+        mwl = round(sum(len(w) for w in words) / len(words), 6)
+        blocked = "bad" in words
+        kept = (3 <= len(words) <= 10 and 2.0 <= mwl <= 4.0
+                and not blocked)
+        assert r["n_words"] == len(words)
+        assert r["mean_word_len"] == mwl
+        assert bool(r["blocked"]) == blocked
+        assert bool(r["kept"]) == kept, t
