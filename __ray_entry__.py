@@ -824,6 +824,52 @@ def _doc_c4_filter(sf_dir: str):
                             blocklist=("dup",))
 
 
+def _order_zone_edges(sf_dir: str):
+    """Derived zone digraph: distinct (o_custkey%100 → o_orderkey%97)
+    edges from orders — the same zone derivation the OD queries use."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+    edges = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "src": (b["o_custkey"].to_numpy(np.int64) % 100),
+            "dst": (b["o_orderkey"].to_numpy(np.int64) % 97)}),
+        batch_format="pandas")
+    return shuffle.distinct(edges, ["src", "dst"])
+
+
+def _zone_pagerank(sf_dir: str):
+    """5-iteration PageRank over the zone digraph (iterative bucketed
+    join + keyed sum per round; unrolled-CTE SQL twin)."""
+    from city2graph_ray.ops.graph_algos import pagerank
+
+    return pagerank(_order_zone_edges(sf_dir), num_iters=5)
+
+
+def _zone_degree_hist(sf_dir: str):
+    """Total-degree histogram of the zone digraph."""
+    from city2graph_ray.ops.graph_algos import degree_histogram
+
+    return degree_histogram(_order_zone_edges(sf_dir))
+
+
+def _doc_blocklist(sf_dir: str):
+    """Bloom-prefiltered exact blocklist anti-join: drop docs whose id
+    is in the removal list (doc_id % 7 == 3), keep the rest."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.blocklist import blocklist_filter
+
+    docs = documents(sf_dir, columns=["doc_id", "n_chars"])
+    blocked = docs.map_batches(
+        lambda b: b.loc[b["doc_id"].to_numpy(np.int64) % 7 == 3,
+                        ["doc_id"]],
+        batch_format="pandas")
+    return blocklist_filter(docs, blocked)
+
+
 def _tpch_q3(sf_dir: str):
     """Shipping-priority top-10 (3-way join + agg + global top-k)."""
     from city2graph_ray.pipelines.relational import shipping_priority
@@ -899,6 +945,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_self_overlap": _doc_self_overlap,
         "doc_unigram_logprob": _doc_unigram_lp,
         "doc_c4_filter": _doc_c4_filter,
+        "zone_pagerank": _zone_pagerank,
+        "zone_degree_hist": _zone_degree_hist,
+        "doc_blocklist_filter": _doc_blocklist,
     }
 
 
@@ -1561,6 +1610,62 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.top / greatest(p.total, 1), 0), 6)
                      AS top_gram_frac
             FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
+        "zone_pagerank": """
+            WITH e AS (
+              SELECT DISTINCT o_custkey % 100 AS src,
+                              o_orderkey % 97 AS dst
+              FROM orders),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+                    FROM e GROUP BY src),
+            r0 AS (SELECT node, round(1.0 / n, 10) AS r FROM nodes, c),
+            s1 AS (SELECT dst AS node, sum(r.r / deg.d) AS s
+                   FROM e JOIN deg USING (src)
+                   JOIN r0 r ON r.node = e.src GROUP BY dst),
+            r1 AS (SELECT node,
+                          round(0.15 / n + 0.85 * coalesce(s, 0), 10) AS r
+                   FROM nodes LEFT JOIN s1 USING (node), c),
+            s2 AS (SELECT dst AS node, sum(r.r / deg.d) AS s
+                   FROM e JOIN deg USING (src)
+                   JOIN r1 r ON r.node = e.src GROUP BY dst),
+            r2 AS (SELECT node,
+                          round(0.15 / n + 0.85 * coalesce(s, 0), 10) AS r
+                   FROM nodes LEFT JOIN s2 USING (node), c),
+            s3 AS (SELECT dst AS node, sum(r.r / deg.d) AS s
+                   FROM e JOIN deg USING (src)
+                   JOIN r2 r ON r.node = e.src GROUP BY dst),
+            r3 AS (SELECT node,
+                          round(0.15 / n + 0.85 * coalesce(s, 0), 10) AS r
+                   FROM nodes LEFT JOIN s3 USING (node), c),
+            s4 AS (SELECT dst AS node, sum(r.r / deg.d) AS s
+                   FROM e JOIN deg USING (src)
+                   JOIN r3 r ON r.node = e.src GROUP BY dst),
+            r4 AS (SELECT node,
+                          round(0.15 / n + 0.85 * coalesce(s, 0), 10) AS r
+                   FROM nodes LEFT JOIN s4 USING (node), c),
+            s5 AS (SELECT dst AS node, sum(r.r / deg.d) AS s
+                   FROM e JOIN deg USING (src)
+                   JOIN r4 r ON r.node = e.src GROUP BY dst),
+            r5 AS (SELECT node,
+                          round(0.15 / n + 0.85 * coalesce(s, 0), 10) AS r
+                   FROM nodes LEFT JOIN s5 USING (node), c)
+            SELECT node, round(r, 6) AS rank FROM r5""",
+        "zone_degree_hist": """
+            WITH e AS (
+              SELECT DISTINCT o_custkey % 100 AS src,
+                              o_orderkey % 97 AS dst
+              FROM orders),
+            ends AS (SELECT src AS node FROM e
+                     UNION ALL SELECT dst FROM e),
+            deg AS (SELECT node, count(*) AS degree
+                    FROM ends GROUP BY node)
+            SELECT degree, count(*) AS n_nodes
+            FROM deg GROUP BY degree""",
+        "doc_blocklist_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 7 <> 3""",
         "doc_self_overlap": """
             WITH tok AS (
               SELECT doc_id, string_split(text, ' ') AS ts

@@ -1,0 +1,202 @@
+"""Distributed iterative graph algorithms over edge-list Datasets.
+
+PageRank is the canonical iterative join+aggregate workload: each
+iteration is one bucketed hash join (ranks → edges on src) and one
+keyed sum (contributions → dst), both streaming — the rank table is
+node-sized, lives in the object store between iterations
+(``materialize()``, never collected to the driver), and every shuffle
+key is the same node id so bucket locality is reused.
+
+No reference counterpart (the reference is a single-process geospatial
+package); this is one of the engine-added scale operators.  Semantics
+follow the classic Page et al. formulation with a FIXED iteration
+count and per-iteration rounding so a SQL twin (unrolled CTEs) can
+reproduce the result bit-for-bit: dangling-node mass is dropped (not
+redistributed), documented below.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from city2graph_ray import shuffle
+from city2graph_ray.joins import bucketed_join
+
+
+def _node_column(edges: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    return edges.map_batches(
+        lambda b, c=col: pd.DataFrame({"node": b[c].to_numpy()}),
+        batch_format="pandas")
+
+
+def pagerank(edges: ray.data.Dataset, num_iters: int = 5,
+             damping: float = 0.85, src: str = "src", dst: str = "dst",
+             round_iter: int = 10, round_to: int = 6,
+             num_buckets: int = shuffle.DEFAULT_BUCKETS,
+             strategy: str = "auto",
+             broadcast_threshold: int = 2_000_000,
+             ) -> ray.data.Dataset:
+    """PageRank with a fixed ``num_iters`` over a directed edge list.
+
+    - init ``r0 = round(1/n, round_iter)`` for every node (n = distinct
+      endpoints of either side);
+    - per iteration ``r' = round((1-d)/n + d * Σ_{(u,v)∈E} r_u/deg_u,
+      round_iter)`` where ``deg_u`` is u's out-degree; nodes with no
+      in-edges get the ``(1-d)/n`` floor; out-mass of dangling nodes is
+      dropped (no redistribution) so the SQL twin stays a pure
+      join+group-by per iteration.
+
+    Intermediate ranks round to ``round_iter`` decimals each iteration
+    — float sum order then cannot leak into the result, so the DuckDB
+    unrolled-CTE oracle agrees bit-for-bit.  Output
+    (node, rank) with the final rank rounded to ``round_to``.
+
+    Scale: per iteration one bucketed join (edge stream × node-sized
+    rank table, same hash key every round) + one partial-aggregated
+    keyed sum.  The rank table is materialized in the object store
+    between rounds; nothing touches the driver except the scalar n.
+    """
+    nodes = shuffle.distinct(
+        _node_column(edges, src).union(_node_column(edges, dst)),
+        ["node"], num_buckets=num_buckets).materialize()
+    n = float(nodes.count())
+
+    if strategy not in ("auto", "join", "broadcast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "broadcast" or (strategy == "auto"
+                                   and n <= broadcast_threshold):
+        return _pagerank_broadcast(edges, nodes, int(n), num_iters,
+                                   damping, src, dst, round_iter,
+                                   round_to)
+
+    deg = shuffle.group_agg(edges, [src], {"d": (dst, "size")},
+                            num_buckets=num_buckets)
+    # (src, dst, d) — static across iterations, join once and pin.
+    ed = bucketed_join(
+        edges.map_batches(
+            lambda b: pd.DataFrame({src: b[src].to_numpy(),
+                                    dst: b[dst].to_numpy()}),
+            batch_format="pandas"),
+        deg, on=src, num_buckets=num_buckets).materialize()
+
+    r0 = float(np.round(1.0 / n, round_iter))
+    ranks = nodes.map_batches(
+        lambda b, v=r0: pd.DataFrame({"node": b["node"].to_numpy(),
+                                      "r": np.full(len(b), v)}),
+        batch_format="pandas").materialize()
+
+    floor = (1.0 - damping) / n
+    for _ in range(num_iters):
+        rsrc = ranks.map_batches(
+            lambda b: pd.DataFrame({src: b["node"].to_numpy(),
+                                    "r": b["r"].to_numpy()}),
+            batch_format="pandas")
+        contrib = bucketed_join(ed, rsrc, on=src,
+                                num_buckets=num_buckets).map_batches(
+            lambda b: pd.DataFrame({
+                "node": b[dst].to_numpy(),
+                "c": b["r"].to_numpy() / b["d"].to_numpy()}),
+            batch_format="pandas")
+        sums = shuffle.group_agg(contrib, ["node"], {"s": ("c", "sum")},
+                                 num_buckets=num_buckets)
+        joined = bucketed_join(nodes, sums, on="node", how="left",
+                               num_buckets=num_buckets)
+        ranks = joined.map_batches(
+            lambda b, f=floor, d=damping, q=round_iter: pd.DataFrame({
+                "node": b["node"].to_numpy(),
+                "r": np.round(
+                    f + d * np.nan_to_num(
+                        b["s"].to_numpy(np.float64), nan=0.0), q)}),
+            batch_format="pandas").materialize()
+
+    return ranks.map_batches(
+        lambda b, q=round_to: pd.DataFrame({
+            "node": b["node"].to_numpy(),
+            "rank": np.round(b["r"].to_numpy(np.float64), q)}),
+        batch_format="pandas")
+
+
+def _pagerank_broadcast(edges: ray.data.Dataset, nodes: ray.data.Dataset,
+                        n: int, num_iters: int, damping: float,
+                        src: str, dst: str, round_iter: int,
+                        round_to: int) -> ray.data.Dataset:
+    """Small-node-table fast path: the rank VECTOR (n floats) is
+    broadcast per iteration while the EDGE STREAM stays distributed —
+    each edge block is re-indexed once against the broadcast node
+    index, then every iteration is one streaming pass emitting a
+    node-length partial contribution array per block (``bincount`` on
+    dst with rank/deg weights), streamed back and summed on the driver
+    one block at a time (``iter_batches``, O(n) driver memory).  The
+    ``broadcast_threshold`` gate in :func:`pagerank` bounds n; beyond
+    it the join strategy runs with no node-sized driver state."""
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy())
+    index = pd.Index(node_arr)
+    idx_ref = ray.put(index)
+
+    def reindex(batch: pd.DataFrame) -> pd.DataFrame:
+        ix = ray.get(idx_ref)
+        return pd.DataFrame({
+            "si": ix.get_indexer(batch[src].to_numpy()).astype(np.int32),
+            "di": ix.get_indexer(batch[dst].to_numpy()).astype(np.int32)})
+
+    indexed = edges.map_batches(reindex, batch_format="pandas").materialize()
+
+    def partial_deg(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"w": [np.bincount(batch["si"].to_numpy(),
+                               minlength=n).astype(np.int64).tobytes()]})
+
+    deg = np.zeros(n, dtype=np.int64)
+    for b in indexed.map_batches(partial_deg,
+                                 batch_format="pandas").iter_batches(
+                                     batch_size=None,
+                                     batch_format="pandas"):
+        for w in b["w"]:
+            deg += np.frombuffer(w, dtype=np.int64)
+    deg_safe = np.maximum(deg, 1).astype(np.float64)
+
+    rank = np.full(n, np.round(1.0 / n, round_iter))
+    floor = (1.0 - damping) / n
+    for _ in range(num_iters):
+        rd_ref = ray.put(rank / deg_safe)
+
+        def partial_contrib(batch: pd.DataFrame, ref=rd_ref) -> pd.DataFrame:
+            rd = ray.get(ref)
+            si = batch["si"].to_numpy()
+            return pd.DataFrame(
+                {"w": [np.bincount(batch["di"].to_numpy(),
+                                   weights=rd[si],
+                                   minlength=n).tobytes()]})
+
+        contrib = np.zeros(n, dtype=np.float64)
+        for b in indexed.map_batches(partial_contrib,
+                                     batch_format="pandas").iter_batches(
+                                         batch_size=None,
+                                         batch_format="pandas"):
+            for w in b["w"]:
+                contrib += np.frombuffer(w, dtype=np.float64)
+        rank = np.round(floor + damping * contrib, round_iter)
+
+    out = pd.DataFrame({"node": node_arr,
+                        "rank": np.round(rank, round_to)})
+    return ray.data.from_pandas(out)
+
+
+def degree_histogram(edges: ray.data.Dataset, src: str = "src",
+                     dst: str = "dst",
+                     num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                     ) -> ray.data.Dataset:
+    """Total-degree histogram of an edge list: (degree, n_nodes).
+
+    Two keyed sums, both with per-batch partial aggregation — the
+    first shuffles (node, partial count) rows, the second (degree,
+    partial count); output is histogram-sized."""
+    ends = _node_column(edges, src).union(_node_column(edges, dst))
+    deg = shuffle.group_agg(ends, ["node"], {"degree": ("node", "size")},
+                            num_buckets=num_buckets)
+    return shuffle.group_agg(deg, ["degree"],
+                             {"n_nodes": ("node", "size")},
+                             num_buckets=num_buckets)
