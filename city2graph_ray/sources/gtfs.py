@@ -61,22 +61,34 @@ def stops_with_geometry(stops: pd.DataFrame) -> pd.DataFrame:
 
 
 def load_gbfs_dir(path: str) -> dict[str, pd.DataFrame]:
-    """GBFS JSON directory → {feed_name: DataFrame}; station feeds get
-    x/y from lon/lat (reference transportation.py:573-646)."""
+    """GBFS JSON directory → {feed_name: DataFrame}.  Mirrors the
+    reference's feed flattening (transportation.py:573-646): rows come
+    from the first of ``stations`` / ``bikes`` / ``vehicles`` /
+    ``vehicle_types`` / ``feeds`` under ``data``, falling back to the
+    ``data`` object itself; any table with lon/lat gets numeric x/y
+    (invalid coordinates → NaN, as the reference's try_cast)."""
     import json
     out = {}
-    for f in os.listdir(path):
+    for f in sorted(os.listdir(path)):
         if not f.endswith(".json"):
             continue
-        data = json.load(open(os.path.join(path, f)))
-        stations = (data.get("data", {}) or {}).get("stations")
-        if stations is None:
+        raw = json.load(open(os.path.join(path, f)))
+        data = raw.get("data", {}) or {}
+        rows = None
+        for key in ("stations", "bikes", "vehicles", "vehicle_types",
+                    "feeds"):
+            if key in data:
+                rows = data[key]
+                break
+        if rows is None:
+            rows = [data]
+        if not rows:
             continue
-        df = pd.DataFrame(stations)
+        df = pd.DataFrame(rows)
         if {"lon", "lat"} <= set(df.columns):
             df["x"] = pd.to_numeric(df["lon"], errors="coerce")
             df["y"] = pd.to_numeric(df["lat"], errors="coerce")
-        out[f[:-5]] = df
+        out[f[:-5].replace("-", "_").lower()] = df
     return out
 
 

@@ -162,3 +162,41 @@ def test_gbfs_station_graph(tmp_path):
     e = out["edges"].to_pandas()
     assert len(e) == 1  # only s1–s2 within radius
     assert {int(e["src"].iloc[0]), int(e["dst"].iloc[0])} == {0, 1}
+
+
+def test_gbfs_feed_shapes(tmp_path):
+    """Reference load_gbfs flattens stations/bikes/vehicle_types/feeds
+    and falls back to the data object (transportation.py:597-615)."""
+    import json
+
+    from city2graph_ray.sources.gtfs import load_gbfs_dir
+    (tmp_path / "free_bike_status.json").write_text(json.dumps(
+        {"data": {"bikes": [{"bike_id": "b1", "lon": 1.0, "lat": 2.0}]}}))
+    (tmp_path / "vehicle-types.json").write_text(json.dumps(
+        {"data": {"vehicle_types": [{"vehicle_type_id": "v1"}]}}))
+    (tmp_path / "system_information.json").write_text(json.dumps(
+        {"data": {"system_id": "sys", "name": "demo"}}))
+    (tmp_path / "empty.json").write_text(json.dumps(
+        {"data": {"stations": []}}))
+    out = load_gbfs_dir(str(tmp_path))
+    assert set(out) == {"free_bike_status", "vehicle_types",
+                        "system_information"}
+    assert out["free_bike_status"]["x"].iloc[0] == 1.0
+    assert out["vehicle_types"]["vehicle_type_id"].iloc[0] == "v1"
+    assert out["system_information"]["system_id"].iloc[0] == "sys"
+
+
+def test_load_overture_local_mode(tmp_path):
+    """load_overture_data local mode: one parquet per type → Datasets;
+    missing types skipped; no path → NotImplementedError."""
+    import pytest
+
+    from city2graph_ray.api import load_overture_data
+    pd.DataFrame({"id": [1, 2], "kind": ["a", "b"]}).to_parquet(
+        tmp_path / "segment.parquet")
+    out = load_overture_data(types=["segment", "building"],
+                             path=str(tmp_path))
+    assert set(out) == {"segment"}
+    assert out["segment"].count() == 2
+    with pytest.raises(NotImplementedError):
+        load_overture_data(types=["segment"])
