@@ -870,6 +870,22 @@ def _doc_blocklist(sf_dir: str):
     return blocklist_filter(docs, blocked)
 
 
+def _doc_curation(sf_dir: str):
+    """Composed curation chain: C4 gate → exact dedup → id blocklist
+    (bloom+confirm) → cross-doc duplicated-span cap.  All streaming;
+    reuses the individually-oracled stages."""
+    from city2graph_ray.pipelines.curation import curate_documents
+    from city2graph_ray.pipelines.tables import documents
+
+    docs = documents(sf_dir, columns=["doc_id", "text", "source",
+                                      "lang", "n_chars"])
+    blocked = docs.map_batches(
+        lambda b: b.loc[b["doc_id"].to_numpy(np.int64) % 7 == 3,
+                        ["doc_id"]],
+        batch_format="pandas")
+    return curate_documents(docs, blocked_ids=blocked)
+
+
 def _tpch_q3(sf_dir: str):
     """Shipping-priority top-10 (3-way join + agg + global top-k)."""
     from city2graph_ray.pipelines.relational import shipping_priority
@@ -948,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_pagerank": _zone_pagerank,
         "zone_degree_hist": _zone_degree_hist,
         "doc_blocklist_filter": _doc_blocklist,
+        "doc_curation": _doc_curation,
     }
 
 
@@ -1610,6 +1627,36 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.top / greatest(p.total, 1), 0), 6)
                      AS top_gram_frac
             FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
+        "doc_curation": """
+            WITH gated AS (
+              SELECT * FROM documents
+              WHERE (length(text) - length(replace(text, ' ', '')) + 1)
+                      BETWEEN 30 AND 120
+                AND round(length(replace(text, ' ', ''))
+                          / (length(text)
+                             - length(replace(text, ' ', '')) + 1), 6)
+                      BETWEEN 4.0 AND 5.0
+                AND position(' dup ' IN ' ' || text || ' ') = 0),
+            surv AS (
+              SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+            cur AS (
+              SELECT g.* FROM gated g JOIN surv USING (doc_id)
+              WHERE g.doc_id % 7 <> 3),
+            tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM cur),
+            g4 AS (
+              SELECT doc_id,
+                     md5_number_lower(
+                       array_to_string(ts[i:i+3], ' ')) AS g
+              FROM tok,
+                   LATERAL unnest(generate_series(1, len(ts) - 3)) AS t(i)),
+            dg AS (SELECT DISTINCT doc_id, g FROM g4),
+            dup AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
+            hot AS (SELECT doc_id, count(*) AS c
+                    FROM dg JOIN dup USING (g) GROUP BY doc_id)
+            SELECT c.doc_id, c.source, c.lang, c.n_chars
+            FROM cur c LEFT JOIN hot h USING (doc_id)
+            WHERE coalesce(h.c, 0) <= 60""",
         "zone_pagerank": """
             WITH e AS (
               SELECT DISTINCT o_custkey % 100 AS src,

@@ -367,14 +367,18 @@ def heuristic_filter(docs: ray.data.Dataset,
                      min_mwl: float = 2.0, max_mwl: float = 12.0,
                      blocklist: Sequence[str] = DEFAULT_BLOCKLIST,
                      text_col: str = "text", id_col: str = "doc_id",
-                     ) -> ray.data.Dataset:
+                     emit: str = "features") -> ray.data.Dataset:
     """C4-style heuristic quality gate: word-count bounds, mean-word-
     length bounds and a bad-word blocklist (padded-substring match, so
     the SQL twin is ``position(' w ' IN ' ' || text || ' ')``).
-    Row-local, fully vectorized; emits every doc with its features and
-    the boolean verdict so downstream stages can either filter on
-    ``kept`` or audit the reasons.  Output
-    (id_col, n_words, mean_word_len, blocked, kept)."""
+    Row-local, fully vectorized.  With ``emit="features"`` (default)
+    emits every doc with its features and the boolean verdict —
+    (id_col, n_words, mean_word_len, blocked, kept) — so downstream
+    stages can filter on ``kept`` or audit the reasons; with
+    ``emit="docs"`` emits the SURVIVING input rows unchanged (the
+    composable-pipeline form)."""
+    if emit not in ("features", "docs"):
+        raise ValueError(f"unknown emit mode {emit!r}")
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[text_col]
@@ -388,6 +392,8 @@ def heuristic_filter(docs: ray.data.Dataset,
             blocked |= padded.str.contains(f" {w} ", regex=False).to_numpy()
         kept = ((n_words >= min_words) & (n_words <= max_words)
                 & (mwl >= min_mwl) & (mwl <= max_mwl) & ~blocked)
+        if emit == "docs":
+            return batch.loc[kept]
         return pd.DataFrame({id_col: batch[id_col].to_numpy(),
                              "n_words": n_words, "mean_word_len": mwl,
                              "blocked": blocked, "kept": kept})

@@ -89,7 +89,8 @@ def blocklist_filter(docs: ray.data.Dataset, blocked: ray.data.Dataset,
         out["__maybe"] = hit
         return out
 
-    tagged = docs.map_batches(split, batch_format="pandas")
+    # two consumers (clean/maybe splits) — pin to avoid re-execution
+    tagged = docs.map_batches(split, batch_format="pandas").materialize()
     clean = tagged.map_batches(
         lambda b: b.loc[~b["__maybe"], [c for c in b.columns
                                         if c != "__maybe"]],

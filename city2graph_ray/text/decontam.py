@@ -106,24 +106,24 @@ def self_overlap(docs: ray.data.Dataset, n: int = 4,
     shared span are absent (inner join — LEFT-join zeros back if the
     caller needs every doc).
 
-    Scale shape: one explode to (id, 8-byte gram hash) rows, one keyed
-    count-distinct-docs per gram (partial per-batch dedup already done
-    inside :func:`word_ngram_hashes`), grams with ≥2 docs survive as a
-    hash-only stream, and one bucketed join back to the doc-gram
-    stream.  Nothing is broadcast; bytes shuffled ∝ distinct
+    Scale shape: one explode to (id, 8-byte gram hash) rows, then ONE
+    gram-keyed shuffle whose kernel keeps exactly the rows of grams
+    seen in ≥2 docs (the per-gram doc count and the "join back" fuse
+    into the same bucket pass — doc_grams is already distinct per
+    (doc, gram) from :func:`word_ngram_hashes`), then one keyed count
+    per doc.  Nothing is broadcast; bytes shuffled ∝ distinct
     (doc, gram) pairs × 16."""
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         return word_ngram_hashes(b, n, text_col, id_col)
 
     doc_grams = docs.map_batches(explode, batch_format="pandas")
-    per_gram = shuffle.group_agg(doc_grams, ["g"],
-                                 {"nd": (id_col, "size")},
-                                 num_buckets=num_buckets)
-    dup = per_gram.map_batches(
-        lambda b: b.loc[b["nd"] >= 2, ["g"]], batch_format="pandas")
 
-    from city2graph_ray.joins import bucketed_join
-    hits = bucketed_join(doc_grams, dup, on="g", num_buckets=num_buckets)
+    def dup_hits(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("g", sort=False)["g"].transform("size")
+        return g.loc[c >= 2, [id_col, "g"]]
+
+    hits = shuffle.grouped_transform(doc_grams, ["g"], dup_hits,
+                                     num_buckets=num_buckets)
     return shuffle.group_agg(hits, [id_col],
                              {"shared_grams": ("g", "size")},
                              num_buckets=num_buckets)

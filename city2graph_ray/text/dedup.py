@@ -36,14 +36,24 @@ def _md5_64(texts) -> np.ndarray:
 
 
 def exact_dedup(docs: ray.data.Dataset, text_col: str = "text",
-                id_col: str = "doc_id") -> ray.data.Dataset:
-    """Keep the min-id row per distinct text. Output (doc_id, group_size).
+                id_col: str = "doc_id",
+                emit: str = "ids") -> ray.data.Dataset:
+    """Keep the min-id row per distinct text.  ``emit="ids"`` (default)
+    outputs (doc_id, group_size); ``emit="rows"`` outputs the surviving
+    input rows with ALL their columns — the composable-pipeline form
+    that saves downstream callers a survivor join.
 
     Shuffle is keyed on the 64-bit content hash, not the text (bytes
-    moved per row = 8, not the document); exact texts compared only
-    within a hash bucket (collision-safe)."""
+    moved per row = 8 + payload); exact texts compared only within a
+    hash bucket (collision-safe)."""
+    if emit not in ("ids", "rows"):
+        raise ValueError(f"unknown emit mode {emit!r}")
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        if emit == "rows":
+            out = batch.copy()
+            out["__h"] = _md5_64(batch[text_col]).view(np.int64)
+            return out
         return pd.DataFrame({
             "h": _md5_64(batch[text_col]),
             id_col: batch[id_col].to_numpy(),
@@ -56,6 +66,13 @@ def exact_dedup(docs: ray.data.Dataset, text_col: str = "text",
                 .agg(doc_id=(id_col, "min"), group_size=(id_col, "size"))
                 .reset_index(drop=True))
 
+    def reduce_rows(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g.groupby(text_col, sort=False)[id_col].transform(
+            "min") == g[id_col]]
+        return keep[[c for c in keep.columns if c != "__h"]]
+
+    if emit == "rows":
+        return shuffle.grouped_transform(hashed, ["__h"], reduce_rows)
     return shuffle.grouped_transform(hashed, ["h"], reduce)
 
 

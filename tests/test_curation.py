@@ -158,3 +158,46 @@ def test_heuristic_filter_bruteforce():
         assert r["mean_word_len"] == mwl
         assert bool(r["blocked"]) == blocked
         assert bool(r["kept"]) == kept, t
+
+
+def test_curate_documents_bruteforce():
+    from city2graph_ray.pipelines.curation import curate_documents
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "bad"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 12)))
+             for _ in range(60)]
+    texts += texts[:5]  # exact duplicates
+    docs = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts,
+        "source": "s", "lang": "en",
+        "n_chars": [len(t) for t in texts]})
+    blocked = docs.loc[docs["doc_id"] % 5 == 0, ["doc_id"]]
+    out = curate_documents(
+        rd.from_pandas(docs), min_words=4, max_words=10,
+        min_mwl=3.0, max_mwl=6.0, blocklist=("bad",),
+        blocked_ids=rd.from_pandas(blocked),
+        overlap_n=3, max_shared_grams=2).to_pandas()
+
+    # brute-force twin
+    def words(t):
+        return t.split(" ")
+
+    gated = docs[[4 <= len(words(t)) <= 10
+                  and 3.0 <= round(sum(map(len, words(t)))
+                                   / len(words(t)), 6) <= 6.0
+                  and "bad" not in words(t)
+                  for t in docs["text"]]]
+    surv = gated.loc[gated.groupby("text")["doc_id"].idxmin()]
+    cur = surv[surv["doc_id"] % 5 != 0]
+    gr = {int(r.doc_id): {" ".join(words(r.text)[i:i + 3])
+                          for i in range(len(words(r.text)) - 2)}
+          for r in cur.itertuples()}
+    keep = []
+    for i, g in gr.items():
+        others = set().union(*(v for j, v in gr.items() if j != i)) \
+            if len(gr) > 1 else set()
+        if len(g & others) <= 2:
+            keep.append(i)
+    assert sorted(out["doc_id"]) == sorted(keep)
+    assert sorted(out.columns) == ["doc_id", "lang", "n_chars", "source"]
