@@ -886,6 +886,58 @@ def _doc_curation(sf_dir: str):
     return curate_documents(docs, blocked_ids=blocked)
 
 
+def _media_features(sf_dir: str):
+    """Actor-pool media feature stage over synthesized binary payloads
+    (payload = utf8 doc bytes).  The stub decoder is md5-derived, so
+    the first four u32 feature words equal DuckDB's
+    md5_number_upper/lower halves — bit-exact oracle for the full
+    actor-pool plumbing (schema, small batches for wide rows, stateful
+    __init__)."""
+    from city2graph_ray.media.stages import media_features
+    from city2graph_ray.pipelines.tables import documents
+
+    docs = documents(sf_dir)
+    media = docs.map_batches(
+        lambda b: pd.DataFrame({
+            "media_id": b["doc_id"].to_numpy(np.int64),
+            "payload": [t.encode() for t in b["text"]]}),
+        batch_format="pandas")
+    feats = media_features(media)
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        f = np.vstack([np.asarray(v) for v in b["feature"]])
+        out = pd.DataFrame({
+            "media_id": b["media_id"].to_numpy(np.int64),
+            "feat_dim": b["feat_dim"].to_numpy(np.int64)})
+        for j in range(4):
+            out[f"f{j}"] = np.round(f[:, j] * 2.0 ** 32).astype(np.int64)
+        return out
+
+    return feats.map_batches(proj, batch_format="pandas")
+
+
+def _media_frames(sf_dir: str):
+    """FrameSampler actor stage (video → every-2nd fixed-size frame);
+    frames decoded back to utf8 for the SQL substr twin."""
+    from city2graph_ray.media.stages import FrameSampler
+    from city2graph_ray.pipelines.tables import documents
+
+    docs = documents(sf_dir)
+    media = docs.map_batches(
+        lambda b: pd.DataFrame({
+            "media_id": b["doc_id"].to_numpy(np.int64),
+            "payload": [t.encode() for t in b["text"]]}),
+        batch_format="pandas")
+    frames = media.map_batches(FrameSampler, batch_size=64,
+                               concurrency=(1, 4), batch_format="pandas")
+    return frames.map_batches(
+        lambda b: pd.DataFrame({
+            "media_id": b["media_id"].to_numpy(np.int64),
+            "frame_idx": b["frame_idx"].to_numpy(np.int64),
+            "frame": [f.decode() for f in b["frame"]]}),
+        batch_format="pandas")
+
+
 def _tpch_q3(sf_dir: str):
     """Shipping-priority top-10 (3-way join + agg + global top-k)."""
     from city2graph_ray.pipelines.relational import shipping_priority
@@ -965,6 +1017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_degree_hist": _zone_degree_hist,
         "doc_blocklist_filter": _doc_blocklist,
         "doc_curation": _doc_curation,
+        "media_image_features": _media_features,
+        "media_frame_sample": _media_frames,
     }
 
 
@@ -1627,6 +1681,25 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.top / greatest(p.total, 1), 0), 6)
                      AS top_gram_frac
             FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
+        "media_image_features": """
+            SELECT doc_id AS media_id,
+                   CAST(16 AS BIGINT) AS feat_dim,
+                   CAST(md5_number_upper(text) % 4294967296 AS BIGINT)
+                     AS f0,
+                   CAST(md5_number_upper(text) // 4294967296 AS BIGINT)
+                     AS f1,
+                   CAST(md5_number_lower(text) % 4294967296 AS BIGINT)
+                     AS f2,
+                   CAST(md5_number_lower(text) // 4294967296 AS BIGINT)
+                     AS f3
+            FROM documents""",
+        "media_frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   substr(text, f * 32 + 1, 32) AS frame
+            FROM documents,
+                 LATERAL unnest(generate_series(
+                   0, greatest(length(text) // 32, 1) - 1, 2)) AS t(f)""",
         "doc_curation": """
             WITH gated AS (
               SELECT * FROM documents
