@@ -342,6 +342,19 @@ def _ivf_ann(sf_dir: str):
     return ivf_topk(emb, qdf, k=10)
 
 
+def _ivf_ann_exact(sf_dir: str):
+    """IVF with nprobe = n_centroids probes every bucket — exact by
+    construction, so the full IVF machinery (centroid train, bucket
+    shuffle, per-bucket probe, global merge) gets a bit-exact SQL
+    oracle; the default-nprobe variant stays recall-tested."""
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.ann import ivf_topk
+    emb = embeddings(sf_dir)
+    qdf = (emb.filter(lambda r: r["vec_id"] < 10).to_pandas()
+           .rename(columns={"vec_id": "query_id"}))
+    return ivf_topk(emb, qdf, k=10, n_centroids=16, nprobe=16)
+
+
 def _emb_neardup(sf_dir: str):
     from city2graph_ray.pipelines.tables import embeddings
     from city2graph_ray.vector.ann import embedding_neardup
@@ -886,6 +899,14 @@ def _doc_curation(sf_dir: str):
     return curate_documents(docs, blocked_ids=blocked)
 
 
+def _tpch_q5_region(sf_dir: str):
+    """Q5-style revenue-by-nation rollup for one region: broadcast dim
+    join + two bucketed big joins + keyed sum."""
+    from city2graph_ray.pipelines.relational import regional_revenue
+
+    return regional_revenue(sf_dir, "ASIA")
+
+
 def _media_features(sf_dir: str):
     """Actor-pool media feature stage over synthesized binary payloads
     (payload = utf8 doc bytes).  The stub decoder is md5-derived, so
@@ -983,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash,
         "ann_topk": _ann,
         "ivf_ann_topk": _ivf_ann,
+        "ivf_ann_exact": _ivf_ann_exact,
         "emb_neardup": _emb_neardup,
         "zonal_tessellation": _zonal_tess,
         "vector_tess_areas": _vector_tess,
@@ -1019,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation": _doc_curation,
         "media_image_features": _media_features,
         "media_frame_sample": _media_frames,
+        "tpch_q5_region": _tpch_q5_region,
     }
 
 
@@ -1180,6 +1203,14 @@ def oracle_sql() -> dict[str, str]:
             FROM t""",
         "doc_lang_id": _langid_sql(),
         "ann_topk": """
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM embeddings e, embeddings q WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY cosine DESC, e.vec_id) <= 10""",
+        "ivf_ann_exact": """
             SELECT q.vec_id AS query_id, e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[],
                                                 q.embedding::DOUBLE[]), 6)
@@ -1681,6 +1712,17 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.top / greatest(p.total, 1), 0), 6)
                      AS top_gram_frac
             FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
+        "tpch_q5_region": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name""",
         "media_image_features": """
             SELECT doc_id AS media_id,
                    CAST(16 AS BIGINT) AS feat_dim,

@@ -104,3 +104,62 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
            .head(k).reset_index(drop=True))
     return ray.data.from_pandas(
         top[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]])
+
+
+def regional_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
+    """TPC-H Q5-style rollup: lineitem revenue by customer nation for
+    one region.  Dimension tables (region ⋈ nation, dozens of rows) are
+    broadcast once via ``ray.put`` into the customer stream
+    (`joins.broadcast_join`) — the canonical small-side pattern — while
+    the two big joins (orders→customer on custkey, lineitem→orders on
+    orderkey) are bucketed hash joins.  Output
+    (n_name, revenue) with revenue rounded to 2dp (nation-level sums
+    accumulate ~1e-6 float noise across summation orders; 2dp keeps
+    the SQL twin bit-stable)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import broadcast_join, bucketed_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name",
+                                      "n_regionkey"])
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet",
+                          columns=["r_regionkey", "r_name"])
+    dims = nation.merge(reg, left_on="n_regionkey",
+                        right_on="r_regionkey")
+    dims = dims.loc[dims["r_name"] == region,
+                    ["n_nationkey", "n_name"]].rename(
+        columns={"n_nationkey": "c_nationkey"})
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    cust = broadcast_join(cust, dims, on="c_nationkey").map_batches(
+        lambda b: b.rename(columns={"c_custkey": "o_custkey"})
+        [["o_custkey", "n_name"]], batch_format="pandas")
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    ordn = bucketed_join(orders, cust, on="o_custkey").map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"})
+        [["l_orderkey", "n_name"]], batch_format="pandas")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda b: pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "rev": b["l_extendedprice"].to_numpy(np.float64)
+                   * (1.0 - b["l_discount"].to_numpy(np.float64))}),
+        batch_format="pandas")
+
+    joined = bucketed_join(li, ordn, on="l_orderkey")
+    out = shuffle.group_agg(joined, ["n_name"], {"revenue": ("rev", "sum")})
+    return out.map_batches(
+        lambda b: pd.DataFrame({"n_name": b["n_name"],
+                                "revenue": np.round(
+                                    b["revenue"].to_numpy(np.float64), 2)}),
+        batch_format="pandas")
