@@ -85,10 +85,19 @@ def _shuffle_blocks() -> int:
 
 
 def _auto_cell_size(points: ray.data.Dataset, per_cell: float) -> float:
-    """Cell size targeting ~per_cell points per cell (density estimate)."""
+    """Cell size targeting ~per_cell points per cell.
+
+    Derived from the DOMINANT extent, not the bbox area: a degenerate
+    axis (collinear or near-collinear points) would collapse the area
+    estimate and hence the cell size, and downstream witness-region
+    replication is quadratic in (region / cell) — measured as an
+    apparent hang on a 2-point Gabriel probe (one unit edge replicated
+    to ~5·10⁵ cells).  span/√(n/per_cell) equals the area formula for
+    square extents and stays ≥ span/√n otherwise."""
     n, x0, x1, y0, y1 = _bbox_count(points)
-    area = max((x1 - x0), 1e-9) * max((y1 - y0), 1e-9)
-    return float(np.sqrt(area * per_cell / max(n, 1)))
+    span = max(x1 - x0, y1 - y0, 1e-9)
+    n_cells = max(n / per_cell, 1.0)
+    return float(span / np.sqrt(n_cells))
 
 
 # ------------------------------------------------------------------ fixed radius

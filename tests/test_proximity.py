@@ -189,3 +189,26 @@ def test_strategies_agree(pts):
     ka = _sorted(knn_graph(ds, 4, strategy="exchange").to_pandas())
     kb = _sorted(knn_graph(ds, 4, strategy="groupby").to_pandas())
     pd.testing.assert_frame_equal(ka, kb)
+
+
+def test_edge_cases_small_inputs():
+    """Reference edge-case parity (tests/test_proximity.py:163,485,492):
+    two-point Gabriel/RNG keep the single edge; single-point and k=0
+    kNN return empty; single-point radius returns empty.  The 2-point
+    case also guards the span-based _auto_cell_size (a degenerate
+    bbox-area estimate once replicated one edge to ~5e5 witness
+    cells)."""
+    import ray.data as rd
+
+    from city2graph_ray.ops.proximity import (fixed_radius_graph,
+                                              gabriel_graph, knn_graph,
+                                              relative_neighborhood_graph)
+    one = rd.from_pandas(pd.DataFrame(
+        {"id": [0], "x": [0.0], "y": [0.0]}))
+    two = rd.from_pandas(pd.DataFrame(
+        {"id": [0, 1], "x": [0.0, 1.0], "y": [0.0, 0.0]}))
+    assert knn_graph(one, 3).count() == 0
+    assert knn_graph(two, 0).count() == 0
+    assert fixed_radius_graph(one, 1.0).count() == 0
+    assert gabriel_graph(two).count() == 1
+    assert relative_neighborhood_graph(two).count() == 1
