@@ -70,6 +70,10 @@ def expand_halo(
 def _bbox_count(points: ray.data.Dataset) -> tuple[int, float, float, float, float]:
     from ray.data.aggregate import Count, Max, Min
     row = points.aggregate(Count(), Min("x"), Max("x"), Min("y"), Max("y"))
+    if not row["count()"]:
+        # empty input: Min/Max aggregate to None — zero bbox keeps
+        # downstream arithmetic finite and the pipelines empty-safe
+        return (0, 0.0, 0.0, 0.0, 0.0)
     return (row["count()"], row["min(x)"], row["max(x)"], row["min(y)"], row["max(y)"])
 
 

@@ -244,6 +244,14 @@ def _pairs_with_texts(cand: ray.data.Dataset, docs: ray.data.Dataset,
     from city2graph_ray.joins import bucketed_join
     import pyarrow as pa
 
+    if cand.schema(fetch_if_missing=True) is None:
+        # zero candidates (tiny corpus / no LSH collisions): Ray drops
+        # the schema of all-empty datasets, which the join rejects —
+        # substitute a typed empty pair stream
+        cand = ray.data.from_pandas(pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64),
+             "b": pd.Series(dtype=np.int64)}))
+
     def side(pair_col: str, out_text: str):
         def fn(t: pa.Table) -> pa.Table:
             return t.select([id_col, text_col]).rename_columns(
@@ -511,6 +519,12 @@ def _clusters_from_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
     comp = comp.map_batches(
         lambda t: t.rename_columns([id_col, "cluster_id"]),
         batch_format="pyarrow")
+    if comp.schema(fetch_if_missing=True) is None:
+        # no near-dup pairs at all → every doc is its own cluster;
+        # all-empty datasets lose their schema, which the join rejects
+        comp = ray.data.from_pandas(pd.DataFrame(
+            {id_col: pd.Series(dtype=np.int64),
+             "cluster_id": pd.Series(dtype=np.int64)}))
     joined = bucketed_join(ids, comp, on=id_col, how="left")
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
