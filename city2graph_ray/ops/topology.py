@@ -287,6 +287,12 @@ def connected_components(edges: ray.data.Dataset, max_iters: int = 50) -> ray.da
     e = shuffle.distinct(
         edges.map_batches(canon, batch_format="pandas"), ["u", "v"])
     e = e.materialize()
+    if e.count() == 0:
+        # no (non-self) edges: empty component table (all-empty pandas
+        # blocks lose their columns, so build it typed)
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node_id": pd.Series(dtype=np.int64),
+             "component": pd.Series(dtype=np.int64)}))
 
     def edge_checksum(ds: ray.data.Dataset) -> tuple[int, int]:
         def part(b: pd.DataFrame) -> pd.DataFrame:

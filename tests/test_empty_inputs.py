@@ -48,3 +48,11 @@ def test_misc_tiny_inputs():
     e1 = _pts(src=np.array([0], dtype=np.int64),
               dst=np.array([1], dtype=np.int64))
     assert pagerank(e1, num_iters=2).count() == 2
+
+
+def test_connected_components_empty_edges():
+    from city2graph_ray.ops.topology import connected_components
+    empty = rd.from_pandas(pd.DataFrame(
+        {"src": pd.Series(dtype=np.int64),
+         "dst": pd.Series(dtype=np.int64)}))
+    assert connected_components(empty).count() == 0
