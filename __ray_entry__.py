@@ -899,6 +899,17 @@ def _doc_curation(sf_dir: str):
     return curate_documents(docs, blocked_ids=blocked)
 
 
+def _event_user_hll(sf_dir: str):
+    """Approximate distinct users per event_type via HyperLogLog
+    (p=12, ≈1.6% std err).  Deterministic but estimator-specific, so
+    no SQL oracle — accuracy + layout-determinism proven in
+    tests/test_sketch.py; the exact twin is `event_user_counts`."""
+    from city2graph_ray.ops.sketch import hll_count_distinct
+    from city2graph_ray.pipelines.tables import events
+
+    return hll_count_distinct(events(sf_dir), ["event_type"], "user_id")
+
+
 def _tpch_q5_region(sf_dir: str):
     """Q5-style revenue-by-nation rollup for one region: broadcast dim
     join + two bucketed big joins + keyed sum."""
@@ -1042,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": _media_features,
         "media_frame_sample": _media_frames,
         "tpch_q5_region": _tpch_q5_region,
+        "event_user_hll": _event_user_hll,
     }
 
 

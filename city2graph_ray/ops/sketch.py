@@ -1,0 +1,124 @@
+"""Mergeable sketches for approximate analytics at corpus scale.
+
+HyperLogLog count-distinct: the canonical 100-TB primitive when exact
+``count_distinct`` (one shuffle of every distinct (key, value) pair)
+is too expensive.  Per-batch partial register arrays are elementwise-
+max-merged through ONE keyed shuffle of fixed-size byte blobs — bytes
+moved ∝ groups × 2^precision, independent of row count.  The estimate
+is deterministic (splitmix64 value hash, associative max merge), so
+results are reproducible across block layouts — tested, along with the
+standard error bound (≈1.04/√m), in tests/test_sketch.py.
+
+Public algorithm (Flajolet et al. 2007; bias constants from the
+paper); no reference counterpart — engine-added.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from city2graph_ray import shuffle
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _hash_values(vals: pd.Series) -> np.ndarray:
+    if np.issubdtype(vals.dtype, np.integer):
+        return _splitmix64(vals.to_numpy(np.uint64))
+    # strings/objects: factorize once per batch, hash the uniques
+    codes, uniq = pd.factorize(vals)
+    uh = _splitmix64(pd.util.hash_array(np.asarray(uniq, dtype=object))
+                     .astype(np.uint64))
+    return uh[codes]
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _estimate(reg: np.ndarray) -> float:
+    m = len(reg)
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(reg == 0))
+        if zeros:
+            return m * np.log(m / zeros)  # linear counting
+    return est
+
+
+def hll_count_distinct(ds: ray.data.Dataset, keys: Sequence[str],
+                       value_col: str, precision: int = 12,
+                       num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                       ) -> ray.data.Dataset:
+    """Approximate ``COUNT(DISTINCT value_col)`` per key group.
+
+    Output (keys..., approx_distinct:int64).  Relative error
+    ≈ 1.04/√(2^precision) (1.6% at the default p=12; 4 KiB of
+    registers per group in flight)."""
+    keys = list(keys)
+    m = 1 << precision
+    shift = np.uint64(64 - precision)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_values(batch[value_col])
+        idx = (h >> shift).astype(np.int64)
+        rest = h << np.uint64(precision)
+        # rho = leading zero count of `rest` + 1 (capped at 64-p+1);
+        # vectorized via float64 exponent extraction is unsafe past 2^53,
+        # so use a bit-length ladder
+        rho = np.full(len(h), np.uint8(64 - precision + 1))
+        nz = rest != 0
+        bl = np.zeros(len(h), dtype=np.int64)
+        r = rest[nz]
+        acc = np.zeros(r.shape, dtype=np.int64)
+        for s in (32, 16, 8, 4, 2, 1):
+            big = r >= (np.uint64(1) << np.uint64(s))
+            acc[big] += s
+            r = np.where(big, r >> np.uint64(s), r)
+        bl[nz] = acc + 1
+        rho[nz] = (64 - bl[nz] + 1).astype(np.uint8)
+
+        gcodes, guniq = pd.factorize(
+            pd.Series(list(zip(*(batch[k] for k in keys))))
+            if len(keys) > 1 else batch[keys[0]])
+        flat = gcodes.astype(np.int64) * m + idx
+        regs = np.zeros(len(guniq) * m, dtype=np.uint8)
+        np.maximum.at(regs, flat, rho)
+        regs = regs.reshape(len(guniq), m)
+        if len(keys) > 1:
+            kf = pd.DataFrame(list(guniq), columns=keys)
+        else:
+            kf = pd.DataFrame({keys[0]: guniq})
+        kf["__reg"] = [r.tobytes() for r in regs]
+        return kf
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for kv, sub in g.groupby(keys, sort=False):
+            reg = np.zeros(m, dtype=np.uint8)
+            for b in sub["__reg"]:
+                np.maximum(reg, np.frombuffer(b, dtype=np.uint8), out=reg)
+            row = dict(zip(keys, kv if isinstance(kv, tuple) else (kv,)))
+            row["approx_distinct"] = np.int64(round(_estimate(reg)))
+            out.append(row)
+        return pd.DataFrame(out)
+
+    return shuffle.grouped_transform(partials, keys, merge,
+                                     num_buckets=num_buckets)

@@ -1,0 +1,47 @@
+"""HyperLogLog: error bound vs exact, determinism across block layouts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _data(n=20000, groups=4, card=3000, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "g": rng.integers(0, groups, n).astype(np.int64),
+        "v": rng.integers(0, card, n).astype(np.int64)})
+
+
+def test_hll_error_bound():
+    from city2graph_ray.ops.sketch import hll_count_distinct
+    df = _data()
+    out = (hll_count_distinct(rd.from_pandas(df), ["g"], "v",
+                              precision=12).to_pandas()
+           .set_index("g")["approx_distinct"])
+    exact = df.groupby("g")["v"].nunique()
+    for g in exact.index:
+        rel = abs(out[g] - exact[g]) / exact[g]
+        assert rel < 0.05, (g, out[g], exact[g])  # 3× the 1.6% std err
+
+
+def test_hll_deterministic_across_layouts():
+    from city2graph_ray.ops.sketch import hll_count_distinct
+    df = _data()
+    a = (hll_count_distinct(rd.from_pandas(df).repartition(2),
+                            ["g"], "v").to_pandas()
+         .sort_values("g").reset_index(drop=True))
+    b = (hll_count_distinct(rd.from_pandas(df).repartition(13),
+                            ["g"], "v").to_pandas()
+         .sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hll_string_values_and_small_range():
+    from city2graph_ray.ops.sketch import hll_count_distinct
+    df = pd.DataFrame({"g": np.zeros(100, dtype=np.int64),
+                       "v": [f"user_{i % 7}" for i in range(100)]})
+    out = hll_count_distinct(rd.from_pandas(df), ["g"], "v").to_pandas()
+    # linear-counting regime: tiny cardinalities are near-exact
+    assert int(out["approx_distinct"].iloc[0]) == 7
