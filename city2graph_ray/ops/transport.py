@@ -92,20 +92,29 @@ def leg_summary(events: ray.data.Dataset, round_to: int = 4) -> ray.data.Dataset
 
 # ------------------------------------------------------------------ GTFS proper
 
-def time_to_seconds(t: str | None) -> float:
+def time_to_seconds(t, strict: bool = False) -> float:
     """GTFS HH:MM:SS (possibly > 24h) → seconds
-    (reference transportation.py:428-471); blank/invalid → NaN."""
+    (reference transportation.py:428-471).  Numeric input passes
+    through and ``None`` is 0.0, as the reference; invalid strings
+    raise in ``strict`` mode (reference behavior) or return NaN (the
+    streaming default — a bad row must not kill a 100-TB pipeline,
+    the validate stage surfaces the count instead)."""
     if t is None:
-        return np.nan
+        return 0.0
+    if isinstance(t, (int, float)) and not isinstance(t, bool):
+        return float(t)
     t = str(t).strip()
-    if not t or t.lower() == "nan":
-        return np.nan
     parts = t.split(":")
-    if len(parts) != 3:
-        return np.nan
-    try:
-        h, m, s = int(parts[0]), int(parts[1]), int(parts[2])
-    except ValueError:
+    bad = len(parts) != 3
+    h = m = s = 0
+    if not bad:
+        try:
+            h, m, s = int(parts[0]), int(parts[1]), int(parts[2])
+        except ValueError:
+            bad = True
+    if bad:
+        if strict:
+            raise ValueError(f"Expected HH:MM:SS time string, got {t!r}")
         return np.nan
     return float(h * 3600 + m * 60 + s)
 

@@ -24,7 +24,7 @@ def test_time_to_seconds():
     assert np.isnan(time_to_seconds(""))
     assert np.isnan(time_to_seconds("nan"))
     assert np.isnan(time_to_seconds("8:30"))
-    assert np.isnan(time_to_seconds(None))
+    assert time_to_seconds(None) == 0.0  # reference: None → 0.0
 
 
 @pytest.fixture(scope="module")
@@ -200,3 +200,21 @@ def test_load_overture_local_mode(tmp_path):
     assert out["segment"].count() == 2
     with pytest.raises(NotImplementedError):
         load_overture_data(types=["segment"])
+
+
+def test_time_to_seconds_reference_parity():
+    """Reference _time_to_seconds semantics
+    (tests/test_transportation.py:81-107): float pass-through, None →
+    0.0, HH:MM:SS incl. extended hours, invalid strings raise in
+    strict mode / NaN in streaming mode."""
+    import pytest
+
+    from city2graph_ray.ops.transport import time_to_seconds
+    assert time_to_seconds(3600.0) == 3600.0
+    assert time_to_seconds(None) == 0.0
+    assert time_to_seconds("08:30:00") == 30600.0
+    assert time_to_seconds("25:30:00") == 91800.0
+    for bad in ("3600.0", "", "nan", "None"):
+        assert np.isnan(time_to_seconds(bad))
+        with pytest.raises(ValueError, match="Expected HH:MM:SS"):
+            time_to_seconds(bad, strict=True)
