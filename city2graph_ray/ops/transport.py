@@ -151,6 +151,13 @@ def expand_service_days(calendar: pd.DataFrame,
             key = active["service_id"].astype(str) + "|" + active["date"]
             rkey = set(removes["service_id"] + "|" + removes["date"])
             active = active[~key.isin(rkey)]
+    # calendar_dates ADD exceptions must not escape the requested
+    # window (reference bounds the final date set, not just the
+    # weekday expansion)
+    if start:
+        active = active[active["date"] >= pd.Timestamp(start).strftime("%Y%m%d")]
+    if end:
+        active = active[active["date"] <= pd.Timestamp(end).strftime("%Y%m%d")]
     return active.reset_index(drop=True)
 
 
@@ -278,11 +285,19 @@ def travel_summary_graph(
 def get_od_pairs(stop_times: ray.data.Dataset, trips: pd.DataFrame,
                  calendar: pd.DataFrame,
                  calendar_dates: pd.DataFrame | None = None,
+                 start_date: str | None = None,
+                 end_date: str | None = None,
                  ) -> ray.data.Dataset:
     """Per-trip consecutive stop pairs × active service dates
-    (reference transportation.py:717-875): output (trip_id, date,
-    from_stop_id, to_stop_id, travel_time_sec)."""
-    active = expand_service_days(calendar, calendar_dates)
+    (reference transportation.py:717-875): output (trip_id,
+    service_id, date, orig_stop_id, dest_stop_id, departure_ts,
+    arrival_ts, travel_time_sec) — the reference's column set minus
+    the geopandas geometry (stop x/y live on the stops table here).
+    ``start_date``/``end_date`` (YYYYMMDD) bound the expanded service
+    calendar as in the reference; legacy aliases from_stop_id /
+    to_stop_id are kept for composition with older pipelines."""
+    active = expand_service_days(calendar, calendar_dates,
+                                 start_date, end_date)
     svc_dates = active.groupby("service_id")["date"].apply(list).to_dict()
     trip_svc = dict(zip(trips["trip_id"], trips["service_id"]))
 
@@ -294,17 +309,31 @@ def get_od_pairs(stop_times: ray.data.Dataset, trips: pd.DataFrame,
         dep = g["departure_time"].map(time_to_seconds).to_numpy()
         stops = g["stop_id"].to_numpy()
         trip = g["trip_id"].iloc[0] if len(g) else None
-        dates = svc_dates.get(trip_svc.get(trip), [])
+        svc = trip_svc.get(trip)
+        dates = svc_dates.get(svc, [])
         rows = []
         for i in range(len(g) - 1):
             tt = arr[i + 1] - dep[i]
             if np.isnan(tt):
                 continue
             for d in dates:
-                rows.append((trip, d, stops[i], stops[i + 1], tt))
-        cols = ["trip_id", "date", "from_stop_id", "to_stop_id", "travel_time_sec"]
-        return (pd.DataFrame(rows, columns=cols) if rows
-                else pd.DataFrame({c: pd.Series(dtype=(np.float64 if c == "travel_time_sec" else str))
-                                   for c in cols}))
+                base = pd.Timestamp(f"{d[:4]}-{d[4:6]}-{d[6:8]}")
+                rows.append((trip, svc, d, stops[i], stops[i + 1],
+                             base + pd.Timedelta(seconds=float(dep[i])),
+                             base + pd.Timedelta(seconds=float(arr[i + 1])),
+                             tt))
+        cols = ["trip_id", "service_id", "date", "orig_stop_id",
+                "dest_stop_id", "departure_ts", "arrival_ts",
+                "travel_time_sec"]
+        if rows:
+            out = pd.DataFrame(rows, columns=cols)
+        else:
+            out = pd.DataFrame({c: pd.Series(
+                dtype=("datetime64[ns]" if c.endswith("_ts")
+                       else np.float64 if c == "travel_time_sec" else str))
+                for c in cols})
+        out["from_stop_id"] = out["orig_stop_id"]
+        out["to_stop_id"] = out["dest_stop_id"]
+        return out
 
     return stop_times.groupby("trip_id").map_groups(legs, batch_format="pandas")

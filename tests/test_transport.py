@@ -114,8 +114,29 @@ def test_get_od_pairs(gtfs):
                       calendar_dates).to_pandas()
     # t1: 2 legs × 11 dates; t2: 1 valid leg × 11; t3: 1 leg × 3 dates
     assert len(od) == 2 * 11 + 11 + 3
-    assert set(od.columns) == {"trip_id", "date", "from_stop_id",
-                               "to_stop_id", "travel_time_sec"}
+    assert {"trip_id", "service_id", "date", "orig_stop_id",
+            "dest_stop_id", "departure_ts", "arrival_ts",
+            "travel_time_sec", "from_stop_id",
+            "to_stop_id"} <= set(od.columns)
+    # reference parity: timestamps = service date + GTFS seconds
+    r0 = od.sort_values(["trip_id", "date",
+                         "departure_ts"]).iloc[0]
+    assert r0["departure_ts"].date().strftime("%Y%m%d") == r0["date"]
+    assert (r0["arrival_ts"] - r0["departure_ts"]).total_seconds() \
+        == r0["travel_time_sec"]
+
+
+def test_get_od_pairs_date_range(gtfs):
+    """start_date/end_date bound the expanded calendar (reference
+    tests/test_transportation.py:217-224)."""
+    calendar, calendar_dates, trips, stop_times, _ = gtfs
+    od = get_od_pairs(rd.from_pandas(stop_times), trips, calendar,
+                      calendar_dates, start_date="20240101",
+                      end_date="20240102").to_pandas()
+    assert len(od) > 0
+    assert od["date"].min() >= "20240101"
+    assert od["date"].max() <= "20240102"
+
 
 
 def test_gtfs_one_call_facade(gtfs, tmp_path):
