@@ -73,8 +73,20 @@ def od_graph(
 
 def adjacency_to_edgelist(matrix: np.ndarray, zone_ids: list) -> pd.DataFrame:
     """Square adjacency (+ndarray) form → edgelist melt
-    (reference mobility.py adjacency path); zeros dropped."""
+    (reference mobility.py adjacency path); zeros dropped.  NaNs are
+    treated as 0 and negatives kept, each with a warning — the
+    reference's documented data-quality policy (mobility.py:542-568)."""
+    import warnings
+
     m = np.asarray(matrix, np.float64)
+    n_nans = int(np.isnan(m).sum())
+    if n_nans:
+        warnings.warn(f"Adjacency contains {n_nans} NaN values; "
+                      "treating as 0", stacklevel=2)
+        m = np.nan_to_num(m, nan=0.0)
+    if (m < 0).any():
+        warnings.warn("Adjacency contains negative weights; keeping "
+                      "values", stacklevel=2)
     ii, jj = np.nonzero(m)
     ids = np.asarray(zone_ids)
     return pd.DataFrame({"source": ids[ii], "target": ids[jj],

@@ -286,3 +286,25 @@ def test_media_stages():
         batch_size=1).to_pandas()
     assert (frames[frames["media_id"] == 1]["frame_idx"].tolist()
             == [0, 2, 4])  # 100//16 = 6 frames, every 2nd
+
+
+def test_adjacency_nan_negative_policy():
+    """Reference mobility data-quality policy (mobility.py:542-568 and
+    tests/test_mobility.py:292): NaN → 0 with a warning, negatives
+    kept with a warning; undirected self-loops survive when kept."""
+    import warnings
+
+    from city2graph_ray.ops.mobility import adjacency_to_edgelist, od_graph
+    m = np.array([[1.0, np.nan], [-2.0, 3.0]])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        el = adjacency_to_edgelist(m, ["a", "b"])
+    assert len(w) == 2
+    assert sorted(el["weight"]) == [-2.0, 1.0, 3.0]  # NaN cell dropped as 0
+
+    flows = pd.DataFrame({"source": [1, 1], "target": [1, 2],
+                          "weight": [5.0, 1.0]})
+    out = od_graph(rd.from_pandas(flows), undirected=True,
+                   keep_self_loops=True).to_pandas()
+    loop = out[(out["source"] == 1) & (out["target"] == 1)]
+    assert len(loop) == 1 and loop["weight"].iloc[0] == 5.0
