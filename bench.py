@@ -198,6 +198,29 @@ def main():
     print(json.dumps(result))
 
 
+def stats():
+    """Print Ray Data per-operator stats for the two heaviest stages
+    (kNN, fixed-radius) — the `ds.stats()` evidence loop: wall time
+    should be dominated by the cell-kernel map/reduce compute, not by
+    scheduling or block transfer."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from city2graph_ray.ops.proximity import fixed_radius_graph, knn_graph
+
+    warmup(NUM_CPUS)
+    pts = lineitem_points(SF_DIR, 4).repartition(NUM_CPUS).materialize()
+    for name, build in [("knn", lambda: knn_graph(pts, 8)),
+                        ("fixed_radius", lambda: fixed_radius_graph(pts, 2.0))]:
+        ds = build().materialize()
+        print(f"===== {name} =====")
+        print(ds.stats())
+    ray.shutdown()
+
+
 def scaling():
     def run(ncpu: int) -> dict:
         # the scaling comparison sizes EACH stage's input so it is
@@ -258,5 +281,7 @@ def scaling():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--stats" in sys.argv:
+        stats()
     else:
         main()
