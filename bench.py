@@ -259,8 +259,10 @@ def scaling():
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    load_before = os.getloadavg()
     r_lo = run(lo)
     r_hi = run(hi)
+    load_after = os.getloadavg()
     thr_lo = r_lo["edge_rows"] / sum(r_lo["queries"][s] for s in
                                      ["knn", "fixed_radius", "contiguity_queen",
                                       "pip_group_nodes"])
@@ -274,6 +276,11 @@ def scaling():
         "edge_rows_per_sec_lo": round(thr_lo, 1),
         "edge_rows_per_sec_hi": round(thr_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        # external-tenant load on this shared host distorts single
+        # runs by >3× (measured 0.235–0.829 on identical configs);
+        # a run is trustworthy only when these stay near zero
+        "host_load_1m_before": round(load_before[0], 2),
+        "host_load_1m_after": round(load_after[0], 2),
         "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
     }))
 
