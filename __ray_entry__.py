@@ -910,6 +910,24 @@ def _event_user_hll(sf_dir: str):
     return hll_count_distinct(events(sf_dir), ["event_type"], "user_id")
 
 
+def _token_heavy_hitters(sf_dir: str):
+    """Approximate top-20 corpus tokens via Count-Min sketch + per-block
+    candidates (fixed-size counter merge, no token shuffle).  CM counts
+    upper-bound truth so no SQL hash oracle; exactness of the ranking
+    and the ≤2% overcount bound are proven in tests/test_sketch.py;
+    exact twin: `doc_token_topk`."""
+    from city2graph_ray.ops.sketch import count_min_heavy_hitters
+    from city2graph_ray.pipelines.tables import documents
+
+    docs = documents(sf_dir)
+    toks = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {"token": b["text"].str.split(" ").explode().to_numpy(
+                dtype=object)}),
+        batch_format="pandas")
+    return count_min_heavy_hitters(toks, "token", k=20)
+
+
 def _tpch_q5_region(sf_dir: str):
     """Q5-style revenue-by-nation rollup for one region: broadcast dim
     join + two bucketed big joins + keyed sum."""
@@ -1054,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": _media_frames,
         "tpch_q5_region": _tpch_q5_region,
         "event_user_hll": _event_user_hll,
+        "doc_token_heavy_hitters": _token_heavy_hitters,
     }
 
 

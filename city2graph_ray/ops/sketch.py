@@ -61,6 +61,58 @@ def _estimate(reg: np.ndarray) -> float:
     return est
 
 
+def count_min_heavy_hitters(ds: ray.data.Dataset, value_col: str,
+                            k: int = 20, width: int = 1 << 14,
+                            depth: int = 4,
+                            ) -> pd.DataFrame:
+    """Approximate top-``k`` heavy hitters via a Count-Min sketch
+    (Cormode & Muthukrishnan 2005) + per-block candidate tracking.
+
+    One streaming pass: each block emits its (width × depth) counter
+    partial plus its own local top-3k candidate set; the driver sums
+    the fixed-size counter arrays (bytes ∝ blocks × width·depth·8,
+    independent of rows) and scores the union of candidates against
+    the merged sketch (CM estimate = min over rows, an upper bound
+    that is exact for true heavy hitters w.h.p.).  Deterministic
+    (splitmix64 row hashes).  Output: pandas (value, approx_count)
+    sorted desc — driver-sized (k rows)."""
+    seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(
+        0xA24BAED4963EE407)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_values(batch[value_col])
+        cm = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            idx = ((h ^ seeds[d]) * np.uint64(0x9FB21C651E98DF25)
+                   >> np.uint64(40)) % np.uint64(width)
+            np.add.at(cm[d], idx.astype(np.int64), 1)
+        vc = batch[value_col].value_counts().head(3 * k)
+        return pd.DataFrame({
+            "cm": [cm.tobytes()],
+            "cand": [list(vc.index)]})  # original dtype: rescoring
+                                        # must hash identically
+
+    cm = np.zeros((depth, width), dtype=np.int64)
+    cands: set[str] = set()
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_size=None, batch_format="pandas"):
+        for blob, cand in zip(b["cm"], b["cand"]):
+            cm += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+            cands.update(cand)
+
+    cand_arr = pd.Series(sorted(cands))
+    h = _hash_values(cand_arr)
+    est = np.full(len(cand_arr), np.iinfo(np.int64).max)
+    for d in range(depth):
+        idx = ((h ^ seeds[d]) * np.uint64(0x9FB21C651E98DF25)
+               >> np.uint64(40)) % np.uint64(width)
+        est = np.minimum(est, cm[d, idx.astype(np.int64)])
+    out = pd.DataFrame({"value": cand_arr, "approx_count": est})
+    return (out.sort_values(["approx_count", "value"],
+                            ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
 def hll_count_distinct(ds: ray.data.Dataset, keys: Sequence[str],
                        value_col: str, precision: int = 12,
                        num_buckets: int = shuffle.DEFAULT_BUCKETS,

@@ -45,3 +45,23 @@ def test_hll_string_values_and_small_range():
     out = hll_count_distinct(rd.from_pandas(df), ["g"], "v").to_pandas()
     # linear-counting regime: tiny cardinalities are near-exact
     assert int(out["approx_distinct"].iloc[0]) == 7
+
+
+def test_count_min_heavy_hitters():
+    """CM top-k matches the exact top-k on a zipf-ish corpus and is
+    deterministic across block layouts; estimates upper-bound truth."""
+    from city2graph_ray.ops.sketch import count_min_heavy_hitters
+    rng = np.random.default_rng(9)
+    vals = rng.zipf(1.5, 30000)
+    vals = vals[vals < 1000].astype(np.int64)
+    df = pd.DataFrame({"v": vals})
+    out = count_min_heavy_hitters(rd.from_pandas(df).repartition(7),
+                                  "v", k=10)
+    exact = df["v"].value_counts()
+    assert list(out["value"].astype(int)) == list(exact.head(10).index)
+    for _, r in out.iterrows():
+        true = int(exact[int(r["value"])])
+        assert true <= r["approx_count"] <= true * 1.02
+    out2 = count_min_heavy_hitters(rd.from_pandas(df).repartition(3),
+                                   "v", k=10)
+    pd.testing.assert_frame_equal(out, out2)
