@@ -110,6 +110,8 @@ def warmup(ncpu: int):
 def run_suite(sf_dir: str) -> dict:
     import ray
 
+    load_before = os.getloadavg()
+
     from city2graph_ray.ops.proximity import (contiguity_graph,
                                               fixed_radius_graph, group_nodes,
                                               knn_graph)
@@ -182,6 +184,12 @@ def run_suite(sf_dir: str) -> dict:
         "num_cpus": NUM_CPUS,
         "edge_rows": int(edge_rows),
         "edge_rows_per_sec": round(edge_rows / spatial_sec, 1) if spatial_sec else None,
+        # external-tenant load on this shared host distorts runs by
+        # >3x (BASELINE.md); a run is trustworthy only when these stay
+        # near zero.  reps = best-of-N provenance.
+        "host_load_1m_before": round(load_before[0], 2),
+        "host_load_1m_after": round(os.getloadavg()[0], 2),
+        "bench_reps": reps,
     }
 
 

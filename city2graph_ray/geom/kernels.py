@@ -98,6 +98,50 @@ def polygon_area_centroid(coords: np.ndarray) -> tuple[float, float, float]:
     return a2 * 0.5, float(cx), float(cy)
 
 
+def polygon_area_centroids(values: np.ndarray, offsets: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(signed_area, cx, cy) per ragged exterior ring — the vectorized
+    batch form of :func:`polygon_area_centroid` (same shoelace edge
+    order, closed-or-open rings both handled: the duplicated closing
+    vertex contributes a zero-cross edge).  Degenerate rings (shoelace
+    area 0 or <3 points) get NaN centroids — callers route those few
+    rows through the scalar fallback."""
+    v = np.asarray(values, np.float64)
+    xs, ys = v[0::2], v[1::2]
+    starts_pt = (offsets[:-1] // 2).astype(np.int64)
+    npts = (np.diff(offsets) // 2).astype(np.int64)
+    ends = starts_pt + npts
+    hi = np.maximum(ends - 1, starts_pt)
+    cross = xs[:-1] * ys[1:] - xs[1:] * ys[:-1]
+    wx = (xs[:-1] + xs[1:]) * cross
+    wy = (ys[:-1] + ys[1:]) * cross
+    bogus = starts_pt[1:] - 1  # inter-row edges
+    if len(bogus):
+        cross = cross.copy(); cross[bogus] = 0.0
+        wx = wx.copy(); wx[bogus] = 0.0
+        wy = wy.copy(); wy[bogus] = 0.0
+    ccs = np.concatenate(([0.0], np.cumsum(cross)))
+    cwx = np.concatenate(([0.0], np.cumsum(wx)))
+    cwy = np.concatenate(([0.0], np.cumsum(wy)))
+    a2 = ccs[hi] - ccs[starts_pt]
+    sx = cwx[hi] - cwx[starts_pt]
+    sy = cwy[hi] - cwy[starts_pt]
+    # closing edge last→first (zero when the ring repeats its first pt)
+    lx, ly = xs[hi], ys[hi]
+    fx, fy = xs[starts_pt], ys[starts_pt]
+    cc = lx * fy - fx * ly
+    a2 = a2 + cc
+    sx = sx + (lx + fx) * cc
+    sy = sy + (ly + fy) * cc
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx = sx / (3.0 * a2)
+        cy = sy / (3.0 * a2)
+    bad = (a2 == 0.0) | (npts < 3)
+    cx = np.where(bad, np.nan, cx)
+    cy = np.where(bad, np.nan, cy)
+    return a2 * 0.5, cx, cy
+
+
 def polygon_areas(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """|shoelace| area per ragged exterior ring (vectorized)."""
     v = np.asarray(values, np.float64)

@@ -206,16 +206,24 @@ def asof_join(
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = _denull(g[g["__side"] == 0][lcols], lcols)
+        # ron must stay integer here when the left key is integer:
+        # merge_asof requires identical key dtypes (int64 time columns
+        # crashed with MergeError when ron was pre-floated)
         r = _denull(g[g["__side"] == 1][[*by, *rval]], [*by, *rval],
-                    to_float=rval)
+                    to_float=[c for c in rval if c != ron])
+        if (l[on].dtype != r[ron].dtype
+                and pd.api.types.is_numeric_dtype(l[on])
+                and pd.api.types.is_numeric_dtype(r[ron])):
+            l[on] = l[on].astype(np.float64)
+            r[ron] = r[ron].astype(np.float64)
         l = l.sort_values(on, kind="stable")
         r = r.sort_values(ron, kind="stable")
         out = pd.merge_asof(l, r, left_on=on, right_on=ron,
                             by=by or None, direction=direction,
                             tolerance=tolerance, allow_exact_matches=True)
         out = out[out_cols]
-        for c in rval:  # stable schema on unmatched rows
-            if c != ron and pd.api.types.is_numeric_dtype(out[c]):
+        for c in rval:  # stable schema on unmatched rows (incl. ron)
+            if pd.api.types.is_numeric_dtype(out[c]):
                 out[c] = out[c].astype(np.float64)
         return out
 

@@ -61,55 +61,71 @@ def _estimate(reg: np.ndarray) -> float:
     return est
 
 
+def _cm_rows(h: np.ndarray, seeds: np.ndarray, width: int) -> list:
+    return [((h ^ s) * np.uint64(0x9FB21C651E98DF25)
+             >> np.uint64(40)) % np.uint64(width) for s in seeds]
+
+
 def count_min_heavy_hitters(ds: ray.data.Dataset, value_col: str,
                             k: int = 20, width: int = 1 << 14,
                             depth: int = 4,
                             ) -> pd.DataFrame:
     """Approximate top-``k`` heavy hitters via a Count-Min sketch
-    (Cormode & Muthukrishnan 2005) + per-block candidate tracking.
+    (Cormode & Muthukrishnan 2005), two streaming passes.
 
-    One streaming pass: each block emits its (width × depth) counter
-    partial plus its own local top-3k candidate set; the driver sums
-    the fixed-size counter arrays (bytes ∝ blocks × width·depth·8,
-    independent of rows) and scores the union of candidates against
-    the merged sketch (CM estimate = min over rows, an upper bound
-    that is exact for true heavy hitters w.h.p.).  Deterministic
-    (splitmix64 row hashes).  Output: pandas (value, approx_count)
-    sorted desc — driver-sized (k rows)."""
+    Pass 1: each block emits its (depth × width) counter partial; the
+    driver sums the fixed-size arrays (bytes ∝ blocks × depth·width·8,
+    independent of rows — an associative, layout-independent merge).
+    Pass 2: the merged sketch is broadcast (``ray.put`` once) and each
+    block scores its DISTINCT values against it, emitting its local
+    top-k by (estimate desc, value asc).  Because a value's CM
+    estimate is a pure function of the merged sketch, a global top-k
+    value can be outranked by at most k-1 values inside any block that
+    contains it, so it always survives its block's local top-k — the
+    driver-side merge of ≤ blocks×k rows is therefore EXACT top-k by
+    CM estimate, independent of block layout (the one-pass local
+    value_counts candidate scheme this replaces could miss a heavy
+    hitter spread thinly across many blocks).  CM estimates
+    upper-bound true counts and are exact for heavy hitters w.h.p.
+    Output: pandas (value, approx_count) sorted desc — k rows."""
+    import ray
+
     seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(
         0xA24BAED4963EE407)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         h = _hash_values(batch[value_col])
         cm = np.zeros((depth, width), dtype=np.int64)
-        for d in range(depth):
-            idx = ((h ^ seeds[d]) * np.uint64(0x9FB21C651E98DF25)
-                   >> np.uint64(40)) % np.uint64(width)
+        for d, idx in enumerate(_cm_rows(h, seeds, width)):
             np.add.at(cm[d], idx.astype(np.int64), 1)
-        vc = batch[value_col].value_counts().head(3 * k)
-        return pd.DataFrame({
-            "cm": [cm.tobytes()],
-            "cand": [list(vc.index)]})  # original dtype: rescoring
-                                        # must hash identically
+        return pd.DataFrame({"cm": [cm.tobytes()]})
 
     cm = np.zeros((depth, width), dtype=np.int64)
-    cands: set[str] = set()
     for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
             batch_size=None, batch_format="pandas"):
-        for blob, cand in zip(b["cm"], b["cand"]):
+        for blob in b["cm"]:
             cm += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
-            cands.update(cand)
 
-    cand_arr = pd.Series(sorted(cands))
-    h = _hash_values(cand_arr)
-    est = np.full(len(cand_arr), np.iinfo(np.int64).max)
-    for d in range(depth):
-        idx = ((h ^ seeds[d]) * np.uint64(0x9FB21C651E98DF25)
-               >> np.uint64(40)) % np.uint64(width)
-        est = np.minimum(est, cm[d, idx.astype(np.int64)])
-    out = pd.DataFrame({"value": cand_arr, "approx_count": est})
-    return (out.sort_values(["approx_count", "value"],
-                            ascending=[False, True])
+    cm_ref = ray.put(cm)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        cmv = ray.get(cm_ref)  # zero-copy plasma read
+        uniq = batch[value_col].drop_duplicates().reset_index(drop=True)
+        if len(uniq) == 0:
+            return pd.DataFrame({"value": uniq, "approx_count":
+                                 pd.Series(dtype=np.int64)})
+        h = _hash_values(uniq)
+        est = np.full(len(uniq), np.iinfo(np.int64).max)
+        for d, idx in enumerate(_cm_rows(h, seeds, width)):
+            est = np.minimum(est, cmv[d, idx.astype(np.int64)])
+        out = pd.DataFrame({"value": uniq, "approx_count": est})
+        return (out.sort_values(["approx_count", "value"],
+                                ascending=[False, True]).head(k))
+
+    scored = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return (scored.drop_duplicates("value")
+            .sort_values(["approx_count", "value"],
+                         ascending=[False, True])
             .head(k).reset_index(drop=True))
 
 

@@ -101,6 +101,8 @@ def time_to_seconds(t, strict: bool = False) -> float:
     the validate stage surfaces the count instead)."""
     if t is None:
         return 0.0
+    if isinstance(t, float) and pd.isna(t):
+        return 0.0  # reference: pd.isna guard before numeric pass-through
     if isinstance(t, (int, float)) and not isinstance(t, bool):
         return float(t)
     t = str(t).strip()
@@ -287,12 +289,17 @@ def get_od_pairs(stop_times: ray.data.Dataset, trips: pd.DataFrame,
                  calendar_dates: pd.DataFrame | None = None,
                  start_date: str | None = None,
                  end_date: str | None = None,
+                 directed: bool = False,
                  ) -> ray.data.Dataset:
     """Per-trip consecutive stop pairs × active service dates
     (reference transportation.py:717-875): output (trip_id,
     service_id, date, orig_stop_id, dest_stop_id, departure_ts,
     arrival_ts, travel_time_sec) — the reference's column set minus
     the geopandas geometry (stop x/y live on the stops table here).
+    ``date`` is a '%Y-%m-%d' string as in the reference; ``directed=
+    False`` (reference default) canonicalizes each pair so
+    orig_stop_id <= dest_stop_id, swapping departure/arrival
+    timestamps too (travel_time_sec stays the pre-swap leg duration).
     ``start_date``/``end_date`` (YYYYMMDD) bound the expanded service
     calendar as in the reference; legacy aliases from_stop_id /
     to_stop_id are kept for composition with older pipelines."""
@@ -318,7 +325,8 @@ def get_od_pairs(stop_times: ray.data.Dataset, trips: pd.DataFrame,
                 continue
             for d in dates:
                 base = pd.Timestamp(f"{d[:4]}-{d[4:6]}-{d[6:8]}")
-                rows.append((trip, svc, d, stops[i], stops[i + 1],
+                rows.append((trip, svc, f"{d[:4]}-{d[4:6]}-{d[6:8]}",
+                             stops[i], stops[i + 1],
                              base + pd.Timedelta(seconds=float(dep[i])),
                              base + pd.Timedelta(seconds=float(arr[i + 1])),
                              tt))
@@ -332,6 +340,18 @@ def get_od_pairs(stop_times: ray.data.Dataset, trips: pd.DataFrame,
                 dtype=("datetime64[ns]" if c.endswith("_ts")
                        else np.float64 if c == "travel_time_sec" else str))
                 for c in cols})
+        if not directed and len(out):
+            # reference canonicalization (transportation.py:858-866):
+            # swap ids AND timestamps; travel_time_sec is pre-swap
+            swap = (out["orig_stop_id"] > out["dest_stop_id"]).to_numpy()
+            o = out["orig_stop_id"].to_numpy()
+            d_ = out["dest_stop_id"].to_numpy()
+            out["orig_stop_id"] = np.where(swap, d_, o)
+            out["dest_stop_id"] = np.where(swap, o, d_)
+            dts = out["departure_ts"].to_numpy()
+            ats = out["arrival_ts"].to_numpy()
+            out["departure_ts"] = np.where(swap, ats, dts)
+            out["arrival_ts"] = np.where(swap, dts, ats)
         out["from_stop_id"] = out["orig_stop_id"]
         out["to_stop_id"] = out["dest_stop_id"]
         return out

@@ -45,6 +45,23 @@ def _doc_batch(doc_ids: list[str], span_lists: list[list[dict]]) -> pa.Table:
         schema=DOC_SCHEMA)
 
 
+def _g10(a: np.ndarray) -> pa.Array:
+    """%.10g float formatting per element (identical to the f-string
+    formatting in geom.wkt emitters)."""
+    return pa.array(np.char.mod("%.10g", np.asarray(a, np.float64)))
+
+
+def _spans_table(ids: pa.Array, starts: np.ndarray, kind: np.ndarray,
+                 text: np.ndarray, media: np.ndarray,
+                 offset: np.ndarray) -> pa.Table:
+    struct = pa.StructArray.from_arrays(
+        [pa.array(kind, pa.string()), pa.array(text, pa.string()),
+         pa.array(media, pa.string()), pa.array(offset, pa.int32())],
+        names=["kind", "text", "media_ref", "offset"])
+    spans = pa.ListArray.from_arrays(pa.array(starts, pa.int32()), struct)
+    return pa.Table.from_arrays([ids, spans], schema=DOC_SCHEMA)
+
+
 def synthesize_documents(sf_dir: str) -> ray.data.Dataset:
     """Deterministic interleaved-doc corpus from the testdata tables.
 
@@ -68,56 +85,93 @@ def synthesize_documents(sf_dir: str) -> ray.data.Dataset:
                                  columns=["p_partkey", "p_type"],
                                  override_num_blocks=nb)
 
+    # all three builders are fully vectorized (Arrow string joins +
+    # %.10g numpy formatting + flat struct/list assembly) — the
+    # previous per-row dict builders dominated the span_extract bench
+    # stage; outputs are byte-identical (tests assert WKT round-trip)
+    import pyarrow.compute as pc
+
+    def two_span_docs(prefix: str, keys: np.ndarray, txt: pa.Array,
+                      g: pa.Array, gkind: str) -> pa.Table:
+        n = len(keys)
+        tlen = pc.utf8_length(txt).to_numpy().astype(np.int32)
+        kind = np.empty(2 * n, dtype=object)
+        text = np.empty(2 * n, dtype=object)
+        offset = np.zeros(2 * n, dtype=np.int32)
+        kind[0::2] = "text"
+        kind[1::2] = gkind
+        text[0::2] = txt.to_numpy(zero_copy_only=False)
+        text[1::2] = g.to_numpy(zero_copy_only=False)
+        offset[1::2] = tlen
+        media = np.full(2 * n, "", dtype=object)
+        ids = pc.binary_join_element_wise(
+            prefix, pa.array(keys.astype(str)), "")
+        starts = np.arange(0, 2 * n + 1, 2, dtype=np.int64)
+        return _spans_table(ids, starts, kind, text, media, offset)
+
     def cust_docs(batch: pa.Table) -> pa.Table:
         keys = batch["c_custkey"].to_numpy()
-        seg = batch["c_mktsegment"].to_pylist()
         x, y = synth.key_to_xy(keys)
-        ids, spans = [], []
-        for i, k in enumerate(keys):
-            txt = f"customer {k} segment {seg[i]}"
-            s = [{"kind": "text", "text": txt, "media_ref": "", "offset": 0}]
-            off = len(txt)
-            g = wkt.emit_point(x[i], y[i])
-            s.append({"kind": "geom_point", "text": g, "media_ref": "", "offset": off})
-            off += len(g)
-            if k % 3 == 0:
-                s.append({"kind": "media", "text": "",
-                          "media_ref": f"blob://img/{k}.png", "offset": off})
-            ids.append(f"cust-{k}")
-            spans.append(s)
-        return _doc_batch(ids, spans)
+        ks = pa.array(keys.astype(str))
+        txt = pc.binary_join_element_wise(
+            "customer ", ks, " segment ", batch["c_mktsegment"], "")
+        g = pc.binary_join_element_wise(
+            "POINT (", _g10(x), " ", _g10(y), ")", "")
+        tlen = pc.utf8_length(txt).to_numpy().astype(np.int32)
+        glen = pc.utf8_length(g).to_numpy().astype(np.int32)
+        has_media = (keys % 3) == 0
+        nsp = 2 + has_media.astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(nsp)))
+        total = int(starts[-1])
+        s = starts[:-1]
+        kind = np.empty(total, dtype=object)
+        text = np.empty(total, dtype=object)
+        media = np.full(total, "", dtype=object)
+        offset = np.zeros(total, dtype=np.int32)
+        kind[s] = "text"
+        kind[s + 1] = "geom_point"
+        text[s] = txt.to_numpy(zero_copy_only=False)
+        text[s + 1] = g.to_numpy(zero_copy_only=False)
+        offset[s + 1] = tlen
+        mrows = np.flatnonzero(has_media)
+        mpos = s[mrows] + 2
+        kind[mpos] = "media"
+        text[mpos] = ""
+        media[mpos] = np.char.add(
+            np.char.add("blob://img/", keys[mrows].astype(str)),
+            ".png").astype(object)
+        offset[mpos] = tlen[mrows] + glen[mrows]
+        ids = pc.binary_join_element_wise("cust-", ks, "")
+        return _spans_table(ids, starts, kind, text, media, offset)
 
     def order_docs(batch: pa.Table) -> pa.Table:
         ok = batch["o_orderkey"].to_numpy()
         ck = batch["o_custkey"].to_numpy()
         ax, ay = synth.key_to_xy(ok)
         bx, by = synth.key_to_xy(ck)
-        ids, spans = [], []
-        for i, k in enumerate(ok):
-            txt = f"order {k} by customer {ck[i]}"
-            g = wkt.emit_linestring(np.array([ax[i], ay[i], bx[i], by[i]]))
-            ids.append(f"ord-{k}")
-            spans.append([
-                {"kind": "text", "text": txt, "media_ref": "", "offset": 0},
-                {"kind": "geom_segment", "text": g, "media_ref": "", "offset": len(txt)},
-            ])
-        return _doc_batch(ids, spans)
+        txt = pc.binary_join_element_wise(
+            "order ", pa.array(ok.astype(str)), " by customer ",
+            pa.array(ck.astype(str)), "")
+        g = pc.binary_join_element_wise(
+            "LINESTRING (", _g10(ax), " ", _g10(ay), ", ",
+            _g10(bx), " ", _g10(by), ")", "")
+        return two_span_docs("ord-", ok, txt, g, "geom_segment")
 
     def part_docs(batch: pa.Table) -> pa.Table:
         keys = batch["p_partkey"].to_numpy()
-        ptype = batch["p_type"].to_pylist()
         col, row = synth.part_grid_cell(keys)
         rings = synth.grid_square_ring(col, row)
-        ids, spans = [], []
-        for i, k in enumerate(keys):
-            txt = f"building {k} type {ptype[i]}"
-            g = wkt.emit_polygon(rings[i])
-            ids.append(f"part-{k}")
-            spans.append([
-                {"kind": "text", "text": txt, "media_ref": "", "offset": 0},
-                {"kind": "geom_building", "text": g, "media_ref": "", "offset": len(txt)},
-            ])
-        return _doc_batch(ids, spans)
+        txt = pc.binary_join_element_wise(
+            "building ", pa.array(keys.astype(str)), " type ",
+            batch["p_type"], "")
+        parts: list = ["POLYGON (("]
+        for j in range(0, rings.shape[1], 2):
+            if j:
+                parts.append(", ")
+            parts.extend([_g10(rings[:, j]), " ", _g10(rings[:, j + 1])])
+        parts.append("))")
+        g = pc.binary_join_element_wise(*parts, "")
+        return two_span_docs("part-", keys, txt, g, "geom_building")
 
     return (cust.map_batches(cust_docs, batch_format="pyarrow")
             .union(orders.map_batches(order_docs, batch_format="pyarrow"))
@@ -127,47 +181,192 @@ def synthesize_documents(sf_dir: str) -> ray.data.Dataset:
 GEOM_KINDS = ("geom_point", "geom_segment", "geom_building")
 
 
+def _centroid_of(gkind: str, coords: np.ndarray) -> tuple[float, float]:
+    c = coords.reshape(-1, 2)
+    if gkind == "POINT":
+        return float(c[0, 0]), float(c[0, 1])
+    if gkind == "LINESTRING":
+        return float(c[:, 0].mean()), float(c[:, 1].mean())
+    from city2graph_ray.geom.kernels import polygon_area_centroid
+    _, cx, cy = polygon_area_centroid(coords)
+    return cx, cy
+
+
+def _extract_slow(texts) -> dict[str, list]:
+    """Per-row fallback: multi-ring polygons / malformed WKT only."""
+    out = {"coords": [], "x": [], "y": []}
+    for tx in texts:
+        gkind, coords = wkt.parse(tx)
+        cx, cy = _centroid_of(gkind, coords)
+        out["coords"].append(coords.tolist())
+        out["x"].append(cx)
+        out["y"].append(cy)
+    return out
+
+
 def extract_geometry_spans(docs: ray.data.Dataset) -> ray.data.Dataset:
     """The foundational ingest op (SURVEY.md §2.2 last row): decode each
     document's geometry spans into a typed sibling table keyed
     (doc_id, span_idx), leaving the spans column of the source table
     untouched.  Output columns: doc_id, span_idx, kind, coords
     (list<double> flat), x, y (centroid — the point itself for
-    geom_point), zero-copy Arrow in/out."""
+    geom_point, vertex mean for linestrings, shoelace area centroid
+    for polygon exterior rings).
+
+    Fully vectorized: Arrow list kernels flatten the span structs
+    (zero-copy), one RE2 pass strips the WKT head + parens, Arrow
+    split/cast produce the flat float64 coord stream, and ragged
+    reduceat kernels compute the centroids.  Only multi-ring polygons
+    and rows the vector parser rejects fall back to the per-row
+    parser (VERDICT r2 item 3 — the previous per-doc/per-span Python
+    loop was the 10⁹-doc bottleneck)."""
+    import pyarrow.compute as pc
+
+    from city2graph_ray.geom.kernels import polygon_area_centroids
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "span_idx": pa.array([], pa.int32()),
+        "kind": pa.array([], pa.string()),
+        "coords": pa.array([], pa.list_(pa.float64())),
+        "x": pa.array([], pa.float64()),
+        "y": pa.array([], pa.float64()),
+    })
 
     def extract(batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        spans_col = batch["spans"].to_pylist()
-        out_doc, out_idx, out_kind, out_coords, out_x, out_y = [], [], [], [], [], []
-        for did, spans in zip(doc_ids, spans_col):
-            for idx, sp in enumerate(spans):
-                if sp["kind"] not in GEOM_KINDS:
-                    continue
-                gkind, coords = wkt.parse(sp["text"])
-                c = coords.reshape(-1, 2)
-                if gkind == "POINT":
-                    cx, cy = float(c[0, 0]), float(c[0, 1])
-                elif gkind == "LINESTRING":
-                    cx, cy = float(c[:, 0].mean()), float(c[:, 1].mean())
-                else:
-                    from city2graph_ray.geom.kernels import polygon_area_centroid
-                    _, cx, cy = polygon_area_centroid(coords)
-                out_doc.append(did)
-                out_idx.append(idx)
-                out_kind.append(sp["kind"])
-                out_coords.append(coords.tolist())
-                out_x.append(cx)
-                out_y.append(cy)
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lengths = pc.list_value_length(spans).to_numpy().astype(np.int64)
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        starts = np.concatenate(([0], np.cumsum(lengths)))
+        span_idx_all = np.arange(parent.size, dtype=np.int64) - starts[parent]
+        flat = pc.list_flatten(spans)
+        kind_all = pc.struct_field(flat, "kind")
+        geom_mask = pc.is_in(kind_all, value_set=pa.array(list(GEOM_KINDS))) \
+            .to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(geom_mask)
+        if sel.size == 0:
+            return empty
+        sel_a = pa.array(sel)
+        texts = pc.take(pc.struct_field(flat, "text"), sel_a)
+        kinds = pc.take(kind_all, sel_a)
+        doc_ids = pc.take(batch.column("doc_id"),
+                          pa.array(parent[sel]))
+        span_idx = span_idx_all[sel].astype(np.int32)
+
+        # slow-path rows: polygons with holes (3+ paren groups)
+        slow = pc.count_substring(texts, "(").to_numpy() > 2
+
+        def vector_parse(tx: pa.Array):
+            body = pc.replace_substring_regex(
+                tx, pattern=r"^\s*[A-Za-z]+\s*|[()]", replacement="")
+            pairs = pc.split_pattern(body, ",")
+            npts = pc.list_value_length(pairs).to_numpy().astype(np.int64)
+            if (npts == 0).any():
+                raise ValueError("empty WKT body")
+            xy = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(pc.list_flatten(pairs)), r"\s+")
+            if not pc.all(pc.equal(pc.list_value_length(xy), 2)).as_py():
+                raise ValueError("malformed coordinate pair")
+            vals = pc.cast(pc.list_flatten(xy), pa.float64()).to_numpy()
+            return vals, npts
+
+        try:
+            if slow.any():
+                raise ValueError("multi-ring rows present")
+            vals, npts = vector_parse(texts)
+        except (ValueError, pa.ArrowInvalid):
+            # mixed batch: vectorize the clean rows, loop the rest
+            fast_idx = np.flatnonzero(~slow)
+            slow_idx = np.flatnonzero(slow)
+            tx_fast = pc.take(texts, pa.array(fast_idx))
+            try:
+                vals_f, npts_f = vector_parse(tx_fast)
+            except (ValueError, pa.ArrowInvalid):
+                # whole batch per-row (malformed rows not pre-detectable)
+                slow_idx = np.arange(len(texts))
+                fast_idx = np.zeros(0, dtype=np.int64)
+                vals_f = np.zeros(0)
+                npts_f = np.zeros(0, dtype=np.int64)
+            s = _extract_slow(
+                pc.take(texts, pa.array(slow_idx)).to_pylist())
+            return _assemble_mixed(doc_ids, span_idx, kinds, texts,
+                                   fast_idx, vals_f, npts_f, slow_idx, s)
+
+        off_dbl = np.concatenate(([0], np.cumsum(npts * 2)))
+        coords = pa.ListArray.from_arrays(
+            pa.array(off_dbl, pa.int32()), pa.array(vals, pa.float64()))
+
+        xs, ys = vals[0::2], vals[1::2]
+        starts_pt = (off_dbl[:-1] // 2).astype(np.int64)
+        mean_x = np.add.reduceat(xs, starts_pt) / npts
+        mean_y = np.add.reduceat(ys, starts_pt) / npts
+        cx, cy = mean_x, mean_y  # POINT (n=1) and LINESTRING semantics
+        poly = pc.starts_with(texts, pattern="POLYGON") \
+            .to_numpy(zero_copy_only=False)
+        if poly.any():
+            pidx = np.flatnonzero(poly)
+            # ragged sub-extraction of the polygon rows
+            sub_off = np.concatenate(
+                ([0], np.cumsum(npts[pidx] * 2))).astype(np.int64)
+            take = np.concatenate(
+                [np.arange(off_dbl[i], off_dbl[i + 1]) for i in pidx]) \
+                if pidx.size else np.zeros(0, dtype=np.int64)
+            _, pcx, pcy = polygon_area_centroids(vals[take], sub_off)
+            bad = np.isnan(pcx)
+            if bad.any():  # degenerate rings → scalar fallback
+                for j in np.flatnonzero(bad):
+                    i = pidx[j]
+                    _, pcx[j], pcy[j] = _centroid_of(
+                        "POLYGON",
+                        vals[off_dbl[i]:off_dbl[i + 1]])
+            cx = cx.copy(); cy = cy.copy()
+            cx[pidx] = pcx
+            cy[pidx] = pcy
+
         return pa.table({
-            "doc_id": pa.array(out_doc, pa.string()),
-            "span_idx": pa.array(out_idx, pa.int32()),
-            "kind": pa.array(out_kind, pa.string()),
-            "coords": pa.array(out_coords, pa.list_(pa.float64())),
-            "x": pa.array(out_x, pa.float64()),
-            "y": pa.array(out_y, pa.float64()),
+            "doc_id": doc_ids,
+            "span_idx": pa.array(span_idx, pa.int32()),
+            "kind": kinds,
+            "coords": coords,
+            "x": pa.array(cx, pa.float64()),
+            "y": pa.array(cy, pa.float64()),
         })
 
     return docs.map_batches(extract, batch_format="pyarrow")
+
+
+def _assemble_mixed(doc_ids, span_idx, kinds, texts, fast_idx, vals_f,
+                    npts_f, slow_idx, slow_out) -> pa.Table:
+    """Merge vector-parsed rows with per-row-parsed rows back into the
+    original span order (rare path: batches containing multi-ring or
+    malformed WKT)."""
+    import pyarrow.compute as pc
+    n = len(texts)
+    coords_list: list = [None] * n
+    x = np.empty(n); y = np.empty(n)
+    off = np.concatenate(([0], np.cumsum(npts_f * 2)))
+    for j, i in enumerate(fast_idx):
+        c = vals_f[off[j]:off[j + 1]]
+        coords_list[i] = c.tolist()
+        tx = texts[int(i)].as_py()
+        gk = ("POINT" if tx.lstrip().upper().startswith("POINT")
+              else "LINESTRING" if tx.lstrip().upper().startswith("LINESTRING")
+              else "POLYGON")
+        x[i], y[i] = _centroid_of(gk, c)
+    for j, i in enumerate(slow_idx):
+        coords_list[i] = slow_out["coords"][j]
+        x[i] = slow_out["x"][j]
+        y[i] = slow_out["y"][j]
+    return pa.table({
+        "doc_id": doc_ids,
+        "span_idx": pa.array(span_idx, pa.int32()),
+        "kind": kinds,
+        "coords": pa.array(coords_list, pa.list_(pa.float64())),
+        "x": pa.array(x, pa.float64()),
+        "y": pa.array(y, pa.float64()),
+    })
 
 
 def doc_points(docs: ray.data.Dataset, kind: str = "geom_point") -> ray.data.Dataset:
@@ -178,11 +377,13 @@ def doc_points(docs: ray.data.Dataset, kind: str = "geom_point") -> ray.data.Dat
     g = extract_geometry_spans(docs)
 
     def to_points(batch: pa.Table) -> pa.Table:
-        mask = pa.compute.equal(batch["kind"], kind)
-        t = batch.filter(mask)
-        ids = [int(d.rsplit("-", 1)[1]) for d in t["doc_id"].to_pylist()]
-        return pa.table({"id": pa.array(ids, pa.int64()),
-                         "x": t["x"], "y": t["y"]})
+        pc = pa.compute
+        t = batch.filter(pc.equal(batch["kind"], kind))
+        # id = integer suffix after the last '-', vectorized (the old
+        # per-row str.rsplit loop was a hot-path cost at corpus scale)
+        ids = pc.cast(pc.replace_substring_regex(
+            t["doc_id"], pattern=r"^.*-", replacement=""), pa.int64())
+        return pa.table({"id": ids, "x": t["x"], "y": t["y"]})
 
     return g.map_batches(to_points, batch_format="pyarrow")
 

@@ -66,6 +66,34 @@ def test_asof_join_no_by_and_tolerance():
     pd.testing.assert_frame_equal(_norm(got[cols]), _norm(exp[cols]))
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_integer_times(direction):
+    """int64 time columns (epoch seconds) must work, not just datetimes
+    (regression: Int64 padding restored left=int64 / right=float64 and
+    merge_asof raised MergeError)."""
+    from city2graph_ray.ops.asof import asof_join
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "event_id": np.arange(300, dtype=np.int64),
+        "ts": rng.integers(0, 100_000, 300).astype(np.int64),
+        "user_id": rng.integers(0, 8, 300).astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "ref_id": np.arange(200, dtype=np.int64) + 10_000,
+        "ts": rng.integers(0, 100_000, 200).astype(np.int64),
+        "user_id": rng.integers(0, 8, 200).astype(np.int64),
+        "score": rng.random(200).round(3),
+    }).drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right), on="ts",
+                    by="user_id", direction=direction,
+                    num_buckets=6).to_pandas()
+    exp = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                        on="ts", by="user_id", direction=direction,
+                        suffixes=("", "_r"))
+    cols = ["event_id", "user_id", "ref_id", "score"]
+    pd.testing.assert_frame_equal(_norm(got[cols]), _norm(exp[cols]))
+
+
 def test_asof_join_empty_right():
     from city2graph_ray.ops.asof import asof_join
     left, right = _mk(3, 50, 10, 3)

@@ -71,6 +71,54 @@ def test_doc_points_match_key_derivation(docs):
     pd.testing.assert_frame_equal(got, exp, atol=1e-9)
 
 
+def test_extraction_slow_path_parity():
+    """Batches mixing multi-ring polygons, degenerate rings, and
+    malformed WKT route through the per-row fallback and still agree
+    with the scalar parser row-for-row (vectorized fast path must not
+    change semantics)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from city2graph_ray.geom.kernels import polygon_area_centroid
+    from city2graph_ray.sources.interleaved import DOC_SCHEMA
+
+    texts = [
+        "POINT (1.25 -3.5)",
+        "LINESTRING (0 0, 2 0, 2 2)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+        # hole → slow path (exterior ring only, reference-fixture rule)
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 2))",
+        # degenerate ring (zero area) → scalar fallback
+        "POLYGON ((0 0, 1 1, 2 2, 0 0))",
+        "POINT (1e3 2.5e-2)",
+    ]
+    kinds = ["geom_point", "geom_segment", "geom_building",
+             "geom_building", "geom_building", "geom_point"]
+    spans = [[{"kind": k, "text": t, "media_ref": "", "offset": 0},
+              {"kind": "text", "text": "filler", "media_ref": "", "offset": 9}]
+             for k, t in zip(kinds, texts)]
+    tbl = pa.Table.from_arrays(
+        [pa.array([f"doc-{i}" for i in range(len(texts))], pa.string()),
+         pa.array(spans, DOC_SCHEMA.field("spans").type)], schema=DOC_SCHEMA)
+    got = (extract_geometry_spans(rd.from_arrow(tbl))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(texts)
+    assert (got["span_idx"] == 0).all()
+    for _, r in got.iterrows():
+        i = int(r.doc_id.split("-")[1])
+        gkind, coords = wkt.parse(texts[i])
+        assert list(r.coords) == list(coords)
+        if gkind == "POINT":
+            ex, ey = coords[0], coords[1]
+        elif gkind == "LINESTRING":
+            c = coords.reshape(-1, 2)
+            ex, ey = c[:, 0].mean(), c[:, 1].mean()
+        else:
+            _, ex, ey = polygon_area_centroid(coords)
+        assert r.x == pytest.approx(ex, abs=1e-12)
+        assert r.y == pytest.approx(ey, abs=1e-12)
+
+
 def test_rejoin_spans_preserves_sequences(docs):
     """Wide-row pattern: spans projected out, result joined back by
     doc_id — the re-attached span sequence equals the source exactly."""

@@ -25,6 +25,7 @@ def test_time_to_seconds():
     assert np.isnan(time_to_seconds("nan"))
     assert np.isnan(time_to_seconds("8:30"))
     assert time_to_seconds(None) == 0.0  # reference: None → 0.0
+    assert time_to_seconds(float("nan")) == 0.0  # reference pd.isna guard
 
 
 @pytest.fixture(scope="module")
@@ -111,19 +112,45 @@ def test_travel_summary_time_filter_and_undirected(gtfs):
 def test_get_od_pairs(gtfs):
     calendar, calendar_dates, trips, stop_times, _ = gtfs
     od = get_od_pairs(rd.from_pandas(stop_times), trips, calendar,
-                      calendar_dates).to_pandas()
+                      calendar_dates, directed=True).to_pandas()
     # t1: 2 legs × 11 dates; t2: 1 valid leg × 11; t3: 1 leg × 3 dates
     assert len(od) == 2 * 11 + 11 + 3
     assert {"trip_id", "service_id", "date", "orig_stop_id",
             "dest_stop_id", "departure_ts", "arrival_ts",
             "travel_time_sec", "from_stop_id",
             "to_stop_id"} <= set(od.columns)
-    # reference parity: timestamps = service date + GTFS seconds
+    # reference parity: '%Y-%m-%d' date, timestamps = date + GTFS secs
     r0 = od.sort_values(["trip_id", "date",
                          "departure_ts"]).iloc[0]
-    assert r0["departure_ts"].date().strftime("%Y%m%d") == r0["date"]
+    assert r0["departure_ts"].date().strftime("%Y-%m-%d") == r0["date"]
     assert (r0["arrival_ts"] - r0["departure_ts"]).total_seconds() \
         == r0["travel_time_sec"]
+
+
+def test_get_od_pairs_undirected_default(gtfs):
+    """directed=False (reference default) canonicalizes
+    orig<=dest, swapping the timestamps but not travel_time_sec
+    (reference transportation.py:858-866)."""
+    calendar, calendar_dates, trips, _, _ = gtfs
+    # return trip C→B→A so the swap path is exercised
+    stop_times = pd.DataFrame({
+        "trip_id": ["t1"] * 3,
+        "stop_id": ["C", "B", "A"],
+        "stop_sequence": ["1", "2", "3"],
+        "arrival_time": ["08:00:00", "08:10:00", "08:25:00"],
+        "departure_time": ["08:00:00", "08:11:00", "08:25:00"]})
+    und = get_od_pairs(rd.from_pandas(stop_times), trips, calendar,
+                       calendar_dates).to_pandas()
+    drc = get_od_pairs(rd.from_pandas(stop_times), trips, calendar,
+                       calendar_dates, directed=True).to_pandas()
+    assert len(und) == len(drc)
+    assert (und["orig_stop_id"] <= und["dest_stop_id"]).all()
+    swapped = drc[drc["orig_stop_id"] > drc["dest_stop_id"]]
+    assert len(swapped) > 0  # fixture must exercise the swap path
+    key = ["trip_id", "date", "travel_time_sec"]
+    m = swapped.merge(und, on=key, suffixes=("_d", "_u"))
+    assert (m["departure_ts_u"] == m["arrival_ts_d"]).all()
+    assert (m["arrival_ts_u"] == m["departure_ts_d"]).all()
 
 
 def test_get_od_pairs_date_range(gtfs):
@@ -134,8 +161,8 @@ def test_get_od_pairs_date_range(gtfs):
                       calendar_dates, start_date="20240101",
                       end_date="20240102").to_pandas()
     assert len(od) > 0
-    assert od["date"].min() >= "20240101"
-    assert od["date"].max() <= "20240102"
+    assert od["date"].min() >= "2024-01-01"
+    assert od["date"].max() <= "2024-01-02"
 
 
 
