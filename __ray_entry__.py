@@ -280,9 +280,15 @@ def _doc_langid(sf_dir: str):
 
 
 def _minhash_clusters(sf_dir: str):
+    """MinHash-LSH near-dup clusters, md5 hash family — every stage
+    (md5 shingle base, (a*h+b) mod 2^61-1 minima, string band keys,
+    char-window Jaccard verify, min-id components) is reproduced
+    bit-exactly by the DuckDB twin (HUGEINT arithmetic + recursive
+    closure).  The 'uni' family (vectorized byte-packed shingles) is
+    the scale path, cross-checked in tests/test_dedup.py."""
     from city2graph_ray.pipelines.tables import documents
     from city2graph_ray.text.dedup import minhash_dedup
-    return minhash_dedup(documents(sf_dir), threshold=0.5)
+    return minhash_dedup(documents(sf_dir), threshold=0.5, hash_fn="md5")
 
 
 def _token_topk(sf_dir: str):
@@ -576,9 +582,13 @@ def _event_user_counts(sf_dir: str):
 
 
 def _ngram_jaccard(sf_dir: str):
+    """LSH-candidate near-dup pairs with exact char-5-gram Jaccard,
+    md5 hash family → bit-exact DuckDB twin (see _minhash_clusters);
+    round_to=None so both sides compare the raw IEEE quotient."""
     from city2graph_ray.pipelines.tables import documents
     from city2graph_ray.text.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(documents(sf_dir), threshold=0.35)
+    return ngram_jaccard_pairs(documents(sf_dir), threshold=0.35,
+                               round_to=None, hash_fn="md5")
 
 
 def _network_knn(sf_dir: str):
@@ -911,11 +921,12 @@ def _event_user_hll(sf_dir: str):
 
 
 def _token_heavy_hitters(sf_dir: str):
-    """Approximate top-20 corpus tokens via Count-Min sketch + per-block
-    candidates (fixed-size counter merge, no token shuffle).  CM counts
-    upper-bound truth so no SQL hash oracle; exactness of the ranking
-    and the ≤2% overcount bound are proven in tests/test_sketch.py;
-    exact twin: `doc_token_topk`."""
+    """Approximate top-20 corpus tokens via Count-Min sketch (fixed-size
+    counter merge + broadcast-sketch scoring pass, no token shuffle).
+    CM estimates upper-bound truth; at this corpus (31 distinct tokens
+    ≪ width 2^14) the merged sketch is verified collision-free, so the
+    estimates equal exact counts and the bit-exact GROUP BY twin below
+    applies (error bound + layout determinism: tests/test_sketch.py)."""
     from city2graph_ray.ops.sketch import count_min_heavy_hitters
     from city2graph_ray.pipelines.tables import documents
 
@@ -1099,6 +1110,49 @@ def _langid_sql() -> str:
     return (f"WITH t AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents), "
             f"c AS (SELECT doc_id, {sel} FROM t) "
             f"SELECT doc_id, {case} AS lang_pred, {great} AS hits FROM c")
+
+
+def _minhash_md5_ctes() -> str:
+    """Shared CTE chain for the md5-family MinHash-LSH twins: char-5-gram
+    shingles → md5 lower-64 base hash → (a*h+b) mod 2^61-1 permutation
+    minima (HUGEINT arithmetic; the 64 seeded (a,b) constants are
+    embedded as literals from the very MinHasher the Ray stage runs) →
+    per-band string keys → banding candidates → exact Jaccard."""
+    from city2graph_ray.text.dedup import MinHasher
+    mh = MinHasher(num_perm=64, shingle_k=5, seed=7)
+    perms = ",\n                ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(mh.a, mh.b)))
+    return f"""
+            sh AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+              FROM documents, LATERAL unnest(
+                generate_series(1, greatest(length(text)-4, 1))) AS t(i)),
+            h AS (SELECT doc_id, md5_number_lower(s)::HUGEINT AS hv, s
+                  FROM sh),
+            perm(i, a, b) AS (SELECT * FROM (VALUES
+                {perms}) v(i, a, b)),
+            m AS (SELECT h.doc_id, perm.i AS i,
+                         min((perm.a::HUGEINT * h.hv + perm.b)
+                             % 2305843009213693951) AS mn
+                  FROM h, perm GROUP BY h.doc_id, perm.i),
+            band AS (SELECT doc_id, i // 4 AS band_id,
+                            string_agg(mn::VARCHAR, ',' ORDER BY i) AS key
+                     FROM m GROUP BY doc_id, i // 4),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM band x JOIN band y USING (band_id, key)
+                     WHERE x.doc_id < y.doc_id),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT c.a, c.b, count(*) AS ix
+                      FROM cand c
+                      JOIN sh sa ON sa.doc_id = c.a
+                      JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+                      GROUP BY c.a, c.b),
+            jac AS (SELECT i.a, i.b,
+                           CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) AS jaccard
+                    FROM inter i
+                    JOIN cnt ca ON ca.doc_id = i.a
+                    JOIN cnt cb ON cb.doc_id = i.b)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1923,9 +1977,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate, l_orderkey
             LIMIT 10""",
-        # delaunay_edges / emst_edges / minhash_clusters / simhash_pairs
-        # / ngram_jaccard_pairs / ivf_ann_topk / network_knn: not
-        # SQL-expressible (triangulation / LSH / IVF / Dijkstra) →
-        # rows-only check; exactness is covered by the brute-force
+        "ngram_jaccard_pairs": f"""
+            WITH {_minhash_md5_ctes()}
+            SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.35""",
+        "minhash_clusters": f"""
+            WITH RECURSIVE {_minhash_md5_ctes()},
+            pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+            e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            walk(node, lab) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT w.node, e2.b FROM walk w JOIN e e2 ON w.lab = e2.a)
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d
+            LEFT JOIN (SELECT node, min(lab) AS cluster_id
+                       FROM walk GROUP BY node) c
+              ON c.node = d.doc_id""",
+        "doc_token_heavy_hitters": """
+            SELECT token AS value, count(*)::BIGINT AS approx_count
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY approx_count DESC, value
+            LIMIT 20""",
+        # delaunay_edges / emst_edges / simhash_pairs / ivf_ann_topk:
+        # not SQL-expressible (triangulation / MST / legacy LSH / IVF)
+        # → rows-only check; exactness is covered by the brute-force
         # oracles in tests/.
     }

@@ -130,6 +130,26 @@ def _shingle_id_array(text: str, k: int = 5) -> np.ndarray:
     return np.unique((win * powers[None, :]).sum(axis=1))
 
 
+def char_window_shingles(text: str, k: int = 5) -> set[str]:
+    """Unique character k-gram STRINGS — the SQL-twin shingle form
+    (DuckDB ``substr(text, i, k)`` for i in 1..max(len-k+1, 1); one
+    whole-text shingle when len(text) < k).  For ASCII text the Jaccard
+    over these equals the byte-packed :func:`char_shingles` Jaccard."""
+    n = len(text) - k + 1
+    if n < 1:
+        return {text}
+    return {text[i:i + k] for i in range(n)}
+
+
+def _md5_lower64(strings) -> np.ndarray:
+    """Bytes 8..16 of each md5 digest, little-endian — exactly DuckDB's
+    ``md5_number_lower`` (the convention :class:`SimHasher` md5 mode
+    established)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+         for s in strings), dtype=np.uint64)
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
@@ -169,17 +189,35 @@ class MinHasher:
 
     The hash family is a true universal (a*x + b) mod (2^61-1) — the
     multiply is folded via :func:`_mulmod_mersenne61`, not wrapped mod
-    2^64, so bucket quality matches the num_perm/bands math."""
+    2^64, so bucket quality matches the num_perm/bands math.
 
-    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
+    ``hash_fn`` picks the shingle BASE hash feeding the permutations:
+    ``'uni'`` (default, the scale path) byte-packs each k-gram into an
+    injective uint64 fully vectorized; ``'md5'`` hashes the k-gram
+    STRING via md5 lower-64 (DuckDB ``md5_number_lower``) — a
+    vocabulary-sized Python loop per doc, but every downstream value
+    (permutation minima, band keys) becomes SQL-reproducible, which is
+    what makes the driver's bit-exact DuckDB twin possible
+    (``(a*md5(s) + b) % (2^61-1)`` is plain HUGEINT arithmetic)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7,
+                 hash_fn: str = "uni"):
+        if hash_fn not in ("uni", "md5"):
+            raise ValueError(f"bad hash_fn {hash_fn!r}")
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
         self.k = shingle_k
         self.num_perm = num_perm
+        self.hash_fn = hash_fn
+
+    def _base_ids(self, text: str) -> np.ndarray:
+        if self.hash_fn == "uni":
+            return _shingle_id_array(text, self.k)
+        return _md5_lower64(char_window_shingles(text, self.k))
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_id_array(text, self.k)
+        sh = self._base_ids(text)
         p = np.uint64(_MERSENNE)
         vals = _mulmod_mersenne61(self.a[:, None], sh[None, :]) + self.b[:, None]
         vals = np.where(vals >= p, vals - p, vals)
@@ -189,22 +227,42 @@ class MinHasher:
 def minhash_lsh_candidates(docs: ray.data.Dataset, num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 5,
                            text_col: str = "text", id_col: str = "doc_id",
-                           ) -> ray.data.Dataset:
+                           hash_fn: str = "uni") -> ray.data.Dataset:
     """(band_id, band_hash) bucket groupby → candidate pairs (a < b).
 
     MinHasher is a callable-class actor stage (permutations built once
-    per actor, not per batch)."""
+    per actor, not per batch).  ``hash_fn='md5'`` (see
+    :class:`MinHasher`) also switches the band key from the uint64
+    FNV mix to the comma-joined decimal minima string — byte-for-byte
+    DuckDB's ``string_agg(m::VARCHAR, ',' ORDER BY i)``, so the SQL
+    twin reproduces the exact candidate set."""
     rows_per_band = num_perm // bands
 
     class Stage:
         def __init__(self):
-            self.mh = MinHasher(num_perm, shingle_k)
+            self.mh = MinHasher(num_perm, shingle_k, hash_fn=hash_fn)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             n = len(batch)
             sigs = np.empty((n, num_perm), dtype=np.uint64)
             for i, text in enumerate(batch[text_col]):
                 sigs[i] = self.mh.signature(text)
+            if hash_fn == "md5":
+                # SQL-reproducible band key: decimal minima joined by ','
+                ss = sigs.astype("U20")
+                cols = []
+                for b in range(bands):
+                    col = ss[:, b * rows_per_band]
+                    for j in range(1, rows_per_band):
+                        col = np.char.add(np.char.add(col, ","),
+                                          ss[:, b * rows_per_band + j])
+                    cols.append(col)
+                kh = (np.stack(cols, axis=1).reshape(-1).astype(object)
+                      if n else np.empty(0, dtype=object))
+                return pd.DataFrame({
+                    id_col: np.repeat(batch[id_col].to_numpy(), bands),
+                    "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+                    "band_hash": kh})
             # vectorized band key: murmur-mix each signature column,
             # FNV-combine within the band (one uint64 key per doc/band)
             bh = np.empty((n, bands), dtype=np.uint64)
@@ -266,20 +324,25 @@ def _pairs_with_texts(cand: ray.data.Dataset, docs: ray.data.Dataset,
 
 class _JaccardVerify:
     """Exact character-shingle Jaccard per pair; texts arrive in the
-    batch (joined upstream), shingle sets cached per batch by doc id."""
+    batch (joined upstream), shingle sets cached per batch by doc id.
+    ``mode='char'`` shingles by character windows (the SQL-twin form —
+    identical Jaccard for ASCII text, and exactly DuckDB's substr
+    windows otherwise)."""
 
     def __init__(self, shingle_k: int, threshold: float,
-                 round_to: int | None = None):
+                 round_to: int | None = None, mode: str = "byte"):
         self.k = shingle_k
         self.threshold = threshold
         self.round_to = round_to
+        self.mode = mode
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cache: dict = {}
+        mk = char_shingles if self.mode == "byte" else char_window_shingles
 
         def sh(i, text) -> set:
             if i not in cache:
-                cache[i] = char_shingles(text, self.k)
+                cache[i] = mk(text, self.k)
             return cache[i]
 
         jac = np.fromiter(
@@ -297,36 +360,46 @@ class _JaccardVerify:
 def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
                         num_perm: int = 64, bands: int = 16,
                         shingle_k: int = 5, text_col: str = "text",
-                        id_col: str = "doc_id", round_to: int = 6,
-                        ) -> ray.data.Dataset:
+                        id_col: str = "doc_id", round_to: int | None = 6,
+                        hash_fn: str = "uni") -> ray.data.Dataset:
     """Verified near-duplicate pairs with their exact character-n-gram
     Jaccard (a < b, jaccard ≥ threshold).  Candidates come from the
     MinHash-LSH banding; texts are joined back onto the pair stream
-    (bucketed hash joins), then the exact Jaccard check runs batch-wise."""
+    (bucketed hash joins), then the exact Jaccard check runs batch-wise.
+
+    ``hash_fn='md5'`` makes candidates AND jaccard values bit-exactly
+    DuckDB-reproducible (md5 base hash, string band keys, char-window
+    verify, single-division jaccard — pass ``round_to=None`` so the
+    raw IEEE quotient is compared)."""
     cand = minhash_lsh_candidates(docs, num_perm, bands, shingle_k,
-                                  text_col, id_col)
+                                  text_col, id_col, hash_fn=hash_fn)
     withtext = _pairs_with_texts(cand, docs, text_col, id_col)
+    mode = "byte" if hash_fn == "uni" else "char"
     return withtext.map_batches(
-        _JaccardVerify, fn_constructor_args=(shingle_k, threshold, round_to),
+        _JaccardVerify,
+        fn_constructor_args=(shingle_k, threshold, round_to, mode),
         batch_format="pandas", concurrency=(1, 8))
 
 
 def minhash_dedup(docs: ray.data.Dataset, threshold: float = 0.5,
                   num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                   text_col: str = "text", id_col: str = "doc_id",
-                  ) -> ray.data.Dataset:
+                  hash_fn: str = "uni") -> ray.data.Dataset:
     """Near-dup clusters: LSH candidates → exact-Jaccard verify →
     connected components.  Output (doc_id, cluster_id); cluster_id =
     min doc_id of the near-dup cluster (singletons map to themselves).
 
     The verify stage joins the two texts onto the candidate-pair stream
     with bucketed hash joins (no corpus broadcast, no driver collect) —
-    the candidate pair set, not the corpus, is the stream."""
+    the candidate pair set, not the corpus, is the stream.
+    ``hash_fn='md5'`` (see :class:`MinHasher`) makes the whole chain
+    SQL-twin-able for the driver's bit-exact gate."""
     cand = minhash_lsh_candidates(docs, num_perm, bands, shingle_k,
-                                  text_col, id_col)
+                                  text_col, id_col, hash_fn=hash_fn)
     withtext = _pairs_with_texts(cand, docs, text_col, id_col)
+    mode = "byte" if hash_fn == "uni" else "char"
     verified = withtext.map_batches(
-        _JaccardVerify, fn_constructor_args=(shingle_k, threshold),
+        _JaccardVerify, fn_constructor_args=(shingle_k, threshold, None, mode),
         batch_format="pandas", concurrency=(1, 8))
     return _clusters_from_pairs(verified, docs, id_col)
 

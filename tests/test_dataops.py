@@ -49,6 +49,26 @@ def test_minhash_dedup(docs_with_dups):
     assert len(set(cmap.values())) == 4
 
 
+def test_minhash_dedup_md5_family(docs_with_dups):
+    """The SQL-twin-able md5 hash family clusters the same fixture the
+    same way as the default 'uni' family, and char-window shingles give
+    the identical Jaccard as byte-packed shingles on ASCII text."""
+    from city2graph_ray.text.dedup import (char_shingles,
+                                           char_window_shingles, jaccard,
+                                           minhash_dedup)
+    out = minhash_dedup(rd.from_pandas(docs_with_dups), threshold=0.4,
+                        hash_fn="md5").to_pandas()
+    cmap = dict(zip(out["doc_id"], out["cluster_id"]))
+    for base in range(4):
+        a, b, c = base * 3, base * 3 + 1, base * 3 + 2
+        assert cmap[a] == cmap[b] == cmap[c] == a
+    assert len(set(cmap.values())) == 4
+    for t, u in [("the quick brown fox", "the quick brown fix"),
+                 ("ab", "ab"), ("abcd", "wxyz abcd")]:
+        assert jaccard(char_shingles(t, 5), char_shingles(u, 5)) == \
+            jaccard(char_window_shingles(t, 5), char_window_shingles(u, 5))
+
+
 @pytest.mark.parametrize("order", ["df", "hash"])
 def test_jaccard_join_exact_vs_brute(order):
     from city2graph_ray.text.dedup import (jaccard_join_exact, char_shingles,
