@@ -3,11 +3,14 @@
 ``group_quantiles`` computes EXACT linear-interpolated quantiles
 (numpy ``quantile(..., method="linear")`` / SQL ``quantile_cont``
 semantics) per group without ever sorting or collecting a group's
-values: a histogram pass locates the order statistics' bins, a second
-targeted pass collects only the values inside those bins (expected
-``n / n_bins`` rows per group), and the driver interpolates from the
-handful of candidates.  Two streaming passes over the data, shuffle
-bytes ∝ groups × bins — scale-safe for any group size.
+values: a histogram pass locates the order statistics' bins, hot bins
+are recursively re-histogrammed (each round narrows a needed bin to
+its rows' actual [min, max] range — ties collapse to min==max and
+resolve with NO collect), and a final targeted pass collects only
+segments below a fixed row cap.  Driver memory is therefore bounded by
+``groups × ranks × collect_cap`` regardless of the tie structure; each
+refinement round is one streaming pass shuffling ∝ groups × bins
+counter rows.
 
 No reference counterpart (the reference has no quantile op); this is
 an engine-added analytics primitive for training-data curation
@@ -26,10 +29,42 @@ import ray.data
 from city2graph_ray import shuffle
 
 
+def _bin_of(vals: np.ndarray, lo: float, hi: float, n_bins: int) -> np.ndarray:
+    span = hi - lo
+    if span <= 0:
+        return np.zeros(len(vals), dtype=np.int64)
+    b = np.floor((vals - lo) / span * n_bins).astype(np.int64)
+    return np.clip(b, 0, n_bins - 1)
+
+
+class _Seg:
+    """One needed order-statistic segment: the set of rows matching a
+    bin path (level i = bin ``b`` of the ``n_bins`` histogram over that
+    level's [lo, hi] value range).  ``start_rank`` = number of group
+    rows strictly below the segment; ``vmin``/``vmax`` = actual value
+    extent of the member rows (drives the next refinement — and when
+    they coincide every member IS that value)."""
+
+    __slots__ = ("levels", "start_rank", "count", "vmin", "vmax")
+
+    def __init__(self, levels, start_rank, count, vmin, vmax):
+        self.levels = levels          # tuple of (lo, hi, bin)
+        self.start_rank = int(start_rank)
+        self.count = int(count)
+        self.vmin = float(vmin)
+        self.vmax = float(vmax)
+
+    def member_mask(self, v: np.ndarray, n_bins: int) -> np.ndarray:
+        m = np.ones(len(v), dtype=bool)
+        for lo, hi, b in self.levels:
+            m &= _bin_of(v, lo, hi, n_bins) == b
+        return m
+
+
 def group_quantiles(ds: ray.data.Dataset, keys: Sequence[str],
                     value_col: str, qs: Sequence[float] = (0.5, 0.9, 0.99),
                     n_bins: int = 1024, round_to: int | None = 6,
-                    ) -> ray.data.Dataset:
+                    collect_cap: int = 8192) -> ray.data.Dataset:
     """Per-``keys`` exact quantiles of ``value_col``.
 
     Output: one row per group with columns ``keys + [f"q{q}" ...]``
@@ -38,12 +73,11 @@ def group_quantiles(ds: ray.data.Dataset, keys: Sequence[str],
     SQL's manual row_number construction on the same doubles.
 
     Passes: (1) per-group n/min/max (`group_agg`), (2) per-group bin
-    histogram over [min, max] (`group_agg` over (group, bin) —
-    per-batch partials keep shuffle bytes ∝ distinct (group, bin) per
-    batch), (3) a filtered collect of ONLY the bins holding the needed
-    order statistics.  Degenerate bins (heavy ties) just mean the
-    targeted pass returns more rows for that bin — exactness is
-    unaffected.
+    histogram over [min, max] with per-bin value extents, (2b) zero or
+    more refinement passes re-histogramming any needed bin whose row
+    count exceeds ``collect_cap`` (a bin of identical values resolves
+    immediately via vmin == vmax), (3) a filtered collect of ONLY the
+    sub-cap segments holding the needed order statistics.
     """
     keys = list(keys)
     qs = list(qs)
@@ -58,122 +92,202 @@ def group_quantiles(ds: ray.data.Dataset, keys: Sequence[str],
     stats = stats.set_index(keys if len(keys) > 1 else keys[0])
     ext = {g: (int(r["n"]), float(r["lo"]), float(r["hi"]))
            for g, r in stats.iterrows()}
-    ext_ref = ray.put(ext)
 
-    def _bin_of(vals: np.ndarray, lo: float, hi: float) -> np.ndarray:
-        span = hi - lo
-        if span <= 0:
-            return np.zeros(len(vals), dtype=np.int64)
-        b = np.floor((vals - lo) / span * n_bins).astype(np.int64)
-        return np.clip(b, 0, n_bins - 1)
-
-    # ---- pass 2: per-(group, bin) counts --------------------------
-    def hist(batch: pd.DataFrame) -> pd.DataFrame:
-        e = ray.get(ext_ref)
+    def _group_series(batch: pd.DataFrame) -> pd.Series:
         gk = (batch[keys[0]] if len(keys) == 1
               else list(zip(*[batch[k] for k in keys])))
-        out = pd.DataFrame({k: batch[k] for k in keys})
-        v = batch[value_col].to_numpy(np.float64)
-        bins = np.empty(len(batch), dtype=np.int64)
-        gvals = pd.Series(gk)
-        for g, idx in gvals.groupby(gvals, sort=False).groups.items():
-            _, lo, hi = e[g]
-            ii = np.asarray(idx)
-            bins[ii] = _bin_of(v[ii], lo, hi)
-        out["bin"] = bins
-        return (out.groupby(keys + ["bin"], sort=False).size()
-                .rename("cnt").reset_index())
+        return pd.Series(gk)
 
-    counts = shuffle.group_agg(
-        ds.map_batches(hist, batch_format="pandas"), keys + ["bin"],
-        {"cnt": ("cnt", "sum")}, partial=False).to_pandas()
-
-    # ---- locate the bins holding order stats k and k+1 ------------
-    need: dict = {}          # group -> set of bins
-    ranks: dict = {}         # group -> {order_index}
-    for g, sub in counts.groupby(keys if len(keys) > 1 else keys[0]):
-        n, lo, hi = ext[g]
-        sub = sub.sort_values("bin")
-        cum = np.concatenate([[0], np.cumsum(sub["cnt"].to_numpy())])
-        bins_arr = sub["bin"].to_numpy()
+    # needed global ranks per group (k and k+1 around each q position)
+    ranks: dict = {}
+    for g, (n, _, _) in ext.items():
         want = set()
         for q in qs:
             pos = (n - 1) * float(q)
             k = int(np.floor(pos))
             want.update((k, min(k + 1, n - 1)))
-        ranks[g] = want
-        bset = set()
-        for k in want:
-            j = int(np.searchsorted(cum, k, side="right")) - 1
-            bset.add(int(bins_arr[min(j, len(bins_arr) - 1)]))
-        need[g] = bset
-    need_ref = ray.put(need)
+        ranks[g] = sorted(want)
 
-    # ---- pass 3: targeted value collect ---------------------------
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        e = ray.get(ext_ref)
-        nd = ray.get(need_ref)
-        v = batch[value_col].to_numpy(np.float64)
-        gk = (batch[keys[0]] if len(keys) == 1
-              else list(zip(*[batch[k] for k in keys])))
-        gvals = pd.Series(gk)
-        mask = np.zeros(len(batch), dtype=bool)
-        for g, idx in gvals.groupby(gvals, sort=False).groups.items():
-            _, lo, hi = e[g]
-            ii = np.asarray(idx)
-            mask[ii] = np.isin(_bin_of(v[ii], lo, hi),
-                               list(nd.get(g, ())))
-        out = pd.DataFrame({k: batch[k][mask] for k in keys})
-        out["v"] = v[mask]
-        return out
+    # ---- pass 2 + refinement rounds --------------------------------
+    # seg_for[(g, k)] -> _Seg ; refinement re-histograms any open seg
+    # with count > collect_cap and vmin < vmax.
+    seg_for: dict = {}
 
-    cand = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    def _hist_pass(targets: dict) -> pd.DataFrame:
+        """targets: group -> list[(seg_id, levels, (rlo, rhi))]; one
+        streaming pass emitting exact (group, seg_id, bin) counters
+        with per-bin value extents."""
+        t_ref = ray.put(targets)
 
-    # ---- exact interpolation on the tiny candidate set ------------
+        def hist(batch: pd.DataFrame) -> pd.DataFrame:
+            tg = ray.get(t_ref)
+            v = batch[value_col].to_numpy(np.float64)
+            gvals = _group_series(batch)
+            frames = []
+            for g, idx in gvals.groupby(gvals, sort=False).groups.items():
+                specs = tg.get(g)
+                if not specs:
+                    continue
+                ii = np.asarray(idx)
+                vv = v[ii]
+                for seg_id, levels, (rlo, rhi) in specs:
+                    m = np.ones(len(vv), dtype=bool)
+                    for lo, hi, b in levels:
+                        m &= _bin_of(vv, lo, hi, n_bins) == b
+                    if not m.any():
+                        continue
+                    sel = vv[m]
+                    sub = _bin_of(sel, rlo, rhi, n_bins)
+                    df = pd.DataFrame({"__seg": seg_id, "bin": sub,
+                                       "v": sel})
+                    part = (df.groupby(["__seg", "bin"], sort=False)["v"]
+                            .agg(cnt="size", vmin="min", vmax="max")
+                            .reset_index())
+                    for k_, gv in zip(keys, g if isinstance(g, tuple)
+                                      else (g,)):
+                        part[k_] = gv
+                    frames.append(part)
+            cols = keys + ["__seg", "bin", "cnt", "vmin", "vmax"]
+            if not frames:
+                return pd.DataFrame({**{k_: pd.Series(dtype=batch[k_].dtype)
+                                         for k_ in keys},
+                                     "__seg": pd.Series(dtype=np.int64),
+                                     "bin": pd.Series(dtype=np.int64),
+                                     "cnt": pd.Series(dtype=np.int64),
+                                     "vmin": pd.Series(dtype=np.float64),
+                                     "vmax": pd.Series(dtype=np.float64)})
+            return pd.concat(frames, ignore_index=True)[cols]
+
+        return shuffle.group_agg(
+            ds.map_batches(hist, batch_format="pandas"),
+            keys + ["__seg", "bin"],
+            {"cnt": ("cnt", "sum"), "vmin": ("vmin", "min"),
+             "vmax": ("vmax", "max")}, partial=False).to_pandas()
+
+    # round 0: whole-group histograms (seg_id 0 per group, no levels)
+    targets = {g: [(0, (), (lo, hi))] for g, (_, lo, hi) in ext.items()}
+    seg_meta = {g: {0: ((), 0)} for g in ext}  # seg_id -> (levels, start)
+    rounds = 0
+    while targets:
+        hist_df = _hist_pass(targets)
+        gcol = (hist_df[keys[0]] if len(keys) == 1
+                else list(zip(*[hist_df[k] for k in keys])))
+        hist_df = hist_df.assign(__g=pd.Series(gcol, index=hist_df.index))
+        next_targets: dict = {}
+        next_meta: dict = {}
+        next_id = 0
+        for g, specs in targets.items():
+            sub_all = hist_df[hist_df["__g"] == g] if len(hist_df) else \
+                hist_df
+            for seg_id, levels, (rlo, rhi) in specs:
+                parent_levels, parent_start = seg_meta[g][seg_id]
+                sub = sub_all[sub_all["__seg"] == seg_id].sort_values("bin")
+                bins_arr = sub["bin"].to_numpy()
+                cnts = sub["cnt"].to_numpy()
+                vmins = sub["vmin"].to_numpy()
+                vmaxs = sub["vmax"].to_numpy()
+                cum = np.concatenate([[0], np.cumsum(cnts)])
+                # which needed ranks live inside this segment?
+                seg_count = int(cum[-1])
+                for k in ranks[g]:
+                    lk = k - parent_start
+                    if not (0 <= lk < seg_count):
+                        continue
+                    j = int(np.searchsorted(cum, lk, side="right")) - 1
+                    b = int(bins_arr[j])
+                    child = _Seg(parent_levels + ((rlo, rhi, b),),
+                                 parent_start + int(cum[j]), int(cnts[j]),
+                                 float(vmins[j]), float(vmaxs[j]))
+                    seg_for[(g, k)] = child
+                    if child.count > collect_cap and child.vmin < child.vmax:
+                        key2 = (g, child.levels)
+                        # one refinement target per distinct child seg
+                        existing = next_meta.get(key2)
+                        if existing is None:
+                            sid = next_id
+                            next_id += 1
+                            next_meta[key2] = (sid, child)
+                            next_targets.setdefault(g, []).append(
+                                (sid, child.levels,
+                                 (child.vmin, child.vmax)))
+        targets = next_targets
+        seg_meta = {}
+        for (g, _levels), (sid, child) in next_meta.items():
+            seg_meta.setdefault(g, {})[sid] = (child.levels,
+                                               child.start_rank)
+        rounds += 1
+        if rounds > 64:      # 1024^64 rows — unreachable safety valve
+            raise RuntimeError("group_quantiles failed to converge")
+
+    # ---- pass 3: targeted value collect (sub-cap segments only) ----
+    open_segs: dict = {}      # group -> list[(sid, _Seg)]
+    seg_sid: dict = {}        # (g, levels) -> sid
+    sid_counter = 0
+    for (g, k), seg in seg_for.items():
+        if seg.vmin >= seg.vmax:      # constant segment — no collect
+            continue
+        key2 = (g, seg.levels)
+        if key2 not in seg_sid:
+            seg_sid[key2] = sid_counter
+            open_segs.setdefault(g, []).append((sid_counter, seg))
+            sid_counter += 1
+    coll: dict = {}           # (g, sid) -> sorted np.ndarray of values
+    if open_segs:
+        o_ref = ray.put(open_segs)
+
+        def pick(batch: pd.DataFrame) -> pd.DataFrame:
+            og = ray.get(o_ref)
+            v = batch[value_col].to_numpy(np.float64)
+            gvals = _group_series(batch)
+            frames = []
+            for g, idx in gvals.groupby(gvals, sort=False).groups.items():
+                specs = og.get(g)
+                if not specs:
+                    continue
+                ii = np.asarray(idx)
+                vv = v[ii]
+                for sid, seg in specs:
+                    sel = vv[seg.member_mask(vv, n_bins)]
+                    if not len(sel):
+                        continue
+                    part = pd.DataFrame({"__sid": sid, "v": sel})
+                    for k_, gv in zip(keys, g if isinstance(g, tuple)
+                                      else (g,)):
+                        part[k_] = gv
+                    frames.append(part)
+            if not frames:
+                return pd.DataFrame({**{k_: pd.Series(dtype=batch[k_].dtype)
+                                         for k_ in keys},
+                                     "__sid": pd.Series(dtype=np.int64),
+                                     "v": pd.Series(dtype=np.float64)})
+            return pd.concat(frames, ignore_index=True)[keys + ["__sid",
+                                                                "v"]]
+
+        cand = ds.map_batches(pick, batch_format="pandas").to_pandas()
+        gcol = (cand[keys[0]] if len(keys) == 1
+                else list(zip(*[cand[k] for k in keys])))
+        cand = cand.assign(__g=pd.Series(gcol, index=cand.index))
+        for (g, sid), sub in cand.groupby(["__g", "__sid"], sort=False):
+            coll[(g, sid)] = np.sort(sub["v"].to_numpy())
+
+    # ---- exact interpolation from resolved segments ----------------
+    def value_at(g, k: int) -> float:
+        seg = seg_for[(g, k)]
+        if seg.vmin >= seg.vmax:
+            return seg.vmin
+        vals = coll[(g, seg_sid[(g, seg.levels)])]
+        return float(vals[k - seg.start_rank])
+
     rows = []
-    counts_idx = counts.set_index(keys + ["bin"])["cnt"]
-    for g, _ in ext.items():
-        n, lo, hi = ext[g]
+    for g, (n, lo, hi) in ext.items():
         gk = g if isinstance(g, tuple) else (g,)
-        sub = cand[np.logical_and.reduce(
-            [cand[k].to_numpy() == gv for k, gv in zip(keys, gk)])]
-        vals = np.sort(sub["v"].to_numpy())
-        # rank of the first collected value = total count in bins
-        # BELOW the smallest needed bin
-        gsub = counts[np.logical_and.reduce(
-            [counts[k].to_numpy() == gv for k, gv in zip(keys, gk)])]
-        gsub = gsub.sort_values("bin")
-        # collected vals = union of the needed bins, sorted.  A value of
-        # global rank k lives in the needed bin whose global start rank
-        # covers k, at (k − that bin's global start) within the bin's
-        # slice of the collected array.
-        bins_sorted = sorted(need[g])
-        bin_cnt = {int(b): int(counts_idx.get(tuple(list(gk) + [b]), 0))
-                   for b in bins_sorted}
-        # global start rank of each needed bin
-        start_rank = {}
-        for b in bins_sorted:
-            start_rank[b] = int(gsub[gsub["bin"] < b]["cnt"].sum())
-        # collected start index of each needed bin
-        coll_start = {}
-        acc = 0
-        for b in bins_sorted:
-            coll_start[b] = acc
-            acc += bin_cnt[b]
-
-        def value_at(k: int) -> float:
-            j = int(np.searchsorted(
-                [start_rank[b] for b in bins_sorted], k, "right")) - 1
-            b = bins_sorted[j]
-            return float(vals[coll_start[b] + (k - start_rank[b])])
-
         row = dict(zip(keys, gk))
         for q in qs:
             pos = (n - 1) * float(q)
             k = int(np.floor(pos))
             frac = pos - k
-            x0 = value_at(k)
-            x1 = value_at(min(k + 1, n - 1))
+            x0 = value_at(g, k)
+            x1 = value_at(g, min(k + 1, n - 1))
             val = x0 + frac * (x1 - x0)
             row[f"q{q}"] = (round(val, round_to)
                             if round_to is not None else val)

@@ -28,28 +28,64 @@ def validate_coords(ds: ray.data.Dataset, kind: str = "linestring",
     morphology.py:1871-1888).  ``repair=True`` additionally closes open
     polygon rings and runs the buffer(0) analogue on self-intersecting
     rings (reference morphology.py:2194-2264): a bowtie ring explodes
-    into one row per repaired positive face."""
+    into one row per repaired positive face.
+
+    The common (non-repair) path is a zero-copy Arrow mask over the
+    list offsets — no per-row Python; the repair path loops only to
+    probe each ring's self-crossings (inherently per-ring O(n²)) and
+    assembles its output with one batched ``take``."""
     min_pts = 2 if kind == "linestring" else 3
 
+    if not (repair and kind == "polygon"):
+        import pyarrow as pa
+
+        def fa(tb: "pa.Table") -> "pa.Table":
+            if tb.num_rows == 0:
+                return tb
+            la = tb.column("coords").combine_chunks()
+            valid = la.is_valid().to_numpy(zero_copy_only=False)
+            if isinstance(la, pa.ExtensionArray):
+                # Ray's variable-shaped tensor extension: storage is a
+                # struct whose field 0 is the large_list<double> data.
+                la = la.storage.field(0)
+            if pa.types.is_list(la.type) or pa.types.is_large_list(la.type):
+                offs = np.asarray(la.offsets)
+                lens = offs[1:] - offs[:-1]
+                vals = la.values.to_numpy(zero_copy_only=False)
+                badc = np.concatenate(
+                    [[0], np.cumsum(~np.isfinite(vals), dtype=np.int64)])
+                ok = (badc[offs[1:]] - badc[offs[:-1]] == 0)
+            else:  # fixed-size lists / unknown layout: per-row probe
+                rows = la.to_pylist()
+                lens = np.fromiter(
+                    (0 if c is None else len(c) for c in rows),
+                    np.int64, len(rows))
+                ok = np.fromiter(
+                    (c is not None
+                     and np.isfinite(np.asarray(c, np.float64)).all()
+                     for c in rows), bool, len(rows))
+            ok &= (lens >= 2 * min_pts) & (lens % 2 == 0) & valid
+            return tb.filter(pa.array(ok))
+
+        return ds.map_batches(fa, batch_format="pyarrow")
+
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, row in batch.iterrows():
-            c = np.asarray(row["coords"], np.float64)
-            ok = (len(c) >= 2 * min_pts and len(c) % 2 == 0
-                  and np.isfinite(c).all())
-            if not ok:
+        coords = batch["coords"].to_numpy()
+        take_idx: list[int] = []
+        faces: list[np.ndarray] = []
+        for i, raw in enumerate(coords):
+            c = np.asarray(raw, np.float64)
+            if not (len(c) >= 2 * min_pts and len(c) % 2 == 0
+                    and np.isfinite(c).all()):
                 continue
-            if repair and kind == "polygon":
-                for face in repair_ring(c):
-                    r2 = row.copy()
-                    r2["coords"] = np.concatenate([face, face[:2]])
-                    rows.append(r2)
-            else:
-                r2 = row.copy()
-                r2["coords"] = c
-                rows.append(r2)
-        return (pd.DataFrame(rows).reset_index(drop=True) if rows
-                else batch.iloc[:0])
+            for face in repair_ring(c):
+                take_idx.append(i)
+                faces.append(np.concatenate([face, face[:2]]))
+        if not take_idx:
+            return batch.iloc[:0]
+        out = batch.iloc[take_idx].reset_index(drop=True)
+        out["coords"] = pd.Series(faces, dtype=object)
+        return out
 
     return ds.map_batches(fn, batch_format="pandas")
 

@@ -186,6 +186,31 @@ def test_group_quantiles_exact():
             assert out.loc[g, f"q{q}"] == want
 
 
+def test_group_quantiles_bounded_collect():
+    """Heavy-tie and hot-bin distributions: the recursive refinement
+    must (a) resolve all-equal bins with NO value collect (vmin==vmax)
+    and (b) re-histogram hot bins until each collected segment is under
+    collect_cap, staying bit-equal to numpy throughout."""
+    from city2graph_ray.ops.stats import group_quantiles
+    rng = np.random.default_rng(11)
+    # group "tie": 1 distinct value x 50k rows — zero rows may be
+    # collected with a tiny cap; group "hot": 50k rows crammed into a
+    # hair-width slice of the value range so round-0 puts nearly all of
+    # them in one bin and refinement MUST recurse.
+    hot = np.concatenate([rng.uniform(0.0, 1e-6, 49_999), [1000.0]])
+    df = pd.DataFrame({
+        "g": np.repeat(["tie", "hot"], 50_000),
+        "v": np.concatenate([np.full(50_000, 3.25), hot])})
+    out = (group_quantiles(rd.from_pandas(df).repartition(8), ["g"], "v",
+                           qs=[0.5, 0.99], collect_cap=256,
+                           round_to=None).to_pandas().set_index("g"))
+    for g in ("tie", "hot"):
+        vals = df[df.g == g].v.to_numpy()
+        for q in (0.5, 0.99):
+            assert out.loc[g, f"q{q}"] == float(
+                np.quantile(vals, q, method="linear"))
+
+
 def test_langid_markers():
     from city2graph_ray.text.analysis import lang_id
     df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
