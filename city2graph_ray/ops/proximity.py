@@ -841,18 +841,102 @@ def _lune_filter_tiled(points: ray.data.Dataset, edges: ray.data.Dataset,
     return tot.filter(expr="witness == 0").drop_columns(["witness"])
 
 
+def _boruvka_mst(cand: ray.data.Dataset, max_rounds: int = 40,
+                 ) -> ray.data.Dataset:
+    """Distributed Borůvka over a candidate edge Dataset (src, dst,
+    distance) — exact MST/forest of the candidate graph under the
+    deterministic (distance, src, dst) total order (all-distinct edge
+    keys ⇒ no tie cycles, Borůvka's classic requirement).  Per round:
+    one per-component min-incident-edge shuffle (``topk_in_group`` k=1
+    over the doubled edge stream), a ``connected_components``
+    contraction of the ≤|components|-row min-edge pointer graph, and
+    two bucketed relabel joins; components at least halve per round, so
+    O(log n) rounds and the edge set never touches the driver."""
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.ops.topology import connected_components
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": b["src"].to_numpy(np.int64),
+            "dst": b["dst"].to_numpy(np.int64),
+            "distance": b["distance"].to_numpy(np.float64),
+            "cu": b["src"].to_numpy(np.int64),
+            "cv": b["dst"].to_numpy(np.int64)})
+
+    edges = cand.map_batches(init, batch_format="pandas").materialize()
+    picked: list[ray.data.Dataset] = []
+    for _ in range(max_rounds):
+        edges = edges.map_batches(
+            lambda b: b[b["cu"].to_numpy() != b["cv"].to_numpy()],
+            batch_format="pandas").materialize()
+        if edges.count() == 0:
+            break
+
+        def double(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "comp": np.concatenate([b["cu"].to_numpy(np.int64),
+                                        b["cv"].to_numpy(np.int64)]),
+                "src": np.tile(b["src"].to_numpy(np.int64), 2),
+                "dst": np.tile(b["dst"].to_numpy(np.int64), 2),
+                "distance": np.tile(b["distance"].to_numpy(np.float64), 2),
+                "cu": np.tile(b["cu"].to_numpy(np.int64), 2),
+                "cv": np.tile(b["cv"].to_numpy(np.int64), 2)})
+
+        f = shuffle.topk_in_group(
+            edges.map_batches(double, batch_format="pandas"),
+            ["comp"], 1, ["distance", "src", "dst"],
+            [True, True, True]).materialize()
+        picked.append(f.select_columns(["src", "dst", "distance"]))
+        lab = connected_components(f.map_batches(
+            lambda b: pd.DataFrame({"src": b["cu"].to_numpy(np.int64),
+                                    "dst": b["cv"].to_numpy(np.int64)}),
+            batch_format="pandas"))
+        for col in ("cu", "cv"):
+            def proj(b: pd.DataFrame, c=col) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {c: b["node_id"].to_numpy(np.int64),
+                     "__new": b["component"].to_numpy(np.int64)})
+
+            def relab(b: pd.DataFrame, c=col) -> pd.DataFrame:
+                new = b["__new"].to_numpy(np.float64)
+                out = np.where(np.isnan(new), b[c].to_numpy(np.int64),
+                               new).astype(np.int64)
+                b = b.drop(columns=["__new"])
+                b[c] = out
+                return b
+
+            edges = bucketed_join(
+                edges, lab.map_batches(proj, batch_format="pandas"),
+                on=col, how="left"
+            ).map_batches(relab, batch_format="pandas")
+        edges = edges.materialize()
+    if not picked:
+        return cand.limit(0)
+    out = picked[0].union(*picked[1:]) if len(picked) > 1 else picked[0]
+    return shuffle.distinct(out, ["src", "dst"]).sort(["src", "dst"])
+
+
 def euclidean_minimum_spanning_tree(points: ray.data.Dataset,
                                     cell_size: float | None = None,
+                                    strategy: str = "auto",
+                                    driver_threshold: int = 2_000_000,
                                     ) -> ray.data.Dataset:
-    """Kruskal over Delaunay-pruned candidates (reference
+    """EMST over Delaunay-pruned candidates (reference
     proximity.py:1187-1300).  Candidate generation is the certified
-    tiled Delaunay (distributed); only the ~3n (src, dst, distance)
-    candidate rows are collected for the driver Kruskal — never the
-    point table or a global triangulation.  At 10⁹+ nodes, swap the
-    final pass for distributed Borůvka (candidates are already the
-    Dataset this would consume)."""
-    edges = (delaunay_graph(points, tiled=True, cell_size=cell_size)
-             .to_pandas())
+    tiled Delaunay (distributed); the spanning pass is driver Kruskal
+    below ``driver_threshold`` candidate rows (fast, union-find over
+    ≤~3n small rows) and distributed Borůvka (:func:`_boruvka_mst`)
+    above it — ``strategy`` forces ``"kruskal"``/``"boruvka"``.  Both
+    use the same (distance, src, dst) total order, so their edge sets
+    are identical (cross-checked in tests)."""
+    cand = (delaunay_graph(points, tiled=True, cell_size=cell_size)
+            .materialize())
+    if strategy not in ("auto", "kruskal", "boruvka"):
+        raise ValueError(f"bad strategy {strategy!r}")
+    if strategy == "boruvka" or (strategy == "auto"
+                                 and cand.count() > driver_threshold):
+        return _boruvka_mst(cand)
+    edges = cand.to_pandas()
     order = np.lexsort((edges["dst"].to_numpy(), edges["src"].to_numpy(),
                         edges["distance"].to_numpy()))
     parent: dict[int, int] = {}
