@@ -607,6 +607,42 @@ def _network_knn(sf_dir: str):
                              edf[["src", "dst", "length"]], k=3)
 
 
+def _network_knn_bounded(sf_dir: str):
+    """k nearest network nodes per sampled source node under BOUNDED-HOP
+    network distance (4 hops) — the distributed Bellman-Ford relaxation
+    (``bounded_hop_paths``), whose per-round min-recurrence is exactly
+    SQL-expressible as chained aggregating CTEs, so unlike the Dijkstra
+    form this network-distance query is bit-exact against DuckDB."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.network import bounded_hop_paths
+    from city2graph_ray.ops.topology import segments_to_graph
+    from city2graph_ray.pipelines.tables import order_segments
+
+    nodes, edges = segments_to_graph(order_segments(sf_dir))
+
+    def wedges(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.stack([np.asarray(x, np.float64) for x in b["coords"]])
+        dx = c[:, 0] - c[:, 2]
+        dy = c[:, 1] - c[:, 3]
+        w = np.sqrt(dx * dx + dy * dy)
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([s, d]),
+                             "dst": np.concatenate([d, s]),
+                             "weight": np.tile(w, 2)})
+
+    srcs = nodes.map_batches(
+        lambda b: b.loc[b["node_id"].to_numpy(np.int64) % 101 == 0,
+                        ["node_id"]],
+        batch_format="pandas")
+    dist = bounded_hop_paths(edges.map_batches(wedges, batch_format="pandas"),
+                             srcs, hops=4, num_buckets=16)
+    dist = dist.map_batches(lambda b: b[b["src"] != b["dst"]],
+                            batch_format="pandas")
+    return shuffle.topk_in_group(dist, ["src"], 3,
+                                 ["distance", "dst"], [True, True])
+
+
 def _last_occurrence(sf_dir: str):
     """last-occurrence-wins per (custkey, orderstatus) over orders in
     o_orderkey order (reference _get_last_occurrence_indexer,
@@ -1060,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _ngram_jaccard,
         "event_user_counts": _event_user_counts,
         "network_knn": _network_knn,
+        "network_knn_bounded": _network_knn_bounded,
         "symmetrized_od": _symmetrized_od,
         "last_occurrence": _last_occurrence,
         "tess_place_place": _tess_place_place,
@@ -1213,6 +1250,50 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY least(a, b), greatest(a, b)
                        ORDER BY seg_id) - 1 AS edge_key
             FROM resolved""",
+        # bounded-hop Bellman-Ford: each dN is exactly one relaxation
+        # round of bounded_hop_paths (carry ∪ frontier×edges, then
+        # group-min) — identical float operand sets each round, so the
+        # min/sum recurrence is bit-exact between engines.
+        "network_knn_bounded": f"""
+            WITH nodes AS ({_SEG_NODES}), segs AS ({_SEG_EPS}),
+            resolved AS (
+                SELECT na.node_id AS a, nb.node_id AS b,
+                       sqrt((s.ax-s.bx)*(s.ax-s.bx)
+                          + (s.ay-s.by)*(s.ay-s.by)) AS w
+                FROM segs s
+                JOIN nodes na ON na.x = s.ax AND na.y = s.ay
+                JOIN nodes nb ON nb.x = s.bx AND nb.y = s.by),
+            edges AS (SELECT a AS src, b AS dst, w FROM resolved
+                      UNION ALL SELECT b, a, w FROM resolved),
+            d0 AS (SELECT node_id AS src, node_id AS dst,
+                          0.0::DOUBLE AS distance
+                   FROM nodes WHERE node_id % 101 = 0),
+            d1 AS (SELECT src, dst, min(distance) AS distance FROM (
+                     SELECT * FROM d0 UNION ALL
+                     SELECT d.src, e.dst, d.distance + e.w
+                     FROM d0 d JOIN edges e ON d.dst = e.src)
+                   GROUP BY src, dst),
+            d2 AS (SELECT src, dst, min(distance) AS distance FROM (
+                     SELECT * FROM d1 UNION ALL
+                     SELECT d.src, e.dst, d.distance + e.w
+                     FROM d1 d JOIN edges e ON d.dst = e.src)
+                   GROUP BY src, dst),
+            d3 AS (SELECT src, dst, min(distance) AS distance FROM (
+                     SELECT * FROM d2 UNION ALL
+                     SELECT d.src, e.dst, d.distance + e.w
+                     FROM d2 d JOIN edges e ON d.dst = e.src)
+                   GROUP BY src, dst),
+            d4 AS (SELECT src, dst, min(distance) AS distance FROM (
+                     SELECT * FROM d3 UNION ALL
+                     SELECT d.src, e.dst, d.distance + e.w
+                     FROM d3 d JOIN edges e ON d.dst = e.src)
+                   GROUP BY src, dst)
+            SELECT src, dst, distance FROM (
+                SELECT src, dst, distance,
+                       row_number() OVER (PARTITION BY src
+                           ORDER BY distance, dst) AS rn
+                FROM d4 WHERE src <> dst)
+            WHERE rn <= 3""",
         "dual_edges": f"""
             WITH nodes AS ({_SEG_NODES}), segs AS ({_SEG_EPS}),
             resolved AS (

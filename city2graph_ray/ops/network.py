@@ -208,6 +208,74 @@ def network_knn_graph(points: ray.data.Dataset, nodes: pd.DataFrame,
                                  ["distance", "dst"], [True, True])
 
 
+def bounded_hop_paths(edges: ray.data.Dataset,
+                      sources: ray.data.Dataset,
+                      hops: int,
+                      weight_col: str = "weight",
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Distributed bounded-hop single-source shortest paths (iterative
+    Bellman-Ford relaxation) — the fully-shuffled alternative to the
+    broadcast-Dijkstra actor when the network itself is too large to
+    ship to every worker (reference computes the same distances via
+    NetworkX Dijkstra, proximity.py:313-362; the hop bound makes the
+    semantics exactly SQL-expressible for the driver oracle).
+
+    ``edges``: directed (src, dst, weight) rows — callers double rows
+    for undirected graphs.  ``sources``: (node_id) rows.  Returns one
+    row per (src, dst) reachable within ``hops`` edges with
+    ``distance`` = min over ≤hops-edge paths of the left-to-right float
+    sum of weights.  Per round: one bucketed hash join (frontier ×
+    edges) + one partial-aggregated group-min — distances never touch
+    the driver, object-store-resident throughout.  d(s,·) tables halve
+    nothing but grow only with the reachable neighborhood, so total
+    bytes ∝ sum of |B_hops(s)| over sources."""
+    from city2graph_ray.joins import bucketed_join
+
+    eds = edges.map_batches(
+        lambda b, w=weight_col: pd.DataFrame({
+            "mid": b["src"].to_numpy(np.int64),
+            "ndst": b["dst"].to_numpy(np.int64),
+            "w": b[w].to_numpy(np.float64)}),
+        batch_format="pandas").materialize()
+
+    dist = sources.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["node_id"].to_numpy(np.int64),
+            "dst": b["node_id"].to_numpy(np.int64),
+            "distance": np.zeros(len(b), np.float64)}),
+        batch_format="pandas").materialize()
+
+    if dist.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                          "dst": pd.Series(dtype=np.int64),
+                          "distance": pd.Series(dtype=np.float64)}))
+
+    for _ in range(max(int(hops), 0)):
+        frontier = dist.map_batches(
+            lambda b: pd.DataFrame({
+                "src": b["src"].to_numpy(np.int64),
+                "mid": b["dst"].to_numpy(np.int64),
+                "distance": b["distance"].to_numpy(np.float64)}),
+            batch_format="pandas")
+        relaxed = bucketed_join(frontier, eds, on="mid",
+                                num_buckets=num_buckets).map_batches(
+            lambda b: pd.DataFrame({
+                "src": b["src"].to_numpy(np.int64),
+                "dst": b["ndst"].to_numpy(np.int64),
+                "distance": (b["distance"].to_numpy(np.float64)
+                             + b["w"].to_numpy(np.float64))}),
+            batch_format="pandas")
+        # coalesce: without this the union + map_groups block count
+        # compounds per round (32→992 blocks in 4 rounds on the gate
+        # fixture) and the sort-shuffle cost tracks blocks, not rows
+        dist = shuffle.group_agg(dist.union(relaxed), ["src", "dst"],
+                                 {"distance": ("distance", "min")},
+                                 num_buckets=num_buckets).repartition(
+            max(num_buckets // 4, 8)).materialize()
+    return dist
+
+
 def network_fixed_radius_graph(points: ray.data.Dataset, nodes: pd.DataFrame,
                                edges: pd.DataFrame, radius: float,
                                weight_col: str = "length") -> ray.data.Dataset:

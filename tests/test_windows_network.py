@@ -120,6 +120,43 @@ def test_network_fixed_radius(net):
     assert pairs == {(100, 101), (100, 102), (101, 102), (102, 103)}
 
 
+def test_bounded_hop_paths(net):
+    """Distributed Bellman-Ford vs a dense numpy min-plus recurrence —
+    identical (src, dst, distance) sets at every hop bound, plus the
+    0-hop and empty-source degenerate cases."""
+    from city2graph_ray.ops.network import bounded_hop_paths
+    nodes, edges, _ = net
+    rng = np.random.default_rng(5)
+    extra = pd.DataFrame({"src": [0, 1], "dst": [3, 4],
+                          "length": [7.5, 33.0]})
+    e = pd.concat([edges, extra], ignore_index=True)
+    dedges = pd.DataFrame({
+        "src": np.concatenate([e["src"], e["dst"]]).astype(np.int64),
+        "dst": np.concatenate([e["dst"], e["src"]]).astype(np.int64),
+        "weight": np.tile(e["length"].to_numpy(np.float64), 2)})
+    n = 5
+    w = np.full((n, n), np.inf)
+    for s, d, ww in dedges.itertuples(index=False):
+        w[s, d] = min(w[s, d], ww)
+    srcs = pd.DataFrame({"node_id": np.array([0, 2], np.int64)})
+    for hops in (0, 1, 2, 3):
+        dist = np.full((n, n), np.inf)
+        dist[np.arange(n), np.arange(n)] = 0.0
+        for _ in range(hops):
+            dist = np.minimum(dist, (dist[:, :, None] + w[None, :, :]).min(1))
+        got = bounded_hop_paths(
+            rd.from_pandas(dedges), rd.from_pandas(srcs), hops).to_pandas()
+        want = {(s, d): dist[s, d] for s in (0, 2) for d in range(n)
+                if np.isfinite(dist[s, d])}
+        assert {(r.src, r.dst): r.distance
+                for r in got.itertuples()} == want, hops
+    empty = bounded_hop_paths(
+        rd.from_pandas(dedges),
+        rd.from_pandas(pd.DataFrame({"node_id": pd.Series(dtype=np.int64)})),
+        2).to_pandas()
+    assert len(empty) == 0
+
+
 def test_metapath_undirected_and_callable():
     from city2graph_ray.ops.metapath import add_metapaths
     # 1-10-2 and 2-10-1 are the same undirected path → dedup to one
