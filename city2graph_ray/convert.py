@@ -50,11 +50,20 @@ def from_networkx(g) -> tuple[pd.DataFrame, pd.DataFrame]:
     return nodes, edges
 
 
-def to_pyg(*_args, **_kwargs):  # pragma: no cover - env without torch
-    raise NotImplementedError(
-        "torch/PyG are not available in this environment; the reference "
-        "parity surface (graph.py:2612-2876) is deferred to an "
-        "import-gated extra")
+def to_pyg(*args, **kwargs):  # pragma: no cover - env without torch
+    """Actual torch Data/HeteroData objects need torch; the tensor
+    LAYOUT (shapes, dtypes, id mapping, symmetrization, round-trip) is
+    fully implemented torch-free in :mod:`city2graph_ray.pyg_layout` —
+    use ``to_pyg_layout`` / ``to_hetero_pyg_layout``."""
+    try:
+        import torch  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "torch/PyG are not available in this environment; use "
+            "city2graph_ray.pyg_layout.to_pyg_layout for the torch-free "
+            "tensor layout (reference graph.py:2612-2876)") from exc
+    from city2graph_ray.pyg_layout import to_pyg_layout
+    return to_pyg_layout(*args, **kwargs)
 
 
 def to_rustworkx(*_args, **_kwargs):  # pragma: no cover
