@@ -607,6 +607,38 @@ def _network_knn(sf_dir: str):
                              edf[["src", "dst", "length"]], k=3)
 
 
+def _network_path_geom(sf_dir: str):
+    """Shortest-path polylines for a sampled customer kNN edge set over
+    the order-segment street graph (reference
+    _compute_network_edge_data, proximity.py:630-690; Dijkstra paths
+    not SQL-expressible → rows-only, polyline exactness covered by
+    tests/test_windows_network.py::test_network_path_geometry)."""
+    from city2graph_ray.ops.network import attach_network_path_geometry
+    from city2graph_ray.ops.proximity import knn_graph
+    from city2graph_ray.ops.topology import segments_to_graph
+    from city2graph_ray.pipelines.tables import customer_points, order_segments
+
+    nodes, edges = segments_to_graph(order_segments(sf_dir))
+
+    def wlen(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.stack([np.asarray(x, np.float64) for x in b["coords"]])
+        dx = c[:, 0] - c[:, 2]
+        dy = c[:, 1] - c[:, 3]
+        return pd.DataFrame({"src": b["src"].to_numpy(np.int64),
+                             "dst": b["dst"].to_numpy(np.int64),
+                             "length": np.sqrt(dx * dx + dy * dy)})
+
+    pts = customer_points(sf_dir)
+    sample = pts.map_batches(
+        lambda b: b[b["id"].to_numpy(np.int64) % 101 == 0],
+        batch_format="pandas").materialize()
+    pe = knn_graph(sample, 3, targets=pts).map_batches(
+        lambda b: b[["src", "dst"]], batch_format="pandas")
+    return attach_network_path_geometry(
+        pe, pts, nodes.to_pandas(),
+        edges.map_batches(wlen, batch_format="pandas").to_pandas())
+
+
 def _network_knn_bounded(sf_dir: str):
     """k nearest network nodes per sampled source node under BOUNDED-HOP
     network distance (4 hops) — the distributed Bellman-Ford relaxation
@@ -1097,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_counts": _event_user_counts,
         "network_knn": _network_knn,
         "network_knn_bounded": _network_knn_bounded,
+        "network_path_geom": _network_path_geom,
         "symmetrized_od": _symmetrized_od,
         "last_occurrence": _last_occurrence,
         "tess_place_place": _tess_place_place,

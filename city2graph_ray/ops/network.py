@@ -208,6 +208,116 @@ def network_knn_graph(points: ray.data.Dataset, nodes: pd.DataFrame,
                                  ["distance", "dst"], [True, True])
 
 
+def attach_network_path_geometry(edges: ray.data.Dataset,
+                                 points: ray.data.Dataset,
+                                 nodes: pd.DataFrame,
+                                 net_edges: pd.DataFrame,
+                                 weight_col: str = "length",
+                                 cutoff: float | None = None,
+                                 ) -> ray.data.Dataset:
+    """Shortest-path polyline + network distance per point-graph edge
+    (reference _compute_network_edge_data, proximity.py:630-690):
+    endpoints snap to their nearest network node, each edge's geometry
+    is the LINESTRING through the network-node positions on the
+    shortest path, straight (p1, p2) fallback when the path has < 2
+    nodes (co-snapped endpoints) or no path exists (distance inf).
+
+    Engine shape: the pair table is grouped by snapped source node so
+    one Dijkstra serves every edge sharing a source (reference
+    edges_by_src_nn grouping); the network is the broadcast small side
+    (``ray.put`` once, adjacency built per actor in ``__init__``);
+    path rows rejoin the edge stream through a bucketed hash join —
+    no candidate row lands on the driver."""
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.ops.proximity import _joined_endpoint_coords
+
+    keep = list(edges.schema().names)
+    snapped = snap_to_nodes(points, nodes).materialize()
+
+    def side(node_col: str, id_col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: b["id"].to_numpy(),
+                                 node_col: b["node_id"].to_numpy(np.int64)})
+        return fn
+
+    withxy = _joined_endpoint_coords(edges, points)
+    e2 = bucketed_join(withxy, snapped.map_batches(side("src_node", "src"),
+                                                   batch_format="pandas"),
+                       on="src")
+    e2 = bucketed_join(e2, snapped.map_batches(side("dst_node", "dst"),
+                                               batch_format="pandas"),
+                       on="dst").materialize()
+
+    pairs = shuffle.distinct(
+        e2.map_batches(lambda b: b[["src_node", "dst_node"]],
+                       batch_format="pandas"),
+        ["src_node", "dst_node"],
+        # distinct's bucket kernel keeps each src_node's pairs in ONE
+        # output block, so the actor stage runs one Dijkstra per source
+        # per block, not per batch fragment
+    )
+
+    nref = ray.put((nodes["node_id"].to_numpy(np.int64),
+                    nodes["x"].to_numpy(np.float64),
+                    nodes["y"].to_numpy(np.float64)))
+    eref = ray.put(net_edges[["src", "dst", weight_col]])
+
+    class PathTrace:
+        def __init__(self):
+            import networkx as nx
+            nid, nx_, ny_ = ray.get(nref)
+            self.pos = {int(n): (float(a), float(b))
+                        for n, a, b in zip(nid, nx_, ny_)}
+            e = ray.get(eref)
+            self.g = nx.Graph()
+            for s, d, w in e.itertuples(index=False):
+                self.g.add_edge(int(s), int(d), weight=float(w))
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            import networkx as nx
+            out_s, out_d, out_w, out_g = [], [], [], []
+            for src, grp in batch.groupby("src_node", sort=False):
+                src = int(src)
+                if src in self.g:
+                    dists, paths = nx.single_source_dijkstra(
+                        self.g, src, cutoff=cutoff, weight="weight")
+                else:
+                    dists, paths = {}, {}
+                for dst in grp["dst_node"].to_numpy(np.int64):
+                    dst = int(dst)
+                    out_s.append(src)
+                    out_d.append(dst)
+                    out_w.append(dists.get(dst, float("inf")))
+                    p = paths.get(dst)
+                    if p and len(p) >= 2:
+                        out_g.append("LINESTRING (" + ", ".join(
+                            f"{self.pos[q][0]} {self.pos[q][1]}"
+                            for q in p) + ")")
+                    else:
+                        out_g.append(None)   # straight fallback downstream
+            return pd.DataFrame({"src_node": np.array(out_s, np.int64),
+                                 "dst_node": np.array(out_d, np.int64),
+                                 "network_distance": np.array(out_w),
+                                 "path_wkt": pd.array(out_g, dtype=object)})
+
+    traced = pairs.map_batches(PathTrace, batch_format="pandas",
+                               batch_size=4096, concurrency=(1, 8))
+
+    joined = bucketed_join(e2, traced, on=["src_node", "dst_node"])
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keep].copy()
+        straight = [f"LINESTRING ({a} {c}, {e} {f})"
+                    for a, c, e, f in zip(b["ux"], b["uy"], b["vx"], b["vy"])]
+        wkt = [p if isinstance(p, str) else s
+               for p, s in zip(b["path_wkt"], straight)]
+        out["network_distance"] = b["network_distance"].to_numpy(np.float64)
+        out["geometry"] = wkt
+        return out
+
+    return joined.map_batches(emit, batch_format="pandas")
+
+
 def bounded_hop_paths(edges: ray.data.Dataset,
                       sources: ray.data.Dataset,
                       hops: int,

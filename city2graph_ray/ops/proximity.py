@@ -990,7 +990,7 @@ def attach_edge_geometry(edges: ray.data.Dataset, points: ray.data.Dataset,
     (p1, p2); manhattan → the L-shaped path (p1, (p2.x, p1.y), p2).
     Output = the edge stream + a ``geometry`` WKT column (endpoint
     coords joined in, never broadcast).  Network-metric edges get their
-    path geometry from network_knn_graph itself."""
+    path polyline from ops.network.attach_network_path_geometry."""
     if metric not in ("euclidean", "manhattan"):
         raise ValueError(f"unsupported metric for edge geometry: {metric}")
     withxy = _joined_endpoint_coords(edges, points)

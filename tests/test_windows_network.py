@@ -120,6 +120,44 @@ def test_network_fixed_radius(net):
     assert pairs == {(100, 101), (100, 102), (101, 102), (102, 103)}
 
 
+def test_network_path_geometry(net):
+    """Path polylines + network distances vs the NetworkX oracle:
+    multi-hop paths trace node positions, co-snapped endpoints fall
+    back to the straight segment with distance 0, disconnected
+    components get inf + straight fallback."""
+    import networkx as nx
+    from city2graph_ray.ops.network import attach_network_path_geometry
+    nodes, edges, points = net
+    # isolated node 5 + a point snapping to it (disconnected case)
+    nodes = pd.concat([nodes, pd.DataFrame(
+        {"node_id": [5], "x": [500.0], "y": [0.0]})], ignore_index=True)
+    points = pd.concat([points, pd.DataFrame(
+        {"id": np.array([104, 105], np.int64),
+         "x": [499.0, 2.0], "y": [0.0, 0.0]})], ignore_index=True)
+    pe = pd.DataFrame({"src": np.array([100, 100, 100, 100], np.int64),
+                       "dst": np.array([102, 103, 104, 105], np.int64)})
+    got = attach_network_path_geometry(
+        rd.from_pandas(pe), rd.from_pandas(points), nodes, edges,
+    ).to_pandas().set_index("dst")
+
+    g = nx.Graph()
+    for s, d, w in edges.itertuples(index=False):
+        g.add_edge(int(s), int(d), weight=float(w))
+    pos = {int(r.node_id): (r.x, r.y) for r in nodes.itertuples()}
+    # 100 snaps to node 0, 102 to node 2: path 0-1-2, dist 20
+    assert got.loc[102, "network_distance"] == 20.0
+    want = "LINESTRING (" + ", ".join(
+        f"{pos[q][0]} {pos[q][1]}" for q in nx.dijkstra_path(g, 0, 2)) + ")"
+    assert got.loc[102, "geometry"] == want
+    assert got.loc[103, "network_distance"] == 40.0
+    # 104 snaps to isolated node 5: unreachable -> inf + straight
+    assert np.isinf(got.loc[104, "network_distance"])
+    assert got.loc[104, "geometry"] == "LINESTRING (1.0 0.0, 499.0 0.0)"
+    # 105 co-snaps with 100 to node 0: distance 0, straight fallback
+    assert got.loc[105, "network_distance"] == 0.0
+    assert got.loc[105, "geometry"] == "LINESTRING (1.0 0.0, 2.0 0.0)"
+
+
 def test_bounded_hop_paths(net):
     """Distributed Bellman-Ford vs a dense numpy min-plus recurrence —
     identical (src, dst, distance) sets at every hop bound, plus the
