@@ -607,6 +607,16 @@ def _network_knn(sf_dir: str):
                              edf[["src", "dst", "length"]], k=3)
 
 
+def _doc_pack_spans(sf_dir: str):
+    """GPT-style concat-and-chunk sequence packing: slice the global
+    token stream (docs in doc_id order) into 256-token training
+    windows; one row per (doc, window) overlap.  Distributed prefix-sum
+    (per-block partials -> exclusive offsets -> vectorized span emit)."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.packing import concat_chunk_packing
+    return concat_chunk_packing(documents(sf_dir), 256)
+
+
 def _network_path_geom(sf_dir: str):
     """Shortest-path polylines for a sampled customer kNN edge set over
     the order-segment street graph (reference
@@ -1101,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_fingerprint_dedup": _doc_fingerprint_dedup,
         "doc_token_stats": _doc_tokens,
+        "doc_pack_spans": _doc_pack_spans,
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_langid,
         "minhash_clusters": _minhash_clusters,
@@ -1386,6 +1397,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY array_to_string(list_sort(list_distinct(
                 string_split(text, ' '))), ' ')""",
+        "doc_pack_spans": """
+            WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                       FROM documents),
+            s AS (SELECT doc_id, n,
+                         coalesce(sum(n) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS st
+                  FROM t)
+            , u AS (SELECT doc_id, st, n,
+                           unnest(generate_series(
+                               CAST(st // 256 AS BIGINT),
+                               CAST((st + n - 1) // 256 AS BIGINT))) AS p
+                    FROM s)
+            SELECT doc_id, p AS pack_id,
+                   greatest(st, p * 256) - p * 256 AS pack_offset,
+                   least(st + n, (p + 1) * 256)
+                       - greatest(st, p * 256) AS n_tokens
+            FROM u""",
         "doc_token_stats": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                    len(list_distinct(string_split(text, ' '))) AS n_distinct
