@@ -163,7 +163,21 @@ def load_overture_data(area=None, types=None, path: str | None = None,
     is a directory holding one parquet file per requested type
     (``{path}/{type}.parquet``) → dict[type, Dataset].  The production
     ingress for this engine is the interleaved-document table
-    (sources/interleaved.py) per BASELINE.json."""
+    (sources/interleaved.py) per BASELINE.json.
+
+    Remote-mode plan (when a networked deployment enables it): split
+    ``area``'s bbox into a grid of fetch tiles sized so one tile ≈ one
+    Ray Data block (~128 MB), build the tile list as a small Dataset,
+    and run the Overture S3 GeoParquet reads as an actor-pool
+    ``map_batches`` stage (one boto/pyarrow S3 filesystem per actor in
+    ``__init__``; per-tile predicate pushdown via the release's
+    bbox-partitioned layout, ``columns=`` pruning at the read).  Tiles
+    stream straight into the same validate → clip → explode chain the
+    local mode uses; per-tile lineage rows (state/lineage.py) make the
+    fetch resumable so a failed crawl skips finished tiles.  No
+    driver-side download, no shelling out to the ``overturemaps`` CLI
+    (reference data.py:501-513) — the CLI's GeoJSON hop is the
+    single-process bottleneck this engine exists to avoid."""
     if path is None:
         raise NotImplementedError(
             "network fetch is unavailable in this environment; pass "
