@@ -361,6 +361,20 @@ def _ivf_ann_exact(sf_dir: str):
     return ivf_topk(emb, qdf, k=10, n_centroids=16, nprobe=16)
 
 
+def _lsh_ann_exact(sf_dir: str):
+    """Random-hyperplane LSH with nprobe = 2**nbits probes every bucket
+    — exact by construction, so the full LSH machinery (code
+    assignment, single bucket shuffle, multi-probe routing, per-bucket
+    scoring, global merge) gets a bit-exact SQL oracle; the
+    default-nprobe variant stays recall-tested in pytest."""
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.ann import lsh_topk
+    emb = embeddings(sf_dir)
+    qdf = (emb.filter(lambda r: r["vec_id"] < 10).to_pandas()
+           .rename(columns={"vec_id": "query_id"}))
+    return lsh_topk(emb, qdf, k=10, nbits=4, nprobe=16)
+
+
 def _emb_neardup(sf_dir: str):
     from city2graph_ray.pipelines.tables import embeddings
     from city2graph_ray.vector.ann import embedding_neardup
@@ -1088,6 +1102,24 @@ def _tpch_q3(sf_dir: str):
                 "o_orderpriority"]]
 
 
+def _tpch_q6(sf_dir: str):
+    """Forecast-revenue scan (filtered read + global partial sum)."""
+    from city2graph_ray.pipelines.relational import revenue_forecast
+
+    return revenue_forecast(sf_dir)
+
+
+def _tpch_q18(sf_dir: str):
+    """Large-volume orders (pre-agg HAVING drives two bucketed joins)."""
+    from city2graph_ray.pipelines.relational import large_volume_orders
+
+    out = large_volume_orders(sf_dir).to_pandas()
+    out["o_orderdate_us"] = out["o_orderdate"].astype(
+        "datetime64[us]").to_numpy().view("i8")
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate_us",
+                "o_totalprice", "sum_qty"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -1124,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann,
         "ivf_ann_topk": _ivf_ann,
         "ivf_ann_exact": _ivf_ann_exact,
+        "lsh_ann_exact": _lsh_ann_exact,
         "emb_neardup": _emb_neardup,
         "zonal_tessellation": _zonal_tess,
         "vector_tess_areas": _vector_tess,
@@ -1163,6 +1196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": _media_features,
         "media_frame_sample": _media_frames,
         "tpch_q5_region": _tpch_q5_region,
+        "tpch_q6_forecast": _tpch_q6,
+        "tpch_q18_volume": _tpch_q18,
         "event_user_hll": _event_user_hll,
         "doc_token_heavy_hitters": _token_heavy_hitters,
     }
@@ -1439,6 +1474,14 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY q.vec_id
                 ORDER BY cosine DESC, e.vec_id) <= 10""",
         "ivf_ann_exact": """
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM embeddings e, embeddings q WHERE q.vec_id < 10
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY cosine DESC, e.vec_id) <= 10""",
+        "lsh_ann_exact": """
             SELECT q.vec_id AS query_id, e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[],
                                                 q.embedding::DOUBLE[]), 6)
@@ -1951,6 +1994,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name""",
+        "tpch_q6_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS qualifying_rows
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
+        "tpch_q18_volume": """
+            WITH q AS (
+              SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 4) > 250)
+            SELECT c_name, c_custkey, o_orderkey,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_totalprice, sum_qty
+            FROM q
+            JOIN orders ON o_orderkey = q.l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 100""",
         "media_image_features": """
             SELECT doc_id AS media_id,
                    CAST(16 AS BIGINT) AS feat_dim,

@@ -234,9 +234,15 @@ def is_torch_available() -> bool:
         return False
 
 
-def plot_graph(*_args, **_kwargs):  # pragma: no cover
-    raise NotImplementedError(
-        "matplotlib is not available in this environment")
+def plot_graph(*args, **kwargs):
+    """Unified graph plotting (reference utils/spatial.py:3027-3279).
+
+    matplotlib is absent in this environment, so the renderer is the
+    self-contained SVG backend in :mod:`city2graph_ray.plot` — same
+    styling surface (scalar / column-name / Series / per-type dicts,
+    hetero subplot grid, legend), SVG string instead of an Axes."""
+    from city2graph_ray.plot import plot_graph as _pg
+    return _pg(*args, **kwargs)
 
 
 def pyg_to_gdf(*_a, **_k):  # pragma: no cover

@@ -179,4 +179,9 @@ def bucketed_join(
                   for f in out_schema]
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pyarrow")
+    joined = tagged.groupby("__bucket").map_groups(
+        _merge, batch_format="pyarrow")
+    # schema anchor: an all-empty input produces zero groups, which
+    # leaves the result with no derivable schema and breaks any further
+    # join/union over it; one empty typed block keeps it schema-stable
+    return joined.union(ray.data.from_arrow(out_schema.empty_table()))

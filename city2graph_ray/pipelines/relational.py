@@ -163,3 +163,119 @@ def regional_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
                                 "revenue": np.round(
                                     b["revenue"].to_numpy(np.float64), 2)}),
         batch_format="pandas")
+
+
+def revenue_forecast(sf_dir: str, date_from: str = "1995-01-01",
+                     date_to: str = "1996-01-01",
+                     disc_lo: float = 0.05, disc_hi: float = 0.07,
+                     max_qty: float = 24.0) -> ray.data.Dataset:
+    """TPC-H-Q6-shaped forecast: one filtered scan + one global sum.
+
+    The scan-dominant archetype: only the four referenced columns leave
+    storage (`columns=`), the predicate runs as vectorized
+    pyarrow.compute on zero-copy Arrow batches, each batch reduces to a
+    single (revenue, rows) partial, and the driver merges the
+    block-count-sized partials.  Nothing shuffles.  Output one row
+    (revenue 2dp, qualifying row count)."""
+    lo = pd.Timestamp(date_from).to_datetime64()
+    hi = pd.Timestamp(date_to).to_datetime64()
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+
+    def partial(t):
+        import pyarrow as pa
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(pc.and_(pc.greater_equal(t["l_discount"], disc_lo),
+                            pc.less_equal(t["l_discount"], disc_hi)),
+                    pc.less(t["l_quantity"], max_qty)))
+        f = t.filter(mask)
+        rev = pc.sum(pc.multiply(f["l_extendedprice"], f["l_discount"]))
+        return pa.table({
+            "rev": pa.array([rev.as_py() or 0.0], pa.float64()),
+            "rows": pa.array([f.num_rows], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return ray.data.from_pandas(pd.DataFrame({
+        "revenue": [round(float(parts["rev"].sum()), 2)],
+        "qualifying_rows": [int(parts["rows"].sum())]}))
+
+
+def large_volume_orders(sf_dir: str, min_qty: float = 250.0,
+                        k: int = 100,
+                        num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                        ) -> ray.data.Dataset:
+    """TPC-H-Q18-shaped "large volume customers": orders whose total
+    lineitem quantity exceeds ``min_qty``, with customer names, top-k
+    by (o_totalprice DESC, o_orderdate, o_orderkey).
+
+    Scale shape: the HAVING pre-aggregation runs as partial per-batch
+    sums combined by a keyed merge (bytes shuffled ∝ distinct orderkeys
+    per batch), the qualifying set — tiny by construction — then drives
+    two bucketed hash joins against orders and customer; the global
+    top-k is per-block partial top-k + a k-row driver merge.  sum_qty
+    is rounded to 4dp before the threshold compare so the float
+    summation order can never flip a boundary row vs the SQL twin."""
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+    per_order = shuffle.group_agg(
+        li, ["l_orderkey"], {"sum_qty": ("l_quantity", "sum")},
+        num_buckets=num_buckets)
+    # emit Arrow with a declared schema so an all-filtered (empty)
+    # qualifier set still joins cleanly downstream
+    import pyarrow as pa
+    qual_schema = pa.schema([("o_orderkey", pa.int64()),
+                             ("sum_qty", pa.float64())])
+
+    def qual_fn(b: pd.DataFrame) -> "pa.Table":
+        q = np.round(b["sum_qty"].to_numpy(np.float64), 4)
+        keep = q > min_qty
+        return pa.Table.from_arrays(
+            [pa.array(b["l_orderkey"].to_numpy(np.int64)[keep]),
+             pa.array(q[keep])], schema=qual_schema)
+
+    qual = per_order.map_batches(qual_fn, batch_format="pandas")
+
+    # rename o_custkey→c_custkey at the (never-empty) read so the
+    # possibly-empty qualifier stream flows join→join with no map in
+    # between — Ray loses block schemas when a map runs over an
+    # all-empty dataset, and bucketed_join needs a derivable schema
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "c_custkey", "o_orderdate", "o_totalprice"]),
+        batch_format="pyarrow")
+    oq = bucketed_join(orders, qual, on="o_orderkey",
+                       num_buckets=num_buckets)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    joined = bucketed_join(oq, cust, on="c_custkey",
+                           num_buckets=num_buckets)
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                             ascending=[False, True, True]).head(k)
+
+    cols = ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty"]
+    top = joined.map_batches(block_topk, batch_format="pandas").to_pandas()
+    if len(top) == 0:  # typed empty frame: maps over empty drop schema
+        top = pd.DataFrame({"c_name": pd.Series(dtype=object),
+                            "c_custkey": pd.Series(dtype=np.int64),
+                            "o_orderkey": pd.Series(dtype=np.int64),
+                            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                            "o_totalprice": pd.Series(dtype=np.float64),
+                            "sum_qty": pd.Series(dtype=np.float64)})
+    top = (top.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                           ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
+    import pyarrow as pa2
+    return ray.data.from_arrow(pa2.Table.from_pandas(
+        top[cols], preserve_index=False))

@@ -175,6 +175,113 @@ def ivf_topk(corpus: ray.data.Dataset, queries: pd.DataFrame, k: int = 10,
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
+    """Deterministic Gaussian hyperplane matrix (nbits × dim)."""
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((nbits, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def _srp_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Signed-random-projection hash codes, packed little-endian int64."""
+    bits = (m @ planes.T) >= 0.0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def lsh_topk(corpus: ray.data.Dataset, queries: pd.DataFrame, k: int = 10,
+             nbits: int = 8, nprobe: int = 8, seed: int = 7,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             ) -> ray.data.Dataset:
+    """LSH-bucketed approximate cosine top-k (the hash-table scale path
+    next to the IVF one).
+
+    Signed-random-projection LSH (Charikar, STOC'02 — public
+    literature): ``nbits`` Gaussian hyperplanes give every vector a
+    sign-bit code; the corpus shuffles ONCE to its code bucket; each
+    query multi-probes its own bucket plus the buckets reached by
+    flipping its lowest-margin bits (Lv et al., VLDB'07 multi-probe),
+    ``nprobe`` buckets total.  Output schema matches ``ann_topk``
+    (query_id, vec_id, cosine — ties (cosine desc, id asc)); recall < 1
+    by design and measured in tests.  With ``nprobe >= 2**nbits`` every
+    bucket is probed and the result is exactly ``ann_topk`` — the
+    bit-exact SQL-oracle configuration (same technique as
+    ``ivf_ann_exact``)."""
+    if not 0 < nbits <= 62:
+        raise ValueError("nbits must be in 1..62")
+    qm = _normalize(_to_matrix(queries[vec_col]))
+    qids = queries["query_id"].to_numpy()
+    planes = _hyperplanes(qm.shape[1], nbits, seed)
+
+    # multi-probe set per query: own code, then codes at the subsets of
+    # the lowest-|margin| bits (margin = distance to the hyperplane),
+    # cheapest-flip-first, capped at nprobe codes.
+    margins = qm @ planes.T                      # (nq, nbits) signed
+    base = _srp_codes(qm, planes)                # (nq,)
+    nprobe_eff = min(nprobe, 1 << nbits)
+    order = np.argsort(np.abs(margins), axis=1)  # per-query flip order
+    probe_codes = np.empty((len(qm), nprobe_eff), dtype=np.int64)
+    # enumerate flip subsets in increasing total-margin order via the
+    # standard binary-counter heuristic over the m cheapest bits
+    m_bits = min(nbits, max(1, int(np.ceil(np.log2(nprobe_eff))) + 1))
+    subsets = np.argsort([bin(s).count("1") for s in range(1 << m_bits)],
+                         kind="stable")[:nprobe_eff]
+    for qi in range(len(qm)):
+        flips = order[qi, :m_bits]
+        codes = []
+        for s in subsets:
+            mask = np.int64(0)
+            for b in range(m_bits):
+                if s >> b & 1:
+                    mask |= np.int64(1) << np.int64(flips[b])
+            codes.append(base[qi] ^ mask)
+        probe_codes[qi] = codes
+    ref = ray.put((planes, qids, qm, probe_codes))
+
+    class Assign:
+        def __init__(self):
+            self.planes, *_ = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cm = _normalize(_to_matrix(batch[vec_col]))
+            out = batch[[id_col, vec_col]].copy()
+            out["bucket"] = _srp_codes(cm, self.planes)
+            return out
+
+    bucketed = corpus.map_batches(Assign, batch_format="pandas",
+                                  concurrency=(1, 8))
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        _, qids_, qm_, probe_codes_ = ray.get(ref)
+        b = int(g["bucket"].iloc[0])
+        probe_q = np.nonzero((probe_codes_ == b).any(axis=1))[0]
+        if len(probe_q) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                                 id_col: pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        cm = _normalize(_to_matrix(g[vec_col]))
+        sims = np.round(cm @ qm_[probe_q].T, 6)
+        ids = g[id_col].to_numpy()
+        kk = min(k, len(ids))
+        order_ = np.lexsort((ids[:, None].repeat(sims.shape[1], 1), -sims),
+                            axis=0)[:kk]
+        rows = order_.ravel(order="F")
+        return pd.DataFrame({
+            "query_id": np.repeat(qids_[probe_q], kk),
+            id_col: ids[rows],
+            "cosine": sims[rows, np.repeat(np.arange(sims.shape[1]), kk)]})
+
+    partials = bucketed.groupby("bucket").map_groups(
+        probe, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", id_col], ascending=[False, True],
+                             kind="stable").head(k)
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pandas")
+
+
 def embedding_neardup(corpus: ray.data.Dataset, threshold: float = 0.95,
                       n_centroids: int = 16, vec_col: str = "embedding",
                       id_col: str = "vec_id") -> ray.data.Dataset:

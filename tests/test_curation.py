@@ -99,6 +99,54 @@ def test_shipping_priority_matches_duckdb():
     assert np.allclose(out["revenue"], want["revenue"], atol=1e-9)
 
 
+def test_revenue_forecast_matches_duckdb():
+    import duckdb
+
+    from city2graph_ray.pipelines.relational import revenue_forecast
+    out = revenue_forecast(SF_DIR).to_pandas()
+    want = duckdb.execute(f"""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS rows
+        FROM read_parquet('{SF_DIR}/lineitem.parquet')
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""").df()
+    assert int(out["qualifying_rows"].iloc[0]) == int(want["rows"].iloc[0])
+    assert abs(out["revenue"].iloc[0] - want["revenue"].iloc[0]) < 1e-6
+
+
+def test_large_volume_orders_matches_duckdb():
+    import duckdb
+
+    from city2graph_ray.pipelines.relational import large_volume_orders
+    out = large_volume_orders(SF_DIR).to_pandas()
+    want = duckdb.execute(f"""
+        WITH q AS (
+          SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+          FROM read_parquet('{SF_DIR}/lineitem.parquet')
+          GROUP BY l_orderkey HAVING round(sum(l_quantity), 4) > 250)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               o_totalprice, sum_qty
+        FROM q
+        JOIN read_parquet('{SF_DIR}/orders.parquet') o
+          ON o_orderkey = q.l_orderkey
+        JOIN read_parquet('{SF_DIR}/customer.parquet') c
+          ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100""").df()
+    assert out["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert out["c_name"].tolist() == want["c_name"].tolist()
+    assert np.allclose(out["sum_qty"], want["sum_qty"])
+    # empty-qualifier edge case: impossible threshold -> 0 rows with the
+    # full typed schema (Dataset.to_pandas drops columns when empty, so
+    # assert on the dataset schema)
+    empty = large_volume_orders(SF_DIR, min_qty=1e9)
+    assert empty.count() == 0
+    assert empty.schema().names == ["c_name", "c_custkey", "o_orderkey",
+                                    "o_orderdate", "o_totalprice", "sum_qty"]
+
+
 def test_self_overlap_bruteforce():
     from city2graph_ray.text.decontam import self_overlap
     docs = pd.DataFrame({

@@ -257,6 +257,58 @@ def test_ann_exact_and_ivf_recall():
     assert np.mean(rec) >= 0.5
 
 
+def test_lsh_topk_exact_config_and_recall():
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.ann import ann_topk, lsh_topk
+    emb = embeddings(SF_DIR)
+    qdf = (emb.filter(lambda r: r["vec_id"] < 5).to_pandas()
+           .rename(columns={"vec_id": "query_id"}))
+    exact = ann_topk(emb, qdf, k=10).to_pandas().sort_values(
+        ["query_id", "cosine", "vec_id"],
+        ascending=[True, False, True]).reset_index(drop=True)
+    # probe-all configuration is bit-exact vs brute force
+    full = lsh_topk(emb, qdf, k=10, nbits=3, nprobe=8).to_pandas().sort_values(
+        ["query_id", "cosine", "vec_id"],
+        ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, exact)
+    # self-match survives multi-probe (query's own bucket always probed)
+    approx = lsh_topk(emb, qdf, k=10, nbits=8, nprobe=8).to_pandas()
+    for q in range(5):
+        mine = approx[approx["query_id"] == q]
+        assert q in set(mine["vec_id"])
+
+
+def test_lsh_topk_neardup_recall():
+    """The SRP-LSH contract: HIGH-similarity pairs collide with high
+    probability (collision prob per bit = 1 - θ/π).  Queries are small
+    perturbations of corpus rows; the source row must surface in the
+    multi-probe top-10 for nearly all queries.  (Recall on mutually
+    near-orthogonal random vectors is ≈ the probed-bucket fraction by
+    design — not asserted.)"""
+    from city2graph_ray.vector.ann import lsh_topk
+    rng = np.random.default_rng(11)
+    corpus_m = rng.normal(size=(400, 32))
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype=np.int64),
+                       "embedding": [v.tolist() for v in corpus_m]})
+    nq = 40
+    qm = corpus_m[:nq] + rng.normal(scale=0.02, size=(nq, 32))
+    qdf = pd.DataFrame({"query_id": np.arange(nq, dtype=np.int64),
+                        "embedding": [v.tolist() for v in qm]})
+    out = lsh_topk(rd.from_pandas(df), qdf, k=10, nbits=8,
+                   nprobe=8).to_pandas()
+    hits = sum(q in set(out[out["query_id"] == q]["vec_id"])
+               for q in range(nq))
+    assert hits / nq >= 0.9
+
+
+def test_lsh_topk_validation():
+    from city2graph_ray.vector.ann import lsh_topk
+    with pytest.raises(ValueError):
+        lsh_topk(None, None, nbits=0)
+    with pytest.raises(ValueError):
+        lsh_topk(None, None, nbits=63)
+
+
 def test_embedding_neardup_exact():
     from city2graph_ray.vector.ann import embedding_neardup
     rng = np.random.default_rng(3)
