@@ -928,6 +928,51 @@ def _doc_unigram_lp(sf_dir: str):
     return unigram_logprob(documents(sf_dir))
 
 
+def _doc_span_removal(sf_dir: str):
+    """ExactSubstr-style duplicated-span removal (rewrite stage)."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.decontam import remove_duplicated_spans
+
+    # 16 buckets: the gate corpus is 500 docs — 64-bucket shuffles are
+    # pure fixed overhead there (the op default stays at scale size)
+    return remove_duplicated_spans(documents(sf_dir), n=4, num_buckets=16)
+
+
+def _doc_pii_mask(sf_dir: str):
+    """PII masking over the corpus.  The synthetic texts carry no PII,
+    so deterministic PII is injected from doc_id (same construction in
+    the SQL twin — the repo's synth-derivation pattern): emails on
+    doc_id%3==0, IPv4 on %5==0, phone runs on %7==0.  Output
+    (doc_id, text_masked, n_email, n_ipv4, n_phone) is bit-exact vs
+    nested regexp_replace/regexp_extract_all in DuckDB (patterns are
+    dialect-portable: no lookaround, ASCII classes only)."""
+    import numpy as np
+    import pandas as pd
+
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.pii import mask_pii
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].to_numpy(np.int64)
+        ids = pd.Series(did.astype(str), index=b.index)
+        em = (" contact user" + ids + "@mail.example.org").where(
+            did % 3 == 0, "")
+        ip = (" host 10." + pd.Series((did % 200).astype(str), index=b.index)
+              + ".0." + pd.Series((did % 250).astype(str), index=b.index)
+              ).where(did % 5 == 0, "")
+        ph = (" call +1 555-01"
+              + pd.Series((did % 90 + 10).astype(str), index=b.index)
+              + " now").where(did % 7 == 0, "")
+        return pd.DataFrame({"doc_id": did,
+                             "text": b["text"].astype(str) + em + ip + ph})
+
+    masked = mask_pii(documents(sf_dir).map_batches(
+        inject, batch_format="pandas"))
+    return masked.map_batches(
+        lambda b: b[["doc_id", "text_masked", "n_email", "n_ipv4",
+                     "n_phone"]], batch_format="pandas")
+
+
 def _doc_c4_filter(sf_dir: str):
     """C4-style heuristic gate: word-count + mean-word-length bounds +
     blocklist; emits features and the boolean verdict per doc."""
@@ -1189,6 +1234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_self_overlap": _doc_self_overlap,
         "doc_unigram_logprob": _doc_unigram_lp,
         "doc_c4_filter": _doc_c4_filter,
+        "doc_pii_mask": _doc_pii_mask,
+        "doc_span_removal": _doc_span_removal,
         "zone_pagerank": _zone_pagerank,
         "zone_degree_hist": _zone_degree_hist,
         "doc_blocklist_filter": _doc_blocklist,
@@ -2145,6 +2192,73 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c / s)), 6) AS logprob
             FROM tok JOIN cnt USING (t) CROSS JOIN tot
             GROUP BY doc_id""",
+        "doc_span_removal": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+            g AS (
+              SELECT doc_id, i,
+                     md5_number_lower(
+                       array_to_string(ts[i:i+3], ' ')) AS g
+              FROM tok,
+                   LATERAL unnest(generate_series(1, len(ts) - 3)) AS t(i)),
+            own AS (SELECT g, min(doc_id) AS own FROM g GROUP BY g),
+            rem AS (SELECT DISTINCT doc_id, i
+                    FROM g JOIN own USING (g) WHERE doc_id > own),
+            cov AS (SELECT DISTINCT doc_id, i + k AS p
+                    FROM rem,
+                         LATERAL unnest(generate_series(0, 3)) AS u(k)),
+            alltok AS (SELECT doc_id, i AS p, ts[i] AS w
+                       FROM tok,
+                            LATERAL unnest(generate_series(1, len(ts)))
+                              AS t(i)),
+            kept AS (SELECT a.doc_id, a.p, a.w
+                     FROM alltok a LEFT JOIN cov c
+                       ON a.doc_id = c.doc_id AND a.p = c.p
+                     WHERE c.p IS NULL)
+            SELECT d.doc_id,
+                   coalesce(k.text_clean, '') AS text_clean,
+                   coalesce(c.n_removed, 0) AS n_removed
+            FROM documents d
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(w, ' ' ORDER BY p) AS text_clean
+                       FROM kept GROUP BY doc_id) k USING (doc_id)
+            LEFT JOIN (SELECT doc_id, count(*) AS n_removed
+                       FROM cov GROUP BY doc_id) c USING (doc_id)""",
+        "doc_pii_mask": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id
+                        || '@mail.example.org' ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+                        || (doc_id % 200) || '.0.' || (doc_id % 250)
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-01'
+                        || (doc_id % 90 + 10) || ' now' ELSE '' END AS t
+              FROM documents),
+            m1 AS (SELECT doc_id,
+              len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  AS n_email,
+              regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t
+              FROM inj),
+            m2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t,
+                  '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+              regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                  '<IP>', 'g') AS t
+              FROM m1),
+            m3 AS (SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(t, '\+?\d[\d\-\s]{7,}\d'))
+                  AS n_phone,
+              regexp_replace(t, '\+?\d[\d\-\s]{7,}\d',
+                  '<PHONE>', 'g') AS t
+              FROM m2)
+            SELECT doc_id, t AS text_masked, n_email, n_ipv4, n_phone
+            FROM m3""",
         "doc_c4_filter": """
             WITH f AS (
               SELECT doc_id,

@@ -75,6 +75,8 @@ def bucketed_join(
     num_buckets: int = 64,
     how: str = "inner",
     suffixes: tuple[str, str] = ("", "_r"),
+    left_schema=None,
+    right_schema=None,
 ) -> ray.data.Dataset:
     """Partitioned hash join of two large Datasets on equality key(s).
 
@@ -85,6 +87,14 @@ def bucketed_join(
     ``pa.nulls(n, typed)`` so int64 ids survive the exchange, and each
     side is projected to its REAL columns before the pandas merge —
     the padding nulls never reach pandas, so no int→float degradation.
+
+    ``left_schema`` / ``right_schema``: optional ``pyarrow.Schema``
+    hints used when a side's schema cannot be derived — Ray Data loses
+    block schemas whenever a map stage outputs only empty blocks, so a
+    pipeline whose intermediate can legitimately be EMPTY (filters,
+    anti-joins, gram explodes over short docs) must declare the shape
+    it would have had.  With the hint the join degrades gracefully to
+    its typed empty result instead of raising.
     """
     import pyarrow as pa
 
@@ -116,18 +126,22 @@ def bucketed_join(
                     out[name] = pa.string()
         return out
 
-    def _schema_of(ds):
+    def _schema_of(ds, hint):
         s = ds.schema(fetch_if_missing=True)
         if s is None:  # seen under heavy sessions: force execution once
             ds = ds.materialize()
             s = ds.schema()
+        if s is None and hint is not None:
+            return ds, hint  # pa.Schema: same .names/.types surface
         if s is None:
             raise ValueError("bucketed_join: side has no derivable schema "
-                             "(empty dataset with unknown columns)")
+                             "(empty dataset with unknown columns); pass "
+                             "left_schema/right_schema when the side can "
+                             "be legitimately empty")
         return ds, s
 
-    left, lschema = _schema_of(left)
-    right, rschema = _schema_of(right)
+    left, lschema = _schema_of(left, left_schema)
+    right, rschema = _schema_of(right, right_schema)
     lcols, rcols = list(lschema.names), list(rschema.names)
     # union requires aligned schemas: pad each side with typed nulls
     pad_cols = lcols + [c for c in rcols if c not in lcols]

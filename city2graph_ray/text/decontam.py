@@ -127,3 +127,120 @@ def self_overlap(docs: ray.data.Dataset, n: int = 4,
     return shuffle.group_agg(hits, [id_col],
                              {"shared_grams": ("g", "size")},
                              num_buckets=num_buckets)
+
+
+def word_ngram_pos_hashes(batch: pd.DataFrame, n: int, text_col: str,
+                          id_col: str) -> pd.DataFrame:
+    """Every word-``n``-gram OCCURRENCE per doc → (id, pos, g:int64),
+    ``pos`` 1-based (the SQL mirror's ``generate_series`` index).  Same
+    flat-explode construction as :func:`word_ngram_hashes`, but keeps
+    positions and does not dedup."""
+    toks = batch[text_col].str.split(" ")
+    counts = toks.str.len().to_numpy(np.int64)
+    flat = pd.Series(toks.explode().to_numpy(dtype=object))
+    doc_idx = np.repeat(np.arange(len(batch)), counts)
+    gram = flat.copy()
+    for j in range(1, n):
+        gram = gram + (" " + flat.shift(-j))
+    m = len(flat) - (n - 1)
+    ok = (doc_idx[:m] == doc_idx[n - 1:]) if m > 0 else np.zeros(0, bool)
+    gidx = np.flatnonzero(np.concatenate(
+        [ok, np.zeros(n - 1, dtype=bool)])) if m > 0 else np.zeros(0, np.int64)
+    g = _md5_lower64(gram.to_numpy(dtype=object)[gidx])
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    pos = gidx - offs[doc_idx[gidx]] + 1  # 1-based within doc
+    ids = batch[id_col].to_numpy()[doc_idx[gidx]]
+    return pd.DataFrame({id_col: ids, "pos": pos.astype(np.int64),
+                         "g": g.view(np.int64)})
+
+
+def remove_duplicated_spans(docs: ray.data.Dataset, n: int = 4,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                            ) -> ray.data.Dataset:
+    """ExactSubstr-style duplicated-span REMOVAL (the rewrite stage of
+    Lee et al. 2022, word-granular): a word-``n``-gram occurring in two
+    or more documents is owned by the smallest ``id`` containing it;
+    every token covered by a non-owner occurrence is deleted from its
+    document.  Output (id, text_clean, n_removed) for EVERY input doc
+    (text unchanged and n_removed=0 when nothing was duplicated).
+
+    Scale shape: one explode to (id, pos, 8-byte gram hash) occurrence
+    rows; one gram-keyed shuffle for the per-gram min-id owner
+    (partial-aggregated, bytes ∝ distinct grams per batch); one
+    bucketed hash join occurrence⨝owner; then one id-keyed shuffle
+    where the per-doc rewrite runs fully vectorized (flat token
+    explode, difference-array coverage, reduceat counts) — the only
+    per-doc Python is the final ``' '.join``.  Removable-start rows
+    replicate the doc text through the rewrite join, so bytes there
+    scale with text × removable-starts-per-doc (duplication-heavy
+    corpora pay proportionally, never quadratically)."""
+    import pyarrow as pa
+
+    from city2graph_ray.joins import bucketed_join
+
+    # schema hints: every intermediate below can be LEGITIMATELY empty
+    # (corpus of docs all shorter than n words), and Ray loses block
+    # schemas through maps that output only empty blocks
+    id_type = None
+    for name, typ in zip(docs.schema().names, docs.schema().types):
+        if name == id_col:
+            id_type = typ if isinstance(typ, pa.DataType) else pa.int64()
+    occ_schema = pa.schema([(id_col, id_type), ("pos", pa.int64()),
+                            ("g", pa.int64())])
+    own_schema = pa.schema([("g", pa.int64()), ("own", id_type)])
+    rem_schema = pa.schema([(id_col, id_type), ("pos", pa.int64())])
+
+    occ = docs.map_batches(
+        lambda b: word_ngram_pos_hashes(b, n, text_col, id_col),
+        batch_format="pandas")
+    owners = shuffle.group_agg(occ, ["g"], {"own": (id_col, "min")},
+                               num_buckets=num_buckets)
+    matched = bucketed_join(occ, owners, on="g",
+                            num_buckets=num_buckets,
+                            left_schema=occ_schema,
+                            right_schema=own_schema)
+
+    def rem_fn(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[id_col].to_numpy() > b["own"].to_numpy()
+        return b.loc[keep, [id_col, "pos"]].drop_duplicates()
+
+    rem = matched.map_batches(rem_fn, batch_format="pandas")
+    base = docs.map_batches(lambda b: b[[id_col, text_col]],
+                            batch_format="pandas")
+    joined = bucketed_join(base, rem, on=id_col, how="left",
+                           num_buckets=num_buckets,
+                           right_schema=rem_schema)
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(id_col)[[id_col, text_col]]
+        toks = u[text_col].str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        total = int(offs[-1])
+        r = g.dropna(subset=["pos"])
+        row_of = pd.Series(np.arange(len(u)),
+                           index=u[id_col].to_numpy())
+        starts = (offs[row_of[r[id_col].to_numpy()].to_numpy()]
+                  + r["pos"].to_numpy(np.int64) - 1)
+        diff = np.zeros(total + 1, np.int64)
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, starts + n, -1)  # gram fits its doc by construction
+        cov = np.cumsum(diff[:-1]) > 0
+        flat = toks.explode().to_numpy(dtype=object)
+        doc_idx = np.repeat(np.arange(len(u)), counts)
+        kept = pd.DataFrame({"d": doc_idx[~cov], "w": flat[~cov]})
+        texts = kept.groupby("d", sort=True)["w"].agg(" ".join)
+        n_rm = np.add.reduceat(cov.astype(np.int64), offs[:-1]) \
+            if total else np.zeros(len(u), np.int64)
+        n_rm[counts == 0] = 0  # reduceat repeats on empty slices
+        out = pd.DataFrame({
+            id_col: u[id_col].to_numpy(),
+            "text_clean": texts.reindex(np.arange(len(u)),
+                                        fill_value="").to_numpy(),
+            "n_removed": n_rm})
+        return out
+
+    return shuffle.grouped_transform(joined, [id_col], rewrite,
+                                     num_buckets=num_buckets)

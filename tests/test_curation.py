@@ -147,6 +147,93 @@ def test_large_volume_orders_matches_duckdb():
                                     "o_orderdate", "o_totalprice", "sum_qty"]
 
 
+def _remove_spans_brute(docs: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Driver oracle: owner of a gram = min doc_id containing it;
+    tokens covered by a non-owner occurrence are deleted."""
+    toks = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
+    owner: dict[str, int] = {}
+    for d in sorted(toks):
+        t = toks[d]
+        for i in range(len(t) - n + 1):
+            owner.setdefault(" ".join(t[i:i + n]), d)
+    rows = []
+    for d in sorted(toks):
+        t = toks[d]
+        cov = [False] * len(t)
+        for i in range(len(t) - n + 1):
+            if owner[" ".join(t[i:i + n])] < d:
+                for k in range(i, i + n):
+                    cov[k] = True
+        rows.append({"doc_id": d,
+                     "text_clean": " ".join(w for w, c in zip(t, cov)
+                                            if not c),
+                     "n_removed": sum(cov)})
+    return pd.DataFrame(rows)
+
+
+def test_remove_duplicated_spans_bruteforce():
+    from city2graph_ray.text.decontam import remove_duplicated_spans
+    rng = np.random.default_rng(5)
+    vocab = np.array(["a", "b", "c", "d", "e"])
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+             for _ in range(30)]
+    texts += ["x y z w q r", "x y z w q r",      # full dup pair
+              "only unique tokens here zz"]
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "text": texts})
+    out = (remove_duplicated_spans(rd.from_pandas(docs), n=3,
+                                   num_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _remove_spans_brute(docs, 3)
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "text_clean", "n_removed"]], want)
+    # the later copy of the full-dup pair is wiped entirely
+    assert out.loc[out["doc_id"] == 31, "text_clean"].iloc[0] == ""
+    assert out.loc[out["doc_id"] == 30, "text_clean"].iloc[0] == "x y z w q r"
+    # unique doc untouched
+    assert out.loc[out["doc_id"] == 32, "n_removed"].iloc[0] == 0
+
+
+def test_remove_duplicated_spans_edges():
+    from city2graph_ray.text.decontam import remove_duplicated_spans
+    # docs shorter than n, empty text, single doc corpus
+    docs = pd.DataFrame({"doc_id": np.array([0, 1, 2], dtype=np.int64),
+                         "text": ["", "ab", "ab"]})
+    out = (remove_duplicated_spans(rd.from_pandas(docs), n=3,
+                                   num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_removed"].tolist() == [0, 0, 0]
+    assert out["text_clean"].tolist() == ["", "ab", "ab"]
+    one = (remove_duplicated_spans(
+        rd.from_pandas(docs.iloc[:1]), n=2, num_buckets=4).to_pandas())
+    assert len(one) == 1 and one["n_removed"].iloc[0] == 0
+
+
+def test_mask_pii_semantics():
+    from city2graph_ray.text.pii import mask_pii
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["mail me at a.b+c@site.co.uk today",
+                 "server 192.168.0.1 and 10.0.0.255 up",
+                 "call +1 555-0147 or 020 7946 0958 now",
+                 "no pii here at all",
+                 "x@y.org from 1.2.3.4 dial +44 20 7946 0958"]})
+    out = (mask_pii(rd.from_pandas(docs)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[0, "text_masked"] == "mail me at <EMAIL> today"
+    assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_ipv4"] == 0
+    assert out.loc[1, "text_masked"] == "server <IP> and <IP> up"
+    assert out.loc[1, "n_ipv4"] == 2
+    assert out.loc[2, "n_phone"] == 2
+    assert "<PHONE>" in out.loc[2, "text_masked"]
+    assert out.loc[3, "text_masked"] == "no pii here at all"
+    assert (out.loc[3, ["n_email", "n_ipv4", "n_phone"]] == 0).all()
+    # all three kinds in one doc, masked in order (email, ip, phone)
+    assert out.loc[4, "text_masked"] == "<EMAIL> from <IP> dial <PHONE>"
+    # original column preserved alongside
+    assert out.loc[4, "text"].startswith("x@y.org")
+
+
 def test_self_overlap_bruteforce():
     from city2graph_ray.text.decontam import self_overlap
     docs = pd.DataFrame({
