@@ -1016,6 +1016,14 @@ def _zone_degree_hist(sf_dir: str):
     return degree_histogram(_order_zone_edges(sf_dir))
 
 
+def _zone_triangles(sf_dir: str):
+    """Exact triangle count of the undirected zone graph
+    (degree-ordered wedge join; each triangle counted once)."""
+    from city2graph_ray.ops.graph_algos import triangle_count
+
+    return triangle_count(_order_zone_edges(sf_dir))
+
+
 def _doc_blocklist(sf_dir: str):
     """Bloom-prefiltered exact blocklist anti-join: drop docs whose id
     is in the removal list (doc_id % 7 == 3), keep the rest."""
@@ -1238,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_span_removal": _doc_span_removal,
         "zone_pagerank": _zone_pagerank,
         "zone_degree_hist": _zone_degree_hist,
+        "zone_triangles": _zone_triangles,
         "doc_blocklist_filter": _doc_blocklist,
         "doc_curation": _doc_curation,
         "media_image_features": _media_features,
@@ -2153,6 +2162,17 @@ def oracle_sql() -> dict[str, str]:
                           round(0.15 / n + 0.85 * coalesce(s, 0), 10) AS r
                    FROM nodes LEFT JOIN s5 USING (node), c)
             SELECT node, round(r, 6) AS rank FROM r5""",
+        "zone_triangles": """
+            WITH ed AS (SELECT DISTINCT (o_custkey % 100) AS src,
+                                        (o_orderkey % 97) AS dst
+                        FROM orders),
+            e0 AS (SELECT DISTINCT least(src, dst) AS a,
+                                   greatest(src, dst) AS b
+                   FROM ed WHERE src <> dst)
+            SELECT count(*) AS n_triangles
+            FROM e0 x
+            JOIN e0 y ON y.a = x.a AND y.b > x.b
+            JOIN e0 z ON z.a = x.b AND z.b = y.b""",
         "zone_degree_hist": """
             WITH e AS (
               SELECT DISTINCT o_custkey % 100 AS src,

@@ -200,3 +200,120 @@ def degree_histogram(edges: ray.data.Dataset, src: str = "src",
     return shuffle.group_agg(deg, ["degree"],
                              {"n_nodes": ("node", "size")},
                              num_buckets=num_buckets)
+
+
+def triangle_count(edges: ray.data.Dataset, src: str = "src",
+                   dst: str = "dst",
+                   num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                   ) -> ray.data.Dataset:
+    """Exact global triangle count of the UNDIRECTED simplification of
+    an edge list (self-loops dropped, direction and multiplicity
+    ignored).  Output: one row ``(n_triangles: int64)``.
+
+    Distributed shape is the degree-ordered node-iterator (Suri &
+    Vassilvitskii, WWW'11 — public literature): every edge is oriented
+    from its lower-(degree, id) endpoint to the higher, wedges are
+    generated per out-neighborhood, and a wedge (v, w) closes a
+    triangle iff the oriented edge (v, w) exists — each triangle is
+    counted exactly once, and the orientation bounds every
+    out-neighborhood by O(√m), so wedge volume is O(m^1.5) worst-case
+    with NO hot-vertex blowup (a Zipfian hub fans its wedges across
+    the many low-degree orientation sources instead of itself).
+
+    Pipeline: distinct canonical edges → degree group-sum → two
+    bucketed joins to attach endpoint degrees → per-source wedge
+    explode (vectorized triu per group) → one bucketed hash join of
+    wedges against oriented edges on (v, w) → block-count partials,
+    driver adds a handful of ints."""
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    # both fan-out points below are pinned: Ray Data has no common-
+    # subexpression elimination, so an unpinned two-consumer dataset
+    # re-executes its whole upstream once per consumer
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+
+    ends = und.map_batches(
+        lambda b: pd.DataFrame({"node": np.concatenate(
+            [b["a"].to_numpy(), b["b"].to_numpy()])}),
+        batch_format="pandas")
+    deg = shuffle.group_agg(ends, ["node"], {"d": ("node", "size")},
+                            num_buckets=num_buckets).materialize()
+
+    # schema hints: a loops-only input leaves every intermediate empty
+    import pyarrow as pa
+    ntype = pa.int64()
+    for name, typ in zip(edges.schema().names, edges.schema().types):
+        if name == src and isinstance(typ, pa.DataType):
+            ntype = typ
+    und_schema = pa.schema([("a", ntype), ("b", ntype)])
+    dega_schema = pa.schema([("a", ntype), ("da", pa.int64())])
+    degb_schema = pa.schema([("b", ntype), ("db", pa.int64())])
+
+    w_a = bucketed_join(
+        und, deg.map_batches(lambda b: b.rename(columns={"node": "a",
+                                                         "d": "da"}),
+                             batch_format="pandas"),
+        on="a", num_buckets=num_buckets,
+        left_schema=und_schema, right_schema=dega_schema)
+    w_ab = bucketed_join(
+        w_a, deg.map_batches(lambda b: b.rename(columns={"node": "b",
+                                                         "d": "db"}),
+                             batch_format="pandas"),
+        on="b", num_buckets=num_buckets,
+        left_schema=pa.schema([("a", ntype), ("b", ntype),
+                               ("da", pa.int64())]),
+        right_schema=degb_schema)
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy()
+        bb = b["b"].to_numpy()
+        da = b["da"].to_numpy(np.int64)
+        db = b["db"].to_numpy(np.int64)
+        # total order key (degree, id); edge points low → high
+        a_first = (da < db) | ((da == db) & (a < bb))
+        return pd.DataFrame({
+            "u": np.where(a_first, a, bb),
+            "v": np.where(a_first, bb, a),
+            "kd": np.where(a_first, db, da),   # order key of the head
+        })
+
+    oriented = w_ab.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "kd", "v"], kind="stable")
+        outs: list[np.ndarray] = []
+        for _, grp in g.groupby("u", sort=False):
+            heads = grp["v"].to_numpy()
+            q = len(heads)
+            if q < 2:
+                continue
+            ii, jj = np.triu_indices(q, k=1)
+            outs.append(np.column_stack([heads[ii], heads[jj]]))
+        if not outs:
+            return pd.DataFrame({"v": pd.Series(dtype=g["v"].dtype),
+                                 "w": pd.Series(dtype=g["v"].dtype)})
+        m = np.concatenate(outs)
+        return pd.DataFrame({"v": m[:, 0], "w": m[:, 1]})
+
+    wedge_ds = shuffle.grouped_transform(oriented, ["u"], wedges,
+                                         num_buckets=num_buckets)
+    closure = oriented.map_batches(
+        lambda b: b.rename(columns={"u": "v", "v": "w"})[["v", "w"]],
+        batch_format="pandas")
+    pair_schema = pa.schema([("v", ntype), ("w", ntype)])
+    tri = bucketed_join(wedge_ds, closure, on=["v", "w"],
+                        num_buckets=num_buckets,
+                        left_schema=pair_schema, right_schema=pair_schema)
+    parts = tri.map_batches(
+        lambda b: pd.DataFrame({"n": [np.int64(len(b))]}),
+        batch_format="pandas").to_pandas()
+    total = int(parts["n"].sum()) if len(parts) else 0
+    return ray.data.from_arrow(pa.table({"n_triangles":
+                                         pa.array([total], pa.int64())}))

@@ -80,3 +80,40 @@ def test_blocklist_filter_exact_despite_bloom():
     want = docs[~docs["doc_id"].isin(blocked["doc_id"])]
     assert sorted(out["doc_id"]) == sorted(want["doc_id"])
     assert sorted(out.columns) == ["doc_id", "v"]
+
+
+def _tri_brute(edges: pd.DataFrame) -> int:
+    es = {(min(a, b), max(a, b))
+          for a, b in zip(edges["src"], edges["dst"]) if a != b}
+    nodes = sorted({n for e in es for n in e})
+    return sum((a, b) in es and (b, c) in es and (a, c) in es
+               for i, a in enumerate(nodes)
+               for j, b in enumerate(nodes[i + 1:], i + 1)
+               for c in nodes[j + 1:])
+
+
+def test_triangle_count_bruteforce():
+    from city2graph_ray.ops.graph_algos import triangle_count
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"src": rng.integers(0, 25, 300),
+                       "dst": rng.integers(0, 25, 300)})
+    out = triangle_count(rd.from_pandas(df), num_buckets=8).to_pandas()
+    assert int(out["n_triangles"].iloc[0]) == _tri_brute(df)
+    # direction / multiplicity ignored: reversed duplicate edges
+    df2 = pd.concat([df, df.rename(columns={"src": "dst", "dst": "src"})])
+    out2 = triangle_count(rd.from_pandas(df2), num_buckets=8).to_pandas()
+    assert int(out2["n_triangles"].iloc[0]) == _tri_brute(df)
+
+
+def test_triangle_count_edges():
+    from city2graph_ray.ops.graph_algos import triangle_count
+    # no triangles: a path; self-loops only; single triangle
+    path = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    assert int(triangle_count(rd.from_pandas(path), num_buckets=4)
+               .to_pandas()["n_triangles"].iloc[0]) == 0
+    loops = pd.DataFrame({"src": [0, 1], "dst": [0, 1]})
+    assert int(triangle_count(rd.from_pandas(loops), num_buckets=4)
+               .to_pandas()["n_triangles"].iloc[0]) == 0
+    tri = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})
+    assert int(triangle_count(rd.from_pandas(tri), num_buckets=4)
+               .to_pandas()["n_triangles"].iloc[0]) == 1
