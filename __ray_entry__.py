@@ -887,6 +887,35 @@ def _doc_repetition(sf_dir: str):
     return repetition_scores(documents(sf_dir), n=2)
 
 
+def _doc_source_rollup(sf_dir: str):
+    """Multi-level rollup (GROUP BY ROLLUP (source, lang)) computed the
+    distributed way: the finest level is ONE keyed shuffle with partial
+    per-batch aggregation; every coarser level re-aggregates the
+    previous level's (tiny, groups-sized) output — the corpus is read
+    once, never re-shuffled per level.  NULL rollup slots use the
+    '(all)' sentinel on both sides (object-column hashing treats
+    None/NaN differently across engines)."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import documents
+
+    docs = documents(sf_dir, columns=["doc_id", "source", "lang",
+                                      "n_chars"])
+    lvl2 = shuffle.group_agg(
+        docs, ["source", "lang"], {"n_docs": ("doc_id", "size"),
+                                   "sum_chars": ("n_chars", "sum")})
+    l2 = lvl2.to_pandas()
+    l1 = (l2.groupby("source", as_index=False)
+          [["n_docs", "sum_chars"]].sum())
+    l1["lang"] = "(all)"
+    l0 = pd.DataFrame({"source": ["(all)"], "lang": ["(all)"],
+                       "n_docs": [l1["n_docs"].sum()],
+                       "sum_chars": [l1["sum_chars"].sum()]})
+    out = pd.concat([l2, l1, l0], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out[["source", "lang", "n_docs", "sum_chars"]]
+
+
 def _doc_source_stats(sf_dir: str):
     """Per-source corpus stats: doc count, distinct langs, mean/max
     chars.  Partial per-batch agg + keyed merge; the distinct-lang
@@ -1244,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_c4_filter": _doc_c4_filter,
         "doc_pii_mask": _doc_pii_mask,
         "doc_span_removal": _doc_span_removal,
+        "doc_source_rollup": _doc_source_rollup,
         "zone_pagerank": _zone_pagerank,
         "zone_degree_hist": _zone_degree_hist,
         "zone_triangles": _zone_triangles,
@@ -2212,6 +2242,13 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c / s)), 6) AS logprob
             FROM tok JOIN cnt USING (t) CROSS JOIN tot
             GROUP BY doc_id""",
+        "doc_source_rollup": """
+            SELECT coalesce(source, '(all)') AS source,
+                   coalesce(lang, '(all)') AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY ROLLUP (source, lang)""",
         "doc_span_removal": """
             WITH tok AS (
               SELECT doc_id, string_split(text, ' ') AS ts
