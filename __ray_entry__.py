@@ -719,6 +719,45 @@ def _last_occurrence(sf_dir: str):
         batch_format="pandas")
 
 
+def _od_checkpoint_roundtrip(sf_dir: str):
+    """Resumable partitioned sink, driven at the gate (north rule:
+    per-partition lineage + skip-on-resume).  Zone OD counts are
+    checkpoint-written partitioned by src-hash, written AGAIN (every
+    partition must be skipped via its manifest fingerprint), then read
+    back with load_checkpoint — the returned rows round-trip through
+    the parquet sink, so the oracle also certifies the sink."""
+    import tempfile
+
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.state.lineage import (checkpointed_write,
+                                              load_checkpoint)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    flows = shuffle.group_agg(
+        orders.map_batches(
+            lambda b: pd.DataFrame({
+                "src": (b["o_custkey"].to_numpy(np.int64) % 50),
+                "dst": (b["o_orderkey"].to_numpy(np.int64) % 47)}),
+            batch_format="pandas"),
+        ["src", "dst"], {"n": ("dst", "size")})
+    flows = flows.map_batches(
+        lambda b: b.assign(part=(b["src"].to_numpy(np.int64) % 8)),
+        batch_format="pandas").materialize()
+
+    root = tempfile.mkdtemp(prefix="graft_ckpt_")
+    m1 = checkpointed_write(flows, root, "od", "part",
+                            fingerprint=sf_dir)
+    m2 = checkpointed_write(flows, root, "od", "part",
+                            fingerprint=sf_dir)
+    assert m2["skipped"] == m1["partitions"], (m1, m2)  # resume works
+    back = load_checkpoint(root, "od")
+    return back.map_batches(lambda b: b[["src", "dst", "n"]],
+                            batch_format="pandas")
+
+
 def _symmetrized_od(sf_dir: str):
     """symmetrize_edges over an orders-derived directed edge table:
     keep first row per direction, mirror pairs missing a reverse, keep
@@ -1257,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "network_knn_bounded": _network_knn_bounded,
         "network_path_geom": _network_path_geom,
         "symmetrized_od": _symmetrized_od,
+        "od_checkpoint_roundtrip": _od_checkpoint_roundtrip,
         "last_occurrence": _last_occurrence,
         "tess_place_place": _tess_place_place,
         "event_asof_click": _event_asof,
@@ -1725,6 +1765,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderstatus
                 ORDER BY o_orderkey DESC) = 1""",
+        "od_checkpoint_roundtrip": """
+            SELECT (o_custkey % 50) AS src, (o_orderkey % 47) AS dst,
+                   count(*) AS n
+            FROM orders GROUP BY 1, 2""",
         "symmetrized_od": """
             WITH e AS (SELECT (o_custkey % 50) AS src,
                               (o_orderkey % 47) AS dst,
