@@ -40,6 +40,68 @@ _SEG_NODES = (f"WITH eps AS (SELECT {synth.sql_x('o_orderkey')} AS x, "
               f"node_id, x, y FROM (SELECT DISTINCT x, y FROM eps)")
 
 
+# Messy-URL injection + canonicalization CTE chain shared by the
+# doc_url_canon / doc_domain_cap oracles (mirrors _inject_urls and
+# city2graph_ray.text.urls.canonicalize_urls rule-for-rule).
+_URL_CANON_CTES = r"""
+    u AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
+        CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        'Site' || CAST(doc_id % 7 AS VARCHAR) ||
+        CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+             WHEN 2 THEN '.org' WHEN 3 THEN '.net' ELSE '.io' END ||
+        CASE WHEN doc_id % 11 = 0 THEN ':8080'
+             WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END ||
+        CASE WHEN doc_id % 13 = 0 THEN ''
+             ELSE '/p/' || CAST(doc_id % 17 AS VARCHAR) ||
+                  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END END ||
+        CASE WHEN doc_id % 3 = 0
+             THEN '?utm_source=x&b=' || CAST(doc_id % 4 AS VARCHAR) || '&a=1'
+             WHEN doc_id % 9 = 1 THEN '?gclid=1' ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        regexp_extract(url, '\?([^#]*)', 1) AS q
+      FROM u),
+    h AS (
+      SELECT doc_id, scheme,
+        regexp_replace(auth, ':[0-9]+$', '') AS host,
+        regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        array_to_string(list_sort(list_filter(string_split(q, '&'),
+            x -> length(x) > 0 AND NOT regexp_matches(x,
+                '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') AS qc
+      FROM p),
+    c AS (
+      SELECT doc_id,
+        scheme || '://' || host ||
+        CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443'))
+             THEN ':' || port ELSE '' END || path ||
+        CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS url_canon,
+        host,
+        CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) IN
+                  ('co.uk','ac.uk','gov.uk','com.au','co.jp','com.br',
+                   'co.in','co.nz','com.cn')
+                  AND regexp_extract(host,
+                      '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+             THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+             WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+             THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+             ELSE host END AS domain
+      FROM h)
+"""
+
+
 def entry() -> Any:
     """Flagship: interleaved docs → span-geometry extraction → points +
     building polygons → kNN ∪ fixed-radius edges + PIP tile assignments,
@@ -1041,6 +1103,66 @@ def _doc_pii_mask(sf_dir: str):
                      "n_phone"]], batch_format="pandas")
 
 
+def _inject_urls(sf_dir: str):
+    """Deterministic messy-URL corpus derived from doc_id (the synth-
+    derivation pattern: identical construction in the SQL twin).
+    Exercises every canonicalization rule: case, default/non-default
+    ports, tracking params, param sorting, trailing slashes, empty
+    paths, fragments, second-level public suffixes."""
+    import ray.data
+
+    from city2graph_ray.pipelines.tables import documents
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+
+        def s(a):
+            return pd.Series(a, index=b.index).astype(str)
+
+        scheme = s(np.where(d % 2 == 0, "HTTPS", "http"))
+        sub = s(np.where(d % 3 == 0, "WWW.", ""))
+        host = "Site" + s(d % 7)
+        tld = s(np.select(
+            [d % 5 == 0, d % 5 == 1, d % 5 == 2, d % 5 == 3],
+            [".co.uk", ".com", ".org", ".net"], ".io"))
+        port = s(np.where(d % 11 == 0, ":8080",
+                          np.where(d % 2 == 0, ":443", ":80")))
+        path = s(np.where(d % 13 == 0, "",
+                          "/p/" + s(d % 17)
+                          + s(np.where(d % 3 == 0, "/", ""))))
+        query = s(np.where(d % 3 == 0,
+                           "?utm_source=x&b=" + s(d % 4) + "&a=1",
+                           np.where(d % 9 == 1, "?gclid=1", "")))
+        frag = s(np.where(d % 4 == 0, "#sec", ""))
+        return pd.DataFrame({
+            "doc_id": d,
+            "url": scheme + "://" + sub + host + tld + port + path
+                   + query + frag})
+
+    return documents(sf_dir).map_batches(inject, batch_format="pandas")
+
+
+def _doc_url_canon(sf_dir: str):
+    """URL canonicalization + registered-domain extraction (C4 /
+    RefinedWeb dedup-key normalization) — bit-exact vs a DuckDB twin
+    built from regexp_extract groups + list_sort/list_filter lambdas."""
+    from city2graph_ray.text.urls import canonicalize_urls
+
+    return canonicalize_urls(_inject_urls(sf_dir)).map_batches(
+        lambda b: b[["doc_id", "url_canon", "host", "domain"]],
+        batch_format="pandas")
+
+
+def _doc_domain_cap(sf_dir: str):
+    """RefinedWeb-style per-domain cap over the canonicalized corpus:
+    at most 7 docs per registered domain by md5 rank-hash
+    (md5_number_lower twin → QUALIFY row_number oracle)."""
+    from city2graph_ray.text.urls import canonicalize_urls, per_domain_cap
+
+    canon = canonicalize_urls(_inject_urls(sf_dir))
+    return per_domain_cap(canon, 7, num_buckets=16)
+
+
 def _doc_c4_filter(sf_dir: str):
     """C4-style heuristic gate: word-count + mean-word-length bounds +
     blocklist; emits features and the boolean verdict per doc."""
@@ -1312,6 +1434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": _doc_unigram_lp,
         "doc_c4_filter": _doc_c4_filter,
         "doc_pii_mask": _doc_pii_mask,
+        "doc_url_canon": _doc_url_canon,
+        "doc_domain_cap": _doc_domain_cap,
         "doc_span_removal": _doc_span_removal,
         "doc_source_rollup": _doc_source_rollup,
         "zone_pagerank": _zone_pagerank,
@@ -2360,6 +2484,17 @@ def oracle_sql() -> dict[str, str]:
               FROM m2)
             SELECT doc_id, t AS text_masked, n_email, n_ipv4, n_phone
             FROM m3""",
+        "doc_url_canon": "WITH " + _URL_CANON_CTES + r"""
+            SELECT doc_id, url_canon, host, domain FROM c""",
+        "doc_domain_cap": "WITH " + _URL_CANON_CTES + r"""
+            SELECT domain, doc_id FROM (
+              SELECT domain, doc_id,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+              FROM c)
+            WHERE rn <= 7""",
         "doc_c4_filter": """
             WITH f AS (
               SELECT doc_id,
