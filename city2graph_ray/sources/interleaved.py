@@ -388,6 +388,44 @@ def doc_points(docs: ray.data.Dataset, kind: str = "geom_point") -> ray.data.Dat
     return g.map_batches(to_points, batch_format="pyarrow")
 
 
+def read_documents(path: str, format: str = "auto",
+                   columns: list[str] | None = None,
+                   **read_kwargs) -> ray.data.Dataset:
+    """Read an interleaved-document corpus (``input_hint`` schema:
+    doc_id + spans) from Lance or Parquet.
+
+    ``format="auto"`` picks Lance for ``*.lance`` paths (the
+    production corpus format per BASELINE.json) and Parquet otherwise.
+    The Lance path delegates to ``ray.data.read_lance`` — a streaming,
+    column-pruned scan exactly like ``read_parquet`` — and is gated on
+    the ``lance`` package being importable; in environments without it
+    (this sandbox) a clear ImportError is raised and the Parquet path
+    is the tested stand-in (identical Dataset semantics downstream:
+    every operator reads Arrow batches and never sees the source
+    format).
+
+    Pass ``columns=["doc_id"]``-style projections so span/media bytes
+    never leave storage when a pipeline doesn't need them.
+    """
+    fmt = format
+    if fmt == "auto":
+        fmt = "lance" if path.rstrip("/").endswith(".lance") else "parquet"
+    if fmt == "lance":
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "read_documents(format='lance') needs the 'lance' "
+                "package (pip install pylance); this environment does "
+                "not ship it — use the Parquet mirror of the corpus "
+                "instead (identical schema, identical pipelines)."
+            ) from e
+        return ray.data.read_lance(path, columns=columns, **read_kwargs)
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, columns=columns, **read_kwargs)
+    raise ValueError(f"unknown format {format!r} (auto|lance|parquet)")
+
+
 def rejoin_spans(docs: ray.data.Dataset, results: ray.data.Dataset,
                  on: str = "doc_id") -> ray.data.Dataset:
     """Re-attach the untouched ``spans`` column to a derived result

@@ -136,3 +136,29 @@ def test_rejoin_spans_preserves_sequences(docs):
         sa = [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
         sb = [(s["kind"], s["text"], s["media_ref"]) for s in src[r["doc_id"]]]
         assert sa == sb
+
+
+def test_read_documents_parquet_roundtrip(tmp_path, docs):
+    """read_documents (the Lance-gated corpus reader) on its Parquet
+    path: write the synthesized corpus, read it back, span sequences
+    identical."""
+    from city2graph_ray.sources.interleaved import read_documents
+
+    out = str(tmp_path / "corpus")
+    docs.write_parquet(out)
+    back = read_documents(out)  # format="auto" → parquet
+    a = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    for sa, sb in zip(a["spans"], b["spans"]):
+        la = [(s["kind"], s["text"], s["media_ref"]) for s in sa]
+        lb = [(s["kind"], s["text"], s["media_ref"]) for s in sb]
+        assert la == lb
+
+
+def test_read_documents_lance_gated():
+    from city2graph_ray.sources.interleaved import read_documents
+    with pytest.raises(ImportError, match="lance"):
+        read_documents("/data/corpus.lance")
+    with pytest.raises(ValueError, match="unknown format"):
+        read_documents("/data/x", format="orc")
