@@ -1352,6 +1352,14 @@ def _tpch_q6(sf_dir: str):
     return revenue_forecast(sf_dir)
 
 
+def _tpch_q4(sf_dir: str):
+    """Order-priority check (EXISTS semi-join: distinct qualifying
+    lineitem keys → bucketed probe → tiny groupby)."""
+    from city2graph_ray.pipelines.relational import order_priority_check
+
+    return order_priority_check(sf_dir)
+
+
 def _tpch_q18(sf_dir: str):
     """Large-volume orders (pre-agg HAVING drives two bucketed joins)."""
     from city2graph_ray.pipelines.relational import large_volume_orders
@@ -1446,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": _media_features,
         "media_frame_sample": _media_frames,
         "tpch_q5_region": _tpch_q5_region,
+        "tpch_q4_priority": _tpch_q4,
         "tpch_q6_forecast": _tpch_q6,
         "tpch_q18_volume": _tpch_q18,
         "event_user_hll": _event_user_hll,
@@ -2248,6 +2257,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name""",
+        "tpch_q4_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1995-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority""",
         "tpch_q6_forecast": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                    count(*) AS qualifying_rows

@@ -205,6 +205,54 @@ def revenue_forecast(sf_dir: str, date_from: str = "1995-01-01",
         "qualifying_rows": [int(parts["rows"].sum())]}))
 
 
+def order_priority_check(sf_dir: str, date_from: str = "1995-01-01",
+                         date_to: str = "1995-07-01",
+                         num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                         ) -> ray.data.Dataset:
+    """TPC-H-Q4-shaped "order priority checking": orders in a date
+    window having at least one returned lineitem (EXISTS semi-join;
+    the testdata lineitem carries no commit/receipt dates, so the
+    correlated predicate is ``l_returnflag = 'R'``), counted per
+    o_orderpriority.
+
+    Scale shape of the EXISTS: lineitem is filtered at the scan and
+    reduced to DISTINCT qualifying orderkeys — per-batch dedup first
+    (shuffle bytes ∝ distinct keys per batch), then one keyed merge —
+    so the semi-join's build side is keys-only; the probe is one
+    bucketed hash join against the date-windowed orders (inner join ≡
+    semi-join because the build side is unique); the final count is a
+    partial-aggregated groupby over ≤5 priority values."""
+    lo = pd.Timestamp(date_from).to_datetime64()
+    hi = pd.Timestamp(date_to).to_datetime64()
+
+    li_keys = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"]).map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R"))
+        .select(["l_orderkey"]), batch_format="pyarrow").map_batches(
+        lambda b: b.drop_duplicates(["l_orderkey"]),
+        batch_format="pandas")
+    qual = shuffle.group_agg(li_keys, ["l_orderkey"],
+                             {"n_ret": ("l_orderkey", "size")},
+                             num_buckets=num_buckets).map_batches(
+        lambda b: b.rename(columns={"l_orderkey": "o_orderkey"})
+        [["o_orderkey"]], batch_format="pandas")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                   pc.less(t["o_orderdate"], hi)))
+        .select(["o_orderkey", "o_orderpriority"]), batch_format="pyarrow")
+
+    sj = bucketed_join(orders, qual, on="o_orderkey",
+                       num_buckets=num_buckets)
+    return shuffle.group_agg(sj, ["o_orderpriority"],
+                             {"order_count": ("o_orderkey", "size")},
+                             num_buckets=num_buckets)
+
+
 def large_volume_orders(sf_dir: str, min_qty: float = 250.0,
                         k: int = 100,
                         num_buckets: int = shuffle.DEFAULT_BUCKETS,

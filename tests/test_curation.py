@@ -147,6 +147,32 @@ def test_large_volume_orders_matches_duckdb():
                                     "o_orderdate", "o_totalprice", "sum_qty"]
 
 
+def test_order_priority_check_matches_duckdb():
+    import duckdb
+
+    from city2graph_ray.pipelines.relational import order_priority_check
+    out = (order_priority_check(SF_DIR).to_pandas()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    want = duckdb.execute(f"""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM read_parquet('{SF_DIR}/orders.parquet')
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-07-01'
+          AND EXISTS (SELECT 1
+                      FROM read_parquet('{SF_DIR}/lineitem.parquet')
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""").df()
+    assert out["o_orderpriority"].tolist() == \
+        want["o_orderpriority"].tolist()
+    assert out["order_count"].tolist() == want["order_count"].tolist()
+    # empty date window -> zero groups, schema intact
+    empty = order_priority_check(SF_DIR, date_from="2050-01-01",
+                                 date_to="2050-02-01")
+    assert empty.count() == 0
+
+
 def _remove_spans_brute(docs: pd.DataFrame, n: int) -> pd.DataFrame:
     """Driver oracle: owner of a gram = min doc_id containing it;
     tokens covered by a non-owner occurrence are deleted."""
