@@ -1352,6 +1352,34 @@ def _tpch_q6(sf_dir: str):
     return revenue_forecast(sf_dir)
 
 
+def _segment_crossings(sf_dir: str):
+    """Segment-segment proper-crossing join over short derived street
+    stubs (midpoint from o_orderkey, delta from key arithmetic — short
+    segments keep the cell bucketing meaningful; identical derivation
+    in the SQL twin).  Exactly-once pair emission by crossing-point
+    home cell; px/py bit-exact vs the same expression tree in SQL."""
+    import ray.data
+
+    from city2graph_ray.ops.segments import segment_intersections
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        keep = ok % 3 == 0
+        ok, ck = ok[keep], ck[keep]
+        ax, ay = synth.key_to_xy(ok)
+        bx = ax + (ck % 21 - 10)
+        by = ay + (ok % 17 - 8)
+        return pd.DataFrame({"seg_id": ok, "ax": ax, "ay": ay,
+                             "bx": bx, "by": by})
+
+    segs = orders.map_batches(mk, batch_format="pandas")
+    return segment_intersections(segs, cell_size=25.0, num_buckets=16)
+
+
 def _tpch_q4(sf_dir: str):
     """Order-priority check (EXISTS semi-join: distinct qualifying
     lineitem keys → bucketed probe → tiny groupby)."""
@@ -1454,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": _media_features,
         "media_frame_sample": _media_frames,
         "tpch_q5_region": _tpch_q5_region,
+        "segment_crossings": _segment_crossings,
         "tpch_q4_priority": _tpch_q4,
         "tpch_q6_forecast": _tpch_q6,
         "tpch_q18_volume": _tpch_q18,
@@ -2257,6 +2286,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name""",
+        "segment_crossings": f"""
+            WITH s AS (
+              SELECT o_orderkey AS seg_id,
+                     {synth.sql_x('o_orderkey')} AS ax,
+                     {synth.sql_y('o_orderkey')} AS ay,
+                     {synth.sql_x('o_orderkey')} + (o_custkey % 21 - 10)
+                       AS bx,
+                     {synth.sql_y('o_orderkey')} + (o_orderkey % 17 - 8)
+                       AS by
+              FROM orders WHERE o_orderkey % 3 = 0),
+            sb AS (
+              SELECT seg_id, ax, ay, bx, by,
+                     least(ax, bx) AS lox, greatest(ax, bx) AS hix,
+                     least(ay, by) AS loy, greatest(ay, by) AS hiy
+              FROM s),
+            pr AS (
+              SELECT a.seg_id AS seg_a, b.seg_id AS seg_b,
+                     a.ax AS ax, a.ay AS ay, a.bx AS bx, a.by AS by,
+                     b.ax AS cx, b.ay AS cy, b.bx AS dx, b.by AS dy
+              FROM sb a JOIN sb b
+                ON a.seg_id < b.seg_id
+               AND a.lox <= b.hix AND a.hix >= b.lox
+               AND a.loy <= b.hiy AND a.hiy >= b.loy),
+            d AS (
+              SELECT seg_a, seg_b, ax, ay, bx, by, cx, cy, dx, dy,
+                     (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) AS d1,
+                     (bx - ax) * (dy - ay) - (by - ay) * (dx - ax) AS d2,
+                     (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx) AS d3,
+                     (dx - cx) * (by - cy) - (dy - cy) * (bx - cx) AS d4
+              FROM pr),
+            x AS (
+              SELECT seg_a, seg_b, ax, ay, bx, by,
+                     ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx)) /
+                     ((bx - ax) * (dy - cy) - (by - ay) * (dx - cx)) AS t
+              FROM d WHERE d1 * d2 < 0 AND d3 * d4 < 0)
+            SELECT seg_a, seg_b,
+                   ax + t * (bx - ax) AS px,
+                   ay + t * (by - ay) AS py
+            FROM x""",
         "tpch_q4_priority": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders

@@ -267,3 +267,96 @@ def prepare_barriers(segments: ray.data.Dataset,
         return pd.DataFrame({id_col: out_ids, "coords": out_coords})
 
     return segments.map_batches(fn, batch_format="pandas")
+
+
+def segment_intersections(segs: ray.data.Dataset, cell_size: float,
+                          num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                          ) -> ray.data.Dataset:
+    """Segment-segment PROPER-crossing join: all unordered pairs of
+    2-point segments that strictly cross (shared endpoints, T-touches
+    and collinear overlaps are NOT crossings — the predicate is the
+    strict orientation test, four signed areas with both products
+    negative, so it is bit-reproducible in SQL with the same float
+    arithmetic).
+
+    Input rows (seg_id:int64, ax, ay, bx, by); output
+    (seg_a, seg_b, px, py) with seg_a < seg_b and (px, py) the
+    crossing point ``A + t(B-A)``, t from the standard r×s form —
+    the same expression tree the DuckDB twin evaluates, so the floats
+    compare bit-exact.
+
+    Scale shape: each segment's bbox is duplicated into the grid cells
+    it covers (``cells.covering_cells``) and pairs are tested per cell
+    with blockwise-broadcast numpy; a pair is emitted ONLY by the cell
+    containing its crossing point — a proper crossing has exactly one,
+    and that point lies inside both bboxes, so exactly one covered
+    cell of both segments owns the pair.  Exactly-once emission with
+    NO dedup shuffle: total shuffle bytes = bbox-cover duplication
+    (∝ segment length / cell_size), and the one exchange is the
+    grouped transform on the cell key."""
+    from city2graph_ray import cells
+
+    def to_cells(b: pd.DataFrame) -> pd.DataFrame:
+        ax = b["ax"].to_numpy(np.float64)
+        ay = b["ay"].to_numpy(np.float64)
+        bx = b["bx"].to_numpy(np.float64)
+        by = b["by"].to_numpy(np.float64)
+        rows, cl = cells.covering_cells(
+            np.minimum(ax, bx), np.minimum(ay, by),
+            np.maximum(ax, bx), np.maximum(ay, by), cell_size)
+        out = b.iloc[rows][["seg_id", "ax", "ay", "bx", "by"]].copy()
+        out["cell"] = cl
+        return out
+
+    dup = segs.map_batches(to_cells, batch_format="pandas")
+
+    empty = pd.DataFrame({"seg_a": pd.Series(dtype=np.int64),
+                          "seg_b": pd.Series(dtype=np.int64),
+                          "px": pd.Series(dtype=np.float64),
+                          "py": pd.Series(dtype=np.float64)})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [empty]
+        for cell_val, grp in g.groupby("cell", sort=False):
+            n = len(grp)
+            if n < 2:
+                continue
+            ids = grp["seg_id"].to_numpy(np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            P = grp[["ax", "ay", "bx", "by"]].to_numpy(np.float64)[order]
+            bs = max(1, 4_000_000 // n)  # bound block memory at ~O(4M)
+            jr = np.arange(n)
+            for s0 in range(0, n - 1, bs):
+                s1 = min(s0 + bs, n)
+                A = P[s0:s1]
+                ax = A[:, 0:1]; ay = A[:, 1:2]
+                bx = A[:, 2:3]; by = A[:, 3:4]
+                cx = P[None, :, 0]; cy = P[None, :, 1]
+                dx = P[None, :, 2]; dy = P[None, :, 3]
+                d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+                d2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+                d3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+                d4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+                proper = (jr[None, :] > jr[s0:s1, None]) & \
+                    (d1 * d2 < 0) & (d3 * d4 < 0)
+                ii, jj = np.nonzero(proper)
+                if len(ii) == 0:
+                    continue
+                gi = ii + s0
+                aX = P[gi, 0]; aY = P[gi, 1]; bX = P[gi, 2]; bY = P[gi, 3]
+                cX = P[jj, 0]; cY = P[jj, 1]; dX = P[jj, 2]; dY = P[jj, 3]
+                t = ((cX - aX) * (dY - cY) - (cY - aY) * (dX - cX)) / \
+                    ((bX - aX) * (dY - cY) - (bY - aY) * (dX - cX))
+                px = aX + t * (bX - aX)
+                py = aY + t * (bY - aY)
+                home = cells.cell_id(px, py, cell_size) == cell_val
+                if not home.any():
+                    continue
+                outs.append(pd.DataFrame({
+                    "seg_a": ids[gi[home]], "seg_b": ids[jj[home]],
+                    "px": px[home], "py": py[home]}))
+        return pd.concat(outs, ignore_index=True)
+
+    return shuffle.grouped_transform(dup, ["cell"], kernel,
+                                     num_buckets=num_buckets)

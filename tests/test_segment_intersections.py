@@ -1,0 +1,93 @@
+"""segment_intersections: proper-crossing join vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from city2graph_ray.ops.segments import segment_intersections
+
+
+def _brute(df: pd.DataFrame) -> pd.DataFrame:
+    P = df[["ax", "ay", "bx", "by"]].to_numpy(np.float64)
+    ids = df["seg_id"].to_numpy(np.int64)
+    rows = []
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            ax, ay, bx, by = P[i]
+            cx, cy, dx, dy = P[j]
+            d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            d2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+            d3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+            d4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                t = ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx)) / \
+                    ((bx - ax) * (dy - cy) - (by - ay) * (dx - cx))
+                a, b = sorted((ids[i], ids[j]))
+                rows.append((a, b, ax + t * (bx - ax), ay + t * (by - ay)))
+    return (pd.DataFrame(rows, columns=["seg_a", "seg_b", "px", "py"])
+            .sort_values(["seg_a", "seg_b"]).reset_index(drop=True))
+
+
+def _run(df: pd.DataFrame, cell_size: float) -> pd.DataFrame:
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = segment_intersections(ds, cell_size, num_buckets=4).to_pandas()
+    return out.sort_values(["seg_a", "seg_b"]).reset_index(drop=True)
+
+
+def _random_segs(n: int, seed: int, span: float = 8.0) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    mid = rng.uniform(0, 100, (n, 2))
+    d = rng.uniform(-span, span, (n, 2))
+    return pd.DataFrame({
+        "seg_id": np.arange(n, dtype=np.int64),
+        "ax": mid[:, 0] - d[:, 0], "ay": mid[:, 1] - d[:, 1],
+        "bx": mid[:, 0] + d[:, 0], "by": mid[:, 1] + d[:, 1]})
+
+
+def test_matches_bruteforce_across_cell_sizes():
+    df = _random_segs(180, seed=7)
+    want = _brute(df)
+    assert len(want) > 20  # fixture must actually cross
+    for cs in (2.0, 7.5, 40.0, 1000.0):  # smaller AND larger than segs
+        got = _run(df, cs)
+        assert got["seg_a"].tolist() == want["seg_a"].tolist(), cs
+        assert got["seg_b"].tolist() == want["seg_b"].tolist(), cs
+        assert np.array_equal(got["px"].to_numpy(), want["px"].to_numpy())
+        assert np.array_equal(got["py"].to_numpy(), want["py"].to_numpy())
+
+
+def test_touches_and_collinear_excluded():
+    df = pd.DataFrame({
+        "seg_id": np.arange(7, dtype=np.int64),
+        #      X-cross      shared-endpt  T-touch      collinear overlap
+        "ax": [0.0, 0.0,    10.0, 12.0,   20.0, 21.0,  30.0],
+        "ay": [0.0, 2.0,    10.0, 12.0,   20.0, 20.0,  30.0],
+        "bx": [2.0, 2.0,    12.0, 14.0,   22.0, 21.0,  34.0],
+        "by": [2.0, 0.0,    12.0, 10.0,   20.0, 22.0,  30.0],
+    })
+    # collinear partner overlapping seg 6
+    df = pd.concat([df, pd.DataFrame({
+        "seg_id": [7], "ax": [32.0], "ay": [30.0],
+        "bx": [36.0], "by": [30.0]})], ignore_index=True)
+    out = _run(df, 5.0)
+    assert out[["seg_a", "seg_b"]].values.tolist() == [[0, 1]]
+    # crossing point of the X is (1,1)
+    assert out["px"].iloc[0] == 1.0 and out["py"].iloc[0] == 1.0
+
+
+def test_empty_and_single_inputs():
+    empty = pd.DataFrame({"seg_id": pd.Series(dtype=np.int64),
+                          "ax": pd.Series(dtype=np.float64),
+                          "ay": pd.Series(dtype=np.float64),
+                          "bx": pd.Series(dtype=np.float64),
+                          "by": pd.Series(dtype=np.float64)})
+    out = segment_intersections(ray.data.from_pandas(empty), 5.0,
+                                num_buckets=2)
+    assert out.count() == 0
+    one = pd.DataFrame({"seg_id": [1], "ax": [0.0], "ay": [0.0],
+                        "bx": [1.0], "by": [1.0]})
+    out1 = segment_intersections(ray.data.from_pandas(one), 5.0,
+                                 num_buckets=2)
+    assert out1.count() == 0
