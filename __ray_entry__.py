@@ -40,6 +40,31 @@ _SEG_NODES = (f"WITH eps AS (SELECT {synth.sql_x('o_orderkey')} AS x, "
               f"node_id, x, y FROM (SELECT DISTINCT x, y FROM eps)")
 
 
+def _path_geom_sql(hops: int) -> str:
+    """Chained-CTE mirror of bounded_hop_path_geometry's per-round
+    (distance, pts) argmin recurrence (network_path_geom_bounded)."""
+    parts = ["""
+        p0 AS (SELECT node_id AS src, node_id AS dst,
+                      0.0::DOUBLE AS distance,
+                      printf('%.10g', x) || ' ' || printf('%.10g', y)
+                        AS pts
+               FROM nodes WHERE node_id % 101 = 0)"""]
+    for k in range(1, hops + 1):
+        parts.append(f"""
+        p{k} AS (SELECT src, dst, distance, pts FROM (
+                  SELECT src, dst, distance, pts, row_number() OVER (
+                      PARTITION BY src, dst ORDER BY distance, pts)
+                    AS rn
+                  FROM (SELECT * FROM p{k - 1} UNION ALL
+                        SELECT d.src, e.dst, d.distance + e.w,
+                               d.pts || ',' || printf('%.10g', n.x) ||
+                               ' ' || printf('%.10g', n.y)
+                        FROM p{k - 1} d JOIN edges e ON d.dst = e.src
+                        JOIN nodes n ON n.node_id = e.dst))
+                 WHERE rn = 1)""")
+    return ",".join(parts)
+
+
 # Messy-URL injection + canonicalization CTE chain shared by the
 # doc_url_canon / doc_domain_cap oracles (mirrors _inject_urls and
 # city2graph_ray.text.urls.canonicalize_urls rule-for-rule).
@@ -1352,6 +1377,41 @@ def _tpch_q6(sf_dir: str):
     return revenue_forecast(sf_dir)
 
 
+def _network_path_geom_bounded(sf_dir: str):
+    """Bounded-hop (4) network shortest paths WITH polyline WKT — the
+    SQL-expressible companion of _network_path_geom: the per-round
+    (distance, pts) argmin recurrence is mirrored by chained CTEs, so
+    path GEOMETRY is bit-exact against DuckDB (%.10g printf parity),
+    not just the distances."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.network import bounded_hop_path_geometry
+    from city2graph_ray.ops.topology import segments_to_graph
+    from city2graph_ray.pipelines.tables import order_segments
+
+    nodes, edges = segments_to_graph(order_segments(sf_dir))
+
+    def wedges(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.stack([np.asarray(x, np.float64) for x in b["coords"]])
+        dx = c[:, 0] - c[:, 2]
+        dy = c[:, 1] - c[:, 3]
+        w = np.sqrt(dx * dx + dy * dy)
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([s, d]),
+                             "dst": np.concatenate([d, s]),
+                             "weight": np.tile(w, 2)})
+
+    srcs = nodes.map_batches(
+        lambda b: b.loc[b["node_id"].to_numpy(np.int64) % 101 == 0,
+                        ["node_id"]],
+        batch_format="pandas")
+    paths = bounded_hop_path_geometry(
+        edges.map_batches(wedges, batch_format="pandas"), srcs, nodes,
+        hops=4, num_buckets=16)
+    return shuffle.topk_in_group(paths, ["src"], 3,
+                                 ["distance", "dst"], [True, True])
+
+
 def _segment_crossings(sf_dir: str):
     """Segment-segment proper-crossing join over short derived street
     stubs (midpoint from o_orderkey, delta from key arithmetic — short
@@ -1482,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": _media_features,
         "media_frame_sample": _media_frames,
         "tpch_q5_region": _tpch_q5_region,
+        "network_path_geom_bounded": _network_path_geom_bounded,
         "segment_crossings": _segment_crossings,
         "tpch_q4_priority": _tpch_q4,
         "tpch_q6_forecast": _tpch_q6,
@@ -2286,6 +2347,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name""",
+        "network_path_geom_bounded": f"""
+            WITH nodes AS ({_SEG_NODES}), segs AS ({_SEG_EPS}),
+            resolved AS (
+                SELECT na.node_id AS a, nb.node_id AS b,
+                       sqrt((s.ax-s.bx)*(s.ax-s.bx)
+                          + (s.ay-s.by)*(s.ay-s.by)) AS w
+                FROM segs s
+                JOIN nodes na ON na.x = s.ax AND na.y = s.ay
+                JOIN nodes nb ON nb.x = s.bx AND nb.y = s.by),
+            edges AS (SELECT a AS src, b AS dst, w FROM resolved
+                      UNION ALL SELECT b, a, w FROM resolved),
+            {_path_geom_sql(4)}
+            SELECT src, dst, distance,
+                   'LINESTRING(' || pts || ')' AS path_wkt
+            FROM (SELECT src, dst, distance, pts,
+                         row_number() OVER (PARTITION BY src
+                             ORDER BY distance, dst) AS rn
+                  FROM p4 WHERE src <> dst)
+            WHERE rn <= 3""",
         "segment_crossings": f"""
             WITH s AS (
               SELECT o_orderkey AS seg_id,

@@ -405,3 +405,125 @@ def network_fixed_radius_graph(points: ray.data.Dataset, nodes: pd.DataFrame,
 
     return shuffle.distinct(cand.map_batches(canon, batch_format="pandas"),
                             ["src", "dst"])
+
+
+def bounded_hop_path_geometry(edges: ray.data.Dataset,
+                              sources: ray.data.Dataset,
+                              nodes: ray.data.Dataset,
+                              hops: int,
+                              weight_col: str = "weight",
+                              num_buckets: int = 64) -> ray.data.Dataset:
+    """Bounded-hop shortest paths WITH their polyline geometry — the
+    bit-exact-oracle-able companion of ``attach_network_path_geometry``
+    (which runs unbounded Dijkstra; a hop bound makes the recurrence
+    exactly SQL-expressible, same trade as ``bounded_hop_paths``).
+
+    The per-(src, dst) state carries ``pts`` — the path's coordinate
+    string ``"x y,x y,..."`` with ``%.10g`` floats (printf-identical in
+    numpy and DuckDB) — built incrementally at relax time, so the final
+    WKT needs NO path-reconstruction joins.  Each round keeps, per
+    (src, dst), the argmin by ``(distance, pts)``: min float distance,
+    ties broken by the lexicographically smallest coordinate string —
+    a total order both engines reproduce bit-for-bit.
+
+    Scale shape: identical to ``bounded_hop_paths`` (per round one
+    frontier×edges bucketed join + one keyed argmin; state never
+    touches the driver) plus ~25 bytes/hop of string per state row.
+    ``nodes`` (node_id, x, y) joins the edge table ONCE up front
+    (distributed bucketed join — the network is not broadcast).
+
+    Returns (src, dst, distance, path_wkt) for src ≠ dst reachable
+    within ``hops`` edges.
+    """
+    from city2graph_ray.joins import bucketed_join
+
+    def fmt_xy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        return np.char.add(np.char.add(
+            np.char.mod("%.10g", x), " "), np.char.mod("%.10g", y))
+
+    nd = nodes.map_batches(
+        lambda b: pd.DataFrame({
+            "node_id": b["node_id"].to_numpy(np.int64),
+            "_nx": b["x"].to_numpy(np.float64),
+            "_ny": b["y"].to_numpy(np.float64)}),
+        batch_format="pandas")
+
+    eds = bucketed_join(
+        edges.map_batches(
+            lambda b, w=weight_col: pd.DataFrame({
+                "mid": b["src"].to_numpy(np.int64),
+                "node_id": b["dst"].to_numpy(np.int64),
+                "w": b[w].to_numpy(np.float64)}),
+            batch_format="pandas"),
+        nd, on="node_id", num_buckets=num_buckets).map_batches(
+        lambda b: pd.DataFrame({
+            "mid": b["mid"].to_numpy(np.int64),
+            "ndst": b["node_id"].to_numpy(np.int64),
+            "w": b["w"].to_numpy(np.float64),
+            "npts": fmt_xy(b["_nx"].to_numpy(np.float64),
+                           b["_ny"].to_numpy(np.float64))}),
+        batch_format="pandas").materialize()
+
+    state = bucketed_join(
+        sources.map_batches(
+            lambda b: pd.DataFrame({
+                "node_id": b["node_id"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        nd, on="node_id", num_buckets=num_buckets).map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["node_id"].to_numpy(np.int64),
+            "dst": b["node_id"].to_numpy(np.int64),
+            "distance": np.zeros(len(b), np.float64),
+            "pts": fmt_xy(b["_nx"].to_numpy(np.float64),
+                          b["_ny"].to_numpy(np.float64))}),
+        batch_format="pandas").materialize()
+
+    empty = pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                          "dst": pd.Series(dtype=np.int64),
+                          "distance": pd.Series(dtype=np.float64),
+                          "path_wkt": pd.Series(dtype=object)})
+    if state.count() == 0:
+        return ray.data.from_pandas(empty)
+
+    for _ in range(max(int(hops), 0)):
+        frontier = state.map_batches(
+            lambda b: pd.DataFrame({
+                "src": b["src"].to_numpy(np.int64),
+                "mid": b["dst"].to_numpy(np.int64),
+                "distance": b["distance"].to_numpy(np.float64),
+                "pts": b["pts"].astype(str)}),
+            batch_format="pandas")
+        relaxed = bucketed_join(frontier, eds, on="mid",
+                                num_buckets=num_buckets).map_batches(
+            lambda b: pd.DataFrame({
+                "src": b["src"].to_numpy(np.int64),
+                "dst": b["ndst"].to_numpy(np.int64),
+                "distance": (b["distance"].to_numpy(np.float64)
+                             + b["w"].to_numpy(np.float64)),
+                "pts": (b["pts"].astype(str) + ","
+                        + b["npts"].astype(str))}),
+            batch_format="pandas")
+        # local per-batch argmin first (combiner): shuffle rows ∝
+        # distinct (src, dst) per batch, not relaxation fan-out
+        def local_argmin(b: pd.DataFrame) -> pd.DataFrame:
+            return (b.sort_values(["distance", "pts"], kind="stable")
+                    .groupby(["src", "dst"], sort=False).head(1))
+
+        state = shuffle.topk_in_group(
+            state.union(relaxed).map_batches(local_argmin,
+                                             batch_format="pandas"),
+            ["src", "dst"], 1, ["distance", "pts"], [True, True],
+            num_buckets=num_buckets).repartition(
+            max(num_buckets // 4, 8)).materialize()
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["src"] != b["dst"]]
+        if len(b) == 0:
+            return empty
+        return pd.DataFrame({
+            "src": b["src"].to_numpy(np.int64),
+            "dst": b["dst"].to_numpy(np.int64),
+            "distance": b["distance"].to_numpy(np.float64),
+            "path_wkt": "LINESTRING(" + b["pts"].astype(str) + ")"})
+
+    return state.map_batches(finish, batch_format="pandas")

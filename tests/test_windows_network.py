@@ -220,3 +220,57 @@ def test_metapath_undirected_and_callable():
     got = {(r.src, r.dst): r.w_pmax for r in out.itertuples()}
     assert got[(1, 2)] == 1.0 + 4.0  # path 1-10-2: w sums to 5
     assert got[(2, 1)] == 2.0 + 8.0
+
+
+def test_bounded_hop_path_geometry(net):
+    """Path-carrying Bellman-Ford vs brute enumeration of every
+    <=hops-edge path with the same (distance, pts) argmin — distances
+    AND polylines identical, including the tie-broken diamond."""
+    from city2graph_ray.ops.network import bounded_hop_path_geometry
+    nodes, edges, _ = net
+    # add a diamond: 0->5->4 and the chain 0..4, plus an equal-cost
+    # alternative route 0->6->2 tying with 0->1->2 (20.0 either way)
+    nodes2 = pd.concat([nodes, pd.DataFrame({
+        "node_id": np.array([5, 6], np.int64),
+        "x": [15.0, 5.0], "y": [25.0, -10.0]})], ignore_index=True)
+    e = pd.concat([edges, pd.DataFrame({
+        "src": [0, 5, 0, 6], "dst": [5, 4, 6, 2],
+        "length": [12.0, 11.0, 8.0, 12.0]})], ignore_index=True)
+    dedges = pd.DataFrame({
+        "src": np.concatenate([e["src"], e["dst"]]).astype(np.int64),
+        "dst": np.concatenate([e["dst"], e["src"]]).astype(np.int64),
+        "weight": np.tile(e["length"].to_numpy(np.float64), 2)})
+
+    xy = {int(r.node_id): (r.x, r.y) for r in nodes2.itertuples()}
+
+    def fmt(nid):
+        return "%.10g %.10g" % xy[nid]
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for r in dedges.itertuples(index=False):
+        adj.setdefault(int(r.src), []).append((int(r.dst), float(r.weight)))
+
+    def brute(srcs, hops):
+        best: dict[tuple[int, int], tuple[float, str]] = {}
+        for s in srcs:
+            stack = [(s, 0.0, fmt(s), 0)]
+            while stack:
+                v, d, pts, k = stack.pop()
+                cur = best.get((s, v))
+                if cur is None or (d, pts) < cur:
+                    best[(s, v)] = (d, pts)
+                if k == hops:
+                    continue
+                for u, w in adj.get(v, ()):
+                    stack.append((u, d + w, pts + "," + fmt(u), k + 1))
+        return {(s, v): ("LINESTRING(%s)" % p, d)
+                for (s, v), (d, p) in best.items() if s != v}
+
+    srcs = pd.DataFrame({"node_id": np.array([0, 2], np.int64)})
+    for hops in (1, 2, 4):
+        got = bounded_hop_path_geometry(
+            rd.from_pandas(dedges), rd.from_pandas(srcs),
+            rd.from_pandas(nodes2), hops, num_buckets=4).to_pandas()
+        want = brute([0, 2], hops)
+        assert {(r.src, r.dst): (r.path_wkt, r.distance)
+                for r in got.itertuples()} == want, hops
