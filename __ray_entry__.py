@@ -1377,6 +1377,16 @@ def _tpch_q6(sf_dir: str):
     return revenue_forecast(sf_dir)
 
 
+def _emb_covariance(sf_dir: str):
+    """Embedding covariance matrix (whitening/PCA input) — one fused
+    streaming moments pass, d²-sized result, 6dp-rounded in both
+    systems."""
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.stats import embedding_covariance
+
+    return embedding_covariance(embeddings(sf_dir), num_buckets=16)
+
+
 def _network_path_geom_bounded(sf_dir: str):
     """Bounded-hop (4) network shortest paths WITH polyline WKT — the
     SQL-expressible companion of _network_path_geom: the per-round
@@ -1542,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": _media_features,
         "media_frame_sample": _media_frames,
         "tpch_q5_region": _tpch_q5_region,
+        "emb_covariance": _emb_covariance,
         "network_path_geom_bounded": _network_path_geom_bounded,
         "segment_crossings": _segment_crossings,
         "tpch_q4_priority": _tpch_q4,
@@ -2347,6 +2358,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name""",
+        "emb_covariance": """
+            WITH x AS (SELECT vec_id,
+                              CAST(unnest(embedding) AS DOUBLE) AS v,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n
+                   FROM embeddings),
+            m AS (SELECT i, sum(v) AS s FROM x GROUP BY i),
+            g AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS gg
+                  FROM x a JOIN x b ON a.vec_id = b.vec_id
+                  GROUP BY a.i, b.i)
+            SELECT g.i - 1 AS i, g.j - 1 AS j,
+                   round(gg / nn.n - (ma.s / nn.n) * (mb.s / nn.n), 6)
+                     AS cov
+            FROM g CROSS JOIN nn
+            JOIN m ma ON ma.i = g.i
+            JOIN m mb ON mb.i = g.j""",
         "network_path_geom_bounded": f"""
             WITH nodes AS ({_SEG_NODES}), segs AS ({_SEG_EPS}),
             resolved AS (

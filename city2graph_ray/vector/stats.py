@@ -1,0 +1,110 @@
+"""Distributed embedding statistics: covariance / PCA — the whitening
+and dimensionality-reduction stage of embedding-dedup / ANN pipelines
+(engine-added; no reference counterpart).
+
+Scale shape: ONE streaming pass over the corpus computes fused
+per-batch second-moment partials (Gram matrix XᵀX, column sums, row
+count — all emitted as exploded (i, j, g) rows from the same batch so
+the corpus is scanned once, never twice); one keyed merge reduces them
+to a d²-sized table.  Everything after that point is
+dimension-bounded, not corpus-bounded: the covariance finish and the
+eigendecomposition run on d×d numpy (d ≤ a few thousand), and the
+projection stage broadcasts the (d, k) component matrix into a
+stateless vectorized ``map_batches`` matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from city2graph_ray import shuffle
+
+
+def _moment_partials(col: str):
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, np.float64) for v in b[col]])
+        d = X.shape[1]
+        G = X.T @ X
+        i, j = np.meshgrid(np.arange(d, dtype=np.int64),
+                           np.arange(d, dtype=np.int64), indexing="ij")
+        # piggyback the column sums (j = -1) and the row count
+        # (i = j = -1) onto the Gram rows: one corpus pass, one merge
+        return pd.DataFrame({
+            "i": np.concatenate([i.ravel(),
+                                 np.arange(d, dtype=np.int64), [-1]]),
+            "j": np.concatenate([j.ravel(),
+                                 np.full(d, -1, np.int64), [-1]]),
+            "g": np.concatenate([G.ravel(), X.sum(0), [float(len(X))]]),
+        })
+    return fn
+
+
+def embedding_covariance(ds: ray.data.Dataset, col: str = "embedding",
+                         round_to: int | None = 6,
+                         num_buckets: int | None = None) -> pd.DataFrame:
+    """Covariance matrix of an embedding column as (i, j, cov) rows,
+    cov = E[x_i x_j] − E[x_i]E[x_j] (population, ddof=0), rounded to
+    ``round_to`` so summation order can't flip the value hash vs the
+    SQL twin.  Returns pandas — the result is d²-sized (dimension-,
+    not corpus-, bounded), the same driver-size rationale as the
+    quantile and sketch finishes."""
+    parts = ds.map_batches(_moment_partials(col), batch_format="pandas")
+    agg = shuffle.group_agg(
+        parts, ["i", "j"], {"g": ("g", "sum")},
+        num_buckets=num_buckets or shuffle.DEFAULT_BUCKETS).to_pandas()
+    n = float(agg.loc[(agg["i"] == -1) & (agg["j"] == -1), "g"].iloc[0])
+    s = (agg[(agg["j"] == -1) & (agg["i"] >= 0)]
+         .sort_values("i")["g"].to_numpy())
+    gm = agg[(agg["i"] >= 0) & (agg["j"] >= 0)].sort_values(["i", "j"])
+    d = len(s)
+    G = gm["g"].to_numpy().reshape(d, d)
+    mean = s / n
+    cov = G / n - np.outer(mean, mean)
+    if round_to is not None:
+        cov = np.round(cov, round_to)
+    i, j = np.meshgrid(np.arange(d, dtype=np.int64),
+                       np.arange(d, dtype=np.int64), indexing="ij")
+    return pd.DataFrame({"i": i.ravel(), "j": j.ravel(),
+                         "cov": cov.ravel()})
+
+
+def pca_components(cov_df: pd.DataFrame, k: int,
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Top-``k`` eigenpairs of an (i, j, cov) covariance table —
+    deterministic sign convention (largest-|coeff| entry positive, ties
+    to the lower index).  d×d numpy on the driver."""
+    d = int(cov_df["i"].max()) + 1
+    C = np.zeros((d, d))
+    C[cov_df["i"].to_numpy(np.int64), cov_df["j"].to_numpy(np.int64)] = \
+        cov_df["cov"].to_numpy(np.float64)
+    vals, vecs = np.linalg.eigh((C + C.T) / 2.0)
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order]
+    for c in range(vecs.shape[1]):
+        a = np.abs(vecs[:, c])
+        top = np.argmax(a)  # first max → deterministic tie-break
+        if vecs[top, c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    return vals, vecs
+
+
+def pca_project(ds: ray.data.Dataset, mean: np.ndarray,
+                components: np.ndarray, col: str = "embedding",
+                id_col: str = "vec_id",
+                out_col: str = "pc") -> ray.data.Dataset:
+    """Project embeddings onto PCA components: (X − mean) @ components.
+    The (d, k) matrix rides in the task closure (kilobytes — broadcast
+    once per worker by Ray's closure store, never per batch); the
+    per-batch work is one numpy matmul."""
+    mean = np.asarray(mean, np.float64)
+    comps = np.asarray(components, np.float64)
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, np.float64) for v in b[col]])
+        P = (X - mean) @ comps
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             out_col: list(P)})
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -1,0 +1,67 @@
+"""Distributed embedding covariance / PCA vs numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from city2graph_ray.vector.stats import (embedding_covariance,
+                                         pca_components, pca_project)
+
+
+def _corpus(n: int = 300, d: int = 8, seed: int = 3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    # anisotropic: two dominant directions so PCA is well-separated
+    basis = rng.normal(size=(d, d))
+    scales = np.array([10.0, 5.0] + [0.5] * (d - 2))
+    X = rng.normal(size=(n, d)) * scales @ basis.T + rng.normal(size=d)
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                         "embedding": list(X.astype(np.float32))})
+
+
+def test_covariance_matches_numpy():
+    df = _corpus()
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = embedding_covariance(ds, round_to=None, num_buckets=4)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    want = np.cov(X, rowvar=False, ddof=0)
+    d = X.shape[1]
+    G = got.sort_values(["i", "j"])["cov"].to_numpy().reshape(d, d)
+    assert np.allclose(G, want, atol=1e-8)
+
+
+def test_covariance_reshard_deterministic():
+    df = _corpus(n=200)
+    outs = []
+    for parts in (1, 11):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = embedding_covariance(ds, round_to=6, num_buckets=4)
+        outs.append(out.sort_values(["i", "j"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_pca_projection_matches_numpy():
+    df = _corpus()
+    ds = ray.data.from_pandas(df).repartition(5)
+    cov = embedding_covariance(ds, round_to=None, num_buckets=4)
+    vals, vecs = pca_components(cov, k=2)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    C = np.cov(X, rowvar=False, ddof=0)
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][:2]
+    assert np.allclose(vals, evals[order], rtol=1e-6)
+    for c in range(2):
+        w = evecs[:, order[c]]
+        if w[np.argmax(np.abs(w))] < 0:
+            w = -w
+        assert np.allclose(vecs[:, c], w, atol=1e-6)
+
+    mean = X.mean(0)
+    proj = pca_project(ds, mean, vecs).to_pandas()
+    proj = proj.sort_values("vec_id").reset_index(drop=True)
+    P = np.stack(proj["pc"].to_numpy())
+    want = (X - mean) @ vecs
+    assert np.allclose(P, want, atol=1e-6)
+    # top-2 PCs of a 2-dominant-direction corpus explain most variance
+    assert vals.sum() / np.trace(C) > 0.9
