@@ -1377,6 +1377,37 @@ def _tpch_q6(sf_dir: str):
     return revenue_forecast(sf_dir)
 
 
+def _dwithin_pairs(sf_dir: str):
+    """Point↔segment dwithin join (the reference's place↔movement
+    access predicate as a standalone oracled op): customer points
+    vs short derived street stubs, d=4.  Clamped-foot distance is the
+    same expression tree in numpy and SQL → bit-exact raw floats."""
+    import ray.data
+
+    from city2graph_ray.ops.proximity import dwithin_point_segment_join
+    from city2graph_ray.pipelines.tables import customer_points
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        keep = ok % 5 == 0
+        ok, ck = ok[keep], ck[keep]
+        ax, ay = synth.key_to_xy(ok)
+        # half-integer dx: the delta can never be (0, 0), so no
+        # zero-length segment ever reaches the clamped-foot division
+        bx = ax + ((ck % 20 - 10) + 0.5)
+        by = ay + (ok % 17 - 8)
+        return pd.DataFrame({"seg_id": ok, "ax": ax, "ay": ay,
+                             "bx": bx, "by": by})
+
+    segs = orders.map_batches(mk, batch_format="pandas")
+    return dwithin_point_segment_join(customer_points(sf_dir), segs,
+                                      d=4.0, num_buckets=16)
+
+
 def _emb_covariance(sf_dir: str):
     """Embedding covariance matrix (whitening/PCA input) — one fused
     streaming moments pass, d²-sized result, 6dp-rounded in both
@@ -1552,6 +1583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": _media_features,
         "media_frame_sample": _media_frames,
         "tpch_q5_region": _tpch_q5_region,
+        "dwithin_pairs": _dwithin_pairs,
         "emb_covariance": _emb_covariance,
         "network_path_geom_bounded": _network_path_geom_bounded,
         "segment_crossings": _segment_crossings,
@@ -2358,6 +2390,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name""",
+        "dwithin_pairs": f"""
+            WITH pts AS ({_PTS}),
+            s AS (SELECT o_orderkey AS seg_id,
+                         {synth.sql_x('o_orderkey')} AS ax,
+                         {synth.sql_y('o_orderkey')} AS ay,
+                         {synth.sql_x('o_orderkey')}
+                           + ((o_custkey % 20 - 10) + 0.5) AS bx,
+                         {synth.sql_y('o_orderkey')} + (o_orderkey % 17 - 8)
+                           AS by
+                  FROM orders WHERE o_orderkey % 5 = 0),
+            sb AS (SELECT seg_id, ax, ay, bx, by,
+                          least(ax, bx) - 4.0 AS lox,
+                          greatest(ax, bx) + 4.0 AS hix,
+                          least(ay, by) - 4.0 AS loy,
+                          greatest(ay, by) + 4.0 AS hiy
+                   FROM s),
+            c AS (SELECT p.id, sb.seg_id, p.x, p.y,
+                         sb.ax, sb.ay, sb.bx, sb.by
+                  FROM pts p JOIN sb
+                    ON p.x >= sb.lox AND p.x <= sb.hix
+                   AND p.y >= sb.loy AND p.y <= sb.hiy),
+            t0 AS (SELECT id, seg_id, x, y, ax, ay, bx, by,
+                     ((x - ax) * (bx - ax) + (y - ay) * (by - ay)) /
+                     ((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+                       AS traw
+                   FROM c),
+            t1 AS (SELECT id, seg_id, x, y, ax, ay, bx, by,
+                          least(greatest(traw, 0.0), 1.0) AS t
+                   FROM t0)
+            SELECT id, seg_id, distance FROM (
+              SELECT id, seg_id,
+                     sqrt((x - (ax + t * (bx - ax)))
+                        * (x - (ax + t * (bx - ax)))
+                        + (y - (ay + t * (by - ay)))
+                        * (y - (ay + t * (by - ay)))) AS distance
+              FROM t1)
+            WHERE distance <= 4.0""",
         "emb_covariance": """
             WITH x AS (SELECT vec_id,
                               CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -1230,3 +1230,102 @@ def bridge_nodes(layers: dict[str, ray.data.Dataset], method: str = "knn",
                 raise ValueError(method)
             out[(a, "is_nearby", b)] = e
     return out
+
+
+def dwithin_point_segment_join(points: ray.data.Dataset,
+                               segments: ray.data.Dataset,
+                               d: float, cell_size: float | None = None,
+                               num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                               ) -> ray.data.Dataset:
+    """Point↔segment dwithin join: every (point, 2-point segment) pair
+    whose point-to-segment distance (perpendicular foot clamped to the
+    segment, the reference's place↔movement access predicate,
+    morphology.py dwithin join) is ≤ ``d``.
+
+    Points (id, x, y); segments (seg_id, ax, ay, bx, by) — assumed
+    non-degenerate (ll > 0).  Output (id, seg_id, distance) with the
+    raw float distance: the clamp/foot arithmetic is the same
+    expression tree the SQL twin evaluates, so it compares bit-exact.
+
+    Exactly-once with NO dedup shuffle: a point lives in exactly ONE
+    cell; each segment is duplicated into the cells its d-expanded
+    bbox covers (a qualifying point is inside that expansion, so its
+    cell is among them); pairs are only formed in the point's cell.
+    Per-cell work is a blockwise-broadcast numpy distance kernel."""
+    cs = cell_size if cell_size is not None else 4.0 * d
+
+    def seg_cells(b: pd.DataFrame) -> pd.DataFrame:
+        ax = b["ax"].to_numpy(np.float64)
+        ay = b["ay"].to_numpy(np.float64)
+        bx = b["bx"].to_numpy(np.float64)
+        by = b["by"].to_numpy(np.float64)
+        rows, cl = cells.covering_cells(
+            np.minimum(ax, bx) - d, np.minimum(ay, by) - d,
+            np.maximum(ax, bx) + d, np.maximum(ay, by) + d, cs)
+        out = b.iloc[rows][["seg_id", "ax", "ay", "bx", "by"]].copy()
+        out["cell"] = cl
+        out["id"] = np.int64(-1)
+        out["x"] = 0.0
+        out["y"] = 0.0
+        out["is_pt"] = False
+        return out[_DW_COLS]
+
+    def pt_cells(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["id", "x", "y"]].copy()
+        out["cell"] = cells.cell_id(b["x"].to_numpy(np.float64),
+                                    b["y"].to_numpy(np.float64), cs)
+        out["seg_id"] = np.int64(-1)
+        out["ax"] = 0.0
+        out["ay"] = 0.0
+        out["bx"] = 0.0
+        out["by"] = 0.0
+        out["is_pt"] = True
+        return out[_DW_COLS]
+
+    tagged = segments.map_batches(seg_cells, batch_format="pandas").union(
+        points.map_batches(pt_cells, batch_format="pandas"))
+
+    empty = pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                          "seg_id": pd.Series(dtype=np.int64),
+                          "distance": pd.Series(dtype=np.float64)})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [empty]
+        for _, grp in g.groupby("cell", sort=False):
+            ps = grp[grp["is_pt"]]
+            ss = grp[~grp["is_pt"]]
+            if len(ps) == 0 or len(ss) == 0:
+                continue
+            pid = ps["id"].to_numpy(np.int64)
+            px = ps["x"].to_numpy(np.float64)[:, None]
+            py = ps["y"].to_numpy(np.float64)[:, None]
+            sid = ss["seg_id"].to_numpy(np.int64)
+            ax = ss["ax"].to_numpy(np.float64)[None, :]
+            ay = ss["ay"].to_numpy(np.float64)[None, :]
+            bx = ss["bx"].to_numpy(np.float64)[None, :]
+            by = ss["by"].to_numpy(np.float64)[None, :]
+            bs = max(1, 4_000_000 // max(len(ss), 1))
+            for s0 in range(0, len(ps), bs):
+                s1 = min(s0 + bs, len(ps))
+                qx, qy = px[s0:s1], py[s0:s1]
+                ll = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+                t = ((qx - ax) * (bx - ax) + (qy - ay) * (by - ay)) / ll
+                t = np.minimum(np.maximum(t, 0.0), 1.0)
+                fx = ax + t * (bx - ax)
+                fy = ay + t * (by - ay)
+                dist = np.sqrt((qx - fx) * (qx - fx)
+                               + (qy - fy) * (qy - fy))
+                ii, jj = np.nonzero(dist <= d)
+                if len(ii) == 0:
+                    continue
+                outs.append(pd.DataFrame({
+                    "id": pid[ii + s0], "seg_id": sid[jj],
+                    "distance": dist[ii, jj]}))
+        return pd.concat(outs, ignore_index=True)
+
+    return shuffle.grouped_transform(tagged, ["cell"], kernel,
+                                     num_buckets=num_buckets)
+
+
+_DW_COLS = ["id", "x", "y", "seg_id", "ax", "ay", "bx", "by", "cell",
+            "is_pt"]
