@@ -1216,6 +1216,35 @@ def _order_zone_edges(sf_dir: str):
     return shuffle.distinct(edges, ["src", "dst"])
 
 
+def _zone_largest_component(sf_dir: str):
+    """largest_component_filter (reference utils/topology.py:775-825)
+    over a deliberately multi-component derived graph: 40 disjoint
+    decade-clusters of varying size (the per-decade modulus varies, so
+    sizes differ and several tie → exercises the min-label tie-break).
+    CC is the distributed large-star/small-star; the oracle is a
+    recursive-CTE transitive closure — the first bit-exact gate entry
+    for the connected-components surface."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.topology import largest_component_filter
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        dec = ok % 40
+        return pd.DataFrame({
+            "src": dec * 10 + ck % 3,
+            "dst": dec * 10 + 3 + ok % (3 + dec % 4)})
+
+    edges = shuffle.distinct(
+        orders.map_batches(mk, batch_format="pandas"), ["src", "dst"])
+    return largest_component_filter(edges)
+
+
 def _zone_pagerank(sf_dir: str):
     """5-iteration PageRank over the zone digraph (iterative bucketed
     join + keyed sum per round; unrolled-CTE SQL twin)."""
@@ -1575,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_cap": _doc_domain_cap,
         "doc_span_removal": _doc_span_removal,
         "doc_source_rollup": _doc_source_rollup,
+        "zone_largest_component": _zone_largest_component,
         "zone_pagerank": _zone_pagerank,
         "zone_degree_hist": _zone_degree_hist,
         "zone_triangles": _zone_triangles,
@@ -2581,6 +2611,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.source, c.lang, c.n_chars
             FROM cur c LEFT JOIN hot h USING (doc_id)
             WHERE coalesce(h.c, 0) <= 60""",
+        "zone_largest_component": """
+            WITH RECURSIVE base AS (
+              SELECT DISTINCT
+                     (o_orderkey % 40) * 10 + o_custkey % 3 AS src,
+                     (o_orderkey % 40) * 10 + 3
+                       + o_orderkey % (3 + (o_orderkey % 40) % 4) AS dst
+              FROM orders),
+            und AS (SELECT src, dst FROM base
+                    UNION SELECT dst, src FROM base),
+            nodes AS (SELECT DISTINCT src AS node FROM und),
+            reach AS (
+              SELECT node AS root, node FROM nodes
+              UNION
+              SELECT r.root, e.dst AS node
+              FROM reach r JOIN und e ON e.src = r.node),
+            comp AS (SELECT node, min(root) AS component
+                     FROM reach GROUP BY node),
+            big AS (SELECT component FROM comp
+                    GROUP BY component
+                    ORDER BY count(*) DESC, component LIMIT 1)
+            SELECT b.src, b.dst
+            FROM base b
+            JOIN comp c ON c.node = b.src
+            WHERE c.component = (SELECT component FROM big)""",
         "zone_pagerank": """
             WITH e AS (
               SELECT DISTINCT o_custkey % 100 AS src,
