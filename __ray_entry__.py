@@ -1216,6 +1216,67 @@ def _order_zone_edges(sf_dir: str):
     return shuffle.distinct(edges, ["src", "dst"])
 
 
+def _clip_rect_edges(sf_dir: str):
+    """clip_graph semantics (reference utils/topology.py:698-772,
+    strict: BOTH endpoints inside) against an axis-aligned rectangle
+    whose bounds are not representable as key/100 multiples — no
+    derived endpoint can sit on the boundary, so the engine's general
+    even-odd ray-cast equals the oracle's open-interval range test
+    exactly."""
+    import ray.data
+
+    from city2graph_ray.ops.topology import clip_edges
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        sx, sy = synth.key_to_xy(ok)
+        dx_, dy_ = synth.key_to_xy(ck)
+        return pd.DataFrame({"seg_id": ok, "sx": sx, "sy": sy,
+                             "dx_": dx_, "dy_": dy_})
+
+    ring = np.array([[200.123, 150.456], [800.789, 150.456],
+                     [800.789, 650.321], [200.123, 650.321]])
+    return clip_edges(orders.map_batches(mk, batch_format="pandas"), ring)
+
+
+def _od_outer_join(sf_dir: str):
+    """FULL OUTER bucketed join over two zone aggregates with
+    deliberately non-overlapping key tails (even zones vs
+    multiple-of-3 zones) — exercises the Arrow-typed null padding on
+    BOTH sides at once."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    left = shuffle.group_agg(
+        orders.map_batches(
+            lambda b: pd.DataFrame({
+                "zone": 2 * (b["o_custkey"].to_numpy(np.int64) % 30)}),
+            batch_format="pandas"),
+        ["zone"], {"n_l": ("zone", "size")}, num_buckets=16)
+    right = shuffle.group_agg(
+        orders.map_batches(
+            lambda b: pd.DataFrame({
+                "zone": 3 * (b["o_orderkey"].to_numpy(np.int64) % 20)}),
+            batch_format="pandas"),
+        ["zone"], {"n_r": ("zone", "size")}, num_buckets=16)
+    out = bucketed_join(left, right, on="zone", how="outer",
+                        num_buckets=16)
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "zone": b["zone"].to_numpy(np.int64),
+            "n_l": b["n_l"].to_numpy(np.float64),
+            "n_r": b["n_r"].to_numpy(np.float64)}),
+        batch_format="pandas")
+
+
 def _zone_largest_component(sf_dir: str):
     """largest_component_filter (reference utils/topology.py:775-825)
     over a deliberately multi-component derived graph: 40 disjoint
@@ -1604,6 +1665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_cap": _doc_domain_cap,
         "doc_span_removal": _doc_span_removal,
         "doc_source_rollup": _doc_source_rollup,
+        "clip_rect_edges": _clip_rect_edges,
+        "od_outer_join": _od_outer_join,
         "zone_largest_component": _zone_largest_component,
         "zone_pagerank": _zone_pagerank,
         "zone_degree_hist": _zone_degree_hist,
@@ -2611,6 +2674,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.source, c.lang, c.n_chars
             FROM cur c LEFT JOIN hot h USING (doc_id)
             WHERE coalesce(h.c, 0) <= 60""",
+        "clip_rect_edges": f"""
+            WITH e AS (
+              SELECT o_orderkey AS seg_id,
+                     {synth.sql_x('o_orderkey')} AS sx,
+                     {synth.sql_y('o_orderkey')} AS sy,
+                     {synth.sql_x('o_custkey')} AS dx_,
+                     {synth.sql_y('o_custkey')} AS dy_
+              FROM orders)
+            SELECT seg_id, sx, sy, dx_, dy_ FROM e
+            WHERE sx > 200.123 AND sx < 800.789
+              AND sy > 150.456 AND sy < 650.321
+              AND dx_ > 200.123 AND dx_ < 800.789
+              AND dy_ > 150.456 AND dy_ < 650.321""",
+        "od_outer_join": """
+            WITH l AS (SELECT 2 * (o_custkey % 30) AS zone,
+                              CAST(count(*) AS DOUBLE) AS n_l
+                       FROM orders GROUP BY 1),
+            r AS (SELECT 3 * (o_orderkey % 20) AS zone,
+                         CAST(count(*) AS DOUBLE) AS n_r
+                  FROM orders GROUP BY 1)
+            SELECT coalesce(l.zone, r.zone) AS zone, n_l, n_r
+            FROM l FULL OUTER JOIN r ON l.zone = r.zone""",
         "zone_largest_component": """
             WITH RECURSIVE base AS (
               SELECT DISTINCT
