@@ -1579,6 +1579,23 @@ def _tpch_q4(sf_dir: str):
     return order_priority_check(sf_dir)
 
 
+def _tpch_q10(sf_dir: str):
+    """Returned-item report (scan-filtered lineitem → order re-key →
+    per-customer sum → attribute joins → top-20)."""
+    from city2graph_ray.pipelines.relational import returned_item_report
+
+    out = returned_item_report(sf_dir).to_pandas()
+    out["c_acctbal"] = np.round(out["c_acctbal"].to_numpy(np.float64), 2)
+    return out
+
+
+def _tpch_q14(sf_dir: str):
+    """Promotion-revenue ratio (one partkey join, fused partials)."""
+    from city2graph_ray.pipelines.relational import promo_revenue
+
+    return promo_revenue(sf_dir)
+
+
 def _tpch_q18(sf_dir: str):
     """Large-volume orders (pre-agg HAVING drives two bucketed joins)."""
     from city2graph_ray.pipelines.relational import large_volume_orders
@@ -1682,6 +1699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_crossings": _segment_crossings,
         "tpch_q4_priority": _tpch_q4,
         "tpch_q6_forecast": _tpch_q6,
+        "tpch_q10_returns": _tpch_q10,
+        "tpch_q14_promo": _tpch_q14,
         "tpch_q18_volume": _tpch_q18,
         "event_user_hll": _event_user_hll,
         "doc_token_heavy_hitters": _token_heavy_hitters,
@@ -2612,6 +2631,28 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < DATE '1996-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24""",
+        "tpch_q10_returns": """
+            SELECT c_custkey, c_name,
+                   round(sum(round(l_extendedprice * (1 - l_discount),
+                                   2)), 2) AS revenue,
+                   round(c_acctbal, 2) AS c_acctbal, n_name
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON n_nationkey = c_nationkey
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1995-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20""",
+        "tpch_q14_promo": """
+            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS promo_pct
+            FROM lineitem JOIN part ON p_partkey = l_partkey""",
         "tpch_q18_volume": """
             WITH q AS (
               SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty

@@ -327,3 +327,120 @@ def large_volume_orders(sf_dir: str, min_qty: float = 250.0,
     import pyarrow as pa2
     return ray.data.from_arrow(pa2.Table.from_pandas(
         top[cols], preserve_index=False))
+
+
+def returned_item_report(sf_dir: str, date_from: str = "1995-01-01",
+                         date_to: str = "1995-04-01", k: int = 20,
+                         num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                         ) -> ray.data.Dataset:
+    """TPC-H-Q10-shaped "returned item reporting": revenue lost to
+    returned lineitems per customer in a quarter, top-``k`` customers
+    with name / account balance / nation.
+
+    Scale shape: lineitem reduces to per-orderkey revenue partials at
+    the scan (returnflag filter pushed into the batch kernel); the
+    date-windowed orders drive one bucketed join to re-key revenue by
+    customer; a keyed merge sums per customer BEFORE the (small)
+    customer-attribute join; the nation dimension is a broadcast
+    lookup; the global top-k is per-block partial top-k + a k-row
+    driver merge.  EACH revenue term is rounded to 2dp before any sum
+    (both systems round the identical product double, so the terms
+    match; the per-customer sum then sits ~1e-10 from a whole-cent
+    value — half a cent away from the final 2dp rounding boundary —
+    so no summation order or half-even/half-away tie rule can flip
+    the ranked value)."""
+    lo = pd.Timestamp(date_from).to_datetime64()
+    hi = pd.Timestamp(date_to).to_datetime64()
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"]).map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R")),
+        batch_format="pyarrow")
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = np.round(b["l_extendedprice"].to_numpy(np.float64) *
+                       (1.0 - b["l_discount"].to_numpy(np.float64)), 2)
+        return (pd.DataFrame({"o_orderkey": b["l_orderkey"], "rev": rev})
+                .groupby("o_orderkey", sort=False).agg(rev=("rev", "sum"))
+                .reset_index())
+
+    li_agg = li.map_batches(li_partial, batch_format="pandas")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                   pc.less(t["o_orderdate"], hi)))
+        .select(["o_orderkey", "o_custkey"]), batch_format="pyarrow")
+
+    per_cust = shuffle.group_agg(
+        bucketed_join(li_agg, orders, on="o_orderkey",
+                      num_buckets=num_buckets).map_batches(
+            lambda b: b.rename(columns={"o_custkey": "c_custkey"})
+            [["c_custkey", "rev"]], batch_format="pandas"),
+        ["c_custkey"], {"revenue": ("rev", "sum")},
+        num_buckets=num_buckets)
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]).rename(
+        columns={"n_nationkey": "c_nationkey"})
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    from city2graph_ray.joins import broadcast_join
+    cust = broadcast_join(cust, nation, on="c_nationkey")
+
+    joined = bucketed_join(per_cust, cust, on="c_custkey",
+                           num_buckets=num_buckets)
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue"] = np.round(b["revenue"].to_numpy(np.float64), 2)
+        return b.sort_values(["revenue", "c_custkey"],
+                             ascending=[False, True]).head(k)
+
+    cols = ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
+    top = (joined.map_batches(block_topk, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["revenue", "c_custkey"],
+                        ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return ray.data.from_pandas(top[cols])
+
+
+def promo_revenue(sf_dir: str, prefix: str = "PROMO",
+                  num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                  ) -> ray.data.Dataset:
+    """TPC-H-Q14-shaped promotion effect: the percentage of lineitem
+    revenue from parts whose type starts with ``prefix``.  One bucketed
+    join (lineitem→part on partkey, part side reduced to key + a
+    boolean at the read), per-batch fused (promo, total) partials, a
+    block-count-sized driver merge.  Output one row, 4dp both sides."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"]).map_batches(
+        lambda b: pd.DataFrame({
+            "l_partkey": b["p_partkey"].to_numpy(np.int64),
+            "is_promo": b["p_type"].astype(str).str.startswith(prefix)
+            .to_numpy()}),
+        batch_format="pandas")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    joined = bucketed_join(li, part, on="l_partkey",
+                           num_buckets=num_buckets)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["l_extendedprice"].to_numpy(np.float64) * \
+            (1.0 - b["l_discount"].to_numpy(np.float64))
+        promo = rev[b["is_promo"].to_numpy(bool)].sum()
+        return pd.DataFrame({"promo": [promo], "total": [rev.sum()]})
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    total = float(parts["total"].sum())
+    promo = float(parts["promo"].sum())
+    return ray.data.from_pandas(pd.DataFrame({
+        "promo_pct": [round(100.0 * promo / total, 4) if total else 0.0]}))

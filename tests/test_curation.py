@@ -173,6 +173,50 @@ def test_order_priority_check_matches_duckdb():
     assert empty.count() == 0
 
 
+def test_returned_item_report_matches_duckdb():
+    import duckdb
+
+    from city2graph_ray.pipelines.relational import returned_item_report
+    out = returned_item_report(SF_DIR, k=10).to_pandas()
+    want = duckdb.execute(f"""
+        SELECT c_custkey, c_name,
+               round(sum(round(l_extendedprice * (1 - l_discount), 2)),
+                     2) AS revenue,
+               c_acctbal, n_name
+        FROM read_parquet('{SF_DIR}/customer.parquet') cu
+        JOIN read_parquet('{SF_DIR}/orders.parquet') o
+          ON o_custkey = c_custkey
+        JOIN read_parquet('{SF_DIR}/lineitem.parquet') li
+          ON l_orderkey = o_orderkey
+        JOIN read_parquet('{SF_DIR}/nation.parquet') na
+          ON n_nationkey = c_nationkey
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 10""").df()
+    assert out["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert np.array_equal(out["revenue"].to_numpy(),
+                          want["revenue"].to_numpy())
+    assert out["n_name"].tolist() == want["n_name"].tolist()
+
+
+def test_promo_revenue_matches_duckdb():
+    import duckdb
+
+    from city2graph_ray.pipelines.relational import promo_revenue
+    out = promo_revenue(SF_DIR).to_pandas()
+    want = duckdb.execute(f"""
+        SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 4) AS pct
+        FROM read_parquet('{SF_DIR}/lineitem.parquet') li
+        JOIN read_parquet('{SF_DIR}/part.parquet') p
+          ON p_partkey = l_partkey""").df()
+    assert out["promo_pct"].iloc[0] == want["pct"].iloc[0]
+
+
 def _remove_spans_brute(docs: pd.DataFrame, n: int) -> pd.DataFrame:
     """Driver oracle: owner of a gram = min doc_id containing it;
     tokens covered by a non-owner occurrence are deleted."""
