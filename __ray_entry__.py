@@ -1188,6 +1188,69 @@ def _doc_domain_cap(sf_dir: str):
     return per_domain_cap(canon, 7, num_buckets=16)
 
 
+def _doc_text_normalize(sf_dir: str):
+    """Text normalization (dedup-key pre-pass): deterministic mess —
+    case, tab/newline runs, control chars, edge whitespace — injected
+    from doc_id (same construction in the SQL twin), then normalized;
+    bit-exact vs lower/regexp_replace/trim."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.normalize import normalize_text
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        t = b["text"].astype(str)
+        t = pd.Series(np.where(d % 2 == 0, t.str.upper(), t),
+                      index=b.index).astype(str)
+        t = pd.Series(np.where(d % 5 == 0, " \t" + t, t),
+                      index=b.index).astype(str)
+        t = t + pd.Series(np.where(d % 3 == 0, "\t\tmid  x\n", ""),
+                          index=b.index).astype(str)
+        t = t + pd.Series(np.where(d % 6 == 0, "\x07bell", ""),
+                          index=b.index).astype(str)
+        t = t + pd.Series(np.where(d % 4 == 0, "   ", ""),
+                          index=b.index).astype(str)
+        return pd.DataFrame({"doc_id": d, "text": t})
+
+    messy = documents(sf_dir).map_batches(inject, batch_format="pandas")
+    return normalize_text(messy).map_batches(
+        lambda b: b[["doc_id", "text_norm", "norm_len"]],
+        batch_format="pandas")
+
+
+def _isochrone_nodes_bounded(sf_dir: str):
+    """Bounded-hop isochrone (the reference's filter_graph_by_distance
+    semantics under a hop budget): every network node within network
+    distance 150 of a sampled source set, 4 hops — SQL-expressible via
+    the same chained-CTE recurrence as network_knn_bounded."""
+    from city2graph_ray.ops.network import bounded_hop_paths
+    from city2graph_ray.ops.topology import segments_to_graph
+    from city2graph_ray.pipelines.tables import order_segments
+
+    nodes, edges = segments_to_graph(order_segments(sf_dir))
+
+    def wedges(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.stack([np.asarray(x, np.float64) for x in b["coords"]])
+        dx = c[:, 0] - c[:, 2]
+        dy = c[:, 1] - c[:, 3]
+        w = np.sqrt(dx * dx + dy * dy)
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([s, d]),
+                             "dst": np.concatenate([d, s]),
+                             "weight": np.tile(w, 2)})
+
+    srcs = nodes.map_batches(
+        lambda b: b.loc[b["node_id"].to_numpy(np.int64) % 101 == 0,
+                        ["node_id"]],
+        batch_format="pandas")
+    dist = bounded_hop_paths(
+        edges.map_batches(wedges, batch_format="pandas"), srcs,
+        hops=4, num_buckets=16)
+    return dist.map_batches(
+        lambda b: b[b["distance"].to_numpy(np.float64) <= 150.0],
+        batch_format="pandas")
+
+
 def _doc_c4_filter(sf_dir: str):
     """C4-style heuristic gate: word-count + mean-word-length bounds +
     blocklist; emits features and the boolean verdict per doc."""
@@ -1680,6 +1743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_mask": _doc_pii_mask,
         "doc_url_canon": _doc_url_canon,
         "doc_domain_cap": _doc_domain_cap,
+        "doc_text_normalize": _doc_text_normalize,
+        "isochrone_nodes_bounded": _isochrone_nodes_bounded,
         "doc_span_removal": _doc_span_removal,
         "doc_source_rollup": _doc_source_rollup,
         "clip_rect_edges": _clip_rect_edges,
@@ -2927,6 +2992,64 @@ def oracle_sql() -> dict[str, str]:
               FROM m2)
             SELECT doc_id, t AS text_masked, n_email, n_ipv4, n_phone
             FROM m3""",
+        "doc_text_normalize": r"""
+            WITH m AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(9) ELSE '' END
+                || CASE WHEN doc_id % 2 = 0 THEN upper(text)
+                        ELSE text END
+                || CASE WHEN doc_id % 3 = 0
+                        THEN chr(9) || chr(9) || 'mid  x' || chr(10)
+                        ELSE '' END
+                || CASE WHEN doc_id % 6 = 0 THEN chr(7) || 'bell'
+                        ELSE '' END
+                || CASE WHEN doc_id % 4 = 0 THEN '   ' ELSE '' END
+                  AS t
+              FROM documents),
+            n AS (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(t),
+                     '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+                     '[ \t\r\n]+', ' ', 'g'), ' ') AS text_norm
+              FROM m)
+            SELECT doc_id, text_norm,
+                   length(text_norm) AS norm_len
+            FROM n""",
+        "isochrone_nodes_bounded": f"""
+            WITH nodes AS ({_SEG_NODES}), segs AS ({_SEG_EPS}),
+            resolved AS (
+                SELECT na.node_id AS a, nb.node_id AS b,
+                       sqrt((s.ax-s.bx)*(s.ax-s.bx)
+                          + (s.ay-s.by)*(s.ay-s.by)) AS w
+                FROM segs s
+                JOIN nodes na ON na.x = s.ax AND na.y = s.ay
+                JOIN nodes nb ON nb.x = s.bx AND nb.y = s.by),
+            edges AS (SELECT a AS src, b AS dst, w FROM resolved
+                      UNION ALL SELECT b, a, w FROM resolved),
+            d0 AS (SELECT node_id AS src, node_id AS dst,
+                          0.0::DOUBLE AS distance
+                   FROM nodes WHERE node_id % 101 = 0),
+            d1 AS (SELECT src, dst, min(distance) AS distance FROM (
+                     SELECT * FROM d0 UNION ALL
+                     SELECT d.src, e.dst, d.distance + e.w
+                     FROM d0 d JOIN edges e ON d.dst = e.src)
+                   GROUP BY src, dst),
+            d2 AS (SELECT src, dst, min(distance) AS distance FROM (
+                     SELECT * FROM d1 UNION ALL
+                     SELECT d.src, e.dst, d.distance + e.w
+                     FROM d1 d JOIN edges e ON d.dst = e.src)
+                   GROUP BY src, dst),
+            d3 AS (SELECT src, dst, min(distance) AS distance FROM (
+                     SELECT * FROM d2 UNION ALL
+                     SELECT d.src, e.dst, d.distance + e.w
+                     FROM d2 d JOIN edges e ON d.dst = e.src)
+                   GROUP BY src, dst),
+            d4 AS (SELECT src, dst, min(distance) AS distance FROM (
+                     SELECT * FROM d3 UNION ALL
+                     SELECT d.src, e.dst, d.distance + e.w
+                     FROM d3 d JOIN edges e ON d.dst = e.src)
+                   GROUP BY src, dst)
+            SELECT src, dst, distance FROM d4
+            WHERE distance <= 150.0""",
         "doc_url_canon": "WITH " + _URL_CANON_CTES + r"""
             SELECT doc_id, url_canon, host, domain FROM c""",
         "doc_domain_cap": "WITH " + _URL_CANON_CTES + r"""

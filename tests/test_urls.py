@@ -102,3 +102,19 @@ def test_per_domain_cap_reshard_stable():
         outs.append(out.sort_values(["domain", "doc_id"])
                     .reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_normalize_text_rules():
+    from city2graph_ray.text.normalize import normalize_text
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["  Hello\t\tWORLD \n", "a\x07b", "", "x  y"]}))
+    out = (normalize_text(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["text_norm"].tolist() == ["hello world", "ab", "", "x y"]
+    assert out["norm_len"].tolist() == [11, 2, 0, 3]
+    # idempotent
+    again = normalize_text(ray.data.from_pandas(
+        pd.DataFrame({"doc_id": out["doc_id"],
+                      "text": out["text_norm"]}))).to_pandas()
+    assert sorted(again["text_norm"]) == sorted(out["text_norm"])
