@@ -1642,6 +1642,28 @@ def _tpch_q4(sf_dir: str):
     return order_priority_check(sf_dir)
 
 
+def _orders_global_sort(sf_dir: str):
+    """Distributed global ORDER BY ... LIMIT via Ray Data's native
+    range-partitioned sort (the one wide primitive the engine's
+    partial-top-k patterns deliberately avoid — exercised here as its
+    own operator; tie-broken by o_orderkey so the cutoff row is
+    deterministic)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    out = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(100)
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "o_totalprice": np.round(
+                b["o_totalprice"].to_numpy(np.float64), 2),
+            "o_orderpriority": b["o_orderpriority"]}),
+        batch_format="pandas")
+
+
 def _tpch_q10(sf_dir: str):
     """Returned-item report (scan-filtered lineitem → order re-key →
     per-customer sum → attribute joins → top-20)."""
@@ -1764,6 +1786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_crossings": _segment_crossings,
         "tpch_q4_priority": _tpch_q4,
         "tpch_q6_forecast": _tpch_q6,
+        "orders_global_sort": _orders_global_sort,
         "tpch_q10_returns": _tpch_q10,
         "tpch_q14_promo": _tpch_q14,
         "tpch_q18_volume": _tpch_q18,
@@ -2696,6 +2719,12 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < DATE '1996-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24""",
+        "orders_global_sort": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   o_orderpriority
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100""",
         "tpch_q10_returns": """
             SELECT c_custkey, c_name,
                    round(sum(round(l_extendedprice * (1 - l_discount),
