@@ -175,6 +175,31 @@ def _pt_knn(sf_dir: str):
     return knn_graph(customer_points(sf_dir), 4)
 
 
+def _pt_radius_skewed(sf_dir: str):
+    """fixed_radius over a deliberately SKEWED distribution — 20% of
+    the points collapse into one 2×2 'urban core' while the rest
+    spread over 1000×1000 (north rule: hot-cell handling for skewed
+    cores).  Same oracle shape as pt_radius; correctness must hold
+    when one cell neighborhood carries ~all pairs."""
+    import ray.data
+
+    from city2graph_ray.ops.proximity import fixed_radius_graph
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        x, y = synth.key_to_xy(k)
+        hot = k % 5 == 0
+        x = np.where(hot, 500.0 + (k % 100) / 50.0, x)
+        y = np.where(hot, 500.0 + (k // 100 % 100) / 50.0, y)
+        return pd.DataFrame({"id": k, "x": x, "y": y})
+
+    return fixed_radius_graph(cust.map_batches(mk, batch_format="pandas"),
+                              1.0)
+
+
 def _doc_span_radius(sf_dir: str):
     """Same as pt_radius but THROUGH the interleaved-document span path
     (synthesize → WKT spans → extract → points) — proves the ingress
@@ -1695,6 +1720,7 @@ def _tpch_q18(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
+        "pt_radius_skewed": _pt_radius_skewed,
         "pt_knn": _pt_knn,
         "doc_span_radius": _doc_span_radius,
         "grid_contiguity_queen": _contiguity("queen"),
@@ -1877,6 +1903,19 @@ def oracle_sql() -> dict[str, str]:
             FROM pts a JOIN pts b ON a.id <> b.id
             QUALIFY row_number() OVER (PARTITION BY a.id
                 ORDER BY {d2}, b.id) <= 4""",
+        "pt_radius_skewed": f"""
+            WITH pts AS (
+              SELECT c_custkey AS id,
+                CASE WHEN c_custkey % 5 = 0
+                     THEN 500.0 + (c_custkey % 100) / 50.0
+                     ELSE {synth.sql_x('c_custkey')} END AS x,
+                CASE WHEN c_custkey % 5 = 0
+                     THEN 500.0 + (c_custkey // 100 % 100) / 50.0
+                     ELSE {synth.sql_y('c_custkey')} END AS y
+              FROM customer)
+            SELECT a.id AS src, b.id AS dst, {d2} AS distance
+            FROM pts a JOIN pts b ON a.id < b.id
+            WHERE {d2} <= 1.0""",
         "doc_span_radius": f"""
             WITH pts AS ({_PTS})
             SELECT a.id AS src, b.id AS dst, {d2} AS distance
