@@ -175,6 +175,39 @@ def _pt_knn(sf_dir: str):
     return knn_graph(customer_points(sf_dir), 4)
 
 
+def _raster_downsample(sf_dir: str):
+    """Raster pyramid level (the raster side of raster↔vector work):
+    the part grid (col, row, value) downsampled 4× by parent-cell mean
+    + count — one partial-aggregated keyed merge, the zonal-statistics
+    archetype at pyramid scale."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_retailprice"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "pc": (k % 40) // 4,
+            "pr": (k // 40) // 4,
+            "v": b["p_retailprice"].to_numpy(np.float64)})
+
+    agg = shuffle.group_agg(part.map_batches(mk, batch_format="pandas"),
+                            ["pc", "pr"],
+                            {"v_sum": ("v", "sum"), "n": ("v", "size")},
+                            num_buckets=16)
+    return agg.map_batches(
+        lambda b: pd.DataFrame({
+            "pc": b["pc"].to_numpy(np.int64),
+            "pr": b["pr"].to_numpy(np.int64),
+            "mean_v": np.round(b["v_sum"].to_numpy(np.float64)
+                               / b["n"].to_numpy(np.float64), 6),
+            "n": b["n"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
 def _pt_radius_skewed(sf_dir: str):
     """fixed_radius over a deliberately SKEWED distribution — 20% of
     the points collapse into one 2×2 'urban core' while the rest
@@ -1721,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
         "pt_radius_skewed": _pt_radius_skewed,
+        "raster_downsample": _raster_downsample,
         "pt_knn": _pt_knn,
         "doc_span_radius": _doc_span_radius,
         "grid_contiguity_queen": _contiguity("queen"),
@@ -1903,6 +1937,12 @@ def oracle_sql() -> dict[str, str]:
             FROM pts a JOIN pts b ON a.id <> b.id
             QUALIFY row_number() OVER (PARTITION BY a.id
                 ORDER BY {d2}, b.id) <= 4""",
+        "raster_downsample": """
+            SELECT (p_partkey % 40) // 4 AS pc,
+                   (p_partkey // 40) // 4 AS pr,
+                   round(sum(p_retailprice) / count(*), 6) AS mean_v,
+                   count(*) AS n
+            FROM part GROUP BY 1, 2""",
         "pt_radius_skewed": f"""
             WITH pts AS (
               SELECT c_custkey AS id,
