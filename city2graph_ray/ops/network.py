@@ -464,12 +464,19 @@ def bounded_hop_path_geometry(edges: ray.data.Dataset,
                            b["_ny"].to_numpy(np.float64))}),
         batch_format="pandas").materialize()
 
+    empty_pre = pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                              "dst": pd.Series(dtype=np.int64),
+                              "distance": pd.Series(dtype=np.float64),
+                              "path_wkt": pd.Series(dtype=object)})
+    srcs = sources.map_batches(
+        lambda b: pd.DataFrame({
+            "node_id": b["node_id"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    if srcs.count() == 0:  # Ray drops schemas through maps over
+        return ray.data.from_pandas(empty_pre)  # all-empty datasets
+
     state = bucketed_join(
-        sources.map_batches(
-            lambda b: pd.DataFrame({
-                "node_id": b["node_id"].to_numpy(np.int64)}),
-            batch_format="pandas"),
-        nd, on="node_id", num_buckets=num_buckets).map_batches(
+        srcs, nd, on="node_id", num_buckets=num_buckets).map_batches(
         lambda b: pd.DataFrame({
             "src": b["node_id"].to_numpy(np.int64),
             "dst": b["node_id"].to_numpy(np.int64),

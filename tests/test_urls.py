@@ -118,3 +118,10 @@ def test_normalize_text_rules():
         pd.DataFrame({"doc_id": out["doc_id"],
                       "text": out["text_norm"]}))).to_pandas()
     assert sorted(again["text_norm"]) == sorted(out["text_norm"])
+
+
+def test_canonicalize_empty_corpus():
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "url": pd.Series(dtype=object)})
+    out = canonicalize_urls(ray.data.from_pandas(empty))
+    assert out.count() == 0

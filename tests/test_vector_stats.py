@@ -65,3 +65,12 @@ def test_pca_projection_matches_numpy():
     assert np.allclose(P, want, atol=1e-6)
     # top-2 PCs of a 2-dominant-direction corpus explain most variance
     assert vals.sum() / np.trace(C) > 0.9
+
+
+def test_covariance_single_row():
+    df = pd.DataFrame({"vec_id": np.array([7], np.int64),
+                       "embedding": [np.ones(4, np.float32)]})
+    out = embedding_covariance(ray.data.from_pandas(df), round_to=6,
+                               num_buckets=2)
+    assert (out["cov"].to_numpy() == 0.0).all()
+    assert len(out) == 16

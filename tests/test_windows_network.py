@@ -274,3 +274,17 @@ def test_bounded_hop_path_geometry(net):
         want = brute([0, 2], hops)
         assert {(r.src, r.dst): (r.path_wkt, r.distance)
                 for r in got.itertuples()} == want, hops
+
+
+def test_bounded_hop_path_geometry_empty_sources(net):
+    from city2graph_ray.ops.network import bounded_hop_path_geometry
+    nodes, edges, _ = net
+    dedges = pd.DataFrame({
+        "src": edges["src"].to_numpy(np.int64),
+        "dst": edges["dst"].to_numpy(np.int64),
+        "weight": edges["length"].to_numpy(np.float64)})
+    out = bounded_hop_path_geometry(
+        rd.from_pandas(dedges),
+        rd.from_pandas(pd.DataFrame({"node_id": pd.Series(dtype=np.int64)})),
+        rd.from_pandas(nodes), 2, num_buckets=2)
+    assert out.count() == 0
