@@ -1700,6 +1700,65 @@ def _tpch_q4(sf_dir: str):
     return order_priority_check(sf_dir)
 
 
+def _gtfs_travel_summary(sf_dir: str):
+    """END-TO-END GTFS pipeline at the gate: a deterministic feed
+    (150 trips × 4 stops, 3 services with weekday masks + add/remove
+    calendar exceptions, frequencies on every 10th trip) is written as
+    real GTFS text files, loaded through ``load_gtfs_dir`` (all-varchar
+    reference semantics), and pushed through calendar expansion,
+    frequency multipliers, HH:MM:SS parsing, per-trip legs and the
+    undirected weighted summary.  The SQL twin recomputes every one of
+    those steps from the same integer derivations (generate_series
+    weekday expansion, exception add/remove, floor-headway multiplier)
+    — the first bit-exact oracle through the whole GTFS surface."""
+    import csv
+    import tempfile
+
+    from city2graph_ray.sources.gtfs import travel_summary_from_gtfs
+
+    root = tempfile.mkdtemp(prefix="graft_gtfs_")
+    K = 150
+
+    def w(name: str, header: list[str], rows) -> None:
+        with open(f"{root}/{name}.txt", "w", newline="") as fh:
+            cw = csv.writer(fh)
+            cw.writerow(header)
+            cw.writerows(rows)
+
+    def hms(s: int) -> str:
+        return f"{s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}"
+
+    w("stops", ["stop_id", "stop_lon", "stop_lat"],
+      [[f"s{j}", str(j * 1.5), str(j * 0.75)] for j in range(30)])
+    w("trips", ["trip_id", "service_id"],
+      [[f"t{k}", f"svc{k % 3}"] for k in range(K)])
+    st_rows = []
+    for k in range(K):
+        for i in range(4):
+            dep = 21600 + k * 60 + i * 300
+            arr = dep - (30 + (k % 7) * 10)
+            st_rows.append([f"t{k}", str(i + 1),
+                            f"s{(k * 7 + i * 3) % 30}",
+                            hms(arr), hms(dep)])
+    w("stop_times", ["trip_id", "stop_sequence", "stop_id",
+                     "arrival_time", "departure_time"], st_rows)
+    w("calendar", ["service_id", "monday", "tuesday", "wednesday",
+                   "thursday", "friday", "saturday", "sunday",
+                   "start_date", "end_date"],
+      [["svc0", 1, 1, 1, 1, 1, 0, 0, "20240101", "20240131"],
+       ["svc1", 0, 0, 0, 0, 0, 1, 1, "20240101", "20240131"],
+       ["svc2", 1, 1, 1, 1, 1, 1, 1, "20240110", "20240120"]])
+    w("calendar_dates", ["service_id", "date", "exception_type"],
+      [["svc0", "20240106", 1], ["svc0", "20240101", 2],
+       ["svc1", "20240107", 2]])
+    w("frequencies", ["trip_id", "start_time", "end_time",
+                      "headway_secs"],
+      [[f"t{k}", "06:00:00", "08:00:00", 1800]
+       for k in range(0, K, 10)])
+
+    return travel_summary_from_gtfs(root)["edges"]
+
+
 def _orders_global_sort(sf_dir: str):
     """Distributed global ORDER BY ... LIMIT via Ray Data's native
     range-partitioned sort (the one wide primitive the engine's
@@ -1846,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_crossings": _segment_crossings,
         "tpch_q4_priority": _tpch_q4,
         "tpch_q6_forecast": _tpch_q6,
+        "gtfs_travel_summary": _gtfs_travel_summary,
         "orders_global_sort": _orders_global_sort,
         "tpch_q10_returns": _tpch_q10,
         "tpch_q14_promo": _tpch_q14,
@@ -2798,6 +2858,66 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < DATE '1996-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24""",
+        "gtfs_travel_summary": """
+            WITH ks AS (SELECT k FROM range(0, 150) t(k)),
+            cal(service_id, d0, d1, mon, tue, wed, thu, fri, sat, sun)
+              AS (VALUES
+                ('svc0', DATE '2024-01-01', DATE '2024-01-31',
+                 1, 1, 1, 1, 1, 0, 0),
+                ('svc1', DATE '2024-01-01', DATE '2024-01-31',
+                 0, 0, 0, 0, 0, 1, 1),
+                ('svc2', DATE '2024-01-10', DATE '2024-01-20',
+                 1, 1, 1, 1, 1, 1, 1)),
+            days0 AS (SELECT service_id,
+                             unnest(generate_series(d0, d1,
+                                 INTERVAL 1 DAY))::DATE AS d,
+                             mon, tue, wed, thu, fri, sat, sun
+                      FROM cal),
+            days1 AS (SELECT service_id, strftime(d, '%Y%m%d') AS date
+                      FROM days0
+                      WHERE CASE dayofweek(d)
+                            WHEN 1 THEN mon WHEN 2 THEN tue
+                            WHEN 3 THEN wed WHEN 4 THEN thu
+                            WHEN 5 THEN fri WHEN 6 THEN sat
+                            ELSE sun END = 1),
+            active AS (SELECT DISTINCT service_id, date FROM (
+                         SELECT service_id, date FROM days1
+                         UNION ALL SELECT 'svc0', '20240106')
+                       WHERE NOT (service_id = 'svc0'
+                                  AND date = '20240101')
+                         AND NOT (service_id = 'svc1'
+                                  AND date = '20240107')),
+            svc AS (SELECT service_id, count(*) AS service_days
+                    FROM active GROUP BY 1),
+            tr AS (SELECT ks.k,
+                          'svc' || CAST(ks.k % 3 AS VARCHAR)
+                            AS service_id,
+                          CASE WHEN ks.k % 10 = 0
+                               THEN greatest(1, CAST(floor(
+                                    (28800 - 21600) / 1800.0)
+                                    AS BIGINT))
+                               ELSE 1 END AS multiplier
+                   FROM ks),
+            tsc AS (SELECT tr.k,
+                           svc.service_days * tr.multiplier AS sc
+                    FROM tr JOIN svc USING (service_id)),
+            legs AS (SELECT
+                       's' || CAST((t.k * 7 + i.i * 3) % 30 AS VARCHAR)
+                         AS f,
+                       's' || CAST((t.k * 7 + (i.i + 1) * 3) % 30
+                                   AS VARCHAR) AS tto,
+                       CAST(((21600 + t.k * 60 + (i.i + 1) * 300)
+                             - (30 + (t.k % 7) * 10))
+                            - (21600 + t.k * 60 + i.i * 300)
+                            AS DOUBLE) AS tt,
+                       t.sc
+                     FROM tsc t, range(0, 3) i(i))
+            SELECT least(f, tto) AS from_stop_id,
+                   greatest(f, tto) AS to_stop_id,
+                   round(sum(tt * sc) / sum(sc), 6) AS mean_travel_time,
+                   CAST(sum(sc) AS BIGINT) AS frequency
+            FROM legs WHERE sc > 0
+            GROUP BY 1, 2""",
         "orders_global_sort": """
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
                    o_orderpriority
