@@ -1246,6 +1246,23 @@ def _doc_domain_cap(sf_dir: str):
     return per_domain_cap(canon, 7, num_buckets=16)
 
 
+def _doc_web_curation(sf_dir: str):
+    """Composed web-curation chain (URL canon → per-domain cap →
+    survivor join → normalize → exact dedup on normalized text),
+    end-to-end bit-exact against a single SQL twin that chains the
+    same five stages."""
+    from city2graph_ray.pipelines.curation import curate_web_documents
+    from city2graph_ray.pipelines.tables import documents
+
+    from city2graph_ray.joins import bucketed_join
+
+    # the oracle's URL derivation (_inject_urls) joined back to the
+    # text payload — the chain needs both columns on one row
+    joined = bucketed_join(_inject_urls(sf_dir), documents(sf_dir),
+                           on="doc_id", num_buckets=16)
+    return curate_web_documents(joined, domain_cap=9, num_buckets=16)
+
+
 def _doc_text_normalize(sf_dir: str):
     """Text normalization (dedup-key pre-pass): deterministic mess —
     case, tab/newline runs, control chars, edge whitespace — injected
@@ -1885,6 +1902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_url_canon": _doc_url_canon,
         "doc_domain_cap": _doc_domain_cap,
         "doc_text_normalize": _doc_text_normalize,
+        "doc_web_curation": _doc_web_curation,
         "isochrone_nodes_bounded": _isochrone_nodes_bounded,
         "doc_span_removal": _doc_span_removal,
         "doc_source_rollup": _doc_source_rollup,
@@ -3220,6 +3238,26 @@ def oracle_sql() -> dict[str, str]:
               FROM m2)
             SELECT doc_id, t AS text_masked, n_email, n_ipv4, n_phone
             FROM m3""",
+        "doc_web_curation": "WITH " + _URL_CANON_CTES + r""",
+            capd AS (SELECT domain, doc_id FROM (
+                       SELECT domain, doc_id, row_number() OVER (
+                           PARTITION BY domain
+                           ORDER BY md5_number_lower(
+                               CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                       FROM c)
+                     WHERE rn <= 9),
+            j AS (SELECT capd.domain, d.doc_id, d.text
+                  FROM capd JOIN documents d USING (doc_id)),
+            n AS (SELECT domain, doc_id,
+                    trim(regexp_replace(regexp_replace(lower(text),
+                         '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+                         '[ \t\r\n]+', ' ', 'g'), ' ') AS text_norm
+                  FROM j)
+            SELECT doc_id, domain, text_norm,
+                   length(text_norm) AS norm_len
+            FROM n
+            QUALIFY row_number() OVER (PARTITION BY text_norm
+                ORDER BY doc_id) = 1""",
         "doc_text_normalize": r"""
             WITH m AS (
               SELECT doc_id,

@@ -86,3 +86,43 @@ def curate_documents(docs: ray.data.Dataset,
 
     cols = [id_col, *keep_cols]
     return current.map_batches(lambda b: b[cols], batch_format="pandas")
+
+
+def curate_web_documents(docs: ray.data.Dataset,
+                         domain_cap: int = 30,
+                         url_col: str = "url",
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         num_buckets: int | None = None,
+                         ) -> ray.data.Dataset:
+    """Web-corpus curation chain (the RefinedWeb front half), composed
+    from the individually-oracled operators:
+
+        URL canonicalization + registered domain  (row-local)
+          → per-domain cap (md5-rank stratified, one keyed top-k)
+          → survivor join back to payloads (bucketed, ids-only build)
+          → text normalization (row-local)
+          → exact dedup on the NORMALIZED text (8-byte hash shuffle,
+            min-id survivor, emit="rows")
+
+    Output: surviving rows with (id_col, domain, text_norm, norm_len).
+    Every stage streams; the only driver-sized object is nothing —
+    survivors flow as Datasets end-to-end."""
+    from city2graph_ray.text.normalize import normalize_text
+    from city2graph_ray.text.urls import canonicalize_urls, per_domain_cap
+
+    nb = num_buckets or shuffle.DEFAULT_BUCKETS
+    canon = canonicalize_urls(docs, url_col=url_col)
+    survivors = per_domain_cap(canon, domain_cap, id_col=id_col,
+                               num_buckets=nb)
+    kept = bucketed_join(
+        survivors,
+        docs.map_batches(lambda b: b[[id_col, text_col]],
+                         batch_format="pandas"),
+        on=id_col, num_buckets=nb)
+    normed = normalize_text(kept, text_col=text_col)
+    deduped = exact_dedup(normed, text_col=f"{text_col}_norm",
+                          id_col=id_col, emit="rows")
+    return deduped.map_batches(
+        lambda b: b[[id_col, "domain", f"{text_col}_norm", "norm_len"]],
+        batch_format="pandas")
