@@ -1717,6 +1717,39 @@ def _tpch_q4(sf_dir: str):
     return order_priority_check(sf_dir)
 
 
+def _event_props_extract(sf_dir: str):
+    """JSON props-field extraction (vectorized regex fast path + loads
+    fallback) feeding a keyed aggregate: per k-bucket event count and
+    value sum.  Bit-exact vs DuckDB json_extract_string."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.jsoncol import extract_json_field
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value", "props"])
+    withk = extract_json_field(ev, "props", "k")
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(b["k"], errors="coerce").fillna(-1)
+        return pd.DataFrame({
+            "kb": k.to_numpy(np.int64) % 10,
+            "value": b["value"].to_numpy(np.float64)})
+
+    agg = shuffle.group_agg(withk.map_batches(bucket,
+                                              batch_format="pandas"),
+                            ["kb"], {"n": ("value", "size"),
+                                     "sum_value": ("value", "sum")},
+                            num_buckets=8)
+    return agg.map_batches(
+        lambda b: pd.DataFrame({
+            "kb": b["kb"].to_numpy(np.int64),
+            "n": b["n"].to_numpy(np.int64),
+            "sum_value": np.round(b["sum_value"].to_numpy(np.float64),
+                                  4)}),
+        batch_format="pandas")
+
+
 def _gtfs_travel_summary(sf_dir: str):
     """END-TO-END GTFS pipeline at the gate: a deterministic feed
     (150 trips × 4 stops, 3 services with weekday masks + add/remove
@@ -1923,6 +1956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_crossings": _segment_crossings,
         "tpch_q4_priority": _tpch_q4,
         "tpch_q6_forecast": _tpch_q6,
+        "event_props_extract": _event_props_extract,
         "gtfs_travel_summary": _gtfs_travel_summary,
         "orders_global_sort": _orders_global_sort,
         "tpch_q10_returns": _tpch_q10,
@@ -2876,6 +2910,12 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < DATE '1996-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24""",
+        "event_props_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     % 10 AS kb,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1""",
         "gtfs_travel_summary": """
             WITH ks AS (SELECT k FROM range(0, 150) t(k)),
             cal(service_id, d0, d1, mon, tue, wed, thu, fri, sat, sun)

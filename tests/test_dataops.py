@@ -405,3 +405,27 @@ def test_adjacency_nan_negative_policy():
                    keep_self_loops=True).to_pandas()
     loop = out[(out["source"] == 1) & (out["target"] == 1)]
     assert len(loop) == 1 and loop["weight"].iloc[0] == 5.0
+
+
+def test_extract_json_field_paths():
+    """Fast-regex and loads-fallback rows: numbers, quoted strings
+    with escapes, bool/null, nested objects, malformed JSON."""
+    import ray.data as rd
+
+    from city2graph_ray.ops.jsoncol import extract_json_field
+    df = pd.DataFrame({
+        "id": np.arange(8, dtype=np.int64),
+        "props": [
+            '{"k": 69}',
+            '{"k": -3.5, "z": 1}',
+            '{"k": "he\\"y"}',
+            '{"k": true}',
+            '{"k": null}',
+            '{"a": {"k": "inner"}, "k": 7}',
+            '{"other": 1}',
+            'not json',
+        ]})
+    out = (extract_json_field(rd.from_pandas(df), "props", "k")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["k"].tolist() == [
+        "69", "-3.5", 'he"y', "true", "", "7", "", ""]
