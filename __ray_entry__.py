@@ -1717,6 +1717,88 @@ def _tpch_q4(sf_dir: str):
     return order_priority_check(sf_dir)
 
 
+def _write_gtfs_feed() -> str:
+    """Deterministic GTFS feed shared by the GTFS gate queries:
+    150 trips × 4 stops, 3 services (weekday masks + add/remove
+    exceptions), frequencies on every 10th trip.  Every value derives
+    from the trip index k — the SQL twins regenerate the identical
+    feed from range(0, 150)."""
+    import csv
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="graft_gtfs_")
+    K = 150
+
+    def w(name: str, header: list[str], rows) -> None:
+        with open(f"{root}/{name}.txt", "w", newline="") as fh:
+            cw = csv.writer(fh)
+            cw.writerow(header)
+            cw.writerows(rows)
+
+    def hms(s: int) -> str:
+        return f"{s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}"
+
+    w("stops", ["stop_id", "stop_lon", "stop_lat"],
+      [[f"s{j}", str(j * 1.5), str(j * 0.75)] for j in range(30)])
+    w("trips", ["trip_id", "service_id"],
+      [[f"t{k}", f"svc{k % 3}"] for k in range(K)])
+    st_rows = []
+    for k in range(K):
+        for i in range(4):
+            dep = 21600 + k * 60 + i * 300
+            arr = dep - (30 + (k % 7) * 10)
+            st_rows.append([f"t{k}", str(i + 1),
+                            f"s{(k * 7 + i * 3) % 30}",
+                            hms(arr), hms(dep)])
+    w("stop_times", ["trip_id", "stop_sequence", "stop_id",
+                     "arrival_time", "departure_time"], st_rows)
+    w("calendar", ["service_id", "monday", "tuesday", "wednesday",
+                   "thursday", "friday", "saturday", "sunday",
+                   "start_date", "end_date"],
+      [["svc0", 1, 1, 1, 1, 1, 0, 0, "20240101", "20240131"],
+       ["svc1", 0, 0, 0, 0, 0, 1, 1, "20240101", "20240131"],
+       ["svc2", 1, 1, 1, 1, 1, 1, 1, "20240110", "20240120"]])
+    w("calendar_dates", ["service_id", "date", "exception_type"],
+      [["svc0", "20240106", 1], ["svc0", "20240101", 2],
+       ["svc1", "20240107", 2]])
+    w("frequencies", ["trip_id", "start_time", "end_time",
+                      "headway_secs"],
+      [[f"t{k}", "06:00:00", "08:00:00", 1800]
+       for k in range(0, K, 10)])
+    return root
+
+
+def _gtfs_od_pairs(sf_dir: str):
+    """get_od_pairs (reference transportation.py:717-875 schema:
+    trip/service/date + per-leg departure/arrival timestamps, directed
+    =False canonicalization swapping ids AND timestamps) over the
+    shared deterministic feed, date-bounded — the SQL twin regenerates
+    legs × bounded active dates and epoch arithmetic."""
+    from city2graph_ray.ops.transport import get_od_pairs
+    from city2graph_ray.sources.gtfs import load_gtfs_dir
+
+    g = load_gtfs_dir(_write_gtfs_feed())
+    ds = get_od_pairs(g["stop_times"], g["trips"], g["calendar"],
+                      g.get("calendar_dates"),
+                      start_date="20240105", end_date="20240125")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "trip_id": b["trip_id"],
+            "service_id": b["service_id"],
+            "date": b["date"],
+            "orig_stop_id": b["orig_stop_id"],
+            "dest_stop_id": b["dest_stop_id"],
+            "departure_us": b["departure_ts"].astype("datetime64[us]")
+            .to_numpy().view("i8"),
+            "arrival_us": b["arrival_ts"].astype("datetime64[us]")
+            .to_numpy().view("i8"),
+            "travel_time_sec": b["travel_time_sec"]
+            .to_numpy(np.float64)})
+
+    return ds.map_batches(finish, batch_format="pandas")
+
+
 def _event_props_extract(sf_dir: str):
     """JSON props-field extraction (vectorized regex fast path + loads
     fallback) feeding a keyed aggregate: per k-bucket event count and
@@ -1761,52 +1843,9 @@ def _gtfs_travel_summary(sf_dir: str):
     those steps from the same integer derivations (generate_series
     weekday expansion, exception add/remove, floor-headway multiplier)
     — the first bit-exact oracle through the whole GTFS surface."""
-    import csv
-    import tempfile
-
     from city2graph_ray.sources.gtfs import travel_summary_from_gtfs
 
-    root = tempfile.mkdtemp(prefix="graft_gtfs_")
-    K = 150
-
-    def w(name: str, header: list[str], rows) -> None:
-        with open(f"{root}/{name}.txt", "w", newline="") as fh:
-            cw = csv.writer(fh)
-            cw.writerow(header)
-            cw.writerows(rows)
-
-    def hms(s: int) -> str:
-        return f"{s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}"
-
-    w("stops", ["stop_id", "stop_lon", "stop_lat"],
-      [[f"s{j}", str(j * 1.5), str(j * 0.75)] for j in range(30)])
-    w("trips", ["trip_id", "service_id"],
-      [[f"t{k}", f"svc{k % 3}"] for k in range(K)])
-    st_rows = []
-    for k in range(K):
-        for i in range(4):
-            dep = 21600 + k * 60 + i * 300
-            arr = dep - (30 + (k % 7) * 10)
-            st_rows.append([f"t{k}", str(i + 1),
-                            f"s{(k * 7 + i * 3) % 30}",
-                            hms(arr), hms(dep)])
-    w("stop_times", ["trip_id", "stop_sequence", "stop_id",
-                     "arrival_time", "departure_time"], st_rows)
-    w("calendar", ["service_id", "monday", "tuesday", "wednesday",
-                   "thursday", "friday", "saturday", "sunday",
-                   "start_date", "end_date"],
-      [["svc0", 1, 1, 1, 1, 1, 0, 0, "20240101", "20240131"],
-       ["svc1", 0, 0, 0, 0, 0, 1, 1, "20240101", "20240131"],
-       ["svc2", 1, 1, 1, 1, 1, 1, 1, "20240110", "20240120"]])
-    w("calendar_dates", ["service_id", "date", "exception_type"],
-      [["svc0", "20240106", 1], ["svc0", "20240101", 2],
-       ["svc1", "20240107", 2]])
-    w("frequencies", ["trip_id", "start_time", "end_time",
-                      "headway_secs"],
-      [[f"t{k}", "06:00:00", "08:00:00", 1800]
-       for k in range(0, K, 10)])
-
-    return travel_summary_from_gtfs(root)["edges"]
+    return travel_summary_from_gtfs(_write_gtfs_feed())["edges"]
 
 
 def _orders_global_sort(sf_dir: str):
@@ -1958,6 +1997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6_forecast": _tpch_q6,
         "event_props_extract": _event_props_extract,
         "gtfs_travel_summary": _gtfs_travel_summary,
+        "gtfs_od_pairs": _gtfs_od_pairs,
         "orders_global_sort": _orders_global_sort,
         "tpch_q10_returns": _tpch_q10,
         "tpch_q14_promo": _tpch_q14,
@@ -2910,6 +2950,69 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < DATE '1996-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24""",
+        "gtfs_od_pairs": """
+            WITH ks AS (SELECT k FROM range(0, 150) t(k)),
+            cal(service_id, d0, d1, mon, tue, wed, thu, fri, sat, sun)
+              AS (VALUES
+                ('svc0', DATE '2024-01-01', DATE '2024-01-31',
+                 1, 1, 1, 1, 1, 0, 0),
+                ('svc1', DATE '2024-01-01', DATE '2024-01-31',
+                 0, 0, 0, 0, 0, 1, 1),
+                ('svc2', DATE '2024-01-10', DATE '2024-01-20',
+                 1, 1, 1, 1, 1, 1, 1)),
+            days0 AS (SELECT service_id,
+                             unnest(generate_series(d0, d1,
+                                 INTERVAL 1 DAY))::DATE AS d,
+                             mon, tue, wed, thu, fri, sat, sun
+                      FROM cal),
+            days1 AS (SELECT service_id, strftime(d, '%Y%m%d') AS date
+                      FROM days0
+                      WHERE CASE dayofweek(d)
+                            WHEN 1 THEN mon WHEN 2 THEN tue
+                            WHEN 3 THEN wed WHEN 4 THEN thu
+                            WHEN 5 THEN fri WHEN 6 THEN sat
+                            ELSE sun END = 1),
+            active AS (SELECT DISTINCT service_id, date FROM (
+                         SELECT service_id, date FROM days1
+                         UNION ALL SELECT 'svc0', '20240106')
+                       WHERE NOT (service_id = 'svc0'
+                                  AND date = '20240101')
+                         AND NOT (service_id = 'svc1'
+                                  AND date = '20240107')
+                         AND date >= '20240105'
+                         AND date <= '20240125'),
+            legs0 AS (SELECT
+                        't' || CAST(ks.k AS VARCHAR) AS trip_id,
+                        'svc' || CAST(ks.k % 3 AS VARCHAR)
+                          AS service_id,
+                        's' || CAST((ks.k * 7 + i.i * 3) % 30
+                                    AS VARCHAR) AS o,
+                        's' || CAST((ks.k * 7 + (i.i + 1) * 3) % 30
+                                    AS VARCHAR) AS d,
+                        (21600 + ks.k * 60 + i.i * 300) AS dep_s,
+                        ((21600 + ks.k * 60 + (i.i + 1) * 300)
+                         - (30 + (ks.k % 7) * 10)) AS arr_s
+                      FROM ks, range(0, 3) i(i)),
+            od AS (SELECT l.trip_id, l.service_id,
+                     strftime(strptime(a.date, '%Y%m%d'), '%Y-%m-%d')
+                       AS date,
+                     l.o, l.d,
+                     epoch_us(strptime(a.date, '%Y%m%d'))
+                       + CAST(l.dep_s AS BIGINT) * 1000000 AS dep_us,
+                     epoch_us(strptime(a.date, '%Y%m%d'))
+                       + CAST(l.arr_s AS BIGINT) * 1000000 AS arr_us,
+                     CAST(l.arr_s - l.dep_s AS DOUBLE)
+                       AS travel_time_sec
+                   FROM legs0 l JOIN active a USING (service_id))
+            SELECT trip_id, service_id, date,
+                   CASE WHEN o > d THEN d ELSE o END AS orig_stop_id,
+                   CASE WHEN o > d THEN o ELSE d END AS dest_stop_id,
+                   CASE WHEN o > d THEN arr_us ELSE dep_us END
+                     AS departure_us,
+                   CASE WHEN o > d THEN dep_us ELSE arr_us END
+                     AS arrival_us,
+                   travel_time_sec
+            FROM od""",
         "event_props_extract": """
             SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
                      % 10 AS kb,
