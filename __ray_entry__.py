@@ -208,6 +208,29 @@ def _raster_downsample(sf_dir: str):
         batch_format="pandas")
 
 
+def _pt_cell_assign(sf_dir: str):
+    """The H3/S2-stand-in cell index itself at the gate: per-point
+    packed cell id (cells.cell_id: floor-divide → +2^30 offset →
+    (iy << 31) | ix) and per-cell population — the exact int64 bit
+    arithmetic the SQL twin reproduces with BIGINT shifts/masks."""
+    import ray.data
+
+    from city2graph_ray import cells, shuffle
+    from city2graph_ray.pipelines.tables import customer_points
+
+    pts = customer_points(sf_dir)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cell": cells.cell_id(b["x"].to_numpy(np.float64),
+                                  b["y"].to_numpy(np.float64), 64.0)})
+
+    return shuffle.group_agg(pts.map_batches(assign,
+                                             batch_format="pandas"),
+                             ["cell"], {"n_points": ("cell", "size")},
+                             num_buckets=8)
+
+
 def _pt_radius_skewed(sf_dir: str):
     """fixed_radius over a deliberately SKEWED distribution — 20% of
     the points collapse into one 2×2 'urban core' while the rest
@@ -1901,6 +1924,7 @@ def _tpch_q18(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
+        "pt_cell_assign": _pt_cell_assign,
         "pt_radius_skewed": _pt_radius_skewed,
         "raster_downsample": _raster_downsample,
         "pt_knn": _pt_knn,
@@ -2089,6 +2113,17 @@ def oracle_sql() -> dict[str, str]:
             FROM pts a JOIN pts b ON a.id <> b.id
             QUALIFY row_number() OVER (PARTITION BY a.id
                 ORDER BY {d2}, b.id) <= 4""",
+        "pt_cell_assign": f"""
+            WITH pts AS ({_PTS}),
+            ij AS (SELECT
+                     CAST(floor(x / 64.0) AS BIGINT) + 1073741824
+                       AS ix,
+                     CAST(floor(y / 64.0) AS BIGINT) + 1073741824
+                       AS iy
+                   FROM pts)
+            SELECT (iy << 31) | (ix & 2147483647) AS cell,
+                   count(*) AS n_points
+            FROM ij GROUP BY 1""",
         "raster_downsample": """
             SELECT (p_partkey % 40) // 4 AS pc,
                    (p_partkey // 40) // 4 AS pr,
