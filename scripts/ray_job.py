@@ -35,8 +35,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--query", required=True,
+    ap.add_argument("--query", default=None,
                     help="pipeline name from __ray_entry__.queries()")
+    ap.add_argument("--list", action="store_true",
+                    help="print the registered pipeline names and exit")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
                     help="input table directory (parquet mirrors)")
     ap.add_argument("--output", default=None,
@@ -49,6 +51,13 @@ def main() -> int:
                     help="only for LOCAL runs; on a cluster the job "
                          "inherits the cluster's resources")
     args = ap.parse_args()
+
+    if args.list:
+        import __ray_entry__ as entrymod
+        print("\n".join(sorted(entrymod.queries())))
+        return 0
+    if args.query is None:
+        ap.error("--query is required (or use --list)")
 
     import ray
 
