@@ -1921,6 +1921,102 @@ def _tpch_q18(sf_dir: str):
                 "o_totalprice", "sum_qty"]]
 
 
+def _zone_kcore(sf_dir: str):
+    """8-core of a derived sparse graph (nodes = keys mod 2500, so at
+    sf0.01 the mean degree ~12 leaves a genuine low-degree tail to
+    peel).  The Ray side runs the monotone fixed point; the oracle
+    unrolls 12 peel rounds — extra rounds past convergence are
+    identity, so any converged round count ≤ 12 is bit-exact."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import kcore
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    edges = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["o_orderkey"].to_numpy(np.int64) % 2500,
+            "dst": (b["o_orderkey"].to_numpy(np.int64) * 31
+                    + b["o_custkey"].to_numpy(np.int64)) % 2500}),
+        batch_format="pandas")
+    return kcore(edges, k=8)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    # Every e{i}/n{i} CTE is referenced 2-3 times; without MATERIALIZED
+    # DuckDB inlines them, which compounds to 3^rounds scans of the
+    # parquet view ("Too many open files").
+    ctes = ["""e0 AS MATERIALIZED (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM (SELECT o_orderkey % 2500 AS s,
+                           (o_orderkey * 31 + o_custkey) % 2500 AS d
+                    FROM orders) WHERE s <> d)"""]
+    for i in range(rounds):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+              SELECT node, count(*) AS c FROM (
+                SELECT a AS node FROM e{i}
+                UNION ALL SELECT b AS node FROM e{i}) GROUP BY node)""")
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {k})")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+              SELECT e{i}.a, e{i}.b FROM e{i}
+              JOIN n{i} x ON e{i}.a = x.node
+              JOIN n{i} y ON e{i}.b = y.node)""")
+    return ("WITH " + ",\n            ".join(ctes) + f"""
+            SELECT node, count(*) AS deg FROM (
+              SELECT a AS node FROM e{rounds}
+              UNION ALL SELECT b AS node FROM e{rounds}) GROUP BY node""")
+
+
+def _tpch_q13(sf_dir: str):
+    """Customer order-count distribution (LEFT OUTER + zero-fill +
+    histogram — the zero-order customers are the point)."""
+    from city2graph_ray.pipelines.relational import customer_distribution
+
+    return customer_distribution(sf_dir)
+
+
+def _tpch_q16(sf_dir: str):
+    """Supplier diversity per part attribute triple (distinct relation
+    from lineitem, complaints anti-join, COUNT(DISTINCT))."""
+    from city2graph_ray.pipelines.relational import part_supplier_diversity
+
+    return part_supplier_diversity(sf_dir)
+
+
+def _tpch_q22(sf_dir: str):
+    """Inactive high-balance customers per nation.  All membership
+    decisions ride integer cents (cross-multiplied mean threshold), so
+    the scalar subquery is float-free on both engines."""
+    from city2graph_ray.pipelines.relational import inactive_customer_balance
+
+    return inactive_customer_balance(sf_dir)
+
+
+_BM25_TERMS = ["merge", "window", "vector", "hash", "stream", "customer"]
+
+
+def _doc_bm25(sf_dir: str):
+    """Global BM25 top-20 for a fixed 6-term query (Lucene idf, k1=1.2,
+    b=0.75); scores rounded to 6dp BEFORE ranking so the (score DESC,
+    doc_id) order is bit-deterministic."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import bm25_topk
+
+    return bm25_topk(documents(sf_dir, columns=["doc_id", "text"]),
+                     _BM25_TERMS, k=20)
+
+
+def _event_user_mode(sf_dir: str):
+    """Per-user modal event type (count-desc, value-asc tie-break)."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["user_id", "event_type"]], batch_format="pandas")
+    return shuffle.mode_by(ev, ["user_id"], "event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -2028,6 +2124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_volume": _tpch_q18,
         "event_user_hll": _event_user_hll,
         "doc_token_heavy_hitters": _token_heavy_hitters,
+        "zone_kcore": _zone_kcore,
+        "tpch_q13_custdist": _tpch_q13,
+        "tpch_q16_diversity": _tpch_q16,
+        "tpch_q22_inactive": _tpch_q22,
+        "doc_bm25_topk": _doc_bm25,
+        "event_user_mode": _event_user_mode,
     }
 
 
@@ -3568,6 +3670,78 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY approx_count DESC, value
             LIMIT 20""",
+        "zone_kcore": _kcore_sql(8, 12),
+        "tpch_q13_custdist": """
+            WITH oc AS (SELECT o_custkey, count(*) AS c_count
+                        FROM orders WHERE o_orderstatus <> 'F'
+                        GROUP BY o_custkey),
+            j AS (SELECT coalesce(oc.c_count, 0) AS c_count
+                  FROM customer c
+                  LEFT JOIN oc ON c.c_custkey = oc.o_custkey)
+            SELECT c_count, count(*) AS custdist
+            FROM j GROUP BY c_count""",
+        "tpch_q16_diversity": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                        FROM lineitem),
+            ok AS (SELECT ps.* FROM ps WHERE ps.l_suppkey NOT IN
+                   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)),
+            j AS (SELECT p.p_brand, p.p_type, p.p_size, ok.l_suppkey
+                  FROM ok JOIN part p ON ok.l_partkey = p.p_partkey
+                  WHERE p.p_brand <> 'Brand#1'
+                    AND p.p_size IN (1,4,7,10,13,16,19,22,25))
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM j GROUP BY p_brand, p_type, p_size""",
+        "tpch_q22_inactive": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM customer
+                       WHERE c_nationkey IN (1,3,5,7,9,11,13)),
+            t AS (SELECT sum(cents) AS s, count(*) AS n
+                  FROM c WHERE cents > 0),
+            e AS (SELECT c.* FROM c CROSS JOIN t
+                  WHERE c.cents * t.n > t.s),
+            a AS (SELECT e.* FROM e WHERE NOT EXISTS
+                  (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = e.c_custkey
+                     AND o.o_orderstatus = 'F'))
+            SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                   sum(cents) / 100.0 AS totacctbal
+            FROM a GROUP BY c_nationkey""",
+        "doc_bm25_topk": f"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok
+                   GROUP BY doc_id),
+            st AS (SELECT count(*) AS n,
+                          sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+            q(t) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+            tf AS (SELECT doc_id, t, count(*) AS tf
+                   FROM tok JOIN q USING (t) GROUP BY doc_id, t),
+            df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            sc AS (SELECT tf.doc_id,
+                          ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * (1.0 - 0.75
+                             + 0.75 * (dl.dl / st.avgdl))) AS c
+                   FROM tf JOIN df USING (t) JOIN dl USING (doc_id)
+                   CROSS JOIN st),
+            s AS (SELECT doc_id, round(sum(c), 6) AS score
+                  FROM sc GROUP BY doc_id)
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS rank,
+                   doc_id, score
+            FROM s
+            QUALIFY row_number() OVER (ORDER BY score DESC, doc_id)
+                    <= 20""",
+        "event_user_mode": """
+            SELECT user_id, event_type, n FROM (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY user_id, event_type)
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                ORDER BY n DESC, event_type) = 1""",
         # delaunay_edges / emst_edges / simhash_pairs / ivf_ann_topk:
         # not SQL-expressible (triangulation / MST / legacy LSH / IVF)
         # → rows-only check; exactness is covered by the brute-force

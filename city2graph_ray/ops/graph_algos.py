@@ -202,6 +202,145 @@ def degree_histogram(edges: ray.data.Dataset, src: str = "src",
                              num_buckets=num_buckets)
 
 
+def kcore(edges: ray.data.Dataset, k: int, src: str = "src",
+          dst: str = "dst",
+          num_buckets: int = shuffle.DEFAULT_BUCKETS,
+          max_rounds: int = 200,
+          driver_edge_threshold: int = 5_000_000) -> ray.data.Dataset:
+    """k-core of the UNDIRECTED simplification of an edge list
+    (self-loops dropped, direction and multiplicity ignored): the
+    maximal subgraph in which every node has degree ≥ ``k``.  Output
+    ``(node, deg)`` — one row per core node with its degree INSIDE the
+    core (all ≥ k); empty (typed) when the core is empty.
+
+    Classic iterative peel (Seidman 1983, public literature), run as a
+    monotone fixed point.  The heavy lifting — deduping the raw
+    (possibly multi-)edge stream into the distinct undirected edge set
+    — is one distributed keyed shuffle regardless of strategy; the
+    peel itself then picks by measured cost:
+
+    * distinct edges ≤ ``driver_edge_threshold``: collect the deduped
+      edge list once and peel with vectorized ``np.bincount`` rounds
+      (microseconds/round).  Same pattern as the EMST driver-Kruskal
+      finish: iterative keyed joins cost ~1-5 s of shuffle latency
+      PER ROUND, i.e. ~30× a broadcast pass on node-sized graphs
+      (measured: the join peel took 310 s on a 2 500-node graph where
+      the driver peel takes < 1 s end-to-end).
+    * above the threshold: distributed rounds — one partial-aggregated
+      keyed degree sum plus two bucketed semi-joins of the surviving
+      edge set against the node-sized alive table (same hash key every
+      round); the driver sees only the scalar alive count.
+
+    Peeling only ever SHRINKS the alive set, so an unchanged count
+    means the exact fixed point was reached — which is also why a
+    DuckDB twin unrolled to ≥ the converged round count reproduces the
+    result bit-for-bit (extra unrolled rounds are identity).  Both
+    strategies compute the identical fixed point (cross-checked in
+    tests).
+
+    Scale: edge set and alive table live in the object store between
+    rounds (``materialize()``); round count on real graphs is small
+    (degeneracy peeling converges in a handful of rounds away from the
+    critical density), and ``max_rounds`` guards the adversarial
+    long-path case.
+    """
+    if k < 1:
+        raise ValueError("kcore requires k >= 1")
+
+    import pyarrow as pa
+
+    ntype = pa.int64()
+    for name, typ in zip(edges.schema().names, edges.schema().types):
+        if name == src:
+            ntype = typ
+    e_schema = pa.schema([("a", ntype), ("b", ntype)])
+    alive_a_schema = pa.schema([("a", ntype)])
+    alive_b_schema = pa.schema([("b", ntype)])
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+
+    def _degrees(e: ray.data.Dataset) -> ray.data.Dataset:
+        ends = e.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b["a"].to_numpy(), b["b"].to_numpy()])}),
+            batch_format="pandas")
+        return shuffle.group_agg(ends, ["node"], {"deg": ("node", "size")},
+                                 num_buckets=num_buckets)
+
+    def _empty() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], ntype), "deg": pa.array([], pa.int64())}))
+
+    if und.count() <= driver_edge_threshold:
+        df = und.to_pandas()
+        if df.empty:
+            return _empty()
+        a_raw = df["a"].to_numpy()
+        b_raw = df["b"].to_numpy()
+        nodes, inv = np.unique(np.concatenate([a_raw, b_raw]),
+                               return_inverse=True)
+        ai, bi = inv[:len(a_raw)], inv[len(a_raw):]
+        alive_edge = np.ones(len(a_raw), dtype=bool)
+        for _ in range(max_rounds):
+            deg = (np.bincount(ai[alive_edge], minlength=len(nodes))
+                   + np.bincount(bi[alive_edge], minlength=len(nodes)))
+            ok = deg >= k
+            nxt = alive_edge & ok[ai] & ok[bi]
+            if nxt.sum() == alive_edge.sum():
+                break
+            alive_edge = nxt
+        deg = (np.bincount(ai[alive_edge], minlength=len(nodes))
+               + np.bincount(bi[alive_edge], minlength=len(nodes)))
+        core = deg >= k
+        if not core.any():
+            return _empty()
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes[core], ntype),
+            "deg": pa.array(deg[core].astype(np.int64), pa.int64())}))
+
+    n_prev: int | None = None
+    for _ in range(max_rounds):
+        alive = _degrees(und).map_batches(
+            lambda b, kk=k: b[b["deg"].to_numpy() >= kk][["node"]],
+            batch_format="pandas").materialize()
+        n = alive.count()
+        if n == 0:
+            return _empty()
+        if n_prev is not None and n == n_prev:
+            break  # monotone ⇒ equal count ⇒ equal set ⇒ fixed point
+        n_prev = n
+        und = bucketed_join(
+            bucketed_join(
+                und,
+                alive.map_batches(
+                    lambda b: b.rename(columns={"node": "a"}),
+                    batch_format="pandas"),
+                on="a", num_buckets=num_buckets,
+                left_schema=e_schema, right_schema=alive_a_schema),
+            alive.map_batches(
+                lambda b: b.rename(columns={"node": "b"}),
+                batch_format="pandas"),
+            on="b", num_buckets=num_buckets,
+            left_schema=e_schema, right_schema=alive_b_schema,
+        ).materialize()
+
+    if und.count() == 0:
+        return _empty()
+    return _degrees(und).map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy(),
+                                "deg": b["deg"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
 def triangle_count(edges: ray.data.Dataset, src: str = "src",
                    dst: str = "dst",
                    num_buckets: int = shuffle.DEFAULT_BUCKETS,

@@ -444,3 +444,220 @@ def promo_revenue(sf_dir: str, prefix: str = "PROMO",
     promo = float(parts["promo"].sum())
     return ray.data.from_pandas(pd.DataFrame({
         "promo_pct": [round(100.0 * promo / total, 4) if total else 0.0]}))
+
+
+def customer_distribution(sf_dir: str, exclude_status: str = "F",
+                          num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                          ) -> ray.data.Dataset:
+    """TPC-H Q13-shaped customer-order distribution: how many customers
+    placed exactly c_count qualifying orders — INCLUDING the
+    zero-order customers, which is the whole point of the query (a
+    LEFT OUTER join of the customer key table against the per-customer
+    order counts, zero-filled, then a histogram of the counts).
+
+    The synthetic orders table has no o_comment, so the qualifying
+    predicate is ``o_orderstatus <> exclude_status`` (same shape:
+    filter at the read, then count).  Output
+    (c_count, custdist) — all int64, bit-exact.
+
+    Scale: orders reduce to per-customer partial counts inside each
+    batch before the keyed merge; the LEFT join is bucketed on the
+    customer key; the histogram re-aggregates a customers-sized table
+    on a tiny key space."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t["o_orderstatus"], exclude_status))
+        .select(["o_custkey"]), batch_format="pyarrow")
+
+    per_cust = shuffle.group_agg(
+        orders, ["o_custkey"], {"c_count": ("o_custkey", "size")},
+        num_buckets=num_buckets).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+
+    joined = bucketed_join(cust, per_cust, on="c_custkey",
+                           how="left", num_buckets=num_buckets)
+    counts = joined.map_batches(
+        lambda b: pd.DataFrame({
+            "c_count": np.nan_to_num(
+                b["c_count"].to_numpy(np.float64), nan=0.0)
+            .astype(np.int64)}),
+        batch_format="pandas")
+    hist = shuffle.group_agg(
+        counts, ["c_count"], {"custdist": ("c_count", "size")},
+        num_buckets=num_buckets)
+    return hist.map_batches(
+        lambda b: pd.DataFrame({
+            "c_count": b["c_count"].to_numpy(np.int64),
+            "custdist": b["custdist"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
+def part_supplier_diversity(sf_dir: str, brand_excl: str = "Brand#1",
+                            sizes: tuple = (1, 4, 7, 10, 13, 16, 19,
+                                            22, 25),
+                            num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                            ) -> ray.data.Dataset:
+    """TPC-H Q16-shaped supplier-diversity count: per (p_brand, p_type,
+    p_size) over a filtered part slice, the number of DISTINCT
+    suppliers that ship the part — excluding a "complaints" supplier
+    list (here ``s_acctbal < 0``; the synthetic schema has no
+    s_comment), which enters as an ANTI join.
+
+    The part↔supplier relation is the distinct (l_partkey, l_suppkey)
+    projection of lineitem (the synthetic schema has no partsupp).
+    Output (p_brand, p_type, p_size, supplier_cnt) — ints + strings,
+    bit-exact.
+
+    Scale: the relation is deduped by one keyed shuffle; the anti join
+    is a bucketed LEFT join against the (small, key-only) complaint
+    list with a null-mask filter — no broadcast of the big side; the
+    final COUNT(DISTINCT) reuses the two-shuffle count_distinct
+    primitive."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    sz = list(sizes)
+    part = part.map_batches(
+        lambda b: b[(b["p_brand"].astype(str) != brand_excl)
+                    & b["p_size"].isin(sz)],
+        batch_format="pandas")
+
+    ps = shuffle.distinct(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey"]),
+        ["l_partkey", "l_suppkey"], num_buckets=num_buckets)
+
+    bad = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_acctbal"]).map_batches(
+        lambda b: pd.DataFrame({
+            "l_suppkey": b.loc[b["s_acctbal"].to_numpy(np.float64) < 0.0,
+                               "s_suppkey"].to_numpy(np.int64),
+        }).assign(bad_mark=np.int64(1)),
+        batch_format="pandas")
+
+    import pyarrow as pa
+    anti = bucketed_join(
+        ps, bad, on="l_suppkey", how="left", num_buckets=num_buckets,
+        right_schema=pa.schema([("l_suppkey", pa.int64()),
+                                ("bad_mark", pa.int64())])).map_batches(
+        lambda b: b.loc[b["bad_mark"].isna(),
+                        ["l_partkey", "l_suppkey"]],
+        batch_format="pandas")
+
+    joined = bucketed_join(
+        anti,
+        part.map_batches(
+            lambda b: b.rename(columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas"),
+        on="l_partkey", num_buckets=num_buckets)
+
+    out = shuffle.count_distinct(
+        joined, ["p_brand", "p_type", "p_size"], "l_suppkey",
+        num_buckets=num_buckets)
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "p_brand": b["p_brand"].astype(str),
+            "p_type": b["p_type"].astype(str),
+            "p_size": b["p_size"].to_numpy(np.int64),
+            "supplier_cnt": b[b.columns[-1]].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
+def inactive_customer_balance(sf_dir: str,
+                              nations: tuple = (1, 3, 5, 7, 9, 11, 13),
+                              order_status: str = "F",
+                              num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                              ) -> ray.data.Dataset:
+    """TPC-H Q22-shaped "global customers without orders": per nation
+    (the synthetic schema has no c_phone country code), the count and
+    total balance of customers whose balance exceeds the global mean
+    positive balance of the nation slice AND who placed no
+    ``order_status`` orders (default: no fulfilled orders — the
+    synthetic orders table gives every customer at least one order of
+    SOME status, so the status slice keeps the anti-join non-trivial
+    at small scale, exactly where Q22's "no orders in 7 years" window
+    sits in real TPC-H).
+
+    Exactness: balances are carried as integer CENTS
+    (``floor(x*100 + 0.5)`` — the same expression on both engines, no
+    round-mode divergence), the scalar-subquery threshold compares
+    cross-multiplied integers (``cents * n_pos > sum_cents``) so NO
+    float enters the membership decision, and the final total is an
+    integer cent sum divided once by 100.
+
+    Scale: the threshold is two scalars from per-batch partials; the
+    "no orders" predicate is a bucketed ANTI join (LEFT + null mask)
+    against the distinct order-customer keys; everything else is one
+    keyed sum."""
+    nat = list(nations)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        lambda b: pd.DataFrame({
+            "c_custkey": b.loc[b["c_nationkey"].isin(nat),
+                               "c_custkey"].to_numpy(np.int64),
+            "c_nationkey": b.loc[b["c_nationkey"].isin(nat),
+                                 "c_nationkey"].to_numpy(np.int64),
+            "cents": np.floor(
+                b.loc[b["c_nationkey"].isin(nat),
+                      "c_acctbal"].to_numpy(np.float64) * 100.0 + 0.5)
+            .astype(np.int64)}),
+        batch_format="pandas").materialize()
+
+    parts = cust.map_batches(
+        lambda b: pd.DataFrame({
+            "s": [b.loc[b["cents"] > 0, "cents"].sum()],
+            "n": [np.int64((b["cents"] > 0).sum())]}),
+        batch_format="pandas").to_pandas()
+    sum_cents = int(parts["s"].sum())
+    n_pos = int(parts["n"].sum())
+
+    eligible = cust.map_batches(
+        lambda b, sc=sum_cents, np_=n_pos:
+            b[b["cents"].to_numpy(np.int64) * np_ > sc],
+        batch_format="pandas")
+
+    okeys = shuffle.distinct(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderstatus"]).map_batches(
+            lambda t: t.filter(
+                pc.equal(t["o_orderstatus"], order_status))
+            .select(["o_custkey"]), batch_format="pyarrow"),
+        ["o_custkey"], num_buckets=num_buckets).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"})
+        .assign(has_ord=np.int64(1)), batch_format="pandas")
+
+    import pyarrow as pa
+    anti = bucketed_join(
+        eligible, okeys, on="c_custkey", how="left",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_nationkey", pa.int64()),
+                               ("cents", pa.int64())])).map_batches(
+        lambda b: b.loc[b["has_ord"].isna(),
+                        ["c_nationkey", "cents"]],
+        batch_format="pandas")
+
+    agg = shuffle.group_agg(
+        anti, ["c_nationkey"], {"numcust": ("cents", "size"),
+                                "cent_sum": ("cents", "sum")},
+        num_buckets=num_buckets).materialize()
+    if agg.count() == 0:  # schema-stable empty (nation-count-sized agg)
+        return ray.data.from_arrow(pa.table({
+            "cntrycode": pa.array([], pa.int64()),
+            "numcust": pa.array([], pa.int64()),
+            "totacctbal": pa.array([], pa.float64())}))
+    return agg.map_batches(
+        lambda b: pd.DataFrame({
+            "cntrycode": b["c_nationkey"].to_numpy(np.int64),
+            "numcust": b["numcust"].to_numpy(np.int64),
+            "totacctbal": b["cent_sum"].to_numpy(np.int64) / 100.0}),
+        batch_format="pandas")

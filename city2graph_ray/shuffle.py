@@ -179,3 +179,17 @@ def topk_in_group(ds: ray.data.Dataset, keys: Sequence[str], k: int,
 
     return _bucketize(ds, keys, num_buckets).groupby("__bucket").map_groups(
         _debucket(kernel), batch_format="pandas")
+
+
+def mode_by(ds: ray.data.Dataset, keys: Sequence[str], value_col: str,
+            num_buckets: int = DEFAULT_BUCKETS) -> ray.data.Dataset:
+    """Per-key modal value with a deterministic tie-break (highest
+    count, then smallest value): one partial-aggregated keyed count on
+    (keys, value) followed by a per-key top-1 merge — the SQL twin is
+    QUALIFY row_number() OVER (PARTITION BY keys ORDER BY n DESC,
+    value) = 1.  Output (keys…, value_col, n)."""
+    keys = list(keys)
+    counts = group_agg(ds, keys + [value_col], {"n": (value_col, "size")},
+                       num_buckets=num_buckets)
+    return topk_in_group(counts, keys, 1, ["n", value_col],
+                         [False, True], num_buckets=num_buckets)

@@ -442,3 +442,83 @@ def stratified_sample(docs: ray.data.Dataset, strata: Sequence[str],
                                 order_cols=["__h", id_col],
                                 ascending=[True, True], num_buckets=nb)
     return top.map_batches(lambda b: b[cols], batch_format="pandas")
+
+
+def bm25_topk(docs: ray.data.Dataset, terms: "list[str]", k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              round_to: int = 6) -> ray.data.Dataset:
+    """Global BM25 ranked retrieval: score every document against a
+    small query-term set and return the top-``k``.  Lucene-form IDF
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` (always positive) with the
+    standard tf saturation ``tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))``
+    (Robertson & Zaragoza 2009 — public literature).
+
+    Two streaming passes:
+
+    1. corpus statistics — per-batch partials for N, Σdl and per-term
+       document frequency (|terms| rows per block, merged on the
+       driver: the only driver state is ~|terms| scalars);
+    2. scoring — the (terms → idf, avgdl) table is a handful of
+       floats broadcast in the task closure; each batch computes its
+       doc×term tf matrix with one factorized bincount and emits
+       (id, score) for docs matching ≥1 term.
+
+    Scores round to ``round_to`` BEFORE ranking, so the global top-k —
+    per-block partial top-k, then a k·blocks-row driver merge, never a
+    global sort — breaks ties on (score DESC, id ASC) exactly like the
+    DuckDB twin's QUALIFY row_number().  Output (rank, id, score).
+    """
+    terms = list(terms)
+    t_index = pd.Index(terms)
+    nt = len(terms)
+
+    def stat_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy(dtype=object)
+        doc_idx = np.repeat(np.arange(len(batch)), counts)
+        pos = t_index.get_indexer(flat)
+        m = pos >= 0
+        df_p = np.zeros(nt, np.int64)
+        if m.any():
+            hit = np.unique(doc_idx[m] * nt + pos[m])
+            df_p = np.bincount(hit % nt, minlength=nt).astype(np.int64)
+        return pd.DataFrame({
+            "i": np.arange(nt + 1, dtype=np.int64),
+            "v1": np.concatenate([[np.int64(len(batch))], df_p]),
+            "v2": np.concatenate([[counts.sum()],
+                                  np.zeros(nt, np.int64)])})
+
+    st = (docs.map_batches(stat_partials, batch_format="pandas")
+          .to_pandas().groupby("i", sort=True).sum())
+    n_docs = int(st.loc[0, "v1"])
+    avgdl = float(st.loc[0, "v2"]) / n_docs
+    df = st["v1"].to_numpy(np.int64)[1:]
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy(dtype=object)
+        doc_idx = np.repeat(np.arange(len(batch)), counts)
+        pos = t_index.get_indexer(flat)
+        m = pos >= 0
+        tf = np.bincount(doc_idx[m] * nt + pos[m],
+                         minlength=len(batch) * nt
+                         ).reshape(len(batch), nt).astype(np.float64)
+        dl = counts.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * (dl / avgdl))[:, None]
+        contrib = idf[None, :] * tf * (k1 + 1.0) / denom
+        s = np.round(contrib.sum(axis=1), round_to)
+        hitdoc = tf.sum(axis=1) > 0
+        return (pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                              "score": s})[hitdoc]
+                .sort_values(["score", id_col], ascending=[False, True])
+                .head(k))
+
+    top = (docs.map_batches(score, batch_format="pandas").to_pandas()
+           .sort_values(["score", id_col], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return ray.data.from_pandas(top)

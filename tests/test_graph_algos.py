@@ -117,3 +117,95 @@ def test_triangle_count_edges():
     tri = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})
     assert int(triangle_count(rd.from_pandas(tri), num_buckets=4)
                .to_pandas()["n_triangles"].iloc[0]) == 1
+
+
+def test_kcore_matches_networkx():
+    import networkx as nx
+    from city2graph_ray.ops.graph_algos import kcore
+    df = _edges(120, 20, seed=3)
+    out = kcore(rd.from_pandas(df), k=3).to_pandas()
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b in zip(df["src"], df["dst"]) if a != b)
+    core = nx.k_core(g, 3)
+    assert set(out["node"].astype(int)) == set(core.nodes)
+    for _, row in out.iterrows():
+        assert core.degree[int(row["node"])] == int(row["deg"])
+
+
+def test_kcore_strategies_agree():
+    from city2graph_ray.ops.graph_algos import kcore
+    df = _edges(100, 18, seed=11)
+    a = (kcore(rd.from_pandas(df), k=3).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (kcore(rd.from_pandas(df), k=3, driver_edge_threshold=0,
+               num_buckets=2).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_kcore_empty_and_degenerate():
+    from city2graph_ray.ops.graph_algos import kcore
+    # all self-loops -> empty core, typed schema (NB: .to_pandas() of a
+    # 0-row from_arrow dataset drops columns — assert on the Dataset
+    # schema, which is what downstream Ray stages see)
+    df = pd.DataFrame({"src": np.int64([1, 2]), "dst": np.int64([1, 2])})
+    out = kcore(rd.from_pandas(df), k=1)
+    assert out.count() == 0 and out.schema().names == ["node", "deg"]
+    # k above max degree -> empty on both strategies
+    df2 = _edges(30, 8, seed=5)
+    assert kcore(rd.from_pandas(df2), k=50).to_pandas().empty
+    assert kcore(rd.from_pandas(df2), k=50, driver_edge_threshold=0,
+                 num_buckets=2).to_pandas().empty
+
+
+def test_mode_by_tiebreak():
+    from city2graph_ray import shuffle
+    df = pd.DataFrame({
+        "g": np.int64([1, 1, 1, 1, 2, 2]),
+        "v": ["b", "b", "a", "a", "z", "y"]})
+    out = (shuffle.mode_by(rd.from_pandas(df), ["g"], "v", num_buckets=2)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    # group 1: a and b tie at 2 -> smallest value wins
+    assert out.loc[0, "v"] == "a" and out.loc[0, "n"] == 2
+    # group 2: y and z tie at 1 -> y
+    assert out.loc[1, "v"] == "y" and out.loc[1, "n"] == 1
+
+
+def test_bm25_matches_bruteforce():
+    import math
+    from city2graph_ray.text.analysis import bm25_topk
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(8)],
+        "text": ["merge sort is a merge of runs",
+                 "hash join beats merge join sometimes",
+                 "stream the window over the vector",
+                 "plain prose with none of the terms",
+                 "vector vector vector",
+                 "customer stream hash",
+                 "window window merge",
+                 "a b c d e f g h i j k l m n o p"]})
+    terms = ["merge", "window", "vector", "hash", "stream", "customer"]
+    out = bm25_topk(rd.from_pandas(docs), terms, k=5).to_pandas()
+
+    # brute force
+    toks = [t.split(" ") for t in docs["text"]]
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks) / n
+    df_t = {t: sum(1 for d in toks if t in d) for t in terms}
+    scores = {}
+    for did, d in zip(docs["doc_id"], toks):
+        s = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - df_t[t] + 0.5) / (df_t[t] + 0.5) + 1.0)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(d) / avgdl))
+        if s > 0:
+            scores[did] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(zip(out["doc_id"], out["score"]))
+    assert [w[0] for w in want] == [g[0] for g in got]
+    for (wd, ws), (gd, gs) in zip(want, got):
+        assert abs(ws - gs) < 1e-9
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
