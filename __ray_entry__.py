@@ -1968,6 +1968,102 @@ def _kcore_sql(k: int, rounds: int) -> str:
               UNION ALL SELECT b AS node FROM e{rounds}) GROUP BY node""")
 
 
+def _zone_adamic_adar(sf_dir: str):
+    """Adamic–Adar link-prediction scores over the kcore-family derived
+    graph (keys mod 2500): per non-edge pair with common neighbours,
+    Σ 1/ln(deg v) — each centre term quantized once to integer 1e-9
+    units so the per-pair sums are order-immune and the SQL twin is
+    bit-exact."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import adamic_adar
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    edges = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["o_orderkey"].to_numpy(np.int64) % 2500,
+            "dst": (b["o_orderkey"].to_numpy(np.int64) * 31
+                    + b["o_custkey"].to_numpy(np.int64)) % 2500}),
+        batch_format="pandas")
+    return adamic_adar(edges)
+
+
+_ADAMIC_ADAR_SQL = """
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM (SELECT o_orderkey % 2500 AS s,
+                   (o_orderkey * 31 + o_custkey) % 2500 AS d
+            FROM orders) WHERE s <> d),
+    half AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM und
+      UNION ALL SELECT b AS u, a AS v FROM und),
+    deg AS MATERIALIZED (SELECT u, count(*) AS c FROM half GROUP BY u),
+    wt AS MATERIALIZED (
+      SELECT u, CAST(floor(1000000000.0 / ln(c) + 0.5) AS BIGINT) AS wt
+      FROM deg WHERE c >= 2),
+    wedge AS MATERIALIZED (
+      SELECT h1.v AS x, h2.v AS y, w.wt
+      FROM half h1 JOIN half h2 ON h1.u = h2.u AND h1.v < h2.v
+      JOIN wt w ON w.u = h1.u),
+    sc AS MATERIALIZED (SELECT x, y, sum(wt) AS s FROM wedge
+                        GROUP BY x, y)
+    SELECT sc.x AS src, sc.y AS dst, sc.s / 1000000000.0 AS aa_score
+    FROM sc LEFT JOIN und ON sc.x = und.a AND sc.y = und.b
+    WHERE und.a IS NULL"""
+
+
+_LPA_ROUNDS = 4
+
+
+def _zone_lpa(sf_dir: str):
+    """Deterministic synchronous label propagation over a 40-community
+    derived graph (edges stay inside a cluster of 50 node slots, so
+    the modal-label rounds have real structure to converge on).  Fixed
+    round count ⇒ the unrolled SQL twin is bit-exact even where sync
+    LPA oscillates."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import label_propagation
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    edges = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "src": (b["o_orderkey"].to_numpy(np.int64) % 40) * 50
+            + (b["o_orderkey"].to_numpy(np.int64) // 40) % 50,
+            "dst": (b["o_orderkey"].to_numpy(np.int64) % 40) * 50
+            + b["o_custkey"].to_numpy(np.int64) % 50}),
+        batch_format="pandas")
+    return label_propagation(edges, num_iters=_LPA_ROUNDS)
+
+
+def _lpa_sql(rounds: int) -> str:
+    ctes = ["""und AS MATERIALIZED (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM (SELECT (o_orderkey % 40) * 50
+                             + (o_orderkey // 40) % 50 AS s,
+                           (o_orderkey % 40) * 50
+                             + o_custkey % 50 AS d
+                    FROM orders) WHERE s <> d)""",
+            """half AS MATERIALIZED (
+              SELECT a AS u, b AS v FROM und
+              UNION ALL SELECT b AS u, a AS v FROM und)""",
+            "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label"
+            " FROM half)"]
+    for i in range(rounds):
+        ctes.append(f"""c{i} AS MATERIALIZED (
+              SELECT h.v AS node, l.label, count(*) AS n
+              FROM half h JOIN l{i} l ON h.u = l.node
+              GROUP BY h.v, l.label)""")
+        ctes.append(f"""l{i + 1} AS MATERIALIZED (
+              SELECT node, label FROM c{i}
+              QUALIFY row_number() OVER (PARTITION BY node
+                  ORDER BY n DESC, label) = 1)""")
+    return ("WITH " + ",\n            ".join(ctes)
+            + f" SELECT node, label FROM l{rounds}")
+
+
 def _tpch_q13(sf_dir: str):
     """Customer order-count distribution (LEFT OUTER + zero-fill +
     histogram — the zero-order customers are the point)."""
@@ -2125,6 +2221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_hll": _event_user_hll,
         "doc_token_heavy_hitters": _token_heavy_hitters,
         "zone_kcore": _zone_kcore,
+        "zone_lpa_labels": _zone_lpa,
+        "zone_adamic_adar": _zone_adamic_adar,
         "tpch_q13_custdist": _tpch_q13,
         "tpch_q16_diversity": _tpch_q16,
         "tpch_q22_inactive": _tpch_q22,
@@ -3671,6 +3769,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY approx_count DESC, value
             LIMIT 20""",
         "zone_kcore": _kcore_sql(8, 12),
+        "zone_lpa_labels": _lpa_sql(_LPA_ROUNDS),
+        "zone_adamic_adar": _ADAMIC_ADAR_SQL,
         "tpch_q13_custdist": """
             WITH oc AS (SELECT o_custkey, count(*) AS c_count
                         FROM orders WHERE o_orderstatus <> 'F'

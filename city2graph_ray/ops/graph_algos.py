@@ -456,3 +456,243 @@ def triangle_count(edges: ray.data.Dataset, src: str = "src",
     total = int(parts["n"].sum()) if len(parts) else 0
     return ray.data.from_arrow(pa.table({"n_triangles":
                                          pa.array([total], pa.int64())}))
+
+
+def label_propagation(edges: ray.data.Dataset, num_iters: int = 4,
+                      src: str = "src", dst: str = "dst",
+                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                      driver_edge_threshold: int = 5_000_000,
+                      ) -> ray.data.Dataset:
+    """Synchronous label propagation (Raghavan et al. 2007, public
+    literature) over the UNDIRECTED simplification of an edge list,
+    made fully deterministic: every node starts labelled with its own
+    id, and each round EVERY node simultaneously adopts the modal
+    label of its neighbourhood with ties broken toward the SMALLEST
+    label.  A FIXED ``num_iters`` round count (no convergence test)
+    means an unrolled SQL twin reproduces the result bit-for-bit even
+    on the bipartite-ish structures where synchronous LPA oscillates.
+    Output ``(node, label)``.
+
+    Strategy mirrors :func:`kcore` — the distinct-edge dedup is one
+    distributed keyed shuffle either way, then:
+
+    * distinct edges ≤ ``driver_edge_threshold``: one collect, then
+      vectorized rounds (factorized ``node*n+label`` bincount mode) on
+      the driver;
+    * above: per round, one bucketed join of the node-sized label
+      table onto the directed half-edge set, one keyed (node, label)
+      count, one per-node top-1 merge — all on the same node-id hash
+      key.
+    """
+    import pyarrow as pa
+
+    ntype = pa.int64()
+    for name, typ in zip(edges.schema().names, edges.schema().types):
+        if name == src:
+            ntype = typ
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+
+    if und.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], ntype), "label": pa.array([], ntype)}))
+
+    if und.count() <= driver_edge_threshold:
+        df = und.to_pandas()
+        a_raw = df["a"].to_numpy()
+        b_raw = df["b"].to_numpy()
+        nodes, inv = np.unique(np.concatenate([a_raw, b_raw]),
+                               return_inverse=True)
+        n = len(nodes)
+        ai, bi = inv[:len(a_raw)], inv[len(a_raw):]
+        # dense index order == value order (np.unique sorts), so the
+        # smallest-dense-label tie-break equals the smallest-value one
+        lab = np.arange(n, dtype=np.int64)
+        tgt = np.concatenate([ai, bi])
+        nbr = np.concatenate([bi, ai])
+        for _ in range(num_iters):
+            key = tgt * n + lab[nbr]
+            uniq, cnt = np.unique(key, return_counts=True)
+            tv = uniq // n
+            tl = uniq % n
+            order = np.lexsort((tl, -cnt, tv))
+            _, first = np.unique(tv[order], return_index=True)
+            new_lab = lab.copy()  # isolated nodes keep theirs (none here)
+            new_lab[tv[order][first]] = tl[order][first]
+            lab = new_lab
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, ntype),
+            "label": pa.array(nodes[lab], ntype)}))
+
+    half = und.map_batches(
+        lambda b: pd.DataFrame({
+            "u": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+            "v": np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()])}),
+        batch_format="pandas").materialize()
+    labels = shuffle.distinct(
+        half.map_batches(lambda b: pd.DataFrame({"node": b["u"]}),
+                         batch_format="pandas"),
+        ["node"], num_buckets=num_buckets).map_batches(
+        lambda b: b.assign(label=b["node"]),
+        batch_format="pandas").materialize()
+    for _ in range(num_iters):
+        contrib = bucketed_join(
+            half,
+            labels.map_batches(
+                lambda b: b.rename(columns={"node": "u"}),
+                batch_format="pandas"),
+            on="u", num_buckets=num_buckets).map_batches(
+            lambda b: pd.DataFrame({"node": b["v"], "label": b["label"]}),
+            batch_format="pandas")
+        counts = shuffle.group_agg(
+            contrib, ["node", "label"], {"n": ("label", "size")},
+            num_buckets=num_buckets)
+        labels = shuffle.topk_in_group(
+            counts, ["node"], 1, ["n", "label"], [False, True],
+            num_buckets=num_buckets).map_batches(
+            lambda b: b[["node", "label"]],
+            batch_format="pandas").materialize()
+    return labels
+
+
+def adamic_adar(edges: ray.data.Dataset, src: str = "src",
+                dst: str = "dst", exclude_edges: bool = True,
+                scale: int = 10 ** 9,
+                num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                max_degree: int | None = None) -> ray.data.Dataset:
+    """Adamic–Adar link-prediction scores (Adamic & Adar 2003, public
+    literature) over the UNDIRECTED simplification of an edge list:
+    for every node pair (x < y) with at least one common neighbour,
+    ``AA(x,y) = Σ_v 1/ln(deg v)`` over common neighbours ``v`` (only
+    centres with degree ≥ 2 can be common neighbours, so ln is never
+    0).  ``exclude_edges=True`` (the link-prediction convention) drops
+    pairs that are already edges.  Output ``(src, dst, aa_score)``.
+
+    Exactness: each centre's contribution is quantized ONCE to the
+    integer ``floor(scale/ln(deg) + 0.5)`` — per-pair sums are then
+    int64 and immune to float addition order across the shuffle; the
+    single final divide by ``scale`` is reproduced verbatim by the SQL
+    twin (ln/floor parity between numpy and DuckDB is the same libm
+    contract the bm25/Q10 oracles rely on).
+
+    Scale: degrees are one keyed sum; wedge enumeration groups the
+    half-edge set by centre (one shuffle on the node key) and expands
+    each centre's C(deg,2) pairs with a ragged vectorized triu — that
+    quadratic fan-out is inherent to AA, so hub centres dominate cost;
+    ``max_degree`` (optional, documented approximation) skips centres
+    above a degree cap the way LSH-bucketed near-dup caps hot buckets.
+    The per-pair sum and the edge anti-join are bucketed on the pair
+    key."""
+    import pyarrow as pa
+
+    ntype = pa.int64()
+    for name, typ in zip(edges.schema().names, edges.schema().types):
+        if name == src:
+            ntype = typ
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+
+    def _empty() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], ntype), "dst": pa.array([], ntype),
+            "aa_score": pa.array([], pa.float64())}))
+
+    if und.count() == 0:
+        return _empty()
+
+    half = und.map_batches(
+        lambda b: pd.DataFrame({
+            "u": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+            "v": np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()])}),
+        batch_format="pandas")
+
+    deg = shuffle.group_agg(half, ["u"], {"c": ("u", "size")},
+                            num_buckets=num_buckets)
+
+    def to_wt(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        keep = c >= 2
+        if max_degree is not None:
+            keep &= c <= max_degree
+        c = c[keep].astype(np.float64)
+        return pd.DataFrame({
+            "u": b["u"].to_numpy()[keep],
+            "wt": np.floor(scale / np.log(c) + 0.5).astype(np.int64)})
+
+    wt = deg.map_batches(to_wt, batch_format="pandas")
+    half_schema = pa.schema([("u", ntype), ("v", ntype)])
+    wt_schema = pa.schema([("u", ntype), ("wt", pa.int64())])
+    centers = bucketed_join(half, wt, on="u", num_buckets=num_buckets,
+                            left_schema=half_schema,
+                            right_schema=wt_schema)
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "v"], kind="stable")
+        uu = g["u"].to_numpy()
+        vv = g["v"].to_numpy()
+        ww = g["wt"].to_numpy(np.int64)
+        # ragged vectorized triu over each centre's sorted neighbours
+        _, starts, sizes = np.unique(uu, return_index=True,
+                                     return_counts=True)
+        pos = np.arange(len(uu)) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - pos
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"x": vv[:0], "y": vv[:0],
+                                 "wt": ww[:0]})
+        i_idx = np.repeat(np.arange(len(uu)), reps)
+        j_off = np.arange(total) - np.repeat(np.cumsum(reps) - reps,
+                                             reps) + 1
+        j_idx = i_idx + j_off
+        return pd.DataFrame({"x": vv[i_idx], "y": vv[j_idx],
+                             "wt": ww[i_idx]})
+
+    pairs = shuffle._bucketize(centers, ["u"], num_buckets).groupby(
+        "__bucket").map_groups(shuffle._debucket(wedge_pairs),
+                               batch_format="pandas")
+
+    scores = shuffle.group_agg(pairs, ["x", "y"], {"s": ("wt", "sum")},
+                               num_buckets=num_buckets)
+
+    if exclude_edges:
+        mark = und.map_batches(
+            lambda b: pd.DataFrame({"x": b["a"], "y": b["b"]})
+            .assign(is_edge=np.int64(1)), batch_format="pandas")
+        pair_schema = pa.schema([("x", ntype), ("y", ntype),
+                                 ("s", pa.int64())])
+        mark_schema = pa.schema([("x", ntype), ("y", ntype),
+                                 ("is_edge", pa.int64())])
+        scores = bucketed_join(
+            scores, mark, on=["x", "y"], how="left",
+            num_buckets=num_buckets, left_schema=pair_schema,
+            right_schema=mark_schema).map_batches(
+            lambda b: b.loc[b["is_edge"].isna(), ["x", "y", "s"]],
+            batch_format="pandas")
+
+    out = scores.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["x"].to_numpy(),
+            "dst": b["y"].to_numpy(),
+            "aa_score": b["s"].to_numpy(np.int64) / float(scale)}),
+        batch_format="pandas").materialize()
+    if out.count() == 0:
+        return _empty()
+    return out
