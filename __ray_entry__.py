@@ -1968,6 +1968,82 @@ def _kcore_sql(k: int, rounds: int) -> str:
               UNION ALL SELECT b AS node FROM e{rounds}) GROUP BY node""")
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _event_funnel(sf_dir: str):
+    """First-touch ordered funnel (view → click → purchase, each step
+    strictly after the previous): one bucketed user shuffle, cascade
+    vectorized per bucket."""
+    from city2graph_ray.ops.funnel import funnel
+    from city2graph_ray.pipelines.tables import events
+
+    return funnel(events(sf_dir), _FUNNEL_STEPS)
+
+
+def _event_retention(sf_dir: str):
+    """Cohort-retention matrix (first-activity day × day offset,
+    distinct users)."""
+    from city2graph_ray.ops.funnel import retention_cohorts
+    from city2graph_ray.pipelines.tables import events
+
+    return retention_cohorts(events(sf_dir))
+
+
+_TOKEN_BUDGET = 8000
+
+
+def _doc_token_budget(sf_dir: str):
+    """Token-budget curation: best-docs-first (n_chars desc, id) prefix
+    whose cumulative whitespace-token count stays within the budget —
+    the distributed prefix-sum scan from the packing module."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.packing import select_by_token_budget
+
+    return select_by_token_budget(
+        documents(sf_dir, columns=["doc_id", "text", "n_chars"]),
+        _TOKEN_BUDGET)
+
+
+def _doc_weighted_sample(sf_dir: str):
+    """Efraimidis–Spirakis weighted sample (k=50, weight = n_chars,
+    exponential keys from the md5 rank-hash)."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import weighted_sample
+
+    return weighted_sample(
+        documents(sf_dir, columns=["doc_id", "n_chars"]), k=50)
+
+
+def _doc_source_cube(sf_dir: str):
+    """GROUP BY CUBE (source, lang): finest level is ONE keyed shuffle;
+    the three coarser levels re-aggregate the groups-sized output
+    (corpus read once, never re-shuffled per level); '(all)' sentinel
+    for rolled-up slots as in the ROLLUP query."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import documents
+
+    docs = documents(sf_dir, columns=["doc_id", "source", "lang",
+                                      "n_chars"])
+    l2 = shuffle.group_agg(
+        docs, ["source", "lang"], {"n_docs": ("doc_id", "size"),
+                                   "sum_chars": ("n_chars", "sum")}
+    ).to_pandas()
+    ls = (l2.groupby("source", as_index=False)
+          [["n_docs", "sum_chars"]].sum())
+    ls["lang"] = "(all)"
+    ll = (l2.groupby("lang", as_index=False)
+          [["n_docs", "sum_chars"]].sum())
+    ll["source"] = "(all)"
+    l0 = pd.DataFrame({"source": ["(all)"], "lang": ["(all)"],
+                       "n_docs": [l2["n_docs"].sum()],
+                       "sum_chars": [l2["sum_chars"].sum()]})
+    out = pd.concat([l2, ls, ll, l0], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out[["source", "lang", "n_docs", "sum_chars"]]
+
+
 def _zone_adamic_adar(sf_dir: str):
     """Adamic–Adar link-prediction scores over the kcore-family derived
     graph (keys mod 2500): per non-edge pair with common neighbours,
@@ -2223,6 +2299,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_kcore": _zone_kcore,
         "zone_lpa_labels": _zone_lpa,
         "zone_adamic_adar": _zone_adamic_adar,
+        "event_funnel": _event_funnel,
+        "event_retention": _event_retention,
+        "doc_token_budget": _doc_token_budget,
+        "doc_weighted_sample": _doc_weighted_sample,
+        "doc_source_cube": _doc_source_cube,
         "tpch_q13_custdist": _tpch_q13,
         "tpch_q16_diversity": _tpch_q16,
         "tpch_q22_inactive": _tpch_q22,
@@ -3771,6 +3852,55 @@ def oracle_sql() -> dict[str, str]:
         "zone_kcore": _kcore_sql(8, 12),
         "zone_lpa_labels": _lpa_sql(_LPA_ROUNDS),
         "zone_adamic_adar": _ADAMIC_ADAR_SQL,
+        "event_funnel": """
+            WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+                   JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+                   JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT 1 AS step_idx, 'view' AS step,
+                   (SELECT count(*) FROM t1) AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)""",
+        "event_retention": """
+            WITH d AS (SELECT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day FROM d
+                  GROUP BY user_id)
+            SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+                   count(DISTINCT d.user_id) AS n_users
+            FROM d JOIN f USING (user_id) GROUP BY 1, 2""",
+        "doc_token_budget": f"""
+            WITH t AS (SELECT doc_id, n_chars,
+                              len(string_split(text, ' ')) AS n_tok
+                       FROM documents),
+            c AS (SELECT doc_id, n_tok,
+                         CAST(sum(n_tok) OVER (ORDER BY n_chars DESC,
+                                               doc_id) AS BIGINT) AS cum
+                  FROM t)
+            SELECT doc_id, n_tok AS n_tokens, cum AS cum_tokens
+            FROM c WHERE cum <= {_TOKEN_BUDGET}""",
+        "doc_weighted_sample": """
+            SELECT row_number() OVER (ORDER BY skey, doc_id) AS rank,
+                   doc_id, w
+            FROM (SELECT doc_id, n_chars AS w,
+                         -ln((CAST(md5_number_lower(
+                                 CAST(doc_id AS VARCHAR)) AS DOUBLE)
+                              + 0.5) / 18446744073709551616.0)
+                         / n_chars AS skey
+                  FROM documents)
+            QUALIFY row_number() OVER (ORDER BY skey, doc_id) <= 50""",
+        "doc_source_cube": """
+            SELECT coalesce(source, '(all)') AS source,
+                   coalesce(lang, '(all)') AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY CUBE (source, lang)""",
         "tpch_q13_custdist": """
             WITH oc AS (SELECT o_custkey, count(*) AS c_count
                         FROM orders WHERE o_orderstatus <> 'F'

@@ -522,3 +522,46 @@ def bm25_topk(docs: ray.data.Dataset, terms: "list[str]", k: int = 20,
            .head(k).reset_index(drop=True))
     top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
     return ray.data.from_pandas(top)
+
+
+def weighted_sample(docs: ray.data.Dataset, k: int,
+                    weight_col: str = "n_chars",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, public literature): each row gets the
+    exponential key ``-ln(u)/w`` with ``u`` derived from the md5
+    rank-hash of the id (same ``md5_number_lower`` convention as
+    :func:`stratified_sample`, shifted by +0.5 so u ∈ (0,1)), and the
+    ``k`` SMALLEST keys win — a reshard-stable, bit-reproducible
+    weighted sample (inclusion probability ∝ ``weight_col``).  Output
+    ``(rank, id, w)``.
+
+    Scale shape: each batch prunes to its local k smallest keys
+    (shuffle bytes ∝ k per block), the driver merges k×blocks rows —
+    the same partial-top-k merge as bm25/ann.  The SQL twin replays
+    the identical arithmetic (`-ln((md5_number_lower+0.5)/2^64)/w`)
+    under ``QUALIFY row_number()``."""
+    import hashlib
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16],
+                            "little") for i in ids),
+            dtype=np.uint64, count=len(ids))
+        w = batch[weight_col].to_numpy(np.float64)
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        key = -np.log(u) / w
+        return (pd.DataFrame({id_col: ids, "w": batch[weight_col]
+                              .to_numpy(), "__key": key})
+                .sort_values(["__key", id_col]).head(k))
+
+    top = (docs.map_batches(score, batch_format="pandas").to_pandas()
+           .sort_values(["__key", id_col]).head(k)
+           .reset_index(drop=True))
+    out = top[[id_col, "w"]].copy()
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return ray.data.from_pandas(out)

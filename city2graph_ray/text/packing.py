@@ -100,3 +100,67 @@ def concat_chunk_packing(docs: ray.data.Dataset, chunk_tokens: int,
     out = [_emit_spans.remote(r, int(o), int(chunk_tokens), id_col)
            for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out)
+
+
+@ray.remote
+def _emit_budget(tbl: pa.Table, offset: int, budget: int,
+                 id_col: str) -> pa.Table:
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "cum_tokens": pa.array([], pa.int64())})
+    if tbl.num_rows == 0 or "__n_tokens" not in tbl.schema.names:
+        return empty
+    n = tbl["__n_tokens"].to_numpy().astype(np.int64)
+    cum = offset + np.cumsum(n)
+    keep = cum <= budget
+    if not keep.any():
+        return empty
+    return pa.table({
+        id_col: pa.array(tbl[id_col].to_numpy()[keep]),
+        "n_tokens": pa.array(n[keep]),
+        "cum_tokens": pa.array(cum[keep])})
+
+
+def select_by_token_budget(docs: ray.data.Dataset, budget_tokens: int,
+                           order_cols=("n_chars",), order_desc=(True,),
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic token-budget curation: rank the corpus by
+    ``order_cols`` (quality proxy, default ``n_chars`` descending, id
+    tie-break) and keep the maximal prefix whose cumulative whitespace
+    token count stays ≤ ``budget_tokens`` — the "take the best docs
+    until the training budget is full" selection every mixture recipe
+    needs.  Output ``(id, n_tokens, cum_tokens)``.
+
+    Same distributed scan shape as :func:`concat_chunk_packing`: range
+    sort on the rank key, per-block partial sums (driver holds #blocks
+    integers), exclusive offsets shipped back, per-block vectorized
+    cumsum + threshold mask.  Blocks past the budget emit nothing, so
+    the output stream stops where the budget does.  SQL twin: a window
+    ``sum() OVER (ORDER BY rank)`` with ``cum <= B``.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+
+    keep_cols = list(dict.fromkeys(list(order_cols) + [id_col]))
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].astype(str)
+        out = b[keep_cols].copy()
+        out["__n_tokens"] = (t.str.count(" ") + 1).to_numpy(np.int64)
+        return out
+
+    c = docs.map_batches(counts, batch_format="pandas").sort(
+        list(order_cols) + [id_col],
+        descending=list(order_desc) + [False])
+    refs = c.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_tokens": pa.array([], pa.int64())}))
+    partials = ray.get([_block_sum.remote(r, "__n_tokens") for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(partials)))[:-1]
+    out = [_emit_budget.remote(r, int(o), int(budget_tokens), id_col)
+           for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out)

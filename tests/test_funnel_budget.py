@@ -1,0 +1,104 @@
+"""Funnel / retention-cohort / token-budget / weighted-sample ops vs
+brute-force oracles and edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _events() -> pd.DataFrame:
+    base = np.datetime64("2024-01-01T00:00:00")
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+        # user 2: click BEFORE view, then no click after -> stops at view
+        (2, 0, "click"), (2, 10, "view"), (2, 20, "purchase"),
+        # user 3: view then click, purchase missing
+        (3, 5, "view"), (3, 6, "click"),
+        # user 4: same-timestamp view/click (strict > excludes click)
+        (4, 7, "view"), (4, 7, "click"),
+        # user 5: no view at all
+        (5, 1, "purchase"),
+        # user 6: two views; click after the FIRST view counts
+        (6, 0, "view"), (6, 100, "view"), (6, 50, "click"),
+        (6, 60, "purchase"),
+    ]
+    return pd.DataFrame({
+        "user_id": np.int64([r[0] for r in rows]),
+        "ts": [base + np.timedelta64(r[1], "s") for r in rows],
+        "event_type": [r[2] for r in rows]})
+
+
+def test_funnel_strict_order():
+    from city2graph_ray.ops.funnel import funnel
+    out = (funnel(rd.from_pandas(_events()),
+                  ["view", "click", "purchase"], num_buckets=3)
+           .to_pandas().sort_values("step_idx").reset_index(drop=True))
+    # step1: users 1,2,3,4,6 have a view -> 5
+    # step2: click strictly after first view: 1,3,6 -> 3
+    # step3: purchase after that click: 1,6 -> 2
+    assert list(out["n_users"]) == [5, 3, 2]
+    assert list(out["step"]) == ["view", "click", "purchase"]
+
+
+def test_funnel_empty_and_missing_step():
+    from city2graph_ray.ops.funnel import funnel
+    ev = _events()
+    out = funnel(rd.from_pandas(ev), ["signup", "view"],
+                 num_buckets=2).to_pandas()
+    assert list(out["n_users"]) == [0, 0]
+
+
+def test_retention_cohorts():
+    from city2graph_ray.ops.funnel import retention_cohorts
+    base = np.datetime64("2024-01-01T12:00:00")
+    day = np.timedelta64(1, "D")
+    df = pd.DataFrame({
+        "user_id": np.int64([1, 1, 1, 2, 2, 3]),
+        "ts": [base, base + day, base + 3 * day,  # u1: offsets 0,1,3
+               base + day, base + day,            # u2: cohort day1, off 0
+               base],                             # u3: cohort day0, off 0
+    })
+    out = retention_cohorts(rd.from_pandas(df), num_buckets=2).to_pandas()
+    got = {(int(r["cohort_day"]), int(r["day_offset"])): int(r["n_users"])
+           for _, r in out.iterrows()}
+    d0 = int((base.astype("datetime64[D]")).astype(np.int64))
+    assert got == {(d0, 0): 2, (d0, 1): 1, (d0, 3): 1, (d0 + 1, 0): 1}
+
+
+def test_token_budget_selection():
+    from city2graph_ray.text.packing import select_by_token_budget
+    docs = pd.DataFrame({
+        "doc_id": np.int64([1, 2, 3, 4]),
+        "text": ["a b c", "a b c d e", "a", "a b"],
+        "n_chars": np.int64([30, 50, 10, 20])})
+    # order: doc2 (5 tok), doc1 (3), doc4 (2), doc3 (1); cum 5,8,10,11
+    out = (select_by_token_budget(rd.from_pandas(docs), 10)
+           .to_pandas().sort_values("cum_tokens").reset_index(drop=True))
+    assert list(out["doc_id"]) == [2, 1, 4]
+    assert list(out["cum_tokens"]) == [5, 8, 10]  # boundary doc included
+    # budget below first doc -> empty; huge budget -> all
+    assert select_by_token_budget(rd.from_pandas(docs), 4).count() == 0
+    assert select_by_token_budget(rd.from_pandas(docs), 10 ** 6).count() == 4
+
+
+def test_weighted_sample_deterministic_and_weighted():
+    from city2graph_ray.text.analysis import weighted_sample
+    rng = np.random.default_rng(0)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64),
+        "n_chars": np.where(np.arange(400) < 40, 1000, 1).astype(np.int64)})
+    out = weighted_sample(rd.from_pandas(docs), k=30).to_pandas()
+    # reshard-stable: same result from a different block layout
+    out2 = weighted_sample(
+        rd.from_pandas(docs).repartition(7), k=30).to_pandas()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+    # heavy docs (10% of rows, 1000x weight) must dominate the sample
+    heavy = (out["doc_id"] < 40).sum()
+    assert heavy >= 25
+    assert list(out["rank"]) == list(range(1, 31))
+    # k > n returns everything
+    assert weighted_sample(rd.from_pandas(docs.head(5)), k=50).count() == 5
