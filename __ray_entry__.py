@@ -1968,6 +1968,18 @@ def _kcore_sql(k: int, rounds: int) -> str:
               UNION ALL SELECT b AS node FROM e{rounds}) GROUP BY node""")
 
 
+def _doc_hybrid_rrf(sf_dir: str):
+    """Hybrid search: BM25 top-50 + exact-cosine top-50 (query = the
+    vec_id-0 embedding) fused with Reciprocal Rank Fusion (c=60).
+    Both rankers stream the corpus down to k-sized lists; the fusion
+    operates on 2k driver rows."""
+    from city2graph_ray.pipelines.retrieval import hybrid_rrf
+    from city2graph_ray.pipelines.tables import documents, embeddings
+
+    return hybrid_rrf(documents(sf_dir, columns=["doc_id", "text"]),
+                      embeddings(sf_dir), _BM25_TERMS)
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -2304,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_budget": _doc_token_budget,
         "doc_weighted_sample": _doc_weighted_sample,
         "doc_source_cube": _doc_source_cube,
+        "doc_hybrid_rrf": _doc_hybrid_rrf,
         "tpch_q13_custdist": _tpch_q13,
         "tpch_q16_diversity": _tpch_q16,
         "tpch_q22_inactive": _tpch_q22,
@@ -3901,6 +3914,53 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY CUBE (source, lang)""",
+        "doc_hybrid_rrf": f"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok
+                   GROUP BY doc_id),
+            st AS (SELECT count(*) AS n,
+                          sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+            q(t) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+            tf AS (SELECT doc_id, t, count(*) AS tf
+                   FROM tok JOIN q USING (t) GROUP BY doc_id, t),
+            df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            sc AS (SELECT tf.doc_id,
+                          ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * (1.0 - 0.75
+                             + 0.75 * (dl.dl / st.avgdl))) AS cpart
+                   FROM tf JOIN df USING (t) JOIN dl USING (doc_id)
+                   CROSS JOIN st),
+            s AS (SELECT doc_id, round(sum(cpart), 6) AS score
+                  FROM sc GROUP BY doc_id),
+            bm AS (SELECT doc_id, row_number() OVER
+                     (ORDER BY score DESC, doc_id) AS r FROM s
+                   QUALIFY row_number() OVER
+                     (ORDER BY score DESC, doc_id) <= 50),
+            ann AS (SELECT e.vec_id AS doc_id, row_number() OVER
+                      (ORDER BY round(list_cosine_similarity(
+                           e.embedding::DOUBLE[],
+                           qv.embedding::DOUBLE[]), 6) DESC,
+                       e.vec_id) AS r
+                    FROM embeddings e, embeddings qv
+                    WHERE qv.vec_id = 0
+                    QUALIFY row_number() OVER
+                      (ORDER BY round(list_cosine_similarity(
+                           e.embedding::DOUBLE[],
+                           qv.embedding::DOUBLE[]), 6) DESC,
+                       e.vec_id) <= 50),
+            f AS (SELECT coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+                         coalesce(1.0 / (60 + bm.r), 0)
+                         + coalesce(1.0 / (60 + ann.r), 0) AS rrf
+                  FROM bm FULL OUTER JOIN ann
+                    ON bm.doc_id = ann.doc_id)
+            SELECT row_number() OVER (ORDER BY rrf DESC, doc_id)
+                     AS rank, doc_id, rrf
+            FROM f
+            QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id)
+                    <= 20""",
         "tpch_q13_custdist": """
             WITH oc AS (SELECT o_custkey, count(*) AS c_count
                         FROM orders WHERE o_orderstatus <> 'F'

@@ -102,3 +102,24 @@ def test_weighted_sample_deterministic_and_weighted():
     assert list(out["rank"]) == list(range(1, 31))
     # k > n returns everything
     assert weighted_sample(rd.from_pandas(docs.head(5)), k=50).count() == 5
+
+
+def test_rrf_fuse():
+    from city2graph_ray.pipelines.retrieval import rrf_fuse
+    bm = pd.DataFrame({"doc_id": np.int64([10, 20, 30]),
+                       "rank": np.int64([1, 2, 3])})
+    ann = pd.DataFrame({"doc_id": np.int64([20, 40]),
+                        "rank": np.int64([1, 2])})
+    out = rrf_fuse([bm, ann], c=60, k=10)
+    got = dict(zip(out["doc_id"].astype(int), out["rrf"]))
+    assert abs(got[20] - (1 / 62 + 1 / 61)) < 1e-15  # both lists
+    assert abs(got[10] - 1 / 61) < 1e-15             # lexical only
+    assert abs(got[40] - 1 / 62) < 1e-15             # vector only
+    # fused order: 20 first, then 10 (1/61), then 40 vs 30 (1/62 vs 1/63)
+    assert list(out["doc_id"]) == [20, 10, 40, 30]
+    assert list(out["rank"]) == [1, 2, 3, 4]
+    # equal scores tie-break by id: two docs each only-rank-1
+    a = pd.DataFrame({"doc_id": np.int64([7]), "rank": np.int64([1])})
+    b = pd.DataFrame({"doc_id": np.int64([3]), "rank": np.int64([1])})
+    t = rrf_fuse([a, b], k=2)
+    assert list(t["doc_id"]) == [3, 7]
