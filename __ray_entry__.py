@@ -1968,6 +1968,28 @@ def _kcore_sql(k: int, rounds: int) -> str:
               UNION ALL SELECT b AS node FROM e{rounds}) GROUP BY node""")
 
 
+def _event_value_rank(sf_dir: str):
+    """Distributed row_number() OVER (ORDER BY value DESC, event_id):
+    range sort fixes global order, per-block counts come back as
+    #blocks integers, blocks stamp offset+arange — no driver rows."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_id", "value"]], batch_format="pandas")
+    return shuffle.global_row_number(ev, ["value", "event_id"],
+                                     descending=[True, False])
+
+
+def _event_type_cooccurrence(sf_dir: str):
+    """Bipartite user×event_type projection: distinct-user weight per
+    unordered type pair."""
+    from city2graph_ray.ops.graph_algos import cooccurrence_graph
+    from city2graph_ray.pipelines.tables import events
+
+    return cooccurrence_graph(events(sf_dir), "user_id", "event_type")
+
+
 def _doc_hybrid_rrf(sf_dir: str):
     """Hybrid search: BM25 top-50 + exact-cosine top-50 (query = the
     vec_id-0 embedding) fused with Reciprocal Rank Fusion (c=60).
@@ -2317,6 +2339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": _doc_weighted_sample,
         "doc_source_cube": _doc_source_cube,
         "doc_hybrid_rrf": _doc_hybrid_rrf,
+        "event_value_rank": _event_value_rank,
+        "event_type_cooccurrence": _event_type_cooccurrence,
         "tpch_q13_custdist": _tpch_q13,
         "tpch_q16_diversity": _tpch_q16,
         "tpch_q22_inactive": _tpch_q22,
@@ -3865,6 +3889,19 @@ def oracle_sql() -> dict[str, str]:
         "zone_kcore": _kcore_sql(8, 12),
         "zone_lpa_labels": _lpa_sql(_LPA_ROUNDS),
         "zone_adamic_adar": _ADAMIC_ADAR_SQL,
+        "event_value_rank": """
+            SELECT event_id, value,
+                   row_number() OVER (ORDER BY value DESC, event_id)
+                     AS rn
+            FROM events""",
+        "event_type_cooccurrence": """
+            WITH di AS (SELECT DISTINCT user_id, event_type
+                        FROM events)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   count(*) AS n_keys
+            FROM di a JOIN di b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2""",
         "event_funnel": """
             WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events
                         WHERE event_type = 'view' GROUP BY user_id),

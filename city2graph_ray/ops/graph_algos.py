@@ -696,3 +696,50 @@ def adamic_adar(edges: ray.data.Dataset, src: str = "src",
     if out.count() == 0:
         return _empty()
     return out
+
+
+def cooccurrence_graph(table: ray.data.Dataset, key: str, item: str,
+                       num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                       ) -> ray.data.Dataset:
+    """Bipartite co-occurrence projection: an undirected weighted graph
+    over ``item`` values where the weight of (a < b) is the number of
+    DISTINCT ``key`` values that touch both — the classic
+    user×item → item×item projection (co-view / co-purchase graphs,
+    term co-occurrence).  Output ``(item_a, item_b, n_keys)``.
+
+    One distinct shuffle on (key, item), one bucketed group on the key
+    with a ragged vectorized triu pair expansion (each key contributes
+    each pair at most once post-distinct, so the per-pair keyed SIZE
+    is exactly the distinct-key count — no count-distinct pass), one
+    keyed sum on the pair.  Per-key fan-out is C(items_per_key, 2):
+    quadratic in basket size, linear in key count — the honest cost of
+    the projection."""
+    di = shuffle.distinct(
+        table.map_batches(
+            lambda b, k=key, i=item: pd.DataFrame(
+                {"k": b[k].to_numpy(), "i": b[i].to_numpy()}),
+            batch_format="pandas"),
+        ["k", "i"], num_buckets=num_buckets)
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "i"], kind="stable")
+        kk = g["k"].to_numpy()
+        ii = g["i"].to_numpy()
+        _, starts, sizes = np.unique(kk, return_index=True,
+                                     return_counts=True)
+        pos = np.arange(len(kk)) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - pos
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"item_a": ii[:0], "item_b": ii[:0]})
+        a = np.repeat(np.arange(len(kk)), reps)
+        off = np.arange(total) - np.repeat(np.cumsum(reps) - reps,
+                                           reps) + 1
+        return pd.DataFrame({"item_a": ii[a], "item_b": ii[a + off]})
+
+    pairs = shuffle._bucketize(di, ["k"], num_buckets).groupby(
+        "__bucket").map_groups(shuffle._debucket(pair_expand),
+                               batch_format="pandas")
+    return shuffle.group_agg(pairs, ["item_a", "item_b"],
+                             {"n_keys": ("item_a", "size")},
+                             num_buckets=num_buckets)

@@ -193,3 +193,43 @@ def mode_by(ds: ray.data.Dataset, keys: Sequence[str], value_col: str,
                        num_buckets=num_buckets)
     return topk_in_group(counts, keys, 1, ["n", value_col],
                          [False, True], num_buckets=num_buckets)
+
+
+def global_row_number(ds: ray.data.Dataset, order_cols: Sequence[str],
+                      descending: Sequence[bool] | bool = False,
+                      out_col: str = "rn") -> ray.data.Dataset:
+    """Distributed ``row_number() OVER (ORDER BY order_cols)`` — the
+    global-window primitive under ECDF / percentile-rank / take-while
+    selections.  Include a unique column (an id) as the LAST order key
+    for a deterministic result.
+
+    Two-pass scan, no driver rows: a range sort fixes the global
+    order, pass 1 reduces each sorted block to its ROW COUNT (the
+    driver holds #blocks integers), pass 2 adds
+    ``offset + arange + 1`` per block — the same shape as the packing
+    module's distributed prefix sum, generalized to any ordering.
+    """
+    import pyarrow as pa
+    import ray
+
+    if isinstance(descending, bool):
+        descending = [descending] * len(list(order_cols))
+    s = ds.sort(list(order_cols), descending=list(descending))
+    refs = s.to_arrow_refs()
+    if not refs:
+        return s
+
+    @ray.remote
+    def _n(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _stamp(t: pa.Table, off: int, col: str) -> pa.Table:
+        return t.append_column(col, pa.array(
+            off + np.arange(1, t.num_rows + 1, dtype=np.int64)))
+
+    counts = ray.get([_n.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    return ray.data.from_arrow_refs(
+        [_stamp.remote(r, int(o), out_col)
+         for r, o in zip(refs, offsets)])

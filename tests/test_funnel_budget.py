@@ -123,3 +123,38 @@ def test_rrf_fuse():
     b = pd.DataFrame({"doc_id": np.int64([3]), "rank": np.int64([1])})
     t = rrf_fuse([a, b], k=2)
     assert list(t["doc_id"]) == [3, 7]
+
+
+def test_global_row_number():
+    from city2graph_ray import shuffle
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64),
+                       "v": rng.integers(0, 50, 500).astype(np.int64)})
+    out = shuffle.global_row_number(
+        rd.from_pandas(df).repartition(9), ["v", "id"],
+        descending=[True, False]).to_pandas()
+    want = (df.sort_values(["v", "id"], ascending=[False, True])
+            .reset_index(drop=True))
+    got = out.sort_values("rn").reset_index(drop=True)
+    assert list(got["id"]) == list(want["id"])
+    assert list(got["rn"]) == list(range(1, 501))
+    # empty input stays empty
+    assert shuffle.global_row_number(
+        rd.from_pandas(df.head(0)), ["v"]).count() == 0
+
+
+def test_cooccurrence_graph():
+    from city2graph_ray.ops.graph_algos import cooccurrence_graph
+    df = pd.DataFrame({
+        "u": np.int64([1, 1, 1, 2, 2, 3, 3, 3, 3]),
+        "t": ["a", "b", "b", "b", "c", "a", "b", "c", "a"]})
+    out = cooccurrence_graph(rd.from_pandas(df), "u", "t",
+                             num_buckets=3).to_pandas()
+    got = {(r["item_a"], r["item_b"]): int(r["n_keys"])
+           for _, r in out.iterrows()}
+    # u1: {a,b}; u2: {b,c}; u3: {a,b,c} (duplicates collapse)
+    assert got == {("a", "b"): 2, ("b", "c"): 2, ("a", "c"): 1}
+    # single-item keys contribute nothing
+    solo = pd.DataFrame({"u": np.int64([9]), "t": ["z"]})
+    assert cooccurrence_graph(rd.from_pandas(solo), "u", "t",
+                              num_buckets=2).count() == 0
