@@ -1968,6 +1968,16 @@ def _kcore_sql(k: int, rounds: int) -> str:
               UNION ALL SELECT b AS node FROM e{rounds}) GROUP BY node""")
 
 
+def _event_value_variance(sf_dir: str):
+    """Per-type count/mean/population-variance of the 2-dp value
+    column — integer-cent sums shuffle (order-immune), one fixed-order
+    float finish shared with the twin."""
+    from city2graph_ray.ops.stats import group_variance
+    from city2graph_ray.pipelines.tables import events
+
+    return group_variance(events(sf_dir), ["event_type"], "value")
+
+
 def _event_value_rank(sf_dir: str):
     """Distributed row_number() OVER (ORDER BY value DESC, event_id):
     range sort fixes global order, per-block counts come back as
@@ -2340,6 +2350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_cube": _doc_source_cube,
         "doc_hybrid_rrf": _doc_hybrid_rrf,
         "event_value_rank": _event_value_rank,
+        "event_value_variance": _event_value_variance,
         "event_type_cooccurrence": _event_type_cooccurrence,
         "tpch_q13_custdist": _tpch_q13,
         "tpch_q16_diversity": _tpch_q16,
@@ -3889,6 +3900,20 @@ def oracle_sql() -> dict[str, str]:
         "zone_kcore": _kcore_sql(8, 12),
         "zone_lpa_labels": _lpa_sql(_LPA_ROUNDS),
         "zone_adamic_adar": _ADAMIC_ADAR_SQL,
+        "event_value_variance": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM events)
+            SELECT event_type, count(*) AS n,
+                   (CAST(sum(cents) AS DOUBLE) / 100.0) / count(*)
+                     AS mean,
+                   (CAST(sum(cents * cents) AS DOUBLE) / 10000.0)
+                     / count(*)
+                   - ((CAST(sum(cents) AS DOUBLE) / 100.0) / count(*))
+                     * ((CAST(sum(cents) AS DOUBLE) / 100.0)
+                        / count(*)) AS var
+            FROM c GROUP BY event_type""",
         "event_value_rank": """
             SELECT event_id, value,
                    row_number() OVER (ORDER BY value DESC, event_id)

@@ -326,3 +326,51 @@ def quantile_threshold_filter(ds: ray.data.Dataset, value_col: str,
                               batch_format="pandas")
     return ds.map_batches(lambda b: b[b[value_col].to_numpy() <= thr],
                           batch_format="pandas")
+
+
+def group_variance(ds: ray.data.Dataset, keys, value_col: str,
+                   scale: int = 100,
+                   num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                   ) -> ray.data.Dataset:
+    """Per-key count / mean / POPULATION variance of a fixed-precision
+    numeric column, bit-exact across any block layout: values are
+    quantized once to integer units (``floor(x*scale + 0.5)`` — the
+    engine's established round-mode-neutral expression), the shuffled
+    aggregates are INT64 sums of units and squared units (immune to
+    float addition order), and the two float expressions that produce
+    mean/var are evaluated in one fixed order shared with the SQL twin
+    (``(s/scale)/n`` and ``(ss/scale²)/n − mean²``).
+
+    Unit sums must stay under 2⁵³ for the final exact float cast —
+    fine for 2-dp metrics up to ~10¹² rows per group; beyond that,
+    shard groups by a salt and merge, or accept float partials.
+    Output ``(keys…, n, mean, var)``."""
+    keys = list(keys)
+    fs = float(scale)
+
+    def to_units(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.floor(b[value_col].to_numpy(np.float64) * fs + 0.5
+                     ).astype(np.int64)
+        out = b[keys].copy()
+        out["__u"] = u
+        out["__u2"] = u * u
+        return out
+
+    agg = shuffle.group_agg(
+        ds.map_batches(to_units, batch_format="pandas"), keys,
+        {"n": ("__u", "size"), "s": ("__u", "sum"),
+         "ss": ("__u2", "sum")}, num_buckets=num_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        s = b["s"].to_numpy(np.int64)
+        ss = b["ss"].to_numpy(np.int64)
+        mean = (s / fs) / n
+        var = (ss / (fs * fs)) / n - mean * mean
+        out = b[keys].copy()
+        out["n"] = n
+        out["mean"] = mean
+        out["var"] = var
+        return out
+
+    return agg.map_batches(finish, batch_format="pandas")

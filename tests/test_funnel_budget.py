@@ -158,3 +158,25 @@ def test_cooccurrence_graph():
     solo = pd.DataFrame({"u": np.int64([9]), "t": ["z"]})
     assert cooccurrence_graph(rd.from_pandas(solo), "u", "t",
                               num_buckets=2).count() == 0
+
+
+def test_group_variance_exact_and_layout_stable():
+    from city2graph_ray.ops.stats import group_variance
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, 1000).astype(np.int64),
+        "v": np.round(rng.uniform(0, 100, 1000), 2)})
+    out = (group_variance(rd.from_pandas(df), ["g"], "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    out2 = (group_variance(rd.from_pandas(df).repartition(13), ["g"], "v")
+            .to_pandas().sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)  # bit-identical layouts
+    for _, r in out.iterrows():
+        sub = df.loc[df["g"] == r["g"], "v"]
+        assert int(r["n"]) == len(sub)
+        assert abs(r["mean"] - sub.mean()) < 1e-9
+        assert abs(r["var"] - sub.var(ddof=0)) < 1e-6
+    # single-value group has zero variance, exactly
+    one = pd.DataFrame({"g": np.int64([1, 1, 1]), "v": [2.5, 2.5, 2.5]})
+    o = group_variance(rd.from_pandas(one), ["g"], "v").to_pandas()
+    assert o["var"].iloc[0] == 0.0 and o["mean"].iloc[0] == 2.5
