@@ -68,8 +68,11 @@ def funnel(events: ray.data.Dataset, steps: list[str],
                            batch_format="pandas"),
         [key], num_buckets).groupby("__bucket").map_groups(
         shuffle._debucket(kernel), batch_format="pandas")
-    totals = parts.to_pandas().groupby("step_idx", sort=True)[
-        "n_users"].sum()
+    pdf = parts.to_pandas()
+    if pdf.empty:  # 0-row stream: no bucket groups at all
+        pdf = pd.DataFrame({"step_idx": pd.Series([], dtype=np.int64),
+                            "n_users": pd.Series([], dtype=np.int64)})
+    totals = pdf.groupby("step_idx", sort=True)["n_users"].sum()
     return ray.data.from_arrow(pa.table({
         "step_idx": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
         "step": pa.array(steps, pa.string()),
@@ -92,12 +95,19 @@ def retention_cohorts(events: ray.data.Dataset, key: str = "user_id",
              .astype(np.int64))
         return pd.DataFrame({key: b[key].to_numpy(), "day": d})
 
+    ktype = pa.int64()
+    for name, typ in zip(events.schema().names, events.schema().types):
+        if name == key:
+            ktype = typ
     stream = events.map_batches(
         lambda b: days(b[[key, ts_col]]), batch_format="pandas")
     first = shuffle.group_agg(stream, [key], {"cohort_day": ("day", "min")},
                               num_buckets=num_buckets)
-    joined = bucketed_join(stream, first, on=key,
-                           num_buckets=num_buckets)
+    joined = bucketed_join(
+        stream, first, on=key, num_buckets=num_buckets,
+        left_schema=pa.schema([(key, ktype), ("day", pa.int64())]),
+        right_schema=pa.schema([(key, ktype),
+                                ("cohort_day", pa.int64())]))
     pairs = joined.map_batches(
         lambda b: pd.DataFrame({
             "cohort_day": b["cohort_day"].to_numpy(np.int64),

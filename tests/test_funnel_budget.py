@@ -180,3 +180,16 @@ def test_group_variance_exact_and_layout_stable():
     one = pd.DataFrame({"g": np.int64([1, 1, 1]), "v": [2.5, 2.5, 2.5]})
     o = group_variance(rd.from_pandas(one), ["g"], "v").to_pandas()
     assert o["var"].iloc[0] == 0.0 and o["mean"].iloc[0] == 2.5
+
+
+def test_funnel_retention_empty_input():
+    from city2graph_ray.ops.funnel import funnel, retention_cohorts
+    empty = pd.DataFrame({
+        "user_id": pd.Series([], dtype=np.int64),
+        "ts": pd.Series([], dtype="datetime64[ns]"),
+        "event_type": pd.Series([], dtype=object)})
+    out = funnel(rd.from_pandas(empty), ["a", "b"],
+                 num_buckets=2).to_pandas()
+    assert list(out["n_users"]) == [0, 0]
+    assert retention_cohorts(rd.from_pandas(empty),
+                             num_buckets=2).count() == 0
