@@ -2209,6 +2209,47 @@ def _tpch_q22(sf_dir: str):
     return inactive_customer_balance(sf_dir)
 
 
+def _tpch_q7(sf_dir: str):
+    """Volume shipping between two nations (supplier-map broadcast,
+    customer-nation bucketed, pair filter pushed below the wide join)."""
+    from city2graph_ray.pipelines.relational import volume_shipping
+
+    return volume_shipping(sf_dir)
+
+
+def _tpch_q9(sf_dir: str):
+    """Product-type profit (part-slice bucketed join, exact-cent cost
+    term, nation×year keyed sum)."""
+    from city2graph_ray.pipelines.relational import product_profit
+
+    return product_profit(sf_dir)
+
+
+def _tpch_q15(sf_dir: str):
+    """Top supplier: quarterly keyed revenue sum → scalar max →
+    equality slice (2dp rounding BEFORE the comparison on both
+    engines)."""
+    from city2graph_ray.pipelines.relational import top_supplier
+
+    return top_supplier(sf_dir)
+
+
+def _tpch_q17(sf_dir: str):
+    """Small-quantity revenue: per-part integral-quantity mean
+    threshold (exact doubles), two bucketed joins, scalar out."""
+    from city2graph_ray.pipelines.relational import small_quantity_revenue
+
+    return small_quantity_revenue(sf_dir)
+
+
+def _tpch_q19(sf_dir: str):
+    """Disjunctive-predicate revenue: pruned part side, one bucketed
+    join, vectorized three-clause OR mask."""
+    from city2graph_ray.pipelines.relational import disjunctive_revenue
+
+    return disjunctive_revenue(sf_dir)
+
+
 _BM25_TERMS = ["merge", "window", "vector", "hash", "stream", "customer"]
 
 
@@ -2352,6 +2393,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_rank": _event_value_rank,
         "event_value_variance": _event_value_variance,
         "event_type_cooccurrence": _event_type_cooccurrence,
+        "tpch_q7_volume": _tpch_q7,
+        "tpch_q9_profit": _tpch_q9,
+        "tpch_q15_topsupp": _tpch_q15,
+        "tpch_q17_smallqty": _tpch_q17,
+        "tpch_q19_disjunct": _tpch_q19,
         "tpch_q13_custdist": _tpch_q13,
         "tpch_q16_diversity": _tpch_q16,
         "tpch_q22_inactive": _tpch_q22,
@@ -4044,6 +4090,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand, p_type, p_size,
                    count(DISTINCT l_suppkey) AS supplier_cnt
             FROM j GROUP BY p_brand, p_type, p_size""",
+        "tpch_q7_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(round(l_extendedprice * (1 - l_discount),
+                                   2)), 2) AS volume
+            FROM (SELECT ns.n_name AS supp_nation,
+                         nc.n_name AS cust_nation,
+                         year(l_shipdate) AS l_year,
+                         l_extendedprice, l_discount
+                  FROM lineitem
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ns ON ns.n_nationkey = s_nationkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation nc ON nc.n_nationkey = c_nationkey
+                  WHERE l_shipdate >= DATE '1995-01-01'
+                    AND l_shipdate < DATE '1997-01-01'
+                    AND ((ns.n_name = 'NATION_20' AND
+                          nc.n_name = 'NATION_11')
+                      OR (ns.n_name = 'NATION_11' AND
+                          nc.n_name = 'NATION_20')))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year""",
+        "tpch_q9_profit": """
+            SELECT nation, l_year, sum(cents) / 100.0 AS sum_profit
+            FROM (SELECT n_name AS nation,
+                         year(l_shipdate) AS l_year,
+                         CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 100 + 0.5) AS BIGINT)
+                           - CAST(floor(p_retailprice * 10 + 0.5)
+                                  AS BIGINT)
+                             * CAST(l_quantity AS BIGINT) AS cents
+                  FROM lineitem
+                  JOIN part ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON n_nationkey = s_nationkey
+                  WHERE p_name LIKE '%red%')
+            GROUP BY nation, l_year
+            ORDER BY nation, l_year DESC""",
+        "tpch_q15_topsupp": """
+            WITH r AS (
+              SELECT l_suppkey AS s_suppkey,
+                     round(sum(round(l_extendedprice * (1 - l_discount),
+                                     2)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s_name, total_revenue
+            FROM r JOIN supplier s USING (s_suppkey)
+            WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+            ORDER BY s.s_suppkey""",
+        "tpch_q17_smallqty": """
+            WITH sliced AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#12'),
+            cuts AS (
+              SELECT l_partkey,
+                     0.2 * sum(l_quantity) / count(*) AS qty_cut
+              FROM sliced GROUP BY l_partkey)
+            SELECT round(round(sum(round(l_extendedprice, 2)), 2)
+                         / 7.0, 4) AS avg_yearly
+            FROM sliced JOIN cuts USING (l_partkey)
+            WHERE l_quantity < qty_cut""",
+        "tpch_q19_disjunct": """
+            SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 100 + 0.5) AS BIGINT)) / 100.0
+                     AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)""",
         "tpch_q22_inactive": """
             WITH c AS (SELECT c_custkey, c_nationkey,
                               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)

@@ -661,3 +661,393 @@ def inactive_customer_balance(sf_dir: str,
             "numcust": b["numcust"].to_numpy(np.int64),
             "totacctbal": b["cent_sum"].to_numpy(np.int64) / 100.0}),
         batch_format="pandas")
+
+
+def volume_shipping(sf_dir: str, nation_a: str = "NATION_20",
+                    nation_b: str = "NATION_11",
+                    date_from: str = "1995-01-01",
+                    date_to: str = "1997-01-01",
+                    num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                    ) -> ray.data.Dataset:
+    """TPC-H-Q7-shaped "volume shipping": lineitem revenue shipped
+    between two nations (either direction), per (supplier nation,
+    customer nation, ship year).
+
+    Scale shape: the supplier→nation map is the one genuinely small
+    side (supplier is the smallest TPC-H fact-dim) — joined to
+    `nation` on the driver and broadcast once via ``ray.put``; the
+    nation-pair filter is applied to lineitem BEFORE the wide join, so
+    only the two nations' traffic is shuffled.  customer is NOT
+    broadcast (it scales with SF): orders⋈customer is a bucketed hash
+    join, reduced to (o_orderkey, cust_nation) for the qualifying
+    nations only, then lineitem joins it on orderkey.  Revenue terms
+    are rounded to 2dp before summation (see returned_item_report for
+    the exactness argument)."""
+    lo = pd.Timestamp(date_from).to_datetime64()
+    hi = pd.Timestamp(date_to).to_datetime64()
+    pair = [nation_a, nation_b]
+    from city2graph_ray.joins import broadcast_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    supp_map = (pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"])
+                .merge(nation, left_on="s_nationkey",
+                       right_on="n_nationkey")
+                [["s_suppkey", "n_name"]]
+                .rename(columns={"s_suppkey": "l_suppkey",
+                                 "n_name": "supp_nation"}))
+    supp_map = supp_map[supp_map["supp_nation"].isin(pair)]
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        rev = np.round(b["l_extendedprice"].to_numpy(np.float64) *
+                       (1.0 - b["l_discount"].to_numpy(np.float64)), 2)
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "l_year": b["l_shipdate"].dt.year.to_numpy(np.int64),
+            "rev": rev})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"]).map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                                   pc.less(t["l_shipdate"], hi))),
+        batch_format="pyarrow").map_batches(
+        li_prep, batch_format="pandas")
+    li = broadcast_join(li, supp_map, on="l_suppkey")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda b, nm=nation: pd.DataFrame({
+            "c_custkey": b["c_custkey"].to_numpy(np.int64),
+            "cust_nation": b["c_nationkey"].map(
+                dict(zip(nm["n_nationkey"], nm["n_name"]))).astype(str),
+        }).loc[lambda d: d["cust_nation"].isin(pair)],
+        batch_format="pandas")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+    import pyarrow as pa
+    ord_nat = bucketed_join(
+        orders, cust, on="c_custkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("cust_nation", pa.string())])
+    ).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"})
+        [["l_orderkey", "cust_nation"]], batch_format="pandas")
+
+    joined = bucketed_join(
+        li, ord_nat, on="l_orderkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_year", pa.int64()),
+                               ("rev", pa.float64()),
+                               ("supp_nation", pa.string())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("cust_nation", pa.string())]))
+    flows = joined.map_batches(
+        lambda b: b.loc[b["supp_nation"] != b["cust_nation"],
+                        ["supp_nation", "cust_nation", "l_year", "rev"]],
+        batch_format="pandas")
+    agg = shuffle.group_agg(
+        flows, ["supp_nation", "cust_nation", "l_year"],
+        {"volume": ("rev", "sum")}, num_buckets=num_buckets)
+    out = agg.to_pandas()
+    if out.empty:  # empty Datasets drop column names through to_pandas
+        out = pd.DataFrame({"supp_nation": pd.Series([], dtype=str),
+                            "cust_nation": pd.Series([], dtype=str),
+                            "l_year": pd.Series([], dtype=np.int64),
+                            "volume": pd.Series([], dtype=np.float64)})
+    out["volume"] = np.round(out["volume"].to_numpy(np.float64), 2)
+    out = out.sort_values(["supp_nation", "cust_nation", "l_year"]
+                          ).reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+def product_profit(sf_dir: str, name_word: str = "red",
+                   num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                   ) -> ray.data.Dataset:
+    """TPC-H-Q9-shaped "product type profit" adapted to the synthetic
+    schema (no partsupp): for parts whose name contains ``name_word``,
+    profit per (supplier nation, ship year) where the per-lineitem
+    amount is revenue minus a retail-price-proportional cost
+    ``rint(p_retailprice·10)·l_quantity/100`` (exact 2dp doubles).
+
+    Scale shape: part filters at the read to (key, retailprice) and
+    drives ONE bucketed join against lineitem on partkey (part scales
+    with SF — never broadcast); the supplier→nation map is broadcast;
+    year comes from l_shipdate so no orders join is needed.  Both
+    amount terms are rounded to 2dp before the sum (integer-cent
+    argument, see returned_item_report)."""
+    from city2graph_ray.joins import broadcast_join
+    import pyarrow as pa
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    supp_map = (pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"])
+                .merge(nation, left_on="s_nationkey",
+                       right_on="n_nationkey")
+                [["s_suppkey", "n_name"]]
+                .rename(columns={"s_suppkey": "l_suppkey",
+                                 "n_name": "nation"}))
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        lambda b: pd.DataFrame({
+            "l_partkey": b.loc[b["p_name"].str.contains(name_word),
+                               "p_partkey"].to_numpy(np.int64),
+            "p_retailprice": b.loc[b["p_name"].str.contains(name_word),
+                                   "p_retailprice"]
+            .to_numpy(np.float64)}),
+        batch_format="pandas")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "l_quantity": b["l_quantity"].to_numpy(np.float64),
+            # integer CENTS via floor(x*100+0.5): the identical
+            # expression on both engines, so no half-even/half-away
+            # divergence can enter the profit sum (Q22 technique).
+            "rev_cents": np.floor(
+                b["l_extendedprice"].to_numpy(np.float64) *
+                (1.0 - b["l_discount"].to_numpy(np.float64)) * 100.0
+                + 0.5).astype(np.int64),
+            "l_year": b["l_shipdate"].dt.year.to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    joined = bucketed_join(
+        li, part, on="l_partkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_quantity", pa.float64()),
+                               ("rev_cents", pa.int64()),
+                               ("l_year", pa.int64())]),
+        right_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("p_retailprice", pa.float64())]))
+
+    def amount(b: pd.DataFrame) -> pd.DataFrame:
+        # retail prices sit on a 0.1 grid and quantities are integral,
+        # so floor(p·10+0.5)·qty is an EXACT integer cent count on
+        # both engines; the whole profit sum stays in int64.
+        cost_cents = (np.floor(b["p_retailprice"].to_numpy(np.float64)
+                               * 10.0 + 0.5).astype(np.int64) *
+                      b["l_quantity"].to_numpy(np.float64)
+                      .astype(np.int64))
+        return pd.DataFrame({
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "l_year": b["l_year"].to_numpy(np.int64),
+            "cents": b["rev_cents"].to_numpy(np.int64) - cost_cents})
+
+    flows = broadcast_join(joined.map_batches(amount,
+                                              batch_format="pandas"),
+                           supp_map, on="l_suppkey")
+    agg = shuffle.group_agg(
+        flows.map_batches(lambda b: b[["nation", "l_year", "cents"]],
+                          batch_format="pandas"),
+        ["nation", "l_year"], {"cent_sum": ("cents", "sum")},
+        num_buckets=num_buckets)
+    out = agg.to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"nation": pd.Series([], dtype=str),
+                            "l_year": pd.Series([], dtype=np.int64),
+                            "cent_sum": pd.Series([], dtype=np.int64)})
+    out["sum_profit"] = out.pop("cent_sum").to_numpy(np.int64) / 100.0
+    out = out.sort_values(["nation", "l_year"],
+                          ascending=[True, False]).reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+def top_supplier(sf_dir: str, date_from: str = "1996-01-01",
+                 date_to: str = "1996-04-01",
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 ) -> ray.data.Dataset:
+    """TPC-H-Q15-shaped "top supplier": the supplier(s) whose quarterly
+    shipped revenue equals the global maximum.
+
+    Scale shape: the keyed sum reduces lineitem to one row per
+    supplier (partial per-batch combine first); the global max is a
+    scalar off that supplier-sized table; the equality slice and the
+    attribute join are driver-side on supplier-sized data.  Revenue is
+    term-rounded then the per-supplier sum is rounded to 2dp BEFORE
+    the max/equality, so both engines compare identical doubles."""
+    lo = pd.Timestamp(date_from).to_datetime64()
+    hi = pd.Timestamp(date_to).to_datetime64()
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                                   pc.less(t["l_shipdate"], hi))),
+        batch_format="pyarrow").map_batches(
+        lambda b: pd.DataFrame({
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "rev": np.round(b["l_extendedprice"].to_numpy(np.float64) *
+                            (1.0 - b["l_discount"].to_numpy(np.float64)),
+                            2)}),
+        batch_format="pandas")
+    per_supp = shuffle.group_agg(
+        li, ["l_suppkey"], {"total_revenue": ("rev", "sum")},
+        num_buckets=num_buckets).to_pandas()
+    per_supp["total_revenue"] = np.round(
+        per_supp["total_revenue"].to_numpy(np.float64), 2)
+    if per_supp.empty:
+        return ray.data.from_pandas(pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=str),
+            "total_revenue": pd.Series([], dtype=np.float64)}))
+    best = per_supp["total_revenue"].max()
+    winners = per_supp[per_supp["total_revenue"] == best]
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    out = (winners.rename(columns={"l_suppkey": "s_suppkey"})
+           .merge(supp, on="s_suppkey")
+           [["s_suppkey", "s_name", "total_revenue"]]
+           .sort_values("s_suppkey").reset_index(drop=True))
+    return ray.data.from_pandas(out)
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#12",
+                           frac: float = 0.2, years: float = 7.0,
+                           num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                           ) -> ray.data.Dataset:
+    """TPC-H-Q17-shaped "small-quantity-order revenue": average yearly
+    revenue lost if orders below ``frac`` of a part's mean quantity
+    were not taken, for one brand.
+
+    Scale shape: the brand slice of part is a key list that semi-joins
+    lineitem via ONE bucketed join; the per-part mean quantity is a
+    keyed (sum, count) over that slice (quantities are integral, so
+    the sums — hence the threshold ``frac·sum/count`` — are exact
+    doubles on both engines and the `<` decision cannot diverge); the
+    per-part thresholds re-enter through a second bucketed join.  The
+    final scalar is rounded at 2dp (near-integer cents) before the
+    division by ``years``."""
+    import pyarrow as pa
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_brand"], brand))
+        .select(["p_partkey"]), batch_format="pyarrow").map_batches(
+        lambda b: b.rename(columns={"p_partkey": "l_partkey"}),
+        batch_format="pandas")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    sliced = bucketed_join(
+        li, part, on="l_partkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_quantity", pa.float64()),
+                               ("l_extendedprice", pa.float64())]),
+        right_schema=pa.schema([("l_partkey", pa.int64())])
+    ).materialize()
+
+    means = shuffle.group_agg(
+        sliced, ["l_partkey"], {"qty_sum": ("l_quantity", "sum"),
+                                "n": ("l_quantity", "size")},
+        num_buckets=num_buckets).map_batches(
+        lambda b, f=frac: pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "qty_cut": f * b["qty_sum"].to_numpy(np.float64) /
+            b["n"].to_numpy(np.float64)}),
+        batch_format="pandas")
+
+    withcut = bucketed_join(
+        sliced, means, on="l_partkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_quantity", pa.float64()),
+                               ("l_extendedprice", pa.float64())]),
+        right_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("qty_cut", pa.float64())]))
+    parts = withcut.map_batches(
+        lambda b: pd.DataFrame({"s": [np.round(
+            b.loc[b["l_quantity"].to_numpy(np.float64) <
+                  b["qty_cut"].to_numpy(np.float64),
+                  "l_extendedprice"].to_numpy(np.float64), 2).sum()]}),
+        batch_format="pandas").to_pandas()
+    total = round(float(parts["s"].sum()), 2)
+    return ray.data.from_pandas(pd.DataFrame({
+        "avg_yearly": [round(total / years, 4)]}))
+
+
+def disjunctive_revenue(sf_dir: str,
+                        clauses: tuple = (("Brand#11", 1, 5, 1, 11),
+                                          ("Brand#14", 1, 10, 10, 20),
+                                          ("Brand#17", 1, 15, 20, 30)),
+                        num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                        ) -> ray.data.Dataset:
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: one bucketed
+    lineitem⋈part join, then a three-way OR of (brand, size-range,
+    quantity-range) clauses evaluated vectorized per batch, reduced to
+    a single term-rounded revenue scalar.  The part side is pre-pruned
+    to rows matching ANY clause's (brand, size) so the join moves only
+    candidate parts."""
+    import pyarrow as pa
+
+    brands = {c[0] for c in clauses}
+
+    def part_prune(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.zeros(len(b), bool)
+        for br, slo, shi, _, _ in clauses:
+            keep |= ((b["p_brand"].to_numpy() == br) &
+                     (b["p_size"].to_numpy(np.int64) >= slo) &
+                     (b["p_size"].to_numpy(np.int64) <= shi))
+        return pd.DataFrame({
+            "l_partkey": b.loc[keep, "p_partkey"].to_numpy(np.int64),
+            "p_brand": b.loc[keep, "p_brand"].astype(str),
+            "p_size": b.loc[keep, "p_size"].to_numpy(np.int64)})
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+        part_prune, batch_format="pandas")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+    joined = bucketed_join(
+        li, part, on="l_partkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_quantity", pa.float64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]),
+        right_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("p_brand", pa.string()),
+                                ("p_size", pa.int64())]))
+
+    def clause_sum(b: pd.DataFrame) -> pd.DataFrame:
+        qty = b["l_quantity"].to_numpy(np.float64)
+        keep = np.zeros(len(b), bool)
+        for br, slo, shi, qlo, qhi in clauses:
+            keep |= ((b["p_brand"].to_numpy() == br) &
+                     (b["p_size"].to_numpy(np.int64) >= slo) &
+                     (b["p_size"].to_numpy(np.int64) <= shi) &
+                     (qty >= qlo) & (qty <= qhi))
+        # integer cents (floor(x·100+0.5) on both engines) — the sum
+        # is exact int64, immune to round-mode and summation order.
+        cents = np.floor(
+            b.loc[keep, "l_extendedprice"].to_numpy(np.float64) *
+            (1.0 - b.loc[keep, "l_discount"].to_numpy(np.float64))
+            * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"s": [cents.sum()]})
+
+    parts = joined.map_batches(clause_sum,
+                               batch_format="pandas").to_pandas()
+    return ray.data.from_pandas(pd.DataFrame({
+        "revenue": [int(parts["s"].sum()) / 100.0]}))
