@@ -2250,6 +2250,30 @@ def _tpch_q19(sf_dir: str):
     return disjunctive_revenue(sf_dir)
 
 
+def _tpch_q12(sf_dir: str):
+    """Late-shipment priority counts (one orderkey join, CASE-WHEN
+    integer partials, 3-row keyed merge)."""
+    from city2graph_ray.pipelines.relational import late_shipment_priority
+
+    return late_shipment_priority(sf_dir)
+
+
+def _tpch_q11(sf_dir: str):
+    """Important parts: integer-cent keyed sums vs an integer
+    cross-multiplied global threshold (float-free membership)."""
+    from city2graph_ray.pipelines.relational import important_parts
+
+    return important_parts(sf_dir)
+
+
+def _tpch_q21(sf_dir: str):
+    """Waiting suppliers: EXISTS/NOT-EXISTS collapsed into counters +
+    sentinel-min over two keyed reductions on orderkey."""
+    from city2graph_ray.pipelines.relational import waiting_suppliers
+
+    return waiting_suppliers(sf_dir)
+
+
 _BM25_TERMS = ["merge", "window", "vector", "hash", "stream", "customer"]
 
 
@@ -2398,6 +2422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15_topsupp": _tpch_q15,
         "tpch_q17_smallqty": _tpch_q17,
         "tpch_q19_disjunct": _tpch_q19,
+        "tpch_q11_important": _tpch_q11,
+        "tpch_q12_priority": _tpch_q12,
+        "tpch_q21_waiting": _tpch_q21,
         "tpch_q13_custdist": _tpch_q13,
         "tpch_q16_diversity": _tpch_q16,
         "tpch_q22_inactive": _tpch_q22,
@@ -4165,6 +4192,48 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)""",
+        "tpch_q12_priority": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_count,
+                   sum(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS low_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "tpch_q11_important": """
+            WITH sl AS (
+              SELECT l_partkey,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+              WHERE s_nationkey IN (1, 3, 5)),
+            pp AS (SELECT l_partkey, sum(cents) AS cs
+                   FROM sl GROUP BY 1),
+            t AS (SELECT sum(cents) AS tc FROM sl)
+            SELECT l_partkey, cs / 100.0 AS value
+            FROM pp, t WHERE cs * 10000 > tc * 12
+            ORDER BY value DESC, l_partkey""",
+        "tpch_q21_waiting": """
+            WITH j AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN l_shipdate >
+                              o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS any_late
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              GROUP BY 1, 2),
+            o AS (SELECT l_orderkey, count(*) AS n_supp,
+                         sum(any_late) AS n_late,
+                         min(CASE WHEN any_late = 1
+                             THEN l_suppkey END) AS late_supp
+                  FROM j GROUP BY 1)
+            SELECT s_name, count(*) AS numwait
+            FROM o JOIN supplier ON s_suppkey = late_supp
+            WHERE n_supp > 1 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 20""",
         "tpch_q22_inactive": """
             WITH c AS (SELECT c_custkey, c_nationkey,
                               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)

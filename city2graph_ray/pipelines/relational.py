@@ -1051,3 +1051,226 @@ def disjunctive_revenue(sf_dir: str,
                                batch_format="pandas").to_pandas()
     return ray.data.from_pandas(pd.DataFrame({
         "revenue": [int(parts["s"].sum()) / 100.0]}))
+
+
+def late_shipment_priority(sf_dir: str, late_days: int = 60,
+                           high: tuple = ("1-URGENT", "2-HIGH"),
+                           num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                           ) -> ray.data.Dataset:
+    """TPC-H-Q12-shaped conditional aggregation adapted to the
+    synthetic schema (no l_shipmode/l_receiptdate): among lineitems
+    shipped more than ``late_days`` after their order date, count
+    high- vs low-priority orders per return-flag class.
+
+    Scale shape: ONE bucketed join on orderkey (orders reduced to
+    key + a precomputed is-high bit and the order date), then the
+    CASE-WHEN counts are per-batch integer partials merged by a
+    3-row keyed sum."""
+    import pyarrow as pa
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate",
+                 "o_orderpriority"]).map_batches(
+        lambda b: pd.DataFrame({
+            "l_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "o_date": b["o_orderdate"].astype("datetime64[us]")
+            .to_numpy().view("i8"),
+            "is_high": b["o_orderpriority"].isin(list(high))
+            .to_numpy().astype(np.int64)}),
+        batch_format="pandas")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate",
+                 "l_returnflag"]).map_batches(
+        lambda b: pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "s_date": b["l_shipdate"].astype("datetime64[us]")
+            .to_numpy().view("i8"),
+            "l_returnflag": b["l_returnflag"].astype(str)}),
+        batch_format="pandas")
+
+    joined = bucketed_join(
+        li, orders, on="l_orderkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("s_date", pa.int64()),
+                               ("l_returnflag", pa.string())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_date", pa.int64()),
+                                ("is_high", pa.int64())]))
+
+    late_us = np.int64(late_days) * 86400_000_000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        late = (b["s_date"].to_numpy(np.int64) -
+                b["o_date"].to_numpy(np.int64)) > late_us
+        sel = b.loc[late]
+        hi = sel["is_high"].to_numpy(np.int64)
+        return (pd.DataFrame({"l_returnflag": sel["l_returnflag"],
+                              "high_count": hi,
+                              "low_count": 1 - hi})
+                .groupby("l_returnflag", sort=False).sum()
+                .reset_index())
+
+    agg = shuffle.group_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag"], {"high_count": ("high_count", "sum"),
+                           "low_count": ("low_count", "sum")},
+        num_buckets=num_buckets, partial=False)
+    out = agg.to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"l_returnflag": pd.Series([], dtype=str),
+                            "high_count": pd.Series([], dtype=np.int64),
+                            "low_count": pd.Series([], dtype=np.int64)})
+    return ray.data.from_pandas(
+        out.sort_values("l_returnflag").reset_index(drop=True))
+
+
+def important_parts(sf_dir: str, nations: tuple = (1, 3, 5),
+                    frac_num: int = 12, frac_den: int = 10000,
+                    num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                    ) -> ray.data.Dataset:
+    """TPC-H-Q11-shaped "important stock" adapted (no partsupp): parts
+    whose lineitem revenue from suppliers in ``nations`` exceeds
+    ``frac_num/frac_den`` of that slice's total revenue.
+
+    Exactness: revenue rides integer cents (floor(x·100+0.5)); the
+    HAVING threshold is the integer cross-product
+    ``part_cents · frac_den > total_cents · frac_num`` — no float ever
+    enters the membership decision (same device as Q22's threshold).
+    Scale: supplier-key set broadcast (smallest dim), one keyed sum
+    per partkey, the global total is a Python-int fold of per-batch
+    partials (int64 overflow impossible on the driver)."""
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    keys = set(supp.loc[supp["s_nationkey"].isin(list(nations)),
+                        "s_suppkey"].tolist())
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey",
+                 "l_extendedprice"]).map_batches(
+        lambda b, ks=keys: (lambda m: pd.DataFrame({
+            "l_partkey": b.loc[m, "l_partkey"].to_numpy(np.int64),
+            "cents": np.floor(
+                b.loc[m, "l_extendedprice"].to_numpy(np.float64)
+                * 100.0 + 0.5).astype(np.int64)}))(
+            b["l_suppkey"].isin(ks).to_numpy()),
+        batch_format="pandas").materialize()
+
+    per_part = shuffle.group_agg(
+        li, ["l_partkey"], {"cent_sum": ("cents", "sum")},
+        num_buckets=num_buckets)
+    totals = li.map_batches(
+        lambda b: pd.DataFrame({"s": [b["cents"].sum()]}),
+        batch_format="pandas").to_pandas()
+    total = int(totals["s"].sum())
+
+    out = per_part.map_batches(
+        lambda b, t=total, n=frac_num, d=frac_den:
+            b[b["cent_sum"].to_numpy(np.int64).astype(object) * d
+              > t * n], batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"l_partkey": pd.Series([], dtype=np.int64),
+                            "cent_sum": pd.Series([], dtype=np.int64)})
+    out["value"] = out.pop("cent_sum").to_numpy(np.int64) / 100.0
+    return ray.data.from_pandas(
+        out.sort_values(["value", "l_partkey"],
+                        ascending=[False, True]).reset_index(drop=True))
+
+
+def waiting_suppliers(sf_dir: str, late_days: int = 60, k: int = 20,
+                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                      ) -> ray.data.Dataset:
+    """TPC-H-Q21-shaped "suppliers who kept orders waiting" adapted
+    (no l_commitdate/receiptdate — lateness is shipping more than
+    ``late_days`` after the order date): for multi-supplier orders
+    where EXACTLY ONE supplier shipped late, count such orders per
+    late supplier; top-``k`` by (numwait DESC, s_name).
+
+    Scale shape: one bucketed lineitem⋈orders join on orderkey, a
+    per-(orderkey, suppkey) any-late reduction, then a per-orderkey
+    reduction computing (supplier count, late count, conditional-min
+    late supplier) in one keyed pass — the exists/not-exists pair of
+    Q21 collapses into two counters and a sentinel-min, all mergeable
+    aggregates.  The final per-supplier count is supplier-sized."""
+    import pyarrow as pa
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pd.DataFrame({
+            "l_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "o_date": b["o_orderdate"].astype("datetime64[us]")
+            .to_numpy().view("i8")}),
+        batch_format="pandas")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        lambda b: pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "s_date": b["l_shipdate"].astype("datetime64[us]")
+            .to_numpy().view("i8")}),
+        batch_format="pandas")
+
+    joined = bucketed_join(
+        li, orders, on="l_orderkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("s_date", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_date", pa.int64())]))
+
+    late_us = np.int64(late_days) * 86400_000_000
+    sentinel = np.int64(2**62)
+
+    per_os = shuffle.group_agg(
+        joined.map_batches(
+            lambda b: pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                "late": ((b["s_date"].to_numpy(np.int64) -
+                          b["o_date"].to_numpy(np.int64)) > late_us)
+                .astype(np.int64)}),
+            batch_format="pandas"),
+        ["l_orderkey", "l_suppkey"], {"any_late": ("late", "max")},
+        num_buckets=num_buckets)
+
+    per_o = shuffle.group_agg(
+        per_os.map_batches(
+            lambda b: pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "one": np.ones(len(b), np.int64),
+                "is_late": b["any_late"].to_numpy(np.int64),
+                "late_key": np.where(
+                    b["any_late"].to_numpy(np.int64) == 1,
+                    b["l_suppkey"].to_numpy(np.int64), sentinel)}),
+            batch_format="pandas"),
+        ["l_orderkey"], {"n_supp": ("one", "sum"),
+                         "n_late": ("is_late", "sum"),
+                         "late_supp": ("late_key", "min")},
+        num_buckets=num_buckets)
+
+    waits = per_o.map_batches(
+        lambda b: pd.DataFrame({
+            "s_suppkey": b.loc[
+                (b["n_supp"].to_numpy(np.int64) > 1) &
+                (b["n_late"].to_numpy(np.int64) == 1),
+                "late_supp"].to_numpy(np.int64),
+            "one": np.ones(int(((b["n_supp"].to_numpy(np.int64) > 1) &
+                                (b["n_late"].to_numpy(np.int64) == 1))
+                               .sum()), np.int64)}),
+        batch_format="pandas")
+    counts = shuffle.group_agg(
+        waits, ["s_suppkey"], {"numwait": ("one", "sum")},
+        num_buckets=num_buckets).to_pandas()
+    if counts.empty:
+        counts = pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                               "numwait": pd.Series([], dtype=np.int64)})
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    out = (counts.merge(supp, on="s_suppkey")
+           .sort_values(["numwait", "s_name"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return ray.data.from_pandas(out[["s_name", "numwait"]])

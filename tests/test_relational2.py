@@ -119,3 +119,62 @@ def test_disjunctive_revenue_matches_duckdb():
            OR (p_brand='Brand#17' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)""").df()
     assert out["revenue"].iloc[0] == want["revenue"].iloc[0]
+
+
+def test_late_shipment_priority_matches_duckdb():
+    from city2graph_ray.pipelines.relational import late_shipment_priority
+    out = late_shipment_priority(SF_DIR).to_pandas()
+    want = _con().execute("""
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 0 ELSE 1 END) AS low_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1 ORDER BY 1""").df()
+    assert out["l_returnflag"].tolist() == want["l_returnflag"].tolist()
+    assert out["high_count"].tolist() == want["high_count"].tolist()
+    assert out["low_count"].tolist() == want["low_count"].tolist()
+
+
+def test_important_parts_matches_duckdb():
+    from city2graph_ray.pipelines.relational import important_parts
+    out = important_parts(SF_DIR).to_pandas()
+    want = _con().execute("""
+        WITH sl AS (SELECT l_partkey,
+                           CAST(floor(l_extendedprice*100+0.5)
+                                AS BIGINT) AS cents
+                    FROM lineitem JOIN supplier
+                      ON s_suppkey = l_suppkey
+                    WHERE s_nationkey IN (1,3,5)),
+        pp AS (SELECT l_partkey, sum(cents) cs FROM sl GROUP BY 1),
+        t AS (SELECT sum(cents) tc FROM sl)
+        SELECT l_partkey, cs/100.0 AS value
+        FROM pp, t WHERE cs*10000 > tc*12
+        ORDER BY value DESC, l_partkey""").df()
+    assert len(out) > 0  # threshold chosen to be non-trivial here
+    assert out["l_partkey"].tolist() == want["l_partkey"].tolist()
+    assert out["value"].tolist() == want["value"].tolist()
+
+
+def test_waiting_suppliers_matches_duckdb():
+    from city2graph_ray.pipelines.relational import waiting_suppliers
+    out = waiting_suppliers(SF_DIR).to_pandas()
+    want = _con().execute("""
+        WITH j AS (SELECT l_orderkey, l_suppkey,
+                          max(CASE WHEN l_shipdate >
+                                   o_orderdate + INTERVAL 60 DAY
+                              THEN 1 ELSE 0 END) AS any_late
+                   FROM lineitem JOIN orders
+                     ON o_orderkey = l_orderkey GROUP BY 1,2),
+        o AS (SELECT l_orderkey, count(*) n_supp, sum(any_late) n_late,
+                     min(CASE WHEN any_late=1 THEN l_suppkey END)
+                       late_supp
+              FROM j GROUP BY 1)
+        SELECT s_name, count(*) AS numwait
+        FROM o JOIN supplier ON s_suppkey = late_supp
+        WHERE n_supp > 1 AND n_late = 1
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""").df()
+    assert out["s_name"].tolist() == want["s_name"].tolist()
+    assert out["numwait"].tolist() == want["numwait"].tolist()
