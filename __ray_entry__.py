@@ -2274,6 +2274,14 @@ def _tpch_q21(sf_dir: str):
     return waiting_suppliers(sf_dir)
 
 
+def _tpch_q8(sf_dir: str):
+    """National market share: integer-cent numerator/denominator per
+    year, exact-double division, 6dp round."""
+    from city2graph_ray.pipelines.relational import market_share
+
+    return market_share(sf_dir)
+
+
 _BM25_TERMS = ["merge", "window", "vector", "hash", "stream", "customer"]
 
 
@@ -2422,6 +2430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15_topsupp": _tpch_q15,
         "tpch_q17_smallqty": _tpch_q17,
         "tpch_q19_disjunct": _tpch_q19,
+        "tpch_q8_mktshare": _tpch_q8,
         "tpch_q11_important": _tpch_q11,
         "tpch_q12_priority": _tpch_q12,
         "tpch_q21_waiting": _tpch_q21,
@@ -4192,6 +4201,28 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)""",
+        "tpch_q8_mktshare": """
+            WITH base AS (
+              SELECT year(o_orderdate) AS o_year,
+                     CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 100 + 0.5) AS BIGINT) AS cents,
+                     ns.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier s ON s_suppkey = l_suppkey
+              JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer c ON c_custkey = o_custkey
+              JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+              JOIN region ON r_regionkey = nc.n_regionkey
+              WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+                AND o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate < DATE '1997-01-01')
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN supp_nation = 'NATION_12'
+                                  THEN cents ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share
+            FROM base GROUP BY o_year ORDER BY o_year""",
         "tpch_q12_priority": """
             SELECT l_returnflag,
                    sum(CASE WHEN o_orderpriority IN

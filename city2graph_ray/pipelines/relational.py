@@ -1274,3 +1274,131 @@ def waiting_suppliers(sf_dir: str, late_days: int = 60, k: int = 20,
            .sort_values(["numwait", "s_name"], ascending=[False, True])
            .head(k).reset_index(drop=True))
     return ray.data.from_pandas(out[["s_name", "numwait"]])
+
+
+def market_share(sf_dir: str, target_nation: str = "NATION_12",
+                 region: str = "ASIA", p_type: str = "PROMO",
+                 date_from: str = "1995-01-01",
+                 date_to: str = "1997-01-01",
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 ) -> ray.data.Dataset:
+    """TPC-H-Q8-shaped "national market share": the fraction of
+    one part-type's revenue (orders from customers in ``region``)
+    supplied by ``target_nation``, per order year.
+
+    Scale shape: part reduces to a key list at the read and drives a
+    bucketed join; the supplier→nation map broadcasts; the
+    region-filtered customer keys reduce orders through a bucketed
+    join (customer scales with SF — not broadcast); the final ratio's
+    numerator and denominator are integer cents, so both engines
+    divide the SAME exact doubles (cent totals < 2^53) and the 6dp
+    round cannot diverge."""
+    import pyarrow as pa
+    from city2graph_ray.joins import broadcast_join
+
+    lo = pd.Timestamp(date_from).to_datetime64()
+    hi = pd.Timestamp(date_to).to_datetime64()
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    asia_keys = set(nation.merge(
+        reg[reg["r_name"] == region], left_on="n_regionkey",
+        right_on="r_regionkey")["n_nationkey"].tolist())
+    supp_map = (pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"])
+                .merge(nation[["n_nationkey", "n_name"]],
+                       left_on="s_nationkey", right_on="n_nationkey")
+                [["s_suppkey", "n_name"]]
+                .rename(columns={"s_suppkey": "l_suppkey",
+                                 "n_name": "supp_nation"}))
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], p_type))
+        .select(["p_partkey"]), batch_format="pyarrow").map_batches(
+        lambda b: b.rename(columns={"p_partkey": "l_partkey"}),
+        batch_format="pandas")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda b, ks=asia_keys: pd.DataFrame({
+            "c_custkey": b.loc[b["c_nationkey"].isin(ks),
+                               "c_custkey"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                   pc.less(t["o_orderdate"], hi))),
+        batch_format="pyarrow").map_batches(
+        lambda b: pd.DataFrame({
+            "c_custkey": b["o_custkey"].to_numpy(np.int64),
+            "l_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "o_year": b["o_orderdate"].dt.year.to_numpy(np.int64)}),
+        batch_format="pandas")
+    ord_asia = bucketed_join(
+        orders, cust, on="c_custkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("l_orderkey", pa.int64()),
+                               ("o_year", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())])
+    ).map_batches(lambda b: b[["l_orderkey", "o_year"]],
+                  batch_format="pandas")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        lambda b: pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "cents": np.floor(
+                b["l_extendedprice"].to_numpy(np.float64) *
+                (1.0 - b["l_discount"].to_numpy(np.float64)) * 100.0
+                + 0.5).astype(np.int64)}),
+        batch_format="pandas")
+    li = bucketed_join(
+        li, part, on="l_partkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("l_partkey", pa.int64())]))
+    li = broadcast_join(li, supp_map, on="l_suppkey")
+
+    joined = bucketed_join(
+        li.map_batches(
+            lambda b, t=target_nation: pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "cents": b["cents"].to_numpy(np.int64),
+                "nat_cents": np.where(
+                    b["supp_nation"].to_numpy() == t,
+                    b["cents"].to_numpy(np.int64), np.int64(0))}),
+            batch_format="pandas"),
+        ord_asia, on="l_orderkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("cents", pa.int64()),
+                               ("nat_cents", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_year", pa.int64())]))
+
+    agg = shuffle.group_agg(
+        joined.map_batches(
+            lambda b: b[["o_year", "cents", "nat_cents"]],
+            batch_format="pandas"),
+        ["o_year"], {"total": ("cents", "sum"),
+                     "nat": ("nat_cents", "sum")},
+        num_buckets=num_buckets)
+    out = agg.to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"o_year": pd.Series([], dtype=np.int64),
+                            "total": pd.Series([], dtype=np.int64),
+                            "nat": pd.Series([], dtype=np.int64)})
+    out["mkt_share"] = np.round(
+        out.pop("nat").to_numpy(np.int64).astype(np.float64) /
+        out.pop("total").to_numpy(np.int64).astype(np.float64), 6)
+    return ray.data.from_pandas(
+        out.sort_values("o_year").reset_index(drop=True))

@@ -178,3 +178,36 @@ def test_waiting_suppliers_matches_duckdb():
         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""").df()
     assert out["s_name"].tolist() == want["s_name"].tolist()
     assert out["numwait"].tolist() == want["numwait"].tolist()
+
+
+def test_market_share_matches_duckdb():
+    from city2graph_ray.pipelines.relational import market_share
+    out = market_share(SF_DIR).to_pandas()
+    con = _con()
+    con.execute(f"CREATE VIEW region AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/region.parquet')")
+    want = con.execute("""
+        WITH base AS (
+          SELECT year(o_orderdate) AS o_year,
+                 CAST(floor(l_extendedprice*(1-l_discount)*100+0.5)
+                      AS BIGINT) AS cents,
+                 ns.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier s ON s_suppkey = l_suppkey
+          JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer c ON c_custkey = o_custkey
+          JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+          JOIN region ON r_regionkey = nc.n_regionkey
+          WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+            AND o_orderdate >= DATE '1995-01-01'
+            AND o_orderdate < DATE '1997-01-01')
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation='NATION_12'
+                              THEN cents ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share
+        FROM base GROUP BY 1 ORDER BY 1""").df()
+    assert len(out) > 0
+    assert out["o_year"].tolist() == want["o_year"].tolist()
+    assert out["mkt_share"].tolist() == want["mkt_share"].tolist()
