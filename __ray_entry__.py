@@ -2282,6 +2282,25 @@ def _tpch_q8(sf_dir: str):
     return market_share(sf_dir)
 
 
+def _zone_clustering(sf_dir: str):
+    """Per-node local clustering coefficient of the derived zone graph
+    (degree-ordered wedge generation; triangles credit all three
+    vertices; coeff = 2t/(d(d-1)) divides exact int64s)."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import clustering_coefficient
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    edges = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["o_orderkey"].to_numpy(np.int64) % 2500,
+            "dst": (b["o_orderkey"].to_numpy(np.int64) * 31
+                    + b["o_custkey"].to_numpy(np.int64)) % 2500}),
+        batch_format="pandas")
+    return clustering_coefficient(edges)
+
+
 _BM25_TERMS = ["merge", "window", "vector", "hash", "stream", "customer"]
 
 
@@ -2414,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_hll": _event_user_hll,
         "doc_token_heavy_hitters": _token_heavy_hitters,
         "zone_kcore": _zone_kcore,
+        "zone_clustering": _zone_clustering,
         "zone_lpa_labels": _zone_lpa,
         "zone_adamic_adar": _zone_adamic_adar,
         "event_funnel": _event_funnel,
@@ -3980,6 +4000,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY approx_count DESC, value
             LIMIT 20""",
         "zone_kcore": _kcore_sql(8, 12),
+        "zone_clustering": """
+            WITH e0 AS MATERIALIZED (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM (SELECT o_orderkey % 2500 AS s,
+                           (o_orderkey * 31 + o_custkey) % 2500 AS d
+                    FROM orders) WHERE s <> d),
+            tri AS (
+              SELECT e1.a AS u, e1.b AS v, e2.b AS w
+              FROM e0 e1
+              JOIN e0 e2 ON e2.a = e1.b
+              JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tn AS (SELECT node, count(*) AS t FROM (
+                     SELECT u AS node FROM tri
+                     UNION ALL SELECT v FROM tri
+                     UNION ALL SELECT w FROM tri) GROUP BY node),
+            deg AS (SELECT node, count(*) AS d FROM (
+                      SELECT a AS node FROM e0
+                      UNION ALL SELECT b FROM e0) GROUP BY node)
+            SELECT deg.node, coalesce(t, 0) AS triangles, d AS degree,
+                   CASE WHEN d >= 2
+                        THEN 2.0 * coalesce(t, 0) / (d * (d - 1))
+                        ELSE 0.0 END AS coeff
+            FROM deg LEFT JOIN tn USING (node) ORDER BY node""",
         "zone_lpa_labels": _lpa_sql(_LPA_ROUNDS),
         "zone_adamic_adar": _ADAMIC_ADAR_SQL,
         "event_value_variance": """

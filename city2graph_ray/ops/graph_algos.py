@@ -743,3 +743,137 @@ def cooccurrence_graph(table: ray.data.Dataset, key: str, item: str,
     return shuffle.group_agg(pairs, ["item_a", "item_b"],
                              {"n_keys": ("item_a", "size")},
                              num_buckets=num_buckets)
+
+
+def clustering_coefficient(edges: ray.data.Dataset, src: str = "src",
+                           dst: str = "dst",
+                           num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                           ) -> ray.data.Dataset:
+    """Exact per-node local clustering coefficient of the UNDIRECTED
+    simplification of an edge list: ``coeff = 2·t / (d·(d−1))`` where
+    ``t`` is the node's triangle count and ``d`` its degree (0.0 when
+    d < 2).  Output (node, triangles, degree, coeff), one row per node
+    appearing in any non-loop edge.
+
+    Same degree-ordered orientation as `triangle_count` (Suri &
+    Vassilvitskii, WWW'11) — wedge volume O(m^1.5), hot vertices fan
+    across low-degree sources — but each wedge carries its source
+    through the closure join, so every matched triangle (u, v, w)
+    credits all three vertices via one flat explode + keyed count.
+    The coefficient divides exact int64s (2t, d(d−1)) so both engines
+    produce the identical double."""
+    import pyarrow as pa
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c),
+                             "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+
+    ends = und.map_batches(
+        lambda b: pd.DataFrame({"node": np.concatenate(
+            [b["a"].to_numpy(), b["b"].to_numpy()])}),
+        batch_format="pandas")
+    deg = shuffle.group_agg(ends, ["node"], {"d": ("node", "size")},
+                            num_buckets=num_buckets).materialize()
+
+    ntype = pa.int64()
+    for name, typ in zip(edges.schema().names, edges.schema().types):
+        if name == src and isinstance(typ, pa.DataType):
+            ntype = typ
+    und_schema = pa.schema([("a", ntype), ("b", ntype)])
+
+    w_a = bucketed_join(
+        und, deg.map_batches(lambda b: b.rename(columns={"node": "a",
+                                                         "d": "da"}),
+                             batch_format="pandas"),
+        on="a", num_buckets=num_buckets,
+        left_schema=und_schema,
+        right_schema=pa.schema([("a", ntype), ("da", pa.int64())]))
+    w_ab = bucketed_join(
+        w_a, deg.map_batches(lambda b: b.rename(columns={"node": "b",
+                                                         "d": "db"}),
+                             batch_format="pandas"),
+        on="b", num_buckets=num_buckets,
+        left_schema=pa.schema([("a", ntype), ("b", ntype),
+                               ("da", pa.int64())]),
+        right_schema=pa.schema([("b", ntype), ("db", pa.int64())]))
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy()
+        bb = b["b"].to_numpy()
+        da = b["da"].to_numpy(np.int64)
+        db = b["db"].to_numpy(np.int64)
+        a_first = (da < db) | ((da == db) & (a < bb))
+        return pd.DataFrame({
+            "u": np.where(a_first, a, bb),
+            "v": np.where(a_first, bb, a),
+            "kd": np.where(a_first, db, da)})
+
+    oriented = w_ab.map_batches(orient,
+                                batch_format="pandas").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "kd", "v"], kind="stable")
+        us: list[np.ndarray] = []
+        outs: list[np.ndarray] = []
+        for uval, grp in g.groupby("u", sort=False):
+            heads = grp["v"].to_numpy()
+            q = len(heads)
+            if q < 2:
+                continue
+            ii, jj = np.triu_indices(q, k=1)
+            outs.append(np.column_stack([heads[ii], heads[jj]]))
+            us.append(np.full(len(ii), uval, dtype=heads.dtype))
+        if not outs:
+            return pd.DataFrame({"wu": pd.Series(dtype=g["v"].dtype),
+                                 "v": pd.Series(dtype=g["v"].dtype),
+                                 "w": pd.Series(dtype=g["v"].dtype)})
+        m = np.concatenate(outs)
+        return pd.DataFrame({"wu": np.concatenate(us),
+                             "v": m[:, 0], "w": m[:, 1]})
+
+    wedge_ds = shuffle.grouped_transform(oriented, ["u"], wedges,
+                                         num_buckets=num_buckets)
+    closure = oriented.map_batches(
+        lambda b: b.rename(columns={"u": "v", "v": "w"})[["v", "w"]],
+        batch_format="pandas")
+    tri = bucketed_join(
+        wedge_ds, closure, on=["v", "w"], num_buckets=num_buckets,
+        left_schema=pa.schema([("wu", ntype), ("v", ntype),
+                               ("w", ntype)]),
+        right_schema=pa.schema([("v", ntype), ("w", ntype)]))
+
+    tri_nodes = tri.map_batches(
+        lambda b: pd.DataFrame({"node": np.concatenate(
+            [b["wu"].to_numpy(), b["v"].to_numpy(),
+             b["w"].to_numpy()])}),
+        batch_format="pandas")
+    tcounts = shuffle.group_agg(
+        tri_nodes, ["node"], {"triangles": ("node", "size")},
+        num_buckets=num_buckets)
+
+    out = bucketed_join(
+        deg, tcounts, on="node", how="left", num_buckets=num_buckets,
+        left_schema=pa.schema([("node", ntype), ("d", pa.int64())]),
+        right_schema=pa.schema([("node", ntype),
+                                ("triangles", pa.int64())]))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["d"].to_numpy(np.int64)
+        t = np.nan_to_num(b["triangles"].to_numpy(np.float64),
+                          nan=0.0).astype(np.int64)
+        denom = d * (d - 1)
+        coeff = np.where(denom > 0, 2.0 * t / np.maximum(denom, 1),
+                         0.0)
+        return pd.DataFrame({"node": b["node"].to_numpy(),
+                             "triangles": t, "degree": d,
+                             "coeff": coeff})
+
+    return out.map_batches(finish, batch_format="pandas")

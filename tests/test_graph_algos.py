@@ -329,3 +329,39 @@ def test_adamic_adar_degenerate():
     star = pd.DataFrame({"src": np.int64([9] * 5),
                          "dst": np.int64([0, 1, 2, 3, 4])})
     assert adamic_adar(rd.from_pandas(star), max_degree=4).count() == 0
+
+
+def test_clustering_coefficient_matches_networkx():
+    import networkx as nx
+
+    from city2graph_ray.ops.graph_algos import clustering_coefficient
+    rng = np.random.default_rng(7)
+    m = 400
+    e = pd.DataFrame({"src": rng.integers(0, 80, m),
+                      "dst": rng.integers(0, 80, m)})
+    out = clustering_coefficient(rd.from_pandas(e),
+                                 num_buckets=8).to_pandas()
+    G = nx.Graph()
+    G.add_edges_from((a, b) for a, b in zip(e["src"], e["dst"])
+                     if a != b)
+    cc = nx.clustering(G)
+    tr = nx.triangles(G)
+    assert set(out["node"]) == set(G.nodes())
+    for _, r in out.iterrows():
+        assert r["triangles"] == tr[r["node"]]
+        assert abs(r["coeff"] - cc[r["node"]]) < 1e-12
+
+
+def test_clustering_coefficient_triangle_free_and_empty():
+    from city2graph_ray.ops.graph_algos import clustering_coefficient
+    # a path graph has degree>1 nodes but zero triangles
+    e = pd.DataFrame({"src": np.int64([0, 1, 2, 3]),
+                      "dst": np.int64([1, 2, 3, 4])})
+    out = clustering_coefficient(rd.from_pandas(e),
+                                 num_buckets=4).to_pandas()
+    assert out["triangles"].sum() == 0
+    assert (out["coeff"] == 0.0).all()
+    empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64)})
+    assert clustering_coefficient(rd.from_pandas(empty),
+                                  num_buckets=4).count() == 0
