@@ -147,3 +147,48 @@ def salt_for(cell: np.ndarray, row_hash: np.ndarray, hot: set[int], k: int) -> n
         mask = np.isin(np.asarray(cell, np.int64), np.fromiter(hot, dtype=np.int64))
         salt[mask] = (np.asarray(row_hash, np.uint64)[mask] % np.uint64(k)).astype(np.int32)
     return salt
+
+
+def parent_cell(cell: np.ndarray, factor: int) -> np.ndarray:
+    """Packed id of the coarser-resolution tile containing ``cell``
+    (grid side multiplied by ``factor``) — the H3/S2 parent analogue.
+
+    ``factor`` must divide the 2^30 offset (any power of two ≤ 2^30):
+    floor division then commutes with the offset
+    (``(i+OFF)//f == i//f + OFF//f``), so the same non-negative
+    truncating division works in plain SQL (DuckDB ``//`` truncates
+    toward zero, which equals floor only for non-negative operands —
+    offset space guarantees that)."""
+    if (1 << 30) % factor:
+        raise ValueError("factor must divide 2^30")
+    cell = np.asarray(cell, dtype=np.int64)
+    ixo = cell & _MASK
+    iyo = cell >> _SHIFT
+    off_f = _OFFSET // np.int64(factor)
+    pix = ixo // np.int64(factor) - off_f
+    piy = iyo // np.int64(factor) - off_f
+    return pack(pix, piy)
+
+
+def ring_cells(cell: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All (2k+1)² cell ids within Chebyshev distance ``k`` of each
+    input cell (the H3 k-ring analogue on the square grid).  Returns
+    ``(row_index, neighbor_cell)`` — row i of the input explodes to
+    (2k+1)² consecutive entries."""
+    cell = np.asarray(cell, dtype=np.int64)
+    ix, iy = cell_xy(cell)
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    dx = np.tile(offs, 2 * k + 1)
+    dy = np.repeat(offs, 2 * k + 1)
+    nx_ = (ix[:, None] + dx[None, :]).ravel()
+    ny_ = (iy[:, None] + dy[None, :]).ravel()
+    idx = np.repeat(np.arange(len(cell), dtype=np.int64),
+                    (2 * k + 1) ** 2)
+    return idx, pack(nx_, ny_)
+
+
+def cell_chebyshev(cell_a: np.ndarray, cell_b: np.ndarray) -> np.ndarray:
+    """Chebyshev (ring) distance between two packed cell ids."""
+    ax, ay = cell_xy(np.asarray(cell_a, dtype=np.int64))
+    bx, by = cell_xy(np.asarray(cell_b, dtype=np.int64))
+    return np.maximum(np.abs(ax - bx), np.abs(ay - by))

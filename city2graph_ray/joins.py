@@ -148,11 +148,24 @@ def bucketed_join(
     types = _arrow_types(rschema)
     types.update(_arrow_types(lschema))
 
+    def _pad(n: int, typ: pa.DataType) -> pa.Array:
+        # Pad with ZEROS, not nulls, for pandas-lossy types: Ray's
+        # groupby/sort exchange may roundtrip blocks through pandas,
+        # where int64-with-nulls promotes to float64 — silently
+        # rounding values above 2^53 (packed cell ids!).  The padded
+        # values are never read (_merge splits by __side and selects
+        # each side's real columns first), so any valid value works.
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            return pa.array(np.zeros(n, np.int64), typ)
+        if pa.types.is_boolean(typ):
+            return pa.array(np.zeros(n, bool), typ)
+        return pa.nulls(n, typ)
+
     def _tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
             arrays = [
                 t.column(c).cast(types[c]) if c in t.column_names
-                else pa.nulls(t.num_rows, types[c])
+                else _pad(t.num_rows, types[c])
                 for c in pad_cols
             ]
             arrays.append(pa.array(_hash_key(t), pa.int64()))
