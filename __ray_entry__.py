@@ -231,6 +231,20 @@ def _pt_cell_assign(sf_dir: str):
                              num_buckets=8)
 
 
+def _pt_cell_ring(sf_dir: str):
+    """Cell hierarchy at the gate: per point its packed cell, the
+    4x-coarser PARENT cell and the k=1 RING population (H3/S2
+    parent / k-ring analogues).  The SQL twin reproduces parent ids
+    with non-negative offset-space integer division (factor divides
+    2^30, so truncation == floor) and the ring sum with an
+    |dx|<=1 AND |dy|<=1 self-join over per-cell counts."""
+    from city2graph_ray.ops.tiling import cell_ring_density
+    from city2graph_ray.pipelines.tables import customer_points
+
+    return cell_ring_density(customer_points(sf_dir), 64.0, k=1,
+                             factor=4)
+
+
 def _pt_radius_skewed(sf_dir: str):
     """fixed_radius over a deliberately SKEWED distribution — 20% of
     the points collapse into one 2×2 'urban core' while the rest
@@ -2301,6 +2315,48 @@ def _zone_clustering(sf_dir: str):
     return clustering_coefficient(edges)
 
 
+def _event_interval_overlap(sf_dir: str):
+    """Interval overlap join (click vs error event windows): covered
+    time buckets + exactly-once overlap-start ownership — the temporal
+    twin of the spatial crossing-pair emission rule."""
+    import ray.data
+
+    from city2graph_ray.ops.intervals import interval_overlap_join
+
+    def side(event_type):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            m = b["event_type"].to_numpy() == event_type
+            ls = b.loc[m, "ts"].astype("datetime64[us]").to_numpy() \
+                .view("i8")
+            eid = b.loc[m, "event_id"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "id": eid, "s": ls,
+                "e": ls + (eid % 300 + 60) * 1_000_000})
+        return fn
+
+    ev = f"{sf_dir}/events.parquet"
+    cols = ["event_id", "ts", "event_type"]
+    left = ray.data.read_parquet(ev, columns=cols).map_batches(
+        side("click"), batch_format="pandas")
+    right = ray.data.read_parquet(ev, columns=cols).map_batches(
+        side("error"), batch_format="pandas")
+    return interval_overlap_join(left, right,
+                                 bucket_width=600 * 1_000_000)
+
+
+def _event_user_paths(sf_dir: str):
+    """Per-user ordered journey strings (first 12 event types by
+    (ts, event_id)) — one keyed shuffle, vectorized per-group head."""
+    import ray.data
+
+    from city2graph_ray.ops.funnel import user_paths
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return user_paths(ev)
+
+
 _BM25_TERMS = ["merge", "window", "vector", "hash", "stream", "customer"]
 
 
@@ -2329,6 +2385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
         "pt_cell_assign": _pt_cell_assign,
+        "pt_cell_ring": _pt_cell_ring,
         "pt_radius_skewed": _pt_radius_skewed,
         "raster_downsample": _raster_downsample,
         "pt_knn": _pt_knn,
@@ -2437,6 +2494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_lpa_labels": _zone_lpa,
         "zone_adamic_adar": _zone_adamic_adar,
         "event_funnel": _event_funnel,
+        "event_interval_overlap": _event_interval_overlap,
+        "event_user_paths": _event_user_paths,
         "event_retention": _event_retention,
         "doc_token_budget": _doc_token_budget,
         "doc_weighted_sample": _doc_weighted_sample,
@@ -2555,6 +2614,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT (iy << 31) | (ix & 2147483647) AS cell,
                    count(*) AS n_points
             FROM ij GROUP BY 1""",
+        "pt_cell_ring": f"""
+            WITH pts AS ({_PTS}),
+            pc AS (SELECT id,
+                     CAST(floor(x / 64.0) AS BIGINT) + 1073741824
+                       AS ixo,
+                     CAST(floor(y / 64.0) AS BIGINT) + 1073741824
+                       AS iyo
+                   FROM pts),
+            cellpts AS (SELECT id, ixo, iyo,
+                               (iyo << 31) | (ixo & 2147483647)
+                                 AS cell
+                        FROM pc),
+            counts AS (SELECT ixo, iyo, count(*) AS n
+                       FROM cellpts GROUP BY 1, 2),
+            ringn AS (SELECT a.ixo, a.iyo, sum(b.n) AS ring_n
+                      FROM counts a JOIN counts b
+                        ON abs(a.ixo - b.ixo) <= 1
+                       AND abs(a.iyo - b.iyo) <= 1
+                      GROUP BY 1, 2)
+            SELECT p.id, p.cell,
+                   ((p.iyo // 4 + 805306368) << 31)
+                     | ((p.ixo // 4 + 805306368) & 2147483647)
+                     AS parent,
+                   r.ring_n
+            FROM cellpts p JOIN ringn r
+              ON p.ixo = r.ixo AND p.iyo = r.iyo""",
         "raster_downsample": """
             SELECT (p_partkey % 40) // 4 AS pc,
                    (p_partkey // 40) // 4 AS pr,
@@ -4052,6 +4137,27 @@ def oracle_sql() -> dict[str, str]:
             FROM di a JOIN di b ON a.user_id = b.user_id
                               AND a.event_type < b.event_type
             GROUP BY 1, 2""",
+        "event_interval_overlap": """
+            WITH a AS (SELECT event_id AS a_id, epoch_us(ts) AS ls,
+                              epoch_us(ts) + (event_id % 300 + 60)
+                                * 1000000 AS le
+                       FROM events WHERE event_type = 'click'),
+            b AS (SELECT event_id AS b_id, epoch_us(ts) AS rs,
+                         epoch_us(ts) + (event_id % 300 + 60)
+                           * 1000000 AS re
+                  FROM events WHERE event_type = 'error')
+            SELECT a_id, b_id,
+                   least(le, re) - greatest(ls, rs) AS overlap
+            FROM a JOIN b ON ls < re AND rs < le""",
+        "event_user_paths": """
+            WITH r AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+                       FROM events)
+            SELECT user_id,
+                   string_agg(event_type, '|' ORDER BY rn) AS path,
+                   count(*) AS n_steps
+            FROM r WHERE rn <= 12 GROUP BY user_id""",
         "event_funnel": """
             WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events
                         WHERE event_type = 'view' GROUP BY user_id),

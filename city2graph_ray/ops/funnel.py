@@ -123,3 +123,34 @@ def retention_cohorts(events: ray.data.Dataset, key: str = "user_id",
             "day_offset": b["day_offset"].to_numpy(np.int64),
             "n_users": b[b.columns[-1]].to_numpy(np.int64)}),
         batch_format="pandas")
+
+
+def user_paths(events: ray.data.Dataset, key: str = "user_id",
+               ts_col: str = "ts", step_col: str = "event_type",
+               order_col: str = "event_id", max_steps: int = 12,
+               sep: str = "|",
+               num_buckets: int = shuffle.DEFAULT_BUCKETS,
+               ) -> ray.data.Dataset:
+    """Per key, the ordered journey string: the first ``max_steps``
+    step values joined by ``sep``, ordered by (ts, order_col) — fully
+    deterministic (the secondary key breaks timestamp ties).  One
+    keyed shuffle; per-group vectorized sort + head + join.  Output
+    (key, path, n_steps)."""
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: b[key].to_numpy(np.int64),
+            "t": b[ts_col].astype("datetime64[us]").to_numpy()
+            .view("i8"),
+            "o": b[order_col].to_numpy(np.int64),
+            "step": b[step_col].astype(str)})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "t", "o"], kind="stable")
+        top = g.groupby(key, sort=False).head(max_steps)
+        agg = top.groupby(key, sort=False).agg(
+            path=("step", sep.join), n_steps=("step", "size"))
+        return agg.reset_index()
+
+    stream = events.map_batches(prep, batch_format="pandas")
+    return shuffle.grouped_transform(stream, [key], kernel,
+                                     num_buckets=num_buckets)

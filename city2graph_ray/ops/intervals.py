@@ -1,0 +1,95 @@
+"""Interval overlap join — the temporal sibling of the spatial
+fixed-radius join, with the same exactly-once emission discipline.
+
+Every interval is duplicated into the fixed-width time buckets it
+covers; a pair is emitted ONLY by the bucket containing the overlap
+start ``max(ls, rs)``, so no dedup shuffle is ever needed (mirrors the
+crossing-point ownership rule in ops/segments.py).  Partitioning
+assumption: bucket width should be on the order of the typical
+interval length — an interval covering B buckets is shipped B times,
+and a bucket holding n_l × n_r rows does candidate expansion bounded
+by the true-overlap density at that width (candidates are pruned to
+``rs < le`` by a searchsorted cut before the exact filter)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from city2graph_ray import shuffle
+
+
+def _cover(ids: np.ndarray, s: np.ndarray, e: np.ndarray,
+           w: int, side: int) -> pd.DataFrame:
+    """Explode (id, start, end) into one row per covered bucket."""
+    lo = s // w
+    hi = np.maximum((e - 1) // w, lo)  # end-exclusive intervals
+    n = (hi - lo + 1).astype(np.int64)
+    idx = np.repeat(np.arange(len(ids), dtype=np.int64), n)
+    step = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(n) - n, n)
+    return pd.DataFrame({
+        "bucket": lo[idx] + step,
+        "iid": ids[idx], "s": s[idx], "e": e[idx],
+        "side": np.full(len(idx), side, np.int8)})
+
+
+def interval_overlap_join(left: ray.data.Dataset,
+                          right: ray.data.Dataset,
+                          bucket_width: int,
+                          id_col: str = "id", start: str = "s",
+                          end: str = "e",
+                          num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                          ) -> ray.data.Dataset:
+    """All (a_id, b_id, overlap) pairs with ``a.s < b.e AND b.s < a.e``
+    (end-exclusive overlap), where ``overlap = min(ae, be) −
+    max(as, bs)``.  Columns are int64 (e.g. epoch microseconds)."""
+    w = int(bucket_width)
+
+    def prep(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return _cover(b[id_col].to_numpy(np.int64),
+                          b[start].to_numpy(np.int64),
+                          b[end].to_numpy(np.int64), w, side)
+        return fn
+
+    both = left.map_batches(prep(0), batch_format="pandas").union(
+        right.map_batches(prep(1), batch_format="pandas"))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "a_id": pd.Series([], dtype=np.int64),
+            "b_id": pd.Series([], dtype=np.int64),
+            "overlap": pd.Series([], dtype=np.int64)})
+        out = [empty]
+        for bucket, grp in g.groupby("bucket", sort=False):
+            sidev = grp["side"].to_numpy(np.int8)
+            a = grp.loc[sidev == 0]
+            b = grp.loc[sidev == 1].sort_values("s", kind="stable")
+            if a.empty or b.empty:
+                continue
+            ls = a["s"].to_numpy(np.int64)
+            le = a["e"].to_numpy(np.int64)
+            lid = a["iid"].to_numpy(np.int64)
+            rs = b["s"].to_numpy(np.int64)
+            re_ = b["e"].to_numpy(np.int64)
+            rid = b["iid"].to_numpy(np.int64)
+            # candidates: every b with rs < le (sorted cut), then the
+            # exact second bound + exactly-once bucket ownership
+            cut = np.searchsorted(rs, le, side="left")
+            ai = np.repeat(np.arange(len(ls), dtype=np.int64), cut)
+            bi = np.arange(int(cut.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(cut) - cut, cut)
+            keep = re_[bi] > ls[ai]
+            os_ = np.maximum(ls[ai], rs[bi])
+            keep &= (os_ // w) == bucket
+            ai, bi = ai[keep], bi[keep]
+            out.append(pd.DataFrame({
+                "a_id": lid[ai], "b_id": rid[bi],
+                "overlap": np.minimum(le[ai], re_[bi])
+                - np.maximum(ls[ai], rs[bi])}))
+        return pd.concat(out, ignore_index=True)
+
+    return shuffle.grouped_transform(both, ["bucket"], kernel,
+                                     num_buckets=num_buckets)

@@ -1,0 +1,82 @@
+"""Interval overlap join (exactly-once bucket ownership) and ordered
+user-path aggregation."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _brute(left: pd.DataFrame, right: pd.DataFrame) -> set:
+    out = set()
+    for _, a in left.iterrows():
+        for _, b in right.iterrows():
+            if a["s"] < b["e"] and b["s"] < a["e"]:
+                out.add((a["id"], b["id"],
+                         min(a["e"], b["e"]) - max(a["s"], b["s"])))
+    return out
+
+
+def test_interval_overlap_matches_brute_force():
+    from city2graph_ray.ops.intervals import interval_overlap_join
+    rng = np.random.default_rng(11)
+    n = 300
+    ls = rng.integers(0, 100_000, n)
+    rs = rng.integers(0, 100_000, n)
+    left = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "s": ls,
+                         "e": ls + rng.integers(1, 5000, n)})
+    right = pd.DataFrame({"id": np.arange(n, dtype=np.int64) + 1000,
+                          "s": rs,
+                          "e": rs + rng.integers(1, 5000, n)})
+    for w in (1000, 3000, 50_000):  # narrower AND wider than intervals
+        got = interval_overlap_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(4),
+            bucket_width=w, num_buckets=8).to_pandas()
+        pairs = set(zip(got["a_id"], got["b_id"], got["overlap"]))
+        assert len(got) == len(pairs)  # exactly-once: no dup emission
+        assert pairs == _brute(left, right), w
+
+
+def test_interval_overlap_long_interval_and_empty():
+    from city2graph_ray.ops.intervals import interval_overlap_join
+    # one interval spanning many buckets, counted once per partner
+    left = pd.DataFrame({"id": np.int64([1]), "s": np.int64([0]),
+                         "e": np.int64([100_000])})
+    right = pd.DataFrame({"id": np.int64([2, 3, 4]),
+                          "s": np.int64([500, 50_000, 100_000]),
+                          "e": np.int64([600, 50_100, 100_001])})
+    got = interval_overlap_join(rd.from_pandas(left),
+                                rd.from_pandas(right),
+                                bucket_width=1000,
+                                num_buckets=4).to_pandas()
+    # id=4 starts exactly at left's end (end-exclusive): no overlap
+    assert sorted(got["b_id"]) == [2, 3]
+    empty = pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                          "s": pd.Series([], dtype=np.int64),
+                          "e": pd.Series([], dtype=np.int64)})
+    assert interval_overlap_join(rd.from_pandas(empty),
+                                 rd.from_pandas(right),
+                                 bucket_width=1000,
+                                 num_buckets=4).count() == 0
+
+
+def test_user_paths_matches_pandas():
+    from city2graph_ray.ops.funnel import user_paths
+    rng = np.random.default_rng(5)
+    n = 500
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 20, n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 86_400, n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c"], n)})
+    got = (user_paths(rd.from_pandas(ev), max_steps=5, num_buckets=8)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    want = (ev.sort_values(["user_id", "ts", "event_id"])
+            .groupby("user_id").head(5)
+            .groupby("user_id")
+            .agg(path=("event_type", "|".join),
+                 n_steps=("event_type", "size")).reset_index())
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["path"].tolist() == want["path"].tolist()
+    assert got["n_steps"].tolist() == want["n_steps"].tolist()
