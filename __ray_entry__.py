@@ -2005,6 +2005,19 @@ def _event_value_rank(sf_dir: str):
                                      descending=[True, False])
 
 
+def _event_value_ntile(sf_dir: str):
+    """Distributed ntile(10) with SQL remainder semantics: one global
+    row_number pass + a closed-form per-block tile stamp off a single
+    driver scalar (the total count)."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_id", "value"]], batch_format="pandas")
+    return shuffle.global_ntile(ev, ["value", "event_id"], 10,
+                                descending=[True, False])
+
+
 def _event_type_cooccurrence(sf_dir: str):
     """Bipartite user×event_type projection: distinct-user weight per
     unordered type pair."""
@@ -2121,6 +2134,49 @@ def _zone_adamic_adar(sf_dir: str):
                     + b["o_custkey"].to_numpy(np.int64)) % 2500}),
         batch_format="pandas")
     return adamic_adar(edges)
+
+
+def _zone_jaccard(sf_dir: str):
+    """Jaccard link prediction over the zone graph: exact int64 common-
+    neighbour counts and degrees; the single division is the identical
+    double on both engines."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import jaccard_link_prediction
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    edges = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["o_orderkey"].to_numpy(np.int64) % 2500,
+            "dst": (b["o_orderkey"].to_numpy(np.int64) * 31
+                    + b["o_custkey"].to_numpy(np.int64)) % 2500}),
+        batch_format="pandas")
+    return jaccard_link_prediction(edges)
+
+
+_JACCARD_SQL = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM (SELECT o_orderkey % 2500 AS s,
+                   (o_orderkey * 31 + o_custkey) % 2500 AS d
+            FROM orders) WHERE s <> d),
+    h AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e0
+      UNION ALL SELECT b, a FROM e0),
+    deg AS MATERIALIZED (
+      SELECT u AS node, count(*) AS d FROM h GROUP BY u),
+    cn AS MATERIALIZED (
+      SELECT h1.v AS x, h2.v AS y, count(*) AS cn
+      FROM h h1 JOIN h h2 ON h1.u = h2.u AND h1.v < h2.v
+      GROUP BY 1, 2),
+    ne AS (SELECT cn.* FROM cn LEFT JOIN e0
+             ON e0.a = cn.x AND e0.b = cn.y
+           WHERE e0.a IS NULL)
+    SELECT ne.x AS src, ne.y AS dst, ne.cn,
+           ne.cn * 1.0 / (dx.d + dy.d - ne.cn) AS jaccard
+    FROM ne JOIN deg dx ON dx.node = ne.x
+    JOIN deg dy ON dy.node = ne.y"""
 
 
 _ADAMIC_ADAR_SQL = """
@@ -2493,6 +2549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_clustering": _zone_clustering,
         "zone_lpa_labels": _zone_lpa,
         "zone_adamic_adar": _zone_adamic_adar,
+        "zone_jaccard": _zone_jaccard,
         "event_funnel": _event_funnel,
         "event_interval_overlap": _event_interval_overlap,
         "event_user_paths": _event_user_paths,
@@ -2502,6 +2559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_cube": _doc_source_cube,
         "doc_hybrid_rrf": _doc_hybrid_rrf,
         "event_value_rank": _event_value_rank,
+        "event_value_ntile": _event_value_ntile,
         "event_value_variance": _event_value_variance,
         "event_type_cooccurrence": _event_type_cooccurrence,
         "tpch_q7_volume": _tpch_q7,
@@ -4110,6 +4168,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN tn USING (node) ORDER BY node""",
         "zone_lpa_labels": _lpa_sql(_LPA_ROUNDS),
         "zone_adamic_adar": _ADAMIC_ADAR_SQL,
+        "zone_jaccard": _JACCARD_SQL,
         "event_value_variance": """
             WITH c AS (SELECT event_type,
                               CAST(floor(value * 100 + 0.5) AS BIGINT)
@@ -4128,6 +4187,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    row_number() OVER (ORDER BY value DESC, event_id)
                      AS rn
+            FROM events""",
+        "event_value_ntile": """
+            SELECT event_id, value,
+                   row_number() OVER (ORDER BY value DESC, event_id)
+                     AS rn,
+                   ntile(10) OVER (ORDER BY value DESC, event_id)
+                     AS tile
             FROM events""",
         "event_type_cooccurrence": """
             WITH di AS (SELECT DISTINCT user_id, event_type

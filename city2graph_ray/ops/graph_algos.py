@@ -877,3 +877,136 @@ def clustering_coefficient(edges: ray.data.Dataset, src: str = "src",
                              "coeff": coeff})
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def jaccard_link_prediction(edges: ray.data.Dataset, src: str = "src",
+                            dst: str = "dst",
+                            exclude_edges: bool = True,
+                            num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                            max_degree: int | None = None,
+                            ) -> ray.data.Dataset:
+    """Jaccard neighbourhood-similarity link prediction over the
+    UNDIRECTED simplification: for node pairs (x < y) with ≥1 common
+    neighbour, ``J = cn / (deg x + deg y − cn)`` where ``cn`` is the
+    common-neighbour count.  Every term is an exact int64 (wedge
+    counts and degrees), so the single final division is the identical
+    double on both engines — no quantization needed (contrast
+    `adamic_adar`'s scaled-integer log weights).
+
+    Same wedge shape as AA: per-centre ragged triu (inherently
+    C(deg,2); ``max_degree`` caps hub centres, documented
+    approximation), pair-keyed count, two bucketed joins to attach
+    endpoint degrees.  Output (src, dst, cn, jaccard)."""
+    import pyarrow as pa
+
+    ntype = pa.int64()
+    for name, typ in zip(edges.schema().names, edges.schema().types):
+        if name == src:
+            ntype = typ
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c),
+                             "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+
+    def _empty() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], ntype), "dst": pa.array([], ntype),
+            "cn": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+
+    if und.count() == 0:
+        return _empty()
+
+    half = und.map_batches(
+        lambda b: pd.DataFrame({
+            "u": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+            "v": np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()])}),
+        batch_format="pandas")
+    deg = shuffle.group_agg(half, ["u"], {"c": ("u", "size")},
+                            num_buckets=num_buckets).materialize()
+
+    if max_degree is not None:
+        ok = deg.map_batches(
+            lambda b: b.loc[b["c"].to_numpy(np.int64) <= max_degree,
+                            ["u"]], batch_format="pandas")
+        half = bucketed_join(
+            half, ok, on="u", num_buckets=num_buckets,
+            left_schema=pa.schema([("u", ntype), ("v", ntype)]),
+            right_schema=pa.schema([("u", ntype)]))
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "v"], kind="stable")
+        uu = g["u"].to_numpy()
+        vv = g["v"].to_numpy()
+        _, starts, sizes = np.unique(uu, return_index=True,
+                                     return_counts=True)
+        pos = np.arange(len(uu)) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - pos
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"x": vv[:0], "y": vv[:0]})
+        i_idx = np.repeat(np.arange(len(uu)), reps)
+        j_off = np.arange(total) - np.repeat(np.cumsum(reps) - reps,
+                                             reps) + 1
+        return pd.DataFrame({"x": vv[i_idx], "y": vv[i_idx + j_off]})
+
+    pairs = shuffle.grouped_transform(half, ["u"], wedge_pairs,
+                                      num_buckets=num_buckets)
+    cn = shuffle.group_agg(
+        pairs.map_batches(
+            lambda b: b.assign(one=np.ones(len(b), np.int64)),
+            batch_format="pandas"),
+        ["x", "y"], {"cn": ("one", "sum")}, num_buckets=num_buckets)
+
+    pair_schema = pa.schema([("x", ntype), ("y", ntype),
+                             ("cn", pa.int64())])
+    if exclude_edges:
+        mark = und.map_batches(
+            lambda b: pd.DataFrame({"x": b["a"], "y": b["b"]})
+            .assign(is_edge=np.int64(1)), batch_format="pandas")
+        cn = bucketed_join(
+            cn, mark, on=["x", "y"], how="left",
+            num_buckets=num_buckets, left_schema=pair_schema,
+            right_schema=pa.schema([("x", ntype), ("y", ntype),
+                                    ("is_edge", pa.int64())])
+        ).map_batches(
+            lambda b: b.loc[b["is_edge"].isna(), ["x", "y", "cn"]],
+            batch_format="pandas")
+
+    dx = deg.map_batches(
+        lambda b: b.rename(columns={"u": "x", "c": "dx"}),
+        batch_format="pandas")
+    dy = deg.map_batches(
+        lambda b: b.rename(columns={"u": "y", "c": "dy"}),
+        batch_format="pandas")
+    withx = bucketed_join(cn, dx, on="x", num_buckets=num_buckets,
+                          left_schema=pair_schema,
+                          right_schema=pa.schema([("x", ntype),
+                                                  ("dx", pa.int64())]))
+    withxy = bucketed_join(
+        withx, dy, on="y", num_buckets=num_buckets,
+        left_schema=pa.schema([("x", ntype), ("y", ntype),
+                               ("cn", pa.int64()),
+                               ("dx", pa.int64())]),
+        right_schema=pa.schema([("y", ntype), ("dy", pa.int64())]))
+
+    out = withxy.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["x"].to_numpy(),
+            "dst": b["y"].to_numpy(),
+            "cn": b["cn"].to_numpy(np.int64),
+            "jaccard": b["cn"].to_numpy(np.int64) /
+            (b["dx"].to_numpy(np.int64) + b["dy"].to_numpy(np.int64)
+             - b["cn"].to_numpy(np.int64))}),
+        batch_format="pandas").materialize()
+    if out.count() == 0:
+        return _empty()
+    return out

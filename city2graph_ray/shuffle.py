@@ -233,3 +233,33 @@ def global_row_number(ds: ray.data.Dataset, order_cols: Sequence[str],
     return ray.data.from_arrow_refs(
         [_stamp.remote(r, int(o), out_col)
          for r, o in zip(refs, offsets)])
+
+
+def global_ntile(ds: ray.data.Dataset, order_cols: Sequence[str], k: int,
+                 descending: Sequence[bool] | bool = False,
+                 rn_col: str = "rn",
+                 out_col: str = "tile") -> ray.data.Dataset:
+    """Distributed ``ntile(k) OVER (ORDER BY order_cols)`` with SQL
+    semantics (the first ``n % k`` tiles get ``ceil(n/k)`` rows):
+    one `global_row_number` pass plus a single driver scalar (the
+    total count); the tile id is then a per-block closed-form stamp."""
+    rn_ds = global_row_number(ds, order_cols, descending,
+                              out_col=rn_col).materialize()
+    n = rn_ds.count()
+    if n == 0:
+        return rn_ds
+    q, r = divmod(n, k)
+    big = (q + 1) * r
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b[rn_col].to_numpy(np.int64)
+        in_big = rn <= big
+        tile = np.where(
+            in_big,
+            (rn - 1) // max(q + 1, 1) + 1,
+            r + (rn - big - 1) // max(q, 1) + 1)
+        b = b.copy()
+        b[out_col] = tile.astype(np.int64)
+        return b
+
+    return rn_ds.map_batches(stamp, batch_format="pandas")

@@ -193,3 +193,21 @@ def test_funnel_retention_empty_input():
     assert list(out["n_users"]) == [0, 0]
     assert retention_cohorts(rd.from_pandas(empty),
                              num_buckets=2).count() == 0
+
+
+def test_global_ntile_sql_remainder_semantics():
+    from city2graph_ray import shuffle
+    # n=10, k=3 -> tile sizes 4,3,3 (first n%k tiles get ceil(n/k))
+    df = pd.DataFrame({"v": np.arange(10, dtype=np.int64)})
+    out = shuffle.global_ntile(rd.from_pandas(df).repartition(3),
+                               ["v"], 3).to_pandas().sort_values("v")
+    assert out["tile"].tolist() == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+    # n < k: each of the n rows gets its own tile 1..n
+    small = pd.DataFrame({"v": np.arange(4, dtype=np.int64)})
+    got = shuffle.global_ntile(rd.from_pandas(small),
+                               ["v"], 10).to_pandas().sort_values("v")
+    assert got["tile"].tolist() == [1, 2, 3, 4]
+    # empty passes through
+    empty = pd.DataFrame({"v": pd.Series([], dtype=np.int64)})
+    assert shuffle.global_ntile(rd.from_pandas(empty),
+                                ["v"], 5).count() == 0

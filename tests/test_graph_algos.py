@@ -365,3 +365,44 @@ def test_clustering_coefficient_triangle_free_and_empty():
                           "dst": pd.Series([], dtype=np.int64)})
     assert clustering_coefficient(rd.from_pandas(empty),
                                   num_buckets=4).count() == 0
+
+
+def test_jaccard_link_prediction_matches_networkx():
+    import networkx as nx
+
+    from city2graph_ray.ops.graph_algos import jaccard_link_prediction
+    rng = np.random.default_rng(13)
+    e = pd.DataFrame({"src": rng.integers(0, 60, 300),
+                      "dst": rng.integers(0, 60, 300)})
+    out = jaccard_link_prediction(rd.from_pandas(e),
+                                  num_buckets=8).to_pandas()
+    G = nx.Graph()
+    G.add_edges_from((a, b) for a, b in zip(e["src"], e["dst"])
+                     if a != b)
+    want = {(min(u, v), max(u, v)): p
+            for u, v, p in nx.jaccard_coefficient(G)}
+    got = {(r["src"], r["dst"]): r["jaccard"]
+           for _, r in out.iterrows()}
+    # networkx enumerates ALL non-edge pairs incl. zero-cn; ours emits
+    # only cn>=1 pairs — compare on that support
+    want_pos = {k: v for k, v in want.items() if v > 0}
+    assert set(got) == set(want_pos)
+    for k in got:
+        assert abs(got[k] - want_pos[k]) < 1e-12
+
+
+def test_jaccard_empty_and_max_degree():
+    from city2graph_ray.ops.graph_algos import jaccard_link_prediction
+    empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64)})
+    assert jaccard_link_prediction(rd.from_pandas(empty),
+                                   num_buckets=4).count() == 0
+    # star graph: hub degree 5; capping below it kills every wedge
+    star = pd.DataFrame({"src": np.int64([0] * 5),
+                         "dst": np.int64([1, 2, 3, 4, 5])})
+    full = jaccard_link_prediction(rd.from_pandas(star),
+                                   num_buckets=4).to_pandas()
+    assert len(full) == 10  # C(5,2) leaf pairs share the hub
+    capped = jaccard_link_prediction(rd.from_pandas(star),
+                                     num_buckets=4, max_degree=4)
+    assert capped.count() == 0
