@@ -426,20 +426,24 @@ def triangle_count(edges: ray.data.Dataset, src: str = "src",
     oriented = w_ab.map_batches(orient, batch_format="pandas").materialize()
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # ragged vectorized triu per sorted out-neighborhood (same
+        # arithmetic as adamic_adar's wedge kernel — no Python loop);
+        # sorting by (u, kd, v) keeps each pair (v, w) in head order,
+        # matching the closure edges' low→high orientation
         g = g.sort_values(["u", "kd", "v"], kind="stable")
-        outs: list[np.ndarray] = []
-        for _, grp in g.groupby("u", sort=False):
-            heads = grp["v"].to_numpy()
-            q = len(heads)
-            if q < 2:
-                continue
-            ii, jj = np.triu_indices(q, k=1)
-            outs.append(np.column_stack([heads[ii], heads[jj]]))
-        if not outs:
-            return pd.DataFrame({"v": pd.Series(dtype=g["v"].dtype),
-                                 "w": pd.Series(dtype=g["v"].dtype)})
-        m = np.concatenate(outs)
-        return pd.DataFrame({"v": m[:, 0], "w": m[:, 1]})
+        vv = g["v"].to_numpy()
+        uu = g["u"].to_numpy()
+        _, starts, sizes = np.unique(uu, return_index=True,
+                                     return_counts=True)
+        pos = np.arange(len(uu)) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - pos
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"v": vv[:0], "w": vv[:0]})
+        i_idx = np.repeat(np.arange(len(uu)), reps)
+        j_off = np.arange(total) - np.repeat(np.cumsum(reps) - reps,
+                                             reps) + 1
+        return pd.DataFrame({"v": vv[i_idx], "w": vv[i_idx + j_off]})
 
     wedge_ds = shuffle.grouped_transform(oriented, ["u"], wedges,
                                          num_buckets=num_buckets)
@@ -820,24 +824,24 @@ def clustering_coefficient(edges: ray.data.Dataset, src: str = "src",
                                 batch_format="pandas").materialize()
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # ragged vectorized triu carrying the wedge source (see
+        # triangle_count — same arithmetic, no Python loop)
         g = g.sort_values(["u", "kd", "v"], kind="stable")
-        us: list[np.ndarray] = []
-        outs: list[np.ndarray] = []
-        for uval, grp in g.groupby("u", sort=False):
-            heads = grp["v"].to_numpy()
-            q = len(heads)
-            if q < 2:
-                continue
-            ii, jj = np.triu_indices(q, k=1)
-            outs.append(np.column_stack([heads[ii], heads[jj]]))
-            us.append(np.full(len(ii), uval, dtype=heads.dtype))
-        if not outs:
-            return pd.DataFrame({"wu": pd.Series(dtype=g["v"].dtype),
-                                 "v": pd.Series(dtype=g["v"].dtype),
-                                 "w": pd.Series(dtype=g["v"].dtype)})
-        m = np.concatenate(outs)
-        return pd.DataFrame({"wu": np.concatenate(us),
-                             "v": m[:, 0], "w": m[:, 1]})
+        vv = g["v"].to_numpy()
+        uu = g["u"].to_numpy()
+        _, starts, sizes = np.unique(uu, return_index=True,
+                                     return_counts=True)
+        pos = np.arange(len(uu)) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - pos
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"wu": uu[:0], "v": vv[:0],
+                                 "w": vv[:0]})
+        i_idx = np.repeat(np.arange(len(uu)), reps)
+        j_off = np.arange(total) - np.repeat(np.cumsum(reps) - reps,
+                                             reps) + 1
+        return pd.DataFrame({"wu": uu[i_idx], "v": vv[i_idx],
+                             "w": vv[i_idx + j_off]})
 
     wedge_ds = shuffle.grouped_transform(oriented, ["u"], wedges,
                                          num_buckets=num_buckets)
@@ -933,30 +937,45 @@ def jaccard_link_prediction(edges: ray.data.Dataset, src: str = "src",
     deg = shuffle.group_agg(half, ["u"], {"c": ("u", "size")},
                             num_buckets=num_buckets).materialize()
 
+    # attach the HEAD's degree to each half-edge (node-sized join),
+    # so wedge pairs carry both endpoint degrees and the pair-sized
+    # result needs no degree joins afterwards — only the center cap
+    # filters here, the head degree rides along untouched
+    half = bucketed_join(
+        half, deg.map_batches(
+            lambda b: b.rename(columns={"u": "v", "c": "dv"}),
+            batch_format="pandas"),
+        on="v", num_buckets=num_buckets,
+        left_schema=pa.schema([("u", ntype), ("v", ntype)]),
+        right_schema=pa.schema([("v", ntype), ("dv", pa.int64())]))
     if max_degree is not None:
         ok = deg.map_batches(
             lambda b: b.loc[b["c"].to_numpy(np.int64) <= max_degree,
                             ["u"]], batch_format="pandas")
         half = bucketed_join(
             half, ok, on="u", num_buckets=num_buckets,
-            left_schema=pa.schema([("u", ntype), ("v", ntype)]),
+            left_schema=pa.schema([("u", ntype), ("v", ntype),
+                                   ("dv", pa.int64())]),
             right_schema=pa.schema([("u", ntype)]))
 
     def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["u", "v"], kind="stable")
         uu = g["u"].to_numpy()
         vv = g["v"].to_numpy()
+        dd = g["dv"].to_numpy(np.int64)
         _, starts, sizes = np.unique(uu, return_index=True,
                                      return_counts=True)
         pos = np.arange(len(uu)) - np.repeat(starts, sizes)
         reps = np.repeat(sizes, sizes) - 1 - pos
         total = int(reps.sum())
         if total == 0:
-            return pd.DataFrame({"x": vv[:0], "y": vv[:0]})
+            return pd.DataFrame({"x": vv[:0], "y": vv[:0],
+                                 "dx": dd[:0], "dy": dd[:0]})
         i_idx = np.repeat(np.arange(len(uu)), reps)
         j_off = np.arange(total) - np.repeat(np.cumsum(reps) - reps,
                                              reps) + 1
-        return pd.DataFrame({"x": vv[i_idx], "y": vv[i_idx + j_off]})
+        return pd.DataFrame({"x": vv[i_idx], "y": vv[i_idx + j_off],
+                             "dx": dd[i_idx], "dy": dd[i_idx + j_off]})
 
     pairs = shuffle.grouped_transform(half, ["u"], wedge_pairs,
                                       num_buckets=num_buckets)
@@ -964,10 +983,12 @@ def jaccard_link_prediction(edges: ray.data.Dataset, src: str = "src",
         pairs.map_batches(
             lambda b: b.assign(one=np.ones(len(b), np.int64)),
             batch_format="pandas"),
-        ["x", "y"], {"cn": ("one", "sum")}, num_buckets=num_buckets)
+        ["x", "y"], {"cn": ("one", "sum"), "dx": ("dx", "max"),
+                     "dy": ("dy", "max")}, num_buckets=num_buckets)
 
     pair_schema = pa.schema([("x", ntype), ("y", ntype),
-                             ("cn", pa.int64())])
+                             ("cn", pa.int64()), ("dx", pa.int64()),
+                             ("dy", pa.int64())])
     if exclude_edges:
         mark = und.map_batches(
             lambda b: pd.DataFrame({"x": b["a"], "y": b["b"]})
@@ -978,27 +999,11 @@ def jaccard_link_prediction(edges: ray.data.Dataset, src: str = "src",
             right_schema=pa.schema([("x", ntype), ("y", ntype),
                                     ("is_edge", pa.int64())])
         ).map_batches(
-            lambda b: b.loc[b["is_edge"].isna(), ["x", "y", "cn"]],
+            lambda b: b.loc[b["is_edge"].isna(),
+                            ["x", "y", "cn", "dx", "dy"]],
             batch_format="pandas")
 
-    dx = deg.map_batches(
-        lambda b: b.rename(columns={"u": "x", "c": "dx"}),
-        batch_format="pandas")
-    dy = deg.map_batches(
-        lambda b: b.rename(columns={"u": "y", "c": "dy"}),
-        batch_format="pandas")
-    withx = bucketed_join(cn, dx, on="x", num_buckets=num_buckets,
-                          left_schema=pair_schema,
-                          right_schema=pa.schema([("x", ntype),
-                                                  ("dx", pa.int64())]))
-    withxy = bucketed_join(
-        withx, dy, on="y", num_buckets=num_buckets,
-        left_schema=pa.schema([("x", ntype), ("y", ntype),
-                               ("cn", pa.int64()),
-                               ("dx", pa.int64())]),
-        right_schema=pa.schema([("y", ntype), ("dy", pa.int64())]))
-
-    out = withxy.map_batches(
+    out = cn.map_batches(
         lambda b: pd.DataFrame({
             "src": b["x"].to_numpy(),
             "dst": b["y"].to_numpy(),

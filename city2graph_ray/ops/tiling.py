@@ -47,28 +47,20 @@ def cell_ring_density(points: ray.data.Dataset, cell_size: float,
 
     counts = shuffle.group_agg(
         pts, ["cell"], {"n": ("cell", "size")},
-        num_buckets=num_buckets).materialize()
+        num_buckets=num_buckets)
 
-    def explode_ring(b: pd.DataFrame) -> pd.DataFrame:
+    # SCATTER each occupied cell's count to every cell in its ring
+    # (Chebyshev distance is symmetric, so summing received
+    # contributions per center equals gathering the center's ring) —
+    # one keyed sum instead of a ring⋈counts join plus a re-sum
+    def scatter_ring(b: pd.DataFrame) -> pd.DataFrame:
         idx, member = cells.ring_cells(b["cell"].to_numpy(np.int64), k)
         return pd.DataFrame({
-            "center": b["cell"].to_numpy(np.int64)[idx],
-            "cell": member})
+            "cell": member,
+            "n": b["n"].to_numpy(np.int64)[idx]})
 
-    ring = counts.map_batches(
-        lambda b: explode_ring(b[["cell"]]), batch_format="pandas")
-    ring_counts = bucketed_join(
-        ring, counts, on="cell", num_buckets=num_buckets,
-        left_schema=pa.schema([("center", pa.int64()),
-                               ("cell", pa.int64())]),
-        right_schema=pa.schema([("cell", pa.int64()),
-                                ("n", pa.int64())]))
     per_center = shuffle.group_agg(
-        ring_counts.map_batches(
-            lambda b: pd.DataFrame({
-                "cell": b["center"].to_numpy(np.int64),
-                "n": b["n"].to_numpy(np.int64)}),
-            batch_format="pandas"),
+        counts.map_batches(scatter_ring, batch_format="pandas"),
         ["cell"], {"ring_n": ("n", "sum")}, num_buckets=num_buckets)
 
     out = bucketed_join(
