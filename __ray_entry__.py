@@ -2155,6 +2155,64 @@ def _zone_jaccard(sf_dir: str):
     return jaccard_link_prediction(edges)
 
 
+def _zone_harmonic(sf_dir: str):
+    """Bounded-hop (3) harmonic centrality of the zone graph:
+    Bellman-Ford hop distances, exact int64 reachability histogram,
+    fixed-order n1/1 + n2/2 + n3/3 finish."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import harmonic_centrality
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    edges = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["o_orderkey"].to_numpy(np.int64) % 2500,
+            "dst": (b["o_orderkey"].to_numpy(np.int64) * 31
+                    + b["o_custkey"].to_numpy(np.int64)) % 2500}),
+        batch_format="pandas")
+    return harmonic_centrality(edges, hops=3)
+
+
+_HARMONIC_SQL = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM (SELECT o_orderkey % 2500 AS s,
+                   (o_orderkey * 31 + o_custkey) % 2500 AS d
+            FROM orders) WHERE s <> d),
+    edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0),
+    n AS (SELECT DISTINCT src AS node FROM edges),
+    d0 AS (SELECT node AS src, node AS dst, 0 AS k FROM n),
+    d1 AS MATERIALIZED (
+      SELECT src, dst, min(k) AS k FROM (
+        SELECT * FROM d0 UNION ALL
+        SELECT d.src, e.dst, d.k + 1
+        FROM d0 d JOIN edges e ON d.dst = e.src)
+      GROUP BY src, dst),
+    d2 AS MATERIALIZED (
+      SELECT src, dst, min(k) AS k FROM (
+        SELECT * FROM d1 UNION ALL
+        SELECT d.src, e.dst, d.k + 1
+        FROM d1 d JOIN edges e ON d.dst = e.src)
+      GROUP BY src, dst),
+    d3 AS MATERIALIZED (
+      SELECT src, dst, min(k) AS k FROM (
+        SELECT * FROM d2 UNION ALL
+        SELECT d.src, e.dst, d.k + 1
+        FROM d2 d JOIN edges e ON d.dst = e.src)
+      GROUP BY src, dst),
+    hist AS (SELECT src AS node, k, count(*) AS n
+             FROM d3 WHERE src <> dst GROUP BY 1, 2)
+    SELECT node, sum(n) AS n_reach,
+           coalesce(sum(CASE WHEN k = 1 THEN n END), 0) / 1.0
+           + coalesce(sum(CASE WHEN k = 2 THEN n END), 0) / 2.0
+           + coalesce(sum(CASE WHEN k = 3 THEN n END), 0) / 3.0
+             AS harmonic
+    FROM hist GROUP BY node"""
+
+
 _JACCARD_SQL = """
     WITH e0 AS MATERIALIZED (
       SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
@@ -2550,6 +2608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_lpa_labels": _zone_lpa,
         "zone_adamic_adar": _zone_adamic_adar,
         "zone_jaccard": _zone_jaccard,
+        "zone_harmonic": _zone_harmonic,
         "event_funnel": _event_funnel,
         "event_interval_overlap": _event_interval_overlap,
         "event_user_paths": _event_user_paths,
@@ -4169,6 +4228,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_lpa_labels": _lpa_sql(_LPA_ROUNDS),
         "zone_adamic_adar": _ADAMIC_ADAR_SQL,
         "zone_jaccard": _JACCARD_SQL,
+        "zone_harmonic": _HARMONIC_SQL,
         "event_value_variance": """
             WITH c AS (SELECT event_type,
                               CAST(floor(value * 100 + 0.5) AS BIGINT)

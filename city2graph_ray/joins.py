@@ -127,12 +127,19 @@ def bucketed_join(
         return out
 
     def _schema_of(ds, hint):
+        if hint is not None:
+            # Trust the hint WITHOUT touching ds.schema(): for an
+            # un-materialized upstream ending in an all-to-all stage
+            # (groupby/sort), fetch_if_missing executes the ENTIRE
+            # upstream just to read the first block's schema — and the
+            # join then re-executes it again for real.  A caller-
+            # supplied schema makes that probe pure waste (measured 3×
+            # wedge-pipeline re-execution in clustering_coefficient).
+            return ds, hint  # pa.Schema: same .names/.types surface
         s = ds.schema(fetch_if_missing=True)
         if s is None:  # seen under heavy sessions: force execution once
             ds = ds.materialize()
             s = ds.schema()
-        if s is None and hint is not None:
-            return ds, hint  # pa.Schema: same .names/.types surface
         if s is None:
             raise ValueError("bucketed_join: side has no derivable schema "
                              "(empty dataset with unknown columns); pass "

@@ -341,6 +341,25 @@ def kcore(edges: ray.data.Dataset, k: int, src: str = "src",
         batch_format="pandas")
 
 
+def _pack_pair(v: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Single-int64 key for a node pair (requires 0 ≤ id < 2^31)."""
+    return (v.astype(np.int64) << np.int64(32)) | w.astype(np.int64)
+
+
+def _pair_packable(und: ray.data.Dataset) -> bool:
+    """True when every node id of the canonical edge set fits a packed
+    (v << 32 | w) int64 key — one cheap edge-set scan, no shuffle."""
+    mm = und.map_batches(
+        lambda b: pd.DataFrame({
+            "lo": [min(int(b["a"].min()), int(b["b"].min()))],
+            "hi": [max(int(b["a"].max()), int(b["b"].max()))]})
+        if len(b) else pd.DataFrame({"lo": [0], "hi": [0]}),
+        batch_format="pandas").to_pandas()
+    if mm.empty:
+        return False
+    return int(mm["lo"].min()) >= 0 and int(mm["hi"].max()) < 2 ** 31
+
+
 def triangle_count(edges: ray.data.Dataset, src: str = "src",
                    dst: str = "dst",
                    num_buckets: int = shuffle.DEFAULT_BUCKETS,
@@ -424,6 +443,7 @@ def triangle_count(edges: ray.data.Dataset, src: str = "src",
         })
 
     oriented = w_ab.map_batches(orient, batch_format="pandas").materialize()
+    packable = pa.types.is_int64(ntype) and _pair_packable(und)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         # ragged vectorized triu per sorted out-neighborhood (same
@@ -439,21 +459,37 @@ def triangle_count(edges: ray.data.Dataset, src: str = "src",
         reps = np.repeat(sizes, sizes) - 1 - pos
         total = int(reps.sum())
         if total == 0:
-            return pd.DataFrame({"v": vv[:0], "w": vv[:0]})
-        i_idx = np.repeat(np.arange(len(uu)), reps)
-        j_off = np.arange(total) - np.repeat(np.cumsum(reps) - reps,
-                                             reps) + 1
-        return pd.DataFrame({"v": vv[i_idx], "w": vv[i_idx + j_off]})
+            i_idx = j_off = np.zeros(0, np.int64)
+        else:
+            i_idx = np.repeat(np.arange(len(uu)), reps)
+            j_off = np.arange(total) - np.repeat(
+                np.cumsum(reps) - reps, reps) + 1
+        v_, w_ = vv[i_idx], vv[i_idx + j_off]
+        if packable:
+            return pd.DataFrame({"vw": _pack_pair(v_, w_)})
+        return pd.DataFrame({"v": v_, "w": w_})
 
     wedge_ds = shuffle.grouped_transform(oriented, ["u"], wedges,
                                          num_buckets=num_buckets)
-    closure = oriented.map_batches(
-        lambda b: b.rename(columns={"u": "v", "v": "w"})[["v", "w"]],
-        batch_format="pandas")
-    pair_schema = pa.schema([("v", ntype), ("w", ntype)])
-    tri = bucketed_join(wedge_ds, closure, on=["v", "w"],
-                        num_buckets=num_buckets,
-                        left_schema=pair_schema, right_schema=pair_schema)
+    if packable:  # single-int64 shuffle key: halves exchange width
+        closure = oriented.map_batches(
+            lambda b: pd.DataFrame({"vw": _pack_pair(
+                b["u"].to_numpy(np.int64), b["v"].to_numpy(np.int64))}),
+            batch_format="pandas")
+        key_schema = pa.schema([("vw", pa.int64())])
+        tri = bucketed_join(wedge_ds, closure, on="vw",
+                            num_buckets=num_buckets,
+                            left_schema=key_schema,
+                            right_schema=key_schema)
+    else:
+        closure = oriented.map_batches(
+            lambda b: b.rename(columns={"u": "v", "v": "w"})
+            [["v", "w"]], batch_format="pandas")
+        pair_schema = pa.schema([("v", ntype), ("w", ntype)])
+        tri = bucketed_join(wedge_ds, closure, on=["v", "w"],
+                            num_buckets=num_buckets,
+                            left_schema=pair_schema,
+                            right_schema=pair_schema)
     parts = tri.map_batches(
         lambda b: pd.DataFrame({"n": [np.int64(len(b))]}),
         batch_format="pandas").to_pandas()
@@ -822,6 +858,7 @@ def clustering_coefficient(edges: ray.data.Dataset, src: str = "src",
 
     oriented = w_ab.map_batches(orient,
                                 batch_format="pandas").materialize()
+    packable = pa.types.is_int64(ntype) and _pair_packable(und)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         # ragged vectorized triu carrying the wedge source (see
@@ -835,30 +872,49 @@ def clustering_coefficient(edges: ray.data.Dataset, src: str = "src",
         reps = np.repeat(sizes, sizes) - 1 - pos
         total = int(reps.sum())
         if total == 0:
-            return pd.DataFrame({"wu": uu[:0], "v": vv[:0],
-                                 "w": vv[:0]})
-        i_idx = np.repeat(np.arange(len(uu)), reps)
-        j_off = np.arange(total) - np.repeat(np.cumsum(reps) - reps,
-                                             reps) + 1
-        return pd.DataFrame({"wu": uu[i_idx], "v": vv[i_idx],
-                             "w": vv[i_idx + j_off]})
+            i_idx = j_off = np.zeros(0, np.int64)
+        else:
+            i_idx = np.repeat(np.arange(len(uu)), reps)
+            j_off = np.arange(total) - np.repeat(
+                np.cumsum(reps) - reps, reps) + 1
+        wu, v_, w_ = uu[i_idx], vv[i_idx], vv[i_idx + j_off]
+        if packable:
+            return pd.DataFrame({"wu": wu, "vw": _pack_pair(v_, w_)})
+        return pd.DataFrame({"wu": wu, "v": v_, "w": w_})
 
     wedge_ds = shuffle.grouped_transform(oriented, ["u"], wedges,
                                          num_buckets=num_buckets)
-    closure = oriented.map_batches(
-        lambda b: b.rename(columns={"u": "v", "v": "w"})[["v", "w"]],
-        batch_format="pandas")
-    tri = bucketed_join(
-        wedge_ds, closure, on=["v", "w"], num_buckets=num_buckets,
-        left_schema=pa.schema([("wu", ntype), ("v", ntype),
-                               ("w", ntype)]),
-        right_schema=pa.schema([("v", ntype), ("w", ntype)]))
-
-    tri_nodes = tri.map_batches(
-        lambda b: pd.DataFrame({"node": np.concatenate(
-            [b["wu"].to_numpy(), b["v"].to_numpy(),
-             b["w"].to_numpy()])}),
-        batch_format="pandas")
+    if packable:
+        closure = oriented.map_batches(
+            lambda b: pd.DataFrame({"vw": _pack_pair(
+                b["u"].to_numpy(np.int64), b["v"].to_numpy(np.int64))}),
+            batch_format="pandas")
+        tri = bucketed_join(
+            wedge_ds, closure, on="vw", num_buckets=num_buckets,
+            left_schema=pa.schema([("wu", ntype),
+                                   ("vw", pa.int64())]),
+            right_schema=pa.schema([("vw", pa.int64())]))
+        tri_nodes = tri.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b["wu"].to_numpy(np.int64),
+                 b["vw"].to_numpy(np.int64) >> np.int64(32),
+                 b["vw"].to_numpy(np.int64)
+                 & np.int64((1 << 32) - 1)])}),
+            batch_format="pandas")
+    else:
+        closure = oriented.map_batches(
+            lambda b: b.rename(columns={"u": "v", "v": "w"})
+            [["v", "w"]], batch_format="pandas")
+        tri = bucketed_join(
+            wedge_ds, closure, on=["v", "w"], num_buckets=num_buckets,
+            left_schema=pa.schema([("wu", ntype), ("v", ntype),
+                                   ("w", ntype)]),
+            right_schema=pa.schema([("v", ntype), ("w", ntype)]))
+        tri_nodes = tri.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b["wu"].to_numpy(), b["v"].to_numpy(),
+                 b["w"].to_numpy()])}),
+            batch_format="pandas")
     tcounts = shuffle.group_agg(
         tri_nodes, ["node"], {"triangles": ("node", "size")},
         num_buckets=num_buckets)
@@ -1015,3 +1071,90 @@ def jaccard_link_prediction(edges: ray.data.Dataset, src: str = "src",
     if out.count() == 0:
         return _empty()
     return out
+
+
+def harmonic_centrality(edges: ray.data.Dataset, hops: int = 3,
+                        src: str = "src", dst: str = "dst",
+                        num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                        ) -> ray.data.Dataset:
+    """Bounded-hop harmonic centrality over the UNDIRECTED
+    simplification: ``H(v) = Σ_{u ≠ v, d(v,u) ≤ hops} 1/d(v,u)`` with
+    unweighted hop distances (Boldi & Vigna's harmonic variant of
+    closeness, public literature; the hop bound makes it
+    SQL-expressible like the other bounded network ops).
+
+    Exactness: hop distances are small integers, so the per-node
+    reachability histogram (n_1 … n_hops) is exact int64; the final
+    score is the FIXED left-to-right expression ``n_1/1 + n_2/2 + …``
+    — identical IEEE ops on both engines, no summation-order freedom.
+
+    Scale: one Bellman-Ford relaxation per hop (frontier × edges
+    bucketed join + keyed min), distance tables object-store-resident;
+    the histogram is a (node × hops)-sized keyed count.  Output
+    (node, n_reach, harmonic)."""
+    import pyarrow as pa
+
+    from city2graph_ray.ops.network import bounded_hop_paths
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy(np.int64)
+        c = b[dst].to_numpy(np.int64)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c),
+                             "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+    if und.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "n_reach": pa.array([], pa.int64()),
+            "harmonic": pa.array([], pa.float64())}))
+
+    directed = und.map_batches(
+        lambda b: pd.DataFrame({
+            "src": np.concatenate([b["a"].to_numpy(np.int64),
+                                   b["b"].to_numpy(np.int64)]),
+            "dst": np.concatenate([b["b"].to_numpy(np.int64),
+                                   b["a"].to_numpy(np.int64)]),
+            "weight": np.ones(2 * len(b), np.float64)}),
+        batch_format="pandas")
+    nodes = shuffle.distinct(
+        und.map_batches(
+            lambda b: pd.DataFrame({"node_id": np.concatenate(
+                [b["a"].to_numpy(np.int64),
+                 b["b"].to_numpy(np.int64)])}),
+            batch_format="pandas"),
+        ["node_id"], num_buckets=num_buckets)
+
+    dist = bounded_hop_paths(directed, nodes, hops=hops,
+                             num_buckets=num_buckets)
+
+    hist = shuffle.group_agg(
+        dist.map_batches(
+            lambda b: (lambda m: pd.DataFrame({
+                "node": b.loc[m, "src"].to_numpy(np.int64),
+                "k": b.loc[m, "distance"].to_numpy(np.float64)
+                .astype(np.int64)}))(b["src"] != b["dst"]),
+            batch_format="pandas"),
+        ["node", "k"], {"n": ("k", "size")}, num_buckets=num_buckets)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(index="node", columns="k", values="n",
+                            aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"node": piv.index.to_numpy(np.int64)})
+        h = np.zeros(len(piv), np.float64)
+        total = np.zeros(len(piv), np.int64)
+        for k in range(1, hops + 1):
+            nk = (piv[k].to_numpy(np.int64) if k in piv.columns
+                  else np.zeros(len(piv), np.int64))
+            h = h + nk / float(k)   # fixed order: k ascending
+            total += nk
+        out["n_reach"] = total
+        out["harmonic"] = h
+        return out
+
+    return shuffle.grouped_transform(hist, ["node"], finish,
+                                     num_buckets=num_buckets)

@@ -406,3 +406,43 @@ def test_jaccard_empty_and_max_degree():
     capped = jaccard_link_prediction(rd.from_pandas(star),
                                      num_buckets=4, max_degree=4)
     assert capped.count() == 0
+
+
+def test_harmonic_centrality_matches_networkx():
+    import networkx as nx
+
+    from city2graph_ray.ops.graph_algos import harmonic_centrality
+    rng = np.random.default_rng(17)
+    e = pd.DataFrame({"src": rng.integers(0, 50, 150),
+                      "dst": rng.integers(0, 50, 150)})
+    hops = 3
+    out = harmonic_centrality(rd.from_pandas(e), hops=hops,
+                              num_buckets=8).to_pandas()
+    G = nx.Graph()
+    G.add_edges_from((a, b) for a, b in zip(e["src"], e["dst"])
+                     if a != b)
+    got = {r["node"]: (r["n_reach"], r["harmonic"])
+           for _, r in out.iterrows()}
+    assert set(got) == set(G.nodes())
+    for v in G.nodes():
+        lengths = nx.single_source_shortest_path_length(G, v,
+                                                        cutoff=hops)
+        want_n = len(lengths) - 1  # drop self
+        want_h = sum(1.0 / d for d in lengths.values() if d > 0)
+        assert got[v][0] == want_n
+        assert abs(got[v][1] - want_h) < 1e-12
+
+
+def test_harmonic_centrality_empty_and_path():
+    from city2graph_ray.ops.graph_algos import harmonic_centrality
+    empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64)})
+    assert harmonic_centrality(rd.from_pandas(empty),
+                               num_buckets=4).count() == 0
+    # path 0-1-2-3-4, hops=2: node 2 reaches all 4 within 2 hops
+    e = pd.DataFrame({"src": np.int64([0, 1, 2, 3]),
+                      "dst": np.int64([1, 2, 3, 4])})
+    out = harmonic_centrality(rd.from_pandas(e), hops=2,
+                              num_buckets=4).to_pandas()
+    row = out[out["node"] == 2].iloc[0]
+    assert row["n_reach"] == 4 and row["harmonic"] == 2.0 + 2 * 0.5
