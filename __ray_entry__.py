@@ -2018,6 +2018,28 @@ def _event_value_ntile(sf_dir: str):
                                 descending=[True, False])
 
 
+def _event_value_linreg(sf_dir: str):
+    """Per-type OLS fit of value (cents) on hours-since-window-start:
+    five exact int64 moment sums, fixed-order slope/intercept finish
+    (group_variance's integer-unit technique extended to two
+    variables)."""
+    from city2graph_ray.ops.stats import group_linreg
+    from city2graph_ray.pipelines.tables import events
+
+    t0 = 1704067200000000  # epoch_us('2024-01-01')
+
+    ev = events(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "event_type": b["event_type"].astype(str),
+            "x_hours": (b["ts"].astype("datetime64[us]").to_numpy()
+                        .view("i8") - t0) / 3.6e9,
+            "value": b["value"].to_numpy(np.float64)}),
+        batch_format="pandas")
+    out = group_linreg(ev, ["event_type"], "x_hours", "value",
+                       x_scale=1, y_scale=100).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _event_type_cooccurrence(sf_dir: str):
     """Bipartite user×event_type projection: distinct-user weight per
     unordered type pair."""
@@ -2619,6 +2641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hybrid_rrf": _doc_hybrid_rrf,
         "event_value_rank": _event_value_rank,
         "event_value_ntile": _event_value_ntile,
+        "event_value_linreg": _event_value_linreg,
         "event_value_variance": _event_value_variance,
         "event_type_cooccurrence": _event_type_cooccurrence,
         "tpch_q7_volume": _tpch_q7,
@@ -4255,6 +4278,27 @@ def oracle_sql() -> dict[str, str]:
                    ntile(10) OVER (ORDER BY value DESC, event_id)
                      AS tile
             FROM events""",
+        "event_value_linreg": """
+            WITH u AS (
+              SELECT event_type,
+                     CAST(floor((epoch_us(ts) - 1704067200000000)
+                                / 3600000000.0 + 0.5) AS BIGINT)
+                       AS xu,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS yu
+              FROM events),
+            m AS (SELECT event_type, count(*) AS n,
+                         sum(xu) AS sx, sum(yu) AS sy,
+                         sum(xu * yu) AS sxy, sum(xu * xu) AS sxx
+                  FROM u GROUP BY event_type),
+            f AS (SELECT event_type, n,
+                         ((n * sxy - sx * sy) * 1.0
+                          / (n * sxx - sx * sx)) * (1.0 / 100.0)
+                           AS slope,
+                         sx, sy FROM m)
+            SELECT event_type, n, slope,
+                   (sy / (n * 100.0)) - slope * (sx / (n * 1.0))
+                     AS intercept
+            FROM f ORDER BY event_type""",
         "event_type_cooccurrence": """
             WITH di AS (SELECT DISTINCT user_id, event_type
                         FROM events)

@@ -374,3 +374,69 @@ def group_variance(ds: ray.data.Dataset, keys, value_col: str,
         return out
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def group_linreg(ds: ray.data.Dataset, keys, x_col: str, y_col: str,
+                 x_scale: int = 1, y_scale: int = 100,
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 ) -> ray.data.Dataset:
+    """Per-key ordinary-least-squares fit ``y = slope·x + intercept``,
+    bit-exact across any block layout: both columns quantize once to
+    integer units (``floor(v·scale + 0.5)``), the five shuffled
+    moments (n, Σx, Σy, Σxy, Σx²) are exact int64 sums, and the final
+    slope/intercept expressions are evaluated in ONE fixed order
+    shared with the SQL twin:
+
+        num   = n·Σxy − Σx·Σy          (int64, exact)
+        den   = n·Σx² − Σx·Σx          (int64, exact)
+        slope = (num / den) · (x_scale / y_scale)   [as written]
+        intercept = (Σy/y_scale − slope·(Σx/x_scale)·y?) — see below
+
+    implemented as ``slope_u = num/den`` (exact-int division → the
+    identical double), then ``slope = slope_u * (x_scale/y_scale)``
+    and ``intercept = (sy/(n·y_scale)) − slope·(sx/(n·x_scale))``.
+    Caller must pick scales so every moment stays below 2⁵³ (e.g. x in
+    hours-since-window, y in cents) — documented contract, same as
+    `group_variance`.  Groups with zero x-variance emit NaN slope.
+    Output ``(keys…, n, slope, intercept)``."""
+    keys = list(keys)
+    fx, fy = float(x_scale), float(y_scale)
+
+    def to_units(b: pd.DataFrame) -> pd.DataFrame:
+        xu = np.floor(b[x_col].to_numpy(np.float64) * fx + 0.5
+                      ).astype(np.int64)
+        yu = np.floor(b[y_col].to_numpy(np.float64) * fy + 0.5
+                      ).astype(np.int64)
+        out = b[keys].copy()
+        out["__x"] = xu
+        out["__y"] = yu
+        out["__xy"] = xu * yu
+        out["__xx"] = xu * xu
+        return out
+
+    agg = shuffle.group_agg(
+        ds.map_batches(to_units, batch_format="pandas"), keys,
+        {"n": ("__x", "size"), "sx": ("__x", "sum"),
+         "sy": ("__y", "sum"), "sxy": ("__xy", "sum"),
+         "sxx": ("__xx", "sum")}, num_buckets=num_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        sx = b["sx"].to_numpy(np.int64)
+        sy = b["sy"].to_numpy(np.int64)
+        sxy = b["sxy"].to_numpy(np.int64)
+        sxx = b["sxx"].to_numpy(np.int64)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope_u = np.where(den != 0, num / np.where(den != 0, den,
+                                                        1), np.nan)
+        slope = slope_u * (fx / fy)
+        intercept = (sy / (n * fy)) - slope * (sx / (n * fx))
+        out = b[keys].copy()
+        out["n"] = n
+        out["slope"] = slope
+        out["intercept"] = intercept
+        return out
+
+    return agg.map_batches(finish, batch_format="pandas")

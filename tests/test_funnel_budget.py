@@ -211,3 +211,41 @@ def test_global_ntile_sql_remainder_semantics():
     empty = pd.DataFrame({"v": pd.Series([], dtype=np.int64)})
     assert shuffle.global_ntile(rd.from_pandas(empty),
                                 ["v"], 5).count() == 0
+
+
+def test_group_linreg_exact_and_layout_stable():
+    from city2graph_ray.ops.stats import group_linreg
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, n),
+        "x": rng.integers(0, 500, n).astype(np.float64),
+        "y": np.round(rng.uniform(0, 100, n), 2)})
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        o = (group_linreg(ds, ["g"], "x", "y", x_scale=1, y_scale=100,
+                          num_buckets=8)
+             .to_pandas().sort_values("g").reset_index(drop=True))
+        outs.append(o)
+    # layout-stable: bit-identical across block layouts
+    assert outs[0]["slope"].tolist() == outs[1]["slope"].tolist()
+    assert outs[0]["intercept"].tolist() == outs[1]["intercept"].tolist()
+    # matches a plain least-squares fit on quantized units
+    for _, r in outs[0].iterrows():
+        sub = df[df["g"] == r["g"]]
+        xu = np.floor(sub["x"].to_numpy() + 0.5)
+        yu = np.floor(sub["y"].to_numpy() * 100 + 0.5) / 100.0
+        m, c = np.polyfit(xu, yu, 1)
+        assert abs(r["slope"] - m) < 1e-9
+        assert abs(r["intercept"] - c) < 1e-7
+
+
+def test_group_linreg_degenerate_x():
+    from city2graph_ray.ops.stats import group_linreg
+    df = pd.DataFrame({"g": np.int64([1, 1, 1]),
+                       "x": [5.0, 5.0, 5.0],
+                       "y": [1.0, 2.0, 3.0]})
+    out = group_linreg(rd.from_pandas(df), ["g"], "x", "y",
+                       num_buckets=4).to_pandas()
+    assert np.isnan(out["slope"].iloc[0])  # zero x-variance
