@@ -1869,6 +1869,17 @@ def _event_props_extract(sf_dir: str):
         batch_format="pandas")
 
 
+def _gtfs_transfers(sf_dir: str):
+    """Feasible same-stop transfers over the real GTFS feed files:
+    stop-keyed shuffle, per-stop sorted-departure searchsorted window
+    (60 s ≤ wait ≤ 1800 s)."""
+    from city2graph_ray.ops.transport import stop_transfers
+    from city2graph_ray.sources.gtfs import load_gtfs_dir
+
+    g = load_gtfs_dir(_write_gtfs_feed())
+    return stop_transfers(g["stop_times"])
+
+
 def _gtfs_travel_summary(sf_dir: str):
     """END-TO-END GTFS pipeline at the gate: a deterministic feed
     (150 trips × 4 stops, 3 services with weekday masks + add/remove
@@ -2618,6 +2629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6_forecast": _tpch_q6,
         "event_props_extract": _event_props_extract,
         "gtfs_travel_summary": _gtfs_travel_summary,
+        "gtfs_transfers": _gtfs_transfers,
         "gtfs_od_pairs": _gtfs_od_pairs,
         "orders_global_sort": _orders_global_sort,
         "tpch_q10_returns": _tpch_q10,
@@ -3710,6 +3722,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1""",
+        "gtfs_transfers": """
+            WITH ks AS (SELECT k FROM range(0, 150) t(k)),
+            ii AS (SELECT i FROM range(0, 4) t(i)),
+            st AS (SELECT 't' || k AS trip_id,
+                          's' || ((k * 7 + i * 3) % 30) AS stop_id,
+                          21600 + k * 60 + i * 300
+                            - (30 + (k % 7) * 10) AS arr,
+                          21600 + k * 60 + i * 300 AS dep
+                   FROM ks CROSS JOIN ii)
+            SELECT a.stop_id,
+                   a.trip_id AS from_trip, b.trip_id AS to_trip,
+                   CAST(b.dep - a.arr AS DOUBLE) AS wait_secs
+            FROM st a JOIN st b
+              ON a.stop_id = b.stop_id AND a.trip_id <> b.trip_id
+            WHERE b.dep - a.arr BETWEEN 60 AND 1800""",
         "gtfs_travel_summary": """
             WITH ks AS (SELECT k FROM range(0, 150) t(k)),
             cal(service_id, d0, d1, mon, tue, wed, thu, fri, sat, sun)

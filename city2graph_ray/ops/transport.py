@@ -357,3 +357,66 @@ def get_od_pairs(stop_times: ray.data.Dataset, trips: pd.DataFrame,
         return out
 
     return stop_times.groupby("trip_id").map_groups(legs, batch_format="pandas")
+
+
+def stop_transfers(stop_times: ray.data.Dataset,
+                   min_wait: float = 60.0, max_wait: float = 1800.0,
+                   num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                   ) -> ray.data.Dataset:
+    """Feasible same-stop transfers: for every arriving visit (trip a,
+    stop s) and departing visit (trip b ≠ a, stop s) with
+    ``min_wait ≤ dep_b − arr_a ≤ max_wait``, one row
+    (stop_id, from_trip, to_trip, wait_secs).
+
+    Distributed shape: ONE shuffle keyed by stop_id; within each hash
+    bucket, departures are sorted per stop and each arrival's feasible
+    window is a searchsorted cut + ragged expansion (the interval-join
+    candidate technique keyed by stop).  Partitioning assumption:
+    per-stop visit counts are bounded (bucket further by coarse time
+    window via a composite key when a mega-hub exceeds worker memory —
+    same salting escape as the cell operators)."""
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "stop_id": b["stop_id"].astype(str),
+            "trip_id": b["trip_id"].astype(str),
+            "arr": b["arrival_time"].map(time_to_seconds)
+            .to_numpy(np.float64),
+            "dep": b["departure_time"].map(time_to_seconds)
+            .to_numpy(np.float64)})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "stop_id": pd.Series([], dtype=str),
+            "from_trip": pd.Series([], dtype=str),
+            "to_trip": pd.Series([], dtype=str),
+            "wait_secs": pd.Series([], dtype=np.float64)})
+        out = [empty]
+        for stop, grp in g.groupby("stop_id", sort=False):
+            dsorted = grp.sort_values(["dep", "trip_id"],
+                                      kind="stable")
+            dep = dsorted["dep"].to_numpy(np.float64)
+            dtrip = dsorted["trip_id"].to_numpy()
+            arr = grp["arr"].to_numpy(np.float64)
+            atrip = grp["trip_id"].to_numpy()
+            lo = np.searchsorted(dep, arr + min_wait, side="left")
+            hi = np.searchsorted(dep, arr + max_wait, side="right")
+            cnt = np.maximum(hi - lo, 0)
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            ai = np.repeat(np.arange(len(arr)), cnt)
+            off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt,
+                                               cnt)
+            bi = lo[ai] + off
+            keep = atrip[ai] != dtrip[bi]
+            ai, bi = ai[keep], bi[keep]
+            out.append(pd.DataFrame({
+                "stop_id": np.full(len(ai), stop),
+                "from_trip": atrip[ai],
+                "to_trip": dtrip[bi],
+                "wait_secs": dep[bi] - arr[ai]}))
+        return pd.concat(out, ignore_index=True)
+
+    stream = stop_times.map_batches(prep, batch_format="pandas")
+    return shuffle.grouped_transform(stream, ["stop_id"], kernel,
+                                     num_buckets=num_buckets)

@@ -266,3 +266,34 @@ def test_time_to_seconds_reference_parity():
         assert np.isnan(time_to_seconds(bad))
         with pytest.raises(ValueError, match="Expected HH:MM:SS"):
             time_to_seconds(bad, strict=True)
+
+
+def test_stop_transfers_window_and_self_exclusion():
+    from city2graph_ray.ops.transport import stop_transfers
+    st = pd.DataFrame({
+        "trip_id": ["a", "b", "c", "a", "d"],
+        "stop_id": ["s1", "s1", "s1", "s2", "s2"],
+        "arrival_time": ["08:00:00", "08:05:00", "09:00:00",
+                         "08:00:00", "08:10:00"],
+        "departure_time": ["08:01:00", "08:06:00", "09:01:00",
+                           "08:01:00", "08:11:00"]})
+    out = (stop_transfers(rd.from_pandas(st), min_wait=60,
+                          max_wait=1800, num_buckets=4)
+           .to_pandas().sort_values(["stop_id", "from_trip",
+                                     "to_trip"]).reset_index(drop=True))
+    # s1: a->b (360 s) feasible; a->c (3660 s) too late; b->c too late;
+    #     self-transfers excluded.  s2: a->d (660 s) feasible.
+    got = list(zip(out["stop_id"], out["from_trip"], out["to_trip"],
+                   out["wait_secs"]))
+    assert got == [("s1", "a", "b", 360.0), ("s2", "a", "d", 660.0)]
+
+
+def test_stop_transfers_empty():
+    from city2graph_ray.ops.transport import stop_transfers
+    empty = pd.DataFrame({
+        "trip_id": pd.Series([], dtype=str),
+        "stop_id": pd.Series([], dtype=str),
+        "arrival_time": pd.Series([], dtype=str),
+        "departure_time": pd.Series([], dtype=str)})
+    assert stop_transfers(rd.from_pandas(empty),
+                          num_buckets=4).count() == 0
