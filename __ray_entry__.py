@@ -2246,6 +2246,58 @@ _HARMONIC_SQL = """
     FROM hist GROUP BY node"""
 
 
+def _zone_hits(sf_dir: str):
+    """HITS hubs/authorities over the DIRECTED zone multigraph
+    (multiplicity respected): integer-unit L1 renormalization per
+    phase makes all 3 unrolled iterations bit-exact."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import hits
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    edges = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["o_orderkey"].to_numpy(np.int64) % 2500,
+            "dst": (b["o_orderkey"].to_numpy(np.int64) * 31
+                    + b["o_custkey"].to_numpy(np.int64)) % 2500}),
+        batch_format="pandas")
+    return hits(edges, num_iters=3)
+
+
+def _hits_sql(iters: int, scale: int = 10 ** 6) -> str:
+    ctes = [f"""e AS MATERIALIZED (
+      SELECT o_orderkey % 2500 AS src,
+             (o_orderkey * 31 + o_custkey) % 2500 AS dst
+      FROM orders),
+    n AS MATERIALIZED (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    h0 AS (SELECT node, CAST({scale} AS BIGINT) AS u FROM n)"""]
+    for i in range(1, iters + 1):
+        prev_h = f"h{i - 1}"
+        ctes.append(f"""a{i}s AS MATERIALIZED (
+      SELECT e.dst AS node, sum(h.u) AS s
+      FROM e JOIN {prev_h} h ON h.node = e.src GROUP BY 1)""")
+        ctes.append(f"""a{i}f AS (SELECT n.node, coalesce(s, 0) AS u
+      FROM n LEFT JOIN a{i}s USING (node))""")
+        ctes.append(f"a{i}t AS (SELECT sum(u) AS t FROM a{i}f)")
+        ctes.append(f"""a{i} AS MATERIALIZED (
+      SELECT node, CAST(floor(u * 1.0 / t * {scale} + 0.5) AS BIGINT)
+        AS u FROM a{i}f, a{i}t)""")
+        ctes.append(f"""h{i}s AS MATERIALIZED (
+      SELECT e.src AS node, sum(a.u) AS s
+      FROM e JOIN a{i} a ON a.node = e.dst GROUP BY 1)""")
+        ctes.append(f"""h{i}f AS (SELECT n.node, coalesce(s, 0) AS u
+      FROM n LEFT JOIN h{i}s USING (node))""")
+        ctes.append(f"h{i}t AS (SELECT sum(u) AS t FROM h{i}f)")
+        ctes.append(f"""h{i} AS MATERIALIZED (
+      SELECT node, CAST(floor(u * 1.0 / t * {scale} + 0.5) AS BIGINT)
+        AS u FROM h{i}f, h{i}t)""")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT a.node, a.u / {scale}.0 AS auth, h.u / {scale}.0 AS hub
+    FROM a{iters} a JOIN h{iters} h USING (node)""")
+
+
 _JACCARD_SQL = """
     WITH e0 AS MATERIALIZED (
       SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
@@ -2643,6 +2695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_adamic_adar": _zone_adamic_adar,
         "zone_jaccard": _zone_jaccard,
         "zone_harmonic": _zone_harmonic,
+        "zone_hits": _zone_hits,
         "event_funnel": _event_funnel,
         "event_interval_overlap": _event_interval_overlap,
         "event_user_paths": _event_user_paths,
@@ -4279,6 +4332,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_adamic_adar": _ADAMIC_ADAR_SQL,
         "zone_jaccard": _JACCARD_SQL,
         "zone_harmonic": _HARMONIC_SQL,
+        "zone_hits": _hits_sql(3),
         "event_value_variance": """
             WITH c AS (SELECT event_type,
                               CAST(floor(value * 100 + 0.5) AS BIGINT)

@@ -1158,3 +1158,139 @@ def harmonic_centrality(edges: ray.data.Dataset, hops: int = 3,
 
     return shuffle.grouped_transform(hist, ["node"], finish,
                                      num_buckets=num_buckets)
+
+
+def hits(edges: ray.data.Dataset, num_iters: int = 3,
+         src: str = "src", dst: str = "dst", scale: int = 10 ** 6,
+         num_buckets: int = shuffle.DEFAULT_BUCKETS,
+         ) -> ray.data.Dataset:
+    """HITS hubs-and-authorities (Kleinberg 1999, public literature)
+    over a directed edge list, with L1 normalization carried in
+    INTEGER units so every iteration is bit-reproducible:
+
+      auth_k(v) = Σ_{u→v} hub_{k-1}(u)      (int64 unit sum — exact)
+      hub_k(u)  = Σ_{u→v} auth_k(v)          (int64 unit sum — exact)
+
+    after each phase scores renormalize to ``scale`` L1 mass via
+    ``floor(units/total · scale + 0.5)`` — ``units`` and ``total``
+    are exact int64 below 2⁵³, so the double division and floor are
+    identical on both engines (the SQL twin unrolls the iterations as
+    chained CTEs).  Classic HITS uses L2; the L1 variant keeps the
+    normalizer an exact integer sum (L2 would need a float
+    sum-of-squares whose addition order is free).  Output
+    (node, auth, hub) with unit scores divided once by ``scale``.
+
+    Scale: per phase one bucketed join (edge stream × node-sized score
+    table, same node hash key every round) + one keyed sum; the
+    normalizer is a driver scalar folded from per-block partial int
+    sums."""
+    import pyarrow as pa
+
+    eds = edges.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b[src].to_numpy(np.int64),
+            "dst": b[dst].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    nodes = shuffle.distinct(
+        eds.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b["src"].to_numpy(), b["dst"].to_numpy()])}),
+            batch_format="pandas"),
+        ["node"], num_buckets=num_buckets).materialize()
+
+    if nodes.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "auth": pa.array([], pa.float64()),
+            "hub": pa.array([], pa.float64())}))
+
+    node_schema = pa.schema([("node", pa.int64())])
+    score_schema = pa.schema([("node", pa.int64()),
+                              ("u", pa.int64())])
+
+    def _normalize(summed: ray.data.Dataset) -> ray.data.Dataset:
+        """(node, s) partial units → zero-filled, L1-renormalized
+        (node, u) over ALL nodes."""
+        filled = bucketed_join(
+            nodes, summed, on="node", how="left",
+            num_buckets=num_buckets, left_schema=node_schema,
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("s", pa.int64())])).map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"].to_numpy(np.int64),
+                "u": np.nan_to_num(b["s"].to_numpy(np.float64),
+                                   nan=0.0).astype(np.int64)}),
+            batch_format="pandas").materialize()
+        parts = filled.map_batches(
+            lambda b: pd.DataFrame({"t": [int(b["u"].sum())]}),
+            batch_format="pandas").to_pandas()
+        total = int(parts["t"].sum())
+        if total == 0:
+            return filled
+        return filled.map_batches(
+            lambda b, t=total, sc=scale: pd.DataFrame({
+                "node": b["node"].to_numpy(np.int64),
+                "u": np.floor(b["u"].to_numpy(np.int64) / t * sc
+                              + 0.5).astype(np.int64)}),
+            batch_format="pandas").materialize()
+
+    hub = nodes.map_batches(
+        lambda b, sc=scale: pd.DataFrame({
+            "node": b["node"].to_numpy(np.int64),
+            "u": np.full(len(b), sc, np.int64)}),
+        batch_format="pandas").materialize()
+    auth = hub
+
+    for _ in range(num_iters):
+        a_sum = shuffle.group_agg(
+            bucketed_join(
+                eds, hub.map_batches(
+                    lambda b: b.rename(columns={"node": "src"}),
+                    batch_format="pandas"),
+                on="src", num_buckets=num_buckets,
+                left_schema=pa.schema([("src", pa.int64()),
+                                       ("dst", pa.int64())]),
+                right_schema=pa.schema([("src", pa.int64()),
+                                        ("u", pa.int64())])
+            ).map_batches(
+                lambda b: pd.DataFrame({
+                    "node": b["dst"].to_numpy(np.int64),
+                    "u": b["u"].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            ["node"], {"s": ("u", "sum")}, num_buckets=num_buckets)
+        auth = _normalize(a_sum)
+
+        h_sum = shuffle.group_agg(
+            bucketed_join(
+                eds, auth.map_batches(
+                    lambda b: b.rename(columns={"node": "dst"}),
+                    batch_format="pandas"),
+                on="dst", num_buckets=num_buckets,
+                left_schema=pa.schema([("src", pa.int64()),
+                                       ("dst", pa.int64())]),
+                right_schema=pa.schema([("dst", pa.int64()),
+                                        ("u", pa.int64())])
+            ).map_batches(
+                lambda b: pd.DataFrame({
+                    "node": b["src"].to_numpy(np.int64),
+                    "u": b["u"].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            ["node"], {"s": ("u", "sum")}, num_buckets=num_buckets)
+        hub = _normalize(h_sum)
+
+    both = bucketed_join(
+        auth.map_batches(lambda b: b.rename(columns={"u": "au"}),
+                         batch_format="pandas"),
+        hub.map_batches(lambda b: b.rename(columns={"u": "hu"}),
+                        batch_format="pandas"),
+        on="node", num_buckets=num_buckets,
+        left_schema=pa.schema([("node", pa.int64()),
+                               ("au", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()),
+                                ("hu", pa.int64())]))
+    return both.map_batches(
+        lambda b, sc=float(scale): pd.DataFrame({
+            "node": b["node"].to_numpy(np.int64),
+            "auth": b["au"].to_numpy(np.int64) / sc,
+            "hub": b["hu"].to_numpy(np.int64) / sc}),
+        batch_format="pandas")

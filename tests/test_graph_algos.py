@@ -446,3 +446,47 @@ def test_harmonic_centrality_empty_and_path():
                               num_buckets=4).to_pandas()
     row = out[out["node"] == 2].iloc[0]
     assert row["n_reach"] == 4 and row["harmonic"] == 2.0 + 2 * 0.5
+
+
+def test_hits_matches_quantized_reference():
+    from city2graph_ray.ops.graph_algos import hits
+    rng = np.random.default_rng(29)
+    e = pd.DataFrame({"src": rng.integers(0, 40, 200),
+                      "dst": rng.integers(0, 40, 200)})
+    iters, sc = 3, 10 ** 6
+    out = hits(rd.from_pandas(e), num_iters=iters,
+               num_buckets=8).to_pandas()
+    # local reference of the SAME integer-unit L1-quantized recurrence
+    nodes = np.unique(np.concatenate([e["src"], e["dst"]]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    si = e["src"].map(idx).to_numpy()
+    di = e["dst"].map(idx).to_numpy()
+    h = np.full(len(nodes), sc, np.int64)
+    a = h.copy()
+    for _ in range(iters):
+        a = np.bincount(di, weights=h[si].astype(np.float64),
+                        minlength=len(nodes)).astype(np.int64)
+        a = np.floor(a / int(a.sum()) * sc + 0.5).astype(np.int64)
+        h = np.bincount(si, weights=a[di].astype(np.float64),
+                        minlength=len(nodes)).astype(np.int64)
+        h = np.floor(h / int(h.sum()) * sc + 0.5).astype(np.int64)
+    got = {r["node"]: (r["auth"], r["hub"]) for _, r in out.iterrows()}
+    assert set(got) == set(nodes.tolist())
+    for n in nodes:
+        assert got[n][0] == a[idx[n]] / sc
+        assert got[n][1] == h[idx[n]] / sc
+
+
+def test_hits_star_and_empty():
+    from city2graph_ray.ops.graph_algos import hits
+    # star: all edges point 1..4 -> 0, so node 0 is the only authority
+    # and the leaves are the hubs
+    e = pd.DataFrame({"src": np.int64([1, 2, 3, 4]),
+                      "dst": np.int64([0, 0, 0, 0])})
+    out = hits(rd.from_pandas(e), num_iters=3,
+               num_buckets=4).to_pandas().set_index("node")
+    assert out.loc[0, "auth"] == 1.0 and out.loc[0, "hub"] == 0.0
+    assert abs(out.loc[1, "hub"] - 0.25) < 1e-6
+    empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64)})
+    assert hits(rd.from_pandas(empty), num_buckets=4).count() == 0
