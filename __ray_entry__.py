@@ -245,6 +245,40 @@ def _pt_cell_ring(sf_dir: str):
                              factor=4)
 
 
+def _grid_areal_interp(sf_dir: str):
+    """Areal interpolation (tobler-style area-weighted transfer) from
+    the part grid to a half-cell-shifted target grid, in integer
+    half-cell units: intersection areas are exact ints, retail values
+    ride deci-units, one final division — bit-exact."""
+    import ray.data
+
+    from city2graph_ray.ops.tiling import grid_areal_interpolation
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice"])
+
+    def src(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        c, r = k % 40, k // 40
+        return pd.DataFrame({
+            "id": k, "x0": 2 * c, "y0": 2 * r,
+            "x1": 2 * c + 2, "y1": 2 * r + 2,
+            "value": b["p_retailprice"].to_numpy(np.float64)})
+
+    def tgt(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        c, r = k % 40, k // 40
+        return pd.DataFrame({
+            "id": k, "x0": 2 * c + 1, "y0": 2 * r + 1,
+            "x1": 2 * c + 3, "y1": 2 * r + 3})
+
+    return grid_areal_interpolation(
+        part.map_batches(src, batch_format="pandas"),
+        part.map_batches(tgt, batch_format="pandas"),
+        src_area=4, value_scale=10)
+
+
 def _pt_radius_skewed(sf_dir: str):
     """fixed_radius over a deliberately SKEWED distribution — 20% of
     the points collapse into one 2×2 'urban core' while the rest
@@ -2585,6 +2619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_radius_pairs": _pt_radius,
         "pt_cell_assign": _pt_cell_assign,
         "pt_cell_ring": _pt_cell_ring,
+        "grid_areal_interp": _grid_areal_interp,
         "pt_radius_skewed": _pt_radius_skewed,
         "raster_downsample": _raster_downsample,
         "pt_knn": _pt_knn,
@@ -2845,6 +2880,28 @@ def oracle_sql() -> dict[str, str]:
                    r.ring_n
             FROM cellpts p JOIN ringn r
               ON p.ixo = r.ixo AND p.iyo = r.iyo""",
+        "grid_areal_interp": """
+            WITH s AS (SELECT p_partkey AS sid,
+                              2 * (p_partkey % 40) AS sx0,
+                              2 * (p_partkey // 40) AS sy0,
+                              CAST(floor(p_retailprice * 10 + 0.5)
+                                   AS BIGINT) AS vu
+                       FROM part),
+            t AS (SELECT p_partkey AS tgt_id,
+                         2 * (p_partkey % 40) + 1 AS tx0,
+                         2 * (p_partkey // 40) + 1 AS ty0
+                  FROM part),
+            pairs AS (
+              SELECT tgt_id, vu,
+                     (least(sx0 + 2, tx0 + 2) - greatest(sx0, tx0))
+                     * (least(sy0 + 2, ty0 + 2) - greatest(sy0, ty0))
+                       AS ov
+              FROM t JOIN s
+                ON sx0 < tx0 + 2 AND tx0 < sx0 + 2
+               AND sy0 < ty0 + 2 AND ty0 < sy0 + 2)
+            SELECT tgt_id, sum(vu * ov) / 40.0 AS interp_value,
+                   sum(ov) AS covered_area
+            FROM pairs GROUP BY tgt_id""",
         "raster_downsample": """
             SELECT (p_partkey % 40) // 4 AS pc,
                    (p_partkey // 40) // 4 AS pr,

@@ -79,3 +79,121 @@ def cell_ring_density(points: ray.data.Dataset, cell_size: float,
             "ring_n": b["ring_n"].to_numpy(np.int64)})
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def grid_areal_interpolation(src_rects: ray.data.Dataset,
+                             tgt_rects: ray.data.Dataset,
+                             value_col: str = "value",
+                             src_area: int | None = None,
+                             value_scale: int = 10,
+                             cell_w: int = 4,
+                             num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                             ) -> ray.data.Dataset:
+    """Area-weighted attribute transfer between two axis-aligned
+    rectangle coverages (the tobler/PySAL areal-interpolation
+    operator, restricted to INTEGER rect coordinates and UNIFORM
+    source area so the whole computation stays exact):
+    ``value(t) = Σ_s value(s) · |s ∩ t| / area(s)``.
+
+    Exactness contract: rect coords are integers, so intersection
+    areas are exact int64; values quantize once to
+    ``floor(v·value_scale + 0.5)`` units; per-target sums are int64
+    (Σ vu·overlap) and ONE final division by
+    ``src_area · value_scale`` produces identical doubles on both
+    engines.  Varying source areas would put a per-pair float divide
+    inside the sum — that generalization needs rational arithmetic
+    and is intentionally not claimed.
+
+    Scale shape: each rect explodes into the size-``cell_w`` grid
+    cells it covers; a source–target pair is emitted ONLY by the cell
+    containing the intersection's min corner (integer, so ownership
+    is exact); within a bucket candidates come from a pandas merge on
+    the cell key and a vectorized overlap mask.  Output
+    (tgt_id, interp_value, covered_area)."""
+    import pyarrow as pa
+
+    if src_area is None:
+        raise ValueError("pass src_area (uniform source rect area)")
+
+    def cover(side: int, has_value: bool):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            x0 = b["x0"].to_numpy(np.int64)
+            y0 = b["y0"].to_numpy(np.int64)
+            x1 = b["x1"].to_numpy(np.int64)
+            y1 = b["y1"].to_numpy(np.int64)
+            cx0, cx1 = x0 // cell_w, (x1 - 1) // cell_w
+            cy0, cy1 = y0 // cell_w, (y1 - 1) // cell_w
+            nx_ = (cx1 - cx0 + 1)
+            ny_ = (cy1 - cy0 + 1)
+            n = (nx_ * ny_).astype(np.int64)
+            idx = np.repeat(np.arange(len(b), dtype=np.int64), n)
+            step = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(n) - n, n)
+            gx = cx0[idx] + step % nx_[idx]
+            gy = cy0[idx] + step // nx_[idx]
+            vu = (np.floor(b[value_col].to_numpy(np.float64)
+                           * value_scale + 0.5).astype(np.int64)[idx]
+                  if has_value else np.zeros(len(idx), np.int64))
+            return pd.DataFrame({
+                "gcell": cells.pack(gx, gy),
+                "rid": b["id"].to_numpy(np.int64)[idx],
+                "x0": x0[idx], "y0": y0[idx],
+                "x1": x1[idx], "y1": y1[idx],
+                "vu": vu,
+                "side": np.full(len(idx), side, np.int8)})
+        return fn
+
+    both = src_rects.map_batches(cover(0, True),
+                                 batch_format="pandas").union(
+        tgt_rects.map_batches(cover(1, False), batch_format="pandas"))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "tgt_id": pd.Series([], dtype=np.int64),
+            "contrib": pd.Series([], dtype=np.int64),
+            "ov": pd.Series([], dtype=np.int64)})
+        sidev = g["side"].to_numpy(np.int8)
+        a = g.loc[sidev == 0]
+        t = g.loc[sidev == 1]
+        if a.empty or t.empty:
+            return empty
+        m = t.merge(a, on="gcell", suffixes=("", "_s"))
+        if m.empty:
+            return empty
+        ix0 = np.maximum(m["x0"].to_numpy(np.int64),
+                         m["x0_s"].to_numpy(np.int64))
+        iy0 = np.maximum(m["y0"].to_numpy(np.int64),
+                         m["y0_s"].to_numpy(np.int64))
+        ix1 = np.minimum(m["x1"].to_numpy(np.int64),
+                         m["x1_s"].to_numpy(np.int64))
+        iy1 = np.minimum(m["y1"].to_numpy(np.int64),
+                         m["y1_s"].to_numpy(np.int64))
+        ov = np.maximum(ix1 - ix0, 0) * np.maximum(iy1 - iy0, 0)
+        own = cells.pack(ix0 // cell_w, iy0 // cell_w) \
+            == m["gcell"].to_numpy(np.int64)
+        keep = (ov > 0) & own
+        return pd.DataFrame({
+            "tgt_id": m["rid"].to_numpy(np.int64)[keep],
+            "contrib": (m["vu_s"].to_numpy(np.int64)
+                        * ov)[keep],
+            "ov": ov[keep]})
+
+    pairs = shuffle.grouped_transform(both, ["gcell"], kernel,
+                                      num_buckets=num_buckets)
+    agg = shuffle.group_agg(
+        pairs, ["tgt_id"], {"s": ("contrib", "sum"),
+                            "covered_area": ("ov", "sum")},
+        num_buckets=num_buckets)
+    denom = float(src_area * value_scale)
+    out = agg.map_batches(
+        lambda b, d=denom: pd.DataFrame({
+            "tgt_id": b["tgt_id"].to_numpy(np.int64),
+            "interp_value": b["s"].to_numpy(np.int64) / d,
+            "covered_area": b["covered_area"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    if out.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "tgt_id": pa.array([], pa.int64()),
+            "interp_value": pa.array([], pa.float64()),
+            "covered_area": pa.array([], pa.int64())}))
+    return out

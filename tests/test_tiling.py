@@ -87,3 +87,46 @@ def test_bucketed_join_padded_bigint_survives_exchange():
                                 ("v", pa.int64())])).to_pandas()
     assert len(j) == 2000
     assert set(j["big"]) == set((base + k).tolist())
+
+
+def test_grid_areal_interpolation_quarters():
+    from city2graph_ray.ops.tiling import grid_areal_interpolation
+    # 2x2 block of unit-area sources valued 10,20,30,40; one target
+    # shifted by half a cell overlaps each with a quarter cell...
+    # here: sources are 2x2 half-unit squares, target shifted by 1
+    src = pd.DataFrame({
+        "id": np.int64([0, 1, 2, 3]),
+        "x0": np.int64([0, 2, 0, 2]), "y0": np.int64([0, 0, 2, 2]),
+        "x1": np.int64([2, 4, 2, 4]), "y1": np.int64([2, 2, 4, 4]),
+        "value": [10.0, 20.0, 30.0, 40.0]})
+    tgt = pd.DataFrame({
+        "id": np.int64([7]),
+        "x0": np.int64([1]), "y0": np.int64([1]),
+        "x1": np.int64([3]), "y1": np.int64([3])})
+    out = grid_areal_interpolation(
+        rd.from_pandas(src), rd.from_pandas(tgt), src_area=4,
+        value_scale=10, cell_w=4, num_buckets=4).to_pandas()
+    assert len(out) == 1
+    # each source contributes value * (1/4): (10+20+30+40)/4 = 25
+    assert out["interp_value"].iloc[0] == 25.0
+    assert out["covered_area"].iloc[0] == 4
+
+
+def test_grid_areal_interpolation_partial_and_empty():
+    from city2graph_ray.ops.tiling import grid_areal_interpolation
+    src = pd.DataFrame({
+        "id": np.int64([0]), "x0": np.int64([0]), "y0": np.int64([0]),
+        "x1": np.int64([2]), "y1": np.int64([2]), "value": [100.0]})
+    # target half-covered by the single source
+    tgt = pd.DataFrame({
+        "id": np.int64([1]), "x0": np.int64([1]), "y0": np.int64([0]),
+        "x1": np.int64([3]), "y1": np.int64([2])})
+    out = grid_areal_interpolation(
+        rd.from_pandas(src), rd.from_pandas(tgt), src_area=4,
+        value_scale=10, num_buckets=4).to_pandas()
+    assert out["interp_value"].iloc[0] == 50.0  # 100 * (2/4)
+    assert out["covered_area"].iloc[0] == 2
+    far = tgt.assign(x0=np.int64(100), x1=np.int64(102))
+    assert grid_areal_interpolation(
+        rd.from_pandas(src), rd.from_pandas(far), src_area=4,
+        num_buckets=4).count() == 0
