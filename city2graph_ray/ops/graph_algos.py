@@ -1075,6 +1075,7 @@ def jaccard_link_prediction(edges: ray.data.Dataset, src: str = "src",
 
 def harmonic_centrality(edges: ray.data.Dataset, hops: int = 3,
                         src: str = "src", dst: str = "dst",
+                        sources: ray.data.Dataset | None = None,
                         num_buckets: int = shuffle.DEFAULT_BUCKETS,
                         ) -> ray.data.Dataset:
     """Bounded-hop harmonic centrality over the UNDIRECTED
@@ -1090,7 +1091,10 @@ def harmonic_centrality(edges: ray.data.Dataset, hops: int = 3,
 
     Scale: one Bellman-Ford relaxation per hop (frontier × edges
     bucketed join + keyed min), distance tables object-store-resident;
-    the histogram is a (node × hops)-sized keyed count.  Output
+    the histogram is a (node × hops)-sized keyed count.  All-sources
+    exact centrality is O(Σ|B_hops(v)|·deg) relaxations — on dense
+    graphs pass ``sources`` (a (node_id) Dataset subset) to compute
+    the standard sampled variant instead.  Output
     (node, n_reach, harmonic)."""
     import pyarrow as pa
 
@@ -1121,7 +1125,7 @@ def harmonic_centrality(edges: ray.data.Dataset, hops: int = 3,
                                    b["a"].to_numpy(np.int64)]),
             "weight": np.ones(2 * len(b), np.float64)}),
         batch_format="pandas")
-    nodes = shuffle.distinct(
+    nodes = sources if sources is not None else shuffle.distinct(
         und.map_batches(
             lambda b: pd.DataFrame({"node_id": np.concatenate(
                 [b["a"].to_numpy(np.int64),

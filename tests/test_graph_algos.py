@@ -490,3 +490,33 @@ def test_hits_star_and_empty():
     empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
                           "dst": pd.Series([], dtype=np.int64)})
     assert hits(rd.from_pandas(empty), num_buckets=4).count() == 0
+
+
+def test_harmonic_centrality_sampled_sources():
+    import networkx as nx
+
+    from city2graph_ray.ops.graph_algos import harmonic_centrality
+    rng = np.random.default_rng(23)
+    e = pd.DataFrame({"src": rng.integers(0, 40, 120),
+                      "dst": rng.integers(0, 40, 120)})
+    hops = 2
+    srcs = pd.DataFrame({"node_id": np.int64([0, 7, 19, 33])})
+    out = harmonic_centrality(rd.from_pandas(e), hops=hops,
+                              sources=rd.from_pandas(srcs),
+                              num_buckets=4).to_pandas()
+    G = nx.Graph()
+    G.add_edges_from((a, b) for a, b in zip(e["src"], e["dst"])
+                     if a != b)
+    assert set(out["node"]) <= set(srcs["node_id"])
+    got = {r["node"]: (r["n_reach"], r["harmonic"])
+           for _, r in out.iterrows()}
+    for v in srcs["node_id"]:
+        if v not in G.nodes():
+            assert v not in got
+            continue
+        lengths = nx.single_source_shortest_path_length(G, int(v),
+                                                        cutoff=hops)
+        want_n = len(lengths) - 1
+        want_h = sum(1.0 / d for d in lengths.values() if d > 0)
+        assert got[v][0] == want_n
+        assert abs(got[v][1] - want_h) < 1e-12
