@@ -1222,6 +1222,15 @@ def _doc_span_removal(sf_dir: str):
     return remove_duplicated_spans(documents(sf_dir), n=4, num_buckets=16)
 
 
+def _doc_line_dedup(sf_dir: str):
+    """CCNet/RefinedWeb-style corpus line dedup: 4-word lines, drop
+    every line duplicated corpus-wide, reassemble docs in order."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import line_dedup
+
+    return line_dedup(documents(sf_dir), words_per_line=4, max_count=1)
+
+
 def _doc_pii_mask(sf_dir: str):
     """PII masking over the corpus.  The synthetic texts carry no PII,
     so deterministic PII is injected from doc_id (same construction in
@@ -2689,6 +2698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_self_overlap": _doc_self_overlap,
         "doc_unigram_logprob": _doc_unigram_lp,
         "doc_c4_filter": _doc_c4_filter,
+        "doc_line_dedup": _doc_line_dedup,
         "doc_pii_mask": _doc_pii_mask,
         "doc_url_canon": _doc_url_canon,
         "doc_domain_cap": _doc_domain_cap,
@@ -4175,6 +4185,25 @@ def oracle_sql() -> dict[str, str]:
                        FROM kept GROUP BY doc_id) k USING (doc_id)
             LEFT JOIN (SELECT doc_id, count(*) AS n_removed
                        FROM cov GROUP BY doc_id) c USING (doc_id)""",
+        "doc_line_dedup": r"""
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+                         FROM documents),
+            lines AS (
+              SELECT doc_id, (i - 1) // 4 AS line_no,
+                     array_to_string(ts[i:i+3], ' ') AS line
+              FROM tok,
+                   LATERAL unnest(generate_series(1, len(ts), 4)) AS t(i)),
+            c AS (SELECT line, count(*) AS n FROM lines GROUP BY line),
+            f AS (SELECT l.*, c.n FROM lines l JOIN c USING (line))
+            SELECT doc_id,
+              coalesce(string_agg(CASE WHEN n <= 1 THEN line END,
+                                  chr(10) ORDER BY line_no), '')
+                AS text_clean,
+              coalesce(sum(CASE WHEN n <= 1 THEN 1 ELSE 0 END), 0)::BIGINT
+                AS n_kept,
+              coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+                AS n_dropped
+            FROM f GROUP BY doc_id""",
         "doc_pii_mask": r"""
             WITH inj AS (
               SELECT doc_id,

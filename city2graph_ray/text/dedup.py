@@ -722,3 +722,73 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 8,
 
     cand = shuffle.grouped_transform(banded, ["band_id", "key"], pairs)
     return shuffle.distinct(cand, ["a", "b"])
+
+
+def split_lines(docs: ray.data.Dataset, words_per_line: int = 4,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> ray.data.Dataset:
+    """Explode each document into fixed-width "lines" of
+    ``words_per_line`` whitespace-separated words (the last line of a
+    doc may be shorter).  Output ``(id_col, line_no, line)``.
+
+    The chunking is a single vectorized C-regex pass — every Nth space
+    becomes a newline, then one split — no per-row Python loop.
+    Assumes single-space tokenization with no embedded newlines (the
+    documents table's shape); the SQL twin is
+    ``array_to_string(ts[i:i+N-1], ' ')`` over
+    ``generate_series(1, len(ts), N)``.
+    """
+    pat = r"((?:\S+ ){%d}\S+) " % (words_per_line - 1)
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        lines = (b[text_col].astype(str)
+                 .str.replace(pat, r"\1\n", regex=True).str.split("\n"))
+        out = pd.DataFrame({id_col: b[id_col].to_numpy(),
+                            "line": lines}).explode("line",
+                                                    ignore_index=True)
+        out["line_no"] = out.groupby(id_col, sort=False).cumcount()
+        return out[[id_col, "line_no", "line"]]
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def line_dedup(docs: ray.data.Dataset, words_per_line: int = 4,
+               max_count: int = 1, text_col: str = "text",
+               id_col: str = "doc_id") -> ray.data.Dataset:
+    """CCNet / RefinedWeb-style corpus-level line deduplication: drop
+    every line whose corpus-wide occurrence count exceeds ``max_count``
+    (boilerplate screen), reassemble each doc from its surviving lines
+    in order.  Output ``(doc_id, text_clean, n_kept, n_dropped)`` —
+    one row per input doc (docs losing every line keep an empty
+    ``text_clean``).
+
+    Scale shape (10^12 docs): line counting is a partial-aggregated
+    keyed count — hot boilerplate lines (exactly the ones this op
+    removes) collapse to one row per input batch before the shuffle,
+    so the exchange is bounded by DISTINCT lines per batch.  Counts
+    re-attach via one bucketed hash join on the line string, and doc
+    reassembly is one shuffle keyed by ``id_col``.  No stage holds the
+    corpus; the count table is bounded by distinct lines, not rows.
+    """
+    from city2graph_ray.joins import bucketed_join
+
+    lines = split_lines(docs, words_per_line, text_col, id_col)
+    counts = shuffle.group_agg(lines, ["line"], {"n": ("line", "size")})
+    flagged = bucketed_join(lines, counts, on="line")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "line_no"], kind="stable")
+        keep = (g["n"] <= max_count).to_numpy()
+        kept_line = g["line"].where(keep, None)
+        out = pd.DataFrame({
+            "text_clean": kept_line.groupby(g[id_col], sort=False).agg(
+                lambda s: "\n".join(x for x in s if x is not None)),
+            "n_kept": pd.Series(keep.astype(np.int64),
+                                index=g.index).groupby(
+                                    g[id_col], sort=False).sum(),
+        })
+        out["n_dropped"] = (g.groupby(id_col, sort=False).size()
+                            - out["n_kept"])
+        return out.reset_index().rename(columns={"index": id_col})
+
+    return shuffle.grouped_transform(flagged, [id_col], kernel)

@@ -429,3 +429,35 @@ def test_extract_json_field_paths():
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert out["k"].tolist() == [
         "69", "-3.5", 'he"y', "true", "", "7", "", ""]
+
+
+def test_line_dedup_corpus():
+    from city2graph_ray.text.dedup import line_dedup
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b c d e f g h unique tail zero",   # lines: "a b c d","e f g h",...
+            "a b c d x y z w",                    # shares "a b c d"
+            "e f g h",                            # single line, duplicated
+            "solo",                               # shorter than one line
+        ],
+    })
+    out = (line_dedup(rd.from_pandas(docs), words_per_line=4, max_count=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out.columns) == ["doc_id", "text_clean", "n_kept", "n_dropped"]
+    # "a b c d" (docs 0,1) and "e f g h" (docs 0,2) are corpus-duplicated
+    assert out.loc[0, "text_clean"] == "unique tail zero"
+    assert out.loc[0, "n_kept"] == 1 and out.loc[0, "n_dropped"] == 2
+    assert out.loc[1, "text_clean"] == "x y z w"
+    assert out.loc[2, "text_clean"] == "" and out.loc[2, "n_kept"] == 0
+    assert out.loc[3, "text_clean"] == "solo"
+    assert out["n_kept"].dtype == np.int64
+
+
+def test_split_lines_order_and_tail():
+    from city2graph_ray.text.dedup import split_lines
+    docs = pd.DataFrame({"doc_id": [7], "text": ["w1 w2 w3 w4 w5 w6 w7"]})
+    out = (split_lines(rd.from_pandas(docs), words_per_line=3)
+           .to_pandas().sort_values("line_no"))
+    assert out["line"].tolist() == ["w1 w2 w3", "w4 w5 w6", "w7"]
+    assert out["line_no"].tolist() == [0, 1, 2]
