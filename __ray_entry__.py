@@ -231,6 +231,17 @@ def _pt_cell_assign(sf_dir: str):
                              num_buckets=8)
 
 
+def _pt_zorder(sf_dir: str):
+    """Z-order locality layout: every point's Morton key (bit-interleaved
+    offset cell coords, cell 64) and its global rank along the Z-curve.
+    The SQL twin spreads bits with the same magic-number ladder in
+    BIGINT bitwise ops and ranks with row_number()."""
+    from city2graph_ray.ops.tiling import zorder_rank
+    from city2graph_ray.pipelines.tables import customer_points
+
+    return zorder_rank(customer_points(sf_dir), 64.0)
+
+
 def _pt_cell_ring(sf_dir: str):
     """Cell hierarchy at the gate: per point its packed cell, the
     4x-coarser PARENT cell and the k=1 RING population (H3/S2
@@ -2628,6 +2639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_radius_pairs": _pt_radius,
         "pt_cell_assign": _pt_cell_assign,
         "pt_cell_ring": _pt_cell_ring,
+        "pt_zorder": _pt_zorder,
         "grid_areal_interp": _grid_areal_interp,
         "pt_radius_skewed": _pt_radius_skewed,
         "raster_downsample": _raster_downsample,
@@ -2864,6 +2876,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT (iy << 31) | (ix & 2147483647) AS cell,
                    count(*) AS n_points
             FROM ij GROUP BY 1""",
+        "pt_zorder": f"""
+            WITH pts AS ({_PTS}),
+            ij AS (SELECT id,
+                     CAST(floor(x / 64.0) AS BIGINT) + 1073741824 AS vx,
+                     CAST(floor(y / 64.0) AS BIGINT) + 1073741824 AS vy
+                   FROM pts),
+            s1 AS (SELECT id,
+                     (vx | (vx << 16)) & 281470681808895 AS vx,
+                     (vy | (vy << 16)) & 281470681808895 AS vy FROM ij),
+            s2 AS (SELECT id,
+                     (vx | (vx << 8)) & 71777214294589695 AS vx,
+                     (vy | (vy << 8)) & 71777214294589695 AS vy FROM s1),
+            s3 AS (SELECT id,
+                     (vx | (vx << 4)) & 1085102592571150095 AS vx,
+                     (vy | (vy << 4)) & 1085102592571150095 AS vy FROM s2),
+            s4 AS (SELECT id,
+                     (vx | (vx << 2)) & 3689348814741910323 AS vx,
+                     (vy | (vy << 2)) & 3689348814741910323 AS vy FROM s3),
+            s5 AS (SELECT id,
+                     (vx | (vx << 1)) & 6148914691236517205 AS vx,
+                     (vy | (vy << 1)) & 6148914691236517205 AS vy FROM s4)
+            SELECT id, vx | (vy << 1) AS mkey,
+                   row_number() OVER (ORDER BY vx | (vy << 1), id) AS rn
+            FROM s5""",
         "pt_cell_ring": f"""
             WITH pts AS ({_PTS}),
             pc AS (SELECT id,

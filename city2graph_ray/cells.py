@@ -192,3 +192,27 @@ def cell_chebyshev(cell_a: np.ndarray, cell_b: np.ndarray) -> np.ndarray:
     ax, ay = cell_xy(np.asarray(cell_a, dtype=np.int64))
     bx, by = cell_xy(np.asarray(cell_b, dtype=np.int64))
     return np.maximum(np.abs(ax - bx), np.abs(ay - by))
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Interleave-ready bit spread: each of the low 31 bits of ``v``
+    moves to an even position (magic-number spreading, the public
+    Morton-code construction).  uint64 throughout."""
+    v = np.asarray(v).astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def morton_key(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Z-order (Morton) key of offset grid coords: interleaves the low
+    31 bits of ``ix`` (even positions) and ``iy`` (odd) into one int64
+    < 2^62.  Adjacent keys are spatially adjacent cells, so a range
+    partition on this key yields spatially coherent blocks — the
+    locality layout that makes halo joins and per-tile stages cheap
+    (the same reason Delta/Iceberg Z-ORDER their geo tables)."""
+    return (_spread_bits(ix) | (_spread_bits(iy) << np.uint64(1))).astype(
+        np.int64)

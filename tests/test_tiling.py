@@ -130,3 +130,35 @@ def test_grid_areal_interpolation_partial_and_empty():
     assert grid_areal_interpolation(
         rd.from_pandas(src), rd.from_pandas(far), src_area=4,
         num_buckets=4).count() == 0
+
+
+def test_morton_key_matches_bitwise_reference():
+    from city2graph_ray.cells import morton_key
+    rng = np.random.default_rng(7)
+    ix = rng.integers(0, 1 << 31, 200, dtype=np.int64)
+    iy = rng.integers(0, 1 << 31, 200, dtype=np.int64)
+
+    def slow(a, b):
+        out = 0
+        for bit in range(31):
+            out |= ((a >> bit) & 1) << (2 * bit)
+            out |= ((b >> bit) & 1) << (2 * bit + 1)
+        return out
+
+    got = morton_key(ix, iy)
+    want = np.array([slow(int(a), int(b)) for a, b in zip(ix, iy)])
+    assert (got == want).all()
+
+
+def test_zorder_rank_orders_by_key():
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import zorder_rank
+    pts = pd.DataFrame({"id": np.arange(50),
+                        "x": np.random.default_rng(1).uniform(0, 1000, 50),
+                        "y": np.random.default_rng(2).uniform(0, 1000, 50)})
+    out = zorder_rank(rd.from_pandas(pts), 64.0).to_pandas()
+    out = out.sort_values("rn")
+    assert len(out) == 50 and out["rn"].tolist() == list(range(1, 51))
+    # rank order must equal (mkey, id) lexicographic order
+    expect = out.sort_values(["mkey", "id"], kind="stable")
+    assert (out["id"].to_numpy() == expect["id"].to_numpy()).all()
