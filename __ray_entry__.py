@@ -2057,6 +2057,44 @@ def _event_value_variance(sf_dir: str):
     return group_variance(events(sf_dir), ["event_type"], "value")
 
 
+def _event_running_total(sf_dir: str):
+    """Per-user running total of the 2-dp value column ordered by
+    (ts, event_id) — int64 cent cumsum (association-order immune;
+    a raw-double window sum would not be bit-stable), one final /100."""
+    from city2graph_ray.ops.windows import grouped_running_sum
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_id", "user_id", "ts", "value"]],
+        batch_format="pandas")
+    return grouped_running_sum(ev, ["user_id"], ["ts", "event_id"],
+                               "value")
+
+
+def _event_value_zscore(sf_dir: str):
+    """Per-type z-score outlier screen (|z| > 2): moments from int64
+    cent sums, one fixed-order float finish, moment table broadcast —
+    the corpus streams with no second shuffle."""
+    from city2graph_ray.ops.stats import zscore_filter
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_id", "event_type", "value"]],
+        batch_format="pandas")
+    return zscore_filter(ev, ["event_type"], "value", threshold=2.0)
+
+
+def _event_type_pivot(sf_dir: str):
+    """Pivot-to-wide per-user event-type counts (explicit value list;
+    wide partials pre-aggregate per batch before one keyed shuffle)."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    return shuffle.pivot_counts(
+        events(sf_dir), ["user_id"], "event_type",
+        ["click", "error", "purchase", "signup", "view"])
+
+
 def _event_value_rank(sf_dir: str):
     """Distributed row_number() OVER (ORDER BY value DESC, event_id):
     range sort fixes global order, per-block counts come back as
@@ -2762,6 +2800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_cube": _doc_source_cube,
         "doc_hybrid_rrf": _doc_hybrid_rrf,
         "event_value_rank": _event_value_rank,
+        "event_running_total": _event_running_total,
+        "event_value_zscore": _event_value_zscore,
+        "event_type_pivot": _event_type_pivot,
         "event_value_ntile": _event_value_ntile,
         "event_value_linreg": _event_value_linreg,
         "event_value_variance": _event_value_variance,
@@ -4455,6 +4496,48 @@ def oracle_sql() -> dict[str, str]:
         "zone_jaccard": _JACCARD_SQL,
         "zone_harmonic": _HARMONIC_SQL,
         "zone_hits": _hits_sql(3),
+        "event_running_total": """
+            SELECT event_id, user_id, ts, value,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                        AS DOUBLE) / 100.0 AS running
+            FROM events""",
+        "event_value_zscore": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM events),
+            m AS (SELECT event_type, count(*) AS n, sum(cents) AS s,
+                         sum(cents * cents) AS ss
+                  FROM c GROUP BY event_type),
+            f AS (SELECT event_type,
+                         (CAST(s AS DOUBLE) / 100.0) / n AS mean,
+                         sqrt((CAST(ss AS DOUBLE) / 10000.0) / n
+                              - ((CAST(s AS DOUBLE) / 100.0) / n)
+                              * ((CAST(s AS DOUBLE) / 100.0) / n))
+                           AS std
+                  FROM m)
+            SELECT e.event_id, e.event_type, e.value,
+                   (e.value - f.mean) / f.std AS z
+            FROM events e JOIN f USING (event_type)
+            WHERE f.std > 0
+              AND abs((e.value - f.mean) / f.std) > 2.0""",
+        "event_type_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                       END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END)::BIGINT AS n_view
+            FROM events GROUP BY user_id""",
         "event_value_variance": """
             WITH c AS (SELECT event_type,
                               CAST(floor(value * 100 + 0.5) AS BIGINT)

@@ -440,3 +440,43 @@ def group_linreg(ds: ray.data.Dataset, keys, x_col: str, y_col: str,
         return out
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def zscore_filter(ds: ray.data.Dataset, keys, value_col: str,
+                  threshold: float = 2.0, scale: int = 100,
+                  num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                  ) -> ray.data.Dataset:
+    """Per-key z-score outlier screen: keep rows with
+    ``|value - mean_key| / sqrt(var_key) > threshold``, appending the
+    score as ``z``.  Bit-exact: the per-key moments come from
+    :func:`group_variance` (int64 unit sums, fixed-order float
+    finish), and z is the same three-op float expression in both
+    engines; sqrt of an identical double is identical.
+
+    The moment table is one row per key — it broadcasts to every
+    filter task via the object store (``ray.put`` once, zero-copy
+    reads), so the corpus itself streams with NO second shuffle.
+    Degenerate keys (var == 0) emit nothing, matching the SQL twin's
+    NULL-comparison semantics.
+    """
+    import ray
+
+    keys = list(keys)
+    stats = group_variance(ds, keys, value_col, scale=scale,
+                           num_buckets=num_buckets).to_pandas()
+    stats["__std"] = np.sqrt(stats["var"].to_numpy(np.float64))
+    lookup_ref = ray.put(stats.set_index(keys)[["mean", "__std"]])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        m = b.join(lookup, on=keys)
+        v = b[value_col].to_numpy(np.float64)
+        std = m["__std"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - m["mean"].to_numpy(np.float64)) / std
+        keep = (std > 0) & (np.abs(z) > threshold)
+        out = b[keep].copy()
+        out["z"] = z[keep]
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

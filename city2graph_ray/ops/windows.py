@@ -134,3 +134,37 @@ def sessionize(events: ray.data.Dataset, gap_sec: float,
              "session_end_sec": [], "n_events": []})
 
     return shuffle.grouped_transform(events, [key_col], kernel)
+
+
+def grouped_running_sum(ds: ray.data.Dataset, keys, order_cols,
+                        value_col: str, scale: int = 100,
+                        out_col: str = "running",
+                        num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                        ) -> ray.data.Dataset:
+    """Per-key running total of a fixed-precision numeric column —
+    ``sum(value) OVER (PARTITION BY keys ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` — bit-exact across engines and layouts:
+    values quantize once to integer units (floor(x*scale+0.5)), the
+    cumulative sum runs in int64 (immune to float association order —
+    DuckDB's segment-tree window sum would NOT be bit-stable on raw
+    doubles), and one final division by ``scale`` yields the double.
+
+    One shuffle keyed by ``keys``; per-key state never leaves its
+    bucket, so 10^12 rows spread across keys stream through.  Include
+    a unique id as the last order col for determinism.  Output = input
+    columns + ``out_col``.
+    """
+    keys = list(keys)
+    order_cols = list(order_cols)
+    fs = float(scale)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + order_cols, kind="stable")
+        u = np.floor(g[value_col].to_numpy(np.float64) * fs + 0.5
+                     ).astype(np.int64)
+        g[out_col] = pd.Series(u, index=g.index).groupby(
+            [g[k] for k in keys], sort=False).cumsum() / fs
+        return g
+
+    return shuffle.grouped_transform(ds, keys, kernel,
+                                     num_buckets=num_buckets)

@@ -263,3 +263,29 @@ def global_ntile(ds: ray.data.Dataset, order_cols: Sequence[str], k: int,
         return b
 
     return rn_ds.map_batches(stamp, batch_format="pandas")
+
+
+def pivot_counts(ds: ray.data.Dataset, keys: Sequence[str], col: str,
+                 values: Sequence[str], prefix: str = "n_",
+                 num_buckets: int = DEFAULT_BUCKETS) -> ray.data.Dataset:
+    """Pivot-to-wide occurrence counts: one output row per key with a
+    ``{prefix}{value}`` int64 column per pivot value (Spark's
+    ``pivot(col, values).count()``; SQL twin = conditional SUMs).
+    ``values`` must be explicit — an engine can't stream an unknown
+    output schema.  Each input batch pre-aggregates to a wide partial
+    (vectorized == comparisons), so the shuffle carries one row per
+    (key, batch), not per event; unlisted values are ignored."""
+    keys = list(keys)
+    values = list(values)
+    cols = [f"{prefix}{v}" for v in values]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keys].copy()
+        cv = b[col].to_numpy()
+        for v, c in zip(values, cols):
+            out[c] = (cv == v).astype(np.int64)
+        return out.groupby(keys, sort=False).sum().reset_index()
+
+    wide = ds.map_batches(partial, batch_format="pandas")
+    return group_agg(wide, keys, {c: (c, "sum") for c in cols},
+                     num_buckets=num_buckets, partial=False)

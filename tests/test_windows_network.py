@@ -288,3 +288,41 @@ def test_bounded_hop_path_geometry_empty_sources(net):
         rd.from_pandas(pd.DataFrame({"node_id": pd.Series(dtype=np.int64)})),
         rd.from_pandas(nodes), 2, num_buckets=2)
     assert out.count() == 0
+
+
+def test_grouped_running_sum_exact():
+    import ray.data as rd
+    from city2graph_ray.ops.windows import grouped_running_sum
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 2],
+                       "o": [3, 1, 2, 1, 2],
+                       "v": [0.1, 0.2, 0.3, 5.0, 0.05]})
+    out = (grouped_running_sum(rd.from_pandas(df), ["k"], ["o"], "v")
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    # k=1 ordered by o: 0.2, 0.2+0.3, 0.2+0.3+0.1 — int-cent exact
+    assert out["running"].tolist() == [0.2, 0.5, 0.6, 5.0, 5.05]
+
+
+def test_zscore_filter_flags_outlier():
+    import ray.data as rd
+    from city2graph_ray.ops.stats import zscore_filter
+    df = pd.DataFrame({"g": ["a"] * 10 + ["b"] * 3,
+                       "id": range(13),
+                       "v": [1.0] * 9 + [100.0] + [2.0, 2.0, 2.0]})
+    out = zscore_filter(rd.from_pandas(df), ["g"], "v",
+                        threshold=2.0).to_pandas()
+    # only the 100.0 row stands out; group b has var 0 → emits nothing
+    assert out["id"].tolist() == [9]
+    assert out["z"].iloc[0] > 2.0
+
+
+def test_pivot_counts_wide():
+    import ray.data as rd
+    from city2graph_ray import shuffle
+    df = pd.DataFrame({"u": [1, 1, 2, 2, 2],
+                       "t": ["x", "y", "x", "x", "zz"]})
+    out = (shuffle.pivot_counts(rd.from_pandas(df), ["u"], "t",
+                                ["x", "y"])
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert out["n_x"].tolist() == [1, 2]
+    assert out["n_y"].tolist() == [1, 0]       # 'zz' not listed → ignored
+    assert out["n_x"].dtype == np.int64
