@@ -1233,6 +1233,16 @@ def _doc_span_removal(sf_dir: str):
     return remove_duplicated_spans(documents(sf_dir), n=4, num_buckets=16)
 
 
+def _doc_bigram_lift(sf_dir: str):
+    """Top-50 adjacent-bigram collocations by pointwise lift — int64
+    keyed count sums, one fixed-order float expression shared with the
+    parenthesized SQL twin."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import bigram_lift
+
+    return bigram_lift(documents(sf_dir), k=50, min_count=5)
+
+
 def _doc_line_dedup(sf_dir: str):
     """CCNet/RefinedWeb-style corpus line dedup: 4-word lines, drop
     every line duplicated corpus-wide, reassemble docs in order."""
@@ -2749,6 +2759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": _doc_unigram_lp,
         "doc_c4_filter": _doc_c4_filter,
         "doc_line_dedup": _doc_line_dedup,
+        "doc_bigram_lift": _doc_bigram_lift,
         "doc_pii_mask": _doc_pii_mask,
         "doc_url_canon": _doc_url_canon,
         "doc_domain_cap": _doc_domain_cap,
@@ -4262,6 +4273,30 @@ def oracle_sql() -> dict[str, str]:
                        FROM kept GROUP BY doc_id) k USING (doc_id)
             LEFT JOIN (SELECT doc_id, count(*) AS n_removed
                        FROM cov GROUP BY doc_id) c USING (doc_id)""",
+        "doc_bigram_lift": r"""
+            WITH tok AS (SELECT doc_id, string_split(lower(text), ' ')
+                           AS ts FROM documents),
+            uni AS (SELECT unnest(ts) AS w FROM tok),
+            ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+            nu AS (SELECT count(*) AS n FROM uni),
+            big AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+                    FROM tok,
+                         LATERAL unnest(generate_series(1, len(ts) - 1))
+                           AS t(i)),
+            bcnt AS (SELECT w1, w2, count(*) AS cxy FROM big
+                     GROUP BY w1, w2),
+            nb AS (SELECT count(*) AS n FROM big)
+            SELECT w1, w2, cxy,
+                   ((CAST(cxy AS DOUBLE) * (SELECT n FROM nu))
+                    * (SELECT n FROM nu))
+                   / ((CAST((SELECT n FROM nb) AS DOUBLE) * u1.c)
+                      * u2.c) AS lift
+            FROM bcnt
+            JOIN ucnt u1 ON bcnt.w1 = u1.w
+            JOIN ucnt u2 ON bcnt.w2 = u2.w
+            WHERE cxy >= 5
+            ORDER BY lift DESC, w1, w2
+            LIMIT 50""",
         "doc_line_dedup": r"""
             WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
                          FROM documents),

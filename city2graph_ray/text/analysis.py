@@ -14,6 +14,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from city2graph_ray import shuffle
+
 # language → marker stopwords (counted as padded substrings, a
 # deterministic heuristic mirrorable in SQL with replace-length counts)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -565,3 +567,86 @@ def weighted_sample(docs: ray.data.Dataset, k: int,
     out = top[[id_col, "w"]].copy()
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return ray.data.from_pandas(out)
+
+
+def bigram_lift(docs: ray.data.Dataset, k: int = 50, min_count: int = 5,
+                text_col: str = "text", id_col: str = "doc_id",
+                ) -> ray.data.Dataset:
+    """Collocation mining: the ``k`` adjacent-token bigrams with the
+    highest pointwise lift  ``p(x,y) / (p(x) p(y))  =
+    (c_xy · N_uni²) / (N_big · c_x · c_y)``, with ``c_xy ≥ min_count``.
+    Output ``(w1, w2, cxy, lift)``, ordered (lift DESC, w1, w2).
+
+    Bit-exact: every count is an int64 keyed sum; the lift is ONE
+    fixed-order float expression — ``((cxy·Nu)·Nu) / ((Nb·cx)·cy)``
+    with each operand an exactly-representable integer — identical in
+    IEEE terms to the SQL twin's parenthesized form.
+
+    Scale shape: bigram and unigram counting are partial-aggregated
+    keyed sums (bytes ∝ distinct grams per batch); the two corpus
+    totals are single scalars; unigram counts re-attach to the bigram
+    table via two bucketed hash joins on the word; final top-k is a
+    native sort over the (already vocabulary-sized) bigram-count
+    table.  The corpus text never shuffles.
+    """
+    from city2graph_ray.joins import bucketed_join
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.lower().str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object)})
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks.to_numpy()])
+        doc_ix = np.repeat(np.arange(len(lens)), lens)
+        same = doc_ix[:-1] == doc_ix[1:]
+        return pd.DataFrame({"w1": flat[:-1][same], "w2": flat[1:][same]})
+
+    def unis(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.lower().str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"w": pd.Series([], dtype=object)})
+        return pd.DataFrame({"w": np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks.to_numpy()])})
+
+    big = docs.map_batches(grams, batch_format="pandas")
+    uni = docs.map_batches(unis, batch_format="pandas")
+    # both count tables fan out (scalar total + join) — pin them once;
+    # they are vocabulary-sized, not corpus-sized
+    bcnt = shuffle.group_agg(big, ["w1", "w2"],
+                             {"cxy": ("w1", "size")}).materialize()
+    ucnt = shuffle.group_agg(uni, ["w"], {"c": ("w", "size")}).materialize()
+
+    totals = ucnt.map_batches(
+        lambda b: pd.DataFrame({"nu": [b["c"].sum()]}),
+        batch_format="pandas").to_pandas()
+    nu = float(totals["nu"].sum())
+    nb_tbl = bcnt.map_batches(
+        lambda b: pd.DataFrame({"nb": [b["cxy"].sum()]}),
+        batch_format="pandas").to_pandas()
+    nb = float(nb_tbl["nb"].sum())
+
+    cand = bcnt.filter(expr=f"cxy >= {int(min_count)}")
+    j1 = bucketed_join(
+        cand, ucnt.map_batches(
+            lambda b: b.rename(columns={"w": "w1", "c": "c1"}),
+            batch_format="pandas"), on="w1")
+    j2 = bucketed_join(
+        j1, ucnt.map_batches(
+            lambda b: b.rename(columns={"w": "w2", "c": "c2"}),
+            batch_format="pandas"), on="w2")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        cxy = b["cxy"].to_numpy(np.float64)
+        c1 = b["c1"].to_numpy(np.float64)
+        c2 = b["c2"].to_numpy(np.float64)
+        out = b[["w1", "w2", "cxy"]].copy()
+        out["lift"] = ((cxy * nu) * nu) / ((nb * c1) * c2)
+        return out
+
+    scored = j2.map_batches(score, batch_format="pandas")
+    top = scored.sort(["lift", "w1", "w2"],
+                      descending=[True, False, False]).limit(k)
+    return top

@@ -461,3 +461,19 @@ def test_split_lines_order_and_tail():
            .to_pandas().sort_values("line_no"))
     assert out["line"].tolist() == ["w1 w2 w3", "w4 w5 w6", "w7"]
     assert out["line_no"].tolist() == [0, 1, 2]
+
+
+def test_bigram_lift_exact():
+    from city2graph_ray.text.analysis import bigram_lift
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b a b x", "a b y", "c c c"],
+    })
+    out = (bigram_lift(rd.from_pandas(docs), k=10, min_count=2)
+           .to_pandas())
+    # bigrams: (a,b)x3, (b,a)x1, (b,x)... only (a,b) and (c,c) reach 2
+    # unigrams: a=3 b=3 x=1 y=1 c=3; N_uni=11; N_big=8
+    got = dict(zip(zip(out.w1, out.w2), out.cxy))
+    assert got == {("a", "b"): 3, ("c", "c"): 2}
+    ab = out[(out.w1 == "a") & (out.w2 == "b")]["lift"].iloc[0]
+    assert ab == ((3.0 * 11) * 11) / ((8.0 * 3) * 3)
