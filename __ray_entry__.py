@@ -536,6 +536,28 @@ def _hash_sample(sf_dir: str):
     return hash_sample(documents(sf_dir), rate=0.1)
 
 
+def _ssjoin_edit(sf_dir: str):
+    """Exact edit-distance self-join (PassJoin segments + verify) on
+    each doc's 4-word prefix, tau=4 — the oracle brute-forces
+    levenshtein() over the lossless length-difference prefilter."""
+    import pandas as pd
+
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.edjoin import edit_distance_join
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "k": b["text"].astype(str).str.extract(
+                r"^((?:\S+ ){3}\S+)", expand=False).fillna(
+                    b["text"].astype(str))})
+
+    strings = documents(sf_dir).map_batches(keyed, batch_format="pandas")
+    # 16 buckets + pin: gate corpus is 500 docs — re-executing the
+    # read 4x dominates there (op defaults stay scale-sized)
+    return edit_distance_join(strings, tau=4, num_buckets=16, pin=True)
+
+
 def _ssjoin_jaccard(sf_dir: str):
     from city2graph_ray.pipelines.tables import documents
     from city2graph_ray.text.dedup import jaccard_join_exact
@@ -2716,6 +2738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _doc_langid,
         "minhash_clusters": _minhash_clusters,
         "ssjoin_jaccard": _ssjoin_jaccard,
+        "ssjoin_edit": _ssjoin_edit,
         "neardup_clusters": _neardup_clusters,
         "doc_token_topk": _token_topk,
         "doc_tfidf_terms": _tfidf_terms,
@@ -3563,6 +3586,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents
             WHERE ((doc_id % 1000000007) * (2654435761 % 1000000007))
                   % 1000000007 % 10000 < 1000""",
+        "ssjoin_edit": r"""
+            WITH s AS (SELECT doc_id,
+                              array_to_string(
+                                string_split(text, ' ')[1:4], ' ') AS k
+                       FROM documents)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   levenshtein(a.k, b.k)::BIGINT AS dist
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE abs(len(a.k) - len(b.k)) <= 4
+              AND levenshtein(a.k, b.k) <= 4""",
         "ssjoin_jaccard": """
             WITH sh AS (
               SELECT DISTINCT doc_id, substr(text, i, 5) AS s
