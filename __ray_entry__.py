@@ -395,6 +395,22 @@ def _emst(sf_dir: str):
     return euclidean_minimum_spanning_tree(customer_points(sf_dir))
 
 
+def _lineitem_corr(sf_dir: str):
+    """Per-returnflag Pearson corr(quantity, extendedprice): five int64
+    moment sums shuffle, one fixed-order float finish.  Scales 1/1 —
+    quantity is integral and dollar-rounding keeps sum(unit²) inside
+    int64 at any sf (the documented squared-sum bound)."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import group_corr
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return group_corr(li, ["l_returnflag"], "l_quantity",
+                      "l_extendedprice", scale_x=1, scale_y=1)
+
+
 def _tpch_q1(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1253,6 +1269,35 @@ def _doc_span_removal(sf_dir: str):
     # 16 buckets: the gate corpus is 500 docs — 64-bucket shuffles are
     # pure fixed overhead there (the op default stays at scale size)
     return remove_duplicated_spans(documents(sf_dir), n=4, num_buckets=16)
+
+
+def _doc_dsir_weights(sf_dir: str):
+    """DSIR unigram importance weights vs the src13 target slice:
+    mean token log-ratio of the add-one-smoothed target LM over the
+    raw-corpus LM, rounded to 6dp (the repo's documented tolerance
+    absorbing float summation-order noise)."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import dsir_logratio
+
+    docs = documents(sf_dir)
+    target = documents(sf_dir, columns=["doc_id", "text", "source"]
+                       ).filter(expr="source == 'src13'")
+    return dsir_logratio(docs, target)
+
+
+def _event_type_unpivot(sf_dir: str):
+    """Melt of the pivot-to-wide table back to long form — pure map
+    stage, SQL twin is a UNION ALL over the conditional-sum CTE."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    wide = shuffle.pivot_counts(
+        events(sf_dir), ["user_id"], "event_type",
+        ["click", "error", "purchase", "signup", "view"])
+    return shuffle.melt(wide, ["user_id"],
+                        ["n_click", "n_error", "n_purchase",
+                         "n_signup", "n_view"],
+                        var_col="metric", val_col="n")
 
 
 def _doc_bigram_lift(sf_dir: str):
@@ -2727,6 +2772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rng_edges": _rng,
         "emst_edges": _emst,
         "tpch_q1": _tpch_q1,
+        "lineitem_corr": _lineitem_corr,
         "od_flows": _od_flows,
         "event_leg_summary": _event_legs,
         "metapath_cust_supp": _metapath,
@@ -2783,6 +2829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_c4_filter": _doc_c4_filter,
         "doc_line_dedup": _doc_line_dedup,
         "doc_bigram_lift": _doc_bigram_lift,
+        "doc_dsir_weights": _doc_dsir_weights,
+        "event_type_unpivot": _event_type_unpivot,
         "doc_pii_mask": _doc_pii_mask,
         "doc_url_canon": _doc_url_canon,
         "doc_domain_cap": _doc_domain_cap,
@@ -3141,6 +3189,26 @@ def oracle_sql() -> dict[str, str]:
                     UNION ALL SELECT seg_id, b FROM resolved)
             SELECT DISTINCT i.seg_id AS src, j.seg_id AS dst
             FROM inc i JOIN inc j ON i.node = j.node AND i.seg_id < j.seg_id""",
+        "lineitem_corr": """
+            WITH c AS (SELECT l_returnflag AS k,
+                         CAST(floor(l_quantity * 1 + 0.5) AS BIGINT)
+                           AS ux,
+                         CAST(floor(l_extendedprice * 1 + 0.5) AS BIGINT)
+                           AS uy
+                       FROM lineitem),
+            m AS (SELECT k, count(*) AS n, sum(ux) AS sx, sum(uy) AS sy,
+                         sum(ux * ux) AS sxx, sum(uy * uy) AS syy,
+                         sum(ux * uy) AS sxy
+                  FROM c GROUP BY k)
+            SELECT k AS l_returnflag, n,
+                   ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+                    - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   / (sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))
+                           - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE))
+                             - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                     AS corr
+            FROM m""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -4306,6 +4374,49 @@ def oracle_sql() -> dict[str, str]:
                        FROM kept GROUP BY doc_id) k USING (doc_id)
             LEFT JOIN (SELECT doc_id, count(*) AS n_removed
                        FROM cov GROUP BY doc_id) c USING (doc_id)""",
+        "doc_dsir_weights": r"""
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+                           AS w FROM documents),
+            raw AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            tgt AS (SELECT w, count(*) AS c
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w
+                          FROM documents WHERE source = 'src13')
+                    GROUP BY w),
+            consts AS (SELECT (SELECT sum(c) FROM raw) AS sr,
+                              (SELECT sum(c) FROM tgt) AS st,
+                              (SELECT count(*) FROM raw) AS v),
+            lr AS (SELECT raw.w,
+                     ln(((coalesce(tgt.c, 0) + 1.0)
+                         / (CAST(consts.st AS DOUBLE)
+                            + CAST(consts.v AS DOUBLE)))
+                        / (raw.c / CAST(consts.sr AS DOUBLE))) AS lr
+                   FROM raw LEFT JOIN tgt USING (w), consts)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(l.lr), 6) AS dsir_logratio
+            FROM tok t JOIN lr l ON t.w = l.w
+            GROUP BY t.doc_id""",
+        "event_type_unpivot": """
+            WITH w AS (SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                       END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END)::BIGINT AS n_view
+              FROM events GROUP BY user_id)
+            SELECT user_id, 'n_click' AS metric, n_click AS n FROM w
+            UNION ALL
+            SELECT user_id, 'n_error', n_error FROM w
+            UNION ALL
+            SELECT user_id, 'n_purchase', n_purchase FROM w
+            UNION ALL
+            SELECT user_id, 'n_signup', n_signup FROM w
+            UNION ALL
+            SELECT user_id, 'n_view', n_view FROM w""",
         "doc_bigram_lift": r"""
             WITH tok AS (SELECT doc_id, string_split(lower(text), ' ')
                            AS ts FROM documents),

@@ -480,3 +480,62 @@ def zscore_filter(ds: ray.data.Dataset, keys, value_col: str,
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def group_corr(ds: ray.data.Dataset, keys, x_col: str, y_col: str,
+               scale_x: int = 100, scale_y: int = 100,
+               num_buckets: int = shuffle.DEFAULT_BUCKETS,
+               ) -> ray.data.Dataset:
+    """Per-key Pearson correlation of two fixed-precision columns,
+    bit-exact across layouts and engines: both columns quantize to
+    integer units, five int64 moment sums shuffle (order-immune), and
+    the correlation is ONE fixed-order float expression
+    ``((n·sxy) − (sx·sy)) / (sqrt((n·sxx) − sx²) · sqrt((n·syy) − sy²))``
+    with every operand an int64→double cast (deterministic nearest).
+    Affine quantization cancels in Pearson r up to that quantization,
+    so pick scales that keep ``sum(unit²)`` inside int64 — e.g.
+    integral columns at scale 1 (see the squared-sum bound note on
+    :func:`group_variance`).  Keys with zero variance in either column
+    yield NaN, matching SQL NULL semantics only if filtered — callers
+    wanting SQL-twin parity should drop those keys or accept NaN rows.
+    Output ``(keys…, n, corr)``."""
+    keys = list(keys)
+    fx, fy = float(scale_x), float(scale_y)
+
+    def to_units(b: pd.DataFrame) -> pd.DataFrame:
+        ux = np.floor(b[x_col].to_numpy(np.float64) * fx + 0.5
+                      ).astype(np.int64)
+        uy = np.floor(b[y_col].to_numpy(np.float64) * fy + 0.5
+                      ).astype(np.int64)
+        out = b[keys].copy()
+        out["__x"] = ux
+        out["__y"] = uy
+        out["__xx"] = ux * ux
+        out["__yy"] = uy * uy
+        out["__xy"] = ux * uy
+        return out
+
+    agg = shuffle.group_agg(
+        ds.map_batches(to_units, batch_format="pandas"), keys,
+        {"n": ("__x", "size"), "sx": ("__x", "sum"),
+         "sy": ("__y", "sum"), "sxx": ("__xx", "sum"),
+         "syy": ("__yy", "sum"), "sxy": ("__xy", "sum")},
+        num_buckets=num_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64).astype(np.float64)
+        sx = b["sx"].to_numpy(np.int64).astype(np.float64)
+        sy = b["sy"].to_numpy(np.int64).astype(np.float64)
+        sxx = b["sxx"].to_numpy(np.int64).astype(np.float64)
+        syy = b["syy"].to_numpy(np.int64).astype(np.float64)
+        sxy = b["sxy"].to_numpy(np.int64).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = ((n * sxy) - (sx * sy)) / (
+                np.sqrt((n * sxx) - (sx * sx))
+                * np.sqrt((n * syy) - (sy * sy)))
+        out = b[keys].copy()
+        out["n"] = b["n"].to_numpy(np.int64)
+        out["corr"] = corr
+        return out
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -289,3 +289,20 @@ def pivot_counts(ds: ray.data.Dataset, keys: Sequence[str], col: str,
     wide = ds.map_batches(partial, batch_format="pandas")
     return group_agg(wide, keys, {c: (c, "sum") for c in cols},
                      num_buckets=num_buckets, partial=False)
+
+
+def melt(ds: ray.data.Dataset, id_cols: Sequence[str],
+         value_cols: Sequence[str], var_col: str = "metric",
+         val_col: str = "value") -> ray.data.Dataset:
+    """Unpivot wide → long (``pd.melt`` per batch): one output row per
+    (input row, value column), columns ``id_cols + [var_col, val_col]``.
+    Pure map stage — no shuffle, streams at any scale; the SQL twin is
+    a UNION ALL of one SELECT per value column."""
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return b.melt(id_vars=id_cols, value_vars=value_cols,
+                      var_name=var_col, value_name=val_col)
+
+    return ds.map_batches(fn, batch_format="pandas")

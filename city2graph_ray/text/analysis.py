@@ -650,3 +650,66 @@ def bigram_lift(docs: ray.data.Dataset, k: int = 50, min_count: int = 5,
     top = scored.sort(["lift", "w1", "w2"],
                       descending=[True, False, False]).limit(k)
     return top
+
+
+def dsir_logratio(docs: ray.data.Dataset, target: ray.data.Dataset,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  round_to: int = 6) -> ray.data.Dataset:
+    """Data-Selection-with-Importance-Resampling weights (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023 — unigram variant): per doc the mean token
+    log-importance-ratio  ``ln( p_target(w) / p_raw(w) )`` with
+    add-one smoothing on the target LM over the RAW vocabulary
+    (every raw token has c_raw ≥ 1 by construction).  Docs scoring
+    high look like the target distribution — feed the output to
+    ``weighted_sample`` / ``quantile_threshold_filter`` to finish the
+    resampling step.
+
+    Same scale shape as :func:`unigram_logprob`: two partial-combined
+    keyed count passes (bytes ∝ vocabulary per block), one merged
+    vocab table broadcast via ``ray.put`` (Heaps-law small), corpus
+    scored streaming with a vectorized indexer lookup.  Output
+    ``(id_col, n_tokens, dsir_logratio)`` rounded to ``round_to`` —
+    the documented tolerance that absorbs float summation-order noise
+    exactly like the SQL twin's ``round(avg(...), 6)``."""
+    from city2graph_ray import shuffle
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.split(" ")
+        flat = toks.explode().to_numpy(dtype=object)
+        codes, uniq = pd.factorize(flat)
+        return pd.DataFrame({"token": uniq.astype(object),
+                             "c": np.bincount(codes).astype(np.int64)})
+
+    raw = shuffle.group_agg(
+        docs.map_batches(partial_counts, batch_format="pandas"),
+        ["token"], {"c": ("c", "sum")}).to_pandas()
+    tgt = shuffle.group_agg(
+        target.map_batches(partial_counts, batch_format="pandas"),
+        ["token"], {"c": ("c", "sum")}).to_pandas()
+
+    sr = float(raw["c"].sum())
+    st = float(tgt["c"].sum())
+    v = float(len(raw))
+    merged = raw.merge(tgt.rename(columns={"c": "ct"}), on="token",
+                       how="left")
+    cr = merged["c"].to_numpy(np.float64)
+    ct = merged["ct"].fillna(0).to_numpy(np.float64)
+    lr = np.log(((ct + 1.0) / (st + v)) / (cr / sr))
+    vocab_ref = ray.put((pd.Index(merged["token"]), lr))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        index, w = ray.get(vocab_ref)
+        toks = batch[text_col].str.split(" ")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy(dtype=object)
+        doc_idx = np.repeat(np.arange(len(batch)), counts)
+        pos = index.get_indexer(flat)
+        sums = np.bincount(doc_idx, weights=w[pos], minlength=len(batch))
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_tokens": counts,
+            "dsir_logratio": np.round(sums / np.maximum(counts, 1),
+                                      round_to)})
+
+    return docs.map_batches(score, batch_format="pandas")

@@ -477,3 +477,45 @@ def test_bigram_lift_exact():
     assert got == {("a", "b"): 3, ("c", "c"): 2}
     ab = out[(out.w1 == "a") & (out.w2 == "b")]["lift"].iloc[0]
     assert ab == ((3.0 * 11) * 11) / ((8.0 * 3) * 3)
+
+
+def test_group_corr_exact():
+    from city2graph_ray.ops.stats import group_corr
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 100, 200).round(2)
+    y = (2 * x + rng.normal(0, 10, 200)).round(2)
+    df = pd.DataFrame({"g": np.repeat(["a", "b"], 100), "x": x, "y": y})
+    out = (group_corr(rd.from_pandas(df), ["g"], "x", "y")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    for i, g in enumerate(["a", "b"]):
+        sub = df[df.g == g]
+        ux = np.floor(sub.x.to_numpy() * 100 + 0.5)
+        uy = np.floor(sub.y.to_numpy() * 100 + 0.5)
+        want = np.corrcoef(ux, uy)[0, 1]
+        assert abs(out.loc[i, "corr"] - want) < 1e-9
+        assert out.loc[i, "n"] == 100
+
+
+def test_melt_roundtrip():
+    from city2graph_ray import shuffle
+    df = pd.DataFrame({"id": [1, 2], "a": [10, 20], "b": [30, 40]})
+    out = (shuffle.melt(rd.from_pandas(df), ["id"], ["a", "b"])
+           .to_pandas().sort_values(["id", "metric"]).reset_index(drop=True))
+    assert out["value"].tolist() == [10, 30, 20, 40]
+    assert out["metric"].tolist() == ["a", "b", "a", "b"]
+
+
+def test_dsir_logratio_prefers_target_like_docs():
+    from city2graph_ray.text.analysis import dsir_logratio
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["apple banana apple", "apple apple banana",
+                 "zebra yak zebra", "zebra zebra yak",
+                 "apple zebra banana", "yak apple zebra"],
+    })
+    target = docs.iloc[:2]  # target distribution = fruit docs
+    out = dsir_logratio(rd.from_pandas(docs),
+                        rd.from_pandas(target)).to_pandas()
+    out = out.set_index("doc_id")["dsir_logratio"]
+    # fruit docs must outscore zebra docs under the fruit target LM
+    assert min(out[0], out[1]) > max(out[2], out[3])
