@@ -1271,6 +1271,38 @@ def _doc_span_removal(sf_dir: str):
     return remove_duplicated_spans(documents(sf_dir), n=4, num_buckets=16)
 
 
+def _doc_media_dedup(sf_dir: str):
+    """Content-level media dedup over the interleaved corpus: media
+    spans flatten zero-copy from the span lists (sequence untouched),
+    refs map to content ids (key%50 — the synth-derivation stand-in
+    for a content hash), and each content keeps its min-key owner doc
+    plus a copy count."""
+    import pandas as pd
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.sources.interleaved import (media_spans,
+                                                    synthesize_documents)
+
+    spans = media_spans(synthesize_documents(sf_dir))
+
+    def content(b: pd.DataFrame) -> pd.DataFrame:
+        k = (b["media_ref"].str.extract(r"img/(\d+)\.png", expand=False)
+             .astype(np.int64))
+        return pd.DataFrame({"ck": k % 50, "k": k})
+
+    keyed = spans.map_batches(content, batch_format="pandas")
+    agg = shuffle.group_agg(keyed, ["ck"], {"owner": ("k", "min"),
+                                            "n_copies": ("k", "size")})
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "content_ref": "blob://img/" + b["ck"].astype(str) + ".png",
+            "owner_doc": "cust-" + b["owner"].astype(str),
+            "n_copies": b["n_copies"].to_numpy(np.int64)})
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
 def _doc_dsir_weights(sf_dir: str):
     """DSIR unigram importance weights vs the src13 target slice:
     mean token log-ratio of the add-one-smoothed target LM over the
@@ -2830,6 +2862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_dedup": _doc_line_dedup,
         "doc_bigram_lift": _doc_bigram_lift,
         "doc_dsir_weights": _doc_dsir_weights,
+        "doc_media_dedup": _doc_media_dedup,
         "event_type_unpivot": _event_type_unpivot,
         "doc_pii_mask": _doc_pii_mask,
         "doc_url_canon": _doc_url_canon,
@@ -4374,6 +4407,13 @@ def oracle_sql() -> dict[str, str]:
                        FROM kept GROUP BY doc_id) k USING (doc_id)
             LEFT JOIN (SELECT doc_id, count(*) AS n_removed
                        FROM cov GROUP BY doc_id) c USING (doc_id)""",
+        "doc_media_dedup": """
+            WITH m AS (SELECT c_custkey AS k FROM customer
+                       WHERE c_custkey % 3 = 0)
+            SELECT 'blob://img/' || (k % 50) || '.png' AS content_ref,
+                   'cust-' || min(k) AS owner_doc,
+                   count(*)::BIGINT AS n_copies
+            FROM m GROUP BY k % 50""",
         "doc_dsir_weights": r"""
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
                            AS w FROM documents),

@@ -438,3 +438,41 @@ def rejoin_spans(docs: ray.data.Dataset, results: ray.data.Dataset,
     from city2graph_ray.joins import bucketed_join
     spans_side = docs.select_columns([on, "spans"])
     return bucketed_join(results, spans_side, on=on)
+
+
+def media_spans(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Flatten each document's ``media`` spans into a typed sibling
+    table ``(doc_id, span_idx, media_ref)`` — the source spans column
+    stays untouched (the per-row span-sequence invariant).  Same
+    zero-copy Arrow list-offset flatten as
+    :func:`extract_geometry_spans`; no per-row Python loop."""
+    import pyarrow.compute as pc
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "span_idx": pa.array([], pa.int32()),
+        "media_ref": pa.array([], pa.string()),
+    })
+
+    def extract(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lengths = pc.list_value_length(spans).to_numpy().astype(np.int64)
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        starts = np.concatenate(([0], np.cumsum(lengths)))
+        span_idx_all = np.arange(parent.size, dtype=np.int64) - starts[parent]
+        flat = pc.list_flatten(spans)
+        mask = pc.equal(pc.struct_field(flat, "kind"), "media") \
+            .to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(mask)
+        if sel.size == 0:
+            return empty
+        sel_a = pa.array(sel)
+        return pa.table({
+            "doc_id": pc.take(batch.column("doc_id"), pa.array(parent[sel])),
+            "span_idx": pa.array(span_idx_all[sel].astype(np.int32)),
+            "media_ref": pc.take(pc.struct_field(flat, "media_ref"), sel_a),
+        })
+
+    return docs.map_batches(extract, batch_format="pyarrow")

@@ -162,3 +162,25 @@ def test_read_documents_lance_gated():
         read_documents("/data/corpus.lance")
     with pytest.raises(ValueError, match="unknown format"):
         read_documents("/data/x", format="orc")
+
+
+def test_media_spans_flatten_preserves_index():
+    import pyarrow as pa
+    import ray.data as rd
+    from city2graph_ray.sources.interleaved import SPAN_TYPE, media_spans
+    tbl = pa.Table.from_arrays(
+        [pa.array(["d1", "d2"]),
+         pa.array([
+             [{"kind": "text", "text": "t", "media_ref": "", "offset": 0},
+              {"kind": "media", "text": "", "media_ref": "blob://img/7.png",
+               "offset": 1},
+              {"kind": "media", "text": "", "media_ref": "blob://img/9.png",
+               "offset": 2}],
+             [{"kind": "text", "text": "u", "media_ref": "", "offset": 0}],
+         ], SPAN_TYPE)],
+        names=["doc_id", "spans"])
+    out = media_spans(rd.from_arrow(tbl)).to_pandas()
+    assert out["doc_id"].tolist() == ["d1", "d1"]
+    assert out["span_idx"].tolist() == [1, 2]
+    assert out["media_ref"].tolist() == ["blob://img/7.png",
+                                         "blob://img/9.png"]
