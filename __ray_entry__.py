@@ -851,6 +851,29 @@ def _bridge_knn(sf_dir: str):
     return knn_graph(customer_points(sf_dir), 2, targets=targets)
 
 
+def _pt_idw(sf_dir: str):
+    """Regularized IDW interpolation (w = 1/(1+d²)) of a synth supplier
+    value field onto customer points via k=4 tiled kNN; 6-dp rounding
+    absorbs summation-order noise per the repo's documented tolerance."""
+    import ray.data
+
+    from city2graph_ray.ops.spatial import idw_interpolate
+    from city2graph_ray.pipelines.tables import customer_points
+
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey"])
+
+    def pts(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["s_suppkey"].to_numpy().astype(np.int64)
+        x, y = synth.key_to_xy(k)
+        return pd.DataFrame({"id": k, "x": x, "y": y,
+                             "v": (k % 97).astype(np.float64)})
+
+    sources = supp.map_batches(pts, batch_format="pandas")
+    return idw_interpolate(customer_points(sf_dir), sources, k=4,
+                           value_col="v")
+
+
 def _event_user_counts(sf_dir: str):
     """COUNT(DISTINCT user_id) per event_type — the distributed
     count-distinct archetype (GTFS service-day counts shape)."""
@@ -2805,6 +2828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emst_edges": _emst,
         "tpch_q1": _tpch_q1,
         "lineitem_corr": _lineitem_corr,
+        "pt_idw": _pt_idw,
         "od_flows": _od_flows,
         "event_leg_summary": _event_legs,
         "metapath_cust_supp": _metapath,
@@ -3612,6 +3636,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer cb ON cb.c_custkey = b.id
             QUALIFY row_number() OVER (PARTITION BY a.id
                 ORDER BY abs(a.x-b.x) + abs(a.y-b.y), b.id) <= 4""",
+        "pt_idw": f"""
+            WITH pts AS ({_PTS}),
+            sup AS (SELECT s_suppkey AS id,
+                           {synth.sql_x('s_suppkey')} AS x,
+                           {synth.sql_y('s_suppkey')} AS y FROM supplier),
+            knn AS (SELECT a.id AS src, b.id AS dst,
+                   sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y))
+                     AS distance
+                FROM pts a JOIN sup b ON 1=1
+                QUALIFY row_number() OVER (PARTITION BY a.id
+                    ORDER BY sqrt((a.x-b.x)*(a.x-b.x)
+                                  + (a.y-b.y)*(a.y-b.y)), b.id) <= 4)
+            SELECT src AS id,
+                   round(sum((dst % 97)
+                             * (1.0 / (1.0 + distance * distance)))
+                         / sum(1.0 / (1.0 + distance * distance)), 6)
+                     AS idw
+            FROM knn GROUP BY src""",
         "bridge_knn_cust_supp": f"""
             WITH pts AS ({_PTS}),
             sup AS (SELECT s_suppkey AS id, {synth.sql_x('s_suppkey')} AS x,

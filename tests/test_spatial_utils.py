@@ -122,3 +122,24 @@ def test_isochrone_buffer_and_concave(chain_graph):
     assert iso_b["method"] == "buffer" and len(iso_b["rings"]) >= 1
     iso_c = create_isochrone(nodes, method="concave-knn")
     assert iso_c["method"] == "concave-knn" and len(iso_c["rings"]) == 1
+
+
+def test_idw_interpolate_matches_brute():
+    import ray.data as rd
+    from city2graph_ray.ops.spatial import idw_interpolate
+    rng = np.random.default_rng(9)
+    q = pd.DataFrame({"id": np.arange(30),
+                      "x": rng.uniform(0, 100, 30),
+                      "y": rng.uniform(0, 100, 30)})
+    s = pd.DataFrame({"id": np.arange(100, 140),
+                      "x": rng.uniform(0, 100, 40),
+                      "y": rng.uniform(0, 100, 40),
+                      "v": rng.uniform(0, 10, 40).round(2)})
+    out = (idw_interpolate(rd.from_pandas(q), rd.from_pandas(s), k=3)
+           .to_pandas().set_index("id")["idw"])
+    for _, row in q.iterrows():
+        d2 = (s.x - row.x) ** 2 + (s.y - row.y) ** 2
+        near = d2.nsmallest(3)
+        w = 1.0 / (1.0 + near.to_numpy())
+        want = round((s.v.to_numpy()[near.index] * w).sum() / w.sum(), 6)
+        assert abs(out[row.id] - want) < 1e-6
