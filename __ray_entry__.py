@@ -1294,6 +1294,25 @@ def _doc_span_removal(sf_dir: str):
     return remove_duplicated_spans(documents(sf_dir), n=4, num_buckets=16)
 
 
+def _doc_bpe_tokens(sf_dir: str):
+    """BPE-ish pre-tokenizer counts over texts with injected
+    punctuation/digit runs (synth-derived from doc_id so the run
+    classes actually differ from whitespace tokens)."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import bpe_token_counts
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].to_numpy(np.int64)
+        ids = pd.Series(did.astype(str), index=b.index)
+        return pd.DataFrame({
+            "doc_id": did,
+            "text": b["text"].astype(str) + " #" + ids + "!! v"
+            + pd.Series((did % 7).astype(str), index=b.index) + ".x"})
+
+    return bpe_token_counts(documents(sf_dir).map_batches(
+        inject, batch_format="pandas"))
+
+
 def _doc_media_dedup(sf_dir: str):
     """Content-level media dedup over the interleaved corpus: media
     spans flatten zero-copy from the span lists (sequence untouched),
@@ -2887,6 +2906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lift": _doc_bigram_lift,
         "doc_dsir_weights": _doc_dsir_weights,
         "doc_media_dedup": _doc_media_dedup,
+        "doc_bpe_tokens": _doc_bpe_tokens,
         "event_type_unpivot": _event_type_unpivot,
         "doc_pii_mask": _doc_pii_mask,
         "doc_url_canon": _doc_url_canon,
@@ -4449,6 +4469,14 @@ def oracle_sql() -> dict[str, str]:
                        FROM kept GROUP BY doc_id) k USING (doc_id)
             LEFT JOIN (SELECT doc_id, count(*) AS n_removed
                        FROM cov GROUP BY doc_id) c USING (doc_id)""",
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                       text || ' #' || doc_id || '!! v' || (doc_id % 7)
+                            || '.x',
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT
+                     AS n_bpe_tokens
+            FROM documents""",
         "doc_media_dedup": """
             WITH m AS (SELECT c_custkey AS k FROM customer
                        WHERE c_custkey % 3 = 0)

@@ -713,3 +713,24 @@ def dsir_logratio(docs: ray.data.Dataset, target: ray.data.Dataset,
                                       round_to)})
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(docs: ray.data.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id") -> ray.data.Dataset:
+    """BPE-ish pre-tokenizer counts: letter runs, digit runs and
+    punctuation runs (the ASCII skeleton of the GPT-2 pre-tokenizer
+    regex, kept lookaround-free so RE2/DuckDB reproduce it verbatim).
+    One vectorized ``str.count`` per batch.  Output
+    ``(id_col, n_bpe_tokens)`` — SQL twin
+    ``len(regexp_extract_all(text, pattern))``."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_bpe_tokens": batch[text_col].astype(str)
+                .str.count(BPE_ISH_PATTERN).to_numpy(np.int64)})
+
+    return docs.map_batches(fn, batch_format="pandas")

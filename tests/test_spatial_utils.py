@@ -143,3 +143,42 @@ def test_idw_interpolate_matches_brute():
         w = 1.0 / (1.0 + near.to_numpy())
         want = round((s.v.to_numpy()[near.index] * w).sum() / w.sum(), 6)
         assert abs(out[row.id] - want) < 1e-6
+
+
+def test_rdp_simplify_known_and_reference():
+    from city2graph_ray.geom.simplify import simplify_polyline
+
+    # collinear chain collapses to endpoints
+    line = np.array([0, 0, 1, 0.0, 2, 0, 3, 0])
+    assert simplify_polyline(line, 0.01).tolist() == [0, 0, 3, 0]
+    # spike above tol survives
+    spike = np.array([0, 0, 1, 1.0, 2, 0])
+    assert simplify_polyline(spike, 0.5).tolist() == [0, 0, 1, 1, 2, 0]
+    assert simplify_polyline(spike, 1.5).tolist() == [0, 0, 2, 0]
+
+    def ref(pts, tol):
+        if len(pts) <= 2:
+            return pts
+        a, b = pts[0], pts[-1]
+        d = b - a
+        import math
+        best, bi = -1.0, -1
+        for i in range(1, len(pts) - 1):
+            if d @ d == 0:
+                dist = math.hypot(*(pts[i] - a))
+            else:
+                rel = pts[i] - a
+                dist = abs(rel[0] * d[1] - rel[1] * d[0]) / math.sqrt(d @ d)
+            if dist > best:
+                best, bi = dist, i
+        if best > tol:
+            return np.vstack([ref(pts[:bi + 1], tol)[:-1],
+                              ref(pts[bi:], tol)])
+        return np.vstack([a, b])
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        pts = rng.uniform(0, 100, (rng.integers(2, 40), 2))
+        got = simplify_polyline(pts.ravel(), 5.0).reshape(-1, 2)
+        want = ref(pts, 5.0)
+        assert np.allclose(got, want)
