@@ -2246,6 +2246,55 @@ def _event_type_pivot(sf_dir: str):
         ["click", "error", "purchase", "signup", "view"])
 
 
+def _event_value_lag(sf_dir: str):
+    """Per-user LAG(value) ordered by (ts, event_id), default -1.0 —
+    values are copied, not computed, so exactness needs no tricks."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_id", "user_id", "ts", "value"]],
+        batch_format="pandas")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g["prev_value"] = (g.groupby("user_id", sort=False)["value"]
+                           .shift(1).fillna(-1.0))
+        return g[["event_id", "user_id", "value", "prev_value"]]
+
+    return shuffle.grouped_transform(ev, ["user_id"], kernel)
+
+
+def _event_user_dense_rank(sf_dir: str):
+    """Per-type dense_rank of users by integer-cent spend total —
+    ties share ranks, the order-immune cent sums make them exact."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "c": np.floor(b["value"].to_numpy(np.float64) * 100 + 0.5
+                          ).astype(np.int64)})
+
+    sums = shuffle.group_agg(
+        events(sf_dir).map_batches(cents, batch_format="pandas"),
+        ["event_type", "user_id"], {"tc": ("c", "sum")})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": g["event_type"],
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "total": g["tc"].to_numpy(np.int64) / 100.0,
+            "drank": g.groupby("event_type", sort=False)["tc"]
+                      .rank(method="dense", ascending=False)
+                      .astype(np.int64)})
+        return out
+
+    return shuffle.grouped_transform(sums, ["event_type"], kernel)
+
+
 def _event_value_rank(sf_dir: str):
     """Distributed row_number() OVER (ORDER BY value DESC, event_id):
     range sort fixes global order, per-block counts come back as
@@ -2960,6 +3009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hybrid_rrf": _doc_hybrid_rrf,
         "event_value_rank": _event_value_rank,
         "event_running_total": _event_running_total,
+        "event_value_lag": _event_value_lag,
+        "event_user_dense_rank": _event_user_dense_rank,
         "event_value_zscore": _event_value_zscore,
         "event_type_pivot": _event_type_pivot,
         "event_value_ntile": _event_value_ntile,
@@ -4785,6 +4836,24 @@ def oracle_sql() -> dict[str, str]:
         "zone_jaccard": _JACCARD_SQL,
         "zone_harmonic": _HARMONIC_SQL,
         "zone_hits": _hits_sql(3),
+        "event_value_lag": """
+            SELECT event_id, user_id, value,
+                   coalesce(lag(value) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id),
+                            -1.0) AS prev_value
+            FROM events""",
+        "event_user_dense_rank": """
+            WITH c AS (SELECT event_type, user_id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM events),
+            s AS (SELECT event_type, user_id, sum(cents) AS tc
+                  FROM c GROUP BY event_type, user_id)
+            SELECT event_type, user_id,
+                   CAST(tc AS DOUBLE) / 100.0 AS total,
+                   dense_rank() OVER (PARTITION BY event_type
+                                      ORDER BY tc DESC)::BIGINT AS drank
+            FROM s""",
         "event_running_total": """
             SELECT event_id, user_id, ts, value,
                    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
