@@ -2198,6 +2198,60 @@ def _kcore_sql(k: int, rounds: int) -> str:
               UNION ALL SELECT b AS node FROM e{rounds}) GROUP BY node""")
 
 
+def _zone_ktruss(sf_dir: str):
+    """18-truss of a skew-cored derived graph: the receiver modulus
+    varies 50..300 with the sender key, so low-id nodes form a dense
+    triangle core — at sf0.01 the peel runs ~23 support rounds and
+    strips ~54% of edges before converging (a degenerate all-survive
+    or all-peel graph would not exercise the fixed point).  Ray runs
+    the monotone peel to its exact fixed point; the oracle unrolls 30
+    triangle-count+filter rounds (rounds past convergence are
+    identity)."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import ktruss
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({"src": ok % 300,
+                             "dst": (ok * 17 + ck) % (50 + ok % 251)})
+
+    return ktruss(orders.map_batches(mk, batch_format="pandas"), k=18)
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    # Same MATERIALIZED discipline as _kcore_sql: every e{i}/t{i}/s{i}
+    # is referenced 3-4 times and DuckDB would otherwise inline them
+    # into an exponential re-scan.  Triangles enumerate once at their
+    # min vertex (e1.a < e1.b < e2.b), then fan support to all 3 sides.
+    ctes = ["""e0 AS MATERIALIZED (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM (SELECT o_orderkey % 300 AS s,
+                           (o_orderkey * 17 + o_custkey)
+                             % (50 + o_orderkey % 251) AS d
+                    FROM orders) WHERE s <> d)"""]
+    for i in range(rounds):
+        ctes.append(f"""t{i} AS MATERIALIZED (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e{i} e1
+              JOIN e{i} e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN e{i} e3 ON e3.a = e1.b AND e3.b = e2.b)""")
+        ctes.append(f"""s{i} AS MATERIALIZED (
+              SELECT a, b, count(*) AS support FROM (
+                SELECT x AS a, y AS b FROM t{i}
+                UNION ALL SELECT x AS a, z AS b FROM t{i}
+                UNION ALL SELECT y AS a, z AS b FROM t{i}) GROUP BY a, b)""")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+              SELECT a, b FROM s{i} WHERE support >= {k - 2})""")
+    return ("WITH " + ",\n            ".join(ctes) + f"""
+            SELECT a, b, support FROM s{rounds - 1}
+            WHERE support >= {k - 2}""")
+
+
 def _event_value_variance(sf_dir: str):
     """Per-type count/mean/population-variance of the 2-dp value
     column — integer-cent sums shuffle (order-immune), one fixed-order
@@ -2993,6 +3047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_hll": _event_user_hll,
         "doc_token_heavy_hitters": _token_heavy_hitters,
         "zone_kcore": _zone_kcore,
+        "zone_ktruss": _zone_ktruss,
         "zone_clustering": _zone_clustering,
         "zone_lpa_labels": _zone_lpa,
         "zone_adamic_adar": _zone_adamic_adar,
@@ -4808,6 +4863,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY approx_count DESC, value
             LIMIT 20""",
         "zone_kcore": _kcore_sql(8, 12),
+        "zone_ktruss": _ktruss_sql(18, 30),
         "zone_clustering": """
             WITH e0 AS MATERIALIZED (
               SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b

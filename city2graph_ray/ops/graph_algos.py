@@ -1298,3 +1298,141 @@ def hits(edges: ray.data.Dataset, num_iters: int = 3,
             "auth": b["au"].to_numpy(np.int64) / sc,
             "hub": b["hu"].to_numpy(np.int64) / sc}),
         batch_format="pandas")
+
+
+def _truss_support_local(e: pd.DataFrame) -> pd.DataFrame:
+    """Per-edge triangle support of a canonical (a < b) edge frame —
+    wedges enumerate at each triangle's MIN vertex, so every triangle
+    appears once; support fans back to its three edges.  Vectorized
+    pandas merges throughout."""
+    w = e.merge(e, on="a")
+    w = w[w["b_x"] < w["b_y"]]
+    tri = w.merge(e.rename(columns={"a": "b_x", "b": "b_y"}),
+                  on=["b_x", "b_y"])
+    if tri.empty:
+        return pd.DataFrame({"a": pd.Series(dtype=e["a"].dtype),
+                             "b": pd.Series(dtype=e["b"].dtype),
+                             "support": pd.Series(dtype=np.int64)})
+    sides = pd.concat([
+        tri[["a", "b_x"]].rename(columns={"b_x": "b"}),
+        tri[["a", "b_y"]].rename(columns={"b_y": "b"}),
+        tri[["b_x", "b_y"]].rename(columns={"b_x": "a", "b_y": "b"})],
+        ignore_index=True)
+    return (sides.groupby(["a", "b"], sort=False).size()
+            .rename("support").reset_index())
+
+
+def ktruss(edges: ray.data.Dataset, k: int, src: str = "src",
+           dst: str = "dst",
+           num_buckets: int = shuffle.DEFAULT_BUCKETS,
+           max_rounds: int = 100,
+           driver_edge_threshold: int = 1_000_000) -> ray.data.Dataset:
+    """k-truss of the UNDIRECTED simplification of an edge list: the
+    maximal subgraph whose every edge closes ≥ k−2 triangles within
+    the subgraph (Cohen 2008, public literature).  Output
+    ``(a, b, support)`` — the surviving canonical edges with their
+    in-truss triangle support; typed-empty when nothing survives.
+
+    Strategy mirrors :func:`kcore`'s measured cost split:
+
+    * distinct edges ≤ ``driver_edge_threshold``: collect once, peel
+      with vectorized pandas merge rounds (the min-vertex wedge
+      enumeration touches each triangle once per round).
+    * above: distributed rounds — per-round wedge explode inside a
+      keyed grouped-transform on the min vertex, one bucketed hash
+      join closing wedges against the edge set, a keyed support sum,
+      and a support filter; the surviving edge set re-materializes
+      each round (same hash key every round), the driver sees only
+      the scalar edge count.  Each round's wedge volume is the local
+      algorithm's, sharded by min vertex — a Zipfian hub's wedges
+      land on its many lower neighbors, not on itself.
+
+    Peeling only shrinks the edge set, so an unchanged count is the
+    exact fixed point.
+    """
+    if k < 3:
+        # k=2 is the whole graph (every edge closes >= 0 triangles) but
+        # the support stream only carries triangle edges — keep the
+        # implementation honest and reject the degenerate order
+        raise ValueError("ktruss requires k >= 3 (k=2 is the input graph)")
+    need = k - 2
+    import pyarrow as pa
+    ntype = pa.int64()
+    for name, typ in zip(edges.schema().names, edges.schema().types):
+        if name == src:
+            ntype = typ
+
+    def _empty() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], ntype), "b": pa.array([], ntype),
+            "support": pa.array([], pa.int64())}))
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+    n_edges = und.count()
+
+    if n_edges == 0:
+        return _empty()
+
+    if n_edges <= driver_edge_threshold:
+        e = und.to_pandas()
+        for _ in range(max_rounds):
+            sup = _truss_support_local(e)
+            keep = sup[sup["support"] >= need]
+            if len(keep) == len(e):
+                if not len(keep):
+                    return _empty()
+                return ray.data.from_pandas(keep.reset_index(drop=True))
+            e = keep[["a", "b"]].reset_index(drop=True)
+            if e.empty:
+                break
+        return _empty()
+
+    cur = und
+    cur_n = n_edges
+    for _ in range(max_rounds):
+        def wedges(g: pd.DataFrame) -> pd.DataFrame:
+            w = g[["a", "b"]].merge(g[["a", "b"]], on="a")
+            w = w[w["b_x"] < w["b_y"]]
+            return w.rename(columns={"b_x": "v", "b_y": "w"})
+
+        wed = shuffle.grouped_transform(cur, ["a"], wedges,
+                                        num_buckets=num_buckets)
+        closing = cur.map_batches(
+            lambda b: b.rename(columns={"a": "v", "b": "w"}),
+            batch_format="pandas")
+        tri = bucketed_join(
+            wed, closing, on=["v", "w"], num_buckets=num_buckets,
+            left_schema=pa.schema([("a", ntype), ("v", ntype),
+                                   ("w", ntype)]),
+            right_schema=pa.schema([("v", ntype), ("w", ntype)]))
+
+        def explode_sides(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.concat([
+                b[["a", "v"]].rename(columns={"v": "b"}),
+                b[["a", "w"]].rename(columns={"w": "b"}),
+                b[["v", "w"]].rename(columns={"v": "a", "w": "b"})],
+                ignore_index=True)
+
+        sides = tri.map_batches(explode_sides, batch_format="pandas")
+        sup = shuffle.group_agg(sides, ["a", "b"],
+                                {"support": ("a", "size")},
+                                num_buckets=num_buckets)
+        keep = sup.filter(expr=f"support >= {int(need)}").materialize()
+        keep_n = keep.count()
+        if keep_n == cur_n:
+            return keep
+        cur = keep.map_batches(lambda b: b[["a", "b"]],
+                               batch_format="pandas").materialize()
+        cur_n = keep_n
+        if cur_n == 0:
+            break
+    return _empty()

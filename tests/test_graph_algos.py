@@ -520,3 +520,40 @@ def test_harmonic_centrality_sampled_sources():
         want_h = sum(1.0 / d for d in lengths.values() if d > 0)
         assert got[v][0] == want_n
         assert abs(got[v][1] - want_h) < 1e-12
+
+
+def test_ktruss_matches_networkx():
+    import networkx as nx
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import ktruss
+    rng = np.random.default_rng(17)
+    n, m = 60, 400
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    df = pd.DataFrame({"src": a, "dst": b})
+    g = nx.Graph()
+    g.add_edges_from((int(x), int(y)) for x, y in zip(a, b) if x != y)
+    for k in (3, 4, 5):
+        got = ktruss(rd.from_pandas(df), k).to_pandas()
+        got_edges = {(int(r.a), int(r.b)) for r in got.itertuples()}
+        want = {(min(u, v), max(u, v))
+                for u, v in nx.k_truss(g, k).edges()}
+        assert got_edges == want, (k, len(got_edges), len(want))
+
+
+def test_ktruss_strategies_agree_and_empty():
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import ktruss
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 40, 250)
+    b = rng.integers(0, 40, 250)
+    df = pd.DataFrame({"src": a, "dst": b})
+    loc = ktruss(rd.from_pandas(df), 4).to_pandas()
+    dist = ktruss(rd.from_pandas(df), 4, num_buckets=8,
+                  driver_edge_threshold=0).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["a", "b", "support"]].to_numpy()))
+    assert key(loc) == key(dist)
+    # triangle-free graph → empty truss, typed columns intact
+    path = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4]})
+    out = ktruss(rd.from_pandas(path), 3)
+    assert out.count() == 0 and out.schema().names == ["a", "b", "support"]
