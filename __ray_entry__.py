@@ -2252,6 +2252,19 @@ def _ktruss_sql(k: int, rounds: int) -> str:
             WHERE support >= {k - 2}""")
 
 
+def _event_pareto(sf_dir: str):
+    """Skyline of events on the (min value, min ts) Pareto frontier —
+    both dimensions are copied, never computed, so exactness needs no
+    tricks; the oracle is the prefix-min window characterisation
+    (y = MIN(y) OVER (ORDER BY x) AND vice versa, peers included)."""
+    from city2graph_ray.ops.skyline import skyline2d
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_id", "ts", "value"]], batch_format="pandas")
+    return skyline2d(ev, "value", "ts")
+
+
 def _event_value_variance(sf_dir: str):
     """Per-type count/mean/population-variance of the 2-dp value
     column — integer-cent sums shuffle (order-immune), one fixed-order
@@ -3071,6 +3084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_ntile": _event_value_ntile,
         "event_value_linreg": _event_value_linreg,
         "event_value_variance": _event_value_variance,
+        "event_pareto": _event_pareto,
         "event_type_cooccurrence": _event_type_cooccurrence,
         "tpch_q7_volume": _tpch_q7,
         "tpch_q9_profit": _tpch_q9,
@@ -4966,6 +4980,13 @@ def oracle_sql() -> dict[str, str]:
                      * ((CAST(sum(cents) AS DOUBLE) / 100.0)
                         / count(*)) AS var
             FROM c GROUP BY event_type""",
+        "event_pareto": """
+            SELECT event_id, ts, value FROM (
+              SELECT event_id, ts, value,
+                     MIN(ts) OVER (ORDER BY value) AS mt,
+                     MIN(value) OVER (ORDER BY ts) AS mv
+              FROM events)
+            WHERE ts = mt AND value = mv""",
         "event_value_rank": """
             SELECT event_id, value,
                    row_number() OVER (ORDER BY value DESC, event_id)
