@@ -504,6 +504,27 @@ def _doc_fingerprint_dedup(sf_dir: str):
     return fingerprint_dedup(documents(sf_dir))
 
 
+def _doc_prefix_dedup(sf_dir: str):
+    """Prefix dedup over a corpus salted with truncation artifacts:
+    each doc contributes a 40-char-truncated rescrape (+10M id) and an
+    exact duplicate (+20M id); survivors are docs not strictly
+    extended by another text, min id among exact copies."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import prefix_dedup
+
+    def salt(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        t = b["text"].astype(str)
+        return pd.DataFrame({
+            "doc_id": np.concatenate([ids, ids + 10_000_000,
+                                      ids + 20_000_000]),
+            "text": pd.concat([t, t.str.slice(0, 40), t],
+                              ignore_index=True)})
+
+    docs = documents(sf_dir).map_batches(salt, batch_format="pandas")
+    return prefix_dedup(docs)
+
+
 def _doc_tokens(sf_dir: str):
     from city2graph_ray.pipelines.tables import documents
     from city2graph_ray.text.analysis import token_counts
@@ -2969,6 +2990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metapath_cust_supp": _metapath,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_fingerprint_dedup": _doc_fingerprint_dedup,
+        "doc_prefix_dedup": _doc_prefix_dedup,
         "doc_token_stats": _doc_tokens,
         "doc_pack_spans": _doc_pack_spans,
         "doc_quality": _doc_quality,
@@ -3454,6 +3476,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY array_to_string(list_sort(list_distinct(
                 string_split(text, ' '))), ' ')""",
+        "doc_prefix_dedup": """
+            WITH corpus AS MATERIALIZED (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, substr(text, 1, 40)
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 20000000, text FROM documents)
+            SELECT c1.doc_id, length(c1.text) AS n_chars
+            FROM corpus c1
+            WHERE NOT EXISTS (
+              SELECT 1 FROM corpus c2
+              WHERE c2.doc_id <> c1.doc_id
+                AND starts_with(c2.text, c1.text)
+                AND (length(c2.text) > length(c1.text)
+                     OR c2.doc_id < c1.doc_id))""",
         "doc_pack_spans": """
             WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
                        FROM documents),

@@ -792,3 +792,110 @@ def line_dedup(docs: ray.data.Dataset, words_per_line: int = 4,
         return out.reset_index().rename(columns={"index": id_col})
 
     return shuffle.grouped_transform(flagged, [id_col], kernel)
+
+
+_MAXCHAR = "\U0010ffff"
+
+
+def _prefix_scan(g: pd.DataFrame, key_col: str, text_col: str,
+                 id_col: str) -> pd.DataFrame:
+    """Sorted-neighbor prefix scan within a bucket of whole key
+    groups: sort by (key, text asc, id desc); strings sharing a prefix
+    are contiguous under the text order, so a row is dominated iff its
+    IMMEDIATE successor (same key) extends-or-equals it.  The ragged
+    per-row startswith collapses to one vectorized string comparison
+    via the prefix-range trick: ``s.startswith(p)  ⟺  p <= s <
+    p + U+10FFFF`` (texts containing U+10FFFF excluded, documented).
+    id-desc ordering makes the min-id duplicate the run's last row, so
+    the same successor test applies the first-wins rule for free."""
+    g = g.sort_values([key_col, text_col, id_col],
+                      ascending=[True, True, False])
+    t = g[text_col].to_numpy()
+    k = g[key_col].to_numpy()
+    nxt = np.roll(t, -1)
+    same_key = np.empty(len(g), bool)
+    same_key[:-1] = k[:-1] == k[1:]
+    same_key[-1] = False
+    hi = (g[text_col] + _MAXCHAR).to_numpy()
+    dominated = same_key & (nxt >= t) & (nxt < hi)
+    out = g.loc[~dominated, [id_col, text_col]]
+    return pd.DataFrame({id_col: out[id_col].to_numpy(),
+                         "n_chars": out[text_col].str.len().to_numpy(
+                             np.int64)})
+
+
+def prefix_dedup(docs: ray.data.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 ) -> ray.data.Dataset:
+    """Prefix dedup — drop every document whose text is a strict
+    PREFIX of another document's text (truncation artifacts: partial
+    crawls, cut-off re-scrapes), and among exact duplicates keep the
+    min id.  Output ``(doc_id, n_chars)`` of the survivors.
+
+    The reference has no text dedup at all (closest analogue:
+    grid-snap endpoint clustering, /root/reference/city2graph/
+    data.py:735); this extends the dedup family (exact / fingerprint /
+    minhash / line / media) with the containment-by-truncation case
+    none of them catch.
+
+    Scale plan: a strict-prefix pair shares the prefix's first TWO
+    characters whenever the prefix has ≥2 chars, so docs of length ≥2
+    shuffle once keyed by their first two characters (fan-out bounded
+    by alphabet²; hot 2-grams like ``th`` are real but each bucket
+    does an O(m log m) local sort, not a quadratic join) and resolve
+    with the sorted-neighbor scan above.  Length-<2 docs (empty or
+    1-char — prefixes of entire first-char ranges) cannot be resolved
+    inside a 2-char bucket; they are a vanishing sliver of any real
+    corpus, so they collect to the driver and resolve against a
+    ≤alphabet-sized per-first-char existence aggregate (no corpus
+    broadcast, no second corpus pass).
+    """
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].astype(str)
+        return pd.DataFrame({"k2": t.str.slice(0, 2),
+                             id_col: b[id_col].to_numpy(),
+                             text_col: t,
+                             "__len": t.str.len().to_numpy(np.int64)})
+
+    routed = docs.map_batches(route, batch_format="pandas").materialize()
+    long_docs = routed.filter(expr="__len >= 2")
+
+    survivors = shuffle.grouped_transform(
+        long_docs, ["k2"],
+        lambda g: _prefix_scan(g, "k2", text_col, id_col),
+        num_buckets=num_buckets)
+
+    shorts = routed.filter(expr="__len < 2").to_pandas()
+    if len(shorts) == 0:
+        return survivors
+
+    # tiny sidecar: per-first-char existence of >=2-char docs (bounded
+    # by the distinct first characters, not the corpus)
+    first = long_docs.map_batches(
+        lambda b: pd.DataFrame({"c": b[text_col].str.slice(0, 1)}),
+        batch_format="pandas")
+    counts = shuffle.group_agg(first, ["c"], {"n": ("c", "size")},
+                               num_buckets=num_buckets).to_pandas()
+    # empty Datasets drop pandas column names (Ray quirk) — guard
+    n_long = int(counts["n"].sum()) if len(counts) else 0
+    extended = set(counts["c"]) if len(counts) else set()
+
+    keep_rows = []
+    for txt, grp in shorts.groupby(text_col, sort=False):
+        min_id = int(grp[id_col].min())
+        if txt == "":
+            # the empty text is a prefix of every non-empty doc: its
+            # min-id copy survives only in an all-empty corpus
+            if n_long == 0 and (shorts[text_col] == "").all():
+                keep_rows.append((min_id, 0))
+        elif txt not in extended:
+            # a 1-char doc is dominated only by a >=2-char extension
+            # (no other short can strictly extend it)
+            keep_rows.append((min_id, len(txt)))
+    if not keep_rows:
+        return survivors
+    extra = pd.DataFrame(keep_rows, columns=[id_col, "n_chars"])
+    extra["n_chars"] = extra["n_chars"].astype(np.int64)
+    return survivors.union(ray.data.from_pandas(extra))
