@@ -2286,6 +2286,29 @@ def _event_pareto(sf_dir: str):
     return skyline2d(ev, "value", "ts")
 
 
+def _zone_4cliques(sf_dir: str):
+    """4-clique enumeration of a banded derived graph: each sender key
+    links to 1..6 positions ahead (mod 600), so overlapping near-
+    complete windows carry thousands of 4-cliques while the global
+    graph stays sparse.  Ray runs the min-vertex wedge + 3-join growth
+    cascade; the oracle is the canonical 6-edge self-join."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import four_cliques
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        s = ok % 600
+        return pd.DataFrame({"src": s,
+                             "dst": (s + 1 + (ok * 7 + ck) % 6) % 600})
+
+    return four_cliques(orders.map_batches(mk, batch_format="pandas"))
+
+
 def _event_value_variance(sf_dir: str):
     """Per-type count/mean/population-variance of the 2-dp value
     column — integer-cent sums shuffle (order-immune), one fixed-order
@@ -3083,6 +3106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_heavy_hitters": _token_heavy_hitters,
         "zone_kcore": _zone_kcore,
         "zone_ktruss": _zone_ktruss,
+        "zone_4cliques": _zone_4cliques,
         "zone_clustering": _zone_clustering,
         "zone_lpa_labels": _zone_lpa,
         "zone_adamic_adar": _zone_adamic_adar,
@@ -4916,6 +4940,21 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20""",
         "zone_kcore": _kcore_sql(8, 12),
         "zone_ktruss": _ktruss_sql(18, 30),
+        "zone_4cliques": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM (SELECT o_orderkey % 600 AS s,
+                           (o_orderkey % 600 + 1
+                            + (o_orderkey * 7 + o_custkey) % 6)
+                             % 600 AS d
+                    FROM orders) WHERE s <> d)
+            SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3, e4.b AS n4
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            JOIN e e4 ON e4.a = e2.b
+            JOIN e e5 ON e5.a = e1.b AND e5.b = e4.b
+            JOIN e e6 ON e6.a = e1.a AND e6.b = e4.b""",
         "zone_clustering": """
             WITH e0 AS MATERIALIZED (
               SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b

@@ -1436,3 +1436,136 @@ def ktruss(edges: ray.data.Dataset, k: int, src: str = "src",
         if cur_n == 0:
             break
     return _empty()
+
+
+def _cliques4_local(e: pd.DataFrame) -> pd.DataFrame:
+    """4-cliques of a canonical (a < b) edge frame via vectorized
+    pandas merges: triangles enumerate once at their min vertex, then
+    each extends by a 4th vertex adjacent to all three (d > n3 by
+    canonical edge direction, so every clique appears exactly once)."""
+    w = e.merge(e, on="a")
+    w = w[w["b_x"] < w["b_y"]]
+    tri = (w.merge(e.rename(columns={"a": "b_x", "b": "b_y"}),
+                   on=["b_x", "b_y"])
+           .rename(columns={"a": "n1", "b_x": "n2", "b_y": "n3"}))
+    cand = tri.merge(e.rename(columns={"a": "n3", "b": "n4"}), on="n3")
+    cand = cand.merge(e.rename(columns={"a": "n2", "b": "n4"}),
+                      on=["n2", "n4"])
+    cand = cand.merge(e.rename(columns={"a": "n1", "b": "n4"}),
+                      on=["n1", "n4"])
+    return cand[["n1", "n2", "n3", "n4"]].reset_index(drop=True)
+
+
+def four_cliques(edges: ray.data.Dataset, src: str = "src",
+                 dst: str = "dst",
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 driver_edge_threshold: int = 1_000_000,
+                 ) -> ray.data.Dataset:
+    """Exact enumeration of the 4-cliques of the UNDIRECTED
+    simplification of an edge list (Chiba–Nishizeki clique listing,
+    public literature).  Output ``(n1 < n2 < n3 < n4)``, one row per
+    clique, typed-empty when there are none.
+
+    Follows :func:`ktruss`'s measured strategy split:
+
+    * distinct edges ≤ ``driver_edge_threshold``: one collect, the
+      vectorized merge cascade above.
+    * larger: fully distributed — min-vertex wedge explode (ragged
+      triu inside a keyed grouped-transform), one bucketed pair join
+      closing triangles, then three bucketed joins growing the 4th
+      vertex and confirming its two remaining edges.  Every join is
+      hash-bucketed on its key; nothing rides the driver.  Wedge
+      volume is the min-vertex enumeration's — adequate for sparse
+      derived graphs; a degree-ordered orientation (as in
+      :func:`triangle_count`) is the documented upgrade for Zipfian
+      hubs.
+    """
+    import pyarrow as pa
+    ntype = pa.int64()
+    for name, typ in zip(edges.schema().names, edges.schema().types):
+        if name == src:
+            ntype = typ
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+
+    def _empty() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([], ntype) for c in ("n1", "n2", "n3", "n4")}))
+
+    n_edges = und.count()
+    if n_edges == 0:
+        return _empty()
+
+    if n_edges <= driver_edge_threshold:
+        out = _cliques4_local(und.to_pandas())
+        if out.empty:
+            return _empty()
+        return ray.data.from_pandas(out)
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # ragged vectorized triu over each sorted min-vertex
+        # neighborhood (same arithmetic as triangle_count's kernel)
+        g = g.sort_values(["a", "b"], kind="stable")
+        aa = g["a"].to_numpy()
+        bb = g["b"].to_numpy()
+        _, starts, sizes = np.unique(aa, return_index=True,
+                                     return_counts=True)
+        pos = np.arange(len(aa)) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - pos
+        total = int(reps.sum())
+        if total == 0:
+            i_idx = j_off = np.zeros(0, np.int64)
+        else:
+            i_idx = np.repeat(np.arange(len(aa)), reps)
+            j_off = np.arange(total) - np.repeat(
+                np.cumsum(reps) - reps, reps) + 1
+        return pd.DataFrame({"n1": aa[i_idx], "n2": bb[i_idx],
+                             "n3": bb[i_idx + j_off]})
+
+    wed = shuffle.grouped_transform(und, ["a"], wedges,
+                                    num_buckets=num_buckets)
+    pair = pa.schema([("n2", ntype), ("n3", ntype)])
+    tri = bucketed_join(
+        wed, und.map_batches(
+            lambda b: b.rename(columns={"a": "n2", "b": "n3"}),
+            batch_format="pandas"),
+        on=["n2", "n3"], num_buckets=num_buckets,
+        left_schema=pa.schema([("n1", ntype), ("n2", ntype),
+                               ("n3", ntype)]),
+        right_schema=pair)
+
+    tri_schema = pa.schema([("n1", ntype), ("n2", ntype), ("n3", ntype)])
+    cand = bucketed_join(
+        tri, und.map_batches(
+            lambda b: b.rename(columns={"a": "n3", "b": "n4"}),
+            batch_format="pandas"),
+        on="n3", num_buckets=num_buckets,
+        left_schema=tri_schema,
+        right_schema=pa.schema([("n3", ntype), ("n4", ntype)]))
+    cand_schema = pa.schema([("n1", ntype), ("n2", ntype),
+                             ("n3", ntype), ("n4", ntype)])
+    cand = bucketed_join(
+        cand, und.map_batches(
+            lambda b: b.rename(columns={"a": "n2", "b": "n4"}),
+            batch_format="pandas"),
+        on=["n2", "n4"], num_buckets=num_buckets,
+        left_schema=cand_schema,
+        right_schema=pa.schema([("n2", ntype), ("n4", ntype)]))
+    cand = bucketed_join(
+        cand, und.map_batches(
+            lambda b: b.rename(columns={"a": "n1", "b": "n4"}),
+            batch_format="pandas"),
+        on=["n1", "n4"], num_buckets=num_buckets,
+        left_schema=cand_schema,
+        right_schema=pa.schema([("n1", ntype), ("n4", ntype)]))
+    return cand.map_batches(lambda b: b[["n1", "n2", "n3", "n4"]],
+                            batch_format="pandas")

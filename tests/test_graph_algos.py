@@ -557,3 +557,32 @@ def test_ktruss_strategies_agree_and_empty():
     path = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4]})
     out = ktruss(rd.from_pandas(path), 3)
     assert out.count() == 0 and out.schema().names == ["a", "b", "support"]
+
+
+def test_four_cliques_matches_bruteforce():
+    from itertools import combinations
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import four_cliques
+    rng = np.random.default_rng(31)
+    n = 35
+    a = rng.integers(0, n, 260)
+    b = rng.integers(0, n, 260)
+    es = {(min(int(x), int(y)), max(int(x), int(y)))
+          for x, y in zip(a, b) if x != y}
+    want = sorted(q for q in combinations(range(n), 4)
+                  if all(p in es for p in combinations(q, 2)))
+    assert want, "fixture must contain 4-cliques"
+    df = pd.DataFrame({"src": a, "dst": b})
+    for kw in ({}, {"driver_edge_threshold": 0, "num_buckets": 8}):
+        got = four_cliques(rd.from_pandas(df), **kw).to_pandas()
+        got_q = sorted(map(tuple, got.to_numpy()))
+        assert got_q == want, (kw, len(got_q), len(want))
+
+
+def test_four_cliques_empty():
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import four_cliques
+    tri_only = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 1]})
+    out = four_cliques(rd.from_pandas(tri_only))
+    assert out.count() == 0
+    assert out.schema().names == ["n1", "n2", "n3", "n4"]
