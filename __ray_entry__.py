@@ -231,6 +231,22 @@ def _pt_cell_assign(sf_dir: str):
                              num_buckets=8)
 
 
+def _grid_zone_dissolve(sf_dir: str):
+    """Dissolve-by-zone over the grid index: per zone (custkey % 5)
+    the occupied-cell count, exact union AREA and union-boundary
+    PERIMETER via integer edge-cancellation (interior edges appear
+    twice, boundary edges once) — the raster analogue of GeoPandas
+    dissolve + unary_union, pure int64 in both engines."""
+    from city2graph_ray.ops.tiling import dissolve_cells
+    from city2graph_ray.pipelines.tables import customer_points
+
+    pts = customer_points(sf_dir).map_batches(
+        lambda b: pd.DataFrame({"zone": b["id"].to_numpy(np.int64) % 5,
+                                "x": b["x"], "y": b["y"]}),
+        batch_format="pandas")
+    return dissolve_cells(pts, 64.0, "zone")
+
+
 def _pt_zorder(sf_dir: str):
     """Z-order locality layout: every point's Morton key (bit-interleaved
     offset cell coords, cell 64) and its global rank along the Z-curve.
@@ -2989,6 +3005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_cell_assign": _pt_cell_assign,
         "pt_cell_ring": _pt_cell_ring,
         "pt_zorder": _pt_zorder,
+        "grid_zone_dissolve": _grid_zone_dissolve,
         "grid_areal_interp": _grid_areal_interp,
         "pt_radius_skewed": _pt_radius_skewed,
         "raster_downsample": _raster_downsample,
@@ -3242,6 +3259,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT (iy << 31) | (ix & 2147483647) AS cell,
                    count(*) AS n_points
             FROM ij GROUP BY 1""",
+        "grid_zone_dissolve": f"""
+            WITH pts AS ({_PTS}),
+            occ AS (SELECT DISTINCT id % 5 AS zone,
+                      CAST(floor(x / 64.0) AS BIGINT) + 1073741824
+                        AS ix,
+                      CAST(floor(y / 64.0) AS BIGINT) + 1073741824
+                        AS iy
+                    FROM pts),
+            ed AS (
+              SELECT zone, (iy << 31) | ix AS ek, 0 AS kind FROM occ
+              UNION ALL
+              SELECT zone, (iy << 31) | (ix + 1), 0 FROM occ
+              UNION ALL
+              SELECT zone, (iy << 31) | ix, 1 FROM occ
+              UNION ALL
+              SELECT zone, ((iy + 1) << 31) | ix, 1 FROM occ),
+            m AS (SELECT zone, ek, kind, count(*) AS m
+                  FROM ed GROUP BY 1, 2, 3),
+            per AS (SELECT zone, count(*) AS perimeter_units
+                    FROM m WHERE m = 1 GROUP BY zone),
+            ar AS (SELECT zone, count(*) AS n_cells
+                   FROM occ GROUP BY zone)
+            SELECT ar.zone, n_cells, perimeter_units,
+                   n_cells * 4096.0 AS area,
+                   perimeter_units * 64.0 AS perimeter
+            FROM ar JOIN per USING (zone)""",
         "pt_zorder": f"""
             WITH pts AS ({_PTS}),
             ij AS (SELECT id,

@@ -227,3 +227,91 @@ def zorder_rank(points: ray.data.Dataset, cell_size: float,
 
     keyed = points.map_batches(fn, batch_format="pandas")
     return shuffle.global_row_number(keyed, ["mkey", id_col])
+
+
+def dissolve_cells(points: ray.data.Dataset, cell_size: float,
+                   zone_col: str, x: str = "x", y: str = "y",
+                   num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                   ) -> ray.data.Dataset:
+    """Dissolve-by-zone over the grid index: per zone, the cell count,
+    area and OUTER perimeter of the union of its occupied cells — the
+    raster analogue of GeoPandas ``dissolve`` + ``unary_union`` (the
+    reference's tessellation post-processing does this single-process
+    via shapely; here it is pure integer edge-cancellation).
+
+    Exactness: every occupied (zone, cell) contributes its 4 unit
+    edges keyed by the SHARED edge id (the vertical edge between
+    ``(ix-1,iy)`` and ``(ix,iy)`` is ``V(ix,iy)`` for both); an edge
+    interior to the zone's union appears exactly twice, a boundary
+    edge once — so ``perimeter_units = Σ edges with multiplicity 1``
+    and both engines compute identical int64s; lengths/areas scale by
+    a power-of-two ``cell_size`` for exact doubles.
+
+    Distributed shape: one distinct over (zone, cell) — points
+    pre-shrink to cells inside map_batches before the shuffle — a 4×
+    edge explode over DISTINCT cells only, one keyed multiplicity
+    count, and a per-zone partial-combined sum.  No joins, no driver
+    state; hot zones shard across edge-key buckets.
+    """
+    def to_cells(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "zone": b[zone_col].to_numpy(),
+            "cell": cells.cell_id(b[x].to_numpy(np.float64),
+                                  b[y].to_numpy(np.float64), cell_size)})
+
+    occ = shuffle.distinct(
+        points.map_batches(to_cells, batch_format="pandas"),
+        ["zone", "cell"], num_buckets=num_buckets).materialize()
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        ix = (b["cell"].to_numpy(np.int64)
+              & np.int64((1 << 31) - 1))
+        iy = b["cell"].to_numpy(np.int64) >> np.int64(31)
+        z = b["zone"].to_numpy()
+        n = len(b)
+        # edge key: (orientation, corner) packed back through the cell
+        # packer — V(ix,iy) left wall, V(ix+1,iy) right wall, H(ix,iy)
+        # floor, H(ix,iy+1) ceiling; coords stay in offset space so the
+        # pack is lossless
+        ex = np.concatenate([ix, ix + 1, ix, ix])
+        ey = np.concatenate([iy, iy, iy, iy + 1])
+        kind = np.concatenate([np.zeros(2 * n, np.int64),
+                               np.ones(2 * n, np.int64)])
+        return pd.DataFrame({
+            "zone": np.tile(z, 4),
+            "ek": (ey << np.int64(31)) | ex,
+            "kind": kind})
+
+    mult = shuffle.group_agg(occ.map_batches(edges, batch_format="pandas"),
+                             ["zone", "ek", "kind"],
+                             {"m": ("ek", "size")},
+                             num_buckets=num_buckets)
+    boundary = mult.filter(expr="m == 1").map_batches(
+        lambda b: pd.DataFrame({"zone": b["zone"].to_numpy(),
+                                "p": np.ones(len(b), np.int64)}),
+        batch_format="pandas")
+    per = shuffle.group_agg(boundary, ["zone"], {"perimeter_units":
+                                                 ("p", "sum")},
+                            num_buckets=num_buckets)
+    area = shuffle.group_agg(occ, ["zone"], {"n_cells": ("cell", "size")},
+                             num_buckets=num_buckets)
+    zt = pa.int64()
+    for name, typ in zip(points.schema().names, points.schema().types):
+        if name == zone_col:
+            zt = typ
+    joined = bucketed_join(
+        area, per, on="zone", num_buckets=num_buckets,
+        left_schema=pa.schema([("zone", zt), ("n_cells", pa.int64())]),
+        right_schema=pa.schema([("zone", zt),
+                                ("perimeter_units", pa.int64())]))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["area"] = b["n_cells"].to_numpy(np.int64) * (cell_size
+                                                       * cell_size)
+        b["perimeter"] = (b["perimeter_units"].to_numpy(np.int64)
+                          * cell_size)
+        return b[["zone", "n_cells", "perimeter_units", "area",
+                  "perimeter"]]
+
+    return joined.map_batches(finish, batch_format="pandas")

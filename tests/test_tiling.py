@@ -162,3 +162,47 @@ def test_zorder_rank_orders_by_key():
     # rank order must equal (mkey, id) lexicographic order
     expect = out.sort_values(["mkey", "id"], kind="stable")
     assert (out["id"].to_numpy() == expect["id"].to_numpy()).all()
+
+
+def test_dissolve_cells_perimeter_bruteforce():
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import dissolve_cells
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame({
+        "zone": rng.integers(0, 4, n).astype(np.int64),
+        "x": rng.uniform(-300, 300, n),
+        "y": rng.uniform(-300, 300, n)})
+    out = dissolve_cells(rd.from_pandas(df).repartition(5), 64.0,
+                         "zone").to_pandas()
+    for z, grp in df.groupby("zone"):
+        cs = {(int(np.floor(r.x / 64.0)), int(np.floor(r.y / 64.0)))
+              for r in grp.itertuples()}
+        per = 0
+        for (ix, iy) in cs:
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                if (ix + dx, iy + dy) not in cs:
+                    per += 1
+        row = out[out["zone"] == z].iloc[0]
+        assert int(row["n_cells"]) == len(cs)
+        assert int(row["perimeter_units"]) == per
+        assert row["area"] == len(cs) * 4096.0
+        assert row["perimeter"] == per * 64.0
+
+
+def test_dissolve_cells_shapes():
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import dissolve_cells
+    # two zones: a 2x2 block (perimeter 8) and an L-tromino (perimeter 8)
+    block = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    ell = [(5, 5), (6, 5), (5, 6)]
+    rows = ([{"zone": 1, "x": ix * 64.0 + 1, "y": iy * 64.0 + 1}
+             for ix, iy in block]
+            + [{"zone": 2, "x": ix * 64.0 + 1, "y": iy * 64.0 + 1}
+               for ix, iy in ell])
+    out = dissolve_cells(rd.from_pandas(pd.DataFrame(rows)), 64.0,
+                         "zone").to_pandas().set_index("zone")
+    assert int(out.loc[1, "perimeter_units"]) == 8
+    assert int(out.loc[2, "perimeter_units"]) == 8
+    assert int(out.loc[1, "n_cells"]) == 4
+    assert int(out.loc[2, "n_cells"]) == 3
