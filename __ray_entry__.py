@@ -2435,6 +2435,19 @@ def _event_value_rank(sf_dir: str):
                                      descending=[True, False])
 
 
+def _event_percent_rank(sf_dir: str):
+    """percent_rank() + cume_dist() OVER (ORDER BY value) with full
+    tie semantics: global row_number pass, tie classes collapsed to
+    min/max rank inside a value-keyed grouped transform; integer
+    ratios → bit-identical doubles."""
+    from city2graph_ray.ops.windows import percent_rank_cume
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_id", "value"]], batch_format="pandas")
+    return percent_rank_cume(ev, "value", "event_id")
+
+
 def _event_value_ntile(sf_dir: str):
     """Distributed ntile(10) with SQL remainder semantics: one global
     row_number pass + a closed-form per-block tile stamp off a single
@@ -3145,6 +3158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_zscore": _event_value_zscore,
         "event_type_pivot": _event_type_pivot,
         "event_value_ntile": _event_value_ntile,
+        "event_percent_rank": _event_percent_rank,
         "event_value_linreg": _event_value_linreg,
         "event_value_variance": _event_value_variance,
         "event_pareto": _event_pareto,
@@ -5111,6 +5125,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    row_number() OVER (ORDER BY value DESC, event_id)
                      AS rn
+            FROM events""",
+        "event_percent_rank": """
+            SELECT event_id, value,
+                   percent_rank() OVER (ORDER BY value) AS pct_rank,
+                   cume_dist() OVER (ORDER BY value) AS cume
             FROM events""",
         "event_value_ntile": """
             SELECT event_id, value,

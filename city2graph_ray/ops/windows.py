@@ -168,3 +168,35 @@ def grouped_running_sum(ds: ray.data.Dataset, keys, order_cols,
 
     return shuffle.grouped_transform(ds, keys, kernel,
                                      num_buckets=num_buckets)
+
+
+def percent_rank_cume(ds: ray.data.Dataset, value_col: str,
+                      id_col: str,
+                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                      ) -> ray.data.Dataset:
+    """Distributed ``percent_rank()`` and ``cume_dist()`` OVER
+    (ORDER BY value) with full SQL tie semantics — ties share the min
+    rank and the max cumulative count.  Output = input columns +
+    ``pct_rank`` + ``cume``.
+
+    Exact across engines: one global row_number pass (range sort +
+    per-block offset stamp, no driver rows), then a keyed
+    grouped-transform on the VALUE collapses each tie class to its
+    min/max row number; ``(rmin-1)/(n-1)`` and ``rmax/n`` are int64 →
+    double divisions, bit-identical to the SQL window functions.  The
+    only driver state is the total count scalar."""
+    rn = shuffle.global_row_number(ds, [value_col, id_col])
+    n = rn.count()
+    denom = float(n - 1) if n > 1 else 1.0
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(value_col, sort=False)["rn"]
+        rmin = grp.transform("min").to_numpy(np.int64)
+        rmax = grp.transform("max").to_numpy(np.int64)
+        g = g.drop(columns=["rn"])
+        g["pct_rank"] = (rmin - 1) / denom
+        g["cume"] = rmax / float(n)
+        return g
+
+    return shuffle.grouped_transform(rn, [value_col], kernel,
+                                     num_buckets=num_buckets)
