@@ -2302,6 +2302,60 @@ def _event_pareto(sf_dir: str):
     return skyline2d(ev, "value", "ts")
 
 
+def _emb_kmeans(sf_dir: str):
+    """Bit-exact integer k-means (k=4, 2 Lloyd iterations) over the
+    64-dim embeddings: quantize floor(x*1e4+0.5)+1e5, integer squared
+    distances, (2S+n)//(2n) half-up centroid update — no float mean
+    ever exists, so the unrolled SQL twin hashes identically."""
+    import ray.data
+
+    from city2graph_ray.vector.kmeans import kmeans_quantized
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return kmeans_quantized(emb, k=4, num_iters=2)
+
+
+def _kmeans_sql(k: int, iters: int, dim: int) -> str:
+    # same MATERIALIZED discipline as _kcore_sql/_ktruss_sql: q and
+    # every c{r}/a{r} are referenced repeatedly
+    ctes = [f"""q AS MATERIALIZED (
+              SELECT vec_id, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000
+                                + 0.5) AS BIGINT) + 100000 AS v
+              FROM embeddings, range(1, {dim + 1}) t(i))""",
+            f"""init AS (SELECT vec_id,
+                       row_number() OVER (ORDER BY vec_id) - 1 AS cid
+                FROM (SELECT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT {k}))""",
+            """c0 AS MATERIALIZED (
+              SELECT init.cid, q.i, q.v AS c
+              FROM init JOIN q USING (vec_id))"""]
+    for r in range(iters):
+        ctes.append(f"""a{r} AS MATERIALIZED (
+              SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c{r}.cid,
+                       sum((q.v - c{r}.c) * (q.v - c{r}.c)) AS dist
+                FROM q JOIN c{r} ON c{r}.i = q.i
+                GROUP BY q.vec_id, c{r}.cid)
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist, cid) = 1)""")
+        ctes.append(f"""c{r + 1} AS MATERIALIZED (
+              SELECT a{r}.cid, q.i,
+                     (2 * sum(q.v) + count(*)) // (2 * count(*)) AS c
+              FROM a{r} JOIN q USING (vec_id)
+              GROUP BY a{r}.cid, q.i)""")
+    return ("WITH " + ",\n            ".join(ctes) + f"""
+            SELECT vec_id, cid, dist FROM (
+              SELECT q.vec_id, c{iters}.cid,
+                     sum((q.v - c{iters}.c) * (q.v - c{iters}.c))
+                       AS dist
+              FROM q JOIN c{iters} ON c{iters}.i = q.i
+              GROUP BY q.vec_id, c{iters}.cid)
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist, cid) = 1""")
+
+
 def _zone_4cliques(sf_dir: str):
     """4-clique enumeration of a banded derived graph: each sender key
     links to 1..6 positions ahead (mod 600), so overlapping near-
@@ -3137,6 +3191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_kcore": _zone_kcore,
         "zone_ktruss": _zone_ktruss,
         "zone_4cliques": _zone_4cliques,
+        "emb_kmeans": _emb_kmeans,
         "zone_clustering": _zone_clustering,
         "zone_lpa_labels": _zone_lpa,
         "zone_adamic_adar": _zone_adamic_adar,
@@ -4997,6 +5052,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20""",
         "zone_kcore": _kcore_sql(8, 12),
         "zone_ktruss": _ktruss_sql(18, 30),
+        "emb_kmeans": _kmeans_sql(4, 2, 64),
         "zone_4cliques": """
             WITH e AS MATERIALIZED (
               SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b

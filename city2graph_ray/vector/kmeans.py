@@ -1,0 +1,140 @@
+"""Bit-exact quantized k-means over an embedding column.
+
+Lloyd's algorithm is float-order-fragile (centroid means sum floats in
+block order), so the distributed result would never hash-match a SQL
+twin.  This variant is EXACT by construction — the entire iteration
+runs in int64:
+
+* embeddings quantize once: ``q = floor(x * scale + 0.5) + offset``
+  (the float64 multiply is a single IEEE op, identical in numpy and
+  DuckDB; ``offset`` keeps every value positive so integer division
+  below is floor in both engines),
+* distances are integer sums of squared differences,
+* assignment breaks ties by (dist, cid) — numpy ``argmin`` picks the
+  first minimum over ascending cid, matching SQL's
+  ``row_number() OVER (ORDER BY dist, cid)``,
+* the centroid update rounds half-up in integer space:
+  ``c_d = (2·S_d + n) // (2·n)`` with positive S — no float mean ever
+  exists, so association order cannot matter.
+
+Initial centroids are the quantized vectors of the ``k`` smallest ids
+(deterministic, data-defined).  A cluster that loses every member is
+dropped (both engines simply stop emitting its cid).
+
+Distributed shape per iteration: the quantized corpus STREAMS through
+one ``map_batches`` holding the (k × dim) int64 centroid matrix in the
+task closure (a few KiB — rebroadcast per iteration is free); each
+block emits ≤ k·dim partial rows ``(cid, dim, sum, count)``; one
+partial-combined ``group_agg`` reduces them and the driver folds
+≤ k·dim integers into the next centroid matrix.  The corpus itself is
+never materialized or collected — iterations re-consume the lazy
+quantized Dataset exactly like ``ivf_topk``'s streaming Lloyd
+(vector/ann.py:76).
+
+The reference has no clustering operator; this is part of the
+training-data-pipeline layer (embedding-space bucketing for curation
+and IVF index builds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from city2graph_ray import shuffle
+from city2graph_ray.vector.ann import _to_matrix
+
+__all__ = ["kmeans_quantized"]
+
+
+def _quantize(b: pd.DataFrame, vec_col: str, id_col: str, scale: float,
+              offset: int) -> pd.DataFrame:
+    m = _to_matrix(b[vec_col])
+    q = (np.floor(m * scale + 0.5).astype(np.int64) + offset)
+    return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                         "__q": list(q)})
+
+
+def _assign(q: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray,
+                                                       np.ndarray]:
+    # (n, k) integer squared distances; argmin = first min = min cid
+    d = q @ cents.T
+    sq_q = (q * q).sum(axis=1, keepdims=True)
+    sq_c = (cents * cents).sum(axis=1)
+    dist = sq_q - 2 * d + sq_c
+    cid = np.argmin(dist, axis=1)
+    return cid, dist[np.arange(len(q)), cid]
+
+
+def kmeans_quantized(ds: ray.data.Dataset, k: int = 4,
+                     num_iters: int = 2, scale: float = 10_000.0,
+                     offset: int = 100_000,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                     ) -> ray.data.Dataset:
+    """Exact integer k-means; output ``(id, cid, dist)`` — the final
+    assignment and its integer squared distance after ``num_iters``
+    centroid updates.  See module docstring for the exactness
+    contract; ``offset`` must exceed ``scale · max|x|`` so quantized
+    values stay positive."""
+    quant = ds.map_batches(
+        lambda b: _quantize(b, vec_col, id_col, scale, offset),
+        batch_format="pandas")
+
+    # deterministic init: quantized vectors of the k smallest ids
+    seed = quant.sort(id_col).limit(k).to_pandas()
+    cents = np.stack(seed["__q"].to_numpy()).astype(np.int64)
+    # original cluster labels survive empty-cluster drops (the SQL
+    # twin keeps original cids too); centroid rows stay sorted by
+    # label so argmin's first-min == smallest surviving cid
+    labels = np.arange(len(cents), dtype=np.int64)
+
+    for _ in range(num_iters):
+        cur, cur_labels = cents, labels
+
+        def partials(b: pd.DataFrame, cents_=cur,
+                     labels_=cur_labels) -> pd.DataFrame:
+            q = np.stack(b["__q"].to_numpy()).astype(np.int64)
+            row, _ = _assign(q, cents_)
+            cid = labels_[row]
+            dim = q.shape[1]
+            rows = []
+            for c in np.unique(cid):
+                sel = q[cid == c]
+                rows.append(pd.DataFrame({
+                    "cid": np.full(dim, c, np.int64),
+                    "d": np.arange(dim, dtype=np.int64),
+                    "s": sel.sum(axis=0),
+                    "n": np.full(dim, len(sel), np.int64)}))
+            return pd.concat(rows, ignore_index=True) if rows else \
+                pd.DataFrame({"cid": pd.Series(dtype=np.int64),
+                              "d": pd.Series(dtype=np.int64),
+                              "s": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+
+        agg = shuffle.group_agg(
+            quant.map_batches(partials, batch_format="pandas"),
+            ["cid", "d"], {"s": ("s", "sum"), "n": ("n", "sum")},
+            num_buckets=num_buckets).to_pandas()
+        agg = agg.sort_values(["cid", "d"])
+        new, new_labels = [], []
+        for c, grp in agg.groupby("cid", sort=True):
+            s = grp["s"].to_numpy(np.int64)
+            n = grp["n"].to_numpy(np.int64)
+            new.append((2 * s + n) // (2 * n))
+            new_labels.append(int(c))
+        cents = np.stack(new).astype(np.int64)
+        labels = np.asarray(new_labels, np.int64)
+
+    final, final_labels = cents, labels
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.stack(b["__q"].to_numpy()).astype(np.int64)
+        row, dist = _assign(q, final)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             "cid": final_labels[row],
+                             "dist": dist.astype(np.int64)})
+
+    return quant.map_batches(emit, batch_format="pandas")

@@ -1,0 +1,59 @@
+"""kmeans_quantized vs a straight-line local integer reference."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from city2graph_ray.vector.kmeans import kmeans_quantized
+
+
+def local_ref(vecs, ids, k, iters, scale=10_000.0, offset=100_000):
+    q = (np.floor(np.asarray(vecs, np.float64) * scale + 0.5)
+         .astype(np.int64) + offset)
+    seed_rows = np.argsort(ids)[:k]
+    cents = q[seed_rows]
+    labels = np.arange(k)
+    for _ in range(iters):
+        d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        row = np.argmin(d, axis=1)
+        cid = labels[row]
+        new, nl = [], []
+        for c in sorted(set(cid.tolist())):
+            sel = q[cid == c]
+            s = sel.sum(axis=0)
+            n = len(sel)
+            new.append((2 * s + n) // (2 * n))
+            nl.append(c)
+        cents = np.stack(new)
+        labels = np.asarray(nl)
+    d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    row = np.argmin(d, axis=1)
+    return {int(i): (int(labels[r]), int(d[j, r]))
+            for j, (i, r) in enumerate(zip(ids, row))}
+
+
+def test_kmeans_matches_local_reference():
+    rng = np.random.default_rng(5)
+    n, dim, k = 200, 8, 3
+    centers = rng.normal(0, 1, (k, dim))
+    vecs = (centers[rng.integers(0, k, n)]
+            + rng.normal(0, 0.3, (n, dim))).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    out = kmeans_quantized(rd.from_pandas(df).repartition(6), k=k,
+                           num_iters=3, num_buckets=8).to_pandas()
+    want = local_ref(vecs, ids, k, 3)
+    got = {int(r.vec_id): (int(r.cid), int(r.dist))
+           for r in out.itertuples()}
+    assert got == want
+    # clusters should be non-trivial
+    assert len(set(c for c, _ in got.values())) == k
+
+
+def test_kmeans_duplicate_points_and_k1():
+    vecs = np.tile(np.float32([0.1, -0.2]), (10, 1))
+    df = pd.DataFrame({"vec_id": np.arange(10, dtype=np.int64),
+                       "embedding": list(vecs)})
+    out = kmeans_quantized(rd.from_pandas(df), k=1,
+                           num_iters=2).to_pandas()
+    assert set(out["cid"]) == {0} and set(out["dist"]) == {0}
