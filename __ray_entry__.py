@@ -2379,6 +2379,87 @@ def _zone_4cliques(sf_dir: str):
     return four_cliques(orders.map_batches(mk, batch_format="pandas"))
 
 
+def _zone_eccentricity(sf_dir: str):
+    """Exact all-pairs eccentricity + reachable-set size of a banded
+    ring graph (120 nodes, hops 1..4 ahead, diameter ~15): Ray runs
+    BFS relaxation rounds to the (count, sum) fixed point; the oracle
+    unrolls 20 min-relaxation rounds (identity after convergence)."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import eccentricity
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        s = ok % 120
+        return pd.DataFrame({"src": s,
+                             "dst": (s + 1 + (ok * 7 + ck) % 4) % 120})
+
+    return eccentricity(orders.map_batches(mk, batch_format="pandas"),
+                        num_buckets=8)
+
+
+def _ecc_sql(rounds: int) -> str:
+    # MATERIALIZED discipline as in _kcore_sql; rounds > diameter so
+    # trailing rounds are identity
+    ctes = ["""e0 AS MATERIALIZED (
+              SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+              FROM (SELECT o_orderkey % 120 AS s,
+                           (o_orderkey % 120 + 1
+                            + (o_orderkey * 7 + o_custkey) % 4)
+                             % 120 AS t
+                    FROM orders) WHERE s <> t)""",
+            """adj AS MATERIALIZED (
+              SELECT a AS u, b AS v FROM e0
+              UNION ALL SELECT b AS u, a AS v FROM e0)""",
+            """d0 AS MATERIALIZED (
+              SELECT u AS s, u AS node, CAST(0 AS BIGINT) AS d
+              FROM (SELECT DISTINCT u FROM adj))"""]
+    for i in range(rounds):
+        ctes.append(f"""d{i + 1} AS MATERIALIZED (
+              SELECT s, node, min(d) AS d FROM (
+                SELECT s, node, d FROM d{i}
+                UNION ALL
+                SELECT d{i}.s, adj.v AS node, d{i}.d + 1 AS d
+                FROM d{i} JOIN adj ON adj.u = d{i}.node)
+              GROUP BY s, node)""")
+    return ("WITH " + ",\n            ".join(ctes) + f"""
+            SELECT s AS node, max(d) AS ecc,
+                   count(*) AS n_reached
+            FROM d{rounds} GROUP BY s""")
+
+
+def _event_value_mad(sf_dir: str):
+    """Per-type median + median-absolute-deviation: two exact
+    group_quantiles passes (3-pass histogram each); the 5-row median
+    table broadcasts into the deviation map, the corpus streams twice.
+    SQL twin repeats the manual row_number quantile construction on
+    the same doubles."""
+    from city2graph_ray.ops.stats import group_quantiles
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_type", "value"]], batch_format="pandas")
+    med = group_quantiles(ev, ["event_type"], "value",
+                          qs=[0.5]).to_pandas()
+    mmap = dict(zip(med["event_type"], med["q0.5"]))
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].map(mmap).to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "dev": np.abs(b["value"].to_numpy(np.float64) - m)})
+
+    mad = group_quantiles(ev.map_batches(dev, batch_format="pandas"),
+                          ["event_type"], "dev", qs=[0.5]).to_pandas()
+    out = med.rename(columns={"q0.5": "med"}).merge(
+        mad.rename(columns={"q0.5": "mad"}), on="event_type")
+    return out[["event_type", "med", "mad"]]
+
+
 def _event_value_variance(sf_dir: str):
     """Per-type count/mean/population-variance of the 2-dp value
     column — integer-cent sums shuffle (order-immune), one fixed-order
@@ -3190,6 +3271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_heavy_hitters": _token_heavy_hitters,
         "zone_kcore": _zone_kcore,
         "zone_ktruss": _zone_ktruss,
+        "zone_eccentricity": _zone_eccentricity,
         "zone_4cliques": _zone_4cliques,
         "emb_kmeans": _emb_kmeans,
         "zone_clustering": _zone_clustering,
@@ -3216,6 +3298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percent_rank": _event_percent_rank,
         "event_value_linreg": _event_value_linreg,
         "event_value_variance": _event_value_variance,
+        "event_value_mad": _event_value_mad,
         "event_pareto": _event_pareto,
         "event_type_cooccurrence": _event_type_cooccurrence,
         "tpch_q7_volume": _tpch_q7,
@@ -5052,6 +5135,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20""",
         "zone_kcore": _kcore_sql(8, 12),
         "zone_ktruss": _ktruss_sql(18, 30),
+        "zone_eccentricity": _ecc_sql(20),
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "zone_4cliques": """
             WITH e AS MATERIALIZED (
@@ -5156,6 +5240,50 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
                        END)::BIGINT AS n_view
             FROM events GROUP BY user_id""",
+        "event_value_mad": """
+            WITH o AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) - 1 AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            pos AS (SELECT DISTINCT event_type,
+                           (n - 1) * CAST(0.5 AS DOUBLE) AS p,
+                           CAST(floor((n - 1) * CAST(0.5 AS DOUBLE))
+                                AS BIGINT) AS k, n
+                    FROM o),
+            med AS (SELECT p.event_type,
+                           round(x0.value + (p.p - p.k)
+                                 * (x1.value - x0.value), 6) AS med
+                    FROM pos p
+                    JOIN o x0 ON x0.event_type = p.event_type
+                             AND x0.rn = p.k
+                    JOIN o x1 ON x1.event_type = p.event_type
+                             AND x1.rn = least(p.k + 1, p.n - 1)),
+            d AS (SELECT e.event_type,
+                         abs(e.value - m.med) AS dev
+                  FROM events e JOIN med m USING (event_type)),
+            o2 AS (SELECT event_type, dev,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY dev) - 1 AS rn,
+                          count(*) OVER (PARTITION BY event_type)
+                            AS n
+                   FROM d),
+            pos2 AS (SELECT DISTINCT event_type,
+                            (n - 1) * CAST(0.5 AS DOUBLE) AS p,
+                            CAST(floor((n - 1) * CAST(0.5 AS DOUBLE))
+                                 AS BIGINT) AS k, n
+                     FROM o2),
+            mad AS (SELECT p.event_type,
+                           round(x0.dev + (p.p - p.k)
+                                 * (x1.dev - x0.dev), 6) AS mad
+                    FROM pos2 p
+                    JOIN o2 x0 ON x0.event_type = p.event_type
+                              AND x0.rn = p.k
+                    JOIN o2 x1 ON x1.event_type = p.event_type
+                              AND x1.rn = least(p.k + 1, p.n - 1))
+            SELECT med.event_type, med.med, mad.mad
+            FROM med JOIN mad USING (event_type)""",
         "event_value_variance": """
             WITH c AS (SELECT event_type,
                               CAST(floor(value * 100 + 0.5) AS BIGINT)

@@ -586,3 +586,41 @@ def test_four_cliques_empty():
     out = four_cliques(rd.from_pandas(tri_only))
     assert out.count() == 0
     assert out.schema().names == ["n1", "n2", "n3", "n4"]
+
+
+def test_eccentricity_matches_networkx():
+    import networkx as nx
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import eccentricity
+    rng = np.random.default_rng(41)
+    a = rng.integers(0, 30, 90)
+    b = rng.integers(0, 30, 90)
+    # add a detached triangle component
+    df = pd.DataFrame({"src": np.concatenate([a, [100, 101, 102]]),
+                       "dst": np.concatenate([b, [101, 102, 100]])})
+    g = nx.Graph()
+    g.add_edges_from((int(x), int(y))
+                     for x, y in zip(df["src"], df["dst"]) if x != y)
+    want = {}
+    for comp in nx.connected_components(g):
+        sub = g.subgraph(comp)
+        ecc = nx.eccentricity(sub)
+        for v in comp:
+            want[v] = (ecc[v], len(comp))
+    for kw in ({}, {"driver_node_threshold": 0, "num_buckets": 4}):
+        out = eccentricity(rd.from_pandas(df), **kw).to_pandas()
+        got = {int(r.node): (int(r.ecc), int(r.n_reached))
+               for r in out.itertuples()}
+        assert got == want, kw
+
+
+def test_eccentricity_degenerate():
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import eccentricity
+    loops = pd.DataFrame({"src": [1, 2], "dst": [1, 2]})
+    out = eccentricity(rd.from_pandas(loops))
+    assert out.count() == 0
+    assert out.schema().names == ["node", "ecc", "n_reached"]
+    pair = pd.DataFrame({"src": [1], "dst": [2]})
+    got = eccentricity(rd.from_pandas(pair)).to_pandas()
+    assert sorted(map(tuple, got.to_numpy())) == [(1, 1, 2), (2, 1, 2)]
