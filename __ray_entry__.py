@@ -2432,6 +2432,30 @@ def _ecc_sql(rounds: int) -> str:
             FROM d{rounds} GROUP BY s""")
 
 
+def _zone_betweenness(sf_dir: str):
+    """Brandes betweenness over the 120-node banded ring (full source
+    set): source-parallel actor pool over a broadcast CSR.  No SQL
+    twin — cross-source float dependency sums are association-order
+    sensitive at 1e-15; exactness is pytest-oracled vs networkx
+    (tests/test_graph_algos.py)."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import betweenness_centrality
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        s = ok % 120
+        return pd.DataFrame({"src": s,
+                             "dst": (s + 1 + (ok * 7 + ck) % 4) % 120})
+
+    return betweenness_centrality(
+        orders.map_batches(mk, batch_format="pandas"), num_buckets=8)
+
+
 def _event_value_mad(sf_dir: str):
     """Per-type median + median-absolute-deviation: two exact
     group_quantiles passes (3-pass histogram each); the 5-row median
@@ -3272,6 +3296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_kcore": _zone_kcore,
         "zone_ktruss": _zone_ktruss,
         "zone_eccentricity": _zone_eccentricity,
+        "zone_betweenness": _zone_betweenness,
         "zone_4cliques": _zone_4cliques,
         "emb_kmeans": _emb_kmeans,
         "zone_clustering": _zone_clustering,

@@ -1696,3 +1696,124 @@ def eccentricity(edges: ray.data.Dataset, src: str = "src",
     return ecc.map_batches(
         lambda b: b.rename(columns={"s": "node"}),
         batch_format="pandas")
+
+
+def betweenness_centrality(edges: ray.data.Dataset, src: str = "src",
+                           dst: str = "dst",
+                           sources: ray.data.Dataset | None = None,
+                           num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                           concurrency: tuple[int, int] = (1, 8),
+                           source_batch: int = 64) -> ray.data.Dataset:
+    """Brandes betweenness centrality (Brandes 2001, public
+    literature) of the UNDIRECTED simplification, unweighted, exact
+    per-source: output ``(node, bc)`` where ``bc`` sums the pair
+    dependencies over the given ``sources`` (all nodes by default —
+    then ``bc`` equals networkx's unnormalized value; pass a sampled
+    source subset for the estimator and scale by n/|sources|
+    downstream).
+
+    Scale shape — the SOURCE dimension is the parallel axis, the
+    graph is the broadcast small side (same contract as the network-
+    Dijkstra actor, ops/network.py:46, and the reference's NetworkX
+    ops): CSR arrays ship once via ``ray.put``, an actor pool maps
+    over batches of sources, each actor accumulates its sources'
+    dependency vectors locally and emits ONE partial row per touched
+    node per batch; a keyed sum reduces across batches.  Per-source
+    work is the vectorized level-BFS (np.add.at over level edge
+    lists), not a Python per-edge loop.
+
+    Floats: per-source dependencies are exact rationals evaluated in
+    float64; the cross-source partial sum is association-order
+    dependent at the 1e-15 level (documented — no SQL twin claims
+    bit-exactness).
+    """
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).to_pandas()
+    import pyarrow as pa
+    if und.empty:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "bc": pa.array([], pa.float64())}))
+
+    ids = np.unique(np.concatenate([und["a"].to_numpy(),
+                                    und["b"].to_numpy()]))
+    pos = pd.Series(np.arange(len(ids)), index=ids)
+    ai = pos[und["a"]].to_numpy()
+    bi = pos[und["b"]].to_numpy()
+    heads = np.concatenate([ai, bi])
+    tails = np.concatenate([bi, ai])
+    order = np.argsort(heads, kind="stable")
+    nbrs = tails[order]
+    indptr = np.zeros(len(ids) + 1, np.int64)
+    np.add.at(indptr, heads + 1, 1)
+    indptr = np.cumsum(indptr)
+    gref = ray.put((indptr, nbrs, ids))
+
+    if sources is None:
+        sources = ray.data.from_pandas(
+            pd.DataFrame({"source": ids.astype(np.int64)}))
+
+    class Brandes:
+        def __init__(self):
+            self.indptr, self.nbrs, self.ids = ray.get(gref)
+            self.pos = pd.Series(np.arange(len(self.ids)),
+                                 index=self.ids)
+
+        def _one(self, s: int, delta_acc: np.ndarray) -> None:
+            n = len(self.ids)
+            dist = np.full(n, -1, np.int64)
+            sigma = np.zeros(n, np.float64)
+            dist[s] = 0
+            sigma[s] = 1.0
+            frontier = np.array([s], np.int64)
+            level_edges = []
+            d = 0
+            while len(frontier):
+                # all CSR out-edges of the frontier, vectorized
+                cnt = self.indptr[frontier + 1] - self.indptr[frontier]
+                v = np.repeat(frontier, cnt)
+                starts = np.repeat(self.indptr[frontier], cnt)
+                offs = (np.arange(len(v))
+                        - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                w = self.nbrs[starts + offs]
+                new_mask = dist[w] == -1
+                dist[w[new_mask]] = d + 1
+                tree = dist[w] == d + 1
+                np.add.at(sigma, w[tree], sigma[v[tree]])
+                level_edges.append((v[tree], w[tree]))
+                frontier = np.unique(w[new_mask])
+                d += 1
+            delta = np.zeros(n, np.float64)
+            for v, w in reversed(level_edges):
+                np.add.at(delta, v,
+                          sigma[v] / sigma[w] * (1.0 + delta[w]))
+            delta[s] = 0.0
+            delta_acc += delta
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            acc = np.zeros(len(self.ids), np.float64)
+            for s in self.pos[batch["source"].to_numpy()].to_numpy():
+                self._one(int(s), acc)
+            nz = np.nonzero(acc)[0]
+            return pd.DataFrame({"node": self.ids[nz].astype(np.int64),
+                                 "bc": acc[nz]})
+
+    parts = sources.map_batches(Brandes, batch_format="pandas",
+                                batch_size=source_batch,
+                                concurrency=concurrency)
+    out = shuffle.group_agg(parts, ["node"], {"bc": ("bc", "sum")},
+                            num_buckets=num_buckets)
+    # undirected: each (s,t) pair contributes from both endpoints
+    return out.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy(),
+                                "bc": b["bc"].to_numpy(np.float64)
+                                / 2.0}),
+        batch_format="pandas")

@@ -624,3 +624,44 @@ def test_eccentricity_degenerate():
     pair = pd.DataFrame({"src": [1], "dst": [2]})
     got = eccentricity(rd.from_pandas(pair)).to_pandas()
     assert sorted(map(tuple, got.to_numpy())) == [(1, 1, 2), (2, 1, 2)]
+
+
+def test_betweenness_matches_networkx():
+    import networkx as nx
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import betweenness_centrality
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({"src": rng.integers(0, 25, 70),
+                       "dst": rng.integers(0, 25, 70)})
+    g = nx.Graph()
+    g.add_edges_from((int(a), int(b))
+                     for a, b in zip(df["src"], df["dst"]) if a != b)
+    out = betweenness_centrality(rd.from_pandas(df),
+                                 num_buckets=4).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["bc"]))
+    want = nx.betweenness_centrality(g, normalized=False)
+    for v, bc in want.items():
+        assert abs(got.get(v, 0.0) - bc) < 1e-9, v
+
+
+def test_betweenness_sampled_sources_and_empty():
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import betweenness_centrality
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({"src": rng.integers(0, 15, 40),
+                       "dst": rng.integers(0, 15, 40)})
+    nodes = sorted(set(df["src"]) | set(df["dst"]))
+    full = betweenness_centrality(rd.from_pandas(df)).to_pandas()
+    expl = betweenness_centrality(
+        rd.from_pandas(df),
+        sources=rd.from_pandas(pd.DataFrame({"source": nodes}))
+    ).to_pandas()
+    a = dict(zip(full["node"].astype(int), full["bc"]))
+    b = dict(zip(expl["node"].astype(int), expl["bc"]))
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
+    # loops-only graph -> typed empty
+    loops = pd.DataFrame({"src": [1], "dst": [1]})
+    out = betweenness_centrality(rd.from_pandas(loops))
+    assert out.count() == 0 and out.schema().names == ["node", "bc"]
