@@ -2316,7 +2316,7 @@ def _emb_kmeans(sf_dir: str):
     return kmeans_quantized(emb, k=4, num_iters=2)
 
 
-def _kmeans_sql(k: int, iters: int, dim: int) -> str:
+def _kmeans_ctes(k: int, iters: int, dim: int) -> list:
     # same MATERIALIZED discipline as _kcore_sql/_ktruss_sql: q and
     # every c{r}/a{r} are referenced repeatedly
     ctes = [f"""q AS MATERIALIZED (
@@ -2345,6 +2345,11 @@ def _kmeans_sql(k: int, iters: int, dim: int) -> str:
                      (2 * sum(q.v) + count(*)) // (2 * count(*)) AS c
               FROM a{r} JOIN q USING (vec_id)
               GROUP BY a{r}.cid, q.i)""")
+    return ctes
+
+
+def _kmeans_sql(k: int, iters: int, dim: int) -> str:
+    ctes = _kmeans_ctes(k, iters, dim)
     return ("WITH " + ",\n            ".join(ctes) + f"""
             SELECT vec_id, cid, dist FROM (
               SELECT q.vec_id, c{iters}.cid,
@@ -2354,6 +2359,71 @@ def _kmeans_sql(k: int, iters: int, dim: int) -> str:
               GROUP BY q.vec_id, c{iters}.cid)
             QUALIFY row_number() OVER (PARTITION BY vec_id
                 ORDER BY dist, cid) = 1""")
+
+
+def _silhouette_sql(k: int, iters: int, dim: int) -> str:
+    # kmeans CTE ladder + final assignment + exact integer cluster
+    # moments (S per dim, Q, n) -> a/b/sil per point
+    ctes = _kmeans_ctes(k, iters, dim)
+    ctes.append(f"""af AS MATERIALIZED (
+              SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c{iters}.cid,
+                       sum((q.v - c{iters}.c) * (q.v - c{iters}.c))
+                         AS dist
+                FROM q JOIN c{iters} ON c{iters}.i = q.i
+                GROUP BY q.vec_id, c{iters}.cid)
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist, cid) = 1)""")
+    ctes.append("""mom AS MATERIALIZED (
+              SELECT af.cid, q.i, sum(q.v) AS s
+              FROM af JOIN q USING (vec_id) GROUP BY af.cid, q.i)""")
+    ctes.append("""cn AS MATERIALIZED (
+              SELECT cid, count(*) AS n FROM af GROUP BY cid)""")
+    ctes.append("""qq AS MATERIALIZED (
+              SELECT af.cid, sum(q.v * q.v) AS qsum
+              FROM af JOIN q USING (vec_id) GROUP BY af.cid)""")
+    ctes.append("""x2 AS MATERIALIZED (
+              SELECT vec_id, sum(v * v) AS xsq FROM q
+              GROUP BY vec_id)""")
+    ctes.append("""xs AS MATERIALIZED (
+              SELECT q.vec_id, mom.cid, sum(q.v * mom.s) AS xdot
+              FROM q JOIN mom ON mom.i = q.i
+              GROUP BY q.vec_id, mom.cid)""")
+    ctes.append("""sd AS MATERIALIZED (
+              SELECT xs.vec_id, xs.cid AS c2, cn.n,
+                     cn.n * x2.xsq - 2 * xs.xdot + qq.qsum AS ss
+              FROM xs JOIN cn ON cn.cid = xs.cid
+              JOIN qq ON qq.cid = xs.cid
+              JOIN x2 ON x2.vec_id = xs.vec_id)""")
+    ctes.append("""ab AS (
+              SELECT s.vec_id, af.cid,
+                     max(CASE WHEN s.c2 = af.cid AND s.n > 1
+                              THEN CAST(s.ss AS DOUBLE) / (s.n - 1)
+                         END) AS a,
+                     min(CASE WHEN s.c2 <> af.cid
+                              THEN CAST(s.ss AS DOUBLE) / s.n
+                         END) AS b
+              FROM sd s JOIN af ON af.vec_id = s.vec_id
+              GROUP BY s.vec_id, af.cid)""")
+    return ("WITH " + ",\n            ".join(ctes) + """
+            SELECT vec_id, cid, a, b,
+                   CASE WHEN a IS NULL OR b IS NULL THEN 0.0
+                        ELSE (b - a) / greatest(a, b) END AS sil
+            FROM ab""")
+
+
+def _emb_silhouette(sf_dir: str):
+    """Per-point silhouette of the k-means fit via exact integer
+    cluster moments (n·||x||² − 2·x·S + Q): a/b are int64 ratios, sil
+    the same double in numpy and the SQL twin; singleton clusters get
+    NULL/NaN a and sil = 0."""
+    import ray.data
+
+    from city2graph_ray.vector.kmeans import kmeans_silhouette
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return kmeans_silhouette(emb, k=4, num_iters=2)
 
 
 def _zone_4cliques(sf_dir: str):
@@ -3299,6 +3369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_betweenness": _zone_betweenness,
         "zone_4cliques": _zone_4cliques,
         "emb_kmeans": _emb_kmeans,
+        "emb_silhouette": _emb_silhouette,
         "zone_clustering": _zone_clustering,
         "zone_lpa_labels": _zone_lpa,
         "zone_adamic_adar": _zone_adamic_adar,
@@ -5162,6 +5233,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_ktruss": _ktruss_sql(18, 30),
         "zone_eccentricity": _ecc_sql(20),
         "emb_kmeans": _kmeans_sql(4, 2, 64),
+        "emb_silhouette": _silhouette_sql(4, 2, 64),
         "zone_4cliques": """
             WITH e AS MATERIALIZED (
               SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b

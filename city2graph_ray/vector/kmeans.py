@@ -82,7 +82,22 @@ def kmeans_quantized(ds: ray.data.Dataset, k: int = 4,
     quant = ds.map_batches(
         lambda b: _quantize(b, vec_col, id_col, scale, offset),
         batch_format="pandas")
+    final, final_labels = _fit(quant, k, num_iters, id_col, num_buckets)
 
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.stack(b["__q"].to_numpy()).astype(np.int64)
+        row, dist = _assign(q, final)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             "cid": final_labels[row],
+                             "dist": dist.astype(np.int64)})
+
+    return quant.map_batches(emit, batch_format="pandas")
+
+
+def _fit(quant: ray.data.Dataset, k: int, num_iters: int, id_col: str,
+         num_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """Streaming Lloyd rounds over a quantized corpus → final
+    (centroids, labels); each round's driver state is ≤ k·dim ints."""
     # deterministic init: quantized vectors of the k smallest ids
     seed = quant.sort(id_col).limit(k).to_pandas()
     cents = np.stack(seed["__q"].to_numpy()).astype(np.int64)
@@ -128,13 +143,97 @@ def kmeans_quantized(ds: ray.data.Dataset, k: int = 4,
         cents = np.stack(new).astype(np.int64)
         labels = np.asarray(new_labels, np.int64)
 
-    final, final_labels = cents, labels
+    return cents, labels
 
-    def emit(b: pd.DataFrame) -> pd.DataFrame:
+
+def kmeans_silhouette(ds: ray.data.Dataset, k: int = 4,
+                      num_iters: int = 2, scale: float = 10_000.0,
+                      offset: int = 100_000,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                      ) -> ray.data.Dataset:
+    """Per-point simplified silhouette over the quantized k-means fit,
+    exact by the moment identity: for any cluster c,
+    ``Σ_{y∈c} ||x−y||² = n_c·||x||² − 2·x·S_c + Q_c`` with integer
+    moments ``S_c = Σy`` (per dim) and ``Q_c = Σ||y||²`` — so
+    ``a = own-cluster mean sq dist`` (self excluded via n−1) and
+    ``b = min other-cluster mean sq dist`` are int64 ratios, and
+    ``sil = (b − a) / max(a, b)`` is the same double in numpy and SQL.
+    Singleton clusters: ``a`` is NaN/NULL and ``sil = 0`` (standard).
+
+    Output ``(id, cid, a, b, sil)``.  Distributed shape: the fit's
+    streaming Lloyd rounds, one moment pass (partial rows per cluster
+    per block), moments broadcast (k·(dim+2) ints), one final scoring
+    pass — the corpus streams three+ times and never materializes,
+    and there is NO corpus-side join."""
+    quant = ds.map_batches(
+        lambda b: _quantize(b, vec_col, id_col, scale, offset),
+        batch_format="pandas")
+    cents, labels = _fit(quant, k, num_iters, id_col, num_buckets)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
         q = np.stack(b["__q"].to_numpy()).astype(np.int64)
-        row, dist = _assign(q, final)
-        return pd.DataFrame({id_col: b[id_col].to_numpy(),
-                             "cid": final_labels[row],
-                             "dist": dist.astype(np.int64)})
+        row, _ = _assign(q, cents)
+        cid = labels[row]
+        rows = []
+        dim = q.shape[1]
+        for c in np.unique(cid):
+            sel = q[cid == c]
+            # d = dim row carries Q_c (sum of squared norms)
+            rows.append(pd.DataFrame({
+                "cid": np.full(dim + 1, c, np.int64),
+                "d": np.arange(dim + 1, dtype=np.int64),
+                "s": np.concatenate([sel.sum(axis=0),
+                                     [(sel * sel).sum()]]),
+                "n": np.full(dim + 1, len(sel), np.int64)}))
+        return pd.concat(rows, ignore_index=True) if rows else \
+            pd.DataFrame({"cid": pd.Series(dtype=np.int64),
+                          "d": pd.Series(dtype=np.int64),
+                          "s": pd.Series(dtype=np.int64),
+                          "n": pd.Series(dtype=np.int64)})
 
-    return quant.map_batches(emit, batch_format="pandas")
+    agg = shuffle.group_agg(
+        quant.map_batches(moments, batch_format="pandas"),
+        ["cid", "d"], {"s": ("s", "sum"), "n": ("n", "sum")},
+        num_buckets=num_buckets).to_pandas().sort_values(["cid", "d"])
+    dim = int(agg["d"].max())
+    # align moment rows to the fit's centroid rows: a centroid can end
+    # up empty in the final assignment (no moments) — keep N=0 there
+    # and exclude it from the b-minimum below
+    kk = len(labels)
+    S = np.zeros((kk, dim), np.int64)
+    Q = np.zeros(kk, np.int64)
+    N = np.zeros(kk, np.int64)
+    rowof = {int(c): i for i, c in enumerate(labels)}
+    for c, grp in agg.groupby("cid", sort=True):
+        vals = grp["s"].to_numpy(np.int64)
+        i = rowof[int(c)]
+        S[i] = vals[:dim]
+        Q[i] = vals[dim]
+        N[i] = int(grp["n"].iloc[0])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.stack(b["__q"].to_numpy()).astype(np.int64)
+        row, _ = _assign(q, cents)
+        # ssd[i, c] = Σ_{y in c} ||x_i - y||², exact int64
+        x2 = (q * q).sum(axis=1, keepdims=True)
+        ssd = N[None, :] * x2 - 2 * (q @ S.T) + Q[None, :]
+        nb = len(q)
+        own = ssd[np.arange(nb), row]
+        n_own = N[row]  # own cluster is never empty (this point is in it)
+        a = np.where(n_own > 1, own / np.maximum(n_own - 1, 1), np.nan)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            others = ssd / N[None, :].astype(np.float64)
+        others[:, N == 0] = np.inf
+        others[np.arange(nb), row] = np.inf
+        b_val = others.min(axis=1)
+        b_val = np.where(np.isfinite(b_val), b_val, np.nan)
+        with np.errstate(invalid="ignore"):
+            sil = np.where(np.isnan(a) | np.isnan(b_val), 0.0,
+                           (b_val - a) / np.maximum(a, b_val))
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             "cid": labels[row],
+                             "a": a, "b": b_val, "sil": sil})
+
+    return quant.map_batches(score, batch_format="pandas")

@@ -57,3 +57,51 @@ def test_kmeans_duplicate_points_and_k1():
     out = kmeans_quantized(rd.from_pandas(df), k=1,
                            num_iters=2).to_pandas()
     assert set(out["cid"]) == {0} and set(out["dist"]) == {0}
+
+
+def test_silhouette_matches_local_reference():
+    from city2graph_ray.vector.kmeans import kmeans_silhouette
+    rng = np.random.default_rng(7)
+    n, dim, k = 150, 6, 3
+    centers = rng.normal(0, 1, (k, dim))
+    vecs = (centers[rng.integers(0, k, n)]
+            + rng.normal(0, 0.2, (n, dim))).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    out = (kmeans_silhouette(rd.from_pandas(df).repartition(5), k=k,
+                             num_iters=2, num_buckets=8)
+           .to_pandas().set_index("vec_id").sort_index())
+
+    # straight-line reference: quantize, assign via local_ref's rules,
+    # then O(n^2) pairwise squared distances
+    assigns = local_ref(vecs, ids, k, 2)
+    q = (np.floor(np.asarray(vecs, np.float64) * 10_000 + 0.5)
+         .astype(np.int64) + 100_000)
+    cid = np.array([assigns[i][0] for i in ids])
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+    for i in ids:
+        own = cid == cid[i]
+        a = d2[i][own].sum() / (own.sum() - 1) if own.sum() > 1 else None
+        bs = [d2[i][cid == c].sum() / (cid == c).sum()
+              for c in sorted(set(cid)) if c != cid[i]]
+        b = min(bs) if bs else None
+        r = out.loc[i]
+        assert int(r["cid"]) == cid[i]
+        if a is None or b is None:
+            assert r["sil"] == 0.0
+        else:
+            assert r["a"] == a and r["b"] == b
+            assert r["sil"] == (b - a) / max(a, b)
+
+
+def test_silhouette_singleton_cluster():
+    from city2graph_ray.vector.kmeans import kmeans_silhouette
+    # one far outlier becomes its own cluster -> a NaN, sil 0
+    vecs = np.float32([[0.0, 0.0], [0.01, 0.0], [0.0, 0.01],
+                       [5.0, 5.0]]) * 0.05
+    df = pd.DataFrame({"vec_id": np.arange(4, dtype=np.int64),
+                       "embedding": list(vecs)})
+    out = (kmeans_silhouette(rd.from_pandas(df), k=2, num_iters=2)
+           .to_pandas().set_index("vec_id"))
+    lone = out[out["a"].isna()]
+    assert len(lone) == 1 and lone["sil"].iloc[0] == 0.0
