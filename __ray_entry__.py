@@ -2526,6 +2526,23 @@ def _zone_betweenness(sf_dir: str):
         orders.map_batches(mk, batch_format="pandas"), num_buckets=8)
 
 
+def _event_resample_ffill(sf_dir: str):
+    """Per-user 6-hour-grid resample with forward fill (last
+    observation carried forward, max event_id wins timestamp ties),
+    ASOF-inner semantics — the SQL twin is grid ASOF JOIN deduped
+    observations.  Grid is closed-form (origin + i*step); only the
+    observations shuffle."""
+    from city2graph_ray.ops.windows import resample_ffill
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_id", "user_id", "ts", "value"]],
+        batch_format="pandas")
+    return resample_ffill(ev, "user_id", "ts", "value", "event_id",
+                          origin_us=1_704_067_200_000_000,
+                          n_steps=120, step_us=21_600_000_000)
+
+
 def _event_value_mad(sf_dir: str):
     """Per-type median + median-absolute-deviation: two exact
     group_quantiles passes (3-pass histogram each); the 5-row median
@@ -3395,6 +3412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_linreg": _event_value_linreg,
         "event_value_variance": _event_value_variance,
         "event_value_mad": _event_value_mad,
+        "event_resample_ffill": _event_resample_ffill,
         "event_pareto": _event_pareto,
         "event_type_cooccurrence": _event_type_cooccurrence,
         "tpch_q7_volume": _tpch_q7,
@@ -5337,6 +5355,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
                        END)::BIGINT AS n_view
             FROM events GROUP BY user_id""",
+        "event_resample_ffill": """
+            WITH g AS (SELECT unnest(generate_series(
+                         TIMESTAMP '2024-01-01 00:00:00',
+                         TIMESTAMP '2024-01-30 18:00:00',
+                         INTERVAL 6 HOUR)) AS gts),
+            u AS (SELECT DISTINCT user_id FROM events),
+            grid AS (SELECT u.user_id, g.gts FROM u, g),
+            e AS (SELECT user_id, ts, value FROM events
+                  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                      ORDER BY event_id DESC) = 1)
+            SELECT grid.user_id, epoch_us(grid.gts) AS grid_ts_us,
+                   e.value AS value, epoch_us(e.ts) AS src_ts_us
+            FROM grid ASOF JOIN e
+              ON grid.user_id = e.user_id AND grid.gts >= e.ts""",
         "event_value_mad": """
             WITH o AS (
               SELECT event_type, value,

@@ -200,3 +200,63 @@ def percent_rank_cume(ds: ray.data.Dataset, value_col: str,
 
     return shuffle.grouped_transform(rn, [value_col], kernel,
                                      num_buckets=num_buckets)
+
+
+def resample_ffill(ds: ray.data.Dataset, key_col: str, ts_col: str,
+                   value_col: str, id_col: str, origin_us: int,
+                   n_steps: int, step_us: int,
+                   num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                   ) -> ray.data.Dataset:
+    """Per-key resampling onto a fixed global timestamp grid with
+    forward fill (last observation carried forward) — the time-series
+    regularization step in front of windowed feature pipelines.
+    Output ``(key, grid_ts_us, value, src_ts_us)``; grid points before
+    a key's first observation are dropped (ASOF-inner semantics, the
+    SQL twin is ``grid ASOF JOIN obs``).  At equal-timestamp
+    observations the max-``id_col`` row wins (deterministic).
+
+    One shuffle keyed by ``key_col``; the grid is closed-form
+    (``origin + i·step``), never a table, so bytes moved = the
+    observations.  Inside a bucket each key resolves with one
+    ``np.searchsorted`` of the 0..n_steps grid against its sorted
+    observation times — vectorized over the grid, loop only over keys.
+    """
+    grid = origin_us + np.arange(n_steps, dtype=np.int64) * step_us
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        ts = g[ts_col].to_numpy()
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").view("i8")
+        key = g[key_col].to_numpy()
+        val = g[value_col].to_numpy()
+        # last-wins dedup at equal (key, ts): keep the final row of
+        # each run (max id after the stable sort)
+        last = np.ones(len(g), bool)
+        last[:-1] = (key[:-1] != key[1:]) | (ts[:-1] != ts[1:])
+        key, ts, val = key[last], ts[last], val[last]
+        out_k, out_g, out_v, out_t = [], [], [], []
+        starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1])))
+        bounds = np.append(starts, len(key))
+        for i, lo in enumerate(starts):
+            hi = bounds[i + 1]
+            idx = np.searchsorted(ts[lo:hi], grid, side="right") - 1
+            keep = idx >= 0
+            out_k.append(np.full(int(keep.sum()), key[lo]))
+            out_g.append(grid[keep])
+            out_v.append(val[lo:hi][idx[keep]])
+            out_t.append(ts[lo:hi][idx[keep]])
+        if not out_k:
+            return pd.DataFrame({key_col: key[:0],
+                                 "grid_ts_us": ts[:0],
+                                 "value": val[:0],
+                                 "src_ts_us": ts[:0]})
+        return pd.DataFrame({
+            key_col: np.concatenate(out_k),
+            "grid_ts_us": np.concatenate(out_g),
+            "value": np.concatenate(out_v),
+            "src_ts_us": np.concatenate(out_t)})
+
+    return shuffle.grouped_transform(ds, [key_col], kernel,
+                                     num_buckets=num_buckets)

@@ -26,3 +26,40 @@ def test_percent_rank_single_row():
     df = pd.DataFrame({"id": [1], "v": [5.0]})
     out = percent_rank_cume(rd.from_pandas(df), "v", "id").to_pandas()
     assert out["pct_rank"].iloc[0] == 0.0 and out["cume"].iloc[0] == 1.0
+
+
+def test_resample_ffill_bruteforce():
+    import ray.data as rd
+    from city2graph_ray.ops.windows import resample_ffill
+    rng = np.random.default_rng(3)
+    n = 120
+    ts = rng.integers(0, 1000, n) * 1_000_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 5, n).astype(np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "value": np.round(rng.normal(0, 5, n), 2)})
+    # duplicate-timestamp rows to exercise max-id tie-break
+    dup = df.iloc[:10].copy()
+    dup["event_id"] += 1000
+    dup["value"] += 7.0
+    df = pd.concat([df, dup], ignore_index=True)
+    origin, step, k = 50_000_000, 100_000_000, 12
+    out = resample_ffill(rd.from_pandas(df).repartition(4), "user_id",
+                         "ts", "value", "event_id", origin, k, step,
+                         num_buckets=4).to_pandas()
+    got = {(int(r.user_id), int(r.grid_ts_us)):
+           (r.value, int(r.src_ts_us)) for r in out.itertuples()}
+    want = {}
+    for u, grp in df.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        for i in range(k):
+            g = origin + i * step
+            prior = grp[grp["ts"].astype("datetime64[us]")
+                        .astype(np.int64) <= g]
+            if len(prior):
+                last = prior.iloc[-1]
+                want[(int(u), g)] = (
+                    last["value"],
+                    int(pd.Timestamp(last["ts"]).value // 1000))
+    assert got == want
