@@ -520,6 +520,16 @@ def _doc_fingerprint_dedup(sf_dir: str):
     return fingerprint_dedup(documents(sf_dir))
 
 
+def _doc_postings(sf_dir: str):
+    """Inverted index (df >= 5): per term the document frequency and
+    ascending-id postings string — one term-keyed shuffle over
+    per-doc DISTINCT terms; SQL twin is unnest + string_agg."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import inverted_index
+
+    return inverted_index(documents(sf_dir), min_df=5)
+
+
 def _doc_prefix_dedup(sf_dir: str):
     """Prefix dedup over a corpus salted with truncation artifacts:
     each doc contributes a 40-char-truncated rescrape (+10M id) and an
@@ -3290,6 +3300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_fingerprint_dedup": _doc_fingerprint_dedup,
         "doc_prefix_dedup": _doc_prefix_dedup,
+        "doc_postings": _doc_postings,
         "doc_token_stats": _doc_tokens,
         "doc_pack_spans": _doc_pack_spans,
         "doc_quality": _doc_quality,
@@ -3809,6 +3820,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY array_to_string(list_sort(list_distinct(
                 string_split(text, ' '))), ' ')""",
+        "doc_postings": """
+            WITH t AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents))
+            SELECT term, count(*) AS n_docs,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM t GROUP BY term HAVING count(*) >= 5""",
         "doc_prefix_dedup": """
             WITH corpus AS MATERIALIZED (
               SELECT doc_id, text FROM documents

@@ -734,3 +734,42 @@ def bpe_token_counts(docs: ray.data.Dataset, text_col: str = "text",
                 .str.count(BPE_ISH_PATTERN).to_numpy(np.int64)})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def inverted_index(docs: ray.data.Dataset, min_df: int = 1,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                   ) -> ray.data.Dataset:
+    """Inverted index: per term, its document frequency and the
+    ascending-id postings list (comma-joined string — a stable,
+    engine-portable surface for the list).  ``min_df`` prunes the
+    hapax tail.  Tokenization = single-space split (the module's
+    shared convention, SQL mirror ``string_split(text, ' ')``).
+
+    Scale shape: per-doc DISTINCT terms emit (term, doc_id) pairs —
+    one shuffle keyed by term; a Zipfian head term concentrates its
+    postings in one group, which is inherent to the output (its
+    postings list IS that large) — cap consumers should filter by
+    ``n_docs`` upstream of any driver collect."""
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [sorted(set(t.split(" "))) for t in b[text_col]]
+        counts = np.fromiter((len(t) for t in toks), np.int64,
+                             len(toks))
+        return pd.DataFrame({
+            "term": np.concatenate(toks) if len(toks) else
+            np.array([], object),
+            id_col: np.repeat(b[id_col].to_numpy(), counts)})
+
+    pair_ds = docs.map_batches(pairs, batch_format="pandas")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", id_col], kind="stable")
+        agg = g.groupby("term", sort=False)[id_col].agg(
+            n_docs="size",
+            postings=lambda s: ",".join(map(str, s)))
+        agg = agg.reset_index()
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        return agg[agg["n_docs"] >= min_df]
+
+    return shuffle.grouped_transform(pair_ds, ["term"], kernel,
+                                     num_buckets=num_buckets)
