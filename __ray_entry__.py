@@ -2436,6 +2436,72 @@ def _emb_silhouette(sf_dir: str):
     return kmeans_silhouette(emb, k=4, num_iters=2)
 
 
+def _emb_pq_codes(sf_dir: str):
+    """Product-quantization codes (m=8 subvectors, k=4, one Lloyd
+    iteration, all-integer): every vector's 8 codebook ids + total
+    integer quantization error; one corpus pass trains all
+    subquantizers at once."""
+    import ray.data
+
+    from city2graph_ray.vector.kmeans import pq_codes
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return pq_codes(emb, m=8, k=4, num_iters=1)
+
+
+def _pq_sql(m: int, k: int, iters: int, dim: int) -> str:
+    # per-subvector copy of the _kmeans_ctes ladder, restricted to the
+    # subvector's 1-based dim range; codes pivot wide at the end
+    sub = dim // m
+    ctes = [f"""q AS MATERIALIZED (
+              SELECT vec_id, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000
+                                + 0.5) AS BIGINT) + 100000 AS v
+              FROM embeddings, range(1, {dim + 1}) t(i))""",
+            f"""init AS (SELECT vec_id,
+                       row_number() OVER (ORDER BY vec_id) - 1 AS cid
+                FROM (SELECT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT {k}))"""]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(f"""c0_{j} AS MATERIALIZED (
+              SELECT init.cid, q.i, q.v AS c
+              FROM init JOIN q USING (vec_id)
+              WHERE q.i BETWEEN {lo} AND {hi})""")
+        for r in range(iters):
+            ctes.append(f"""a{r}_{j} AS MATERIALIZED (
+              SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c{r}_{j}.cid,
+                       sum((q.v - c{r}_{j}.c) * (q.v - c{r}_{j}.c))
+                         AS dist
+                FROM q JOIN c{r}_{j} ON c{r}_{j}.i = q.i
+                GROUP BY q.vec_id, c{r}_{j}.cid)
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist, cid) = 1)""")
+            ctes.append(f"""c{r + 1}_{j} AS MATERIALIZED (
+              SELECT a{r}_{j}.cid, q.i,
+                     (2 * sum(q.v) + count(*)) // (2 * count(*)) AS c
+              FROM a{r}_{j} JOIN q ON q.vec_id = a{r}_{j}.vec_id
+              WHERE q.i BETWEEN {lo} AND {hi}
+              GROUP BY a{r}_{j}.cid, q.i)""")
+        ctes.append(f"""af_{j} AS MATERIALIZED (
+              SELECT vec_id, cid AS c{j}, dist AS dist_{j} FROM (
+                SELECT q.vec_id, c{iters}_{j}.cid,
+                       sum((q.v - c{iters}_{j}.c)
+                           * (q.v - c{iters}_{j}.c)) AS dist
+                FROM q JOIN c{iters}_{j} ON c{iters}_{j}.i = q.i
+                GROUP BY q.vec_id, c{iters}_{j}.cid)
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist, cid) = 1)""")
+    cols = ", ".join(f"c{j}" for j in range(m))
+    tot = " + ".join(f"dist_{j}" for j in range(m))
+    joins = " ".join(f"JOIN af_{j} USING (vec_id)" for j in range(1, m))
+    return ("WITH " + ",\n            ".join(ctes) + f"""
+            SELECT af_0.vec_id, {cols}, {tot} AS dist
+            FROM af_0 {joins}""")
+
+
 def _zone_4cliques(sf_dir: str):
     """4-clique enumeration of a banded derived graph: each sender key
     links to 1..6 positions ahead (mod 600), so overlapping near-
@@ -3398,6 +3464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_4cliques": _zone_4cliques,
         "emb_kmeans": _emb_kmeans,
         "emb_silhouette": _emb_silhouette,
+        "emb_pq_codes": _emb_pq_codes,
         "zone_clustering": _zone_clustering,
         "zone_lpa_labels": _zone_lpa,
         "zone_adamic_adar": _zone_adamic_adar,
@@ -5273,6 +5340,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_eccentricity": _ecc_sql(20),
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_silhouette": _silhouette_sql(4, 2, 64),
+        "emb_pq_codes": _pq_sql(8, 4, 1, 64),
         "zone_4cliques": """
             WITH e AS MATERIALIZED (
               SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b

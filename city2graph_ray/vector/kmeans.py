@@ -46,7 +46,7 @@ import ray.data
 from city2graph_ray import shuffle
 from city2graph_ray.vector.ann import _to_matrix
 
-__all__ = ["kmeans_quantized"]
+__all__ = ["kmeans_quantized", "kmeans_silhouette", "pq_codes"]
 
 
 def _quantize(b: pd.DataFrame, vec_col: str, id_col: str, scale: float,
@@ -237,3 +237,90 @@ def kmeans_silhouette(ds: ray.data.Dataset, k: int = 4,
                              "a": a, "b": b_val, "sil": sil})
 
     return quant.map_batches(score, batch_format="pandas")
+
+
+def pq_codes(ds: ray.data.Dataset, m: int = 8, k: int = 4,
+             num_iters: int = 1, scale: float = 10_000.0,
+             offset: int = 100_000, vec_col: str = "embedding",
+             id_col: str = "vec_id",
+             num_buckets: int = shuffle.DEFAULT_BUCKETS,
+             ) -> ray.data.Dataset:
+    """Product-quantization codes (Jégou et al., PAMI 2011 — public
+    literature), bit-exact: the dimension axis splits into ``m``
+    contiguous subvectors, each trained with the module's integer
+    k-means rules (same quantization, argmin tie-break and
+    ``(2S+n)//(2n)`` update), and every vector emits its ``m``
+    codebook ids plus the total integer squared quantization error.
+    Output ``(id, c0..c{m-1}, dist)``.
+
+    One corpus pass per Lloyd iteration trains ALL subquantizers at
+    once (partial rows are (sub, cid, dim, sum, count) — m·k·dim/m =
+    k·dim rows per block, same as plain k-means); the driver folds
+    k·dim integers per round.  No joins, nothing materializes.
+    """
+    quant = ds.map_batches(
+        lambda b: _quantize(b, vec_col, id_col, scale, offset),
+        batch_format="pandas")
+    seed = quant.sort(id_col).limit(k).to_pandas()
+    full = np.stack(seed["__q"].to_numpy()).astype(np.int64)
+    dim = full.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = [full[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
+    labels = [np.arange(k, dtype=np.int64) for _ in range(m)]
+
+    for _ in range(num_iters):
+        cur = [c.copy() for c in cents]
+        cur_l = [l.copy() for l in labels]
+
+        def partials(b: pd.DataFrame, cents_=cur,
+                     labels_=cur_l) -> pd.DataFrame:
+            q = np.stack(b["__q"].to_numpy()).astype(np.int64)
+            rows = []
+            for j in range(m):
+                qj = q[:, j * sub:(j + 1) * sub]
+                row, _ = _assign(qj, cents_[j])
+                cid = labels_[j][row]
+                for c in np.unique(cid):
+                    sel = qj[cid == c]
+                    rows.append(pd.DataFrame({
+                        "sub": np.full(sub, j, np.int64),
+                        "cid": np.full(sub, c, np.int64),
+                        "d": np.arange(sub, dtype=np.int64),
+                        "s": sel.sum(axis=0),
+                        "n": np.full(sub, len(sel), np.int64)}))
+            return pd.concat(rows, ignore_index=True) if rows else \
+                pd.DataFrame({c: pd.Series(dtype=np.int64)
+                              for c in ("sub", "cid", "d", "s", "n")})
+
+        agg = shuffle.group_agg(
+            quant.map_batches(partials, batch_format="pandas"),
+            ["sub", "cid", "d"], {"s": ("s", "sum"), "n": ("n", "sum")},
+            num_buckets=num_buckets).to_pandas()
+        cents, labels = [], []
+        for j in range(m):
+            aj = agg[agg["sub"] == j].sort_values(["cid", "d"])
+            new, nl = [], []
+            for c, grp in aj.groupby("cid", sort=True):
+                s = grp["s"].to_numpy(np.int64)
+                n = grp["n"].to_numpy(np.int64)
+                new.append((2 * s + n) // (2 * n))
+                nl.append(int(c))
+            cents.append(np.stack(new).astype(np.int64))
+            labels.append(np.asarray(nl, np.int64))
+
+    fc, fl = cents, labels
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.stack(b["__q"].to_numpy()).astype(np.int64)
+        out = {id_col: b[id_col].to_numpy()}
+        total = np.zeros(len(q), np.int64)
+        for j in range(m):
+            row, dist = _assign(q[:, j * sub:(j + 1) * sub], fc[j])
+            out[f"c{j}"] = fl[j][row]
+            total += dist
+        out["dist"] = total
+        return pd.DataFrame(out)
+
+    return quant.map_batches(emit, batch_format="pandas")

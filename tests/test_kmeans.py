@@ -105,3 +105,33 @@ def test_silhouette_singleton_cluster():
            .to_pandas().set_index("vec_id"))
     lone = out[out["a"].isna()]
     assert len(lone) == 1 and lone["sil"].iloc[0] == 0.0
+
+
+def test_pq_codes_match_per_subvector_kmeans():
+    from city2graph_ray.vector.kmeans import pq_codes, kmeans_quantized
+    rng = np.random.default_rng(21)
+    n, dim, m, k = 120, 16, 4, 3
+    vecs = rng.normal(0, 0.4, (n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    out = (pq_codes(rd.from_pandas(df).repartition(4), m=m, k=k,
+                    num_iters=2, num_buckets=4)
+           .to_pandas().set_index("vec_id").sort_index())
+    sub = dim // m
+    total = np.zeros(n, np.int64)
+    for j in range(m):
+        sdf = pd.DataFrame({"vec_id": ids,
+                            "embedding": list(vecs[:, j*sub:(j+1)*sub])})
+        ref = (kmeans_quantized(rd.from_pandas(sdf), k=k, num_iters=2)
+               .to_pandas().set_index("vec_id").sort_index())
+        assert (out[f"c{j}"].to_numpy() == ref["cid"].to_numpy()).all(), j
+        total += ref["dist"].to_numpy(np.int64)
+    assert (out["dist"].to_numpy(np.int64) == total).all()
+
+
+def test_pq_codes_bad_m():
+    from city2graph_ray.vector.kmeans import pq_codes
+    df = pd.DataFrame({"vec_id": [1], "embedding": [np.float32([1, 2, 3])]})
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pq_codes(rd.from_pandas(df), m=2).to_pandas()
