@@ -2619,6 +2619,78 @@ def _event_resample_ffill(sf_dir: str):
                           n_steps=120, step_us=21_600_000_000)
 
 
+def _event_gap_stats(sf_dir: str):
+    """Per-user inter-event gap stats in integer microseconds:
+    n_events, max_gap_us, mean_gap_us (int64 total / int count → the
+    same double in both engines).  Single-event users emit NULL/NaN
+    gaps (compare-equal under equal_nan)."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_id", "user_id", "ts"]],
+        batch_format="pandas")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = g["ts"].to_numpy().astype("datetime64[us]").view("i8")
+        uid = g["user_id"].to_numpy()
+        gap = np.diff(us).astype(np.float64)
+        same = uid[:-1] == uid[1:]
+        gap[~same] = np.nan
+        gaps = pd.Series(np.concatenate([[np.nan], gap]))
+        out = pd.DataFrame({"user_id": uid, "g": gaps.to_numpy()})
+        agg = out.groupby("user_id", sort=False).agg(
+            n_events=("g", "size"),
+            max_gap_us=("g", "max"),
+            sum_gap=("g", "sum"),
+            n_gaps=("g", "count")).reset_index()
+        mean = np.where(agg["n_gaps"].to_numpy() > 0,
+                        agg["sum_gap"].to_numpy()
+                        / np.maximum(agg["n_gaps"].to_numpy(), 1),
+                        np.nan)
+        return pd.DataFrame({
+            "user_id": agg["user_id"],
+            "n_events": agg["n_events"].astype(np.int64),
+            "max_gap_us": agg["max_gap_us"].to_numpy(),
+            "mean_gap_us": mean})
+
+    return shuffle.grouped_transform(ev, ["user_id"], kernel)
+
+
+def _orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth: per-month integer-cent sums
+    shuffle (order-immune), the ~80-row month table collects once,
+    LAG + ratio are int->double ops identical in both engines."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"])
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.DatetimeIndex(b["o_orderdate"])
+        month = (dt.year * 100 + dt.month).astype(np.int64)
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        return pd.DataFrame({"month": month, "cents": cents})
+
+    agg = shuffle.group_agg(
+        orders.map_batches(part, batch_format="pandas"),
+        ["month"], {"cents": ("cents", "sum")}).to_pandas()
+    agg = agg.sort_values("month").reset_index(drop=True)
+    cents = agg["cents"].to_numpy(np.int64)
+    prev = np.roll(cents, 1).astype(np.float64)
+    prev[0] = np.nan
+    return pd.DataFrame({
+        "month": agg["month"].astype(np.int64),
+        "rev": cents / 100.0,
+        "prev_rev": prev / 100.0,
+        "growth": (cents - prev) / prev})
+
+
 def _event_value_mad(sf_dir: str):
     """Per-type median + median-absolute-deviation: two exact
     group_quantiles passes (3-pass histogram each); the 5-row median
@@ -3491,6 +3563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_variance": _event_value_variance,
         "event_value_mad": _event_value_mad,
         "event_resample_ffill": _event_resample_ffill,
+        "event_gap_stats": _event_gap_stats,
+        "orders_monthly_growth": _orders_monthly_growth,
         "event_pareto": _event_pareto,
         "event_type_cooccurrence": _event_type_cooccurrence,
         "tpch_q7_volume": _tpch_q7,
@@ -5444,6 +5518,33 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
                        END)::BIGINT AS n_view
             FROM events GROUP BY user_id""",
+        "orders_monthly_growth": """
+            WITH m AS (
+              SELECT CAST(year(o_orderdate) * 100
+                          + month(o_orderdate) AS BIGINT) AS month,
+                     sum(CAST(floor(o_totalprice * 100 + 0.5)
+                              AS BIGINT)) AS cents
+              FROM orders GROUP BY 1)
+            SELECT month,
+                   CAST(cents AS DOUBLE) / 100.0 AS rev,
+                   CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE)
+                     / 100.0 AS prev_rev,
+                   CAST(cents - lag(cents) OVER (ORDER BY month)
+                        AS DOUBLE)
+                     / lag(cents) OVER (ORDER BY month) AS growth
+            FROM m""",
+        "event_gap_stats": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS gap
+              FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   CAST(max(gap) AS DOUBLE) AS max_gap_us,
+                   CAST(sum(gap) AS DOUBLE) / count(gap)
+                     AS mean_gap_us
+            FROM g GROUP BY user_id""",
         "event_resample_ffill": """
             WITH g AS (SELECT unnest(generate_series(
                          TIMESTAMP '2024-01-01 00:00:00',
