@@ -2502,6 +2502,47 @@ def _pq_sql(m: int, k: int, iters: int, dim: int) -> str:
             FROM af_0 {joins}""")
 
 
+def _emb_hard_negatives(sf_dir: str):
+    """Hard-negative mining: per vector the nearest vector in a
+    DIFFERENT k-means cluster (integer distances, min-id ties) —
+    contrastive-pair generation over the broadcast quantized matrix."""
+    import ray.data
+
+    from city2graph_ray.vector.kmeans import hard_negatives
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return hard_negatives(emb, k=4, num_iters=2)
+
+
+def _hard_negatives_sql(k: int, iters: int, dim: int) -> str:
+    ctes = _kmeans_ctes(k, iters, dim)
+    ctes.append(f"""af AS MATERIALIZED (
+              SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c{iters}.cid,
+                       sum((q.v - c{iters}.c) * (q.v - c{iters}.c))
+                         AS dist
+                FROM q JOIN c{iters} ON c{iters}.i = q.i
+                GROUP BY q.vec_id, c{iters}.cid)
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist, cid) = 1)""")
+    ctes.append("""pw AS MATERIALIZED (
+              SELECT qa.vec_id AS a, qb.vec_id AS b,
+                     sum((qa.v - qb.v) * (qa.v - qb.v)) AS dist
+              FROM q qa JOIN q qb ON qb.i = qa.i
+                                 AND qb.vec_id <> qa.vec_id
+              GROUP BY qa.vec_id, qb.vec_id)""")
+    return ("WITH " + ",\n            ".join(ctes) + """
+            SELECT pw.a AS vec_id, fa.cid, pw.b AS neg_id,
+                   fb.cid AS neg_cid, pw.dist AS neg_dist
+            FROM pw
+            JOIN af fa ON fa.vec_id = pw.a
+            JOIN af fb ON fb.vec_id = pw.b
+            WHERE fa.cid <> fb.cid
+            QUALIFY row_number() OVER (PARTITION BY pw.a
+                ORDER BY pw.dist, pw.b) = 1""")
+
+
 def _zone_4cliques(sf_dir: str):
     """4-clique enumeration of a banded derived graph: each sender key
     links to 1..6 positions ahead (mod 600), so overlapping near-
@@ -3537,6 +3578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": _emb_kmeans,
         "emb_silhouette": _emb_silhouette,
         "emb_pq_codes": _emb_pq_codes,
+        "emb_hard_negatives": _emb_hard_negatives,
         "zone_clustering": _zone_clustering,
         "zone_lpa_labels": _zone_lpa,
         "zone_adamic_adar": _zone_adamic_adar,
@@ -5415,6 +5457,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_silhouette": _silhouette_sql(4, 2, 64),
         "emb_pq_codes": _pq_sql(8, 4, 1, 64),
+        "emb_hard_negatives": _hard_negatives_sql(4, 2, 64),
         "zone_4cliques": """
             WITH e AS MATERIALIZED (
               SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b

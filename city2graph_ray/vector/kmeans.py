@@ -46,7 +46,8 @@ import ray.data
 from city2graph_ray import shuffle
 from city2graph_ray.vector.ann import _to_matrix
 
-__all__ = ["kmeans_quantized", "kmeans_silhouette", "pq_codes"]
+__all__ = ["kmeans_quantized", "kmeans_silhouette", "pq_codes",
+           "hard_negatives"]
 
 
 def _quantize(b: pd.DataFrame, vec_col: str, id_col: str, scale: float,
@@ -324,3 +325,72 @@ def pq_codes(ds: ray.data.Dataset, m: int = 8, k: int = 4,
         return pd.DataFrame(out)
 
     return quant.map_batches(emit, batch_format="pandas")
+
+
+def hard_negatives(ds: ray.data.Dataset, k: int = 4,
+                   num_iters: int = 2, scale: float = 10_000.0,
+                   offset: int = 100_000, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                   ) -> ray.data.Dataset:
+    """Hard-negative mining over the integer k-means fit: for every
+    vector, the NEAREST vector assigned to a DIFFERENT cluster —
+    contrastive-training pair generation.  Output
+    ``(id, cid, neg_id, neg_cid, neg_dist)`` with integer squared
+    distance; ties break on the smaller candidate id.
+
+    Scale note: this exact form broadcasts the quantized corpus
+    matrix (``ray.put`` once, streamed batches argmin against it) —
+    correct while embeddings fit a node, mirroring ``ann_topk``'s
+    exact baseline; beyond that, route candidates through the IVF
+    buckets (``ivf_topk``) and verify exactly per bucket, as
+    ``embedding_neardup`` does.  Never a per-batch re-ship: the
+    matrix ships to each actor once.
+    """
+    quant = ds.map_batches(
+        lambda b: _quantize(b, vec_col, id_col, scale, offset),
+        batch_format="pandas")
+    cents, labels = _fit(quant, k, num_iters, id_col, num_buckets)
+
+    if len(labels) < 2:
+        # one surviving cluster: no cross-cluster negatives exist
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "cid": pa.array([], pa.int64()),
+            "neg_id": pa.array([], pa.int64()),
+            "neg_cid": pa.array([], pa.int64()),
+            "neg_dist": pa.array([], pa.int64())}))
+
+    corpus = quant.to_pandas()
+    qm = np.stack(corpus["__q"].to_numpy()).astype(np.int64)
+    row, _ = _assign(qm, cents)
+    cids = labels[row]
+    ids = corpus[id_col].to_numpy(np.int64)
+    # candidate order: ascending id, so the first minimum IS the
+    # smallest-id tie-winner
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put((qm[order], cids[order], ids[order]))
+
+    class Miner:
+        def __init__(self):
+            self.qm, self.cids, self.ids = ray.get(ref)
+            self.q2 = (self.qm * self.qm).sum(axis=1)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            q = np.stack(b["__q"].to_numpy()).astype(np.int64)
+            rw, _ = _assign(q, cents)
+            own = labels[rw]
+            x2 = (q * q).sum(axis=1, keepdims=True)
+            d = x2 - 2 * (q @ self.qm.T) + self.q2[None, :]
+            d[own[:, None] == self.cids[None, :]] = np.iinfo(
+                np.int64).max
+            j = np.argmin(d, axis=1)
+            return pd.DataFrame({
+                id_col: b[id_col].to_numpy(),
+                "cid": own,
+                "neg_id": self.ids[j],
+                "neg_cid": self.cids[j],
+                "neg_dist": d[np.arange(len(q)), j]})
+
+    return quant.map_batches(Miner, batch_format="pandas",
+                             concurrency=(1, 8))

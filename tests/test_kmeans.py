@@ -135,3 +135,39 @@ def test_pq_codes_bad_m():
     import pytest as _pt
     with _pt.raises(ValueError):
         pq_codes(rd.from_pandas(df), m=2).to_pandas()
+
+
+def test_hard_negatives_bruteforce():
+    from city2graph_ray.vector.kmeans import hard_negatives
+    rng = np.random.default_rng(33)
+    n, dim, k = 90, 6, 3
+    centers = rng.normal(0, 1, (k, dim))
+    vecs = (centers[rng.integers(0, k, n)]
+            + rng.normal(0, 0.25, (n, dim))).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    out = (hard_negatives(rd.from_pandas(df).repartition(4), k=k,
+                          num_iters=2).to_pandas()
+           .set_index("vec_id").sort_index())
+    assigns = local_ref(vecs, ids, k, 2)
+    q = (np.floor(np.asarray(vecs, np.float64) * 10_000 + 0.5)
+         .astype(np.int64) + 100_000)
+    cid = np.array([assigns[i][0] for i in ids])
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+    for i in ids:
+        dd = d2[i].copy()
+        dd[cid == cid[i]] = np.iinfo(np.int64).max
+        j = int(np.argmin(dd))  # ids ascending -> min-id tie-break
+        r = out.loc[i]
+        assert int(r["cid"]) == cid[i]
+        assert int(r["neg_id"]) == j and int(r["neg_dist"]) == dd[j]
+        assert int(r["neg_cid"]) == cid[j]
+
+
+def test_hard_negatives_single_cluster():
+    from city2graph_ray.vector.kmeans import hard_negatives
+    vecs = np.tile(np.float32([0.1, 0.2]), (6, 1))
+    df = pd.DataFrame({"vec_id": np.arange(6, dtype=np.int64),
+                       "embedding": list(vecs)})
+    out = hard_negatives(rd.from_pandas(df), k=2, num_iters=1)
+    assert out.count() == 0
