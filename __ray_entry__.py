@@ -247,6 +247,31 @@ def _grid_zone_dissolve(sf_dir: str):
     return dissolve_cells(pts, 64.0, "zone")
 
 
+def _grid_hotspots(sf_dir: str):
+    """Getis-Ord-style hotspot cells over the SKEWED urban-core
+    distribution (20% of points collapse into one cell): ring mean
+    count > 2x the global occupied-cell mean, exact by integer
+    cross-multiplication; ring aggregation is a scatter over occupied
+    cells only."""
+    import ray.data
+
+    from city2graph_ray.ops.tiling import hotspot_cells
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        x, y = synth.key_to_xy(k)
+        hot = k % 5 == 0
+        x = np.where(hot, 500.0 + (k % 100) / 50.0, x)
+        y = np.where(hot, 500.0 + (k // 100 % 100) / 50.0, y)
+        return pd.DataFrame({"id": k, "x": x, "y": y})
+
+    return hotspot_cells(cust.map_batches(mk, batch_format="pandas"),
+                         64.0, mult=2)
+
+
 def _pt_zorder(sf_dir: str):
     """Z-order locality layout: every point's Morton key (bit-interleaved
     offset cell coords, cell 64) and its global rank along the Z-curve.
@@ -3454,6 +3479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_cell_ring": _pt_cell_ring,
         "pt_zorder": _pt_zorder,
         "grid_zone_dissolve": _grid_zone_dissolve,
+        "grid_hotspots": _grid_hotspots,
         "grid_areal_interp": _grid_areal_interp,
         "pt_radius_skewed": _pt_radius_skewed,
         "raster_downsample": _raster_downsample,
@@ -3719,6 +3745,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT (iy << 31) | (ix & 2147483647) AS cell,
                    count(*) AS n_points
             FROM ij GROUP BY 1""",
+        "grid_hotspots": f"""
+            WITH pts AS (
+              SELECT c_custkey AS id,
+                CASE WHEN c_custkey % 5 = 0
+                     THEN 500.0 + (c_custkey % 100) / 50.0
+                     ELSE {synth.sql_x('c_custkey')} END AS x,
+                CASE WHEN c_custkey % 5 = 0
+                     THEN 500.0 + (c_custkey // 100 % 100) / 50.0
+                     ELSE {synth.sql_y('c_custkey')} END AS y
+              FROM customer),
+            occ AS (
+              SELECT (iy << 31) | (ix & 2147483647) AS cell,
+                     ix, iy, count(*) AS n
+              FROM (SELECT
+                      CAST(floor(x / 64.0) AS BIGINT) + 1073741824
+                        AS ix,
+                      CAST(floor(y / 64.0) AS BIGINT) + 1073741824
+                        AS iy
+                    FROM pts)
+              GROUP BY 1, 2, 3),
+            tot AS (SELECT sum(n) AS tp, count(*) AS nc FROM occ),
+            ring AS (
+              SELECT o1.cell, sum(o2.n) AS ring_n,
+                     count(*) AS n_ring_cells
+              FROM occ o1 JOIN occ o2
+                ON abs(o1.ix - o2.ix) <= 1 AND abs(o1.iy - o2.iy) <= 1
+              GROUP BY o1.cell)
+            SELECT r.cell, o.n, r.ring_n, r.n_ring_cells
+            FROM ring r JOIN occ o USING (cell), tot
+            WHERE r.ring_n * tot.nc > 2 * tot.tp * r.n_ring_cells""",
         "grid_zone_dissolve": f"""
             WITH pts AS ({_PTS}),
             occ AS (SELECT DISTINCT id % 5 AS zone,

@@ -315,3 +315,58 @@ def dissolve_cells(points: ray.data.Dataset, cell_size: float,
                   "perimeter"]]
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def hotspot_cells(points: ray.data.Dataset, cell_size: float,
+                  mult: int = 2, x: str = "x", y: str = "y",
+                  num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                  ) -> ray.data.Dataset:
+    """Hotspot detection over the grid (a Getis-Ord-style local
+    density screen, exact by integer cross-multiplication): an
+    occupied cell is HOT iff its k=1-ring mean count exceeds ``mult``×
+    the global mean count per occupied cell —
+
+        ring_n · n_occupied  >  mult · total_points · n_ring_cells
+
+    (all int64, no float threshold anywhere).  Output per hot cell:
+    ``(cell, n, ring_n, n_ring_cells)``.
+
+    Distributed shape mirrors :func:`cell_ring_density`: per-cell
+    counts, one ring SCATTER over occupied cells only, a keyed re-sum
+    per center, an inner join back to occupied cells (drops phantom
+    unoccupied centers), and two driver scalars (total, n_occupied).
+    """
+    pts = assign_cells(points, cell_size, x=x, y=y).map_batches(
+        lambda b: b[["cell"]], batch_format="pandas")
+    occ = shuffle.group_agg(pts, ["cell"], {"n": ("cell", "size")},
+                            num_buckets=num_buckets).materialize()
+    tot = occ.sum("n")
+    n_occ = occ.count()
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        idx, member = cells.ring_cells(b["cell"].to_numpy(np.int64), 1)
+        return pd.DataFrame({
+            "cell": member,
+            "rn": b["n"].to_numpy(np.int64)[idx],
+            "rc": np.ones(len(member), np.int64)})
+
+    ring = shuffle.group_agg(
+        occ.map_batches(scatter, batch_format="pandas"),
+        ["cell"], {"ring_n": ("rn", "sum"),
+                   "n_ring_cells": ("rc", "sum")},
+        num_buckets=num_buckets)
+    joined = bucketed_join(
+        occ, ring, on="cell", num_buckets=num_buckets,
+        left_schema=pa.schema([("cell", pa.int64()),
+                               ("n", pa.int64())]),
+        right_schema=pa.schema([("cell", pa.int64()),
+                                ("ring_n", pa.int64()),
+                                ("n_ring_cells", pa.int64())]))
+
+    def hot(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["ring_n"].to_numpy(np.int64) * np.int64(n_occ)
+                > np.int64(mult) * np.int64(tot)
+                * b["n_ring_cells"].to_numpy(np.int64))
+        return b.loc[keep, ["cell", "n", "ring_n", "n_ring_cells"]]
+
+    return joined.map_batches(hot, batch_format="pandas")

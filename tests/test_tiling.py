@@ -206,3 +206,38 @@ def test_dissolve_cells_shapes():
     assert int(out.loc[2, "perimeter_units"]) == 8
     assert int(out.loc[1, "n_cells"]) == 4
     assert int(out.loc[2, "n_cells"]) == 3
+
+
+def test_hotspot_cells_bruteforce():
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import hotspot_cells
+    rng = np.random.default_rng(8)
+    # uniform background + one dense clump
+    bg = rng.uniform(0, 640, (300, 2))
+    clump = 320 + rng.uniform(0, 10, (200, 2))
+    pts = np.vstack([bg, clump])
+    df = pd.DataFrame({"x": pts[:, 0], "y": pts[:, 1]})
+    out = hotspot_cells(rd.from_pandas(df).repartition(4), 64.0,
+                        mult=2).to_pandas()
+    # brute force
+    cs = {}
+    for xx, yy in pts:
+        key = (int(np.floor(xx / 64)), int(np.floor(yy / 64)))
+        cs[key] = cs.get(key, 0) + 1
+    tot, nc = sum(cs.values()), len(cs)
+    want = set()
+    for (ix, iy), n in cs.items():
+        rn = rc = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (ix + dx, iy + dy) in cs:
+                    rn += cs[(ix + dx, iy + dy)]
+                    rc += 1
+        if rn * nc > 2 * tot * rc:
+            want.add((ix, iy))
+    from city2graph_ray import cells as C
+    got = set()
+    for c in out["cell"]:
+        ix, iy = C.cell_xy(np.array([c]))
+        got.add((int(ix[0]), int(iy[0])))
+    assert got == want and len(want) > 0
