@@ -576,6 +576,27 @@ def _doc_prefix_dedup(sf_dir: str):
     return prefix_dedup(docs)
 
 
+def _doc_containment(sf_dir: str):
+    """Directed shingle-containment join (C >= 0.8) over the
+    truncation-salted corpus (originals + 40-char rescrapes + exact
+    dups): truncations are fully contained in their originals, so the
+    screen finds exactly the quote/truncation pairs Jaccard misses."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import containment_join
+
+    def salt(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        t = b["text"].astype(str)
+        return pd.DataFrame({
+            "doc_id": np.concatenate([ids, ids + 10_000_000,
+                                      ids + 20_000_000]),
+            "text": pd.concat([t, t.str.slice(0, 40), t],
+                              ignore_index=True)})
+
+    docs = documents(sf_dir).map_batches(salt, batch_format="pandas")
+    return containment_join(docs, threshold=0.8)
+
+
 def _doc_tokens(sf_dir: str):
     from city2graph_ray.pipelines.tables import documents
     from city2graph_ray.text.analysis import token_counts
@@ -3506,6 +3527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_dedup": _doc_fingerprint_dedup,
         "doc_prefix_dedup": _doc_prefix_dedup,
         "doc_postings": _doc_postings,
+        "doc_containment": _doc_containment,
         "doc_token_stats": _doc_tokens,
         "doc_pack_spans": _doc_pack_spans,
         "doc_quality": _doc_quality,
@@ -4059,6 +4081,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY array_to_string(list_sort(list_distinct(
                 string_split(text, ' '))), ' ')""",
+        "doc_containment": """
+            WITH corpus AS MATERIALIZED (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, substr(text, 1, 40)
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 20000000, text FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+              FROM corpus, LATERAL unnest(
+                generate_series(1, greatest(length(text) - 4, 1)))
+                AS t(i)),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh
+                    GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y USING (s)
+              WHERE x.doc_id <> y.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b,
+                   round(CAST(i AS DOUBLE) / ca.n, 6) AS containment
+            FROM inter JOIN cnt ca ON ca.doc_id = inter.a
+            WHERE CAST(i AS DOUBLE) / ca.n >= 0.8""",
         "doc_postings": """
             WITH t AS (
               SELECT DISTINCT doc_id, term FROM (

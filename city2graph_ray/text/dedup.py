@@ -899,3 +899,105 @@ def prefix_dedup(docs: ray.data.Dataset, text_col: str = "text",
     extra = pd.DataFrame(keep_rows, columns=[id_col, "n_chars"])
     extra["n_chars"] = extra["n_chars"].astype(np.int64)
     return survivors.union(ray.data.from_pandas(extra))
+
+
+class _ContainVerify:
+    """Exact shingle containment |A∩B| / |A| per DIRECTED pair; texts
+    arrive in the batch (joined upstream), sets cached per batch."""
+
+    def __init__(self, shingle_k: int, threshold: float,
+                 round_to: int | None = None):
+        self.k = shingle_k
+        self.threshold = threshold
+        self.round_to = round_to
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cache: dict = {}
+
+        def sh(i, text) -> set:
+            if i not in cache:
+                cache[i] = char_shingles(text, self.k)
+            return cache[i]
+
+        con = np.fromiter(
+            (len(sh(a, ta) & sh(b, tb)) / max(len(sh(a, ta)), 1)
+             for a, b, ta, tb in zip(batch["a"], batch["b"],
+                                     batch["__text_a"],
+                                     batch["__text_b"])),
+            np.float64, len(batch))
+        keep = con >= self.threshold
+        out = pd.DataFrame({"a": batch["a"].to_numpy(),
+                            "b": batch["b"].to_numpy(),
+                            "containment": (np.round(con, self.round_to)
+                                            if self.round_to is not None
+                                            else con)})
+        return out[keep]
+
+
+def containment_join(docs: ray.data.Dataset, threshold: float = 0.8,
+                     shingle_k: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id", round_to: int = 6,
+                     num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                     ) -> ray.data.Dataset:
+    """EXACT directed containment self-join: all pairs (a ≠ b) with
+    ``|shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold`` — the
+    near-CONTAINMENT screen (quotes, truncations, wrapper pages) that
+    Jaccard misses when the container is much larger than the
+    contained doc.  Output (a, b, containment), directed.
+
+    Prefix filter, containment form: if C(a→b) ≥ t, the ≥ ceil(t·|a|)
+    common shingles cannot all hide in the last ceil(t·|a|)−1
+    positions of a's global-order sort, so a's PREFIX of length
+    ``|a| − ceil(t·|a|) + 1`` (splitmix64 order, computed inline with
+    no extra shuffle) must hit b's FULL posting list — only probe
+    prefixes are exploded against the index, and candidates are
+    pre-filtered by the size bound ``|b| ≥ t·|a|``.  Verification
+    joins texts onto the candidate stream (`_pairs_with_texts`) and
+    runs the exact set intersection in an actor pool.
+    """
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        return _explode_shingles(batch, shingle_k, text_col, id_col)
+
+    full = docs.map_batches(explode, batch_format="pandas")
+
+    def inline_prefix(batch: pd.DataFrame) -> pd.DataFrame:
+        g = explode(batch)
+        g["hs"] = _splitmix64(g["s"].to_numpy().astype(np.uint64)
+                              ).astype(np.int64)
+        g = g.sort_values(["hs", "s"], kind="stable")
+        grp = g.groupby(id_col, sort=False)
+        n = g["n"].to_numpy()
+        pos = grp.cumcount().to_numpy()
+        plen = n - np.ceil(threshold * n).astype(np.int64) + 1
+        return g[pos < plen][[id_col, "s", "n"]].rename(
+            columns={id_col: "a", "n": "n_a"})
+
+    from city2graph_ray.joins import bucketed_join
+
+    probe = docs.map_batches(inline_prefix, batch_format="pandas")
+    index = full.map_batches(
+        lambda b: b.rename(columns={id_col: "b", "n": "n_b"}),
+        batch_format="pandas")
+    import pyarrow as pa
+    cand = bucketed_join(
+        probe, index, on="s", num_buckets=num_buckets,
+        left_schema=pa.schema([("a", pa.int64()), ("s", pa.int64()),
+                               ("n_a", pa.int64())]),
+        right_schema=pa.schema([("b", pa.int64()), ("s", pa.int64()),
+                                ("n_b", pa.int64())]))
+
+    def screen(b: pd.DataFrame) -> pd.DataFrame:
+        keep = ((b["a"].to_numpy() != b["b"].to_numpy())
+                & (b["n_b"].to_numpy() >= threshold
+                   * b["n_a"].to_numpy()))
+        return b.loc[keep, ["a", "b"]].drop_duplicates()
+
+    cand = shuffle.distinct(
+        cand.map_batches(screen, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets)
+    withtext = _pairs_with_texts(cand, docs, text_col, id_col,
+                                 num_buckets)
+    return withtext.map_batches(
+        _ContainVerify, fn_constructor_args=(shingle_k, threshold,
+                                             round_to),
+        batch_format="pandas", concurrency=(1, 8))

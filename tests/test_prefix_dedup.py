@@ -57,3 +57,25 @@ def test_prefix_dedup_short_and_empty_docs():
     # single doc
     one = pd.DataFrame({"doc_id": [7], "text": ["q"]})
     assert run(one) == [(7, 1)]
+
+
+def test_containment_join_bruteforce():
+    from city2graph_ray.text.dedup import containment_join, char_shingles
+    rng = np.random.default_rng(9)
+    base = ["".join(rng.choice(list("abcdef "), 60)) for _ in range(25)]
+    texts = list(base) + [t[:20] for t in base[:12]] + base[:5]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = containment_join(rd.from_pandas(df).repartition(3),
+                           threshold=0.8, num_buckets=8).to_pandas()
+    got = {(int(r.a), int(r.b)): r.containment for r in out.itertuples()}
+    want = {}
+    sets = {i: char_shingles(t, 5) for i, t in enumerate(texts)}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = len(sets[a] & sets[b]) / max(len(sets[a]), 1)
+            if c >= 0.8:
+                want[(a, b)] = round(c, 6)
+    assert got == want and len(want) >= 12
