@@ -2778,6 +2778,45 @@ def _orders_monthly_growth(sf_dir: str):
         "growth": (cents - prev) / prev})
 
 
+def _event_high_runs(sf_dir: str):
+    """Condition-based gaps-and-islands: per user, maximal runs of
+    CONSECUTIVE events (ordered by ts, event_id) with value > 6.0 —
+    run length, integer-cent sum, and the bounding timestamps in µs.
+    The twin is the classic rn-difference island construction."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_id", "user_id", "ts", "value"]],
+        batch_format="pandas")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        us = g["ts"].to_numpy().astype("datetime64[us]").view("i8")
+        val = g["value"].to_numpy(np.float64)
+        cents = np.floor(val * 100 + 0.5).astype(np.int64)
+        high = val > 6.0
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        run_start = high & (new_user
+                            | np.concatenate(([True], ~high[:-1])))
+        run_id = np.cumsum(run_start)
+        d = pd.DataFrame({"user_id": uid, "run": run_id, "us": us,
+                          "c": cents})
+        d = d[high]
+        agg = d.groupby(["user_id", "run"], sort=False).agg(
+            n=("c", "size"), cents=("c", "sum"),
+            start_us=("us", "min"), end_us=("us", "max")).reset_index()
+        return pd.DataFrame({
+            "user_id": agg["user_id"],
+            "start_us": agg["start_us"].astype(np.int64),
+            "end_us": agg["end_us"].astype(np.int64),
+            "n": agg["n"].astype(np.int64),
+            "sum_value": agg["cents"].to_numpy(np.int64) / 100.0})
+
+    return shuffle.grouped_transform(ev, ["user_id"], kernel)
+
+
 def _event_value_mad(sf_dir: str):
     """Per-type median + median-absolute-deviation: two exact
     group_quantiles passes (3-pass histogram each); the 5-row median
@@ -3655,6 +3694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_resample_ffill": _event_resample_ffill,
         "event_gap_stats": _event_gap_stats,
         "orders_monthly_growth": _orders_monthly_growth,
+        "event_high_runs": _event_high_runs,
         "event_pareto": _event_pareto,
         "event_type_cooccurrence": _event_type_cooccurrence,
         "tpch_q7_volume": _tpch_q7,
@@ -5663,6 +5703,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
                        END)::BIGINT AS n_view
             FROM events GROUP BY user_id""",
+        "event_high_runs": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     value > 6.0 AS high,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            isl AS (
+              SELECT user_id, ts, cents,
+                     rn - row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       AS grp
+              FROM o WHERE high)
+            SELECT user_id, epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us, count(*) AS n,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+            FROM isl GROUP BY user_id, grp""",
         "orders_monthly_growth": """
             WITH m AS (
               SELECT CAST(year(o_orderdate) * 100
