@@ -2817,6 +2817,47 @@ def _event_high_runs(sf_dir: str):
     return shuffle.grouped_transform(ev, ["user_id"], kernel)
 
 
+def _zone_ppr(sf_dir: str):
+    """Personalized PageRank from the %10==0 seed set over the
+    zone_pagerank graph — teleport vector instead of the uniform
+    floor, otherwise the same per-iteration-rounding exactness."""
+    from city2graph_ray.ops.graph_algos import personalized_pagerank
+
+    return personalized_pagerank(_order_zone_edges(sf_dir),
+                                 range(0, 100, 10), num_iters=4)
+
+
+def _ppr_sql(iters: int) -> str:
+    ctes = ["""e AS (
+              SELECT DISTINCT o_custkey % 100 AS src,
+                              o_orderkey % 97 AS dst
+              FROM orders)""",
+            """nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e)""",
+            """sc AS (SELECT CAST(count(*) AS DOUBLE) AS ns
+                   FROM nodes WHERE node % 10 = 0)""",
+            """tv AS (SELECT node,
+                         CASE WHEN node % 10 = 0 THEN 1.0 / ns
+                              ELSE 0.0 END AS t
+                  FROM nodes, sc)""",
+            """deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+                    FROM e GROUP BY src)""",
+            "r0 AS (SELECT node, round(t, 10) AS r FROM tv)"]
+    for i in range(iters):
+        ctes.append(f"""s{i + 1} AS (
+              SELECT dst AS node, sum(r.r / deg.d) AS s
+              FROM e JOIN deg USING (src)
+              JOIN r{i} r ON r.node = e.src GROUP BY dst)""")
+        ctes.append(f"""r{i + 1} AS (
+              SELECT nodes.node,
+                     round(0.85 * coalesce(s, 0)
+                           + (1.0 - 0.85) * tv.t, 10) AS r
+              FROM nodes LEFT JOIN s{i + 1} USING (node)
+              JOIN tv ON tv.node = nodes.node)""")
+    return ("WITH " + ",\n            ".join(ctes) + f"""
+            SELECT node, round(r, 6) AS rank FROM r{iters}""")
+
+
 def _event_value_mad(sf_dir: str):
     """Per-type median + median-absolute-deviation: two exact
     group_quantiles passes (3-pass histogram each); the 5-row median
@@ -3661,6 +3702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_ktruss": _zone_ktruss,
         "zone_eccentricity": _zone_eccentricity,
         "zone_betweenness": _zone_betweenness,
+        "zone_ppr": _zone_ppr,
         "zone_4cliques": _zone_4cliques,
         "emb_kmeans": _emb_kmeans,
         "emb_silhouette": _emb_silhouette,
@@ -5596,6 +5638,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_kcore": _kcore_sql(8, 12),
         "zone_ktruss": _ktruss_sql(18, 30),
         "zone_eccentricity": _ecc_sql(20),
+        "zone_ppr": _ppr_sql(4),
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_silhouette": _silhouette_sql(4, 2, 64),
         "emb_pq_codes": _pq_sql(8, 4, 1, 64),

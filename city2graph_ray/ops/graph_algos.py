@@ -1817,3 +1817,96 @@ def betweenness_centrality(edges: ray.data.Dataset, src: str = "src",
                                 "bc": b["bc"].to_numpy(np.float64)
                                 / 2.0}),
         batch_format="pandas")
+
+
+def personalized_pagerank(edges: ray.data.Dataset, seeds,
+                          num_iters: int = 5, damping: float = 0.85,
+                          src: str = "src", dst: str = "dst",
+                          round_iter: int = 10, round_to: int = 6,
+                          num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                          broadcast_threshold: int = 2_000_000,
+                          ) -> ray.data.Dataset:
+    """Personalized PageRank: teleport mass concentrates on ``seeds``
+    (uniform over the seeds present in the graph) instead of all
+    nodes — the seed-expansion / related-entity primitive.  Same
+    exactness contract as :func:`pagerank`: ranks round to
+    ``round_iter`` decimals each iteration so float association order
+    cannot leak, and the unrolled-CTE SQL twin agrees bit-for-bit.
+
+    Broadcast strategy only (rank vector is O(n) driver/actor memory,
+    edge stream distributed — ``pagerank``'s measured fast path);
+    graphs past ``broadcast_threshold`` nodes need the join-strategy
+    loop of :func:`pagerank` with a seed-flag column on the rank
+    table — raised explicitly rather than silently collected."""
+    nodes = shuffle.distinct(
+        _node_column(edges, src).union(_node_column(edges, dst)),
+        ["node"], num_buckets=num_buckets).materialize()
+    n = nodes.count()
+    if n == 0:
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64())}))
+    if n > broadcast_threshold:
+        raise ValueError(
+            f"personalized_pagerank broadcast path capped at "
+            f"{broadcast_threshold} nodes (got {n}); extend with the "
+            f"join-strategy loop of pagerank() for larger graphs")
+
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy())
+    seed_mask = np.isin(node_arr, np.asarray(list(seeds)))
+    ns = int(seed_mask.sum())
+    if ns == 0:
+        raise ValueError("no seed appears in the graph")
+    t_vec = np.where(seed_mask, 1.0 / ns, 0.0)
+
+    index = pd.Index(node_arr)
+    idx_ref = ray.put(index)
+
+    def reindex(batch: pd.DataFrame) -> pd.DataFrame:
+        ix = ray.get(idx_ref)
+        return pd.DataFrame({
+            "si": ix.get_indexer(batch[src].to_numpy()).astype(np.int32),
+            "di": ix.get_indexer(batch[dst].to_numpy()).astype(np.int32)})
+
+    indexed = edges.map_batches(reindex,
+                                batch_format="pandas").materialize()
+
+    def partial_deg(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"w": [np.bincount(batch["si"].to_numpy(),
+                               minlength=n).astype(np.int64).tobytes()]})
+
+    deg = np.zeros(n, dtype=np.int64)
+    for b in indexed.map_batches(partial_deg, batch_format="pandas"
+                                 ).iter_batches(batch_size=None,
+                                                batch_format="pandas"):
+        for w in b["w"]:
+            deg += np.frombuffer(w, dtype=np.int64)
+    deg_safe = np.maximum(deg, 1).astype(np.float64)
+
+    rank = np.round(t_vec, round_iter)
+    for _ in range(num_iters):
+        rd_ref = ray.put(rank / deg_safe)
+
+        def partial_contrib(batch: pd.DataFrame,
+                            ref=rd_ref) -> pd.DataFrame:
+            rd = ray.get(ref)
+            si = batch["si"].to_numpy()
+            return pd.DataFrame(
+                {"w": [np.bincount(batch["di"].to_numpy(),
+                                   weights=rd[si],
+                                   minlength=n).tobytes()]})
+
+        contrib = np.zeros(n, dtype=np.float64)
+        for b in indexed.map_batches(partial_contrib,
+                                     batch_format="pandas"
+                                     ).iter_batches(batch_size=None,
+                                                    batch_format="pandas"):
+            for w in b["w"]:
+                contrib += np.frombuffer(w, dtype=np.float64)
+        rank = np.round(damping * contrib + (1.0 - damping) * t_vec,
+                        round_iter)
+
+    return ray.data.from_pandas(pd.DataFrame(
+        {"node": node_arr, "rank": np.round(rank, round_to)}))

@@ -665,3 +665,39 @@ def test_betweenness_sampled_sources_and_empty():
     loops = pd.DataFrame({"src": [1], "dst": [1]})
     out = betweenness_centrality(rd.from_pandas(loops))
     assert out.count() == 0 and out.schema().names == ["node", "bc"]
+
+
+def test_personalized_pagerank_matches_numpy():
+    from city2graph_ray.ops.graph_algos import personalized_pagerank
+    df = _edges(70, 16, seed=13)
+    seeds = [0, 3, 6]
+    out = personalized_pagerank(rd.from_pandas(df), seeds,
+                                num_iters=4).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["rank"]))
+    nodes = np.unique(np.concatenate([df["src"], df["dst"]]))
+    pos = {v: i for i, v in enumerate(nodes)}
+    t = np.zeros(len(nodes))
+    present = [s for s in seeds if s in pos]
+    for s in present:
+        t[pos[s]] = 1.0 / len(present)
+    deg = np.zeros(len(nodes))
+    for s in df["src"]:
+        deg[pos[s]] += 1
+    r = np.round(t, 10)
+    for _ in range(4):
+        acc = np.zeros(len(nodes))
+        for a, b in zip(df["src"], df["dst"]):
+            acc[pos[b]] += r[pos[a]] / deg[pos[a]]
+        r = np.round(0.85 * acc + (1.0 - 0.85) * t, 10)
+    for v in nodes:
+        assert abs(got[int(v)] - round(float(r[pos[v]]), 6)) < 1e-12
+    # mass concentrates near seeds
+    assert sum(got[s] for s in present) > 3 * np.median(out["rank"])
+
+
+def test_personalized_pagerank_no_seed_raises():
+    from city2graph_ray.ops.graph_algos import personalized_pagerank
+    import pytest as _pt
+    df = _edges(20, 6, seed=2)
+    with _pt.raises(ValueError):
+        personalized_pagerank(rd.from_pandas(df), [999])
