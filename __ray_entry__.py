@@ -379,6 +379,21 @@ def _group_nodes(sf_dir: str):
     return group_nodes(part_polygons(sf_dir), customer_points(sf_dir))
 
 
+def _grid_ungrouped(sf_dir: str):
+    """Spatial ANTI-join: customer points covered by NO part polygon
+    (the complement of grid_group_nodes) — PIP matches collapse to
+    distinct ids, one bucketed LEFT join keeps the leftovers."""
+    from city2graph_ray.ops.proximity import ungrouped_nodes
+    from city2graph_ray.pipelines.tables import (customer_points,
+                                                 part_polygons)
+
+    # keep only every third polygon so genuine gaps exist
+    polys = part_polygons(sf_dir).map_batches(
+        lambda b: b[b["id"].to_numpy() % 3 == 0],
+        batch_format="pandas")
+    return ungrouped_nodes(polys, customer_points(sf_dir))
+
+
 def _waxman(sf_dir: str):
     from city2graph_ray.ops.proximity import waxman_graph
     from city2graph_ray.pipelines.tables import customer_points
@@ -3589,6 +3604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_contiguity_queen": _contiguity("queen"),
         "grid_contiguity_rook": _contiguity("rook"),
         "grid_group_nodes": _group_nodes,
+        "grid_ungrouped_points": _grid_ungrouped,
         "waxman_edges": _waxman,
         "segment_nodes": _segment_nodes,
         "segment_edges": _segment_edges,
@@ -4020,6 +4036,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.id AS poly_id, pts.id AS point_id FROM g JOIN pts
             ON pts.x >= g.c*25.0 AND pts.x <= g.c*25.0+25.0
             AND pts.y >= g.r*25.0 AND pts.y <= g.r*25.0+25.0""",
+        "grid_ungrouped_points": f"""
+            WITH pts AS ({_PTS}),
+            g AS (SELECT * FROM ({_GRID}) WHERE id % 3 = 0)
+            SELECT pts.id, pts.x, pts.y FROM pts
+            WHERE NOT EXISTS (
+              SELECT 1 FROM g
+              WHERE pts.x >= g.c*25.0 AND pts.x <= g.c*25.0+25.0
+                AND pts.y >= g.r*25.0 AND pts.y <= g.r*25.0+25.0)""",
         "waxman_edges": f"""
             WITH pts AS ({_PTS}),
             cand AS (SELECT a.id AS src, b.id AS dst, {d2} AS distance

@@ -1329,3 +1329,42 @@ def dwithin_point_segment_join(points: ray.data.Dataset,
 
 _DW_COLS = ["id", "x", "y", "seg_id", "ax", "ay", "bx", "by", "cell",
             "is_pt"]
+
+
+def ungrouped_nodes(polygons: ray.data.Dataset, points: ray.data.Dataset,
+                    num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                    ) -> ray.data.Dataset:
+    """Spatial ANTI-join: the points covered by NO polygon — the
+    complement of :func:`group_nodes` (reference semantics: the
+    `group_nodes` assignment's leftovers; the reference reaches the
+    same set via its unenclosed-buildings anti-join,
+    /root/reference/city2graph/morphology.py — here it is a
+    first-class operator).  Output ``(id, x, y)``.
+
+    Shape: the PIP matches stream out of :func:`group_nodes` (cell-
+    bucketed, vectorized ray-casts), collapse to distinct matched
+    point ids (8 B rows), and one bucketed LEFT join + null filter
+    keeps the complement — the polygon set is never broadcast and the
+    point payload shuffles once."""
+    import pyarrow as pa
+
+    from city2graph_ray.joins import bucketed_join
+
+    matched = group_nodes(polygons, points)
+    hit = shuffle.distinct(
+        matched.map_batches(
+            lambda b: pd.DataFrame({"id": b["point_id"].to_numpy(),
+                                    "__hit": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["id"], num_buckets=num_buckets)
+    pts = points.map_batches(lambda b: b[["id", "x", "y"]],
+                             batch_format="pandas")
+    j = bucketed_join(
+        pts, hit, on="id", how="left", num_buckets=num_buckets,
+        left_schema=pa.schema([("id", pa.int64()), ("x", pa.float64()),
+                               ("y", pa.float64())]),
+        right_schema=pa.schema([("id", pa.int64()),
+                                ("__hit", pa.int64())]))
+    return j.map_batches(
+        lambda b: b.loc[b["__hit"].isna(), ["id", "x", "y"]],
+        batch_format="pandas")

@@ -245,3 +245,30 @@ def test_edge_cases_small_inputs():
     assert fixed_radius_graph(one, 1.0).count() == 0
     assert gabriel_graph(two).count() == 1
     assert relative_neighborhood_graph(two).count() == 1
+
+
+def test_ungrouped_nodes_complement():
+    import ray.data as rd
+    from city2graph_ray.ops.proximity import group_nodes, ungrouped_nodes
+    rng = np.random.default_rng(4)
+    # unit squares at even grid positions -> half the plane uncovered
+    polys = []
+    for i, (cx, cy) in enumerate((a, b) for a in range(0, 8, 2)
+                                 for b in range(0, 8, 2)):
+        x0, y0 = cx * 10.0, cy * 10.0
+        polys.append({"id": i, "coords": [x0, y0, x0 + 10, y0,
+                                          x0 + 10, y0 + 10, x0, y0 + 10,
+                                          x0, y0]})
+    pts = pd.DataFrame({"id": np.arange(200, dtype=np.int64),
+                        "x": rng.uniform(0, 80, 200),
+                        "y": rng.uniform(0, 80, 200)})
+    pd_polys = pd.DataFrame(polys)
+    grouped = group_nodes(rd.from_pandas(pd_polys),
+                          rd.from_pandas(pts)).to_pandas()
+    anti = ungrouped_nodes(rd.from_pandas(pd_polys),
+                           rd.from_pandas(pts)).to_pandas()
+    inside = set(grouped["point_id"].astype(int))
+    outside = set(anti["id"].astype(int))
+    assert inside | outside == set(range(200))
+    assert not (inside & outside)
+    assert len(outside) > 20
