@@ -2650,7 +2650,17 @@ def _zone_eccentricity(sf_dir: str):
                         num_buckets=8)
 
 
-def _ecc_sql(rounds: int) -> str:
+def _zone_diameter(sf_dir: str):
+    """Graph diameter / radius / node count of the (connected) banded
+    ring — one aggregate over the exact eccentricity table."""
+    out = _zone_eccentricity(sf_dir).to_pandas()
+    return pd.DataFrame({
+        "diameter": [np.int64(out["ecc"].max())],
+        "radius": [np.int64(out["ecc"].min())],
+        "n_nodes": [np.int64(len(out))]})
+
+
+def _ecc_sql(rounds: int, final: str | None = None) -> str:
     # MATERIALIZED discipline as in _kcore_sql; rounds > diameter so
     # trailing rounds are identity
     ctes = ["""e0 AS MATERIALIZED (
@@ -2674,10 +2684,12 @@ def _ecc_sql(rounds: int) -> str:
                 SELECT d{i}.s, adj.v AS node, d{i}.d + 1 AS d
                 FROM d{i} JOIN adj ON adj.u = d{i}.node)
               GROUP BY s, node)""")
-    return ("WITH " + ",\n            ".join(ctes) + f"""
+    if final is None:
+        final = f"""
             SELECT s AS node, max(d) AS ecc,
                    count(*) AS n_reached
-            FROM d{rounds} GROUP BY s""")
+            FROM d{rounds} GROUP BY s"""
+    return "WITH " + ",\n            ".join(ctes) + final
 
 
 def _zone_betweenness(sf_dir: str):
@@ -2871,6 +2883,26 @@ def _ppr_sql(iters: int) -> str:
               JOIN tv ON tv.node = nodes.node)""")
     return ("WITH " + ",\n            ".join(ctes) + f"""
             SELECT node, round(r, 6) AS rank FROM r{iters}""")
+
+
+def _event_value_eqdepth(sf_dir: str):
+    """Equi-depth histogram (20 buckets) of the value column: one
+    global ntile pass, then per-tile count + value extents — the
+    histogram construction step under optimizer statistics."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: b[["event_id", "value"]], batch_format="pandas")
+    tiled = shuffle.global_ntile(ev, ["value", "event_id"], 20)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"tile": b["tile"].to_numpy(np.int64),
+                             "v": b["value"].to_numpy(np.float64)})
+
+    return shuffle.group_agg(
+        tiled.map_batches(part, batch_format="pandas"), ["tile"],
+        {"n": ("v", "size"), "lo": ("v", "min"), "hi": ("v", "max")})
 
 
 def _event_value_mad(sf_dir: str):
@@ -3717,6 +3749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_kcore": _zone_kcore,
         "zone_ktruss": _zone_ktruss,
         "zone_eccentricity": _zone_eccentricity,
+        "zone_diameter": _zone_diameter,
         "zone_betweenness": _zone_betweenness,
         "zone_ppr": _zone_ppr,
         "zone_4cliques": _zone_4cliques,
@@ -3753,6 +3786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_stats": _event_gap_stats,
         "orders_monthly_growth": _orders_monthly_growth,
         "event_high_runs": _event_high_runs,
+        "event_value_eqdepth": _event_value_eqdepth,
         "event_pareto": _event_pareto,
         "event_type_cooccurrence": _event_type_cooccurrence,
         "tpch_q7_volume": _tpch_q7,
@@ -5663,6 +5697,10 @@ def oracle_sql() -> dict[str, str]:
         "zone_ktruss": _ktruss_sql(18, 30),
         "zone_eccentricity": _ecc_sql(20),
         "zone_ppr": _ppr_sql(4),
+        "zone_diameter": _ecc_sql(20, """
+            , ecc AS (SELECT s, max(d) AS e FROM d20 GROUP BY s)
+            SELECT max(e) AS diameter, min(e) AS radius,
+                   count(*) AS n_nodes FROM ecc"""),
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_silhouette": _silhouette_sql(4, 2, 64),
         "emb_pq_codes": _pq_sql(8, 4, 1, 64),
@@ -5770,6 +5808,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
                        END)::BIGINT AS n_view
             FROM events GROUP BY user_id""",
+        "event_value_eqdepth": """
+            WITH t AS (SELECT value,
+                              ntile(20) OVER (ORDER BY value, event_id)
+                                AS tile
+                       FROM events)
+            SELECT tile, count(*) AS n, min(value) AS lo,
+                   max(value) AS hi
+            FROM t GROUP BY tile""",
         "event_high_runs": """
             WITH o AS (
               SELECT user_id, ts, event_id,
