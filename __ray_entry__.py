@@ -3437,6 +3437,54 @@ def _lpa_sql(rounds: int) -> str:
             + f" SELECT node, label FROM l{rounds}")
 
 
+def _zone_lpa_modularity(sf_dir: str):
+    """Newman modularity of the LPA partition over the 40-community
+    graph — exact integer numerator (4mΣe_c − Σd_c²), one int→double
+    division shared with the twin."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import (label_propagation,
+                                                modularity)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    edges = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "src": (b["o_orderkey"].to_numpy(np.int64) % 40) * 50
+            + (b["o_orderkey"].to_numpy(np.int64) // 40) % 50,
+            "dst": (b["o_orderkey"].to_numpy(np.int64) % 40) * 50
+            + b["o_custkey"].to_numpy(np.int64) % 50}),
+        batch_format="pandas").materialize()
+    labels = label_propagation(edges, num_iters=_LPA_ROUNDS)
+    return modularity(edges, labels)
+
+
+def _lpa_modularity_sql(rounds: int) -> str:
+    base = _lpa_sql(rounds)
+    # swap the final SELECT for the modularity aggregation over the
+    # same label table
+    head = base[: base.rfind(" SELECT node, label FROM")]
+    return (head + f""",
+            fin AS MATERIALIZED (SELECT node, label FROM l{rounds}),
+            deg AS (SELECT u AS node, count(*) AS d
+                    FROM half GROUP BY u),
+            dc AS (SELECT f.label, sum(deg.d) AS dsum
+                   FROM deg JOIN fin f USING (node) GROUP BY f.label),
+            intra AS (SELECT count(*) AS e_in
+                      FROM und e
+                      JOIN fin fa ON fa.node = e.a
+                      JOIN fin fb ON fb.node = e.b
+                                 AND fb.label = fa.label),
+            mm AS (SELECT count(*) AS m FROM und)
+            SELECT (SELECT count(*) FROM dc) AS n_communities,
+                   mm.m AS m, intra.e_in AS intra_edges,
+                   CAST(4 * mm.m * intra.e_in
+                        - (SELECT sum(dsum * dsum) FROM dc)
+                        AS DOUBLE)
+                     / (4.0 * mm.m * mm.m) AS modularity
+            FROM mm, intra""")
+
+
 def _tpch_q13(sf_dir: str):
     """Customer order-count distribution (LEFT OUTER + zero-fill +
     histogram — the zero-order customers are the point)."""
@@ -3759,6 +3807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_hard_negatives": _emb_hard_negatives,
         "zone_clustering": _zone_clustering,
         "zone_lpa_labels": _zone_lpa,
+        "zone_lpa_modularity": _zone_lpa_modularity,
         "zone_adamic_adar": _zone_adamic_adar,
         "zone_jaccard": _zone_jaccard,
         "zone_harmonic": _zone_harmonic,
@@ -5744,6 +5793,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS coeff
             FROM deg LEFT JOIN tn USING (node) ORDER BY node""",
         "zone_lpa_labels": _lpa_sql(_LPA_ROUNDS),
+        "zone_lpa_modularity": _lpa_modularity_sql(_LPA_ROUNDS),
         "zone_adamic_adar": _ADAMIC_ADAR_SQL,
         "zone_jaccard": _JACCARD_SQL,
         "zone_harmonic": _HARMONIC_SQL,

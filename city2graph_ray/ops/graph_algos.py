@@ -1910,3 +1910,89 @@ def personalized_pagerank(edges: ray.data.Dataset, seeds,
 
     return ray.data.from_pandas(pd.DataFrame(
         {"node": node_arr, "rank": np.round(rank, round_to)}))
+
+
+def modularity(edges: ray.data.Dataset, labels: ray.data.Dataset,
+               src: str = "src", dst: str = "dst",
+               num_buckets: int = shuffle.DEFAULT_BUCKETS,
+               ) -> ray.data.Dataset:
+    """Newman modularity of a node partition over the UNDIRECTED
+    simplification — the community-quality score for LPA/components:
+
+        Q = Σ_c [ e_c/m − (d_c/2m)² ]
+          = (4·m·Σe_c − Σd_c²) / (4m²)     (exact int64 numerator)
+
+    ``labels`` must be ``(node, label)``.  Output one row
+    ``(n_communities, m, intra_edges, modularity)`` — the double is
+    the same int→float division in numpy and SQL.
+
+    Shape: two bucketed joins attach endpoint labels to the distinct
+    edge stream (intra-edge count = keyed partial sums), degrees and
+    per-label degree sums are partial-combined keyed aggregations,
+    and the driver sees four scalars."""
+    import pyarrow as pa
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+    m = und.count()
+    if m == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "n_communities": [np.int64(0)], "m": [np.int64(0)],
+            "intra_edges": [np.int64(0)], "modularity": [0.0]}))
+
+    ntype = pa.int64()
+    lab_a = labels.map_batches(
+        lambda b: pd.DataFrame({"a": b["node"].to_numpy(),
+                                "la": b["label"].to_numpy()}),
+        batch_format="pandas")
+    lab_b = labels.map_batches(
+        lambda b: pd.DataFrame({"b": b["node"].to_numpy(),
+                                "lb": b["label"].to_numpy()}),
+        batch_format="pandas")
+    e1 = bucketed_join(und, lab_a, on="a", num_buckets=num_buckets,
+                       left_schema=pa.schema([("a", ntype),
+                                              ("b", ntype)]),
+                       right_schema=pa.schema([("a", ntype),
+                                               ("la", ntype)]))
+    e2 = bucketed_join(e1, lab_b, on="b", num_buckets=num_buckets,
+                       left_schema=pa.schema([("a", ntype), ("b", ntype),
+                                              ("la", ntype)]),
+                       right_schema=pa.schema([("b", ntype),
+                                               ("lb", ntype)]))
+    intra = int(e2.map_batches(
+        lambda b: pd.DataFrame({"n": [np.int64(
+            (b["la"].to_numpy() == b["lb"].to_numpy()).sum())]}),
+        batch_format="pandas").sum("n") or 0)
+
+    ends = und.map_batches(
+        lambda b: pd.DataFrame({"node": np.concatenate(
+            [b["a"].to_numpy(), b["b"].to_numpy()])}),
+        batch_format="pandas")
+    deg = shuffle.group_agg(ends, ["node"], {"d": ("node", "size")},
+                            num_buckets=num_buckets)
+    degl = bucketed_join(
+        deg, labels.map_batches(lambda b: b[["node", "label"]],
+                                batch_format="pandas"),
+        on="node", num_buckets=num_buckets,
+        left_schema=pa.schema([("node", ntype), ("d", pa.int64())]),
+        right_schema=pa.schema([("node", ntype), ("label", ntype)]))
+    dsum = shuffle.group_agg(degl, ["label"], {"dsum": ("d", "sum")},
+                             num_buckets=num_buckets).materialize()
+    n_comm = dsum.count()
+    sum_d2 = int(dsum.map_batches(
+        lambda b: pd.DataFrame({"q": [np.int64(
+            (b["dsum"].to_numpy(np.int64) ** 2).sum())]}),
+        batch_format="pandas").sum("q") or 0)
+
+    q = (4 * m * intra - sum_d2) / (4.0 * m * m)
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_communities": [np.int64(n_comm)], "m": [np.int64(m)],
+        "intra_edges": [np.int64(intra)], "modularity": [q]}))

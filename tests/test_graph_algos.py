@@ -701,3 +701,33 @@ def test_personalized_pagerank_no_seed_raises():
     df = _edges(20, 6, seed=2)
     with _pt.raises(ValueError):
         personalized_pagerank(rd.from_pandas(df), [999])
+
+
+def test_modularity_matches_networkx():
+    import networkx as nx
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import modularity
+    rng = np.random.default_rng(6)
+    # two dense blobs + sparse cross edges
+    a1 = rng.integers(0, 10, 60)
+    b1 = rng.integers(0, 10, 60)
+    a2 = rng.integers(10, 20, 60)
+    b2 = rng.integers(10, 20, 60)
+    ax = rng.integers(0, 10, 5)
+    bx = rng.integers(10, 20, 5)
+    df = pd.DataFrame({"src": np.concatenate([a1, a2, ax]),
+                       "dst": np.concatenate([b1, b2, bx])})
+    labels = pd.DataFrame({"node": np.arange(20, dtype=np.int64),
+                           "label": np.concatenate(
+                               [np.zeros(10, np.int64),
+                                np.ones(10, np.int64)])})
+    out = modularity(rd.from_pandas(df), rd.from_pandas(labels),
+                     num_buckets=4).to_pandas()
+    g = nx.Graph()
+    g.add_edges_from((int(x), int(y))
+                     for x, y in zip(df["src"], df["dst"]) if x != y)
+    comms = [set(range(10)) & set(g.nodes),
+             set(range(10, 20)) & set(g.nodes)]
+    want = nx.algorithms.community.modularity(g, comms)
+    assert abs(out["modularity"].iloc[0] - want) < 1e-12
+    assert int(out["m"].iloc[0]) == g.number_of_edges()
