@@ -3485,6 +3485,15 @@ def _lpa_modularity_sql(rounds: int) -> str:
             FROM mm, intra""")
 
 
+def _zone_assortativity(sf_dir: str):
+    """Degree assortativity of the undirected zone graph — all-integer
+    Pearson moments over both edge orientations, one exact int→double
+    ratio shared with the twin."""
+    from city2graph_ray.ops.graph_algos import degree_assortativity
+
+    return degree_assortativity(_order_zone_edges(sf_dir))
+
+
 def _tpch_q13(sf_dir: str):
     """Customer order-count distribution (LEFT OUTER + zero-fill +
     histogram — the zero-order customers are the point)."""
@@ -3808,6 +3817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_clustering": _zone_clustering,
         "zone_lpa_labels": _zone_lpa,
         "zone_lpa_modularity": _zone_lpa_modularity,
+        "zone_assortativity": _zone_assortativity,
         "zone_adamic_adar": _zone_adamic_adar,
         "zone_jaccard": _zone_jaccard,
         "zone_harmonic": _zone_harmonic,
@@ -5794,6 +5804,27 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN tn USING (node) ORDER BY node""",
         "zone_lpa_labels": _lpa_sql(_LPA_ROUNDS),
         "zone_lpa_modularity": _lpa_modularity_sql(_LPA_ROUNDS),
+        "zone_assortativity": """
+            WITH e0 AS MATERIALIZED (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM (SELECT o_custkey % 100 AS s, o_orderkey % 97 AS d
+                    FROM orders) WHERE s <> d),
+            deg AS (SELECT node, count(*) AS d FROM (
+                      SELECT a AS node FROM e0
+                      UNION ALL SELECT b FROM e0) GROUP BY node),
+            j AS (SELECT da.d AS x, db.d AS y
+                  FROM e0 JOIN deg da ON da.node = e0.a
+                  JOIN deg db ON db.node = e0.b),
+            mom AS (SELECT sum(x) + sum(y) AS sx,
+                           sum(x * x) + sum(y * y) AS sx2,
+                           2 * sum(x * y) AS sxy,
+                           2 * count(*) AS n, count(*) AS m
+                    FROM j)
+            SELECT m,
+                   CASE WHEN n * sx2 - sx * sx = 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sx AS DOUBLE)
+                             / (n * sx2 - sx * sx) END AS r
+            FROM mom""",
         "zone_adamic_adar": _ADAMIC_ADAR_SQL,
         "zone_jaccard": _JACCARD_SQL,
         "zone_harmonic": _HARMONIC_SQL,

@@ -1996,3 +1996,81 @@ def modularity(edges: ray.data.Dataset, labels: ray.data.Dataset,
     return ray.data.from_pandas(pd.DataFrame({
         "n_communities": [np.int64(n_comm)], "m": [np.int64(m)],
         "intra_edges": [np.int64(intra)], "modularity": [q]}))
+
+
+def degree_assortativity(edges: ray.data.Dataset, src: str = "src",
+                         dst: str = "dst",
+                         num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                         ) -> ray.data.Dataset:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the undirected edge multiset (each edge
+    counted in both orientations).  Every moment is an int64 sum —
+    Σx, Σx², Σxy over 2m (deg_u, deg_v) samples — so the final
+
+        r = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)        (x/y symmetric)
+
+    is one exact int→double ratio, bit-identical in numpy and SQL.
+    Output one row ``(m, r)``; r = NaN/NULL on degree-regular graphs
+    (zero variance).
+
+    Shape: distinct canonical edges, two bucketed joins attaching the
+    endpoint degrees, integer moment partials per block, five driver
+    scalars."""
+    import pyarrow as pa
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+    m = und.count()
+    if m == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"m": [np.int64(0)], "r": [np.nan]}))
+
+    ends = und.map_batches(
+        lambda b: pd.DataFrame({"node": np.concatenate(
+            [b["a"].to_numpy(), b["b"].to_numpy()])}),
+        batch_format="pandas")
+    deg = shuffle.group_agg(ends, ["node"], {"d": ("node", "size")},
+                            num_buckets=num_buckets)
+    ntype = pa.int64()
+    da = bucketed_join(
+        und, deg.map_batches(lambda b: b.rename(
+            columns={"node": "a", "d": "da"}), batch_format="pandas"),
+        on="a", num_buckets=num_buckets,
+        left_schema=pa.schema([("a", ntype), ("b", ntype)]),
+        right_schema=pa.schema([("a", ntype), ("da", pa.int64())]))
+    dab = bucketed_join(
+        da, deg.map_batches(lambda b: b.rename(
+            columns={"node": "b", "d": "db"}), batch_format="pandas"),
+        on="b", num_buckets=num_buckets,
+        left_schema=pa.schema([("a", ntype), ("b", ntype),
+                               ("da", pa.int64())]),
+        right_schema=pa.schema([("b", ntype), ("db", pa.int64())]))
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["da"].to_numpy(np.int64)
+        y = b["db"].to_numpy(np.int64)
+        # both orientations: samples (x,y) and (y,x)
+        return pd.DataFrame({
+            "sx": [np.int64(x.sum() + y.sum())],
+            "sx2": [np.int64((x * x).sum() + (y * y).sum())],
+            "sxy": [np.int64(2 * (x * y).sum())],
+            "n": [np.int64(2 * len(b))]})
+
+    p = dab.map_batches(moments, batch_format="pandas").to_pandas()
+    sx = int(p["sx"].sum())
+    sx2 = int(p["sx2"].sum())
+    sxy = int(p["sxy"].sum())
+    n = int(p["n"].sum())
+    num = n * sxy - sx * sx
+    den = n * sx2 - sx * sx
+    r = np.nan if den == 0 else num / den
+    return ray.data.from_pandas(pd.DataFrame(
+        {"m": [np.int64(m)], "r": [r]}))

@@ -731,3 +731,24 @@ def test_modularity_matches_networkx():
     want = nx.algorithms.community.modularity(g, comms)
     assert abs(out["modularity"].iloc[0] - want) < 1e-12
     assert int(out["m"].iloc[0]) == g.number_of_edges()
+
+
+def test_degree_assortativity_matches_networkx():
+    import networkx as nx
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import degree_assortativity
+    rng = np.random.default_rng(44)
+    df = pd.DataFrame({"src": rng.integers(0, 30, 120),
+                       "dst": rng.integers(0, 30, 120)})
+    g = nx.Graph()
+    g.add_edges_from((int(a), int(b))
+                     for a, b in zip(df["src"], df["dst"]) if a != b)
+    out = degree_assortativity(rd.from_pandas(df),
+                               num_buckets=4).to_pandas()
+    want = nx.degree_assortativity_coefficient(g)
+    assert abs(out["r"].iloc[0] - want) < 1e-10
+    assert int(out["m"].iloc[0]) == g.number_of_edges()
+    # regular graph (cycle): zero variance -> NaN
+    cyc = pd.DataFrame({"src": np.arange(6), "dst": (np.arange(6)+1) % 6})
+    o2 = degree_assortativity(rd.from_pandas(cyc)).to_pandas()
+    assert np.isnan(o2["r"].iloc[0])
