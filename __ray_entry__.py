@@ -2905,6 +2905,77 @@ def _event_value_eqdepth(sf_dir: str):
         {"n": ("v", "size"), "lo": ("v", "min"), "hi": ("v", "max")})
 
 
+def _zone_mis(sf_dir: str):
+    """Deterministic Luby MIS (greedy by 52-bit md5 priority) over the
+    120-node banded ring; the oracle unrolls 12 winner/removal rounds
+    (identity once the remaining set empties)."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import maximal_independent_set
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        s = ok % 120
+        return pd.DataFrame({"src": s,
+                             "dst": (s + 1 + (ok * 7 + ck) % 4) % 120})
+
+    out = maximal_independent_set(
+        orders.map_batches(mk, batch_format="pandas"))
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["node"].to_numpy(np.int64),
+            "in_mis": b["in_mis"].to_numpy(bool).astype(np.int64)}),
+        batch_format="pandas")
+
+
+def _mis_sql(rounds: int) -> str:
+    ctes = ["""und AS MATERIALIZED (
+              SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+              FROM (SELECT o_orderkey % 120 AS s,
+                           (o_orderkey % 120 + 1
+                            + (o_orderkey * 7 + o_custkey) % 4)
+                             % 120 AS t
+                    FROM orders) WHERE s <> t)""",
+            """e0 AS MATERIALIZED (
+              SELECT a AS u, b AS v FROM und
+              UNION ALL SELECT b AS u, a AS v FROM und)""",
+            """n0 AS MATERIALIZED (
+              SELECT DISTINCT u AS node,
+                     md5_number_lower(CAST(u AS VARCHAR)) >> 12 AS p
+              FROM e0)"""]
+    for i in range(rounds):
+        ctes.append(f"""w{i} AS MATERIALIZED (
+              SELECT n.node FROM n{i} n
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e{i} e JOIN n{i} m ON m.node = e.u
+                WHERE e.v = n.node
+                  AND (m.p < n.p
+                       OR (m.p = n.p AND m.node < n.node))))""")
+        ctes.append(f"""n{i + 1} AS MATERIALIZED (
+              SELECT n.node, n.p FROM n{i} n
+              WHERE NOT EXISTS (SELECT 1 FROM w{i} w
+                                WHERE w.node = n.node)
+                AND NOT EXISTS (
+                  SELECT 1 FROM e{i} e JOIN w{i} w ON w.node = e.u
+                  WHERE e.v = n.node))""")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+              SELECT e.u, e.v FROM e{i} e
+              JOIN n{i + 1} x ON x.node = e.u
+              JOIN n{i + 1} y ON y.node = e.v)""")
+    wins = " UNION ALL ".join(f"SELECT node FROM w{i}"
+                              for i in range(rounds))
+    return ("WITH " + ",\n            ".join(ctes) + f"""
+            SELECT n0.node,
+                   CAST(EXISTS (SELECT 1 FROM ({wins}) w
+                                WHERE w.node = n0.node) AS BIGINT)
+                     AS in_mis
+            FROM n0""")
+
+
 def _event_value_mad(sf_dir: str):
     """Per-type median + median-absolute-deviation: two exact
     group_quantiles passes (3-pass histogram each); the 5-row median
@@ -3807,6 +3878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_ktruss": _zone_ktruss,
         "zone_eccentricity": _zone_eccentricity,
         "zone_diameter": _zone_diameter,
+        "zone_mis": _zone_mis,
         "zone_betweenness": _zone_betweenness,
         "zone_ppr": _zone_ppr,
         "zone_4cliques": _zone_4cliques,
@@ -5756,6 +5828,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_ktruss": _ktruss_sql(18, 30),
         "zone_eccentricity": _ecc_sql(20),
         "zone_ppr": _ppr_sql(4),
+        "zone_mis": _mis_sql(12),
         "zone_diameter": _ecc_sql(20, """
             , ecc AS (SELECT s, max(d) AS e FROM d20 GROUP BY s)
             SELECT max(e) AS diameter, min(e) AS radius,

@@ -2074,3 +2074,249 @@ def degree_assortativity(edges: ray.data.Dataset, src: str = "src",
     r = np.nan if den == 0 else num / den
     return ray.data.from_pandas(pd.DataFrame(
         {"m": [np.int64(m)], "r": [r]}))
+
+
+def _mis_local(a: np.ndarray, b: np.ndarray, nodes: np.ndarray,
+               keys: np.ndarray) -> np.ndarray:
+    """Driver kernel: greedy-by-priority MIS via Luby rounds over
+    index arrays (a, b = edge endpoints as positions into nodes)."""
+    n = len(nodes)
+    remaining = np.ones(n, bool)
+    selected = np.zeros(n, bool)
+    heads = np.concatenate([a, b])
+    tails = np.concatenate([b, a])
+    while remaining.any():
+        live = remaining[heads] & remaining[tails]
+        h, t = heads[live], tails[live]
+        # lexicographic neighbor-min of (key, node): min key first,
+        # then min node among key-ties
+        min_p = np.full(n, np.iinfo(np.uint64).max, np.uint64)
+        np.minimum.at(min_p, t, keys[h])
+        min_u = np.full(n, np.iinfo(np.int64).max, np.int64)
+        at_min = keys[h] == min_p[t]
+        np.minimum.at(min_u, t[at_min], nodes[h[at_min]])
+        win = remaining & ((keys < min_p)
+                           | ((keys == min_p) & (nodes < min_u)))
+        if not win.any():
+            break
+        selected |= win
+        dead = win.copy()
+        dead_t = win[heads]
+        np.logical_or.at(dead, tails[dead_t], True)
+        remaining &= ~dead
+    return selected
+
+
+def maximal_independent_set(edges: ray.data.Dataset, src: str = "src",
+                            dst: str = "dst",
+                            num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                            driver_edge_threshold: int = 1_000_000,
+                            max_rounds: int = 64) -> ray.data.Dataset:
+    """Deterministic maximal independent set — Luby's parallel MIS
+    (Luby 1986, public literature) with FIXED md5 priorities, which
+    makes the result the greedy MIS in priority order (and therefore
+    reproducible and SQL-twinnable): a node joins when its
+    ``(md5_lower64(str(node)) >> 12, node)`` pair is lexicographically
+    smaller than every remaining neighbor's (52-bit priorities stay
+    exact through the float64 that pandas LEFT joins force on nullable
+    ints; key ties — ~2⁻⁵² — break on the node id, identically in
+    SQL); winners and their
+    neighborhoods leave; repeat to the fixed point (O(log n) rounds
+    w.h.p.).  Output ``(node, in_mis)`` for every node.
+
+    Strategy split as in :func:`kcore`: edges ≤
+    ``driver_edge_threshold`` run the vectorized index-array kernel on
+    the driver; larger graphs run the same rounds distributed — per
+    round one bucketed join attaching priorities, one keyed
+    lexicographic-min reduction, and an anti-join removing closed
+    neighborhoods; the driver sees the remaining-count scalar."""
+    import pyarrow as pa
+
+    from city2graph_ray.text.dedup import _md5_lower64
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[src].to_numpy()
+        y = b[dst].to_numpy()
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pd.DataFrame({"a": np.minimum(x, y),
+                             "b": np.maximum(x, y)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+    n_edges = und.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "in_mis": pa.array([], pa.bool_())}))
+
+    if n_edges <= driver_edge_threshold:
+        e = und.to_pandas()
+        nodes = np.unique(np.concatenate([e["a"].to_numpy(),
+                                          e["b"].to_numpy()]))
+        pos = pd.Series(np.arange(len(nodes)), index=nodes)
+        a = pos[e["a"]].to_numpy()
+        b = pos[e["b"]].to_numpy()
+        keys = _md5_lower64([str(int(v)) for v in nodes]) >> np.uint64(12)
+        sel = _mis_local(a, b, nodes.astype(np.int64), keys)
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": nodes.astype(np.int64), "in_mis": sel}))
+
+    # distributed rounds -------------------------------------------
+    def with_keys(colmap):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({v: b[k].to_numpy()
+                                for k, v in colmap.items()})
+            return out
+        return fn
+
+    nodes = shuffle.distinct(
+        und.map_batches(lambda b: pd.DataFrame({"node": np.concatenate(
+            [b["a"].to_numpy(), b["b"].to_numpy()])}),
+            batch_format="pandas"),
+        ["node"], num_buckets=num_buckets)
+    rem = nodes.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["node"].to_numpy(np.int64),
+            "p": (_md5_lower64([str(int(v)) for v in b["node"]])
+                  >> np.uint64(12)).astype(np.int64)}),
+        batch_format="pandas").materialize()
+    cur_edges = und.materialize()
+    mis_parts = []
+    node_schema = pa.schema([("node", pa.int64()), ("p", pa.int64())])
+    for _ in range(max_rounds):
+        if rem.count() == 0:
+            break
+        half = cur_edges.map_batches(
+            lambda b: pd.DataFrame({
+                "u": np.concatenate([b["a"].to_numpy(),
+                                     b["b"].to_numpy()]),
+                "v": np.concatenate([b["b"].to_numpy(),
+                                     b["a"].to_numpy()])}),
+            batch_format="pandas")
+        withp = bucketed_join(
+            half.map_batches(lambda b: b.rename(columns={"u": "node"}),
+                             batch_format="pandas"),
+            rem, on="node", num_buckets=num_buckets,
+            left_schema=pa.schema([("node", pa.int64()),
+                                   ("v", pa.int64())]),
+            right_schema=node_schema)
+
+        def nbrmin(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["v", "p", "node"], kind="stable")
+            f = g.groupby("v", sort=False).first().reset_index()
+            return pd.DataFrame({"node": f["v"].to_numpy(np.int64),
+                                 "mp": f["p"].to_numpy(np.int64),
+                                 "mu": f["node"].to_numpy(np.int64)})
+
+        nm = shuffle.grouped_transform(withp, ["v"], nbrmin,
+                                       num_buckets=num_buckets)
+        joined = bucketed_join(
+            rem, nm, on="node", how="left", num_buckets=num_buckets,
+            left_schema=node_schema,
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("mp", pa.int64()),
+                                    ("mu", pa.int64())]))
+
+        def pick(b: pd.DataFrame) -> pd.DataFrame:
+            # 52-bit priorities and sub-2^53 node ids stay exact in
+            # the float64 the LEFT join forces on nullable ints
+            nomin = b["mp"].isna().to_numpy()
+            p = b["p"].to_numpy(np.int64)
+            node = b["node"].to_numpy(np.int64)
+            mp = b["mp"].to_numpy(np.float64)
+            mu = b["mu"].to_numpy(np.float64)
+            win = nomin | (p < mp) | ((p == mp) & (node < mu))
+            return pd.DataFrame({"node": node[win]})
+
+        winners = joined.map_batches(pick,
+                                     batch_format="pandas").materialize()
+        if winners.count() == 0:
+            break
+        mis_parts.append(winners)
+        wflag = winners.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                    "__w": np.ones(len(b), np.int64)}),
+            batch_format="pandas")
+        # dead = winners + their neighbors
+        nbr_dead = bucketed_join(
+            half.map_batches(lambda b: b.rename(columns={"u": "node"}),
+                             batch_format="pandas"),
+            wflag, on="node", num_buckets=num_buckets,
+            left_schema=pa.schema([("node", pa.int64()),
+                                   ("v", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("__w", pa.int64())]))
+        dead = shuffle.distinct(
+            nbr_dead.map_batches(
+                lambda b: pd.DataFrame({"node": b["v"].to_numpy(np.int64)}),
+                batch_format="pandas").union(
+                winners.map_batches(lambda b: b[["node"]],
+                                    batch_format="pandas")),
+            ["node"], num_buckets=num_buckets)
+        dflag = dead.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                    "__d": np.ones(len(b), np.int64)}),
+            batch_format="pandas")
+        rem = bucketed_join(
+            rem, dflag, on="node", how="left", num_buckets=num_buckets,
+            left_schema=node_schema,
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("__d", pa.int64())])
+        ).map_batches(
+            lambda b: b.loc[b["__d"].isna(), ["node", "p"]],
+            batch_format="pandas").materialize()
+        # prune edges to remaining nodes on both endpoints
+        rflag = rem.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                    "__r": np.ones(len(b), np.int64)}),
+            batch_format="pandas")
+        ea = bucketed_join(
+            cur_edges.map_batches(
+                lambda b: b.rename(columns={"a": "node"}),
+                batch_format="pandas"),
+            rflag, on="node", num_buckets=num_buckets,
+            left_schema=pa.schema([("node", pa.int64()),
+                                   ("b", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("__r", pa.int64())]))
+        cur_edges = bucketed_join(
+            ea.map_batches(
+                lambda b: pd.DataFrame({"a": b["node"].to_numpy(np.int64),
+                                        "node": b["b"].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            rflag, on="node", num_buckets=num_buckets,
+            left_schema=pa.schema([("a", pa.int64()),
+                                   ("node", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("__r", pa.int64())])
+        ).map_batches(
+            lambda b: pd.DataFrame({"a": b["a"].to_numpy(np.int64),
+                                    "b": b["node"].to_numpy(np.int64)}),
+            batch_format="pandas").materialize()
+
+    allnodes = nodes.materialize()
+    if mis_parts:
+        mis = shuffle.distinct(
+            mis_parts[0].union(*mis_parts[1:]) if len(mis_parts) > 1
+            else mis_parts[0], ["node"], num_buckets=num_buckets)
+    else:
+        mis = ray.data.from_pandas(pd.DataFrame(
+            {"node": pd.Series(dtype=np.int64)}))
+    mflag = mis.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                "__m": np.ones(len(b), np.int64)}),
+        batch_format="pandas")
+    out = bucketed_join(
+        allnodes.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        mflag, on="node", how="left", num_buckets=num_buckets,
+        left_schema=pa.schema([("node", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()),
+                                ("__m", pa.int64())]))
+    return out.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                "in_mis": ~b["__m"].isna().to_numpy()}),
+        batch_format="pandas")

@@ -752,3 +752,45 @@ def test_degree_assortativity_matches_networkx():
     cyc = pd.DataFrame({"src": np.arange(6), "dst": (np.arange(6)+1) % 6})
     o2 = degree_assortativity(rd.from_pandas(cyc)).to_pandas()
     assert np.isnan(o2["r"].iloc[0])
+
+
+def test_mis_valid_and_strategies_agree():
+    import networkx as nx
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import maximal_independent_set
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"src": rng.integers(0, 30, 100),
+                       "dst": rng.integers(0, 30, 100)})
+    g = nx.Graph()
+    g.add_edges_from((int(a), int(b))
+                     for a, b in zip(df["src"], df["dst"]) if a != b)
+    loc = maximal_independent_set(rd.from_pandas(df)).to_pandas()
+    mis = set(loc.loc[loc["in_mis"], "node"].astype(int))
+    # independent: no edge inside; maximal: every outside node has a
+    # neighbor inside
+    for u, v in g.edges:
+        assert not (u in mis and v in mis)
+    for v in g.nodes:
+        if v not in mis:
+            assert any(w in mis for w in g.neighbors(v)), v
+    # distributed cross-check on a smaller graph (each Luby round is
+    # several bucketed shuffles; keep the round count low in CI)
+    small = pd.DataFrame({"src": rng.integers(0, 12, 25),
+                          "dst": rng.integers(0, 12, 25)})
+    sl = maximal_independent_set(rd.from_pandas(small)).to_pandas()
+    sd = maximal_independent_set(rd.from_pandas(small),
+                                 driver_edge_threshold=0,
+                                 num_buckets=4).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["node", "in_mis"]].to_numpy()))
+    assert key(sl) == key(sd)
+
+
+def test_mis_degenerate():
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import maximal_independent_set
+    loops = pd.DataFrame({"src": [1], "dst": [1]})
+    out = maximal_independent_set(rd.from_pandas(loops))
+    assert out.count() == 0 and out.schema().names == ["node", "in_mis"]
+    pair = pd.DataFrame({"src": [1], "dst": [2]})
+    got = maximal_independent_set(rd.from_pandas(pair)).to_pandas()
+    assert got["in_mis"].sum() == 1
