@@ -3748,6 +3748,22 @@ def _event_user_mode(sf_dir: str):
     return shuffle.mode_by(ev, ["user_id"], "event_type")
 
 
+def _doc_caption_align(sf_dir: str):
+    """Caption mining (OBELICS/MMC4-style image–text pairing) over a
+    corpus with *genuinely* interleaved spans: one doc per order,
+    lineitems in (l_linenumber, l_partkey) order contribute a text
+    span (ln%3≠0) and a media span (ln%2=1); every media span pairs
+    with the nearest PRECEDING text span — for ln∈{3,9,…} that text
+    belongs to an earlier lineitem, so the alignment is non-trivial.
+    Pure map stage (per-doc span lists are self-contained), vectorized
+    segmented cummax; reference-invariant: the spans column itself is
+    never rewritten."""
+    from city2graph_ray.sources.interleaved import (caption_align,
+                                                    synthesize_caption_docs)
+
+    return caption_align(synthesize_caption_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -3837,6 +3853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lift": _doc_bigram_lift,
         "doc_dsir_weights": _doc_dsir_weights,
         "doc_media_dedup": _doc_media_dedup,
+        "doc_caption_align": _doc_caption_align,
         "doc_bpe_tokens": _doc_bpe_tokens,
         "event_type_unpivot": _event_type_unpivot,
         "doc_pii_mask": _doc_pii_mask,
@@ -5552,6 +5569,38 @@ def oracle_sql() -> dict[str, str]:
                    'cust-' || min(k) AS owner_doc,
                    count(*)::BIGINT AS n_copies
             FROM m GROUP BY k % 50""",
+        "doc_caption_align": """
+            WITH it AS (
+              SELECT l_orderkey AS ok, l_linenumber AS ln,
+                     l_partkey AS pk,
+                     CASE WHEN l_linenumber % 3 <> 0 THEN 1 ELSE 0 END AS t,
+                     CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 0 END AS m
+              FROM lineitem),
+            seqd AS (
+              SELECT ok, ln, pk, t, m,
+                CAST(COALESCE(SUM(t + m) OVER (
+                  PARTITION BY ok ORDER BY ln, pk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS idx_before
+              FROM it),
+            capd AS (
+              SELECT ok, ln, pk, t, m, idx_before,
+                last_value(CASE WHEN t = 1 THEN ln END IGNORE NULLS)
+                  OVER w AS cap_ln,
+                last_value(CASE WHEN t = 1 THEN pk END IGNORE NULLS)
+                  OVER w AS cap_pk,
+                last_value(CASE WHEN t = 1 THEN idx_before END
+                           IGNORE NULLS) OVER w AS cap_idx
+              FROM seqd
+              WINDOW w AS (PARTITION BY ok ORDER BY ln, pk
+                           ROWS UNBOUNDED PRECEDING))
+            SELECT 'ord-' || ok AS doc_id,
+                   idx_before + t AS media_idx,
+                   'blob://img/' || pk || '.png' AS media_ref,
+                   cap_idx AS caption_idx,
+                   'item ' || cap_ln || ' part ' || cap_pk
+                     AS caption_text
+            FROM capd WHERE m = 1 AND cap_ln IS NOT NULL""",
         "doc_dsir_weights": r"""
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
                            AS w FROM documents),

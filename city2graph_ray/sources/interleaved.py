@@ -476,3 +476,159 @@ def media_spans(docs: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     return docs.map_batches(extract, batch_format="pyarrow")
+
+
+def synthesize_caption_docs(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Interleaved corpus with *genuinely* interleaved text/media spans
+    (one doc per order, spans from its lineitems in l_linenumber order):
+
+    - lineitem with ``l_linenumber % 3 != 0`` contributes a text span
+      ``"item {ln} part {pk}"``,
+    - lineitem with ``l_linenumber % 2 == 1`` contributes a media span
+      ``blob://img/{pk}.png`` (after its text span, when both exist).
+
+    Some media spans therefore have no text span in their own lineitem
+    (ln ∈ {3, 9, …}) — their nearest preceding text span belongs to an
+    *earlier* lineitem, which is exactly the non-degenerate structure
+    :func:`caption_align` exists for.  Offsets are cumulative text
+    lengths within the doc (media spans are zero-width).
+
+    Built with one hash-bucket shuffle on the order key (lineitems of
+    one order must meet); within a bucket everything is flat-array
+    vectorized — no per-doc Python loop."""
+    import pyarrow.compute as pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy()
+        v = ok.astype(np.uint64)
+        v = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return b.append_column(
+            "__bucket", pa.array((v % np.uint64(num_buckets)).astype(np.int64)))
+
+    def build(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy()
+        ln = g["l_linenumber"].to_numpy().astype(np.int64)
+        pk = g["l_partkey"].to_numpy()
+        # (ok, ln, pk) total order; lineitem carries duplicate
+        # (ok, ln) and even duplicate (ok, ln, pk) rows — duplicates
+        # are byte-identical spans, so any residual tie is harmless
+        order = np.lexsort((pk, ln, ok))
+        ok, ln, pk = ok[order], ln[order], pk[order]
+        has_t = (ln % 3 != 0)
+        has_m = (ln % 2 == 1)
+        nsp = has_t.astype(np.int64) + has_m
+        keep = nsp > 0
+        # items contributing no span still belong to their doc, but add
+        # nothing to the flat arrays; doc boundaries use the kept rows
+        total = int(nsp.sum())
+        item_start = np.concatenate(([0], np.cumsum(nsp)))[:-1]
+        kind = np.empty(total, dtype=object)
+        text = np.empty(total, dtype=object)
+        media = np.full(total, "", dtype=object)
+        tpos = item_start[has_t]
+        mpos = (item_start + has_t)[has_m]
+        txt = pc.binary_join_element_wise(
+            "item ", pa.array(ln[has_t].astype(str)),
+            " part ", pa.array(pk[has_t].astype(str)), "")
+        kind[tpos] = "text"
+        text[tpos] = txt.to_numpy(zero_copy_only=False)
+        kind[mpos] = "media"
+        text[mpos] = ""
+        media[mpos] = np.char.add(
+            np.char.add("blob://img/", pk[has_m].astype(str)),
+            ".png").astype(object)
+        # per-doc exclusive cumsum of span text lengths → offsets
+        flat_len = np.zeros(total, dtype=np.int64)
+        flat_len[tpos] = pc.utf8_length(txt).to_numpy()
+        excl = np.concatenate(([0], np.cumsum(flat_len)[:-1]))
+        doc_first = np.concatenate(([True], ok[1:] != ok[:-1]))
+        doc_ids_all = np.cumsum(doc_first) - 1
+        n_docs = int(doc_ids_all.max()) + 1 if len(ok) else 0
+        # flat index of each doc's first span (first kept item, items
+        # are doc-sorted) → per-doc base for the offset cumsum
+        first_span_of_doc = np.full(n_docs, -1, np.int64)
+        kidx = np.flatnonzero(keep)
+        dk = doc_ids_all[kidx]
+        firsts = np.concatenate(([True], dk[1:] != dk[:-1]))
+        first_span_of_doc[dk[firsts]] = item_start[kidx[firsts]]
+        span_doc = np.repeat(doc_ids_all, nsp)
+        offset = excl - excl[first_span_of_doc[span_doc]]
+        # assemble list<struct> per doc (docs with ≥1 span)
+        docs_present = np.unique(dk)
+        counts = np.zeros_like(first_span_of_doc)
+        np.add.at(counts, doc_ids_all, nsp)
+        counts = counts[docs_present]
+        starts = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        ok_of_doc = ok[doc_first.nonzero()[0]][docs_present]
+        ids = pc.binary_join_element_wise(
+            "ord-", pa.array(ok_of_doc.astype(str)), "")
+        return _spans_table(ids, starts, kind, text, media,
+                            offset.astype(np.int32))
+
+    return (li.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda g: build(g.drop_columns(["__bucket"])),
+                        batch_format="pyarrow"))
+
+
+def caption_align(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Caption mining over the interleaved corpus: align every media
+    span with its *nearest preceding* text span in the same document
+    (the standard image–caption pairing rule for interleaved web docs;
+    cf. OBELICS/MMC4-style corpora).  Media spans with no preceding
+    text span are dropped.
+
+    Pure map stage — each doc's span list is self-contained, so no
+    shuffle is needed at any corpus size.  Vectorized: zero-copy Arrow
+    list flatten, one segmented cummax (pandas C groupby) for the
+    last-text index, fancy-index take for the caption text.
+
+    Output: (doc_id, media_idx:int64, media_ref, caption_idx:int64,
+    caption_text)."""
+    import pyarrow.compute as pc
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "media_idx": pa.array([], pa.int64()),
+        "media_ref": pa.array([], pa.string()),
+        "caption_idx": pa.array([], pa.int64()),
+        "caption_text": pa.array([], pa.string()),
+    })
+
+    def align(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lengths = pc.list_value_length(spans).to_numpy().astype(np.int64)
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        starts = np.concatenate(([0], np.cumsum(lengths)))
+        span_idx_all = np.arange(parent.size, dtype=np.int64) - starts[parent]
+        flat = pc.list_flatten(spans)
+        kind = pc.struct_field(flat, "kind")
+        is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        is_media = pc.equal(kind, "media").to_numpy(zero_copy_only=False)
+        if not is_media.any():
+            return empty
+        pos = np.arange(parent.size, dtype=np.int64)
+        lt = np.where(is_text, pos, -1)
+        # segmented cummax (reset per doc): C-speed pandas groupby
+        last_text = pd.Series(lt).groupby(parent).cummax().to_numpy()
+        mpos = np.flatnonzero(is_media)
+        cap = last_text[mpos]
+        ok = cap >= 0
+        mpos, cap = mpos[ok], cap[ok].astype(np.int64)
+        texts = pc.struct_field(flat, "text")
+        return pa.table({
+            "doc_id": pc.take(batch.column("doc_id"), pa.array(parent[mpos])),
+            "media_idx": pa.array(span_idx_all[mpos]),
+            "media_ref": pc.take(pc.struct_field(flat, "media_ref"),
+                                 pa.array(mpos)),
+            "caption_idx": pa.array(span_idx_all[cap]),
+            "caption_text": pc.take(texts, pa.array(cap)),
+        })
+
+    return docs.map_batches(align, batch_format="pyarrow")

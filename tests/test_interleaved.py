@@ -184,3 +184,48 @@ def test_media_spans_flatten_preserves_index():
     assert out["span_idx"].tolist() == [1, 2]
     assert out["media_ref"].tolist() == ["blob://img/7.png",
                                          "blob://img/9.png"]
+
+
+def test_caption_align_nearest_preceding_text():
+    import pyarrow as pa
+    import ray.data as rd
+    from city2graph_ray.sources.interleaved import SPAN_TYPE, caption_align
+    tbl = pa.Table.from_arrays(
+        [pa.array(["d1", "d2", "d3"]),
+         pa.array([
+             # media before any text → dropped; later media pairs with
+             # the nearest preceding text (idx 1), not the first
+             [{"kind": "media", "text": "", "media_ref": "m0", "offset": 0},
+              {"kind": "text", "text": "alpha", "media_ref": "", "offset": 0},
+              {"kind": "text", "text": "beta", "media_ref": "", "offset": 5},
+              {"kind": "media", "text": "", "media_ref": "m1", "offset": 9},
+              {"kind": "media", "text": "", "media_ref": "m2", "offset": 9}],
+             [{"kind": "text", "text": "gamma", "media_ref": "", "offset": 0}],
+             [{"kind": "geom_point", "text": "POINT (1 2)", "media_ref": "",
+               "offset": 0},
+              {"kind": "media", "text": "", "media_ref": "m3", "offset": 0}],
+         ], SPAN_TYPE)],
+        names=["doc_id", "spans"])
+    out = caption_align(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values(["doc_id", "media_idx"]).reset_index(drop=True)
+    # d1: m0 has no preceding text (dropped); m1, m2 → "beta" (idx 2)
+    # d2: no media; d3: media preceded only by a geom span (dropped)
+    assert out["media_ref"].tolist() == ["m1", "m2"]
+    assert out["caption_idx"].tolist() == [2, 2]
+    assert out["caption_text"].tolist() == ["beta", "beta"]
+    assert out["media_idx"].tolist() == [3, 4]
+
+
+def test_caption_corpus_cross_item_alignment(sf_dir="/root/testdata/sf0.001"):
+    from city2graph_ray.sources.interleaved import (caption_align,
+                                                    synthesize_caption_docs)
+    out = caption_align(synthesize_caption_docs(sf_dir)).to_pandas()
+    assert len(out) > 0
+    # ln%6==3 media spans caption from an EARLIER lineitem: item number
+    # in the caption differs from the media's own lineitem for some rows
+    import re
+    cap_ln = out["caption_text"].str.extract(r"item (\d+)")[0].astype(int)
+    assert (out["caption_idx"] < out["media_idx"]).all()
+    # every caption is a text span: idx strictly before the media span
+    # and at least one cross-item pairing exists (caption_idx < media_idx - 1)
+    assert (out["media_idx"] - out["caption_idx"] > 1).any()
