@@ -3764,6 +3764,17 @@ def _doc_caption_align(sf_dir: str):
     return caption_align(synthesize_caption_docs(sf_dir))
 
 
+def _emb_sq8(sf_dir: str):
+    """FAISS-SQ8-style per-dimension uint8 quantization: two streaming
+    map passes (per-dim min/max partials, then codes), exact-integer
+    codes and ×255 cross-multiplied reconstruction L1 — bit-exact vs
+    the unnest GROUP BY twin."""
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.kmeans import sq8_codes
+
+    return sq8_codes(embeddings(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -3877,6 +3888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_region": _tpch_q5_region,
         "dwithin_pairs": _dwithin_pairs,
         "emb_covariance": _emb_covariance,
+        "emb_sq8": _emb_sq8,
         "network_path_geom_bounded": _network_path_geom_bounded,
         "segment_crossings": _segment_crossings,
         "tpch_q4_priority": _tpch_q4,
@@ -5050,6 +5062,27 @@ def oracle_sql() -> dict[str, str]:
                         * (y - (ay + t * (by - ay)))) AS distance
               FROM t1)
             WHERE distance <= 4.0""",
+        "emb_sq8": """
+            WITH q AS MATERIALIZED (
+              SELECT vec_id, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000
+                                + 0.5) AS BIGINT) + 100000 AS v
+              FROM embeddings, range(1, 65) t(i)),
+            mm AS (SELECT i, min(v) AS mn, max(v) AS mx
+                   FROM q GROUP BY i),
+            codes AS (
+              SELECT q.vec_id, q.v, mm.mn, mm.mx,
+                     CASE WHEN mm.mx = mm.mn THEN 0
+                          ELSE ((q.v - mm.mn) * 255) // (mm.mx - mm.mn)
+                     END AS code
+              FROM q JOIN mm USING (i))
+            SELECT vec_id,
+                   sum(code)::BIGINT AS code_sum,
+                   min(code)::BIGINT AS code_min,
+                   max(code)::BIGINT AS code_max,
+                   sum(abs(v * 255 - (mn * 255 + code * (mx - mn))))::BIGINT
+                     AS err255
+            FROM codes GROUP BY vec_id""",
         "emb_covariance": """
             WITH x AS (SELECT vec_id,
                               CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -394,3 +394,53 @@ def hard_negatives(ds: ray.data.Dataset, k: int = 4,
 
     return quant.map_batches(Miner, batch_format="pandas",
                              concurrency=(1, 8))
+
+
+def sq8_codes(ds: ray.data.Dataset, scale: float = 10_000.0,
+              offset: int = 100_000, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> ray.data.Dataset:
+    """Scalar (per-dimension) uint8 quantization of an embedding
+    column — the standard 4× index-compression step before ANN serving
+    (FAISS ``SQ8``) — under the repo's exact-integer contract:
+
+    - values quantize to ints ``v = floor(x·scale + 0.5) + offset``
+      (same rule as :func:`kmeans_quantized`, double-promoted exactly
+      like the SQL twin),
+    - pass 1 streams per-dimension ``(min, max)`` partials (one tiny
+      d-sized row per block, combined on the driver, broadcast via
+      closure — no shuffle),
+    - pass 2 maps codes ``(v - mn)·255 // (mx - mn)`` — non-negative
+      integer floor division, identical to DuckDB ``//``; constant
+      dimensions code to 0,
+    - the reconstruction residual is kept cross-multiplied by 255
+      (``|v·255 - (mn·255 + code·(mx-mn))|``) so it stays integer.
+
+    Output per vector: (id, code_sum, code_min, code_max, err255) —
+    order-insensitive integer summaries of the full code row plus the
+    exact ×255 reconstruction L1 error.  At 10^12 vectors both passes
+    are single-scan map stages; the only driver state is 2·d ints."""
+    quant = ds.map_batches(
+        lambda b: _quantize(b, vec_col, id_col, scale, offset),
+        batch_format="pandas")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.stack(b["__q"].to_numpy())
+        return pd.DataFrame({"mn": [q.min(axis=0)], "mx": [q.max(axis=0)]})
+
+    parts = quant.map_batches(partial, batch_format="pandas").to_pandas()
+    mn = np.stack(parts["mn"].to_numpy()).min(axis=0).astype(np.int64)
+    mx = np.stack(parts["mx"].to_numpy()).max(axis=0).astype(np.int64)
+    rng = mx - mn
+    safe = np.where(rng > 0, rng, 1)
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.stack(b["__q"].to_numpy()).astype(np.int64)
+        code = np.where(rng > 0, ((q - mn) * 255) // safe, 0)
+        err = np.abs(q * 255 - (mn * 255 + code * rng))
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             "code_sum": code.sum(axis=1),
+                             "code_min": code.min(axis=1),
+                             "code_max": code.max(axis=1),
+                             "err255": err.sum(axis=1)})
+
+    return quant.map_batches(emit, batch_format="pandas")

@@ -171,3 +171,31 @@ def test_hard_negatives_single_cluster():
                        "embedding": list(vecs)})
     out = hard_negatives(rd.from_pandas(df), k=2, num_iters=1)
     assert out.count() == 0
+
+
+def test_sq8_codes_range_and_extremes(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.vector.kmeans import sq8_codes
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, size=(40, 8))
+    vecs[:, 3] = 0.25           # constant dim → code 0 everywhere
+    vecs[0] = vecs.min(axis=0)  # holds per-dim minima → all codes 0
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(40), "embedding": list(vecs)}))
+    out = sq8_codes(ds).to_pandas().sort_values("vec_id")
+    assert (out["code_min"] >= 0).all() and (out["code_max"] <= 255).all()
+    row0 = out.iloc[0]
+    assert row0["code_sum"] == 0 and row0["code_max"] == 0
+    # per-dim max vector codes to 255 on every non-constant dim
+    q = np.floor(vecs * 10_000.0 + 0.5).astype(np.int64) + 100_000
+    mn, mx = q.min(axis=0), q.max(axis=0)
+    rng_ = mx - mn
+    code = np.where(rng_ > 0, (q - mn) * 255 // np.where(rng_ > 0, rng_, 1), 0)
+    exp_err = np.abs(q * 255 - (mn * 255 + code * rng_)).sum(axis=1)
+    got = out.set_index("vec_id")
+    assert (got["err255"].to_numpy() ==
+            exp_err[got.index.to_numpy()]).all()
+    # quantization step bound: residual per dim < rng (×255 scale)
+    assert (got["err255"].to_numpy() < rng_.sum()).all()
