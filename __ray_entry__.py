@@ -3764,6 +3764,49 @@ def _doc_caption_align(sf_dir: str):
     return caption_align(synthesize_caption_docs(sf_dir))
 
 
+def _emb_kcenter(sf_dir: str):
+    """Gonzalez farthest-first k-center selection (k=8) — the greedy
+    diversity/coreset selector; one streaming champion pass per round,
+    all-integer squared distances, bit-exact vs the unrolled
+    least()-relaxation CTE ladder."""
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.kmeans import kcenter_select
+
+    return kcenter_select(embeddings(sf_dir), k=8)
+
+
+def _kcenter_sql(k: int, dim: int) -> str:
+    ctes = [f"""q AS MATERIALIZED (
+              SELECT vec_id, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000
+                                + 0.5) AS BIGINT) + 100000 AS v
+              FROM embeddings, range(1, {dim + 1}) t(i))""",
+            """p0 AS (SELECT min(vec_id) AS vid FROM q)""",
+            """m0 AS MATERIALIZED (
+              SELECT q.vec_id, sum((q.v - c.v) * (q.v - c.v)) AS m
+              FROM q JOIN q c ON c.i = q.i
+                AND c.vec_id = (SELECT vid FROM p0)
+              GROUP BY q.vec_id)"""]
+    for r in range(1, k):
+        ctes.append(f"""p{r} AS (SELECT vec_id AS vid, m AS d
+              FROM m{r - 1} ORDER BY m DESC, vec_id LIMIT 1)""")
+        if r < k - 1:
+            ctes.append(f"""m{r} AS MATERIALIZED (
+              SELECT m{r - 1}.vec_id,
+                     least(m{r - 1}.m, nd.d) AS m
+              FROM m{r - 1} JOIN (
+                SELECT q.vec_id, sum((q.v - c.v) * (q.v - c.v)) AS d
+                FROM q JOIN q c ON c.i = q.i
+                  AND c.vec_id = (SELECT vid FROM p{r})
+                GROUP BY q.vec_id) nd USING (vec_id))""")
+    picks = ["SELECT 0 AS sel_rank, vid AS vec_id, "
+             "CAST(0 AS BIGINT) AS dist FROM p0"]
+    picks += [f"SELECT {r} AS sel_rank, vid AS vec_id, d AS dist "
+              f"FROM p{r}" for r in range(1, k)]
+    return ("WITH " + ",\n            ".join(ctes) + "\n            "
+            + "\n            UNION ALL ".join(picks))
+
+
 def _emb_sq8(sf_dir: str):
     """FAISS-SQ8-style per-dimension uint8 quantization: two streaming
     map passes (per-dim min/max partials, then codes), exact-integer
@@ -3889,6 +3932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dwithin_pairs": _dwithin_pairs,
         "emb_covariance": _emb_covariance,
         "emb_sq8": _emb_sq8,
+        "emb_kcenter": _emb_kcenter,
         "network_path_geom_bounded": _network_path_geom_bounded,
         "segment_crossings": _segment_crossings,
         "tpch_q4_priority": _tpch_q4,
@@ -5062,6 +5106,7 @@ def oracle_sql() -> dict[str, str]:
                         * (y - (ay + t * (by - ay)))) AS distance
               FROM t1)
             WHERE distance <= 4.0""",
+        "emb_kcenter": _kcenter_sql(8, 64),
         "emb_sq8": """
             WITH q AS MATERIALIZED (
               SELECT vec_id, i,

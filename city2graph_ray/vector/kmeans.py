@@ -444,3 +444,65 @@ def sq8_codes(ds: ray.data.Dataset, scale: float = 10_000.0,
                              "err255": err.sum(axis=1)})
 
     return quant.map_batches(emit, batch_format="pandas")
+
+
+def kcenter_select(ds: ray.data.Dataset, k: int = 8,
+                   scale: float = 10_000.0, offset: int = 100_000,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   ) -> ray.data.Dataset:
+    """Farthest-first traversal (Gonzalez greedy k-center — the 2-approx
+    coreset/diversity selector used for training-data subset selection):
+    start from the smallest id, then k-1 times add the point whose
+    squared distance to the nearest already-selected center is maximal
+    (tie-break: smallest id).
+
+    Exact-integer contract: vectors quantize via the shared
+    ``floor(x·scale + 0.5) + offset`` rule, all distances are int64
+    squared euclidean, so argmax/argmin have no float ambiguity and
+    the unrolled SQL twin is bit-exact.
+
+    Each round is ONE streaming map pass emitting a per-block champion
+    (max min-distance-to-centers, tie smallest id) plus a k-row
+    driver-side reduce — no shuffle, driver state is k·dim ints.  At
+    10^12 vectors that is k corpus scans; centers ride along as a
+    closure-captured (k, dim) int array.
+
+    Output: (sel_rank, vec_id, dist) — dist is the selection-time distance
+    to the nearest earlier center (0 for the seed)."""
+    quant = ds.map_batches(
+        lambda b: _quantize(b, vec_col, id_col, scale, offset),
+        batch_format="pandas")
+
+    seed = quant.sort(id_col).limit(1).to_pandas()
+    sel_ids = [int(seed[id_col].iloc[0])]
+    sel_dist = [0]
+    centers = np.stack(seed["__q"].to_numpy()).astype(np.int64)
+
+    for _ in range(k - 1):
+        cur = centers
+
+        def champion(b: pd.DataFrame, cents_=cur) -> pd.DataFrame:
+            q = np.stack(b["__q"].to_numpy()).astype(np.int64)
+            d = (q * q).sum(axis=1, keepdims=True) \
+                - 2 * (q @ cents_.T) + (cents_ * cents_).sum(axis=1)
+            md = d.min(axis=1)
+            ids = b[id_col].to_numpy(np.int64)
+            # per-block champion: max dist, tie smallest id
+            order = np.lexsort((ids, -md))
+            j = order[0]
+            return pd.DataFrame({id_col: [ids[j]], "d": [md[j]],
+                                 "__q": [q[j]]})
+
+        cand = quant.map_batches(champion, batch_format="pandas") \
+            .to_pandas()
+        cand = cand.sort_values(["d", id_col],
+                                ascending=[False, True]).iloc[0]
+        sel_ids.append(int(cand[id_col]))
+        sel_dist.append(int(cand["d"]))
+        centers = np.vstack([centers,
+                             np.asarray(cand["__q"], np.int64)])
+
+    out = pd.DataFrame({"sel_rank": np.arange(k, dtype=np.int64),
+                        id_col: np.asarray(sel_ids, np.int64),
+                        "dist": np.asarray(sel_dist, np.int64)})
+    return ray.data.from_pandas(out)

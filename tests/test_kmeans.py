@@ -199,3 +199,32 @@ def test_sq8_codes_range_and_extremes(ray_session):
             exp_err[got.index.to_numpy()]).all()
     # quantization step bound: residual per dim < rng (×255 scale)
     assert (got["err255"].to_numpy() < rng_.sum()).all()
+
+
+def test_kcenter_matches_bruteforce_greedy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.vector.kmeans import kcenter_select
+    rng = np.random.RandomState(3)
+    vecs = rng.uniform(-1, 1, size=(60, 6))
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(100, 160), "embedding": list(vecs)}))
+    out = kcenter_select(ds, k=5).to_pandas().sort_values("sel_rank")
+
+    # brute-force greedy on the same integer quantization
+    q = np.floor(vecs * 10_000.0 + 0.5).astype(np.int64) + 100_000
+    ids = np.arange(100, 160)
+    sel = [0]  # min id = 100 at index 0
+    dists = [0]
+    md = ((q - q[0]) ** 2).sum(axis=1)
+    for _ in range(4):
+        best = np.lexsort((ids, -md))[0]
+        sel.append(best)
+        dists.append(int(md[best]))
+        md = np.minimum(md, ((q - q[best]) ** 2).sum(axis=1))
+    assert out["vec_id"].tolist() == ids[sel].tolist()
+    assert out["dist"].tolist() == dists
+    # greedy k-center invariant: selection distances are non-increasing
+    d = out["dist"].to_numpy()[1:]
+    assert (d[:-1] >= d[1:]).all()
