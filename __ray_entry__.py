@@ -3764,6 +3764,27 @@ def _doc_caption_align(sf_dir: str):
     return caption_align(synthesize_caption_docs(sf_dir))
 
 
+def _pt_ripley(sf_dir: str):
+    """Ripley's K point-pattern statistic at radii {5,10,20}: one
+    cell-bucketed pair shuffle at r=20, per-block partial threshold
+    counts, fixed-order K̂ float — bit-exact vs the cross-join twin."""
+    import ray.data
+
+    from city2graph_ray.ops.spatial import ripley_k
+    from city2graph_ray import synth
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def pts(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        x, y = synth.key_to_xy(k)
+        return pd.DataFrame({"id": k, "x": x, "y": y})
+
+    return ripley_k(cust.map_batches(pts, batch_format="pandas"),
+                    [5.0, 10.0, 20.0], area=1_000_000.0)
+
+
 def _emb_kcenter(sf_dir: str):
     """Gonzalez farthest-first k-center selection (k=8) — the greedy
     diversity/coreset selector; one streaming champion pass per round,
@@ -3821,6 +3842,7 @@ def _emb_sq8(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
+        "pt_ripley": _pt_ripley,
         "pt_cell_assign": _pt_cell_assign,
         "pt_cell_ring": _pt_cell_ring,
         "pt_zorder": _pt_zorder,
@@ -4081,6 +4103,19 @@ def _minhash_md5_ctes() -> str:
 def oracle_sql() -> dict[str, str]:
     d2 = ("sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y))")
     return {
+        "pt_ripley": f"""
+            WITH pts AS ({_PTS}),
+            rr AS (SELECT unnest([5.0, 10.0, 20.0]) AS r),
+            nn AS (SELECT count(*) AS n FROM pts),
+            pc AS (SELECT rr.r, count(*) AS n_pairs
+                   FROM rr JOIN pts a ON TRUE
+                   JOIN pts b ON a.id < b.id AND {d2} <= rr.r
+                   GROUP BY rr.r)
+            SELECT rr.r AS r,
+                   COALESCE(pc.n_pairs, 0)::BIGINT AS n_pairs,
+                   1000000.0 * (2 * COALESCE(pc.n_pairs, 0))
+                     / (nn.n * (nn.n - 1.0)) AS khat
+            FROM rr LEFT JOIN pc ON pc.r = rr.r, nn""",
         "pt_radius_pairs": f"""
             WITH pts AS ({_PTS})
             SELECT a.id AS src, b.id AS dst, {d2} AS distance

@@ -220,3 +220,46 @@ def idw_interpolate(queries: ray.data.Dataset, sources: ray.data.Dataset,
                             / b["sw"].to_numpy(np.float64), round_to)})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def ripley_k(points: ray.data.Dataset, radii, area: float,
+             num_buckets: int = 16) -> ray.data.Dataset:
+    """Ripley's K function — the standard point-pattern clustering
+    statistic (K̂(r) = A·Σᵢ Σⱼ≠ᵢ 1[dᵢⱼ ≤ r] / (n(n-1)), no edge
+    correction): one cell-bucketed pair generation at max(radii) via
+    :func:`~city2graph_ray.ops.proximity.fixed_radius_graph` (the
+    engine's one spatial shuffle), then per-block partial counts per
+    threshold and a tiny keyed sum — the pair table never collects.
+
+    Distances are the shared ``sqrt(dx·dx + dy·dy)`` doubles, so the
+    ``d ≤ r`` cuts match the SQL twin bit-for-bit; K̂ is one
+    fixed-order float expression (``area·(2·n_pairs) / (n·(n-1))``).
+
+    Output: one row per radius (r, n_pairs, khat) with n_pairs the
+    unordered pair count."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.proximity import fixed_radius_graph
+
+    radii_arr = np.asarray(sorted(radii), np.float64)
+    rmax = float(radii_arr[-1])
+    pairs = fixed_radius_graph(points, rmax)
+    n = points.count()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["distance"].to_numpy()
+        return pd.DataFrame({
+            "r": radii_arr,
+            "n_pairs": np.asarray([(d <= r).sum() for r in radii_arr],
+                                  np.int64)})
+
+    agg = shuffle.group_agg(
+        pairs.map_batches(partial, batch_format="pandas"),
+        ["r"], {"n_pairs": ("n_pairs", "sum")}, num_buckets=num_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        np_ = b["n_pairs"].to_numpy(np.int64)
+        khat = area * (2 * np_) / (n * (n - 1.0))
+        return pd.DataFrame({"r": b["r"].to_numpy(np.float64),
+                             "n_pairs": np_, "khat": khat})
+
+    return agg.map_batches(finish, batch_format="pandas")

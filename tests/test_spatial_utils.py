@@ -182,3 +182,20 @@ def test_rdp_simplify_known_and_reference():
         got = simplify_polyline(pts.ravel(), 5.0).reshape(-1, 2)
         want = ref(pts, 5.0)
         assert np.allclose(got, want)
+
+
+def test_ripley_k_small_grid(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.spatial import ripley_k
+    # 3x3 unit grid: pairs at d<=1: 12 (rook adjacencies); d<=1.5
+    # adds 8 diagonals (sqrt2) = 20; d<=2 adds 6 straight 2-steps = 26
+    xs, ys = np.meshgrid(np.arange(3.0), np.arange(3.0))
+    pts = rd.from_pandas(pd.DataFrame({
+        "id": np.arange(9), "x": xs.ravel(), "y": ys.ravel()}))
+    out = ripley_k(pts, [1.0, 1.5, 2.0], area=4.0).to_pandas() \
+        .sort_values("r").reset_index(drop=True)
+    assert out["n_pairs"].tolist() == [12, 20, 26]
+    exp = 4.0 * (2 * np.array([12, 20, 26])) / (9 * 8.0)
+    assert np.array_equal(out["khat"].to_numpy(), exp)
