@@ -3764,6 +3764,45 @@ def _doc_caption_align(sf_dir: str):
     return caption_align(synthesize_caption_docs(sf_dir))
 
 
+def _zone_walks(sf_dir: str):
+    """Deterministic pseudo-random walks (node2vec/DeepWalk-style
+    sampling, reproducible): 3 hops over the zone digraph; per-step
+    successor = argmin md5 over out-neighbors — per-step next-hop
+    table (keyed top-1 merge) + one bucketed join per hop."""
+    from city2graph_ray.ops.graph_algos import deterministic_walks
+
+    return deterministic_walks(_order_zone_edges(sf_dir), steps=3)
+
+
+def _walks_sql(steps: int) -> str:
+    ctes = ["""e AS MATERIALIZED (
+              SELECT DISTINCT o_custkey % 100 AS src,
+                              o_orderkey % 97 AS dst
+              FROM orders)""",
+            """n AS (SELECT DISTINCT src AS node FROM e
+                     UNION SELECT DISTINCT dst FROM e)"""]
+    for s in range(1, steps + 1):
+        ctes.append(f"""nh{s} AS MATERIALIZED (
+              SELECT src, dst FROM (
+                SELECT src, dst, row_number() OVER (
+                  PARTITION BY src ORDER BY
+                    CAST(md5_number_lower(
+                      '{s}:' || CAST(src AS VARCHAR) || ':'
+                             || CAST(dst AS VARCHAR)) >> 12 AS BIGINT),
+                    dst) AS rn
+                FROM e) WHERE rn = 1)""")
+    joins = "n"
+    cur = "n.node"
+    cols = []
+    for s in range(1, steps + 1):
+        joins += f" JOIN nh{s} h{s} ON h{s}.src = {cur}"
+        cur = f"h{s}.dst"
+        cols.append(f"h{s}.dst AS v{s}")
+    return ("WITH " + ",\n            ".join(ctes)
+            + f"\n            SELECT n.node AS start, {', '.join(cols)}"
+            + f"\n            FROM {joins}")
+
+
 def _pt_ripley(sf_dir: str):
     """Ripley's K point-pattern statistic at radii {5,10,20}: one
     cell-bucketed pair shuffle at r=20, per-block partial threshold
@@ -3974,6 +4013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_eccentricity": _zone_eccentricity,
         "zone_diameter": _zone_diameter,
         "zone_mis": _zone_mis,
+        "zone_walks": _zone_walks,
         "zone_betweenness": _zone_betweenness,
         "zone_ppr": _zone_ppr,
         "zone_4cliques": _zone_4cliques,
@@ -5991,6 +6031,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_eccentricity": _ecc_sql(20),
         "zone_ppr": _ppr_sql(4),
         "zone_mis": _mis_sql(12),
+        "zone_walks": _walks_sql(3),
         "zone_diameter": _ecc_sql(20, """
             , ecc AS (SELECT s, max(d) AS e FROM d20 GROUP BY s)
             SELECT max(e) AS diameter, min(e) AS radius,

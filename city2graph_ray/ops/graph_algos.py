@@ -2320,3 +2320,67 @@ def maximal_independent_set(edges: ray.data.Dataset, src: str = "src",
         lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
                                 "in_mis": ~b["__m"].isna().to_numpy()}),
         batch_format="pandas")
+
+
+def deterministic_walks(edges: ray.data.Dataset, steps: int = 3,
+                        src: str = "src", dst: str = "dst",
+                        num_buckets: int = 16) -> ray.data.Dataset:
+    """Deterministic pseudo-random walks (the reproducible stand-in
+    for node2vec/DeepWalk sampling in a training-data pipeline): from
+    every node, ``steps`` hops where the successor at step ``s`` from
+    node ``u`` is the out-neighbor ``v`` minimizing
+    ``md5_number_lower(f"{s}:{u}:{v}") >> 12`` (tie: smallest ``v``).
+
+    The successor is a pure function of (step, node) — a pseudorandom
+    function family keyed by step — so each step materializes one
+    next-hop table (per-src argmin over out-edges: a keyed top-1
+    merge) and advances every walk with one bucketed hash join.  Walks
+    reaching a node with no out-edges are dropped (inner-join
+    semantics), matching the SQL twin.
+
+    Output: (start, v1, …, v{steps}) int64."""
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.text.dedup import _md5_lower64
+
+    # iterative algorithm: pin the edge table once (object-store
+    # resident, spillable — the same discipline as MIS/LPA rounds) so
+    # the per-step next-hop pass doesn't re-execute the upstream
+    # lineage; walks re-pin per hop to truncate the growing join chain
+    edges = edges.materialize()
+    nodes = shuffle.distinct(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"start": np.concatenate(
+                [b[src].to_numpy(np.int64), b[dst].to_numpy(np.int64)])}),
+            batch_format="pandas"),
+        ["start"], num_buckets=num_buckets)
+
+    walks = nodes.map_batches(
+        lambda b: pd.DataFrame({"start": b["start"].to_numpy(np.int64),
+                                "cur": b["start"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    for s in range(1, steps + 1):
+        def hop_hash(b: pd.DataFrame, s_=s) -> pd.DataFrame:
+            u = b[src].to_numpy(np.int64)
+            v = b[dst].to_numpy(np.int64)
+            h = (_md5_lower64(
+                [f"{s_}:{a}:{c}" for a, c in zip(u, v)])
+                >> np.uint64(12)).astype(np.int64)
+            return pd.DataFrame({"u": u, f"v{s_}": v, "h": h})
+
+        nh = shuffle.topk_in_group(
+            edges.map_batches(hop_hash, batch_format="pandas"),
+            ["u"], 1, ["h", f"v{s}"], [True, True],
+            num_buckets=num_buckets).drop_columns(["h"])
+        walks = bucketed_join(
+            walks.map_batches(
+                lambda b: b.rename(columns={"cur": "u"}),
+                batch_format="pandas"),
+            nh, on="u", num_buckets=num_buckets) \
+            .map_batches(
+                lambda b, s_=s: b.drop(columns=["u"]).assign(
+                    cur=b[f"v{s_}"].to_numpy(np.int64)),
+                batch_format="pandas").materialize()
+
+    return walks.map_batches(
+        lambda b: b.drop(columns=["cur"]), batch_format="pandas")

@@ -794,3 +794,42 @@ def test_mis_degenerate():
     pair = pd.DataFrame({"src": [1], "dst": [2]})
     got = maximal_independent_set(rd.from_pandas(pair)).to_pandas()
     assert got["in_mis"].sum() == 1
+
+
+def test_deterministic_walks_argmin_and_dead_ends(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import deterministic_walks
+
+    def h(s, u, v):
+        d = hashlib.md5(f"{s}:{u}:{v}".encode()).digest()[8:16]
+        return int.from_bytes(d, "little") >> 12
+
+    edges = pd.DataFrame({"src": [0, 0, 0, 1, 1, 2, 3],
+                          "dst": [1, 2, 3, 2, 3, 3, 4]})
+    # node 4 has no out-edges → walks hitting it before the last hop drop
+    out = deterministic_walks(rd.from_pandas(edges), steps=2,
+                              num_buckets=4).to_pandas() \
+        .sort_values("start").reset_index(drop=True)
+
+    # brute-force expectation
+    adj = edges.groupby("src")["dst"].apply(list).to_dict()
+    exp = []
+    for start in [0, 1, 2, 3, 4]:
+        cur, path = start, []
+        ok = True
+        for s in (1, 2):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                ok = False
+                break
+            cur = min(nbrs, key=lambda v: (h(s, cur, v), v))
+            path.append(cur)
+        if ok:
+            exp.append([start] + path)
+    exp_df = pd.DataFrame(exp, columns=["start", "v1", "v2"])
+    pd.testing.assert_frame_equal(
+        out.astype(np.int64), exp_df.astype(np.int64))
