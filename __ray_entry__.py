@@ -3824,6 +3824,16 @@ def _pt_ripley(sf_dir: str):
                     [5.0, 10.0, 20.0], area=1_000_000.0)
 
 
+def _pt_dbscan(sf_dir: str):
+    """Distributed DBSCAN (eps=30, min_pts=4) over the customer point
+    cloud: one cell-bucketed pair shuffle reused for degree, core-core
+    components (large-star/small-star) and min-id border attachment —
+    bit-exact vs the recursive-CTE closure twin."""
+    from city2graph_ray.ops.spatial import dbscan
+    from city2graph_ray.pipelines.tables import customer_points
+    return dbscan(customer_points(sf_dir), 30.0, 4)
+
+
 def _emb_kcenter(sf_dir: str):
     """Gonzalez farthest-first k-center selection (k=8) — the greedy
     diversity/coreset selector; one streaming champion pass per round,
@@ -3882,6 +3892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
         "pt_ripley": _pt_ripley,
+        "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_cell_ring": _pt_cell_ring,
         "pt_zorder": _pt_zorder,
@@ -4143,6 +4154,37 @@ def _minhash_md5_ctes() -> str:
 def oracle_sql() -> dict[str, str]:
     d2 = ("sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y))")
     return {
+        "pt_dbscan": f"""
+            WITH RECURSIVE pts AS ({_PTS}),
+            pr AS (SELECT a.id AS u, b.id AS v FROM pts a JOIN pts b
+                   ON a.id < b.id AND {d2} <= 30.0),
+            e AS (SELECT u AS id, v AS nbr FROM pr
+                  UNION ALL SELECT v, u FROM pr),
+            deg AS (SELECT id, count(*) AS d FROM e GROUP BY id),
+            core AS (SELECT id FROM deg WHERE d + 1 >= 4),
+            ce AS (SELECT pr.u, pr.v FROM pr
+                   JOIN core c1 ON c1.id = pr.u
+                   JOIN core c2 ON c2.id = pr.v),
+            ceb AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce),
+            walk(node, lab) AS (
+              SELECT u, u FROM ceb
+              UNION
+              SELECT w.node, e2.v FROM walk w JOIN ceb e2 ON w.lab = e2.u
+            ),
+            comp AS (SELECT node, min(lab) AS cluster FROM walk
+                     GROUP BY node),
+            corelab AS (SELECT c.id,
+                               coalesce(cm.cluster, c.id) AS cluster
+                        FROM core c LEFT JOIN comp cm ON cm.node = c.id),
+            bcand AS (SELECT e.id, min(cl.cluster) AS bcluster
+                      FROM e JOIN corelab cl ON cl.id = e.nbr
+                      GROUP BY e.id)
+            SELECT p.id,
+                   coalesce(cl.cluster, b.bcluster, -1)::BIGINT AS cluster,
+                   (cl.id IS NOT NULL)::BIGINT AS is_core
+            FROM pts p
+            LEFT JOIN corelab cl ON cl.id = p.id
+            LEFT JOIN bcand b ON b.id = p.id""",
         "pt_ripley": f"""
             WITH pts AS ({_PTS}),
             rr AS (SELECT unnest([5.0, 10.0, 20.0]) AS r),

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from city2graph_ray.geom.delaunay import Delaunator, _circumradius2
@@ -263,3 +264,131 @@ def ripley_k(points: ray.data.Dataset, radii, area: float,
                              "n_pairs": np_, "khat": khat})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def dbscan(points: ray.data.Dataset, eps: float, min_pts: int,
+           num_buckets: int = 32) -> ray.data.Dataset:
+    """Distributed DBSCAN (Ester et al., KDD'96 — public algorithm),
+    deterministic variant: a border point attaches to the MINIMUM
+    cluster id among its core neighbors (the textbook algorithm is
+    scan-order-dependent there; min-id is the canonical deterministic
+    choice and is what the SQL twin computes).
+
+    Shape for scale: ONE cell-bucketed pair shuffle at ``eps``
+    (:func:`~city2graph_ray.ops.proximity.fixed_radius_graph` — the
+    engine's standard spatial exchange), pinned once and reused for
+    (a) the neighbor-degree count, (b) the core-core edge set, (c) the
+    border attachment.  Core components come from
+    :func:`~city2graph_ray.ops.topology.components_dual` (driver
+    union-find below 1M core edges, large-star/small-star rounds above
+    — no label broadcast either way); every join is node-sized and
+    bucketed.  Cluster id = min core-point id of the component.
+
+    A point is core iff |N_eps(p)| ≥ ``min_pts`` counting itself
+    (requires ``min_pts ≥ 2``; with 1 every point is trivially core).
+
+    Output: one row per input point (id, cluster, is_core) with
+    cluster = -1 for noise.
+    """
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.ops.proximity import fixed_radius_graph
+    from city2graph_ray.ops.topology import components_dual
+
+    if min_pts < 2:
+        raise ValueError("min_pts must be >= 2")
+
+    pairs = fixed_radius_graph(points, eps) \
+        .map_batches(lambda b: b[["src", "dst"]], batch_format="pandas") \
+        .materialize()
+
+    def halves(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        return pd.DataFrame({"id": np.concatenate([s, d]),
+                             "nbr": np.concatenate([d, s])})
+
+    half = pairs.map_batches(halves, batch_format="pandas")
+    deg = shuffle.group_agg(half, ["id"], {"d": ("nbr", "size")},
+                            num_buckets=num_buckets)
+
+    core = deg.map_batches(
+        lambda b: b.loc[b["d"].to_numpy(np.int64) + 1 >= min_pts, ["id"]],
+        batch_format="pandas").materialize()
+
+    # core-core edges -> components; isolated cores keep their own id
+    ce = bucketed_join(
+        pairs,
+        core.map_batches(lambda b: b.rename(columns={"id": "src"}),
+                         batch_format="pandas"),
+        on="src", num_buckets=num_buckets,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        right_schema=pa.schema([("src", pa.int64())]))
+    ce = bucketed_join(
+        ce,
+        core.map_batches(lambda b: b.rename(columns={"id": "dst"}),
+                         batch_format="pandas"),
+        on="dst", num_buckets=num_buckets,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        right_schema=pa.schema([("dst", pa.int64())]))
+    comp = components_dual(ce)
+
+    corelab = bucketed_join(
+        core,
+        comp.map_batches(lambda b: b.rename(columns={"node_id": "id"}),
+                         batch_format="pandas"),
+        on="id", how="left", num_buckets=num_buckets,
+        left_schema=pa.schema([("id", pa.int64())]),
+        right_schema=pa.schema([("id", pa.int64()),
+                                ("component", pa.int64())]))
+
+    def label_core(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["id"].to_numpy(np.int64)
+        c = b["component"].to_numpy(np.float64)  # NaN for isolated cores
+        lab = np.where(np.isnan(c), ids, c).astype(np.int64)
+        return pd.DataFrame({"id": ids, "cluster": lab})
+
+    corelab = corelab.map_batches(label_core,
+                                  batch_format="pandas").materialize()
+
+    # border candidates: any point with a core neighbor takes the min
+    # core-neighbor cluster (cores get overridden by their own label)
+    att = bucketed_join(
+        half,
+        corelab.map_batches(
+            lambda b: b.rename(columns={"id": "nbr",
+                                        "cluster": "nbr_cluster"}),
+            batch_format="pandas"),
+        on="nbr", num_buckets=num_buckets,
+        left_schema=pa.schema([("id", pa.int64()), ("nbr", pa.int64())]),
+        right_schema=pa.schema([("nbr", pa.int64()),
+                                ("nbr_cluster", pa.int64())]))
+
+    # one grouped union pass assembles the final labels: priority 0 =
+    # own core label, 1 = min core-neighbor label (border), 2 = noise
+    def tag(pri: int, lab_col: str | None):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            ids = b["id"].to_numpy(np.int64)
+            lab = (b[lab_col].to_numpy(np.int64) if lab_col
+                   else np.full(len(ids), -1, np.int64))
+            return pd.DataFrame({"id": ids, "lab": lab,
+                                 "pri": np.full(len(ids), pri, np.int8)})
+        return fn
+
+    stacked = corelab.map_batches(tag(0, "cluster"),
+                                  batch_format="pandas") \
+        .union(att.map_batches(tag(1, "nbr_cluster"),
+                               batch_format="pandas")) \
+        .union(points.map_batches(tag(2, None), batch_format="pandas"))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id", "pri", "lab"], kind="mergesort")
+        first = g.drop_duplicates("id", keep="first")
+        return pd.DataFrame({
+            "id": first["id"].to_numpy(np.int64),
+            "cluster": first["lab"].to_numpy(np.int64),
+            "is_core": (first["pri"].to_numpy(np.int8) == 0)
+            .astype(np.int64)})
+
+    return shuffle.grouped_transform(stacked, ["id"], resolve,
+                                     num_buckets=num_buckets)

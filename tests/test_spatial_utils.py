@@ -199,3 +199,59 @@ def test_ripley_k_small_grid(ray_session):
     assert out["n_pairs"].tolist() == [12, 20, 26]
     exp = 4.0 * (2 * np.array([12, 20, 26])) / (9 * 8.0)
     assert np.array_equal(out["khat"].to_numpy(), exp)
+
+
+def test_dbscan_hand_fixture(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.spatial import dbscan
+    # line: 0,1,2 clustered; 3,4 a pair; 5 isolated
+    pts = rd.from_pandas(pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "x": np.array([0.0, 1.0, 2.0, 10.0, 11.0, 20.0]),
+        "y": np.zeros(6)}))
+    # min_pts=3: only id 1 is core; 0/2 border attach to cluster 1
+    out = dbscan(pts, 1.5, 3).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    assert out["cluster"].tolist() == [1, 1, 1, -1, -1, -1]
+    assert out["is_core"].tolist() == [0, 1, 0, 0, 0, 0]
+    # min_pts=2: chains become clusters labelled by min member id
+    out2 = dbscan(pts, 1.5, 2).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    assert out2["cluster"].tolist() == [0, 0, 0, 3, 3, -1]
+    assert out2["is_core"].tolist() == [1, 1, 1, 1, 1, 0]
+
+
+def test_dbscan_all_noise(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.spatial import dbscan
+    iso = rd.from_pandas(pd.DataFrame({
+        "id": np.arange(3, dtype=np.int64),
+        "x": np.array([0.0, 100.0, 200.0]), "y": np.zeros(3)}))
+    out = dbscan(iso, 1.0, 2).to_pandas().sort_values("id")
+    assert out["cluster"].tolist() == [-1, -1, -1]
+    assert out["is_core"].tolist() == [0, 0, 0]
+
+
+def test_components_dual_matches_distributed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.topology import (components_dual,
+                                             connected_components)
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 400, 900).astype(np.int64)
+    dst = rng.randint(0, 400, 900).astype(np.int64)
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    a = components_dual(edges).to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    b = connected_components(edges).to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # forced distributed path agrees too
+    c = components_dual(edges, driver_threshold=1).to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, c)
