@@ -3834,6 +3834,20 @@ def _pt_dbscan(sf_dir: str):
     return dbscan(customer_points(sf_dir), 30.0, 4)
 
 
+def _event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event
+    journeys — one keyed shuffle with in-kernel partial counts, tiny
+    keyed sum; bit-exact vs the LEAD-window twin."""
+    import ray.data
+
+    from city2graph_ray.ops.funnel import transition_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(ev)
+
+
 def _emb_kcenter(sf_dir: str):
     """Gonzalez farthest-first k-center selection (k=8) — the greedy
     diversity/coreset selector; one streaming champion pass per round,
@@ -4043,6 +4057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _event_funnel,
         "event_interval_overlap": _event_interval_overlap,
         "event_user_paths": _event_user_paths,
+        "event_transitions": _event_transitions,
         "event_retention": _event_retention,
         "doc_token_budget": _doc_token_budget,
         "doc_weighted_sample": _doc_weighted_sample,
@@ -4154,6 +4169,14 @@ def _minhash_md5_ctes() -> str:
 def oracle_sql() -> dict[str, str]:
     d2 = ("sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y))")
     return {
+        "event_transitions": """
+            WITH s AS (SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+                   FROM events)
+            SELECT event_type AS src_type, nxt AS dst_type,
+                   count(*)::BIGINT AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""",
         "pt_dbscan": f"""
             WITH RECURSIVE pts AS ({_PTS}),
             pr AS (SELECT a.id AS u, b.id AS v FROM pts a JOIN pts b

@@ -154,3 +154,42 @@ def user_paths(events: ray.data.Dataset, key: str = "user_id",
     stream = events.map_batches(prep, batch_format="pandas")
     return shuffle.grouped_transform(stream, [key], kernel,
                                      num_buckets=num_buckets)
+
+
+def transition_counts(events: ray.data.Dataset, key: str = "user_id",
+                      ts_col: str = "ts", step_col: str = "event_type",
+                      order_col: str = "event_id",
+                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                      ) -> ray.data.Dataset:
+    """First-order Markov transition counts over per-key journeys:
+    for each key's events ordered by (ts, order_col), count every
+    consecutive (step → next step) pair corpus-wide.  The backbone of
+    clickstream / session-flow models.
+
+    Shape: ONE keyed shuffle; the per-bucket kernel sorts, shifts, and
+    pre-aggregates its transition counts (distinct type-pairs, not
+    rows, leave the bucket), then a tiny keyed sum merges buckets.
+    Output (src_type, dst_type, n)."""
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: b[key].to_numpy(np.int64),
+            "t": b[ts_col].astype("datetime64[us]").to_numpy().view("i8"),
+            "o": b[order_col].to_numpy(np.int64),
+            "step": b[step_col].astype(str)})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "t", "o"], kind="stable")
+        k = g[key].to_numpy(np.int64)
+        s = g["step"].to_numpy()
+        same = k[:-1] == k[1:]
+        part = pd.DataFrame({"src_type": s[:-1][same],
+                             "dst_type": s[1:][same]})
+        out = part.groupby(["src_type", "dst_type"], sort=False) \
+            .size().rename("n").reset_index()
+        return out
+
+    stream = events.map_batches(prep, batch_format="pandas")
+    part = shuffle.grouped_transform(stream, [key], kernel,
+                                     num_buckets=num_buckets)
+    return shuffle.group_agg(part, ["src_type", "dst_type"],
+                             {"n": ("n", "sum")}, num_buckets=8)

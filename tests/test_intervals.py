@@ -80,3 +80,27 @@ def test_user_paths_matches_pandas():
     assert got["user_id"].tolist() == want["user_id"].tolist()
     assert got["path"].tolist() == want["path"].tolist()
     assert got["n_steps"].tolist() == want["n_steps"].tolist()
+
+
+def test_transition_counts_matches_pandas():
+    from city2graph_ray.ops.funnel import transition_counts
+    rng = np.random.default_rng(11)
+    n = 600
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 25, n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c", "d"], n)})
+    got = (transition_counts(rd.from_pandas(ev), num_buckets=8)
+           .to_pandas().sort_values(["src_type", "dst_type"])
+           .reset_index(drop=True))
+    s = ev.sort_values(["user_id", "ts", "event_id"])
+    same = s["user_id"].to_numpy()[:-1] == s["user_id"].to_numpy()[1:]
+    want = pd.DataFrame({
+        "src_type": s["event_type"].to_numpy()[:-1][same],
+        "dst_type": s["event_type"].to_numpy()[1:][same]}) \
+        .groupby(["src_type", "dst_type"]).size().rename("n") \
+        .reset_index()
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n": np.int64}), check_dtype=False)
