@@ -3848,6 +3848,17 @@ def _event_transitions(sf_dir: str):
     return transition_counts(ev)
 
 
+def _ssjoin_cosine(sf_dir: str):
+    """Exact binary-cosine set-similarity self-join (AllPairs prefix
+    filter, cosine bounds): accept cut is the all-integer cross-multiply
+    i²·q² ≥ p²·na·nb — bit-exact vs the integer SQL twin."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.dedup import cosine_join_exact
+    # 16 buckets: gate corpus is 500 docs (op default stays scale-sized)
+    return cosine_join_exact(documents(sf_dir), threshold=0.7, round_to=6,
+                             num_buckets=16)
+
+
 def _emb_kcenter(sf_dir: str):
     """Gonzalez farthest-first k-center selection (k=8) — the greedy
     diversity/coreset selector; one streaming champion pass per round,
@@ -3946,6 +3957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _doc_langid,
         "minhash_clusters": _minhash_clusters,
         "ssjoin_jaccard": _ssjoin_jaccard,
+        "ssjoin_cosine": _ssjoin_cosine,
         "ssjoin_edit": _ssjoin_edit,
         "neardup_clusters": _neardup_clusters,
         "doc_token_topk": _token_topk,
@@ -5040,6 +5052,26 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE abs(len(a.k) - len(b.k)) <= 4
               AND levenshtein(a.k, b.k) <= 4""",
+        "ssjoin_cosine": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+              FROM documents, LATERAL unnest(
+                generate_series(1, greatest(length(text)-4, 1))) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y USING (s)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i / sqrt(CAST(ca.n AS DOUBLE) * cb.n), 6)
+                     AS cosine
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = inter.a
+            JOIN cnt cb ON cb.doc_id = inter.b
+            WHERE i * i * 100 >= 49 * ca.n * cb.n""",
         "ssjoin_jaccard": """
             WITH sh AS (
               SELECT DISTINCT doc_id, substr(text, i, 5) AS s

@@ -547,6 +547,115 @@ def jaccard_join_exact(docs: ray.data.Dataset, threshold: float = 0.6,
         batch_format="pandas", concurrency=(1, 8))
 
 
+class _CosineVerify:
+    """Exact binary-cosine per candidate pair: accept iff
+    i²·q² ≥ p²·na·nb with threshold t = p/q — ALL-INTEGER, so the cut
+    is bit-identical to the SQL twin's integer cross-multiply; the
+    reported cosine = round(i / sqrt(na·nb), round_to) is one IEEE
+    sqrt + divide, shared with the twin."""
+
+    def __init__(self, shingle_k: int, p: int, q: int,
+                 round_to: int | None = None):
+        self.k = shingle_k
+        self.p = p
+        self.q = q
+        self.round_to = round_to
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cache: dict = {}
+
+        def sh(i, text) -> set:
+            if i not in cache:
+                cache[i] = char_shingles(text, self.k)
+            return cache[i]
+
+        rows_a, rows_b, cos = [], [], []
+        p2, q2 = self.p * self.p, self.q * self.q
+        for a, b, ta, tb in zip(batch["a"], batch["b"],
+                                batch["__text_a"], batch["__text_b"]):
+            sa, sb = sh(a, ta), sh(b, tb)
+            na, nb = len(sa), len(sb)
+            if na == 0 or nb == 0:
+                continue
+            i = len(sa & sb)
+            if i * i * q2 >= p2 * na * nb:
+                rows_a.append(a)
+                rows_b.append(b)
+                cos.append(i / np.sqrt(float(na) * float(nb)))
+        c = np.asarray(cos, np.float64)
+        if self.round_to is not None:
+            c = np.round(c, self.round_to)
+        return pd.DataFrame({"a": rows_a, "b": rows_b, "cosine": c})
+
+
+def cosine_join_exact(docs: ray.data.Dataset, threshold: float = 0.7,
+                      shingle_k: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id", round_to: int = 6,
+                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                      ) -> ray.data.Dataset:
+    """EXACT binary-cosine set-similarity self-join: all pairs (a < b)
+    with cos(A, B) = |A∩B| / √(|A|·|B|) ≥ ``threshold`` over distinct
+    character ``shingle_k``-gram sets.  Output (a, b, cosine).
+
+    Same AllPairs prefix-filter shape as :func:`jaccard_join_exact`
+    (Bayardo et al. WWW'07), with the cosine bounds: a qualifying pair
+    needs overlap i ≥ t·√(na·nb), partners satisfy nb ≥ t²·na, so the
+    unindexed suffix of a doc with n shingles is ⌈t²·n⌉ − 1 long —
+    prefix length n − ⌈t²·n⌉ + 1 (integer ceil via p²/q² with
+    t = p/q, so the prefix cut is exact, never lossy).  Only prefix
+    shingles are posted; candidates carry ids only; texts join back
+    via bucketed hash joins; verification is the all-integer
+    cross-multiply i²·q² ≥ p²·na·nb (no float boundary anywhere).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    p, q = frac.numerator, frac.denominator
+    p2, q2 = p * p, q * q
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        return _explode_shingles(batch, shingle_k, text_col, id_col)
+
+    sh = docs.map_batches(explode, batch_format="pandas")
+    dfs = shuffle.group_agg(sh, ["s"], {"df": (id_col, "size")},
+                            num_buckets=num_buckets)
+    from city2graph_ray.joins import bucketed_join
+    sh_df = bucketed_join(sh, dfs, on="s", num_buckets=num_buckets)
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "s"], kind="stable")
+        grp = g.groupby(id_col, sort=False)
+        n = g["n"].to_numpy(np.int64)
+        pos = grp.cumcount().to_numpy()
+        # ceil(p²·n / q²) with integers
+        ceil_t2n = (p2 * n + q2 - 1) // q2
+        plen = n - ceil_t2n + 1
+        return g[pos < plen][[id_col, "s", "n"]]
+
+    posted = shuffle.grouped_transform(sh_df, [id_col], prefix,
+                                       num_buckets=num_buckets)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="s")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        lo = np.minimum(m["n_x"].to_numpy(np.int64),
+                        m["n_y"].to_numpy(np.int64))
+        hi = np.maximum(m["n_x"].to_numpy(np.int64),
+                        m["n_y"].to_numpy(np.int64))
+        m = m[lo * q2 >= p2 * hi]  # cos ≥ t ⇒ min ≥ t²·max (integer)
+        return pd.DataFrame({"a": m[f"{id_col}_x"].to_numpy(),
+                             "b": m[f"{id_col}_y"].to_numpy()}
+                            ).drop_duplicates()
+
+    cand = shuffle.grouped_transform(posted, ["s"], pairs,
+                                     num_buckets=num_buckets)
+    cand = shuffle.distinct(cand, ["a", "b"], num_buckets=num_buckets)
+    withtext = _pairs_with_texts(cand, docs, text_col, id_col, num_buckets)
+    return withtext.map_batches(
+        _CosineVerify, fn_constructor_args=(shingle_k, p, q, round_to),
+        batch_format="pandas", concurrency=(1, 8))
+
+
 def _clusters_from_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
                          id_col: str = "doc_id") -> ray.data.Dataset:
     """(a, b) pair stream → (doc_id, cluster_id) over the WHOLE corpus;

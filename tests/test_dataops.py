@@ -92,6 +92,31 @@ def test_jaccard_join_exact_vs_brute(order):
     pd.testing.assert_frame_equal(out, bdf, check_dtype=False)
 
 
+def test_cosine_join_exact_vs_brute():
+    from city2graph_ray.text.dedup import cosine_join_exact, char_shingles
+    rng = np.random.default_rng(9)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(8, 30)))
+             for _ in range(120)]
+    texts += [texts[i] + " extra" for i in range(0, 30, 3)]  # near dups
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = (cosine_join_exact(rd.from_pandas(df).repartition(6),
+                             threshold=0.7, round_to=6, num_buckets=16)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    sh = [char_shingles(t, 5) for t in texts]
+    brute = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            na, nb = len(sh[a]), len(sh[b])
+            i = len(sh[a] & sh[b])
+            if i * i * 100 >= 49 * na * nb:  # t = 7/10, all-integer
+                brute.append((a, b, round(i / np.sqrt(float(na) * nb), 6)))
+    bdf = pd.DataFrame(brute, columns=["a", "b", "cosine"])
+    assert len(out) == len(bdf) and len(bdf) > 0
+    pd.testing.assert_frame_equal(out, bdf, check_dtype=False)
+
+
 def test_neardup_clusters_exact():
     from city2graph_ray.text.dedup import neardup_clusters_exact
     df = pd.DataFrame({
