@@ -3859,6 +3859,16 @@ def _ssjoin_cosine(sf_dir: str):
                              num_buckets=16)
 
 
+def _emb_projection(sf_dir: str):
+    """JL-style ±1 signed projection over integer-quantized embeddings
+    (md5-parity sign matrix, all-integer sums) — streaming matmul, no
+    shuffle; bit-exact vs the md5_number_lower SQL twin."""
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.stats import signed_projection
+
+    return signed_projection(embeddings(sf_dir), out_dims=8)
+
+
 def _emb_kcenter(sf_dir: str):
     """Gonzalez farthest-first k-center selection (k=8) — the greedy
     diversity/coreset selector; one streaming champion pass per round,
@@ -4030,6 +4040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dwithin_pairs": _dwithin_pairs,
         "emb_covariance": _emb_covariance,
         "emb_sq8": _emb_sq8,
+        "emb_projection": _emb_projection,
         "emb_kcenter": _emb_kcenter,
         "network_path_geom_bounded": _network_path_geom_bounded,
         "segment_crossings": _segment_crossings,
@@ -5279,6 +5290,23 @@ def oracle_sql() -> dict[str, str]:
               FROM t1)
             WHERE distance <= 4.0""",
         "emb_kcenter": _kcenter_sql(8, 64),
+        "emb_projection": """
+            WITH q AS MATERIALIZED (
+              SELECT vec_id, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000
+                                + 0.5) AS BIGINT) + 100000 AS v
+              FROM embeddings, range(1, 65) t(i)),
+            s AS (
+              SELECT a.i, b.j,
+                     CASE WHEN (md5_number_lower(
+                              a.i::VARCHAR || ':' || b.j::VARCHAR)
+                            & 1) = 1
+                          THEN 1 ELSE -1 END AS sgn
+              FROM range(1, 65) a(i), range(0, 8) b(j))
+            SELECT q.vec_id, s.j,
+                   sum(q.v * s.sgn)::BIGINT AS proj
+            FROM q JOIN s USING (i)
+            GROUP BY 1, 2""",
         "emb_sq8": """
             WITH q AS MATERIALIZED (
               SELECT vec_id, i,

@@ -108,3 +108,49 @@ def pca_project(ds: ray.data.Dataset, mean: np.ndarray,
                              out_col: list(P)})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def signed_projection(ds: ray.data.Dataset, out_dims: int = 8,
+                      col: str = "embedding", id_col: str = "vec_id",
+                      scale: float = 10_000.0, offset: int = 100_000,
+                      ) -> ray.data.Dataset:
+    """Johnson–Lindenstrauss-style ±1 random projection (Achlioptas
+    2001, public construction) made BIT-EXACT: embeddings are first
+    quantized to integers (``floor(v·scale + 0.5) + offset`` — the
+    engine's SQ8 convention), the sign matrix entries are the md5
+    parity of ``"i:j"`` (DuckDB ``md5_number_lower`` convention, i
+    1-based like SQL array subscripts), and each output coordinate is
+    an all-integer signed sum, so the SQL twin reproduces it exactly.
+
+    The sign matrix is a few KB built once on the driver and captured
+    by the map closure — no shuffle anywhere; the corpus streams
+    through one vectorized int64 matmul per batch.  Output long-form
+    (id, j, proj) with j in [0, out_dims)."""
+    import hashlib
+
+    first = ds.take(1)
+    if not first:
+        return ray.data.from_pandas(pd.DataFrame(
+            {id_col: pd.Series(dtype=np.int64),
+             "j": pd.Series(dtype=np.int64),
+             "proj": pd.Series(dtype=np.int64)}))
+    d = len(first[0][col])
+    sgn = np.empty((d, out_dims), dtype=np.int64)
+    for i in range(d):
+        for j in range(out_dims):
+            h = int.from_bytes(
+                hashlib.md5(f"{i + 1}:{j}".encode()).digest()[8:16],
+                "little")
+            sgn[i, j] = 1 if (h & 1) else -1
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[col].to_numpy()).astype(np.float64)
+        q = np.floor(X * scale + 0.5).astype(np.int64) + offset
+        P = q @ sgn
+        n = len(b)
+        return pd.DataFrame({
+            id_col: np.repeat(b[id_col].to_numpy(np.int64), out_dims),
+            "j": np.tile(np.arange(out_dims, dtype=np.int64), n),
+            "proj": P.ravel()})
+
+    return ds.map_batches(project, batch_format="pandas")

@@ -74,3 +74,40 @@ def test_covariance_single_row():
                                num_buckets=2)
     assert (out["cov"].to_numpy() == 0.0).all()
     assert len(out) == 16
+
+
+def test_signed_projection_matches_numpy(ray_session):
+    import hashlib
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.vector.stats import signed_projection
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(40, 16)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": list(X)}))
+    out = signed_projection(ds, out_dims=4).to_pandas() \
+        .sort_values(["vec_id", "j"]).reset_index(drop=True)
+    sgn = np.empty((16, 4), np.int64)
+    for i in range(16):
+        for j in range(4):
+            h = int.from_bytes(
+                hashlib.md5(f"{i+1}:{j}".encode()).digest()[8:16],
+                "little")
+            sgn[i, j] = 1 if h & 1 else -1
+    q = np.floor(X.astype(np.float64) * 10_000 + 0.5).astype(np.int64) \
+        + 100_000
+    want = (q @ sgn).ravel()
+    assert np.array_equal(out["proj"].to_numpy(), want)
+
+
+def test_signed_projection_empty(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.vector.stats import signed_projection
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series(dtype=np.int64),
+        "embedding": pd.Series(dtype=object)}))
+    assert signed_projection(ds).count() == 0
