@@ -3869,6 +3869,43 @@ def _emb_projection(sf_dir: str):
     return signed_projection(embeddings(sf_dir), out_dims=8)
 
 
+def _zone_sssp(sf_dir: str):
+    """Bounded Bellman-Ford SSSP (4 rounds, integer weights
+    (src*31+dst*17)%9+1, source zone 0) over the zone digraph —
+    all-integer mins, bit-exact vs the unrolled CTE relaxation ladder."""
+    from city2graph_ray.ops.graph_algos import sssp_bounded
+
+    edges = _order_zone_edges(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["src"].to_numpy(np.int64),
+            "dst": b["dst"].to_numpy(np.int64),
+            "w": (b["src"].to_numpy(np.int64) * 31
+                  + b["dst"].to_numpy(np.int64) * 17) % 9 + 1}),
+        batch_format="pandas")
+    return sssp_bounded(edges, source=0, rounds=4)
+
+
+def _sssp_sql(rounds: int) -> str:
+    ctes = ["""e AS MATERIALIZED (
+              SELECT DISTINCT o_custkey % 100 AS src,
+                              o_orderkey % 97 AS dst
+              FROM orders)""",
+            """ew AS (SELECT src, dst,
+                             (src * 31 + dst * 17) % 9 + 1 AS w
+                      FROM e)""",
+            "d0 AS (SELECT 0 AS node, 0 AS dist)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{r-1}
+                UNION ALL
+                SELECT ew.dst, d{r-1}.dist + ew.w
+                FROM d{r-1} JOIN ew ON ew.src = d{r-1}.node)
+              GROUP BY node)""")
+    return ("WITH " + ",\n            ".join(ctes)
+            + f" SELECT node, dist::BIGINT AS dist FROM d{rounds}")
+
+
 def _emb_kcenter(sf_dir: str):
     """Gonzalez farthest-first k-center selection (k=8) — the greedy
     diversity/coreset selector; one streaming champion pass per round,
@@ -4062,6 +4099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_diameter": _zone_diameter,
         "zone_mis": _zone_mis,
         "zone_walks": _zone_walks,
+        "zone_sssp": _zone_sssp,
         "zone_betweenness": _zone_betweenness,
         "zone_ppr": _zone_ppr,
         "zone_4cliques": _zone_4cliques,
@@ -4200,6 +4238,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS src_type, nxt AS dst_type,
                    count(*)::BIGINT AS n
             FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""",
+        "zone_sssp": _sssp_sql(4),
         "pt_dbscan": f"""
             WITH RECURSIVE pts AS ({_PTS}),
             pr AS (SELECT a.id AS u, b.id AS v FROM pts a JOIN pts b

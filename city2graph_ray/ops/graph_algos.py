@@ -2384,3 +2384,113 @@ def deterministic_walks(edges: ray.data.Dataset, steps: int = 3,
 
     return walks.map_batches(
         lambda b: b.drop(columns=["cur"]), batch_format="pandas")
+
+
+def sssp_bounded(edges: ray.data.Dataset, source: int, rounds: int = 4,
+                 src: str = "src", dst: str = "dst", weight: str = "w",
+                 strategy: str = "auto",
+                 broadcast_threshold: int = 2_000_000,
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 ) -> ray.data.Dataset:
+    """Bounded-hop single-source shortest path (Bellman–Ford rounds)
+    over a weighted digraph with INTEGER weights: after ``rounds``
+    relaxations, dist(v) = min total weight over paths source→v with
+    ≤ ``rounds`` edges — the bounded form is deterministic, shuffle-
+    friendly, and exactly unrollable as a SQL CTE ladder (all-integer
+    mins, no float anywhere).  Output (node, dist) for reached nodes.
+
+    Strategies (same split as :func:`pagerank`): ``broadcast`` keeps
+    the node-sized dist VECTOR on the driver and streams the edge
+    blocks once per round (per-block ``minimum.at`` partials, O(n)
+    driver memory — n gated by ``broadcast_threshold``); ``join`` runs
+    one bucketed join (dist × edges on src, same hash key every round)
+    + one keyed min per round with no node-sized driver state."""
+    if strategy not in ("auto", "join", "broadcast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    edges = edges.materialize()  # consumed twice (node set + rounds)
+    nodes = shuffle.distinct(
+        _node_column(edges, src).union(_node_column(edges, dst)),
+        ["node"], num_buckets=num_buckets).materialize()
+    n = nodes.count()
+
+    if strategy == "broadcast" or (strategy == "auto"
+                                   and n <= broadcast_threshold):
+        node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(np.int64))
+        index = pd.Index(node_arr)
+        idx_ref = ray.put(index)
+
+        def reindex(batch: pd.DataFrame) -> pd.DataFrame:
+            ix = ray.get(idx_ref)
+            return pd.DataFrame({
+                "si": ix.get_indexer(batch[src].to_numpy())
+                .astype(np.int32),
+                "di": ix.get_indexer(batch[dst].to_numpy())
+                .astype(np.int32),
+                "w": batch[weight].to_numpy(np.int64)})
+
+        indexed = edges.map_batches(reindex,
+                                    batch_format="pandas").materialize()
+        INF = np.iinfo(np.int64).max // 4
+        dist = np.full(len(node_arr), INF, np.int64)
+        pos = index.get_indexer([source])
+        if pos[0] >= 0:
+            dist[pos[0]] = 0
+
+        for _ in range(rounds):
+            d_ref = ray.put(dist)
+
+            def relax(batch: pd.DataFrame, ref=d_ref,
+                      m=len(node_arr)) -> pd.DataFrame:
+                d = ray.get(ref)
+                cand = d[batch["si"].to_numpy()] \
+                    + batch["w"].to_numpy(np.int64)
+                out = np.full(m, INF, np.int64)
+                np.minimum.at(out, batch["di"].to_numpy(), cand)
+                return pd.DataFrame({"v": [out.tobytes()]})
+
+            new = dist.copy()
+            for b in indexed.map_batches(
+                    relax, batch_format="pandas").iter_batches(
+                        batch_size=None, batch_format="pandas"):
+                for v in b["v"]:
+                    new = np.minimum(new, np.frombuffer(v, np.int64))
+            dist = new
+
+        reached = dist < INF
+        out_nodes = node_arr[reached]
+        out_dist = dist[reached]
+        if pos[0] < 0:
+            # source isn't an edge endpoint: still report dist 0
+            # (matches the join strategy and the SQL ladder's d0 seed)
+            out_nodes = np.concatenate(
+                [np.asarray([source], np.int64), out_nodes])
+            out_dist = np.concatenate(
+                [np.asarray([0], np.int64), out_dist])
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": out_nodes, "dist": out_dist}))
+
+    # join strategy: dist table is a Dataset, edges stay put
+    ew = edges.map_batches(
+        lambda b: pd.DataFrame({src: b[src].to_numpy(np.int64),
+                                dst: b[dst].to_numpy(np.int64),
+                                "w": b[weight].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    dist = ray.data.from_pandas(pd.DataFrame(
+        {"node": np.asarray([source], np.int64),
+         "dist": np.asarray([0], np.int64)}))
+    for _ in range(rounds):
+        frontier = dist.map_batches(
+            lambda b: b.rename(columns={"node": src}),
+            batch_format="pandas")
+        relaxed = bucketed_join(ew, frontier, on=src,
+                                num_buckets=num_buckets).map_batches(
+            lambda b: pd.DataFrame({
+                "node": b[dst].to_numpy(np.int64),
+                "dist": b["dist"].to_numpy(np.int64)
+                + b["w"].to_numpy(np.int64)}),
+            batch_format="pandas")
+        dist = shuffle.group_agg(dist.union(relaxed), ["node"],
+                                 {"dist": ("dist", "min")},
+                                 num_buckets=num_buckets).materialize()
+    return dist

@@ -833,3 +833,53 @@ def test_deterministic_walks_argmin_and_dead_ends(ray_session):
     exp_df = pd.DataFrame(exp, columns=["start", "v1", "v2"])
     pd.testing.assert_frame_equal(
         out.astype(np.int64), exp_df.astype(np.int64))
+
+
+def test_sssp_bounded_strategies_and_networkx(ray_session):
+    import networkx as nx
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import sssp_bounded
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 40, 300).astype(np.int64)
+    dst = rng.integers(0, 40, 300).astype(np.int64)
+    w = ((src * 31 + dst * 17) % 9 + 1).astype(np.int64)
+    edges = pd.DataFrame({"src": src, "dst": dst, "w": w}) \
+        .drop_duplicates(["src", "dst"])
+    ds = rd.from_pandas(edges)
+    got_b = sssp_bounded(ds, source=0, rounds=4,
+                         strategy="broadcast").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    got_j = sssp_bounded(ds, source=0, rounds=4, strategy="join",
+                         num_buckets=8).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, got_j)
+    # bounded-hop reference: Bellman-Ford rounds in pure python
+    INF = 1 << 40
+    dist = {0: 0}
+    for _ in range(4):
+        new = dict(dist)
+        for s, d, ww in edges.itertuples(index=False):
+            if s in dist and dist[s] + ww < new.get(d, INF):
+                new[d] = dist[s] + ww
+        dist = new
+    want = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
+    pd.testing.assert_frame_equal(got_b, want.astype(np.int64),
+                                  check_dtype=False)
+
+
+def test_sssp_bounded_source_not_in_graph(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import sssp_bounded
+    ds = rd.from_pandas(pd.DataFrame({
+        "src": np.asarray([1, 2], np.int64),
+        "dst": np.asarray([2, 3], np.int64),
+        "w": np.asarray([1, 1], np.int64)}))
+    for strat in ("broadcast", "join"):
+        out = sssp_bounded(ds, source=99, rounds=3,
+                           strategy=strat).to_pandas()
+        assert out["node"].tolist() == [99]
+        assert out["dist"].tolist() == [0]
