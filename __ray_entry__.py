@@ -3906,6 +3906,34 @@ def _sssp_sql(rounds: int) -> str:
             + f" SELECT node, dist::BIGINT AS dist FROM d{rounds}")
 
 
+def _pt_mutual_knn(sf_dir: str):
+    """Mutual/reciprocal kNN pairs (k=4): both directions must appear
+    in the kNN edge set — one keyed shuffle over the canonical pair
+    after the tiled kNN build; bit-exact vs the QUALIFY self-join twin."""
+    from city2graph_ray.ops.proximity import mutual_knn_graph
+    from city2graph_ray.pipelines.tables import customer_points
+    return mutual_knn_graph(customer_points(sf_dir), 4)
+
+
+def _raster_focal_mean(sf_dir: str):
+    """3x3 focal mean over the part grid raster: 9-way scatter with a
+    self flag, one partial-aggregated keyed sum, halo rows dropped by
+    max(own) — no existence join; bit-exact vs the cross-offset twin."""
+    import ray.data
+
+    from city2graph_ray.ops.tiling import focal_mean
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_retailprice"])
+    grid = part.map_batches(
+        lambda b: pd.DataFrame({
+            "c": b["p_partkey"].to_numpy(np.int64) % 40,
+            "r": b["p_partkey"].to_numpy(np.int64) // 40,
+            "v": b["p_retailprice"].to_numpy(np.float64)}),
+        batch_format="pandas")
+    return focal_mean(grid)
+
+
 def _emb_kcenter(sf_dir: str):
     """Gonzalez farthest-first k-center selection (k=8) — the greedy
     diversity/coreset selector; one streaming champion pass per round,
@@ -3973,7 +4001,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_areal_interp": _grid_areal_interp,
         "pt_radius_skewed": _pt_radius_skewed,
         "raster_downsample": _raster_downsample,
+        "raster_focal_mean": _raster_focal_mean,
         "pt_knn": _pt_knn,
+        "pt_mutual_knn": _pt_mutual_knn,
         "doc_span_radius": _doc_span_radius,
         "grid_contiguity_queen": _contiguity("queen"),
         "grid_contiguity_rook": _contiguity("rook"),
@@ -4239,6 +4269,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""",
         "zone_sssp": _sssp_sql(4),
+        "pt_mutual_knn": f"""
+            WITH pts AS ({_PTS}),
+            knn AS (
+              SELECT a.id AS src, b.id AS dst, {d2} AS distance
+              FROM pts a JOIN pts b ON a.id <> b.id
+              QUALIFY row_number() OVER (PARTITION BY a.id
+                  ORDER BY {d2}, b.id) <= 4)
+            SELECT l.src, l.dst, l.distance
+            FROM knn l JOIN knn r ON l.src = r.dst AND l.dst = r.src
+            WHERE l.src < l.dst""",
+        "raster_focal_mean": """
+            WITH g AS (SELECT (p_partkey % 40) AS c,
+                              (p_partkey // 40) AS r,
+                              p_retailprice AS v
+                       FROM part),
+            sc AS (SELECT g.c + dx.d AS c, g.r + dy.d AS r, v,
+                          CASE WHEN dx.d = 0 AND dy.d = 0
+                               THEN 1 ELSE 0 END AS own
+                   FROM g, (VALUES (-1), (0), (1)) dx(d),
+                        (VALUES (-1), (0), (1)) dy(d))
+            SELECT c, r, round(sum(v) / count(*), 6) AS focal_mean,
+                   count(*)::BIGINT AS n
+            FROM sc GROUP BY c, r HAVING max(own) = 1""",
         "pt_dbscan": f"""
             WITH RECURSIVE pts AS ({_PTS}),
             pr AS (SELECT a.id AS u, b.id AS v FROM pts a JOIN pts b

@@ -1368,3 +1368,37 @@ def ungrouped_nodes(polygons: ray.data.Dataset, points: ray.data.Dataset,
     return j.map_batches(
         lambda b: b.loc[b["__hit"].isna(), ["id", "x", "y"]],
         batch_format="pandas")
+
+
+def mutual_knn_graph(points: ray.data.Dataset, k: int,
+                     num_buckets: int = 16) -> ray.data.Dataset:
+    """Mutual (reciprocal) kNN graph: undirected pairs (src < dst)
+    where BOTH endpoints list each other among their k nearest —
+    the standard density-robust sparsification of the kNN graph
+    (mutual-kNN clustering).  One :func:`knn_graph` build, then a
+    single keyed shuffle on the canonical pair: a pair survives iff
+    both directions arrived.  Distance is the shared symmetric
+    double, so output matches the SQL self-join twin bit-for-bit."""
+    from city2graph_ray import shuffle
+
+    edges = knn_graph(points, k)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        return pd.DataFrame({"u": np.minimum(s, d),
+                             "v": np.maximum(s, d),
+                             "fwd": (s < d).astype(np.int8),
+                             "distance": b["distance"].to_numpy()})
+
+    def keep_mutual(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(["u", "v"], sort=False)["fwd"]
+        both = grp.transform("nunique") == 2
+        out = g[both & (g["fwd"] == 1)]
+        return pd.DataFrame({"src": out["u"].to_numpy(np.int64),
+                             "dst": out["v"].to_numpy(np.int64),
+                             "distance": out["distance"].to_numpy()})
+
+    return shuffle.grouped_transform(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["u", "v"], keep_mutual, num_buckets=num_buckets)

@@ -370,3 +370,47 @@ def hotspot_cells(points: ray.data.Dataset, cell_size: float,
         return b.loc[keep, ["cell", "n", "ring_n", "n_ring_cells"]]
 
     return joined.map_batches(hot, batch_format="pandas")
+
+
+def focal_mean(grid: ray.data.Dataset, col_c: str = "c", col_r: str = "r",
+               val: str = "v", num_buckets: int = 16) -> ray.data.Dataset:
+    """3×3 focal (moving-window) mean over a sparse raster — the
+    classic map-algebra smoothing kernel.  Pure scatter shape: every
+    cell contributes its value to its 9 window positions tagged with a
+    self flag, then ONE partial-aggregated keyed sum; positions whose
+    window never contains a real center cell (``max(own)=0`` — the
+    dilation halo) are dropped, so no existence join is needed.
+    Borders average over the cells that exist.  Output
+    (c, r, focal_mean, n)."""
+    from city2graph_ray import shuffle
+
+    off = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+                   np.int64)
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[col_c].to_numpy(np.int64)
+        r = b[col_r].to_numpy(np.int64)
+        v = b[val].to_numpy(np.float64)
+        n = len(b)
+        return pd.DataFrame({
+            "c": np.repeat(c, 9) + np.tile(off[:, 0], n),
+            "r": np.repeat(r, 9) + np.tile(off[:, 1], n),
+            "v": np.repeat(v, 9),
+            "own": np.tile((off[:, 0] == 0) & (off[:, 1] == 0), n)
+            .astype(np.int64)})
+
+    agg = shuffle.group_agg(
+        grid.map_batches(scatter, batch_format="pandas"),
+        ["c", "r"], {"s": ("v", "sum"), "n": ("v", "size"),
+                     "own": ("own", "max")}, num_buckets=num_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["own"].to_numpy(np.int64) == 1]
+        return pd.DataFrame({
+            "c": b["c"].to_numpy(np.int64),
+            "r": b["r"].to_numpy(np.int64),
+            "focal_mean": np.round(b["s"].to_numpy(np.float64)
+                                   / b["n"].to_numpy(np.float64), 6),
+            "n": b["n"].to_numpy(np.int64)})
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -272,3 +272,26 @@ def test_ungrouped_nodes_complement():
     assert inside | outside == set(range(200))
     assert not (inside & outside)
     assert len(outside) > 20
+
+
+def test_mutual_knn_graph_vs_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.proximity import mutual_knn_graph
+    rng = np.random.default_rng(12)
+    n, k = 80, 3
+    xy = rng.uniform(0, 100, (n, 2))
+    pts = rd.from_pandas(pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "x": xy[:, 0], "y": xy[:, 1]}))
+    got = mutual_knn_graph(pts, k).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    d = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    nbrs = [set(np.lexsort((np.arange(n), d[i]))[:k]) for i in range(n)]
+    brute = sorted((a, b) for a in range(n) for b in nbrs[a]
+                   if a < b and a in nbrs[b])
+    assert list(zip(got["src"], got["dst"])) == brute
+    for s, t, dist in got.itertuples(index=False):
+        assert dist == np.sqrt(((xy[s] - xy[t]) ** 2).sum())

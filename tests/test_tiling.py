@@ -241,3 +241,26 @@ def test_hotspot_cells_bruteforce():
         ix, iy = C.cell_xy(np.array([c]))
         got.add((int(ix[0]), int(iy[0])))
     assert got == want and len(want) > 0
+
+
+def test_focal_mean_hand_grid(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import focal_mean
+    # 2x2 grid, values 1..4: every window covers all 4 cells
+    g = rd.from_pandas(pd.DataFrame({
+        "c": np.asarray([0, 1, 0, 1], np.int64),
+        "r": np.asarray([0, 0, 1, 1], np.int64),
+        "v": np.asarray([1.0, 2.0, 3.0, 4.0])}))
+    out = focal_mean(g).to_pandas().sort_values(["c", "r"]) \
+        .reset_index(drop=True)
+    assert len(out) == 4
+    assert (out["focal_mean"] == 2.5).all()
+    assert (out["n"] == 4).all()
+    # isolated cell: window is itself only
+    iso = rd.from_pandas(pd.DataFrame({
+        "c": np.asarray([10], np.int64), "r": np.asarray([10], np.int64),
+        "v": np.asarray([7.0])}))
+    o2 = focal_mean(iso).to_pandas()
+    assert o2["focal_mean"].tolist() == [7.0] and o2["n"].tolist() == [1]
