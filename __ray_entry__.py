@@ -3934,6 +3934,19 @@ def _raster_focal_mean(sf_dir: str):
     return focal_mean(grid)
 
 
+def _pt_hexbin(sf_dir: str):
+    """Hex-bin density: H3-style axial hex assignment (cube rounding,
+    explicit half-up floors) + one partial-aggregated keyed count —
+    bit-exact vs the CASE-ladder SQL twin."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.tiling import hex_assign
+    from city2graph_ray.pipelines.tables import customer_points
+
+    hexed = hex_assign(customer_points(sf_dir), 25.0)
+    return shuffle.group_agg(hexed, ["hq", "hr"],
+                             {"n": ("id", "size")}, num_buckets=16)
+
+
 def _emb_kcenter(sf_dir: str):
     """Gonzalez farthest-first k-center selection (k=8) — the greedy
     diversity/coreset selector; one streaming champion pass per round,
@@ -3994,6 +4007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_ripley": _pt_ripley,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
+        "pt_hexbin": _pt_hexbin,
         "pt_cell_ring": _pt_cell_ring,
         "pt_zorder": _pt_zorder,
         "grid_zone_dissolve": _grid_zone_dissolve,
@@ -4292,6 +4306,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT c, r, round(sum(v) / count(*), 6) AS focal_mean,
                    count(*)::BIGINT AS n
             FROM sc GROUP BY c, r HAVING max(own) = 1""",
+        "pt_hexbin": f"""
+            WITH pts AS ({_PTS}),
+            ax AS (SELECT id,
+                     (sqrt(3.0) / 3.0 * x - y / 3.0) / 25.0 AS q,
+                     (2.0 / 3.0 * y) / 25.0 AS r
+                   FROM pts),
+            cr AS (SELECT id, q AS cx, (-q - r) AS cy, r AS cz,
+                     floor(q + 0.5) AS rx,
+                     floor((-q - r) + 0.5) AS ry,
+                     floor(r + 0.5) AS rz
+                   FROM ax),
+            adj AS (SELECT id,
+                     CASE WHEN abs(rx - cx) > abs(ry - cy)
+                           AND abs(rx - cx) > abs(rz - cz)
+                          THEN -ry - rz ELSE rx END AS hq,
+                     CASE WHEN NOT (abs(rx - cx) > abs(ry - cy)
+                                    AND abs(rx - cx) > abs(rz - cz))
+                           AND NOT (abs(ry - cy) > abs(rz - cz))
+                          THEN -rx - ry ELSE rz END AS hr
+                   FROM cr)
+            SELECT hq::BIGINT AS hq, hr::BIGINT AS hr,
+                   count(*)::BIGINT AS n
+            FROM adj GROUP BY 1, 2""",
         "pt_dbscan": f"""
             WITH RECURSIVE pts AS ({_PTS}),
             pr AS (SELECT a.id AS u, b.id AS v FROM pts a JOIN pts b

@@ -414,3 +414,39 @@ def focal_mean(grid: ray.data.Dataset, col_c: str = "c", col_r: str = "r",
             "n": b["n"].to_numpy(np.int64)})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def hex_assign(points: ray.data.Dataset, size: float,
+               x_col: str = "x", y_col: str = "y") -> ray.data.Dataset:
+    """H3-style hexagonal cell assignment (pointy-top axial coords,
+    public cube-rounding algorithm — Red Blob Games / H3 docs): each
+    point maps to the axial (hq, hr) of the hexagon of circumradius
+    ``size`` containing it.  Pure per-batch vectorized math, no
+    shuffle — the hex-grid analogue of :func:`assign_cells`.
+
+    All rounding is EXPLICIT half-up (``floor(v + 0.5)``), and every
+    float expression is written in the exact operation order the SQL
+    twin uses, so cell ids are bit-deterministic across engines.
+    Output: input columns + (hq, hr) int64."""
+    s3 = np.sqrt(3.0)
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(np.float64)
+        y = b[y_col].to_numpy(np.float64)
+        q = (s3 / 3.0 * x - y / 3.0) / size
+        r = (2.0 / 3.0 * y) / size
+        cx, cy, cz = q, -q - r, r
+        rx = np.floor(cx + 0.5)
+        ry = np.floor(cy + 0.5)
+        rz = np.floor(cz + 0.5)
+        dx, dy, dz = np.abs(rx - cx), np.abs(ry - cy), np.abs(rz - cz)
+        c1 = (dx > dy) & (dx > dz)
+        c3 = ~c1 & ~(dy > dz)
+        hq = np.where(c1, -ry - rz, rx).astype(np.int64)
+        hr = np.where(c3, -rx - ry, rz).astype(np.int64)
+        out = b.copy()
+        out["hq"] = hq
+        out["hr"] = hr
+        return out
+
+    return points.map_batches(fn, batch_format="pandas")

@@ -264,3 +264,23 @@ def test_focal_mean_hand_grid(ray_session):
         "v": np.asarray([7.0])}))
     o2 = focal_mean(iso).to_pandas()
     assert o2["focal_mean"].tolist() == [7.0] and o2["n"].tolist() == [1]
+
+
+def test_hex_assign_nearest_center(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import hex_assign
+    rng = np.random.default_rng(3)
+    n, size = 500, 7.0
+    xy = rng.uniform(-100, 100, (n, 2))
+    pts = rd.from_pandas(pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64), "x": xy[:, 0], "y": xy[:, 1]}))
+    out = hex_assign(pts, size).to_pandas().sort_values("id")
+    s3 = np.sqrt(3.0)
+    for i, hq, hr in zip(out["id"], out["hq"], out["hr"]):
+        best = min(((q, r) for q in range(hq - 2, hq + 3)
+                    for r in range(hr - 2, hr + 3)),
+                   key=lambda qr: (xy[i, 0] - size * s3 * (qr[0] + qr[1] / 2.0)) ** 2
+                   + (xy[i, 1] - size * 1.5 * qr[1]) ** 2)
+        assert best == (hq, hr)
