@@ -3990,6 +3990,59 @@ def _kcenter_sql(k: int, dim: int) -> str:
             + "\n            UNION ALL ".join(picks))
 
 
+def _emb_mmr(sf_dir: str):
+    """Maximal Marginal Relevance selection (k=5, lambda=1/2) — the
+    classic diversity re-ranker as an exact-integer streaming champion
+    scan per round; bit-exact vs the unrolled CTE ladder."""
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.kmeans import mmr_select
+
+    return mmr_select(embeddings(sf_dir), k=5)
+
+
+def _mmr_sql(k: int, dim: int) -> str:
+    ctes = [f"""q AS MATERIALIZED (
+              SELECT vec_id, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000
+                                + 0.5) AS BIGINT) + 100000 AS v
+              FROM embeddings, range(1, {dim + 1}) t(i))""",
+            "qv AS (SELECT min(vec_id) AS vid FROM q)",
+            """dq AS MATERIALIZED (
+              SELECT q.vec_id, sum((q.v - c.v) * (q.v - c.v)) AS d
+              FROM q JOIN q c ON c.i = q.i
+                AND c.vec_id = (SELECT vid FROM qv)
+              GROUP BY q.vec_id)""",
+            """p0 AS (SELECT vec_id AS vid, -d AS s FROM dq
+              WHERE vec_id <> (SELECT vid FROM qv)
+              ORDER BY d, vec_id LIMIT 1)"""]
+    for r in range(1, k):
+        # nd = d² to the previous pick; m{r-1} = running min over picks
+        nd = (f"""(SELECT q2.vec_id,
+                     sum((q2.v - c.v) * (q2.v - c.v)) AS d
+                   FROM q q2 JOIN q c ON c.i = q2.i
+                     AND c.vec_id = (SELECT vid FROM p{r - 1})
+                   GROUP BY q2.vec_id) nd""")
+        if r == 1:
+            ctes.append(f"""m0 AS MATERIALIZED (
+              SELECT nd.vec_id, nd.d AS m FROM {nd})""")
+        else:
+            ctes.append(f"""m{r - 1} AS MATERIALIZED (
+              SELECT nd.vec_id, least(m{r - 2}.m, nd.d) AS m
+              FROM {nd} JOIN m{r - 2} USING (vec_id))""")
+        excl = " UNION ALL ".join(
+            f"SELECT vid FROM p{j}" for j in range(r))
+        ctes.append(f"""p{r} AS (
+              SELECT m{r - 1}.vec_id AS vid, m{r - 1}.m - dq.d AS s
+              FROM m{r - 1} JOIN dq USING (vec_id)
+              WHERE m{r - 1}.vec_id <> (SELECT vid FROM qv)
+                AND m{r - 1}.vec_id NOT IN ({excl})
+              ORDER BY s DESC, m{r - 1}.vec_id LIMIT 1)""")
+    picks = [f"SELECT {r} AS sel_rank, vid AS vec_id, s AS mmr2 "
+             f"FROM p{r}" for r in range(k)]
+    return ("WITH " + ",\n            ".join(ctes) + "\n            "
+            + "\n            UNION ALL ".join(picks))
+
+
 def _emb_sq8(sf_dir: str):
     """FAISS-SQ8-style per-dimension uint8 quantization: two streaming
     map passes (per-dim min/max partials, then codes), exact-integer
@@ -4123,6 +4176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_sq8": _emb_sq8,
         "emb_projection": _emb_projection,
         "emb_kcenter": _emb_kcenter,
+        "emb_mmr": _emb_mmr,
         "network_path_geom_bounded": _network_path_geom_bounded,
         "segment_crossings": _segment_crossings,
         "tpch_q4_priority": _tpch_q4,
@@ -5419,6 +5473,7 @@ def oracle_sql() -> dict[str, str]:
               FROM t1)
             WHERE distance <= 4.0""",
         "emb_kcenter": _kcenter_sql(8, 64),
+        "emb_mmr": _mmr_sql(5, 64),
         "emb_projection": """
             WITH q AS MATERIALIZED (
               SELECT vec_id, i,

@@ -506,3 +506,85 @@ def kcenter_select(ds: ray.data.Dataset, k: int = 8,
                         id_col: np.asarray(sel_ids, np.int64),
                         "dist": np.asarray(sel_dist, np.int64)})
     return ray.data.from_pandas(out)
+
+
+def mmr_select(ds: ray.data.Dataset, k: int = 5,
+               scale: float = 10_000.0, offset: int = 100_000,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               ) -> ray.data.Dataset:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR'98 — the classic diversity re-ranker) with λ = 1/2, made
+    exact-integer: the query is the min-id vector, relevance is the
+    NEGATIVE integer squared distance to it, similarity the negative
+    squared distance between candidates, so the doubled MMR objective
+    is the all-integer ``m(x) = min_{s∈S} d²(x,s) − d²(x,q)`` —
+    argmax/tie-break (smallest id) have no float ambiguity and the
+    unrolled SQL ladder is bit-exact.
+
+    Pick 1 is the most relevant candidate (min d² to query, tie min
+    id, reported as mmr2 = −d²); picks 2..k maximize m(x).  Same scale
+    shape as :func:`kcenter_select`: one streaming champion pass per
+    round, selected vectors ride in the closure, driver holds k·dim
+    ints.  Output (sel_rank, vec_id, mmr2)."""
+    quant = ds.map_batches(
+        lambda b: _quantize(b, vec_col, id_col, scale, offset),
+        batch_format="pandas").materialize()
+
+    seed = quant.sort(id_col).limit(1).to_pandas()
+    qvid = int(seed[id_col].iloc[0])
+    qvec = np.asarray(seed["__q"].iloc[0], np.int64)
+
+    def d2(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        return ((q - c[None, :]) ** 2).sum(axis=1)
+
+    # pick 1: most relevant (min d² to query, tie min id)
+    def champ_rel(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        m = ids != qvid
+        if not m.any():
+            return pd.DataFrame({id_col: [], "s": [], "__q": []})
+        q = np.stack(b["__q"].to_numpy()).astype(np.int64)[m]
+        ids = ids[m]
+        d = d2(q, qvec)
+        order = np.lexsort((ids, d))
+        j = order[0]
+        return pd.DataFrame({id_col: [ids[j]], "s": [-d[j]],
+                             "__q": [q[j]]})
+
+    cand = quant.map_batches(champ_rel, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["s", id_col],
+                            ascending=[False, True]).iloc[0]
+    sel_ids = [int(cand[id_col])]
+    sel_scores = [int(cand["s"])]
+    sel = np.asarray(cand["__q"], np.int64)[None, :]
+
+    for _ in range(k - 1):
+        cur, excl = sel, np.asarray(sel_ids + [qvid], np.int64)
+
+        def champ(b: pd.DataFrame, sel_=cur,
+                  excl_=excl) -> pd.DataFrame:
+            ids = b[id_col].to_numpy(np.int64)
+            m = ~np.isin(ids, excl_)
+            if not m.any():
+                return pd.DataFrame({id_col: [], "s": [], "__q": []})
+            q = np.stack(b["__q"].to_numpy()).astype(np.int64)[m]
+            ids = ids[m]
+            dmin = ((q[:, None, :] - sel_[None, :, :]) ** 2) \
+                .sum(axis=2).min(axis=1)
+            s = dmin - d2(q, qvec)
+            order = np.lexsort((ids, -s))
+            j = order[0]
+            return pd.DataFrame({id_col: [ids[j]], "s": [s[j]],
+                                 "__q": [q[j]]})
+
+        cand = quant.map_batches(champ, batch_format="pandas").to_pandas()
+        cand = cand.sort_values(["s", id_col],
+                                ascending=[False, True]).iloc[0]
+        sel_ids.append(int(cand[id_col]))
+        sel_scores.append(int(cand["s"]))
+        sel = np.vstack([sel, np.asarray(cand["__q"], np.int64)])
+
+    return ray.data.from_pandas(pd.DataFrame({
+        "sel_rank": np.arange(k, dtype=np.int64),
+        "vec_id": np.asarray(sel_ids, np.int64),
+        "mmr2": np.asarray(sel_scores, np.int64)}))

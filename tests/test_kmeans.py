@@ -228,3 +228,39 @@ def test_kcenter_matches_bruteforce_greedy(ray_session):
     # greedy k-center invariant: selection distances are non-increasing
     d = out["dist"].to_numpy()[1:]
     assert (d[:-1] >= d[1:]).all()
+
+
+def test_mmr_select_vs_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.vector.kmeans import mmr_select
+    rng = np.random.default_rng(8)
+    n, d, k = 60, 6, 4
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)}))
+    got = mmr_select(ds, k=k).to_pandas()
+
+    q = np.floor(X.astype(np.float64) * 10_000 + 0.5).astype(np.int64) \
+        + 100_000
+    qv = q[0]  # min id is the query
+    d2q = ((q - qv) ** 2).sum(1)
+    # pick 1: most relevant, excluding query
+    cands = np.arange(1, n)
+    first = cands[np.lexsort((cands, d2q[1:]))[0]]
+    sel, scores = [first], [-int(d2q[first])]
+    for _ in range(k - 1):
+        best = None
+        for x in range(1, n):
+            if x in sel:
+                continue
+            m = min(int(((q[x] - q[s]) ** 2).sum()) for s in sel) \
+                - int(d2q[x])
+            if best is None or m > best[0] or (m == best[0]
+                                               and x < best[1]):
+                best = (m, x)
+        sel.append(best[1])
+        scores.append(best[0])
+    assert got["vec_id"].tolist() == sel
+    assert got["mmr2"].tolist() == scores
