@@ -4054,6 +4054,18 @@ def _emb_sq8(sf_dir: str):
     return sq8_codes(embeddings(sf_dir))
 
 
+def _doc_winnowing(sf_dir: str):
+    """MOSS winnowing fingerprint selection (k=5 char grams, window=4,
+    rightmost-min tie rule) in md5 hash mode — every selected
+    (pos, fp) is reproducible in SQL via md5_number_lower + a window
+    min + an argmax-pos join, so the twin is bit-exact."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import winnowing_fingerprints
+
+    return winnowing_fingerprints(documents(sf_dir), k=5, window=4,
+                                  hash_fn="md5")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -4094,6 +4106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_dedup": _doc_fingerprint_dedup,
         "doc_prefix_dedup": _doc_prefix_dedup,
         "doc_postings": _doc_postings,
+        "doc_winnowing": _doc_winnowing,
         "doc_containment": _doc_containment,
         "doc_token_stats": _doc_tokens,
         "doc_pack_spans": _doc_pack_spans,
@@ -4795,6 +4808,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(i AS DOUBLE) / ca.n, 6) AS containment
             FROM inter JOIN cnt ca ON ca.doc_id = inter.a
             WHERE CAST(i AS DOUBLE) / ca.n >= 0.8""",
+        "doc_winnowing": """
+            WITH h AS (
+              SELECT doc_id,
+                     unnest(generate_series(
+                         1, greatest(length(text) - 4, 1)))::BIGINT AS pos,
+                     greatest(length(text) - 4, 1) AS n, text
+              FROM documents),
+            g AS (
+              SELECT doc_id, pos, n,
+                     md5_number_lower(substr(text, pos::INT, 5)) AS fp
+              FROM h),
+            w AS (
+              SELECT doc_id, pos AS j, n,
+                     min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW
+                         AND 3 FOLLOWING) AS mn
+              FROM g),
+            ws AS (SELECT * FROM w WHERE j <= greatest(n - 3, 1)),
+            sel AS (
+              SELECT ws.doc_id, ws.j, max(g.pos) AS pos
+              FROM ws JOIN g ON g.doc_id = ws.doc_id
+                   AND g.pos BETWEEN ws.j AND ws.j + 3
+                   AND g.fp = ws.mn
+              GROUP BY ws.doc_id, ws.j)
+            SELECT DISTINCT s.doc_id, s.pos, g.fp
+            FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.pos""",
         "doc_postings": """
             WITH t AS (
               SELECT DISTINCT doc_id, term FROM (

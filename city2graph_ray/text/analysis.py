@@ -7,6 +7,7 @@ so the DuckDB oracle can reproduce them bit-for-bit.
 from __future__ import annotations
 
 
+import hashlib
 from collections.abc import Sequence
 
 import numpy as np
@@ -129,6 +130,81 @@ def rolling_fingerprints(docs: ray.data.Dataset, window: int = 16,
             h = mix((win * powers[None, :]).sum(axis=1))
             fps[i] = int(h.min() >> np.uint64(1))
         return pd.DataFrame({id_col: batch[id_col].to_numpy(), "fp": fps})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def winnowing_fingerprints(docs: ray.data.Dataset, k: int = 5,
+                           window: int = 4, hash_fn: str = "uni",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           ) -> ray.data.Dataset:
+    """Winnowing fingerprint SELECTION (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character ``k``-gram,
+    then in each sliding window of ``window`` consecutive hashes keep
+    the minimum (ties → RIGHTMOST, the paper's deterministic rule).
+    Output is the distinct selected (doc_id, pos, fp) fingerprints —
+    pos is the 1-based gram offset, matching SQL ``substr``.
+
+    Guarantee: any two documents sharing a substring of length
+    ``window + k - 1`` or more share at least one selected fingerprint,
+    while only ~2/(window+1) of all grams are kept — the standard
+    plagiarism/near-dup index at corpus scale (fingerprints are tiny,
+    so the downstream self-join shuffles a fraction of the gram count).
+
+    ``hash_fn='uni'`` (scale path) byte-packs each k-gram into an
+    injective uint64, fully vectorized per doc; ``'md5'`` hashes the
+    gram string via md5 lower-64 — DuckDB ``md5_number_lower``'s exact
+    value, which is what makes the bit-exact SQL twin possible
+    (the MinHasher md5-mode convention).  Selection positions are
+    identical between the two modes only when hashes order the same
+    way, so the oracle runs md5 mode.
+
+    Docs shorter than ``k`` contribute one whole-text gram at pos 1.
+    Reference analogue: city2graph has no fingerprint op; this extends
+    the dedup family (SURVEY §2 extensions) like rolling_fingerprints.
+    """
+    from city2graph_ray.text.dedup import _md5_lower64
+
+    if window < 1 or k < 1:
+        raise ValueError("k and window must be >= 1")
+    powers = (np.uint64(256) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out_id: list[np.ndarray] = []
+        out_pos: list[np.ndarray] = []
+        out_fp: list[np.ndarray] = []
+        for did, text in zip(batch[id_col].to_numpy(np.int64),
+                             batch[text_col]):
+            n = len(text) - k + 1
+            if n < 1:
+                h = _md5_lower64([text]) if hash_fn == "md5" else np.array(
+                    [int.from_bytes(
+                        hashlib.md5(text.encode()).digest()[8:16], "little")],
+                    dtype=np.uint64)
+                n = 1
+            elif hash_fn == "md5":
+                h = _md5_lower64(text[i:i + k] for i in range(n))
+            else:
+                b = np.frombuffer(text.encode(), dtype=np.uint8)
+                win = np.lib.stride_tricks.sliding_window_view(
+                    b, k).astype(np.uint64)
+                h = (win * powers[None, :]).sum(axis=1)
+            w = min(window, n)
+            sw = np.lib.stride_tricks.sliding_window_view(h, w)
+            # rightmost min: argmin over the reversed window is the
+            # offset from the right end
+            rev = sw[:, ::-1].argmin(axis=1)
+            sel = np.unique(np.arange(n - w + 1) + (w - 1 - rev))
+            out_id.append(np.full(len(sel), did, np.int64))
+            out_pos.append(sel.astype(np.int64) + 1)
+            out_fp.append(h[sel])
+        if not out_id:
+            return pd.DataFrame({id_col: np.array([], np.int64),
+                                 "pos": np.array([], np.int64),
+                                 "fp": np.array([], np.uint64)})
+        return pd.DataFrame({id_col: np.concatenate(out_id),
+                             "pos": np.concatenate(out_pos),
+                             "fp": np.concatenate(out_fp)})
 
     return docs.map_batches(fn, batch_format="pandas")
 
