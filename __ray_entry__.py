@@ -3711,6 +3711,29 @@ def _event_interval_overlap(sf_dir: str):
                                  bucket_width=600 * 1_000_000)
 
 
+def _event_interval_coverage(sf_dir: str):
+    """Merged-interval union per user: each event opens a half-open
+    window of (event_id % 20 + 1) hours; islands merge via the
+    cumulative-max sweep.  All int64 µs arithmetic — bit-exact vs the
+    SQL window cummax island construction."""
+    import ray.data
+
+    from city2graph_ray.ops.intervals import interval_coverage
+
+    def iv(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("datetime64[us]").to_numpy().view("i8")
+        eid = b["event_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "s": us, "e": us + (eid % 20 + 1) * 3_600_000_000})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"]).map_batches(
+        iv, batch_format="pandas")
+    return interval_coverage(ev, key_col="user_id")
+
+
 def _event_user_paths(sf_dir: str):
     """Per-user ordered journey strings (first 12 event types by
     (ts, event_id)) — one keyed shuffle, vectorized per-group head."""
@@ -4228,6 +4251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_hits": _zone_hits,
         "event_funnel": _event_funnel,
         "event_interval_overlap": _event_interval_overlap,
+        "event_interval_coverage": _event_interval_coverage,
         "event_user_paths": _event_user_paths,
         "event_transitions": _event_transitions,
         "event_retention": _event_retention,
@@ -6703,6 +6727,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id,
                    least(le, re) - greatest(ls, rs) AS overlap
             FROM a JOIN b ON ls < re AND rs < le""",
+        "event_interval_coverage": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + (event_id % 20 + 1)
+                       * 3600000000 AS e
+              FROM events),
+            m AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pmax
+              FROM iv),
+            isl AS (
+              SELECT user_id, s, e,
+                     sum(CASE WHEN pmax IS NULL OR s > pmax
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM m),
+            g AS (SELECT user_id, island, min(s) AS is_, max(e) AS ie,
+                         count(*) AS n
+                  FROM isl GROUP BY 1, 2)
+            SELECT user_id, sum(n) AS n_intervals,
+                   count(*) AS n_islands,
+                   sum(ie - is_) AS covered,
+                   max(ie) - min(is_) AS span
+            FROM g GROUP BY user_id""",
         "event_user_paths": """
             WITH r AS (SELECT user_id, event_type,
                               row_number() OVER (PARTITION BY user_id

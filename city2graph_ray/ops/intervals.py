@@ -93,3 +93,49 @@ def interval_overlap_join(left: ray.data.Dataset,
 
     return shuffle.grouped_transform(both, ["bucket"], kernel,
                                      num_buckets=num_buckets)
+
+
+def interval_coverage(ds: ray.data.Dataset, key_col: str = "id",
+                      start: str = "s", end: str = "e",
+                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                      ) -> ray.data.Dataset:
+    """Merged-interval union per key (the gaps-and-islands sweep):
+    sort each key's half-open [s, e) intervals by (s, e), merge an
+    interval into the current island unless its start strictly exceeds
+    the running max of prior ends (touching intervals merge), then
+    report per key::
+
+        n_intervals, n_islands, covered (sum of merged lengths),
+        span (max e − min s)
+
+    Zero-length intervals are kept (they can form 0-length islands);
+    ends must be ≥ starts.  All int64 (e.g. epoch microseconds).
+    One shuffle on the key; the sweep is the SQL cumulative-max island
+    construction, fully vectorized (groupby cummax + shift).
+    Scale note: per-key interval counts must fit a worker batch — keys
+    are hash-bucketed, never collected on the driver."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[key_col, start, end]].sort_values(
+            [key_col, start, end], kind="stable")
+        cm = d.groupby(key_col, sort=False)[end].cummax()
+        pmax = cm.groupby(d[key_col], sort=False).shift(1)
+        new_island = pmax.isna() | (d[start] > pmax)
+        d = d.assign(island=new_island.cumsum())
+        isl = d.groupby([key_col, "island"], sort=False).agg(
+            is_=(start, "min"), ie=(end, "max"),
+            n=(start, "size")).reset_index()
+        isl["length"] = isl["ie"] - isl["is_"]
+        out = isl.groupby(key_col, sort=False).agg(
+            n_intervals=("n", "sum"), n_islands=("n", "size"),
+            covered=("length", "sum"), is_min=("is_", "min"),
+            ie_max=("ie", "max")).reset_index()
+        return pd.DataFrame({
+            key_col: out[key_col].to_numpy(np.int64),
+            "n_intervals": out["n_intervals"].to_numpy(np.int64),
+            "n_islands": out["n_islands"].to_numpy(np.int64),
+            "covered": out["covered"].to_numpy(np.int64),
+            "span": (out["ie_max"] - out["is_min"]).to_numpy(np.int64)})
+
+    return shuffle.grouped_transform(ds, [key_col], kernel,
+                                     num_buckets=num_buckets)

@@ -104,3 +104,51 @@ def test_transition_counts_matches_pandas():
         .reset_index()
     pd.testing.assert_frame_equal(
         got, want.astype({"n": np.int64}), check_dtype=False)
+
+
+def test_interval_coverage_bruteforce():
+    from city2graph_ray.ops.intervals import interval_coverage
+    rng = np.random.default_rng(5)
+    n = 800
+    s = rng.integers(0, 10_000, n)
+    iv = pd.DataFrame({
+        "id": rng.integers(0, 30, n).astype(np.int64),
+        "s": s.astype(np.int64),
+        "e": (s + rng.integers(0, 500, n)).astype(np.int64)})
+    got = (interval_coverage(rd.from_pandas(iv), key_col="id",
+                             num_buckets=8)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    def brute(g):
+        rows = sorted(zip(g["s"], g["e"]))
+        islands = []
+        for st, en in rows:
+            if islands and st <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], en)
+                islands[-1][2] += 1
+            else:
+                islands.append([st, en, 1])
+        return (len(rows), len(islands),
+                sum(e - s for s, e, _ in islands),
+                max(e for _, e, _ in islands) - min(s for s, _, _ in islands))
+
+    for _, r in got.iterrows():
+        g = iv[iv["id"] == r["id"]]
+        ni, nisl, cov, span = brute(g)
+        assert (r["n_intervals"], r["n_islands"], r["covered"],
+                r["span"]) == (ni, nisl, cov, span)
+    assert set(got["id"]) == set(iv["id"])
+
+
+def test_interval_coverage_edges():
+    from city2graph_ray.ops.intervals import interval_coverage
+    # touching intervals merge; zero-length interval inside an island
+    iv = pd.DataFrame({
+        "id": np.array([1, 1, 1, 2], np.int64),
+        "s": np.array([0, 10, 5, 7], np.int64),
+        "e": np.array([10, 20, 5, 7], np.int64)})
+    got = (interval_coverage(rd.from_pandas(iv), key_col="id",
+                             num_buckets=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got.loc[0, "n_islands"] == 1 and got.loc[0, "covered"] == 20
+    assert got.loc[1, "n_islands"] == 1 and got.loc[1, "covered"] == 0
