@@ -4077,6 +4077,21 @@ def _emb_sq8(sf_dir: str):
     return sq8_codes(embeddings(sf_dir))
 
 
+_DICT_TERMS = ["batch", "hash scan", "window window", "sort",
+               "merge part", "dup"]
+
+
+def _doc_dict_hits(sf_dir: str):
+    """Dictionary-exposure scoring: non-overlapping occurrence counts
+    of 6 fixed terms (multi-word and self-bordered ones included) per
+    doc via the compiled-pattern actor pool — greedy left-to-right
+    counting equals SQL's replace-length arithmetic exactly."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.blocklist import dictionary_count
+
+    return dictionary_count(documents(sf_dir), _DICT_TERMS)
+
+
 def _doc_winnowing(sf_dir: str):
     """MOSS winnowing fingerprint selection (k=5 char grams, window=4,
     rightmost-min tie rule) in md5 hash mode — every selected
@@ -4130,6 +4145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_prefix_dedup": _doc_prefix_dedup,
         "doc_postings": _doc_postings,
         "doc_winnowing": _doc_winnowing,
+        "doc_dict_hits": _doc_dict_hits,
         "doc_containment": _doc_containment,
         "doc_token_stats": _doc_tokens,
         "doc_pack_spans": _doc_pack_spans,
@@ -4832,6 +4848,15 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(i AS DOUBLE) / ca.n, 6) AS containment
             FROM inter JOIN cnt ca ON ca.doc_id = inter.a
             WHERE CAST(i AS DOUBLE) / ca.n >= 0.8""",
+        "doc_dict_hits": """
+            WITH terms(term) AS (VALUES ('batch'), ('hash scan'),
+                ('window window'), ('sort'), ('merge part'), ('dup'))
+            SELECT d.doc_id, t.term,
+                   (length(d.text) - length(replace(d.text, t.term, '')))
+                     // length(t.term) AS n
+            FROM documents d CROSS JOIN terms t
+            WHERE length(d.text)
+                  - length(replace(d.text, t.term, '')) > 0""",
         "doc_winnowing": """
             WITH h AS (
               SELECT doc_id,

@@ -112,3 +112,65 @@ def blocklist_filter(docs: ray.data.Dataset, blocked: ray.data.Dataset,
                                             if c != "__hit"]],
         batch_format="pandas")
     return clean.union(confirmed)
+
+
+class DictionaryCounter:
+    """Stateful actor stage: count non-overlapping occurrences of each
+    dictionary term in every document (the blocklist-SCORING sibling of
+    :func:`blocklist_filter` — keep the doc, measure its exposure).
+
+    The term list is compiled ONCE per actor in ``__init__`` (the
+    actor-pool discipline: pass the CLASS to ``map_batches`` with
+    ``concurrency=``); each ``__call__`` runs the compiled patterns
+    over the batch with pandas' C-level ``str.count``.  Counting is
+    greedy left-to-right non-overlapping — exactly SQL's
+    ``(length(t) - length(replace(t, p, ''))) / length(p)`` — so the
+    op is bit-exact SQL-twinnable for any term list, bordered terms
+    included.  Output: one (doc_id, term, n) row per doc×term with
+    n > 0.
+    """
+
+    def __init__(self, terms: "list[str]", text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import re
+        if not terms or len(set(terms)) != len(terms):
+            raise ValueError("terms must be non-empty and distinct")
+        self._terms = list(terms)
+        self._pats = [re.compile(re.escape(t)) for t in terms]
+        self._text_col = text_col
+        self._id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self._text_col].astype(str)
+        ids = batch[self._id_col].to_numpy(np.int64)
+        out_id, out_term, out_n = [], [], []
+        for term, pat in zip(self._terms, self._pats):
+            n = texts.str.count(pat).to_numpy(np.int64)
+            hit = n > 0
+            if hit.any():
+                out_id.append(ids[hit])
+                out_term.append(np.full(int(hit.sum()), term, object))
+                out_n.append(n[hit])
+        if not out_id:
+            return pd.DataFrame({
+                self._id_col: np.array([], np.int64),
+                "term": pd.Series([], dtype=str),
+                "n": np.array([], np.int64)})
+        return pd.DataFrame({
+            self._id_col: np.concatenate(out_id),
+            "term": np.concatenate(out_term),
+            "n": np.concatenate(out_n)})
+
+
+def dictionary_count(docs: ray.data.Dataset, terms: "list[str]",
+                     text_col: str = "text", id_col: str = "doc_id",
+                     concurrency: "int | tuple[int, int]" = (1, 8),
+                     ) -> ray.data.Dataset:
+    """Per-doc dictionary-term occurrence counts via a
+    :class:`DictionaryCounter` actor pool (patterns compiled once per
+    actor, never per batch)."""
+    return docs.map_batches(
+        DictionaryCounter, batch_format="pandas",
+        fn_constructor_kwargs={"terms": terms, "text_col": text_col,
+                               "id_col": id_col},
+        concurrency=concurrency)
