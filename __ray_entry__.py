@@ -283,6 +283,42 @@ def _pt_zorder(sf_dir: str):
     return zorder_rank(customer_points(sf_dir), 64.0)
 
 
+def _pt_hilbert(sf_dir: str):
+    """Hilbert-curve locality layout (order 8, cell 4): curve index +
+    global rank.  The SQL twin unrolls the 8 bit-rotation rounds as
+    integer CASE/xor CTEs — bit-exact."""
+    from city2graph_ray.ops.tiling import hilbert_rank
+    from city2graph_ray.pipelines.tables import customer_points
+
+    return hilbert_rank(customer_points(sf_dir), 4.0, order=8)
+
+
+def _hilbert_sql(order: int, cell: float) -> str:
+    """Unrolled Hilbert xy→d ladder mirroring hilbert_rank's rounds."""
+    ctes = [f"""pts AS ({_PTS}),
+            h{order} AS (SELECT id,
+                CAST(floor(x / {cell}) AS BIGINT) AS hx,
+                CAST(floor(y / {cell}) AS BIGINT) AS hy,
+                0 AS d FROM pts)"""]
+    for b in range(order - 1, -1, -1):
+        s = 1 << b
+        ctes.append(f"""
+            h{b} AS (SELECT id,
+                CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+                     THEN {s - 1} - hy ELSE hy END) ELSE hx END AS hx,
+                CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+                     THEN {s - 1} - hx ELSE hx END) ELSE hy END AS hy,
+                d + {s * s} * xor(3 * rx, ry) AS d
+              FROM (SELECT id, hx, hy, d,
+                        CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                        CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+                    FROM h{b + 1}))""")
+    return ("WITH " + ",".join(ctes) + """
+            SELECT id, d AS hkey,
+                   row_number() OVER (ORDER BY d, id) AS rn
+            FROM h0""")
+
+
 def _pt_cell_ring(sf_dir: str):
     """Cell hierarchy at the gate: per point its packed cell, the
     4x-coarser PARENT cell and the k=1 RING population (H3/S2
@@ -4113,6 +4149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_hexbin": _pt_hexbin,
         "pt_cell_ring": _pt_cell_ring,
         "pt_zorder": _pt_zorder,
+        "pt_hilbert": _pt_hilbert,
         "grid_zone_dissolve": _grid_zone_dissolve,
         "grid_hotspots": _grid_hotspots,
         "grid_areal_interp": _grid_areal_interp,
@@ -4558,6 +4595,7 @@ def oracle_sql() -> dict[str, str]:
                    n_cells * 4096.0 AS area,
                    perimeter_units * 64.0 AS perimeter
             FROM ar JOIN per USING (zone)""",
+        "pt_hilbert": _hilbert_sql(8, 4.0),
         "pt_zorder": f"""
             WITH pts AS ({_PTS}),
             ij AS (SELECT id,

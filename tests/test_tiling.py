@@ -284,3 +284,32 @@ def test_hex_assign_nearest_center(ray_session):
                    key=lambda qr: (xy[i, 0] - size * s3 * (qr[0] + qr[1] / 2.0)) ** 2
                    + (xy[i, 1] - size * 1.5 * qr[1]) ** 2)
         assert best == (hq, hr)
+
+
+def test_hilbert_rank_permutation_and_adjacency():
+    from city2graph_ray.ops.tiling import hilbert_rank
+    order, side = 4, 16
+    gx, gy = np.meshgrid(np.arange(side), np.arange(side))
+    pts = pd.DataFrame({
+        "id": np.arange(side * side, dtype=np.int64),
+        "x": gx.ravel() + 0.5, "y": gy.ravel() + 0.5})
+    out = (hilbert_rank(rd.from_pandas(pts), 1.0, order=order)
+           .to_pandas().merge(pts, on="id").sort_values("rn"))
+    # hkey is a permutation of the full grid
+    assert sorted(out["hkey"]) == list(range(side * side))
+    # consecutive ranks are edge-adjacent cells (the Hilbert property —
+    # Z-order fails this at every power-of-two boundary)
+    dx = np.abs(np.diff(np.floor(out["x"].to_numpy())))
+    dy = np.abs(np.diff(np.floor(out["y"].to_numpy())))
+    assert ((dx + dy) == 1).all()
+    assert out["rn"].tolist() == list(range(1, side * side + 1))
+
+
+def test_hilbert_rank_rejects_out_of_range():
+    import pytest as _pytest
+    import ray.exceptions
+    from city2graph_ray.ops.tiling import hilbert_rank
+    pts = pd.DataFrame({"id": np.array([0], np.int64),
+                        "x": np.array([-5.0]), "y": np.array([1.0])})
+    with _pytest.raises(Exception):
+        hilbert_rank(rd.from_pandas(pts), 1.0, order=4).to_pandas()
