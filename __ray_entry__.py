@@ -3770,6 +3770,36 @@ def _event_interval_coverage(sf_dir: str):
     return interval_coverage(ev, key_col="user_id")
 
 
+def _event_ewma(sf_dir: str):
+    """Per-user EWMA (alpha=1/2, adjust=False) over integer event
+    cents in (ts, event_id) order — the ALL-INTEGER recurrence
+    (half-up ``(v·1024 + s + 1) // 2``) is bit-exact vs the recursive
+    CTE (float round-to-10dp differs from SQL round in the last ULP);
+    the kernel vectorizes the recurrence ACROSS users."""
+    import ray.data
+
+    from city2graph_ray.ops.windows import grouped_ewma_int
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "ts_us": b["ts"].astype("datetime64[us]").to_numpy().view("i8"),
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "cents": np.floor(b["value"].to_numpy(np.float64) * 100
+                              + 0.5).astype(np.int64)})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"]).map_batches(
+        prep, batch_format="pandas")
+    out = grouped_ewma_int(ev, "user_id", ["ts_us", "event_id"],
+                           "cents", num=1, den=2, scale=1024)
+    return out.map_batches(
+        lambda b: b.assign(ewma=b["ewma_scaled"].to_numpy(np.int64)
+                           / 102400.0).drop(columns=["ewma_scaled"]),
+        batch_format="pandas")
+
+
 def _event_user_paths(sf_dir: str):
     """Per-user ordered journey strings (first 12 event types by
     (ts, event_id)) — one keyed shuffle, vectorized per-group head."""
@@ -4305,6 +4335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _event_funnel,
         "event_interval_overlap": _event_interval_overlap,
         "event_interval_coverage": _event_interval_coverage,
+        "event_ewma": _event_ewma,
         "event_user_paths": _event_user_paths,
         "event_transitions": _event_transitions,
         "event_retention": _event_retention,
@@ -6790,6 +6821,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id,
                    least(le, re) - greatest(ls, rs) AS overlap
             FROM a JOIN b ON ls < re AND rs < le""",
+        "event_ewma": """
+            WITH RECURSIVE r AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS rn
+              FROM events),
+            e AS (
+              SELECT user_id, rn, ts_us, event_id, cents,
+                     cents * 1024 AS s
+              FROM r WHERE rn = 1
+              UNION ALL
+              SELECT r.user_id, r.rn, r.ts_us, r.event_id, r.cents,
+                     (r.cents * 1024 + e.s + 1) // 2
+              FROM e JOIN r ON r.user_id = e.user_id
+                   AND r.rn = e.rn + 1)
+            SELECT user_id, ts_us, event_id, cents,
+                   s / 102400.0 AS ewma FROM e""",
         "event_interval_coverage": """
             WITH iv AS (
               SELECT user_id, epoch_us(ts) AS s,

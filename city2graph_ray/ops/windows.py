@@ -260,3 +260,110 @@ def resample_ffill(ds: ray.data.Dataset, key_col: str, ts_col: str,
 
     return shuffle.grouped_transform(ds, [key_col], kernel,
                                      num_buckets=num_buckets)
+
+
+def grouped_ewma(ds: ray.data.Dataset, key_col: str, order_cols: "list[str]",
+                 value_col: str, alpha: float = 0.5,
+                 round_to: "int | None" = 10,
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 ) -> ray.data.Dataset:
+    """Per-key exponentially weighted moving average along the key's
+    event order: ``ewma_1 = v_1``; ``ewma_i = alpha·v_i +
+    (1-alpha)·ewma_{i-1}`` (pandas ``ewm(adjust=False)``).
+
+    One keyed shuffle; inside each bucket the recurrence is vectorized
+    ACROSS keys (one numpy pass per step index, never per row): rows
+    are ranked within key, and step ``i`` updates every key's state at
+    once, so the Python loop length is max-events-per-key, not rows.
+
+    ``round_to`` rounds each step's result (the per-iteration-rounding
+    discipline from pagerank) to bound drift across layouts.  NOTE:
+    numpy and SQL ``round`` can differ in the last ULP at large
+    magnitudes, so for a bit-exact SQL twin use
+    :func:`grouped_ewma_int`.  Output: key, order cols, value,
+    ``ewma``.
+    """
+    a = float(alpha)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy(np.float64)
+        n = len(v)
+        out = np.empty(n, np.float64)
+        if n:
+            new_key = np.concatenate(([True], k[1:] != k[:-1]))
+            starts = np.nonzero(new_key)[0]
+            # rank of each row within its key
+            rank = np.arange(n) - np.repeat(starts, np.diff(
+                np.concatenate([starts, [n]])))
+            max_rank = int(rank.max())
+            state = v[starts].copy()
+            if round_to is not None:
+                state = np.round(state, round_to)
+            out[starts] = state
+            for r in range(1, max_rank + 1):
+                rows = starts + r
+                live = rows < n
+                rows = rows[live]
+                rows = rows[rank[rows] == r]
+                sel = np.searchsorted(starts, rows, side="right") - 1
+                nxt = a * v[rows] + (1.0 - a) * state[sel]
+                if round_to is not None:
+                    nxt = np.round(nxt, round_to)
+                state[sel] = nxt
+                out[rows] = nxt
+        res = g[[key_col, *order_cols, value_col]].copy()
+        res["ewma"] = out
+        return res
+
+    return shuffle.grouped_transform(ds, [key_col], kernel,
+                                     num_buckets=num_buckets)
+
+
+def grouped_ewma_int(ds: ray.data.Dataset, key_col: str,
+                     order_cols: "list[str]", value_col: str,
+                     num: int = 1, den: int = 2, scale: int = 1024,
+                     num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                     ) -> ray.data.Dataset:
+    """All-integer EWMA (alpha = num/den): state ``s_1 = v_1·scale``;
+    ``s_i = (num·v_i·scale + (den-num)·s_{i-1} + den//2) // den``
+    (round-half-up) — the bit-exact sibling of :func:`grouped_ewma`
+    (float round-to-k-dp differs from SQL ``round`` in the last ULP;
+    integer recurrences are the engine's exactness discipline, same as
+    the k-means update).  ``value_col`` must be int64 and non-negative
+    (floor division == the SQL ``//`` for non-negatives).  Output adds
+    ``ewma_scaled`` (int64, in value·scale units).  Same across-key
+    vectorization as the float form: one numpy pass per step index.
+    """
+    num_i, den_i, sc = np.int64(num), np.int64(den), np.int64(scale)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy(np.int64)
+        n = len(v)
+        out = np.empty(n, np.int64)
+        if n:
+            new_key = np.concatenate(([True], k[1:] != k[:-1]))
+            starts = np.nonzero(new_key)[0]
+            rank = np.arange(n) - np.repeat(starts, np.diff(
+                np.concatenate([starts, [n]])))
+            state = v[starts] * sc
+            out[starts] = state
+            for r in range(1, int(rank.max()) + 1):
+                rows = starts + r
+                rows = rows[rows < n]
+                rows = rows[rank[rows] == r]
+                sel = np.searchsorted(starts, rows, side="right") - 1
+                nxt = (num_i * v[rows] * sc
+                       + (den_i - num_i) * state[sel]
+                       + den_i // np.int64(2)) // den_i
+                state[sel] = nxt
+                out[rows] = nxt
+        res = g[[key_col, *order_cols, value_col]].copy()
+        res["ewma_scaled"] = out
+        return res
+
+    return shuffle.grouped_transform(ds, [key_col], kernel,
+                                     num_buckets=num_buckets)

@@ -63,3 +63,47 @@ def test_resample_ffill_bruteforce():
                     last["value"],
                     int(pd.Timestamp(last["ts"]).value // 1000))
     assert got == want
+
+
+def test_grouped_ewma_matches_pandas_ewm():
+    import ray.data as rd
+    from city2graph_ray.ops.windows import grouped_ewma
+    rng = np.random.default_rng(17)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, n).astype(np.int64),
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.uniform(0, 100, n)})
+    got = (grouped_ewma(rd.from_pandas(df), "k", ["o"], "v",
+                        alpha=0.3, round_to=None, num_buckets=8)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    want = (df.sort_values(["k", "o"])
+            .groupby("k")["v"]
+            .transform(lambda s: s.ewm(alpha=0.3, adjust=False).mean())
+            .reset_index(drop=True))
+    assert np.allclose(got["ewma"].to_numpy(), want.to_numpy(),
+                       rtol=1e-12)
+
+
+def test_grouped_ewma_int_bruteforce():
+    import ray.data as rd
+    from city2graph_ray.ops.windows import grouped_ewma_int
+    rng = np.random.default_rng(23)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n).astype(np.int64),
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 10_000, n).astype(np.int64)})
+    got = (grouped_ewma_int(rd.from_pandas(df), "k", ["o"], "v",
+                            num=1, den=4, scale=256, num_buckets=4)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    state: dict = {}
+    want = []
+    for _, r in df.sort_values(["k", "o"]).iterrows():
+        k, v = r["k"], r["v"]
+        if k not in state:
+            state[k] = v * 256
+        else:
+            state[k] = (1 * v * 256 + 3 * state[k] + 2) // 4
+        want.append(state[k])
+    assert got["ewma_scaled"].tolist() == want
