@@ -283,6 +283,29 @@ def _pt_zorder(sf_dir: str):
     return zorder_rank(customer_points(sf_dir), 64.0)
 
 
+def _segment_densify(sf_dir: str):
+    """Fixed-spacing (64, power of two) line interpolation over the
+    orders-derived segments — shuffle-free vectorized explode; every
+    float expression mirrored verbatim in the SQL twin (bit-exact)."""
+    import ray.data
+
+    from city2graph_ray.ops.segments import densify_segments
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey"])
+
+    def eps(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        ax, ay = synth.key_to_xy(ok)
+        bx, by = synth.key_to_xy(ck)
+        return pd.DataFrame({"seg_id": ok, "ax": ax, "ay": ay,
+                             "bx": bx, "by": by})
+
+    return densify_segments(ds.map_batches(eps, batch_format="pandas"),
+                            64.0)
+
+
 def _pt_hilbert(sf_dir: str):
     """Hilbert-curve locality layout (order 8, cell 4): curve index +
     global rank.  The SQL twin unrolls the 8 bit-rotation rounds as
@@ -4180,6 +4203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_cell_ring": _pt_cell_ring,
         "pt_zorder": _pt_zorder,
         "pt_hilbert": _pt_hilbert,
+        "segment_densify": _segment_densify,
         "grid_zone_dissolve": _grid_zone_dissolve,
         "grid_hotspots": _grid_hotspots,
         "grid_areal_interp": _grid_areal_interp,
@@ -4627,6 +4651,22 @@ def oracle_sql() -> dict[str, str]:
                    perimeter_units * 64.0 AS perimeter
             FROM ar JOIN per USING (zone)""",
         "pt_hilbert": _hilbert_sql(8, 4.0),
+        "segment_densify": f"""
+            WITH s AS ({_SEG_EPS}),
+            d AS (SELECT seg_id, ax, ay, bx - ax AS dx, by - ay AS dy,
+                         sqrt((bx - ax) * (bx - ax)
+                              + (by - ay) * (by - ay)) AS ln
+                  FROM s),
+            e AS (SELECT seg_id, ax, ay, dx, dy, ln,
+                         unnest(generate_series(0,
+                             CAST(floor(ln / 64.0) AS BIGINT))) AS i
+                  FROM d)
+            SELECT seg_id, i,
+                   ax + dx * (CASE WHEN ln > 0.0
+                       THEN (i * 64.0) / ln ELSE 0.0 END) AS px,
+                   ay + dy * (CASE WHEN ln > 0.0
+                       THEN (i * 64.0) / ln ELSE 0.0 END) AS py
+            FROM e""",
         "pt_zorder": f"""
             WITH pts AS ({_PTS}),
             ij AS (SELECT id,

@@ -360,3 +360,49 @@ def segment_intersections(segs: ray.data.Dataset, cell_size: float,
 
     return shuffle.grouped_transform(dup, ["cell"], kernel,
                                      num_buckets=num_buckets)
+
+
+def densify_segments(segs: ray.data.Dataset, spacing: float,
+                     id_col: str = "seg_id",
+                     max_points_per_seg: int = 1 << 20,
+                     ) -> ray.data.Dataset:
+    """Fixed-spacing line interpolation (GEOS ``segmentize`` /
+    map-matching resampler): for each segment (ax, ay)→(bx, by) emit
+    points at arc distances ``0, spacing, 2·spacing, …`` — i.e.
+    ``i = 0..floor(len/spacing)`` with ``t = (i·spacing)/len``,
+    ``p = a + (b−a)·t``.  Degenerate zero-length segments emit their
+    single point at i=0.
+
+    Embarrassingly parallel (one vectorized explode per batch, no
+    shuffle); each expression (sqrt of the exact dot, one multiply,
+    one divide, one fma-free add) is written identically in the SQL
+    twin, so outputs are bit-exact for power-of-two ``spacing``.
+    ``max_points_per_seg`` guards a worker's heap against a
+    pathological len/spacing ratio (raise — never silently truncate).
+    Output: (id, i, px, py).
+    """
+    sp = float(spacing)
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        ax = b["ax"].to_numpy(np.float64)
+        ay = b["ay"].to_numpy(np.float64)
+        bx = b["bx"].to_numpy(np.float64)
+        by = b["by"].to_numpy(np.float64)
+        ids = b[id_col].to_numpy(np.int64)
+        dx, dy = bx - ax, by - ay
+        ln = np.sqrt(dx * dx + dy * dy)
+        n = np.floor(ln / sp).astype(np.int64) + 1  # points incl. i=0
+        if len(n) and int(n.max()) > max_points_per_seg:
+            raise ValueError("segment emits too many points; raise "
+                             "max_points_per_seg or spacing")
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), n)
+        i = (np.arange(int(n.sum()), dtype=np.int64)
+             - np.repeat(np.cumsum(n) - n, n))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = np.where(ln[idx] > 0.0, (i * sp) / ln[idx], 0.0)
+        return pd.DataFrame({
+            id_col: ids[idx], "i": i,
+            "px": ax[idx] + dx[idx] * t,
+            "py": ay[idx] + dy[idx] * t})
+
+    return segs.map_batches(fn, batch_format="pandas")

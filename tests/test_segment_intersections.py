@@ -91,3 +91,38 @@ def test_empty_and_single_inputs():
     out1 = segment_intersections(ray.data.from_pandas(one), 5.0,
                                  num_buckets=2)
     assert out1.count() == 0
+
+
+def test_densify_segments_geometry():
+    import ray.data as rd
+    from city2graph_ray.ops.segments import densify_segments
+    segs = pd.DataFrame({
+        "seg_id": np.array([1, 2, 3], np.int64),
+        "ax": [0.0, 5.0, 2.0], "ay": [0.0, 5.0, 3.0],
+        "bx": [10.0, 5.0, 2.0], "by": [0.0, 9.0, 3.0]})
+    out = (densify_segments(rd.from_pandas(segs), 2.0)
+           .to_pandas().sort_values(["seg_id", "i"]).reset_index(drop=True))
+    # seg 1: len 10, spacing 2 -> i=0..5, x = 0,2,..,10
+    s1 = out[out["seg_id"] == 1]
+    assert s1["i"].tolist() == list(range(6))
+    assert np.allclose(s1["px"], [0, 2, 4, 6, 8, 10])
+    assert np.allclose(s1["py"], 0.0)
+    # seg 2: vertical len 4 -> i=0..2 at y=5,7,9
+    s2 = out[out["seg_id"] == 2]
+    assert np.allclose(s2["py"], [5, 7, 9]) and np.allclose(s2["px"], 5.0)
+    # seg 3: zero length -> single point i=0
+    s3 = out[out["seg_id"] == 3]
+    assert len(s3) == 1 and s3["i"].iloc[0] == 0
+    assert s3["px"].iloc[0] == 2.0 and s3["py"].iloc[0] == 3.0
+
+
+def test_densify_segments_guard():
+    import pytest as _pytest
+    import ray.data as rd
+    from city2graph_ray.ops.segments import densify_segments
+    segs = pd.DataFrame({
+        "seg_id": np.array([1], np.int64),
+        "ax": [0.0], "ay": [0.0], "bx": [1e9], "by": [0.0]})
+    with _pytest.raises(Exception):
+        densify_segments(rd.from_pandas(segs), 1.0,
+                         max_points_per_seg=100).to_pandas()
