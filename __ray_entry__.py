@@ -283,6 +283,24 @@ def _pt_zorder(sf_dir: str):
     return zorder_rank(customer_points(sf_dir), 64.0)
 
 
+def _supp_butterflies(sf_dir: str):
+    """Bipartite butterfly (2×2 biclique) counts per supplier over the
+    order×supplier lineitem relation — all-integer C(w,2) arithmetic
+    on the co-occurrence projection, exact SQL twin."""
+    import ray.data
+
+    from city2graph_ray.ops.graph_algos import bipartite_butterflies
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"])
+    out = bipartite_butterflies(li, "l_orderkey", "l_suppkey")
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "supp": b["item"].to_numpy(np.int64),
+            "butterflies": b["butterflies"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
 def _segment_densify(sf_dir: str):
     """Fixed-spacing (64, power of two) line interpolation over the
     orders-derived segments — shuffle-free vectorized explode; every
@@ -4204,6 +4222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_zorder": _pt_zorder,
         "pt_hilbert": _pt_hilbert,
         "segment_densify": _segment_densify,
+        "supp_butterflies": _supp_butterflies,
         "grid_zone_dissolve": _grid_zone_dissolve,
         "grid_hotspots": _grid_hotspots,
         "grid_areal_interp": _grid_areal_interp,
@@ -4651,6 +4670,18 @@ def oracle_sql() -> dict[str, str]:
                    perimeter_units * 64.0 AS perimeter
             FROM ar JOIN per USING (zone)""",
         "pt_hilbert": _hilbert_sql(8, 4.0),
+        "supp_butterflies": """
+            WITH e AS (SELECT DISTINCT l_orderkey AS u,
+                              l_suppkey AS v FROM lineitem),
+            w AS (SELECT a.v AS v1, b.v AS v2, count(*) AS c
+                  FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+                  GROUP BY 1, 2),
+            bf AS (SELECT v1, v2, c * (c - 1) // 2 AS b
+                   FROM w WHERE c >= 2)
+            SELECT supp, sum(b) AS butterflies FROM (
+              SELECT v1 AS supp, b FROM bf
+              UNION ALL SELECT v2, b FROM bf)
+            GROUP BY supp""",
         "segment_densify": f"""
             WITH s AS ({_SEG_EPS}),
             d AS (SELECT seg_id, ax, ay, bx - ax AS dx, by - ay AS dy,

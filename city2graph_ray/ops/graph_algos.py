@@ -785,6 +785,37 @@ def cooccurrence_graph(table: ray.data.Dataset, key: str, item: str,
                              num_buckets=num_buckets)
 
 
+def bipartite_butterflies(table: ray.data.Dataset, key: str, item: str,
+                          num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                          ) -> ray.data.Dataset:
+    """Per-item butterfly counts over a bipartite key×item relation —
+    a butterfly (2×2 biclique / bipartite 4-cycle) is the bipartite
+    cohesion primitive (Sanei-Mehri et al., KDD'18).  For each item
+    pair sharing ``w`` distinct keys there are C(w, 2) butterflies;
+    an item's count is the sum over its pairs.  Output
+    ``(item, butterflies)`` for items in ≥1 butterfly.
+
+    Composition: the :func:`cooccurrence_graph` projection (distinct →
+    ragged triu pair expansion → keyed sum) followed by one vectorized
+    C(w,2) scatter to both endpoints and a keyed sum — all integer,
+    SQL-twinnable exactly."""
+    co = cooccurrence_graph(table, key, item, num_buckets=num_buckets)
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["n_keys"].to_numpy(np.int64)
+        bf = w * (w - 1) // 2
+        keep = bf > 0
+        return pd.DataFrame({
+            "item": np.concatenate([b["item_a"].to_numpy()[keep],
+                                    b["item_b"].to_numpy()[keep]]),
+            "bf": np.concatenate([bf[keep], bf[keep]])})
+
+    return shuffle.group_agg(
+        co.map_batches(scatter, batch_format="pandas"),
+        ["item"], {"butterflies": ("bf", "sum")},
+        num_buckets=num_buckets)
+
+
 def clustering_coefficient(edges: ray.data.Dataset, src: str = "src",
                            dst: str = "dst",
                            num_buckets: int = shuffle.DEFAULT_BUCKETS,

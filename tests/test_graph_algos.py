@@ -883,3 +883,28 @@ def test_sssp_bounded_source_not_in_graph(ray_session):
                            strategy=strat).to_pandas()
         assert out["node"].tolist() == [99]
         assert out["dist"].tolist() == [0]
+
+
+def test_bipartite_butterflies_bruteforce():
+    import itertools
+
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import bipartite_butterflies
+    rng = np.random.default_rng(41)
+    n = 400
+    tbl = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "i": rng.integers(0, 15, n).astype(np.int64)})
+    got = (bipartite_butterflies(rd.from_pandas(tbl), "k", "i",
+                                 num_buckets=8)
+           .to_pandas().set_index("item")["butterflies"].to_dict())
+    # brute force: for every item pair, C(shared keys, 2)
+    adj = tbl.drop_duplicates().groupby("i")["k"].apply(set)
+    want: dict = {}
+    for a, b in itertools.combinations(sorted(adj.index), 2):
+        w = len(adj[a] & adj[b])
+        c = w * (w - 1) // 2
+        if c:
+            want[a] = want.get(a, 0) + c
+            want[b] = want.get(b, 0) + c
+    assert got == want
