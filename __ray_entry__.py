@@ -283,6 +283,27 @@ def _pt_zorder(sf_dir: str):
     return zorder_rank(customer_points(sf_dir), 64.0)
 
 
+def _grid_morans_i(sf_dir: str):
+    """Global Moran's I (binary queen weights) over the part grid with
+    the synthetic value v = c + r + (key % 7) — gradient + noise, so I
+    is strongly positive.  All-integer cross-multiplied moments, one
+    identical double division — bit-exact vs the adjacency self-join
+    twin."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import morans_i
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        c, r = synth.part_grid_cell(k)
+        return pd.DataFrame({"c": c, "r": r, "v": c + r + (k % 7)})
+
+    return morans_i(ds.map_batches(fn, batch_format="pandas"))
+
+
 def _supp_butterflies(sf_dir: str):
     """Bipartite butterfly (2×2 biclique) counts per supplier over the
     order×supplier lineitem relation — all-integer C(w,2) arithmetic
@@ -4223,6 +4244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_hilbert": _pt_hilbert,
         "segment_densify": _segment_densify,
         "supp_butterflies": _supp_butterflies,
+        "grid_morans_i": _grid_morans_i,
         "grid_zone_dissolve": _grid_zone_dissolve,
         "grid_hotspots": _grid_hotspots,
         "grid_areal_interp": _grid_areal_interp,
@@ -4670,6 +4692,25 @@ def oracle_sql() -> dict[str, str]:
                    perimeter_units * 64.0 AS perimeter
             FROM ar JOIN per USING (zone)""",
         "pt_hilbert": _hilbert_sql(8, 4.0),
+        "grid_morans_i": """
+            WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
+                              (p_partkey % 40) + (p_partkey // 40)
+                              + (p_partkey % 7) AS v
+                       FROM part),
+            s AS (SELECT count(*) AS n, sum(v) AS sv FROM g),
+            z AS (SELECT c, r, (SELECT n FROM s) * v
+                              - (SELECT sv FROM s) AS z FROM g),
+            e AS (SELECT a.z AS za, b.z AS zb
+                  FROM z a JOIN z b
+                  ON abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+                     AND NOT (a.c = b.c AND a.r = b.r)),
+            m AS (SELECT count(*) AS w, sum(za * zb) AS num FROM e),
+            d AS (SELECT sum(z * z) AS den FROM z)
+            SELECT s.n AS n_cells, m.w AS w_sum,
+                   (CAST(s.n AS DOUBLE) * CAST(m.num AS DOUBLE))
+                   / (CAST(m.w AS DOUBLE) * CAST(d.den AS DOUBLE))
+                     AS moran_i
+            FROM s, m, d""",
         "supp_butterflies": """
             WITH e AS (SELECT DISTINCT l_orderkey AS u,
                               l_suppkey AS v FROM lineitem),

@@ -539,3 +539,78 @@ def group_corr(ds: ray.data.Dataset, keys, x_col: str, y_col: str,
         return out
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def morans_i(grid: ray.data.Dataset, col_c: str = "c", col_r: str = "r",
+             val: str = "v", num_buckets: int = 16) -> pd.DataFrame:
+    """Global Moran's I under binary queen contiguity over a sparse
+    integer raster — THE spatial-autocorrelation statistic (Moran
+    1950; the PySAL ``esda.Moran`` analogue, binary unstandardized
+    weights)::
+
+        I = (n · Σ_{i adj j} z_i z_j) / (W · Σ_i z_i²),  z_i = v_i − v̄
+
+    All moments are integer cross-multiplied (``z·n = n·v_i − Σv``, the
+    n² cancels in the ratio), so both engines sum exact int64 partials
+    and perform ONE identical double division at the end — bit-exact.
+    Inputs must be int64 with ``n·|v|`` within int64.
+
+    Distributed shape: two driver scalars (n, Σv), one 8-neighbor ring
+    scatter FROM existing cells plus a self marker row, one keyed sum
+    per cell (phantom centers — scatter targets that aren't real cells
+    — are dropped by the marker), one global partial-sum reduce.  No
+    joins, no adjacency materialization beyond the scatter.
+    Returns a one-row DataFrame (n_cells, w_sum, moran_i).
+    """
+    g = grid.map_batches(
+        lambda b: pd.DataFrame({
+            "c": b[col_c].to_numpy(np.int64),
+            "r": b[col_r].to_numpy(np.int64),
+            "v": b[val].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    n = g.count()
+    if n < 2:
+        raise ValueError("Moran's I needs >= 2 cells")
+    sv = g.sum("v")
+    n64, sv64 = np.int64(n), np.int64(sv)
+    off = np.array([(dc, dr) for dc in (-1, 0, 1) for dr in (-1, 0, 1)
+                    if not (dc == 0 and dr == 0)], np.int64)
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        r = b["r"].to_numpy(np.int64)
+        z = n64 * b["v"].to_numpy(np.int64) - sv64
+        m = len(b)
+        return pd.DataFrame({
+            "c": np.concatenate([np.repeat(c, 8) + np.tile(off[:, 0], m), c]),
+            "r": np.concatenate([np.repeat(r, 8) + np.tile(off[:, 1], m), r]),
+            "zn": np.concatenate([np.repeat(z, 8), np.zeros(m, np.int64)]),
+            "wn": np.concatenate([np.ones(8 * m, np.int64),
+                                  np.zeros(m, np.int64)]),
+            "own": np.concatenate([np.zeros(8 * m, np.int64),
+                                   np.ones(m, np.int64)]),
+            "zown": np.concatenate([np.zeros(8 * m, np.int64), z])})
+
+    percell = shuffle.group_agg(
+        g.map_batches(scatter, batch_format="pandas"),
+        ["c", "r"], {"zn": ("zn", "sum"), "wn": ("wn", "sum"),
+                     "own": ("own", "sum"), "zown": ("zown", "sum")},
+        num_buckets=num_buckets)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["own"].to_numpy(np.int64) == 1
+        zc = b["zown"].to_numpy(np.int64)[keep]
+        zn = b["zn"].to_numpy(np.int64)[keep]
+        wn = b["wn"].to_numpy(np.int64)[keep]
+        return pd.DataFrame({"num": [int((zc * zn).sum())],
+                             "w": [int(wn.sum())],
+                             "den": [int((zc * zc).sum())]})
+
+    p = percell.map_batches(partials, batch_format="pandas").to_pandas()
+    num, w, den = (int(p["num"].sum()), int(p["w"].sum()),
+                   int(p["den"].sum()))
+    moran = ((np.float64(n) * np.float64(num))
+             / (np.float64(w) * np.float64(den)))
+    return pd.DataFrame({"n_cells": np.array([n], np.int64),
+                         "w_sum": np.array([w], np.int64),
+                         "moran_i": np.array([moran], np.float64)})

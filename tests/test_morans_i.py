@@ -1,0 +1,59 @@
+"""Moran's I vs the textbook formula (brute-force loops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _brute(df: pd.DataFrame) -> tuple:
+    cells = list(zip(df["c"], df["r"], df["v"]))
+    n = len(cells)
+    mean = sum(v for _, _, v in cells) / n
+    num = w = 0.0
+    for (c1, r1, v1) in cells:
+        for (c2, r2, v2) in cells:
+            if (c1, r1) != (c2, r2) and abs(c1 - c2) <= 1 \
+                    and abs(r1 - r2) <= 1:
+                num += (v1 - mean) * (v2 - mean)
+                w += 1
+    den = sum((v - mean) ** 2 for _, _, v in cells)
+    return n, int(w), (n * num) / (w * den)
+
+
+def test_morans_i_bruteforce_random():
+    from city2graph_ray.ops.stats import morans_i
+    rng = np.random.default_rng(13)
+    cs, rs = np.meshgrid(np.arange(7), np.arange(6))
+    df = pd.DataFrame({"c": cs.ravel().astype(np.int64),
+                       "r": rs.ravel().astype(np.int64),
+                       "v": rng.integers(0, 50, 42).astype(np.int64)})
+    # drop some cells -> sparse raster with ragged borders
+    df = df[rng.random(42) > 0.2].reset_index(drop=True)
+    got = morans_i(rd.from_pandas(df), num_buckets=4)
+    n, w, i = _brute(df)
+    assert got["n_cells"].iloc[0] == n
+    assert got["w_sum"].iloc[0] == w
+    assert got["moran_i"].iloc[0] == pytest.approx(i, rel=1e-12)
+
+
+def test_morans_i_checkerboard_negative_gradient_positive():
+    from city2graph_ray.ops.stats import morans_i
+    cs, rs = np.meshgrid(np.arange(8), np.arange(8))
+    c, r = cs.ravel().astype(np.int64), rs.ravel().astype(np.int64)
+    # stripes: under QUEEN weights 6 of 8 interior neighbors disagree
+    # (a checkerboard is only weakly negative — diagonals agree)
+    stripes = pd.DataFrame({"c": c, "r": r, "v": (c % 2) * 10})
+    grad = pd.DataFrame({"c": c, "r": r, "v": c + r})
+    i_neg = morans_i(rd.from_pandas(stripes))["moran_i"].iloc[0]
+    i_pos = morans_i(rd.from_pandas(grad))["moran_i"].iloc[0]
+    assert i_neg < -0.3 and i_pos > 0.3
+
+
+def test_morans_i_rejects_degenerate():
+    from city2graph_ray.ops.stats import morans_i
+    df = pd.DataFrame({"c": [0], "r": [0], "v": [5]})
+    with pytest.raises(ValueError):
+        morans_i(rd.from_pandas(df))
