@@ -304,6 +304,25 @@ def _grid_morans_i(sf_dir: str):
     return morans_i(ds.map_batches(fn, batch_format="pandas"))
 
 
+def _grid_lisa(sf_dir: str):
+    """Local Moran's I (Anselin LISA) per grid cell — same integer
+    z-scaling as grid_morans_i, per-row double division, streaming
+    per-cell output."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import local_morans_i
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        c, r = synth.part_grid_cell(k)
+        return pd.DataFrame({"c": c, "r": r, "v": c + r + (k % 7)})
+
+    return local_morans_i(ds.map_batches(fn, batch_format="pandas"))
+
+
 def _supp_butterflies(sf_dir: str):
     """Bipartite butterfly (2×2 biclique) counts per supplier over the
     order×supplier lineitem relation — all-integer C(w,2) arithmetic
@@ -4245,6 +4264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_densify": _segment_densify,
         "supp_butterflies": _supp_butterflies,
         "grid_morans_i": _grid_morans_i,
+        "grid_lisa": _grid_lisa,
         "grid_zone_dissolve": _grid_zone_dissolve,
         "grid_hotspots": _grid_hotspots,
         "grid_areal_interp": _grid_areal_interp,
@@ -4692,6 +4712,26 @@ def oracle_sql() -> dict[str, str]:
                    perimeter_units * 64.0 AS perimeter
             FROM ar JOIN per USING (zone)""",
         "pt_hilbert": _hilbert_sql(8, 4.0),
+        "grid_lisa": """
+            WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
+                              (p_partkey % 40) + (p_partkey // 40)
+                              + (p_partkey % 7) AS v
+                       FROM part),
+            s AS (SELECT count(*) AS n, sum(v) AS sv FROM g),
+            z AS (SELECT c, r, v, (SELECT n FROM s) * v
+                              - (SELECT sv FROM s) AS z FROM g),
+            lag AS (SELECT a.c, a.r, a.v, a.z,
+                           coalesce(sum(b.z), 0) AS zn
+                    FROM z a LEFT JOIN z b
+                    ON abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+                       AND NOT (a.c = b.c AND a.r = b.r)
+                    GROUP BY a.c, a.r, a.v, a.z),
+            d AS (SELECT sum(z * z) AS den FROM z)
+            SELECT c, r, v, zn AS lag_z,
+                   (CAST((SELECT n FROM s) AS DOUBLE)
+                    * (CAST(z AS DOUBLE) * CAST(zn AS DOUBLE)))
+                   / CAST((SELECT den FROM d) AS DOUBLE) AS lisa
+            FROM lag""",
         "grid_morans_i": """
             WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
                               (p_partkey % 40) + (p_partkey // 40)

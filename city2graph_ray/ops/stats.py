@@ -614,3 +614,78 @@ def morans_i(grid: ray.data.Dataset, col_c: str = "c", col_r: str = "r",
     return pd.DataFrame({"n_cells": np.array([n], np.int64),
                          "w_sum": np.array([w], np.int64),
                          "moran_i": np.array([moran], np.float64)})
+
+
+def local_morans_i(grid: ray.data.Dataset, col_c: str = "c",
+                   col_r: str = "r", val: str = "v",
+                   num_buckets: int = 16) -> ray.data.Dataset:
+    """Local Moran's I (Anselin 1995 LISA) per cell under binary queen
+    weights::
+
+        I_i = (n · z_i · Σ_{j adj i} z_j) / Σ_k z_k²
+
+    with the same n-scaled integer z as :func:`morans_i` (the global
+    n² cancels against one n in the classic m2 normalizer).  Every
+    numerator is exact int64; the single shared denominator is an
+    exact int64 driver scalar; each row does ONE identical double
+    division — bit-exact.  Output (c, r, v, lag_z, lisa) for every
+    cell, streaming (no driver rows): unlike :func:`morans_i` the
+    result is per-cell, so the reduce stays distributed.
+    """
+    g = grid.map_batches(
+        lambda b: pd.DataFrame({
+            "c": b[col_c].to_numpy(np.int64),
+            "r": b[col_r].to_numpy(np.int64),
+            "v": b[val].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    n = g.count()
+    if n < 2:
+        raise ValueError("local Moran's I needs >= 2 cells")
+    sv = g.sum("v")
+    n64, sv64 = np.int64(n), np.int64(sv)
+    off = np.array([(dc, dr) for dc in (-1, 0, 1) for dr in (-1, 0, 1)
+                    if not (dc == 0 and dr == 0)], np.int64)
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        r = b["r"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        z = n64 * v - sv64
+        m = len(b)
+        return pd.DataFrame({
+            "c": np.concatenate([np.repeat(c, 8) + np.tile(off[:, 0], m), c]),
+            "r": np.concatenate([np.repeat(r, 8) + np.tile(off[:, 1], m), r]),
+            "zn": np.concatenate([np.repeat(z, 8), np.zeros(m, np.int64)]),
+            "own": np.concatenate([np.zeros(8 * m, np.int64),
+                                   np.ones(m, np.int64)]),
+            "vown": np.concatenate([np.zeros(8 * m, np.int64), v])})
+
+    percell = shuffle.group_agg(
+        g.map_batches(scatter, batch_format="pandas"),
+        ["c", "r"], {"zn": ("zn", "sum"), "own": ("own", "sum"),
+                     "vown": ("vown", "sum")},
+        num_buckets=num_buckets)
+
+    # shared denominator Σ z² as one exact scalar (two tiny passes)
+    den = int(g.map_batches(
+        lambda b: pd.DataFrame({"d": [int(((n64 * b["v"].to_numpy(np.int64)
+                                            - sv64).astype(object) ** 2
+                                           ).sum())]}),
+        batch_format="pandas").to_pandas()["d"].sum())
+
+    dden = np.float64(den)
+    dn = np.float64(n)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["own"].to_numpy(np.int64) == 1
+        c = b["c"].to_numpy(np.int64)[keep]
+        r = b["r"].to_numpy(np.int64)[keep]
+        v = b["vown"].to_numpy(np.int64)[keep]
+        zn = b["zn"].to_numpy(np.int64)[keep]
+        z = n64 * v - sv64
+        return pd.DataFrame({
+            "c": c, "r": r, "v": v, "lag_z": zn,
+            "lisa": (dn * (z.astype(np.float64)
+                           * zn.astype(np.float64))) / dden})
+
+    return percell.map_batches(finish, batch_format="pandas")

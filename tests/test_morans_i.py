@@ -57,3 +57,37 @@ def test_morans_i_rejects_degenerate():
     df = pd.DataFrame({"c": [0], "r": [0], "v": [5]})
     with pytest.raises(ValueError):
         morans_i(rd.from_pandas(df))
+
+
+def test_local_morans_i_bruteforce():
+    from city2graph_ray.ops.stats import local_morans_i
+    rng = np.random.default_rng(29)
+    cs, rs = np.meshgrid(np.arange(6), np.arange(5))
+    df = pd.DataFrame({"c": cs.ravel().astype(np.int64),
+                       "r": rs.ravel().astype(np.int64),
+                       "v": rng.integers(0, 40, 30).astype(np.int64)})
+    df = df[rng.random(30) > 0.15].reset_index(drop=True)
+    got = (local_morans_i(rd.from_pandas(df), num_buckets=4)
+           .to_pandas().sort_values(["c", "r"]).reset_index(drop=True))
+    n = len(df)
+    mean = df["v"].sum() / n
+    m2 = ((df["v"] - mean) ** 2).sum() / n
+    cells = {(c, r): v for c, r, v in zip(df["c"], df["r"], df["v"])}
+    assert len(got) == n
+    for _, row in got.iterrows():
+        c, r = row["c"], row["r"]
+        lag = sum((cells[(c + dc, r + dr)] - mean)
+                  for dc in (-1, 0, 1) for dr in (-1, 0, 1)
+                  if (dc, dr) != (0, 0) and (c + dc, r + dr) in cells)
+        want = (cells[(c, r)] - mean) * lag / m2
+        assert row["lisa"] == pytest.approx(want, rel=1e-10, abs=1e-12)
+
+
+def test_local_morans_i_isolated_cell_zero_lag():
+    from city2graph_ray.ops.stats import local_morans_i
+    df = pd.DataFrame({"c": np.array([0, 10], np.int64),
+                       "r": np.array([0, 10], np.int64),
+                       "v": np.array([3, 9], np.int64)})
+    got = local_morans_i(rd.from_pandas(df)).to_pandas()
+    assert len(got) == 2
+    assert (got["lag_z"] == 0).all() and (got["lisa"] == 0).all()
