@@ -304,6 +304,26 @@ def _grid_morans_i(sf_dir: str):
     return morans_i(ds.map_batches(fn, batch_format="pandas"))
 
 
+def _raster_slope(sf_dir: str):
+    """Horn's-method slope over the part-grid cents raster: exact
+    signed-weight integer numerators, sqrt+power-of-two division as
+    the only float ops; complete-window (nodata border) semantics."""
+    import ray.data
+
+    from city2graph_ray.ops.tiling import raster_slope
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_retailprice"])
+    grid = part.map_batches(
+        lambda b: pd.DataFrame({
+            "c": b["p_partkey"].to_numpy(np.int64) % 40,
+            "r": b["p_partkey"].to_numpy(np.int64) // 40,
+            "v": np.floor(b["p_retailprice"].to_numpy(np.float64) * 100
+                          + 0.5).astype(np.int64)}),
+        batch_format="pandas")
+    return raster_slope(grid)
+
+
 def _grid_lisa(sf_dir: str):
     """Local Moran's I (Anselin LISA) per grid cell — same integer
     z-scaling as grid_morans_i, per-row double division, streaming
@@ -4265,6 +4285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supp_butterflies": _supp_butterflies,
         "grid_morans_i": _grid_morans_i,
         "grid_lisa": _grid_lisa,
+        "raster_slope": _raster_slope,
         "grid_zone_dissolve": _grid_zone_dissolve,
         "grid_hotspots": _grid_hotspots,
         "grid_areal_interp": _grid_areal_interp,
@@ -4712,6 +4733,31 @@ def oracle_sql() -> dict[str, str]:
                    perimeter_units * 64.0 AS perimeter
             FROM ar JOIN per USING (zone)""",
         "pt_hilbert": _hilbert_sql(8, 4.0),
+        "raster_slope": """
+            WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
+                              CAST(floor(p_retailprice * 100 + 0.5)
+                                   AS BIGINT) AS v
+                       FROM part),
+            j AS (SELECT a.c, a.r,
+                    sum(CASE WHEN b.c > a.c THEN
+                          (CASE WHEN b.r = a.r THEN 2 ELSE 1 END)
+                        WHEN b.c < a.c THEN
+                          -(CASE WHEN b.r = a.r THEN 2 ELSE 1 END)
+                        ELSE 0 END * b.v) AS gx_num,
+                    sum(CASE WHEN b.r > a.r THEN
+                          (CASE WHEN b.c = a.c THEN 2 ELSE 1 END)
+                        WHEN b.r < a.r THEN
+                          -(CASE WHEN b.c = a.c THEN 2 ELSE 1 END)
+                        ELSE 0 END * b.v) AS gy_num,
+                    count(*) AS nb
+                  FROM g a JOIN g b
+                  ON abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+                     AND NOT (a.c = b.c AND a.r = b.r)
+                  GROUP BY a.c, a.r)
+            SELECT c, r, gx_num, gy_num,
+                   sqrt(CAST(gx_num * gx_num + gy_num * gy_num
+                             AS DOUBLE)) / 8.0 AS slope
+            FROM j WHERE nb = 8""",
         "grid_lisa": """
             WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
                               (p_partkey % 40) + (p_partkey // 40)

@@ -313,3 +313,45 @@ def test_hilbert_rank_rejects_out_of_range():
                         "x": np.array([-5.0]), "y": np.array([1.0])})
     with _pytest.raises(Exception):
         hilbert_rank(rd.from_pandas(pts), 1.0, order=4).to_pandas()
+
+
+def test_raster_slope_horn_plane():
+    # a perfect plane z = 3c + 5r: Horn gradient recovers (3, 5)/1
+    from city2graph_ray.ops.tiling import raster_slope
+    cs, rs = np.meshgrid(np.arange(6), np.arange(6))
+    c, r = cs.ravel().astype(np.int64), rs.ravel().astype(np.int64)
+    g = pd.DataFrame({"c": c, "r": r, "v": 3 * c + 5 * r})
+    out = raster_slope(rd.from_pandas(g), cell_size=1.0).to_pandas()
+    # only the 4x4 interior has complete windows
+    assert len(out) == 16
+    assert (out["gx_num"] == 24).all()   # 8 * dz/dc
+    assert (out["gy_num"] == 40).all()
+    assert np.allclose(out["slope"], np.sqrt(24.0**2 + 40.0**2) / 8.0)
+
+
+def test_raster_slope_bruteforce_sparse():
+    from city2graph_ray.ops.tiling import raster_slope
+    rng = np.random.default_rng(31)
+    cs, rs = np.meshgrid(np.arange(7), np.arange(7))
+    df = pd.DataFrame({"c": cs.ravel().astype(np.int64),
+                       "r": rs.ravel().astype(np.int64),
+                       "v": rng.integers(0, 100, 49).astype(np.int64)})
+    df = df[rng.random(49) > 0.1].reset_index(drop=True)
+    out = raster_slope(rd.from_pandas(df)).to_pandas()
+    cells = {(c, r): v for c, r, v in zip(df["c"], df["r"], df["v"])}
+    for _, row in out.iterrows():
+        c, r = row["c"], row["r"]
+        win = {(dc, dr): cells.get((c + dc, r + dr))
+               for dc in (-1, 0, 1) for dr in (-1, 0, 1)}
+        assert all(v is not None for v in win.values())
+        gx = (2 * win[(1, 0)] + win[(1, -1)] + win[(1, 1)]
+              - 2 * win[(-1, 0)] - win[(-1, -1)] - win[(-1, 1)])
+        gy = (2 * win[(0, 1)] + win[(-1, 1)] + win[(1, 1)]
+              - 2 * win[(0, -1)] - win[(-1, -1)] - win[(1, -1)])
+        assert (row["gx_num"], row["gy_num"]) == (gx, gy)
+    # every complete-window cell is present
+    n_complete = sum(
+        1 for (c, r) in cells
+        if all((c + dc, r + dr) in cells
+               for dc in (-1, 0, 1) for dr in (-1, 0, 1)))
+    assert len(out) == n_complete
