@@ -304,6 +304,25 @@ def _grid_morans_i(sf_dir: str):
     return morans_i(ds.map_batches(fn, batch_format="pandas"))
 
 
+def _zone_hausdorff(sf_dir: str):
+    """Directed Hausdorff distance (exact squared-integer) between the
+    10 part zones on the grid — max-min over the replicated-by-target
+    fan-out; twin is the min-then-max double GROUP BY."""
+    import ray.data
+
+    from city2graph_ray.ops.spatial import hausdorff_zones
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        c, r = synth.part_grid_cell(k)
+        return pd.DataFrame({"zone": k % 10, "x": c, "y": r})
+
+    return hausdorff_zones(ds.map_batches(fn, batch_format="pandas"))
+
+
 def _raster_slope(sf_dir: str):
     """Horn's-method slope over the part-grid cents raster: exact
     signed-weight integer numerators, sqrt+power-of-two division as
@@ -4286,6 +4305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_morans_i": _grid_morans_i,
         "grid_lisa": _grid_lisa,
         "raster_slope": _raster_slope,
+        "zone_hausdorff": _zone_hausdorff,
         "grid_zone_dissolve": _grid_zone_dissolve,
         "grid_hotspots": _grid_hotspots,
         "grid_areal_interp": _grid_areal_interp,
@@ -4733,6 +4753,18 @@ def oracle_sql() -> dict[str, str]:
                    perimeter_units * 64.0 AS perimeter
             FROM ar JOIN per USING (zone)""",
         "pt_hilbert": _hilbert_sql(8, 4.0),
+        "zone_hausdorff": """
+            WITH p AS (SELECT p_partkey % 10 AS z,
+                              p_partkey % 40 AS c,
+                              p_partkey // 40 AS r
+                       FROM part),
+            mn AS (SELECT a.z AS za, b.z AS zb, a.c, a.r,
+                          min((a.c - b.c) * (a.c - b.c)
+                              + (a.r - b.r) * (a.r - b.r)) AS md
+                   FROM p a JOIN p b ON a.z <> b.z
+                   GROUP BY a.z, b.z, a.c, a.r)
+            SELECT za, zb, max(md) AS h_sq
+            FROM mn GROUP BY za, zb""",
         "raster_slope": """
             WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
                               CAST(floor(p_retailprice * 100 + 0.5)

@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from city2graph_ray import shuffle
 from city2graph_ray.geom.delaunay import Delaunator, _circumradius2
 from city2graph_ray.joins import semi_filter
 
@@ -392,3 +393,83 @@ def dbscan(points: ray.data.Dataset, eps: float, min_pts: int,
 
     return shuffle.grouped_transform(stacked, ["id"], resolve,
                                      num_buckets=num_buckets)
+
+
+def hausdorff_zones(points: ray.data.Dataset, zone_col: str = "zone",
+                    x: str = "x", y: str = "y",
+                    num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                    chunk: int = 4096) -> ray.data.Dataset:
+    """Directed Hausdorff distance between every ordered pair of point
+    zones: ``h(A→B) = max_{a∈A} min_{b∈B} d²(a, b)`` — the classic
+    shape-dissimilarity measure, here in exact SQUARED integer
+    distance (coords must be int64; take sqrt downstream if needed).
+    Output ``(za, zb, h_sq)`` for all za ≠ zb with both zones
+    non-empty.
+
+    Distributed shape: every point is replicated once per OTHER zone,
+    keyed by the target zone — a deliberate ``n·(z−1)`` fan-out, so
+    this operator assumes a SMALL zone cardinality (admin regions,
+    clusters; not per-user groups).  Each target-zone bucket then
+    computes min-over-B per foreign point with a chunked vectorized
+    distance matrix, and one keyed max finishes.  The zone list is a
+    tiny driver-side unique (z rows).
+    """
+    pts = points.map_batches(
+        lambda b: pd.DataFrame({
+            "z": b[zone_col].to_numpy(np.int64),
+            "cx": b[x].to_numpy(np.int64),
+            "cy": b[y].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    zcat = np.sort(np.fromiter(pts.unique("z"), dtype=np.int64))
+    nz = len(zcat)
+    if nz < 2:
+        raise ValueError("hausdorff_zones needs >= 2 zones")
+
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        z = b["z"].to_numpy(np.int64)
+        cx = b["cx"].to_numpy(np.int64)
+        cy = b["cy"].to_numpy(np.int64)
+        m = len(b)
+        # foreign copies: one per other zone, keyed by target
+        tgt = np.tile(zcat, m)
+        src = np.repeat(z, nz)
+        keep = tgt != src
+        return pd.DataFrame({
+            "tz": np.concatenate([tgt[keep], z]),
+            "za": np.concatenate([src[keep], np.full(m, -1, np.int64)]),
+            "cx": np.concatenate([np.repeat(cx, nz)[keep], cx]),
+            "cy": np.concatenate([np.repeat(cy, nz)[keep], cy])})
+
+    rep = pts.map_batches(replicate, batch_format="pandas")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for tz, grp in g.groupby("tz", sort=False):
+            za = grp["za"].to_numpy(np.int64)
+            home = za == -1
+            bx = grp["cx"].to_numpy(np.int64)[home]
+            by = grp["cy"].to_numpy(np.int64)[home]
+            ax = grp["cx"].to_numpy(np.int64)[~home]
+            ay = grp["cy"].to_numpy(np.int64)[~home]
+            az = za[~home]
+            if len(bx) == 0 or len(ax) == 0:
+                continue
+            md = np.empty(len(ax), np.int64)
+            for s in range(0, len(ax), chunk):
+                e = min(s + chunk, len(ax))
+                dx = ax[s:e, None] - bx[None, :]
+                dy = ay[s:e, None] - by[None, :]
+                md[s:e] = (dx * dx + dy * dy).min(axis=1)
+            out.append(pd.DataFrame({"za": az,
+                                     "zb": np.full(len(az), tz, np.int64),
+                                     "d": md}))
+        if not out:
+            return pd.DataFrame({"za": np.array([], np.int64),
+                                 "zb": np.array([], np.int64),
+                                 "d": np.array([], np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    mins = shuffle.grouped_transform(rep, ["tz"], kernel,
+                                     num_buckets=num_buckets)
+    return shuffle.group_agg(mins, ["za", "zb"], {"h_sq": ("d", "max")},
+                             num_buckets=num_buckets)

@@ -255,3 +255,30 @@ def test_components_dual_matches_distributed(ray_session):
     c = components_dual(edges, driver_threshold=1).to_pandas() \
         .sort_values("node_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_hausdorff_zones_bruteforce():
+    import ray.data as rd
+    from city2graph_ray.ops.spatial import hausdorff_zones
+    rng = np.random.default_rng(47)
+    n = 150
+    df = pd.DataFrame({"zone": rng.integers(0, 5, n).astype(np.int64),
+                       "x": rng.integers(0, 60, n).astype(np.int64),
+                       "y": rng.integers(0, 60, n).astype(np.int64)})
+    got = (hausdorff_zones(rd.from_pandas(df), num_buckets=4)
+           .to_pandas().set_index(["za", "zb"])["h_sq"].to_dict())
+    zs = sorted(df["zone"].unique())
+    want = {}
+    for za in zs:
+        for zb in zs:
+            if za == zb:
+                continue
+            a = df[df["zone"] == za]
+            b = df[df["zone"] == zb]
+            h = max(min((ax - bx) ** 2 + (ay - by) ** 2
+                        for bx, by in zip(b["x"], b["y"]))
+                    for ax, ay in zip(a["x"], a["y"]))
+            want[(za, zb)] = h
+    assert got == want
+    # directionality: h(A->B) != h(B->A) for at least one pair
+    assert any(got[(a, b)] != got[(b, a)] for a, b in got if (b, a) in got)
