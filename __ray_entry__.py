@@ -323,6 +323,24 @@ def _zone_hausdorff(sf_dir: str):
     return hausdorff_zones(ds.map_batches(fn, batch_format="pandas"))
 
 
+def _grid_gearys_c(sf_dir: str):
+    """Geary's C over the same gradient+noise part-grid value — the
+    contrast complement of grid_morans_i (expect C well below 1)."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import gearys_c
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        c, r = synth.part_grid_cell(k)
+        return pd.DataFrame({"c": c, "r": r, "v": c + r + (k % 7)})
+
+    return gearys_c(ds.map_batches(fn, batch_format="pandas"))
+
+
 def _raster_slope(sf_dir: str):
     """Horn's-method slope over the part-grid cents raster: exact
     signed-weight integer numerators, sqrt+power-of-two division as
@@ -4304,6 +4322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supp_butterflies": _supp_butterflies,
         "grid_morans_i": _grid_morans_i,
         "grid_lisa": _grid_lisa,
+        "grid_gearys_c": _grid_gearys_c,
         "raster_slope": _raster_slope,
         "zone_hausdorff": _zone_hausdorff,
         "grid_zone_dissolve": _grid_zone_dissolve,
@@ -4753,6 +4772,28 @@ def oracle_sql() -> dict[str, str]:
                    perimeter_units * 64.0 AS perimeter
             FROM ar JOIN per USING (zone)""",
         "pt_hilbert": _hilbert_sql(8, 4.0),
+        "grid_gearys_c": """
+            WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
+                              (p_partkey % 40) + (p_partkey // 40)
+                              + (p_partkey % 7) AS v
+                       FROM part),
+            s AS (SELECT count(*) AS n, sum(v) AS sv FROM g),
+            e AS (SELECT (a.v - b.v) * (a.v - b.v) AS d2
+                  FROM g a JOIN g b
+                  ON abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+                     AND NOT (a.c = b.c AND a.r = b.r)),
+            m AS (SELECT count(*) AS w, sum(d2) AS num FROM e),
+            d AS (SELECT sum(((SELECT n FROM s) * v
+                              - (SELECT sv FROM s))
+                             * ((SELECT n FROM s) * v
+                                - (SELECT sv FROM s))) AS den FROM g)
+            SELECT s.n AS n_cells, m.w AS w_sum,
+                   (CAST(s.n - 1 AS DOUBLE)
+                    * (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE))
+                    * CAST(m.num AS DOUBLE))
+                   / (CAST(2 * m.w AS DOUBLE) * CAST(d.den AS DOUBLE))
+                     AS geary_c
+            FROM s, m, d""",
         "zone_hausdorff": """
             WITH p AS (SELECT p_partkey % 10 AS z,
                               p_partkey % 40 AS c,

@@ -689,3 +689,78 @@ def local_morans_i(grid: ray.data.Dataset, col_c: str = "c",
                            * zn.astype(np.float64))) / dden})
 
     return percell.map_batches(finish, batch_format="pandas")
+
+
+def gearys_c(grid: ray.data.Dataset, col_c: str = "c", col_r: str = "r",
+             val: str = "v", num_buckets: int = 16) -> pd.DataFrame:
+    """Geary's C under binary queen contiguity — the local-contrast
+    complement of :func:`morans_i` (C < 1 clustered, > 1 dispersed)::
+
+        C = ((n−1) · Σ_{i adj j} (v_i − v_j)²) / (2W · Σ_i (v_i − v̄)²)
+
+    Integer path: Σ(v_i−v_j)² per center expands to
+    ``deg·v_i² − 2·v_i·Σ_j v_j + Σ_j v_j²`` — three exact int64 ring
+    sums; the variance denominator reuses the n-scaled z (so it is
+    ``Σz²/n²``, and the n² joins the numerator).  Final statistic is
+    one mirrored chain of double products/divides.  Returns one row
+    (n_cells, w_sum, geary_c).
+    """
+    g = grid.map_batches(
+        lambda b: pd.DataFrame({
+            "c": b[col_c].to_numpy(np.int64),
+            "r": b[col_r].to_numpy(np.int64),
+            "v": b[val].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    n = g.count()
+    if n < 2:
+        raise ValueError("Geary's C needs >= 2 cells")
+    sv = g.sum("v")
+    n64, sv64 = np.int64(n), np.int64(sv)
+    off = np.array([(dc, dr) for dc in (-1, 0, 1) for dr in (-1, 0, 1)
+                    if not (dc == 0 and dr == 0)], np.int64)
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        r = b["r"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        m = len(b)
+        return pd.DataFrame({
+            "c": np.concatenate([np.repeat(c, 8) + np.tile(off[:, 0], m), c]),
+            "r": np.concatenate([np.repeat(r, 8) + np.tile(off[:, 1], m), r]),
+            "sv1": np.concatenate([np.repeat(v, 8), np.zeros(m, np.int64)]),
+            "sv2": np.concatenate([np.repeat(v * v, 8),
+                                   np.zeros(m, np.int64)]),
+            "wn": np.concatenate([np.ones(8 * m, np.int64),
+                                  np.zeros(m, np.int64)]),
+            "own": np.concatenate([np.zeros(8 * m, np.int64),
+                                   np.ones(m, np.int64)]),
+            "vown": np.concatenate([np.zeros(8 * m, np.int64), v])})
+
+    percell = shuffle.group_agg(
+        g.map_batches(scatter, batch_format="pandas"),
+        ["c", "r"], {"sv1": ("sv1", "sum"), "sv2": ("sv2", "sum"),
+                     "wn": ("wn", "sum"), "own": ("own", "sum"),
+                     "vown": ("vown", "sum")},
+        num_buckets=num_buckets)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["own"].to_numpy(np.int64) == 1
+        v = b["vown"].to_numpy(np.int64)[keep]
+        s1 = b["sv1"].to_numpy(np.int64)[keep]
+        s2 = b["sv2"].to_numpy(np.int64)[keep]
+        wn = b["wn"].to_numpy(np.int64)[keep]
+        z = n64 * v - sv64
+        return pd.DataFrame({
+            "num": [int((wn * v * v - 2 * v * s1 + s2).sum())],
+            "w": [int(wn.sum())],
+            "den": [int((z.astype(object) ** 2).sum())]})
+
+    p = percell.map_batches(partials, batch_format="pandas").to_pandas()
+    num, w, den = (int(p["num"].sum()), int(p["w"].sum()),
+                   int(p["den"].sum()))
+    c_stat = ((np.float64(n - 1) * (np.float64(n) * np.float64(n))
+               * np.float64(num))
+              / (np.float64(2 * w) * np.float64(den)))
+    return pd.DataFrame({"n_cells": np.array([n], np.int64),
+                         "w_sum": np.array([w], np.int64),
+                         "geary_c": np.array([c_stat], np.float64)})

@@ -91,3 +91,44 @@ def test_local_morans_i_isolated_cell_zero_lag():
     got = local_morans_i(rd.from_pandas(df)).to_pandas()
     assert len(got) == 2
     assert (got["lag_z"] == 0).all() and (got["lisa"] == 0).all()
+
+
+def _brute_geary(df: pd.DataFrame) -> tuple:
+    cells = list(zip(df["c"], df["r"], df["v"]))
+    n = len(cells)
+    mean = sum(v for _, _, v in cells) / n
+    num = w = 0.0
+    for (c1, r1, v1) in cells:
+        for (c2, r2, v2) in cells:
+            if (c1, r1) != (c2, r2) and abs(c1 - c2) <= 1 \
+                    and abs(r1 - r2) <= 1:
+                num += (v1 - v2) ** 2
+                w += 1
+    den = sum((v - mean) ** 2 for _, _, v in cells)
+    return n, int(w), ((n - 1) * num) / (2 * w * den)
+
+
+def test_gearys_c_bruteforce_random():
+    from city2graph_ray.ops.stats import gearys_c
+    rng = np.random.default_rng(47)
+    cs, rs = np.meshgrid(np.arange(7), np.arange(6))
+    df = pd.DataFrame({"c": cs.ravel().astype(np.int64),
+                       "r": rs.ravel().astype(np.int64),
+                       "v": rng.integers(0, 50, 42).astype(np.int64)})
+    df = df[rng.random(42) > 0.2].reset_index(drop=True)
+    got = gearys_c(rd.from_pandas(df), num_buckets=4)
+    n, w, c_exp = _brute_geary(df)
+    assert got["n_cells"].iloc[0] == n
+    assert got["w_sum"].iloc[0] == w
+    assert got["geary_c"].iloc[0] == pytest.approx(c_exp, rel=1e-12)
+
+
+def test_gearys_c_gradient_below_one_stripes_above():
+    from city2graph_ray.ops.stats import gearys_c
+    cs, rs = np.meshgrid(np.arange(8), np.arange(8))
+    c, r = cs.ravel().astype(np.int64), rs.ravel().astype(np.int64)
+    grad = pd.DataFrame({"c": c, "r": r, "v": c + r})
+    stripes = pd.DataFrame({"c": c, "r": r, "v": (c % 2) * 10})
+    c_grad = gearys_c(rd.from_pandas(grad))["geary_c"].iloc[0]
+    c_str = gearys_c(rd.from_pandas(stripes))["geary_c"].iloc[0]
+    assert c_grad < 0.7 and c_str > 1.2
