@@ -341,6 +341,26 @@ def _grid_gearys_c(sf_dir: str):
     return gearys_c(ds.map_batches(fn, batch_format="pandas"))
 
 
+def _pt_kde(sf_dir: str):
+    """Quartic-kernel density surface at occupied 25-unit cells,
+    bandwidth 2 cells: exact int64 kernel numerators (cents units),
+    single mirrored division for the density float."""
+    import ray.data
+
+    from city2graph_ray.ops.tiling import kde_grid
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def pts(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        x, y = synth.key_to_xy(k)
+        return pd.DataFrame({"x": x, "y": y})
+
+    return kde_grid(cust.map_batches(pts, batch_format="pandas"),
+                    cell_size=25.0, bandwidth_cells=2)
+
+
 def _raster_slope(sf_dir: str):
     """Horn's-method slope over the part-grid cents raster: exact
     signed-weight integer numerators, sqrt+power-of-two division as
@@ -4323,6 +4343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_morans_i": _grid_morans_i,
         "grid_lisa": _grid_lisa,
         "grid_gearys_c": _grid_gearys_c,
+        "pt_kde": _pt_kde,
         "raster_slope": _raster_slope,
         "zone_hausdorff": _zone_hausdorff,
         "grid_zone_dissolve": _grid_zone_dissolve,
@@ -4794,6 +4815,32 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(2 * m.w AS DOUBLE) * CAST(d.den AS DOUBLE))
                      AS geary_c
             FROM s, m, d""",
+        "pt_kde": f"""
+            WITH p AS (SELECT CAST(floor({synth.sql_x('c_custkey')} * 100.0
+                                         + 0.5) AS BIGINT) AS ux,
+                              CAST(floor({synth.sql_y('c_custkey')} * 100.0
+                                         + 0.5) AS BIGINT) AS uy
+                       FROM customer),
+            occ AS (SELECT ux // 2500 AS c, uy // 2500 AS r,
+                           count(*) AS n_cell
+                    FROM p GROUP BY 1, 2),
+            d AS (SELECT o.c, o.r, o.n_cell,
+                         (p.ux - (o.c * 2500 + 1250))
+                         * (p.ux - (o.c * 2500 + 1250))
+                         + (p.uy - (o.r * 2500 + 1250))
+                         * (p.uy - (o.r * 2500 + 1250)) AS d2
+                  FROM occ o, p),
+            con AS (SELECT c, r, any_value(n_cell) AS n_cell,
+                           CAST(sum(CASE WHEN d2 < 25000000 THEN 1
+                                    ELSE 0 END) AS BIGINT) AS n_win,
+                           CAST(sum(CASE WHEN d2 < 25000000
+                                    THEN (25000000 - d2) * (25000000 - d2)
+                                    ELSE 0 END) AS BIGINT) AS kde_num
+                    FROM d GROUP BY c, r)
+            SELECT c, r, n_cell, n_win, kde_num,
+                   CAST(kde_num AS DOUBLE)
+                   / (25000000.0 * 25000000.0) AS density
+            FROM con""",
         "zone_hausdorff": """
             WITH p AS (SELECT p_partkey % 10 AS z,
                               p_partkey % 40 AS c,

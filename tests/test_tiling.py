@@ -355,3 +355,44 @@ def test_raster_slope_bruteforce_sparse():
         if all((c + dc, r + dr) in cells
                for dc in (-1, 0, 1) for dr in (-1, 0, 1)))
     assert len(out) == n_complete
+
+
+def test_kde_grid_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import kde_grid
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 10000, 300).astype(np.float64) / 100.0
+    y = rng.integers(0, 10000, 300).astype(np.float64) / 100.0
+    got = (kde_grid(rd.from_pandas(pd.DataFrame({"x": x, "y": y})),
+                    cell_size=10.0, bandwidth_cells=2, num_buckets=4)
+           .to_pandas().sort_values(["c", "r"]).reset_index(drop=True))
+
+    ux = np.floor(x * 100 + 0.5).astype(np.int64)
+    uy = np.floor(y * 100 + 0.5).astype(np.int64)
+    cu, h2 = 1000, np.int64(2000) ** 2
+    c, r = ux // cu, uy // cu
+    occ = sorted(set(zip(c.tolist(), r.tolist())))
+    assert len(got) == len(occ)
+    for (cc, rr), (_, row) in zip(occ, got.iterrows()):
+        assert (row["c"], row["r"]) == (cc, rr)
+        dx = ux - (cc * cu + cu // 2)
+        dy = uy - (rr * cu + cu // 2)
+        d2 = dx * dx + dy * dy
+        win = d2 < h2
+        assert row["n_win"] == win.sum()
+        assert row["n_cell"] == ((c == cc) & (r == rr)).sum()
+        assert row["kde_num"] == ((h2 - d2[win]) ** 2).sum()
+
+
+def test_kde_grid_rejects_odd_cell_units():
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import kde_grid
+
+    with pytest.raises(ValueError):
+        kde_grid(rd.from_pandas(pd.DataFrame({"x": [1.0], "y": [1.0]})),
+                 cell_size=0.25)
