@@ -341,6 +341,26 @@ def _grid_gearys_c(sf_dir: str):
     return gearys_c(ds.map_batches(fn, batch_format="pandas"))
 
 
+def _grid_join_counts(sf_dir: str):
+    """Join-count BB/WW/BW statistics over a binary part-grid
+    attribute under queen contiguity — all-integer pair counts."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import join_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        c, r = synth.part_grid_cell(k)
+        return pd.DataFrame({"c": c, "r": r,
+                             "v": ((c + r + k % 5) % 3 == 0)
+                             .astype(np.int64)})
+
+    return join_counts(ds.map_batches(fn, batch_format="pandas"))
+
+
 def _pt_kde(sf_dir: str):
     """Quartic-kernel density surface at occupied 25-unit cells,
     bandwidth 2 cells: exact int64 kernel numerators (cents units),
@@ -4344,6 +4364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_lisa": _grid_lisa,
         "grid_gearys_c": _grid_gearys_c,
         "pt_kde": _pt_kde,
+        "grid_join_counts": _grid_join_counts,
         "raster_slope": _raster_slope,
         "zone_hausdorff": _zone_hausdorff,
         "grid_zone_dissolve": _grid_zone_dissolve,
@@ -4815,6 +4836,24 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(2 * m.w AS DOUBLE) * CAST(d.den AS DOUBLE))
                      AS geary_c
             FROM s, m, d""",
+        "grid_join_counts": """
+            WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
+                              CASE WHEN ((p_partkey % 40) + (p_partkey // 40)
+                                         + (p_partkey % 5)) % 3 = 0
+                                   THEN 1 ELSE 0 END AS v
+                       FROM part),
+            e AS (SELECT a.v AS va, b.v AS vb
+                  FROM g a JOIN g b
+                  ON abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+                     AND (a.c < b.c OR (a.c = b.c AND a.r < b.r)))
+            SELECT (SELECT count(*) FROM g) AS n_cells,
+                   (SELECT CAST(sum(v) AS BIGINT) FROM g) AS n_black,
+                   count(*) AS w_pairs,
+                   CAST(sum(va * vb) AS BIGINT) AS bb,
+                   CAST(sum((1 - va) * (1 - vb)) AS BIGINT) AS ww,
+                   CAST(sum(CASE WHEN va <> vb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bw
+            FROM e""",
         "pt_kde": f"""
             WITH p AS (SELECT CAST(floor({synth.sql_x('c_custkey')} * 100.0
                                          + 0.5) AS BIGINT) AS ux,

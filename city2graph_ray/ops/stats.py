@@ -764,3 +764,68 @@ def gearys_c(grid: ray.data.Dataset, col_c: str = "c", col_r: str = "r",
     return pd.DataFrame({"n_cells": np.array([n], np.int64),
                          "w_sum": np.array([w], np.int64),
                          "geary_c": np.array([c_stat], np.float64)})
+
+
+def join_counts(grid: ray.data.Dataset, col_c: str = "c",
+                col_r: str = "r", val: str = "v",
+                num_buckets: int = 16) -> pd.DataFrame:
+    """Join-count statistics (Cliff & Ord) for a BINARY cell attribute
+    under queen contiguity — the categorical sibling of
+    :func:`morans_i`: counts of Black-Black, White-White and
+    Black-White neighbor pairs (each unordered pair once).  All-int64
+    pipeline: one 8-way ring scatter of (1, v) per cell, one keyed
+    sum, then per-center pair counts
+
+        bb2_i = v_i · nb_black_i          (BB pairs, counted twice)
+        ww2_i = (1−v_i) · (nb_i − nb_black_i)
+        bw2_i = v_i·(nb_i − nb_black_i) + (1−v_i)·nb_black_i
+
+    summed and halved on the driver.  ``val`` must be 0/1.  Returns
+    one row (n_cells, n_black, w_pairs, bb, ww, bw).
+    """
+    off = np.array([(dc, dr) for dc in (-1, 0, 1) for dr in (-1, 0, 1)
+                    if not (dc == 0 and dr == 0)], np.int64)
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[col_c].to_numpy(np.int64)
+        r = b[col_r].to_numpy(np.int64)
+        v = b[val].to_numpy(np.int64)
+        if len(v) and not np.isin(v, (0, 1)).all():
+            raise ValueError("join_counts needs a 0/1 attribute")
+        m = len(b)
+        return pd.DataFrame({
+            "c": np.concatenate([np.repeat(c, 8) + np.tile(off[:, 0], m), c]),
+            "r": np.concatenate([np.repeat(r, 8) + np.tile(off[:, 1], m), r]),
+            "nb": np.concatenate([np.ones(8 * m, np.int64),
+                                  np.zeros(m, np.int64)]),
+            "nbb": np.concatenate([np.repeat(v, 8), np.zeros(m, np.int64)]),
+            "own": np.concatenate([np.zeros(8 * m, np.int64),
+                                   np.ones(m, np.int64)]),
+            "vown": np.concatenate([np.zeros(8 * m, np.int64), v])})
+
+    percell = shuffle.group_agg(
+        grid.map_batches(scatter, batch_format="pandas"),
+        ["c", "r"], {"nb": ("nb", "sum"), "nbb": ("nbb", "sum"),
+                     "own": ("own", "sum"), "vown": ("vown", "sum")},
+        num_buckets=num_buckets)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["own"].to_numpy(np.int64) == 1
+        v = b["vown"].to_numpy(np.int64)[keep]
+        nb = b["nb"].to_numpy(np.int64)[keep]
+        nbb = b["nbb"].to_numpy(np.int64)[keep]
+        return pd.DataFrame({
+            "n": [int(keep.sum())], "blk": [int(v.sum())],
+            "w2": [int(nb.sum())],
+            "bb2": [int((v * nbb).sum())],
+            "ww2": [int(((1 - v) * (nb - nbb)).sum())],
+            "bw2": [int((v * (nb - nbb) + (1 - v) * nbb).sum())]})
+
+    p = percell.map_batches(partials, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_cells": np.array([p["n"].sum()], np.int64),
+        "n_black": np.array([p["blk"].sum()], np.int64),
+        "w_pairs": np.array([p["w2"].sum() // 2], np.int64),
+        "bb": np.array([p["bb2"].sum() // 2], np.int64),
+        "ww": np.array([p["ww2"].sum() // 2], np.int64),
+        "bw": np.array([p["bw2"].sum() // 2], np.int64)})

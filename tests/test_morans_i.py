@@ -132,3 +132,40 @@ def test_gearys_c_gradient_below_one_stripes_above():
     c_grad = gearys_c(rd.from_pandas(grad))["geary_c"].iloc[0]
     c_str = gearys_c(rd.from_pandas(stripes))["geary_c"].iloc[0]
     assert c_grad < 0.7 and c_str > 1.2
+
+
+def test_join_counts_bruteforce():
+    from city2graph_ray.ops.stats import join_counts
+    rng = np.random.default_rng(11)
+    cs, rs = np.meshgrid(np.arange(8), np.arange(7))
+    df = pd.DataFrame({"c": cs.ravel().astype(np.int64),
+                       "r": rs.ravel().astype(np.int64),
+                       "v": rng.integers(0, 2, 56).astype(np.int64)})
+    df = df[rng.random(56) > 0.2].reset_index(drop=True)
+    got = join_counts(rd.from_pandas(df), num_buckets=4)
+    cells = list(zip(df["c"], df["r"], df["v"]))
+    bb = ww = bw = w = 0
+    for i, (c1, r1, v1) in enumerate(cells):
+        for (c2, r2, v2) in cells[i + 1:]:
+            if abs(c1 - c2) <= 1 and abs(r1 - r2) <= 1:
+                w += 1
+                if v1 and v2:
+                    bb += 1
+                elif not v1 and not v2:
+                    ww += 1
+                else:
+                    bw += 1
+    row = got.iloc[0]
+    assert row["n_cells"] == len(cells)
+    assert row["n_black"] == df["v"].sum()
+    assert (row["w_pairs"], row["bb"], row["ww"], row["bw"]) == (w, bb, ww, bw)
+    assert row["bb"] + row["ww"] + row["bw"] == row["w_pairs"]
+
+
+def test_join_counts_rejects_nonbinary():
+    from city2graph_ray.ops.stats import join_counts
+    df = pd.DataFrame({"c": np.array([0, 1], np.int64),
+                       "r": np.array([0, 0], np.int64),
+                       "v": np.array([0, 2], np.int64)})
+    with pytest.raises(Exception):
+        join_counts(rd.from_pandas(df))
