@@ -30,6 +30,48 @@ _PTS = (f"SELECT c_custkey AS id, {synth.sql_x('c_custkey')} AS x, "
         f"{synth.sql_y('c_custkey')} AS y FROM customer")
 _GRID = ("SELECT p_partkey AS id, (p_partkey % 40) AS c, (p_partkey // 40) AS r "
          "FROM part")
+# D8 flow-direction CTE chain over the part-grid cents raster
+# (mirrors city2graph_ray.ops.tiling.flow_direction_d8: complete
+# windows only, cross-multiplied 2·drop² vs drop², first-max ties)
+_FLOW_DIRS_CTE = """
+    g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
+                 CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS v
+          FROM part),
+    fp AS (SELECT a.c, a.r, a.v,
+            max(CASE WHEN b.c = a.c+1 AND b.r = a.r   THEN b.v END) AS v0,
+            max(CASE WHEN b.c = a.c+1 AND b.r = a.r+1 THEN b.v END) AS v1,
+            max(CASE WHEN b.c = a.c   AND b.r = a.r+1 THEN b.v END) AS v2,
+            max(CASE WHEN b.c = a.c-1 AND b.r = a.r+1 THEN b.v END) AS v3,
+            max(CASE WHEN b.c = a.c-1 AND b.r = a.r   THEN b.v END) AS v4,
+            max(CASE WHEN b.c = a.c-1 AND b.r = a.r-1 THEN b.v END) AS v5,
+            max(CASE WHEN b.c = a.c   AND b.r = a.r-1 THEN b.v END) AS v6,
+            max(CASE WHEN b.c = a.c+1 AND b.r = a.r-1 THEN b.v END) AS v7,
+            count(*) AS nb
+          FROM g a JOIN g b
+          ON abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+             AND NOT (a.c = b.c AND a.r = b.r)
+          GROUP BY a.c, a.r, a.v),
+    fm AS (SELECT c, r,
+            CASE WHEN v > v0 THEN 2*(v-v0)*(v-v0) ELSE -1 END AS m0,
+            CASE WHEN v > v1 THEN (v-v1)*(v-v1) ELSE -1 END AS m1,
+            CASE WHEN v > v2 THEN 2*(v-v2)*(v-v2) ELSE -1 END AS m2,
+            CASE WHEN v > v3 THEN (v-v3)*(v-v3) ELSE -1 END AS m3,
+            CASE WHEN v > v4 THEN 2*(v-v4)*(v-v4) ELSE -1 END AS m4,
+            CASE WHEN v > v5 THEN (v-v5)*(v-v5) ELSE -1 END AS m5,
+            CASE WHEN v > v6 THEN 2*(v-v6)*(v-v6) ELSE -1 END AS m6,
+            CASE WHEN v > v7 THEN (v-v7)*(v-v7) ELSE -1 END AS m7
+          FROM fp WHERE nb = 8),
+    fs AS (SELECT c, r, m0, m1, m2, m3, m4, m5, m6, m7,
+                  greatest(m0,m1,m2,m3,m4,m5,m6,m7) AS mm FROM fm),
+    dirs AS (SELECT c, r,
+            CASE WHEN mm < 0 THEN -1
+                 WHEN m0 = mm THEN 0 WHEN m1 = mm THEN 1
+                 WHEN m2 = mm THEN 2 WHEN m3 = mm THEN 3
+                 WHEN m4 = mm THEN 4 WHEN m5 = mm THEN 5
+                 WHEN m6 = mm THEN 6 ELSE 7 END AS dir
+          FROM fs)
+"""
+
 _SEG_EPS = (f"SELECT o_orderkey AS seg_id, {synth.sql_x('o_orderkey')} AS ax, "
             f"{synth.sql_y('o_orderkey')} AS ay, {synth.sql_x('o_custkey')} AS bx, "
             f"{synth.sql_y('o_custkey')} AS by FROM orders")
@@ -339,6 +381,39 @@ def _grid_gearys_c(sf_dir: str):
         return pd.DataFrame({"c": c, "r": r, "v": c + r + (k % 7)})
 
     return gearys_c(ds.map_batches(fn, batch_format="pandas"))
+
+
+def _flow_dir_grid(sf_dir: str):
+    import ray.data
+
+    from city2graph_ray.ops.tiling import flow_direction_d8
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_retailprice"])
+    grid = part.map_batches(
+        lambda b: pd.DataFrame({
+            "c": b["p_partkey"].to_numpy(np.int64) % 40,
+            "r": b["p_partkey"].to_numpy(np.int64) // 40,
+            "v": np.floor(b["p_retailprice"].to_numpy(np.float64) * 100
+                          + 0.5).astype(np.int64)}),
+        batch_format="pandas")
+    return flow_direction_d8(grid)
+
+
+def _raster_flow_dir(sf_dir: str):
+    """D8 steepest-descent flow direction over the part-grid cents
+    raster: exact cross-multiplied drop²/dist² argmax, first-max tie
+    order E,SE,S,SW,W,NW,N,NE; pits/flats -> -1."""
+    return _flow_dir_grid(sf_dir).map_batches(
+        lambda b: b[["c", "r", "dir"]], batch_format="pandas")
+
+
+def _raster_flow_acc(sf_dir: str):
+    """D8 flow accumulation (upstream cell count incl. self) via
+    pointer-doubling path closure; twin is the recursive-CTE walk."""
+    from city2graph_ray.ops.tiling import flow_accumulation
+
+    return flow_accumulation(_flow_dir_grid(sf_dir))
 
 
 def _grid_join_counts(sf_dir: str):
@@ -4365,6 +4440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_gearys_c": _grid_gearys_c,
         "pt_kde": _pt_kde,
         "grid_join_counts": _grid_join_counts,
+        "raster_flow_dir": _raster_flow_dir,
+        "raster_flow_acc": _raster_flow_acc,
         "raster_slope": _raster_slope,
         "zone_hausdorff": _zone_hausdorff,
         "grid_zone_dissolve": _grid_zone_dissolve,
@@ -4836,6 +4913,27 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(2 * m.w AS DOUBLE) * CAST(d.den AS DOUBLE))
                      AS geary_c
             FROM s, m, d""",
+        "raster_flow_dir": f"WITH {_FLOW_DIRS_CTE} "
+                           f"SELECT c, r, dir FROM dirs",
+        "raster_flow_acc": f"""
+            WITH RECURSIVE {_FLOW_DIRS_CTE},
+            nxt AS (SELECT c, r,
+                      c + CASE WHEN dir IN (0, 1, 7) THEN 1
+                               WHEN dir IN (3, 4, 5) THEN -1
+                               ELSE 0 END AS nc,
+                      r + CASE WHEN dir IN (1, 2, 3) THEN 1
+                               WHEN dir IN (5, 6, 7) THEN -1
+                               ELSE 0 END AS nr
+                    FROM dirs WHERE dir <> -1),
+            reach(cc, rr) AS (
+                SELECT nc, nr FROM nxt
+                UNION ALL
+                SELECT n.nc, n.nr FROM reach x
+                JOIN nxt n ON n.c = x.cc AND n.r = x.rr)
+            SELECT d.c, d.r, CAST(1 + count(x.cc) AS BIGINT) AS acc
+            FROM dirs d LEFT JOIN reach x
+              ON x.cc = d.c AND x.rr = d.r
+            GROUP BY d.c, d.r""",
         "grid_join_counts": """
             WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
                               CASE WHEN ((p_partkey % 40) + (p_partkey // 40)

@@ -643,3 +643,228 @@ def kde_grid(points: ray.data.Dataset, cell_size: float,
             "density": b["kde_num"].to_numpy(np.float64) / (h2d * h2d)})
 
     return percell.map_batches(finish, batch_format="pandas")
+
+
+# D8 direction order: E, SE, S, SW, W, NW, N, NE (r grows southward).
+# Cardinal neighbors (even index) compare via 2·drop², diagonals via
+# drop² — the cross-multiplied-by-dist² form of drop/dist, exact int64.
+_OFF8 = np.array([(1, 0), (1, 1), (0, 1), (-1, 1),
+                  (-1, 0), (-1, -1), (0, -1), (1, -1)], np.int64)
+_DIST2 = np.array([1, 2, 1, 2, 1, 2, 1, 2], np.int64)
+
+
+def flow_direction_d8(grid: ray.data.Dataset, col_c: str = "c",
+                      col_r: str = "r", val: str = "v",
+                      num_buckets: int = 16) -> ray.data.Dataset:
+    """D8 flow direction (O'Callaghan & Mark 1984) over a sparse
+    integer raster: each complete-window cell drains to the steepest
+    strictly-downhill neighbor, ``slope ∝ drop/dist`` compared EXACTLY
+    by cross-multiplied squares (``2·drop²`` cardinal vs ``drop²``
+    diagonal — no sqrt, no float).  Ties break to the first direction
+    in E,SE,S,SW,W,NW,N,NE order; cells with no downhill neighbor
+    (pits/flats) get ``dir = -1`` and drain to themselves.  Incomplete
+    windows (borders/nodata) emit nothing — :func:`raster_slope`
+    semantics.
+
+    One signed scatter (each cell posts its value to its 8 neighbors
+    in direction-indexed columns) + one partial-aggregated keyed sum;
+    the argmax is a vectorized batch kernel.  Output
+    (c, r, v, dir, next_c, next_r).
+    """
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[col_c].to_numpy(np.int64)
+        r = b[col_r].to_numpy(np.int64)
+        v = b[val].to_numpy(np.int64)
+        m = len(b)
+        d_idx = np.tile(np.arange(8), m)
+        rows = {
+            "c": np.concatenate([np.repeat(c, 8)
+                                 - d_idx.reshape(-1).choose(_OFF8[:, 0]), c]),
+            "r": np.concatenate([np.repeat(r, 8)
+                                 - d_idx.reshape(-1).choose(_OFF8[:, 1]), r]),
+            "own": np.concatenate([np.zeros(8 * m, np.int64),
+                                   np.ones(m, np.int64)]),
+            "vown": np.concatenate([np.zeros(8 * m, np.int64), v])}
+        vrep = np.repeat(v, 8)
+        for d in range(8):
+            sel = d_idx == d
+            rows[f"v{d}"] = np.concatenate(
+                [np.where(sel, vrep, 0), np.zeros(m, np.int64)])
+            rows[f"n{d}"] = np.concatenate(
+                [sel.astype(np.int64), np.zeros(m, np.int64)])
+        return pd.DataFrame(rows)
+
+    aggs = {"own": ("own", "sum"), "vown": ("vown", "sum")}
+    for d in range(8):
+        aggs[f"v{d}"] = (f"v{d}", "sum")
+        aggs[f"n{d}"] = (f"n{d}", "sum")
+    percell = shuffle.group_agg(
+        grid.map_batches(scatter, batch_format="pandas"),
+        ["c", "r"], aggs, num_buckets=num_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        pres = np.stack([b[f"n{d}"].to_numpy(np.int64)
+                         for d in range(8)], axis=1)
+        keep = ((b["own"].to_numpy(np.int64) == 1)
+                & (pres.sum(axis=1) == 8))
+        if not keep.any():
+            return pd.DataFrame({k: np.array([], np.int64) for k in
+                                 ("c", "r", "v", "dir",
+                                  "next_c", "next_r")})
+        c = b["c"].to_numpy(np.int64)[keep]
+        r = b["r"].to_numpy(np.int64)[keep]
+        v = b["vown"].to_numpy(np.int64)[keep]
+        nbr = np.stack([b[f"v{d}"].to_numpy(np.int64)
+                        for d in range(8)], axis=1)[keep]
+        drop = v[:, None] - nbr
+        # cardinal: 2·drop², diagonal: drop² (dist²-cross-multiplied)
+        m_val = np.where(drop > 0,
+                         drop * drop * (2 // _DIST2)[None, :],
+                         np.int64(-1))
+        mm = m_val.max(axis=1)
+        dirs = np.where(mm < 0, -1, m_val.argmax(axis=1)).astype(np.int64)
+        safe = np.maximum(dirs, 0)
+        nc = np.where(dirs >= 0, c + _OFF8[safe, 0], c)
+        nr = np.where(dirs >= 0, r + _OFF8[safe, 1], r)
+        return pd.DataFrame({"c": c, "r": r, "v": v, "dir": dirs,
+                             "next_c": nc, "next_r": nr})
+
+    return percell.map_batches(finish, batch_format="pandas")
+
+
+def _pack_cell(c: np.ndarray, r: np.ndarray) -> np.ndarray:
+    # 31-bit lanes, offset 2^30: |c|,|r| < 2^30, packed fits int64
+    return ((c + (np.int64(1) << 30)) << 31) | (r + (np.int64(1) << 30))
+
+
+def flow_accumulation(dirs: ray.data.Dataset,
+                      num_buckets: int = 16,
+                      max_rounds: int = 64,
+                      strategy: str = "auto",
+                      broadcast_threshold: int = 2_000_000,
+                      ) -> ray.data.Dataset:
+    """D8 flow accumulation over a :func:`flow_direction_d8` table:
+    per cell, the number of cells whose flow path passes through it
+    (including itself) — the standard upstream-contributing-area
+    count.  Strictly-downhill D8 edges form a functional DAG (each
+    cell ≤1 out-edge, values strictly decrease), so the count is
+    exact.
+
+    ``strategy``:
+
+    - ``"broadcast"`` — the dirs table is NODE-sized (one row per
+      raster cell), so below ``broadcast_threshold`` the whole
+      successor map collects once and a vectorized Kahn level-peel
+      runs on the driver (O(n + L) numpy passes) — the same
+      small-graph escape hatch as ``pagerank(strategy="broadcast")``.
+    - ``"doubling"`` — distributed pointer-doubling path closure:
+      ``⌈log₂ L⌉`` bucketed-join rounds (L = longest flow path)
+      instead of L topological peels; pairs are unique by
+      construction (paths are simple), so no dedup shuffle.  Total
+      shuffled volume is O(n·L̄) closure rows — the honest cost of
+      exact accumulation at raster scale.
+    - ``"auto"`` — broadcast under the threshold, doubling above.
+
+    Output (c, r, acc).
+    """
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": _pack_cell(b["c"].to_numpy(np.int64),
+                            b["r"].to_numpy(np.int64)),
+            "b": _pack_cell(b["next_c"].to_numpy(np.int64),
+                            b["next_r"].to_numpy(np.int64)),
+            "flow": (b["dir"].to_numpy(np.int64) >= 0)
+            .astype(np.int64)})
+
+    allcells = dirs.map_batches(keyed, batch_format="pandas").materialize()
+    n = allcells.count()
+    if strategy == "auto":
+        strategy = "broadcast" if n <= broadcast_threshold else "doubling"
+
+    half = np.int64(1) << 30
+
+    def _unpack_keys(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return ((k >> 31) - half,
+                (k & ((np.int64(1) << 31) - 1)) - half)
+
+    if strategy == "broadcast":
+        df = allcells.to_pandas()
+        if not len(df):
+            return ray.data.from_pandas(pd.DataFrame(
+                {"c": np.array([], np.int64), "r": np.array([], np.int64),
+                 "acc": np.array([], np.int64)}))
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        flow = df["flow"].to_numpy(np.int64) == 1
+        sa = np.sort(a)
+        pos = np.searchsorted(sa, b)
+        pos_c = np.minimum(pos, n - 1)
+        valid = flow & (sa[pos_c] == b)
+        nxt = np.full(n, -1, np.int64)
+        nxt[np.searchsorted(sa, a)] = np.where(valid, pos_c, -1)
+        acc = np.ones(n, np.int64)
+        indeg = np.bincount(nxt[nxt >= 0], minlength=n)
+        done = np.zeros(n, bool)
+        frontier = np.nonzero(indeg == 0)[0]
+        while len(frontier):
+            done[frontier] = True
+            tgt = nxt[frontier]
+            m = tgt >= 0
+            np.add.at(acc, tgt[m], acc[frontier[m]])
+            np.subtract.at(indeg, tgt[m], 1)
+            cand = np.unique(tgt[m])
+            frontier = cand[(indeg[cand] == 0) & ~done[cand]]
+        if not done.all():
+            raise ValueError("flow graph contains a cycle")
+        c, r = _unpack_keys(sa)
+        return ray.data.from_pandas(
+            pd.DataFrame({"c": c, "r": r, "acc": acc}))
+
+    edges = allcells.map_batches(
+        lambda b: b.loc[b["flow"].to_numpy(np.int64) == 1, ["a", "b"]],
+        batch_format="pandas").materialize()
+
+    def _compose(lhs: ray.data.Dataset,
+                 rhs: ray.data.Dataset) -> ray.data.Dataset:
+        """(v, w) ∘ (w, u) → (v, u) via one bucketed hash join."""
+        return bucketed_join(
+            lhs.map_batches(lambda b: b.rename(columns={"b": "m"}),
+                            batch_format="pandas"),
+            rhs.map_batches(lambda b: b.rename(columns={"a": "m"}),
+                            batch_format="pandas"),
+            on="m", num_buckets=num_buckets,
+            left_schema=pa.schema([("a", pa.int64()), ("m", pa.int64())]),
+            right_schema=pa.schema([("m", pa.int64()), ("b", pa.int64())]),
+        ).map_batches(lambda b: b[["a", "b"]], batch_format="pandas")
+
+    paths = edges      # (v, u): u on v's path, hops 1..2^k
+    jump = edges       # (v, w): w = next^(2^k)(v)
+    for _ in range(max_rounds):
+        if jump.count() == 0:
+            break
+        grown = _compose(jump, paths).materialize()
+        jump = _compose(jump, jump).materialize()
+        if grown.count() == 0:
+            break
+        paths = paths.union(grown).materialize()
+
+    counts = shuffle.group_agg(
+        paths.map_batches(lambda b: pd.DataFrame({"k": b["b"]}),
+                          batch_format="pandas"),
+        ["k"], {"cnt": ("k", "size")}, num_buckets=num_buckets)
+
+    cellkeys = allcells.map_batches(
+        lambda b: pd.DataFrame({"k": b["a"]}), batch_format="pandas")
+    joined = bucketed_join(
+        cellkeys, counts, on="k", how="left", num_buckets=num_buckets,
+        left_schema=pa.schema([("k", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("cnt", pa.int64())]))
+
+    def unpack(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b["cnt"].to_numpy(np.float64) if "cnt" in b else \
+            np.zeros(len(b))
+        cnt = np.nan_to_num(cnt, nan=0.0).astype(np.int64)
+        c, r = _unpack_keys(b["k"].to_numpy(np.int64))
+        return pd.DataFrame({"c": c, "r": r, "acc": cnt + 1})
+
+    return joined.map_batches(unpack, batch_format="pandas")

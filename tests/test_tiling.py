@@ -396,3 +396,115 @@ def test_kde_grid_rejects_odd_cell_units():
     with pytest.raises(ValueError):
         kde_grid(rd.from_pandas(pd.DataFrame({"x": [1.0], "y": [1.0]})),
                  cell_size=0.25)
+
+
+def _flow_brute(df):
+    import numpy as np
+    cells = {(c, r): v for c, r, v in zip(df["c"], df["r"], df["v"])}
+    off8 = [(1, 0), (1, 1), (0, 1), (-1, 1),
+            (-1, 0), (-1, -1), (0, -1), (1, -1)]
+    dirs = {}
+    for (c, r), v in cells.items():
+        nbrs = [(c + dc, r + dr) for dc, dr in off8]
+        if not all(n in cells for n in nbrs):
+            continue
+        best, bd = -1, -1
+        for d, n in enumerate(nbrs):
+            drop = v - cells[n]
+            if drop <= 0:
+                continue
+            m = drop * drop * (2 if d % 2 == 0 else 1)
+            if m > best:
+                best, bd = m, d
+        dirs[(c, r)] = bd
+    acc = {k: 1 for k in dirs}
+    for start in dirs:
+        cur = start
+        while dirs.get(cur, -1) != -1:
+            dc, dr = off8[dirs[cur]]
+            cur = (cur[0] + dc, cur[1] + dr)
+            if cur in acc:
+                acc[cur] += 1
+            else:
+                break
+    return dirs, acc, off8
+
+
+def test_flow_d8_and_accumulation_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import (flow_accumulation,
+                                           flow_direction_d8)
+
+    rng = np.random.default_rng(5)
+    cs, rs = np.meshgrid(np.arange(9), np.arange(8))
+    c, r = cs.ravel().astype(np.int64), rs.ravel().astype(np.int64)
+    # gradient + noise → realistic mix of channels, pits, ties
+    v = (c * 3 + r * 2 + rng.integers(0, 6, len(c))).astype(np.int64)
+    df = pd.DataFrame({"c": c, "r": r, "v": v})
+    dirs_ds = flow_direction_d8(rd.from_pandas(df),
+                                num_buckets=4).materialize()
+    got = dirs_ds.to_pandas().sort_values(["c", "r"]).reset_index(drop=True)
+    want_dirs, want_acc, off8 = _flow_brute(df)
+    assert len(got) == len(want_dirs)
+    for _, row in got.iterrows():
+        d = want_dirs[(row["c"], row["r"])]
+        assert row["dir"] == d
+        if d == -1:
+            assert (row["next_c"], row["next_r"]) == (row["c"], row["r"])
+        else:
+            assert (row["next_c"], row["next_r"]) == \
+                (row["c"] + off8[d][0], row["r"] + off8[d][1])
+    acc = (flow_accumulation(dirs_ds, num_buckets=4).to_pandas()
+           .sort_values(["c", "r"]).reset_index(drop=True))
+    assert len(acc) == len(want_acc)
+    for _, row in acc.iterrows():
+        assert row["acc"] == want_acc[(row["c"], row["r"])], \
+            (row["c"], row["r"])
+
+
+def test_flow_accumulation_single_channel():
+    # a strictly decreasing 1-wide valley: accumulation = rank along it
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import (flow_accumulation,
+                                           flow_direction_d8)
+
+    cs, rs = np.meshgrid(np.arange(12), np.arange(3))
+    c, r = cs.ravel().astype(np.int64), rs.ravel().astype(np.int64)
+    # row 1 is the channel, decreasing eastward; rows 0/2 are high walls
+    v = np.where(r == 1, 100 - c, 1000 + c).astype(np.int64)
+    dirs_ds = flow_direction_d8(
+        rd.from_pandas(pd.DataFrame({"c": c, "r": r, "v": v})),
+        num_buckets=4).materialize()
+    acc = flow_accumulation(dirs_ds, num_buckets=4).to_pandas()
+    chan = acc[acc["r"] == 1].sort_values("c")
+    # interior channel cells are c=1..10; water entering at c=1 flows
+    # east, walls drain into the channel
+    assert (np.diff(chan["acc"].to_numpy()) > 0).all()
+    assert chan["acc"].iloc[-1] >= len(chan)
+
+
+def test_flow_accumulation_doubling_matches_broadcast():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import (flow_accumulation,
+                                           flow_direction_d8)
+
+    rng = np.random.default_rng(17)
+    cs, rs = np.meshgrid(np.arange(10), np.arange(9))
+    c, r = cs.ravel().astype(np.int64), rs.ravel().astype(np.int64)
+    v = (c * 2 + r * 3 + rng.integers(0, 5, len(c))).astype(np.int64)
+    dirs_ds = flow_direction_d8(
+        rd.from_pandas(pd.DataFrame({"c": c, "r": r, "v": v})),
+        num_buckets=4).materialize()
+    bc = (flow_accumulation(dirs_ds, num_buckets=4,
+                            strategy="broadcast").to_pandas()
+          .sort_values(["c", "r"]).reset_index(drop=True))
+    db = (flow_accumulation(dirs_ds, num_buckets=4,
+                            strategy="doubling").to_pandas()
+          .sort_values(["c", "r"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, db)
