@@ -383,6 +383,27 @@ def _grid_gearys_c(sf_dir: str):
     return gearys_c(ds.map_batches(fn, batch_format="pandas"))
 
 
+def _zone_convex_hull(sf_dir: str):
+    """Per-zone convex hull as CCW directed edges over integer-mixed
+    customer coordinates: exact int64 cross products; twin is the
+    all-points-strictly-left-or-collinear-between pair predicate."""
+    import ray.data
+
+    from city2graph_ray.ops.spatial import convex_hull_zones
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "zone": k % 8,
+            "x": (k * k * synth.QX + k * synth.AX + synth.BX) % synth.MOD,
+            "y": (k * k * synth.QY + k * synth.AY + synth.BY) % synth.MOD})
+
+    return convex_hull_zones(cust.map_batches(fn, batch_format="pandas"))
+
+
 def _flow_dir_grid(sf_dir: str):
     import ray.data
 
@@ -4442,6 +4463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_join_counts": _grid_join_counts,
         "raster_flow_dir": _raster_flow_dir,
         "raster_flow_acc": _raster_flow_acc,
+        "zone_convex_hull": _zone_convex_hull,
         "raster_slope": _raster_slope,
         "zone_hausdorff": _zone_hausdorff,
         "grid_zone_dissolve": _grid_zone_dissolve,
@@ -4913,6 +4935,27 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(2 * m.w AS DOUBLE) * CAST(d.den AS DOUBLE))
                      AS geary_c
             FROM s, m, d""",
+        "zone_convex_hull": f"""
+            WITH p AS (SELECT DISTINCT c_custkey % 8 AS zone,
+                  (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                   + {synth.BX}) % {synth.MOD} AS x,
+                  (c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                   + {synth.BY}) % {synth.MOD} AS y
+                       FROM customer)
+            SELECT a.zone, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+            FROM p a JOIN p b
+              ON a.zone = b.zone AND (a.x <> b.x OR a.y <> b.y)
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p c
+              WHERE c.zone = a.zone
+                AND (c.x <> a.x OR c.y <> a.y)
+                AND (c.x <> b.x OR c.y <> b.y)
+                AND NOT ((b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) > 0
+                      OR ((b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) = 0
+                          AND c.x BETWEEN least(a.x, b.x)
+                                      AND greatest(a.x, b.x)
+                          AND c.y BETWEEN least(a.y, b.y)
+                                      AND greatest(a.y, b.y))))""",
         "raster_flow_dir": f"WITH {_FLOW_DIRS_CTE} "
                            f"SELECT c, r, dir FROM dirs",
         "raster_flow_acc": f"""

@@ -473,3 +473,104 @@ def hausdorff_zones(points: ray.data.Dataset, zone_col: str = "zone",
                                      num_buckets=num_buckets)
     return shuffle.group_agg(mins, ["za", "zb"], {"h_sq": ("d", "max")},
                              num_buckets=num_buckets)
+
+
+def _hull_pts_int(px: np.ndarray, py: np.ndarray,
+                  edges: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Andrew monotone chain over INTEGER coords (exact int64 cross
+    products, strict turns — collinear boundary points excluded).
+    Returns hull vertices in CCW order starting from the
+    lexicographic minimum.  Degenerate inputs (all points collinear,
+    or <3 distinct) return the ≤2 lexicographic extremes — the correct
+    PARTIAL hull for the combiner property
+    ``hull(A ∪ B) = hull(hullpts(A) ∪ hullpts(B))``.  With
+    ``edges=True`` degenerate inputs instead return empty (no polygon
+    boundary exists)."""
+    pts = np.unique(np.stack([np.asarray(px, np.int64),
+                              np.asarray(py, np.int64)], axis=1), axis=0)
+    n = len(pts)
+    if n <= 2:
+        if edges:
+            return (np.array([], np.int64),) * 2
+        return pts[:, 0], pts[:, 1]
+
+    def half(seq):
+        h: list[np.ndarray] = []
+        for p in seq:
+            while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        if edges:
+            return (np.array([], np.int64),) * 2
+        ext = np.stack([pts[0], pts[-1]])
+        return ext[:, 0], ext[:, 1]
+    arr = np.stack(hull)
+    return arr[:, 0], arr[:, 1]
+
+
+def convex_hull_zones(points: ray.data.Dataset, zone_col: str = "zone",
+                      x: str = "x", y: str = "y",
+                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                      ) -> ray.data.Dataset:
+    """Per-zone planar convex hull as CCW directed boundary edges
+    (zone, ax, ay, bx, by) — the distributed form of the reference's
+    per-geometry ``convex_hull`` (isochrone convex method,
+    utils/spatial.py).  Coordinates must be integer-valued: every turn
+    test is an exact int64 cross product, so the edge set is
+    bit-deterministic and SQL-twinnable by the all-points-left
+    characterisation.
+
+    Scale shape: the hull is a COMBINER-friendly aggregate —
+    ``hull(A ∪ B) = hull(hullpts(A) ∪ hullpts(B))`` — so stage 1
+    reduces every (block, zone) to its partial hull vertices inside
+    ``map_batches`` (no shuffle, output O(hull) per zone per block,
+    degenerate blocks keep their ≤2 extremes), and only those survivors
+    take the single zone-bucketed shuffle into the final monotone
+    chain.  Zones with <3 distinct points or all-collinear points emit
+    no edges (no polygon boundary).  Collinear points ON a hull edge
+    are not vertices (strict turns), matching the SQL twin's
+    ``strictly-left OR collinear-between`` predicate.
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for z, g in b.groupby(zone_col, sort=False):
+            hx, hy = _hull_pts_int(g[x].to_numpy(np.int64),
+                                   g[y].to_numpy(np.int64))
+            outs.append(pd.DataFrame({zone_col: z, "hx": hx, "hy": hy}))
+        if not outs:
+            return pd.DataFrame({zone_col: pd.Series([], dtype=np.int64),
+                                 "hx": pd.Series([], dtype=np.int64),
+                                 "hy": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for z, gg in g.groupby(zone_col, sort=False):
+            hx, hy = _hull_pts_int(gg["hx"].to_numpy(np.int64),
+                                   gg["hy"].to_numpy(np.int64),
+                                   edges=True)
+            if not len(hx):
+                continue
+            outs.append(pd.DataFrame({
+                zone_col: z,
+                "ax": hx, "ay": hy,
+                "bx": np.roll(hx, -1), "by": np.roll(hy, -1)}))
+        if not outs:
+            return pd.DataFrame({zone_col: pd.Series([], dtype=np.int64),
+                                 "ax": pd.Series([], dtype=np.int64),
+                                 "ay": pd.Series([], dtype=np.int64),
+                                 "bx": pd.Series([], dtype=np.int64),
+                                 "by": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    partials = points.map_batches(partial, batch_format="pandas")
+    return shuffle.grouped_transform(partials, [zone_col], final,
+                                     num_buckets=num_buckets)

@@ -282,3 +282,77 @@ def test_hausdorff_zones_bruteforce():
     assert got == want
     # directionality: h(A->B) != h(B->A) for at least one pair
     assert any(got[(a, b)] != got[(b, a)] for a, b in got if (b, a) in got)
+
+
+def _hull_edges_brute(df):
+    """All-points-strictly-left-or-collinear-between pair predicate."""
+    edges = set()
+    for z, g in df.groupby("zone"):
+        pts = sorted(set(zip(g["x"], g["y"])))
+        for a in pts:
+            for b in pts:
+                if a == b:
+                    continue
+                ok = True
+                for c in pts:
+                    if c in (a, b):
+                        continue
+                    cr = ((b[0] - a[0]) * (c[1] - a[1])
+                          - (b[1] - a[1]) * (c[0] - a[0]))
+                    if cr > 0:
+                        continue
+                    if cr == 0 and min(a[0], b[0]) <= c[0] <= max(a[0], b[0]) \
+                            and min(a[1], b[1]) <= c[1] <= max(a[1], b[1]):
+                        continue
+                    ok = False
+                    break
+                if ok:
+                    edges.add((z, *a, *b))
+    return edges
+
+
+def test_convex_hull_zones_bruteforce_with_collinear():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.spatial import convex_hull_zones
+
+    rng = np.random.default_rng(3)
+    dfs = []
+    for z in range(4):
+        n = 40
+        x = rng.integers(0, 50, n)
+        y = rng.integers(0, 50, n)
+        # force collinear points on the boundary: duplicate extremes'
+        # midpoints along the top edge
+        y[:5] = 50
+        x[:5] = np.array([0, 10, 20, 30, 50])
+        dfs.append(pd.DataFrame({"zone": z, "x": x, "y": y}))
+    df = pd.concat(dfs, ignore_index=True).astype(np.int64)
+    got = convex_hull_zones(
+        rd.from_pandas(df).repartition(7), num_buckets=4).to_pandas()
+    want = _hull_edges_brute(df)
+    have = set(zip(got["zone"], got["ax"], got["ay"], got["bx"], got["by"]))
+    assert have == want
+    # per zone: edge count == vertex count, forms one closed cycle
+    for z, g in got.groupby("zone"):
+        starts = set(zip(g["ax"], g["ay"]))
+        ends = set(zip(g["bx"], g["by"]))
+        assert starts == ends and len(starts) == len(g)
+
+
+def test_convex_hull_zones_degenerate_zones_silent():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.spatial import convex_hull_zones
+
+    df = pd.DataFrame({
+        "zone": np.array([0, 1, 1, 2, 2, 2, 3, 3, 3, 3], np.int64),
+        "x": np.array([5, 0, 9, 0, 5, 9, 0, 0, 0, 5], np.int64),
+        "y": np.array([5, 0, 9, 0, 5, 9, 0, 3, 9, 5], np.int64)})
+    # zone0: single point; zone1: two points; zone2: collinear;
+    # zone3: a real triangle (3 on a vertical line + one off it)
+    got = convex_hull_zones(rd.from_pandas(df), num_buckets=2).to_pandas()
+    assert set(got["zone"]) == {3}
+    assert len(got) == 3
