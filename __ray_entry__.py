@@ -383,6 +383,44 @@ def _grid_gearys_c(sf_dir: str):
     return gearys_c(ds.map_batches(fn, batch_format="pandas"))
 
 
+def _pt_snap_segment(sf_dir: str):
+    """Map-matching snap: each customer ping to its nearest short
+    order-derived street segment within 150 units — exact rational
+    (num, den) distances, float only in the mirrored ordering key and
+    snapped coordinate."""
+    import ray.data
+
+    from city2graph_ray.ops.spatial import snap_to_segments
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey"])
+
+    def mix(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return ((k * k * synth.QX + k * synth.AX + synth.BX)
+                % synth.MOD % 10000,
+                (k * k * synth.QY + k * synth.AY + synth.BY)
+                % synth.MOD % 10000)
+
+    def pts(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        x, y = mix(k)
+        return pd.DataFrame({"id": k, "x": x, "y": y})
+
+    def segs(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        ax, ay = mix(k)
+        return pd.DataFrame({"seg_id": k, "ax": ax, "ay": ay,
+                             "bx": ax + (k % 97) - 48,
+                             "by": ay + (k % 89) - 44})
+
+    return snap_to_segments(cust.map_batches(pts, batch_format="pandas"),
+                            orders.map_batches(segs,
+                                               batch_format="pandas"),
+                            radius=150.0)
+
+
 def _zone_convex_hull(sf_dir: str):
     """Per-zone convex hull as CCW directed edges over integer-mixed
     customer coordinates: exact int64 cross products; twin is the
@@ -4464,6 +4502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_flow_dir": _raster_flow_dir,
         "raster_flow_acc": _raster_flow_acc,
         "zone_convex_hull": _zone_convex_hull,
+        "pt_snap_segment": _pt_snap_segment,
         "raster_slope": _raster_slope,
         "zone_hausdorff": _zone_hausdorff,
         "grid_zone_dissolve": _grid_zone_dissolve,
@@ -4935,6 +4974,53 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(2 * m.w AS DOUBLE) * CAST(d.den AS DOUBLE))
                      AS geary_c
             FROM s, m, d""",
+        "pt_snap_segment": f"""
+            WITH p AS (SELECT c_custkey AS id,
+                  (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                   + {synth.BX}) % {synth.MOD} % 10000 AS px,
+                  (c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                   + {synth.BY}) % {synth.MOD} % 10000 AS py
+                       FROM customer),
+            s AS (SELECT o_orderkey AS seg_id,
+                  (o_orderkey*o_orderkey*{synth.QX}
+                   + o_orderkey*{synth.AX} + {synth.BX})
+                  % {synth.MOD} % 10000 AS ax,
+                  (o_orderkey*o_orderkey*{synth.QY}
+                   + o_orderkey*{synth.AY} + {synth.BY})
+                  % {synth.MOD} % 10000 AS ay
+                  FROM orders),
+            s2 AS (SELECT seg_id, ax, ay,
+                          ax + (seg_id % 97) - 48 AS bx,
+                          ay + (seg_id % 89) - 44 AS by FROM s),
+            d AS (SELECT p.id, s2.seg_id, s2.ax, s2.ay,
+                         s2.bx - s2.ax AS dx, s2.by - s2.ay AS dy,
+                         (s2.bx - s2.ax)*(s2.bx - s2.ax)
+                         + (s2.by - s2.ay)*(s2.by - s2.ay) AS ll,
+                         (p.px - s2.ax)*(s2.bx - s2.ax)
+                         + (p.py - s2.ay)*(s2.by - s2.ay) AS tn,
+                         (p.px - s2.ax)*(p.px - s2.ax)
+                         + (p.py - s2.ay)*(p.py - s2.ay) AS e2,
+                         (p.px - s2.bx)*(p.px - s2.bx)
+                         + (p.py - s2.by)*(p.py - s2.by) AS f2
+                  FROM p, s2),
+            e AS (SELECT id, seg_id, ax, ay, dx, dy, ll, tn,
+                         CASE WHEN tn > 0 AND tn < ll
+                              THEN e2*ll - tn*tn
+                              WHEN tn <= 0 THEN e2 ELSE f2 END AS d2_num,
+                         CASE WHEN tn > 0 AND tn < ll
+                              THEN ll ELSE 1 END AS d2_den,
+                         CASE WHEN tn > 0 AND tn < ll
+                              THEN CAST(tn AS DOUBLE)/CAST(ll AS DOUBLE)
+                              WHEN tn <= 0 THEN 0.0 ELSE 1.0 END AS tf
+                  FROM d),
+            f AS (SELECT id, seg_id, d2_num, d2_den,
+                         ax + tf*dx AS snap_x, ay + tf*dy AS snap_y,
+                         row_number() OVER (PARTITION BY id ORDER BY
+                           CAST(d2_num AS DOUBLE)/CAST(d2_den AS DOUBLE),
+                           seg_id) AS rn
+                  FROM e WHERE d2_num <= 22500 * d2_den)
+            SELECT id, seg_id, d2_num, d2_den, snap_x, snap_y
+            FROM f WHERE rn = 1""",
         "zone_convex_hull": f"""
             WITH p AS (SELECT DISTINCT c_custkey % 8 AS zone,
                   (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}

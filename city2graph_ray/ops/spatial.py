@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from city2graph_ray import shuffle
+from city2graph_ray import cells, shuffle
 from city2graph_ray.geom.delaunay import Delaunator, _circumradius2
 from city2graph_ray.joins import semi_filter
 
@@ -574,3 +574,129 @@ def convex_hull_zones(points: ray.data.Dataset, zone_col: str = "zone",
     partials = points.map_batches(partial, batch_format="pandas")
     return shuffle.grouped_transform(partials, [zone_col], final,
                                      num_buckets=num_buckets)
+
+
+def snap_to_segments(points: ray.data.Dataset,
+                     segments: ray.data.Dataset, radius: float,
+                     cell_size: float | None = None,
+                     id_col: str = "id",
+                     num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                     ) -> ray.data.Dataset:
+    """Snap each point to its nearest segment within ``radius`` — the
+    map-matching primitive (GPS ping → street edge; reference's
+    nearest-segment assignment in the morphological place→movement
+    join, morphology.py).  Points carry integer coords (id, x, y);
+    segments carry (seg_id, ax, ay, bx, by), also integer.
+
+    Exactness: the squared point→segment distance is the RATIONAL
+    ``(d2_num, d2_den)`` with ``d2_den = |b−a|²`` (projection clamped
+    to the segment by integer comparisons), all int64 — coords must
+    stay within ±~2^14 units per tile so ``|p−a|²·|b−a|²`` can't
+    overflow (re-origin bigger worlds per tile).  The radius gate is
+    the exact cross-multiplication ``d2_num ≤ r²·d2_den``; ONLY the
+    final per-point ordering key is a float (``d2_num/d2_den``, one
+    division → identical doubles in SQL), tie-broken by seg_id.  The
+    snapped coordinate is the mirrored float expression
+    ``a + (t_num/den)·(b−a)``.
+
+    Scale shape: each segment replicates to the grid cells covering
+    its radius-expanded bbox (segments are street-scale: a few cells);
+    each point lands in exactly ONE cell, so candidate pairs are
+    emitted once and need no dedup.  One cell-bucketed shuffle, a
+    vectorized per-cell merge kernel, then a per-point top-1 merge.
+    Output (id, seg_id, d2_num, d2_den, snap_x, snap_y).
+    """
+    if cell_size is None:
+        cell_size = 4.0 * radius
+    r2 = np.int64(round(radius * radius))
+
+    def seg_cells(b: pd.DataFrame) -> pd.DataFrame:
+        ax = b["ax"].to_numpy(np.int64)
+        ay = b["ay"].to_numpy(np.int64)
+        bx = b["bx"].to_numpy(np.int64)
+        by = b["by"].to_numpy(np.int64)
+        idx, cell = cells.covering_cells(
+            np.minimum(ax, bx) - radius, np.minimum(ay, by) - radius,
+            np.maximum(ax, bx) + radius, np.maximum(ay, by) + radius,
+            cell_size)
+        return pd.DataFrame({
+            "cell": cell, "side": np.zeros(len(idx), np.int8),
+            "seg_id": b["seg_id"].to_numpy(np.int64)[idx],
+            "ax": ax[idx], "ay": ay[idx], "bx": bx[idx], "by": by[idx],
+            "px": np.zeros(len(idx), np.int64),
+            "py": np.zeros(len(idx), np.int64),
+            "pid": np.zeros(len(idx), np.int64)})
+
+    def pt_cells(b: pd.DataFrame) -> pd.DataFrame:
+        px = b["x"].to_numpy(np.int64)
+        py = b["y"].to_numpy(np.int64)
+        z = np.zeros(len(b), np.int64)
+        return pd.DataFrame({
+            "cell": cells.cell_id(px.astype(np.float64),
+                                  py.astype(np.float64), cell_size),
+            "side": np.ones(len(b), np.int8),
+            "seg_id": z, "ax": z, "ay": z, "bx": z, "by": z,
+            "px": px, "py": py,
+            "pid": b[id_col].to_numpy(np.int64)})
+
+    tagged = segments.map_batches(seg_cells, batch_format="pandas").union(
+        points.map_batches(pt_cells, batch_format="pandas"))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "pid": pd.Series([], dtype=np.int64),
+            "seg_id": pd.Series([], dtype=np.int64),
+            "d2_num": pd.Series([], dtype=np.int64),
+            "d2_den": pd.Series([], dtype=np.int64),
+            "dkey": pd.Series([], dtype=np.float64),
+            "snap_x": pd.Series([], dtype=np.float64),
+            "snap_y": pd.Series([], dtype=np.float64)})
+        sidev = g["side"].to_numpy(np.int8)
+        segs = g.loc[sidev == 0, ["cell", "seg_id", "ax", "ay",
+                                  "bx", "by"]]
+        pts = g.loc[sidev == 1, ["cell", "pid", "px", "py"]]
+        if segs.empty or pts.empty:
+            return empty
+        m = pts.merge(segs, on="cell")
+        if m.empty:
+            return empty
+        ax = m["ax"].to_numpy(np.int64)
+        ay = m["ay"].to_numpy(np.int64)
+        dx = m["bx"].to_numpy(np.int64) - ax
+        dy = m["by"].to_numpy(np.int64) - ay
+        ex = m["px"].to_numpy(np.int64) - ax
+        ey = m["py"].to_numpy(np.int64) - ay
+        ll = dx * dx + dy * dy
+        tn = ex * dx + ey * dy
+        e2 = ex * ex + ey * ey
+        fx = m["px"].to_numpy(np.int64) - m["bx"].to_numpy(np.int64)
+        fy = m["py"].to_numpy(np.int64) - m["by"].to_numpy(np.int64)
+        f2 = fx * fx + fy * fy
+        mid = (tn > 0) & (tn < ll)
+        num = np.where(mid, e2 * ll - tn * tn,
+                       np.where(tn <= 0, e2, f2))
+        den = np.where(mid, ll, 1)
+        tfrac = np.where(mid & (ll > 0),
+                         tn.astype(np.float64)
+                         / np.maximum(ll, 1).astype(np.float64),
+                         np.where(tn <= 0, 0.0, 1.0))
+        keep = num <= r2 * den
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "pid": m["pid"].to_numpy(np.int64)[keep],
+            "seg_id": m["seg_id"].to_numpy(np.int64)[keep],
+            "d2_num": num[keep], "d2_den": den[keep],
+            "dkey": (num[keep].astype(np.float64)
+                     / den[keep].astype(np.float64)),
+            "snap_x": (ax[keep] + tfrac[keep] * dx[keep]),
+            "snap_y": (ay[keep] + tfrac[keep] * dy[keep])})
+
+    cand = shuffle.grouped_transform(tagged, ["cell"], kernel,
+                                     num_buckets=num_buckets)
+    best = shuffle.topk_in_group(cand, ["pid"], 1, ["dkey", "seg_id"],
+                                 [True, True], num_buckets=num_buckets)
+    return best.map_batches(
+        lambda b: b.rename(columns={"pid": id_col})[
+            [id_col, "seg_id", "d2_num", "d2_den", "snap_x", "snap_y"]],
+        batch_format="pandas")

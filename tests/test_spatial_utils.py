@@ -356,3 +356,81 @@ def test_convex_hull_zones_degenerate_zones_silent():
     got = convex_hull_zones(rd.from_pandas(df), num_buckets=2).to_pandas()
     assert set(got["zone"]) == {3}
     assert len(got) == 3
+
+
+def test_snap_to_segments_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.spatial import snap_to_segments
+
+    rng = np.random.default_rng(23)
+    npts, nseg = 60, 25
+    pts = pd.DataFrame({"id": np.arange(npts, dtype=np.int64),
+                        "x": rng.integers(0, 500, npts),
+                        "y": rng.integers(0, 500, npts)}).astype(np.int64)
+    ax = rng.integers(0, 500, nseg)
+    ay = rng.integers(0, 500, nseg)
+    segs = pd.DataFrame({"seg_id": np.arange(nseg, dtype=np.int64),
+                         "ax": ax, "ay": ay,
+                         "bx": ax + rng.integers(-30, 31, nseg),
+                         "by": ay + rng.integers(-30, 31, nseg)
+                         }).astype(np.int64)
+    segs.loc[0, ["bx", "by"]] = segs.loc[0, ["ax", "ay"]].to_numpy()  # degenerate
+    radius = 120.0
+    got = (snap_to_segments(rd.from_pandas(pts), rd.from_pandas(segs),
+                            radius=radius, num_buckets=4)
+           .to_pandas().set_index("id").sort_index())
+
+    # brute force: exact rational distance, float ordering key mirror
+    want = {}
+    for _, p in pts.iterrows():
+        best = None
+        for _, s in segs.iterrows():
+            dx, dy = s["bx"] - s["ax"], s["by"] - s["ay"]
+            ex, ey = p["x"] - s["ax"], p["y"] - s["ay"]
+            fx, fy = p["x"] - s["bx"], p["y"] - s["by"]
+            ll, tn = dx * dx + dy * dy, ex * dx + ey * dy
+            if 0 < tn < ll:
+                num, den = (ex * ex + ey * ey) * ll - tn * tn, ll
+            elif tn <= 0:
+                num, den = ex * ex + ey * ey, 1
+            else:
+                num, den = fx * fx + fy * fy, 1
+            if num > radius * radius * den:
+                continue
+            key = (np.float64(num) / np.float64(den), s["seg_id"])
+            if best is None or key < best[0]:
+                best = (key, s["seg_id"], num, den)
+        if best is not None:
+            want[p["id"]] = best[1:]
+    assert set(got.index) == set(want)
+    for pid, (sid, num, den) in want.items():
+        row = got.loc[pid]
+        assert (row["seg_id"], row["d2_num"], row["d2_den"]) == \
+            (sid, num, den), pid
+        # snapped point actually lies on the segment's bbox
+        s = segs[segs["seg_id"] == sid].iloc[0]
+        assert min(s["ax"], s["bx"]) - 1e-9 <= row["snap_x"] \
+            <= max(s["ax"], s["bx"]) + 1e-9
+        assert min(s["ay"], s["by"]) - 1e-9 <= row["snap_y"] \
+            <= max(s["ay"], s["by"]) + 1e-9
+
+
+def test_snap_to_segments_out_of_radius_empty():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.spatial import snap_to_segments
+
+    pts = pd.DataFrame({"id": np.array([1], np.int64),
+                        "x": np.array([0], np.int64),
+                        "y": np.array([0], np.int64)})
+    segs = pd.DataFrame({"seg_id": np.array([7], np.int64),
+                         "ax": np.array([500], np.int64),
+                         "ay": np.array([500], np.int64),
+                         "bx": np.array([510], np.int64),
+                         "by": np.array([500], np.int64)})
+    got = snap_to_segments(rd.from_pandas(pts), rd.from_pandas(segs),
+                           radius=50.0, num_buckets=2).to_pandas()
+    assert len(got) == 0
