@@ -383,6 +383,31 @@ def _grid_gearys_c(sf_dir: str):
     return gearys_c(ds.map_batches(fn, batch_format="pandas"))
 
 
+def _zone_scc(sf_dir: str):
+    """Strongly connected components of a sparse derived zone digraph
+    (iterative Tarjan under the node threshold, distributed FW-BW
+    coloring above); twin is the recursive-CTE mutual-reachability
+    closure."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.graph_algos import strongly_connected_components
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        c = b["o_custkey"].to_numpy(np.int64)
+        keep = k % 50 == 0
+        return pd.DataFrame({"src": c[keep] % 60,
+                             "dst": (k[keep] // 50) % 59})
+
+    edges = shuffle.distinct(
+        orders.map_batches(fn, batch_format="pandas"), ["src", "dst"])
+    return strongly_connected_components(edges)
+
+
 def _pt_snap_segment(sf_dir: str):
     """Map-matching snap: each customer ping to its nearest short
     order-derived street segment within 150 units — exact rational
@@ -4503,6 +4528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_flow_acc": _raster_flow_acc,
         "zone_convex_hull": _zone_convex_hull,
         "pt_snap_segment": _pt_snap_segment,
+        "zone_scc": _zone_scc,
         "raster_slope": _raster_slope,
         "zone_hausdorff": _zone_hausdorff,
         "grid_zone_dissolve": _grid_zone_dissolve,
@@ -4974,6 +5000,23 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(2 * m.w AS DOUBLE) * CAST(d.den AS DOUBLE))
                      AS geary_c
             FROM s, m, d""",
+        "zone_scc": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_custkey % 60 AS s,
+                                (o_orderkey // 50) % 59 AS d
+                FROM orders WHERE o_orderkey % 50 = 0),
+            n AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+            reach(s, t) AS (
+                SELECT s, d FROM e
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.t),
+            mut AS (SELECT a.s AS u, a.t AS v
+                    FROM reach a JOIN reach b
+                    ON a.s = b.t AND a.t = b.s)
+            SELECT n.v AS node,
+                   least(n.v, coalesce(min(mut.v), n.v)) AS scc_id
+            FROM n LEFT JOIN mut ON mut.u = n.v
+            GROUP BY n.v""",
         "pt_snap_segment": f"""
             WITH p AS (SELECT c_custkey AS id,
                   (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}

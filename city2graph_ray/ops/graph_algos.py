@@ -2525,3 +2525,271 @@ def sssp_bounded(edges: ray.data.Dataset, source: int, rounds: int = 4,
                                  {"dist": ("dist", "min")},
                                  num_buckets=num_buckets).materialize()
     return dist
+
+
+def _tarjan_scc_local(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Iterative Tarjan over dense-remapped int ids; returns
+    (node, scc_id) with scc_id = min original node id in the SCC."""
+    nodes = np.unique(np.concatenate([a, b]))
+    n = len(nodes)
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    order = np.argsort(ai, kind="stable")
+    ai, bi = ai[order], bi[order]
+    starts = np.searchsorted(ai, np.arange(n))
+    ends = np.searchsorted(ai, np.arange(n), side="right")
+    index = np.full(n, -1, np.int64)
+    low = np.zeros(n, np.int64)
+    on_stack = np.zeros(n, bool)
+    comp = np.full(n, -1, np.int64)
+    counter = 0
+    stack: list[int] = []
+    for v0 in range(n):
+        if index[v0] != -1:
+            continue
+        work = [(v0, int(starts[v0]))]
+        while work:
+            v, pi = work[-1]
+            if pi == starts[v]:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            while pi < ends[v]:
+                w = int(bi[pi])
+                pi += 1
+                if index[w] == -1:
+                    work[-1] = (v, pi)
+                    work.append((w, int(starts[w])))
+                    advanced = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                comp[np.array(members)] = nodes[np.array(members)].min()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return pd.DataFrame({"node": nodes, "scc_id": comp})
+
+
+def strongly_connected_components(
+        edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
+        num_buckets: int = shuffle.DEFAULT_BUCKETS,
+        strategy: str = "auto",
+        driver_node_threshold: int = 500_000,
+        max_rounds: int = 256) -> ray.data.Dataset:
+    """SCCs of a DIRECTED graph: ``(node, scc_id)`` with
+    ``scc_id = min node id in the component`` — the directed
+    counterpart of ``connected_components``
+    (reference consumes NetworkX ``strongly_connected_components``;
+    this is from-scratch).
+
+    Strategy split, same contract as :func:`pagerank` /
+    :func:`eccentricity` — graph tables are node/edge-scale, far
+    smaller than the data they index:
+
+    * ``"broadcast"`` (auto under ``driver_node_threshold``): one
+      distinct-edge collect, iterative Tarjan on the driver — exact,
+      linear, no recursion.
+    * ``"coloring"``: distributed forward–backward min-label peeling
+      (Orzan; Slota et al.): repeat { forward-propagate min ancestor
+      label to fixpoint (bucketed join + keyed min per round, labels
+      monotone ↓ so an unchanged sum is the exact fixpoint); each
+      color's root r (``label(r) = r``) anchors one SCC =
+      same-colored nodes that reach r backwards (restricted reverse
+      BFS); settle those, drop their rows, repeat }.  Rounds scale
+      with the SCC condensation depth — fine for social/web-style
+      graphs, worst-case linear on a pure chain (documented).
+    """
+    ed = shuffle.distinct(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"s": b[src].to_numpy(np.int64),
+                                    "d": b[dst].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        ["s", "d"], num_buckets=num_buckets).materialize()
+
+    if strategy == "auto":
+        n_hint = ed.count()  # node count ≤ 2·edge count
+        strategy = "broadcast" if n_hint <= driver_node_threshold \
+            else "coloring"
+
+    if strategy == "broadcast":
+        df = ed.to_pandas()
+        if not len(df):
+            return ray.data.from_pandas(pd.DataFrame(
+                {"node": np.array([], np.int64),
+                 "scc_id": np.array([], np.int64)}))
+        return ray.data.from_pandas(
+            _tarjan_scc_local(df["s"].to_numpy(np.int64),
+                              df["d"].to_numpy(np.int64)))
+
+    from city2graph_ray.joins import bucketed_join
+    import pyarrow as pa
+    i64 = pa.int64()
+
+    def _nodes_of(e: ray.data.Dataset) -> ray.data.Dataset:
+        both = e.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": np.concatenate([b["s"].to_numpy(np.int64),
+                                         b["d"].to_numpy(np.int64)])}),
+            batch_format="pandas")
+        return shuffle.distinct(both, ["node"], num_buckets=num_buckets)
+
+    settled_parts: list[ray.data.Dataset] = []
+    live = ed
+    for _outer in range(max_rounds):
+        nodes = _nodes_of(live).materialize()
+        n_live = nodes.count()
+        if n_live == 0:
+            break
+        # forward min-label fixpoint
+        labels = nodes.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"],
+                                    "lbl": b["node"]}),
+            batch_format="pandas").materialize()
+        prev_sum = labels.sum("lbl")
+        for _inner in range(max_rounds):
+            inc = bucketed_join(
+                live.map_batches(lambda b: b.rename(columns={"s": "node"}),
+                                 batch_format="pandas"),
+                labels, on="node", num_buckets=num_buckets,
+                left_schema=pa.schema([("node", i64), ("d", i64)]),
+                right_schema=pa.schema([("node", i64), ("lbl", i64)]),
+            ).map_batches(
+                lambda b: pd.DataFrame({"node": b["d"], "lbl": b["lbl"]}),
+                batch_format="pandas")
+            labels = shuffle.group_agg(
+                labels.union(inc), ["node"], {"lbl": ("lbl", "min")},
+                num_buckets=num_buckets
+            ).repartition(num_buckets).materialize()
+            # repartition: iterative unions otherwise double the block
+            # count every round (exponential per-block overhead)
+            cur_sum = labels.sum("lbl")
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        # edge table annotated with both endpoint labels (same-color)
+        elab = bucketed_join(
+            bucketed_join(
+                live, labels.map_batches(
+                    lambda b: b.rename(columns={"node": "s",
+                                                "lbl": "ls"}),
+                    batch_format="pandas"),
+                on="s", num_buckets=num_buckets,
+                left_schema=pa.schema([("s", i64), ("d", i64)]),
+                right_schema=pa.schema([("s", i64), ("ls", i64)])),
+            labels.map_batches(
+                lambda b: b.rename(columns={"node": "d", "lbl": "ld"}),
+                batch_format="pandas"),
+            on="d", num_buckets=num_buckets,
+            left_schema=pa.schema([("s", i64), ("d", i64), ("ls", i64)]),
+            right_schema=pa.schema([("d", i64), ("ld", i64)]),
+        ).map_batches(
+            lambda b: b.loc[b["ls"].to_numpy(np.int64)
+                            == b["ld"].to_numpy(np.int64),
+                            ["s", "d", "ls"]],
+            batch_format="pandas").materialize()
+        # reverse BFS from roots within color
+        marked = labels.map_batches(
+            lambda b: b.loc[b["node"].to_numpy(np.int64)
+                            == b["lbl"].to_numpy(np.int64)],
+            batch_format="pandas").materialize()
+        m_cnt = marked.count()
+        for _bfs in range(max_rounds):
+            grow = bucketed_join(
+                elab.map_batches(
+                    lambda b: b.rename(columns={"d": "node"}),
+                    batch_format="pandas"),
+                marked, on="node", num_buckets=num_buckets,
+                left_schema=pa.schema([("s", i64), ("node", i64),
+                                       ("ls", i64)]),
+                right_schema=pa.schema([("node", i64), ("lbl", i64)]),
+            ).map_batches(
+                lambda b: pd.DataFrame({"node": b["s"], "lbl": b["ls"]}),
+                batch_format="pandas")
+            marked = shuffle.distinct(
+                marked.union(grow), ["node"], num_buckets=num_buckets
+            ).repartition(num_buckets).materialize()
+            new_cnt = marked.count()
+            if new_cnt == m_cnt:
+                break
+            m_cnt = new_cnt
+        settled_parts.append(marked.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"],
+                                    "scc_id": b["lbl"]}),
+            batch_format="pandas").materialize())
+        # peel: drop settled nodes' rows from the live edge set
+        live = bucketed_join(
+            bucketed_join(
+                live, marked.map_batches(
+                    lambda b: pd.DataFrame({"s": b["node"],
+                                            "ms": np.ones(len(b),
+                                                          np.int64)}),
+                    batch_format="pandas"),
+                on="s", how="left", num_buckets=num_buckets,
+                left_schema=pa.schema([("s", i64), ("d", i64)]),
+                right_schema=pa.schema([("s", i64), ("ms", i64)])),
+            marked.map_batches(
+                lambda b: pd.DataFrame({"d": b["node"],
+                                        "md": np.ones(len(b), np.int64)}),
+                batch_format="pandas"),
+            on="d", how="left", num_buckets=num_buckets,
+            left_schema=pa.schema([("s", i64), ("d", i64), ("ms", i64)]),
+            right_schema=pa.schema([("d", i64), ("md", i64)]),
+        ).map_batches(
+            lambda b: b.loc[b["ms"].isna() & b["md"].isna(), ["s", "d"]]
+            .astype(np.int64),
+            batch_format="pandas").repartition(num_buckets).materialize()
+        # isolated-after-peel nodes (all their edges settled but they
+        # were not marked) keep flowing: they reappear via live edges;
+        # nodes with NO remaining edges and not marked are singleton
+        # SCCs of the peeled graph — catch them by difference
+        rest = _nodes_of(live)
+        gone = bucketed_join(
+            nodes, rest.map_batches(
+                lambda b: pd.DataFrame({"node": b["node"],
+                                        "keep": np.ones(len(b),
+                                                        np.int64)}),
+                batch_format="pandas"),
+            on="node", how="left", num_buckets=num_buckets,
+            left_schema=pa.schema([("node", i64)]),
+            right_schema=pa.schema([("node", i64), ("keep", i64)]),
+        ).map_batches(
+            lambda b: b.loc[b["keep"].isna(), ["node"]].astype(np.int64),
+            batch_format="pandas")
+        lost = bucketed_join(
+            gone, settled_parts[-1].map_batches(
+                lambda b: pd.DataFrame({"node": b["node"],
+                                        "st": np.ones(len(b), np.int64)}),
+                batch_format="pandas"),
+            on="node", how="left", num_buckets=num_buckets,
+            left_schema=pa.schema([("node", i64)]),
+            right_schema=pa.schema([("node", i64), ("st", i64)]),
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b.loc[b["st"].isna(), "node"].to_numpy(np.int64),
+                 "scc_id": b.loc[b["st"].isna(), "node"]
+                 .to_numpy(np.int64)}),
+            batch_format="pandas").materialize()
+        if lost.count():
+            settled_parts.append(lost)
+    if not settled_parts:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": np.array([], np.int64),
+             "scc_id": np.array([], np.int64)}))
+    out = settled_parts[0]
+    for part in settled_parts[1:]:
+        out = out.union(part)
+    return out

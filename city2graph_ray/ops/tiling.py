@@ -843,10 +843,13 @@ def flow_accumulation(dirs: ray.data.Dataset,
         if jump.count() == 0:
             break
         grown = _compose(jump, paths).materialize()
-        jump = _compose(jump, jump).materialize()
+        jump = _compose(jump, jump).repartition(num_buckets).materialize()
         if grown.count() == 0:
             break
-        paths = paths.union(grown).materialize()
+        # repartition: iterative unions otherwise double the block
+        # count every round (exponential per-block overhead)
+        paths = (paths.union(grown).repartition(num_buckets)
+                 .materialize())
 
     counts = shuffle.group_agg(
         paths.map_batches(lambda b: pd.DataFrame({"k": b["b"]}),

@@ -908,3 +908,74 @@ def test_bipartite_butterflies_bruteforce():
             want[a] = want.get(a, 0) + c
             want[b] = want.get(b, 0) + c
     assert got == want
+
+
+def _scc_nx_oracle(edges_df):
+    import networkx as nx
+    g = nx.DiGraph()
+    g.add_edges_from(zip(edges_df["src"], edges_df["dst"]))
+    want = {}
+    for comp in nx.strongly_connected_components(g):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    return want
+
+
+def test_scc_broadcast_vs_networkx():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import strongly_connected_components
+
+    rng = np.random.default_rng(31)
+    e = pd.DataFrame({"src": rng.integers(0, 40, 160),
+                      "dst": rng.integers(0, 40, 160)}).astype(np.int64)
+    got = strongly_connected_components(
+        rd.from_pandas(e), strategy="broadcast",
+        num_buckets=4).to_pandas()
+    want = _scc_nx_oracle(e)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[r["node"]] == r["scc_id"], r["node"]
+
+
+def test_scc_coloring_matches_broadcast():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import strongly_connected_components
+
+    # two cycles joined by a chain, a self-loop, a dangling tail —
+    # small condensation depth (each distributed peel is many shuffle
+    # rounds, so the coloring test stays deliberately compact)
+    e = pd.DataFrame({
+        "src": np.array([0, 1, 2, 2, 3, 5, 6, 8, 7], np.int64),
+        "dst": np.array([1, 2, 0, 3, 5, 6, 5, 8, 0], np.int64)})
+    bc = (strongly_connected_components(rd.from_pandas(e),
+                                        strategy="broadcast",
+                                        num_buckets=4)
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    cl = (strongly_connected_components(rd.from_pandas(e),
+                                        strategy="coloring",
+                                        num_buckets=4)
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, cl)
+
+
+def test_scc_chain_all_singletons_cycle_one():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import strongly_connected_components
+
+    chain = pd.DataFrame({"src": np.arange(5, dtype=np.int64),
+                          "dst": np.arange(1, 6, dtype=np.int64)})
+    got = strongly_connected_components(
+        rd.from_pandas(chain), strategy="broadcast").to_pandas()
+    assert (got["node"] == got["scc_id"]).all()
+    cyc = pd.DataFrame({"src": np.array([0, 1, 2], np.int64),
+                        "dst": np.array([1, 2, 0], np.int64)})
+    got2 = strongly_connected_components(
+        rd.from_pandas(cyc), strategy="coloring").to_pandas()
+    assert (got2["scc_id"] == 0).all() and len(got2) == 3
