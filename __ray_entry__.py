@@ -72,6 +72,30 @@ _FLOW_DIRS_CTE = """
           FROM fs)
 """
 
+# Per-zone convex-hull directed CCW edges by the all-points-left pair
+# predicate (mirrors city2graph_ray.ops.spatial.convex_hull_zones)
+_HULL_EDGES_SQL = f"""
+            WITH p AS (SELECT DISTINCT c_custkey % 8 AS zone,
+                  (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                   + {synth.BX}) % {synth.MOD} AS x,
+                  (c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                   + {synth.BY}) % {synth.MOD} AS y
+                       FROM customer)
+            SELECT a.zone, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+            FROM p a JOIN p b
+              ON a.zone = b.zone AND (a.x <> b.x OR a.y <> b.y)
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p c
+              WHERE c.zone = a.zone
+                AND (c.x <> a.x OR c.y <> a.y)
+                AND (c.x <> b.x OR c.y <> b.y)
+                AND NOT ((b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) > 0
+                      OR ((b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) = 0
+                          AND c.x BETWEEN least(a.x, b.x)
+                                      AND greatest(a.x, b.x)
+                          AND c.y BETWEEN least(a.y, b.y)
+                                      AND greatest(a.y, b.y))))"""
+
 _SEG_EPS = (f"SELECT o_orderkey AS seg_id, {synth.sql_x('o_orderkey')} AS ax, "
             f"{synth.sql_y('o_orderkey')} AS ay, {synth.sql_x('o_custkey')} AS bx, "
             f"{synth.sql_y('o_custkey')} AS by FROM orders")
@@ -467,6 +491,26 @@ def _zone_convex_hull(sf_dir: str):
     return convex_hull_zones(cust.map_batches(fn, batch_format="pandas"))
 
 
+def _zone_hull_area(sf_dir: str):
+    """Per-zone hull area: exact shoelace int over the CCW hull edges,
+    one mirrored /2.0."""
+    import ray.data
+
+    from city2graph_ray.ops.spatial import hull_area_zones
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "zone": k % 8,
+            "x": (k * k * synth.QX + k * synth.AX + synth.BX) % synth.MOD,
+            "y": (k * k * synth.QY + k * synth.AY + synth.BY) % synth.MOD})
+
+    return hull_area_zones(cust.map_batches(fn, batch_format="pandas"))
+
+
 def _flow_dir_grid(sf_dir: str):
     import ray.data
 
@@ -498,6 +542,15 @@ def _raster_flow_acc(sf_dir: str):
     from city2graph_ray.ops.tiling import flow_accumulation
 
     return flow_accumulation(_flow_dir_grid(sf_dir))
+
+
+def _raster_watershed(sf_dir: str):
+    """Drainage-basin labels: every cell -> its D8 path terminal (pit
+    or off-raster exit) via log-round pointer jumping; twin is the
+    recursive-CTE walk to the terminal."""
+    from city2graph_ray.ops.tiling import flow_watershed
+
+    return flow_watershed(_flow_dir_grid(sf_dir))
 
 
 def _grid_join_counts(sf_dir: str):
@@ -4529,6 +4582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_convex_hull": _zone_convex_hull,
         "pt_snap_segment": _pt_snap_segment,
         "zone_scc": _zone_scc,
+        "raster_watershed": _raster_watershed,
+        "zone_hull_area": _zone_hull_area,
         "raster_slope": _raster_slope,
         "zone_hausdorff": _zone_hausdorff,
         "grid_zone_dissolve": _grid_zone_dissolve,
@@ -5064,27 +5119,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM e WHERE d2_num <= 22500 * d2_den)
             SELECT id, seg_id, d2_num, d2_den, snap_x, snap_y
             FROM f WHERE rn = 1""",
-        "zone_convex_hull": f"""
-            WITH p AS (SELECT DISTINCT c_custkey % 8 AS zone,
-                  (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
-                   + {synth.BX}) % {synth.MOD} AS x,
-                  (c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
-                   + {synth.BY}) % {synth.MOD} AS y
-                       FROM customer)
-            SELECT a.zone, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
-            FROM p a JOIN p b
-              ON a.zone = b.zone AND (a.x <> b.x OR a.y <> b.y)
-            WHERE NOT EXISTS (
-              SELECT 1 FROM p c
-              WHERE c.zone = a.zone
-                AND (c.x <> a.x OR c.y <> a.y)
-                AND (c.x <> b.x OR c.y <> b.y)
-                AND NOT ((b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) > 0
-                      OR ((b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) = 0
-                          AND c.x BETWEEN least(a.x, b.x)
-                                      AND greatest(a.x, b.x)
-                          AND c.y BETWEEN least(a.y, b.y)
-                                      AND greatest(a.y, b.y))))""",
+        "zone_convex_hull": _HULL_EDGES_SQL,
+        "zone_hull_area": f"""
+            WITH he AS ({_HULL_EDGES_SQL})
+            SELECT zone, count(*) AS n_vertices,
+                   CAST(sum(ax * by - bx * ay) AS BIGINT) AS area2,
+                   CAST(CAST(sum(ax * by - bx * ay) AS BIGINT) AS DOUBLE)
+                   / 2.0 AS area
+            FROM he GROUP BY zone""",
         "raster_flow_dir": f"WITH {_FLOW_DIRS_CTE} "
                            f"SELECT c, r, dir FROM dirs",
         "raster_flow_acc": f"""
@@ -5106,6 +5148,25 @@ def oracle_sql() -> dict[str, str]:
             FROM dirs d LEFT JOIN reach x
               ON x.cc = d.c AND x.rr = d.r
             GROUP BY d.c, d.r""",
+        "raster_watershed": f"""
+            WITH RECURSIVE {_FLOW_DIRS_CTE},
+            nxt AS (SELECT c, r, dir,
+                      c + CASE WHEN dir IN (0, 1, 7) THEN 1
+                               WHEN dir IN (3, 4, 5) THEN -1
+                               ELSE 0 END AS nc,
+                      r + CASE WHEN dir IN (1, 2, 3) THEN 1
+                               WHEN dir IN (5, 6, 7) THEN -1
+                               ELSE 0 END AS nr
+                    FROM dirs),
+            walk(c0, r0, cc, rr) AS (
+                SELECT c, r, c, r FROM dirs
+                UNION ALL
+                SELECT w.c0, w.r0, n.nc, n.nr
+                FROM walk w JOIN nxt n ON n.c = w.cc AND n.r = w.rr
+                WHERE n.dir <> -1)
+            SELECT w.c0 AS c, w.r0 AS r, w.cc AS pit_c, w.rr AS pit_r
+            FROM walk w LEFT JOIN nxt t ON t.c = w.cc AND t.r = w.rr
+            WHERE t.c IS NULL OR t.dir = -1""",
         "grid_join_counts": """
             WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
                               CASE WHEN ((p_partkey % 40) + (p_partkey // 40)

@@ -700,3 +700,35 @@ def snap_to_segments(points: ray.data.Dataset,
         lambda b: b.rename(columns={"pid": id_col})[
             [id_col, "seg_id", "d2_num", "d2_den", "snap_x", "snap_y"]],
         batch_format="pandas")
+
+
+def hull_area_zones(points: ray.data.Dataset, zone_col: str = "zone",
+                    x: str = "x", y: str = "y",
+                    num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                    ) -> ray.data.Dataset:
+    """Per-zone convex-hull area: the shoelace sum over the CCW hull
+    edge set of :func:`convex_hull_zones` —
+    ``2A = Σ_edges (ax·by − bx·ay)``, an exact int64 (positive for
+    CCW), with one mirrored ``/2.0`` for the float.  Output
+    (zone, n_vertices, area2, area).  Degenerate zones (no hull
+    polygon) emit nothing, matching the edge op."""
+    edges = convex_hull_zones(points, zone_col=zone_col, x=x, y=y,
+                              num_buckets=num_buckets)
+
+    def cross(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            zone_col: b[zone_col].to_numpy(np.int64),
+            "cr": b["ax"].to_numpy(np.int64) * b["by"].to_numpy(np.int64)
+            - b["bx"].to_numpy(np.int64) * b["ay"].to_numpy(np.int64)})
+
+    agg = shuffle.group_agg(
+        edges.map_batches(cross, batch_format="pandas"),
+        [zone_col], {"area2": ("cr", "sum"), "n_vertices": ("cr", "size")},
+        num_buckets=num_buckets)
+    return agg.map_batches(
+        lambda b: pd.DataFrame({
+            zone_col: b[zone_col].to_numpy(np.int64),
+            "n_vertices": b["n_vertices"].to_numpy(np.int64),
+            "area2": b["area2"].to_numpy(np.int64),
+            "area": b["area2"].to_numpy(np.float64) / 2.0}),
+        batch_format="pandas")

@@ -733,8 +733,10 @@ def flow_direction_d8(grid: ray.data.Dataset, col_c: str = "c",
 
 
 def _pack_cell(c: np.ndarray, r: np.ndarray) -> np.ndarray:
-    # 31-bit lanes, offset 2^30: |c|,|r| < 2^30, packed fits int64
-    return ((c + (np.int64(1) << 30)) << 31) | (r + (np.int64(1) << 30))
+    # 21-bit lanes, offset 2^20: |c|,|r| < 2^20 (10^12 cells — a
+    # planetary raster).  Packed keys stay < 2^42 < 2^53 so they
+    # survive pandas' int→float NaN-promotion in LEFT joins exactly.
+    return ((c + (np.int64(1) << 20)) << 21) | (r + (np.int64(1) << 20))
 
 
 def flow_accumulation(dirs: ray.data.Dataset,
@@ -781,11 +783,11 @@ def flow_accumulation(dirs: ray.data.Dataset,
     if strategy == "auto":
         strategy = "broadcast" if n <= broadcast_threshold else "doubling"
 
-    half = np.int64(1) << 30
+    half = np.int64(1) << 20
 
     def _unpack_keys(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        return ((k >> 31) - half,
-                (k & ((np.int64(1) << 31) - 1)) - half)
+        return ((k >> 21) - half,
+                (k & ((np.int64(1) << 21) - 1)) - half)
 
     if strategy == "broadcast":
         df = allcells.to_pandas()
@@ -871,3 +873,98 @@ def flow_accumulation(dirs: ray.data.Dataset,
         return pd.DataFrame({"c": c, "r": r, "acc": cnt + 1})
 
     return joined.map_batches(unpack, batch_format="pandas")
+
+
+def flow_watershed(dirs: ray.data.Dataset,
+                   num_buckets: int = 16,
+                   strategy: str = "auto",
+                   broadcast_threshold: int = 2_000_000,
+                   max_rounds: int = 64) -> ray.data.Dataset:
+    """Drainage-basin labeling over a :func:`flow_direction_d8`
+    table: each cell is labeled with the TERMINAL of its D8 flow path
+    — a pit/flat (``dir = -1``, which drains to itself) or the
+    off-raster cell where the path exits the mapped window.  The
+    functional graph is a forest of self-loop-rooted trees, so the
+    terminal is the fixpoint of POINTER JUMPING (``ptr ← ptr[ptr]``,
+    ⌈log₂ L⌉ rounds): the node-sized successor map collects to the
+    driver under ``broadcast_threshold`` (vectorized numpy jumps,
+    :func:`flow_accumulation`'s contract), else each round is one
+    LEFT bucketed self-join (missing targets are exits and stay
+    fixed).  Unlike the accumulation closure this shuffles only O(n)
+    rows per round.  Output (c, r, pit_c, pit_r).
+    """
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": _pack_cell(b["c"].to_numpy(np.int64),
+                            b["r"].to_numpy(np.int64)),
+            "b": _pack_cell(b["next_c"].to_numpy(np.int64),
+                            b["next_r"].to_numpy(np.int64))})
+
+    ptr = dirs.map_batches(keyed, batch_format="pandas").materialize()
+    n = ptr.count()
+    if strategy == "auto":
+        strategy = "broadcast" if n <= broadcast_threshold else "jumping"
+
+    half = np.int64(1) << 20
+
+    def _unpack(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(np.int64)
+        t = b["b"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "c": (a >> 21) - half,
+            "r": (a & ((np.int64(1) << 21) - 1)) - half,
+            "pit_c": (t >> 21) - half,
+            "pit_r": (t & ((np.int64(1) << 21) - 1)) - half})
+
+    if strategy == "broadcast":
+        df = ptr.to_pandas()
+        if not len(df):
+            return ray.data.from_pandas(pd.DataFrame(
+                {k: np.array([], np.int64)
+                 for k in ("c", "r", "pit_c", "pit_r")}))
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        keys = np.unique(np.concatenate([a, b]))
+        nxt = np.arange(len(keys))          # absent sources: self-loop
+        nxt[np.searchsorted(keys, a)] = np.searchsorted(keys, b)
+        for _ in range(max_rounds):
+            nn = nxt[nxt]
+            if (nn == nxt).all():
+                break
+            nxt = nn
+        pos = np.searchsorted(keys, a)
+        return ray.data.from_pandas(_unpack(pd.DataFrame(
+            {"a": a, "b": keys[nxt[pos]]})))
+
+    for _ in range(max_rounds):
+        hop = bucketed_join(
+            ptr.map_batches(lambda b: b.rename(columns={"b": "m"}),
+                            batch_format="pandas"),
+            ptr.map_batches(
+                lambda b: b.rename(columns={"a": "m", "b": "t"}),
+                batch_format="pandas"),
+            on="m", how="left", num_buckets=num_buckets,
+            left_schema=pa.schema([("a", pa.int64()), ("m", pa.int64())]),
+            right_schema=pa.schema([("m", pa.int64()),
+                                    ("t", pa.int64())]))
+
+        def advance(b: pd.DataFrame) -> pd.DataFrame:
+            t = b["t"].to_numpy(np.float64) if "t" in b else \
+                np.full(len(b), np.nan)
+            m = b["m"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "a": b["a"].to_numpy(np.int64),
+                "b": np.where(np.isnan(t), m, np.nan_to_num(t))
+                .astype(np.int64),
+                "moved": (~np.isnan(t)
+                          & (np.nan_to_num(t) != m)).astype(np.int64)})
+
+        stepped = hop.map_batches(advance, batch_format="pandas") \
+            .repartition(num_buckets).materialize()
+        moved = stepped.sum("moved")
+        ptr = stepped.map_batches(lambda b: b[["a", "b"]],
+                                  batch_format="pandas").materialize()
+        if not moved:
+            break
+
+    return ptr.map_batches(_unpack, batch_format="pandas")

@@ -434,3 +434,23 @@ def test_snap_to_segments_out_of_radius_empty():
     got = snap_to_segments(rd.from_pandas(pts), rd.from_pandas(segs),
                            radius=50.0, num_buckets=2).to_pandas()
     assert len(got) == 0
+
+
+def test_hull_area_zones_square():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.spatial import hull_area_zones
+
+    # 10×10 square with interior noise: hull area exactly 100
+    rng = np.random.default_rng(2)
+    inner = pd.DataFrame({"zone": 0, "x": rng.integers(1, 10, 30),
+                          "y": rng.integers(1, 10, 30)})
+    corners = pd.DataFrame({"zone": 0, "x": [0, 10, 10, 0],
+                            "y": [0, 0, 10, 10]})
+    df = pd.concat([inner, corners], ignore_index=True).astype(np.int64)
+    got = hull_area_zones(rd.from_pandas(df), num_buckets=2).to_pandas()
+    assert len(got) == 1
+    assert got["area2"].iloc[0] == 200
+    assert got["area"].iloc[0] == 100.0
+    assert got["n_vertices"].iloc[0] == 4

@@ -508,3 +508,35 @@ def test_flow_accumulation_doubling_matches_broadcast():
                             strategy="doubling").to_pandas()
           .sort_values(["c", "r"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(bc, db)
+
+
+def test_flow_watershed_bruteforce_and_strategies():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import flow_direction_d8, flow_watershed
+
+    rng = np.random.default_rng(9)
+    cs, rs = np.meshgrid(np.arange(10), np.arange(8))
+    c, r = cs.ravel().astype(np.int64), rs.ravel().astype(np.int64)
+    v = (c + r * 2 + rng.integers(0, 7, len(c))).astype(np.int64)
+    df = pd.DataFrame({"c": c, "r": r, "v": v})
+    dirs_ds = flow_direction_d8(rd.from_pandas(df),
+                                num_buckets=4).materialize()
+    dirs_df = dirs_ds.to_pandas()
+    nxt = {(a, b): (x, y) for a, b, x, y in zip(
+        dirs_df["c"], dirs_df["r"], dirs_df["next_c"], dirs_df["next_r"])}
+    want = {}
+    for start in nxt:
+        cur = start
+        while cur in nxt and nxt[cur] != cur:
+            cur = nxt[cur]
+        want[start] = cur
+    bc = (flow_watershed(dirs_ds, strategy="broadcast", num_buckets=4)
+          .to_pandas().sort_values(["c", "r"]).reset_index(drop=True))
+    assert len(bc) == len(want)
+    for _, row in bc.iterrows():
+        assert (row["pit_c"], row["pit_r"]) == want[(row["c"], row["r"])]
+    jp = (flow_watershed(dirs_ds, strategy="jumping", num_buckets=4)
+          .to_pandas().sort_values(["c", "r"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, jp)
