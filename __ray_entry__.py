@@ -544,6 +544,69 @@ def _raster_flow_acc(sf_dir: str):
     return flow_accumulation(_flow_dir_grid(sf_dir))
 
 
+def _grid_general_g(sf_dir: str):
+    """Getis-Ord General G over the gradient+noise part grid: exact
+    int64 numerator/denominator, one mirrored division."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import general_g
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        c, r = synth.part_grid_cell(k)
+        return pd.DataFrame({"c": c, "r": r, "v": c + r + (k % 7)})
+
+    return general_g(ds.map_batches(fn, batch_format="pandas"))
+
+
+def _raster_edt(sf_dir: str):
+    """Bounded Euclidean distance transform: min squared distance to
+    the nearest occupied cell (sparse 9% occupancy), radius 4."""
+    import ray.data
+
+    from city2graph_ray.ops.tiling import distance_transform
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        k = k[k % 11 == 0]
+        c, r = synth.part_grid_cell(k)
+        return pd.DataFrame({"c": c, "r": r})
+
+    return distance_transform(ds.map_batches(fn, batch_format="pandas"),
+                              max_radius=4)
+
+
+def _segment_raster_cells(sf_dir: str):
+    """Supercover rasterization of short order segments onto 64-unit
+    cells by the exact separating-axis corner predicate."""
+    import ray.data
+
+    from city2graph_ray.ops.tiling import segment_cover_cells
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey"])
+
+    def segs(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        ax = (k * k * synth.QX + k * synth.AX + synth.BX) \
+            % synth.MOD % 10000 + 100
+        ay = (k * k * synth.QY + k * synth.AY + synth.BY) \
+            % synth.MOD % 10000 + 100
+        return pd.DataFrame({"seg_id": k, "ax": ax, "ay": ay,
+                             "bx": ax + (k % 97) - 48,
+                             "by": ay + (k % 89) - 44})
+
+    return segment_cover_cells(orders.map_batches(segs,
+                                                  batch_format="pandas"),
+                               cell_size=64)
+
+
 def _raster_watershed(sf_dir: str):
     """Drainage-basin labels: every cell -> its D8 path terminal (pit
     or off-raster exit) via log-round pointer jumping; twin is the
@@ -4584,6 +4647,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_scc": _zone_scc,
         "raster_watershed": _raster_watershed,
         "zone_hull_area": _zone_hull_area,
+        "grid_general_g": _grid_general_g,
+        "raster_edt": _raster_edt,
+        "segment_raster_cells": _segment_raster_cells,
         "raster_slope": _raster_slope,
         "zone_hausdorff": _zone_hausdorff,
         "grid_zone_dissolve": _grid_zone_dissolve,
@@ -5148,6 +5214,63 @@ def oracle_sql() -> dict[str, str]:
             FROM dirs d LEFT JOIN reach x
               ON x.cc = d.c AND x.rr = d.r
             GROUP BY d.c, d.r""",
+        "grid_general_g": """
+            WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
+                              (p_partkey % 40) + (p_partkey // 40)
+                              + (p_partkey % 7) AS v
+                       FROM part),
+            e AS (SELECT a.v AS va, b.v AS vb
+                  FROM g a JOIN g b
+                  ON abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+                     AND NOT (a.c = b.c AND a.r = b.r)),
+            s AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sx,
+                         CAST(sum(v * v) AS BIGINT) AS sx2 FROM g),
+            m AS (SELECT count(*) AS w,
+                         CAST(sum(va * vb) AS BIGINT) AS num FROM e)
+            SELECT s.n AS n_cells, m.w AS w_sum, m.num AS g_num,
+                   s.sx * s.sx - s.sx2 AS g_den,
+                   CAST(m.num AS DOUBLE)
+                   / CAST(s.sx * s.sx - s.sx2 AS DOUBLE) AS general_g
+            FROM s, m""",
+        "raster_edt": """
+            WITH occ AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r
+                         FROM part WHERE p_partkey % 11 = 0)
+            SELECT o.c + gx.dc AS c, o.r + gy.dr AS r,
+                   min(gx.dc * gx.dc + gy.dr * gy.dr) AS d2
+            FROM occ o, generate_series(-4, 4) AS gx(dc),
+                        generate_series(-4, 4) AS gy(dr)
+            GROUP BY 1, 2""",
+        "segment_raster_cells": f"""
+            WITH s AS (SELECT o_orderkey AS seg_id,
+                  (o_orderkey*o_orderkey*{synth.QX}
+                   + o_orderkey*{synth.AX} + {synth.BX})
+                  % {synth.MOD} % 10000 + 100 AS ax,
+                  (o_orderkey*o_orderkey*{synth.QY}
+                   + o_orderkey*{synth.AY} + {synth.BY})
+                  % {synth.MOD} % 10000 + 100 AS ay
+                  FROM orders),
+            s2 AS (SELECT seg_id, ax, ay,
+                          ax + (seg_id % 97) - 48 AS bx,
+                          ay + (seg_id % 89) - 44 AS by FROM s),
+            cand AS (SELECT seg_id, ax, ay, bx, by,
+                            least(ax, bx) // 64 + g.i AS c,
+                            least(ay, by) // 64 + h.j AS r
+                     FROM s2, generate_series(0, 3) AS g(i),
+                              generate_series(0, 3) AS h(j)
+                     WHERE least(ax, bx) // 64 + g.i
+                           <= greatest(ax, bx) // 64
+                       AND least(ay, by) // 64 + h.j
+                           <= greatest(ay, by) // 64),
+            x AS (SELECT seg_id, c, r,
+                    (bx-ax)*(r*64 - ay) - (by-ay)*(c*64 - ax) AS c00,
+                    (bx-ax)*(r*64 - ay) - (by-ay)*(c*64 + 64 - ax) AS c10,
+                    (bx-ax)*(r*64 + 64 - ay) - (by-ay)*(c*64 - ax) AS c01,
+                    (bx-ax)*(r*64 + 64 - ay)
+                    - (by-ay)*(c*64 + 64 - ax) AS c11
+                  FROM cand)
+            SELECT seg_id, c, r FROM x
+            WHERE least(c00, c10, c01, c11) <= 0
+              AND greatest(c00, c10, c01, c11) >= 0""",
         "raster_watershed": f"""
             WITH RECURSIVE {_FLOW_DIRS_CTE},
             nxt AS (SELECT c, r, dir,

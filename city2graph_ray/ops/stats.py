@@ -829,3 +829,68 @@ def join_counts(grid: ray.data.Dataset, col_c: str = "c",
         "bb": np.array([p["bb2"].sum() // 2], np.int64),
         "ww": np.array([p["ww2"].sum() // 2], np.int64),
         "bw": np.array([p["bw2"].sum() // 2], np.int64)})
+
+
+def general_g(grid: ray.data.Dataset, col_c: str = "c", col_r: str = "r",
+              val: str = "v", num_buckets: int = 16) -> pd.DataFrame:
+    """Getis–Ord General G statistic under binary queen contiguity —
+    the global hot-spot concentration measure::
+
+        G = Σ_{i adj j} x_i·x_j  /  Σ_{i≠j} x_i·x_j
+
+    (``x ≥ 0`` required, as in the original definition).  Numerator by
+    one 8-way ring scatter + keyed sum (Σ x_i · ringsum_i); the
+    denominator is ``(Σx)² − Σx²`` — two streamed scalars.  All int64,
+    one final division.  Returns one row
+    (n_cells, w_sum, g_num, g_den, general_g).
+    """
+    off = np.array([(dc, dr) for dc in (-1, 0, 1) for dr in (-1, 0, 1)
+                    if not (dc == 0 and dr == 0)], np.int64)
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[col_c].to_numpy(np.int64)
+        r = b[col_r].to_numpy(np.int64)
+        v = b[val].to_numpy(np.int64)
+        if len(v) and v.min() < 0:
+            raise ValueError("general_g needs nonnegative values")
+        m = len(b)
+        return pd.DataFrame({
+            "c": np.concatenate([np.repeat(c, 8) + np.tile(off[:, 0], m), c]),
+            "r": np.concatenate([np.repeat(r, 8) + np.tile(off[:, 1], m), r]),
+            "sv": np.concatenate([np.repeat(v, 8), np.zeros(m, np.int64)]),
+            "wn": np.concatenate([np.ones(8 * m, np.int64),
+                                  np.zeros(m, np.int64)]),
+            "own": np.concatenate([np.zeros(8 * m, np.int64),
+                                   np.ones(m, np.int64)]),
+            "vown": np.concatenate([np.zeros(8 * m, np.int64), v])})
+
+    percell = shuffle.group_agg(
+        grid.map_batches(scatter, batch_format="pandas"),
+        ["c", "r"], {"sv": ("sv", "sum"), "wn": ("wn", "sum"),
+                     "own": ("own", "sum"), "vown": ("vown", "sum")},
+        num_buckets=num_buckets)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["own"].to_numpy(np.int64) == 1
+        v = b["vown"].to_numpy(np.int64)[keep]
+        sv = b["sv"].to_numpy(np.int64)[keep]
+        wn = b["wn"].to_numpy(np.int64)[keep]
+        return pd.DataFrame({
+            "n": [int(keep.sum())], "w": [int(wn.sum())],
+            "num": [int((v * sv).sum())],
+            "sx": [int(v.sum())], "sx2": [int((v * v).sum())]})
+
+    p = percell.map_batches(partials, batch_format="pandas").to_pandas()
+    n, w = int(p["n"].sum()), int(p["w"].sum())
+    num = int(p["num"].sum())
+    sx, sx2 = int(p["sx"].sum()), int(p["sx2"].sum())
+    den = sx * sx - sx2
+    if den == 0:
+        raise ValueError("General G undefined: all-pairs sum is zero")
+    return pd.DataFrame({
+        "n_cells": np.array([n], np.int64),
+        "w_sum": np.array([w], np.int64),
+        "g_num": np.array([num], np.int64),
+        "g_den": np.array([den], np.int64),
+        "general_g": np.array([np.float64(num) / np.float64(den)],
+                              np.float64)})

@@ -968,3 +968,85 @@ def flow_watershed(dirs: ray.data.Dataset,
             break
 
     return ptr.map_batches(_unpack, batch_format="pandas")
+
+
+def distance_transform(grid: ray.data.Dataset, max_radius: int,
+                       col_c: str = "c", col_r: str = "r",
+                       num_buckets: int = 16) -> ray.data.Dataset:
+    """Bounded Euclidean distance transform over a sparse raster: for
+    every cell within Chebyshev distance ``max_radius`` of an OCCUPIED
+    cell, the exact minimum squared center-to-center distance ``d2``
+    to the nearest occupied cell (occupied cells get 0) — the raster
+    buffer / proximity-surface primitive.  One (2R+1)²-way scatter
+    from occupied cells only, one partial-aggregated keyed MIN; all
+    int64.  Cells farther than R from every occupied cell are absent
+    (the documented bound; escalate R or tile for full-frame EDT).
+    Output (c, r, d2).
+    """
+    rng = np.arange(-max_radius, max_radius + 1, dtype=np.int64)
+    oc, orr = (a.ravel() for a in np.meshgrid(rng, rng))
+    d2off = oc * oc + orr * orr
+    k = len(oc)
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[col_c].to_numpy(np.int64)
+        r = b[col_r].to_numpy(np.int64)
+        m = len(b)
+        return pd.DataFrame({
+            "c": np.repeat(c, k) + np.tile(oc, m),
+            "r": np.repeat(r, k) + np.tile(orr, m),
+            "d2": np.tile(d2off, m)})
+
+    return shuffle.group_agg(
+        grid.map_batches(scatter, batch_format="pandas"),
+        ["c", "r"], {"d2": ("d2", "min")}, num_buckets=num_buckets)
+
+
+def segment_cover_cells(segments: ray.data.Dataset, cell_size: int,
+                        num_buckets: int = 16) -> ray.data.Dataset:
+    """Rasterize integer-coordinate segments onto the grid: emit every
+    (seg_id, cell c, r) whose CLOSED cell square the segment touches —
+    the supercover line, computed not by DDA stepping but by the exact
+    separating-axis predicate over the segment's bbox cells (so the
+    kernel is one vectorized mask, no per-segment Python):
+
+        bbox overlap (closed)  AND  the 4 cell corners are not all
+        strictly on one side of the segment's line
+        (min corner-cross ≤ 0 ≤ max corner-cross, exact int64).
+
+    This is the candidate generator for map-matching / cell-bucketed
+    segment joins.  ``cell_size`` must be a positive int (integer
+    corner coords keep every cross product exact).  Output
+    (seg_id, c, r).
+    """
+    if cell_size <= 0 or int(cell_size) != cell_size:
+        raise ValueError("cell_size must be a positive int")
+    s = np.int64(cell_size)
+
+    def cover(b: pd.DataFrame) -> pd.DataFrame:
+        ax = b["ax"].to_numpy(np.int64)
+        ay = b["ay"].to_numpy(np.int64)
+        bx = b["bx"].to_numpy(np.int64)
+        by = b["by"].to_numpy(np.int64)
+        idx, cell = cells.covering_cells(
+            np.minimum(ax, bx), np.minimum(ay, by),
+            np.maximum(ax, bx), np.maximum(ay, by), float(s))
+        cx, cy = cells.cell_xy(cell)
+        x0, y0 = cx * s, cy * s
+        dx = (bx - ax)[idx]
+        dy = (by - ay)[idx]
+        rxa = x0 - ax[idx]
+        rya = y0 - ay[idx]
+        # cross products of the 4 corners vs the segment line
+        c00 = dx * rya - dy * rxa
+        c10 = dx * rya - dy * (rxa + s)
+        c01 = dx * (rya + s) - dy * rxa
+        c11 = dx * (rya + s) - dy * (rxa + s)
+        cmin = np.minimum(np.minimum(c00, c10), np.minimum(c01, c11))
+        cmax = np.maximum(np.maximum(c00, c10), np.maximum(c01, c11))
+        keep = (cmin <= 0) & (cmax >= 0)
+        return pd.DataFrame({
+            "seg_id": b["seg_id"].to_numpy(np.int64)[idx][keep],
+            "c": cx[keep], "r": cy[keep]})
+
+    return segments.map_batches(cover, batch_format="pandas")

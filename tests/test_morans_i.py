@@ -169,3 +169,28 @@ def test_join_counts_rejects_nonbinary():
                        "v": np.array([0, 2], np.int64)})
     with pytest.raises(Exception):
         join_counts(rd.from_pandas(df))
+
+
+def test_general_g_bruteforce():
+    from city2graph_ray.ops.stats import general_g
+    rng = np.random.default_rng(53)
+    cs, rs = np.meshgrid(np.arange(7), np.arange(6))
+    df = pd.DataFrame({"c": cs.ravel().astype(np.int64),
+                       "r": rs.ravel().astype(np.int64),
+                       "v": rng.integers(0, 30, 42).astype(np.int64)})
+    df = df[rng.random(42) > 0.2].reset_index(drop=True)
+    got = general_g(rd.from_pandas(df), num_buckets=4)
+    cells = list(zip(df["c"], df["r"], df["v"]))
+    num = w = 0
+    for (c1, r1, v1) in cells:
+        for (c2, r2, v2) in cells:
+            if (c1, r1) != (c2, r2) and abs(c1 - c2) <= 1 \
+                    and abs(r1 - r2) <= 1:
+                num += v1 * v2
+                w += 1
+    sx = sum(v for _, _, v in cells)
+    den = sx * sx - sum(v * v for _, _, v in cells)
+    row = got.iloc[0]
+    assert (row["n_cells"], row["w_sum"]) == (len(cells), w)
+    assert (row["g_num"], row["g_den"]) == (num, den)
+    assert row["general_g"] == pytest.approx(num / den, rel=1e-15)

@@ -540,3 +540,80 @@ def test_flow_watershed_bruteforce_and_strategies():
     jp = (flow_watershed(dirs_ds, strategy="jumping", num_buckets=4)
           .to_pandas().sort_values(["c", "r"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(bc, jp)
+
+
+def test_distance_transform_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import distance_transform
+
+    rng = np.random.default_rng(3)
+    occ = pd.DataFrame({"c": rng.integers(0, 12, 8),
+                        "r": rng.integers(0, 12, 8)}).astype(np.int64)
+    occ = occ.drop_duplicates().reset_index(drop=True)
+    got = (distance_transform(rd.from_pandas(occ), max_radius=3,
+                              num_buckets=4).to_pandas()
+           .set_index(["c", "r"])["d2"].to_dict())
+    pts = list(zip(occ["c"], occ["r"]))
+    want = {}
+    for (oc, orr) in pts:
+        for dc in range(-3, 4):
+            for dr in range(-3, 4):
+                key = (oc + dc, orr + dr)
+                d2 = dc * dc + dr * dr
+                if key not in want or d2 < want[key]:
+                    want[key] = d2
+    assert got == want
+    assert all(got[p] == 0 for p in pts)
+
+
+def _seg_square_brute(ax, ay, bx, by, x0, y0, s):
+    """Liang-Barsky closed clip: does segment touch [x0,x0+s]x[y0,y0+s]?"""
+    dx, dy = bx - ax, by - ay
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, ax - x0), (dx, x0 + s - ax),
+                 (-dy, ay - y0), (dy, y0 + s - ay)):
+        if p == 0:
+            if q < 0:
+                return False
+            continue
+        t = q / p
+        if p < 0:
+            t0 = max(t0, t)
+        else:
+            t1 = min(t1, t)
+    return t0 <= t1
+
+
+def test_segment_cover_cells_generic_matches_clip():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import segment_cover_cells
+
+    rng = np.random.default_rng(19)
+    n = 40
+    ax = rng.integers(3, 400, n)
+    ay = rng.integers(3, 400, n)
+    segs = pd.DataFrame({"seg_id": np.arange(n, dtype=np.int64),
+                         "ax": ax, "ay": ay,
+                         "bx": ax + rng.integers(-90, 91, n),
+                         "by": ay + rng.integers(-90, 91, n)
+                         }).astype(np.int64)
+    s = 32
+    got = segment_cover_cells(rd.from_pandas(segs), cell_size=s,
+                              num_buckets=4).to_pandas()
+    have = set(zip(got["seg_id"], got["c"], got["r"]))
+    want = set()
+    for _, row in segs.iterrows():
+        lo_c = min(row["ax"], row["bx"]) // s
+        hi_c = max(row["ax"], row["bx"]) // s
+        lo_r = min(row["ay"], row["by"]) // s
+        hi_r = max(row["ay"], row["by"]) // s
+        for c in range(lo_c, hi_c + 1):
+            for r in range(lo_r, hi_r + 1):
+                if _seg_square_brute(row["ax"], row["ay"], row["bx"],
+                                     row["by"], c * s, r * s, s):
+                    want.add((row["seg_id"], c, r))
+    assert have == want
