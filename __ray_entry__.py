@@ -544,6 +544,28 @@ def _raster_flow_acc(sf_dir: str):
     return flow_accumulation(_flow_dir_grid(sf_dir))
 
 
+def _event_max_nonoverlap(sf_dir: str):
+    """Activity selection per user: maximum pairwise non-overlapping
+    event windows via the earliest-end greedy; twin is a recursive CTE
+    stepping cur_end -> min(e | s >= cur_end)."""
+    import ray.data
+
+    from city2graph_ray.ops.intervals import interval_max_nonoverlap
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["ts"].astype("datetime64[us]").to_numpy().view("i8")
+        eid = b["event_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "id": b["user_id"].to_numpy(np.int64),
+            "s": s, "e": s + (eid % 240 + 30) * 1_000_000})
+
+    return interval_max_nonoverlap(ev.map_batches(fn,
+                                                  batch_format="pandas"))
+
+
 def _grid_general_g(sf_dir: str):
     """Getis-Ord General G over the gradient+noise part grid: exact
     int64 numerator/denominator, one mirrored division."""
@@ -4648,6 +4670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_watershed": _raster_watershed,
         "zone_hull_area": _zone_hull_area,
         "grid_general_g": _grid_general_g,
+        "event_max_nonoverlap": _event_max_nonoverlap,
         "raster_edt": _raster_edt,
         "segment_raster_cells": _segment_raster_cells,
         "raster_slope": _raster_slope,
@@ -5214,6 +5237,30 @@ def oracle_sql() -> dict[str, str]:
             FROM dirs d LEFT JOIN reach x
               ON x.cc = d.c AND x.rr = d.r
             GROUP BY d.c, d.r""",
+        "event_max_nonoverlap": """
+            WITH RECURSIVE iv AS (
+                SELECT user_id AS id,
+                       CAST(epoch_us(ts) AS BIGINT) AS s,
+                       CAST(epoch_us(ts)
+                            + (event_id % 240 + 30) * 1000000
+                            AS BIGINT) AS e
+                FROM events),
+            base AS (SELECT id, count(*) AS n FROM iv GROUP BY id),
+            greedy(id, cur_end, cnt) AS (
+                SELECT id, CAST(-9223372036854775807 AS BIGINT), 0
+                FROM base
+                UNION ALL
+                SELECT g.id,
+                       (SELECT min(e) FROM iv
+                        WHERE iv.id = g.id AND iv.s >= g.cur_end),
+                       g.cnt + 1
+                FROM greedy g
+                WHERE EXISTS (SELECT 1 FROM iv
+                              WHERE iv.id = g.id
+                                AND iv.s >= g.cur_end))
+            SELECT b.id, max(g.cnt) AS n_selected,
+                   any_value(b.n) AS n_intervals
+            FROM greedy g JOIN base b USING (id) GROUP BY b.id""",
         "grid_general_g": """
             WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
                               (p_partkey % 40) + (p_partkey // 40)

@@ -139,3 +139,39 @@ def interval_coverage(ds: ray.data.Dataset, key_col: str = "id",
 
     return shuffle.grouped_transform(ds, [key_col], kernel,
                                      num_buckets=num_buckets)
+
+
+def interval_max_nonoverlap(ds: ray.data.Dataset, key_col: str = "id",
+                            s_col: str = "s", e_col: str = "e",
+                            num_buckets: int = 16) -> ray.data.Dataset:
+    """Per key, the size of the MAXIMUM set of pairwise non-overlapping
+    intervals (touching endpoints allowed: next.start ≥ prev.end) —
+    activity selection, solved exactly by the classic earliest-end
+    greedy.  Distributed shape: one key-bucketed shuffle, then a
+    vectorized sweep per key (sort by end, numpy scan — the greedy is
+    inherently sequential per key but keys parallelize; a single key's
+    intervals fit a worker by the same contract as every
+    gaps-and-islands kernel here).  Ties on end time don't change the
+    count (any earliest-end witness works).  Output (key, n_selected,
+    n_intervals).
+    """
+    from city2graph_ray import shuffle
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for k, gg in g.groupby(key_col, sort=False):
+            s = gg[s_col].to_numpy(np.int64)
+            e = gg[e_col].to_numpy(np.int64)
+            order = np.lexsort((s, e))
+            s, e = s[order], e[order]
+            cnt, cur = 0, np.iinfo(np.int64).min
+            for i in range(len(s)):
+                if s[i] >= cur:
+                    cnt += 1
+                    cur = e[i]
+            outs.append((k, cnt, len(s)))
+        return pd.DataFrame(outs, columns=[key_col, "n_selected",
+                                           "n_intervals"])
+
+    return shuffle.grouped_transform(ds, [key_col], kernel,
+                                     num_buckets=num_buckets)

@@ -152,3 +152,48 @@ def test_interval_coverage_edges():
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert got.loc[0, "n_islands"] == 1 and got.loc[0, "covered"] == 20
     assert got.loc[1, "n_islands"] == 1 and got.loc[1, "covered"] == 0
+
+
+def test_interval_max_nonoverlap_bruteforce():
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.intervals import interval_max_nonoverlap
+
+    rng = np.random.default_rng(61)
+    rows = []
+    for k in range(5):
+        n = rng.integers(3, 9)
+        s = rng.integers(0, 40, n)
+        rows.append(pd.DataFrame({"id": k, "s": s,
+                                  "e": s + rng.integers(1, 15, n)}))
+    df = pd.concat(rows, ignore_index=True).astype(np.int64)
+    got = (interval_max_nonoverlap(rd.from_pandas(df), num_buckets=2)
+           .to_pandas().set_index("id").sort_index())
+    for k, g in df.groupby("id"):
+        iv = list(zip(g["s"], g["e"]))
+        best = 0
+        for m in range(len(iv), 0, -1):
+            for combo in itertools.combinations(iv, m):
+                cs = sorted(combo)
+                if all(cs[i + 1][0] >= cs[i][1] for i in range(m - 1)):
+                    best = m
+                    break
+            if best:
+                break
+        assert got.loc[k, "n_selected"] == best, k
+        assert got.loc[k, "n_intervals"] == len(iv)
+
+
+def test_interval_max_nonoverlap_touching_allowed():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.intervals import interval_max_nonoverlap
+
+    df = pd.DataFrame({"id": [1, 1, 1], "s": [0, 10, 20],
+                       "e": [10, 20, 30]}).astype(np.int64)
+    got = interval_max_nonoverlap(rd.from_pandas(df)).to_pandas()
+    assert got["n_selected"].iloc[0] == 3
