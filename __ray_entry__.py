@@ -584,6 +584,76 @@ def _grid_general_g(sf_dir: str):
     return general_g(ds.map_batches(fn, batch_format="pandas"))
 
 
+def _zone_dyad_census(sf_dir: str):
+    """Holland–Leinhardt dyad census of the zone digraph: mutual /
+    asymmetric / null dyad counts plus the node count, all int64."""
+    from city2graph_ray.ops.graph_algos import dyad_census
+
+    return dyad_census(_order_zone_edges(sf_dir))
+
+
+def _zone_rich_club(sf_dir: str):
+    """Rich-club profile of the undirected zone graph at degree
+    thresholds {40, 60, 80}: per k the count of nodes with deg > k
+    and of edges with both endpoints above — raw integers."""
+    from city2graph_ray.ops.graph_algos import rich_club
+
+    return rich_club(_order_zone_edges(sf_dir), [40, 60, 80])
+
+
+def _doc_readability(sf_dir: str):
+    """Flesch-style readability raw counts per doc (words, sentence
+    marks, vowel groups, long words) — one vectorized regex pass,
+    bit-exact vs the regexp_extract_all twin."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import readability_counts
+
+    return readability_counts(documents(sf_dir))
+
+
+def _event_cusum(sf_dir: str):
+    """Per-user CUSUM changepoint screen: max |running cross-multiplied
+    deviation from the global mean| in (ts, event_id) order, with the
+    first event id attaining it — all-integer."""
+    import ray.data
+
+    from city2graph_ray.ops.windows import cusum_max
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return cusum_max(ev, "user_id", "ts", "event_id", "value")
+
+
+def _orders_gini(sf_dir: str):
+    """Exact Gini raw moments of order totals (integer cents, global
+    rank via the distributed row_number) — one row of three int64."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import gini_moments
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_totalprice"])
+    return gini_moments(orders, "o_totalprice", "o_orderkey")
+
+
+def _pt_variogram(sf_dir: str):
+    """Empirical semivariogram over the customer point cloud (value =
+    key % 1000): bands at squared lags {25,100,225} within radius 20 —
+    per band the pair count and int64 sum of squared value diffs."""
+    from city2graph_ray.ops.spatial import semivariogram
+    from city2graph_ray.pipelines.tables import customer_points
+
+    pts = customer_points(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "id": b["id"].to_numpy(np.int64),
+            "x": b["x"].to_numpy(np.float64),
+            "y": b["y"].to_numpy(np.float64),
+            "v": b["id"].to_numpy(np.int64) % 1000}),
+        batch_format="pandas")
+    return semivariogram(pts, 20.0, [25, 100, 225])
+
+
 def _raster_edt(sf_dir: str):
     """Bounded Euclidean distance transform: min squared distance to
     the nearest occupied cell (sparse 9% occupancy), radius 4."""
@@ -4671,6 +4741,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_hull_area": _zone_hull_area,
         "grid_general_g": _grid_general_g,
         "event_max_nonoverlap": _event_max_nonoverlap,
+        "zone_dyad_census": _zone_dyad_census,
+        "zone_rich_club": _zone_rich_club,
+        "doc_readability": _doc_readability,
+        "event_cusum": _event_cusum,
+        "orders_gini": _orders_gini,
+        "pt_variogram": _pt_variogram,
         "raster_edt": _raster_edt,
         "segment_raster_cells": _segment_raster_cells,
         "raster_slope": _raster_slope,
@@ -5261,6 +5337,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.id, max(g.cnt) AS n_selected,
                    any_value(b.n) AS n_intervals
             FROM greedy g JOIN base b USING (id) GROUP BY b.id""",
+        "zone_dyad_census": """
+            WITH e AS (SELECT DISTINCT (o_custkey % 100) AS s,
+                                       (o_orderkey % 97) AS d
+                       FROM orders WHERE (o_custkey % 100)
+                                      <> (o_orderkey % 97)),
+            p AS (SELECT least(s, d) AS a, greatest(s, d) AS b,
+                         count(*) AS c
+                  FROM e GROUP BY 1, 2),
+            nn AS (SELECT count(DISTINCT node) AS n FROM (
+                     SELECT s AS node FROM e
+                     UNION ALL SELECT d FROM e)),
+            kinds AS (SELECT
+                        CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS m,
+                        CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS a
+                      FROM p)
+            SELECT CAST(nn.n AS BIGINT) AS n_nodes,
+                   kinds.m AS n_mutual, kinds.a AS n_asym,
+                   CAST(nn.n * (nn.n - 1) // 2 - kinds.m - kinds.a
+                        AS BIGINT) AS n_null
+            FROM nn, kinds""",
+        "zone_rich_club": """
+            WITH e AS (SELECT DISTINCT (o_custkey % 100) AS s,
+                                       (o_orderkey % 97) AS d
+                       FROM orders),
+            und AS (SELECT DISTINCT least(s, d) AS a,
+                                    greatest(s, d) AS b
+                    FROM e WHERE s <> d),
+            deg AS (SELECT node, count(*) AS dg FROM (
+                      SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                    GROUP BY node),
+            ks AS (SELECT unnest([40, 60, 80]) AS k),
+            ed AS (SELECT und.a, und.b, da.dg AS da, db.dg AS db
+                   FROM und JOIN deg da ON da.node = und.a
+                            JOIN deg db ON db.node = und.b)
+            SELECT ks.k AS k,
+                   CAST((SELECT count(*) FROM deg
+                         WHERE dg > ks.k) AS BIGINT) AS n_nodes,
+                   CAST((SELECT count(*) FROM ed
+                         WHERE least(da, db) > ks.k) AS BIGINT)
+                     AS n_edges
+            FROM ks ORDER BY k""",
+        "doc_readability": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text,
+                        '[.!?]+')) AS BIGINT) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[aeiou]+')) AS BIGINT) AS n_vowel_groups,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]{7,}')) AS BIGINT) AS n_long_words
+            FROM documents""",
+        "event_cusum": """
+            WITH u AS (SELECT user_id, ts, event_id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS un
+                       FROM events),
+            g AS (SELECT count(*) AS n, sum(un) AS s FROM u),
+            c AS (SELECT user_id, ts, event_id,
+                         sum(g.n * un - g.s) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cus
+                  FROM u, g)
+            SELECT user_id,
+                   CAST(abs(cus) AS BIGINT) AS max_abs_cusum,
+                   event_id AS at_id
+            FROM c
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                ORDER BY abs(cus) DESC, ts, event_id) = 1""",
+        "orders_gini": """
+            WITH u AS (SELECT o_orderkey AS i,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS un
+                       FROM orders),
+            r AS (SELECT un, row_number() OVER (ORDER BY un, i) AS rn
+                  FROM u)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(un) AS BIGINT) AS sum_units,
+                   CAST(sum(rn * un) AS BIGINT) AS rank_weighted_sum
+            FROM r""",
+        "pt_variogram": f"""
+            WITH pts AS (SELECT id, x, y, id % 1000 AS v
+                         FROM ({_PTS})),
+            pr AS (SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                            AS d2f,
+                          (a.v - b.v) * (a.v - b.v) AS sq
+                   FROM pts a JOIN pts b ON a.id < b.id
+                   WHERE sqrt((a.x-b.x)*(a.x-b.x)
+                              + (a.y-b.y)*(a.y-b.y)) <= 20.0)
+            SELECT CASE WHEN d2f < 25 THEN 0 WHEN d2f < 100 THEN 1
+                        WHEN d2f < 225 THEN 2 ELSE 3 END AS band,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(sq) AS BIGINT) AS sum_sqdiff
+            FROM pr GROUP BY band ORDER BY band""",
         "grid_general_g": """
             WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
                               (p_partkey % 40) + (p_partkey // 40)

@@ -2793,3 +2793,156 @@ def strongly_connected_components(
     for part in settled_parts[1:]:
         out = out.union(part)
     return out
+
+
+def dyad_census(edges: ray.data.Dataset, src: str = "src",
+                dst: str = "dst",
+                num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                ) -> ray.data.Dataset:
+    """Holland–Leinhardt dyad census of a simple digraph (public
+    social-network-analysis literature): every unordered node pair is
+    MUTUAL (both directions present), ASYMMETRIC (exactly one), or
+    NULL.  Self-loops and duplicate arcs are dropped first.  Output:
+    one row ``(n_nodes, n_mutual, n_asym, n_null)`` — all int64;
+    ``n_null = C(n,2) - mutual - asym`` so only the present dyads are
+    ever shuffled.
+
+    Scale: one distinct on the arc key, one keyed count on the
+    canonical pair key (mutual dyads are the pairs seen twice), one
+    distinct-count for the node set — every exchange is keyed by a
+    single 8/16-byte id, nothing is collected but four counters.
+    """
+    def arcs(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        return pd.DataFrame({"s": a[keep], "d": c[keep]})
+
+    dedup = shuffle.distinct(
+        edges.map_batches(arcs, batch_format="pandas"), ["s", "d"],
+        num_buckets=num_buckets).materialize()
+
+    pair_counts = shuffle.group_agg(
+        dedup.map_batches(
+            lambda b: pd.DataFrame({
+                "a": np.minimum(b["s"].to_numpy(), b["d"].to_numpy()),
+                "b": np.maximum(b["s"].to_numpy(), b["d"].to_numpy())}),
+            batch_format="pandas"),
+        ["a", "b"], {"n_dir": ("a", "size")}, num_buckets=num_buckets)
+    # per-block partials of the two dyad classes, then one tiny sum
+    kinds = shuffle.group_agg(
+        pair_counts.map_batches(
+            lambda b: pd.DataFrame({
+                "k": np.zeros(1, np.int64),
+                "mut": [int((b["n_dir"].to_numpy() == 2).sum())],
+                "asym": [int((b["n_dir"].to_numpy() == 1).sum())]}),
+            batch_format="pandas"),
+        ["k"], {"n_mutual": ("mut", "sum"), "n_asym": ("asym", "sum")},
+        num_buckets=1).to_pandas()
+
+    n_nodes = shuffle.distinct(
+        dedup.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b["s"].to_numpy(), b["d"].to_numpy()])}),
+            batch_format="pandas"),
+        ["node"], num_buckets=num_buckets).count()
+
+    mut = int(kinds["n_mutual"].iloc[0]) if len(kinds) else 0
+    asym = int(kinds["n_asym"].iloc[0]) if len(kinds) else 0
+    null = n_nodes * (n_nodes - 1) // 2 - mut - asym
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_nodes": np.array([n_nodes], np.int64),
+        "n_mutual": np.array([mut], np.int64),
+        "n_asym": np.array([asym], np.int64),
+        "n_null": np.array([null], np.int64)}))
+
+
+def rich_club(edges: ray.data.Dataset, ks: "list[int]",
+              src: str = "src", dst: str = "dst",
+              num_buckets: int = shuffle.DEFAULT_BUCKETS,
+              ) -> ray.data.Dataset:
+    """Rich-club profile (Zhou & Mondragón 2004, public literature)
+    of the undirected simplification: for each degree threshold ``k``,
+    the number of nodes with degree > k and the number of edges with
+    BOTH endpoints above the threshold.  Output rows
+    ``(k, n_nodes, n_edges)`` int64, sorted by k — the float
+    coefficient 2E/(N(N-1)) is left to the caller so the result stays
+    all-integer.
+
+    Scale: degrees are one keyed sum; endpoint degrees are attached by
+    two bucketed joins (same machinery as triangle_count); the
+    per-threshold counts are per-block partials over ONE pass of the
+    joined edge list — len(ks) never multiplies the shuffle volume.
+    """
+    import pyarrow as pa
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+
+    deg = shuffle.group_agg(
+        und.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b["a"].to_numpy(), b["b"].to_numpy()])}),
+            batch_format="pandas"),
+        ["node"], {"deg": ("node", "size")},
+        num_buckets=num_buckets).materialize()
+
+    ks_arr = np.sort(np.asarray(ks, np.int64))
+
+    def node_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["deg"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": ks_arr,
+            "nn": [int((d > k).sum()) for k in ks_arr]})
+
+    n_nodes_k = shuffle.group_agg(
+        deg.map_batches(node_partial, batch_format="pandas"),
+        ["k"], {"n_nodes": ("nn", "sum")}, num_buckets=1)
+
+    i64 = pa.int64()
+    with_da = bucketed_join(
+        und,
+        deg.map_batches(
+            lambda b: pd.DataFrame({"a": b["node"].to_numpy(np.int64),
+                                    "da": b["deg"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        on="a", num_buckets=num_buckets,
+        left_schema=pa.schema([("a", i64), ("b", i64)]),
+        right_schema=pa.schema([("a", i64), ("da", i64)]))
+    with_db = bucketed_join(
+        with_da,
+        deg.map_batches(
+            lambda b: pd.DataFrame({"b": b["node"].to_numpy(np.int64),
+                                    "db": b["deg"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        on="b", num_buckets=num_buckets,
+        left_schema=pa.schema([("a", i64), ("b", i64), ("da", i64)]),
+        right_schema=pa.schema([("b", i64), ("db", i64)]))
+
+    def edge_partial(b: pd.DataFrame) -> pd.DataFrame:
+        lo = np.minimum(b["da"].to_numpy(np.int64),
+                        b["db"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "k": ks_arr,
+            "ne": [int((lo > k).sum()) for k in ks_arr]})
+
+    n_edges_k = shuffle.group_agg(
+        with_db.map_batches(edge_partial, batch_format="pandas"),
+        ["k"], {"n_edges": ("ne", "sum")}, num_buckets=1)
+
+    out = bucketed_join(n_nodes_k, n_edges_k, on="k", num_buckets=1,
+                        left_schema=pa.schema([("k", i64),
+                                               ("n_nodes", i64)]),
+                        right_schema=pa.schema([("k", i64),
+                                                ("n_edges", i64)]))
+    return out.map_batches(
+        lambda b: b.sort_values("k")[["k", "n_nodes", "n_edges"]],
+        batch_format="pandas")

@@ -732,3 +732,98 @@ def hull_area_zones(points: ray.data.Dataset, zone_col: str = "zone",
             "area2": b["area2"].to_numpy(np.int64),
             "area": b["area2"].to_numpy(np.float64) / 2.0}),
         batch_format="pandas")
+
+
+def semivariogram(points: ray.data.Dataset, radius: float,
+                  band_edges_sq: "list[int]",
+                  num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                  ) -> ray.data.Dataset:
+    """Empirical semivariogram raw moments (Matheron 1963, public
+    geostatistics literature): for every unordered point pair within
+    ``radius``, bin by squared-distance band and emit per band the
+    pair count and the integer sum of squared value differences —
+    ``γ̂(band) = sum_sqdiff / (2·n_pairs)`` is the client-side float.
+
+    ``points``: (id, x, y, v) with int64 values — the value-side sums
+    are all int64, so the brute-force SQL twin (CASE over the same
+    squared thresholds) is bit-exact.  ``band_edges_sq`` are
+    the INNER squared band boundaries (upper boundary is radius²);
+    band b = #edges ≤ d², with d² the same IEEE float expression in
+    both engines (the values-side sums stay int64).
+
+    Scale shape: the pair generation is the one cell-bucketed shuffle
+    of :func:`fixed_radius_graph` (halo = radius); values are attached
+    by two bucketed hash joins on the endpoint id (the scale-honest
+    path — at 10^9 points the value column cannot be recomputed from
+    the id); the band reduction is a per-block partial + a ≤10-row
+    keyed sum.
+    """
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.ops.proximity import fixed_radius_graph
+
+    attrs = points.map_batches(
+        lambda b: b[["id", "x", "y", "v"]], batch_format="pandas"
+    ).materialize()
+    pairs = fixed_radius_graph(
+        attrs.map_batches(lambda b: b[["id", "x", "y"]],
+                          batch_format="pandas"),
+        radius)
+
+    i64 = pa.int64()
+    f64 = pa.float64()
+    pair_schema = pa.schema([("src", i64), ("dst", i64),
+                             ("distance", f64)])
+    attr_s = pa.schema([("src", i64), ("sx", f64), ("sy", f64),
+                        ("sv", i64)])
+    attr_d = pa.schema([("dst", i64), ("dx", f64), ("dy", f64),
+                        ("dv", i64)])
+
+    def as_src(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b["id"].to_numpy(np.int64),
+                             "sx": b["x"].to_numpy(np.float64),
+                             "sy": b["y"].to_numpy(np.float64),
+                             "sv": b["v"].to_numpy(np.int64)})
+
+    def as_dst(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"dst": b["id"].to_numpy(np.int64),
+                             "dx": b["x"].to_numpy(np.float64),
+                             "dy": b["y"].to_numpy(np.float64),
+                             "dv": b["v"].to_numpy(np.int64)})
+
+    j1 = bucketed_join(
+        pairs.map_batches(lambda b: b[["src", "dst"]],
+                          batch_format="pandas"),
+        attrs.map_batches(as_src, batch_format="pandas"),
+        on="src", num_buckets=num_buckets,
+        left_schema=pa.schema([("src", i64), ("dst", i64)]),
+        right_schema=attr_s)
+    j2 = bucketed_join(
+        j1, attrs.map_batches(as_dst, batch_format="pandas"),
+        on="dst", num_buckets=num_buckets,
+        left_schema=pa.schema([("src", i64), ("dst", i64), ("sx", f64),
+                               ("sy", f64), ("sv", i64)]),
+        right_schema=attr_d)
+
+    edges = np.asarray(sorted(band_edges_sq), np.float64)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # same IEEE expression order as the SQL twin:
+        # (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+        ddx = b["sx"].to_numpy(np.float64) - b["dx"].to_numpy(np.float64)
+        ddy = b["sy"].to_numpy(np.float64) - b["dy"].to_numpy(np.float64)
+        d2 = ddx * ddx + ddy * ddy
+        band = np.searchsorted(edges, d2, side="right").astype(np.int64)
+        dv = b["sv"].to_numpy(np.int64) - b["dv"].to_numpy(np.int64)
+        g = pd.DataFrame({"band": band, "sq": dv * dv}).groupby(
+            "band", sort=False)
+        agg = g.agg(n_pairs=("sq", "size"), sum_sqdiff=("sq", "sum"))
+        return agg.reset_index()
+
+    out = shuffle.group_agg(
+        j2.map_batches(partial, batch_format="pandas"),
+        ["band"], {"n_pairs": ("n_pairs", "sum"),
+                   "sum_sqdiff": ("sum_sqdiff", "sum")}, num_buckets=1)
+    return out.map_batches(
+        lambda b: b.sort_values("band")[["band", "n_pairs",
+                                         "sum_sqdiff"]],
+        batch_format="pandas")

@@ -367,3 +367,59 @@ def grouped_ewma_int(ds: ray.data.Dataset, key_col: str,
 
     return shuffle.grouped_transform(ds, [key_col], kernel,
                                      num_buckets=num_buckets)
+
+
+def cusum_max(ds: ray.data.Dataset, key_col: str, ts_col: str,
+              id_col: str, value_col: str, scale: int = 100,
+              num_buckets: int = shuffle.DEFAULT_BUCKETS,
+              ) -> ray.data.Dataset:
+    """Per-key CUSUM changepoint screen (Page 1954, public
+    literature), all-integer so the SQL twin is bit-exact: with the
+    GLOBAL total count ``n`` and unit sum ``S`` (units =
+    floor(value*scale+0.5)), each event's cross-multiplied deviation
+    is ``n*u_i - S`` and the CUSUM is its running sum in
+    (ts, id) order within the key.  Emits one row per key:
+    ``(key, max_abs_cusum, at_id)`` where ``at_id`` is the id of the
+    FIRST event attaining the max |CUSUM| (ties broken by order).
+
+    Two passes: a per-block partial + 1-row sum for (n, S) — the pair
+    broadcasts as two ints — then ONE shuffle keyed by ``key_col``
+    with a vectorized per-key cumsum kernel.  int64 bound: the CUSUM
+    magnitude is ≤ n·S, document the scale ceiling at ingest
+    (n·S < 2^63 holds through ~10^9 rows of 10^4-unit values).
+    """
+    glob = shuffle.group_agg(
+        ds.map_batches(
+            lambda b: pd.DataFrame({
+                "k": np.zeros(1, np.int64),
+                "n": [len(b)],
+                "s": [int(np.floor(b[value_col].to_numpy(np.float64)
+                                   * scale + 0.5).astype(np.int64).sum())]}),
+            batch_format="pandas"),
+        ["k"], {"n": ("n", "sum"), "s": ("s", "sum")},
+        num_buckets=1).to_pandas()
+    n_tot = int(glob["n"].iloc[0])
+    s_tot = int(glob["s"].iloc[0])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        u = np.floor(g[value_col].to_numpy(np.float64) * scale + 0.5
+                     ).astype(np.int64)
+        dev = pd.Series(n_tot * u - s_tot, index=g.index)
+        cus = dev.groupby(g[key_col], sort=False).cumsum().to_numpy()
+        tmp = pd.DataFrame({key_col: g[key_col].to_numpy(),
+                            "__abs": np.abs(cus),
+                            "__ts": g[ts_col].to_numpy(),
+                            "__id": g[id_col].to_numpy()})
+        # first row (in (ts, id) order) attaining the per-key max
+        top = tmp.sort_values([key_col, "__abs", "__ts", "__id"],
+                              ascending=[True, False, True, True],
+                              kind="stable").groupby(
+            key_col, sort=False).head(1)
+        return pd.DataFrame({key_col: top[key_col].to_numpy(),
+                             "max_abs_cusum": top["__abs"]
+                             .to_numpy(np.int64),
+                             "at_id": top["__id"].to_numpy()})
+
+    return shuffle.grouped_transform(ds, [key_col], kernel,
+                                     num_buckets=num_buckets)

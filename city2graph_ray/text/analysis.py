@@ -849,3 +849,36 @@ def inverted_index(docs: ray.data.Dataset, min_df: int = 1,
 
     return shuffle.grouped_transform(pair_ds, ["term"], kernel,
                                      num_buckets=num_buckets)
+
+
+def readability_counts(docs: ray.data.Dataset, text_col: str = "text",
+                       long_len: int = 7) -> ray.data.Dataset:
+    """Flesch-style readability RAW COUNTS per document: words
+    (``[A-Za-z0-9]+`` runs), sentences (``[.!?]+`` runs), vowel groups
+    (``[aeiou]+`` runs over the lowercased text — the standard cheap
+    syllable proxy) and long words (alnum runs of ≥ ``long_len``
+    chars).  All int64 so the gate twin (DuckDB
+    ``len(regexp_extract_all(...))``) is bit-exact; the float
+    Flesch/LIX score is a trivial client-side formula over these
+    counts.
+
+    Embarrassingly parallel: one vectorized ``str.count`` pass per
+    batch (compiled RE2-compatible patterns, non-overlapping match
+    semantics in both engines), no shuffle.
+    """
+    word_re = r"[A-Za-z0-9]+"
+    sent_re = r"[.!?]+"
+    vowel_re = r"[aeiou]+"
+    long_re = r"[A-Za-z0-9]{%d,}" % long_len
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].astype(str)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(np.int64),
+            "n_words": t.str.count(word_re).to_numpy(np.int64),
+            "n_sentences": t.str.count(sent_re).to_numpy(np.int64),
+            "n_vowel_groups":
+                t.str.lower().str.count(vowel_re).to_numpy(np.int64),
+            "n_long_words": t.str.count(long_re).to_numpy(np.int64)})
+
+    return docs.map_batches(fn, batch_format="pandas")

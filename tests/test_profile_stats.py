@@ -1,0 +1,149 @@
+"""Dyad census, rich club, CUSUM, Gini moments, readability counts and
+semivariogram vs brute-force numpy/pandas oracles."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from city2graph_ray.ops.graph_algos import dyad_census, rich_club
+from city2graph_ray.ops.spatial import semivariogram
+from city2graph_ray.ops.stats import gini_moments
+from city2graph_ray.ops.windows import cusum_max
+from city2graph_ray.text.analysis import readability_counts
+
+
+def test_dyad_census_known():
+    df = pd.DataFrame({
+        "src": np.array([1, 2, 1, 4, 1], np.int64),
+        "dst": np.array([2, 1, 3, 1, 1], np.int64)})  # 1->1 self dropped
+    out = dyad_census(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out["n_nodes"] == 4
+    assert out["n_mutual"] == 1        # 1<->2
+    assert out["n_asym"] == 2          # 1->3, 4->1
+    assert out["n_null"] == 6 - 3      # C(4,2) - mutual - asym
+
+
+def test_dyad_census_random_vs_brute():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"src": rng.integers(0, 20, 300).astype(np.int64),
+                       "dst": rng.integers(0, 20, 300).astype(np.int64)})
+    arcs = {(s, d) for s, d in zip(df["src"], df["dst"]) if s != d}
+    nodes = {v for e in arcs for v in e}
+    pairs = {}
+    for s, d in arcs:
+        pairs[(min(s, d), max(s, d))] = pairs.get((min(s, d), max(s, d)),
+                                                  0) + 1
+    mut = sum(1 for c in pairs.values() if c == 2)
+    asym = sum(1 for c in pairs.values() if c == 1)
+    out = dyad_census(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out["n_nodes"] == len(nodes)
+    assert out["n_mutual"] == mut
+    assert out["n_asym"] == asym
+    assert out["n_null"] == len(nodes) * (len(nodes) - 1) // 2 - mut - asym
+
+
+def test_rich_club_known():
+    # K4 on {1..4} plus pendant 5-1: degrees 1:4, 2-4:3, 5:1
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)]
+    df = pd.DataFrame({"src": [a for a, _ in e],
+                       "dst": [b for _, b in e]}).astype(np.int64)
+    out = rich_club(rd.from_pandas(df), [1, 2, 3]).to_pandas()
+    out = out.set_index("k")
+    assert out.loc[1, "n_nodes"] == 4 and out.loc[1, "n_edges"] == 6
+    assert out.loc[2, "n_nodes"] == 4 and out.loc[2, "n_edges"] == 6
+    assert out.loc[3, "n_nodes"] == 1 and out.loc[3, "n_edges"] == 0
+
+
+def test_cusum_max_vs_brute():
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+        "user_id": rng.integers(0, 7, n).astype(np.int64),
+        "value": np.round(rng.normal(50, 20, n), 2)})
+    out = cusum_max(rd.from_pandas(df), "user_id", "ts", "event_id",
+                    "value").to_pandas().set_index("user_id")
+
+    u = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    n_tot, s_tot = len(df), int(u.sum())
+    for uid, g in df.assign(u=u).groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        cus = np.cumsum(n_tot * g["u"].to_numpy(np.int64) - s_tot)
+        k = int(np.argmax(np.abs(cus)))  # first max in order
+        assert out.loc[uid, "max_abs_cusum"] == abs(cus[k])
+        assert out.loc[uid, "at_id"] == g["event_id"].iloc[k]
+
+
+def test_gini_moments_vs_brute():
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "id": np.arange(500, dtype=np.int64),
+        "v": np.round(rng.exponential(100, 500), 2)})
+    out = gini_moments(rd.from_pandas(df), "v", "id").to_pandas().iloc[0]
+    u = np.floor(df["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+    order = np.lexsort((df["id"].to_numpy(), u))
+    su = u[order]
+    rn = np.arange(1, len(su) + 1, dtype=np.int64)
+    assert out["n"] == len(su)
+    assert out["sum_units"] == int(su.sum())
+    assert out["rank_weighted_sum"] == int((rn * su).sum())
+    # Gini of the constant distribution is 0
+    cdf = pd.DataFrame({"id": np.arange(10, dtype=np.int64),
+                        "v": np.full(10, 7.5)})
+    m = gini_moments(rd.from_pandas(cdf), "v", "id").to_pandas().iloc[0]
+    g = (2 * m["rank_weighted_sum"] - (m["n"] + 1) * m["sum_units"]) \
+        / (m["n"] * m["sum_units"])
+    assert g == 0.0
+
+
+def test_readability_counts_vs_re():
+    texts = ["Hello world. This is great! Right?",
+             "", "aaa", "supercalifragilistic expialidocious!!",
+             "No punctuation here just seven letters absolutely"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = readability_counts(rd.from_pandas(df)).to_pandas() \
+        .set_index("doc_id")
+    for i, t in enumerate(texts):
+        assert out.loc[i, "n_words"] == len(re.findall(r"[A-Za-z0-9]+", t))
+        assert out.loc[i, "n_sentences"] == len(re.findall(r"[.!?]+", t))
+        assert out.loc[i, "n_vowel_groups"] == len(
+            re.findall(r"[aeiou]+", t.lower()))
+        assert out.loc[i, "n_long_words"] == len(
+            re.findall(r"[A-Za-z0-9]{7,}", t))
+
+
+def test_semivariogram_vs_brute():
+    rng = np.random.default_rng(9)
+    n = 200
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "x": np.round(rng.uniform(0, 60, n), 2),
+        "y": np.round(rng.uniform(0, 60, n), 2),
+        "v": rng.integers(0, 50, n).astype(np.int64)})
+    edges = [25, 100, 225]
+    out = semivariogram(rd.from_pandas(df), 20.0, edges,
+                        num_buckets=8).to_pandas().set_index("band")
+
+    x, y, v = (df["x"].to_numpy(), df["y"].to_numpy(),
+               df["v"].to_numpy(np.int64))
+    exp_n = {}
+    exp_s = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = x[i] - x[j], y[i] - y[j]
+            d2 = dx * dx + dy * dy
+            if np.sqrt(d2) <= 20.0:
+                band = sum(1 for e in edges if e <= d2)
+                exp_n[band] = exp_n.get(band, 0) + 1
+                exp_s[band] = exp_s.get(band, 0) + int(v[i] - v[j]) ** 2
+    assert set(out.index) == set(exp_n)
+    for b in exp_n:
+        assert out.loc[b, "n_pairs"] == exp_n[b]
+        assert out.loc[b, "sum_sqdiff"] == exp_s[b]
