@@ -654,6 +654,37 @@ def _pt_variogram(sf_dir: str):
     return semivariogram(pts, 20.0, [25, 100, 225])
 
 
+def _zone_attack(sf_dir: str):
+    """Targeted-attack robustness: drop the 5 highest-degree zone
+    nodes (ties by id), report surviving giant-component size and
+    component count (singletons included)."""
+    from city2graph_ray.ops.graph_algos import attack_robustness
+
+    return attack_robustness(_order_zone_edges(sf_dir), 5)
+
+
+def _doc_zipf(sf_dir: str):
+    """Zipf head fit over the corpus vocabulary: OLS of quantized
+    ln(freq) on ln(rank) for the top 500 tokens — int64 moments,
+    mirrored float finish."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import zipf_fit
+
+    return zipf_fit(documents(sf_dir), top_r=500)
+
+
+def _event_benford(sf_dir: str):
+    """Benford first-digit profile of event values in integer cents —
+    per-digit counts, exact decimal-string digit extraction."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import benford_profile
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return benford_profile(ev, "value")
+
+
 def _raster_edt(sf_dir: str):
     """Bounded Euclidean distance transform: min squared distance to
     the nearest occupied cell (sparse 9% occupancy), radius 4."""
@@ -4747,6 +4778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cusum": _event_cusum,
         "orders_gini": _orders_gini,
         "pt_variogram": _pt_variogram,
+        "zone_attack": _zone_attack,
+        "doc_zipf": _doc_zipf,
+        "event_benford": _event_benford,
         "raster_edt": _raster_edt,
         "segment_raster_cells": _segment_raster_cells,
         "raster_slope": _raster_slope,
@@ -5419,6 +5453,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(un) AS BIGINT) AS sum_units,
                    CAST(sum(rn * un) AS BIGINT) AS rank_weighted_sum
             FROM r""",
+        "zone_attack": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT (o_custkey % 100) AS s,
+                              (o_orderkey % 97) AS d
+              FROM orders),
+            und AS (SELECT DISTINCT least(s, d) AS a,
+                                    greatest(s, d) AS b
+                    FROM e WHERE s <> d),
+            deg AS (SELECT node, count(*) AS dg FROM (
+                      SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                    GROUP BY node),
+            rm AS (SELECT node FROM deg
+                   ORDER BY dg DESC, node LIMIT 5),
+            e2 AS (SELECT a, b FROM und
+                   WHERE a NOT IN (SELECT node FROM rm)
+                     AND b NOT IN (SELECT node FROM rm)),
+            sym AS (SELECT a AS src, b AS dst FROM e2
+                    UNION SELECT b, a FROM e2),
+            cn AS (SELECT DISTINCT src AS node FROM sym),
+            reach AS (
+              SELECT node AS root, node FROM cn
+              UNION
+              SELECT r.root, s.dst AS node
+              FROM reach r JOIN sym s ON s.src = r.node),
+            comp AS (SELECT node, min(root) AS component
+                     FROM reach GROUP BY node),
+            sizes AS (SELECT component, count(*) AS sz
+                      FROM comp GROUP BY component),
+            survivors AS (SELECT node FROM deg
+                          WHERE node NOT IN (SELECT node FROM rm)),
+            singles AS (SELECT count(*) AS ns FROM survivors
+                        WHERE node NOT IN (SELECT node FROM cn))
+            SELECT CAST(5 AS BIGINT) AS n_removed,
+                   CAST(greatest(
+                     coalesce((SELECT max(sz) FROM sizes), 0),
+                     CASE WHEN singles.ns > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS giant_size,
+                   CAST(coalesce((SELECT count(*) FROM sizes), 0)
+                        + singles.ns AS BIGINT) AS n_components
+            FROM singles""",
+        "doc_zipf": """
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(lower(text),
+                                                  '\\s+')) AS t
+              FROM documents),
+            cnt AS (SELECT t, count(*) AS c FROM tok
+                    WHERE t <> '' GROUP BY t),
+            rk AS (SELECT c, row_number()
+                            OVER (ORDER BY c DESC, t) AS rn
+                   FROM cnt),
+            hd AS (SELECT CAST(floor(ln(rn) * 100000 + 0.5)
+                               AS BIGINT) AS li,
+                          CAST(floor(ln(c) * 100000 + 0.5)
+                               AS BIGINT) AS ci
+                   FROM rk WHERE rn <= 500),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(li) AS BIGINT) AS sl,
+                         CAST(sum(ci) AS BIGINT) AS sc,
+                         CAST(sum(li * li) AS BIGINT) AS sll,
+                         CAST(sum(li * ci) AS BIGINT) AS slc
+                  FROM hd),
+            s AS (SELECT n, sl, sc,
+                         CAST(n * slc - sl * sc AS DOUBLE)
+                         / CAST(n * sll - sl * sl AS DOUBLE) AS slope
+                  FROM m)
+            SELECT n AS n_terms, slope,
+                   (CAST(sc AS DOUBLE) - slope * CAST(sl AS DOUBLE))
+                   / n / 100000 AS intercept
+            FROM s""",
+        "event_benford": """
+            WITH u AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         AS un
+                       FROM events),
+            d AS (SELECT CAST(substr(CAST(un AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit
+                  FROM u WHERE un > 0)
+            SELECT digit, CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY digit ORDER BY digit""",
         "pt_variogram": f"""
             WITH pts AS (SELECT id, x, y, id % 1000 AS v
                          FROM ({_PTS})),

@@ -2946,3 +2946,88 @@ def rich_club(edges: ray.data.Dataset, ks: "list[int]",
     return out.map_batches(
         lambda b: b.sort_values("k")[["k", "n_nodes", "n_edges"]],
         batch_format="pandas")
+
+
+def attack_robustness(edges: ray.data.Dataset, n_remove: int,
+                      src: str = "src", dst: str = "dst",
+                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                      ) -> ray.data.Dataset:
+    """Targeted-attack robustness probe (Albert, Jeong & Barabási 2000,
+    public literature): remove the ``n_remove`` highest-degree nodes of
+    the undirected simplification (ties by smaller node id) and report
+    the surviving giant-component size and total component count —
+    singleton survivors (nodes whose every edge died) count as size-1
+    components.  Output: one row
+    ``(n_removed, giant_size, n_components)`` int64.
+
+    Scale: degrees are one keyed sum; the removal set is ``n_remove``
+    ids (per-block partial top-k then one tiny merge — never the
+    degree table itself); the filtered edge set streams through a
+    broadcast membership check; components are the large-star /
+    small-star rounds of :func:`connected_components`."""
+    from city2graph_ray.ops.topology import connected_components
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        num_buckets=num_buckets).materialize()
+
+    deg = shuffle.group_agg(
+        und.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b["a"].to_numpy(), b["b"].to_numpy()])}),
+            batch_format="pandas"),
+        ["node"], {"deg": ("node", "size")},
+        num_buckets=num_buckets).materialize()
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["deg", "node"],
+                             ascending=[False, True]).head(n_remove)
+
+    removed = (deg.map_batches(block_topk, batch_format="pandas")
+               .to_pandas()
+               .sort_values(["deg", "node"], ascending=[False, True])
+               .head(n_remove))
+    removed_set = set(removed["node"].tolist())
+    removed_ref = ray.put(np.array(sorted(removed_set), np.int64))
+
+    def survive(b: pd.DataFrame) -> pd.DataFrame:
+        rm = ray.get(removed_ref)
+        keep = (~np.isin(b["a"].to_numpy(), rm)
+                & ~np.isin(b["b"].to_numpy(), rm))
+        out = b[keep]
+        return pd.DataFrame({"src": out["a"].to_numpy(),
+                             "dst": out["b"].to_numpy()})
+
+    kept_edges = und.map_batches(survive, batch_format="pandas")
+    comp = connected_components(kept_edges)
+    sizes = shuffle.group_agg(comp, ["component"],
+                              {"sz": ("component", "size")},
+                              num_buckets=num_buckets)
+    summ = shuffle.group_agg(
+        sizes.map_batches(
+            lambda b: pd.DataFrame({
+                "k": np.zeros(1, np.int64),
+                "mx": [int(b["sz"].max()) if len(b) else 0],
+                "nc": [len(b)],
+                "nn": [int(b["sz"].sum()) if len(b) else 0]}),
+            batch_format="pandas"),
+        ["k"], {"giant": ("mx", "max"), "ncomp": ("nc", "sum"),
+                "nconn": ("nn", "sum")}, num_buckets=1).to_pandas()
+
+    n_nodes = deg.count()
+    giant = int(summ["giant"].iloc[0]) if len(summ) else 0
+    ncomp = int(summ["ncomp"].iloc[0]) if len(summ) else 0
+    nconn = int(summ["nconn"].iloc[0]) if len(summ) else 0
+    singletons = (n_nodes - len(removed_set)) - nconn
+    giant = max(giant, 1 if singletons > 0 else 0)
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_removed": np.array([len(removed_set)], np.int64),
+        "giant_size": np.array([giant], np.int64),
+        "n_components": np.array([ncomp + singletons], np.int64)}))

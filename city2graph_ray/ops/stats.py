@@ -934,3 +934,35 @@ def gini_moments(ds: ray.data.Dataset, value_col: str, id_col: str,
     return out.map_batches(
         lambda b: b[["n", "sum_units", "rank_weighted_sum"]],
         batch_format="pandas")
+
+
+def benford_profile(ds: ray.data.Dataset, value_col: str,
+                    scale: int = 100) -> ray.data.Dataset:
+    """Benford first-digit profile (Newcomb 1881 / Benford 1938,
+    public literature) of a fixed-precision positive column: count per
+    leading digit 1–9 of the integer units (floor(v·scale+0.5) > 0).
+    Output rows ``(digit, n)`` int64 sorted by digit — the expected
+    log10(1+1/d) comparison is a client-side constant.  Per-block
+    partial counts (digit extracted from the decimal string — exact,
+    no float log10 edge cases), one ≤9-row keyed sum.
+    """
+    from city2graph_ray import shuffle
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.floor(b[value_col].to_numpy(np.float64)
+                     * scale + 0.5).astype(np.int64)
+        u = u[u > 0]
+        if len(u) == 0:
+            return pd.DataFrame({"digit": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        d = pd.Series(u).astype(str).str[0].astype(np.int64)
+        vc = d.value_counts()
+        return pd.DataFrame({"digit": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    out = shuffle.group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["digit"], {"n": ("n", "sum")}, num_buckets=1)
+    return out.map_batches(
+        lambda b: b.sort_values("digit")[["digit", "n"]],
+        batch_format="pandas")

@@ -882,3 +882,64 @@ def readability_counts(docs: ray.data.Dataset, text_col: str = "text",
             "n_long_words": t.str.count(long_re).to_numpy(np.int64)})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def zipf_fit(docs: ray.data.Dataset, top_r: int = 1000,
+             quant: int = 100_000, text_col: str = "text",
+             num_buckets: int = shuffle.DEFAULT_BUCKETS,
+             ) -> ray.data.Dataset:
+    """Zipf's-law head fit (Zipf 1949, public literature): OLS of
+    ln(frequency) on ln(rank) over the ``top_r`` most frequent tokens
+    (whitespace tokenization, count DESC / token ASC rank order).
+    Output: one row ``(n_terms, slope, intercept)``.
+
+    Bit-exactness: both logs are quantized ONCE per term to the int64
+    ``floor(ln(v)·quant + 0.5)`` (the same libm-parity contract the
+    bm25 / adamic-adar twins rely on), the five OLS moments are int64
+    sums over ≤ ``top_r`` rows, and slope/intercept are a fixed two-op
+    float expression over the moments — mirrored verbatim in SQL.
+
+    Scale: per-batch partial token counts → keyed sum (bytes ∝
+    distinct tokens per batch); the global (count, token) rank is
+    :func:`shuffle.global_row_number` over the VOCABULARY (≪ corpus);
+    only the head survives into the moment partials.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.lower().str.split().explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    counts = shuffle.group_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["token"], {"cnt": ("cnt", "sum")}, partial=False,
+        num_buckets=num_buckets)
+    ranked = shuffle.global_row_number(counts, ["cnt", "token"],
+                                       descending=[True, False])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["rn"].to_numpy(np.int64) <= top_r]
+        li = np.floor(np.log(b["rn"].to_numpy(np.float64))
+                      * quant + 0.5).astype(np.int64)
+        ci = np.floor(np.log(b["cnt"].to_numpy(np.float64))
+                      * quant + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "k": np.zeros(1, np.int64), "n": [len(b)],
+            "sl": [int(li.sum())], "sc": [int(ci.sum())],
+            "sll": [int((li * li).sum())],
+            "slc": [int((li * ci).sum())]})
+
+    m = shuffle.group_agg(
+        ranked.map_batches(moments, batch_format="pandas"),
+        ["k"], {"n": ("n", "sum"), "sl": ("sl", "sum"),
+                "sc": ("sc", "sum"), "sll": ("sll", "sum"),
+                "slc": ("slc", "sum")}, num_buckets=1).to_pandas()
+    n = int(m["n"].iloc[0])
+    sl, sc = int(m["sl"].iloc[0]), int(m["sc"].iloc[0])
+    sll, slc = int(m["sll"].iloc[0]), int(m["slc"].iloc[0])
+    slope = float(n * slc - sl * sc) / float(n * sll - sl * sl)
+    intercept = (float(sc) - slope * float(sl)) / n / quant
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_terms": np.array([n], np.int64),
+        "slope": [slope], "intercept": [intercept]}))

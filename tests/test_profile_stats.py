@@ -147,3 +147,56 @@ def test_semivariogram_vs_brute():
     for b in exp_n:
         assert out.loc[b, "n_pairs"] == exp_n[b]
         assert out.loc[b, "sum_sqdiff"] == exp_s[b]
+
+
+def test_attack_robustness_known():
+    from city2graph_ray.ops.graph_algos import attack_robustness
+    # two triangles joined through hub 0; removing the hub (deg 4)
+    # leaves two 2-cliques -> giant 2, components 2
+    e = [(0, 1), (0, 2), (1, 2), (0, 3), (0, 4), (3, 4)]
+    df = pd.DataFrame({"src": [a for a, _ in e],
+                       "dst": [b for _, b in e]}).astype(np.int64)
+    out = attack_robustness(rd.from_pandas(df), 1).to_pandas().iloc[0]
+    assert out["n_removed"] == 1
+    assert out["giant_size"] == 2
+    assert out["n_components"] == 2
+    # removing hub + one triangle node leaves a 2-path and a singleton
+    out2 = attack_robustness(rd.from_pandas(df), 2).to_pandas().iloc[0]
+    assert out2["n_removed"] == 2
+    assert out2["giant_size"] == 2
+    assert out2["n_components"] == 2
+
+
+def test_zipf_fit_exact_power_law():
+    from city2graph_ray.text.analysis import zipf_fit
+    # corpus where token t_r appears floor(1000/r) times: near-ideal
+    # Zipf -> slope close to -1
+    toks = []
+    for r in range(1, 40):
+        toks += [f"tok{r:03d}"] * (1000 // r)
+    rng = np.random.default_rng(2)
+    rng.shuffle(toks)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "text": [" ".join(toks[i::20]) for i in range(20)]})
+    out = zipf_fit(rd.from_pandas(docs), top_r=39).to_pandas().iloc[0]
+    assert out["n_terms"] == 39
+    assert -1.1 < out["slope"] < -0.9
+    # intercept ~ ln(1000)
+    assert 6.0 < out["intercept"] < 8.0
+
+
+def test_benford_profile_vs_brute():
+    from city2graph_ray.ops.stats import benford_profile
+    rng = np.random.default_rng(17)
+    v = np.round(rng.lognormal(3, 2, 2000), 2)
+    df = pd.DataFrame({"value": v})
+    out = benford_profile(rd.from_pandas(df), "value").to_pandas() \
+        .set_index("digit")["n"]
+    u = np.floor(v * 100 + 0.5).astype(np.int64)
+    u = u[u > 0]
+    first = np.array([int(str(x)[0]) for x in u])
+    for d in range(1, 10):
+        exp = int((first == d).sum())
+        got = int(out.get(d, 0))
+        assert got == exp
