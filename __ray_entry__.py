@@ -685,6 +685,55 @@ def _event_benford(sf_dir: str):
     return benford_profile(ev, "value")
 
 
+def _zone_condensation(sf_dir: str):
+    """Condensation DAG of the sparse zone digraph (same derivation
+    as zone_scc): distinct (scc_src → scc_dst) arcs between different
+    components — acyclic by construction."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.graph_algos import condensation_edges
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        c = b["o_custkey"].to_numpy(np.int64)
+        keep = k % 200 == 0
+        return pd.DataFrame({"src": c[keep] % 80,
+                             "dst": (k[keep] // 200) % 79})
+
+    edges = shuffle.distinct(
+        orders.map_batches(fn, batch_format="pandas"), ["src", "dst"])
+    return condensation_edges(edges)
+
+
+def _pt_sde_moments(sf_dir: str):
+    """Per-zone standard-deviational-ellipse raw moments over the
+    INTEGER coordinate numerators (pre-/SCALE synth values): exact
+    int64 (n, sx, sy, sxx, syy, sxy) per zone = key % 50."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import group_dispersion_moments
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "zone": k % 50,
+            "mx": (k * k * synth.QX + k * synth.AX + synth.BX)
+            % synth.MOD,
+            "my": (k * k * synth.QY + k * synth.AY + synth.BY)
+            % synth.MOD})
+
+    return group_dispersion_moments(
+        cust.map_batches(fn, batch_format="pandas"), ["zone"],
+        "mx", "my")
+
+
 def _raster_edt(sf_dir: str):
     """Bounded Euclidean distance transform: min squared distance to
     the nearest occupied cell (sparse 9% occupancy), radius 4."""
@@ -4781,6 +4830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_attack": _zone_attack,
         "doc_zipf": _doc_zipf,
         "event_benford": _event_benford,
+        "zone_condensation": _zone_condensation,
+        "pt_sde_moments": _pt_sde_moments,
         "raster_edt": _raster_edt,
         "segment_raster_cells": _segment_raster_cells,
         "raster_slope": _raster_slope,
@@ -5523,6 +5574,43 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(sc AS DOUBLE) - slope * CAST(sl AS DOUBLE))
                    / n / 100000 AS intercept
             FROM s""",
+        "zone_condensation": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_custkey % 80 AS s,
+                                (o_orderkey // 200) % 79 AS d
+                FROM orders WHERE o_orderkey % 200 = 0),
+            n AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+            reach(s, t) AS (
+                SELECT s, d FROM e
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.t),
+            mut AS (SELECT a.s AS u, a.t AS v
+                    FROM reach a JOIN reach b
+                    ON a.s = b.t AND a.t = b.s),
+            comp AS (SELECT n.v AS node,
+                            least(n.v, coalesce(min(mut.v), n.v))
+                              AS scc_id
+                     FROM n LEFT JOIN mut ON mut.u = n.v
+                     GROUP BY n.v)
+            SELECT DISTINCT cs.scc_id AS scc_src,
+                            cd.scc_id AS scc_dst
+            FROM e JOIN comp cs ON cs.node = e.s
+                   JOIN comp cd ON cd.node = e.d
+            WHERE cs.scc_id <> cd.scc_id""",
+        "pt_sde_moments": f"""
+            WITH p AS (SELECT c_custkey % 50 AS zone,
+                  (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                   + {synth.BX}) % {synth.MOD} AS mx,
+                  (c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                   + {synth.BY}) % {synth.MOD} AS my
+                       FROM customer)
+            SELECT zone, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(mx) AS BIGINT) AS sx,
+                   CAST(sum(my) AS BIGINT) AS sy,
+                   CAST(sum(mx * mx) AS BIGINT) AS sxx,
+                   CAST(sum(my * my) AS BIGINT) AS syy,
+                   CAST(sum(mx * my) AS BIGINT) AS sxy
+            FROM p GROUP BY zone""",
         "event_benford": """
             WITH u AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
                          AS un

@@ -3031,3 +3031,56 @@ def attack_robustness(edges: ray.data.Dataset, n_remove: int,
         "n_removed": np.array([len(removed_set)], np.int64),
         "giant_size": np.array([giant], np.int64),
         "n_components": np.array([ncomp + singletons], np.int64)}))
+
+
+def condensation_edges(edges: ray.data.Dataset, src: str = "src",
+                       dst: str = "dst",
+                       num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                       ) -> ray.data.Dataset:
+    """Condensation DAG of a digraph: one edge (scc_src → scc_dst) per
+    pair of DISTINCT strongly connected components joined by at least
+    one original arc.  Output ``(scc_src, scc_dst)`` int64 — acyclic
+    by construction (standard condensation result).
+
+    Scale: SCC labels come from
+    :func:`strongly_connected_components`; the label table is joined
+    onto each endpoint with two bucketed hash joins keyed by node id,
+    then one distinct on the (scc_src, scc_dst) pair — no driver
+    collection anywhere."""
+    import pyarrow as pa
+
+    scc = strongly_connected_components(edges).materialize()
+    i64 = pa.int64()
+
+    arcs = edges.map_batches(
+        lambda b: pd.DataFrame({"s": b[src].to_numpy(np.int64),
+                                "d": b[dst].to_numpy(np.int64)}),
+        batch_format="pandas")
+    j1 = bucketed_join(
+        arcs,
+        scc.map_batches(
+            lambda b: pd.DataFrame({"s": b["node"].to_numpy(np.int64),
+                                    "scc_src": b["scc_id"]
+                                    .to_numpy(np.int64)}),
+            batch_format="pandas"),
+        on="s", num_buckets=num_buckets,
+        left_schema=pa.schema([("s", i64), ("d", i64)]),
+        right_schema=pa.schema([("s", i64), ("scc_src", i64)]))
+    j2 = bucketed_join(
+        j1,
+        scc.map_batches(
+            lambda b: pd.DataFrame({"d": b["node"].to_numpy(np.int64),
+                                    "scc_dst": b["scc_id"]
+                                    .to_numpy(np.int64)}),
+            batch_format="pandas"),
+        on="d", num_buckets=num_buckets,
+        left_schema=pa.schema([("s", i64), ("d", i64),
+                               ("scc_src", i64)]),
+        right_schema=pa.schema([("d", i64), ("scc_dst", i64)]))
+    pairs = j2.map_batches(
+        lambda b: b.loc[b["scc_src"].to_numpy(np.int64)
+                        != b["scc_dst"].to_numpy(np.int64),
+                        ["scc_src", "scc_dst"]],
+        batch_format="pandas")
+    return shuffle.distinct(pairs, ["scc_src", "scc_dst"],
+                            num_buckets=num_buckets)

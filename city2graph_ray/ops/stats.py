@@ -966,3 +966,38 @@ def benford_profile(ds: ray.data.Dataset, value_col: str,
     return out.map_batches(
         lambda b: b.sort_values("digit")[["digit", "n"]],
         batch_format="pandas")
+
+
+def group_dispersion_moments(ds: ray.data.Dataset, keys,
+                             x_col: str, y_col: str,
+                             num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                             ) -> ray.data.Dataset:
+    """Per-key bivariate dispersion raw moments over INTEGER coords —
+    the exact substrate of the standard-deviational-ellipse / spatial
+    dispersion statistics (Lefever 1926, public literature): per key
+    ``(n, sx, sy, sxx, syy, sxy)`` all int64, from which mean center,
+    axis variances and ellipse rotation are client-side floats.
+
+    One partial-aggregated keyed sum: the six products are computed
+    per batch (int64, overflow bound n·max² documented at call sites)
+    and combine associatively, so blocks pre-reduce before the
+    shuffle.
+    """
+    from city2graph_ray import shuffle
+
+    keys = list(keys)
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(np.int64)
+        y = b[y_col].to_numpy(np.int64)
+        out = b[keys].copy()
+        out["sx"], out["sy"] = x, y
+        out["sxx"], out["syy"], out["sxy"] = x * x, y * y, x * y
+        out["n"] = np.ones(len(b), np.int64)
+        return out
+
+    return shuffle.group_agg(
+        ds.map_batches(pre, batch_format="pandas"), keys,
+        {"n": ("n", "sum"), "sx": ("sx", "sum"), "sy": ("sy", "sum"),
+         "sxx": ("sxx", "sum"), "syy": ("syy", "sum"),
+         "sxy": ("sxy", "sum")}, num_buckets=num_buckets)

@@ -200,3 +200,68 @@ def test_benford_profile_vs_brute():
         exp = int((first == d).sum())
         got = int(out.get(d, 0))
         assert got == exp
+
+
+def test_condensation_edges_known():
+    from city2graph_ray.ops.graph_algos import condensation_edges
+    # cycle {1,2,3} -> 4 -> cycle {5,6}; plus 3->5
+    e = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5),
+         (3, 5)]
+    df = pd.DataFrame({"src": [a for a, _ in e],
+                       "dst": [b for _, b in e]}).astype(np.int64)
+    out = condensation_edges(rd.from_pandas(df)).to_pandas()
+    got = {(r.scc_src, r.scc_dst) for r in out.itertuples()}
+    # scc ids are min member: {1,2,3}->1, {4}->4, {5,6}->5
+    assert got == {(1, 4), (4, 5), (1, 5)}
+
+
+def test_group_dispersion_moments_vs_brute():
+    from city2graph_ray.ops.stats import group_dispersion_moments
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "zone": rng.integers(0, 5, 300).astype(np.int64),
+        "mx": rng.integers(0, 1000, 300).astype(np.int64),
+        "my": rng.integers(0, 1000, 300).astype(np.int64)})
+    out = group_dispersion_moments(rd.from_pandas(df), ["zone"],
+                                   "mx", "my").to_pandas() \
+        .set_index("zone")
+    for z, g in df.groupby("zone"):
+        x, y = g["mx"].to_numpy(np.int64), g["my"].to_numpy(np.int64)
+        assert out.loc[z, "n"] == len(g)
+        assert out.loc[z, "sx"] == x.sum()
+        assert out.loc[z, "sy"] == y.sum()
+        assert out.loc[z, "sxx"] == (x * x).sum()
+        assert out.loc[z, "syy"] == (y * y).sum()
+        assert out.loc[z, "sxy"] == (x * y).sum()
+
+
+def test_jsonl_source_roundtrip(tmp_path):
+    import json
+
+    from city2graph_ray.sources.text_files import (load_jsonl_docs,
+                                                   write_jsonl)
+    p = tmp_path / "shard0.jsonl"
+    rows = [{"doc_id": 7, "text": "hello world", "lang": "en"},
+            {"doc_id": 8, "text": "", "lang": "fr"},
+            {"doc_id": 9, "text": "third doc", "lang": "en"}]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    ds = load_jsonl_docs(str(p), keep_cols=["lang"])
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df["doc_id"]) == [7, 8, 9]
+    assert list(df["text"]) == ["hello world", "", "third doc"]
+    assert list(df["lang"]) == ["en", "fr", "en"]
+    assert df["doc_id"].dtype == np.int64
+
+    # id-less shard gets stable synthesized ids
+    q = tmp_path / "noid.jsonl"
+    q.write_text("\n".join(json.dumps({"text": f"t{i}"})
+                           for i in range(5)) + "\n")
+    d2 = load_jsonl_docs(str(q)).to_pandas().sort_values("doc_id")
+    assert list(d2["doc_id"]) == [0, 1, 2, 3, 4]
+    assert list(d2["text"]) == [f"t{i}" for i in range(5)]
+
+    # sharded export: valid jsonl lines, re-readable
+    outd = tmp_path / "out"
+    write_jsonl(ds, str(outd))
+    back = load_jsonl_docs(str(outd), keep_cols=["lang"]).to_pandas()
+    assert sorted(back["doc_id"]) == [7, 8, 9]
