@@ -734,6 +734,55 @@ def _pt_sde_moments(sf_dir: str):
         "mx", "my")
 
 
+def _doc_mixture_sample(sf_dir: str):
+    """Static data-mixing sampler: per-source quota 2 + srcN % 7 docs
+    by smallest md5 rank-hash — deterministic draw toward a target
+    source mixture."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import mixture_sample
+
+    docs = documents(sf_dir, columns=["doc_id", "source"])
+    srcs = shuffle.distinct(
+        docs.map_batches(lambda b: b[["source"]],
+                         batch_format="pandas"),
+        ["source"], num_buckets=4).to_pandas()
+    srcs["quota"] = 2 + srcs["source"].str[3:].astype(np.int64) % 7
+    return mixture_sample(docs, srcs)
+
+
+def _doc_ppl_buckets(sf_dir: str):
+    """CCNet-style perplexity terciles: per-doc unigram logprob →
+    global ntile(3) over (logprob, doc_id) — head/middle/tail
+    quality buckets."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import unigram_logprob
+
+    lp = unigram_logprob(documents(sf_dir))
+    out = shuffle.global_ntile(lp, ["logprob", "doc_id"], 3)
+    return out.map_batches(
+        lambda b: b[["doc_id", "logprob", "tile"]],
+        batch_format="pandas")
+
+
+def _event_rolling_mean(sf_dir: str):
+    """Per-user trailing 3-row mean of event values in (ts, event_id)
+    order: int64 rolling unit sums, one mirrored float division."""
+    import ray.data
+
+    from city2graph_ray.ops.windows import grouped_rolling_mean
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    out = grouped_rolling_mean(ev, ["user_id"], ["ts", "event_id"],
+                               "value", 3)
+    return out.map_batches(
+        lambda b: b[["user_id", "event_id", "rmean"]],
+        batch_format="pandas")
+
+
 def _raster_edt(sf_dir: str):
     """Bounded Euclidean distance transform: min squared distance to
     the nearest occupied cell (sparse 9% occupancy), radius 4."""
@@ -4832,6 +4881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_benford": _event_benford,
         "zone_condensation": _zone_condensation,
         "pt_sde_moments": _pt_sde_moments,
+        "doc_mixture_sample": _doc_mixture_sample,
+        "doc_ppl_buckets": _doc_ppl_buckets,
+        "event_rolling_mean": _event_rolling_mean,
         "raster_edt": _raster_edt,
         "segment_raster_cells": _segment_raster_cells,
         "raster_slope": _raster_slope,
@@ -5597,6 +5649,47 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN comp cs ON cs.node = e.s
                    JOIN comp cd ON cd.node = e.d
             WHERE cs.scc_id <> cd.scc_id""",
+        "doc_mixture_sample": """
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 2 + CAST(substr(source, 4) AS BIGINT) % 7""",
+        "doc_ppl_buckets": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents),
+            cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            tot AS (SELECT sum(c) AS s FROM cnt),
+            lp AS (SELECT doc_id,
+                          round(avg(ln(c / s)), 6) AS logprob
+                   FROM tok JOIN cnt USING (t) CROSS JOIN tot
+                   GROUP BY doc_id)
+            SELECT doc_id, logprob,
+                   CAST(ntile(3) OVER (ORDER BY logprob, doc_id)
+                        AS BIGINT) AS tile
+            FROM lp""",
+        "event_rolling_mean": """
+            WITH u AS (SELECT user_id, ts, event_id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS un
+                       FROM events),
+            w AS (SELECT user_id, event_id,
+                         sum(un) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                           AS su,
+                         count(*) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                           AS cn
+                  FROM u)
+            SELECT user_id, event_id,
+                   CAST(su AS DOUBLE) / (cn * 100.0) AS rmean
+            FROM w""",
         "pt_sde_moments": f"""
             WITH p AS (SELECT c_custkey % 50 AS zone,
                   (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}

@@ -423,3 +423,36 @@ def cusum_max(ds: ray.data.Dataset, key_col: str, ts_col: str,
 
     return shuffle.grouped_transform(ds, [key_col], kernel,
                                      num_buckets=num_buckets)
+
+
+def grouped_rolling_mean(ds: ray.data.Dataset, keys, order_cols,
+                         value_col: str, window: int,
+                         scale: int = 100, out_col: str = "rmean",
+                         num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                         ) -> ray.data.Dataset:
+    """Per-key trailing-window mean — ``avg(value) OVER (PARTITION BY
+    keys ORDER BY order_cols ROWS window-1 PRECEDING)`` — bit-exact:
+    the rolling SUM runs on int64 units (floor(v·scale+0.5)), and the
+    one float op is the final ``sum_units / (rows_in_window · scale)``
+    mirrored verbatim in SQL (a raw-double windowed avg would NOT be
+    association-order-stable).  One shuffle keyed by ``keys``; output
+    = input columns + ``out_col``."""
+    keys = list(keys)
+    order_cols = list(order_cols)
+    fs = float(scale)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + order_cols, kind="stable")
+        u = pd.Series(
+            np.floor(g[value_col].to_numpy(np.float64) * fs + 0.5
+                     ).astype(np.int64), index=g.index)
+        grp = u.groupby([g[k] for k in keys], sort=False)
+        su = grp.rolling(window, min_periods=1).sum() \
+            .reset_index(drop=True).to_numpy(np.int64)
+        cn = grp.rolling(window, min_periods=1).count() \
+            .reset_index(drop=True).to_numpy(np.int64)
+        g[out_col] = su.astype(np.float64) / (cn * fs)
+        return g
+
+    return shuffle.grouped_transform(ds, keys, kernel,
+                                     num_buckets=num_buckets)

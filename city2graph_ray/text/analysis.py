@@ -943,3 +943,53 @@ def zipf_fit(docs: ray.data.Dataset, top_r: int = 1000,
     return ray.data.from_pandas(pd.DataFrame({
         "n_terms": np.array([n], np.int64),
         "slope": [slope], "intercept": [intercept]}))
+
+
+def mixture_sample(docs: ray.data.Dataset, quotas: pd.DataFrame,
+                   source_col: str = "source", id_col: str = "doc_id",
+                   num_buckets: int | None = None) -> ray.data.Dataset:
+    """Data-mixing sampler (the static form of DoReMi/Pile-style
+    source reweighting, public literature): per source, keep the
+    ``quota`` rows whose md5 rank-hash of the id is smallest (ties by
+    id) — a deterministic, reshard-stable draw toward a target source
+    mixture.  ``quotas``: DataFrame (source_col, quota); sources
+    absent from it are dropped.  Output (source_col, id_col).
+
+    Same rank-hash contract as :func:`stratified_sample`
+    (DuckDB ``md5_number_lower(CAST(id AS VARCHAR))`` bit-for-bit).
+    Scale: the quota table is mixture-weights-sized and broadcasts via
+    ``ray.put``; each batch pre-prunes to its LOCAL per-source
+    head(quota) so shuffle bytes ∝ sources × quota per batch, then one
+    keyed per-source merge."""
+    import hashlib
+
+    from city2graph_ray import shuffle
+
+    nb = num_buckets or shuffle.DEFAULT_BUCKETS
+    qref = ray.put(quotas.set_index(source_col)["quota"])
+    max_q = int(quotas["quota"].max()) if len(quotas) else 0
+
+    def rank(batch: pd.DataFrame) -> pd.DataFrame:
+        qmap = ray.get(qref)
+        b = batch[batch[source_col].isin(qmap.index)]
+        ids = b[id_col].to_numpy()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16],
+                            "little") for i in ids),
+            dtype=np.uint64, count=len(ids))
+        out = b[[source_col, id_col]].copy()
+        out["__h"] = (h ^ np.uint64(1 << 63)).view(np.int64)
+        out = out.sort_values(["__h", id_col], kind="stable")
+        return out.groupby(source_col, sort=False).head(max_q)
+
+    pruned = docs.map_batches(rank, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        qmap = ray.get(qref)
+        g = g.sort_values(["__h", id_col], kind="stable")
+        g = g.groupby(source_col, sort=False, group_keys=False).apply(
+            lambda s: s.head(int(qmap[s.name])))
+        return g[[source_col, id_col]]
+
+    return shuffle.grouped_transform(pruned, [source_col], merge,
+                                     num_buckets=nb)

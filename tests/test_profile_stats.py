@@ -265,3 +265,48 @@ def test_jsonl_source_roundtrip(tmp_path):
     write_jsonl(ds, str(outd))
     back = load_jsonl_docs(str(outd), keep_cols=["lang"]).to_pandas()
     assert sorted(back["doc_id"]) == [7, 8, 9]
+
+
+def test_mixture_sample_quota_and_determinism():
+    from city2graph_ray.text.analysis import mixture_sample
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "source": [f"s{i % 4}" for i in range(200)]})
+    quotas = pd.DataFrame({"source": ["s0", "s1", "s2"],
+                           "quota": [5, 10, 0]})
+    out = mixture_sample(rd.from_pandas(df), quotas).to_pandas()
+    got = out.groupby("source").size().to_dict()
+    assert got.get("s0", 0) == 5
+    assert got.get("s1", 0) == 10
+    assert "s2" not in got and "s3" not in got
+    # reshard-stable: same draw from a shuffled layout
+    df2 = df.sample(frac=1.0, random_state=1).reset_index(drop=True)
+    out2 = mixture_sample(
+        rd.from_pandas(df2).repartition(7), quotas).to_pandas()
+    a = sorted(map(tuple, out[["source", "doc_id"]].to_numpy()))
+    b = sorted(map(tuple, out2[["source", "doc_id"]].to_numpy()))
+    assert a == b
+
+
+def test_grouped_rolling_mean_vs_pandas():
+    from city2graph_ray.ops.windows import grouped_rolling_mean
+    rng = np.random.default_rng(31)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 5000, n), unit="s"),
+        "user_id": rng.integers(0, 6, n).astype(np.int64),
+        "value": np.round(rng.uniform(0, 100, n), 2)})
+    out = grouped_rolling_mean(rd.from_pandas(df), ["user_id"],
+                               ["ts", "event_id"], "value", 3) \
+        .to_pandas().set_index("event_id")["rmean"]
+    u = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    exp = df.assign(u=u).sort_values(["user_id", "ts", "event_id"])
+    for uid, g in exp.groupby("user_id"):
+        su = g["u"].rolling(3, min_periods=1).sum().to_numpy()
+        cn = g["u"].rolling(3, min_periods=1).count().to_numpy()
+        want = su / (cn * 100.0)
+        for eid, w in zip(g["event_id"], want):
+            assert out.loc[eid] == w
