@@ -4349,6 +4349,24 @@ def _tpch_q12(sf_dir: str):
     return late_shipment_priority(sf_dir)
 
 
+def _tpch_q2(sf_dir: str):
+    """Min-cost supplier per part (Q2 adapted: supply cost = min
+    lineitem price cents per (part, supp)); integer-exact min-equality
+    winners, one partkey-bucketed join, broadcast region dims."""
+    from city2graph_ray.pipelines.relational import min_cost_supplier
+
+    return min_cost_supplier(sf_dir)
+
+
+def _tpch_q20(sf_dir: str):
+    """Promotable suppliers (Q20 adapted: 2·window-qty > total-qty per
+    (part, supp) in integer centi-units); one keyed sum computes both
+    window and total, distinct suppliers joined to broadcast dims."""
+    from city2graph_ray.pipelines.relational import promotable_suppliers
+
+    return promotable_suppliers(sf_dir)
+
+
 def _tpch_q11(sf_dir: str):
     """Important parts: integer-cent keyed sums vs an integer
     cross-multiplied global threshold (float-free membership)."""
@@ -5074,6 +5092,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15_topsupp": _tpch_q15,
         "tpch_q17_smallqty": _tpch_q17,
         "tpch_q19_disjunct": _tpch_q19,
+        "tpch_q2_mincost": _tpch_q2,
+        "tpch_q20_promote": _tpch_q20,
         "tpch_q8_mktshare": _tpch_q8,
         "tpch_q11_important": _tpch_q11,
         "tpch_q12_priority": _tpch_q12,
@@ -8380,6 +8400,56 @@ def oracle_sql() -> dict[str, str]:
                          / 7.0, 4) AS avg_yearly
             FROM sliced JOIN cuts USING (l_partkey)
             WHERE l_quantity < qty_cut""",
+        "tpch_q2_mincost": """
+            WITH rs AS (
+              SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal,
+                     n_name
+              FROM supplier
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'ASIA'),
+            cost AS (
+              SELECT l_partkey, l_suppkey,
+                     min(CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT)) AS cost_cents
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN rs ON s_suppkey = l_suppkey
+              WHERE p_size BETWEEN 10 AND 30
+              GROUP BY l_partkey, l_suppkey),
+            best AS (
+              SELECT l_partkey, min(cost_cents) AS best_cents
+              FROM cost GROUP BY l_partkey)
+            SELECT s_acctbal, s_name, n_name,
+                   l_partkey AS p_partkey,
+                   cost_cents / 100.0 AS supply_cost
+            FROM cost
+            JOIN best USING (l_partkey)
+            JOIN rs ON rs.s_suppkey = cost.l_suppkey
+            WHERE cost_cents = best_cents
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100""",
+        "tpch_q20_promote": """
+            WITH q AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                               AND l_shipdate < DATE '1997-01-01'
+                          THEN CAST(floor(l_quantity * 100 + 0.5)
+                                    AS BIGINT) ELSE 0 END) AS qwin,
+                     sum(CAST(floor(l_quantity * 100 + 0.5)
+                              AS BIGINT)) AS qtot
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE 'small%'
+              GROUP BY l_partkey, l_suppkey),
+            s AS (SELECT DISTINCT l_suppkey FROM q WHERE 2 * qwin > qtot)
+            SELECT s_name, n_name
+            FROM s
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+            ORDER BY s_name""",
         "tpch_q19_disjunct": """
             SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount)
                                   * 100 + 0.5) AS BIGINT)) / 100.0

@@ -1402,3 +1402,169 @@ def market_share(sf_dir: str, target_nation: str = "NATION_12",
         out.pop("total").to_numpy(np.int64).astype(np.float64), 6)
     return ray.data.from_pandas(
         out.sort_values("o_year").reset_index(drop=True))
+
+
+def min_cost_supplier(sf_dir: str, region: str = "ASIA",
+                      size_lo: int = 10, size_hi: int = 30, k: int = 100,
+                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                      ) -> ray.data.Dataset:
+    """TPC-H-Q2-shaped minimum-cost supplier (adapted: this corpus has
+    no partsupp, so the (part, supplier) supply cost is the MINIMUM
+    lineitem price in integer cents over their shipments — a derived
+    supply catalog with identical join/correlated-min shape).
+
+    Per part in the size band, find the region's suppliers achieving
+    the per-part minimum cost; report the top-``k`` by account balance
+    (full deterministic tie-break: acctbal desc, n_name, s_name,
+    p_partkey — (part, supp) pairs are unique so the order is total).
+
+    Exactness: costs ride integer cents (floor(x·100+0.5)); the
+    min-equality membership test is integer==integer.  Scale: region
+    suppliers and nation names are broadcast dims; the part slice is a
+    key-only semi filter (at 100 TB swap the set for a Bloom
+    broadcast); the cost table shuffles ONCE keyed by partkey for both
+    the per-part min and the winner equi-join (bucketed).
+    """
+    import pyarrow as pa
+
+    from city2graph_ray.joins import semi_filter
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    rs = supp.merge(nat.rename(columns={"n_nationkey": "s_nationkey"}),
+                    on="s_nationkey")[
+        ["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_size"])
+    pkeys = part.loc[part["p_size"].between(size_lo, size_hi),
+                     "p_partkey"].to_numpy(np.int64)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    li = semi_filter(li, set(rs["s_suppkey"].tolist()), "l_suppkey")
+    li = semi_filter(li, pkeys, "l_partkey").map_batches(
+        lambda b: pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "cents": np.floor(b["l_extendedprice"].to_numpy(np.float64)
+                              * 100.0 + 0.5).astype(np.int64)}),
+        batch_format="pandas")
+
+    # cost fans out (per-part min AND the winner join): pin it once —
+    # without this the semi-filter actor-pool lineage is duplicated per
+    # consumer and the pools can starve a small CPU budget
+    cost = shuffle.group_agg(
+        li, ["l_partkey", "l_suppkey"], {"cost_cents": ("cents", "min")},
+        num_buckets=num_buckets).materialize()
+    best = shuffle.group_agg(
+        cost, ["l_partkey"], {"best_cents": ("cost_cents", "min")},
+        num_buckets=num_buckets)
+    i64 = pa.int64()
+    winners = bucketed_join(
+        cost, best, on="l_partkey", num_buckets=num_buckets,
+        left_schema=pa.schema([("l_partkey", i64), ("l_suppkey", i64),
+                               ("cost_cents", i64)]),
+        right_schema=pa.schema([("l_partkey", i64), ("best_cents", i64)]),
+    ).map_batches(
+        lambda b: b.loc[b["cost_cents"].to_numpy(np.int64)
+                        == b["best_cents"].to_numpy(np.int64),
+                        ["l_partkey", "l_suppkey", "cost_cents"]],
+        batch_format="pandas")
+
+    out = winners.to_pandas().merge(
+        rs.rename(columns={"s_suppkey": "l_suppkey"}), on="l_suppkey")
+    if out.empty:
+        out = pd.DataFrame({
+            "s_acctbal": pd.Series([], dtype=np.float64),
+            "s_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "supply_cost": pd.Series([], dtype=np.float64)})
+        return ray.data.from_pandas(out)
+    out["s_acctbal"] = np.round(out["s_acctbal"].to_numpy(np.float64), 2)
+    out["supply_cost"] = out.pop("cost_cents").to_numpy(np.int64) / 100.0
+    out = out.rename(columns={"l_partkey": "p_partkey"})
+    out = out.sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                          ascending=[False, True, True, True],
+                          kind="stable").head(k)
+    return ray.data.from_pandas(
+        out[["s_acctbal", "s_name", "n_name", "p_partkey",
+             "supply_cost"]].reset_index(drop=True))
+
+
+def promotable_suppliers(sf_dir: str, name_prefix: str = "small",
+                         date_from: str = "1996-01-01",
+                         date_to: str = "1997-01-01",
+                         region: str = "ASIA",
+                         num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                         ) -> ray.data.Dataset:
+    """TPC-H-Q20-shaped "potential part promotion" (adapted: no
+    partsupp availqty — a supplier qualifies for a part when its
+    shipped quantity of that ``name_prefix`` part INSIDE the window
+    exceeds half its all-time shipped quantity of the part, i.e.
+    ``2·qty_window > qty_total``; same two-level correlated-sum shape).
+
+    Output: the qualifying suppliers of ``region``, (s_name, n_name),
+    ordered by s_name.
+
+    Exactness: quantities ride integer centi-units; the threshold is
+    the integer cross-product.  Scale: ONE keyed sum over the pruned
+    lineitem slice computes both window and total quantities (the
+    window mask is a CASE column, not a second scan); supplier/nation
+    dims broadcast; distinct suppliers ≪ corpus.
+    """
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    pkeys = part.loc[part["p_name"].str.startswith(name_prefix),
+                     "p_partkey"].to_numpy(np.int64)
+
+    from city2graph_ray.joins import semi_filter
+
+    t0 = pd.Timestamp(date_from)
+    t1 = pd.Timestamp(date_to)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    li = semi_filter(li, pkeys, "l_partkey").map_batches(
+        lambda b: (lambda q, m: pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "qwin": np.where(m, q, np.int64(0)),
+            "qtot": q}))(
+            np.floor(b["l_quantity"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64),
+            (b["l_shipdate"] >= t0).to_numpy()
+            & (b["l_shipdate"] < t1).to_numpy()),
+        batch_format="pandas")
+
+    sums = shuffle.group_agg(
+        li, ["l_partkey", "l_suppkey"],
+        {"qwin": ("qwin", "sum"), "qtot": ("qtot", "sum")},
+        num_buckets=num_buckets)
+    qual = sums.map_batches(
+        lambda b: b.loc[2 * b["qwin"].to_numpy(np.int64)
+                        > b["qtot"].to_numpy(np.int64), ["l_suppkey"]],
+        batch_format="pandas")
+    sup_ids = shuffle.distinct(qual, ["l_suppkey"],
+                               num_buckets=num_buckets).to_pandas()
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    rs = supp.merge(nat.rename(columns={"n_nationkey": "s_nationkey"}),
+                    on="s_nationkey")[["s_suppkey", "s_name", "n_name"]]
+
+    out = (sup_ids.rename(columns={"l_suppkey": "s_suppkey"})
+           .merge(rs, on="s_suppkey")[["s_name", "n_name"]]
+           .sort_values("s_name", kind="stable").reset_index(drop=True))
+    if out.empty:
+        out = pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                            "n_name": pd.Series([], dtype=object)})
+    return ray.data.from_pandas(out)

@@ -211,3 +211,67 @@ def test_market_share_matches_duckdb():
     assert len(out) > 0
     assert out["o_year"].tolist() == want["o_year"].tolist()
     assert out["mkt_share"].tolist() == want["mkt_share"].tolist()
+
+
+def test_min_cost_supplier_matches_duckdb():
+    from city2graph_ray.pipelines.relational import min_cost_supplier
+    out = min_cost_supplier(SF_DIR).to_pandas()
+    con = _con()
+    con.execute(f"CREATE VIEW region AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/region.parquet')")
+    want = con.execute("""
+        WITH rs AS (
+          SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal,
+                 n_name
+          FROM supplier JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          WHERE r_name = 'ASIA'),
+        cost AS (
+          SELECT l_partkey, l_suppkey,
+                 min(CAST(floor(l_extendedprice*100+0.5) AS BIGINT))
+                   AS cost_cents
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          JOIN rs ON s_suppkey = l_suppkey
+          WHERE p_size BETWEEN 10 AND 30
+          GROUP BY 1, 2),
+        best AS (SELECT l_partkey, min(cost_cents) AS best_cents
+                 FROM cost GROUP BY 1)
+        SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+               cost_cents / 100.0 AS supply_cost
+        FROM cost JOIN best USING (l_partkey)
+        JOIN rs ON rs.s_suppkey = cost.l_suppkey
+        WHERE cost_cents = best_cents
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""").df()
+    assert len(out) > 0
+    for c in ["s_acctbal", "s_name", "n_name", "p_partkey",
+              "supply_cost"]:
+        assert out[c].tolist() == want[c].tolist(), c
+
+
+def test_promotable_suppliers_matches_duckdb():
+    from city2graph_ray.pipelines.relational import promotable_suppliers
+    out = promotable_suppliers(SF_DIR).to_pandas()
+    con = _con()
+    con.execute(f"CREATE VIEW region AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/region.parquet')")
+    want = con.execute("""
+        WITH q AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                           AND l_shipdate < DATE '1997-01-01'
+                      THEN CAST(floor(l_quantity*100+0.5) AS BIGINT)
+                      ELSE 0 END) AS qwin,
+                 sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS qtot
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'small%'
+          GROUP BY 1, 2),
+        s AS (SELECT DISTINCT l_suppkey FROM q WHERE 2*qwin > qtot)
+        SELECT s_name, n_name
+        FROM s JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA' ORDER BY s_name""").df()
+    assert len(out) > 0
+    assert out["s_name"].tolist() == want["s_name"].tolist()
+    assert out["n_name"].tolist() == want["n_name"].tolist()
