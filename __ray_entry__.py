@@ -2504,6 +2504,28 @@ def _zone_largest_component(sf_dir: str):
     return largest_component_filter(edges)
 
 
+def _component_zone_edges(sf_dir: str):
+    """The multi-component 40-decade cell graph (same derivation as
+    _zone_largest_component, without the largest-component filter)."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        dec = ok % 40
+        return pd.DataFrame({
+            "src": dec * 10 + ck % 3,
+            "dst": dec * 10 + 3 + ok % (3 + dec % 4)})
+
+    return shuffle.distinct(
+        orders.map_batches(mk, batch_format="pandas"), ["src", "dst"])
+
+
 def _zone_pagerank(sf_dir: str):
     """5-iteration PageRank over the zone digraph (iterative bucketed
     join + keyed sum per round; unrolled-CTE SQL twin)."""
@@ -2525,6 +2547,23 @@ def _zone_triangles(sf_dir: str):
     from city2graph_ray.ops.graph_algos import triangle_count
 
     return triangle_count(_order_zone_edges(sf_dir))
+
+
+def _zone_katz(sf_dir: str):
+    """Katz centrality as exact integer walk counts (β=1/3 scaled by
+    3³): per-round bucketed join + keyed sum, walk table node-sized."""
+    from city2graph_ray.ops.graph_algos import katz_walk_counts
+
+    return katz_walk_counts(_order_zone_edges(sf_dir), rounds=3,
+                            beta_den=3)
+
+
+def _zone_circuit_rank(sf_dir: str):
+    """Cycle-space dimension m−n+c of the multi-component cell graph
+    (distributed distinct + large-star/small-star components)."""
+    from city2graph_ray.ops.graph_algos import circuit_rank
+
+    return circuit_rank(_component_zone_edges(sf_dir))
 
 
 def _doc_blocklist(sf_dir: str):
@@ -5011,6 +5050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_pagerank": _zone_pagerank,
         "zone_degree_hist": _zone_degree_hist,
         "zone_triangles": _zone_triangles,
+        "zone_katz": _zone_katz,
+        "zone_circuit_rank": _zone_circuit_rank,
         "doc_blocklist_filter": _doc_blocklist,
         "doc_curation": _doc_curation,
         "media_image_features": _media_features,
@@ -7427,6 +7468,48 @@ def oracle_sql() -> dict[str, str]:
                           round(0.15 / n + 0.85 * coalesce(s, 0), 10) AS r
                    FROM nodes LEFT JOIN s5 USING (node), c)
             SELECT node, round(r, 6) AS rank FROM r5""",
+        "zone_katz": """
+            WITH e AS (SELECT DISTINCT o_custkey % 100 AS src,
+                              o_orderkey % 97 AS dst FROM orders),
+            w1 AS (SELECT dst AS v, count(*) AS w FROM e GROUP BY 1),
+            w2 AS (SELECT e.dst AS v, sum(w1.w) AS w
+                   FROM e JOIN w1 ON w1.v = e.src GROUP BY 1),
+            w3 AS (SELECT e.dst AS v, sum(w2.w) AS w
+                   FROM e JOIN w2 ON w2.v = e.src GROUP BY 1)
+            SELECT w1.v AS node,
+                   9 * w1.w + 3 * coalesce(w2.w, 0)
+                     + coalesce(w3.w, 0) AS katz_num
+            FROM w1
+            LEFT JOIN w2 ON w2.v = w1.v
+            LEFT JOIN w3 ON w3.v = w1.v
+            ORDER BY node""",
+        "zone_circuit_rank": """
+            WITH RECURSIVE base AS (
+              SELECT DISTINCT
+                     (o_orderkey % 40) * 10 + o_custkey % 3 AS src,
+                     (o_orderkey % 40) * 10 + 3
+                       + o_orderkey % (3 + (o_orderkey % 40) % 4) AS dst
+              FROM orders),
+            canon AS (SELECT DISTINCT least(src, dst) AS src,
+                             greatest(src, dst) AS dst
+                      FROM base WHERE src <> dst),
+            und AS (SELECT src, dst FROM canon
+                    UNION SELECT dst, src FROM canon),
+            nodes AS (SELECT DISTINCT src AS node FROM und),
+            reach AS (
+              SELECT node AS root, node FROM nodes
+              UNION
+              SELECT r.root, e.dst AS node
+              FROM reach r JOIN und e ON e.src = r.node),
+            comp AS (SELECT node, min(root) AS component
+                     FROM reach GROUP BY node)
+            SELECT (SELECT count(*) FROM canon) AS m,
+                   (SELECT count(*) FROM nodes) AS n,
+                   (SELECT count(DISTINCT component) FROM comp) AS c,
+                   (SELECT count(*) FROM canon)
+                     - (SELECT count(*) FROM nodes)
+                     + (SELECT count(DISTINCT component) FROM comp)
+                     AS circuit_rank""",
         "zone_triangles": """
             WITH ed AS (SELECT DISTINCT (o_custkey % 100) AS src,
                                         (o_orderkey % 97) AS dst

@@ -3084,3 +3084,104 @@ def condensation_edges(edges: ray.data.Dataset, src: str = "src",
         batch_format="pandas")
     return shuffle.distinct(pairs, ["scc_src", "scc_dst"],
                             num_buckets=num_buckets)
+
+
+def katz_walk_counts(edges: ray.data.Dataset, rounds: int = 3,
+                     beta_den: int = 3, src: str = "src",
+                     dst: str = "dst",
+                     num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                     ) -> ray.data.Dataset:
+    """Katz-style centrality as EXACT integer walk counts: per node v,
+    ``katz_num(v) = Σ_{k=1..rounds} beta_den^(rounds-k) · w_k(v)`` where
+    ``w_k(v)`` is the number of directed walks of length k ending at v
+    — i.e. the Katz sum with attenuation ``β = 1/beta_den``, scaled by
+    ``beta_den^rounds`` so no float ever appears (int64 overflow is the
+    caller's bound: counts grow like (max in-degree)^rounds).
+
+    Distributed shape: ``w_1`` is the in-degree keyed sum;
+    each further round is ONE bucketed hash join (walk table → edges on
+    ``src``) plus one keyed sum to ``dst`` — the walk table is
+    node-sized and object-store-resident between rounds, the edge table
+    is pinned once and re-read per round (same device as pagerank's
+    join strategy above).  Every shuffle reuses the node id key.
+    """
+    import pyarrow as pa
+
+    if rounds < 1:
+        raise ValueError("rounds >= 1")
+    e = edges.map_batches(
+        lambda b: pd.DataFrame({"src": b[src].to_numpy(np.int64),
+                                "dst": b[dst].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+
+    i64 = pa.int64()
+    w = shuffle.group_agg(
+        _node_column(e, "dst"), ["node"], {"w": ("node", "size")},
+        num_buckets=num_buckets).materialize()
+    per_round = [w]
+    for _ in range(rounds - 1):
+        nxt = bucketed_join(
+            e, w.map_batches(
+                lambda b: b.rename(columns={"node": "src"}),
+                batch_format="pandas"),
+            on="src", num_buckets=num_buckets,
+            left_schema=pa.schema([("src", i64), ("dst", i64)]),
+            right_schema=pa.schema([("src", i64), ("w", i64)]))
+        w = shuffle.group_agg(
+            nxt.map_batches(
+                lambda b: pd.DataFrame({"node": b["dst"].to_numpy(np.int64),
+                                        "w": b["w"].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            ["node"], {"w": ("w", "sum")},
+            num_buckets=num_buckets).materialize()
+        per_round.append(w)
+
+    # katz_num = Σ beta_den^(rounds-k) · w_k — node-keyed sum over the
+    # union of the (tiny, node-sized) per-round tables
+    parts = []
+    for k, wk in enumerate(per_round, start=1):
+        scale = beta_den ** (rounds - k)
+        parts.append(wk.map_batches(
+            lambda b, s=scale: pd.DataFrame({
+                "node": b["node"].to_numpy(np.int64),
+                "katz_num": b["w"].to_numpy(np.int64) * np.int64(s)}),
+            batch_format="pandas"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    return shuffle.group_agg(u, ["node"], {"katz_num": ("katz_num", "sum")},
+                             num_buckets=num_buckets)
+
+
+def circuit_rank(edges: ray.data.Dataset, src: str = "src",
+                 dst: str = "dst",
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 ) -> ray.data.Dataset:
+    """Cycle-space dimension of the undirected simple graph:
+    ``circuit_rank = m − n + c`` (edges − nodes + connected
+    components).  One distinct pass for m, one for n, and the
+    large-star/small-star component labelling for c — all counts are
+    scalar folds of per-block partials; nothing node-sized reaches the
+    driver.  Output: one row (m, n, c, circuit_rank)."""
+    from city2graph_ray.ops.topology import connected_components
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy(np.int64)
+        d = b[dst].to_numpy(np.int64)
+        m = a != d  # self-loops contribute no cycle-space dimension here
+        lo, hi = np.minimum(a[m], d[m]), np.maximum(a[m], d[m])
+        return pd.DataFrame({"src": lo, "dst": hi})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["src", "dst"],
+        num_buckets=num_buckets).materialize()
+    m = und.count()
+    comp = connected_components(und)
+    n = comp.count()
+    c = shuffle.distinct(comp.map_batches(
+        lambda b: pd.DataFrame({"component": b["component"]}),
+        batch_format="pandas"), ["component"],
+        num_buckets=num_buckets).count()
+    return ray.data.from_pandas(pd.DataFrame({
+        "m": [np.int64(m)], "n": [np.int64(n)], "c": [np.int64(c)],
+        "circuit_rank": [np.int64(m - n + c)]}))

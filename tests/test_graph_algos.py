@@ -979,3 +979,40 @@ def test_scc_chain_all_singletons_cycle_one():
     got2 = strongly_connected_components(
         rd.from_pandas(cyc), strategy="coloring").to_pandas()
     assert (got2["scc_id"] == 0).all() and len(got2) == 3
+
+
+def test_katz_walk_counts_matches_matrix_power():
+    from city2graph_ray.ops.graph_algos import katz_walk_counts
+
+    df = _edges(80, 12, seed=9).drop_duplicates(["src", "dst"])
+    got = (katz_walk_counts(rd.from_pandas(df), rounds=3, beta_den=3,
+                            num_buckets=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    n = 12
+    A = np.zeros((n, n), dtype=np.int64)
+    A[df["src"].to_numpy(), df["dst"].to_numpy()] = 1
+    ones = np.ones(n, dtype=np.int64)
+    w1 = ones @ A
+    w2 = w1 @ A
+    w3 = w2 @ A
+    score = 9 * w1 + 3 * w2 + w3
+    keep = w1 > 0  # only nodes with in-degree >= 1 are emitted
+    want = pd.DataFrame({"node": np.arange(n, dtype=np.int64)[keep],
+                         "katz_num": score[keep]})
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["katz_num"].tolist() == want["katz_num"].tolist()
+
+
+def test_circuit_rank_matches_formula():
+    from city2graph_ray.ops.graph_algos import circuit_rank
+
+    # two components: a 4-cycle (rank 1) and a tree of 3 (rank 0),
+    # plus a self-loop that must be ignored
+    df = pd.DataFrame({
+        "src": np.array([0, 1, 2, 3, 10, 10, 5], np.int64),
+        "dst": np.array([1, 2, 3, 0, 11, 12, 5], np.int64)})
+    out = circuit_rank(rd.from_pandas(df), num_buckets=4).to_pandas()
+    assert out["m"].iloc[0] == 6
+    assert out["n"].iloc[0] == 7
+    assert out["c"].iloc[0] == 2
+    assert out["circuit_rank"].iloc[0] == 1
