@@ -3911,6 +3911,18 @@ def _event_value_linreg(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _event_autocorr(sf_dir: str):
+    """Per-user lag-1 Pearson autocorrelation of value cents in
+    (ts, event_id) order: six exact int64 moments per key through one
+    keyed shuffle, fixed-order finish (SQL LEAD twin)."""
+    from city2graph_ray.ops.stats import lag_autocorr
+    from city2graph_ray.pipelines.tables import events
+
+    out = lag_autocorr(events(sf_dir), "user_id", "ts", "value",
+                       "event_id").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _event_type_cooccurrence(sf_dir: str):
     """Bipartite user×event_type projection: distinct-user weight per
     unordered type pair."""
@@ -5119,6 +5131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_ntile": _event_value_ntile,
         "event_percent_rank": _event_percent_rank,
         "event_value_linreg": _event_value_linreg,
+        "event_autocorr": _event_autocorr,
         "event_value_variance": _event_value_variance,
         "event_value_mad": _event_value_mad,
         "event_resample_ffill": _event_resample_ffill,
@@ -8207,6 +8220,26 @@ def oracle_sql() -> dict[str, str]:
                    ntile(10) OVER (ORDER BY value DESC, event_id)
                      AS tile
             FROM events""",
+        "event_autocorr": """
+            WITH p AS (
+              SELECT user_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+                     LEAD(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS y
+              FROM events),
+            m AS (SELECT user_id, count(*) AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM p WHERE y IS NOT NULL GROUP BY 1)
+            SELECT user_id, n AS n_pairs,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         6) AS autocorr
+            FROM m
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            ORDER BY user_id""",
         "event_value_linreg": """
             WITH u AS (
               SELECT event_type,

@@ -1001,3 +1001,60 @@ def group_dispersion_moments(ds: ray.data.Dataset, keys,
         {"n": ("n", "sum"), "sx": ("sx", "sum"), "sy": ("sy", "sum"),
          "sxx": ("sxx", "sum"), "syy": ("syy", "sum"),
          "sxy": ("sxy", "sum")}, num_buckets=num_buckets)
+
+
+def lag_autocorr(ds: ray.data.Dataset, key_col: str, ts_col: str,
+                 value_col: str, tiebreak_col: str, lag: int = 1,
+                 scale: int = 100, ndigits: int = 6,
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 ) -> ray.data.Dataset:
+    """Per-key lag-``lag`` Pearson autocorrelation of ``value_col`` in
+    (``ts_col``, ``tiebreak_col``) order, bit-exact across any block
+    layout: values quantize once to integer units, each key's
+    consecutive (x, y=x₊lag) pairs contribute SIX exact int64 moments
+    (n, Σx, Σy, Σxy, Σx², Σy²), and the final
+
+        r = (n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²) · √(n·Σy²−Σy²))
+
+    is evaluated in that one fixed order and rounded, so a SQL LEAD
+    twin reproduces it bit-for-bit.  Keys with < lag+1 rows or zero
+    variance on either side are dropped (their r is undefined).  One
+    keyed shuffle; per-key rows co-locate in a bucket (documented
+    assumption: single-key history ≪ bucket memory — same contract as
+    sessionize/grouped_ewma above).  Output (key, n_pairs, autocorr)."""
+    f = float(scale)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tiebreak_col], kind="stable")
+        v = np.floor(g[value_col].to_numpy(np.float64) * f + 0.5
+                     ).astype(np.int64)
+        keys = g[key_col].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > lag:
+            same[:-lag] = keys[:-lag] == keys[lag:]
+        x = v[:-lag][same[:-lag]] if len(g) > lag else v[:0]
+        y = v[lag:][same[:-lag]] if len(g) > lag else v[:0]
+        k = keys[:-lag][same[:-lag]] if len(g) > lag else keys[:0]
+        pairs = pd.DataFrame({key_col: k, "__x": x, "__y": y,
+                              "__xy": x * y, "__xx": x * x,
+                              "__yy": y * y})
+        m = pairs.groupby(key_col, sort=False).agg(
+            n_pairs=("__x", "size"), sx=("__x", "sum"),
+            sy=("__y", "sum"), sxy=("__xy", "sum"),
+            sxx=("__xx", "sum"), syy=("__yy", "sum")).reset_index()
+        n = m["n_pairs"].to_numpy(np.int64)
+        sx = m["sx"].to_numpy(np.int64)
+        sy = m["sy"].to_numpy(np.int64)
+        num = n * m["sxy"].to_numpy(np.int64) - sx * sy
+        dx = n * m["sxx"].to_numpy(np.int64) - sx * sx
+        dy = n * m["syy"].to_numpy(np.int64) - sy * sy
+        ok = (dx > 0) & (dy > 0)
+        m = m.loc[ok, [key_col, "n_pairs"]].reset_index(drop=True)
+        with np.errstate(invalid="ignore"):
+            r = num[ok] / (np.sqrt(dx[ok].astype(np.float64))
+                           * np.sqrt(dy[ok].astype(np.float64)))
+        m["autocorr"] = np.round(r, ndigits)
+        return m
+
+    return shuffle.grouped_transform(ds, [key_col], kernel,
+                                     num_buckets=num_buckets)

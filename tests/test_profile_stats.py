@@ -310,3 +310,55 @@ def test_grouped_rolling_mean_vs_pandas():
         want = su / (cn * 100.0)
         for eid, w in zip(g["event_id"], want):
             assert out.loc[eid] == w
+
+
+def test_lag_autocorr_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.stats import lag_autocorr
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, n).astype(np.int64),
+        "ts": rng.permutation(n).astype(np.int64),
+        "tb": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.normal(50, 10, n), 2)})
+    got = (lag_autocorr(rd.from_pandas(df), "k", "ts", "v", "tb",
+                        num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    rows = []
+    for k, g in df.sort_values(["ts", "tb"]).groupby("k"):
+        v = np.floor(g["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+        x, y = v[:-1], v[1:]
+        nn = len(x)
+        dx = nn * (x * x).sum() - x.sum() ** 2
+        dy = nn * (y * y).sum() - y.sum() ** 2
+        if dx <= 0 or dy <= 0:
+            continue
+        r = (nn * (x * y).sum() - x.sum() * y.sum()) / (
+            np.sqrt(float(dx)) * np.sqrt(float(dy)))
+        rows.append((k, nn, round(r, 6)))
+    want = pd.DataFrame(rows, columns=["k", "n_pairs", "autocorr"])
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["n_pairs"].tolist() == want["n_pairs"].tolist()
+    assert got["autocorr"].tolist() == want["autocorr"].tolist()
+
+
+def test_lag_autocorr_lag2_and_degenerate():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.stats import lag_autocorr
+
+    # key 0: constant (zero variance -> dropped); key 1: 5-pt series
+    df = pd.DataFrame({
+        "k": np.array([0, 0, 0, 1, 1, 1, 1, 1], np.int64),
+        "ts": np.arange(8, dtype=np.int64),
+        "tb": np.arange(8, dtype=np.int64),
+        "v": [5.0, 5.0, 5.0, 1.0, 3.0, 2.0, 5.0, 4.0]})
+    out = (lag_autocorr(rd.from_pandas(df), "k", "ts", "v", "tb",
+                        lag=2, num_buckets=2).to_pandas())
+    assert out["k"].tolist() == [1]
+    assert out["n_pairs"].tolist() == [3]
