@@ -274,6 +274,17 @@ def _raster_downsample(sf_dir: str):
         batch_format="pandas")
 
 
+def _pt_quadtree(sf_dir: str):
+    """Adaptive quadtree tiles (cap=200, depths 1..4) over the derived
+    customer points: all-integer tile ids, one keyed count per
+    (depth, tile), bucketed join back, packed-int64 min per point."""
+    from city2graph_ray.ops.tiling import quadtree_assign
+    from city2graph_ray.pipelines.tables import customer_points
+
+    out = quadtree_assign(customer_points(sf_dir), cap=200).to_pandas()
+    return out.sort_values("id").reset_index(drop=True)
+
+
 def _pt_cell_assign(sf_dir: str):
     """The H3/S2-stand-in cell index itself at the gate: per-point
     packed cell id (cells.cell_id: floor-divide → +2^30 offset →
@@ -4919,6 +4930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_ripley": _pt_ripley,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
+        "pt_quadtree": _pt_quadtree,
         "pt_hexbin": _pt_hexbin,
         "pt_cell_ring": _pt_cell_ring,
         "pt_zorder": _pt_zorder,
@@ -5341,6 +5353,34 @@ def oracle_sql() -> dict[str, str]:
             FROM pts a JOIN pts b ON a.id <> b.id
             QUALIFY row_number() OVER (PARTITION BY a.id
                 ORDER BY {d2}, b.id) <= 4""",
+        "pt_quadtree": f"""
+            WITH p AS (
+              SELECT c_custkey AS id,
+                     (c_custkey*c_custkey*{synth.QX}
+                      + c_custkey*{synth.AX} + {synth.BX})
+                       % {synth.MOD} AS ix,
+                     (c_custkey*c_custkey*{synth.QY}
+                      + c_custkey*{synth.AY} + {synth.BY})
+                       % {synth.MOD} AS iy
+              FROM customer),
+            e AS (
+              SELECT id, t.d,
+                     ix // ({synth.MOD} // (1 << t.d)) AS cx,
+                     iy // ({synth.MOD} // (1 << t.d)) AS cy
+              FROM p CROSS JOIN (VALUES (1), (2), (3), (4)) t(d)),
+            c AS (SELECT d, cx, cy, count(*) AS n
+                  FROM e GROUP BY 1, 2, 3),
+            cand AS (
+              SELECT e.id,
+                     (e.d * 1099511627776 + e.cx * 1048576 + e.cy)
+                       AS enc
+              FROM e JOIN c USING (d, cx, cy)
+              WHERE c.n <= 200 OR e.d = 4),
+            best AS (SELECT id, min(enc) AS m FROM cand GROUP BY id)
+            SELECT id, m // 1099511627776 AS depth,
+                   (m % 1099511627776) // 1048576 AS cell_x,
+                   m % 1048576 AS cell_y
+            FROM best ORDER BY id""",
         "pt_cell_assign": f"""
             WITH pts AS ({_PTS}),
             ij AS (SELECT

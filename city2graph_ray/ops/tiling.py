@@ -1050,3 +1050,85 @@ def segment_cover_cells(segments: ray.data.Dataset, cell_size: int,
             "c": cx[keep], "r": cy[keep]})
 
     return segments.map_batches(cover, batch_format="pandas")
+
+
+def quadtree_assign(points: ray.data.Dataset, cap: int,
+                    max_depth: int = 4, domain: int = 100_000,
+                    scale: float = 100.0, x: str = "x", y: str = "y",
+                    id_col: str = "id",
+                    num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                    ) -> ray.data.Dataset:
+    """Adaptive quadtree tile assignment: starting from the root, a
+    tile splits while it holds more than ``cap`` points, down to
+    ``max_depth``; each point lands in the first (shallowest) unsplit
+    ancestor — i.e. ``depth(p) = min d in [1..max_depth] with
+    count_d(cell_d(p)) <= cap, else max_depth``.
+
+    All-integer: coordinates quantize once to ``[0, domain)`` units
+    (``floor(v·scale + 0.5)``) and tile ids are integer divisions by
+    ``domain >> d`` — no float enters any decision, so the unrolled
+    per-depth SQL twin is bit-exact.
+
+    Distributed shape: points explode to one row per depth (``max_depth
+    × N``, max_depth is 3-5), ONE keyed count per (depth, tile), one
+    bucketed join back, then a keyed min over (depth, tile) packed into
+    a single int64 — the min picks the shallowest qualifying tile.
+    Skew note: tile counts are exactly the hot-cell histogram, so the
+    count shuffle pre-aggregates per block (group_agg partials) and no
+    tile row exceeds one (depth, cx, cy) key.
+
+    Output: (id, depth, cell_x, cell_y).
+    """
+    if not (1 <= max_depth <= 6):
+        raise ValueError("max_depth in [1, 6]")
+    depths = list(range(1, max_depth + 1))
+    sides = {d: domain >> d for d in depths}
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ix = np.floor(b[x].to_numpy(np.float64) * scale + 0.5
+                      ).astype(np.int64)
+        iy = np.floor(b[y].to_numpy(np.float64) * scale + 0.5
+                      ).astype(np.int64)
+        ids = b[id_col].to_numpy(np.int64)
+        parts = []
+        for d in depths:
+            s = sides[d]
+            parts.append(pd.DataFrame({
+                "id": ids, "d": np.int64(d),
+                "cx": ix // s, "cy": iy // s}))
+        return pd.concat(parts, ignore_index=True)
+
+    ex = points.map_batches(explode, batch_format="pandas").materialize()
+    counts = shuffle.group_agg(ex, ["d", "cx", "cy"],
+                               {"n": ("id", "size")},
+                               num_buckets=num_buckets)
+    i64 = pa.int64()
+    j = bucketed_join(
+        ex, counts, on=["d", "cx", "cy"], num_buckets=num_buckets,
+        left_schema=pa.schema([("id", i64), ("d", i64), ("cx", i64),
+                               ("cy", i64)]),
+        right_schema=pa.schema([("d", i64), ("cx", i64), ("cy", i64),
+                                ("n", i64)]))
+
+    def candidates(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["n"].to_numpy(np.int64) <= cap) \
+            | (b["d"].to_numpy(np.int64) == max_depth)
+        b = b[keep]
+        enc = (b["d"].to_numpy(np.int64) << 40) \
+            | (b["cx"].to_numpy(np.int64) << 20) \
+            | b["cy"].to_numpy(np.int64)
+        return pd.DataFrame({"id": b["id"].to_numpy(np.int64),
+                             "enc": enc})
+
+    best = shuffle.group_agg(
+        j.map_batches(candidates, batch_format="pandas"), ["id"],
+        {"enc": ("enc", "min")}, num_buckets=num_buckets)
+
+    def decode(b: pd.DataFrame) -> pd.DataFrame:
+        e = b["enc"].to_numpy(np.int64)
+        return pd.DataFrame({"id": b["id"].to_numpy(np.int64),
+                             "depth": e >> 40,
+                             "cell_x": (e >> 20) & 0xFFFFF,
+                             "cell_y": e & 0xFFFFF})
+
+    return best.map_batches(decode, batch_format="pandas")

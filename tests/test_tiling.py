@@ -617,3 +617,45 @@ def test_segment_cover_cells_generic_matches_clip():
                                      row["by"], c * s, r * s, s):
                     want.add((row["seg_id"], c, r))
     assert have == want
+
+
+def test_quadtree_assign_matches_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import quadtree_assign
+
+    rng = np.random.default_rng(5)
+    n = 600
+    # clustered: half the points in one corner so deep tiles appear
+    x = np.concatenate([rng.uniform(0, 1000, n // 2),
+                        rng.uniform(0, 60, n // 2)])
+    y = np.concatenate([rng.uniform(0, 1000, n // 2),
+                        rng.uniform(0, 60, n // 2)])
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "x": np.round(x, 2), "y": np.round(y, 2)})
+    cap, maxd = 40, 4
+    got = (quadtree_assign(rd.from_pandas(df), cap=cap, max_depth=maxd,
+                           num_buckets=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    ix = np.floor(df["x"].to_numpy() * 100 + 0.5).astype(np.int64)
+    iy = np.floor(df["y"].to_numpy() * 100 + 0.5).astype(np.int64)
+    depth = np.full(n, maxd, dtype=np.int64)
+    cxo = np.zeros(n, dtype=np.int64)
+    cyo = np.zeros(n, dtype=np.int64)
+    done = np.zeros(n, dtype=bool)
+    for d in range(1, maxd + 1):
+        s = 100_000 >> d
+        cx, cy = ix // s, iy // s
+        key = cx * 100_000 + cy
+        import collections
+        cnt = collections.Counter(key.tolist())
+        ok = np.array([cnt[k] <= cap for k in key.tolist()])
+        pick = ~done & (ok | (d == maxd))
+        depth[pick], cxo[pick], cyo[pick] = d, cx[pick], cy[pick]
+        done |= pick
+    assert got["depth"].tolist() == depth.tolist()
+    assert got["cell_x"].tolist() == cxo.tolist()
+    assert got["cell_y"].tolist() == cyo.tolist()
+    assert len(set(got["depth"])) >= 2  # the fixture really is adaptive
