@@ -2969,6 +2969,19 @@ def _gtfs_travel_summary(sf_dir: str):
     return travel_summary_from_gtfs(_write_gtfs_feed())["edges"]
 
 
+def _gtfs_headways(sf_dir: str):
+    """Per-stop headway stats over the deterministic feed's stop_times
+    stream: one stop_id shuffle, exact integer gaps, fixed-order mean.
+    The SQL twin regenerates the timetable from range(150)×range(4)
+    and uses a LEAD window."""
+    from city2graph_ray.ops.transport import stop_headways
+    from city2graph_ray.sources.gtfs import load_gtfs_dir
+
+    g = load_gtfs_dir(_write_gtfs_feed())
+    out = stop_headways(g["stop_times"]).to_pandas()
+    return out.sort_values("stop_id").reset_index(drop=True)
+
+
 def _orders_global_sort(sf_dir: str):
     """Distributed global ORDER BY ... LIMIT via Ray Data's native
     range-partitioned sort (the one wide primitive the engine's
@@ -5093,6 +5106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6_forecast": _tpch_q6,
         "event_props_extract": _event_props_extract,
         "gtfs_travel_summary": _gtfs_travel_summary,
+        "gtfs_headways": _gtfs_headways,
         "gtfs_transfers": _gtfs_transfers,
         "gtfs_od_pairs": _gtfs_od_pairs,
         "orders_global_sort": _orders_global_sort,
@@ -7283,6 +7297,23 @@ def oracle_sql() -> dict[str, str]:
             FROM st a JOIN st b
               ON a.stop_id = b.stop_id AND a.trip_id <> b.trip_id
             WHERE b.dep - a.arr BETWEEN 60 AND 1800""",
+        "gtfs_headways": """
+            WITH st AS (
+              SELECT 's' || CAST((r1.k * 7 + r2.i * 3) % 30 AS VARCHAR)
+                       AS stop_id,
+                     21600 + r1.k * 60 + r2.i * 300 AS dep
+              FROM range(150) r1(k) CROSS JOIN range(4) r2(i)),
+            d AS (SELECT stop_id, dep,
+                         LEAD(dep) OVER (PARTITION BY stop_id
+                                         ORDER BY dep) AS nxt
+                  FROM st),
+            g AS (SELECT stop_id, nxt - dep AS gap
+                  FROM d WHERE nxt IS NOT NULL)
+            SELECT stop_id, count(*) + 1 AS n_departures,
+                   min(gap) AS min_headway_sec,
+                   round(CAST(sum(gap) AS DOUBLE) / count(*), 4)
+                     AS mean_headway_sec
+            FROM g GROUP BY stop_id ORDER BY stop_id""",
         "gtfs_travel_summary": """
             WITH ks AS (SELECT k FROM range(0, 150) t(k)),
             cal(service_id, d0, d1, mon, tue, wed, thu, fri, sat, sun)

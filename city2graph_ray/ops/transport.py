@@ -420,3 +420,49 @@ def stop_transfers(stop_times: ray.data.Dataset,
     stream = stop_times.map_batches(prep, batch_format="pandas")
     return shuffle.grouped_transform(stream, ["stop_id"], kernel,
                                      num_buckets=num_buckets)
+
+
+def stop_headways(stop_times: ray.data.Dataset, round_to: int = 4,
+                  num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                  ) -> ray.data.Dataset:
+    """Per-stop service headways from a GTFS ``stop_times`` stream:
+    departures at each stop sorted ascending, consecutive gaps in
+    integer seconds → ``(stop_id, n_departures, min_headway_sec,
+    mean_headway_sec)``.
+
+    One keyed shuffle on stop_id (the per-stop timetable is tiny —
+    same co-location contract as the other per-key history kernels);
+    gaps stay exact int64, the mean is one int/int division rounded in
+    a fixed order so a LEAD window twin reproduces it.  Stops with a
+    single departure are dropped (no headway is defined).  Engine
+    operator beyond the reference's travel_summary surface (headway
+    analysis is standard GTFS tooling; reference has no equivalent)."""
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        dep = g["departure_time"].map(time_to_seconds).to_numpy(np.float64)
+        ok = ~np.isnan(dep)
+        g = g[ok]
+        s = pd.DataFrame({"stop_id": g["stop_id"].to_numpy(),
+                          "dep": dep[ok].astype(np.int64)}) \
+            .sort_values(["stop_id", "dep"], kind="stable")
+        sid = s["stop_id"].to_numpy()
+        d = s["dep"].to_numpy(np.int64)
+        same = np.zeros(len(s), dtype=bool)
+        if len(s) > 1:
+            same[:-1] = sid[:-1] == sid[1:]
+        gaps = pd.DataFrame({"stop_id": sid[:-1][same[:-1]],
+                             "gap": (d[1:] - d[:-1])[same[:-1]]}) \
+            if len(s) > 1 else pd.DataFrame({"stop_id": sid[:0],
+                                             "gap": d[:0]})
+        m = gaps.groupby("stop_id", sort=False).agg(
+            n_gaps=("gap", "size"), min_headway_sec=("gap", "min"),
+            sum_gap=("gap", "sum")).reset_index()
+        m["n_departures"] = m["n_gaps"].to_numpy(np.int64) + 1
+        m["mean_headway_sec"] = np.round(
+            m["sum_gap"].to_numpy(np.int64)
+            / m["n_gaps"].to_numpy(np.int64), round_to)
+        return m[["stop_id", "n_departures", "min_headway_sec",
+                  "mean_headway_sec"]]
+
+    return shuffle.grouped_transform(stop_times, ["stop_id"], kernel,
+                                     num_buckets=num_buckets)

@@ -297,3 +297,26 @@ def test_stop_transfers_empty():
         "departure_time": pd.Series([], dtype=str)})
     assert stop_transfers(rd.from_pandas(empty),
                           num_buckets=4).count() == 0
+
+
+def test_stop_headways_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.transport import stop_headways
+
+    st = pd.DataFrame({
+        "trip_id": ["t1"] * 4 + ["t2"] * 3 + ["t3"],
+        "stop_id": ["a", "b", "a", "c", "a", "b", "c", "z"],
+        "departure_time": ["06:00:00", "06:05:00", "06:30:00",
+                           "07:00:00", "08:00:30", "06:20:00",
+                           "07:10:00", "09:00:00"]})
+    out = (stop_headways(rd.from_pandas(st), num_buckets=2)
+           .to_pandas().sort_values("stop_id").reset_index(drop=True))
+    # a: 21600, 23400, 28830 -> gaps 1800, 5430
+    # b: 22500, 23400 -> gap 900 ; c: 25200, 25800 -> gap 600
+    # z: single departure -> dropped
+    assert out["stop_id"].tolist() == ["a", "b", "c"]
+    assert out["n_departures"].tolist() == [3, 2, 2]
+    assert out["min_headway_sec"].tolist() == [1800, 900, 600]
+    assert out["mean_headway_sec"].tolist() == [3615.0, 900.0, 600.0]
