@@ -2515,6 +2515,30 @@ def _zone_largest_component(sf_dir: str):
     return largest_component_filter(edges)
 
 
+def _segment_orientation(sf_dir: str):
+    """Street-orientation histogram over the derived order segments:
+    integer-delta octant classification (no atan2), per-block partials
+    into a 4-row keyed sum."""
+    import ray.data
+
+    from city2graph_ray.ops.segments import orientation_histogram
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+        sx, sy = synth.key_to_xy(ok)
+        dx_, dy_ = synth.key_to_xy(ck)
+        return pd.DataFrame({"sx": sx, "sy": sy, "dx_": dx_,
+                             "dy_": dy_})
+
+    segs = orders.map_batches(mk, batch_format="pandas")
+    out = orientation_histogram(segs).to_pandas()
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def _component_zone_edges(sf_dir: str):
     """The multi-component 40-decade cell graph (same derivation as
     _zone_largest_component, without the largest-component filter)."""
@@ -5102,6 +5126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_mmr": _emb_mmr,
         "network_path_geom_bounded": _network_path_geom_bounded,
         "segment_crossings": _segment_crossings,
+        "segment_orientation": _segment_orientation,
         "tpch_q4_priority": _tpch_q4,
         "tpch_q6_forecast": _tpch_q6,
         "event_props_extract": _event_props_extract,
@@ -7157,6 +7182,25 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY distance, dst) AS rn
                   FROM p4 WHERE src <> dst)
             WHERE rn <= 3""",
+        "segment_orientation": """
+            WITH s AS (
+              SELECT (o_orderkey*o_orderkey*3931 + o_orderkey*48271 + 11) % 100000 AS ax, (o_orderkey*o_orderkey*2713 + o_orderkey*69621 + 7) % 100000 AS ay,
+                     (o_custkey*o_custkey*3931 + o_custkey*48271 + 11) % 100000 AS bx, (o_custkey*o_custkey*2713 + o_custkey*69621 + 7) % 100000 AS by
+              FROM orders),
+            d AS (SELECT bx - ax AS ddx, by - ay AS ddy FROM s
+                  WHERE NOT (bx = ax AND by = ay)),
+            u AS (SELECT
+                    CASE WHEN ddy < 0 OR (ddy = 0 AND ddx < 0)
+                         THEN -ddx ELSE ddx END AS ux,
+                    CASE WHEN ddy < 0 OR (ddy = 0 AND ddx < 0)
+                         THEN -ddy ELSE ddy END AS uy
+                  FROM d)
+            SELECT CASE WHEN ux > 0 AND uy < ux THEN 0
+                        WHEN ux > 0 AND uy >= ux THEN 1
+                        WHEN ux <= 0 AND uy > -ux THEN 2
+                        ELSE 3 END AS bin,
+                   count(*) AS n
+            FROM u GROUP BY 1 ORDER BY 1""",
         "segment_crossings": f"""
             WITH s AS (
               SELECT o_orderkey AS seg_id,

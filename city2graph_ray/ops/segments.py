@@ -406,3 +406,46 @@ def densify_segments(segs: ray.data.Dataset, spacing: float,
             "py": ay[idx] + dy[idx] * t})
 
     return segs.map_batches(fn, batch_format="pandas")
+
+
+def orientation_histogram(segments: ray.data.Dataset,
+                          sx: str = "sx", sy: str = "sy",
+                          dx: str = "dx_", dy: str = "dy_",
+                          scale: float = 100.0,
+                          num_buckets: int = 8) -> ray.data.Dataset:
+    """Street-orientation histogram (momepy/OSMnx-style bearing
+    analysis, undirected): each segment's direction vector is
+    normalized to the upper half-plane and classified into the four
+    45° orientation bins [0,45) [45,90) [90,135) [135,180) with PURE
+    INTEGER comparisons on the quantized deltas — no atan2, no float
+    boundary, so a CASE-expression SQL twin is bit-exact.
+    Zero-length segments are dropped.  Per-block partial counts →
+    one 4-row keyed sum.  Output (bin, n)."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ax = np.floor(b[sx].to_numpy(np.float64) * scale + 0.5
+                      ).astype(np.int64)
+        ay = np.floor(b[sy].to_numpy(np.float64) * scale + 0.5
+                      ).astype(np.int64)
+        bx = np.floor(b[dx].to_numpy(np.float64) * scale + 0.5
+                      ).astype(np.int64)
+        by = np.floor(b[dy].to_numpy(np.float64) * scale + 0.5
+                      ).astype(np.int64)
+        ddx = bx - ax
+        ddy = by - ay
+        keep = (ddx != 0) | (ddy != 0)
+        ddx, ddy = ddx[keep], ddy[keep]
+        flip = (ddy < 0) | ((ddy == 0) & (ddx < 0))
+        ux = np.where(flip, -ddx, ddx)
+        uy = np.where(flip, -ddy, ddy)
+        b0 = (ux > 0) & (uy < ux)
+        b1 = (ux > 0) & (uy >= ux)
+        b2 = (ux <= 0) & (uy > -ux)
+        bins = np.where(b0, 0, np.where(b1, 1, np.where(b2, 2, 3)))
+        return (pd.DataFrame({"bin": bins.astype(np.int64)})
+                .groupby("bin", sort=False).size()
+                .rename("n").reset_index())
+
+    return shuffle.group_agg(
+        segments.map_batches(partial, batch_format="pandas"),
+        ["bin"], {"n": ("n", "sum")}, num_buckets=num_buckets,
+        partial=False)

@@ -126,3 +126,30 @@ def test_densify_segments_guard():
     with _pytest.raises(Exception):
         densify_segments(rd.from_pandas(segs), 1.0,
                          max_points_per_seg=100).to_pandas()
+
+
+def test_orientation_histogram_boundaries():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.segments import orientation_histogram
+
+    # one segment per boundary/interior angle + a zero-length row
+    segs = pd.DataFrame({
+        "sx": [0.0] * 9, "sy": [0.0] * 9,
+        "dx_": [1.0, 2.0, 1.0, 0.5, 0.0, -0.5, -1.0, -2.0, 0.0],
+        "dy_": [0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0]})
+    # angles: 0(b0), ~26(b0), 45(b1), ~63(b1), 90(b2), ~117(b2),
+    # 135(b3), ~153(b3), degenerate (dropped)
+    out = (orientation_histogram(rd.from_pandas(segs), num_buckets=2)
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    assert out["bin"].tolist() == [0, 1, 2, 3]
+    assert out["n"].tolist() == [2, 2, 2, 2]
+
+    # reversed segments land in the same undirected bin
+    rev = segs.copy()
+    rev[["sx", "dx_"]] = segs[["dx_", "sx"]].to_numpy()
+    rev[["sy", "dy_"]] = segs[["dy_", "sy"]].to_numpy()
+    out2 = (orientation_histogram(rd.from_pandas(rev), num_buckets=2)
+            .to_pandas().sort_values("bin").reset_index(drop=True))
+    assert out2["n"].tolist() == out["n"].tolist()
