@@ -1339,6 +1339,14 @@ def _doc_tokens(sf_dir: str):
     return token_counts(documents(sf_dir))
 
 
+def _doc_lexdiv(sf_dir: str):
+    """Per-doc hapax count + Simpson repeat rate (exact-integer
+    numerator/denominator, one rounded division; shuffle-free map)."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import lexical_diversity
+    return lexical_diversity(documents(sf_dir))
+
+
 def _doc_quality(sf_dir: str):
     from city2graph_ray.pipelines.tables import documents
     from city2graph_ray.text.analysis import quality_scores
@@ -5041,6 +5049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dict_hits": _doc_dict_hits,
         "doc_containment": _doc_containment,
         "doc_token_stats": _doc_tokens,
+        "doc_lexical_diversity": _doc_lexdiv,
         "doc_pack_spans": _doc_pack_spans,
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_langid,
@@ -6473,6 +6482,21 @@ def oracle_sql() -> dict[str, str]:
                    least(st + n, (p + 1) * 256)
                        - greatest(st, p * 256) AS n_tokens
             FROM u""",
+        "doc_lexical_diversity": """
+            WITH t AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            f AS (SELECT doc_id, tok, count(*) AS c
+                  FROM t GROUP BY 1, 2),
+            a AS (SELECT doc_id, sum(c) AS n,
+                         sum(c * (c - 1)) AS num,
+                         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                           AS n_hapax
+                  FROM f GROUP BY 1)
+            SELECT doc_id, n AS n_tokens, n_hapax,
+                   round(CAST(num AS DOUBLE) / (n * (n - 1)), 6)
+                     AS repeat_rate
+            FROM a WHERE n > 1 ORDER BY doc_id""",
         "doc_token_stats": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                    len(list_distinct(string_split(text, ' '))) AS n_distinct

@@ -993,3 +993,43 @@ def mixture_sample(docs: ray.data.Dataset, quotas: pd.DataFrame,
 
     return shuffle.grouped_transform(pruned, [source_col], merge,
                                      num_buckets=nb)
+
+
+def lexical_diversity(docs: ray.data.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-doc lexical diversity from within-doc token frequencies
+    (single-space split, same tokenizer as :func:`token_counts`):
+    hapax-legomenon count and Simpson's repeat rate
+    ``Σ f_i(f_i−1) / (N(N−1))`` — the numerator and denominator are
+    exact integers, the one division is rounded to 6dp, so the
+    unnest+GROUP BY SQL twin is bit-exact.  Docs with < 2 tokens are
+    dropped (the rate is undefined).  Pure map stage: token frequency
+    is per document, so no shuffle — the explode+groupby runs
+    vectorized inside each batch."""
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.split(" ")
+        ex = pd.DataFrame({
+            "__row": np.repeat(np.arange(len(batch)),
+                               toks.str.len().to_numpy()),
+            "__tok": list(__import__("itertools").chain.from_iterable(
+                toks.tolist()))})
+        f = (ex.groupby(["__row", "__tok"], sort=False).size()
+             .rename("c").reset_index())
+        c = f["c"].to_numpy(np.int64)
+        f["__num"] = c * (c - 1)
+        f["__hap"] = (c == 1).astype(np.int64)
+        a = f.groupby("__row", sort=False).agg(
+            n=("c", "sum"), num=("__num", "sum"),
+            n_hapax=("__hap", "sum"))
+        a = a.reindex(np.arange(len(batch)), fill_value=0)
+        n = a["n"].to_numpy(np.int64)
+        keep = n > 1
+        num = a["num"].to_numpy(np.int64)[keep]
+        nn = n[keep]
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[keep],
+            "n_tokens": nn,
+            "n_hapax": a["n_hapax"].to_numpy(np.int64)[keep],
+            "repeat_rate": np.round(num / (nn * (nn - 1)), 6)})
+
+    return docs.map_batches(fn, batch_format="pandas")

@@ -544,3 +544,23 @@ def test_dsir_logratio_prefers_target_like_docs():
     out = out.set_index("doc_id")["dsir_logratio"]
     # fruit docs must outscore zebra docs under the fruit target LM
     assert min(out[0], out[1]) > max(out[2], out[3])
+
+
+def test_lexical_diversity_hand_fixture():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.text.analysis import lexical_diversity
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], np.int64),
+        "text": ["a b a b a",          # f={a:3,b:2} num=6+2=8 den=20
+                 "x y z",              # all hapax num=0
+                 "solo",               # 1 token -> dropped
+                 "t t"]})              # f={t:2} num=2 den=2
+    out = (lexical_diversity(rd.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["n_tokens"].tolist() == [5, 3, 2]
+    assert out["n_hapax"].tolist() == [0, 3, 0]
+    assert out["repeat_rate"].tolist() == [0.4, 0.0, 1.0]
