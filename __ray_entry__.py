@@ -888,6 +888,27 @@ def _pt_kde(sf_dir: str):
                     cell_size=25.0, bandwidth_cells=2)
 
 
+def _raster_aspect(sf_dir: str):
+    """Aspect octants from the negated Horn gradient: integer
+    sign/magnitude sector classification on raster_slope's exact
+    numerators (flat cells emit -1)."""
+    import ray.data
+
+    from city2graph_ray.ops.tiling import raster_aspect
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_retailprice"])
+    grid = part.map_batches(
+        lambda b: pd.DataFrame({
+            "c": b["p_partkey"].to_numpy(np.int64) % 40,
+            "r": b["p_partkey"].to_numpy(np.int64) // 40,
+            "v": np.floor(b["p_retailprice"].to_numpy(np.float64)
+                          * 100 + 0.5).astype(np.int64)}),
+        batch_format="pandas")
+    out = raster_aspect(grid).to_pandas()
+    return out.sort_values(["c", "r"]).reset_index(drop=True)
+
+
 def _raster_slope(sf_dir: str):
     """Horn's-method slope over the part-grid cents raster: exact
     signed-weight integer numerators, sqrt+power-of-two division as
@@ -5013,6 +5034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_edt": _raster_edt,
         "segment_raster_cells": _segment_raster_cells,
         "raster_slope": _raster_slope,
+        "raster_aspect": _raster_aspect,
         "zone_hausdorff": _zone_hausdorff,
         "grid_zone_dissolve": _grid_zone_dissolve,
         "grid_hotspots": _grid_hotspots,
@@ -6021,6 +6043,45 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY a.z, b.z, a.c, a.r)
             SELECT za, zb, max(md) AS h_sq
             FROM mn GROUP BY za, zb""",
+        "raster_aspect": """
+            WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
+                              CAST(floor(p_retailprice * 100 + 0.5)
+                                   AS BIGINT) AS v
+                       FROM part),
+            j AS (SELECT a.c, a.r,
+                    sum(CASE WHEN b.c > a.c THEN
+                          (CASE WHEN b.r = a.r THEN 2 ELSE 1 END)
+                        WHEN b.c < a.c THEN
+                          -(CASE WHEN b.r = a.r THEN 2 ELSE 1 END)
+                        ELSE 0 END * b.v) AS gx,
+                    sum(CASE WHEN b.r > a.r THEN
+                          (CASE WHEN b.c = a.c THEN 2 ELSE 1 END)
+                        WHEN b.r < a.r THEN
+                          -(CASE WHEN b.c = a.c THEN 2 ELSE 1 END)
+                        ELSE 0 END * b.v) AS gy,
+                    count(*) AS nb
+                  FROM g a JOIN g b
+                  ON abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+                     AND NOT (a.c = b.c AND a.r = b.r)
+                  GROUP BY a.c, a.r),
+            v AS (SELECT c, r, -gx AS ax, -gy AS ay FROM j
+                  WHERE nb = 8),
+            n AS (SELECT c, r, ax, ay,
+                         (ay < 0 OR (ay = 0 AND ax < 0)) AS flip,
+                         CASE WHEN ay < 0 OR (ay = 0 AND ax < 0)
+                              THEN -ax ELSE ax END AS ux,
+                         CASE WHEN ay < 0 OR (ay = 0 AND ax < 0)
+                              THEN -ay ELSE ay END AS uy
+                  FROM v)
+            SELECT c, r,
+                   CASE WHEN ax = 0 AND ay = 0 THEN -1
+                        ELSE (CASE WHEN ux > 0 AND uy < ux THEN 0
+                                   WHEN ux > 0 AND uy >= ux THEN 1
+                                   WHEN ux <= 0 AND uy > -ux THEN 2
+                                   ELSE 3 END)
+                             + (CASE WHEN flip THEN 4 ELSE 0 END)
+                   END AS aspect_octant
+            FROM n ORDER BY c, r""",
         "raster_slope": """
             WITH g AS (SELECT p_partkey % 40 AS c, p_partkey // 40 AS r,
                               CAST(floor(p_retailprice * 100 + 0.5)

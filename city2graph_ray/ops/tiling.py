@@ -1132,3 +1132,37 @@ def quadtree_assign(points: ray.data.Dataset, cap: int,
                              "cell_y": e & 0xFFFFF})
 
     return best.map_batches(decode, batch_format="pandas")
+
+
+def raster_aspect(grid: ray.data.Dataset, col_c: str = "c",
+                  col_r: str = "r", val: str = "v",
+                  num_buckets: int = 16) -> ray.data.Dataset:
+    """Aspect (downslope compass sector) from the Horn gradient:
+    composes on :func:`raster_slope`'s EXACT integer numerators and
+    classifies the negated gradient ``(ax, ay) = (−gx, −gy)`` into the
+    eight 45° sectors ``[k·45°, (k+1)·45°)`` measured from +c toward
+    +r — pure integer sign/magnitude comparisons via upper-half-plane
+    normalization (the orientation_histogram device, extended to 8
+    directed sectors), no atan2 anywhere.  Flat cells
+    (gx = gy = 0) emit octant −1.  Output (c, r, aspect_octant)."""
+    base = raster_slope(grid, col_c, col_r, val,
+                        num_buckets=num_buckets)
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        ax = -b["gx_num"].to_numpy(np.int64)
+        ay = -b["gy_num"].to_numpy(np.int64)
+        flat = (ax == 0) & (ay == 0)
+        flip = (ay < 0) | ((ay == 0) & (ax < 0))
+        ux = np.where(flip, -ax, ax)
+        uy = np.where(flip, -ay, ay)
+        k = np.where((ux > 0) & (uy < ux), 0,
+                     np.where((ux > 0) & (uy >= ux), 1,
+                              np.where((ux <= 0) & (uy > -ux), 2, 3)))
+        k = np.where(flip, k + 4, k)
+        return pd.DataFrame({
+            "c": b["c"].to_numpy(np.int64),
+            "r": b["r"].to_numpy(np.int64),
+            "aspect_octant": np.where(flat, np.int64(-1),
+                                      k.astype(np.int64))})
+
+    return base.map_batches(classify, batch_format="pandas")

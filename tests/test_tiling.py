@@ -659,3 +659,30 @@ def test_quadtree_assign_matches_brute_force():
     assert got["cell_x"].tolist() == cxo.tolist()
     assert got["cell_y"].tolist() == cyo.tolist()
     assert len(set(got["depth"])) >= 2  # the fixture really is adaptive
+
+
+def test_raster_aspect_plane_and_flat():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from city2graph_ray.ops.tiling import raster_aspect
+
+    # tilted plane v = 10*c: gradient points +c, downslope -c (west),
+    # sector of (ax, ay)=(-gx, 0) with gx>0 -> flipped -> k=4
+    cc, rr = np.meshgrid(np.arange(5), np.arange(5))
+    plane = pd.DataFrame({"c": cc.ravel().astype(np.int64),
+                          "r": rr.ravel().astype(np.int64),
+                          "v": (10 * cc.ravel()).astype(np.int64)})
+    out = raster_aspect(rd.from_pandas(plane)).to_pandas()
+    assert len(out) == 9  # complete windows only
+    assert (out["aspect_octant"] == 4).all()
+
+    flat = plane.assign(v=np.int64(7))
+    out2 = raster_aspect(rd.from_pandas(flat)).to_pandas()
+    assert (out2["aspect_octant"] == -1).all()
+
+    # v = 10*r: gradient +r, downslope -r -> (0, -ay<0) flipped,
+    # ux=0, uy>0 -> k=2 -> +4 = 6
+    vr = plane.assign(v=(10 * rr.ravel()).astype(np.int64))
+    out3 = raster_aspect(rd.from_pandas(vr)).to_pandas()
+    assert (out3["aspect_octant"] == 6).all()
