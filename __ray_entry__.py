@@ -4712,6 +4712,16 @@ def _walks_sql(steps: int) -> str:
             + f"\n            FROM {joins}")
 
 
+def _pt_clark_evans(sf_dir: str):
+    """Clark-Evans NN dispersion index over the derived customer
+    points: k=1 kNN shuffle, integer-quantized distance fold,
+    fixed-order finish."""
+    from city2graph_ray.ops.spatial import clark_evans
+    from city2graph_ray.pipelines.tables import customer_points
+
+    return clark_evans(customer_points(sf_dir), area=1_000_000.0)
+
+
 def _pt_ripley(sf_dir: str):
     """Ripley's K point-pattern statistic at radii {5,10,20}: one
     cell-bucketed pair shuffle at r=20, per-block partial threshold
@@ -4994,6 +5004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
         "pt_ripley": _pt_ripley,
+        "pt_clark_evans": _pt_clark_evans,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5399,6 +5410,24 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             LEFT JOIN corelab cl ON cl.id = p.id
             LEFT JOIN bcand b ON b.id = p.id""",
+        "pt_clark_evans": f"""
+            WITH p AS ({_PTS}),
+            d AS (SELECT a.id,
+                         min(sqrt((a.x - b.x) * (a.x - b.x)
+                                  + (a.y - b.y) * (a.y - b.y))) AS nn
+                  FROM p a JOIN p b ON a.id <> b.id
+                  GROUP BY a.id),
+            q AS (SELECT CAST(floor(nn * 100 + 0.5) AS BIGINT) AS qd
+                  FROM d),
+            s AS (SELECT count(*) AS n, sum(qd) AS sq FROM q)
+            SELECT n, sq AS sum_qdist,
+                   round((CAST(sq AS DOUBLE) / 100.0) / n, 6)
+                     AS mean_nn,
+                   round(0.5 / sqrt(n / 1000000.0), 6) AS expected_nn,
+                   round(((CAST(sq AS DOUBLE) / 100.0) / n)
+                         / (0.5 / sqrt(n / 1000000.0)), 6)
+                     AS clark_evans
+            FROM s""",
         "pt_ripley": f"""
             WITH pts AS ({_PTS}),
             rr AS (SELECT unnest([5.0, 10.0, 20.0]) AS r),

@@ -827,3 +827,46 @@ def semivariogram(points: ray.data.Dataset, radius: float,
         lambda b: b.sort_values("band")[["band", "n_pairs",
                                          "sum_sqdiff"]],
         batch_format="pandas")
+
+
+def clark_evans(points: ray.data.Dataset, area: float,
+                scale: float = 100.0) -> ray.data.Dataset:
+    """Clark–Evans nearest-neighbour index R = mean observed NN
+    distance / expected CSR distance (0.5/√(n/A)) — the classic
+    dispersion test (R < 1 clustered, ≈ 1 random, > 1 dispersed; no
+    edge correction).
+
+    Distributed shape: the NN distance per point rides the existing
+    halo-escalation kNN shuffle (k = 1); each distance quantizes once
+    to integer ``scale``-ths so the global sum is an exact int64 fold
+    of per-block partials, and every float in the finish (mean,
+    expected, ratio) is evaluated in ONE fixed order shared with the
+    SQL twin.  Output: one row
+    (n, sum_qdist, mean_nn, expected_nn, clark_evans)."""
+    from city2graph_ray.ops.proximity import knn_graph
+
+    nn = knn_graph(points, 1)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(b["distance"].to_numpy(np.float64) * scale + 0.5
+                     ).astype(np.int64)
+        return pd.DataFrame({"n": [np.int64(len(q))],
+                             "sq": [q.sum(dtype=np.int64)]})
+
+    parts = nn.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    sq = int(parts["sq"].sum())
+    if n == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "n": pd.Series([], dtype=np.int64),
+            "sum_qdist": pd.Series([], dtype=np.int64),
+            "mean_nn": pd.Series([], dtype=np.float64),
+            "expected_nn": pd.Series([], dtype=np.float64),
+            "clark_evans": pd.Series([], dtype=np.float64)}))
+    mean_u = (sq / scale) / n
+    exp_u = 0.5 / np.sqrt(n / area)
+    return ray.data.from_pandas(pd.DataFrame({
+        "n": [np.int64(n)], "sum_qdist": [np.int64(sq)],
+        "mean_nn": [np.round(mean_u, 6)],
+        "expected_nn": [np.round(exp_u, 6)],
+        "clark_evans": [np.round(mean_u / exp_u, 6)]}))
