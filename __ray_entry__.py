@@ -4722,6 +4722,27 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _event_seasonality(sf_dir: str):
+    """Weekday × hour seasonality screen over the event stream:
+    Pearson χ² contingency cells — per-block partial counts, one tiny
+    keyed sum, category-bounded driver finish with exact int64
+    marginals and ONE cross-multiplied divide per cell."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import contingency_chi2
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def cats(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["ts"].astype("datetime64[us]").astype(np.int64) // 1_000_000
+        return pd.DataFrame({"dow": (s // 86400) % 7,
+                             "hr": (s % 86400) // 3600})
+
+    return contingency_chi2(
+        ev.map_batches(cats, batch_format="pandas"), "dow", "hr")
+
+
 def _pt_ripley(sf_dir: str):
     """Ripley's K point-pattern statistic at radii {5,10,20}: one
     cell-bucketed pair shuffle at r=20, per-block partial threshold
@@ -5005,6 +5026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_radius_pairs": _pt_radius,
         "pt_ripley": _pt_ripley,
         "pt_clark_evans": _pt_clark_evans,
+        "event_seasonality_chi2": _event_seasonality,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5428,6 +5450,28 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "event_seasonality_chi2": """
+            WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 1000000
+                         AS s FROM events),
+            c AS (SELECT (s // 86400) % 7 AS row_cat,
+                         (s % 86400) // 3600 AS col_cat,
+                         count(*) AS n_obs
+                  FROM e GROUP BY 1, 2),
+            m AS (SELECT row_cat, col_cat, n_obs,
+                         CAST(sum(n_obs) OVER (PARTITION BY row_cat)
+                              AS BIGINT) AS row_tot,
+                         CAST(sum(n_obs) OVER (PARTITION BY col_cat)
+                              AS BIGINT) AS col_tot,
+                         CAST(sum(n_obs) OVER () AS BIGINT) AS n_total
+                  FROM c)
+            SELECT row_cat, col_cat, n_obs, row_tot, col_tot, n_total,
+                   round(CAST(n_total * n_obs - row_tot * col_tot
+                              AS DOUBLE)
+                         * CAST(n_total * n_obs - row_tot * col_tot
+                                AS DOUBLE)
+                         / (CAST(n_total AS DOUBLE) * row_tot
+                            * col_tot), 6) AS chi2_term
+            FROM m""",
         "pt_ripley": f"""
             WITH pts AS ({_PTS}),
             rr AS (SELECT unnest([5.0, 10.0, 20.0]) AS r),

@@ -1058,3 +1058,54 @@ def lag_autocorr(ds: ray.data.Dataset, key_col: str, ts_col: str,
 
     return shuffle.grouped_transform(ds, [key_col], kernel,
                                      num_buckets=num_buckets)
+
+
+def contingency_chi2(ds: ray.data.Dataset, row_col: str, col_col: str,
+                     ) -> ray.data.Dataset:
+    """Pearson χ² contingency table over two integer category columns
+    (Pearson 1900, public literature) — the seasonality / independence
+    screen (e.g. weekday × hour of an event stream).
+
+    Distributed shape: per-block partial ``(row, col) → count`` maps
+    shrink each block to ≤ |rows|×|cols| counter rows, ONE small keyed
+    sum merges them, and the finish (marginals + per-cell term) runs
+    over the category-cardinality-sized table on the driver — bounded
+    by the number of distinct cells, never by data size.
+
+    Exactness: every count and marginal is an int64; the only floats
+    are ONE cross-multiplied divide per cell, evaluated in a fixed
+    order shared with the SQL twin:
+    ``chi2_term = round(double(N·O − R·C)² / (double(N)·R·C), 6)``.
+    Output rows ``(row_cat, col_cat, n_obs, row_tot, col_tot, n_total,
+    chi2_term)``; the statistic is ``sum(chi2_term)`` client-side.
+    """
+    from city2graph_ray import shuffle
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby([row_col, col_col], sort=False)
+              .size().reset_index(name="n_obs"))
+        return pd.DataFrame({
+            "row_cat": g[row_col].to_numpy(np.int64),
+            "col_cat": g[col_col].to_numpy(np.int64),
+            "n_obs": g["n_obs"].to_numpy(np.int64)})
+
+    cells = shuffle.group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["row_cat", "col_cat"], {"n_obs": ("n_obs", "sum")},
+        num_buckets=1).to_pandas()
+    if len(cells) == 0:
+        z = np.array([], np.int64)
+        return ray.data.from_pandas(pd.DataFrame({
+            "row_cat": z, "col_cat": z, "n_obs": z, "row_tot": z,
+            "col_tot": z, "n_total": z,
+            "chi2_term": np.array([], np.float64)}))
+    o = cells["n_obs"].to_numpy(np.int64)
+    r = cells.groupby("row_cat")["n_obs"].transform("sum").to_numpy(np.int64)
+    c = cells.groupby("col_cat")["n_obs"].transform("sum").to_numpy(np.int64)
+    n = np.int64(o.sum())
+    num = (n * o - r * c).astype(np.float64)
+    den = n.astype(np.float64) * r.astype(np.float64) * c.astype(np.float64)
+    out = cells.assign(row_tot=r, col_tot=c, n_total=n,
+                       chi2_term=np.round(num * num / den, 6))
+    return ray.data.from_pandas(
+        out.sort_values(["row_cat", "col_cat"]).reset_index(drop=True))

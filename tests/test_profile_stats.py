@@ -362,3 +362,40 @@ def test_lag_autocorr_lag2_and_degenerate():
                         lag=2, num_buckets=2).to_pandas())
     assert out["k"].tolist() == [1]
     assert out["n_pairs"].tolist() == [3]
+
+
+def test_contingency_chi2_vs_scipy_free_brute():
+    from city2graph_ray.ops.stats import contingency_chi2
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"r": rng.integers(0, 4, 500),
+                       "c": rng.integers(0, 6, 500)})
+    out = (contingency_chi2(rd.from_pandas(df).repartition(7), "r", "c")
+           .to_pandas())
+    # brute-force expected counts
+    piv = df.groupby(["r", "c"]).size()
+    n = len(df)
+    chi2 = 0.0
+    for (r, c), o in piv.items():
+        rt = (df["r"] == r).sum()
+        ct = (df["c"] == c).sum()
+        e = rt * ct / n
+        chi2 += (o - e) ** 2 / e
+    assert len(out) == len(piv)
+    assert out["n_total"].iloc[0] == n
+    assert abs(out["chi2_term"].sum() - chi2) < 1e-3
+    # marginals are exact ints
+    row = out[out["row_cat"] == 0]["row_tot"].iloc[0]
+    assert row == (df["r"] == 0).sum()
+
+
+def test_contingency_chi2_empty_and_single_cell():
+    from city2graph_ray.ops.stats import contingency_chi2
+    empty = pd.DataFrame({"r": pd.Series([], dtype=np.int64),
+                          "c": pd.Series([], dtype=np.int64)})
+    out = contingency_chi2(rd.from_pandas(empty), "r", "c").to_pandas()
+    assert len(out) == 0
+    one = pd.DataFrame({"r": [3, 3, 3], "c": [5, 5, 5]})
+    out1 = contingency_chi2(rd.from_pandas(one), "r", "c").to_pandas()
+    # one cell: O == E exactly, term is 0
+    assert len(out1) == 1 and out1["chi2_term"].iloc[0] == 0.0
+    assert out1["n_obs"].iloc[0] == 3 and out1["n_total"].iloc[0] == 3
