@@ -4722,6 +4722,28 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _od_gravity(sf_dir: str):
+    """Gravity-model zone-interaction surface: per-block integer mass
+    and coordinate-sum partials, one 30-row keyed sum, zones-sized
+    pair finish with exact int64 centroids/d² and one divide/pair."""
+    import ray.data
+
+    from city2graph_ray import synth
+    from city2graph_ray.ops.mobility import gravity_model
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "zone": k % 30,
+            "qx": (k * k * synth.QX + k * synth.AX + synth.BX) % synth.MOD,
+            "qy": (k * k * synth.QY + k * synth.AY + synth.BY) % synth.MOD})
+
+    return gravity_model(ds.map_batches(fn, batch_format="pandas"))
+
+
 def _event_seasonality(sf_dir: str):
     """Weekday × hour seasonality screen over the event stream:
     Pearson χ² contingency cells — per-block partial counts, one tiny
@@ -5027,6 +5049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_ripley": _pt_ripley,
         "pt_clark_evans": _pt_clark_evans,
         "event_seasonality_chi2": _event_seasonality,
+        "od_gravity": _od_gravity,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5450,6 +5473,27 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "od_gravity": f"""
+            WITH c AS (SELECT c_custkey % 30 AS z,
+                  (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                   + {synth.BX}) % {synth.MOD} AS qx,
+                  (c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                   + {synth.BY}) % {synth.MOD} AS qy
+                FROM customer),
+            zs AS (SELECT z, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(qx) AS BIGINT) AS sx,
+                          CAST(sum(qy) AS BIGINT) AS sy
+                   FROM c GROUP BY z),
+            zc AS (SELECT z, n, sx // n AS cx, sy // n AS cy FROM zs),
+            p AS (SELECT a.z AS src, b.z AS dst,
+                         a.n AS n_src, b.n AS n_dst,
+                         (a.cx-b.cx)*(a.cx-b.cx)
+                         + (a.cy-b.cy)*(a.cy-b.cy) AS d2
+                  FROM zc a JOIN zc b ON a.z < b.z)
+            SELECT src, dst, n_src, n_dst, d2,
+                   round(CAST(n_src * n_dst AS DOUBLE) / d2, 6)
+                     AS gravity
+            FROM p WHERE d2 > 0""",
         "event_seasonality_chi2": """
             WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 1000000
                          AS s FROM events),

@@ -399,3 +399,34 @@ def test_contingency_chi2_empty_and_single_cell():
     # one cell: O == E exactly, term is 0
     assert len(out1) == 1 and out1["chi2_term"].iloc[0] == 0.0
     assert out1["n_obs"].iloc[0] == 3 and out1["n_total"].iloc[0] == 3
+
+
+def test_gravity_model_brute_and_degenerate():
+    from city2graph_ray.ops.mobility import gravity_model
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"zone": rng.integers(0, 5, 200),
+                       "qx": rng.integers(0, 1000, 200),
+                       "qy": rng.integers(0, 1000, 200)})
+    out = (gravity_model(rd.from_pandas(df).repartition(5))
+           .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True))
+    g = df.groupby("zone").agg(n=("zone", "size"), sx=("qx", "sum"),
+                               sy=("qy", "sum"))
+    cx, cy = g["sx"] // g["n"], g["sy"] // g["n"]
+    rows = []
+    zs = sorted(g.index)
+    for a in range(len(zs)):
+        for b in range(a + 1, len(zs)):
+            i, j = zs[a], zs[b]
+            d2 = (cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2
+            if d2 > 0:
+                rows.append((i, j, g["n"][i], g["n"][j], d2,
+                             round(g["n"][i] * g["n"][j] / d2, 6)))
+    exp = pd.DataFrame(rows, columns=["src", "dst", "n_src", "n_dst",
+                                      "d2", "gravity"])
+    pd.testing.assert_frame_equal(out.astype({"gravity": float}),
+                                  exp.astype(out.dtypes.to_dict()))
+    # degenerate: single zone -> empty with the right columns
+    one = gravity_model(rd.from_pandas(
+        pd.DataFrame({"zone": [1, 1], "qx": [5, 7], "qy": [2, 4]})))
+    odf = one.to_pandas()
+    assert len(odf) == 0
