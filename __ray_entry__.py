@@ -4744,6 +4744,28 @@ def _od_gravity(sf_dir: str):
     return gravity_model(ds.map_batches(fn, batch_format="pandas"))
 
 
+def _od_radiation(sf_dir: str):
+    """Radiation-model flows (Simini 2012): same zone partials as
+    od_gravity, |Z|³-on-zones intervening-mass finish, one divide per
+    directed pair."""
+    import ray.data
+
+    from city2graph_ray import synth
+    from city2graph_ray.ops.mobility import radiation_model
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "zone": k % 30,
+            "qx": (k * k * synth.QX + k * synth.AX + synth.BX) % synth.MOD,
+            "qy": (k * k * synth.QY + k * synth.AY + synth.BY) % synth.MOD})
+
+    return radiation_model(ds.map_batches(fn, batch_format="pandas"))
+
+
 def _event_seasonality(sf_dir: str):
     """Weekday × hour seasonality screen over the event stream:
     Pearson χ² contingency cells — per-block partial counts, one tiny
@@ -5050,6 +5072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_clark_evans": _pt_clark_evans,
         "event_seasonality_chi2": _event_seasonality,
         "od_gravity": _od_gravity,
+        "od_radiation": _od_radiation,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5494,6 +5517,35 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_src * n_dst AS DOUBLE) / d2, 6)
                      AS gravity
             FROM p WHERE d2 > 0""",
+        "od_radiation": f"""
+            WITH c AS (SELECT c_custkey % 30 AS z,
+                  (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                   + {synth.BX}) % {synth.MOD} AS qx,
+                  (c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                   + {synth.BY}) % {synth.MOD} AS qy
+                FROM customer),
+            zs AS (SELECT z, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(qx) AS BIGINT) AS sx,
+                          CAST(sum(qy) AS BIGINT) AS sy
+                   FROM c GROUP BY z),
+            zc AS (SELECT z, n, sx // n AS cx, sy // n AS cy FROM zs),
+            p AS (SELECT a.z AS src, b.z AS dst,
+                         a.n AS n_src, b.n AS n_dst,
+                         (a.cx-b.cx)*(a.cx-b.cx)
+                         + (a.cy-b.cy)*(a.cy-b.cy) AS d2
+                  FROM zc a JOIN zc b ON a.z <> b.z),
+            w AS (SELECT p.src, p.dst, p.n_src, p.n_dst, p.d2,
+                         CAST(coalesce(sum(CASE WHEN q.d2 < p.d2
+                                                     AND q.dst <> p.dst
+                                                THEN q.n_dst END), 0)
+                              AS BIGINT) AS s_ij
+                  FROM p LEFT JOIN p q ON q.src = p.src
+                  GROUP BY p.src, p.dst, p.n_src, p.n_dst, p.d2)
+            SELECT src, dst, n_src, n_dst, d2, s_ij,
+                   round(CAST(n_src * n_dst AS DOUBLE)
+                         / ((n_src + s_ij)
+                            * (n_src + n_dst + s_ij)), 6) AS radiation
+            FROM w WHERE d2 > 0""",
         "event_seasonality_chi2": """
             WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 1000000
                          AS s FROM events),

@@ -110,6 +110,34 @@ def gravity_model(pts: ray.data.Dataset, zone_col: str = "zone",
     (coincident quantized centroids) are excluded.  Output rows
     ``(src, dst, n_src, n_dst, d2, gravity)`` with ``src < dst``.
     """
+    zones = _zone_mass_centroids(pts, zone_col, qx_col, qy_col)
+    cols = ["src", "dst", "n_src", "n_dst", "d2", "gravity"]
+    if len(zones) < 2:
+        z = np.array([], np.int64)
+        return ray.data.from_pandas(pd.DataFrame(
+            {c: (z if c != "gravity" else np.array([], np.float64))
+             for c in cols}))
+    zid = zones["zone"].to_numpy(np.int64)
+    n = zones["n"].to_numpy(np.int64)
+    cx = zones["cx"].to_numpy(np.int64)
+    cy = zones["cy"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(zones), k=1)
+    d2 = (cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2
+    keep = d2 > 0
+    i, j, d2 = i[keep], j[keep], d2[keep]
+    grav = np.round((n[i] * n[j]).astype(np.float64)
+                    / d2.astype(np.float64), 6)
+    return ray.data.from_pandas(pd.DataFrame({
+        "src": zid[i], "dst": zid[j], "n_src": n[i], "n_dst": n[j],
+        "d2": d2, "gravity": grav}))
+
+
+def _zone_mass_centroids(pts: ray.data.Dataset, zone_col: str,
+                         qx_col: str, qy_col: str) -> pd.DataFrame:
+    """Shared finish input for the interaction models: per-block
+    partial ``(zone → n, Σqx, Σqy)`` triples, ONE zone-cardinality
+    keyed sum, int64 floor-div centroids.  Returns the zones-sized
+    pandas table sorted by zone (|Z| ≪ data by construction)."""
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby(zone_col, sort=False)
         agg = g.agg(n=(zone_col, "size"), sx=(qx_col, "sum"),
@@ -124,23 +152,47 @@ def gravity_model(pts: ray.data.Dataset, zone_col: str = "zone",
         pts.map_batches(partial, batch_format="pandas"),
         ["zone"], {"n": ("n", "sum"), "sx": ("sx", "sum"),
                    "sy": ("sy", "sum")}, num_buckets=1).to_pandas()
-    cols = ["src", "dst", "n_src", "n_dst", "d2", "gravity"]
+    zones = zones.sort_values("zone").reset_index(drop=True)
+    zones["cx"] = zones["sx"].to_numpy(np.int64) // zones["n"].to_numpy(np.int64)
+    zones["cy"] = zones["sy"].to_numpy(np.int64) // zones["n"].to_numpy(np.int64)
+    return zones
+
+
+def radiation_model(pts: ray.data.Dataset, zone_col: str = "zone",
+                    qx_col: str = "qx", qy_col: str = "qy",
+                    ) -> ray.data.Dataset:
+    """Radiation-model interaction surface (Simini et al., Nature
+    2012, public literature): ``T_ij = m_i·m_j / ((m_i + s_ij)·(m_i +
+    m_j + s_ij))`` where ``s_ij`` is the total mass of zones STRICTLY
+    closer to i than j (excluding i and j themselves).
+
+    Same distributed shape as :func:`gravity_model` (per-block
+    partials, one tiny keyed sum, |Z|-bounded driver finish; the
+    intervening-mass scan is |Z|³ on zone cardinality, never data).
+    Exactness: masses, d² and s_ij are int64; ONE float divide per
+    directed pair: ``round(double(m_i·m_j) / ((m_i+s)·(m_i+m_j+s)),
+    6)``.  Coincident-centroid pairs (d²=0) are excluded.  Output
+    ``(src, dst, n_src, n_dst, d2, s_ij, radiation)``, src ≠ dst.
+    """
+    zones = _zone_mass_centroids(pts, zone_col, qx_col, qy_col)
+    cols = ["src", "dst", "n_src", "n_dst", "d2", "s_ij", "radiation"]
     if len(zones) < 2:
         z = np.array([], np.int64)
         return ray.data.from_pandas(pd.DataFrame(
-            {c: (z if c != "gravity" else np.array([], np.float64))
+            {c: (z if c != "radiation" else np.array([], np.float64))
              for c in cols}))
-    zones = zones.sort_values("zone").reset_index(drop=True)
     zid = zones["zone"].to_numpy(np.int64)
     n = zones["n"].to_numpy(np.int64)
-    cx = zones["sx"].to_numpy(np.int64) // n
-    cy = zones["sy"].to_numpy(np.int64) // n
-    i, j = np.triu_indices(len(zones), k=1)
-    d2 = (cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2
-    keep = d2 > 0
-    i, j, d2 = i[keep], j[keep], d2[keep]
-    grav = np.round((n[i] * n[j]).astype(np.float64)
-                    / d2.astype(np.float64), 6)
+    cx, cy = zones["cx"].to_numpy(np.int64), zones["cy"].to_numpy(np.int64)
+    d2 = (cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2
+    # s[i,j] = sum_k m_k [d2[i,k] < d2[i,j]] minus m_i (k=i always
+    # qualifies via d2=0 when d2[i,j] > 0), j never qualifies (d2 equal)
+    closer = d2[:, None, :] < d2[:, :, None]
+    s = (closer * n[None, None, :]).sum(axis=2, dtype=np.int64) - n[:, None]
+    i, j = np.nonzero((d2 > 0) & ~np.eye(len(zid), dtype=bool))
+    num = (n[i] * n[j]).astype(np.float64)
+    den = ((n[i] + s[i, j]) * (n[i] + n[j] + s[i, j])).astype(np.float64)
     return ray.data.from_pandas(pd.DataFrame({
         "src": zid[i], "dst": zid[j], "n_src": n[i], "n_dst": n[j],
-        "d2": d2, "gravity": grav}))
+        "d2": d2[i, j], "s_ij": s[i, j],
+        "radiation": np.round(num / den, 6)}))

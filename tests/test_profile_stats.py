@@ -430,3 +430,37 @@ def test_gravity_model_brute_and_degenerate():
         pd.DataFrame({"zone": [1, 1], "qx": [5, 7], "qy": [2, 4]})))
     odf = one.to_pandas()
     assert len(odf) == 0
+
+
+def test_radiation_model_brute_and_degenerate():
+    from city2graph_ray.ops.mobility import radiation_model
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"zone": rng.integers(0, 6, 300),
+                       "qx": rng.integers(0, 2000, 300),
+                       "qy": rng.integers(0, 2000, 300)})
+    out = (radiation_model(rd.from_pandas(df).repartition(4))
+           .to_pandas().set_index(["src", "dst"]))
+    g = df.groupby("zone").agg(n=("zone", "size"), sx=("qx", "sum"),
+                               sy=("qy", "sum"))
+    cx, cy = g["sx"] // g["n"], g["sy"] // g["n"]
+    zs = sorted(g.index)
+    cnt = 0
+    for i in zs:
+        for j in zs:
+            if i == j:
+                continue
+            d2 = (cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2
+            if d2 == 0:
+                continue
+            s = sum(g["n"][k] for k in zs if k not in (i, j)
+                    and (cx[i] - cx[k]) ** 2 + (cy[i] - cy[k]) ** 2 < d2)
+            row = out.loc[(i, j)]
+            assert row["s_ij"] == s and row["d2"] == d2
+            exp = round(g["n"][i] * g["n"][j]
+                        / ((g["n"][i] + s) * (g["n"][i] + g["n"][j] + s)), 6)
+            assert row["radiation"] == exp
+            cnt += 1
+    assert len(out) == cnt
+    # degenerate: all zones coincident -> every pair dropped
+    co = pd.DataFrame({"zone": [0, 1, 2], "qx": [5, 5, 5], "qy": [9, 9, 9]})
+    assert len(radiation_model(rd.from_pandas(co)).to_pandas()) == 0
