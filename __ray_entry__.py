@@ -4722,6 +4722,16 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _pt_knn_outliers(sf_dir: str):
+    """Distance-to-5th-NN outlier top-40: kNN shuffle, quantized
+    int64 k-th order statistic per point, block-partial top-N merge,
+    (qdist DESC, id ASC) tie break."""
+    from city2graph_ray.ops.spatial import knn_outlier_scores
+    from city2graph_ray.pipelines.tables import customer_points
+
+    return knn_outlier_scores(customer_points(sf_dir), k=5, top_n=40)
+
+
 def _od_gravity(sf_dir: str):
     """Gravity-model zone-interaction surface: per-block integer mass
     and coordinate-sum partials, one 30-row keyed sum, zones-sized
@@ -5073,6 +5083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_seasonality_chi2": _event_seasonality,
         "od_gravity": _od_gravity,
         "od_radiation": _od_radiation,
+        "pt_knn_outliers": _pt_knn_outliers,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5496,6 +5507,22 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "pt_knn_outliers": f"""
+            WITH p AS ({_PTS}),
+            d AS (SELECT a.id,
+                         CAST(floor(sqrt((a.x-b.x)*(a.x-b.x)
+                                         + (a.y-b.y)*(a.y-b.y))
+                                    * 100 + 0.5) AS BIGINT) AS qd
+                  FROM p a JOIN p b ON a.id <> b.id),
+            r AS (SELECT id, qd,
+                         row_number() OVER (PARTITION BY id
+                                            ORDER BY qd) AS rn
+                  FROM d),
+            k AS (SELECT id, CAST(5 AS BIGINT) AS n_nbrs, qd AS qdist
+                  FROM r WHERE rn = 5)
+            SELECT id, n_nbrs, qdist,
+                   round(CAST(qdist AS DOUBLE) / 100.0, 6) AS score
+            FROM k ORDER BY qdist DESC, id ASC LIMIT 40""",
         "od_gravity": f"""
             WITH c AS (SELECT c_custkey % 30 AS z,
                   (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}

@@ -870,3 +870,53 @@ def clark_evans(points: ray.data.Dataset, area: float,
         "mean_nn": [np.round(mean_u, 6)],
         "expected_nn": [np.round(exp_u, 6)],
         "clark_evans": [np.round(mean_u / exp_u, 6)]}))
+
+
+def knn_outlier_scores(points: ray.data.Dataset, k: int, top_n: int,
+                       scale: float = 100.0) -> ray.data.Dataset:
+    """Distance-to-k-th-nearest-neighbour outlier scores (Ramaswamy
+    et al., SIGMOD 2000, public literature) — the classic exact
+    distance-based anomaly screen: a point's score is its k-th NN
+    distance; return the global top ``top_n`` most isolated points.
+
+    Distributed shape: rides the halo-escalation kNN shuffle
+    (:func:`~city2graph_ray.ops.proximity.knn_graph`), quantizes each
+    edge distance ONCE to integer ``scale``-ths (floor(d·s+0.5) —
+    monotone, so the per-point max over the k selected edges IS the
+    quantized k-th order statistic), folds per-point maxima through a
+    keyed int64 max, then a per-block partial top-``top_n`` bounds the
+    final merge to blocks × top_n rows.  Ties at the cut break
+    (qdist DESC, id ASC) — deterministic, shared with the SQL twin.
+    Output ``(id, n_nbrs, qdist, score)``, score = round(qd/s, 6).
+    """
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.proximity import knn_graph
+
+    nn = knn_graph(points, k)
+
+    def quant(b: pd.DataFrame) -> pd.DataFrame:
+        qd = np.floor(b["distance"].to_numpy(np.float64) * scale
+                      + 0.5).astype(np.int64)
+        return pd.DataFrame({"id": b["src"].to_numpy(np.int64),
+                             "qdist": qd,
+                             "n_nbrs": np.ones(len(qd), np.int64)})
+
+    kth = shuffle.group_agg(
+        nn.map_batches(quant, batch_format="pandas"), ["id"],
+        {"qdist": ("qdist", "max"), "n_nbrs": ("n_nbrs", "sum")})
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["qdist", "id"], ascending=[False, True],
+                             kind="stable").head(top_n)
+
+    cand = kth.map_batches(local_top, batch_format="pandas").to_pandas()
+    if len(cand) == 0:
+        z = np.array([], np.int64)
+        return ray.data.from_pandas(pd.DataFrame({
+            "id": z, "n_nbrs": z, "qdist": z,
+            "score": np.array([], np.float64)}))
+    out = (cand.sort_values(["qdist", "id"], ascending=[False, True],
+                            kind="stable").head(top_n)
+           .reset_index(drop=True))
+    out["score"] = np.round(out["qdist"].to_numpy(np.float64) / scale, 6)
+    return ray.data.from_pandas(out[["id", "n_nbrs", "qdist", "score"]])

@@ -464,3 +464,29 @@ def test_radiation_model_brute_and_degenerate():
     # degenerate: all zones coincident -> every pair dropped
     co = pd.DataFrame({"zone": [0, 1, 2], "qx": [5, 5, 5], "qy": [9, 9, 9]})
     assert len(radiation_model(rd.from_pandas(co)).to_pandas()) == 0
+
+
+def test_knn_outlier_scores_brute_and_tiny():
+    from city2graph_ray.ops.spatial import knn_outlier_scores
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame({"id": np.arange(120, dtype=np.int64),
+                        "x": rng.uniform(0, 100, 120),
+                        "y": rng.uniform(0, 100, 120)})
+    # plant two outliers far away
+    pts.loc[0, ["x", "y"]] = [900.0, 900.0]
+    pts.loc[1, ["x", "y"]] = [-800.0, 500.0]
+    out = knn_outlier_scores(rd.from_pandas(pts).repartition(3),
+                             k=3, top_n=10).to_pandas()
+    xy = pts[["x", "y"]].to_numpy()
+    d = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    kth = np.sort(d, axis=1)[:, 2]
+    qk = np.floor(kth * 100 + 0.5).astype(np.int64)
+    order = np.lexsort((pts["id"].to_numpy(), -qk))[:10]
+    assert list(out["id"]) == list(pts["id"].to_numpy()[order])
+    assert (out["qdist"].to_numpy() == qk[order]).all()
+    assert (out["n_nbrs"] == 3).all()
+    # tiny input: n-1 < k -> fewer neighbours, still scores
+    tiny = pd.DataFrame({"id": [1, 2], "x": [0.0, 3.0], "y": [0.0, 4.0]})
+    t = knn_outlier_scores(rd.from_pandas(tiny), k=5, top_n=5).to_pandas()
+    assert len(t) == 2 and (t["qdist"] == 500).all() and (t["n_nbrs"] == 1).all()
