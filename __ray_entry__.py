@@ -4722,6 +4722,27 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _basket_rules(sf_dir: str):
+    """Market-basket association rules over order baskets (item =
+    l_partkey % 50): one basket-keyed shuffle, bounded pair fan-out,
+    int64 supports, one rounded divide per rule column."""
+    import ray.data
+
+    from city2graph_ray.ops.baskets import association_rules
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "basket": b["l_orderkey"].to_numpy(np.int64),
+            "item": b["l_partkey"].to_numpy(np.int64) % 50})
+
+    return association_rules(
+        li.map_batches(derive, batch_format="pandas"),
+        "basket", "item", min_support=5)
+
+
 def _pt_knn_outliers(sf_dir: str):
     """Distance-to-5th-NN outlier top-40: kNN shuffle, quantized
     int64 k-th order statistic per point, block-partial top-N merge,
@@ -5084,6 +5105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_gravity": _od_gravity,
         "od_radiation": _od_radiation,
         "pt_knn_outliers": _pt_knn_outliers,
+        "basket_rules": _basket_rules,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5507,6 +5529,31 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "basket_rules": """
+            WITH b AS (SELECT DISTINCT l_orderkey AS bk,
+                              l_partkey % 50 AS it FROM lineitem),
+            pc AS (SELECT a.it AS item_a, b2.it AS item_b,
+                          CAST(count(*) AS BIGINT) AS supp_ab
+                   FROM b a JOIN b b2
+                     ON a.bk = b2.bk AND a.it < b2.it
+                   GROUP BY 1, 2),
+            ic AS (SELECT it, CAST(count(*) AS BIGINT) AS supp
+                   FROM b GROUP BY it),
+            nn AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb
+                   FROM b)
+            SELECT item_a, item_b, nb AS n_baskets, supp_ab,
+                   ia.supp AS supp_a, ib.supp AS supp_b,
+                   round(CAST(supp_ab AS DOUBLE) / ia.supp, 6)
+                     AS conf_ab,
+                   round(CAST(supp_ab AS DOUBLE) / ib.supp, 6)
+                     AS conf_ba,
+                   round(CAST(nb * supp_ab AS DOUBLE)
+                         / (ia.supp * ib.supp), 6) AS lift
+            FROM pc
+            JOIN ic ia ON ia.it = pc.item_a
+            JOIN ic ib ON ib.it = pc.item_b
+            CROSS JOIN nn
+            WHERE supp_ab >= 5""",
         "pt_knn_outliers": f"""
             WITH p AS ({_PTS}),
             d AS (SELECT a.id,

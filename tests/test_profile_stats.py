@@ -490,3 +490,30 @@ def test_knn_outlier_scores_brute_and_tiny():
     tiny = pd.DataFrame({"id": [1, 2], "x": [0.0, 3.0], "y": [0.0, 4.0]})
     t = knn_outlier_scores(rd.from_pandas(tiny), k=5, top_n=5).to_pandas()
     assert len(t) == 2 and (t["qdist"] == 500).all() and (t["n_nbrs"] == 1).all()
+
+
+def test_association_rules_brute_and_edges():
+    from city2graph_ray.ops.baskets import association_rules
+    df = pd.DataFrame({
+        "basket": [1, 1, 1, 2, 2, 3, 3, 3, 3, 4, 4],
+        "item":   [10, 20, 30, 10, 20, 10, 20, 30, 30, 40, 40]})
+    out = (association_rules(rd.from_pandas(df).repartition(3),
+                             "basket", "item", min_support=2)
+           .to_pandas().set_index(["item_a", "item_b"]))
+    # baskets: {10,20,30},{10,20},{10,20,30},{40}; dup items collapse
+    assert set(out.index) == {(10, 20), (10, 30), (20, 30)}
+    r = out.loc[(10, 20)]
+    assert r["supp_ab"] == 3 and r["supp_a"] == 3 and r["supp_b"] == 3
+    assert r["n_baskets"] == 4
+    assert r["conf_ab"] == 1.0 and r["lift"] == round(4 * 3 / 9, 6)
+    r2 = out.loc[(10, 30)]
+    assert r2["supp_ab"] == 2 and r2["supp_b"] == 2
+    assert r2["conf_ab"] == round(2 / 3, 6) and r2["conf_ba"] == 1.0
+    # min_support filters everything -> empty with full schema
+    none = association_rules(rd.from_pandas(df), "basket", "item",
+                             min_support=99).to_pandas()
+    assert len(none) == 0
+    # single-item baskets only -> no pairs
+    solo = pd.DataFrame({"basket": [1, 2], "item": [5, 6]})
+    assert len(association_rules(rd.from_pandas(solo), "basket",
+                                 "item").to_pandas()) == 0
