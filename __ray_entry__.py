@@ -4722,6 +4722,19 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _event_cohort_retention(sf_dir: str):
+    """Daily cohort retention: (user,period) distinct shuffle, keyed
+    min first-period, bucketed join back, one cell sum, cohorts-sized
+    rate finish."""
+    import ray.data
+
+    from city2graph_ray.ops.windows import cohort_retention
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts", period_s=86400)
+
+
 def _basket_rules(sf_dir: str):
     """Market-basket association rules over order baskets (item =
     l_partkey % 50): one basket-keyed shuffle, bounded pair fan-out,
@@ -5106,6 +5119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_radiation": _od_radiation,
         "pt_knn_outliers": _pt_knn_outliers,
         "basket_rules": _basket_rules,
+        "event_cohort_retention": _event_cohort_retention,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5529,6 +5543,20 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "event_cohort_retention": """
+            WITH up AS (SELECT DISTINCT user_id AS u,
+                            (CAST(epoch_us(ts) AS BIGINT) // 1000000)
+                            // 86400 AS p
+                        FROM events),
+            f AS (SELECT u, min(p) AS p0 FROM up GROUP BY u),
+            c AS (SELECT f.p0 AS cohort, up.p - f.p0 AS "offset",
+                         CAST(count(*) AS BIGINT) AS n_active
+                  FROM up JOIN f ON up.u = f.u GROUP BY 1, 2),
+            b AS (SELECT cohort, n_active AS n0 FROM c
+                  WHERE "offset" = 0)
+            SELECT c.cohort, c."offset", c.n_active, b.n0 AS n_cohort,
+                   round(CAST(c.n_active AS DOUBLE) / b.n0, 6) AS rate
+            FROM c JOIN b ON b.cohort = c.cohort""",
         "basket_rules": """
             WITH b AS (SELECT DISTINCT l_orderkey AS bk,
                               l_partkey % 50 AS it FROM lineitem),

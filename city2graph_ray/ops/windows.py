@@ -456,3 +456,67 @@ def grouped_rolling_mean(ds: ray.data.Dataset, keys, order_cols,
 
     return shuffle.grouped_transform(ds, keys, kernel,
                                      num_buckets=num_buckets)
+
+
+def cohort_retention(ds: ray.data.Dataset, user_col: str, ts_col: str,
+                     period_s: int = 604800) -> ray.data.Dataset:
+    """Cohort retention matrix — the standard product-analytics view:
+    users are cohorted by their FIRST active period (floor(epoch /
+    period)), and each later period contributes a distinct-active
+    count at offset ``p − p0``.
+
+    Distributed shape: one ``(user, period)`` distinct shuffle; the
+    per-user first period is a keyed int64 min over it; the offset
+    explode joins first periods back by user through the bucketed hash
+    join (no user-map broadcast); cell counts fold through ONE small
+    keyed sum and the cohort-size denominator joins on the
+    cohorts-sized table at the finish.  Exactness: every count is an
+    int64; the retention rate is ONE rounded divide per cell:
+    ``round(double(n_active)/n_cohort, 6)``.  Output
+    ``(cohort, offset, n_active, n_cohort, rate)``.
+    """
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+
+    def periods(b: pd.DataFrame) -> pd.DataFrame:
+        s = (b[ts_col].astype("datetime64[us]").astype(np.int64)
+             // 1_000_000)
+        return pd.DataFrame({"user": b[user_col].to_numpy(np.int64),
+                             "p": s // period_s})
+
+    import pyarrow as pa
+
+    up = shuffle.distinct(
+        ds.map_batches(periods, batch_format="pandas"), ["user", "p"])
+    first = shuffle.group_agg(up, ["user"], {"p0": ("p", "min")})
+    # an empty event stream leaves both sides legitimately empty
+    up_schema = pa.schema([("user", pa.int64()), ("p", pa.int64())])
+    first_schema = pa.schema([("user", pa.int64()), ("p0", pa.int64())])
+    joined = bucketed_join(up, first, on="user",
+                           left_schema=up_schema,
+                           right_schema=first_schema)
+
+    def cell_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort": b["p0"].to_numpy(np.int64),
+            "offset": b["p"].to_numpy(np.int64)
+            - b["p0"].to_numpy(np.int64),
+            "n_active": np.ones(len(b), np.int64)})
+
+    cells = shuffle.group_agg(
+        joined.map_batches(cell_partial, batch_format="pandas"),
+        ["cohort", "offset"], {"n_active": ("n_active", "sum")},
+        num_buckets=1).to_pandas()
+    if len(cells) == 0 or "cohort" not in cells.columns:
+        z = np.array([], np.int64)
+        return ray.data.from_pandas(pd.DataFrame({
+            "cohort": z, "offset": z, "n_active": z, "n_cohort": z,
+            "rate": np.array([], np.float64)}))
+    base = (cells[cells["offset"] == 0].set_index("cohort")["n_active"])
+    n0 = base.reindex(cells["cohort"]).to_numpy(np.int64)
+    na = cells["n_active"].to_numpy(np.int64)
+    out = cells.assign(
+        n_cohort=n0,
+        rate=np.round(na.astype(np.float64) / n0.astype(np.float64), 6))
+    return ray.data.from_pandas(
+        out.sort_values(["cohort", "offset"]).reset_index(drop=True))

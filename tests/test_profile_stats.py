@@ -517,3 +517,30 @@ def test_association_rules_brute_and_edges():
     solo = pd.DataFrame({"basket": [1, 2], "item": [5, 6]})
     assert len(association_rules(rd.from_pandas(solo), "basket",
                                  "item").to_pandas()) == 0
+
+
+def test_cohort_retention_brute_and_empty():
+    from city2graph_ray.ops.windows import cohort_retention
+    base = pd.Timestamp("2024-01-01")
+    rows = [(1, 0), (1, 1), (1, 3), (2, 0), (2, 1), (3, 1), (3, 2),
+            (3, 1)]  # (user, day); user 3 starts day 1; dup collapses
+    df = pd.DataFrame({
+        "user_id": [u for u, _ in rows],
+        "ts": [base + pd.Timedelta(days=d, hours=5) for _, d in rows]})
+    out = (cohort_retention(rd.from_pandas(df).repartition(3),
+                            "user_id", "ts", period_s=86400)
+           .to_pandas().set_index(["cohort", "offset"]))
+    d0 = 19723  # 2024-01-01 epoch days
+    assert out.loc[(d0, 0)]["n_active"] == 2      # users 1,2 day0
+    assert out.loc[(d0, 0)]["n_cohort"] == 2
+    assert out.loc[(d0, 1)]["n_active"] == 2      # users 1,2 day1
+    assert out.loc[(d0, 1)]["rate"] == 1.0
+    assert out.loc[(d0, 3)]["n_active"] == 1      # user 1 day3
+    assert out.loc[(d0, 3)]["rate"] == 0.5
+    assert out.loc[(d0 + 1, 0)]["n_active"] == 1  # user 3 cohort day1
+    assert out.loc[(d0 + 1, 1)]["n_active"] == 1
+    assert len(out) == 5
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                          "ts": pd.Series([], dtype="datetime64[us]")})
+    assert len(cohort_retention(rd.from_pandas(empty), "user_id",
+                                "ts").to_pandas()) == 0
