@@ -4722,6 +4722,28 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _supplier_hhi(sf_dir: str):
+    """Supplier concentration (HHI) per part-bucket market over
+    integer-cent quantities: two keyed folds, one divide per market."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import hhi_concentration
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey",
+                                        "l_quantity"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "market": b["l_partkey"].to_numpy(np.int64) % 25,
+            "firm": b["l_suppkey"].to_numpy(np.int64),
+            "value": b["l_quantity"].to_numpy(np.float64)})
+
+    return hhi_concentration(
+        li.map_batches(derive, batch_format="pandas"),
+        "market", "firm", "value")
+
+
 def _event_cohort_retention(sf_dir: str):
     """Daily cohort retention: (user,period) distinct shuffle, keyed
     min first-period, bucketed join back, one cell sum, cohorts-sized
@@ -5120,6 +5142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_knn_outliers": _pt_knn_outliers,
         "basket_rules": _basket_rules,
         "event_cohort_retention": _event_cohort_retention,
+        "supplier_hhi": _supplier_hhi,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5543,6 +5566,22 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "supplier_hhi": """
+            WITH f AS (SELECT l_partkey % 25 AS market,
+                              l_suppkey AS firm,
+                              CAST(sum(CAST(floor(l_quantity * 100
+                                                  + 0.5) AS BIGINT))
+                                   AS BIGINT) AS q
+                       FROM lineitem GROUP BY 1, 2),
+            m AS (SELECT market, CAST(count(*) AS BIGINT) AS n_firms,
+                         CAST(sum(q) AS BIGINT) AS total_q,
+                         CAST(sum(q * q) AS BIGINT) AS sq2
+                  FROM f GROUP BY market)
+            SELECT market, n_firms, total_q,
+                   round(CAST(sq2 AS DOUBLE)
+                         / (CAST(total_q AS DOUBLE) * total_q), 6)
+                     AS hhi
+            FROM m WHERE total_q > 0""",
         "event_cohort_retention": """
             WITH up AS (SELECT DISTINCT user_id AS u,
                             (CAST(epoch_us(ts) AS BIGINT) // 1000000)

@@ -1109,3 +1109,63 @@ def contingency_chi2(ds: ray.data.Dataset, row_col: str, col_col: str,
                        chi2_term=np.round(num * num / den, 6))
     return ray.data.from_pandas(
         out.sort_values(["row_cat", "col_cat"]).reset_index(drop=True))
+
+
+def hhi_concentration(ds: ray.data.Dataset, market_col: str,
+                      firm_col: str, value_col: str,
+                      scale: float = 100.0) -> ray.data.Dataset:
+    """Herfindahl–Hirschman concentration index per market (Hirschman
+    1945 / Herfindahl 1950, public literature): ``HHI = Σ_i s_i²``
+    over firm shares ``s_i = v_i / Σv`` — the standard market- (or
+    source-/domain-) concentration screen.
+
+    Distributed shape: values quantize ONCE to integer ``scale``-ths,
+    per-block partial ``(market, firm)`` sums collapse each block,
+    ONE keyed sum finishes firm totals, a second market-keyed fold
+    (Σq, Σq², n_firms — all int64) reduces to the markets-sized table,
+    and the index is ONE fixed-form divide per market:
+    ``hhi = round(double(Σq²) / (double(Σq)·Σq), 6)``.
+    Output ``(market, n_firms, total_q, hhi)``; markets whose total
+    quantized value is 0 are excluded (share undefined).
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(b[value_col].to_numpy(np.float64) * scale
+                     + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"market": b[market_col].to_numpy(np.int64),
+                           "firm": b[firm_col].to_numpy(np.int64),
+                           "q": q})
+             .groupby(["market", "firm"], sort=False)["q"].sum()
+             .reset_index())
+        return g
+
+    firm_tot = shuffle.group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["market", "firm"], {"q": ("q", "sum")})
+
+    def market_partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["q"].to_numpy(np.int64)
+        return pd.DataFrame({"market": b["market"].to_numpy(np.int64),
+                             "total_q": q, "sq2": q * q,
+                             "n_firms": np.ones(len(q), np.int64)})
+
+    mk = shuffle.group_agg(
+        firm_tot.map_batches(market_partial, batch_format="pandas"),
+        ["market"], {"total_q": ("total_q", "sum"),
+                     "sq2": ("sq2", "sum"),
+                     "n_firms": ("n_firms", "sum")},
+        num_buckets=1).to_pandas()
+    if len(mk) == 0 or "market" not in mk.columns:
+        z = np.array([], np.int64)
+        return ray.data.from_pandas(pd.DataFrame({
+            "market": z, "n_firms": z, "total_q": z,
+            "hhi": np.array([], np.float64)}))
+    mk = mk[mk["total_q"].to_numpy(np.int64) > 0]
+    t = mk["total_q"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "market": mk["market"].to_numpy(np.int64),
+        "n_firms": mk["n_firms"].to_numpy(np.int64),
+        "total_q": t,
+        "hhi": np.round(mk["sq2"].to_numpy(np.float64)
+                        / (t.astype(np.float64) * t), 6)})
+    return ray.data.from_pandas(
+        out.sort_values("market").reset_index(drop=True))

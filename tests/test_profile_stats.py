@@ -544,3 +544,29 @@ def test_cohort_retention_brute_and_empty():
                           "ts": pd.Series([], dtype="datetime64[us]")})
     assert len(cohort_retention(rd.from_pandas(empty), "user_id",
                                 "ts").to_pandas()) == 0
+
+
+def test_hhi_concentration_brute_and_edges():
+    from city2graph_ray.ops.stats import hhi_concentration
+    df = pd.DataFrame({
+        "market": [1, 1, 1, 2, 2, 3],
+        "firm":   [10, 20, 10, 10, 30, 40],
+        "value":  [2.0, 2.0, 2.0, 1.0, 3.0, 0.0]})
+    out = (hhi_concentration(rd.from_pandas(df).repartition(3),
+                             "market", "firm", "value")
+           .to_pandas().set_index("market"))
+    # market 1: firm10=400c, firm20=200c -> (400^2+200^2)/600^2
+    assert out.loc[1]["hhi"] == round((400**2 + 200**2) / 600**2, 6)
+    assert out.loc[1]["n_firms"] == 2 and out.loc[1]["total_q"] == 600
+    # market 2: shares 1/4, 3/4
+    assert out.loc[2]["hhi"] == round((100**2 + 300**2) / 400**2, 6)
+    # market 3: zero total -> excluded
+    assert 3 not in out.index
+    # monopoly -> HHI exactly 1
+    mono = pd.DataFrame({"market": [9], "firm": [1], "value": [5.0]})
+    m = hhi_concentration(rd.from_pandas(mono), "market", "firm",
+                          "value").to_pandas()
+    assert m["hhi"].iloc[0] == 1.0
+    empty = df.iloc[:0]
+    assert len(hhi_concentration(rd.from_pandas(empty), "market",
+                                 "firm", "value").to_pandas()) == 0
