@@ -4722,6 +4722,14 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _cust_rfm(sf_dir: str):
+    """RFM customer segmentation: one customer fold + three
+    global_ntile passes, ties broken on customer id."""
+    from city2graph_ray.pipelines.relational import rfm_segments
+
+    return rfm_segments(sf_dir, k=5)
+
+
 def _supplier_hhi(sf_dir: str):
     """Supplier concentration (HHI) per part-bucket market over
     integer-cent quantities: two keyed folds, one divide per market."""
@@ -5143,6 +5151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_rules": _basket_rules,
         "event_cohort_retention": _event_cohort_retention,
         "supplier_hhi": _supplier_hhi,
+        "cust_rfm": _cust_rfm,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5566,6 +5575,25 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "cust_rfm": """
+            WITH a AS (SELECT o_custkey AS cust,
+                         max(CAST(epoch_us(o_orderdate) AS BIGINT))
+                           AS last_us,
+                         CAST(count(*) AS BIGINT) AS n_orders,
+                         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)) AS BIGINT) AS cents
+                       FROM orders GROUP BY 1),
+            t AS (SELECT cust, last_us, n_orders, cents,
+                    CAST(ntile(5) OVER (ORDER BY last_us DESC, cust)
+                         AS BIGINT) AS r_tile,
+                    CAST(ntile(5) OVER (ORDER BY n_orders DESC, cust)
+                         AS BIGINT) AS f_tile,
+                    CAST(ntile(5) OVER (ORDER BY cents DESC, cust)
+                         AS BIGINT) AS m_tile
+                  FROM a)
+            SELECT cust, last_us, n_orders, cents, r_tile, f_tile,
+                   m_tile, 100 * r_tile + 10 * f_tile + m_tile AS rfm
+            FROM t""",
         "supplier_hhi": """
             WITH f AS (SELECT l_partkey % 25 AS market,
                               l_suppkey AS firm,

@@ -1568,3 +1568,60 @@ def promotable_suppliers(sf_dir: str, name_prefix: str = "small",
         out = pd.DataFrame({"s_name": pd.Series([], dtype=object),
                             "n_name": pd.Series([], dtype=object)})
     return ray.data.from_pandas(out)
+
+
+def rfm_segments(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """RFM (recency / frequency / monetary) customer segmentation
+    (Hughes 1994, public literature) — the standard marketing-
+    analytics scoring: each customer gets three ntile(k) ranks over
+    (last order date DESC, order count DESC, lifetime cents DESC).
+
+    Distributed shape: ONE customer-keyed fold produces the int64
+    per-customer triple (max epoch-µs, count, Σcents); each score is a
+    :func:`~city2graph_ray.shuffle.global_ntile` pass (block-sorted
+    sample-ranged row numbers + a closed-form tile stamp — no full
+    materialized sort on the driver); ties break on customer id so
+    both sides assign identical tiles.  Output ``(cust, last_us,
+    n_orders, cents, r_tile, f_tile, m_tile, rfm)`` with
+    ``rfm = 100·r + 10·f + m``.
+    """
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"cust": b["o_custkey"].to_numpy(np.int64),
+                           "last_us": us, "cents": cents,
+                           "n_orders": np.ones(len(b), np.int64)})
+             .groupby("cust", sort=False)
+             .agg(last_us=("last_us", "max"), cents=("cents", "sum"),
+                  n_orders=("n_orders", "sum")).reset_index())
+        return g
+
+    per_cust = shuffle.group_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["cust"], {"last_us": ("last_us", "max"),
+                   "cents": ("cents", "sum"),
+                   "n_orders": ("n_orders", "sum")})
+    ds = shuffle.global_ntile(per_cust, ["last_us", "cust"], k,
+                              descending=[True, False],
+                              rn_col="__rn_r", out_col="r_tile")
+    ds = shuffle.global_ntile(ds, ["n_orders", "cust"], k,
+                              descending=[True, False],
+                              rn_col="__rn_f", out_col="f_tile")
+    ds = shuffle.global_ntile(ds, ["cents", "cust"], k,
+                              descending=[True, False],
+                              rn_col="__rn_m", out_col="m_tile")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rfm"] = (100 * b["r_tile"].to_numpy(np.int64)
+                    + 10 * b["f_tile"].to_numpy(np.int64)
+                    + b["m_tile"].to_numpy(np.int64))
+        return b[["cust", "last_us", "n_orders", "cents",
+                  "r_tile", "f_tile", "m_tile", "rfm"]]
+
+    return ds.map_batches(finish, batch_format="pandas")

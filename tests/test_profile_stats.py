@@ -570,3 +570,20 @@ def test_hhi_concentration_brute_and_edges():
     empty = df.iloc[:0]
     assert len(hhi_concentration(rd.from_pandas(empty), "market",
                                  "firm", "value").to_pandas()) == 0
+
+
+def test_rfm_segments_sf0001_invariants():
+    from city2graph_ray.pipelines.relational import rfm_segments
+    out = rfm_segments("/root/testdata/sf0.001", k=4).to_pandas()
+    assert len(out) == out["cust"].nunique()
+    for c in ("r_tile", "f_tile", "m_tile"):
+        assert out[c].between(1, 4).all()
+        # SQL ntile: tile sizes differ by at most one
+        sizes = out[c].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+    assert (out["rfm"] == 100 * out["r_tile"] + 10 * out["f_tile"]
+            + out["m_tile"]).all()
+    # the most recent customer (ties on cust) is in r_tile 1
+    top = out.sort_values(["last_us", "cust"],
+                          ascending=[False, True]).iloc[0]
+    assert top["r_tile"] == 1
