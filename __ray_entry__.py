@@ -4722,6 +4722,19 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _order_lorenz(sf_dir: str):
+    """Lorenz decile curve of order values: one global_ntile pass,
+    int64 tile sums, 10-row driver cumsum, one divide per tile."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import lorenz_deciles
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey",
+                                            "o_totalprice"])
+    return lorenz_deciles(orders, "o_totalprice", "o_orderkey", k=10)
+
+
 def _cust_rfm(sf_dir: str):
     """RFM customer segmentation: one customer fold + three
     global_ntile passes, ties broken on customer id."""
@@ -5152,6 +5165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cohort_retention": _event_cohort_retention,
         "supplier_hhi": _supplier_hhi,
         "cust_rfm": _cust_rfm,
+        "order_lorenz": _order_lorenz,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5575,6 +5589,25 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "order_lorenz": """
+            WITH q AS (SELECT o_orderkey AS id,
+                         CAST(floor(o_totalprice * 100 + 0.5)
+                              AS BIGINT) AS q
+                       FROM orders),
+            t AS (SELECT CAST(ntile(10) OVER (ORDER BY q, id)
+                              AS BIGINT) AS tile, q FROM q),
+            s AS (SELECT tile, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(q) AS BIGINT) AS tile_q
+                  FROM t GROUP BY tile),
+            c AS (SELECT tile, n, tile_q,
+                         CAST(sum(tile_q) OVER (ORDER BY tile)
+                              AS BIGINT) AS cum_q,
+                         CAST(sum(tile_q) OVER () AS BIGINT) AS total
+                  FROM s)
+            SELECT tile, n, tile_q, cum_q,
+                   round(CAST(cum_q AS DOUBLE) / total, 6)
+                     AS cum_share
+            FROM c""",
         "cust_rfm": """
             WITH a AS (SELECT o_custkey AS cust,
                          max(CAST(epoch_us(o_orderdate) AS BIGINT))

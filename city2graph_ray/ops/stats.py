@@ -1169,3 +1169,55 @@ def hhi_concentration(ds: ray.data.Dataset, market_col: str,
                         / (t.astype(np.float64) * t), 6)})
     return ray.data.from_pandas(
         out.sort_values("market").reset_index(drop=True))
+
+
+def lorenz_deciles(ds: ray.data.Dataset, value_col: str, id_col: str,
+                   k: int = 10, scale: float = 100.0,
+                   ) -> ray.data.Dataset:
+    """Lorenz-curve tile points (Lorenz 1905, public literature):
+    cumulative value share of the population sorted poorest-first,
+    evaluated at k equal-population tiles — the inequality profile
+    that pairs with the Gini moments op.
+
+    Distributed shape: values quantize once to int64 ``scale``-ths,
+    one :func:`~city2graph_ray.shuffle.global_ntile` pass (ties break
+    on ``id_col``), per-block partial per-tile sums, ONE ≤k-row keyed
+    sum, driver cumsum over the k-row table.  Exactness: tile sums and
+    cumulative sums are int64; the share is ONE fixed-form divide per
+    tile: ``round(double(cum)/total, 6)``.
+    Output ``(tile, n, tile_q, cum_q, cum_share)``.
+    """
+    def quant(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id": b[id_col].to_numpy(np.int64),
+            "q": np.floor(b[value_col].to_numpy(np.float64) * scale
+                          + 0.5).astype(np.int64)})
+
+    tiled = shuffle.global_ntile(
+        ds.map_batches(quant, batch_format="pandas"), ["q", "id"], k,
+        rn_col="__rn", out_col="tile")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby("tile", sort=False)
+             .agg(n=("tile", "size"), tile_q=("q", "sum"))
+             .reset_index())
+        return pd.DataFrame({"tile": g["tile"].to_numpy(np.int64),
+                             "n": g["n"].to_numpy(np.int64),
+                             "tile_q": g["tile_q"].to_numpy(np.int64)})
+
+    tiles = shuffle.group_agg(
+        tiled.map_batches(partial, batch_format="pandas"), ["tile"],
+        {"n": ("n", "sum"), "tile_q": ("tile_q", "sum")},
+        num_buckets=1).to_pandas()
+    if len(tiles) == 0 or "tile" not in tiles.columns:
+        z = np.array([], np.int64)
+        return ray.data.from_pandas(pd.DataFrame({
+            "tile": z, "n": z, "tile_q": z, "cum_q": z,
+            "cum_share": np.array([], np.float64)}))
+    tiles = tiles.sort_values("tile").reset_index(drop=True)
+    cum = tiles["tile_q"].to_numpy(np.int64).cumsum()
+    total = np.int64(cum[-1])
+    share = (np.round(cum.astype(np.float64) / total, 6)
+             if total != 0 else np.full(len(cum), np.nan))
+    return ray.data.from_pandas(tiles.assign(cum_q=cum,
+                                             cum_share=share))

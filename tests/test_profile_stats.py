@@ -587,3 +587,29 @@ def test_rfm_segments_sf0001_invariants():
     top = out.sort_values(["last_us", "cust"],
                           ascending=[False, True]).iloc[0]
     assert top["r_tile"] == 1
+
+
+def test_lorenz_deciles_brute_and_empty():
+    from city2graph_ray.ops.stats import lorenz_deciles
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"id": np.arange(57, dtype=np.int64),
+                       "v": rng.uniform(0, 500, 57)})
+    out = (lorenz_deciles(rd.from_pandas(df).repartition(4), "v", "id",
+                          k=4).to_pandas())
+    q = np.floor(df["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+    order = np.lexsort((df["id"].to_numpy(), q))
+    qs = q[order]
+    # ntile(4) over 57 rows: first 57%4=1 tile gets 15, rest 14
+    sizes = [15, 14, 14, 14]
+    exp_cum, pos = [], 0
+    for s in sizes:
+        exp_cum.append(qs[pos:pos + s].sum())
+        pos += s
+    exp_cum = np.cumsum(exp_cum)
+    assert list(out["n"]) == sizes
+    assert (out["cum_q"].to_numpy() == exp_cum).all()
+    assert out["cum_share"].iloc[-1] == 1.0
+    assert (out["cum_share"].diff().dropna() >= 0).all()
+    empty = df.iloc[:0]
+    assert len(lorenz_deciles(rd.from_pandas(empty), "v",
+                              "id").to_pandas()) == 0
