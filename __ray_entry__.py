@@ -4722,6 +4722,25 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _pt_knox(sf_dir: str):
+    """Knox space-time interaction over derived customer points with
+    deterministic integer timestamps: fixed-radius pair shuffle +
+    bucketed time joins for the space side, 1-D halo-bucket
+    searchsorted counts for the time side, all-int64 counts."""
+    from city2graph_ray.ops.spatial import knox_test
+    from city2graph_ray.pipelines.tables import customer_points
+
+    pts = customer_points(sf_dir)
+
+    def add_t(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["t"] = (b["id"].to_numpy(np.int64) * 7919 + 13) % 100000
+        return b
+
+    return knox_test(pts.map_batches(add_t, batch_format="pandas"),
+                     radius=25.0, tau=5000)
+
+
 def _order_lorenz(sf_dir: str):
     """Lorenz decile curve of order values: one global_ntile pass,
     int64 tile sums, 10-row driver cumsum, one divide per tile."""
@@ -5166,6 +5185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi": _supplier_hhi,
         "cust_rfm": _cust_rfm,
         "order_lorenz": _order_lorenz,
+        "pt_knox": _pt_knox,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5589,6 +5609,35 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "pt_knox": f"""
+            WITH p AS (SELECT c_custkey AS id,
+                              {synth.sql_x('c_custkey')} AS x,
+                              {synth.sql_y('c_custkey')} AS y,
+                              (c_custkey * 7919 + 13) % 100000 AS t
+                       FROM customer),
+            pr AS (SELECT
+                     CASE WHEN sqrt((a.x-b.x)*(a.x-b.x)
+                                    + (a.y-b.y)*(a.y-b.y)) <= 25.0
+                          THEN 1 ELSE 0 END AS sp,
+                     CASE WHEN abs(a.t - b.t) <= 5000
+                          THEN 1 ELSE 0 END AS tp
+                   FROM p a JOIN p b ON a.id < b.id),
+            agg AS (SELECT CAST((SELECT count(*) FROM p) AS BIGINT)
+                             AS n,
+                           CAST(count(*) AS BIGINT) AS total_pairs,
+                           CAST(sum(sp) AS BIGINT) AS s_pairs,
+                           CAST(sum(tp) AS BIGINT) AS t_pairs,
+                           CAST(sum(sp * tp) AS BIGINT) AS st_pairs
+                    FROM pr)
+            SELECT n, total_pairs, s_pairs, t_pairs, st_pairs,
+                   round(CAST(s_pairs * t_pairs AS DOUBLE)
+                         / total_pairs, 6) AS expected_st,
+                   CASE WHEN s_pairs * t_pairs > 0
+                        THEN round(CAST(st_pairs * total_pairs
+                                        AS DOUBLE)
+                                   / (s_pairs * t_pairs), 6)
+                        ELSE 0.0 END AS ratio
+            FROM agg""",
         "order_lorenz": """
             WITH q AS (SELECT o_orderkey AS id,
                          CAST(floor(o_totalprice * 100 + 0.5)

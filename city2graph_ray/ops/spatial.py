@@ -920,3 +920,120 @@ def knn_outlier_scores(points: ray.data.Dataset, k: int, top_n: int,
            .reset_index(drop=True))
     out["score"] = np.round(out["qdist"].to_numpy(np.float64) / scale, 6)
     return ray.data.from_pandas(out[["id", "n_nbrs", "qdist", "score"]])
+
+
+def knox_test(pts: ray.data.Dataset, radius: float, tau: int,
+              ) -> ray.data.Dataset:
+    """Knox space–time interaction statistic (Knox 1964, public
+    literature): of all point pairs, count those close in space
+    (d ≤ radius), close in time (|Δt| ≤ tau), and close in BOTH; the
+    interaction ratio compares observed space-time pairs with the
+    independence expectation ``S·T / total``.
+
+    Distributed shape: the space side rides the cell-bucketed
+    fixed-radius pair shuffle; pair timestamps join back through TWO
+    bucketed hash joins (no point-table broadcast); the time side is a
+    1-D bucket scatter (home bucket + left halo copy) whose per-group
+    kernel counts same-bucket pairs in closed form and cross-bucket
+    pairs by vectorized searchsorted — counts only, pairs never
+    materialize.  Exactness: all four counts are int64; the expected
+    count and ratio are each ONE fixed-form divide:
+    ``expected_st = round(double(S·T)/total, 6)``,
+    ``ratio = round(double(ST·total)/(S·T), 6)`` (NaN-free: emitted
+    only when S·T > 0, else 0).  Input columns ``(id, x, y, t)`` with
+    int64 ``t`` seconds.  Output: ONE row
+    ``(n, total_pairs, s_pairs, t_pairs, st_pairs, expected_st,
+    ratio)``.
+    """
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.ops.proximity import fixed_radius_graph
+
+    pts = pts.materialize()
+    n = int(pts.count())
+    if n < 2:
+        z = np.array([], np.int64)
+        return ray.data.from_pandas(pd.DataFrame({
+            "n": z, "total_pairs": z, "s_pairs": z, "t_pairs": z,
+            "st_pairs": z,
+            "expected_st": np.array([], np.float64),
+            "ratio": np.array([], np.float64)}))
+    total = n * (n - 1) // 2
+
+    # --- space side: radius pairs, then rejoin both endpoint times
+    sp = fixed_radius_graph(pts.select_columns(["id", "x", "y"]),
+                            radius)
+    times = pts.select_columns(["id", "t"])
+    import pyarrow as pa
+
+    # a sparse field can legitimately yield ZERO radius pairs
+    pair_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    sp = bucketed_join(
+        sp.map_batches(lambda b: b[["src", "dst"]],
+                       batch_format="pandas"),
+        times.map_batches(
+            lambda b: b.rename(columns={"id": "src", "t": "t_src"}),
+            batch_format="pandas"), on="src",
+        left_schema=pair_schema)
+    sp = bucketed_join(
+        sp,
+        times.map_batches(
+            lambda b: b.rename(columns={"id": "dst", "t": "t_dst"}),
+            batch_format="pandas"), on="dst",
+        left_schema=pa.schema([("src", pa.int64()),
+                               ("dst", pa.int64()),
+                               ("t_src", pa.int64())]))
+
+    def s_partial(b: pd.DataFrame) -> pd.DataFrame:
+        dt = np.abs(b["t_src"].to_numpy(np.int64)
+                    - b["t_dst"].to_numpy(np.int64))
+        return pd.DataFrame({"s": [np.int64(len(b))],
+                             "st": [np.int64((dt <= tau).sum())]})
+
+    sdf = sp.map_batches(s_partial, batch_format="pandas").to_pandas()
+    s_pairs = int(sdf["s"].sum()) if "s" in sdf.columns else 0
+    st_pairs = int(sdf["st"].sum()) if "st" in sdf.columns else 0
+
+    # --- time side: 1-D bucket scatter with a left halo copy
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["t"].to_numpy(np.int64)
+        home = t // tau
+        return pd.DataFrame({
+            "g": np.concatenate([home, home - 1]),
+            "t": np.concatenate([t, t]),
+            "halo": np.concatenate([np.zeros(len(t), np.int64),
+                                    np.ones(len(t), np.int64)])})
+
+    scat = pts.select_columns(["t"]).map_batches(
+        scatter, batch_format="pandas")
+
+    def t_count(g: pd.DataFrame) -> pd.DataFrame:
+        own = np.sort(g.loc[g["halo"] == 0, "t"].to_numpy(np.int64))
+        nxt = np.sort(g.loc[g["halo"] == 1, "t"].to_numpy(np.int64))
+        # same-bucket pairs: width-tau bucket => always |dt| < tau
+        c = len(own) * (len(own) - 1) // 2
+        if len(own) and len(nxt):
+            # cross pairs (own bucket b, halo copies from bucket b+1):
+            # count t' in own with t' >= t_next - tau
+            lo = np.searchsorted(own, nxt - tau, side="left")
+            c += int((len(own) - lo).sum())
+        return pd.DataFrame({"c": [np.int64(c)]})
+
+    tb = shuffle._bucketize(scat, ["g"], shuffle.DEFAULT_BUCKETS)
+    tdf = (tb.groupby("__bucket")
+           .map_groups(shuffle._debucket(
+               lambda grp: grp.groupby("g", sort=False)
+               .apply(t_count).reset_index(drop=True)),
+               batch_format="pandas")
+           .to_pandas())
+    t_pairs = int(tdf["c"].sum()) if "c" in tdf.columns else 0
+
+    stt = s_pairs * t_pairs
+    expected = np.round(np.float64(stt) / np.float64(total), 6)
+    ratio = (np.round(np.float64(st_pairs * total) / np.float64(stt), 6)
+             if stt > 0 else np.float64(0.0))
+    return ray.data.from_pandas(pd.DataFrame({
+        "n": [np.int64(n)], "total_pairs": [np.int64(total)],
+        "s_pairs": [np.int64(s_pairs)], "t_pairs": [np.int64(t_pairs)],
+        "st_pairs": [np.int64(st_pairs)],
+        "expected_st": [expected], "ratio": [ratio]}))

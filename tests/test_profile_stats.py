@@ -613,3 +613,35 @@ def test_lorenz_deciles_brute_and_empty():
     empty = df.iloc[:0]
     assert len(lorenz_deciles(rd.from_pandas(empty), "v",
                               "id").to_pandas()) == 0
+
+
+def test_knox_test_brute_and_boundaries():
+    from city2graph_ray.ops.spatial import knox_test
+    rng = np.random.default_rng(21)
+    n = 80
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "x": rng.uniform(0, 50, n),
+                       "y": rng.uniform(0, 50, n),
+                       "t": rng.integers(0, 1000, n)})
+    # force an exact dt == tau boundary pair
+    df.loc[0, "t"] = 100
+    df.loc[1, "t"] = 100 + 37
+    out = knox_test(rd.from_pandas(df).repartition(4), radius=10.0,
+                    tau=37).to_pandas().iloc[0]
+    xy = df[["x", "y"]].to_numpy()
+    d = np.sqrt(((xy[:, None] - xy[None]) ** 2).sum(-1))
+    t = df["t"].to_numpy(np.int64)
+    dt = np.abs(t[:, None] - t[None])
+    iu = np.triu_indices(n, 1)
+    sp = d[iu] <= 10.0
+    tp = dt[iu] <= 37
+    assert out["total_pairs"] == n * (n - 1) // 2
+    assert out["s_pairs"] == sp.sum()
+    assert out["t_pairs"] == tp.sum()
+    assert out["st_pairs"] == (sp & tp).sum()
+    exp = round(sp.sum() * tp.sum() / (n * (n - 1) // 2), 6)
+    assert out["expected_st"] == exp
+    # degenerate: single point -> empty result
+    single = df.iloc[:1]
+    assert len(knox_test(rd.from_pandas(single), 10.0, 37)
+               .to_pandas()) == 0
