@@ -4722,6 +4722,35 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _part_areal_interp(sf_dir: str):
+    """Areal-weighted interpolation of part values onto a 64-unit
+    grid: shuffle-free streaming rect→cell explode with exact integer
+    overlap clips."""
+    import ray.data
+
+    from city2graph_ray import synth
+    from city2graph_ray.ops.spatial import areal_interpolation
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey",
+                                          "p_retailprice"])
+
+    def rects(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "id": k,
+            "x0": (k * k * synth.QX + k * synth.AX + synth.BX)
+            % synth.MOD % 900,
+            "y0": (k * k * synth.QY + k * synth.AY + synth.BY)
+            % synth.MOD % 900,
+            "w": 3 + k % 5, "h": 3 + k % 7,
+            "value": np.floor(b["p_retailprice"].to_numpy(np.float64)
+                              * 100 + 0.5).astype(np.int64)})
+
+    return areal_interpolation(
+        part.map_batches(rects, batch_format="pandas"), cell=64)
+
+
 def _pt_knox(sf_dir: str):
     """Knox space-time interaction over derived customer points with
     deterministic integer timestamps: fixed-radius pair shuffle +
@@ -5186,6 +5215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_rfm": _cust_rfm,
         "order_lorenz": _order_lorenz,
         "pt_knox": _pt_knox,
+        "part_areal_interp": _part_areal_interp,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5609,6 +5639,36 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "part_areal_interp": f"""
+            WITH r AS (SELECT p_partkey AS id,
+                  (p_partkey*p_partkey*{synth.QX}
+                   + p_partkey*{synth.AX} + {synth.BX})
+                  % {synth.MOD} % 900 AS x0,
+                  (p_partkey*p_partkey*{synth.QY}
+                   + p_partkey*{synth.AY} + {synth.BY})
+                  % {synth.MOD} % 900 AS y0,
+                  3 + p_partkey % 5 AS w, 3 + p_partkey % 7 AS h,
+                  CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                    AS value
+                FROM part),
+            e AS (SELECT id, x0, y0, w, h, value, gx, gy
+                  FROM r,
+                  unnest(generate_series(x0 // 64,
+                                         (x0 + w - 1) // 64)) AS tx(gx),
+                  unnest(generate_series(y0 // 64,
+                                         (y0 + h - 1) // 64)) AS ty(gy))
+            SELECT id AS src, gx, gy,
+                   (least(x0 + w, (gx + 1) * 64) - greatest(x0, gx * 64))
+                   * (least(y0 + h, (gy + 1) * 64)
+                      - greatest(y0, gy * 64)) AS overlap_area,
+                   w * h AS src_area,
+                   round(CAST(value
+                              * (least(x0 + w, (gx + 1) * 64)
+                                 - greatest(x0, gx * 64))
+                              * (least(y0 + h, (gy + 1) * 64)
+                                 - greatest(y0, gy * 64)) AS DOUBLE)
+                         / (w * h), 6) AS alloc
+            FROM e""",
         "pt_knox": f"""
             WITH p AS (SELECT c_custkey AS id,
                               {synth.sql_x('c_custkey')} AS x,

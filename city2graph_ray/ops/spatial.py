@@ -1037,3 +1037,55 @@ def knox_test(pts: ray.data.Dataset, radius: float, tau: int,
         "s_pairs": [np.int64(s_pairs)], "t_pairs": [np.int64(t_pairs)],
         "st_pairs": [np.int64(st_pairs)],
         "expected_st": [expected], "ratio": [ratio]}))
+
+
+def areal_interpolation(rects: ray.data.Dataset, cell: int,
+                        ) -> ray.data.Dataset:
+    """Areal-weighted interpolation weights (Goodchild & Lam 1980,
+    public literature) from axis-aligned integer source rectangles
+    onto a regular target grid — the standard GIS re-zoning step
+    (census blocks → raster, zones → tiles).
+
+    Distributed shape: pure streaming ``map_batches`` — each rectangle
+    scatters to the grid cells it overlaps (vectorized repeat over
+    per-rect integer cell ranges; fan-out bounded by rect size /
+    ``cell``, a data-model constant); the per-pair overlap is the
+    closed-form min/max clip.  NO shuffle at all: the output is the
+    (source, target) weight relation itself.  Exactness: corners,
+    areas and overlaps are int64; the allocated value is ONE
+    fixed-form divide per pair:
+    ``alloc = round(double(value·overlap)/src_area, 6)``.
+    Input columns ``(id, x0, y0, w, h, value)`` all int64 (w, h ≥ 1);
+    output ``(src, gx, gy, overlap_area, src_area, alloc)``.
+    """
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        x0 = b["x0"].to_numpy(np.int64)
+        y0 = b["y0"].to_numpy(np.int64)
+        w = b["w"].to_numpy(np.int64)
+        h = b["h"].to_numpy(np.int64)
+        gx0, gx1 = x0 // cell, (x0 + w - 1) // cell
+        gy0, gy1 = y0 // cell, (y0 + h - 1) // cell
+        nx, ny = gx1 - gx0 + 1, gy1 - gy0 + 1
+        reps = nx * ny
+        idx = np.repeat(np.arange(len(b)), reps)
+        # within-rect cell rank -> (gx, gy) offsets, y-major
+        off = (np.arange(reps.sum(), dtype=np.int64)
+               - np.repeat(np.concatenate(([0], reps.cumsum()[:-1])),
+                           reps))
+        gx = gx0[idx] + off // ny[idx]
+        gy = gy0[idx] + off % ny[idx]
+        ox = (np.minimum(x0[idx] + w[idx], (gx + 1) * cell)
+              - np.maximum(x0[idx], gx * cell))
+        oy = (np.minimum(y0[idx] + h[idx], (gy + 1) * cell)
+              - np.maximum(y0[idx], gy * cell))
+        overlap = ox * oy
+        area = w[idx] * h[idx]
+        val = b["value"].to_numpy(np.int64)[idx]
+        return pd.DataFrame({
+            "src": b["id"].to_numpy(np.int64)[idx],
+            "gx": gx, "gy": gy, "overlap_area": overlap,
+            "src_area": area,
+            "alloc": np.round((val * overlap).astype(np.float64)
+                              / area.astype(np.float64), 6)})
+
+    return rects.map_batches(explode, batch_format="pandas")

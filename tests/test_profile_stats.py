@@ -645,3 +645,41 @@ def test_knox_test_brute_and_boundaries():
     single = df.iloc[:1]
     assert len(knox_test(rd.from_pandas(single), 10.0, 37)
                .to_pandas()) == 0
+
+
+def test_areal_interpolation_brute_and_edges():
+    from city2graph_ray.ops.spatial import areal_interpolation
+    # rect straddling cell borders + rect inside one cell + rect
+    # exactly on a boundary
+    df = pd.DataFrame({
+        "id": [1, 2, 3],
+        "x0": [6, 1, 8], "y0": [6, 1, 0],
+        "w": [4, 2, 8], "h": [4, 2, 8],
+        "value": [1000, 77, 64]})
+    out = (areal_interpolation(rd.from_pandas(df).repartition(2),
+                               cell=8).to_pandas()
+           .sort_values(["src", "gx", "gy"]).reset_index(drop=True))
+    r1 = out[out["src"] == 1]
+    # rect 1 spans x 6..9, y 6..9 over 8-cells -> 4 pieces 2x2,2x2...
+    assert len(r1) == 4
+    assert sorted(r1["overlap_area"]) == [4, 4, 4, 4]
+    assert (r1["src_area"] == 16).all()
+    assert (r1["alloc"] == 250.0).all()
+    assert r1["alloc"].sum() == 1000.0
+    r2 = out[out["src"] == 2]
+    assert len(r2) == 1 and r2["overlap_area"].iloc[0] == 4
+    assert r2["alloc"].iloc[0] == 77.0
+    r3 = out[out["src"] == 3]  # aligned exactly to cell 1 in x
+    assert len(r3) == 1 and (r3["gx"] == 1).all()
+    assert r3["overlap_area"].iloc[0] == 64
+    # mass conservation over a random batch
+    rng = np.random.default_rng(2)
+    big = pd.DataFrame({
+        "id": np.arange(50, dtype=np.int64),
+        "x0": rng.integers(0, 200, 50), "y0": rng.integers(0, 200, 50),
+        "w": rng.integers(1, 20, 50), "h": rng.integers(1, 20, 50),
+        "value": rng.integers(1, 10**6, 50)})
+    o = areal_interpolation(rd.from_pandas(big), cell=16).to_pandas()
+    per_src = o.groupby("src").agg(a=("overlap_area", "sum"),
+                                   s=("src_area", "first"))
+    assert (per_src["a"] == per_src["s"]).all()
