@@ -4722,6 +4722,16 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _event_attribution(sf_dir: str):
+    """Last-touch conversion attribution: unique-right reduction via
+    last_by, distributed backward as-of join, one tiny rollup."""
+    from city2graph_ray.pipelines.relational import (
+        last_touch_attribution)
+    from city2graph_ray.pipelines.tables import events
+
+    return last_touch_attribution(events(sf_dir))
+
+
 def _part_areal_interp(sf_dir: str):
     """Areal-weighted interpolation of part values onto a 64-unit
     grid: shuffle-free streaming rect→cell explode with exact integer
@@ -5216,6 +5226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lorenz": _order_lorenz,
         "pt_knox": _pt_knox,
         "part_areal_interp": _part_areal_interp,
+        "event_attribution": _event_attribution,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5639,6 +5650,26 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "event_attribution": """
+            WITH t0 AS (SELECT user_id, ts, event_id,
+                               event_type AS touch_type
+                        FROM events WHERE event_type <> 'purchase'),
+            t AS (SELECT user_id, ts, touch_type
+                  FROM (SELECT *, row_number() OVER
+                          (PARTITION BY user_id, ts
+                           ORDER BY event_id DESC) AS rn
+                        FROM t0)
+                  WHERE rn = 1),
+            p AS (SELECT user_id, ts,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS cents
+                  FROM events WHERE event_type = 'purchase')
+            SELECT coalesce(t.touch_type, 'none') AS touch_type,
+                   CAST(count(*) AS BIGINT) AS n_conversions,
+                   CAST(sum(p.cents) AS BIGINT) AS total_cents
+            FROM p ASOF LEFT JOIN t
+              ON p.user_id = t.user_id AND p.ts >= t.ts
+            GROUP BY 1""",
         "part_areal_interp": f"""
             WITH r AS (SELECT p_partkey AS id,
                   (p_partkey*p_partkey*{synth.QX}

@@ -1625,3 +1625,66 @@ def rfm_segments(sf_dir: str, k: int = 5) -> ray.data.Dataset:
                   "r_tile", "f_tile", "m_tile", "rfm"]]
 
     return ds.map_batches(finish, batch_format="pandas")
+
+
+def last_touch_attribution(events: ray.data.Dataset,
+                           conversion_type: str = "purchase",
+                           ) -> ray.data.Dataset:
+    """Last-touch conversion attribution — the standard marketing
+    analytics allocation: each conversion's value is credited to the
+    user's most recent touch event at or before the conversion
+    (conversions with no prior touch fall into ``'none'``).
+
+    Distributed shape: touches first reduce to one row per
+    ``(user, ts)`` (largest event_id wins — as-of engines need a
+    unique right side to be deterministic) through the keyed
+    ``last_by`` shuffle; the credit assignment IS the distributed
+    as-of join (:func:`~city2graph_ray.ops.asof.asof_join`, backward,
+    exact matches allowed); the rollup is one ≤|types|-row keyed sum.
+    Exactness: values quantize once to integer cents; counts and sums
+    are int64.  Output ``(touch_type, n_conversions, total_cents)``.
+    """
+    from city2graph_ray.ops.asof import asof_join
+
+    def split_conv(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].to_numpy() == conversion_type
+        c = b.loc[m]
+        return pd.DataFrame({
+            "user_id": c["user_id"].to_numpy(np.int64),
+            "ts": c["ts"].to_numpy(),
+            "cents": np.floor(c["value"].to_numpy(np.float64) * 100
+                              + 0.5).astype(np.int64)})
+
+    def split_touch(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].to_numpy() != conversion_type
+        t = b.loc[m]
+        return pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(np.int64),
+            "ts": t["ts"].to_numpy(),
+            "event_id": t["event_id"].to_numpy(np.int64),
+            "touch_type": t["event_type"].to_numpy()})
+
+    conv = events.map_batches(split_conv, batch_format="pandas")
+    touch = shuffle.last_by(
+        events.map_batches(split_touch, batch_format="pandas"),
+        ["user_id", "ts"], "event_id").map_batches(
+            lambda b: b[["user_id", "ts", "touch_type"]],
+            batch_format="pandas")
+    joined = asof_join(conv, touch, on="ts", by="user_id",
+                       direction="backward")
+
+    def rollup(b: pd.DataFrame) -> pd.DataFrame:
+        tt = b["touch_type"].astype(object).where(
+            b["touch_type"].notna(), "none")
+        g = (pd.DataFrame({"touch_type": tt,
+                           "cents": b["cents"].to_numpy(np.int64)})
+             .groupby("touch_type", sort=False)
+             .agg(n_conversions=("cents", "size"),
+                  total_cents=("cents", "sum")).reset_index())
+        return g
+
+    return shuffle.group_agg(
+        joined.map_batches(rollup, batch_format="pandas"),
+        ["touch_type"],
+        {"n_conversions": ("n_conversions", "sum"),
+         "total_cents": ("total_cents", "sum")}, num_buckets=1)

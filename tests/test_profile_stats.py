@@ -683,3 +683,35 @@ def test_areal_interpolation_brute_and_edges():
     per_src = o.groupby("src").agg(a=("overlap_area", "sum"),
                                    s=("src_area", "first"))
     assert (per_src["a"] == per_src["s"]).all()
+
+
+def test_last_touch_attribution_brute():
+    from city2graph_ray.pipelines.relational import (
+        last_touch_attribution)
+    base = pd.Timestamp("2024-03-01")
+    rows = [
+        # user 1: view@0, click@5, purchase@6 (-> click), purchase@2
+        # (-> view)
+        (1, 1, "view", 0, 0.0), (2, 1, "click", 5, 0.0),
+        (3, 1, "purchase", 6, 10.0), (4, 1, "purchase", 2, 20.0),
+        # user 2: purchase with no prior touch -> none; later touch
+        # at the SAME ts as a purchase -> attributed (exact match)
+        (5, 2, "purchase", 1, 5.0), (6, 2, "view", 3, 0.0),
+        (7, 2, "purchase", 3, 7.0),
+        # user 2: two touches at the same ts -> larger event_id wins
+        (8, 2, "click", 4, 0.0), (9, 2, "signup", 4, 0.0),
+        (10, 2, "purchase", 4, 1.0),
+    ]
+    df = pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "user_id": [r[1] for r in rows],
+        "event_type": [r[2] for r in rows],
+        "ts": [base + pd.Timedelta(seconds=r[3]) for r in rows],
+        "value": [r[4] for r in rows]})
+    out = (last_touch_attribution(rd.from_pandas(df).repartition(3))
+           .to_pandas().set_index("touch_type"))
+    assert out.loc["click"]["total_cents"] == 1000
+    assert out.loc["view"]["total_cents"] == 2000 + 700
+    assert out.loc["none"]["total_cents"] == 500
+    assert out.loc["signup"]["total_cents"] == 100  # id 9 > id 8
+    assert out["n_conversions"].sum() == 5
