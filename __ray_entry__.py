@@ -4722,6 +4722,44 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _event_km_survival(sf_dir: str):
+    """Kaplan-Meier risk table over user lifetimes (hours between
+    first and last event; censored when the user is still active in
+    the final 72 hours of the window): one user fold + one
+    distinct-durations fold, driver at-risk ladder."""
+    import ray.data
+
+    from city2graph_ray.ops.windows import km_risk_table
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        d = (b["ts"].astype("datetime64[us]").astype(np.int64)
+             // 3_600_000_000)
+        return pd.DataFrame({"user": b["user_id"].to_numpy(np.int64),
+                             "day": d})
+
+    from city2graph_ray import shuffle
+    u = shuffle.group_agg(
+        ev.map_batches(days, batch_format="pandas"), ["user"],
+        {"f": ("day", "min"), "l": ("day", "max")})
+    gmax = int(u.map_batches(
+        lambda b: pd.DataFrame({"m": [b["l"].max()]}),
+        batch_format="pandas").to_pandas()["m"].max())
+
+    def lifetimes(b: pd.DataFrame) -> pd.DataFrame:
+        life = (b["l"].to_numpy(np.int64)
+                - b["f"].to_numpy(np.int64))
+        ev_flag = (b["l"].to_numpy(np.int64) < gmax - 72).astype(
+            np.int64)
+        return pd.DataFrame({"duration": life, "event": ev_flag})
+
+    return km_risk_table(
+        u.map_batches(lifetimes, batch_format="pandas"),
+        "duration", "event")
+
+
 def _event_attribution(sf_dir: str):
     """Last-touch conversion attribution: unique-right reduction via
     last_by, distributed backward as-of join, one tiny rollup."""
@@ -5227,6 +5265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_knox": _pt_knox,
         "part_areal_interp": _part_areal_interp,
         "event_attribution": _event_attribution,
+        "event_km_survival": _event_km_survival,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5650,6 +5689,34 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "event_km_survival": """
+            WITH u AS (SELECT user_id,
+                         min(CAST(epoch_us(ts) AS BIGINT)
+                             // 3600000000) AS f,
+                         max(CAST(epoch_us(ts) AS BIGINT)
+                             // 3600000000) AS l
+                       FROM events GROUP BY 1),
+            g AS (SELECT max(l) AS gmax FROM u),
+            s AS (SELECT l - f AS duration,
+                         CASE WHEN l < gmax - 72 THEN 1 ELSE 0 END
+                           AS ev
+                  FROM u CROSS JOIN g),
+            t AS (SELECT duration,
+                         CAST(sum(ev) AS BIGINT) AS d_events,
+                         CAST(sum(1 - ev) AS BIGINT) AS n_censored
+                  FROM s GROUP BY duration),
+            r AS (SELECT duration, d_events, n_censored,
+                         CAST(sum(d_events + n_censored) OVER ()
+                              - coalesce(sum(d_events + n_censored)
+                                  OVER (ORDER BY duration
+                                        ROWS BETWEEN UNBOUNDED
+                                        PRECEDING AND 1 PRECEDING),
+                                  0) AS BIGINT) AS n_risk
+                  FROM t)
+            SELECT duration, n_risk, d_events, n_censored,
+                   round(1.0 - CAST(d_events AS DOUBLE) / n_risk, 6)
+                     AS km_factor
+            FROM r""",
         "event_attribution": """
             WITH t0 AS (SELECT user_id, ts, event_id,
                                event_type AS touch_type

@@ -520,3 +520,56 @@ def cohort_retention(ds: ray.data.Dataset, user_col: str, ts_col: str,
         rate=np.round(na.astype(np.float64) / n0.astype(np.float64), 6))
     return ray.data.from_pandas(
         out.sort_values(["cohort", "offset"]).reset_index(drop=True))
+
+
+def km_risk_table(ds: ray.data.Dataset, duration_col: str,
+                  event_col: str) -> ray.data.Dataset:
+    """Kaplan–Meier risk table (Kaplan & Meier 1958, public
+    literature): for each distinct duration, the number at risk,
+    events (deaths) and censorings, plus the per-step survival factor
+    ``1 − d/n`` — the exact ingredients of the product-limit curve
+    (the cumulative product is a trivial client-side fold over this
+    small table; emitting factors keeps every row bit-exact instead of
+    an order-dependent float product).
+
+    Distributed shape: per-block partial ``(duration → d, c)`` counts,
+    ONE keyed sum onto the distinct-durations-sized table, driver
+    cumsum for the at-risk ladder (bounded by distinct durations, not
+    subjects).  ``event_col`` is 1 = event observed, 0 = censored.
+    Exactness: all counts int64; ``km_factor = round(1 −
+    double(d)/n_risk, 6)`` is ONE fixed-form divide per row.
+    Output ``(duration, n_risk, d_events, n_censored, km_factor)``
+    sorted by duration.
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ev = b[event_col].to_numpy(np.int64)
+        g = (pd.DataFrame({"duration": b[duration_col]
+                           .to_numpy(np.int64),
+                           "d_events": ev, "n_censored": 1 - ev})
+             .groupby("duration", sort=False).sum().reset_index())
+        return g
+
+    tab = shuffle.group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["duration"],
+        {"d_events": ("d_events", "sum"),
+         "n_censored": ("n_censored", "sum")},
+        num_buckets=1).to_pandas()
+    if len(tab) == 0 or "duration" not in tab.columns:
+        z = np.array([], np.int64)
+        return ray.data.from_pandas(pd.DataFrame({
+            "duration": z, "n_risk": z, "d_events": z,
+            "n_censored": z,
+            "km_factor": np.array([], np.float64)}))
+    tab = tab.sort_values("duration").reset_index(drop=True)
+    leaving = (tab["d_events"].to_numpy(np.int64)
+               + tab["n_censored"].to_numpy(np.int64))
+    total = leaving.sum()
+    n_risk = total - np.concatenate(([0], leaving.cumsum()[:-1]))
+    d = tab["d_events"].to_numpy(np.int64)
+    return ray.data.from_pandas(pd.DataFrame({
+        "duration": tab["duration"].to_numpy(np.int64),
+        "n_risk": n_risk, "d_events": d,
+        "n_censored": tab["n_censored"].to_numpy(np.int64),
+        "km_factor": np.round(
+            1.0 - d.astype(np.float64) / n_risk.astype(np.float64),
+            6)}))

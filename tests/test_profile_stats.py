@@ -715,3 +715,23 @@ def test_last_touch_attribution_brute():
     assert out.loc["none"]["total_cents"] == 500
     assert out.loc["signup"]["total_cents"] == 100  # id 9 > id 8
     assert out["n_conversions"].sum() == 5
+
+
+def test_km_risk_table_brute_and_empty():
+    from city2graph_ray.ops.windows import km_risk_table
+    # durations: 2,2,3,5(cens),5,7(cens)
+    df = pd.DataFrame({"duration": [2, 2, 3, 5, 5, 7],
+                       "event":    [1, 1, 1, 0, 1, 0]})
+    out = (km_risk_table(rd.from_pandas(df).repartition(3),
+                         "duration", "event").to_pandas()
+           .set_index("duration"))
+    assert list(out.index) == [2, 3, 5, 7]
+    assert list(out["n_risk"]) == [6, 4, 3, 1]
+    assert list(out["d_events"]) == [2, 1, 1, 0]
+    assert list(out["n_censored"]) == [0, 0, 1, 1]
+    assert out.loc[2]["km_factor"] == round(1 - 2 / 6, 6)
+    assert out.loc[5]["km_factor"] == round(1 - 1 / 3, 6)
+    assert out.loc[7]["km_factor"] == 1.0
+    empty = df.iloc[:0]
+    assert len(km_risk_table(rd.from_pandas(empty), "duration",
+                             "event").to_pandas()) == 0
