@@ -4722,6 +4722,30 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _zone_khop_ball(sf_dir: str):
+    """2-hop neighbourhood sizes over the sparse zone digraph:
+    per-round bucketed frontier joins + distinct shuffles, one keyed
+    count."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.graph_algos import khop_ball_sizes
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        c = b["o_custkey"].to_numpy(np.int64)
+        keep = k % 200 == 0
+        return pd.DataFrame({"src": c[keep] % 80,
+                             "dst": (k[keep] // 200) % 79})
+
+    edges = shuffle.distinct(
+        orders.map_batches(fn, batch_format="pandas"), ["src", "dst"])
+    return khop_ball_sizes(edges, hops=2)
+
+
 def _event_km_survival(sf_dir: str):
     """Kaplan-Meier risk table over user lifetimes (hours between
     first and last event; censored when the user is still active in
@@ -5266,6 +5290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_areal_interp": _part_areal_interp,
         "event_attribution": _event_attribution,
         "event_km_survival": _event_km_survival,
+        "zone_khop_ball": _zone_khop_ball,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5689,6 +5714,18 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "zone_khop_ball": """
+            WITH e AS (SELECT DISTINCT o_custkey % 80 AS src,
+                              (o_orderkey // 200) % 79 AS dst
+                       FROM orders WHERE o_orderkey % 200 = 0),
+            r1 AS (SELECT src AS root, dst AS cur FROM e),
+            r2 AS (SELECT r1.root, e.dst AS cur
+                   FROM r1 JOIN e ON e.src = r1.cur),
+            r AS (SELECT DISTINCT root, cur FROM
+                    (SELECT * FROM r1 UNION ALL SELECT * FROM r2))
+            SELECT root AS node, CAST(count(*) AS BIGINT)
+                     AS ball_size
+            FROM r WHERE root <> cur GROUP BY root""",
         "event_km_survival": """
             WITH u AS (SELECT user_id,
                          min(CAST(epoch_us(ts) AS BIGINT)

@@ -3185,3 +3185,65 @@ def circuit_rank(edges: ray.data.Dataset, src: str = "src",
     return ray.data.from_pandas(pd.DataFrame({
         "m": [np.int64(m)], "n": [np.int64(n)], "c": [np.int64(c)],
         "circuit_rank": [np.int64(m - n + c)]}))
+
+
+def khop_ball_sizes(edges: ray.data.Dataset, hops: int = 2,
+                    ) -> ray.data.Dataset:
+    """k-hop neighbourhood (ball) size per node over a directed edge
+    list — the classic local-expansion graph feature (distinct nodes
+    reachable in ≤ ``hops`` steps, self excluded).
+
+    Distributed shape: frontier widening by repeated bucketed hash
+    joins on the hop boundary (reachable ⋈ edges on the frontier
+    node), a distinct shuffle per round to collapse multiplicity
+    (keeps each round's table ≤ nodes × reach, never path counts),
+    and ONE keyed count at the end.  Exactness: pure int64 set
+    algebra.  Output ``(node, ball_size)`` int64, only nodes with
+    outgoing reach.
+    """
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+
+    import pyarrow as pa
+
+    pair_schema = pa.schema([("root", pa.int64()), ("cur", pa.int64())])
+    reach = shuffle.distinct(
+        edges.map_batches(
+            lambda b: pd.DataFrame({
+                "root": b["src"].to_numpy(np.int64),
+                "cur": b["dst"].to_numpy(np.int64)}),
+            batch_format="pandas"), ["root", "cur"])
+    frontier = reach
+    for _ in range(hops - 1):
+        ext = bucketed_join(
+            frontier.map_batches(
+                lambda b: b.rename(columns={"cur": "src"}),
+                batch_format="pandas"),
+            edges.map_batches(
+                lambda b: pd.DataFrame({
+                    "src": b["src"].to_numpy(np.int64),
+                    "nxt": b["dst"].to_numpy(np.int64)}),
+                batch_format="pandas"), on="src",
+            left_schema=pa.schema([("root", pa.int64()),
+                                   ("src", pa.int64())]),
+            right_schema=pa.schema([("src", pa.int64()),
+                                    ("nxt", pa.int64())]))
+        frontier = shuffle.distinct(
+            ext.map_batches(
+                lambda b: pd.DataFrame({
+                    "root": b["root"].to_numpy(np.int64),
+                    "cur": b["nxt"].to_numpy(np.int64)}),
+                batch_format="pandas"), ["root", "cur"])
+        reach = shuffle.distinct(reach.union(frontier),
+                                 ["root", "cur"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["root"].to_numpy(np.int64)
+              != b["cur"].to_numpy(np.int64)]
+        g = b.groupby("root", sort=False).size().reset_index(name="n")
+        return pd.DataFrame({"node": g["root"].to_numpy(np.int64),
+                             "ball_size": g["n"].to_numpy(np.int64)})
+
+    return shuffle.group_agg(
+        reach.map_batches(count_partial, batch_format="pandas"),
+        ["node"], {"ball_size": ("ball_size", "sum")}, num_buckets=1)

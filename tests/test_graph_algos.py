@@ -1016,3 +1016,29 @@ def test_circuit_rank_matches_formula():
     assert out["n"].iloc[0] == 7
     assert out["c"].iloc[0] == 2
     assert out["circuit_rank"].iloc[0] == 1
+
+
+def test_khop_ball_sizes_brute():
+    import networkx as nx
+    import ray.data as rd
+    from city2graph_ray.ops.graph_algos import khop_ball_sizes
+    rng = np.random.default_rng(17)
+    e = pd.DataFrame({"src": rng.integers(0, 30, 120),
+                      "dst": rng.integers(0, 30, 120)})
+    e = e[e.src != e.dst].drop_duplicates()
+    out = (khop_ball_sizes(rd.from_pandas(e).repartition(3), hops=3)
+           .to_pandas().set_index("node")["ball_size"])
+    g = nx.DiGraph(list(e.itertuples(index=False)))
+    for v in g.nodes:
+        ball = set(nx.single_source_shortest_path_length(
+            g, v, cutoff=3)) - {v}
+        if ball:
+            assert out.loc[v] == len(ball), v
+        else:
+            assert v not in out.index
+    # hops=1 equals out-degree over distinct edges
+    o1 = (khop_ball_sizes(rd.from_pandas(e), hops=1)
+          .to_pandas().set_index("node")["ball_size"])
+    deg = e.groupby("src").size()
+    assert o1.sort_index().equals(deg[deg > 0].sort_index()
+                                  .astype(np.int64).rename("ball_size"))
