@@ -4722,6 +4722,29 @@ def _pt_clark_evans(sf_dir: str):
     return clark_evans(customer_points(sf_dir), area=1_000_000.0)
 
 
+def _event_rank_auc(sf_dir: str):
+    """Exact tie-averaged ROC-AUC of click-vs-view on event value:
+    two-pass global rank, one per-score keyed agg, int64 scalar
+    fold."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import rank_auc
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def lab(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].isin(["click", "view"]).to_numpy()
+        s = b.loc[m]
+        return pd.DataFrame({
+            "label": (s["event_type"].to_numpy() == "click")
+            .astype(np.int64),
+            "score": s["value"].to_numpy(np.float64)})
+
+    return rank_auc(ev.map_batches(lab, batch_format="pandas"),
+                    "label", "score")
+
+
 def _zone_khop_ball(sf_dir: str):
     """2-hop neighbourhood sizes over the sparse zone digraph:
     per-round bucketed frontier joins + distinct shuffles, one keyed
@@ -5291,6 +5314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_attribution": _event_attribution,
         "event_km_survival": _event_km_survival,
         "zone_khop_ball": _zone_khop_ball,
+        "event_rank_auc": _event_rank_auc,
         "pt_dbscan": _pt_dbscan,
         "pt_cell_assign": _pt_cell_assign,
         "pt_quadtree": _pt_quadtree,
@@ -5714,6 +5738,35 @@ def oracle_sql() -> dict[str, str]:
                          / (0.5 / sqrt(n / 1000000.0)), 6)
                      AS clark_evans
             FROM s""",
+        "event_rank_auc": """
+            WITH s AS (SELECT
+                         CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS qs,
+                         CASE WHEN event_type = 'click' THEN 1
+                              ELSE 0 END AS lab
+                       FROM events
+                       WHERE event_type IN ('click', 'view')),
+            r AS (SELECT qs, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(lab) AS BIGINT) AS np
+                  FROM s GROUP BY qs),
+            o AS (SELECT qs, n, np,
+                         CAST(coalesce(sum(n) OVER (ORDER BY qs
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                           AS below
+                  FROM r),
+            a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                         CAST(sum(n - np) AS BIGINT) AS n_neg,
+                         CAST(sum(np * (below + 1 + below + n))
+                              AS BIGINT) AS r1_x2,
+                         CAST(sum(n * n * n - n) AS BIGINT)
+                           AS tie_sum
+                  FROM o)
+            SELECT n_pos, n_neg, r1_x2,
+                   r1_x2 - n_pos * (n_pos + 1) AS u_x2, tie_sum,
+                   round(CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+                         / (2 * n_pos * n_neg), 6) AS auc
+            FROM a""",
         "zone_khop_ball": """
             WITH e AS (SELECT DISTINCT o_custkey % 80 AS src,
                               (o_orderkey // 200) % 79 AS dst

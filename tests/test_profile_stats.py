@@ -735,3 +735,39 @@ def test_km_risk_table_brute_and_empty():
     empty = df.iloc[:0]
     assert len(km_risk_table(rd.from_pandas(empty), "duration",
                              "event").to_pandas()) == 0
+
+
+def test_rank_auc_vs_brute_with_ties():
+    from city2graph_ray.ops.stats import rank_auc
+    rng = np.random.default_rng(31)
+    # heavy ties: scores on a small lattice
+    df = pd.DataFrame({"label": rng.integers(0, 2, 400),
+                       "score": rng.integers(0, 20, 400) / 4.0})
+    out = rank_auc(rd.from_pandas(df).repartition(5), "label",
+                   "score").to_pandas().iloc[0]
+    # brute AUC with tie-average ranks (scipy-free)
+    q = np.floor(df["score"].to_numpy() * 100 + 0.5).astype(np.int64)
+    lab = df["label"].to_numpy()
+    order = np.argsort(q, kind="stable")
+    ranks = np.empty(len(q), np.float64)
+    sq = q[order]
+    i = 0
+    while i < len(sq):
+        j = i
+        while j < len(sq) and sq[j] == sq[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n1 = int(lab.sum()); n0 = len(lab) - n1
+    u = ranks[lab == 1].sum() - n1 * (n1 + 1) / 2
+    assert out["n_pos"] == n1 and out["n_neg"] == n0
+    assert out["u_x2"] == int(round(2 * u))
+    assert out["auc"] == round(u / (n1 * n0), 6)
+    # perfect separation -> AUC 1; single-class -> empty
+    sep = pd.DataFrame({"label": [0, 0, 1, 1],
+                        "score": [1.0, 2.0, 3.0, 4.0]})
+    assert rank_auc(rd.from_pandas(sep), "label",
+                    "score").to_pandas()["auc"].iloc[0] == 1.0
+    one = pd.DataFrame({"label": [1, 1], "score": [1.0, 2.0]})
+    assert len(rank_auc(rd.from_pandas(one), "label",
+                        "score").to_pandas()) == 0
