@@ -5295,6 +5295,40 @@ def _doc_winnowing(sf_dir: str):
                                   hash_fn="md5")
 
 
+def _event_mann_kendall(sf_dir: str):
+    """Per-user Mann-Kendall trend statistic S over (ts, event_id)-
+    ordered integer cents, with the exact tie-corrected variance
+    numerator — one user shuffle, ragged-triu pair expansion; the
+    twin is the ordered self-join sign sum."""
+    from city2graph_ray.ops.stats import mann_kendall
+    from city2graph_ray.pipelines.tables import events
+
+    return mann_kendall(events(sf_dir), "user_id", "ts", "event_id",
+                        "value")
+
+
+def _event_scd2(sf_dir: str):
+    """SCD type-2 dimension snapshot from the event log: per-user
+    validity intervals of consecutive equal event_type runs
+    (start/end µs, open last run) — the lag-change island twin with
+    LEAD over run starts."""
+    from city2graph_ray.ops.windows import scd2_intervals
+    from city2graph_ray.pipelines.tables import events
+
+    return scd2_intervals(events(sf_dir), "user_id", "ts", "event_id",
+                          "event_type")
+
+
+def _doc_chunks(sf_dir: str):
+    """RAG-style overlapping character chunking (size 200, stride
+    150): code-point slices on both sides, so the generate_series +
+    substr twin is bit-exact per chunk."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import chunk_documents
+
+    return chunk_documents(documents(sf_dir), size=200, stride=150)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -5541,6 +5575,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_stats": _event_gap_stats,
         "orders_monthly_growth": _orders_monthly_growth,
         "event_high_runs": _event_high_runs,
+        "event_mann_kendall": _event_mann_kendall,
+        "event_scd2": _event_scd2,
+        "doc_chunks": _doc_chunks,
         "event_value_eqdepth": _event_value_eqdepth,
         "event_pareto": _event_pareto,
         "event_type_cooccurrence": _event_type_cooccurrence,
@@ -8947,6 +8984,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT tile, count(*) AS n, min(value) AS lo,
                    max(value) AS hi
             FROM t GROUP BY tile""",
+        "event_mann_kendall": """
+            WITH u AS (SELECT user_id, ts, event_id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS un
+                       FROM events),
+            s AS (SELECT a.user_id AS user_id,
+                         CAST(sum(CASE WHEN b.un > a.un THEN 1
+                                       WHEN b.un < a.un THEN -1
+                                       ELSE 0 END) AS BIGINT) AS s_stat
+                  FROM u a JOIN u b ON a.user_id = b.user_id
+                   AND (a.ts < b.ts
+                        OR (a.ts = b.ts AND a.event_id < b.event_id))
+                  GROUP BY a.user_id),
+            n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                  FROM u GROUP BY user_id),
+            t AS (SELECT user_id,
+                         CAST(sum(c*(c-1)*(2*c+5)) AS BIGINT) AS tie
+                  FROM (SELECT user_id, un,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM u GROUP BY user_id, un)
+                  GROUP BY user_id)
+            SELECT n.user_id, n.n,
+                   COALESCE(s.s_stat, 0) AS s_stat,
+                   n.n*(n.n-1)*(2*n.n+5) - COALESCE(t.tie, 0)
+                     AS var_num
+            FROM n LEFT JOIN s USING (user_id)
+                   LEFT JOIN t USING (user_id)""",
+        "event_scd2": """
+            WITH o AS (SELECT user_id, event_type, ts, event_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS us
+                       FROM events),
+            r AS (SELECT *, CASE WHEN lag(event_type) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id)
+                            IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS chg
+                  FROM o),
+            g AS (SELECT *, sum(chg) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+                  FROM r),
+            runs AS (SELECT user_id, run,
+                            min(event_type) AS attr,
+                            min(us) AS start_us,
+                            CAST(count(*) AS BIGINT) AS n_events
+                     FROM g GROUP BY user_id, run)
+            SELECT user_id, attr,
+                   CAST(start_us AS BIGINT) AS start_us,
+                   CAST(lead(start_us) OVER (
+                        PARTITION BY user_id ORDER BY run)
+                     AS BIGINT) AS end_us,
+                   n_events
+            FROM runs""",
+        "doc_chunks": """
+            WITH e AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(0,
+                       CAST(floor((len(text) - 1) / 150.0) AS BIGINT)))
+                       AS g
+              FROM documents WHERE len(text) > 0)
+            SELECT doc_id,
+                   CAST(g AS BIGINT) AS chunk_id,
+                   CAST(g * 150 AS BIGINT) AS chunk_pos,
+                   substr(text, CAST(g * 150 + 1 AS INT), 200) AS chunk
+            FROM e""",
         "event_high_runs": """
             WITH o AS (
               SELECT user_id, ts, event_id,

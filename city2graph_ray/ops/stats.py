@@ -1285,3 +1285,72 @@ def rank_auc(ds: ray.data.Dataset, label_col: str, score_col: str,
         "n_pos": [np.int64(n_pos)], "n_neg": [np.int64(n_neg)],
         "r1_x2": [np.int64(r1_x2)], "u_x2": [np.int64(u_x2)],
         "tie_sum": [np.int64(tie_sum)], "auc": [auc]}))
+
+
+def mann_kendall(ds: ray.data.Dataset, key_col: str, ts_col: str,
+                 id_col: str, value_col: str, scale: int = 100,
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 ) -> ray.data.Dataset:
+    """Per-key Mann-Kendall trend test statistic (Mann 1945 /
+    Kendall 1975, public literature) over (ts, id)-ordered integer
+    units ``u = floor(value*scale+0.5)``:
+
+      ``S = sum_{i<j} sign(u_j - u_i)``   (i, j in time order)
+
+    plus the exact integer variance numerator with the textbook tie
+    correction ``var_num = n(n-1)(2n+5) - sum_t t(t-1)(2t+5)``
+    (``Var(S) = var_num/18``).  Everything int64, so the self-join SQL
+    twin is bit-exact.  Output one row per key:
+    ``(key, n, s_stat, var_num)``.
+
+    Distributed shape: ONE shuffle keyed by ``key_col``; the kernel
+    sorts a bucket once and expands each key's C(n,2) time-ordered
+    pairs with the ragged vectorized triu used by the wedge operators.
+    Pair volume is inherently quadratic in the per-key event count —
+    same documented bound as the Knox test; keys are users/sensors
+    with bounded history, not the corpus axis.
+    """
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: b[key_col],
+            "__ts": b[ts_col], "__id": b[id_col],
+            "__u": np.floor(b[value_col].to_numpy(np.float64) * scale
+                            + 0.5).astype(np.int64)})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "__ts", "__id"], kind="stable")
+        kk = g[key_col].to_numpy()
+        uu = g["__u"].to_numpy(np.int64)
+        keys_u, starts, sizes = np.unique(kk, return_index=True,
+                                          return_counts=True)
+        # ragged triu: all (earlier, later) pairs within each key
+        pos = np.arange(len(kk)) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - pos
+        total = int(reps.sum())
+        if total:
+            i_idx = np.repeat(np.arange(len(kk)), reps)
+            j_off = (np.arange(total)
+                     - np.repeat(np.cumsum(reps) - reps, reps) + 1)
+            j_idx = i_idx + j_off
+            sgn = np.sign(uu[j_idx] - uu[i_idx]).astype(np.int64)
+            s_stat = np.bincount(
+                np.searchsorted(starts, i_idx, side="right") - 1,
+                weights=sgn, minlength=len(keys_u)).astype(np.int64)
+        else:
+            s_stat = np.zeros(len(keys_u), np.int64)
+        n = sizes.astype(np.int64)
+        # tie term: per (key, value) run counts on the value-sorted view
+        tt = pd.DataFrame({"k": kk, "u": uu}).groupby(
+            ["k", "u"], sort=False).size()
+        t = tt.to_numpy(np.int64)
+        tie = pd.Series(t * (t - 1) * (2 * t + 5),
+                        index=tt.index.get_level_values("k"))
+        tie_per_key = tie.groupby(level=0, sort=True).sum()
+        tie_arr = tie_per_key.reindex(keys_u).to_numpy(np.int64)
+        return pd.DataFrame({
+            key_col: keys_u, "n": n, "s_stat": s_stat,
+            "var_num": n * (n - 1) * (2 * n + 5) - tie_arr})
+
+    rows = ds.map_batches(prep, batch_format="pandas")
+    return shuffle.grouped_transform(rows, [key_col], kernel,
+                                     num_buckets=num_buckets)

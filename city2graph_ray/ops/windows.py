@@ -573,3 +573,56 @@ def km_risk_table(ds: ray.data.Dataset, duration_col: str,
         "km_factor": np.round(
             1.0 - d.astype(np.float64) / n_risk.astype(np.float64),
             6)}))
+
+
+def scd2_intervals(ds: ray.data.Dataset, key_col: str, ts_col: str,
+                   id_col: str, attr_col: str,
+                   num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                   ) -> ray.data.Dataset:
+    """Slowly-changing-dimension type-2 snapshot construction: per key
+    (ordered by ``(ts, id)``) collapse consecutive runs of an equal
+    tracked attribute into validity intervals —
+    ``(key, attr, start_us, end_us, n_events)`` where ``end_us`` is
+    the NEXT run's start (NULL on the key's current/open run).  The
+    standard event-log → dimension-table op every warehouse load
+    performs; the SQL twin is the lag-change + running-sum island
+    construction with a LEAD over run starts.
+
+    ONE shuffle keyed by ``key_col``; the kernel is a vectorized
+    change-flag cumsum (no per-row loop).  Timestamps are int64 µs so
+    the twin hashes bit-exact; ``end_us`` is nullable int64 (Arrow
+    keeps the type through the None padding).
+    """
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: b[key_col],
+            "__us": b[ts_col].to_numpy().astype("datetime64[us]")
+            .view("i8"),
+            "__id": b[id_col], "__attr": b[attr_col]})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "__us", "__id"], kind="stable")
+        kk = g[key_col].to_numpy()
+        us = g["__us"].to_numpy(np.int64)
+        at = g["__attr"].to_numpy()
+        new_key = np.concatenate(([True], kk[1:] != kk[:-1]))
+        chg = np.concatenate(([True], at[1:] != at[:-1]))
+        run_start = new_key | chg
+        run_id = np.cumsum(run_start)
+        agg = (pd.DataFrame({"k": kk, "run": run_id, "us": us,
+                             "attr": at})
+               .groupby(["k", "run"], sort=False)
+               .agg(attr=("attr", "first"), start_us=("us", "min"),
+                    n_events=("us", "size")).reset_index())
+        # runs arrive in (key, time) order: next run's start within key
+        nxt = agg.groupby("k", sort=False)["start_us"].shift(-1)
+        return pd.DataFrame({
+            key_col: agg["k"].to_numpy(),
+            "attr": agg["attr"].to_numpy(),
+            "start_us": agg["start_us"].to_numpy(np.int64),
+            "end_us": pd.array(nxt, dtype="Int64"),
+            "n_events": agg["n_events"].to_numpy(np.int64)})
+
+    rows = ds.map_batches(prep, batch_format="pandas")
+    return shuffle.grouped_transform(rows, [key_col], kernel,
+                                     num_buckets=num_buckets)

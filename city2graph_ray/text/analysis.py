@@ -1033,3 +1033,45 @@ def lexical_diversity(docs: ray.data.Dataset, text_col: str = "text",
             "repeat_rate": np.round(num / (nn * (nn - 1)), 6)})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def chunk_documents(docs: ray.data.Dataset, size: int = 200,
+                    stride: int = 150, text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """RAG-style overlapping character chunking: each non-empty doc
+    emits chunks ``text[p:p+size]`` at ``p = 0, stride, 2*stride, …``
+    while ``p < len(text)`` — ``(doc_id, chunk_id, chunk_pos,
+    chunk)``.  Code-point slicing on both sides (DuckDB ``substr`` is
+    character-addressed on UTF-8 VARCHAR, Python slices code points),
+    so the generate_series twin is bit-exact.
+
+    Embarrassingly parallel map_batches: chunk counts, repeat indices
+    and offsets are vectorized; the variable-position substring
+    extraction itself is a per-chunk comprehension (Arrow's
+    ``utf8_slice_codeunits`` only takes scalar bounds) whose cost IS
+    the output bytes — the stage stays data-bound, not Python-bound.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].astype(str).to_numpy(object)
+        ids = b[id_col].to_numpy()
+        lens = np.fromiter((len(t) for t in texts), np.int64,
+                           count=len(texts))
+        n_chunks = np.where(lens > 0, (lens - 1) // stride + 1, 0)
+        doc_idx = np.repeat(np.arange(len(texts)), n_chunks)
+        total = int(n_chunks.sum())
+        chunk_id = (np.arange(total)
+                    - np.repeat(np.cumsum(n_chunks) - n_chunks,
+                                n_chunks))
+        pos = chunk_id * stride
+        chunks = [texts[d][p:p + size]
+                  for d, p in zip(doc_idx, pos)]
+        return pd.DataFrame({
+            id_col: ids[doc_idx],
+            "chunk_id": chunk_id.astype(np.int64),
+            "chunk_pos": pos.astype(np.int64),
+            "chunk": pd.array(chunks, dtype="string")})
+
+    return docs.map_batches(fn, batch_format="pandas")

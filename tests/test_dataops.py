@@ -564,3 +564,41 @@ def test_lexical_diversity_hand_fixture():
     assert out["n_tokens"].tolist() == [5, 3, 2]
     assert out["n_hapax"].tolist() == [0, 3, 0]
     assert out["repeat_rate"].tolist() == [0.4, 0.0, 1.0]
+
+
+def test_chunk_documents_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.text.analysis import chunk_documents
+    texts = ["", "short", "x" * 150, "y" * 151, "z" * 450,
+             "héllo wörld " * 30]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = (chunk_documents(rd.from_pandas(df).repartition(3),
+                           size=200, stride=150)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    rows = []
+    for i, t in enumerate(texts):
+        p = 0
+        c = 0
+        while p < len(t):
+            rows.append((i, c, p, t[p:p + 200]))
+            p += 150
+            c += 1
+    assert len(out) == len(rows)
+    for (i, c, p, ch), (_, r) in zip(rows, out.iterrows()):
+        assert (r["doc_id"], r["chunk_id"], r["chunk_pos"]) == (i, c, p)
+        assert r["chunk"] == ch
+
+
+def test_chunk_documents_rejects_bad_params():
+    import pytest
+    import ray.data as rd
+
+    from city2graph_ray.text.analysis import chunk_documents
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError):
+        chunk_documents(ds, size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(ds, stride=-1)

@@ -771,3 +771,45 @@ def test_rank_auc_vs_brute_with_ties():
     one = pd.DataFrame({"label": [1, 1], "score": [1.0, 2.0]})
     assert len(rank_auc(rd.from_pandas(one), "label",
                         "score").to_pandas()) == 0
+
+
+def test_mann_kendall_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.ops.stats import mann_kendall
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 9, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "v": np.round(rng.normal(5, 2, n), 2)})
+    out = (mann_kendall(rd.from_pandas(df).repartition(6), "k", "ts",
+                        "id", "v", num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["ts", "id"])
+        u = np.floor(g["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+        s = sum(int(np.sign(u[j] - u[i]))
+                for i in range(len(u)) for j in range(i + 1, len(u)))
+        nn = len(u)
+        _, cnt = np.unique(u, return_counts=True)
+        tie = int((cnt * (cnt - 1) * (2 * cnt + 5)).sum())
+        row = out[out["k"] == k].iloc[0]
+        assert int(row["n"]) == nn
+        assert int(row["s_stat"]) == s
+        assert int(row["var_num"]) == nn*(nn-1)*(2*nn+5) - tie
+
+
+def test_mann_kendall_single_event_key():
+    import ray.data as rd
+
+    from city2graph_ray.ops.stats import mann_kendall
+    df = pd.DataFrame({"id": [1], "k": [3],
+                       "ts": pd.to_datetime(["2024-01-01"]),
+                       "v": [1.5]})
+    out = mann_kendall(rd.from_pandas(df), "k", "ts", "id",
+                       "v").to_pandas()
+    assert len(out) == 1
+    assert int(out["s_stat"].iloc[0]) == 0
+    assert int(out["var_num"].iloc[0]) == 0

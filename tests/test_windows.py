@@ -107,3 +107,59 @@ def test_grouped_ewma_int_bruteforce():
             state[k] = (1 * v * 256 + 3 * state[k] + 2) // 4
         want.append(state[k])
     assert got["ewma_scaled"].tolist() == want
+
+
+def test_scd2_intervals_bruteforce():
+    import ray.data as rd
+    from city2graph_ray.ops.windows import scd2_intervals
+    rng = np.random.default_rng(11)
+    n = 200
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 7, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "attr": rng.choice(["a", "b", "c"], n)})
+    out = (scd2_intervals(rd.from_pandas(df).repartition(5), "k", "ts",
+                          "id", "attr", num_buckets=4)
+           .to_pandas().sort_values(["k", "start_us"])
+           .reset_index(drop=True))
+    # brute force per key
+    rows = []
+    for k, g in df.sort_values(["k", "ts", "id"]).groupby("k"):
+        runs = []
+        for _, r in g.iterrows():
+            us = int(np.int64(r["ts"].value) // 1000)
+            if runs and runs[-1][0] == r["attr"]:
+                runs[-1][2] += 1
+            else:
+                runs.append([r["attr"], us, 1])
+        for i, (a, s, c) in enumerate(runs):
+            e = runs[i + 1][1] if i + 1 < len(runs) else None
+            rows.append((k, a, s, e, c))
+    want = pd.DataFrame(rows, columns=["k", "attr", "start_us",
+                                       "end_us", "n_events"])
+    want = want.sort_values(["k", "start_us"]).reset_index(drop=True)
+    assert len(out) == len(want)
+    assert (out["attr"].to_numpy() == want["attr"].to_numpy()).all()
+    assert (out["start_us"].to_numpy(np.int64)
+            == want["start_us"].to_numpy(np.int64)).all()
+    assert (out["n_events"].to_numpy(np.int64)
+            == want["n_events"].to_numpy(np.int64)).all()
+    got_end = out["end_us"].astype("Int64")
+    want_end = want["end_us"].astype("Int64")
+    assert got_end.isna().equals(want_end.isna())
+    assert (got_end.dropna().to_numpy(np.int64)
+            == want_end.dropna().to_numpy(np.int64)).all()
+
+
+def test_scd2_single_and_empty_key_behaviour():
+    import ray.data as rd
+    from city2graph_ray.ops.windows import scd2_intervals
+    df = pd.DataFrame({"id": [1], "k": [0],
+                       "ts": pd.to_datetime(["2024-01-01"]),
+                       "attr": ["x"]})
+    out = scd2_intervals(rd.from_pandas(df), "k", "ts", "id",
+                         "attr").to_pandas()
+    assert len(out) == 1
+    assert out["n_events"].iloc[0] == 1
+    assert pd.isna(out["end_us"].iloc[0])
