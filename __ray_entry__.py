@@ -5329,6 +5329,29 @@ def _doc_chunks(sf_dir: str):
     return chunk_documents(documents(sf_dir), size=200, stride=150)
 
 
+def _raster_regions(sf_dir: str):
+    """GIS region-group: 4-connected component labels over the masked
+    part-grid raster (cells whose cents end in 0–4), label = min cell
+    key — scatter-probe adjacency + large-star/small-star CC, no
+    label broadcast; recursive-CTE closure twin."""
+    import ray.data
+
+    from city2graph_ray.ops.tiling import raster_regions
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_retailprice"])
+
+    def mask(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["p_retailprice"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        keep = cents % 10 < 5
+        pk = b["p_partkey"].to_numpy(np.int64)[keep]
+        return pd.DataFrame({"c": pk % 40, "r": pk // 40})
+
+    return raster_regions(part.map_batches(mask,
+                                           batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -5576,6 +5599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_growth": _orders_monthly_growth,
         "event_high_runs": _event_high_runs,
         "event_mann_kendall": _event_mann_kendall,
+        "raster_regions": _raster_regions,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
         "event_value_eqdepth": _event_value_eqdepth,
@@ -8984,6 +9008,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT tile, count(*) AS n, min(value) AS lo,
                    max(value) AS hi
             FROM t GROUP BY tile""",
+        "raster_regions": """
+            WITH RECURSIVE m AS (
+              SELECT (p_partkey % 40) AS c,
+                     (p_partkey // 40) AS r,
+                     (p_partkey % 40) * 1048576 + (p_partkey // 40)
+                       AS cid
+              FROM part
+              WHERE CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                    % 10 < 5),
+            e AS (SELECT a.cid AS u, b.cid AS v
+                  FROM m a JOIN m b
+                    ON (b.c = a.c + 1 AND b.r = a.r)
+                    OR (b.c = a.c AND b.r = a.r + 1)),
+            sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            reach AS (
+              SELECT cid AS cell, cid AS lab FROM m
+              UNION
+              SELECT s.v AS cell, t.lab
+              FROM reach t JOIN sym s ON s.u = t.cell)
+            SELECT min(c) AS c, min(r) AS r,
+                   CAST(min(lab) AS BIGINT) AS region
+            FROM reach JOIN m ON m.cid = reach.cell
+            GROUP BY cell""",
         "event_mann_kendall": """
             WITH u AS (SELECT user_id, ts, event_id,
                               CAST(floor(value * 100 + 0.5) AS BIGINT)

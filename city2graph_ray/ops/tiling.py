@@ -1166,3 +1166,89 @@ def raster_aspect(grid: ray.data.Dataset, col_c: str = "c",
                                       k.astype(np.int64))})
 
     return base.map_batches(classify, batch_format="pandas")
+
+
+def raster_regions(mask: ray.data.Dataset, col_c: str = "c",
+                   col_r: str = "r", key_stride: int = 1 << 20,
+                   num_buckets: int = 16) -> ray.data.Dataset:
+    """Connected-component labeling of a sparse raster mask (classic
+    GIS "region group" / scikit-image ``label``, 4-connectivity):
+    every masked cell gets the MIN cell key of its region, with
+    ``cell key = c·key_stride + r``.  Output ``(c, r, region)``.
+
+    Distributed shape: adjacency is discovered by a scatter — each
+    masked cell lands on its own (c, r) slot as HOME and probes its
+    west/north neighbours' slots — followed by ONE keyed
+    grouped-transform (groups ≤ 3 rows) that emits edges; labels come
+    from the alternating large-star/small-star
+    :func:`~city2graph_ray.ops.topology.connected_components` (no
+    label broadcast), and isolated cells self-label through the LEFT
+    join-back.  Mask density ≫ the 0.593 site-percolation threshold
+    will produce giant regions — inherent to the operator, the CC
+    rounds stay O(log n) regardless.
+    """
+    from city2graph_ray.ops.topology import connected_components
+
+    def home_and_probes(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[col_c].to_numpy(np.int64)
+        r = b[col_r].to_numpy(np.int64)
+        cid = c * key_stride + r
+        # home slot + probes at the EAST and SOUTH neighbour slots, so
+        # each adjacent pair meets exactly once (west/north of those)
+        sc = np.concatenate([c, c + 1, c])
+        sr = np.concatenate([r, r, r + 1])
+        return pd.DataFrame({
+            "sc": sc, "sr": sr,
+            "cell": np.concatenate([cid, cid, cid]),
+            "is_home": np.concatenate([
+                np.ones(len(c), np.int64),
+                np.zeros(2 * len(c), np.int64)])})
+
+    def edges_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sc", "sr", "is_home"], kind="stable")
+        sc = g["sc"].to_numpy(np.int64)
+        sr = g["sr"].to_numpy(np.int64)
+        home = g["is_home"].to_numpy(np.int64) == 1
+        cell = g["cell"].to_numpy(np.int64)
+        slot = sc * (key_stride + 1) + sr  # collision-free pair key
+        # within each slot: home cell (sorted last) pairs with probes
+        uniq, starts, sizes = np.unique(slot, return_index=True,
+                                        return_counts=True)
+        ends = starts + sizes - 1
+        has_home = home[ends]  # is_home sorts last within slot
+        seg = np.searchsorted(uniq, slot)
+        probe_rows = ~home & has_home[seg]
+        if not probe_rows.any():
+            return pd.DataFrame({"src": cell[:0], "dst": cell[:0]})
+        home_of = cell[ends][seg]
+        return pd.DataFrame({"src": cell[probe_rows],
+                             "dst": home_of[probe_rows]})
+
+    scat = mask.map_batches(home_and_probes, batch_format="pandas")
+    edges = shuffle.grouped_transform(scat, ["sc", "sr"], edges_kernel,
+                                      num_buckets=num_buckets)
+    labels = connected_components(edges)
+
+    keyed = mask.map_batches(
+        lambda b: pd.DataFrame({
+            col_c: b[col_c].to_numpy(np.int64),
+            col_r: b[col_r].to_numpy(np.int64),
+            "node_id": b[col_c].to_numpy(np.int64) * key_stride
+            + b[col_r].to_numpy(np.int64)}),
+        batch_format="pandas")
+    lab_schema = pa.schema([("node_id", pa.int64()),
+                            ("component", pa.int64())])
+    joined = bucketed_join(keyed, labels, "node_id",
+                           num_buckets=num_buckets, how="left",
+                           right_schema=lab_schema)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        comp = b["component"].to_numpy(np.float64)
+        nid = b["node_id"].to_numpy(np.int64)
+        lab = np.where(np.isnan(comp), nid,
+                       np.nan_to_num(comp)).astype(np.int64)
+        return pd.DataFrame({col_c: b[col_c].to_numpy(np.int64),
+                             col_r: b[col_r].to_numpy(np.int64),
+                             "region": lab})
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -686,3 +686,51 @@ def test_raster_aspect_plane_and_flat():
     vr = plane.assign(v=(10 * rr.ravel()).astype(np.int64))
     out3 = raster_aspect(rd.from_pandas(vr)).to_pandas()
     assert (out3["aspect_octant"] == 6).all()
+
+
+def test_raster_regions_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.ops.tiling import raster_regions
+    rng = np.random.default_rng(7)
+    cells = set()
+    for _ in range(120):
+        cells.add((int(rng.integers(0, 12)), int(rng.integers(0, 12))))
+    cells = sorted(cells)
+    df = pd.DataFrame({"c": [c for c, _ in cells],
+                       "r": [r for _, r in cells]})
+    out = (raster_regions(rd.from_pandas(df).repartition(4),
+                          num_buckets=4)
+           .to_pandas().sort_values(["c", "r"]).reset_index(drop=True))
+    # brute-force BFS labeling with min-key labels
+    key = {p: p[0] * (1 << 20) + p[1] for p in cells}
+    lab = {}
+    for p in cells:
+        if p in lab:
+            continue
+        comp, stack = [], [p]
+        seen = {p}
+        while stack:
+            q = stack.pop()
+            comp.append(q)
+            for d in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nb = (q[0] + d[0], q[1] + d[1])
+                if nb in key and nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        m = min(key[q] for q in comp)
+        for q in comp:
+            lab[q] = m
+    assert len(out) == len(cells)
+    for _, row in out.iterrows():
+        assert row["region"] == lab[(row["c"], row["r"])]
+
+
+def test_raster_regions_single_cell_and_empty():
+    import ray.data as rd
+
+    from city2graph_ray.ops.tiling import raster_regions
+    df = pd.DataFrame({"c": np.array([5], np.int64),
+                       "r": np.array([9], np.int64)})
+    out = raster_regions(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 1 and out["region"].iloc[0] == 5 * (1 << 20) + 9
