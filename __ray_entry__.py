@@ -5352,6 +5352,45 @@ def _raster_regions(sf_dir: str):
                                            batch_format="pandas"))
 
 
+def _gtfs_earliest_arrival(sf_dir: str):
+    """Bounded-round (RAPTOR-style, 6 rounds) earliest arrival from
+    stop s0 at 06:00 over the deterministic feed's connections —
+    connection table streams each round against the stop-sized label
+    map; the twin unrolls the join-relax-min rounds."""
+    from city2graph_ray.ops.transport import earliest_arrival
+    from city2graph_ray.sources.gtfs import load_gtfs_dir
+
+    g = load_gtfs_dir(_write_gtfs_feed())
+    return earliest_arrival(g["stop_times"], "s0", 21600, rounds=6)
+
+
+def _ea_sql(rounds: int) -> str:
+    ctes = ["""c AS (
+              SELECT 's' || CAST((r1.k * 7 + r2.i * 3) % 30 AS VARCHAR)
+                       AS from_stop,
+                     's' || CAST((r1.k * 7 + (r2.i + 1) * 3) % 30
+                                 AS VARCHAR) AS to_stop,
+                     21600 + r1.k * 60 + r2.i * 300 AS dep_sec,
+                     21600 + r1.k * 60 + (r2.i + 1) * 300
+                       - (30 + (r1.k % 7) * 10) AS arr_sec
+              FROM range(150) r1(k) CROSS JOIN range(3) r2(i))""",
+            "e0 AS (SELECT 's0' AS stop_id, 21600 AS ea)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""r{r} AS (
+              SELECT c.to_stop AS stop_id, min(c.arr_sec) AS ea
+              FROM c JOIN e{r - 1} p
+                ON c.from_stop = p.stop_id AND c.dep_sec >= p.ea
+              GROUP BY c.to_stop)""")
+        ctes.append(f"""e{r} AS (
+              SELECT stop_id, min(ea) AS ea
+              FROM (SELECT * FROM e{r - 1}
+                    UNION ALL SELECT * FROM r{r})
+              GROUP BY stop_id)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT stop_id, CAST(ea AS BIGINT) AS ea_sec"
+              f" FROM e{rounds} ORDER BY stop_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -5600,6 +5639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_high_runs": _event_high_runs,
         "event_mann_kendall": _event_mann_kendall,
         "raster_regions": _raster_regions,
+        "gtfs_earliest_arrival": _gtfs_earliest_arrival,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
         "event_value_eqdepth": _event_value_eqdepth,
@@ -9008,6 +9048,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT tile, count(*) AS n, min(value) AS lo,
                    max(value) AS hi
             FROM t GROUP BY tile""",
+        "gtfs_earliest_arrival": _ea_sql(6),
         "raster_regions": """
             WITH RECURSIVE m AS (
               SELECT (p_partkey % 40) AS c,

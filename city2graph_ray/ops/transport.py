@@ -466,3 +466,88 @@ def stop_headways(stop_times: ray.data.Dataset, round_to: int = 4,
 
     return shuffle.grouped_transform(stop_times, ["stop_id"], kernel,
                                      num_buckets=num_buckets)
+
+
+def trip_connections(stop_times: ray.data.Dataset) -> ray.data.Dataset:
+    """Timetable → elementary connections (CSA's input relation,
+    Dibbelt et al. 2013, public literature): per trip the consecutive
+    stop pairs with the departure time AT the from-stop and arrival
+    time AT the to-stop, integer seconds.  Vectorized per-trip shift
+    after the numeric stop_sequence sort; null-time or non-positive
+    rides drop (the travel_summary_graph leg rules)."""
+
+    def legs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["seq"] = pd.to_numeric(g["stop_sequence"], errors="coerce")
+        g = g[g["seq"].notna()].sort_values("seq", kind="stable")
+        arr = g["arrival_time"].map(time_to_seconds).to_numpy(np.float64)
+        dep = g["departure_time"].map(time_to_seconds).to_numpy(np.float64)
+        stops = g["stop_id"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({
+                "from_stop": pd.Series(dtype=str),
+                "to_stop": pd.Series(dtype=str),
+                "dep_sec": pd.Series(dtype=np.int64),
+                "arr_sec": pd.Series(dtype=np.int64)})
+        d0, a1 = dep[:-1], arr[1:]
+        ok = ~np.isnan(d0) & ~np.isnan(a1) & (a1 > d0)
+        return pd.DataFrame({
+            "from_stop": stops[:-1][ok], "to_stop": stops[1:][ok],
+            "dep_sec": d0[ok].astype(np.int64),
+            "arr_sec": a1[ok].astype(np.int64)})
+
+    return stop_times.groupby("trip_id").map_groups(
+        legs, batch_format="pandas")
+
+
+def earliest_arrival(stop_times: ray.data.Dataset, source_stop: str,
+                     start_sec: int, rounds: int = 6,
+                     ) -> pd.DataFrame:
+    """Bounded-round earliest-arrival over timetable connections (the
+    profile query of the Connection Scan Algorithm family, bounded to
+    ``rounds`` transfers like RAPTOR's round structure — Dibbelt et
+    al. 2013 / Delling et al. 2012, public literature).
+
+    Per round the CONNECTION TABLE streams (map_batches partial-min
+    per to_stop + one keyed min) against the stop-sized
+    earliest-arrival map captured by closure — stops ≪ connections,
+    the same broadcast premise as the network Dijkstra actor
+    (ops/network.py) and the reference's dimension tables.  The label
+    update and convergence check are driver-side over ≤ |stops| rows.
+    Returns the (stop_id, ea_sec) table, int64 seconds; deterministic
+    — all times integral.  SQL twin: ``rounds`` unrolled
+    join-relax-min CTEs.
+    """
+    conns = trip_connections(stop_times).materialize()
+    ea: dict = {source_stop: int(start_sec)}
+    for _ in range(rounds):
+        snapshot = dict(ea)
+
+        def relax(b: pd.DataFrame, snap=snapshot) -> pd.DataFrame:
+            base = b["from_stop"].map(snap)
+            ok = base.notna().to_numpy() & (
+                b["dep_sec"].to_numpy(np.int64)
+                >= base.fillna(np.iinfo(np.int64).max)
+                .to_numpy(np.int64))
+            cand = pd.DataFrame({
+                "stop_id": b["to_stop"].to_numpy()[ok],
+                "ea_sec": b["arr_sec"].to_numpy(np.int64)[ok]})
+            return (cand.groupby("stop_id", sort=False)["ea_sec"]
+                    .min().reset_index())
+
+        upd = shuffle.group_agg(
+            conns.map_batches(relax, batch_format="pandas"),
+            ["stop_id"], {"ea_sec": ("ea_sec", "min")},
+            num_buckets=8).to_pandas()
+        changed = False
+        for s, t in zip(upd["stop_id"], upd["ea_sec"]):
+            t = int(t)
+            if t < ea.get(s, np.iinfo(np.int64).max):
+                ea[s] = t
+                changed = True
+        if not changed:
+            break
+    out = pd.DataFrame(sorted(ea.items()),
+                       columns=["stop_id", "ea_sec"])
+    out["ea_sec"] = out["ea_sec"].astype(np.int64)
+    return out

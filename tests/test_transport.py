@@ -320,3 +320,42 @@ def test_stop_headways_brute_force():
     assert out["n_departures"].tolist() == [3, 2, 2]
     assert out["min_headway_sec"].tolist() == [1800, 900, 600]
     assert out["mean_headway_sec"].tolist() == [3615.0, 900.0, 600.0]
+
+
+def test_earliest_arrival_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.ops.transport import earliest_arrival
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for t in range(25):
+        stops = rng.permutation(8)[:4]
+        base = int(rng.integers(0, 5000))
+        for i, s in enumerate(stops):
+            dep = base + i * 400
+            rows.append({"trip_id": f"t{t}", "stop_sequence": str(i),
+                         "stop_id": f"s{s}",
+                         "arrival_time": float(dep - 60),
+                         "departure_time": float(dep)})
+    st = pd.DataFrame(rows)
+    out = earliest_arrival(rd.from_pandas(st).repartition(4), "s0", 0,
+                           rounds=8)
+    # brute-force bounded-round relaxation
+    conns = []
+    for t, g in st.groupby("trip_id"):
+        g = g.sort_values("stop_sequence")
+        for a, b in zip(g.itertuples(), list(g.itertuples())[1:]):
+            conns.append((a.stop_id, b.stop_id,
+                          int(a.departure_time), int(b.arrival_time)))
+    ea = {"s0": 0}
+    for _ in range(8):
+        snap = dict(ea)
+        for fs, ts, d, a in conns:
+            if fs in snap and d >= snap[fs]:
+                if a < ea.get(ts, 1 << 60):
+                    ea[ts] = a
+    want = pd.DataFrame(sorted(ea.items()),
+                        columns=["stop_id", "ea_sec"])
+    assert out["stop_id"].tolist() == want["stop_id"].tolist()
+    assert out["ea_sec"].tolist() == want["ea_sec"].tolist()
