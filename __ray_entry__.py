@@ -5391,6 +5391,48 @@ def _ea_sql(rounds: int) -> str:
               f" FROM e{rounds} ORDER BY stop_id")
 
 
+def _zone_hash_walks(sf_dir: str):
+    """Deterministic DeepWalk corpus over the undirected zone graph:
+    one 4-step walk per node %7==0, next hop picked by
+    md5_number_lower(walk|step|node) % degree over rank-sorted
+    neighbours — two bucketed joins per step, twin unrolled."""
+    from city2graph_ray.ops.graph_algos import hash_walks
+
+    return hash_walks(_order_zone_edges(sf_dir), seed_mod=7, length=4,
+                      num_buckets=8)
+
+
+def _walks_sql(length: int) -> str:
+    ctes = ["""e AS (SELECT DISTINCT o_custkey % 100 AS src,
+                            o_orderkey % 97 AS dst FROM orders)""",
+            """und AS (SELECT DISTINCT v, nb FROM (
+              SELECT src AS v, dst AS nb FROM e WHERE src <> dst
+              UNION ALL
+              SELECT dst AS v, src AS nb FROM e WHERE src <> dst))""",
+            """adj AS (SELECT v, nb,
+                     CAST(row_number() OVER (PARTITION BY v
+                          ORDER BY nb) - 1 AS BIGINT) AS r
+              FROM und)""",
+            """deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+              FROM und GROUP BY v)""",
+            "w0 AS (SELECT v AS walk_id, v AS cur FROM deg"
+            " WHERE v % 7 = 0)"]
+    for t in range(length):
+        ctes.append(f"""w{t + 1} AS (
+              SELECT w.walk_id, a.nb AS cur
+              FROM w{t} w
+              JOIN deg d ON d.v = w.cur
+              JOIN adj a ON a.v = w.cur AND a.r = CAST(
+                md5_number_lower(CAST(w.walk_id AS VARCHAR) || '|{t}|'
+                                 || CAST(w.cur AS VARCHAR))
+                % CAST(d.deg AS UBIGINT) AS BIGINT))""")
+    selects = [f"SELECT walk_id, CAST({t} AS BIGINT) AS step,"
+               f" CAST(cur AS BIGINT) AS node FROM w{t}"
+               for t in range(length + 1)]
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -5640,6 +5682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_mann_kendall": _event_mann_kendall,
         "raster_regions": _raster_regions,
         "gtfs_earliest_arrival": _gtfs_earliest_arrival,
+        "zone_hash_walks": _zone_hash_walks,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
         "event_value_eqdepth": _event_value_eqdepth,
@@ -9049,6 +9092,7 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS hi
             FROM t GROUP BY tile""",
         "gtfs_earliest_arrival": _ea_sql(6),
+        "zone_hash_walks": _walks_sql(4),
         "raster_regions": """
             WITH RECURSIVE m AS (
               SELECT (p_partkey % 40) AS c,

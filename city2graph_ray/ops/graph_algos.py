@@ -3247,3 +3247,102 @@ def khop_ball_sizes(edges: ray.data.Dataset, hops: int = 2,
     return shuffle.group_agg(
         reach.map_batches(count_partial, batch_format="pandas"),
         ["node"], {"ball_size": ("ball_size", "sum")}, num_buckets=1)
+
+
+def hash_walks(edges: ray.data.Dataset, seed_mod: int, length: int,
+               num_buckets: int = shuffle.DEFAULT_BUCKETS,
+               ) -> ray.data.Dataset:
+    """Deterministic DeepWalk-style corpus generation (Perozzi et al.
+    2014 semantics, public literature) with hash-driven choices so the
+    SQL twin is bit-exact: one walk per seed node (``node % seed_mod
+    == 0``); at step ``t`` on node ``v`` the walk moves to
+    ``sorted_neighbors(v)[ md5_lower64(f"{walk}|{t}|{v}") % deg(v) ]``
+    (DuckDB ``md5_number_lower`` convention).  Undirected adjacency.
+    Output ``(walk_id, step, node)`` including step 0.
+
+    Distributed shape: each step is ONE hash shuffle of the tagged
+    union (adjacency rows + walk-frontier rows, all-int64 sentinel
+    columns — no nulls cross the exchange); the kernel derives degree,
+    neighbour rank and the hash pick in place, so no adjacency
+    broadcast, no precomputed rank table, and one row per walk per
+    step of fan-out.  The adjacency does reshuffle once per step —
+    inherent to expressing a stateful frontier in pure Dataset ops;
+    an actor pool pinning sharded adjacency is the constant-factor
+    alternative when steps ≫ 10.
+    """
+    from city2graph_ray.text.decontam import _md5_lower64
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        m = s != d
+        return pd.DataFrame({
+            "v": np.concatenate([s[m], d[m]]),
+            "nb": np.concatenate([d[m], s[m]])})
+
+    und = shuffle.distinct(
+        edges.map_batches(canon, batch_format="pandas"), ["v", "nb"],
+        num_buckets=num_buckets)
+    adj = und.map_batches(
+        lambda b: pd.DataFrame({"v": b["v"].to_numpy(np.int64),
+                                "nb": b["nb"].to_numpy(np.int64),
+                                "walk_id": np.full(len(b), -1,
+                                                   np.int64)}),
+        batch_format="pandas").materialize()
+
+    frontier = shuffle.distinct(
+        adj.map_batches(
+            lambda b: pd.DataFrame(
+                {"v": b["v"].to_numpy(np.int64),
+                 "nb": np.full(len(b), -1, np.int64),
+                 "walk_id": b["v"].to_numpy(np.int64)})
+            [b["v"].to_numpy(np.int64) % seed_mod == 0],
+            batch_format="pandas"),
+        ["walk_id"], num_buckets=num_buckets)
+
+    def emit(step: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "walk_id": b["walk_id"].to_numpy(np.int64),
+                "step": np.full(len(b), step, np.int64),
+                "node": b["v"].to_numpy(np.int64)})
+        return fn
+
+    out_parts = [frontier.map_batches(emit(0), batch_format="pandas")]
+    for t in range(length):
+        def step_kernel(g: pd.DataFrame, t=t) -> pd.DataFrame:
+            fr = g[g["nb"] < 0]
+            ad = g[g["nb"] >= 0].sort_values(["v", "nb"],
+                                             kind="stable")
+            if not len(fr):
+                return pd.DataFrame({"v": np.zeros(0, np.int64),
+                                     "nb": np.zeros(0, np.int64),
+                                     "walk_id": np.zeros(0, np.int64)})
+            va = ad["v"].to_numpy(np.int64)
+            nba = ad["nb"].to_numpy(np.int64)
+            uniq, starts, sizes = np.unique(va, return_index=True,
+                                            return_counts=True)
+            fv = fr["v"].to_numpy(np.int64)
+            fw = fr["walk_id"].to_numpy(np.int64)
+            idx = np.searchsorted(uniq, fv)
+            keys = np.char.add(
+                np.char.add(fw.astype("U20"), f"|{t}|"),
+                fv.astype("U20"))
+            h = _md5_lower64(keys)
+            pick = starts[idx] + (
+                h % sizes[idx].astype(np.uint64)).astype(np.int64)
+            return pd.DataFrame({"v": nba[pick],
+                                 "nb": np.full(len(fw), -1, np.int64),
+                                 "walk_id": fw})
+
+        tagged = adj.union(frontier)
+        frontier = shuffle.grouped_transform(
+            tagged, ["v"], step_kernel,
+            num_buckets=num_buckets).materialize()
+        out_parts.append(frontier.map_batches(emit(t + 1),
+                                              batch_format="pandas"))
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out

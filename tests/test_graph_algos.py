@@ -1042,3 +1042,44 @@ def test_khop_ball_sizes_brute():
     deg = e.groupby("src").size()
     assert o1.sort_index().equals(deg[deg > 0].sort_index()
                                   .astype(np.int64).rename("ball_size"))
+
+
+def test_hash_walks_bruteforce():
+    import hashlib
+
+    import ray.data as rd
+
+    from city2graph_ray.ops.graph_algos import hash_walks
+    rng = np.random.default_rng(23)
+    e = pd.DataFrame({"src": rng.integers(0, 20, 60),
+                      "dst": rng.integers(0, 20, 60)})
+    out = (hash_walks(rd.from_pandas(e).repartition(3), seed_mod=4,
+                      length=3, num_buckets=4)
+           .to_pandas().sort_values(["walk_id", "step"])
+           .reset_index(drop=True))
+    # brute force
+    adj = {}
+    for s, d in zip(e["src"], e["dst"]):
+        if s == d:
+            continue
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    adj = {v: sorted(nbs) for v, nbs in adj.items()}
+
+    def md5_64(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                              "little")
+
+    rows = []
+    for seed in sorted(adj):
+        if seed % 4:
+            continue
+        cur = seed
+        rows.append((seed, 0, cur))
+        for t in range(3):
+            nbs = adj[cur]
+            cur = nbs[md5_64(f"{seed}|{t}|{cur}") % len(nbs)]
+            rows.append((seed, t + 1, cur))
+    want = (pd.DataFrame(rows, columns=["walk_id", "step", "node"])
+            .sort_values(["walk_id", "step"]).reset_index(drop=True))
+    assert out.equals(want.astype(np.int64))
