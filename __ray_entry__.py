@@ -5433,6 +5433,74 @@ def _walks_sql(length: int) -> str:
             + "\nUNION ALL\n".join(selects))
 
 
+def _zone_dag_depth(sf_dir: str):
+    """Topological depth (longest path ending at each node) over the
+    sparse zone digraph's condensation DAG — 12 bounded max-relaxation
+    sweeps, one edge⋈label join + keyed max per sweep; twin unrolls
+    the identical rounds over the recursive-CTE condensation."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.graph_algos import (condensation_edges,
+                                                dag_longest_path)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        c = b["o_custkey"].to_numpy(np.int64)
+        keep = k % 200 == 0
+        return pd.DataFrame({"src": c[keep] % 80,
+                             "dst": (k[keep] // 200) % 79})
+
+    edges = shuffle.distinct(
+        orders.map_batches(fn, batch_format="pandas"), ["src", "dst"])
+    dag = condensation_edges(edges)
+    return dag_longest_path(dag, rounds=12,
+                            src="scc_src", dst="scc_dst")
+
+
+def _dag_depth_sql(rounds: int) -> str:
+    base = """e AS (
+                SELECT DISTINCT o_custkey % 80 AS s,
+                                (o_orderkey // 200) % 79 AS d
+                FROM orders WHERE o_orderkey % 200 = 0),
+            n AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+            reach(s, t) AS (
+                SELECT s, d FROM e
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.t),
+            mut AS (SELECT a.s AS u, a.t AS v
+                    FROM reach a JOIN reach b
+                    ON a.s = b.t AND a.t = b.s),
+            comp AS (SELECT n.v AS node,
+                            least(n.v, coalesce(min(mut.v), n.v))
+                              AS scc_id
+                     FROM n LEFT JOIN mut ON mut.u = n.v
+                     GROUP BY n.v),
+            cond AS MATERIALIZED (
+                     SELECT DISTINCT cs.scc_id AS u, cd.scc_id AS w
+                     FROM e JOIN comp cs ON cs.node = e.s
+                            JOIN comp cd ON cd.node = e.d
+                     WHERE cs.scc_id <> cd.scc_id),
+            d0 AS MATERIALIZED (SELECT DISTINCT node, 0 AS depth FROM (
+                     SELECT u AS node FROM cond
+                     UNION SELECT w FROM cond))"""
+    ctes = [base]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+              SELECT node, max(depth) AS depth FROM (
+                SELECT node, depth FROM d{r - 1}
+                UNION ALL
+                SELECT c.w AS node, p.depth + 1 AS depth
+                FROM cond c JOIN d{r - 1} p ON p.node = c.u)
+              GROUP BY node)""")
+    return ("WITH RECURSIVE " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(depth AS BIGINT) AS depth"
+              f" FROM d{rounds}")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -5683,6 +5751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_regions": _raster_regions,
         "gtfs_earliest_arrival": _gtfs_earliest_arrival,
         "zone_hash_walks": _zone_hash_walks,
+        "zone_dag_depth": _zone_dag_depth,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
         "event_value_eqdepth": _event_value_eqdepth,
@@ -9093,6 +9162,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY tile""",
         "gtfs_earliest_arrival": _ea_sql(6),
         "zone_hash_walks": _walks_sql(4),
+        "zone_dag_depth": _dag_depth_sql(12),
         "raster_regions": """
             WITH RECURSIVE m AS (
               SELECT (p_partkey % 40) AS c,

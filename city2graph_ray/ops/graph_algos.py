@@ -3346,3 +3346,58 @@ def hash_walks(edges: ray.data.Dataset, seed_mod: int, length: int,
     for p in out_parts[1:]:
         out = out.union(p)
     return out
+
+
+def dag_longest_path(edges: ray.data.Dataset, rounds: int = 12,
+                     src: str = "src", dst: str = "dst",
+                     num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                     ) -> ray.data.Dataset:
+    """Longest-path-ending-at-each-node over a DAG (critical-path /
+    topological-depth — the classic scheduling metric) by ``rounds``
+    max-relaxation sweeps: ``d_{r+1}[v] = max(d_r[v], max_{u→v}
+    d_r[u] + 1)`` from ``d_0 ≡ 0``.  Converges once ``rounds`` ≥ DAG
+    depth; bounded and unrolled identically in the SQL twin, so the
+    output is deterministic either way.  Output ``(node, depth)``.
+
+    Distributed shape: the label table is node-sized and carried as a
+    Dataset; each sweep is one bucketed edge⋈label join keyed by the
+    edge SOURCE plus one keyed max — the same frontier-join pattern
+    as the k-hop balls.  Cycles would make the relaxation climb
+    forever; feed condensation output (acyclic by construction).
+    """
+    import pyarrow as pa
+
+    nodes = shuffle.distinct(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b[src].to_numpy(np.int64),
+                 b[dst].to_numpy(np.int64)])}),
+            batch_format="pandas"),
+        ["node"], num_buckets=num_buckets)
+    dist = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                "depth": np.zeros(len(b), np.int64)}),
+        batch_format="pandas").materialize()
+    e = edges.map_batches(
+        lambda b: pd.DataFrame({"node": b[src].to_numpy(np.int64),
+                                "to": b[dst].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    dist_schema = pa.schema([("node", pa.int64()),
+                             ("depth", pa.int64())])
+    for _ in range(rounds):
+        cand = bucketed_join(e, dist, "node",
+                             num_buckets=num_buckets,
+                             right_schema=dist_schema).map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["to"].to_numpy(np.int64),
+                "depth": b["depth"].to_numpy(np.int64) + 1}),
+            batch_format="pandas")
+        # coalesce before pinning: the union-groupby chain otherwise
+        # doubles the label table's block count every sweep (109 →
+        # 2299 blocks by round 4 on the gate fixture — task-count
+        # explosion), while the row count stays node-sized
+        dist = (shuffle.group_agg(dist.union(cand), ["node"],
+                                  {"depth": ("depth", "max")},
+                                  num_buckets=num_buckets)
+                .repartition(min(num_buckets, 16)).materialize())
+    return dist

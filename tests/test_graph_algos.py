@@ -1083,3 +1083,29 @@ def test_hash_walks_bruteforce():
     want = (pd.DataFrame(rows, columns=["walk_id", "step", "node"])
             .sort_values(["walk_id", "step"]).reset_index(drop=True))
     assert out.equals(want.astype(np.int64))
+
+
+def test_dag_longest_path_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.ops.graph_algos import dag_longest_path
+    rng = np.random.default_rng(31)
+    # random DAG: edges only from lower to higher node id
+    a = rng.integers(0, 30, 80)
+    b = rng.integers(0, 30, 80)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo != hi
+    e = pd.DataFrame({"src": lo[keep], "dst": hi[keep]}
+                     ).drop_duplicates()
+    out = (dag_longest_path(rd.from_pandas(e).repartition(3),
+                            rounds=32, num_buckets=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # brute force relaxation until fixpoint
+    nodes = sorted(set(e["src"]) | set(e["dst"]))
+    d = {n: 0 for n in nodes}
+    for _ in range(len(nodes)):
+        for s, t in zip(e["src"], e["dst"]):
+            d[t] = max(d[t], d[s] + 1)
+    want = pd.DataFrame(sorted(d.items()), columns=["node", "depth"])
+    assert out["node"].tolist() == want["node"].tolist()
+    assert out["depth"].tolist() == want["depth"].tolist()
