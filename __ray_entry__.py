@@ -5501,6 +5501,64 @@ def _dag_depth_sql(rounds: int) -> str:
               f" FROM d{rounds}")
 
 
+def _doc_textrank(sf_dir: str):
+    """TextRank keywords: PageRank (5 per-iteration-rounded rounds)
+    over the distinct adjacent-token co-occurrence digraph, top-20 by
+    (rank DESC, term ASC) — md5-keyed nodes so the unrolled-CTE twin
+    is bit-exact."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import textrank_terms
+
+    return textrank_terms(documents(sf_dir), k=20, num_iters=5)
+
+
+def _textrank_sql(k: int, iters: int) -> str:
+    ctes = ["""l0 AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents)""",
+            """toks AS MATERIALIZED (
+              SELECT doc_id, unnest(l) AS t,
+                     unnest(generate_series(1, len(l))) AS pos
+              FROM l0)""",
+            """adj AS (SELECT a.t AS t1, b.t AS t2
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)""",
+            """e AS MATERIALIZED (
+              SELECT DISTINCT
+                     CAST(md5_number_lower(t1) // 2 AS BIGINT) AS src,
+                     CAST(md5_number_lower(t2) // 2 AS BIGINT) AS dst
+              FROM (SELECT t1, t2 FROM adj
+                    UNION ALL SELECT t2 AS t1, t1 AS t2 FROM adj))""",
+            """nodes AS MATERIALIZED (
+              SELECT src AS node FROM e UNION SELECT dst FROM e)""",
+            "c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+            """deg AS MATERIALIZED (
+              SELECT src, CAST(count(*) AS DOUBLE) AS d
+              FROM e GROUP BY src)""",
+            """r0 AS MATERIALIZED (
+              SELECT node, round(1.0 / n, 10) AS r FROM nodes, c)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+              SELECT dst AS node, sum(r.r / deg.d) AS s
+              FROM e JOIN deg USING (src)
+              JOIN r{i - 1} r ON r.node = e.src GROUP BY dst)""")
+        ctes.append(f"""r{i} AS MATERIALIZED (
+              SELECT node,
+                     round(0.15 / n + 0.85 * coalesce(s, 0), 10) AS r
+              FROM nodes LEFT JOIN s{i} USING (node), c)""")
+    ctes.append("""tm AS (SELECT DISTINCT
+                     CAST(md5_number_lower(t) // 2 AS BIGINT) AS node,
+                     t AS term
+              FROM toks)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+            SELECT tm.term, round(x.r, 9) AS rank
+            FROM r{iters} x JOIN tm USING (node)
+            ORDER BY rank DESC, term LIMIT {k}""")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -5752,6 +5810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gtfs_earliest_arrival": _gtfs_earliest_arrival,
         "zone_hash_walks": _zone_hash_walks,
         "zone_dag_depth": _zone_dag_depth,
+        "doc_textrank": _doc_textrank,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
         "event_value_eqdepth": _event_value_eqdepth,
@@ -9163,6 +9222,7 @@ def oracle_sql() -> dict[str, str]:
         "gtfs_earliest_arrival": _ea_sql(6),
         "zone_hash_walks": _walks_sql(4),
         "zone_dag_depth": _dag_depth_sql(12),
+        "doc_textrank": _textrank_sql(20, 5),
         "raster_regions": """
             WITH RECURSIVE m AS (
               SELECT (p_partkey % 40) AS c,

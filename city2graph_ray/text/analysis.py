@@ -1075,3 +1075,73 @@ def chunk_documents(docs: ray.data.Dataset, size: int = 200,
             "chunk": pd.array(chunks, dtype="string")})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def textrank_terms(docs: ray.data.Dataset, k: int = 20,
+                   num_iters: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public
+    literature): PageRank over the corpus-wide token co-occurrence
+    graph (adjacent lowercase whitespace tokens, both directions,
+    DISTINCT pairs — the unweighted window-2 variant), top-``k``
+    terms by rank with (rank DESC, term ASC) tie-break.  Node ids are
+    ``md5_lower64(token) >> 1`` (DuckDB ``md5_number_lower // 2``), so
+    the whole chain — explode, adjacency, the per-iteration-rounded
+    PageRank, the final join-back — has a bit-exact SQL twin.
+
+    Scale shape: adjacency explode is one vectorized map over the
+    corpus; DISTINCT is one pair shuffle; PageRank reuses
+    :func:`~city2graph_ray.ops.graph_algos.pagerank` (vocabulary-sized
+    rank table, edge stream); the term join-back is one bucketed hash
+    join and only ``k`` rows ever reach the driver."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.ops.graph_algos import pagerank
+    from city2graph_ray.text.decontam import _md5_lower64
+
+    def explode(batch: pd.DataFrame):
+        toks = batch[text_col].str.lower().str.split().explode()
+        toks = toks[toks.notna()]
+        return (toks.index.to_numpy(), toks.to_numpy(dtype=object))
+
+    def adjacency(batch: pd.DataFrame) -> pd.DataFrame:
+        di, tok = explode(batch)
+        if len(tok) < 2:
+            z = np.zeros(0, np.int64)
+            return pd.DataFrame({"src": z, "dst": z})
+        same = di[1:] == di[:-1]
+        t1, t2 = tok[:-1][same], tok[1:][same]
+        u = (_md5_lower64(t1) >> np.uint64(1)).astype(np.int64)
+        v = (_md5_lower64(t2) >> np.uint64(1)).astype(np.int64)
+        return pd.DataFrame({"src": np.concatenate([u, v]),
+                             "dst": np.concatenate([v, u])})
+
+    def term_map(batch: pd.DataFrame) -> pd.DataFrame:
+        _, tok = explode(batch)
+        uniq = pd.unique(tok)
+        return pd.DataFrame({
+            "node": (_md5_lower64(uniq) >> np.uint64(1))
+            .astype(np.int64),
+            "term": uniq.astype(object)})
+
+    edges = shuffle.distinct(
+        docs.map_batches(adjacency, batch_format="pandas"),
+        ["src", "dst"], num_buckets=num_buckets)
+    ranks = pagerank(edges, num_iters=num_iters, round_to=9,
+                     num_buckets=num_buckets)
+    terms = shuffle.distinct(
+        docs.map_batches(term_map, batch_format="pandas"),
+        ["node", "term"], num_buckets=num_buckets)
+    joined = bucketed_join(ranks, terms, "node",
+                           num_buckets=num_buckets)
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["rank", "term"],
+                             ascending=[False, True]).head(k)
+
+    top = (joined.map_batches(block_topk, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["rank", "term"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return ray.data.from_pandas(top[["term", "rank"]])

@@ -602,3 +602,54 @@ def test_chunk_documents_rejects_bad_params():
         chunk_documents(ds, size=0)
     with pytest.raises(ValueError):
         chunk_documents(ds, stride=-1)
+
+
+def test_textrank_terms_bruteforce():
+    import hashlib
+
+    from city2graph_ray.text.analysis import textrank_terms
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["the cat sat on the mat",
+                 "the dog sat on the log",
+                 "cat and dog play",
+                 "mat and log float"]})
+    out = textrank_terms(rd.from_pandas(docs).repartition(2), k=5,
+                         num_iters=3, num_buckets=4).to_pandas()
+
+    def h(t):
+        return int.from_bytes(hashlib.md5(t.encode()).digest()[8:16],
+                              "little") >> 1
+
+    # brute-force: build distinct bidirectional adjacency, 3 rounded
+    # pagerank iterations, top-5
+    pairs = set()
+    id2term = {}
+    for t in docs["text"]:
+        toks = t.lower().split()
+        for w in toks:
+            id2term[h(w)] = w
+        for a, b in zip(toks, toks[1:]):
+            pairs.add((h(a), h(b)))
+            pairs.add((h(b), h(a)))
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    n = float(len(nodes))
+    deg = {}
+    for u, _ in pairs:
+        deg[u] = deg.get(u, 0) + 1
+    r = {v: round(1.0 / n, 10) for v in nodes}
+    for _ in range(3):
+        s = {}
+        for u, v in pairs:
+            s[v] = s.get(v, 0.0) + r[u] / deg[u]
+        r = {v: round(0.15 / n + 0.85 * s.get(v, 0.0), 10)
+             for v in nodes}
+    want = sorted(((round(r[v], 9), id2term[v]) for v in nodes),
+                  key=lambda x: (-x[0], x[1]))[:5]
+    # ranks can sit on a half-way 10-dp decimal where the 9-dp finish
+    # differs by 1e-9 across summation orders — the bit-exact check
+    # is the SQL twin (same order both sides); here assert tolerance
+    assert set(out["term"]) == {t for _, t in want}
+    got = dict(zip(out["term"], out["rank"]))
+    for rk, t in want:
+        assert abs(got[t] - rk) <= 2e-9
