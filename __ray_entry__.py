@@ -5559,6 +5559,47 @@ def _textrank_sql(k: int, iters: int) -> str:
             ORDER BY rank DESC, term LIMIT {k}""")
 
 
+def _event_allen(sf_dir: str):
+    """Allen interval-algebra census per user: events become
+    [ts, ts + cents·0.1 s) intervals; every ordered pair classifies
+    into the 8 forward relations — integer comparisons only, CASE
+    twin bit-exact."""
+    from city2graph_ray.ops.intervals import allen_relation_census
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "s": b["ts"].to_numpy().astype("datetime64[us]")
+            .view("i8"),
+            "e": b["ts"].to_numpy().astype("datetime64[us]")
+            .view("i8")
+            + np.floor(b["value"].to_numpy(np.float64) * 100
+                       + 0.5).astype(np.int64) * 100000}),
+        batch_format="pandas")
+    return allen_relation_census(ev, "user_id", "s", "e", "event_id")
+
+
+def _event_theil_sen(sf_dir: str):
+    """Per-user Theil-Sen slope (cents per second): median pairwise
+    slope over distinct-second pairs — single-division doubles and
+    identical median interpolation, so the self-join median() twin
+    hashes bit-exact."""
+    from city2graph_ray.ops.stats import theil_sen
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "t": b["ts"].to_numpy().astype("datetime64[us]")
+            .view("i8") // 1000000,
+            "v": np.floor(b["value"].to_numpy(np.float64) * 100
+                          + 0.5).astype(np.int64)}),
+        batch_format="pandas")
+    return theil_sen(ev, "user_id", "t", "v")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -5811,6 +5852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_hash_walks": _zone_hash_walks,
         "zone_dag_depth": _zone_dag_depth,
         "doc_textrank": _doc_textrank,
+        "event_allen_census": _event_allen,
+        "event_theil_sen": _event_theil_sen,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
         "event_value_eqdepth": _event_value_eqdepth,
@@ -9223,6 +9266,41 @@ def oracle_sql() -> dict[str, str]:
         "zone_hash_walks": _walks_sql(4),
         "zone_dag_depth": _dag_depth_sql(12),
         "doc_textrank": _textrank_sql(20, 5),
+        "event_allen_census": """
+            WITH iv AS (SELECT user_id, event_id,
+                     CAST(epoch_us(ts) AS BIGINT) AS s,
+                     CAST(epoch_us(ts) AS BIGINT)
+                       + CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         * 100000 AS e
+                 FROM events),
+            p AS (SELECT a.user_id,
+                         a.s AS si, a.e AS ei, b.s AS sj, b.e AS ej
+                  FROM iv a JOIN iv b ON a.user_id = b.user_id
+                    AND (a.s < b.s
+                         OR (a.s = b.s AND a.event_id < b.event_id)))
+            SELECT user_id,
+                   CASE WHEN si = sj AND ei = ej THEN 'equal'
+                        WHEN si = sj AND ei < ej THEN 'starts'
+                        WHEN si = sj THEN 'started_by'
+                        WHEN ei < sj THEN 'before'
+                        WHEN ei = sj THEN 'meets'
+                        WHEN ei = ej THEN 'finished_by'
+                        WHEN ej < ei THEN 'contains'
+                        ELSE 'overlaps' END AS relation,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY user_id, relation""",
+        "event_theil_sen": """
+            WITH u AS (SELECT user_id,
+                     CAST(epoch_us(ts) AS BIGINT) // 1000000 AS t,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                 FROM events),
+            p AS (SELECT a.user_id,
+                         CAST(b.v - a.v AS DOUBLE) / (b.t - a.t) AS sl
+                  FROM u a JOIN u b
+                    ON a.user_id = b.user_id AND a.t < b.t)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(median(sl), 9) AS slope
+            FROM p GROUP BY user_id""",
         "raster_regions": """
             WITH RECURSIVE m AS (
               SELECT (p_partkey % 40) AS c,

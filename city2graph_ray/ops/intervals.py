@@ -175,3 +175,54 @@ def interval_max_nonoverlap(ds: ray.data.Dataset, key_col: str = "id",
 
     return shuffle.grouped_transform(ds, [key_col], kernel,
                                      num_buckets=num_buckets)
+
+
+def allen_relation_census(ds: ray.data.Dataset, key_col: str,
+                          start_col: str, end_col: str, id_col: str,
+                          num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                          ) -> ray.data.Dataset:
+    """Allen interval-algebra relation census (Allen 1983, public
+    literature) per key: every pair of intervals, taken in
+    (start, id) order so the 13 relations collapse to the 8 forward
+    forms, is classified and counted.  Output
+    ``(key, relation, n)`` with relation ∈ {before, meets, overlaps,
+    finished_by, contains, starts, started_by, equal}.  All
+    comparisons are int64, so the ordered self-join CASE twin is
+    bit-exact.  Pair volume is C(n,2) per key — the Mann-Kendall /
+    Knox bound; keys are bounded-history entities.
+    """
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, start_col, id_col], kind="stable")
+        kk = g[key_col].to_numpy()
+        ss = g[start_col].to_numpy(np.int64)
+        ee = g[end_col].to_numpy(np.int64)
+        _, starts, sizes = np.unique(kk, return_index=True,
+                                     return_counts=True)
+        pos = np.arange(len(kk)) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - pos
+        total = int(reps.sum())
+        if not total:
+            return pd.DataFrame({key_col: kk[:0],
+                                 "relation": np.array([], object),
+                                 "n": np.zeros(0, np.int64)})
+        i = np.repeat(np.arange(len(kk)), reps)
+        j = i + (np.arange(total)
+                 - np.repeat(np.cumsum(reps) - reps, reps) + 1)
+        si, ei, sj, ej = ss[i], ee[i], ss[j], ee[j]
+        rel = np.where(
+            si == sj,
+            np.where(ei == ej, "equal",
+                     np.where(ei < ej, "starts", "started_by")),
+            np.where(ei < sj, "before",
+                     np.where(ei == sj, "meets",
+                              np.where(ei == ej, "finished_by",
+                                       np.where(ej < ei, "contains",
+                                                "overlaps")))))
+        out = (pd.DataFrame({key_col: kk[i], "relation": rel})
+               .groupby([key_col, "relation"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return shuffle.grouped_transform(ds, [key_col], kernel,
+                                     num_buckets=num_buckets)

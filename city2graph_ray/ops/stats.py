@@ -1354,3 +1354,53 @@ def mann_kendall(ds: ray.data.Dataset, key_col: str, ts_col: str,
     rows = ds.map_batches(prep, batch_format="pandas")
     return shuffle.grouped_transform(rows, [key_col], kernel,
                                      num_buckets=num_buckets)
+
+
+def theil_sen(ds: ray.data.Dataset, key_col: str, t_col: str,
+              v_col: str, round_to: int = 9,
+              num_buckets: int = shuffle.DEFAULT_BUCKETS,
+              ) -> ray.data.Dataset:
+    """Per-key Theil–Sen trend estimator (Theil 1950 / Sen 1968,
+    public literature): the median of all pairwise slopes
+    ``(v_j - v_i) / (t_j - t_i)`` over pairs with distinct t, plus
+    the pair count.  Output ``(key, n_pairs, slope)``; slope rounds
+    to ``round_to``.  Each slope is ONE double division of identical
+    int64 operands in both engines and the median interpolation is
+    the same (sorted, linear midpoint), so the self-join +
+    ``median()`` twin hashes bit-exact.  C(n,2) per key — the
+    documented Mann-Kendall bound.
+    """
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, t_col], kind="stable")
+        kk = g[key_col].to_numpy()
+        tt = g[t_col].to_numpy(np.int64)
+        vv = g[v_col].to_numpy(np.int64)
+        keys_u, starts, sizes = np.unique(kk, return_index=True,
+                                          return_counts=True)
+        pos = np.arange(len(kk)) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - pos
+        total = int(reps.sum())
+        if not total:
+            return pd.DataFrame({
+                key_col: keys_u[:0],
+                "n_pairs": np.zeros(0, np.int64),
+                "slope": np.zeros(0, np.float64)})
+        i = np.repeat(np.arange(len(kk)), reps)
+        j = i + (np.arange(total)
+                 - np.repeat(np.cumsum(reps) - reps, reps) + 1)
+        dt = tt[j] - tt[i]
+        ok = dt != 0
+        seg = np.searchsorted(starts, i[ok], side="right") - 1
+        sl = (vv[j][ok] - vv[i][ok]).astype(np.float64) / dt[ok]
+        out = pd.DataFrame({"seg": seg, "sl": sl})
+        med = out.groupby("seg", sort=True)["sl"].median()
+        cnt = out.groupby("seg", sort=True)["sl"].size()
+        # keys with zero distinct-t pairs are omitted (twin: INNER
+        # join against the pair aggregate)
+        return pd.DataFrame({
+            key_col: keys_u[med.index.to_numpy()],
+            "n_pairs": cnt.to_numpy(np.int64),
+            "slope": np.round(med.to_numpy(), round_to)})
+
+    return shuffle.grouped_transform(ds, [key_col], kernel,
+                                     num_buckets=num_buckets)

@@ -197,3 +197,73 @@ def test_interval_max_nonoverlap_touching_allowed():
                        "e": [10, 20, 30]}).astype(np.int64)
     got = interval_max_nonoverlap(rd.from_pandas(df)).to_pandas()
     assert got["n_selected"].iloc[0] == 3
+
+
+def test_allen_relation_census_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.ops.intervals import allen_relation_census
+    rng = np.random.default_rng(17)
+    n = 150
+    s = rng.integers(0, 50, n)
+    df = pd.DataFrame({"k": rng.integers(0, 5, n),
+                       "id": np.arange(n, dtype=np.int64),
+                       "s": s, "e": s + rng.integers(1, 30, n)})
+    out = (allen_relation_census(rd.from_pandas(df).repartition(4),
+                                 "k", "s", "e", "id", num_buckets=4)
+           .to_pandas())
+
+    def rel(si, ei, sj, ej):
+        if si == sj:
+            return ("equal" if ei == ej
+                    else "starts" if ei < ej else "started_by")
+        if ei < sj:
+            return "before"
+        if ei == sj:
+            return "meets"
+        if ei == ej:
+            return "finished_by"
+        if ej < ei:
+            return "contains"
+        return "overlaps"
+
+    from collections import Counter
+    want = Counter()
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["s", "id"])
+        rows = g[["s", "e"]].to_numpy()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                want[(k, rel(rows[i][0], rows[i][1],
+                             rows[j][0], rows[j][1]))] += 1
+    got = {(r["k"], r["relation"]): r["n"]
+           for _, r in out.iterrows()}
+    assert got == dict(want)
+
+
+def test_theil_sen_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.ops.stats import theil_sen
+    rng = np.random.default_rng(19)
+    n = 120
+    df = pd.DataFrame({"k": rng.integers(0, 6, n),
+                       "t": rng.integers(0, 40, n),
+                       "v": rng.integers(-50, 50, n)})
+    out = (theil_sen(rd.from_pandas(df).repartition(3), "k", "t", "v",
+                     num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for k, g in df.groupby("k"):
+        sls = []
+        rows = g[["t", "v"]].to_numpy()
+        for i in range(len(rows)):
+            for j in range(len(rows)):
+                if rows[i][0] < rows[j][0]:
+                    sls.append((rows[j][1] - rows[i][1])
+                               / (rows[j][0] - rows[i][0]))
+        row = out[out["k"] == k]
+        if not sls:
+            assert row.empty
+            continue
+        assert int(row["n_pairs"].iloc[0]) == len(sls)
+        assert row["slope"].iloc[0] == round(float(np.median(sls)), 9)
