@@ -5600,6 +5600,55 @@ def _event_theil_sen(sf_dir: str):
     return theil_sen(ev, "user_id", "t", "v")
 
 
+def _event_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix — exact integer
+    count reduction, ≤|types| identical ln terms, rounded finish."""
+    from city2graph_ray.ops.stats import group_entropy
+    from city2graph_ray.pipelines.tables import events
+
+    return group_entropy(events(sf_dir), "user_id", "event_type")
+
+
+def _pt_colocation(sf_dir: str):
+    """Colocation quotient over the customer point cloud (category =
+    id % 3) from the deterministic 1-NN graph: exact integer counts,
+    one CLQ division — kNN QUALIFY twin."""
+    from city2graph_ray.ops.spatial import colocation_quotient
+    from city2graph_ray.pipelines.tables import customer_points
+
+    pts = customer_points(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "id": b["id"].to_numpy(np.int64),
+            "x": b["x"].to_numpy(np.float64),
+            "y": b["y"].to_numpy(np.float64),
+            "cat": b["id"].to_numpy(np.int64) % 3}),
+        batch_format="pandas")
+    return colocation_quotient(pts, k=1)
+
+
+def _od_ipf(sf_dir: str):
+    """Furness/IPF doubly-constrained balancing of the (custkey%30 →
+    orderkey%29) count matrix to uniform margins of 1000, two full
+    rounds — integer nano-unit flows so every margin is an exact int
+    sum; the unrolled window-scaling twin is bit-exact."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.mobility import ipf_balance
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    base = shuffle.group_agg(
+        orders.map_batches(
+            lambda b: pd.DataFrame({
+                "o": b["o_custkey"].to_numpy(np.int64) % 30,
+                "d": b["o_orderkey"].to_numpy(np.int64) % 29,
+                "c": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["o", "d"], {"flow": ("c", "sum")})
+    return ipf_balance(base, 1000.0, 1000.0, rounds=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -5853,6 +5902,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_dag_depth": _zone_dag_depth,
         "doc_textrank": _doc_textrank,
         "event_allen_census": _event_allen,
+        "event_type_entropy": _event_type_entropy,
+        "pt_colocation": _pt_colocation,
+        "od_ipf": _od_ipf,
         "event_theil_sen": _event_theil_sen,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
@@ -9266,6 +9318,63 @@ def oracle_sql() -> dict[str, str]:
         "zone_hash_walks": _walks_sql(4),
         "zone_dag_depth": _dag_depth_sql(12),
         "doc_textrank": _textrank_sql(20, 5),
+        "event_type_entropy": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+                  FROM c GROUP BY user_id)
+            SELECT c.user_id, t.n,
+                   CAST(count(*) AS BIGINT) AS n_cats,
+                   round(-sum((CAST(c.c AS DOUBLE) / t.n)
+                              * ln(CAST(c.c AS DOUBLE) / t.n)), 6)
+                     AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id, t.n""",
+        "pt_colocation": f"""
+            WITH pts AS ({_PTS}),
+            nn AS (SELECT a.id AS src, b.id AS dst
+                   FROM pts a JOIN pts b ON a.id <> b.id
+                   QUALIFY row_number() OVER (PARTITION BY a.id
+                       ORDER BY sqrt((a.x-b.x)*(a.x-b.x)
+                                     +(a.y-b.y)*(a.y-b.y)), b.id)
+                       <= 1),
+            pc AS (SELECT src % 3 AS cat_a, dst % 3 AS cat_b,
+                          CAST(count(*) AS BIGINT) AS c_ab
+                   FROM nn GROUP BY 1, 2),
+            tot AS (SELECT id % 3 AS cat, CAST(count(*) AS BIGINT)
+                      AS n
+                    FROM pts GROUP BY 1),
+            g AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM tot)
+            SELECT pc.cat_a, pc.cat_b, pc.c_ab,
+                   ta.n AS n_a, tb.n AS n_b,
+                   round(CAST(pc.c_ab * (g.nt - 1) AS DOUBLE)
+                         / (ta.n * tb.n), 6) AS clq
+            FROM pc JOIN tot ta ON ta.cat = pc.cat_a
+                    JOIN tot tb ON tb.cat = pc.cat_b, g""",
+        "od_ipf": """
+            WITH f0 AS MATERIALIZED (
+              SELECT o_custkey % 30 AS o, o_orderkey % 29 AS d,
+                     CAST(count(*) AS BIGINT) * 1000000000 AS u
+              FROM orders GROUP BY 1, 2),
+            r1 AS MATERIALIZED (SELECT o, d,
+              CAST(floor(CAST(u AS DOUBLE) * 1000.0
+                   / CAST(sum(u) OVER (PARTITION BY o) AS DOUBLE)
+                   * 1000000000.0 + 0.5) AS BIGINT) AS u FROM f0),
+            c1 AS MATERIALIZED (SELECT o, d,
+              CAST(floor(CAST(u AS DOUBLE) * 1000.0
+                   / CAST(sum(u) OVER (PARTITION BY d) AS DOUBLE)
+                   * 1000000000.0 + 0.5) AS BIGINT) AS u FROM r1),
+            r2 AS MATERIALIZED (SELECT o, d,
+              CAST(floor(CAST(u AS DOUBLE) * 1000.0
+                   / CAST(sum(u) OVER (PARTITION BY o) AS DOUBLE)
+                   * 1000000000.0 + 0.5) AS BIGINT) AS u FROM c1),
+            c2 AS MATERIALIZED (SELECT o, d,
+              CAST(floor(CAST(u AS DOUBLE) * 1000.0
+                   / CAST(sum(u) OVER (PARTITION BY d) AS DOUBLE)
+                   * 1000000000.0 + 0.5) AS BIGINT) AS u FROM r2)
+            SELECT o, d, round(CAST(u AS DOUBLE) / 1e9, 6) AS flow
+            FROM c2""",
         "event_allen_census": """
             WITH iv AS (SELECT user_id, event_id,
                      CAST(epoch_us(ts) AS BIGINT) AS s,

@@ -1089,3 +1089,68 @@ def areal_interpolation(rects: ray.data.Dataset, cell: int,
                               / area.astype(np.float64), 6)})
 
     return rects.map_batches(explode, batch_format="pandas")
+
+
+def colocation_quotient(pts: ray.data.Dataset, k: int = 1,
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Categorical colocation quotient (Leslie & Kronenfeld 2011,
+    public literature) from the k=1 nearest-neighbour graph:
+    ``CLQ(A→B) = (C_{A→B}/N_A) / (N_B/(N-1))`` — how over-represented
+    category B is among A's nearest neighbours.  Input needs
+    ``(id, x, y, cat)``; output one row per observed (cat_a, cat_b):
+    ``(cat_a, cat_b, c_ab, n_a, n_b, clq)``.  Counts are exact int64
+    reductions over the deterministic tie-broken kNN; the single CLQ
+    division mirrors the SQL twin bit-exact.
+
+    Scale shape: the kNN shuffle dominates (halo-escalated cell
+    exchange); category attach is two bucketed hash joins keyed by
+    point id; the (cat × cat) reduction and the category totals are
+    tiny keyed sums."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.ops.proximity import knn_graph
+
+    nn = knn_graph(pts.map_batches(
+        lambda b: b[["id", "x", "y"]], batch_format="pandas"), k)
+    cats = pts.map_batches(
+        lambda b: pd.DataFrame({"id": b["id"].to_numpy(np.int64),
+                                "cat": b["cat"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    a = bucketed_join(
+        nn.map_batches(lambda b: pd.DataFrame(
+            {"id": b["src"].to_numpy(np.int64),
+             "dst": b["dst"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        cats, "id", num_buckets=num_buckets).map_batches(
+        lambda b: pd.DataFrame({"id": b["dst"].to_numpy(np.int64),
+                                "cat_a": b["cat"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    ab = bucketed_join(a, cats, "id", num_buckets=num_buckets)
+    pair_counts = shuffle.group_agg(
+        ab.map_batches(lambda b: pd.DataFrame(
+            {"cat_a": b["cat_a"].to_numpy(np.int64),
+             "cat_b": b["cat"].to_numpy(np.int64),
+             "c": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["cat_a", "cat_b"], {"c_ab": ("c", "sum")},
+        num_buckets=8).to_pandas()
+    totals = shuffle.group_agg(
+        cats.map_batches(lambda b: pd.DataFrame(
+            {"cat": b["cat"], "c": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["cat"], {"n": ("c", "sum")}, num_buckets=1).to_pandas()
+    n_tot = int(totals["n"].sum())
+    tmap = dict(zip(totals["cat"], totals["n"]))
+    pair_counts["n_a"] = (pair_counts["cat_a"].map(tmap)
+                          .astype(np.int64))
+    pair_counts["n_b"] = (pair_counts["cat_b"].map(tmap)
+                          .astype(np.int64))
+    # C_{A→B} counts k neighbours per A point: N_A normalizer is k·N_A
+    pair_counts["clq"] = np.round(
+        (pair_counts["c_ab"].to_numpy(np.int64) * (n_tot - 1))
+        / (k * pair_counts["n_a"].to_numpy(np.int64)
+           * pair_counts["n_b"].to_numpy(np.int64)), 6)
+    out = pair_counts.sort_values(["cat_a", "cat_b"]).reset_index(
+        drop=True)
+    return ray.data.from_pandas(
+        out[["cat_a", "cat_b", "c_ab", "n_a", "n_b", "clq"]])

@@ -1404,3 +1404,44 @@ def theil_sen(ds: ray.data.Dataset, key_col: str, t_col: str,
 
     return shuffle.grouped_transform(ds, [key_col], kernel,
                                      num_buckets=num_buckets)
+
+
+def group_entropy(ds: ray.data.Dataset, key_col: str, cat_col: str,
+                  round_to: int = 6,
+                  num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                  ) -> ray.data.Dataset:
+    """Per-key Shannon entropy of a categorical column:
+    ``H = -Σ_c (n_c/n)·ln(n_c/n)`` over the key's category counts.
+    Output ``(key, n, n_cats, entropy)`` with entropy rounded to
+    ``round_to``.  Counts reduce exactly (one keyed sum of per-block
+    partials); the ≤|categories| ln/division terms are identical
+    doubles in the SQL twin — only the final few-term sum is float,
+    rounded well above accumulation noise (the doc_ppl_buckets
+    precedent).
+    """
+    partial = ds.map_batches(
+        lambda b: (b.groupby([key_col, cat_col], sort=False).size()
+                   .rename("__cnt").reset_index()),
+        batch_format="pandas")
+    counts = shuffle.group_agg(partial, [key_col, cat_col],
+                               {"__cnt": ("__cnt", "sum")},
+                               num_buckets=num_buckets)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, cat_col], kind="stable")
+        tot = g.groupby(key_col, sort=False)["__cnt"].transform("sum")
+        p = g["__cnt"].to_numpy(np.int64) / tot.to_numpy(np.int64)
+        term = pd.Series(p * np.log(p), index=g.index)
+        agg = (pd.DataFrame({key_col: g[key_col],
+                             "t": term, "c": g["__cnt"]})
+               .groupby(key_col, sort=False)
+               .agg(n=("c", "sum"), n_cats=("c", "size"),
+                    s=("t", "sum")).reset_index())
+        return pd.DataFrame({
+            key_col: agg[key_col],
+            "n": agg["n"].astype(np.int64),
+            "n_cats": agg["n_cats"].astype(np.int64),
+            "entropy": np.round(-agg["s"].to_numpy(), round_to) + 0.0})
+
+    return shuffle.grouped_transform(counts, [key_col], finish,
+                                     num_buckets=num_buckets)

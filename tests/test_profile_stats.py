@@ -813,3 +813,44 @@ def test_mann_kendall_single_event_key():
     assert len(out) == 1
     assert int(out["s_stat"].iloc[0]) == 0
     assert int(out["var_num"].iloc[0]) == 0
+
+
+def test_group_entropy_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.ops.stats import group_entropy
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 200),
+                       "c": rng.choice(list("abcd"), 200)})
+    out = (group_entropy(rd.from_pandas(df).repartition(4), "k", "c",
+                         num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for k, g in df.groupby("k"):
+        vc = g["c"].value_counts()
+        p = vc.to_numpy() / len(g)
+        want = round(float(-(p * np.log(p)).sum()), 6)
+        row = out[out["k"] == k].iloc[0]
+        assert int(row["n"]) == len(g)
+        assert int(row["n_cats"]) == len(vc)
+        assert abs(row["entropy"] - want) <= 2e-6
+
+
+def test_ipf_balance_converges_to_margins():
+    import ray.data as rd
+
+    from city2graph_ray.ops.mobility import ipf_balance
+    rng = np.random.default_rng(37)
+    rows = []
+    for o in range(6):
+        for d in range(5):
+            rows.append((o, d, int(rng.integers(1, 50))))
+    df = pd.DataFrame(rows, columns=["o", "d", "flow"])
+    out = (ipf_balance(rd.from_pandas(df).repartition(3), 100.0,
+                       120.0, rounds=6, num_buckets=4)
+           .to_pandas())
+    col_sums = out.groupby("d")["flow"].sum()
+    # after the final column scaling, column margins hit the target
+    assert np.allclose(col_sums.to_numpy(), 120.0, atol=1e-3)
+    # row margins approach the row target as rounds increase
+    row_sums = out.groupby("o")["flow"].sum()
+    assert np.allclose(row_sums.to_numpy(), 100.0, rtol=0.2)
