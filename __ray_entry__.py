@@ -5649,6 +5649,62 @@ def _od_ipf(sf_dir: str):
     return ipf_balance(base, 1000.0, 1000.0, rounds=2)
 
 
+def _event_markov_stationary(sf_dir: str):
+    """4-step Markov power iteration over the exact event-type
+    transition counts (row-stochastic, per-iteration-rounded) — the
+    stationary-distribution approximation; twin unrolls the join
+    rounds."""
+    import ray.data
+
+    from city2graph_ray.ops.funnel import transition_counts
+    from city2graph_ray.ops.graph_algos import markov_power
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    counts = transition_counts(ev)
+    return markov_power(counts, iters=4, src="src_type",
+                        dst="dst_type", w="n", num_buckets=8)
+
+
+def _markov_sql(iters: int) -> str:
+    ctes = ["""t AS (SELECT event_type AS s,
+                     lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS d
+              FROM events)""",
+            """e AS MATERIALIZED (
+              SELECT s, d, CAST(count(*) AS BIGINT) AS w
+              FROM t WHERE d IS NOT NULL GROUP BY s, d)""",
+            """nodes AS MATERIALIZED (
+              SELECT s AS node FROM e UNION SELECT d FROM e)""",
+            "c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+            """deg AS MATERIALIZED (
+              SELECT s, CAST(sum(w) AS BIGINT) AS dw
+              FROM e GROUP BY s)""",
+            """p0 AS (SELECT node, round(1.0 / n, 10) AS r
+              FROM nodes, c)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+              SELECT e.d AS node,
+                     sum((e.w / CAST(deg.dw AS DOUBLE)) * p.r) AS s
+              FROM e JOIN deg USING (s)
+              JOIN p{i - 1} p ON p.node = e.s GROUP BY e.d)""")
+        ctes.append(f"""p{i} AS MATERIALIZED (
+              SELECT node, round(coalesce(s, 0), 10) AS r
+              FROM nodes LEFT JOIN s{i} USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, round(r, 6) AS prob FROM p{iters}")
+
+
+def _doc_oov_rate(sf_dir: str):
+    """Per-doc OOV rate vs the corpus top-100 vocabulary (count DESC,
+    token ASC cutoff): exact counts, one division — LEFT-JOIN twin."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import oov_rate
+
+    return oov_rate(documents(sf_dir), vocab_k=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pt_radius_pairs": _pt_radius,
@@ -5905,6 +5961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_entropy": _event_type_entropy,
         "pt_colocation": _pt_colocation,
         "od_ipf": _od_ipf,
+        "doc_oov_rate": _doc_oov_rate,
+        "event_markov_stationary": _event_markov_stationary,
         "event_theil_sen": _event_theil_sen,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
@@ -9318,6 +9376,24 @@ def oracle_sql() -> dict[str, str]:
         "zone_hash_walks": _walks_sql(4),
         "zone_dag_depth": _dag_depth_sql(12),
         "doc_textrank": _textrank_sql(20, 5),
+        "event_markov_stationary": _markov_sql(4),
+        "doc_oov_rate": """
+            WITH tok AS (SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS t
+                 FROM documents),
+            vc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            vocab AS (SELECT t FROM vc ORDER BY c DESC, t LIMIT 100),
+            j AS (SELECT tok.doc_id,
+                         CASE WHEN v.t IS NULL THEN 1 ELSE 0 END
+                           AS oov
+                  FROM tok LEFT JOIN vocab v USING (t))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(oov) AS BIGINT) AS n_oov,
+                   round(CAST(sum(oov) AS DOUBLE) / count(*), 6)
+                     AS oov_rate
+            FROM j GROUP BY doc_id""",
         "event_type_entropy": """
             WITH c AS (SELECT user_id, event_type,
                               CAST(count(*) AS BIGINT) AS c

@@ -3401,3 +3401,103 @@ def dag_longest_path(edges: ray.data.Dataset, rounds: int = 12,
                                   num_buckets=num_buckets)
                 .repartition(min(num_buckets, 16)).materialize())
     return dist
+
+
+def markov_power(edges: ray.data.Dataset, iters: int = 4,
+                 src: str = "src", dst: str = "dst", w: str = "w",
+                 round_iter: int = 10, round_to: int = 6,
+                 num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 ) -> ray.data.Dataset:
+    """Markov-chain state distribution after ``iters`` steps of the
+    row-stochastic transition matrix built from integer edge weights
+    (``P_ij = w_ij / Σ_j w_ij``), from the uniform start — the
+    power-iteration approximation of the stationary distribution.
+    Per-iteration rounding to ``round_iter`` decimals keeps float
+    association order out of the result (the pagerank exactness
+    contract), so the unrolled-CTE SQL twin is bit-exact.  States
+    with no in-edges decay to 0 (no teleport floor).  Output
+    ``(node, prob)`` rounded to ``round_to``.
+
+    Distributed shape per iteration: one bucketed join of the edge
+    stream against the state-sized probability table keyed by
+    ``src`` + one keyed sum by ``dst`` — identical to pagerank's
+    join strategy; works unchanged from a 6-state event-type chain
+    to a billion-state click graph."""
+    import pyarrow as pa
+
+    nodes = shuffle.distinct(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b[src].to_numpy(), b[dst].to_numpy()])}),
+            batch_format="pandas"),
+        ["node"], num_buckets=num_buckets).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "prob": pa.array([], pa.float64())}))
+    deg = shuffle.group_agg(
+        edges.map_batches(
+            lambda b: pd.DataFrame({src: b[src],
+                                    "dw": b[w].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        [src], {"dw": ("dw", "sum")}, num_buckets=num_buckets)
+    ew = bucketed_join(
+        edges.map_batches(
+            lambda b: pd.DataFrame({src: b[src], dst: b[dst],
+                                    "w": b[w].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        deg, src, num_buckets=num_buckets).map_batches(
+        lambda b: pd.DataFrame({
+            "node": b[src], dst: b[dst],
+            "ratio": b["w"].to_numpy(np.int64)
+            / b["dw"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+
+    prob = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"],
+                                "r": np.full(len(b),
+                                             round(1.0 / n,
+                                                   round_iter))}),
+        batch_format="pandas").materialize()
+    for _ in range(iters):
+        contrib = bucketed_join(ew, prob, "node",
+                                num_buckets=num_buckets).map_batches(
+            lambda b: pd.DataFrame({
+                "node": b[dst],
+                "s": b["ratio"].to_numpy(np.float64)
+                * b["r"].to_numpy(np.float64)}),
+            batch_format="pandas")
+        sums = shuffle.group_agg(contrib, ["node"],
+                                 {"s": ("s", "sum")},
+                                 num_buckets=num_buckets)
+        # schema().types may be numpy dtypes on pandas-block datasets
+        ntype = pa.string()
+        for name, typ in zip(edges.schema().names,
+                             edges.schema().types):
+            if name == src:
+                if isinstance(typ, pa.DataType):
+                    ntype = typ
+                else:
+                    try:
+                        dt = np.dtype(typ)
+                        ntype = (pa.string() if dt == object
+                                 else pa.from_numpy_dtype(dt))
+                    except TypeError:
+                        ntype = pa.string()
+        s_schema = pa.schema([("node", ntype), ("s", pa.float64())])
+        prob = (bucketed_join(nodes, sums, "node",
+                              num_buckets=num_buckets, how="left",
+                              right_schema=s_schema)
+                .map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"],
+                "r": np.round(np.nan_to_num(
+                    b["s"].to_numpy(np.float64)), round_iter)}),
+            batch_format="pandas")
+            .repartition(min(num_buckets, 16)).materialize())
+    return prob.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["node"],
+            "prob": np.round(b["r"].to_numpy(np.float64), round_to)}),
+        batch_format="pandas")

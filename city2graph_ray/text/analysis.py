@@ -1145,3 +1145,41 @@ def textrank_terms(docs: ray.data.Dataset, k: int = 20,
            .sort_values(["rank", "term"], ascending=[False, True])
            .head(k).reset_index(drop=True))
     return ray.data.from_pandas(top[["term", "rank"]])
+
+
+def oov_rate(docs: ray.data.Dataset, vocab_k: int = 100,
+             text_col: str = "text", id_col: str = "doc_id",
+             ) -> ray.data.Dataset:
+    """Tokenizer-coverage screen: per-doc out-of-vocabulary rate
+    against the corpus top-``vocab_k`` tokens (count DESC, token ASC
+    tie-break — the :func:`token_topk` cutoff).  Output
+    ``(doc_id, n_tokens, n_oov, oov_rate)``; token-less docs emit
+    nothing.  Counts are exact ints, the rate is one division —
+    bit-exact vs the LEFT-JOIN twin.
+
+    Two passes: the vocabulary pass reduces to ``k`` rows (broadcast
+    by closure capture), then one streaming membership map — the
+    standard coverage audit before committing to a tokenizer at
+    corpus scale."""
+    vocab = set(token_topk(docs, vocab_k, text_col=text_col,
+                           id_col=id_col).to_pandas()["token"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        toks = b[text_col].str.lower().str.split().explode()
+        toks = toks[toks.notna() & (toks != "")]
+        ids = b[id_col].to_numpy()[toks.index.to_numpy()]
+        oov = (~toks.isin(vocab)).to_numpy(np.int64)
+        agg = (pd.DataFrame({id_col: ids, "oov": oov})
+               .groupby(id_col, sort=False)
+               .agg(n_tokens=("oov", "size"), n_oov=("oov", "sum"))
+               .reset_index())
+        return pd.DataFrame({
+            id_col: agg[id_col],
+            "n_tokens": agg["n_tokens"].astype(np.int64),
+            "n_oov": agg["n_oov"].astype(np.int64),
+            "oov_rate": np.round(
+                agg["n_oov"].to_numpy(np.int64)
+                / agg["n_tokens"].to_numpy(np.int64), 6)})
+
+    return docs.map_batches(fn, batch_format="pandas")

@@ -653,3 +653,19 @@ def test_textrank_terms_bruteforce():
     got = dict(zip(out["term"], out["rank"]))
     for rk, t in want:
         assert abs(got[t] - rk) <= 2e-9
+
+
+def test_oov_rate_bruteforce():
+    from city2graph_ray.text.analysis import oov_rate
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["a a a b", "b c", "d e f", "a b c d", ""]})
+    out = (oov_rate(rd.from_pandas(docs).repartition(2), vocab_k=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # vocab: counts a=5,b=3 → top2 = {a, b}
+    want = {0: (4, 0), 1: (2, 1), 2: (3, 3), 3: (4, 2)}
+    assert out["doc_id"].tolist() == sorted(want)
+    for _, r in out.iterrows():
+        n, o = want[r["doc_id"]]
+        assert (r["n_tokens"], r["n_oov"]) == (n, o)
+        assert r["oov_rate"] == round(o / n, 6)

@@ -1109,3 +1109,25 @@ def test_dag_longest_path_bruteforce():
     want = pd.DataFrame(sorted(d.items()), columns=["node", "depth"])
     assert out["node"].tolist() == want["node"].tolist()
     assert out["depth"].tolist() == want["depth"].tolist()
+
+
+def test_markov_power_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.ops.graph_algos import markov_power
+    e = pd.DataFrame({"src": ["a", "a", "b", "c"],
+                      "dst": ["b", "c", "a", "a"],
+                      "w": np.array([3, 1, 2, 5], np.int64)})
+    out = (markov_power(rd.from_pandas(e), iters=3, num_buckets=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # brute force with identical per-iteration rounding
+    nodes = ["a", "b", "c"]
+    deg = {"a": 4, "b": 2, "c": 5}
+    p = {v: round(1 / 3, 10) for v in nodes}
+    for _ in range(3):
+        s = {v: 0.0 for v in nodes}
+        for _, r in e.iterrows():
+            s[r["dst"]] += (r["w"] / deg[r["src"]]) * p[r["src"]]
+        p = {v: round(s[v], 10) for v in nodes}
+    for _, r in out.iterrows():
+        assert abs(r["prob"] - round(p[r["node"]], 6)) <= 2e-9
