@@ -5696,6 +5696,51 @@ def _markov_sql(iters: int) -> str:
             + f"\nSELECT node, round(r, 6) AS prob FROM p{iters}")
 
 
+def _segment_strokes(sf_dir: str):
+    """COINS-style continuity strokes over the order-segment network
+    (integer pre-scale endpoints): mutual-best angular continuation
+    at shared nodes (deflection ≤ 45°, exact int cross/dot, one
+    fixed-form double ratio), strokes via distributed CC — recursive
+    closure twin."""
+    import ray.data
+
+    from city2graph_ray import synth
+    from city2graph_ray.ops.segments import strokes
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        ck = b["o_custkey"].to_numpy(np.int64)
+
+        def ix(k):
+            return (k * k * synth.QX + k * synth.AX + synth.BX) \
+                % synth.MOD
+
+        def iy(k):
+            return (k * k * synth.QY + k * synth.AY + synth.BY) \
+                % synth.MOD
+
+        return pd.DataFrame({"seg_id": ok,
+                             "ax": ix(ok), "ay": iy(ok),
+                             "bx": ix(ck), "by": iy(ck)})
+
+    return strokes(orders.map_batches(mk, batch_format="pandas"))
+
+
+def _pt_cross_k(sf_dir: str):
+    """Bivariate Ripley cross-K between id%3==0 and id%3==1 points at
+    radii {5,10,20}: one cell-bucketed pair shuffle at r=20, category
+    filter inside the partial, fixed-order K̂_AB — cross-join twin."""
+    from city2graph_ray.ops.spatial import cross_k
+    from city2graph_ray.pipelines.tables import customer_points
+
+    return cross_k(customer_points(sf_dir), [5.0, 10.0, 20.0],
+                   area=1_000_000.0, cat_of=lambda ids: ids % 3,
+                   cat_a=0, cat_b=1)
+
+
 def _doc_oov_rate(sf_dir: str):
     """Per-doc OOV rate vs the corpus top-100 vocabulary (count DESC,
     token ASC cutoff): exact counts, one division — LEFT-JOIN twin."""
@@ -5963,6 +6008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_ipf": _od_ipf,
         "doc_oov_rate": _doc_oov_rate,
         "event_markov_stationary": _event_markov_stationary,
+        "pt_cross_k": _pt_cross_k,
+        "segment_strokes": _segment_strokes,
         "event_theil_sen": _event_theil_sen,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
@@ -9377,6 +9424,71 @@ def oracle_sql() -> dict[str, str]:
         "zone_dag_depth": _dag_depth_sql(12),
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
+        "segment_strokes": """
+            WITH RECURSIVE s AS (
+              SELECT o_orderkey AS seg,
+                     (o_orderkey*o_orderkey*3931
+                      + o_orderkey*48271 + 11) % 100000 AS ax,
+                     (o_orderkey*o_orderkey*2713
+                      + o_orderkey*69621 + 7) % 100000 AS ay,
+                     (o_custkey*o_custkey*3931
+                      + o_custkey*48271 + 11) % 100000 AS bx,
+                     (o_custkey*o_custkey*2713
+                      + o_custkey*69621 + 7) % 100000 AS by
+              FROM orders),
+            inc AS MATERIALIZED (
+              SELECT ax AS nx, ay AS ny, seg,
+                     bx - ax AS ux, by - ay AS uy FROM s
+              UNION ALL
+              SELECT bx, by, seg, ax - bx, ay - by FROM s),
+            cand AS MATERIALIZED (
+              SELECT a.nx, a.ny, a.seg AS si, b.seg AS sj,
+                     CAST(a.ux*b.uy - a.uy*b.ux AS DOUBLE) AS cd,
+                     CAST(a.ux*b.ux + a.uy*b.uy AS DOUBLE) AS dd
+              FROM inc a JOIN inc b
+                ON a.nx = b.nx AND a.ny = b.ny AND a.seg <> b.seg
+              WHERE a.ux*b.ux + a.uy*b.uy < 0
+                AND CAST(a.ux*b.uy - a.uy*b.ux AS DOUBLE)
+                    * CAST(a.ux*b.uy - a.uy*b.ux AS DOUBLE)
+                    <= CAST(a.ux*b.ux + a.uy*b.uy AS DOUBLE)
+                       * CAST(a.ux*b.ux + a.uy*b.uy AS DOUBLE)),
+            best AS MATERIALIZED (
+              SELECT nx, ny, si, sj FROM cand
+              QUALIFY row_number() OVER (PARTITION BY nx, ny, si
+                  ORDER BY (cd*cd)/(dd*dd), sj) = 1),
+            links AS MATERIALIZED (
+              SELECT b1.si AS u, b1.sj AS v
+              FROM best b1 JOIN best b2
+                ON b1.nx = b2.nx AND b1.ny = b2.ny
+               AND b1.sj = b2.si AND b2.sj = b1.si
+              WHERE b1.si < b1.sj),
+            sym AS (SELECT u, v FROM links
+                    UNION SELECT v, u FROM links),
+            reach AS (
+              SELECT seg AS cell, seg AS lab FROM s
+              UNION
+              SELECT y.v, r.lab FROM reach r JOIN sym y
+                ON y.u = r.cell)
+            SELECT cell AS seg_id, CAST(min(lab) AS BIGINT) AS stroke
+            FROM reach GROUP BY cell""",
+        "pt_cross_k": f"""
+            WITH pts AS ({_PTS}),
+            rr AS (SELECT unnest([5.0, 10.0, 20.0]) AS r),
+            na AS (SELECT count(*) AS n FROM pts WHERE id % 3 = 0),
+            nb AS (SELECT count(*) AS n FROM pts WHERE id % 3 = 1),
+            pc AS (SELECT rr.r, count(*) AS n_ab
+                   FROM rr JOIN pts a ON TRUE
+                   JOIN pts b ON a.id < b.id
+                     AND ((a.id % 3 = 0 AND b.id % 3 = 1)
+                          OR (a.id % 3 = 1 AND b.id % 3 = 0))
+                     AND sqrt((a.x-b.x)*(a.x-b.x)
+                              +(a.y-b.y)*(a.y-b.y)) <= rr.r
+                   GROUP BY rr.r)
+            SELECT rr.r AS r,
+                   COALESCE(pc.n_ab, 0)::BIGINT AS n_ab,
+                   1000000.0 * COALESCE(pc.n_ab, 0)
+                     / (na.n * CAST(nb.n AS DOUBLE)) AS khat_ab
+            FROM rr LEFT JOIN pc ON pc.r = rr.r, na, nb""",
         "doc_oov_rate": """
             WITH tok AS (SELECT doc_id,
                      unnest(list_filter(

@@ -449,3 +449,116 @@ def orientation_histogram(segments: ray.data.Dataset,
         segments.map_batches(partial, batch_format="pandas"),
         ["bin"], {"n": ("n", "sum")}, num_buckets=num_buckets,
         partial=False)
+
+
+def strokes(segs: ray.data.Dataset,
+            num_buckets: int = 32) -> ray.data.Dataset:
+    """COINS-style continuity strokes (Tripathy et al. 2021 semantics,
+    public literature; momepy ``COINS``): merge street segments into
+    strokes wherever two segments meeting at a node are each other's
+    BEST angular continuation with deflection ≤ 45°.  Input
+    ``(seg_id, ax, ay, bx, by)`` integer endpoints; output
+    ``(seg_id, stroke)`` with stroke = min seg_id of the stroke.
+
+    Determinism/exactness: outgoing vectors are exact int64; the
+    continuation test is ``dot(u,v) < 0 AND cross² ≤ dot²`` and the
+    ranking ratio ``cross²/dot²`` is ONE fixed-form double expression
+    — identical IEEE arithmetic in the SQL twin — with seg-id
+    tie-break.  Links require MUTUAL best (the COINS rule), then
+    stroke labels come from large-star/small-star connected
+    components; linkless segments self-label through the LEFT
+    join-back.
+
+    Distributed shape: ONE keyed shuffle on the shared-endpoint node
+    key (per-node kernel is O(deg²) on street-scale degrees), the CC
+    rounds, and one bucketed join — no driver geometry anywhere."""
+    import pyarrow as pa
+
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.ops.topology import connected_components
+
+    def incidence(b: pd.DataFrame) -> pd.DataFrame:
+        sid = b["seg_id"].to_numpy(np.int64)
+        ax = b["ax"].to_numpy(np.int64)
+        ay = b["ay"].to_numpy(np.int64)
+        bx = b["bx"].to_numpy(np.int64)
+        by = b["by"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "nx": np.concatenate([ax, bx]),
+            "ny": np.concatenate([ay, by]),
+            "seg": np.concatenate([sid, sid]),
+            "ux": np.concatenate([bx - ax, ax - bx]),
+            "uy": np.concatenate([by - ay, ay - by])})
+
+    def node_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["nx", "ny", "seg"], kind="stable")
+        node = (g["nx"].to_numpy(np.int64) * np.int64(1 << 20)
+                + g["ny"].to_numpy(np.int64))
+        seg = g["seg"].to_numpy(np.int64)
+        ux = g["ux"].to_numpy(np.int64)
+        uy = g["uy"].to_numpy(np.int64)
+        n_rows = len(node)
+        _, starts, sizes = np.unique(node, return_index=True,
+                                     return_counts=True)
+        # ragged ordered pairs within each node (triu + mirror)
+        pos = np.arange(n_rows) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - pos
+        total = int(reps.sum())
+        empty = pd.DataFrame({"src": np.zeros(0, np.int64),
+                              "dst": np.zeros(0, np.int64)})
+        if not total:
+            return empty
+        i0 = np.repeat(np.arange(n_rows), reps)
+        j0 = i0 + (np.arange(total)
+                   - np.repeat(np.cumsum(reps) - reps, reps) + 1)
+        pi = np.concatenate([i0, j0])
+        pj = np.concatenate([j0, i0])
+        dot = ux[pi] * ux[pj] + uy[pi] * uy[pj]
+        cross = ux[pi] * uy[pj] - uy[pi] * ux[pj]
+        cd = cross.astype(np.float64)
+        dd = dot.astype(np.float64)
+        ok = (dot < 0) & (cd * cd <= dd * dd) & (seg[pi] != seg[pj])
+        if not ok.any():
+            return empty
+        pi, pj = pi[ok], pj[ok]
+        ratio = (cd[ok] * cd[ok]) / (dd[ok] * dd[ok])
+        # best candidate per incidence row: min (ratio, partner seg)
+        order = np.lexsort((seg[pj], ratio, pi))
+        pi_s, pj_s = pi[order], pj[order]
+        first = np.concatenate(([True], pi_s[1:] != pi_s[:-1]))
+        best = np.full(n_rows, -1, np.int64)
+        best[pi_s[first]] = pj_s[first]
+        idx = np.arange(n_rows)
+        j = best
+        valid = j >= 0
+        mutual = valid.copy()
+        mutual[valid] = (best[j[valid]] == idx[valid]) \
+            & (seg[idx[valid]] < seg[j[valid]])
+        return pd.DataFrame({"src": seg[idx[mutual]],
+                             "dst": seg[best[mutual]]})
+
+    inc = segs.map_batches(incidence, batch_format="pandas")
+    links = shuffle.grouped_transform(inc, ["nx", "ny"], node_kernel,
+                                      num_buckets=num_buckets)
+    labels = connected_components(links)
+    seg_ids = shuffle.distinct(
+        segs.map_batches(
+            lambda b: pd.DataFrame({"node_id": b["seg_id"]
+                                    .to_numpy(np.int64)}),
+            batch_format="pandas"),
+        ["node_id"], num_buckets=num_buckets)
+    lab_schema = pa.schema([("node_id", pa.int64()),
+                            ("component", pa.int64())])
+    joined = bucketed_join(seg_ids, labels, "node_id",
+                           num_buckets=num_buckets, how="left",
+                           right_schema=lab_schema)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        comp = b["component"].to_numpy(np.float64)
+        nid = b["node_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "seg_id": nid,
+            "stroke": np.where(np.isnan(comp), nid,
+                               np.nan_to_num(comp)).astype(np.int64)})
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -1154,3 +1154,64 @@ def colocation_quotient(pts: ray.data.Dataset, k: int = 1,
         drop=True)
     return ray.data.from_pandas(
         out[["cat_a", "cat_b", "c_ab", "n_a", "n_b", "clq"]])
+
+
+def cross_k(points: ray.data.Dataset, radii, area: float, cat_of,
+            cat_a: int = 0, cat_b: int = 1,
+            num_buckets: int = 16) -> ray.data.Dataset:
+    """Bivariate (cross-type) Ripley K — the standard test for
+    attraction/repulsion BETWEEN two point categories:
+    ``K̂_AB(r) = A · Σ_{i∈A} Σ_{j∈B} 1[d_ij ≤ r] / (n_A · n_B)`` (no
+    edge correction).  ``cat_of`` is a vectorized ``ids → category``
+    function (category embedded in the id — zero extra shuffles; use
+    an id⋈category join upstream when it isn't).
+
+    Same one-spatial-shuffle shape as :func:`ripley_k`: the unordered
+    pair stream from
+    :func:`~city2graph_ray.ops.proximity.fixed_radius_graph` at
+    max(radii) is filtered to (A, B) pairs in EITHER orientation —
+    each A–B pair counts exactly once — then per-block partial counts
+    per threshold and a tiny keyed sum.  Output one row per radius
+    ``(r, n_ab, khat_ab)`` with the fixed-order K̂ float."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.proximity import fixed_radius_graph
+
+    radii_arr = np.asarray(sorted(radii), np.float64)
+    rmax = float(radii_arr[-1])
+
+    def count_cats(b: pd.DataFrame) -> pd.DataFrame:
+        c = cat_of(b["id"].to_numpy(np.int64))
+        return pd.DataFrame({"k": np.zeros(1, np.int64),
+                             "n_a": [(c == cat_a).sum()],
+                             "n_b": [(c == cat_b).sum()]})
+
+    tot = shuffle.group_agg(
+        points.map_batches(count_cats, batch_format="pandas"),
+        ["k"], {"n_a": ("n_a", "sum"), "n_b": ("n_b", "sum")},
+        num_buckets=1).to_pandas()
+    n_a = int(tot["n_a"].iloc[0])
+    n_b = int(tot["n_b"].iloc[0])
+    pairs = fixed_radius_graph(points, rmax)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cs = cat_of(b["src"].to_numpy(np.int64))
+        cd = cat_of(b["dst"].to_numpy(np.int64))
+        ab = (((cs == cat_a) & (cd == cat_b))
+              | ((cs == cat_b) & (cd == cat_a)))
+        d = b["distance"].to_numpy()[ab]
+        return pd.DataFrame({
+            "r": radii_arr,
+            "n_ab": np.asarray([(d <= r).sum() for r in radii_arr],
+                               np.int64)})
+
+    agg = shuffle.group_agg(
+        pairs.map_batches(partial, batch_format="pandas"),
+        ["r"], {"n_ab": ("n_ab", "sum")}, num_buckets=num_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        np_ = b["n_ab"].to_numpy(np.int64)
+        khat = area * np_ / (n_a * float(n_b))
+        return pd.DataFrame({"r": b["r"].to_numpy(np.float64),
+                             "n_ab": np_, "khat_ab": khat})
+
+    return agg.map_batches(finish, batch_format="pandas")

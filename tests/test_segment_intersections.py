@@ -153,3 +153,40 @@ def test_orientation_histogram_boundaries():
     out2 = (orientation_histogram(rd.from_pandas(rev), num_buckets=2)
             .to_pandas().sort_values("bin").reset_index(drop=True))
     assert out2["n"].tolist() == out["n"].tolist()
+
+
+def test_strokes_chain_and_branch():
+    import ray.data as rd
+
+    from city2graph_ray.ops.segments import strokes
+    # collinear chain 1-2-3 (merges into one stroke) plus a
+    # perpendicular spur at the middle node (stays separate), and an
+    # isolated far-away segment (self-stroke)
+    segs = pd.DataFrame({
+        "seg_id": np.array([10, 20, 30, 40, 50], np.int64),
+        "ax": np.array([0, 100, 200, 100, 900], np.int64),
+        "ay": np.array([0, 0, 0, 0, 900], np.int64),
+        "bx": np.array([100, 200, 300, 100, 950], np.int64),
+        "by": np.array([0, 0, 0, 80, 990], np.int64)})
+    out = (strokes(rd.from_pandas(segs).repartition(2), num_buckets=4)
+           .to_pandas().set_index("seg_id")["stroke"])
+    assert out.loc[10] == out.loc[20] == out.loc[30] == 10
+    assert out.loc[40] == 40
+    assert out.loc[50] == 50
+
+
+def test_strokes_best_continuation_picks_straightest():
+    import ray.data as rd
+
+    from city2graph_ray.ops.segments import strokes
+    # two continuations at a node: nearly straight (wins) vs 40-degree
+    segs = pd.DataFrame({
+        "seg_id": np.array([1, 2, 3], np.int64),
+        "ax": np.array([0, 100, 100], np.int64),
+        "ay": np.array([0, 0, 0], np.int64),
+        "bx": np.array([100, 200, 180], np.int64),
+        "by": np.array([0, 5, 70], np.int64)})
+    out = (strokes(rd.from_pandas(segs), num_buckets=4)
+           .to_pandas().set_index("seg_id")["stroke"])
+    assert out.loc[1] == out.loc[2] == 1
+    assert out.loc[3] == 3
