@@ -5696,6 +5696,17 @@ def _markov_sql(iters: int) -> str:
             + f"\nSELECT node, round(r, 6) AS prob FROM p{iters}")
 
 
+def _emb_dist_hist(sf_dir: str):
+    """Pairwise-distance histogram over the vec_id%20 sample: exact
+    int64 quantized squared distances, broadcast-sample × streaming
+    batch, only bucket counters shuffle — self-join twin."""
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.stats import distance_histogram
+
+    return distance_histogram(embeddings(sf_dir), sample_mod=20,
+                              bucket_width=100_000)
+
+
 def _segment_strokes(sf_dir: str):
     """COINS-style continuity strokes over the order-segment network
     (integer pre-scale endpoints): mutual-best angular continuation
@@ -6010,6 +6021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_markov_stationary": _event_markov_stationary,
         "pt_cross_k": _pt_cross_k,
         "segment_strokes": _segment_strokes,
+        "emb_dist_hist": _emb_dist_hist,
         "event_theil_sen": _event_theil_sen,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
@@ -9424,6 +9436,21 @@ def oracle_sql() -> dict[str, str]:
         "zone_dag_depth": _dag_depth_sql(12),
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
+        "emb_dist_hist": """
+            WITH sv AS (SELECT vec_id,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000 + 0.5) AS BIGINT) AS qv,
+                     generate_subscripts(embedding, 1) AS i
+                 FROM embeddings WHERE vec_id % 20 = 0),
+            p AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                         CAST(sum((a.qv - b.qv) * (a.qv - b.qv))
+                              AS BIGINT) AS d2
+                  FROM sv a JOIN sv b
+                    ON a.vec_id < b.vec_id AND a.i = b.i
+                  GROUP BY a.vec_id, b.vec_id)
+            SELECT d2 // 100000 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY 1""",
         "segment_strokes": """
             WITH RECURSIVE s AS (
               SELECT o_orderkey AS seg,

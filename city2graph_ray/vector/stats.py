@@ -154,3 +154,68 @@ def signed_projection(ds: ray.data.Dataset, out_dims: int = 8,
             "proj": P.ravel()})
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+def distance_histogram(ds: ray.data.Dataset, sample_mod: int = 20,
+                       scale: int = 1000, bucket_width: int = 10**7,
+                       id_col: str = "vec_id",
+                       col: str = "embedding") -> ray.data.Dataset:
+    """Pairwise-distance profile of the embedding space — the
+    standard diagnostic before choosing ANN/dedup thresholds: exact
+    int64 squared distances between quantized sampled vectors
+    (``vec_id % sample_mod == 0``), bucketed by
+    ``sqdist // bucket_width``.  Output ``(bucket, n_pairs)`` over
+    unordered distinct pairs — all-integer, so the self-join twin is
+    bit-exact.
+
+    Distributed shape: the sample matrix broadcasts once via
+    ``ray.put`` (size bounded by the sample rate — pick ``sample_mod``
+    so it fits a worker heap); the same sample then STREAMS through
+    map_batches computing a (batch × sample) block of distances
+    vectorized and reducing to histogram partials in-task — only
+    bucket counters cross the exchange, never pairs."""
+    import ray
+
+    from city2graph_ray import shuffle
+
+    def q(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        keep = ids % sample_mod == 0
+        if not keep.any():
+            return pd.DataFrame({id_col: ids[:0], col: []})
+        return pd.DataFrame({id_col: ids[keep],
+                             col: list(b[col].to_numpy()[keep])})
+
+    sample = ds.map_batches(q, batch_format="pandas")
+    sdf = sample.to_pandas()
+    if not len(sdf):
+        return ray.data.from_pandas(pd.DataFrame(
+            {"bucket": np.zeros(0, np.int64),
+             "n_pairs": np.zeros(0, np.int64)}))
+    sids = sdf[id_col].to_numpy(np.int64)
+    smat = np.floor(np.stack(
+        [np.asarray(v, np.float64) for v in sdf[col]]) * scale
+        + 0.5).astype(np.int64)
+    ref = ray.put((sids, smat))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rids, rmat = ray.get(ref)
+        ids = b[id_col].to_numpy(np.int64)
+        qm = np.floor(np.stack(
+            [np.asarray(v, np.float64) for v in b[col]]) * scale
+            + 0.5).astype(np.int64)
+        # exact int64 squared distances batch × sample
+        d2 = ((qm[:, None, :] - rmat[None, :, :]) ** 2).sum(axis=2)
+        mask = ids[:, None] < rids[None, :]  # unordered pairs once
+        buckets = d2[mask] // bucket_width
+        if not len(buckets):
+            return pd.DataFrame({"bucket": np.zeros(0, np.int64),
+                                 "n_pairs": np.zeros(0, np.int64)})
+        u, c = np.unique(buckets, return_counts=True)
+        return pd.DataFrame({"bucket": u.astype(np.int64),
+                             "n_pairs": c.astype(np.int64)})
+
+    return shuffle.group_agg(
+        sample.map_batches(partial, batch_format="pandas",
+                           batch_size=256),
+        ["bucket"], {"n_pairs": ("n_pairs", "sum")}, num_buckets=8)

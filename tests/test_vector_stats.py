@@ -111,3 +111,29 @@ def test_signed_projection_empty(ray_session):
         "vec_id": pd.Series(dtype=np.int64),
         "embedding": pd.Series(dtype=object)}))
     assert signed_projection(ds).count() == 0
+
+
+def test_distance_histogram_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.vector.stats import distance_histogram
+    rng = np.random.default_rng(41)
+    n, d = 60, 8
+    vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(vecs)})
+    out = (distance_histogram(rd.from_pandas(df).repartition(3),
+                              sample_mod=2, scale=100,
+                              bucket_width=10000)
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    q = np.floor(vecs.astype(np.float64) * 100 + 0.5).astype(np.int64)
+    from collections import Counter
+    want = Counter()
+    ids = np.arange(n)
+    keep = ids % 2 == 0
+    qs, qi = q[keep], ids[keep]
+    for a in range(len(qi)):
+        for b in range(a + 1, len(qi)):
+            d2 = int(((qs[a] - qs[b]) ** 2).sum())
+            want[d2 // 10000] += 1
+    assert dict(zip(out["bucket"], out["n_pairs"])) == dict(want)
