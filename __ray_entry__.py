@@ -5696,6 +5696,48 @@ def _markov_sql(iters: int) -> str:
             + f"\nSELECT node, round(r, 6) AS prob FROM p{iters}")
 
 
+def _pt_cell_compact(sf_dir: str):
+    """H3-style compaction of the customer-point cell cover (8-unit
+    level-0 cells, 3 levels): complete 2×2 sibling groups collapse to
+    parents — one parent-key shuffle per level; unrolled twin."""
+    from city2graph_ray.ops.tiling import compact_cells
+    from city2graph_ray.pipelines.tables import customer_points
+
+    cells0 = customer_points(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "ix": np.floor(b["x"].to_numpy(np.float64) / 8.0)
+            .astype(np.int64),
+            "iy": np.floor(b["y"].to_numpy(np.float64) / 8.0)
+            .astype(np.int64)}),
+        batch_format="pandas")
+    return compact_cells(cells0, levels=3)
+
+
+def _compact_sql(levels: int) -> str:
+    ctes = [f"""c0 AS (
+              SELECT DISTINCT
+                     CAST(floor(x / 8.0) AS BIGINT) AS ix,
+                     CAST(floor(y / 8.0) AS BIGINT) AS iy,
+                     CAST(0 AS BIGINT) AS res
+              FROM ({_PTS}))"""]
+    for lev in range(levels):
+        ctes.append(f"""g{lev + 1} AS MATERIALIZED (
+              SELECT ix // 2 AS px, iy // 2 AS py, count(*) AS n
+              FROM c{lev} WHERE res = {lev} GROUP BY 1, 2)""")
+        ctes.append(f"""c{lev + 1} AS MATERIALIZED (
+              SELECT ix, iy, res FROM c{lev} WHERE res <> {lev}
+              UNION ALL
+              SELECT c.ix, c.iy, c.res
+              FROM c{lev} c JOIN g{lev + 1} g
+                ON g.px = c.ix // 2 AND g.py = c.iy // 2
+              WHERE c.res = {lev} AND g.n < 4
+              UNION ALL
+              SELECT px, py, {lev + 1} FROM g{lev + 1}
+              WHERE n = 4)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT res, ix, iy FROM c{levels}")
+
+
 def _emb_dist_hist(sf_dir: str):
     """Pairwise-distance histogram over the vec_id%20 sample: exact
     int64 quantized squared distances, broadcast-sample × streaming
@@ -6022,6 +6064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_cross_k": _pt_cross_k,
         "segment_strokes": _segment_strokes,
         "emb_dist_hist": _emb_dist_hist,
+        "pt_cell_compact": _pt_cell_compact,
         "event_theil_sen": _event_theil_sen,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
@@ -9436,6 +9479,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_dag_depth": _dag_depth_sql(12),
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
+        "pt_cell_compact": _compact_sql(3),
         "emb_dist_hist": """
             WITH sv AS (SELECT vec_id,
                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)

@@ -1252,3 +1252,68 @@ def raster_regions(mask: ray.data.Dataset, col_c: str = "c",
                              "region": lab})
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def compact_cells(cell_set: ray.data.Dataset, levels: int = 3,
+                  num_buckets: int = 16) -> ray.data.Dataset:
+    """H3-style cell-cover compaction (the ``h3.compact`` semantics on
+    the engine's square grid): starting from a DISTINCT set of
+    resolution-0 cells ``(ix, iy)``, any complete 2×2 sibling group
+    collapses into its parent at the next resolution, repeated
+    ``levels`` times — the minimal mixed-resolution cover used to
+    ship sparse spatial masks cheaply.  Output ``(res, ix, iy)``.
+
+    Distributed shape: one keyed shuffle per level on the parent key
+    over ONLY the current-resolution layer (coarser/finer rows don't
+    move); the kernel sees ≤4 rows per group and either emits the
+    parent or passes the children through — all-integer, unrolled
+    identically in the SQL twin."""
+    cur = shuffle.distinct(
+        cell_set.map_batches(
+            lambda b: pd.DataFrame({
+                "res": np.zeros(len(b), np.int64),
+                "ix": b["ix"].to_numpy(np.int64),
+                "iy": b["iy"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        ["ix", "iy"], num_buckets=num_buckets).materialize()
+
+    for lev in range(levels):
+        layer = cur.map_batches(
+            lambda b, lev=lev: b[b["res"].to_numpy(np.int64) == lev],
+            batch_format="pandas")
+        rest = cur.map_batches(
+            lambda b, lev=lev: b[b["res"].to_numpy(np.int64) != lev],
+            batch_format="pandas")
+        keyed = layer.map_batches(
+            lambda b: pd.DataFrame({
+                "px": b["ix"].to_numpy(np.int64) // 2,
+                "py": b["iy"].to_numpy(np.int64) // 2,
+                "res": b["res"].to_numpy(np.int64),
+                "ix": b["ix"].to_numpy(np.int64),
+                "iy": b["iy"].to_numpy(np.int64)}),
+            batch_format="pandas")
+
+        def merge(g: pd.DataFrame, lev=lev) -> pd.DataFrame:
+            cnt = g.groupby(["px", "py"], sort=False)["ix"] \
+                .transform("size").to_numpy(np.int64)
+            full = cnt == 4
+            kids = g[~full]
+            parents = (g[full].groupby(["px", "py"], sort=False)
+                       .head(1))
+            return pd.DataFrame({
+                "res": np.concatenate([
+                    kids["res"].to_numpy(np.int64),
+                    np.full(len(parents), lev + 1, np.int64)]),
+                "ix": np.concatenate([
+                    kids["ix"].to_numpy(np.int64),
+                    parents["px"].to_numpy(np.int64)]),
+                "iy": np.concatenate([
+                    kids["iy"].to_numpy(np.int64),
+                    parents["py"].to_numpy(np.int64)])})
+
+        merged = shuffle.grouped_transform(keyed, ["px", "py"], merge,
+                                           num_buckets=num_buckets)
+        cur = merged.map_batches(
+            lambda b: b[["res", "ix", "iy"]], batch_format="pandas"
+        ).union(rest).repartition(min(num_buckets, 8)).materialize()
+    return cur

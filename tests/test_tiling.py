@@ -734,3 +734,25 @@ def test_raster_regions_single_cell_and_empty():
                        "r": np.array([9], np.int64)})
     out = raster_regions(rd.from_pandas(df)).to_pandas()
     assert len(out) == 1 and out["region"].iloc[0] == 5 * (1 << 20) + 9
+
+
+def test_compact_cells_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.ops.tiling import compact_cells
+    # full 4x4 block (compacts to one res-2 cell), one full 2x2 block
+    # (res-1), and scattered singles
+    cells = set()
+    for ix in range(4):
+        for iy in range(4):
+            cells.add((ix, iy))
+    cells |= {(10, 10), (11, 10), (10, 11), (11, 11)}
+    cells |= {(20, 3), (7, 20)}
+    df = pd.DataFrame(sorted(cells), columns=["ix", "iy"])
+    out = (compact_cells(rd.from_pandas(df).repartition(3), levels=3,
+                         num_buckets=4)
+           .to_pandas().sort_values(["res", "ix", "iy"])
+           .reset_index(drop=True))
+    want = {(2, 0, 0), (1, 5, 5), (0, 20, 3), (0, 7, 20)}
+    got = set(map(tuple, out[["res", "ix", "iy"]].to_numpy()))
+    assert got == want
