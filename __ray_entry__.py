@@ -5696,6 +5696,64 @@ def _markov_sql(iters: int) -> str:
             + f"\nSELECT node, round(r, 6) AS prob FROM p{iters}")
 
 
+def _event_traj_stats(sf_dir: str):
+    """Per-user trajectory statistics over time-ordered derived event
+    positions: leg count, exact int64 sum/max of squared leg
+    displacements, and the net (first→last) squared displacement —
+    the movement-analysis screen, all-integer, LEAD twin."""
+    import ray.data
+
+    from city2graph_ray import shuffle, synth
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["event_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "t": b["ts"].to_numpy().astype("datetime64[us]")
+            .view("i8"),
+            "e": k,
+            "px": (k * k * synth.QX + k * synth.AX + synth.BX)
+            % synth.MOD,
+            "py": (k * k * synth.QY + k * synth.AY + synth.BY)
+            % synth.MOD})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "e"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        px = g["px"].to_numpy(np.int64)
+        py = g["py"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        d2 = ((px[1:] - px[:-1]) ** 2
+              + (py[1:] - py[:-1]) ** 2)
+        legs = pd.DataFrame({"u": u[:-1][same], "d2": d2[same]})
+        agg = (legs.groupby("u", sort=False)
+               .agg(n_legs=("d2", "size"), sum_d2=("d2", "sum"),
+                    max_d2=("d2", "max")).reset_index())
+        ends = (pd.DataFrame({"u": u, "px": px, "py": py})
+                .groupby("u", sort=False)
+                .agg(fx=("px", "first"), fy=("py", "first"),
+                     lx=("px", "last"), ly=("py", "last"))
+                .reset_index())
+        out = agg.merge(ends, on="u")
+        return pd.DataFrame({
+            "user_id": out["u"].to_numpy(np.int64),
+            "n_legs": out["n_legs"].to_numpy(np.int64),
+            "sum_d2": out["sum_d2"].to_numpy(np.int64),
+            "max_d2": out["max_d2"].to_numpy(np.int64),
+            "net_d2": ((out["lx"].to_numpy(np.int64)
+                        - out["fx"].to_numpy(np.int64)) ** 2
+                       + (out["ly"].to_numpy(np.int64)
+                          - out["fy"].to_numpy(np.int64)) ** 2)})
+
+    return shuffle.grouped_transform(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id"],
+        kernel)
+
+
 def _pt_cell_compact(sf_dir: str):
     """H3-style compaction of the customer-point cell cover (8-unit
     level-0 cells, 3 levels): complete 2×2 sibling groups collapse to
@@ -6065,6 +6123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_strokes": _segment_strokes,
         "emb_dist_hist": _emb_dist_hist,
         "pt_cell_compact": _pt_cell_compact,
+        "event_traj_stats": _event_traj_stats,
         "event_theil_sen": _event_theil_sen,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
@@ -9480,6 +9539,39 @@ def oracle_sql() -> dict[str, str]:
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
         "pt_cell_compact": _compact_sql(3),
+        "event_traj_stats": """
+            WITH p AS (SELECT user_id, ts, event_id,
+                     (event_id*event_id*3931 + event_id*48271 + 11)
+                       % 100000 AS px,
+                     (event_id*event_id*2713 + event_id*69621 + 7)
+                       % 100000 AS py
+                 FROM events),
+            w AS (SELECT user_id, px, py,
+                         lead(px) OVER uw AS nx,
+                         lead(py) OVER uw AS ny,
+                         first_value(px) OVER uw AS fx,
+                         first_value(py) OVER uw AS fy,
+                         last_value(px) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS lx,
+                         last_value(py) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS ly
+                  FROM p
+                  WINDOW uw AS (PARTITION BY user_id
+                                ORDER BY ts, event_id))
+            SELECT user_id,
+                   CAST(count(nx) AS BIGINT) AS n_legs,
+                   CAST(sum((nx-px)*(nx-px) + (ny-py)*(ny-py))
+                        AS BIGINT) AS sum_d2,
+                   CAST(max((nx-px)*(nx-px) + (ny-py)*(ny-py))
+                        AS BIGINT) AS max_d2,
+                   CAST(min((lx-fx)*(lx-fx) + (ly-fy)*(ly-fy))
+                        AS BIGINT) AS net_d2
+            FROM w GROUP BY user_id
+            HAVING count(nx) > 0""",
         "emb_dist_hist": """
             WITH sv AS (SELECT vec_id,
                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)
