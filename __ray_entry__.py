@@ -5696,6 +5696,15 @@ def _markov_sql(iters: int) -> str:
             + f"\nSELECT node, round(r, 6) AS prob FROM p{iters}")
 
 
+def _doc_ngram_novelty(sf_dir: str):
+    """Per-doc 4-gram novelty vs earlier corpus (first-occurrence
+    doc-id order): exact md5-gram counts, min-first join-back twin."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.decontam import ngram_novelty
+
+    return ngram_novelty(documents(sf_dir), n=4)
+
+
 def _event_traj_stats(sf_dir: str):
     """Per-user trajectory statistics over time-ordered derived event
     positions: leg count, exact int64 sum/max of squared leg
@@ -6124,6 +6133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dist_hist": _emb_dist_hist,
         "pt_cell_compact": _pt_cell_compact,
         "event_traj_stats": _event_traj_stats,
+        "doc_ngram_novelty": _doc_ngram_novelty,
         "event_theil_sen": _event_theil_sen,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
@@ -9539,6 +9549,28 @@ def oracle_sql() -> dict[str, str]:
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
         "pt_cell_compact": _compact_sql(3),
+        "doc_ngram_novelty": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     md5_number_lower(
+                       array_to_string(ts[i:i+3], ' ')) AS g
+              FROM tok,
+                   LATERAL unnest(generate_series(1, len(ts) - 3))
+                     AS t(i)),
+            dg AS (SELECT DISTINCT doc_id, g FROM g),
+            fst AS (SELECT g, min(doc_id) AS fd FROM dg GROUP BY g)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN fd < doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_seen,
+                   round(1.0 - CAST(sum(CASE WHEN fd < doc_id
+                                        THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS novelty
+            FROM dg JOIN fst USING (g)
+            GROUP BY doc_id""",
         "event_traj_stats": """
             WITH p AS (SELECT user_id, ts, event_id,
                      (event_id*event_id*3931 + event_id*48271 + 11)

@@ -244,3 +244,56 @@ def remove_duplicated_spans(docs: ray.data.Dataset, n: int = 4,
 
     return shuffle.grouped_transform(joined, [id_col], rewrite,
                                      num_buckets=num_buckets)
+
+
+def ngram_novelty(docs: ray.data.Dataset, n: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-doc n-gram novelty against everything EARLIER in the corpus
+    (doc-id order): the fraction of a doc's distinct word ``n``-grams
+    whose first corpus occurrence is an earlier doc — the
+    diminishing-returns signal curation pipelines use to stop
+    ingesting a crawled source.  Output ``(doc_id, n_grams, n_seen,
+    novelty)`` with ``novelty = round(1 - n_seen/n_grams, 6)``;
+    gram-less docs emit nothing.  All-integer counts over md5 gram
+    keys — bit-exact vs the min-first-occurrence twin.
+
+    Distributed shape: distinct grams per doc (one gram-hash
+    shuffle), a keyed MIN for each gram's first doc, one bucketed
+    join back, one keyed count — no gram table ever collects."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+
+    # word_ngram_hashes is already DISTINCT per doc and each doc is
+    # one row of one batch — no cross-batch dedup shuffle needed
+    dg = docs.map_batches(
+        lambda b: word_ngram_hashes(b, n, text_col, id_col),
+        batch_format="pandas")
+    firsts = shuffle.group_agg(
+        dg.map_batches(
+            lambda b: pd.DataFrame({"g": b["g"],
+                                    "fd": b[id_col]}),
+            batch_format="pandas"),
+        ["g"], {"fd": ("fd", "min")}, num_buckets=num_buckets)
+    joined = bucketed_join(dg, firsts, "g", num_buckets=num_buckets)
+    per_doc = shuffle.group_agg(
+        joined.map_batches(
+            lambda b: pd.DataFrame({
+                id_col: b[id_col],
+                "n_grams": np.ones(len(b), np.int64),
+                "n_seen": (b["fd"].to_numpy(np.int64)
+                           < b[id_col].to_numpy(np.int64))
+                .astype(np.int64)}),
+            batch_format="pandas"),
+        [id_col], {"n_grams": ("n_grams", "sum"),
+                   "n_seen": ("n_seen", "sum")},
+        num_buckets=num_buckets)
+    return per_doc.map_batches(
+        lambda b: pd.DataFrame({
+            id_col: b[id_col].to_numpy(np.int64),
+            "n_grams": b["n_grams"].to_numpy(np.int64),
+            "n_seen": b["n_seen"].to_numpy(np.int64),
+            "novelty": np.round(
+                1.0 - b["n_seen"].to_numpy(np.int64)
+                / b["n_grams"].to_numpy(np.int64), 6)}),
+        batch_format="pandas")
