@@ -5696,6 +5696,59 @@ def _markov_sql(iters: int) -> str:
             + f"\nSELECT node, round(r, 6) AS prob FROM p{iters}")
 
 
+def _pt_knn_smooth(sf_dir: str):
+    """kNN value smoothing (spatial imputation): each point's
+    predicted value = mean of its k=4 deterministic neighbours'
+    values (value = id % 1000) — one kNN shuffle + keyed integer sum,
+    single division; QUALIFY twin."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.proximity import knn_graph
+    from city2graph_ray.pipelines.tables import customer_points
+
+    nn = knn_graph(customer_points(sf_dir), 4)
+    sums = shuffle.group_agg(
+        nn.map_batches(
+            lambda b: pd.DataFrame({
+                "id": b["src"].to_numpy(np.int64),
+                "s": b["dst"].to_numpy(np.int64) % 1000,
+                "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["id"], {"s": ("s", "sum"), "n": ("n", "sum")})
+    return sums.map_batches(
+        lambda b: pd.DataFrame({
+            "id": b["id"].to_numpy(np.int64),
+            "own_value": b["id"].to_numpy(np.int64) % 1000,
+            "knn_mean": np.round(
+                b["s"].to_numpy(np.int64)
+                / b["n"].to_numpy(np.int64), 6)}),
+        batch_format="pandas")
+
+
+def _event_ab_moments(sf_dir: str):
+    """A/B experiment readout: per variant (user parity) the exact
+    integer-cent moment sums (n, Σ, Σ²) a Welch test needs —
+    all-int64, GROUP BY twin."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["value"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "variant": b["user_id"].to_numpy(np.int64) % 2,
+            "n": np.ones(len(b), np.int64),
+            "s": cents, "ss": cents * cents})
+
+    return shuffle.group_agg(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["variant"], {"n": ("n", "sum"), "s": ("s", "sum"),
+                      "ss": ("ss", "sum")}, num_buckets=2)
+
+
 def _doc_ngram_novelty(sf_dir: str):
     """Per-doc 4-gram novelty vs earlier corpus (first-occurrence
     doc-id order): exact md5-gram counts, min-first join-back twin."""
@@ -6134,6 +6187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_cell_compact": _pt_cell_compact,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
+        "pt_knn_smooth": _pt_knn_smooth,
+        "event_ab_moments": _event_ab_moments,
         "event_theil_sen": _event_theil_sen,
         "event_scd2": _event_scd2,
         "doc_chunks": _doc_chunks,
@@ -9549,6 +9604,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
         "pt_cell_compact": _compact_sql(3),
+        "pt_knn_smooth": f"""
+            WITH pts AS ({_PTS}),
+            nn AS (SELECT a.id AS src, b.id AS dst
+                   FROM pts a JOIN pts b ON a.id <> b.id
+                   QUALIFY row_number() OVER (PARTITION BY a.id
+                       ORDER BY sqrt((a.x-b.x)*(a.x-b.x)
+                                     +(a.y-b.y)*(a.y-b.y)), b.id)
+                       <= 4)
+            SELECT src AS id, src % 1000 AS own_value,
+                   round(CAST(sum(dst % 1000) AS DOUBLE) / count(*),
+                         6) AS knn_mean
+            FROM nn GROUP BY src""",
+        "event_ab_moments": """
+            WITH u AS (SELECT user_id % 2 AS variant,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS c
+                       FROM events)
+            SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s,
+                   CAST(sum(c * c) AS BIGINT) AS ss
+            FROM u GROUP BY variant""",
         "doc_ngram_novelty": """
             WITH tok AS (
               SELECT doc_id, string_split(text, ' ') AS ts
