@@ -5696,6 +5696,94 @@ def _markov_sql(iters: int) -> str:
             + f"\nSELECT node, round(r, 6) AS prob FROM p{iters}")
 
 
+def _event_window_users(sf_dir: str):
+    """Hourly tumbling-window COUNT(DISTINCT user) per event type —
+    the streaming-dashboard staple: one distinct shuffle on
+    (type, window, user) then an exact keyed count."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        sec = (b["ts"].to_numpy().astype("datetime64[us]")
+               .view("i8") // 1000000)
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "win": sec // 3600,
+            "user_id": b["user_id"].to_numpy(np.int64)})
+
+    d = shuffle.distinct(ev.map_batches(prep, batch_format="pandas"),
+                         ["event_type", "win", "user_id"])
+    return shuffle.group_agg(
+        d.map_batches(
+            lambda b: pd.DataFrame({"event_type": b["event_type"],
+                                    "win": b["win"],
+                                    "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["event_type", "win"], {"n_users": ("n", "sum")})
+
+
+def _raster_level_edges(sf_dir: str):
+    """Marching-squares edge census over the part-grid cents raster:
+    per contour level, the count of 4-adjacent cell pairs whose
+    values straddle the level (a < L ≤ b) — the distributed isoline
+    workload's exact integer core; scatter-probe adjacency, one
+    shuffle."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+
+    levels = [10_000, 50_000, 100_000, 150_000]
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_retailprice"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        pk = b["p_partkey"].to_numpy(np.int64)
+        v = np.floor(b["p_retailprice"].to_numpy(np.float64) * 100
+                     + 0.5).astype(np.int64)
+        c, r = pk % 40, pk // 40
+        # home slot + probes at east/south neighbour slots
+        return pd.DataFrame({
+            "sc": np.concatenate([c, c + 1, c]),
+            "sr": np.concatenate([r, r, r + 1]),
+            "v": np.concatenate([v, v, v]),
+            "is_home": np.concatenate([
+                np.ones(len(c), np.int64),
+                np.zeros(2 * len(c), np.int64)])})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sc", "sr", "is_home"], kind="stable")
+        slot = (g["sc"].to_numpy(np.int64) * np.int64(1 << 20)
+                + g["sr"].to_numpy(np.int64))
+        home = g["is_home"].to_numpy(np.int64) == 1
+        v = g["v"].to_numpy(np.int64)
+        uniq, starts, sizes = np.unique(slot, return_index=True,
+                                        return_counts=True)
+        ends = starts + sizes - 1
+        has_home = home[ends]
+        seg = np.searchsorted(uniq, slot)
+        probe = ~home & has_home[seg]
+        va = v[probe]
+        vb = v[ends][seg][probe]
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
+        rows = []
+        for lv in levels:
+            rows.append((lv, int(((lo < lv) & (lv <= hi)).sum())))
+        return pd.DataFrame(rows, columns=["level", "n_crossings"])
+
+    part_rows = shuffle.grouped_transform(
+        part.map_batches(mk, batch_format="pandas"), ["sc", "sr"],
+        kernel, num_buckets=16)
+    return shuffle.group_agg(part_rows, ["level"],
+                             {"n_crossings": ("n_crossings", "sum")},
+                             num_buckets=4)
+
+
 def _pt_knn_smooth(sf_dir: str):
     """kNN value smoothing (spatial imputation): each point's
     predicted value = mean of its k=4 deterministic neighbours'
@@ -6188,6 +6276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
+        "event_window_users": _event_window_users,
+        "raster_level_edges": _raster_level_edges,
         "event_ab_moments": _event_ab_moments,
         "event_theil_sen": _event_theil_sen,
         "event_scd2": _event_scd2,
@@ -9604,6 +9694,32 @@ def oracle_sql() -> dict[str, str]:
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
         "pt_cell_compact": _compact_sql(3),
+        "event_window_users": """
+            SELECT event_type,
+                   (CAST(epoch_us(ts) AS BIGINT) // 1000000) // 3600
+                     AS win,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2""",
+        "raster_level_edges": """
+            WITH g AS (SELECT (p_partkey % 40) AS c,
+                              (p_partkey // 40) AS r,
+                              CAST(floor(p_retailprice * 100 + 0.5)
+                                   AS BIGINT) AS v
+                       FROM part),
+            adj AS (SELECT least(a.v, b.v) AS lo,
+                           greatest(a.v, b.v) AS hi
+                    FROM g a JOIN g b
+                      ON (b.c = a.c + 1 AND b.r = a.r)
+                      OR (b.c = a.c AND b.r = a.r + 1)),
+            lv AS (SELECT unnest([10000, 50000, 100000, 150000])
+                     AS level)
+            SELECT CAST(lv.level AS BIGINT) AS level,
+                   CAST(count(CASE WHEN adj.lo < lv.level
+                                    AND lv.level <= adj.hi
+                                   THEN 1 END) AS BIGINT)
+                     AS n_crossings
+            FROM lv CROSS JOIN adj
+            GROUP BY lv.level""",
         "pt_knn_smooth": f"""
             WITH pts AS ({_PTS}),
             nn AS (SELECT a.id AS src, b.id AS dst
