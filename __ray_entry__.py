@@ -5696,6 +5696,16 @@ def _markov_sql(iters: int) -> str:
             + f"\nSELECT node, round(r, 6) AS prob FROM p{iters}")
 
 
+def _doc_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (rolling md5 boundary, w=8, div=32):
+    edit-stable chunks with bit-exact boundaries and content hashes —
+    the storage/dedup chunker; generate_series + substr twin."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import cdc_chunks
+
+    return cdc_chunks(documents(sf_dir), w=8, div=32)
+
+
 def _event_window_users(sf_dir: str):
     """Hourly tumbling-window COUNT(DISTINCT user) per event type —
     the streaming-dashboard staple: one distinct shuffle on
@@ -6277,6 +6287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
         "event_window_users": _event_window_users,
+        "doc_cdc_chunks": _doc_cdc_chunks,
         "raster_level_edges": _raster_level_edges,
         "event_ab_moments": _event_ab_moments,
         "event_theil_sen": _event_theil_sen,
@@ -9694,6 +9705,33 @@ def oracle_sql() -> dict[str, str]:
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
         "pt_cell_compact": _compact_sql(3),
+        "doc_cdc_chunks": """
+            WITH d0 AS (SELECT doc_id, text FROM documents
+                        WHERE len(text) > 0),
+            b AS (SELECT doc_id, i
+                  FROM d0, LATERAL unnest(
+                    generate_series(2, len(text) - 7)) AS t(i)
+                  WHERE md5_number_lower(substr(text, i, 8))
+                        % 32 = 0),
+            starts AS (SELECT doc_id, 1 AS s FROM d0
+                       UNION ALL SELECT doc_id, i FROM b),
+            ch AS (SELECT doc_id, s,
+                          lead(s) OVER (PARTITION BY doc_id
+                                        ORDER BY s) AS nxt,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY s) - 1
+                            AS chunk_id
+                   FROM starts)
+            SELECT ch.doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(s AS BIGINT) AS start_pos,
+                   CAST(coalesce(nxt, len(d.text) + 1) - s AS BIGINT)
+                     AS chunk_len,
+                   CAST(md5_number_lower(
+                     substr(d.text, CAST(s AS INT),
+                            CAST(coalesce(nxt, len(d.text) + 1) - s
+                                 AS INT))) // 2 AS BIGINT) AS chunk_h
+            FROM ch JOIN d0 d USING (doc_id)""",
         "event_window_users": """
             SELECT event_type,
                    (CAST(epoch_us(ts) AS BIGINT) // 1000000) // 3600

@@ -1183,3 +1183,61 @@ def oov_rate(docs: ray.data.Dataset, vocab_k: int = 100,
                 / agg["n_tokens"].to_numpy(np.int64), 6)})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def cdc_chunks(docs: ray.data.Dataset, w: int = 8, div: int = 32,
+               text_col: str = "text", id_col: str = "doc_id",
+               ) -> ray.data.Dataset:
+    """Content-defined chunking (the rolling-hash boundary scheme of
+    LBFS/FastCDC, public literature): a chunk boundary opens at every
+    position whose ``w``-char window hashes to ``0 (mod div)`` —
+    insert/delete edits only reshuffle NEIGHBORING chunks, which is
+    what makes CDC the storage/dedup chunker (vs fixed-stride
+    :func:`chunk_documents`).  Hashes are ``md5_lower64`` (DuckDB
+    ``md5_number_lower``), so boundaries AND per-chunk content hashes
+    are bit-exact vs the SQL twin.  Output ``(doc_id, chunk_id,
+    start_pos, chunk_len, chunk_h)`` — start_pos 1-based (SQL
+    ``substr``), ``chunk_h = md5_lower64(chunk) // 2`` int64.
+    Empty docs emit nothing; docs shorter than ``w`` are one chunk.
+
+    Embarrassingly parallel map_batches; per-doc window hashing is
+    the dominant (and inherent) cost, the same per-doc shape as
+    winnowing_fingerprints."""
+    import hashlib  # noqa: F401  (parity with winnowing's md5 path)
+
+    from city2graph_ray.text.dedup import _md5_lower64
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "chunk_id": [], "start_pos": [],
+               "chunk_len": [], "chunk_h": []}
+        for did, text in zip(batch[id_col].to_numpy(np.int64),
+                             batch[text_col]):
+            L = len(text)
+            if L == 0:
+                continue
+            n = L - w + 1
+            if n >= 2:
+                h = _md5_lower64(text[i:i + w] for i in range(1, n))
+                bounds = (np.where(h % np.uint64(div) == 0)[0]
+                          + 1).tolist()
+            else:
+                bounds = []
+            starts = [0] + bounds
+            ends = bounds + [L]
+            chunks = [text[s:e] for s, e in zip(starts, ends)]
+            ch = (_md5_lower64(np.array(chunks, object))
+                  >> np.uint64(1)).astype(np.int64)
+            k = len(starts)
+            out["doc_id"].append(np.full(k, did, np.int64))
+            out["chunk_id"].append(np.arange(k, dtype=np.int64))
+            out["start_pos"].append(np.asarray(starts, np.int64) + 1)
+            out["chunk_len"].append(np.asarray(ends, np.int64)
+                                    - np.asarray(starts, np.int64))
+            out["chunk_h"].append(ch)
+        if not out["doc_id"]:
+            return pd.DataFrame({c: np.array([], np.int64)
+                                 for c in out})
+        return pd.DataFrame({c: np.concatenate(v)
+                             for c, v in out.items()})
+
+    return docs.map_batches(fn, batch_format="pandas")

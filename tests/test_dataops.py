@@ -669,3 +669,39 @@ def test_oov_rate_bruteforce():
         n, o = want[r["doc_id"]]
         assert (r["n_tokens"], r["n_oov"]) == (n, o)
         assert r["oov_rate"] == round(o / n, 6)
+
+
+def test_cdc_chunks_edit_stability_and_coverage():
+    import hashlib
+
+    from city2graph_ray.text.analysis import cdc_chunks
+    rng = np.random.default_rng(43)
+    base = "".join(rng.choice(list("abcdefgh "), 400))
+    edited = base[:200] + "XYZ" + base[200:]   # one insert mid-doc
+    docs = pd.DataFrame({"doc_id": np.array([0, 1], np.int64),
+                         "text": [base, edited]})
+    out = (cdc_chunks(rd.from_pandas(docs), w=8, div=32)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    # chunks tile each doc exactly
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        g = out[out["doc_id"] == did]
+        assert g["start_pos"].iloc[0] == 1
+        assert int(g["chunk_len"].sum()) == len(t)
+        assert (g["start_pos"].to_numpy()[1:]
+                == (g["start_pos"] + g["chunk_len"])
+                .to_numpy()[:-1]).all()
+
+    # content-defined: most chunks survive an edit (shared hashes)
+    def hset(did):
+        return set(out[out["doc_id"] == did]["chunk_h"])
+
+    shared = hset(0) & hset(1)
+    assert len(shared) >= max(1, len(hset(0)) - 3)
+
+    # chunk hash convention matches md5 lower-64 // 2
+    g0 = out[out["doc_id"] == 0].iloc[0]
+    chunk = base[:int(g0["chunk_len"])]
+    want = int.from_bytes(hashlib.md5(chunk.encode()).digest()[8:16],
+                          "little") >> 1
+    assert int(g0["chunk_h"]) == want
