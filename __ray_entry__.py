@@ -5696,6 +5696,29 @@ def _markov_sql(iters: int) -> str:
             + f"\nSELECT node, round(r, 6) AS prob FROM p{iters}")
 
 
+def _grid_bivariate_morans(sf_dir: str):
+    """Bivariate Moran's I between two correlated gradient surfaces
+    on the part grid (vx = c+r+k%7, vy = c+r+k%5) — integer
+    cross-multiplied moments, one fixed double finish; adjacency
+    self-join twin."""
+    import ray.data
+
+    from city2graph_ray.ops.stats import bivariate_morans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        c, r = k % 40, k // 40
+        return pd.DataFrame({"c": c, "r": r,
+                             "vx": c + r + k % 7,
+                             "vy": c + r + k % 5})
+
+    return bivariate_morans(ds.map_batches(fn,
+                                           batch_format="pandas"))
+
+
 def _doc_cdc_chunks(sf_dir: str):
     """Content-defined chunking (rolling md5 boundary, w=8, div=32):
     edit-stable chunks with bit-exact boundaries and content hashes —
@@ -6288,6 +6311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_knn_smooth": _pt_knn_smooth,
         "event_window_users": _event_window_users,
         "doc_cdc_chunks": _doc_cdc_chunks,
+        "grid_bivariate_morans": _grid_bivariate_morans,
         "raster_level_edges": _raster_level_edges,
         "event_ab_moments": _event_ab_moments,
         "event_theil_sen": _event_theil_sen,
@@ -9705,6 +9729,35 @@ def oracle_sql() -> dict[str, str]:
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
         "pt_cell_compact": _compact_sql(3),
+        "grid_bivariate_morans": """
+            WITH g AS (SELECT p_partkey % 40 AS c,
+                              p_partkey // 40 AS r,
+                              (p_partkey % 40) + (p_partkey // 40)
+                                + (p_partkey % 7) AS vx,
+                              (p_partkey % 40) + (p_partkey // 40)
+                                + (p_partkey % 5) AS vy
+                       FROM part),
+            s AS (SELECT count(*) AS n, sum(vx) AS svx,
+                         sum(vy) AS svy FROM g),
+            z AS (SELECT c, r,
+                         (SELECT n FROM s) * vx
+                           - (SELECT svx FROM s) AS zx,
+                         (SELECT n FROM s) * vy
+                           - (SELECT svy FROM s) AS zy
+                  FROM g),
+            e AS (SELECT a.zx AS zxa, b.zy AS zyb
+                  FROM z a JOIN z b
+                  ON abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+                     AND NOT (a.c = b.c AND a.r = b.r)),
+            m AS (SELECT count(*) AS w, sum(zxa * zyb) AS num FROM e),
+            d AS (SELECT sum(zx * zx) AS dx, sum(zy * zy) AS dy
+                  FROM z)
+            SELECT s.n AS n_cells, m.w AS w_sum,
+                   (CAST(s.n AS DOUBLE) * CAST(m.num AS DOUBLE))
+                   / (CAST(m.w AS DOUBLE)
+                      * sqrt(CAST(d.dx AS DOUBLE)
+                             * CAST(d.dy AS DOUBLE))) AS moran_xy
+            FROM s, m, d""",
         "doc_cdc_chunks": """
             WITH d0 AS (SELECT doc_id, text FROM documents
                         WHERE len(text) > 0),

@@ -1445,3 +1445,87 @@ def group_entropy(ds: ray.data.Dataset, key_col: str, cat_col: str,
 
     return shuffle.grouped_transform(counts, [key_col], finish,
                                      num_buckets=num_buckets)
+
+
+def bivariate_morans(grid: ray.data.Dataset, col_c: str = "c",
+                     col_r: str = "r", val_x: str = "vx",
+                     val_y: str = "vy",
+                     num_buckets: int = 16) -> pd.DataFrame:
+    """Bivariate Moran's I (Wartenberg 1985 cross-variable form,
+    binary queen weights)::
+
+        I_xy = (n · Σ_{i adj j} zx_i · zy_j)
+               / (W · sqrt(Σ zx² · Σ zy²))
+
+    — does variable X cluster where neighbouring Y is high.  Same
+    integer cross-multiplied exactness as :func:`morans_i`: zx/zy are
+    exact int64, the adjacency cross-sum and both second moments
+    reduce as int64, and the finish is one fixed-form double
+    expression (the sqrt argument is a product of two < 2^53 ints in
+    DOUBLE).  Same 8-neighbour scatter shape — carries the NEIGHBOUR
+    zy mass to each cell, one keyed sum, no joins.
+    Returns one row (n_cells, w_sum, moran_xy).
+    """
+    g = grid.map_batches(
+        lambda b: pd.DataFrame({
+            "c": b[col_c].to_numpy(np.int64),
+            "r": b[col_r].to_numpy(np.int64),
+            "vx": b[val_x].to_numpy(np.int64),
+            "vy": b[val_y].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    n = g.count()
+    if n < 2:
+        raise ValueError("bivariate Moran's I needs >= 2 cells")
+    svx, svy = np.int64(g.sum("vx")), np.int64(g.sum("vy"))
+    n64 = np.int64(n)
+    off = np.array([(dc, dr) for dc in (-1, 0, 1) for dr in (-1, 0, 1)
+                    if not (dc == 0 and dr == 0)], np.int64)
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        r = b["r"].to_numpy(np.int64)
+        zx = n64 * b["vx"].to_numpy(np.int64) - svx
+        zy = n64 * b["vy"].to_numpy(np.int64) - svy
+        m = len(b)
+        return pd.DataFrame({
+            "c": np.concatenate([np.repeat(c, 8)
+                                 + np.tile(off[:, 0], m), c]),
+            "r": np.concatenate([np.repeat(r, 8)
+                                 + np.tile(off[:, 1], m), r]),
+            "zyn": np.concatenate([np.repeat(zy, 8),
+                                   np.zeros(m, np.int64)]),
+            "wn": np.concatenate([np.ones(8 * m, np.int64),
+                                  np.zeros(m, np.int64)]),
+            "own": np.concatenate([np.zeros(8 * m, np.int64),
+                                   np.ones(m, np.int64)]),
+            "zxo": np.concatenate([np.zeros(8 * m, np.int64), zx]),
+            "zyo": np.concatenate([np.zeros(8 * m, np.int64), zy])})
+
+    percell = shuffle.group_agg(
+        g.map_batches(scatter, batch_format="pandas"),
+        ["c", "r"], {"zyn": ("zyn", "sum"), "wn": ("wn", "sum"),
+                     "own": ("own", "sum"), "zxo": ("zxo", "sum"),
+                     "zyo": ("zyo", "sum")},
+        num_buckets=num_buckets)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["own"].to_numpy(np.int64) == 1
+        zx = b["zxo"].to_numpy(np.int64)[keep]
+        zy = b["zyo"].to_numpy(np.int64)[keep]
+        zyn = b["zyn"].to_numpy(np.int64)[keep]
+        wn = b["wn"].to_numpy(np.int64)[keep]
+        return pd.DataFrame({"num": [int((zx * zyn).sum())],
+                             "w": [int(wn.sum())],
+                             "dx": [int((zx * zx).sum())],
+                             "dy": [int((zy * zy).sum())]})
+
+    p = percell.map_batches(partials,
+                            batch_format="pandas").to_pandas()
+    num, w = int(p["num"].sum()), int(p["w"].sum())
+    dx, dy = int(p["dx"].sum()), int(p["dy"].sum())
+    moran = ((np.float64(n) * np.float64(num))
+             / (np.float64(w)
+                * np.sqrt(np.float64(dx) * np.float64(dy))))
+    return pd.DataFrame({"n_cells": np.array([n], np.int64),
+                         "w_sum": np.array([w], np.int64),
+                         "moran_xy": np.array([moran], np.float64)})

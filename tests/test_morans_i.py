@@ -194,3 +194,33 @@ def test_general_g_bruteforce():
     assert (row["n_cells"], row["w_sum"]) == (len(cells), w)
     assert (row["g_num"], row["g_den"]) == (num, den)
     assert row["general_g"] == pytest.approx(num / den, rel=1e-15)
+
+
+def test_bivariate_morans_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.ops.stats import bivariate_morans
+    rng = np.random.default_rng(47)
+    cells = sorted({(int(rng.integers(0, 8)), int(rng.integers(0, 8)))
+                    for _ in range(40)})
+    vx = rng.integers(0, 50, len(cells))
+    vy = rng.integers(0, 50, len(cells))
+    df = pd.DataFrame({"c": [c for c, _ in cells],
+                       "r": [r for _, r in cells],
+                       "vx": vx, "vy": vy})
+    out = bivariate_morans(rd.from_pandas(df).repartition(3))
+    n = len(df)
+    zx = n * vx - vx.sum()
+    zy = n * vy - vy.sum()
+    num = w = 0
+    for i, (ci, ri) in enumerate(cells):
+        for j, (cj, rj) in enumerate(cells):
+            if i != j and abs(ci - cj) <= 1 and abs(ri - rj) <= 1:
+                num += int(zx[i]) * int(zy[j])
+                w += 1
+    want = (n * num) / (w * np.sqrt(float((zx.astype(object)**2).sum())
+                                    * float((zy.astype(object)**2)
+                                            .sum())))
+    assert int(out["n_cells"].iloc[0]) == n
+    assert int(out["w_sum"].iloc[0]) == w
+    assert abs(out["moran_xy"].iloc[0] - want) < 1e-9
