@@ -5696,6 +5696,23 @@ def _markov_sql(iters: int) -> str:
             + f"\nSELECT node, round(r, 6) AS prob FROM p{iters}")
 
 
+def _pt_cell_uncompact(sf_dir: str):
+    """compact → uncompact round trip over the customer-point cell
+    cover: must reproduce the DISTINCT level-0 cell set exactly — the
+    twin is therefore the trivially-correct distinct-cells query."""
+    from city2graph_ray.ops.tiling import compact_cells, uncompact_cells
+    from city2graph_ray.pipelines.tables import customer_points
+
+    cells0 = customer_points(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "ix": np.floor(b["x"].to_numpy(np.float64) / 8.0)
+            .astype(np.int64),
+            "iy": np.floor(b["y"].to_numpy(np.float64) / 8.0)
+            .astype(np.int64)}),
+        batch_format="pandas")
+    return uncompact_cells(compact_cells(cells0, levels=3))
+
+
 def _grid_bivariate_morans(sf_dir: str):
     """Bivariate Moran's I between two correlated gradient surfaces
     on the part grid (vx = c+r+k%7, vy = c+r+k%5) — integer
@@ -6312,6 +6329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_window_users": _event_window_users,
         "doc_cdc_chunks": _doc_cdc_chunks,
         "grid_bivariate_morans": _grid_bivariate_morans,
+        "pt_cell_uncompact": _pt_cell_uncompact,
         "raster_level_edges": _raster_level_edges,
         "event_ab_moments": _event_ab_moments,
         "event_theil_sen": _event_theil_sen,
@@ -9729,6 +9747,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
         "pt_cell_compact": _compact_sql(3),
+        "pt_cell_uncompact": f"""
+            SELECT DISTINCT
+                   CAST(floor(x / 8.0) AS BIGINT) AS ix,
+                   CAST(floor(y / 8.0) AS BIGINT) AS iy
+            FROM ({_PTS})""",
         "grid_bivariate_morans": """
             WITH g AS (SELECT p_partkey % 40 AS c,
                               p_partkey // 40 AS r,

@@ -1317,3 +1317,30 @@ def compact_cells(cell_set: ray.data.Dataset, levels: int = 3,
             lambda b: b[["res", "ix", "iy"]], batch_format="pandas"
         ).union(rest).repartition(min(num_buckets, 8)).materialize()
     return cur
+
+
+def uncompact_cells(cover: ray.data.Dataset,
+                    ) -> ray.data.Dataset:
+    """Inverse of :func:`compact_cells` (``h3.uncompact``): every
+    mixed-resolution cover cell ``(res, ix, iy)`` expands to its
+    ``4^res`` resolution-0 children — embarrassingly parallel
+    flat-map, exact integers.  ``uncompact(compact(S)) == S`` for any
+    distinct level-0 set S (the round-trip the gate checks)."""
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        res = b["res"].to_numpy(np.int64)
+        ix = b["ix"].to_numpy(np.int64)
+        iy = b["iy"].to_numpy(np.int64)
+        side = np.int64(1) << res
+        reps = side * side
+        total = int(reps.sum())
+        if not total:
+            return pd.DataFrame({"ix": ix[:0], "iy": iy[:0]})
+        row = np.repeat(np.arange(len(b)), reps)
+        s = (np.arange(total)
+             - np.repeat(np.cumsum(reps) - reps, reps))
+        sd = side[row]
+        return pd.DataFrame({
+            "ix": ix[row] * sd + s % sd,
+            "iy": iy[row] * sd + s // sd})
+
+    return cover.map_batches(fn, batch_format="pandas")
