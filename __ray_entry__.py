@@ -5705,9 +5705,9 @@ def _pt_cell_uncompact(sf_dir: str):
 
     cells0 = customer_points(sf_dir).map_batches(
         lambda b: pd.DataFrame({
-            "ix": np.floor(b["x"].to_numpy(np.float64) / 8.0)
+            "ix": np.floor(b["x"].to_numpy(np.float64) / 64.0)
             .astype(np.int64),
-            "iy": np.floor(b["y"].to_numpy(np.float64) / 8.0)
+            "iy": np.floor(b["y"].to_numpy(np.float64) / 64.0)
             .astype(np.int64)}),
         batch_format="pandas")
     return uncompact_cells(compact_cells(cells0, levels=3))
@@ -5955,7 +5955,7 @@ def _event_traj_stats(sf_dir: str):
 
 
 def _pt_cell_compact(sf_dir: str):
-    """H3-style compaction of the customer-point cell cover (8-unit
+    """H3-style compaction of the customer-point cell cover (64-unit
     level-0 cells, 3 levels): complete 2×2 sibling groups collapse to
     parents — one parent-key shuffle per level; unrolled twin."""
     from city2graph_ray.ops.tiling import compact_cells
@@ -5963,9 +5963,9 @@ def _pt_cell_compact(sf_dir: str):
 
     cells0 = customer_points(sf_dir).map_batches(
         lambda b: pd.DataFrame({
-            "ix": np.floor(b["x"].to_numpy(np.float64) / 8.0)
+            "ix": np.floor(b["x"].to_numpy(np.float64) / 64.0)
             .astype(np.int64),
-            "iy": np.floor(b["y"].to_numpy(np.float64) / 8.0)
+            "iy": np.floor(b["y"].to_numpy(np.float64) / 64.0)
             .astype(np.int64)}),
         batch_format="pandas")
     return compact_cells(cells0, levels=3)
@@ -5974,8 +5974,8 @@ def _pt_cell_compact(sf_dir: str):
 def _compact_sql(levels: int) -> str:
     ctes = [f"""c0 AS (
               SELECT DISTINCT
-                     CAST(floor(x / 8.0) AS BIGINT) AS ix,
-                     CAST(floor(y / 8.0) AS BIGINT) AS iy,
+                     CAST(floor(x / 64.0) AS BIGINT) AS ix,
+                     CAST(floor(y / 64.0) AS BIGINT) AS iy,
                      CAST(0 AS BIGINT) AS res
               FROM ({_PTS}))"""]
     for lev in range(levels):
@@ -9749,8 +9749,8 @@ def oracle_sql() -> dict[str, str]:
         "pt_cell_compact": _compact_sql(3),
         "pt_cell_uncompact": f"""
             SELECT DISTINCT
-                   CAST(floor(x / 8.0) AS BIGINT) AS ix,
-                   CAST(floor(y / 8.0) AS BIGINT) AS iy
+                   CAST(floor(x / 64.0) AS BIGINT) AS ix,
+                   CAST(floor(y / 64.0) AS BIGINT) AS iy
             FROM ({_PTS})""",
         "grid_bivariate_morans": """
             WITH g AS (SELECT p_partkey % 40 AS c,
