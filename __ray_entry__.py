@@ -5402,7 +5402,7 @@ def _zone_hash_walks(sf_dir: str):
                       num_buckets=8)
 
 
-def _walks_sql(length: int) -> str:
+def _hash_walks_sql(length: int) -> str:
     ctes = ["""e AS (SELECT DISTINCT o_custkey % 100 AS src,
                             o_orderkey % 97 AS dst FROM orders)""",
             """und AS (SELECT DISTINCT v, nb FROM (
@@ -9742,7 +9742,7 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS hi
             FROM t GROUP BY tile""",
         "gtfs_earliest_arrival": _ea_sql(6),
-        "zone_hash_walks": _walks_sql(4),
+        "zone_hash_walks": _hash_walks_sql(4),
         "zone_dag_depth": _dag_depth_sql(12),
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
