@@ -1127,7 +1127,11 @@ def textrank_terms(docs: ray.data.Dataset, k: int = 20,
 
     edges = shuffle.distinct(
         docs.map_batches(adjacency, batch_format="pandas"),
-        ["src", "dst"], num_buckets=num_buckets)
+        ["src", "dst"], num_buckets=num_buckets).materialize()
+    if edges.count() == 0:   # no co-occurrence graph at all
+        return ray.data.from_pandas(pd.DataFrame(
+            {"term": pd.Series(dtype=str),
+             "rank": pd.Series(dtype=np.float64)}))
     ranks = pagerank(edges, num_iters=num_iters, round_to=9,
                      num_buckets=num_buckets)
     terms = shuffle.distinct(

@@ -275,7 +275,12 @@ def ngram_novelty(docs: ray.data.Dataset, n: int = 4,
                                     "fd": b[id_col]}),
             batch_format="pandas"),
         ["g"], {"fd": ("fd", "min")}, num_buckets=num_buckets)
-    joined = bucketed_join(dg, firsts, "g", num_buckets=num_buckets)
+    import pyarrow as pa
+    i64 = pa.int64()
+    joined = bucketed_join(
+        dg, firsts, "g", num_buckets=num_buckets,
+        left_schema=pa.schema([(id_col, i64), ("g", i64)]),
+        right_schema=pa.schema([("g", i64), ("fd", i64)]))
     per_doc = shuffle.group_agg(
         joined.map_batches(
             lambda b: pd.DataFrame({

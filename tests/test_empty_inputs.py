@@ -56,3 +56,83 @@ def test_connected_components_empty_edges():
         {"src": pd.Series(dtype=np.int64),
          "dst": pd.Series(dtype=np.int64)}))
     assert connected_components(empty).count() == 0
+
+
+def test_session8_ops_tiny_inputs():
+    """Edge-case probes for the session-8 operators: single-row /
+    empty / degenerate inputs must not crash and must return the
+    structurally-right shape."""
+    from city2graph_ray.ops.graph_algos import (dag_longest_path,
+                                                hash_walks,
+                                                markov_power)
+    from city2graph_ray.ops.intervals import allen_relation_census
+    from city2graph_ray.ops.mobility import ipf_balance
+    from city2graph_ray.ops.segments import strokes
+    from city2graph_ray.ops.stats import (mann_kendall, theil_sen,
+                                          group_entropy)
+    from city2graph_ray.ops.tiling import (compact_cells,
+                                           raster_regions,
+                                           uncompact_cells)
+    from city2graph_ray.ops.windows import scd2_intervals
+    from city2graph_ray.text.analysis import (cdc_chunks,
+                                              chunk_documents,
+                                              oov_rate,
+                                              textrank_terms)
+    from city2graph_ray.text.decontam import ngram_novelty
+
+    ts1 = pd.to_datetime(["2024-01-01"])
+    one_ev = _pts(k=np.array([1], np.int64),
+                  id=np.array([1], np.int64), ts=ts1,
+                  v=[2.5], attr=["x"])
+    assert mann_kendall(one_ev, "k", "ts", "id", "v").count() == 1
+    assert theil_sen(
+        one_ev.map_batches(lambda b: pd.DataFrame(
+            {"k": b["k"], "t": np.array([5], np.int64),
+             "v": np.array([3], np.int64)}),
+            batch_format="pandas"), "k", "t", "v").count() == 0
+    assert scd2_intervals(one_ev, "k", "ts", "id", "attr").count() == 1
+    iv = _pts(k=np.array([1], np.int64), id=np.array([1], np.int64),
+              s=np.array([0], np.int64), e=np.array([5], np.int64))
+    assert allen_relation_census(iv, "k", "s", "e", "id").count() == 0
+    assert group_entropy(one_ev, "k", "attr").count() == 1
+
+    empty_docs = _pts(doc_id=pd.Series(dtype=np.int64),
+                      text=pd.Series(dtype=str))
+    assert chunk_documents(empty_docs).count() == 0
+    assert cdc_chunks(empty_docs).count() == 0
+    one_doc = _pts(doc_id=np.array([1], np.int64), text=["hi"])
+    assert chunk_documents(one_doc).count() == 1
+    assert cdc_chunks(one_doc).count() == 1
+    assert ngram_novelty(one_doc).count() == 0   # too short for 4-grams
+    assert oov_rate(one_doc, vocab_k=5).count() == 1
+    tr = textrank_terms(one_doc, k=5, num_iters=2, num_buckets=2)
+    assert tr.count() == 0   # single token → no co-occurrence edges
+
+    e1 = _pts(src=np.array([0], np.int64), dst=np.array([1], np.int64))
+    assert dag_longest_path(e1, rounds=3, num_buckets=2).count() == 2
+    assert hash_walks(e1, seed_mod=1, length=2,
+                      num_buckets=2).count() == 6
+    w1 = _pts(src=["a"], dst=["b"], w=np.array([2], np.int64))
+    assert markov_power(w1, iters=2, num_buckets=2).count() == 2
+
+    one_cell = _pts(ix=np.array([3], np.int64),
+                    iy=np.array([4], np.int64))
+    comp = compact_cells(one_cell, levels=2, num_buckets=2)
+    cdf = comp.to_pandas()
+    assert len(cdf) == 1 and cdf["res"].iloc[0] == 0
+    assert uncompact_cells(comp).count() == 1
+    one_rc = _pts(c=np.array([2], np.int64), r=np.array([9], np.int64))
+    assert raster_regions(one_rc, num_buckets=2).count() == 1
+
+    seg1 = _pts(seg_id=np.array([7], np.int64),
+                ax=np.array([0], np.int64), ay=np.array([0], np.int64),
+                bx=np.array([0], np.int64), by=np.array([0], np.int64))
+    # degenerate zero-length segment: inert, self-stroke
+    s_out = strokes(seg1, num_buckets=2).to_pandas()
+    assert s_out["stroke"].tolist() == [7]
+
+    od1 = _pts(o=np.array([1], np.int64), d=np.array([2], np.int64),
+               flow=np.array([5], np.int64))
+    b = ipf_balance(od1, 10.0, 10.0, rounds=2,
+                    num_buckets=2).to_pandas()
+    assert len(b) == 1 and abs(b["flow"].iloc[0] - 10.0) < 1e-6
