@@ -5954,6 +5954,65 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _event_map_match(sf_dir: str):
+    """Greedy map-matching: every 5th event ping snaps to its nearest
+    short street segment within 150 units (exact rational distances),
+    then per-user consecutive same-segment pings collapse into
+    traversal intervals (the scd2 island machinery) — the
+    trajectory→street assignment every mobility pipeline starts with.
+    Unmatched pings drop before the collapse (documented greedy
+    semantics; the twin filters identically)."""
+    import ray.data
+
+    from city2graph_ray import synth
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.ops.spatial import snap_to_segments
+    from city2graph_ray.ops.windows import scd2_intervals
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey"])
+
+    def mix(k):
+        return ((k * k * synth.QX + k * synth.AX + synth.BX)
+                % synth.MOD % 10000,
+                (k * k * synth.QY + k * synth.AY + synth.BY)
+                % synth.MOD % 10000)
+
+    def pts(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["event_id"].to_numpy(np.int64)
+        keep = k % 5 == 0
+        x, y = mix(k[keep])
+        return pd.DataFrame({"id": k[keep], "x": x, "y": y})
+
+    def segs(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["o_orderkey"].to_numpy(np.int64)
+        ax, ay = mix(s)
+        return pd.DataFrame({"seg_id": s, "ax": ax, "ay": ay,
+                             "bx": ax + s % 97 - 48,
+                             "by": ay + s % 89 - 44})
+
+    snapped = snap_to_segments(ev.map_batches(pts,
+                                              batch_format="pandas"),
+                               orders.map_batches(segs,
+                                                  batch_format="pandas"),
+                               radius=150.0)
+    meta = ev.map_batches(
+        lambda b: pd.DataFrame({"id": b["event_id"]
+                                .to_numpy(np.int64),
+                                "user_id": b["user_id"]
+                                .to_numpy(np.int64),
+                                "ts": b["ts"]}),
+        batch_format="pandas")
+    matched = bucketed_join(
+        snapped.map_batches(lambda b: b[["id", "seg_id"]],
+                            batch_format="pandas"),
+        meta, "id")
+    return scd2_intervals(matched, "user_id", "ts", "id", "seg_id")
+
+
 def _pt_cell_compact(sf_dir: str):
     """H3-style compaction of the customer-point cell cover (64-unit
     level-0 cells, 3 levels): complete 2×2 sibling groups collapse to
@@ -6323,6 +6382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_strokes": _segment_strokes,
         "emb_dist_hist": _emb_dist_hist,
         "pt_cell_compact": _pt_cell_compact,
+        "event_map_match": _event_map_match,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -9746,6 +9806,74 @@ def oracle_sql() -> dict[str, str]:
         "zone_dag_depth": _dag_depth_sql(12),
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
+        "event_map_match": f"""
+            WITH p AS (SELECT event_id AS id, user_id, ts,
+                  (event_id*event_id*{synth.QX} + event_id*{synth.AX}
+                   + {synth.BX}) % {synth.MOD} % 10000 AS px,
+                  (event_id*event_id*{synth.QY} + event_id*{synth.AY}
+                   + {synth.BY}) % {synth.MOD} % 10000 AS py
+                       FROM events WHERE event_id % 5 = 0),
+            s AS (SELECT o_orderkey AS seg_id,
+                  (o_orderkey*o_orderkey*{synth.QX}
+                   + o_orderkey*{synth.AX} + {synth.BX})
+                  % {synth.MOD} % 10000 AS ax,
+                  (o_orderkey*o_orderkey*{synth.QY}
+                   + o_orderkey*{synth.AY} + {synth.BY})
+                  % {synth.MOD} % 10000 AS ay
+                  FROM orders),
+            s2 AS (SELECT seg_id, ax, ay,
+                          ax + (seg_id % 97) - 48 AS bx,
+                          ay + (seg_id % 89) - 44 AS by FROM s),
+            d AS (SELECT p.id, s2.seg_id,
+                         (s2.bx - s2.ax)*(s2.bx - s2.ax)
+                         + (s2.by - s2.ay)*(s2.by - s2.ay) AS ll,
+                         (p.px - s2.ax)*(s2.bx - s2.ax)
+                         + (p.py - s2.ay)*(s2.by - s2.ay) AS tn,
+                         (p.px - s2.ax)*(p.px - s2.ax)
+                         + (p.py - s2.ay)*(p.py - s2.ay) AS e2,
+                         (p.px - s2.bx)*(p.px - s2.bx)
+                         + (p.py - s2.by)*(p.py - s2.by) AS f2
+                  FROM p, s2),
+            e AS (SELECT id, seg_id,
+                         CASE WHEN tn > 0 AND tn < ll
+                              THEN e2*ll - tn*tn
+                              WHEN tn <= 0 THEN e2 ELSE f2 END
+                           AS d2_num,
+                         CASE WHEN tn > 0 AND tn < ll
+                              THEN ll ELSE 1 END AS d2_den
+                  FROM d),
+            f AS (SELECT id, seg_id,
+                         row_number() OVER (PARTITION BY id ORDER BY
+                           CAST(d2_num AS DOUBLE)
+                           / CAST(d2_den AS DOUBLE), seg_id) AS rn
+                  FROM e WHERE d2_num <= 22500 * d2_den),
+            m AS (SELECT p.user_id, p.ts, p.id, f.seg_id
+                  FROM f JOIN p ON p.id = f.id
+                  WHERE f.rn = 1),
+            r AS (SELECT *, CASE WHEN lag(seg_id) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, id)
+                            IS DISTINCT FROM seg_id
+                            THEN 1 ELSE 0 END AS chg
+                  FROM m),
+            g AS (SELECT *, sum(chg) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, id
+                              ROWS UNBOUNDED PRECEDING) AS run
+                  FROM r),
+            runs AS (SELECT user_id, run,
+                            min(seg_id) AS attr,
+                            min(CAST(epoch_us(ts) AS BIGINT))
+                              AS start_us,
+                            CAST(count(*) AS BIGINT) AS n_events
+                     FROM g GROUP BY user_id, run)
+            SELECT user_id, attr,
+                   CAST(start_us AS BIGINT) AS start_us,
+                   CAST(lead(start_us) OVER (
+                        PARTITION BY user_id ORDER BY run)
+                     AS BIGINT) AS end_us,
+                   n_events
+            FROM runs""",
         "pt_cell_compact": _compact_sql(3),
         "pt_cell_uncompact": f"""
             SELECT DISTINCT
