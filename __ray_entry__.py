@@ -5954,6 +5954,41 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _pt_quadrat_chi2(sf_dir: str):
+    """Quadrat-count CSR test over the customer point cloud: 16×16
+    quadrats (62.5-unit cells), exact integer counts and the
+    cross-multiplied chi-square numerator Σ(Q·n_q − N)² per quadrat
+    (χ² = that / (Q·N) in one division) — one keyed count shuffle."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import customer_points
+
+    pts = customer_points(sf_dir)
+    counts = shuffle.group_agg(
+        pts.map_batches(
+            lambda b: pd.DataFrame({
+                "qx": np.floor(b["x"].to_numpy(np.float64) / 62.5)
+                .astype(np.int64),
+                "qy": np.floor(b["y"].to_numpy(np.float64) / 62.5)
+                .astype(np.int64),
+                "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["qx", "qy"], {"n_q": ("n", "sum")}, num_buckets=8
+    ).to_pandas()
+    n_tot = int(counts["n_q"].sum())
+    q = 256  # 16×16 quadrats, empty ones contribute (0·Q − N)²
+    n_occupied = len(counts)
+    dev = q * counts["n_q"].to_numpy(np.int64) - n_tot
+    chi_num = int((dev * dev).sum()) + (q - n_occupied) * n_tot * n_tot
+    chi2 = np.round(np.float64(chi_num) / (np.float64(q)
+                                           * np.float64(n_tot)), 6)
+    return pd.DataFrame({
+        "n_points": np.array([n_tot], np.int64),
+        "n_quadrats": np.array([q], np.int64),
+        "n_occupied": np.array([n_occupied], np.int64),
+        "chi_num": np.array([chi_num], np.int64),
+        "chi2": np.array([chi2], np.float64)})
+
+
 def _event_map_match(sf_dir: str):
     """Greedy map-matching: every 5th event ping snaps to its nearest
     short street segment within 150 units (exact rational distances),
@@ -6383,6 +6418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dist_hist": _emb_dist_hist,
         "pt_cell_compact": _pt_cell_compact,
         "event_map_match": _event_map_match,
+        "pt_quadrat_chi2": _pt_quadrat_chi2,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -9806,6 +9842,26 @@ def oracle_sql() -> dict[str, str]:
         "zone_dag_depth": _dag_depth_sql(12),
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
+        "pt_quadrat_chi2": f"""
+            WITH pts AS ({_PTS}),
+            qc AS (SELECT CAST(floor(x / 62.5) AS BIGINT) AS qx,
+                          CAST(floor(y / 62.5) AS BIGINT) AS qy,
+                          CAST(count(*) AS BIGINT) AS n_q
+                   FROM pts GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(n_q) AS BIGINT) AS n,
+                         CAST(count(*) AS BIGINT) AS occ FROM qc),
+            dv AS (SELECT sum((256 * n_q - t.n) * (256 * n_q - t.n))
+                            AS s
+                   FROM qc, t)
+            SELECT t.n AS n_points,
+                   CAST(256 AS BIGINT) AS n_quadrats,
+                   t.occ AS n_occupied,
+                   CAST(dv.s + (256 - t.occ) * t.n * t.n AS BIGINT)
+                     AS chi_num,
+                   round(CAST(dv.s + (256 - t.occ) * t.n * t.n
+                              AS DOUBLE)
+                         / (256.0 * t.n), 6) AS chi2
+            FROM t, dv""",
         "event_map_match": f"""
             WITH p AS (SELECT event_id AS id, user_id, ts,
                   (event_id*event_id*{synth.QX} + event_id*{synth.AX}
