@@ -5954,6 +5954,18 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _event_value_qsketch(sf_dir: str):
+    """MRL/KLL-family mergeable quantile sketch over event values
+    (deterministic even-rank compaction) — approximate by design, so
+    pytest-oracled (rank-error bound vs exact) like HLL/CMS; the
+    EXACT counterpart is event_value_quantiles."""
+    from city2graph_ray.ops.sketch import quantile_sketch
+    from city2graph_ray.pipelines.tables import events
+
+    return quantile_sketch(events(sf_dir), "value",
+                           qs=(0.1, 0.25, 0.5, 0.75, 0.9), k=256)
+
+
 def _pt_quadrat_chi2(sf_dir: str):
     """Quadrat-count CSR test over the customer point cloud: 16×16
     quadrats (62.5-unit cells), exact integer counts and the
@@ -6419,6 +6431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_cell_compact": _pt_cell_compact,
         "event_map_match": _event_map_match,
         "pt_quadrat_chi2": _pt_quadrat_chi2,
+        "event_value_qsketch": _event_value_qsketch,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,

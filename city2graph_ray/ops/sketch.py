@@ -190,3 +190,89 @@ def hll_count_distinct(ds: ray.data.Dataset, keys: Sequence[str],
 
     return shuffle.grouped_transform(partials, keys, merge,
                                      num_buckets=num_buckets)
+
+
+def _mrl_compact(levels: "list[np.ndarray]", k: int) -> "list[np.ndarray]":
+    """Deterministic MRL/KLL-style compaction: whenever a level holds
+    ≥ 2k items, sort it and promote the EVEN-ranked half to the next
+    level (deterministic offset 0 — reproducible across merges of the
+    same multiset in the same order)."""
+    lv = 0
+    while lv < len(levels):
+        if len(levels[lv]) >= 2 * k:
+            arr = np.sort(levels[lv], kind="stable")
+            # compact an even count so total weight is preserved; an
+            # odd straggler stays at this level
+            body = arr[:len(arr) - len(arr) % 2]
+            promote = body[::2]  # even ranks survive at double weight
+            levels[lv] = arr[len(body):]
+            if lv + 1 == len(levels):
+                levels.append(np.empty(0, arr.dtype))
+            levels[lv + 1] = np.concatenate([levels[lv + 1], promote])
+        lv += 1
+    return levels
+
+
+def quantile_sketch(ds: ray.data.Dataset, value_col: str,
+                    qs: Sequence[float] = (0.25, 0.5, 0.75),
+                    k: int = 256, scale: int = 100,
+                    ) -> pd.DataFrame:
+    """Mergeable MRL-family quantile sketch (Manku, Rajagopalan &
+    Lindsay 1998 / the KLL compactor structure, public literature) —
+    the fixed-memory alternative to the engine's exact
+    ``group_quantiles`` when a pass-efficient approximation is enough
+    at 100 TB.  Deterministic: values quantize to integer
+    ``scale``-ths, every compaction promotes the even-ranked half of
+    a sorted buffer, and per-block partial sketches merge in block
+    order — reproducible across runs on the same layout, tested with
+    a rank-error bound vs the exact quantiles (the HLL/CMS testing
+    contract; approximate ops are pytest-oracled, not SQL-twinned).
+
+    Distributed shape: one pass of per-block partial sketches (each
+    ≤ k·log(n/k) ints, weight = 2^level per level), collected and
+    merged on the driver — bytes ∝ blocks × k·log n, never rows.
+    Output: one row per requested quantile (q, value).
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.floor(b[value_col].to_numpy(np.float64) * scale
+                     + 0.5).astype(np.int64)
+        levels: list[np.ndarray] = [u]
+        levels = _mrl_compact(levels, k)
+        rows = []
+        for lv, arr in enumerate(levels):
+            if len(arr):
+                rows.append(pd.DataFrame({"lv": lv, "v": arr}))
+        if not rows:
+            return pd.DataFrame({"lv": np.zeros(0, np.int64),
+                                 "v": np.zeros(0, np.int64)})
+        return pd.concat(rows, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    levels: list[np.ndarray] = []
+    for lv, g in parts.groupby("lv", sort=True):
+        while len(levels) <= lv:
+            levels.append(np.empty(0, np.int64))
+        levels[lv] = np.concatenate([levels[lv],
+                                     g["v"].to_numpy(np.int64)])
+    levels = _mrl_compact(levels, k)
+    items = np.concatenate([a for a in levels if len(a)]
+                           ) if any(len(a) for a in levels) \
+        else np.zeros(0, np.int64)
+    weights = np.concatenate(
+        [np.full(len(a), 1 << lv, np.int64)
+         for lv, a in enumerate(levels) if len(a)]
+    ) if len(items) else np.zeros(0, np.int64)
+    order = np.argsort(items, kind="stable")
+    items, weights = items[order], weights[order]
+    cum = np.cumsum(weights)
+    total = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if not total:
+            out.append((q, np.nan))
+            continue
+        target = q * total
+        idx = int(np.searchsorted(cum, target, side="left"))
+        idx = min(idx, len(items) - 1)
+        out.append((q, items[idx] / scale))
+    return pd.DataFrame(out, columns=["q", "value"])

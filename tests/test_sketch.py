@@ -65,3 +65,46 @@ def test_count_min_heavy_hitters():
     out2 = count_min_heavy_hitters(rd.from_pandas(df).repartition(3),
                                    "v", k=10)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_quantile_sketch_rank_error_bound():
+    import ray.data as rd
+
+    from city2graph_ray.ops.sketch import quantile_sketch
+    rng = np.random.default_rng(53)
+    vals = np.round(rng.lognormal(3, 1, 40_000), 2)
+    df = pd.DataFrame({"v": vals})
+    out = quantile_sketch(rd.from_pandas(df).repartition(16), "v",
+                          qs=(0.1, 0.5, 0.9), k=256)
+    sorted_vals = np.sort(np.floor(vals * 100 + 0.5)) / 100
+    n = len(sorted_vals)
+    for _, r in out.iterrows():
+        got = r["value"]
+        # rank of the returned value must be within 2% of target
+        lo = np.searchsorted(sorted_vals, got, side="left")
+        hi = np.searchsorted(sorted_vals, got, side="right")
+        target = r["q"] * n
+        assert lo - 0.02 * n <= target <= hi + 0.02 * n
+
+
+def test_quantile_sketch_exact_when_small():
+    import ray.data as rd
+
+    from city2graph_ray.ops.sketch import quantile_sketch
+    vals = np.arange(1, 101, dtype=np.float64)
+    out = quantile_sketch(
+        rd.from_pandas(pd.DataFrame({"v": vals})).repartition(3), "v",
+        qs=(0.5,), k=256)
+    # below 2k items nothing compacts: the sketch is exact
+    assert abs(out["value"].iloc[0] - 50.0) <= 1.0
+
+
+def test_quantile_sketch_deterministic_same_layout():
+    import ray.data as rd
+
+    from city2graph_ray.ops.sketch import quantile_sketch
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"v": rng.normal(100, 20, 20_000)})
+    a = quantile_sketch(rd.from_pandas(df).repartition(8), "v", k=128)
+    b = quantile_sketch(rd.from_pandas(df).repartition(8), "v", k=128)
+    pd.testing.assert_frame_equal(a, b)
