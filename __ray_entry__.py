@@ -5954,6 +5954,17 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _event_pattern_match(sf_dir: str):
+    """MATCH_RECOGNIZE-style CEP: per user, count non-overlapping
+    greedy matches of 'one-or-more views, then clicks, then a
+    purchase' (regex v+c+p over the initial-encoded journey) —
+    string_agg + regexp_extract_all twin."""
+    from city2graph_ray.ops.funnel import sequence_pattern_count
+    from city2graph_ray.pipelines.tables import events
+
+    return sequence_pattern_count(events(sf_dir), r"v+c+p")
+
+
 def _event_value_qsketch(sf_dir: str):
     """MRL/KLL-family mergeable quantile sketch over event values
     (deterministic even-rank compaction) — approximate by design, so
@@ -6432,6 +6443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_map_match": _event_map_match,
         "pt_quadrat_chi2": _pt_quadrat_chi2,
         "event_value_qsketch": _event_value_qsketch,
+        "event_pattern_match": _event_pattern_match,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -9855,6 +9867,20 @@ def oracle_sql() -> dict[str, str]:
         "zone_dag_depth": _dag_depth_sql(12),
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
+        "event_pattern_match": """
+            WITH o AS (SELECT user_id,
+                              substr(event_type, 1, 1) AS ch,
+                              ts, event_id
+                       FROM events),
+            s AS (SELECT user_id,
+                         string_agg(ch, '' ORDER BY ts, event_id)
+                           AS seq
+                  FROM o GROUP BY user_id)
+            SELECT user_id,
+                   CAST(len(seq) AS BIGINT) AS seq_len,
+                   CAST(len(regexp_extract_all(seq, 'v+c+p'))
+                        AS BIGINT) AS n_matches
+            FROM s""",
         "pt_quadrat_chi2": f"""
             WITH pts AS ({_PTS}),
             qc AS (SELECT CAST(floor(x / 62.5) AS BIGINT) AS qx,

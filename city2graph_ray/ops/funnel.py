@@ -193,3 +193,48 @@ def transition_counts(events: ray.data.Dataset, key: str = "user_id",
                                      num_buckets=num_buckets)
     return shuffle.group_agg(part, ["src_type", "dst_type"],
                              {"n": ("n", "sum")}, num_buckets=8)
+
+
+def sequence_pattern_count(events: ray.data.Dataset, pattern: str,
+                           key: str = "user_id", ts_col: str = "ts",
+                           step_col: str = "event_type",
+                           order_col: str = "event_id",
+                           num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                           ) -> ray.data.Dataset:
+    """Complex-event pattern matching (the SQL MATCH_RECOGNIZE /
+    Flink CEP shape): per key, encode the (ts, order)-ordered step
+    sequence as a string of step INITIALS and count non-overlapping
+    greedy regex matches of ``pattern`` — e.g. ``v+c+p`` = "one or
+    more views, then clicks, then a purchase".  Python ``re`` and
+    DuckDB's RE2 agree on non-overlapping greedy scans for this
+    pattern class, so the string_agg + regexp_extract_all twin is
+    bit-exact.  Step initials must be distinct across step types.
+    Output ``(key, seq_len, n_matches)``.
+
+    ONE shuffle keyed by ``key``; the kernel's per-key work is the
+    regex scan itself — sequence bytes are the data."""
+    import re
+
+    pat = re.compile(pattern)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: b[key].to_numpy(np.int64),
+            "t": b[ts_col].astype("datetime64[us]").to_numpy()
+            .view("i8"),
+            "o": b[order_col].to_numpy(np.int64),
+            "ch": b[step_col].astype(str).str[0]})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "t", "o"], kind="stable")
+        seqs = g.groupby(key, sort=True)["ch"].agg("".join)
+        return pd.DataFrame({
+            key: seqs.index.to_numpy(np.int64),
+            "seq_len": seqs.str.len().to_numpy(np.int64),
+            "n_matches": np.fromiter(
+                (len(pat.findall(s)) for s in seqs),
+                np.int64, count=len(seqs))})
+
+    stream = events.map_batches(prep, batch_format="pandas")
+    return shuffle.grouped_transform(stream, [key], kernel,
+                                     num_buckets=num_buckets)

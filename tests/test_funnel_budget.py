@@ -249,3 +249,28 @@ def test_group_linreg_degenerate_x():
     out = group_linreg(rd.from_pandas(df), ["g"], "x", "y",
                        num_buckets=4).to_pandas()
     assert np.isnan(out["slope"].iloc[0])  # zero x-variance
+
+
+def test_sequence_pattern_count_bruteforce():
+    import re
+
+    import ray.data as rd
+
+    from city2graph_ray.ops.funnel import sequence_pattern_count
+    rng = np.random.default_rng(59)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 8, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "event_type": rng.choice(["view", "click", "purchase",
+                                  "error"], n)})
+    out = (sequence_pattern_count(rd.from_pandas(df).repartition(4),
+                                  r"v+c+p", num_buckets=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        seq = "".join(t[0] for t in g["event_type"])
+        row = out[out["user_id"] == uid].iloc[0]
+        assert int(row["seq_len"]) == len(seq)
+        assert int(row["n_matches"]) == len(re.findall(r"v+c+p", seq))
