@@ -5954,6 +5954,57 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _raster_cost_distance(sf_dir: str):
+    """Cost-distance surface over the part grid (w = cents%9+1,
+    sources = key%83==0): 12 synchronous int64 min-relaxation sweeps,
+    one scatter shuffle each — unrolled LEFT-JOIN twin."""
+    import ray.data
+
+    from city2graph_ray.ops.tiling import raster_cost_distance
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_retailprice"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        pk = b["p_partkey"].to_numpy(np.int64)
+        cents = np.floor(b["p_retailprice"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        return pd.DataFrame({"c": pk % 40, "r": pk // 40,
+                             "w": cents % 9 + 1,
+                             "is_src": (pk % 83 == 0)
+                             .astype(np.int64)})
+
+    return raster_cost_distance(part.map_batches(mk,
+                                                 batch_format="pandas"),
+                                rounds=12)
+
+
+def _cost_dist_sql(rounds: int) -> str:
+    ctes = ["""g AS MATERIALIZED (
+              SELECT (p_partkey % 40) AS c, (p_partkey // 40) AS r,
+                     CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                       % 9 + 1 AS w,
+                     CASE WHEN p_partkey % 83 = 0 THEN 0
+                          ELSE 999999 END AS d0
+              FROM part)""",
+            "d0 AS (SELECT c, r, w, d0 AS d FROM g)"]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""n{k} AS (
+              SELECT a.c, a.r, min(b.d) AS nd
+              FROM d{k - 1} a JOIN d{k - 1} b
+                ON abs(a.c - b.c) + abs(a.r - b.r) = 1
+              GROUP BY a.c, a.r)""")
+        ctes.append(f"""d{k} AS MATERIALIZED (
+              SELECT d.c, d.r, d.w,
+                     least(d.d,
+                           CASE WHEN n.nd IS NULL OR n.nd >= 999999
+                                THEN 999999 ELSE n.nd + d.w END) AS d
+              FROM d{k - 1} d LEFT JOIN n{k} n
+                ON n.c = d.c AND n.r = d.r)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT c, r, w, d FROM d{rounds}")
+
+
 def _event_pattern_match(sf_dir: str):
     """MATCH_RECOGNIZE-style CEP: per user, count non-overlapping
     greedy matches of 'one-or-more views, then clicks, then a
@@ -6444,6 +6495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_quadrat_chi2": _pt_quadrat_chi2,
         "event_value_qsketch": _event_value_qsketch,
         "event_pattern_match": _event_pattern_match,
+        "raster_cost_distance": _raster_cost_distance,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -9867,6 +9919,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_dag_depth": _dag_depth_sql(12),
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
+        "raster_cost_distance": _cost_dist_sql(12),
         "event_pattern_match": """
             WITH o AS (SELECT user_id,
                               substr(event_type, 1, 1) AS ch,

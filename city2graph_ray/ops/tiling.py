@@ -1344,3 +1344,72 @@ def uncompact_cells(cover: ray.data.Dataset,
             "iy": iy[row] * sd + s // sd})
 
     return cover.map_batches(fn, batch_format="pandas")
+
+
+def raster_cost_distance(grid: ray.data.Dataset, rounds: int = 12,
+                         col_c: str = "c", col_r: str = "r",
+                         w_col: str = "w", src_col: str = "is_src",
+                         inf: int = 999999,
+                         num_buckets: int = 16) -> ray.data.Dataset:
+    """Cost-distance surface (the GIS ``r.cost`` / cost-raster
+    primitive): starting from source cells, ``rounds`` synchronous
+    min-relaxation sweeps of ``d[v] = min(d[v], min_{u∈N4(v)} d[u] +
+    w[v])`` over 4-neighbour adjacency — all-int64, converged once
+    ``rounds`` ≥ the longest cheapest path; bounded and unrolled
+    identically in the SQL twin either way.  Unreached cells keep the
+    ``inf`` sentinel.  Output ``(c, r, w, d)``.
+
+    Distributed shape per sweep: one scatter of each cell's current
+    distance into its 4 neighbour slots + the home row, ONE keyed
+    grouped-transform (groups ≤ 5 rows) — the raster never collects
+    and never joins against itself."""
+    cur = grid.map_batches(
+        lambda b: pd.DataFrame({
+            "c": b[col_c].to_numpy(np.int64),
+            "r": b[col_r].to_numpy(np.int64),
+            "w": b[w_col].to_numpy(np.int64),
+            "d": np.where(b[src_col].to_numpy(np.int64) == 1,
+                          np.int64(0), np.int64(inf))}),
+        batch_format="pandas").materialize()
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        r = b["r"].to_numpy(np.int64)
+        w = b["w"].to_numpy(np.int64)
+        d = b["d"].to_numpy(np.int64)
+        m = len(b)
+        off = np.array([(1, 0), (-1, 0), (0, 1), (0, -1)], np.int64)
+        return pd.DataFrame({
+            "c": np.concatenate([np.repeat(c, 4)
+                                 + np.tile(off[:, 0], m), c]),
+            "r": np.concatenate([np.repeat(r, 4)
+                                 + np.tile(off[:, 1], m), r]),
+            "ind": np.concatenate([np.repeat(d, 4),
+                                   np.full(m, inf, np.int64)]),
+            "w": np.concatenate([np.zeros(4 * m, np.int64), w]),
+            "d": np.concatenate([np.full(4 * m, -1, np.int64), d]),
+            "home": np.concatenate([np.zeros(4 * m, np.int64),
+                                    np.ones(m, np.int64)])})
+
+    def relax(g: pd.DataFrame, inf=inf) -> pd.DataFrame:
+        agg = (g.groupby(["c", "r"], sort=False)
+               .agg(ind=("ind", "min"), w=("w", "max"),
+                    d=("d", "max"), home=("home", "max"))
+               .reset_index())
+        agg = agg[agg["home"] == 1]
+        ind = agg["ind"].to_numpy(np.int64)
+        d = agg["d"].to_numpy(np.int64)
+        w = agg["w"].to_numpy(np.int64)
+        cand = np.where(ind >= inf, inf, ind + w)
+        return pd.DataFrame({
+            "c": agg["c"].to_numpy(np.int64),
+            "r": agg["r"].to_numpy(np.int64),
+            "w": w, "d": np.minimum(d, np.minimum(cand,
+                                                  np.int64(inf)))})
+
+    for _ in range(rounds):
+        cur = (shuffle.grouped_transform(
+            cur.map_batches(scatter, batch_format="pandas"),
+            ["c", "r"], relax, num_buckets=num_buckets)
+            .repartition(min(num_buckets, 8)).materialize())
+    return cur

@@ -756,3 +756,38 @@ def test_compact_cells_bruteforce():
     want = {(2, 0, 0), (1, 5, 5), (0, 20, 3), (0, 7, 20)}
     got = set(map(tuple, out[["res", "ix", "iy"]].to_numpy()))
     assert got == want
+
+
+def test_raster_cost_distance_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.ops.tiling import raster_cost_distance
+    rng = np.random.default_rng(61)
+    cells = sorted({(int(rng.integers(0, 7)), int(rng.integers(0, 7)))
+                    for _ in range(35)})
+    w = {p: int(rng.integers(1, 6)) for p in cells}
+    srcs = set(list(cells)[::7])
+    df = pd.DataFrame({"c": [c for c, _ in cells],
+                       "r": [r for _, r in cells],
+                       "w": [w[p] for p in cells],
+                       "is_src": [1 if p in srcs else 0
+                                  for p in cells]})
+    rounds = 20
+    out = (raster_cost_distance(rd.from_pandas(df).repartition(3),
+                                rounds=rounds, num_buckets=4)
+           .to_pandas())
+    # brute-force synchronous relaxation with identical rounds
+    INF = 999999
+    d = {p: (0 if p in srcs else INF) for p in cells}
+    for _ in range(rounds):
+        nd = dict(d)
+        for p in cells:
+            best = min((d[(p[0] + dc, p[1] + dr)]
+                        for dc, dr in ((1, 0), (-1, 0), (0, 1),
+                                       (0, -1))
+                        if (p[0] + dc, p[1] + dr) in d), default=INF)
+            if best < INF:
+                nd[p] = min(nd[p], best + w[p], INF)
+        d = nd
+    got = {(r["c"], r["r"]): r["d"] for _, r in out.iterrows()}
+    assert got == d
