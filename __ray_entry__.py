@@ -5954,6 +5954,17 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _emb_maxsim_topk(sf_dir: str):
+    """ColBERT-style MaxSim late-interaction: 10-vector docs scored
+    Σ_q max dot against the 4-vector query set {0,7,13,21}, integer
+    quantized — top-10 by (score DESC, doc) — self-join twin."""
+    from city2graph_ray.pipelines.tables import embeddings
+    from city2graph_ray.vector.stats import maxsim_topk
+
+    return maxsim_topk(embeddings(sf_dir), [0, 7, 13, 21],
+                       group_div=10, k=10)
+
+
 def _raster_cost_distance(sf_dir: str):
     """Cost-distance surface over the part grid (w = cents%9+1,
     sources = key%83==0): 12 synchronous int64 min-relaxation sweeps,
@@ -6496,6 +6507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_qsketch": _event_value_qsketch,
         "event_pattern_match": _event_pattern_match,
         "raster_cost_distance": _raster_cost_distance,
+        "emb_maxsim_topk": _emb_maxsim_topk,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -9920,6 +9932,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_textrank": _textrank_sql(20, 5),
         "event_markov_stationary": _markov_sql(4),
         "raster_cost_distance": _cost_dist_sql(12),
+        "emb_maxsim_topk": """
+            WITH x AS (SELECT vec_id,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000 + 0.5) AS BIGINT) AS qv,
+                     generate_subscripts(embedding, 1) AS i
+                 FROM embeddings),
+            q AS (SELECT vec_id AS qid, qv, i FROM x
+                  WHERE vec_id IN (0, 7, 13, 21)),
+            dots AS (SELECT d.vec_id, q.qid,
+                            CAST(sum(d.qv * q.qv) AS BIGINT) AS dot
+                     FROM x d JOIN q USING (i)
+                     GROUP BY d.vec_id, q.qid),
+            mx AS (SELECT vec_id // 10 AS doc_id, qid,
+                          max(dot) AS m
+                   FROM dots GROUP BY 1, 2),
+            sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS score
+                   FROM mx GROUP BY doc_id)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 10""",
         "event_pattern_match": """
             WITH o AS (SELECT user_id,
                               substr(event_type, 1, 1) AS ch,

@@ -219,3 +219,66 @@ def distance_histogram(ds: ray.data.Dataset, sample_mod: int = 20,
         sample.map_batches(partial, batch_format="pandas",
                            batch_size=256),
         ["bucket"], {"n_pairs": ("n_pairs", "sum")}, num_buckets=8)
+
+
+def maxsim_topk(ds: ray.data.Dataset, query_ids, group_div: int = 10,
+                k: int = 10, scale: int = 1000,
+                id_col: str = "vec_id",
+                col: str = "embedding") -> pd.DataFrame:
+    """ColBERT-style late-interaction retrieval scoring (Khattab &
+    Zaharia 2020 semantics, public literature): multi-vector "docs"
+    are groups of ``group_div`` consecutive vectors; the query is the
+    vector set at ``query_ids``; a doc's score is
+    ``Σ_q max_{v∈doc} <q, v>`` over integer-quantized embeddings —
+    exact int64, so the self-join twin is bit-exact.  Returns the
+    top-``k`` ``(doc_id, score)`` by (score DESC, doc_id).
+
+    Distributed shape: the quantized query matrix broadcasts by
+    closure (|Q|×d ints); the corpus STREAMS through one matmul
+    map_batches emitting per-(doc, q) partial maxima; ONE keyed max
+    + a doc-level sum reduce; only k rows reach the driver beyond
+    the final merge."""
+    from city2graph_ray import shuffle
+
+    qdf = (ds.filter(lambda r: r[id_col] in set(query_ids))
+           .to_pandas().sort_values(id_col))
+    qmat = np.floor(np.stack(
+        [np.asarray(v, np.float64) for v in qdf[col]]) * scale
+        + 0.5).astype(np.int64)
+    n_q = len(qmat)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        m = np.floor(np.stack(
+            [np.asarray(v, np.float64) for v in b[col]]) * scale
+            + 0.5).astype(np.int64)
+        dots = m @ qmat.T  # (batch × n_q) exact int64
+        doc = ids // group_div
+        out = pd.DataFrame({
+            "doc_id": np.repeat(doc, n_q),
+            "q": np.tile(np.arange(n_q, dtype=np.int64), len(doc)),
+            "dot": dots.reshape(-1)})
+        return (out.groupby(["doc_id", "q"], sort=False)["dot"]
+                .max().rename("mx").reset_index())
+
+    mx = shuffle.group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["doc_id", "q"], {"mx": ("mx", "max")}, num_buckets=8)
+    scores = shuffle.group_agg(
+        mx.map_batches(
+            lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                    "score": b["mx"]}),
+            batch_format="pandas"),
+        ["doc_id"], {"score": ("score", "sum")}, num_buckets=8)
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["score", "doc_id"],
+                             ascending=[False, True]).head(k)
+
+    top = (scores.map_batches(block_topk, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["score", "doc_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    top["doc_id"] = top["doc_id"].astype(np.int64)
+    top["score"] = top["score"].astype(np.int64)
+    return top
