@@ -3258,6 +3258,23 @@ def _kmeans_sql(k: int, iters: int, dim: int) -> str:
                 ORDER BY dist, cid) = 1""")
 
 
+def _cluster_labels_sql(k: int, iters: int, dim: int) -> str:
+    ctes = _kmeans_ctes(k, iters, dim)
+    ctes.append(f"""af AS (SELECT vec_id, cid FROM (
+              SELECT q.vec_id, c{iters}.cid,
+                     sum((q.v - c{iters}.c) * (q.v - c{iters}.c))
+                       AS dist
+              FROM q JOIN c{iters} ON c{iters}.i = q.i
+              GROUP BY q.vec_id, c{iters}.cid)
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist, cid) = 1)""")
+    return ("WITH " + ",\n            ".join(ctes) + """
+            SELECT af.cid, CAST(e.label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM af JOIN embeddings e ON e.vec_id = af.vec_id
+            GROUP BY af.cid, e.label""")
+
+
 def _silhouette_sql(k: int, iters: int, dim: int) -> str:
     # kmeans CTE ladder + final assignment + exact integer cluster
     # moments (S per dim, Q, n) -> a/b/sil per point
@@ -5954,6 +5971,42 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _emb_cluster_labels(sf_dir: str):
+    """Cluster-quality contingency: the bit-exact integer k-means
+    assignment (k=4, 2 Lloyd iterations) crossed with the ground-truth
+    label column — (cid, label, n) counts, the purity/NMI input —
+    kmeans-ladder + join twin."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.vector.kmeans import kmeans_quantized
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    assign = kmeans_quantized(emb, k=4, num_iters=2).map_batches(
+        lambda b: pd.DataFrame({"vec_id": b["vec_id"]
+                                .to_numpy(np.int64),
+                                "cid": b["cid"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    labels = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label"]).map_batches(
+        lambda b: pd.DataFrame({"vec_id": b["vec_id"]
+                                .to_numpy(np.int64),
+                                "label": b["label"]
+                                .to_numpy(np.int64)}),
+        batch_format="pandas")
+    joined = bucketed_join(assign, labels, "vec_id", num_buckets=8)
+    return shuffle.group_agg(
+        joined.map_batches(
+            lambda b: pd.DataFrame({"cid": b["cid"],
+                                    "label": b["label"],
+                                    "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["cid", "label"], {"n": ("n", "sum")}, num_buckets=4)
+
+
 def _emb_maxsim_topk(sf_dir: str):
     """ColBERT-style MaxSim late-interaction: 10-vector docs scored
     Σ_q max dot against the 4-vector query set {0,7,13,21}, integer
@@ -6508,6 +6561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pattern_match": _event_pattern_match,
         "raster_cost_distance": _raster_cost_distance,
         "emb_maxsim_topk": _emb_maxsim_topk,
+        "emb_cluster_labels": _emb_cluster_labels,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -9790,6 +9844,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT max(e) AS diameter, min(e) AS radius,
                    count(*) AS n_nodes FROM ecc"""),
         "emb_kmeans": _kmeans_sql(4, 2, 64),
+        "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
         "emb_silhouette": _silhouette_sql(4, 2, 64),
         "emb_pq_codes": _pq_sql(8, 4, 1, 64),
         "emb_hard_negatives": _hard_negatives_sql(4, 2, 64),
