@@ -5971,6 +5971,64 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _zone_landmarks(sf_dir: str):
+    """Landmark distance table (the ALT / distance-oracle preprocessing
+    step): bounded Bellman-Ford from landmarks {0, 35, 70} over the
+    weighted zone digraph, (landmark, node, dist) — three independent
+    relaxation ladders (parallel lineages on a cluster), unrolled
+    per-landmark twin."""
+    import ray.data  # noqa: F401
+
+    from city2graph_ray.ops.graph_algos import sssp_bounded
+
+    edges = _order_zone_edges(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["src"].to_numpy(np.int64),
+            "dst": b["dst"].to_numpy(np.int64),
+            "w": (b["src"].to_numpy(np.int64) * 31
+                  + b["dst"].to_numpy(np.int64) * 17) % 9 + 1}),
+        batch_format="pandas")
+    parts = []
+    for lm in (0, 35, 70):
+        d = sssp_bounded(edges, source=lm, rounds=4)
+        parts.append(d.map_batches(
+            lambda b, lm=lm: pd.DataFrame({
+                "landmark": np.full(len(b), lm, np.int64),
+                "node": b["node"].to_numpy(np.int64),
+                "dist": b["dist"].to_numpy(np.int64)}),
+            batch_format="pandas"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _landmarks_sql(rounds: int, landmarks) -> str:
+    ctes = ["""e AS MATERIALIZED (
+              SELECT DISTINCT o_custkey % 100 AS src,
+                              o_orderkey % 97 AS dst
+              FROM orders)""",
+            """ew AS MATERIALIZED (SELECT src, dst,
+                             (src * 31 + dst * 17) % 9 + 1 AS w
+                      FROM e)"""]
+    sels = []
+    for li, lm in enumerate(landmarks):
+        ctes.append(f"l{li}d0 AS (SELECT {lm} AS node, 0 AS dist)")
+        for r in range(1, rounds + 1):
+            ctes.append(f"""l{li}d{r} AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM l{li}d{r - 1}
+                UNION ALL
+                SELECT ew.dst, l{li}d{r - 1}.dist + ew.w
+                FROM l{li}d{r - 1}
+                JOIN ew ON ew.src = l{li}d{r - 1}.node)
+              GROUP BY node)""")
+        sels.append(f"SELECT {lm} AS landmark, node,"
+                    f" dist::BIGINT AS dist FROM l{li}d{rounds}")
+    return ("WITH " + ",\n            ".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(sels))
+
+
 def _emb_cluster_labels(sf_dir: str):
     """Cluster-quality contingency: the bit-exact integer k-means
     assignment (k=4, 2 Lloyd iterations) crossed with the ground-truth
@@ -6562,6 +6620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_cost_distance": _raster_cost_distance,
         "emb_maxsim_topk": _emb_maxsim_topk,
         "emb_cluster_labels": _emb_cluster_labels,
+        "zone_landmarks": _zone_landmarks,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -9845,6 +9904,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_nodes FROM ecc"""),
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
+        "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
         "emb_silhouette": _silhouette_sql(4, 2, 64),
         "emb_pq_codes": _pq_sql(8, 4, 1, 64),
         "emb_hard_negatives": _hard_negatives_sql(4, 2, 64),
