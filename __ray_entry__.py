@@ -5971,6 +5971,44 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _pt_gf_functions(sf_dir: str):
+    """Point-pattern G and F functions (NN-distance CDF and
+    empty-space function, the Ripley-K companions): counts of
+    NN distances ≤ r at r ∈ {3, 6, 12} — G over the point cloud's
+    own 1-NN, F from a 20×20 grid of test locations via bipartite
+    1-NN.  Exact shared-sqrt cutoffs; QUALIFY twins."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.proximity import knn_graph
+    from city2graph_ray.pipelines.tables import customer_points
+
+    radii = np.array([3.0, 6.0, 12.0])
+    pts = customer_points(sf_dir)
+    g_nn = knn_graph(pts, 1)
+    gi, gj = np.meshgrid(np.arange(20), np.arange(20))
+    grid = ray.data.from_pandas(pd.DataFrame({
+        "id": (gi * 100 + gj).ravel().astype(np.int64),
+        "x": (25.0 + gi * 50.0).ravel(),
+        "y": (25.0 + gj * 50.0).ravel()}))
+    f_nn = knn_graph(grid, 1, targets=pts)
+
+    def counts(tag):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            d = b["distance"].to_numpy(np.float64)
+            return pd.DataFrame({
+                "fn": [tag] * len(radii), "r": radii,
+                "n": np.asarray([(d <= r).sum() for r in radii],
+                                np.int64)})
+        return fn
+
+    both = (g_nn.map_batches(counts("G"), batch_format="pandas")
+            .union(f_nn.map_batches(counts("F"),
+                                    batch_format="pandas")))
+    return shuffle.group_agg(both, ["fn", "r"], {"n": ("n", "sum")},
+                             num_buckets=4)
+
+
 def _zone_landmarks(sf_dir: str):
     """Landmark distance table (the ALT / distance-oracle preprocessing
     step): bounded Bellman-Ford from landmarks {0, 35, 70} over the
@@ -6621,6 +6659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_maxsim_topk": _emb_maxsim_topk,
         "emb_cluster_labels": _emb_cluster_labels,
         "zone_landmarks": _zone_landmarks,
+        "pt_gf_functions": _pt_gf_functions,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -9905,6 +9944,31 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
+        "pt_gf_functions": f"""
+            WITH pts AS ({_PTS}),
+            rr AS (SELECT unnest([3.0, 6.0, 12.0]) AS r),
+            gnn AS (SELECT a.id,
+                           min(sqrt((a.x-b.x)*(a.x-b.x)
+                                    +(a.y-b.y)*(a.y-b.y))) AS d
+                    FROM pts a JOIN pts b ON a.id <> b.id
+                    GROUP BY a.id),
+            grid AS (SELECT 25.0 + r1.i * 50.0 AS gx,
+                            25.0 + r2.j * 50.0 AS gy
+                     FROM range(20) r1(i) CROSS JOIN range(20) r2(j)),
+            fnn AS (SELECT g.gx, g.gy,
+                           min(sqrt((g.gx-p.x)*(g.gx-p.x)
+                                    +(g.gy-p.y)*(g.gy-p.y))) AS d
+                    FROM grid g CROSS JOIN pts p
+                    GROUP BY g.gx, g.gy)
+            SELECT 'G' AS fn, rr.r,
+                   CAST(count(CASE WHEN gnn.d <= rr.r THEN 1 END)
+                        AS BIGINT) AS n
+            FROM rr CROSS JOIN gnn GROUP BY rr.r
+            UNION ALL
+            SELECT 'F' AS fn, rr.r,
+                   CAST(count(CASE WHEN fnn.d <= rr.r THEN 1 END)
+                        AS BIGINT) AS n
+            FROM rr CROSS JOIN fnn GROUP BY rr.r""",
         "emb_silhouette": _silhouette_sql(4, 2, 64),
         "emb_pq_codes": _pq_sql(8, 4, 1, 64),
         "emb_hard_negatives": _hard_negatives_sql(4, 2, 64),
