@@ -5971,6 +5971,54 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _event_user_features(sf_dir: str):
+    """Per-user ML featurization row: event count, distinct types,
+    total integer cents, first/last activity µs and the active span —
+    one partial-aggregated keyed reduce, GROUP BY twin."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy().astype("datetime64[us]").view("i8")
+        g = (pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "t": b["event_type"],
+            "c": np.floor(b["value"].to_numpy(np.float64) * 100
+                          + 0.5).astype(np.int64),
+            "us": us})
+            .groupby(["user_id", "t"], sort=False)
+            .agg(n=("c", "size"), cents=("c", "sum"),
+                 first_us=("us", "min"), last_us=("us", "max"))
+            .reset_index())
+        return g
+
+    per_type = shuffle.group_agg(
+        events(sf_dir).map_batches(prep, batch_format="pandas"),
+        ["user_id", "t"],
+        {"n": ("n", "sum"), "cents": ("cents", "sum"),
+         "first_us": ("first_us", "min"),
+         "last_us": ("last_us", "max")})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby("user_id", sort=False)
+             .agg(n_events=("n", "sum"), n_types=("n", "size"),
+                  total_cents=("cents", "sum"),
+                  first_us=("first_us", "min"),
+                  last_us=("last_us", "max")).reset_index())
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "n_events": g["n_events"].to_numpy(np.int64),
+            "n_types": g["n_types"].to_numpy(np.int64),
+            "total_cents": g["total_cents"].to_numpy(np.int64),
+            "first_us": g["first_us"].to_numpy(np.int64),
+            "last_us": g["last_us"].to_numpy(np.int64),
+            "span_us": g["last_us"].to_numpy(np.int64)
+            - g["first_us"].to_numpy(np.int64)})
+
+    return shuffle.grouped_transform(per_type, ["user_id"], fold,
+                                     num_buckets=16)
+
+
 def _pt_gf_functions(sf_dir: str):
     """Point-pattern G and F functions (NN-distance CDF and
     empty-space function, the Ripley-K companions): counts of
@@ -6660,6 +6708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cluster_labels": _emb_cluster_labels,
         "zone_landmarks": _zone_landmarks,
         "pt_gf_functions": _pt_gf_functions,
+        "event_user_features": _event_user_features,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -9944,6 +9993,18 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
+        "event_user_features": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT event_type) AS BIGINT)
+                     AS n_types,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                   CAST(max(epoch_us(ts)) - min(epoch_us(ts))
+                        AS BIGINT) AS span_us
+            FROM events GROUP BY user_id""",
         "pt_gf_functions": f"""
             WITH pts AS ({_PTS}),
             rr AS (SELECT unnest([3.0, 6.0, 12.0]) AS r),
