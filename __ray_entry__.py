@@ -5971,6 +5971,50 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _event_snaive_eval(sf_dir: str):
+    """Seasonal-naive forecast backtest (the baseline every demand
+    model must beat): predict each (type, day) cent total with the
+    value 7 days earlier; per type the scored-day count and the exact
+    integer sum of absolute errors — day-key self-join twin."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+    from city2graph_ray.pipelines.tables import events
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        g = (pd.DataFrame({
+            "t": b["event_type"], "day": day,
+            "c": np.floor(b["value"].to_numpy(np.float64) * 100
+                          + 0.5).astype(np.int64)})
+            .groupby(["t", "day"], sort=False)["c"].sum()
+            .rename("cents").reset_index())
+        return g
+
+    daily = shuffle.group_agg(
+        events(sf_dir).map_batches(prep, batch_format="pandas"),
+        ["t", "day"], {"cents": ("cents", "sum")},
+        num_buckets=8).materialize()
+    lagged = daily.map_batches(
+        lambda b: pd.DataFrame({"t": b["t"],
+                                "day": b["day"].to_numpy(np.int64)
+                                + 7,
+                                "pred": b["cents"]}),
+        batch_format="pandas")
+    joined = bucketed_join(daily, lagged, ["t", "day"],
+                           num_buckets=8)
+    return shuffle.group_agg(
+        joined.map_batches(
+            lambda b: pd.DataFrame({
+                "t": b["t"],
+                "n_days": np.ones(len(b), np.int64),
+                "sae": np.abs(b["cents"].to_numpy(np.int64)
+                              - b["pred"].to_numpy(np.int64))}),
+            batch_format="pandas"),
+        ["t"], {"n_days": ("n_days", "sum"), "sae": ("sae", "sum")},
+        num_buckets=4)
+
+
 def _event_user_features(sf_dir: str):
     """Per-user ML featurization row: event count, distinct types,
     total integer cents, first/last activity µs and the active span —
@@ -6709,6 +6753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_landmarks": _zone_landmarks,
         "pt_gf_functions": _pt_gf_functions,
         "event_user_features": _event_user_features,
+        "event_snaive_eval": _event_snaive_eval,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -9993,6 +10038,17 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
+        "event_snaive_eval": """
+            WITH d AS (SELECT event_type AS t,
+                     CAST(epoch_us(ts) AS BIGINT)
+                       // 86400000000 AS day,
+                     CAST(sum(CAST(floor(value * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+                 FROM events GROUP BY 1, 2)
+            SELECT a.t, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(abs(a.cents - p.cents)) AS BIGINT) AS sae
+            FROM d a JOIN d p ON p.t = a.t AND p.day = a.day - 7
+            GROUP BY a.t""",
         "event_user_features": """
             SELECT user_id,
                    CAST(count(*) AS BIGINT) AS n_events,
