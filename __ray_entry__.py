@@ -5971,6 +5971,84 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _pt_access_index(sf_dir: str):
+    """Gravity accessibility (Hansen 1959): per customer point the
+    count of suppliers within 100 units and the Σ mass/d² score in
+    exact integer micro-units (floor(cents·1e6/d² + 0.5) per pair ⇒
+    order-immune int64 sums) over integer pre-scale coords —
+    cross-join twin."""
+    import ray.data
+
+    from city2graph_ray import shuffle, synth
+    from city2graph_ray.ops.proximity import dwithin_point_segment_join  # noqa: F401
+    from city2graph_ray.pipelines.tables import customer_points  # noqa: F401
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_acctbal"])
+
+    def ix(k):
+        return (k * k * synth.QX + k * synth.AX + synth.BX) % synth.MOD
+
+    def iy(k):
+        return (k * k * synth.QY + k * synth.AY + synth.BY) % synth.MOD
+
+    cpts = cust.map_batches(
+        lambda b: pd.DataFrame({
+            "id": b["c_custkey"].to_numpy(np.int64),
+            "x": ix(b["c_custkey"].to_numpy(np.int64)) / 100.0,
+            "y": iy(b["c_custkey"].to_numpy(np.int64)) / 100.0}),
+        batch_format="pandas")
+    spts = supp.map_batches(
+        lambda b: pd.DataFrame({
+            "id": b["s_suppkey"].to_numpy(np.int64),
+            "x": ix(b["s_suppkey"].to_numpy(np.int64)) / 100.0,
+            "y": iy(b["s_suppkey"].to_numpy(np.int64)) / 100.0,
+            "cents": np.floor(b["s_acctbal"].to_numpy(np.float64)
+                              * 100 + 0.5).astype(np.int64)}),
+        batch_format="pandas")
+
+    from city2graph_ray.ops.proximity import fixed_radius_graph
+    pairs = fixed_radius_graph(
+        cpts.union(spts.map_batches(
+            lambda b: pd.DataFrame({
+                "id": b["id"].to_numpy(np.int64) + 10_000_000,
+                "x": b["x"], "y": b["y"]}),
+            batch_format="pandas")), 100.0)
+    mass = {int(r["id"]): int(r["cents"])
+            for r in spts.select_columns(["id", "cents"])
+            .to_pandas().to_dict("records")}
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        # keep only customer↔supplier pairs, customer side first
+        cust_s = s < 10_000_000
+        cid = np.where(cust_s, s, d)
+        sid = np.where(cust_s, d, s) - 10_000_000
+        keep = (np.where(cust_s, d, s) >= 10_000_000) \
+            & (np.where(cust_s, s, d) < 10_000_000)
+        cid, sid = cid[keep], sid[keep]
+        # exact integer pre-scale squared distance from the derived
+        # keys (distance column is float; d2 re-derives exactly)
+        dx = (ix(cid) - ix(sid)).astype(np.int64)
+        dy = (iy(cid) - iy(sid)).astype(np.int64)
+        d2 = dx * dx + dy * dy
+        cents = np.array([mass[i] for i in sid], np.int64)
+        ok = d2 > 0
+        units = np.floor(cents[ok].astype(np.float64) * 1e6
+                         / d2[ok] + 0.5).astype(np.int64)
+        return pd.DataFrame({"id": cid[ok],
+                             "n": np.ones(ok.sum(), np.int64),
+                             "units": units})
+
+    return shuffle.group_agg(
+        pairs.map_batches(score, batch_format="pandas"),
+        ["id"], {"n_within": ("n", "sum"),
+                 "access_units": ("units", "sum")}, num_buckets=16)
+
+
 def _event_snaive_eval(sf_dir: str):
     """Seasonal-naive forecast backtest (the baseline every demand
     model must beat): predict each (type, day) cent total with the
@@ -6754,6 +6832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_gf_functions": _pt_gf_functions,
         "event_user_features": _event_user_features,
         "event_snaive_eval": _event_snaive_eval,
+        "pt_access_index": _pt_access_index,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -10038,6 +10117,35 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
+        "pt_access_index": f"""
+            WITH c AS (SELECT c_custkey AS id,
+                  (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                   + {synth.BX}) % {synth.MOD} AS jx,
+                  (c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                   + {synth.BY}) % {synth.MOD} AS jy
+                       FROM customer),
+            s AS (SELECT s_suppkey AS id,
+                  (s_suppkey*s_suppkey*{synth.QX} + s_suppkey*{synth.AX}
+                   + {synth.BX}) % {synth.MOD} AS jx,
+                  (s_suppkey*s_suppkey*{synth.QY} + s_suppkey*{synth.AY}
+                   + {synth.BY}) % {synth.MOD} AS jy,
+                  CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+                    AS cents
+                  FROM supplier),
+            pr AS (SELECT c.id AS cid,
+                          (c.jx - s.jx) * (c.jx - s.jx)
+                          + (c.jy - s.jy) * (c.jy - s.jy) AS d2,
+                          s.cents
+                   FROM c JOIN s ON sqrt(
+                     ((c.jx / 100.0) - (s.jx / 100.0))
+                     * ((c.jx / 100.0) - (s.jx / 100.0))
+                     + ((c.jy / 100.0) - (s.jy / 100.0))
+                     * ((c.jy / 100.0) - (s.jy / 100.0))) <= 100.0)
+            SELECT cid AS id, CAST(count(*) AS BIGINT) AS n_within,
+                   CAST(sum(CAST(floor(CAST(cents AS DOUBLE) * 1e6
+                                       / d2 + 0.5) AS BIGINT))
+                        AS BIGINT) AS access_units
+            FROM pr WHERE d2 > 0 GROUP BY cid""",
         "event_snaive_eval": """
             WITH d AS (SELECT event_type AS t,
                      CAST(epoch_us(ts) AS BIGINT)
