@@ -5971,6 +5971,17 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _doc_bigram_logprob(sf_dir: str):
+    """Add-one-smoothed bigram-LM mean log-likelihood per doc — the
+    KenLM-shaped scorer one order above unigram; counts rejoin by
+    gram-keyed bucketed joins (no vocabulary broadcast) — tokenize +
+    count-join + avg(ln) twin."""
+    from city2graph_ray.pipelines.tables import documents
+    from city2graph_ray.text.analysis import bigram_logprob
+
+    return bigram_logprob(documents(sf_dir))
+
+
 def _pt_access_index(sf_dir: str):
     """Gravity accessibility (Hansen 1959): per customer point the
     count of suppliers within 100 units and the Σ mass/d² score in
@@ -6833,6 +6844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_features": _event_user_features,
         "event_snaive_eval": _event_snaive_eval,
         "pt_access_index": _pt_access_index,
+        "doc_bigram_logprob": _doc_bigram_logprob,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -10117,6 +10129,32 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
+        "doc_bigram_logprob": """
+            WITH l0 AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '\\s+'),
+                                 x -> x <> '') AS l
+                 FROM documents),
+            tok AS MATERIALIZED (
+              SELECT doc_id, unnest(l) AS t,
+                     unnest(generate_series(1, len(l))) AS pos
+              FROM l0),
+            bg AS MATERIALIZED (
+              SELECT a.doc_id, a.t AS prev, b.t AS w
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            c2 AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c2
+                   FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS c1
+                   FROM bg GROUP BY 1),
+            v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+                  FROM tok)
+            SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(ln((c2.c2 + 1) / (c1.c1 + v.v))), 6)
+                     AS logprob
+            FROM bg JOIN c2 USING (prev, w)
+                    JOIN c1 USING (prev), v
+            GROUP BY bg.doc_id""",
         "pt_access_index": f"""
             WITH c AS (SELECT c_custkey AS id,
                   (c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}

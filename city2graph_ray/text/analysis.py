@@ -1245,3 +1245,89 @@ def cdc_chunks(docs: ray.data.Dataset, w: int = 8, div: int = 32,
                              for c, v in out.items()})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def bigram_logprob(docs: ray.data.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id", round_to: int = 6,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-doc mean bigram log-likelihood under the add-one-smoothed
+    corpus bigram LM: ``mean over positions of ln((c2(prev,w)+1) /
+    (c1(prev)+V))`` — the KenLM-shaped quality score one level above
+    :func:`unigram_logprob`.  Output ``(doc_id, n_bigrams, logprob)``;
+    docs with <2 tokens emit nothing.
+
+    Scale shape: the bigram count table is NOT broadcast (it grows
+    with the corpus) — doc bigrams rejoin their counts through two
+    bucketed hash joins keyed by the gram, so every stage shards by
+    gram hash; only the scalar vocabulary size V crosses as a
+    broadcast.  Twin: tokenize + self-join counts + avg(ln) with the
+    doc_ppl rounding convention."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.joins import bucketed_join
+
+    def explode_bigrams(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].str.lower().str.split().explode()
+        toks = toks[toks.notna()]
+        di = toks.index.to_numpy()
+        tok = toks.to_numpy(dtype=object)
+        if len(tok) < 2:
+            return pd.DataFrame({id_col: np.zeros(0, np.int64),
+                                 "prev": np.array([], object),
+                                 "w": np.array([], object)})
+        same = di[1:] == di[:-1]
+        ids = b[id_col].to_numpy(np.int64)[di[1:][same]]
+        return pd.DataFrame({id_col: ids, "prev": tok[:-1][same],
+                             "w": tok[1:][same]})
+
+    def b_reset(b: pd.DataFrame) -> pd.DataFrame:
+        return explode_bigrams(b.reset_index(drop=True))
+
+    bigrams = docs.map_batches(b_reset,
+                               batch_format="pandas").materialize()
+    c2 = shuffle.group_agg(
+        bigrams.map_batches(
+            lambda b: pd.DataFrame({"prev": b["prev"], "w": b["w"],
+                                    "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["prev", "w"], {"c2": ("n", "sum")}, num_buckets=num_buckets)
+    c1 = shuffle.group_agg(
+        bigrams.map_batches(
+            lambda b: pd.DataFrame({"prev": b["prev"],
+                                    "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["prev"], {"c1": ("n", "sum")}, num_buckets=num_buckets)
+    # V = distinct tokens anywhere (prev or w positions = all tokens)
+    vocab = shuffle.distinct(
+        docs.map_batches(
+            lambda b: pd.DataFrame({
+                "t": b[text_col].str.lower().str.split().explode()
+                .dropna().unique()}),
+            batch_format="pandas"),
+        ["t"], num_buckets=num_buckets)
+    v = vocab.count()
+
+    j2 = bucketed_join(bigrams, c2, ["prev", "w"],
+                       num_buckets=num_buckets)
+    j1 = bucketed_join(j2, c1, "prev", num_buckets=num_buckets)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log((b["c2"].to_numpy(np.int64) + 1)
+                    / (b["c1"].to_numpy(np.int64)
+                       + np.float64(v)))
+        return (pd.DataFrame({id_col: b[id_col], "lp": lp,
+                              "n": np.ones(len(b), np.int64)})
+                .groupby(id_col, sort=False)
+                .agg(s=("lp", "sum"), n=("n", "sum")).reset_index())
+
+    agg = shuffle.group_agg(
+        j1.map_batches(partial, batch_format="pandas"),
+        [id_col], {"s": ("s", "sum"), "n": ("n", "sum")},
+        num_buckets=num_buckets)
+    return agg.map_batches(
+        lambda b: pd.DataFrame({
+            id_col: b[id_col].to_numpy(np.int64),
+            "n_bigrams": b["n"].to_numpy(np.int64),
+            "logprob": np.round(b["s"].to_numpy(np.float64)
+                                / b["n"].to_numpy(np.int64),
+                                round_to)}),
+        batch_format="pandas")
