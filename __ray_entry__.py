@@ -5971,6 +5971,24 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _event_psi_drift(sf_dir: str):
+    """PSI drift score between the month's first 15 days (reference)
+    and the rest: reference-decile edges (tie-invariant per-tile
+    maxima), strict-less re-binning of both populations, add-one
+    smoothed Σ(pc−pr)ln(pc/pr) — ntile + correlated-count twin."""
+    from city2graph_ray.ops.stats import psi_drift
+    from city2graph_ray.pipelines.tables import events
+
+    ev = events(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "value": b["value"].to_numpy(np.float64),
+            "half": ((b["ts"].to_numpy().astype("datetime64[D]")
+                      .astype(np.int64) - 19723) >= 15)
+            .astype(np.int64)}),
+        batch_format="pandas")
+    return psi_drift(ev, "value", "half")
+
+
 def _doc_bigram_logprob(sf_dir: str):
     """Add-one-smoothed bigram-LM mean log-likelihood per doc — the
     KenLM-shaped scorer one order above unigram; counts rejoin by
@@ -6845,6 +6863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_snaive_eval": _event_snaive_eval,
         "pt_access_index": _pt_access_index,
         "doc_bigram_logprob": _doc_bigram_logprob,
+        "event_psi_drift": _event_psi_drift,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -10129,6 +10148,47 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
+        "event_psi_drift": """
+            WITH u AS (SELECT
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS u,
+                     CASE WHEN (CAST(epoch_us(ts) AS BIGINT)
+                                // 86400000000) - 19723 >= 15
+                          THEN 1 ELSE 0 END AS cur
+                 FROM events),
+            rt AS (SELECT u, ntile(10) OVER (ORDER BY u) AS tile
+                   FROM u WHERE cur = 0),
+            ed AS MATERIALIZED (SELECT tile, max(u) AS mx FROM rt
+                   WHERE tile < 10 GROUP BY tile),
+            bn AS (SELECT uu.cur,
+                          (SELECT count(*) FROM ed
+                           WHERE ed.mx < uu.u) AS bin
+                   FROM u uu),
+            ct AS (SELECT bin, cur, CAST(count(*) AS BIGINT) AS n
+                   FROM bn GROUP BY 1, 2),
+            bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+            wide AS MATERIALIZED (SELECT bins.bin,
+                     coalesce(cr.n, 0) AS n_ref,
+                     coalesce(cc.n, 0) AS n_cur
+                   FROM bins
+                   LEFT JOIN ct cr ON cr.bin = bins.bin
+                                  AND cr.cur = 0
+                   LEFT JOIN ct cc ON cc.bin = bins.bin
+                                  AND cc.cur = 1),
+            tot AS (SELECT CAST(sum(n_ref + 1) AS DOUBLE) AS tr,
+                           CAST(sum(n_cur + 1) AS DOUBLE) AS tc
+                    FROM wide),
+            psi AS (SELECT round(sum(
+                     (CAST(n_cur + 1 AS DOUBLE) / tc
+                      - CAST(n_ref + 1 AS DOUBLE) / tr)
+                     * ln((CAST(n_cur + 1 AS DOUBLE) / tc)
+                          / (CAST(n_ref + 1 AS DOUBLE) / tr))), 6)
+                      AS p
+                    FROM wide, tot)
+            SELECT wide.bin,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   psi.p AS psi
+            FROM wide, psi""",
         "doc_bigram_logprob": """
             WITH l0 AS (SELECT doc_id,
                      list_filter(regexp_split_to_array(lower(text),

@@ -1529,3 +1529,68 @@ def bivariate_morans(grid: ray.data.Dataset, col_c: str = "c",
     return pd.DataFrame({"n_cells": np.array([n], np.int64),
                          "w_sum": np.array([w], np.int64),
                          "moran_xy": np.array([moran], np.float64)})
+
+
+def psi_drift(ds: ray.data.Dataset, value_col: str, split_col: str,
+              n_bins: int = 10, scale: int = 100, round_to: int = 6,
+              num_buckets: int = shuffle.DEFAULT_BUCKETS,
+              ) -> pd.DataFrame:
+    """Population Stability Index (the standard ML-monitoring drift
+    score) between the reference population (``split_col == 0``) and
+    the current one (``split_col == 1``): bin edges are the reference
+    deciles (max integer unit per ntile — deterministic even under
+    boundary ties, since the sorted tile's max is tie-invariant),
+    BOTH populations re-bin through the same strict-less edge rule,
+    and ``PSI = Σ (p_c − p_r)·ln(p_c/p_r)`` with add-one smoothing on
+    the counts.  Counts are exact int64; the ≤ ``n_bins`` ln terms
+    and the final sum are the only floats (rounded to ``round_to``).
+    Output one row per bin ``(bin, n_ref, n_cur)`` plus the psi value
+    repeated (single-table gate shape).
+
+    Distributed shape: one global-ntile pass over the reference (the
+    engine's range-sort row_number), a bins-sized edge table
+    broadcast by closure, one streaming re-bin pass per population,
+    exact keyed counts."""
+    units = ds.map_batches(
+        lambda b: pd.DataFrame({
+            "u": np.floor(b[value_col].to_numpy(np.float64) * scale
+                          + 0.5).astype(np.int64),
+            "cur": b[split_col].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    ref = units.filter(lambda r: r["cur"] == 0)
+    tiled = shuffle.global_ntile(ref, ["u"], n_bins)
+    edges_df = shuffle.group_agg(
+        tiled.map_batches(
+            lambda b: pd.DataFrame({"tile": b["tile"],
+                                    "mx": b["u"]}),
+            batch_format="pandas"),
+        ["tile"], {"mx": ("mx", "max")}, num_buckets=1).to_pandas()
+    edges = np.sort(edges_df[edges_df["tile"] < n_bins]["mx"]
+                    .to_numpy(np.int64))
+
+    def binned(b: pd.DataFrame) -> pd.DataFrame:
+        bin_ = np.searchsorted(edges, b["u"].to_numpy(np.int64),
+                               side="left")
+        # strict-less rule: value lands past every edge < it; ties on
+        # an edge fall INTO that edge's bin (side='left')
+        g = (pd.DataFrame({"bin": bin_.astype(np.int64),
+                           "cur": b["cur"].to_numpy(np.int64)})
+             .groupby(["bin", "cur"], sort=False).size()
+             .rename("n").reset_index())
+        return g
+
+    counts = shuffle.group_agg(
+        units.map_batches(binned, batch_format="pandas"),
+        ["bin", "cur"], {"n": ("n", "sum")},
+        num_buckets=4).to_pandas()
+    out = pd.DataFrame({"bin": np.arange(n_bins, dtype=np.int64)})
+    for cur, col in ((0, "n_ref"), (1, "n_cur")):
+        m = counts[counts["cur"] == cur].set_index("bin")["n"]
+        out[col] = (out["bin"].map(m).fillna(0).astype(np.int64))
+    nr = out["n_ref"].to_numpy(np.int64) + 1
+    nc = out["n_cur"].to_numpy(np.int64) + 1
+    pr = nr / nr.sum()
+    pc = nc / nc.sum()
+    psi = round(float(((pc - pr) * np.log(pc / pr)).sum()), round_to)
+    out["psi"] = psi
+    return out

@@ -854,3 +854,26 @@ def test_ipf_balance_converges_to_margins():
     # row margins approach the row target as rounds increase
     row_sums = out.groupby("o")["flow"].sum()
     assert np.allclose(row_sums.to_numpy(), 100.0, rtol=0.2)
+
+
+def test_psi_drift_detects_shift_and_null_case():
+    import ray.data as rd
+
+    from city2graph_ray.ops.stats import psi_drift
+    rng = np.random.default_rng(67)
+    same = pd.DataFrame({
+        "v": np.concatenate([rng.normal(50, 5, 4000),
+                             rng.normal(50, 5, 4000)]),
+        "half": np.concatenate([np.zeros(4000, np.int64),
+                                np.ones(4000, np.int64)])})
+    shifted = pd.DataFrame({
+        "v": np.concatenate([rng.normal(50, 5, 4000),
+                             rng.normal(70, 5, 4000)]),
+        "half": np.concatenate([np.zeros(4000, np.int64),
+                                np.ones(4000, np.int64)])})
+    p0 = psi_drift(rd.from_pandas(same).repartition(4), "v", "half")
+    p1 = psi_drift(rd.from_pandas(shifted).repartition(4), "v",
+                   "half")
+    assert p0["psi"].iloc[0] < 0.1      # textbook "no drift" band
+    assert p1["psi"].iloc[0] > 0.25     # textbook "action" threshold
+    assert (p0["n_ref"].sum(), p0["n_cur"].sum()) == (4000, 4000)
