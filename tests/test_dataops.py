@@ -705,3 +705,30 @@ def test_cdc_chunks_edit_stability_and_coverage():
     want = int.from_bytes(hashlib.md5(chunk.encode()).digest()[8:16],
                           "little") >> 1
     assert int(g0["chunk_h"]) == want
+
+
+def test_bigram_logprob_bruteforce():
+    import math
+
+    from city2graph_ray.text.analysis import bigram_logprob
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["the cat sat", "the cat ran fast", "solo"]})
+    out = (bigram_logprob(rd.from_pandas(docs).repartition(2),
+                          num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    toks = [t.lower().split() for t in docs["text"]]
+    bg = [(w[i], w[i + 1]) for w in toks for i in range(len(w) - 1)]
+    from collections import Counter
+    c2 = Counter(bg)
+    c1 = Counter(p for p, _ in bg)
+    vocab = {w for t in toks for w in t}
+    v = float(len(vocab))
+    assert out["doc_id"].tolist() == [0, 1]   # 'solo' has no bigrams
+    for _, r in out.iterrows():
+        w = toks[int(r["doc_id"])]
+        lps = [math.log((c2[(a, b)] + 1) / (c1[a] + v))
+               for a, b in zip(w, w[1:])]
+        assert int(r["n_bigrams"]) == len(lps)
+        assert abs(r["logprob"] - round(sum(lps) / len(lps), 6)) \
+            <= 2e-9

@@ -137,3 +137,26 @@ def test_distance_histogram_bruteforce():
             d2 = int(((qs[a] - qs[b]) ** 2).sum())
             want[d2 // 10000] += 1
     assert dict(zip(out["bucket"], out["n_pairs"])) == dict(want)
+
+
+def test_maxsim_topk_bruteforce():
+    import ray.data as rd
+
+    from city2graph_ray.vector.stats import maxsim_topk
+    rng = np.random.default_rng(71)
+    n, d = 60, 8
+    vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(vecs)})
+    out = maxsim_topk(rd.from_pandas(df).repartition(3), [1, 5],
+                      group_div=6, k=4, scale=100)
+    q = np.floor(vecs.astype(np.float64) * 100 + 0.5).astype(np.int64)
+    scores = {}
+    for doc in range(10):
+        rows = q[doc * 6:(doc + 1) * 6]
+        s = 0
+        for qi in (1, 5):
+            s += int((rows @ q[qi]).max())
+        scores[doc] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(zip(out["doc_id"], out["score"])) == want
