@@ -5348,7 +5348,7 @@ def _doc_chunks(sf_dir: str):
 
 def _raster_regions(sf_dir: str):
     """GIS region-group: 4-connected component labels over the masked
-    part-grid raster (cells whose cents end in 0–4), label = min cell
+    part-grid raster (Knuth-hash 50% site mask), label = min cell
     key — scatter-probe adjacency + large-star/small-star CC, no
     label broadcast; recursive-CTE closure twin."""
     import ray.data
@@ -5359,10 +5359,11 @@ def _raster_regions(sf_dir: str):
                                  columns=["p_partkey", "p_retailprice"])
 
     def mask(b: pd.DataFrame) -> pd.DataFrame:
-        cents = np.floor(b["p_retailprice"].to_numpy(np.float64) * 100
-                         + 0.5).astype(np.int64)
-        keep = cents % 10 < 5
-        pk = b["p_partkey"].to_numpy(np.int64)[keep]
+        pk = b["p_partkey"].to_numpy(np.int64)
+        # Knuth multiplicative hash: TPC-H cents always end in 0, so
+        # a cents-digit mask would be degenerate (one giant region)
+        keep = (pk * 2654435761) % 10 < 5
+        pk = pk[keep]
         return pd.DataFrame({"c": pk % 40, "r": pk // 40})
 
     return raster_regions(part.map_batches(mask,
@@ -5969,6 +5970,68 @@ def _event_traj_stats(sf_dir: str):
     return shuffle.grouped_transform(
         ev.map_batches(prep, batch_format="pandas"), ["user_id"],
         kernel)
+
+
+def _pt_emerging_hotspots(sf_dir: str):
+    """Emerging-hotspot classification (the space-time hotspot
+    screen): per 62.5-unit cell the first/second half-month event
+    counts at derived event positions and the class —
+    new / faded / persistent / none at a ≥5 threshold — exact integer
+    counts, CASE twin."""
+    import ray.data
+
+    from city2graph_ray import shuffle, synth
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["event_id"].to_numpy(np.int64)
+        x = (k * k * synth.QX + k * synth.AX + synth.BX) % synth.MOD
+        y = (k * k * synth.QY + k * synth.AY + synth.BY) % synth.MOD
+        half = ((b["ts"].to_numpy().astype("datetime64[D]")
+                 .astype(np.int64) - 19723) >= 15).astype(np.int64)
+        return pd.DataFrame({"qx": x // 6250, "qy": y // 6250,
+                             "h": half,
+                             "n": np.ones(len(b), np.int64)})
+
+    counts = shuffle.group_agg(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["qx", "qy", "h"], {"n": ("n", "sum")}, num_buckets=8)
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        w = (b.pivot_table(index=["qx", "qy"], columns="h",
+                           values="n", aggfunc="sum", fill_value=0)
+             .reindex(columns=[0, 1], fill_value=0).reset_index())
+        n1 = w[0].to_numpy(np.int64)
+        n2 = w[1].to_numpy(np.int64)
+        cls = np.where((n1 < 5) & (n2 >= 5), "new",
+                       np.where((n1 >= 5) & (n2 < 5), "faded",
+                                np.where((n1 >= 5) & (n2 >= 5),
+                                         "persistent", "none")))
+        return pd.DataFrame({"qx": w["qx"].to_numpy(np.int64),
+                             "qy": w["qy"].to_numpy(np.int64),
+                             "n_first": n1, "n_second": n2,
+                             "class": cls})
+
+    return shuffle.grouped_transform(counts, ["qx", "qy"], classify,
+                                     num_buckets=8)
+
+
+def _grid_patch_sizes(sf_dir: str):
+    """Landscape patch metrics (FRAGSTATS patch-size distribution):
+    per 4-connected region of the masked part raster, the cell
+    count — one keyed count over the certified region labels."""
+    from city2graph_ray import shuffle
+
+    labels = _raster_regions(sf_dir)
+    return shuffle.group_agg(
+        labels.map_batches(
+            lambda b: pd.DataFrame({"region": b["region"]
+                                    .to_numpy(np.int64),
+                                    "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["region"], {"n_cells": ("n", "sum")}, num_buckets=8)
 
 
 def _event_psi_drift(sf_dir: str):
@@ -6864,6 +6927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_access_index": _pt_access_index,
         "doc_bigram_logprob": _doc_bigram_logprob,
         "event_psi_drift": _event_psi_drift,
+        "pt_emerging_hotspots": _pt_emerging_hotspots,
+        "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
         "pt_knn_smooth": _pt_knn_smooth,
@@ -6968,7 +7033,7 @@ def _minhash_md5_ctes() -> str:
 
 def oracle_sql() -> dict[str, str]:
     d2 = ("sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y))")
-    return {
+    d = {
         "event_transitions": """
             WITH s AS (SELECT event_type,
                    lead(event_type) OVER (PARTITION BY user_id
@@ -10148,6 +10213,31 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
+        "pt_emerging_hotspots": """
+            WITH p AS (SELECT
+                     ((event_id*event_id*3931 + event_id*48271 + 11)
+                      % 100000) // 6250 AS qx,
+                     ((event_id*event_id*2713 + event_id*69621 + 7)
+                      % 100000) // 6250 AS qy,
+                     CASE WHEN (CAST(epoch_us(ts) AS BIGINT)
+                                // 86400000000) - 19723 >= 15
+                          THEN 1 ELSE 0 END AS h
+                 FROM events),
+            c AS (SELECT qx, qy,
+                         CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_first,
+                         CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_second
+                  FROM p GROUP BY qx, qy)
+            SELECT qx, qy, n_first, n_second,
+                   CASE WHEN n_first < 5 AND n_second >= 5
+                        THEN 'new'
+                        WHEN n_first >= 5 AND n_second < 5
+                        THEN 'faded'
+                        WHEN n_first >= 5 AND n_second >= 5
+                        THEN 'persistent'
+                        ELSE 'none' END AS class
+            FROM c""",
         "event_psi_drift": """
             WITH u AS (SELECT
                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS u,
@@ -10915,8 +11005,7 @@ def oracle_sql() -> dict[str, str]:
                      (p_partkey % 40) * 1048576 + (p_partkey // 40)
                        AS cid
               FROM part
-              WHERE CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
-                    % 10 < 5),
+              WHERE (p_partkey * 2654435761) % 10 < 5),
             e AS (SELECT a.cid AS u, b.cid AS v
                   FROM m a JOIN m b
                     ON (b.c = a.c + 1 AND b.r = a.r)
@@ -11614,3 +11703,9 @@ def oracle_sql() -> dict[str, str]:
         # → rows-only check; exactness is covered by the brute-force
         # oracles in tests/.
     }
+    # derived twins assembled from other entries
+    d["grid_patch_sizes"] = (
+        "WITH rg AS (" + d["raster_regions"]
+        + """) SELECT region, CAST(count(*) AS BIGINT) AS n_cells
+              FROM rg GROUP BY region""")
+    return d
