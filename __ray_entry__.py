@@ -5972,6 +5972,89 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _zone_bowtie(sf_dir: str):
+    """Web-graph bow-tie decomposition of the sparse zone digraph:
+    largest-SCC core, 6-round bounded IN/OUT reach sweeps, remainder
+    bucket — recursive-SCC + unrolled-frontier twin."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.graph_algos import bowtie_structure
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        c = b["o_custkey"].to_numpy(np.int64)
+        keep = k % 200 == 0
+        return pd.DataFrame({"src": c[keep] % 80,
+                             "dst": (k[keep] // 200) % 79})
+
+    edges = shuffle.distinct(
+        orders.map_batches(fn, batch_format="pandas"), ["src", "dst"])
+    return bowtie_structure(edges, rounds=6)
+
+
+def _bowtie_sql(rounds: int) -> str:
+    base = """e AS MATERIALIZED (
+                SELECT DISTINCT o_custkey % 80 AS s,
+                                (o_orderkey // 200) % 79 AS d
+                FROM orders WHERE o_orderkey % 200 = 0),
+            nn AS (SELECT v FROM (
+                     SELECT s AS v FROM e UNION SELECT d FROM e)),
+            -- ^ subquery wrap: under WITH RECURSIVE, DuckDB 1.0
+            -- treats a top-level UNION CTE as a recursion template
+            -- and skips the dedup
+            reach(s, t) AS (
+                SELECT s, d FROM e
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.t),
+            mut AS (SELECT a.s AS u, a.t AS v
+                    FROM reach a JOIN reach b
+                    ON a.s = b.t AND a.t = b.s),
+            comp AS MATERIALIZED (
+                    SELECT nn.v AS node,
+                            least(nn.v, coalesce(min(mut.v), nn.v))
+                              AS scc_id
+                     FROM nn LEFT JOIN mut ON mut.u = nn.v
+                     GROUP BY nn.v),
+            core AS (SELECT scc_id AS cid FROM (
+                       SELECT scc_id, count(*) AS n FROM comp
+                       GROUP BY scc_id)
+                     ORDER BY n DESC, scc_id LIMIT 1),
+            c0 AS MATERIALIZED (
+                SELECT node FROM comp, core
+                WHERE comp.scc_id = core.cid),
+            f0 AS (SELECT node FROM c0),
+            b0 AS (SELECT node FROM c0)"""
+    ctes = [base]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""f{k} AS MATERIALIZED (
+              SELECT DISTINCT node FROM (
+                SELECT node FROM f{k - 1}
+                UNION ALL
+                SELECT e.d FROM f{k - 1} JOIN e
+                  ON e.s = f{k - 1}.node))""")
+        ctes.append(f"""b{k} AS MATERIALIZED (
+              SELECT DISTINCT node FROM (
+                SELECT node FROM b{k - 1}
+                UNION ALL
+                SELECT e.s FROM b{k - 1} JOIN e
+                  ON e.d = b{k - 1}.node))""")
+    return ("WITH RECURSIVE " + ",\n".join(ctes) + f"""
+            SELECT (SELECT count(*) FROM c0) AS n_core,
+                   (SELECT count(*) FROM b{rounds})
+                     - (SELECT count(*) FROM c0) AS n_in,
+                   (SELECT count(*) FROM f{rounds})
+                     - (SELECT count(*) FROM c0) AS n_out,
+                   (SELECT count(*) FROM nn)
+                     - (SELECT count(*) FROM f{rounds})
+                     - (SELECT count(*) FROM b{rounds})
+                     + (SELECT count(*) FROM c0) AS n_other,
+                   (SELECT cid FROM core) AS core_id""")
+
+
 def _pt_emerging_hotspots(sf_dir: str):
     """Emerging-hotspot classification (the space-time hotspot
     screen): per 62.5-unit cell the first/second half-month event
@@ -6928,6 +7011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_logprob": _doc_bigram_logprob,
         "event_psi_drift": _event_psi_drift,
         "pt_emerging_hotspots": _pt_emerging_hotspots,
+        "zone_bowtie": _zone_bowtie,
         "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
@@ -10213,6 +10297,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _kmeans_sql(4, 2, 64),
         "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
+        "zone_bowtie": _bowtie_sql(6),
         "pt_emerging_hotspots": """
             WITH p AS (SELECT
                      ((event_id*event_id*3931 + event_id*48271 + 11)

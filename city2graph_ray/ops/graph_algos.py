@@ -3501,3 +3501,85 @@ def markov_power(edges: ray.data.Dataset, iters: int = 4,
             "node": b["node"],
             "prob": np.round(b["r"].to_numpy(np.float64), round_to)}),
         batch_format="pandas")
+
+
+def bowtie_structure(edges: ray.data.Dataset, rounds: int = 12,
+                     src: str = "src", dst: str = "dst",
+                     num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                     ) -> pd.DataFrame:
+    """Web-graph bow-tie decomposition (Broder et al. 2000, public
+    literature): CORE = the largest SCC (ties → smallest scc_id), IN =
+    nodes reaching the core within ``rounds`` forward hops (excluding
+    it), OUT = nodes the core reaches within ``rounds`` (excluding
+    it), TENDRILS+DISCONNECTED = the rest.  Bounded-round BFS on both
+    sides (unrolled identically in the SQL twin, so the split is
+    deterministic even unconverged).  Output one row
+    ``(n_core, n_in, n_out, n_other, core_id)``.
+
+    Distributed shape: SCC labels (FW-BW / driver Tarjan under
+    threshold), one keyed count for the largest SCC, then per round
+    ONE frontier⋈edges bucketed join + distinct per direction —
+    frontier tables are node-sized; nothing but five scalars reaches
+    the driver."""
+    import pyarrow as pa
+
+    labels = strongly_connected_components(
+        edges, src=src, dst=dst,
+        num_buckets=num_buckets).materialize()
+    sizes = shuffle.group_agg(
+        labels.map_batches(
+            lambda b: pd.DataFrame({"scc_id": b["scc_id"],
+                                    "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["scc_id"], {"n": ("n", "sum")},
+        num_buckets=num_buckets).to_pandas()
+    sizes = sizes.sort_values(["n", "scc_id"],
+                              ascending=[False, True])
+    core_id = int(sizes["scc_id"].iloc[0])
+    n_core = int(sizes["n"].iloc[0])
+    n_total = int(sizes["n"].sum())
+
+    core = labels.filter(lambda r: r["scc_id"] == core_id) \
+        .map_batches(lambda b: pd.DataFrame(
+            {"node": b["node"].to_numpy(np.int64)}),
+            batch_format="pandas").materialize()
+    e = edges.map_batches(
+        lambda b: pd.DataFrame({"u": b[src].to_numpy(np.int64),
+                                "v": b[dst].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    node_schema = pa.schema([("node", pa.int64())])
+
+    def sweep(forward: bool) -> int:
+        reach = core
+        for _ in range(rounds):
+            if forward:
+                probe = e.map_batches(
+                    lambda b: pd.DataFrame({"node": b["u"],
+                                            "nxt": b["v"]}),
+                    batch_format="pandas")
+            else:
+                probe = e.map_batches(
+                    lambda b: pd.DataFrame({"node": b["v"],
+                                            "nxt": b["u"]}),
+                    batch_format="pandas")
+            stepped = bucketed_join(
+                probe, reach, "node", num_buckets=num_buckets,
+                right_schema=node_schema).map_batches(
+                lambda b: pd.DataFrame({"node": b["nxt"]
+                                        .to_numpy(np.int64)}),
+                batch_format="pandas")
+            reach = shuffle.distinct(
+                reach.union(stepped), ["node"],
+                num_buckets=num_buckets).repartition(
+                min(num_buckets, 8)).materialize()
+        return reach.count()
+
+    n_out = sweep(True) - n_core
+    n_in = sweep(False) - n_core
+    n_other = n_total - n_core - n_in - n_out
+    return pd.DataFrame({
+        "n_core": np.array([n_core], np.int64),
+        "n_in": np.array([n_in], np.int64),
+        "n_out": np.array([n_out], np.int64),
+        "n_other": np.array([n_other], np.int64),
+        "core_id": np.array([core_id], np.int64)})
