@@ -5972,6 +5972,52 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _doc_heaps_curve(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve: at doc-id checkpoints, the
+    cumulative token count and distinct-vocabulary size — first
+    occurrences via one keyed min (the novelty machinery), cumulative
+    sums over a checkpoints-sized table; exact integers."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import documents
+
+    checkpoints = np.array([100, 200, 300, 400, 10**9], np.int64)
+
+    def tok(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        toks = b["text"].str.lower().str.split().explode()
+        toks = toks[toks.notna()]
+        ids = b["doc_id"].to_numpy(np.int64)[toks.index.to_numpy()]
+        return pd.DataFrame({"doc_id": ids,
+                             "t": toks.to_numpy(object)})
+
+    toks = documents(sf_dir).map_batches(
+        tok, batch_format="pandas").materialize()
+    firsts = shuffle.group_agg(
+        toks.map_batches(lambda b: pd.DataFrame(
+            {"t": b["t"], "fd": b["doc_id"]}), batch_format="pandas"),
+        ["t"], {"fd": ("fd", "min")}, num_buckets=32)
+
+    def cp_counts(col, src):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            d = b[col].to_numpy(np.int64)
+            return pd.DataFrame({
+                "cp": checkpoints,
+                "n": np.asarray([(d < cp).sum()
+                                 for cp in checkpoints], np.int64)})
+        return shuffle.group_agg(
+            src.map_batches(fn, batch_format="pandas"),
+            ["cp"], {"n": ("n", "sum")}, num_buckets=1)
+
+    nt = cp_counts("doc_id", toks).to_pandas() \
+        .rename(columns={"n": "n_tokens"})
+    nv = cp_counts("fd", firsts).to_pandas() \
+        .rename(columns={"n": "vocab"})
+    out = nt.merge(nv, on="cp").sort_values("cp") \
+        .reset_index(drop=True)
+    out["cp"] = out["cp"].astype(np.int64)
+    return out
+
+
 def _zone_bowtie(sf_dir: str):
     """Web-graph bow-tie decomposition of the sparse zone digraph:
     largest-SCC core, 6-round bounded IN/OUT reach sweeps, remainder
@@ -7012,6 +7058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_psi_drift": _event_psi_drift,
         "pt_emerging_hotspots": _pt_emerging_hotspots,
         "zone_bowtie": _zone_bowtie,
+        "doc_heaps_curve": _doc_heaps_curve,
         "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
@@ -10298,6 +10345,21 @@ def oracle_sql() -> dict[str, str]:
         "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
         "zone_bowtie": _bowtie_sql(6),
+        "doc_heaps_curve": """
+            WITH tok AS (SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS t
+                 FROM documents),
+            fst AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY t),
+            cp AS (SELECT unnest([100, 200, 300, 400, 1000000000])
+                     AS cp)
+            SELECT cp.cp,
+                   (SELECT CAST(count(*) AS BIGINT) FROM tok
+                    WHERE doc_id < cp.cp) AS n_tokens,
+                   (SELECT CAST(count(*) AS BIGINT) FROM fst
+                    WHERE fd < cp.cp) AS vocab
+            FROM cp""",
         "pt_emerging_hotspots": """
             WITH p AS (SELECT
                      ((event_id*event_id*3931 + event_id*48271 + 11)
