@@ -5972,6 +5972,72 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _zone_percolation(sf_dir: str):
+    """Bond-percolation curve: undirected zone graph filtered to
+    edge weight ≥ t for t ∈ {4, 6, 8} ((src·31+dst·17)%9+1 weights),
+    per threshold the component count and giant-component size over
+    edge-bearing nodes — three CC runs, recursive-closure twins."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.topology import connected_components
+
+    base = _order_zone_edges(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["src"].to_numpy(np.int64),
+            "dst": b["dst"].to_numpy(np.int64),
+            "w": (b["src"].to_numpy(np.int64) * 31
+                  + b["dst"].to_numpy(np.int64) * 17) % 9 + 1}),
+        batch_format="pandas").materialize()
+    rows = []
+    for t in (4, 6, 8):
+        sub = base.filter(lambda r, t=t: r["w"] >= t)
+        labels = connected_components(sub)
+        sizes = shuffle.group_agg(
+            labels.map_batches(
+                lambda b: pd.DataFrame({"component": b["component"],
+                                        "n": np.ones(len(b),
+                                                     np.int64)}),
+                batch_format="pandas"),
+            ["component"], {"n": ("n", "sum")},
+            num_buckets=4).to_pandas()
+        rows.append((t, len(sizes),
+                     int(sizes["n"].max()) if len(sizes) else 0))
+    return pd.DataFrame(rows, columns=["threshold", "n_components",
+                                       "giant"])
+
+
+def _percolation_sql(thresholds) -> str:
+    parts = []
+    for t in thresholds:
+        parts.append(f"""(
+            WITH RECURSIVE e{t} AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS a,
+                              greatest(src, dst) AS b FROM (
+                SELECT s.src, s.dst FROM (
+                  SELECT DISTINCT o_custkey % 100 AS src,
+                                  o_orderkey % 97 AS dst
+                  FROM orders) s
+                WHERE (s.src * 31 + s.dst * 17) % 9 + 1 >= {t})
+              WHERE src <> dst),
+            sy{t} AS (SELECT x AS u, y AS v FROM (
+                SELECT a AS x, b AS y FROM e{t}
+                UNION SELECT b AS x, a AS y FROM e{t})),
+            reach{t} AS (
+              SELECT a AS cell, least(a, b) AS lab FROM e{t}
+              UNION SELECT b, least(a, b) FROM e{t}
+              UNION
+              SELECT s.v, r.lab FROM reach{t} r
+              JOIN sy{t} s ON s.u = r.cell),
+            comp{t} AS (SELECT cell, min(lab) AS lab
+                        FROM reach{t} GROUP BY cell),
+            cs{t} AS (SELECT lab, count(*) AS n
+                      FROM comp{t} GROUP BY lab)
+            SELECT {t} AS threshold,
+                   CAST(count(*) AS BIGINT) AS n_components,
+                   CAST(coalesce(max(n), 0) AS BIGINT) AS giant
+            FROM cs{t})""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def _doc_heaps_curve(sf_dir: str):
     """Heaps'-law vocabulary-growth curve: at doc-id checkpoints, the
     cumulative token count and distinct-vocabulary size — first
@@ -7059,6 +7125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_emerging_hotspots": _pt_emerging_hotspots,
         "zone_bowtie": _zone_bowtie,
         "doc_heaps_curve": _doc_heaps_curve,
+        "zone_percolation": _zone_percolation,
         "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
@@ -10345,6 +10412,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cluster_labels": _cluster_labels_sql(4, 2, 64),
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
         "zone_bowtie": _bowtie_sql(6),
+        "zone_percolation": _percolation_sql((4, 6, 8)),
         "doc_heaps_curve": """
             WITH tok AS (SELECT doc_id,
                      unnest(list_filter(
