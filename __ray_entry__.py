@@ -5972,6 +5972,43 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _pt_dissimilarity(sf_dir: str):
+    """Duncan dissimilarity segregation index between the id%2 point
+    groups over 62.5-unit cells: ``D = ½·Σ|a_i·B − b_i·A|/(A·B)`` —
+    the numerator is an exact int64 sum (one keyed count shuffle +
+    block partials), one final division — GROUP BY twin."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import customer_points
+
+    counts = shuffle.group_agg(
+        customer_points(sf_dir).map_batches(
+            lambda b: pd.DataFrame({
+                "qx": np.floor(b["x"].to_numpy(np.float64) / 62.5)
+                .astype(np.int64),
+                "qy": np.floor(b["y"].to_numpy(np.float64) / 62.5)
+                .astype(np.int64),
+                "g": b["id"].to_numpy(np.int64) % 2,
+                "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["qx", "qy", "g"], {"n": ("n", "sum")},
+        num_buckets=8).to_pandas()
+    wide = (counts.pivot_table(index=["qx", "qy"], columns="g",
+                               values="n", aggfunc="sum",
+                               fill_value=0)
+            .reindex(columns=[0, 1], fill_value=0))
+    a = wide[0].to_numpy(np.int64)
+    b = wide[1].to_numpy(np.int64)
+    at, bt = int(a.sum()), int(b.sum())
+    num = int(np.abs(a * bt - b * at).sum())
+    d = np.round(np.float64(num) / (2.0 * at * bt), 6)
+    return pd.DataFrame({
+        "n_a": np.array([at], np.int64),
+        "n_b": np.array([bt], np.int64),
+        "n_cells": np.array([len(wide)], np.int64),
+        "abs_num": np.array([num], np.int64),
+        "dissimilarity": np.array([d], np.float64)})
+
+
 def _zone_percolation(sf_dir: str):
     """Bond-percolation curve: undirected zone graph filtered to
     edge weight ≥ t for t ∈ {4, 6, 8} ((src·31+dst·17)%9+1 weights),
@@ -7126,6 +7163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_bowtie": _zone_bowtie,
         "doc_heaps_curve": _doc_heaps_curve,
         "zone_percolation": _zone_percolation,
+        "pt_dissimilarity": _pt_dissimilarity,
         "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
@@ -10413,6 +10451,26 @@ def oracle_sql() -> dict[str, str]:
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
         "zone_bowtie": _bowtie_sql(6),
         "zone_percolation": _percolation_sql((4, 6, 8)),
+        "pt_dissimilarity": f"""
+            WITH pts AS ({_PTS}),
+            c AS (SELECT CAST(floor(x / 62.5) AS BIGINT) AS qx,
+                         CAST(floor(y / 62.5) AS BIGINT) AS qy,
+                         CAST(sum(CASE WHEN id % 2 = 0 THEN 1
+                                       ELSE 0 END) AS BIGINT) AS a,
+                         CAST(sum(CASE WHEN id % 2 = 1 THEN 1
+                                       ELSE 0 END) AS BIGINT) AS b
+                  FROM pts GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(a) AS BIGINT) AS at,
+                         CAST(sum(b) AS BIGINT) AS bt,
+                         CAST(count(*) AS BIGINT) AS nc FROM c),
+            s AS (SELECT CAST(sum(abs(c.a * t.bt - c.b * t.at))
+                              AS BIGINT) AS num
+                  FROM c, t)
+            SELECT t.at AS n_a, t.bt AS n_b, t.nc AS n_cells,
+                   s.num AS abs_num,
+                   round(CAST(s.num AS DOUBLE)
+                         / (2.0 * t.at * t.bt), 6) AS dissimilarity
+            FROM t, s""",
         "doc_heaps_curve": """
             WITH tok AS (SELECT doc_id,
                      unnest(list_filter(
