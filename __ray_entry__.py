@@ -5972,6 +5972,36 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _pt_spatial_gini(sf_dir: str):
+    """Spatial concentration: exact Gini raw moments of per-cell
+    point counts (62.5-unit occupied cells, cell-id tie-break) —
+    the cell-count reduce feeding the certified gini_moments
+    machinery; window twin."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.stats import gini_moments
+    from city2graph_ray.pipelines.tables import customer_points
+
+    counts = shuffle.group_agg(
+        customer_points(sf_dir).map_batches(
+            lambda b: pd.DataFrame({
+                "qx": np.floor(b["x"].to_numpy(np.float64) / 62.5)
+                .astype(np.int64),
+                "qy": np.floor(b["y"].to_numpy(np.float64) / 62.5)
+                .astype(np.int64),
+                "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["qx", "qy"], {"n": ("n", "sum")}, num_buckets=8)
+    cells = counts.map_batches(
+        lambda b: pd.DataFrame({
+            "cell": b["qx"].to_numpy(np.int64) * 1024
+            + b["qy"].to_numpy(np.int64),
+            # gini_moments quantizes value*100; counts are already
+            # integral so /100 preserves exactness through the scale
+            "v": b["n"].to_numpy(np.int64) / 100.0}),
+        batch_format="pandas")
+    return gini_moments(cells, "v", "cell")
+
+
 def _pt_dissimilarity(sf_dir: str):
     """Duncan dissimilarity segregation index between the id%2 point
     groups over 62.5-unit cells: ``D = ½·Σ|a_i·B − b_i·A|/(A·B)`` —
@@ -7164,6 +7194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_heaps_curve": _doc_heaps_curve,
         "zone_percolation": _zone_percolation,
         "pt_dissimilarity": _pt_dissimilarity,
+        "pt_spatial_gini": _pt_spatial_gini,
         "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
@@ -10451,6 +10482,18 @@ def oracle_sql() -> dict[str, str]:
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
         "zone_bowtie": _bowtie_sql(6),
         "zone_percolation": _percolation_sql((4, 6, 8)),
+        "pt_spatial_gini": f"""
+            WITH pts AS ({_PTS}),
+            c AS (SELECT CAST(floor(x / 62.5) AS BIGINT) * 1024
+                         + CAST(floor(y / 62.5) AS BIGINT) AS i,
+                         CAST(count(*) AS BIGINT) AS un
+                  FROM pts GROUP BY 1),
+            r AS (SELECT un, row_number() OVER (ORDER BY un, i) AS rn
+                  FROM c)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(un) AS BIGINT) AS sum_units,
+                   CAST(sum(rn * un) AS BIGINT) AS rank_weighted_sum
+            FROM r""",
         "pt_dissimilarity": f"""
             WITH pts AS ({_PTS}),
             c AS (SELECT CAST(floor(x / 62.5) AS BIGINT) AS qx,
