@@ -5972,6 +5972,50 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _doc_source_divergence(sf_dir: str):
+    """Jensen-Shannon divergence between src0 and src1 unigram
+    distributions (add-one smoothing over the union vocabulary) —
+    the corpus-mixture diagnostic before blending sources.  Exact
+    integer counts; the per-term ln contributions and their sum are
+    the only floats (rounded 6; the doc_ppl convention).  Join twin."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text", "source"])
+
+    def tok(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["source"].isin(["src0", "src1"])]
+        b = b.reset_index(drop=True)
+        toks = b["text"].str.lower().str.split().explode()
+        toks = toks[toks.notna()]
+        src = b["source"].to_numpy(object)[toks.index.to_numpy()]
+        g = (pd.DataFrame({"t": toks.to_numpy(object), "s": src})
+             .groupby(["t", "s"], sort=False).size()
+             .rename("n").reset_index())
+        return g
+
+    counts = shuffle.group_agg(
+        docs.map_batches(tok, batch_format="pandas"),
+        ["t", "s"], {"n": ("n", "sum")}, num_buckets=16).to_pandas()
+    wide = (counts.pivot_table(index="t", columns="s", values="n",
+                               aggfunc="sum", fill_value=0)
+            .reindex(columns=["src0", "src1"], fill_value=0))
+    a = wide["src0"].to_numpy(np.int64) + 1
+    b = wide["src1"].to_numpy(np.int64) + 1
+    pa_ = a / a.sum()
+    pb = b / b.sum()
+    m = 0.5 * (pa_ + pb)
+    js = 0.5 * ((pa_ * np.log(pa_ / m)).sum()
+                + (pb * np.log(pb / m)).sum())
+    return pd.DataFrame({
+        "vocab": np.array([len(wide)], np.int64),
+        "n_a": np.array([int(a.sum())], np.int64),
+        "n_b": np.array([int(b.sum())], np.int64),
+        "js": np.array([round(float(js), 6)], np.float64)})
+
+
 def _pt_spatial_gini(sf_dir: str):
     """Spatial concentration: exact Gini raw moments of per-cell
     point counts (62.5-unit occupied cells, cell-id tie-break) —
@@ -7195,6 +7239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_percolation": _zone_percolation,
         "pt_dissimilarity": _pt_dissimilarity,
         "pt_spatial_gini": _pt_spatial_gini,
+        "doc_source_divergence": _doc_source_divergence,
         "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
@@ -10482,6 +10527,39 @@ def oracle_sql() -> dict[str, str]:
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
         "zone_bowtie": _bowtie_sql(6),
         "zone_percolation": _percolation_sql((4, 6, 8)),
+        "doc_source_divergence": """
+            WITH tok AS (SELECT
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS t,
+                     source AS s
+                 FROM documents WHERE source IN ('src0', 'src1')),
+            c AS (SELECT t,
+                         CAST(sum(CASE WHEN s = 'src0' THEN 1
+                                       ELSE 0 END) + 1 AS BIGINT)
+                           AS a,
+                         CAST(sum(CASE WHEN s = 'src1' THEN 1
+                                       ELSE 0 END) + 1 AS BIGINT)
+                           AS b
+                  FROM tok GROUP BY t),
+            t2 AS (SELECT CAST(sum(a) AS BIGINT) AS sa,
+                          CAST(sum(b) AS BIGINT) AS sb,
+                          CAST(count(*) AS BIGINT) AS v FROM c),
+            js AS (SELECT 0.5 * (
+                     sum((CAST(a AS DOUBLE) / sa)
+                         * ln((CAST(a AS DOUBLE) / sa)
+                              / (0.5 * ((CAST(a AS DOUBLE) / sa)
+                                        + (CAST(b AS DOUBLE)
+                                           / sb)))))
+                     + sum((CAST(b AS DOUBLE) / sb)
+                         * ln((CAST(b AS DOUBLE) / sb)
+                              / (0.5 * ((CAST(a AS DOUBLE) / sa)
+                                        + (CAST(b AS DOUBLE)
+                                           / sb)))))) AS j
+                   FROM c, t2)
+            SELECT t2.v AS vocab, t2.sa AS n_a, t2.sb AS n_b,
+                   round(js.j, 6) AS js
+            FROM t2, js""",
         "pt_spatial_gini": f"""
             WITH pts AS ({_PTS}),
             c AS (SELECT CAST(floor(x / 62.5) AS BIGINT) * 1024
