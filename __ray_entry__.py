@@ -5972,6 +5972,44 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _event_daily_peaks(sf_dir: str):
+    """Strict local maxima of the per-type daily cent totals (both
+    neighbours lower) — the peak-detection pass of every time-series
+    monitor; exact integers, LAG/LEAD twin."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.pipelines.tables import events
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        return (pd.DataFrame({
+            "t": b["event_type"], "day": day,
+            "c": np.floor(b["value"].to_numpy(np.float64) * 100
+                          + 0.5).astype(np.int64)})
+            .groupby(["t", "day"], sort=False)["c"].sum()
+            .rename("cents").reset_index())
+
+    daily = shuffle.group_agg(
+        events(sf_dir).map_batches(prep, batch_format="pandas"),
+        ["t", "day"], {"cents": ("cents", "sum")}, num_buckets=8)
+
+    def peaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "day"], kind="stable")
+        tt = g["t"].to_numpy(object)
+        c = g["cents"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        same_prev = np.concatenate(([False], tt[1:] == tt[:-1]))
+        same_next = np.concatenate((tt[:-1] == tt[1:], [False]))
+        prev_c = np.concatenate(([0], c[:-1]))
+        next_c = np.concatenate((c[1:], [0]))
+        peak = same_prev & same_next & (c > prev_c) & (c > next_c)
+        return pd.DataFrame({"t": tt[peak], "day": d[peak],
+                             "cents": c[peak]})
+
+    return shuffle.grouped_transform(daily, ["t"], peaks,
+                                     num_buckets=4)
+
+
 def _doc_source_divergence(sf_dir: str):
     """Jensen-Shannon divergence between src0 and src1 unigram
     distributions (add-one smoothing over the union vocabulary) —
@@ -7240,6 +7278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_dissimilarity": _pt_dissimilarity,
         "pt_spatial_gini": _pt_spatial_gini,
         "doc_source_divergence": _doc_source_divergence,
+        "event_daily_peaks": _event_daily_peaks,
         "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
@@ -10527,6 +10566,20 @@ def oracle_sql() -> dict[str, str]:
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
         "zone_bowtie": _bowtie_sql(6),
         "zone_percolation": _percolation_sql((4, 6, 8)),
+        "event_daily_peaks": """
+            WITH d AS (SELECT event_type AS t,
+                     CAST(epoch_us(ts) AS BIGINT)
+                       // 86400000000 AS day,
+                     CAST(sum(CAST(floor(value * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS cents
+                 FROM events GROUP BY 1, 2),
+            w AS (SELECT t, day, cents,
+                         lag(cents) OVER tw AS pc,
+                         lead(cents) OVER tw AS nc
+                  FROM d WINDOW tw AS (PARTITION BY t ORDER BY day))
+            SELECT t, day, cents FROM w
+            WHERE pc IS NOT NULL AND nc IS NOT NULL
+              AND cents > pc AND cents > nc""",
         "doc_source_divergence": """
             WITH tok AS (SELECT
                      unnest(list_filter(
