@@ -5972,6 +5972,45 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _doc_span_sequence(sf_dir: str):
+    """The north rule's per-row invariant AT THE GATE: the customer
+    docs' full span sequences (kind, text, media_ref, offset, order)
+    after synthesis + Arrow list explode, hashed against the SQL
+    twin's regeneration — span order and every field bit-exact."""
+    import pyarrow as pa
+
+    from city2graph_ray.sources.interleaved import synthesize_documents
+
+    docs = synthesize_documents(sf_dir)
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.char.startswith(ids.astype(str), "cust-")
+        spans = t["spans"].combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0)
+        offs = spans.offsets.to_numpy()
+        counts = np.diff(offs)
+        parent = np.repeat(np.arange(len(ids)), counts)
+        idx = np.arange(len(parent)) - np.repeat(
+            offs[:-1], counts)
+        flat = spans.values
+        sel = keep[parent]
+        return pd.DataFrame({
+            "doc_id": ids[parent[sel]],
+            "span_idx": idx[sel].astype(np.int64),
+            "kind": flat.field("kind").to_numpy(
+                zero_copy_only=False)[sel],
+            "text": flat.field("text").to_numpy(
+                zero_copy_only=False)[sel],
+            "media_ref": flat.field("media_ref").to_numpy(
+                zero_copy_only=False)[sel],
+            "off": flat.field("offset").to_numpy(
+                zero_copy_only=False)[sel].astype(np.int64)})
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
 def _event_daily_peaks(sf_dir: str):
     """Strict local maxima of the per-type daily cent totals (both
     neighbours lower) — the peak-detection pass of every time-series
@@ -7279,6 +7318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pt_spatial_gini": _pt_spatial_gini,
         "doc_source_divergence": _doc_source_divergence,
         "event_daily_peaks": _event_daily_peaks,
+        "doc_span_sequence": _doc_span_sequence,
         "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
@@ -10566,6 +10606,32 @@ def oracle_sql() -> dict[str, str]:
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
         "zone_bowtie": _bowtie_sql(6),
         "zone_percolation": _percolation_sql((4, 6, 8)),
+        "doc_span_sequence": f"""
+            WITH c AS (SELECT c_custkey AS k,
+                  c_mktsegment AS seg,
+                  {synth.sql_x('c_custkey')} AS x,
+                  {synth.sql_y('c_custkey')} AS y
+                       FROM customer),
+            base AS (SELECT 'cust-' || CAST(k AS VARCHAR) AS doc_id,
+                            k,
+                            'customer ' || CAST(k AS VARCHAR)
+                              || ' segment ' || seg AS txt,
+                            'POINT (' || printf('%.10g', x) || ' '
+                              || printf('%.10g', y) || ')' AS g
+                     FROM c)
+            SELECT doc_id, CAST(0 AS BIGINT) AS span_idx,
+                   'text' AS kind, txt AS text, '' AS media_ref,
+                   CAST(0 AS BIGINT) AS off
+            FROM base
+            UNION ALL
+            SELECT doc_id, 1, 'geom_point', g, '',
+                   CAST(len(txt) AS BIGINT)
+            FROM base
+            UNION ALL
+            SELECT doc_id, 2, 'media', '',
+                   'blob://img/' || CAST(k AS VARCHAR) || '.png',
+                   CAST(len(txt) + len(g) AS BIGINT)
+            FROM base WHERE k % 3 = 0""",
         "event_daily_peaks": """
             WITH d AS (SELECT event_type AS t,
                      CAST(epoch_us(ts) AS BIGINT)
