@@ -5972,6 +5972,38 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _pt_urban_core(sf_dir: str):
+    """Urban-core extraction: 62.5-unit cells with ≥ 10 points form
+    the hot mask; 4-connected region labeling (the raster_regions
+    machinery) finds the contiguous cores — output per region
+    (region, n_cells), the largest being THE core — counts +
+    recursive-closure twin."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.tiling import raster_regions
+    from city2graph_ray.pipelines.tables import customer_points
+
+    counts = shuffle.group_agg(
+        customer_points(sf_dir).map_batches(
+            lambda b: pd.DataFrame({
+                "c": np.floor(b["x"].to_numpy(np.float64) / 62.5)
+                .astype(np.int64),
+                "r": np.floor(b["y"].to_numpy(np.float64) / 62.5)
+                .astype(np.int64),
+                "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["c", "r"], {"n": ("n", "sum")}, num_buckets=8)
+    hot = counts.filter(lambda row: row["n"] >= 10).map_batches(
+        lambda b: b[["c", "r"]], batch_format="pandas")
+    labels = raster_regions(hot)
+    return shuffle.group_agg(
+        labels.map_batches(
+            lambda b: pd.DataFrame({"region": b["region"]
+                                    .to_numpy(np.int64),
+                                    "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas"),
+        ["region"], {"n_cells": ("n", "sum")}, num_buckets=4)
+
+
 def _doc_span_sequence(sf_dir: str):
     """The north rule's per-row invariant AT THE GATE: the customer
     docs' full span sequences (kind, text, media_ref, offset, order)
@@ -7319,6 +7351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_divergence": _doc_source_divergence,
         "event_daily_peaks": _event_daily_peaks,
         "doc_span_sequence": _doc_span_sequence,
+        "pt_urban_core": _pt_urban_core,
         "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
@@ -10606,6 +10639,28 @@ def oracle_sql() -> dict[str, str]:
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
         "zone_bowtie": _bowtie_sql(6),
         "zone_percolation": _percolation_sql((4, 6, 8)),
+        "pt_urban_core": f"""
+            WITH RECURSIVE pts AS ({_PTS}),
+            m AS (SELECT c, r, c * 1048576 + r AS cid FROM (
+                    SELECT CAST(floor(x / 62.5) AS BIGINT) AS c,
+                           CAST(floor(y / 62.5) AS BIGINT) AS r,
+                           count(*) AS n
+                    FROM pts GROUP BY 1, 2)
+                  WHERE n >= 10),
+            e AS (SELECT a.cid AS u, b.cid AS v
+                  FROM m a JOIN m b
+                    ON (b.c = a.c + 1 AND b.r = a.r)
+                    OR (b.c = a.c AND b.r = a.r + 1)),
+            sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            reach AS (
+              SELECT cid AS cell, cid AS lab FROM m
+              UNION
+              SELECT s.v AS cell, t.lab
+              FROM reach t JOIN sym s ON s.u = t.cell),
+            comp AS (SELECT cell, min(lab) AS region
+                     FROM reach GROUP BY cell)
+            SELECT region, CAST(count(*) AS BIGINT) AS n_cells
+            FROM comp GROUP BY region""",
         "doc_span_sequence": f"""
             WITH c AS (SELECT c_custkey AS k,
                   c_mktsegment AS seg,
