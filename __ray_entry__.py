@@ -5972,6 +5972,72 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _grid_lisa_quadrants(sf_dir: str):
+    """Moran-scatter quadrant census over the part grid (same z
+    derivation as grid_morans_i): per cell the quadrant of
+    (sign z_i, sign Σ_{j adj} z_j) — HH/LL/HL/LH/zero counts, exact
+    integers; adjacency self-join CASE twin."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.stats import morans_i  # noqa: F401
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["p_partkey"].to_numpy(np.int64)
+        c, r = k % 40, k // 40
+        return pd.DataFrame({"c": c, "r": r,
+                             "v": c + r + k % 7})
+
+    grid = mk_ds = ds.map_batches(mk, batch_format="pandas") \
+        .materialize()
+    n = grid.count()
+    sv = np.int64(grid.sum("v"))
+    n64 = np.int64(n)
+    off = np.array([(dc, dr) for dc in (-1, 0, 1) for dr in (-1, 0, 1)
+                    if not (dc == 0 and dr == 0)], np.int64)
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        r = b["r"].to_numpy(np.int64)
+        z = n64 * b["v"].to_numpy(np.int64) - sv
+        m = len(b)
+        return pd.DataFrame({
+            "c": np.concatenate([np.repeat(c, 8)
+                                 + np.tile(off[:, 0], m), c]),
+            "r": np.concatenate([np.repeat(r, 8)
+                                 + np.tile(off[:, 1], m), r]),
+            "zn": np.concatenate([np.repeat(z, 8),
+                                  np.zeros(m, np.int64)]),
+            "own": np.concatenate([np.zeros(8 * m, np.int64),
+                                   np.ones(m, np.int64)]),
+            "zown": np.concatenate([np.zeros(8 * m, np.int64), z])})
+
+    percell = shuffle.group_agg(
+        grid.map_batches(scatter, batch_format="pandas"),
+        ["c", "r"], {"zn": ("zn", "sum"), "own": ("own", "sum"),
+                     "zown": ("zown", "sum")}, num_buckets=16)
+
+    def quad(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["own"].to_numpy(np.int64) == 1
+        z = b["zown"].to_numpy(np.int64)[keep]
+        zn = b["zn"].to_numpy(np.int64)[keep]
+        q = np.where((z > 0) & (zn > 0), "HH",
+                     np.where((z < 0) & (zn < 0), "LL",
+                              np.where((z > 0) & (zn < 0), "HL",
+                                       np.where((z < 0) & (zn > 0),
+                                                "LH", "zero"))))
+        vc = pd.Series(q).value_counts()
+        return pd.DataFrame({"quadrant": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    return shuffle.group_agg(
+        percell.map_batches(quad, batch_format="pandas"),
+        ["quadrant"], {"n": ("n", "sum")}, num_buckets=1)
+
+
 def _pt_urban_core(sf_dir: str):
     """Urban-core extraction: 62.5-unit cells with ≥ 10 points form
     the hot mask; 4-connected region labeling (the raster_regions
@@ -7352,6 +7418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_daily_peaks": _event_daily_peaks,
         "doc_span_sequence": _doc_span_sequence,
         "pt_urban_core": _pt_urban_core,
+        "grid_lisa_quadrants": _grid_lisa_quadrants,
         "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
@@ -10639,6 +10706,28 @@ def oracle_sql() -> dict[str, str]:
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
         "zone_bowtie": _bowtie_sql(6),
         "zone_percolation": _percolation_sql((4, 6, 8)),
+        "grid_lisa_quadrants": """
+            WITH g AS (SELECT p_partkey % 40 AS c,
+                              p_partkey // 40 AS r,
+                              (p_partkey % 40) + (p_partkey // 40)
+                                + (p_partkey % 7) AS v
+                       FROM part),
+            s AS (SELECT count(*) AS n, sum(v) AS sv FROM g),
+            z AS (SELECT c, r, (SELECT n FROM s) * v
+                              - (SELECT sv FROM s) AS z FROM g),
+            nb AS (SELECT a.c, a.r, a.z,
+                          coalesce(sum(b.z), 0) AS zn
+                   FROM z a LEFT JOIN z b
+                     ON abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
+                        AND NOT (a.c = b.c AND a.r = b.r)
+                   GROUP BY a.c, a.r, a.z)
+            SELECT CASE WHEN z > 0 AND zn > 0 THEN 'HH'
+                        WHEN z < 0 AND zn < 0 THEN 'LL'
+                        WHEN z > 0 AND zn < 0 THEN 'HL'
+                        WHEN z < 0 AND zn > 0 THEN 'LH'
+                        ELSE 'zero' END AS quadrant,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM nb GROUP BY 1""",
         "pt_urban_core": f"""
             WITH RECURSIVE pts AS ({_PTS}),
             m AS (SELECT c, r, c * 1048576 + r AS cid FROM (
