@@ -5972,6 +5972,43 @@ def _event_traj_stats(sf_dir: str):
         kernel)
 
 
+def _zone_transitivity(sf_dir: str):
+    """Global transitivity C = 3·triangles / wedges of the undirected
+    zone graph: the certified exact triangle count plus the exact
+    Σ C(deg,2) wedge total, one fixed division — 3-way-join twin."""
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.graph_algos import triangle_count
+
+    tri = int(triangle_count(_order_zone_edges(sf_dir))
+              .to_pandas()["n_triangles"].iloc[0])
+    # distinct undirected edges → degrees → Σ C(deg,2)
+    dist = shuffle.distinct(
+        _order_zone_edges(sf_dir).map_batches(
+            lambda b: pd.DataFrame({
+                "a": np.minimum(b["src"].to_numpy(np.int64),
+                                b["dst"].to_numpy(np.int64)),
+                "b": np.maximum(b["src"].to_numpy(np.int64),
+                                b["dst"].to_numpy(np.int64))}),
+            batch_format="pandas").filter(
+            lambda r: r["a"] != r["b"]),
+        ["a", "b"])
+    deg = shuffle.group_agg(
+        dist.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b["a"].to_numpy(np.int64),
+                 b["b"].to_numpy(np.int64)]),
+                "n": np.ones(2 * len(b), np.int64)}),
+            batch_format="pandas"),
+        ["node"], {"deg": ("n", "sum")}, num_buckets=8).to_pandas()
+    d = deg["deg"].to_numpy(np.int64)
+    wedges = int((d * (d - 1) // 2).sum())
+    trans = np.round(3.0 * tri / wedges, 6) if wedges else 0.0
+    return pd.DataFrame({
+        "n_triangles": np.array([tri], np.int64),
+        "n_wedges": np.array([wedges], np.int64),
+        "transitivity": np.array([trans], np.float64)})
+
+
 def _grid_lisa_quadrants(sf_dir: str):
     """Moran-scatter quadrant census over the part grid (same z
     derivation as grid_morans_i): per cell the quadrant of
@@ -7419,6 +7456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_span_sequence": _doc_span_sequence,
         "pt_urban_core": _pt_urban_core,
         "grid_lisa_quadrants": _grid_lisa_quadrants,
+        "zone_transitivity": _zone_transitivity,
         "grid_patch_sizes": _grid_patch_sizes,
         "event_traj_stats": _event_traj_stats,
         "doc_ngram_novelty": _doc_ngram_novelty,
@@ -10706,6 +10744,25 @@ def oracle_sql() -> dict[str, str]:
         "zone_landmarks": _landmarks_sql(4, (0, 35, 70)),
         "zone_bowtie": _bowtie_sql(6),
         "zone_percolation": _percolation_sql((4, 6, 8)),
+        "zone_transitivity": """
+            WITH e AS (SELECT DISTINCT o_custkey % 100 AS src,
+                              o_orderkey % 97 AS dst FROM orders),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+                    FROM und ab
+                    JOIN und bc ON bc.a = ab.b
+                    JOIN und ac ON ac.a = ab.a AND ac.b = bc.b),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+                    FROM (SELECT a AS node FROM und
+                          UNION ALL SELECT b FROM und)
+                    GROUP BY node),
+            w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT)
+                    AS wedges FROM deg)
+            SELECT tri.t AS n_triangles, w.wedges AS n_wedges,
+                   round(3.0 * tri.t / w.wedges, 6) AS transitivity
+            FROM tri, w""",
         "grid_lisa_quadrants": """
             WITH g AS (SELECT p_partkey % 40 AS c,
                               p_partkey // 40 AS r,
