@@ -1238,8 +1238,12 @@ def raster_regions(mask: ray.data.Dataset, col_c: str = "c",
         batch_format="pandas")
     lab_schema = pa.schema([("node_id", pa.int64()),
                             ("component", pa.int64())])
+    keyed_schema = pa.schema([(col_c, pa.int64()),
+                              (col_r, pa.int64()),
+                              ("node_id", pa.int64())])
     joined = bucketed_join(keyed, labels, "node_id",
                            num_buckets=num_buckets, how="left",
+                           left_schema=keyed_schema,
                            right_schema=lab_schema)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
