@@ -791,3 +791,13 @@ def test_raster_cost_distance_bruteforce():
         d = nd
     got = {(r["c"], r["r"]): r["d"] for _, r in out.iterrows()}
     assert got == d
+
+
+def test_raster_regions_empty_mask():
+    import ray.data as rd
+
+    from city2graph_ray.ops.tiling import raster_regions
+    empty = rd.from_pandas(pd.DataFrame(
+        {"c": pd.Series(dtype=np.int64),
+         "r": pd.Series(dtype=np.int64)}))
+    assert raster_regions(empty, num_buckets=2).count() == 0
