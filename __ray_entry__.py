@@ -7659,7 +7659,7 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT CAST(floor(nn * 100 + 0.5) AS BIGINT) AS qd
                   FROM d),
             s AS (SELECT count(*) AS n, sum(qd) AS sq FROM q)
-            SELECT n, sq AS sum_qdist,
+            SELECT n, CAST(sq AS BIGINT) AS sum_qdist,
                    round((CAST(sq AS DOUBLE) / 100.0) / n, 6)
                      AS mean_nn,
                    round(0.5 / sqrt(n / 1000000.0), 6) AS expected_nn,
@@ -8719,7 +8719,7 @@ def oracle_sql() -> dict[str, str]:
                        AND NOT (a.c = b.c AND a.r = b.r)
                     GROUP BY a.c, a.r, a.v, a.z),
             d AS (SELECT sum(z * z) AS den FROM z)
-            SELECT c, r, v, zn AS lag_z,
+            SELECT c, r, v, CAST(zn AS BIGINT) AS lag_z,
                    (CAST((SELECT n FROM s) AS DOUBLE)
                     * (CAST(z AS DOUBLE) * CAST(zn AS DOUBLE)))
                    / CAST((SELECT den FROM d) AS DOUBLE) AS lisa
@@ -8751,7 +8751,7 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1, 2),
             bf AS (SELECT v1, v2, c * (c - 1) // 2 AS b
                    FROM w WHERE c >= 2)
-            SELECT supp, sum(b) AS butterflies FROM (
+            SELECT supp, CAST(sum(b) AS BIGINT) AS butterflies FROM (
               SELECT v1 AS supp, b FROM bf
               UNION ALL SELECT v2, b FROM bf)
             GROUP BY supp""",
@@ -8809,7 +8809,8 @@ def oracle_sql() -> dict[str, str]:
                         FROM pc),
             counts AS (SELECT ixo, iyo, count(*) AS n
                        FROM cellpts GROUP BY 1, 2),
-            ringn AS (SELECT a.ixo, a.iyo, sum(b.n) AS ring_n
+            ringn AS (SELECT a.ixo, a.iyo,
+                             CAST(sum(b.n) AS BIGINT) AS ring_n
                       FROM counts a JOIN counts b
                         ON abs(a.ixo - b.ixo) <= 1
                        AND abs(a.iyo - b.iyo) <= 1

@@ -45,6 +45,13 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         return f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # The driver's value-hash is typed: an int64 Ray column vs a
+        # float64 oracle column (DuckDB HUGEINT -> pandas float) hash
+        # differently even when numerically identical. Fail on kind
+        # divergence so untyped SUM()/COUNT() oracles can't pass here
+        # and then red-flag at the driver (round-3 lesson).
+        if av.dtype.kind != bv.dtype.kind:
+            return f"DTYPE[{c}] {av.dtype} vs {bv.dtype}"
         if av.dtype.kind == "f":
             if not np.allclose(av, bv, rtol=0, atol=0, equal_nan=True):
                 bad = np.nonzero(av != bv)[0][:3]
