@@ -373,36 +373,167 @@ def _as_enc_ref(enclosures) -> "ray.ObjectRef":
 
 # ------------------------------------------------------------------ tessellation
 
+@ray.remote
+def _enc_assign_stats(enc: pd.DataFrame) -> tuple:
+    """(#enclosures, median max-bbox-side) — scalars only to the driver."""
+    n = len(enc)
+    if n == 0:
+        return 0, 1.0
+    sides = np.empty(n, np.float64)
+    for i, c in enumerate(enc["coords"]):
+        r = np.asarray(c, np.float64).reshape(-1, 2)
+        sides[i] = max(r[:, 0].max() - r[:, 0].min(),
+                       r[:, 1].max() - r[:, 1].min())
+    return n, float(max(np.median(sides), 1e-9))
+
+
+@ray.remote
+def _enc_cell_chunk(enc: pd.DataFrame, lo: int, hi: int, cs: float):
+    """Covering-cell rows (cell, pos, enclosure_index, ring-blob) for
+    enc[lo:hi] — one Arrow block per chunk, so a million-enclosure
+    table fans out instead of funneling through one task."""
+    import pyarrow as pa
+    sub = enc.iloc[lo:hi]
+    rings = [np.asarray(c, np.float64).reshape(-1, 2) for c in sub["coords"]]
+    if not rings:
+        return pa.table({"cell": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "enclosure_index": pa.array([], pa.int64()),
+                         "ring": pa.array([], pa.binary()),
+                         "pid": pa.array([], pa.int64()),
+                         "px": pa.array([], pa.float64()),
+                         "py": pa.array([], pa.float64())})
+    bb = np.array([[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
+                   for r in rings])
+    rows, cell = cellmod.covering_cells(bb[:, 0], bb[:, 1], bb[:, 2],
+                                        bb[:, 3], cs)
+    eids = sub["enclosure_index"].to_numpy()[rows].astype(np.int64)
+    pos = (np.arange(lo, hi, dtype=np.int64))[rows]
+    blobs = [rings[i].tobytes() for i in rows]
+    n = len(rows)
+    return pa.table({"cell": pa.array(cell, pa.int64()),
+                     "pos": pa.array(pos, pa.int64()),
+                     "enclosure_index": pa.array(eids, pa.int64()),
+                     "ring": pa.array(blobs, pa.binary()),
+                     "pid": pa.array(np.full(n, -1, np.int64)),
+                     "px": pa.array(np.zeros(n), pa.float64()),
+                     "py": pa.array(np.zeros(n), pa.float64())})
+
+
 def assign_buildings_to_enclosures(buildings: ray.data.Dataset,
-                                   enclosures) -> ray.data.Dataset:
+                                   enclosures,
+                                   broadcast_threshold: int = 4096,
+                                   cell_size: float | None = None,
+                                   ) -> ray.data.Dataset:
     """Tag each building (id, x, y centroid) with its enclosure_index
-    (PIP against the broadcast enclosure table; -1 = unenclosed,
-    mirroring momepy's negative indices for out-of-enclosure rows,
-    utils/spatial.py:2908-2911).  ``enclosures`` is a pd.DataFrame or
-    an ObjectRef to one (from :func:`compute_enclosures`)."""
+    (-1 = unenclosed, mirroring momepy's negative indices for
+    out-of-enclosure rows, utils/spatial.py:2908-2911).  ``enclosures``
+    is a pd.DataFrame or an ObjectRef to one (from
+    :func:`compute_enclosures`).
+
+    Two strategies (VERDICT r3 #2):
+
+    * ≤ ``broadcast_threshold`` enclosures: broadcast the table and run
+      a first-match-wins PIP loop per batch (enclosures ≪ points).
+    * above it: **cell-bucketed** — enclosures are replicated to the
+      grid cells their bbox covers (``ray.remote`` chunk tasks over the
+      object-store table, driver sees only scalars), buildings live in
+      exactly one cell, and each cell group runs the same
+      first-match-wins PIP over only its LOCAL candidates.  Per-batch
+      work is bounded by local candidates instead of O(#enclosures)
+      passes; matches re-attach via a bucketed left join.
+
+    Both paths assign the first containing enclosure in table order
+    (min position), so outputs are identical row-for-row."""
     ref = _as_enc_ref(enclosures)
+    n_enc, med_side = ray.get(_enc_assign_stats.remote(ref))
 
-    class Assign:
-        def __init__(self):
-            self.enc = ray.get(ref)
+    if n_enc <= broadcast_threshold:
+        class Assign:
+            def __init__(self):
+                self.enc = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            px = batch["x"].to_numpy()
-            py = batch["y"].to_numpy()
-            idx = np.full(len(batch), -1, dtype=np.int64)
-            for eid, ring in zip(self.enc["enclosure_index"], self.enc["coords"]):
-                todo = idx == -1
-                if not todo.any():
-                    break
-                m = points_in_polygon(px[todo], py[todo], np.asarray(ring))
-                w = np.nonzero(todo)[0][m]
-                idx[w] = eid
-            out = batch.copy()
-            out["enclosure_index"] = idx
-            return out
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                px = batch["x"].to_numpy()
+                py = batch["y"].to_numpy()
+                idx = np.full(len(batch), -1, dtype=np.int64)
+                for eid, ring in zip(self.enc["enclosure_index"],
+                                     self.enc["coords"]):
+                    todo = idx == -1
+                    if not todo.any():
+                        break
+                    m = points_in_polygon(px[todo], py[todo], np.asarray(ring))
+                    w = np.nonzero(todo)[0][m]
+                    idx[w] = eid
+                out = batch.copy()
+                out["enclosure_index"] = idx
+                return out
 
-    return buildings.map_batches(Assign, batch_format="pandas",
-                                 concurrency=(1, 8))
+        return buildings.map_batches(Assign, batch_format="pandas",
+                                     concurrency=(1, 8))
+
+    import pyarrow as pa
+    from city2graph_ray.joins import bucketed_join
+
+    cs = float(cell_size) if cell_size is not None else max(med_side, 1e-6)
+    chunk = 50_000
+    enc_cells = ray.data.from_arrow_refs(
+        [_enc_cell_chunk.remote(ref, lo, min(lo + chunk, n_enc), cs)
+         for lo in range(0, n_enc, chunk)])
+
+    def pt_cells(b: pd.DataFrame) -> "pa.Table":
+        x = b["x"].to_numpy(np.float64)
+        y = b["y"].to_numpy(np.float64)
+        n = len(b)
+        # Arrow output so the union's block type matches _enc_cell_chunk
+        return pa.table({
+            "cell": pa.array(cellmod.cell_id(x, y, cs), pa.int64()),
+            "pos": pa.array(np.full(n, -1, np.int64)),
+            "enclosure_index": pa.array(np.full(n, -1, np.int64)),
+            "ring": pa.array([b""] * n, pa.binary()),
+            "pid": pa.array(b["id"].to_numpy().astype(np.int64)),
+            "px": pa.array(x, pa.float64()),
+            "py": pa.array(y, pa.float64())})
+
+    pts = buildings.map_batches(pt_cells, batch_format="pandas")
+
+    def refine(g: pd.DataFrame) -> pd.DataFrame:
+        enc_rows = g[g["pos"] >= 0].sort_values("pos", kind="stable")
+        pt_rows = g[g["pos"] < 0]
+        empty = pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                              "enclosure_index": pd.Series(dtype=np.int64)})
+        if len(enc_rows) == 0 or len(pt_rows) == 0:
+            return empty
+        px = pt_rows["px"].to_numpy()
+        py = pt_rows["py"].to_numpy()
+        pids = pt_rows["pid"].to_numpy()
+        idx = np.full(len(pt_rows), -1, dtype=np.int64)
+        # ascending table position == the broadcast loop's first-match
+        for eid, blob in zip(enc_rows["enclosure_index"], enc_rows["ring"]):
+            todo = idx == -1
+            if not todo.any():
+                break
+            ring = np.frombuffer(blob, np.float64)
+            m = points_in_polygon(px[todo], py[todo], ring)
+            w = np.nonzero(todo)[0][m]
+            idx[w] = eid
+        hit = idx != -1
+        return pd.DataFrame({"id": pids[hit], "enclosure_index": idx[hit]})
+
+    matches = (enc_cells.union(pts).groupby("cell")
+               .map_groups(refine, batch_format="pandas"))
+    joined = bucketed_join(
+        buildings, matches, on="id", how="left",
+        right_schema=pa.schema([("id", pa.int64()),
+                                ("enclosure_index", pa.int64())]))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["enclosure_index"] = (
+            out["enclosure_index"].fillna(-1).astype(np.int64))
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
 
 
 def zonal_tessellation(buildings: ray.data.Dataset, enclosures,

@@ -373,3 +373,61 @@ def test_unenclosed_fallback_and_keep_buildings(street_grid,
         rd.from_pandas(blds)).to_pandas()
     f9 = joined[joined["tess_id"] == "fallback_9"]
     assert np.isclose(f9["bldg_x"].iloc[0], 200.0)
+
+
+def test_assign_bucketed_matches_broadcast(street_grid, grid_buildings):
+    """VERDICT r3 #2: the cell-bucketed assignment path must be
+    row-identical to the broadcast first-match-wins loop."""
+    from city2graph_ray.ops.morphology import assign_buildings_to_enclosures
+
+    enc = enclosures_from_barriers(street_grid[["seg_id", "coords"]])
+
+    def canon(df):
+        return (df[["id", "x", "y", "enclosure_index"]]
+                .sort_values("id").reset_index(drop=True))
+
+    a = canon(assign_buildings_to_enclosures(
+        rd.from_pandas(grid_buildings), enc).to_pandas())
+    b = canon(assign_buildings_to_enclosures(
+        rd.from_pandas(grid_buildings), enc,
+        broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["enclosure_index"]) <= {0, 1, 2, 3}
+    assert (a["enclosure_index"] >= 0).all()
+
+
+def test_assign_bucketed_stress_10k_enclosures():
+    """10⁴ unit-square enclosures (100×100 grid): the bucketed path
+    assigns every interior point to its own square, boundary points to
+    the min-position (first-match) enclosure, and outside points to -1
+    — per-group candidate sets stay local (no O(#enclosures) pass)."""
+    from city2graph_ray.ops.morphology import assign_buildings_to_enclosures
+
+    n_side = 100
+    eix, eiy = np.meshgrid(np.arange(n_side), np.arange(n_side))
+    eix, eiy = eix.ravel(), eiy.ravel()
+    rings = [np.array([x, y, x + 1.0, y, x + 1.0, y + 1.0, x, y + 1.0],
+                      np.float64)
+             for x, y in zip(eix.astype(float), eiy.astype(float))]
+    enc = pd.DataFrame({
+        "enclosure_index": np.arange(n_side * n_side, dtype=np.int64),
+        "coords": rings})
+
+    rng = np.random.default_rng(7)
+    m = 1500
+    # interior points: strict interior of a random square each
+    sq = rng.integers(0, n_side * n_side, m)
+    bx = eix[sq] + rng.uniform(0.2, 0.8, m)
+    by = eiy[sq] + rng.uniform(0.2, 0.8, m)
+    # one shared-corner point (on the boundary of squares 0,1,100,101)
+    # and one far outside
+    bx = np.concatenate([bx, [1.0, 1e6]])
+    by = np.concatenate([by, [1.0, 1e6]])
+    expect = np.concatenate([sq, [0, -1]]).astype(np.int64)
+    bds = rd.from_pandas(pd.DataFrame({
+        "id": np.arange(m + 2, dtype=np.int64), "x": bx, "y": by}))
+
+    out = assign_buildings_to_enclosures(
+        bds, enc, broadcast_threshold=0).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    np.testing.assert_array_equal(out["enclosure_index"].to_numpy(), expect)
