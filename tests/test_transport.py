@@ -359,3 +359,25 @@ def test_earliest_arrival_bruteforce():
                         columns=["stop_id", "ea_sec"])
     assert out["stop_id"].tolist() == want["stop_id"].tolist()
     assert out["ea_sec"].tolist() == want["ea_sec"].tolist()
+
+
+def test_times_to_seconds_vectorized_parity():
+    """Column parser ≡ scalar parser on every edge shape (VERDICT r3 #5)."""
+    import numpy as np
+    from city2graph_ray.ops.transport import time_to_seconds, times_to_seconds
+
+    col = pd.Series([
+        "08:30:00", "26:05:59", "7:05:03", "123:45:06", " 09:01:02 ",
+        None, np.nan, 3600.0, 42, "bad:row", "1:2:3", "::", "",
+        "08:30", "-1:00:00", "08:60:99", "x08:30:00",
+    ], dtype=object)
+    expect = col.map(time_to_seconds).to_numpy(np.float64)
+    got = times_to_seconds(col)
+    np.testing.assert_array_equal(np.isnan(expect), np.isnan(got))
+    m = ~np.isnan(expect)
+    np.testing.assert_array_equal(expect[m], got[m])
+    # numeric dtype column pass-through
+    num = pd.Series([1.0, np.nan, 7200.0])
+    np.testing.assert_array_equal(times_to_seconds(num),
+                                  np.array([1.0, 0.0, 7200.0]))
+    assert times_to_seconds(pd.Series([], dtype=object)).shape == (0,)
