@@ -11652,7 +11652,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT pc.cat_a, pc.cat_b, pc.c_ab,
                    ta.n AS n_a, tb.n AS n_b,
                    round(CAST(pc.c_ab * (g.nt - 1) AS DOUBLE)
-                         / (ta.n * tb.n), 6) AS clq
+                         / (ta.n * (tb.n - CASE WHEN pc.cat_a
+                            = pc.cat_b THEN 1 ELSE 0 END)), 6) AS clq
             FROM pc JOIN tot ta ON ta.cat = pc.cat_a
                     JOIN tot tb ON tb.cat = pc.cat_b, g""",
         "od_ipf": """

@@ -3533,6 +3533,13 @@ def bowtie_structure(edges: ray.data.Dataset, rounds: int = 12,
             batch_format="pandas"),
         ["scc_id"], {"n": ("n", "sum")},
         num_buckets=num_buckets).to_pandas()
+    if len(sizes) == 0:  # empty edge input (ADVICE r3): zeros row
+        return pd.DataFrame({
+            "n_core": np.array([0], np.int64),
+            "n_in": np.array([0], np.int64),
+            "n_out": np.array([0], np.int64),
+            "n_other": np.array([0], np.int64),
+            "core_id": np.array([-1], np.int64)})
     sizes = sizes.sort_values(["n", "scc_id"],
                               ascending=[False, True])
     core_id = int(sizes["scc_id"].iloc[0])

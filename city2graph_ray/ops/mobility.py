@@ -240,12 +240,16 @@ def ipf_balance(od: ray.data.Dataset, row_target: float,
             u = b["u"].to_numpy(np.int64).astype(np.float64)
             s = b["s"].to_numpy(np.int64).astype(np.float64)
             # new nano-units = (u/1e9)·T/(s/1e9) · 1e9 = u·T/s·1e9,
-            # fixed left-to-right form mirrored in the SQL twin
+            # fixed left-to-right form mirrored in the SQL twin.
+            # s == 0 (all-zero margin) leaves the row untouched — u is
+            # necessarily 0 there; without the guard 0·T/0 is NaN and
+            # the int64 cast is undefined garbage (ADVICE r3)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scaled = np.floor(u * target / s * 1e9 + 0.5)
             return pd.DataFrame({
                 "o": b["o"].to_numpy(np.int64),
                 "d": b["d"].to_numpy(np.int64),
-                "u": np.floor(u * target / s * 1e9 + 0.5)
-                .astype(np.int64)})
+                "u": np.where(s == 0.0, u, scaled).astype(np.int64)})
 
         return (bucketed_join(cur, sums, key,
                               num_buckets=num_buckets)

@@ -492,14 +492,22 @@ def strokes(segs: ray.data.Dataset,
 
     def node_kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["nx", "ny", "seg"], kind="stable")
-        node = (g["nx"].to_numpy(np.int64) * np.int64(1 << 20)
-                + g["ny"].to_numpy(np.int64))
+        nx = g["nx"].to_numpy(np.int64)
+        ny = g["ny"].to_numpy(np.int64)
         seg = g["seg"].to_numpy(np.int64)
         ux = g["ux"].to_numpy(np.int64)
         uy = g["uy"].to_numpy(np.int64)
-        n_rows = len(node)
-        _, starts, sizes = np.unique(node, return_index=True,
-                                     return_counts=True)
+        n_rows = len(nx)
+        if n_rows == 0:
+            return pd.DataFrame({"src": np.zeros(0, np.int64),
+                                 "dst": np.zeros(0, np.int64)})
+        # group runs straight off the sorted (nx, ny) PAIR — a packed
+        # single-int key would collide for negative or >=2^20 coords
+        # (ADVICE r3), silently merging unrelated intersections
+        newgrp = np.concatenate(
+            ([True], (nx[1:] != nx[:-1]) | (ny[1:] != ny[:-1])))
+        starts = np.nonzero(newgrp)[0]
+        sizes = np.diff(np.concatenate([starts, [n_rows]]))
         # ragged ordered pairs within each node (triu + mirror)
         pos = np.arange(n_rows) - np.repeat(starts, sizes)
         reps = np.repeat(sizes, sizes) - 1 - pos

@@ -1145,11 +1145,16 @@ def colocation_quotient(pts: ray.data.Dataset, k: int = 1,
                           .astype(np.int64))
     pair_counts["n_b"] = (pair_counts["cat_b"].map(tmap)
                           .astype(np.int64))
-    # C_{A→B} counts k neighbours per A point: N_A normalizer is k·N_A
+    # C_{A→B} counts k neighbours per A point: N_A normalizer is k·N_A.
+    # Same-category rows use (N_A - 1) in the expectation denominator
+    # (a point cannot be its own neighbour) — Leslie & Kronenfeld's
+    # CLQ definition (ADVICE r3); mirrored in the SQL twin.
+    nb_eff = (pair_counts["n_b"].to_numpy(np.int64)
+              - (pair_counts["cat_a"].to_numpy(np.int64)
+                 == pair_counts["cat_b"].to_numpy(np.int64)))
     pair_counts["clq"] = np.round(
         (pair_counts["c_ab"].to_numpy(np.int64) * (n_tot - 1))
-        / (k * pair_counts["n_a"].to_numpy(np.int64)
-           * pair_counts["n_b"].to_numpy(np.int64)), 6)
+        / (k * pair_counts["n_a"].to_numpy(np.int64) * nb_eff), 6)
     out = pair_counts.sort_values(["cat_a", "cat_b"]).reset_index(
         drop=True)
     return ray.data.from_pandas(

@@ -1192,6 +1192,13 @@ def raster_regions(mask: ray.data.Dataset, col_c: str = "c",
     def home_and_probes(b: pd.DataFrame) -> pd.DataFrame:
         c = b[col_c].to_numpy(np.int64)
         r = b[col_r].to_numpy(np.int64)
+        # cell key injectivity (and min-key label order) requires
+        # 0 <= r < key_stride (ADVICE r3); c may be any int64
+        if len(r) and (r.min() < 0 or r.max() >= key_stride):
+            raise ValueError(
+                f"raster_regions: row index must satisfy 0 <= r < "
+                f"key_stride ({key_stride}); got [{r.min()}, {r.max()}] "
+                f"— pass a larger key_stride")
         cid = c * key_stride + r
         # home slot + probes at the EAST and SOUTH neighbour slots, so
         # each adjacent pair meets exactly once (west/north of those)
@@ -1210,13 +1217,18 @@ def raster_regions(mask: ray.data.Dataset, col_c: str = "c",
         sr = g["sr"].to_numpy(np.int64)
         home = g["is_home"].to_numpy(np.int64) == 1
         cell = g["cell"].to_numpy(np.int64)
-        slot = sc * (key_stride + 1) + sr  # collision-free pair key
-        # within each slot: home cell (sorted last) pairs with probes
-        uniq, starts, sizes = np.unique(slot, return_index=True,
-                                        return_counts=True)
+        n = len(sc)
+        if n == 0:
+            return pd.DataFrame({"src": cell[:0], "dst": cell[:0]})
+        # slot runs straight off the sorted (sc, sr) PAIR — a packed
+        # single-int slot key would collide outside 0<=sr<=key_stride
+        newgrp = np.concatenate(
+            ([True], (sc[1:] != sc[:-1]) | (sr[1:] != sr[:-1])))
+        starts = np.nonzero(newgrp)[0]
+        sizes = np.diff(np.concatenate([starts, [n]]))
         ends = starts + sizes - 1
         has_home = home[ends]  # is_home sorts last within slot
-        seg = np.searchsorted(uniq, slot)
+        seg = np.cumsum(newgrp) - 1
         probe_rows = ~home & has_home[seg]
         if not probe_rows.any():
             return pd.DataFrame({"src": cell[:0], "dst": cell[:0]})

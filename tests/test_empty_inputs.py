@@ -136,3 +136,24 @@ def test_session8_ops_tiny_inputs():
     b = ipf_balance(od1, 10.0, 10.0, rounds=2,
                     num_buckets=2).to_pandas()
     assert len(b) == 1 and abs(b["flow"].iloc[0] - 10.0) < 1e-6
+
+
+def test_bowtie_empty_and_ipf_zero_margin():
+    """ADVICE r3: bowtie_structure on an empty edge table returns one
+    zeros row (no IndexError); ipf_balance leaves all-zero margins
+    untouched instead of casting NaN to garbage."""
+    from city2graph_ray.ops.graph_algos import bowtie_structure
+    from city2graph_ray.ops.mobility import ipf_balance
+
+    empty_edges = _pts(src=pd.Series(dtype=np.int64),
+                       dst=pd.Series(dtype=np.int64))
+    bt = bowtie_structure(empty_edges, rounds=2, num_buckets=2)
+    assert bt.to_dict("records") == [
+        {"n_core": 0, "n_in": 0, "n_out": 0, "n_other": 0, "core_id": -1}]
+
+    od = _pts(o=np.array([1, 2], np.int64), d=np.array([2, 3], np.int64),
+              flow=np.array([5, 0], np.int64))
+    out = (ipf_balance(od, 10.0, 10.0, rounds=2, num_buckets=2)
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    # zero-flow row (o=2 margin sum 0) stays exactly 0, no NaN garbage
+    assert out["flow"].tolist() == [10.0, 0.0]

@@ -190,3 +190,32 @@ def test_strokes_best_continuation_picks_straightest():
            .to_pandas().set_index("seg_id")["stroke"])
     assert out.loc[1] == out.loc[2] == 1
     assert out.loc[3] == 3
+
+
+def test_strokes_negative_and_huge_coords():
+    """ADVICE r3: packed node keys collided for negative / >=2^20
+    coords; the pair-keyed grouping must treat such nodes as distinct.
+    Chain crossing the origin merges; a distinct far node whose packed
+    key would collide with (0,0) under nx*(1<<20)+ny stays separate."""
+    import ray.data as rd
+
+    from city2graph_ray.ops.segments import strokes
+
+    big = np.int64(1) << 21
+    segs = pd.DataFrame({
+        "seg_id": np.array([1, 2, 3, 4], np.int64),
+        "ax": np.array([-100, 0, big, big + 100], np.int64),
+        "ay": np.array([-100, 0, -big * (1 << 20), 0], np.int64),
+        "bx": np.array([0, 100, big + 100, big + 200], np.int64),
+        "by": np.array([0, 100, 0, -100], np.int64)})
+    # node (big+100, 0): segs 3-4 meet at ~135 deg -> no continuation
+    # (dot>0 for seg3 reversed? ensure simple: they meet but bend 90)
+    out = (strokes(rd.from_pandas(segs).repartition(2), num_buckets=4)
+           .to_pandas().set_index("seg_id")["stroke"].sort_index())
+    # diagonal chain through origin merges
+    assert out.loc[1] == out.loc[2] == 1
+    # segs 3/4 share node (big+100, 0) and continue straight-ish?
+    # seg3 dir (100, big*2^20) is near-vertical; seg4 dir (100,-100):
+    # deflection > 45 deg, so no merge — each self-labels
+    assert out.loc[3] == 3
+    assert out.loc[4] == 4
