@@ -3248,7 +3248,7 @@ def _kmeans_ctes(k: int, iters: int, dim: int) -> list:
 def _kmeans_sql(k: int, iters: int, dim: int) -> str:
     ctes = _kmeans_ctes(k, iters, dim)
     return ("WITH " + ",\n            ".join(ctes) + f"""
-            SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist FROM (
               SELECT q.vec_id, c{iters}.cid,
                      sum((q.v - c{iters}.c) * (q.v - c{iters}.c))
                        AS dist
@@ -3402,7 +3402,8 @@ def _pq_sql(m: int, k: int, iters: int, dim: int) -> str:
     tot = " + ".join(f"dist_{j}" for j in range(m))
     joins = " ".join(f"JOIN af_{j} USING (vec_id)" for j in range(1, m))
     return ("WITH " + ",\n            ".join(ctes) + f"""
-            SELECT af_0.vec_id, {cols}, {tot} AS dist
+            SELECT af_0.vec_id, {cols},
+                   CAST({tot} AS BIGINT) AS dist
             FROM af_0 {joins}""")
 
 
@@ -3438,7 +3439,8 @@ def _hard_negatives_sql(k: int, iters: int, dim: int) -> str:
               GROUP BY qa.vec_id, qb.vec_id)""")
     return ("WITH " + ",\n            ".join(ctes) + """
             SELECT pw.a AS vec_id, fa.cid, pw.b AS neg_id,
-                   fb.cid AS neg_cid, pw.dist AS neg_dist
+                   fb.cid AS neg_cid,
+                   CAST(pw.dist AS BIGINT) AS neg_dist
             FROM pw
             JOIN af fa ON fa.vec_id = pw.a
             JOIN af fb ON fb.vec_id = pw.b
@@ -4204,7 +4206,7 @@ _HARMONIC_SQL = """
       GROUP BY src, dst),
     hist AS (SELECT src AS node, k, count(*) AS n
              FROM d3 WHERE src <> dst GROUP BY 1, 2)
-    SELECT node, sum(n) AS n_reach,
+    SELECT node, CAST(sum(n) AS BIGINT) AS n_reach,
            coalesce(sum(CASE WHEN k = 1 THEN n END), 0) / 1.0
            + coalesce(sum(CASE WHEN k = 2 THEN n END), 0) / 2.0
            + coalesce(sum(CASE WHEN k = 3 THEN n END), 0) / 3.0
@@ -5215,7 +5217,8 @@ def _kcenter_sql(k: int, dim: int) -> str:
                 GROUP BY q.vec_id) nd USING (vec_id))""")
     picks = ["SELECT 0 AS sel_rank, vid AS vec_id, "
              "CAST(0 AS BIGINT) AS dist FROM p0"]
-    picks += [f"SELECT {r} AS sel_rank, vid AS vec_id, d AS dist "
+    picks += [f"SELECT {r} AS sel_rank, vid AS vec_id, "
+              f"CAST(d AS BIGINT) AS dist "
               f"FROM p{r}" for r in range(1, k)]
     return ("WITH " + ",\n            ".join(ctes) + "\n            "
             + "\n            UNION ALL ".join(picks))
@@ -5268,7 +5271,8 @@ def _mmr_sql(k: int, dim: int) -> str:
               WHERE m{r - 1}.vec_id <> (SELECT vid FROM qv)
                 AND m{r - 1}.vec_id NOT IN ({excl})
               ORDER BY s DESC, m{r - 1}.vec_id LIMIT 1)""")
-    picks = [f"SELECT {r} AS sel_rank, vid AS vec_id, s AS mmr2 "
+    picks = [f"SELECT {r} AS sel_rank, vid AS vec_id, "
+             f"CAST(s AS BIGINT) AS mmr2 "
              f"FROM p{r}" for r in range(k)]
     return ("WITH " + ",\n            ".join(ctes) + "\n            "
             + "\n            UNION ALL ".join(picks))
@@ -8086,7 +8090,8 @@ def oracle_sql() -> dict[str, str]:
               FROM occ o1 JOIN occ o2
                 ON abs(o1.ix - o2.ix) <= 1 AND abs(o1.iy - o2.iy) <= 1
               GROUP BY o1.cell)
-            SELECT r.cell, o.n, r.ring_n, r.n_ring_cells
+            SELECT r.cell, o.n, CAST(r.ring_n AS BIGINT) AS ring_n,
+                   r.n_ring_cells
             FROM ring r JOIN occ o USING (cell), tot
             WHERE r.ring_n * tot.nc > 2 * tot.tp * r.n_ring_cells""",
         "grid_zone_dissolve": f"""
@@ -8700,7 +8705,8 @@ def oracle_sql() -> dict[str, str]:
                   ON abs(a.c - b.c) <= 1 AND abs(a.r - b.r) <= 1
                      AND NOT (a.c = b.c AND a.r = b.r)
                   GROUP BY a.c, a.r)
-            SELECT c, r, gx_num, gy_num,
+            SELECT c, r, CAST(gx_num AS BIGINT) AS gx_num,
+                   CAST(gy_num AS BIGINT) AS gy_num,
                    sqrt(CAST(gx_num * gx_num + gy_num * gy_num
                              AS DOUBLE)) / 8.0 AS slope
             FROM j WHERE nb = 8""",
@@ -8842,7 +8848,7 @@ def oracle_sql() -> dict[str, str]:
                 ON sx0 < tx0 + 2 AND tx0 < sx0 + 2
                AND sy0 < ty0 + 2 AND ty0 < sy0 + 2)
             SELECT tgt_id, sum(vu * ov) / 40.0 AS interp_value,
-                   sum(ov) AS covered_area
+                   CAST(sum(ov) AS BIGINT) AS covered_area
             FROM pairs GROUP BY tgt_id""",
         "raster_downsample": """
             SELECT (p_partkey % 40) // 4 AS pc,
@@ -9137,9 +9143,10 @@ def oracle_sql() -> dict[str, str]:
                                CAST((st + n - 1) // 256 AS BIGINT))) AS p
                     FROM s)
             SELECT doc_id, p AS pack_id,
-                   greatest(st, p * 256) - p * 256 AS pack_offset,
-                   least(st + n, (p + 1) * 256)
-                       - greatest(st, p * 256) AS n_tokens
+                   CAST(greatest(st, p * 256) - p * 256 AS BIGINT)
+                     AS pack_offset,
+                   CAST(least(st + n, (p + 1) * 256)
+                       - greatest(st, p * 256) AS BIGINT) AS n_tokens
             FROM u""",
         "doc_lexical_diversity": """
             WITH t AS (SELECT doc_id,
@@ -9152,7 +9159,8 @@ def oracle_sql() -> dict[str, str]:
                          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
                            AS n_hapax
                   FROM f GROUP BY 1)
-            SELECT doc_id, n AS n_tokens, n_hapax,
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   CAST(n_hapax AS BIGINT) AS n_hapax,
                    round(CAST(num AS DOUBLE) / (n * (n - 1)), 6)
                      AS repeat_rate
             FROM a WHERE n > 1 ORDER BY doc_id""",
@@ -10288,8 +10296,8 @@ def oracle_sql() -> dict[str, str]:
             w3 AS (SELECT e.dst AS v, sum(w2.w) AS w
                    FROM e JOIN w2 ON w2.v = e.src GROUP BY 1)
             SELECT w1.v AS node,
-                   9 * w1.w + 3 * coalesce(w2.w, 0)
-                     + coalesce(w3.w, 0) AS katz_num
+                   CAST(9 * w1.w + 3 * coalesce(w2.w, 0)
+                     + coalesce(w3.w, 0) AS BIGINT) AS katz_num
             FROM w1
             LEFT JOIN w2 ON w2.v = w1.v
             LEFT JOIN w3 ON w3.v = w1.v
@@ -12044,9 +12052,9 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT user_id, island, min(s) AS is_, max(e) AS ie,
                          count(*) AS n
                   FROM isl GROUP BY 1, 2)
-            SELECT user_id, sum(n) AS n_intervals,
+            SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
                    count(*) AS n_islands,
-                   sum(ie - is_) AS covered,
+                   CAST(sum(ie - is_) AS BIGINT) AS covered,
                    max(ie) - min(is_) AS span
             FROM g GROUP BY user_id""",
         "event_user_paths": """
@@ -12324,12 +12332,12 @@ def oracle_sql() -> dict[str, str]:
             FROM base GROUP BY o_year ORDER BY o_year""",
         "tpch_q12_priority": """
             SELECT l_returnflag,
-                   sum(CASE WHEN o_orderpriority IN
+                   CAST(sum(CASE WHEN o_orderpriority IN
                             ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_count,
-                   sum(CASE WHEN o_orderpriority IN
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
                             ('1-URGENT', '2-HIGH')
-                       THEN 0 ELSE 1 END) AS low_count
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_count
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
             GROUP BY l_returnflag ORDER BY l_returnflag""",
