@@ -1959,6 +1959,89 @@ def _tess_place_place(sf_dir: str):
             .astype({"enclosure_index": np.int64}))
 
 
+def _morph_e2e(sf_dir: str):
+    """Flagship composition gate (VERDICT r3 #3): ``morphological_graph``
+    end-to-end — street-grid barriers → polygonized enclosures → zonal
+    tessellation → place↔place + movement↔movement (dual) +
+    place→movement (capped nearest) — with ALL six hetero layers
+    flattened to ``(layer, a, b, c, d)`` int rows and value-compared
+    against one SQL twin (reference morphology.py:156-348).  The twin
+    replaces face polygonization with the grid's analytic enclosure
+    order: faces sorted by (minx, miny, area) ≡ column-major (ex, ey)
+    index over the 10×10 grid."""
+    import ray.data
+
+    from city2graph_ray.ops.morphology import morphological_graph
+
+    GR, K, RES, PMD = 100.0, 10, 5.0, 25.0
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def pts(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        xi = (k * k * synth.QX + k * synth.AX + synth.BX) % synth.MOD
+        yi = (k * k * synth.QY + k * synth.AY + synth.BY) % synth.MOD
+        # exclude buildings exactly on a grid line (x or y ≡ 0 mod GR):
+        # boundary ownership is deterministic but painful to twin
+        m = (xi % 10000 != 0) & (yi % 10000 != 0)
+        return pd.DataFrame({"id": k[m], "x": xi[m] / 100.0,
+                             "y": yi[m] / 100.0})
+
+    buildings = cust.map_batches(pts, batch_format="pandas")
+
+    rows = []
+    for v in range(K + 1):          # vertical blocks: ids 0..109
+        for j in range(K):
+            rows.append((v * K + j,
+                         np.array([v * GR, j * GR, v * GR, (j + 1) * GR])))
+    base = (K + 1) * K
+    for v in range(K + 1):          # horizontal blocks: ids 110..219
+        for j in range(K):
+            rows.append((base + v * K + j,
+                         np.array([j * GR, v * GR, (j + 1) * GR, v * GR])))
+    segs = ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["seg_id", "coords"]))
+
+    out = morphological_graph(buildings, segs, resolution=RES,
+                              pm_max_distance=PMD)
+
+    def flat(layer: str, a, b, c, d) -> pd.DataFrame:
+        z = np.zeros(len(a), np.int64)
+        return pd.DataFrame({
+            "layer": layer,
+            "a": np.asarray(a, np.int64),
+            "b": np.asarray(b, np.int64) if b is not None else z,
+            "c": np.asarray(c, np.int64) if c is not None else z,
+            "d": np.asarray(d, np.int64) if d is not None else z})
+
+    nodes = out["segment_nodes"].to_pandas()
+    edges = out["segment_edges"].to_pandas()
+    tess = out["tessellation"].to_pandas()
+    pp = out["place_place"].to_pandas()
+    mm = out["movement_movement"].to_pandas()
+    pm = out["place_movement"].to_pandas()
+
+    def tcode(tids: pd.Series) -> np.ndarray:
+        parts = tids.str.split("_", expand=True).astype(np.int64)
+        return (parts[0] * 100000 + parts[1]).to_numpy()
+
+    frames = [
+        flat("nodes", nodes["node_id"], nodes["x"], nodes["y"], None),
+        flat("edges", edges["seg_id"], edges["src"], edges["dst"],
+             edges["edge_key"]),
+        flat("tess", tess["enclosure_index"], tess["cell_ix"],
+             tess["cell_iy"], tess["bldg_id"]),
+        flat("pp", tcode(pp["src"]), tcode(pp["dst"]),
+             pp["enclosure_index"], None),
+        flat("mm", mm["src"], mm["dst"], None, None),
+        flat("pm", pm["id"], pm["seg_id"],
+             np.floor(pm["distance"].to_numpy(np.float64) * 1e6
+                      + 0.5).astype(np.int64), None),
+    ]
+    return pd.concat(frames, ignore_index=True)
+
+
 def _simhash_md5(sf_dir: str):
     """Exact-complete simhash near-dup pairs: bands=8 > max_hamming=7
     guarantees every qualifying pair shares a band (pigeonhole), and
@@ -7308,6 +7391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_checkpoint_roundtrip": _od_checkpoint_roundtrip,
         "last_occurrence": _last_occurrence,
         "tess_place_place": _tess_place_place,
+        "morph_graph_e2e": _morph_e2e,
         "event_asof_click": _event_asof,
         "event_range_join": _event_range_join,
         "simhash_md5_pairs": _simhash_md5,
@@ -9347,6 +9431,127 @@ def oracle_sql() -> dict[str, str]:
              AND ((b2.cell_ix = a.cell_ix + 1 AND b2.cell_iy = a.cell_iy)
                OR (b2.cell_ix = a.cell_ix AND b2.cell_iy = a.cell_iy + 1))
              AND a.tess_id <> b2.tess_id""",
+        "morph_graph_e2e": f"""
+            WITH raw AS (SELECT c_custkey AS id,
+                   ((c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                     + {synth.BX}) % {synth.MOD}) AS xi,
+                   ((c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                     + {synth.BY}) % {synth.MOD}) AS yi
+                 FROM customer),
+            b AS (SELECT id, xi/100.0 AS x, yi/100.0 AS y FROM raw
+                  WHERE xi % 10000 <> 0 AND yi % 10000 <> 0),
+            vv AS (SELECT i FROM generate_series(0, 10) t(i)),
+            jj AS (SELECT j FROM generate_series(0, 9) t(j)),
+            segs AS (
+              SELECT v.i*10 + j.j AS seg_id, v.i*100.0 AS ax,
+                     j.j*100.0 AS ay, v.i*100.0 AS bx,
+                     (j.j+1)*100.0 AS by FROM vv v, jj j
+              UNION ALL
+              SELECT 110 + v.i*10 + j.j, j.j*100.0, v.i*100.0,
+                     (j.j+1)*100.0, v.i*100.0 FROM vv v, jj j),
+            nds AS (SELECT row_number() OVER (ORDER BY x, y) - 1
+                        AS node_id, x, y
+                    FROM (SELECT DISTINCT x, y FROM (
+                          SELECT ax AS x, ay AS y FROM segs
+                          UNION ALL SELECT bx, by FROM segs))),
+            resolved AS (
+                SELECT s.seg_id, na.node_id AS na, nb.node_id AS nb
+                FROM segs s
+                JOIN nds na ON na.x = s.ax AND na.y = s.ay
+                JOIN nds nb ON nb.x = s.bx AND nb.y = s.by),
+            sedges AS (SELECT seg_id, least(na, nb) AS src,
+                              greatest(na, nb) AS dst,
+                              row_number() OVER (
+                                PARTITION BY least(na, nb),
+                                             greatest(na, nb)
+                                ORDER BY seg_id) - 1 AS edge_key
+                       FROM resolved),
+            inc AS (SELECT seg_id, na AS node FROM resolved
+                    UNION ALL SELECT seg_id, nb FROM resolved),
+            mm AS (SELECT DISTINCT i.seg_id AS src, j.seg_id AS dst
+                   FROM inc i JOIN inc j
+                   ON i.node = j.node AND i.seg_id < j.seg_id),
+            tb AS (SELECT id, x, y,
+                     CAST(floor(x/100.0) AS BIGINT)*10
+                       + CAST(floor(y/100.0) AS BIGINT) AS eid
+                   FROM b),
+            contained AS (SELECT eid, id, x, y,
+                            row_number() OVER (PARTITION BY eid
+                                ORDER BY x, y) - 1 AS rnk
+                          FROM tb),
+            occ AS (SELECT DISTINCT eid FROM contained),
+            cel AS (SELECT occ.eid,
+                      (occ.eid // 10)*20 + s1.i AS cell_ix,
+                      (occ.eid % 10)*20 + s2.j AS cell_iy,
+                      ((occ.eid // 10)*20 + s1.i + 0.5)*5.0 AS cx,
+                      ((occ.eid % 10)*20 + s2.j + 0.5)*5.0 AS cy
+                    FROM occ, generate_series(0, 19) s1(i),
+                         generate_series(0, 19) s2(j)),
+            assign AS (SELECT eid, cell_ix, cell_iy, rnk, bid FROM (
+                 SELECT cel.eid, cel.cell_ix, cel.cell_iy, ct.rnk,
+                        ct.id AS bid,
+                        (cel.cx - ct.x)*(cel.cx - ct.x)
+                        + (cel.cy - ct.y)*(cel.cy - ct.y) AS d2
+                 FROM cel JOIN contained ct ON ct.eid = cel.eid)
+               QUALIFY row_number() OVER (PARTITION BY eid, cell_ix,
+                   cell_iy ORDER BY d2, rnk) = 1),
+            tid AS (SELECT eid, cell_ix, cell_iy, rnk, bid,
+                      CAST(eid AS VARCHAR) || '_'
+                        || CAST(rnk AS VARCHAR) AS t
+                    FROM assign),
+            pp AS (SELECT DISTINCT least(p.t, q.t) AS tsrc,
+                          greatest(p.t, q.t) AS tdst, p.eid
+                   FROM tid p JOIN tid q ON p.eid = q.eid
+                     AND ((q.cell_ix = p.cell_ix + 1
+                           AND q.cell_iy = p.cell_iy)
+                       OR (q.cell_ix = p.cell_ix
+                           AND q.cell_iy = p.cell_iy + 1))
+                     AND p.t <> q.t),
+            pmc AS (SELECT tb.id, s.seg_id,
+                      ((tb.x - s.ax)*(s.bx - s.ax)
+                       + (tb.y - s.ay)*(s.by - s.ay))
+                      / ((s.bx - s.ax)*(s.bx - s.ax)
+                         + (s.by - s.ay)*(s.by - s.ay)) AS traw,
+                      tb.x, tb.y, s.ax, s.ay, s.bx, s.by
+                    FROM tb, segs s
+                    WHERE tb.x >= least(s.ax, s.bx) - 25.0
+                      AND tb.x <= greatest(s.ax, s.bx) + 25.0
+                      AND tb.y >= least(s.ay, s.by) - 25.0
+                      AND tb.y <= greatest(s.ay, s.by) + 25.0),
+            pmd AS (SELECT id, seg_id,
+                      sqrt((x - (ax + t*(bx - ax)))
+                           * (x - (ax + t*(bx - ax)))
+                         + (y - (ay + t*(by - ay)))
+                           * (y - (ay + t*(by - ay)))) AS distance
+                    FROM (SELECT id, seg_id, x, y, ax, ay, bx, by,
+                            least(greatest(traw, 0.0), 1.0) AS t
+                          FROM pmc)),
+            pmtop AS (SELECT id, seg_id, distance FROM (
+                        SELECT id, seg_id, distance
+                        FROM pmd WHERE distance <= 25.0)
+                      QUALIFY row_number() OVER (PARTITION BY id
+                          ORDER BY distance, seg_id) = 1)
+            SELECT 'nodes' AS layer, node_id AS a,
+                   CAST(x AS BIGINT) AS b, CAST(y AS BIGINT) AS c,
+                   CAST(0 AS BIGINT) AS d FROM nds
+            UNION ALL
+            SELECT 'edges', seg_id, src, dst, edge_key FROM sedges
+            UNION ALL
+            SELECT 'tess', eid, cell_ix, cell_iy, bid FROM assign
+            UNION ALL
+            SELECT 'pp',
+                   CAST(string_split(tsrc, '_')[1] AS BIGINT)*100000
+                     + CAST(string_split(tsrc, '_')[2] AS BIGINT),
+                   CAST(string_split(tdst, '_')[1] AS BIGINT)*100000
+                     + CAST(string_split(tdst, '_')[2] AS BIGINT),
+                   eid, CAST(0 AS BIGINT) FROM pp
+            UNION ALL
+            SELECT 'mm', src, dst, CAST(0 AS BIGINT),
+                   CAST(0 AS BIGINT) FROM mm
+            UNION ALL
+            SELECT 'pm', id, seg_id,
+                   CAST(floor(distance * 1000000.0 + 0.5) AS BIGINT),
+                   CAST(0 AS BIGINT) FROM pmtop""",
         "last_occurrence": """
             SELECT o_custkey, o_orderstatus, o_orderkey,
                    round(o_totalprice, 2) AS o_totalprice
