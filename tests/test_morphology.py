@@ -431,3 +431,104 @@ def test_assign_bucketed_stress_10k_enclosures():
         bds, enc, broadcast_threshold=0).to_pandas()
     out = out.sort_values("id").reset_index(drop=True)
     np.testing.assert_array_equal(out["enclosure_index"].to_numpy(), expect)
+
+
+# ------------------------------------------------------------- ported
+# Reference conformance behaviors (reference tests/test_morphology.py
+# :518-:960 fallback/reachability semantics), re-expressed Ray-idiom.
+
+def test_boundary_straddling_segment_kept(street_grid):
+    """Reference :801: a segment whose cheaper endpoint is within the
+    cost budget is kept whole; one fully beyond is dropped."""
+    from city2graph_ray.ops.morphology import (filter_segments_by_cost,
+                                               reachability_costs)
+    from city2graph_ray.ops.topology import segments_to_graph
+
+    segs = pd.DataFrame({
+        "seg_id": np.array([0, 1], np.int64),
+        "coords": [np.array([0.0, 0.0, 50.0, 0.0]),
+                   np.array([50.0, 0.0, 100.0, 0.0])]})
+    nodes, edges = segments_to_graph(rd.from_pandas(segs))
+    edf = edges.to_pandas()
+    lens = pd.DataFrame({"src": edf["src"], "dst": edf["dst"],
+                         "length": [50.0, 50.0]})
+    costs = reachability_costs(lens, (0.0, 0.0), nodes.to_pandas())
+    kept = filter_segments_by_cost(edges, costs, 20.0).to_pandas()
+    assert kept["seg_id"].tolist() == [0]
+
+
+def test_distance_filter_missing_center_node_degrades_empty():
+    """Reference :737: when the snapped center node is absent from the
+    cost graph, the reachability field is empty and every segment is
+    dropped (empty place layer downstream)."""
+    from city2graph_ray.ops.morphology import (filter_segments_by_cost,
+                                               reachability_costs)
+    from city2graph_ray.ops.topology import segments_to_graph
+
+    segs = pd.DataFrame({
+        "seg_id": np.array([0], np.int64),
+        "coords": [np.array([0.0, 0.0, 50.0, 0.0])]})
+    nodes, edges = segments_to_graph(rd.from_pandas(segs))
+    # node table with an extra isolated node right at the center: the
+    # snap picks it, Dijkstra has no such node -> empty cost field
+    nd = pd.concat([nodes.to_pandas(), pd.DataFrame(
+        {"node_id": [99], "x": [500.0], "y": [500.0]})])
+    lens = pd.DataFrame({"src": edges.to_pandas()["src"],
+                         "dst": edges.to_pandas()["dst"],
+                         "length": [50.0]})
+    costs = reachability_costs(lens, (500.0, 500.0), nd)
+    assert costs == {}
+    assert filter_segments_by_cost(edges, costs, 1e9).count() == 0
+
+
+def test_place_to_movement_respects_max_connection_distance():
+    """Reference :920: fallback connections farther than
+    max_connection_distance are not created."""
+    from city2graph_ray.ops.morphology import nearest_segments
+
+    pts = rd.from_pandas(pd.DataFrame({
+        "id": np.array([1, 2], np.int64),
+        "x": [1.0, 1.0], "y": [2.0, 101.0]}))
+    segs = rd.from_pandas(pd.DataFrame({
+        "seg_id": np.array([0], np.int64),
+        "coords": [np.array([0.0, 0.0, 50.0, 0.0])]}))
+    out = nearest_segments(pts, segs, max_distance=10.0).to_pandas()
+    assert set(out["id"]) == {1}
+    assert np.isclose(out["distance"].iloc[0], 2.0)
+
+
+def test_fallback_uses_prefiltered_buildings(street_grid):
+    """Reference :518/:551: fallback cells come from the buildings
+    already selected for graph inclusion — a building dropped by the
+    network-reach cap must NOT reappear as a fallback cell."""
+    from city2graph_ray.ops.morphology import morphological_graph
+
+    blds = rd.from_pandas(pd.DataFrame({
+        "id": np.array([1, 9], np.int64),
+        "x": [8.0, 200.0], "y": [8.0, 200.0]}))  # 9 is unenclosed+far
+    out = morphological_graph(
+        blds, rd.from_pandas(street_grid[["seg_id", "coords"]]),
+        center=(0.0, 0.0), distance=70.0, resolution=5.0,
+        extent_buffer=10.0, include_unenclosed_buildings=True)
+    tess = out["tessellation"].to_pandas()
+    assert "fallback_9" not in set(tess["tess_id"])
+    assert (tess["bldg_id"] == 1).any()
+
+
+def test_fallback_keeps_schema_when_tessellation_empty(street_grid):
+    """Reference :1349: an all-unenclosed building set yields an empty
+    zonal tessellation; the fallback append must still emit the full
+    place schema (typed columns, one row per unenclosed building)."""
+    from city2graph_ray.ops.morphology import (enclosures_from_barriers,
+                                               unenclosed_fallback_cells,
+                                               zonal_tessellation)
+
+    enc = enclosures_from_barriers(street_grid[["seg_id", "coords"]])
+    blds = pd.DataFrame({"id": np.array([7, 8], np.int64),
+                         "x": [500.0, 600.0], "y": [500.0, 600.0]})
+    tess = zonal_tessellation(rd.from_pandas(blds), enc, resolution=3.0)
+    out = unenclosed_fallback_cells(
+        tess, rd.from_pandas(blds), enc).to_pandas()
+    assert sorted(out["tess_id"]) == ["fallback_7", "fallback_8"]
+    assert (out["enclosure_index"] == -1).all()
+    assert {"cell_ix", "cell_iy", "bldg_id", "area"} <= set(out.columns)
