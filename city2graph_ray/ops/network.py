@@ -121,89 +121,99 @@ def network_knn_graph(points: ray.data.Dataset, nodes: pd.DataFrame,
                       weight_col: str = "length",
                       max_rounds: int = 4) -> ray.data.Dataset:
     """k nearest points by network distance (reference
-    proximity.py:861-873): snap → bounded Dijkstra → top-k per source,
-    ties by (distance, dst id).
+    proximity.py:861-873): snap → count-bounded Dijkstra → top-k per
+    source, ties by (distance, dst id).
 
-    An UNBOUNDED Dijkstra per source explores the whole graph; instead
-    the cutoff starts near the expected k-neighborhood radius and
-    escalates ×4 for sources that found fewer than k points within it
-    (a source with ≥ k hits inside the cutoff is exact — its true k
-    nearest all lie within).  The final round is unbounded for the
-    stragglers.
+    r4 redesign: the former escalating-cutoff rounds re-explored every
+    unresolved source at each ×4 cutoff and the final UNBOUNDED round
+    materialized a full |component| row set per straggler — measured
+    60 GB of object-store spill at sf0.1.  Now each distinct snapped
+    node runs ONE early-stopping Dijkstra that pops in distance order
+    and halts as soon as ≥ k+1 points have been seen AND the next heap
+    distance exceeds the (k+1)-th point distance (so exact ties at the
+    boundary are kept).  The settled prefix provably contains every
+    top-k candidate; output is ≤ points-at-(k+1)-nodes rows per source
+    — no escalation rounds, no reach aggregation, no spill.
 
-    Fully distributed bookkeeping (VERDICT r1 item 3): Dijkstra work is
-    queued per distinct snapped NODE; co-snapped points share one run
-    and expand through a bucketed join.  Per-node reach counts come
-    from a distributed aggregate (a node is resolved when
-    reachable_points - 1 ≥ k — co-located points have identical
-    candidate sets, so resolution is node-level), the resolved set is
-    removed by an anti-join, and no candidate row ever lands on the
-    driver."""
+    The graph CSR and the node→point-count map are the broadcast small
+    side (``ray.put`` once, built per actor in ``__init__``); Dijkstra
+    distances remain the same left-associated prefix sums, so results
+    are bit-identical to the unbounded form (SQL-twinned at the
+    gate)."""
     snapped = snap_to_nodes(points, nodes).materialize()
     pts_per_node = shuffle.group_agg(
-        snapped, ["node_id"], {"n_pts": ("id", "size")}).materialize()
-    mean_w = float(edges[weight_col].mean()) if len(edges) else 1.0
-    cutoff = mean_w * 2.0 * np.sqrt(max(k, 1))
-    remaining = shuffle.distinct(
-        snapped.select_columns(["node_id"]), ["node_id"]).materialize()
-    parts = []
-    from city2graph_ray.joins import bucketed_join
-    for rnd in range(max_rounds):
-        final = rnd == max_rounds - 1
-        cand_nodes = _node_distances(remaining, edges, weight_col,
-                                     None if final else cutoff).materialize()
-        if cand_nodes.count() == 0:
-            if final:
-                break
-            cutoff *= 4.0
-            continue
-        if final:
-            ok_nodes = remaining
-        else:
-            # reachable point count per source node (distributed sum)
-            withn = bucketed_join(
-                cand_nodes,
-                pts_per_node.map_batches(
-                    lambda b: b.rename(columns={"node_id": "dst_node"}),
-                    batch_format="pandas"),
-                on="dst_node")
-            reach = shuffle.group_agg(withn, ["src_node"],
-                                      {"n_reach": ("n_pts", "sum")})
-            ok_nodes = reach.filter(expr=f"n_reach >= {k + 1}").map_batches(
-                lambda b: pd.DataFrame(
-                    {"node_id": b["src_node"].to_numpy(np.int64)}),
-                batch_format="pandas").materialize()
-        if ok_nodes.count() > 0:
-            done_nodes = bucketed_join(
-                cand_nodes,
-                ok_nodes.map_batches(
-                    lambda b: pd.DataFrame(
-                        {"src_node": b["node_id"].to_numpy(np.int64)}),
-                    batch_format="pandas"),
-                on="src_node")
-            parts.append(_expand_node_pairs(done_nodes, snapped))
-        if final:
-            break
-        # anti-join: drop resolved nodes from the work queue
-        marked = ok_nodes.map_batches(
-            lambda b: pd.DataFrame({"node_id": b["node_id"].to_numpy(np.int64),
-                                    "__ok": np.int64(1)}),
-            batch_format="pandas")
-        remaining = bucketed_join(remaining, marked, on="node_id",
-                                  how="left").map_batches(
-            lambda b: b.loc[b["__ok"].isna(), ["node_id"]],
-            batch_format="pandas").materialize()
-        if remaining.count() == 0:
-            break
-        cutoff *= 4.0
-    if not parts:
-        return ray.data.from_pandas(
-            pd.DataFrame({"src": pd.Series(dtype=np.int64),
-                          "dst": pd.Series(dtype=np.int64),
-                          "distance": pd.Series(dtype=np.float64)}))
-    out = parts[0]
-    for p_ in parts[1:]:
-        out = out.union(p_)
+        snapped, ["node_id"], {"n_pts": ("id", "size")}).to_pandas()
+    src_nodes = ray.data.from_pandas(
+        pts_per_node[["node_id"]].copy())
+
+    # CSR over the (renumbered) undirected edge list
+    net_ref = ray.put((edges["src"].to_numpy(np.int64),
+                       edges["dst"].to_numpy(np.int64),
+                       edges[weight_col].to_numpy(np.float64)))
+    cnt_ref = ray.put((pts_per_node["node_id"].to_numpy(np.int64),
+                       pts_per_node["n_pts"].to_numpy(np.int64)))
+
+    class CountBoundedDijkstra:
+        def __init__(self):
+            s, d, w = ray.get(net_ref)
+            cn, cc = ray.get(cnt_ref)
+            # dense renumbering of node ids → CSR
+            self.ids = np.unique(np.concatenate([s, d, cn]))
+            n = len(self.ids)
+            si = np.searchsorted(self.ids, np.concatenate([s, d]))
+            di = np.searchsorted(self.ids, np.concatenate([d, s]))
+            ww = np.concatenate([w, w])
+            order = np.argsort(si, kind="stable")
+            self.adj_dst = di[order]
+            self.adj_w = ww[order]
+            self.indptr = np.searchsorted(si[order],
+                                          np.arange(n + 1))
+            self.npts = np.zeros(n, np.int64)
+            self.npts[np.searchsorted(self.ids, cn)] = cc
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            import heapq
+            need = k + 1
+            out_s, out_d, out_w = [], [], []
+            for node in batch["node_id"]:
+                s0 = int(np.searchsorted(self.ids, node))
+                if s0 >= len(self.ids) or self.ids[s0] != node:
+                    continue
+                dist = {s0: 0.0}
+                settled = set()
+                heap = [(0.0, s0)]
+                seen_pts = 0
+                stop_d = np.inf
+                while heap:
+                    d0, u = heapq.heappop(heap)
+                    if u in settled:
+                        continue
+                    if d0 > stop_d:
+                        break
+                    settled.add(u)
+                    if self.npts[u]:
+                        out_s.append(node)
+                        out_d.append(self.ids[u])
+                        out_w.append(d0)
+                        seen_pts += self.npts[u]
+                        if seen_pts >= need and stop_d == np.inf:
+                            stop_d = d0
+                    for ei in range(self.indptr[u], self.indptr[u + 1]):
+                        v = self.adj_dst[ei]
+                        nd = d0 + self.adj_w[ei]
+                        if nd <= stop_d and (v not in dist
+                                             or nd < dist[v]):
+                            dist[v] = nd
+                            heapq.heappush(heap, (nd, v))
+            return pd.DataFrame({
+                "src_node": np.array(out_s, np.int64),
+                "dst_node": np.array(out_d, np.int64),
+                "distance": np.array(out_w, np.float64)})
+
+    cand_nodes = src_nodes.map_batches(
+        CountBoundedDijkstra, batch_format="pandas", batch_size=256,
+        concurrency=(1, 8))
+    out = _expand_node_pairs(cand_nodes, snapped)
     return shuffle.topk_in_group(out, ["src"], k,
                                  ["distance", "dst"], [True, True])
 
