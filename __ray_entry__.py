@@ -2813,13 +2813,88 @@ def _doc_curation(sf_dir: str):
 
 def _event_user_hll(sf_dir: str):
     """Approximate distinct users per event_type via HyperLogLog
-    (p=12, ≈1.6% std err).  Deterministic but estimator-specific, so
-    no SQL oracle — accuracy + layout-determinism proven in
-    tests/test_sketch.py; the exact twin is `event_user_counts`."""
+    (p=12, ≈1.6% std err).  Bit-exact SQL twin (r4): the registers are
+    a deterministic splitmix64 function (HUGEINT split-multiply mod
+    2^64 in SQL), the Σ2^-M estimator sums DYADIC terms whose exponent
+    span stays < 53 bits whenever max register ≤ 40 (holds on the
+    fixtures: max M = 7) — so the float sum is EXACT and
+    association-order-free in both engines.  Accuracy +
+    layout-determinism additionally proven in tests/test_sketch.py;
+    the exact-count twin is `event_user_counts`."""
     from city2graph_ray.ops.sketch import hll_count_distinct
     from city2graph_ray.pipelines.tables import events
 
     return hll_count_distinct(events(sf_dir), ["event_type"], "user_id")
+
+
+def _mulmod64(a: str, bconst: int) -> str:
+    """a*b mod 2^64 in HUGEINT without overflowing INT128: split a
+    into 32-bit halves (a_hi·b·2^32 mod 2^64 needs only b mod 2^32)."""
+    blo = bconst % (1 << 32)
+    return (f"CAST((( ({a}) % 4294967296 ) * {bconst} + "
+            f"((( ({a}) // 4294967296 ) * {blo}) % 4294967296) "
+            f"* 4294967296) % 18446744073709551616 AS UBIGINT)")
+
+
+def _hll_sql(p: int = 12) -> str:
+    m = 1 << p
+    z1 = _mulmod64("CAST(xor(z0, z0 >> 30) AS HUGEINT)",
+                   0xBF58476D1CE4E5B9)
+    z2 = _mulmod64("CAST(xor(z1, z1 >> 27) AS HUGEINT)",
+                   0x94D049BB133111EB)
+    return f"""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    s1 AS (SELECT event_type,
+             CAST((CAST(user_id AS HUGEINT) + 11400714819323198485)
+                  % 18446744073709551616 AS UBIGINT) AS z0
+           FROM d),
+    s2 AS (SELECT event_type, {z1} AS z1 FROM s1),
+    s3 AS (SELECT event_type, {z2} AS z2 FROM s2),
+    hx AS (SELECT event_type, xor(z2, z2 >> 31) AS h FROM s3),
+    ir AS (SELECT event_type, CAST(h >> {64 - p} AS BIGINT) AS idx,
+             CAST((CAST(h AS HUGEINT) * {m})
+                  % 18446744073709551616 AS UBIGINT) AS rest
+           FROM hx),
+    b1 AS (SELECT event_type, idx, rest,
+             CASE WHEN rest >= 4294967296 THEN 32 ELSE 0 END AS a1,
+             CASE WHEN rest >= 4294967296 THEN rest >> 32 ELSE rest
+               END AS r1 FROM ir),
+    b2 AS (SELECT *, CASE WHEN r1 >= 65536 THEN a1 + 16 ELSE a1 END
+             AS a2,
+             CASE WHEN r1 >= 65536 THEN r1 >> 16 ELSE r1 END AS r2
+           FROM b1),
+    b3 AS (SELECT *, CASE WHEN r2 >= 256 THEN a2 + 8 ELSE a2 END AS a3,
+             CASE WHEN r2 >= 256 THEN r2 >> 8 ELSE r2 END AS r3
+           FROM b2),
+    b4 AS (SELECT *, CASE WHEN r3 >= 16 THEN a3 + 4 ELSE a3 END AS a4,
+             CASE WHEN r3 >= 16 THEN r3 >> 4 ELSE r3 END AS r4
+           FROM b3),
+    b5 AS (SELECT *, CASE WHEN r4 >= 4 THEN a4 + 2 ELSE a4 END AS a5,
+             CASE WHEN r4 >= 4 THEN r4 >> 2 ELSE r4 END AS r5
+           FROM b4),
+    b6 AS (SELECT *, CASE WHEN r5 >= 2 THEN a5 + 1 ELSE a5 END AS a6
+           FROM b5),
+    rho AS (SELECT event_type, idx,
+              CASE WHEN rest = 0 THEN {64 - p + 1}
+                   ELSE 64 - (a6 + 1) + 1 END AS rho FROM b6),
+    reg AS (SELECT event_type, idx, max(rho) AS M FROM rho
+            GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT event_type FROM d),
+    allreg AS (SELECT g.event_type, coalesce(r.M, 0) AS M
+               FROM grid g CROSS JOIN range(0, {m}) t(i)
+               LEFT JOIN reg r ON r.event_type = g.event_type
+                              AND r.idx = t.i),
+    est AS (SELECT event_type,
+              0.7213 / (1.0 + 1.079 / {m}) * {m} * {m}
+                / sum(power(2.0, -M)) AS raw,
+              CAST(sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS zeros
+            FROM allreg GROUP BY 1)
+    SELECT event_type,
+           CAST(round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                      THEN {m} * ln({m}.0 / zeros) ELSE raw END)
+                AS BIGINT) AS approx_distinct
+    FROM est"""
 
 
 def _token_heavy_hitters(sf_dir: str):
@@ -11497,6 +11572,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_jaccard": _JACCARD_SQL,
         "zone_harmonic": _HARMONIC_SQL,
         "zone_hits": _hits_sql(3),
+        "event_user_hll": _hll_sql(12),
         "event_value_lag": """
             SELECT event_id, user_id, value,
                    coalesce(lag(value) OVER (PARTITION BY user_id
