@@ -1198,7 +1198,7 @@ def harmonic_centrality(edges: ray.data.Dataset, hops: int = 3,
 def hits(edges: ray.data.Dataset, num_iters: int = 3,
          src: str = "src", dst: str = "dst", scale: int = 10 ** 6,
          num_buckets: int = shuffle.DEFAULT_BUCKETS,
-         ) -> ray.data.Dataset:
+         driver_edge_threshold: int = 5_000_000) -> ray.data.Dataset:
     """HITS hubs-and-authorities (Kleinberg 1999, public literature)
     over a directed edge list, with L1 normalization carried in
     INTEGER units so every iteration is bit-reproducible:
@@ -1238,6 +1238,40 @@ def hits(edges: ray.data.Dataset, num_iters: int = 3,
             "node": pa.array([], pa.int64()),
             "auth": pa.array([], pa.float64()),
             "hub": pa.array([], pa.float64())}))
+
+    if eds.count() <= driver_edge_threshold:
+        # driver fast path (same pattern as pagerank/k-core): the
+        # int64 unit recurrences are order-free, so np.add.at partial
+        # sums + the identical floor(u/t·sc+0.5) renormalization give
+        # BIT-IDENTICAL scores to the distributed rounds (parity test
+        # in tests/test_graph_algos.py); 2 int64 cols ≤ 80 MB at the
+        # threshold.  Above it: the bucketed-join rounds below.
+        edf = eds.to_pandas()
+        nid = np.unique(np.concatenate(
+            [edf["src"].to_numpy(np.int64), edf["dst"].to_numpy(np.int64)]))
+        si = np.searchsorted(nid, edf["src"].to_numpy(np.int64))
+        di = np.searchsorted(nid, edf["dst"].to_numpy(np.int64))
+        n = len(nid)
+        hub_u = np.full(n, scale, np.int64)
+        auth_u = hub_u.copy()
+
+        def renorm(u: np.ndarray) -> np.ndarray:
+            t = int(u.sum())
+            if t == 0:
+                return u
+            return np.floor(u / t * scale + 0.5).astype(np.int64)
+
+        for _ in range(num_iters):
+            a = np.zeros(n, np.int64)
+            np.add.at(a, di, hub_u[si])
+            auth_u = renorm(a)
+            h = np.zeros(n, np.int64)
+            np.add.at(h, si, auth_u[di])
+            hub_u = renorm(h)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nid, pa.int64()),
+            "auth": pa.array(auth_u / float(scale), pa.float64()),
+            "hub": pa.array(hub_u / float(scale), pa.float64())}))
 
     node_schema = pa.schema([("node", pa.int64())])
     score_schema = pa.schema([("node", pa.int64()),

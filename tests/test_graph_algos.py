@@ -1131,3 +1131,22 @@ def test_markov_power_bruteforce():
         p = {v: round(s[v], 10) for v in nodes}
     for _, r in out.iterrows():
         assert abs(r["prob"] - round(p[r["node"]], 6)) <= 2e-9
+
+
+def test_hits_driver_vs_distributed_parity():
+    """The r4 driver fast path must be bit-identical to the
+    distributed bucketed-join rounds (same int64 unit recurrence)."""
+    import ray.data as rd
+
+    from city2graph_ray.ops.graph_algos import hits
+
+    rng = np.random.default_rng(3)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 60, 400).astype(np.int64),
+        "dst": rng.integers(0, 60, 400).astype(np.int64)})
+    a = (hits(rd.from_pandas(edges), num_iters=3)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (hits(rd.from_pandas(edges), num_iters=3,
+              driver_edge_threshold=0, num_buckets=4)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
