@@ -3385,6 +3385,7 @@ def hash_walks(edges: ray.data.Dataset, seed_mod: int, length: int,
 def dag_longest_path(edges: ray.data.Dataset, rounds: int = 12,
                      src: str = "src", dst: str = "dst",
                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                     driver_edge_threshold: int = 5_000_000,
                      ) -> ray.data.Dataset:
     """Longest-path-ending-at-each-node over a DAG (critical-path /
     topological-depth — the classic scheduling metric) by ``rounds``
@@ -3408,6 +3409,25 @@ def dag_longest_path(edges: ray.data.Dataset, rounds: int = 12,
                  b[dst].to_numpy(np.int64)])}),
             batch_format="pandas"),
         ["node"], num_buckets=num_buckets)
+
+    edges = edges.materialize()
+    if edges.count() <= driver_edge_threshold:
+        # driver fast path (pagerank/k-core/hits pattern): the max
+        # recurrence is order-free integers, so np.maximum.at rounds
+        # are BIT-IDENTICAL to the bucketed-join sweeps (parity test)
+        edf = edges.to_pandas()
+        nid = np.sort(nodes.to_pandas()["node"].to_numpy(np.int64))
+        si = np.searchsorted(nid, edf[src].to_numpy(np.int64))
+        di = np.searchsorted(nid, edf[dst].to_numpy(np.int64))
+        depth = np.zeros(len(nid), np.int64)
+        for _ in range(rounds):
+            nxt = depth.copy()
+            np.maximum.at(nxt, di, depth[si] + 1)
+            depth = nxt
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nid, pa.int64()),
+            "depth": pa.array(depth, pa.int64())}))
+
     dist = nodes.map_batches(
         lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
                                 "depth": np.zeros(len(b), np.int64)}),
@@ -3441,6 +3461,7 @@ def markov_power(edges: ray.data.Dataset, iters: int = 4,
                  src: str = "src", dst: str = "dst", w: str = "w",
                  round_iter: int = 10, round_to: int = 6,
                  num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                 driver_edge_threshold: int = 5_000_000,
                  ) -> ray.data.Dataset:
     """Markov-chain state distribution after ``iters`` steps of the
     row-stochastic transition matrix built from integer edge weights
@@ -3470,6 +3491,31 @@ def markov_power(edges: ray.data.Dataset, iters: int = 4,
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.string()),
             "prob": pa.array([], pa.float64())}))
+    edges = edges.materialize()
+    if edges.count() <= driver_edge_threshold:
+        # driver fast path (hits/pagerank pattern): identical ratio
+        # division, per-iteration round_iter rounding quenches the
+        # only float-association surface (gate re-verified bit-exact;
+        # parity test vs the distributed rounds)
+        edf = edges.to_pandas()
+        sv = edf[src].to_numpy()
+        dv = edf[dst].to_numpy()
+        nid = pd.unique(np.concatenate([sv, dv]))
+        nid = np.sort(nid)
+        si = np.searchsorted(nid, sv)
+        di = np.searchsorted(nid, dv)
+        ww = edf[w].to_numpy(np.int64)
+        dw = np.zeros(len(nid), np.int64)
+        np.add.at(dw, si, ww)
+        ratio = ww / dw[si]
+        pr = np.full(len(nid), round(1.0 / n, round_iter))
+        for _ in range(iters):
+            s = np.zeros(len(nid), np.float64)
+            np.add.at(s, di, ratio * pr[si])
+            pr = np.round(s, round_iter)
+        return ray.data.from_pandas(pd.DataFrame({
+            "node": nid, "prob": np.round(pr, round_to)}))
+
     deg = shuffle.group_agg(
         edges.map_batches(
             lambda b: pd.DataFrame({src: b[src],
@@ -3589,6 +3635,39 @@ def bowtie_structure(edges: ray.data.Dataset, rounds: int = 12,
                                 "v": b[dst].to_numpy(np.int64)}),
         batch_format="pandas").materialize()
     node_schema = pa.schema([("node", pa.int64())])
+
+    if e.count() <= 5_000_000:
+        # driver fast path (hits/dag pattern): bounded-round boolean
+        # BFS over the collected int64 edge list is set-identical to
+        # the union+distinct sweeps (counts parity-tested)
+        edf = e.to_pandas()
+        cu = core.to_pandas()["node"].to_numpy(np.int64)
+        nid = np.unique(np.concatenate(
+            [edf["u"].to_numpy(np.int64), edf["v"].to_numpy(np.int64), cu]))
+        ui = np.searchsorted(nid, edf["u"].to_numpy(np.int64))
+        vi = np.searchsorted(nid, edf["v"].to_numpy(np.int64))
+        ci = np.searchsorted(nid, cu)
+
+        def np_sweep(si: np.ndarray, di: np.ndarray) -> int:
+            reach = np.zeros(len(nid), bool)
+            reach[ci] = True
+            for _ in range(rounds):
+                nxt = reach.copy()
+                nxt[di[reach[si]]] = True
+                if (nxt == reach).all():
+                    break
+                reach = nxt
+            return int(reach.sum())
+
+        n_out = np_sweep(ui, vi) - n_core
+        n_in = np_sweep(vi, ui) - n_core
+        n_other = n_total - n_core - n_in - n_out
+        return pd.DataFrame({
+            "n_core": np.array([n_core], np.int64),
+            "n_in": np.array([n_in], np.int64),
+            "n_out": np.array([n_out], np.int64),
+            "n_other": np.array([n_other], np.int64),
+            "core_id": np.array([core_id], np.int64)})
 
     def sweep(forward: bool) -> int:
         reach = core

@@ -1150,3 +1150,32 @@ def test_hits_driver_vs_distributed_parity():
               driver_edge_threshold=0, num_buckets=4)
          .to_pandas().sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dag_depth_and_markov_driver_vs_distributed_parity():
+    import ray.data as rd
+
+    from city2graph_ray.ops.graph_algos import dag_longest_path, markov_power
+
+    rng = np.random.default_rng(5)
+    # DAG: edges only low -> high
+    a = rng.integers(0, 50, 300).astype(np.int64)
+    b = rng.integers(1, 30, 300).astype(np.int64)
+    dag = pd.DataFrame({"src": a, "dst": a + b})
+    x = (dag_longest_path(rd.from_pandas(dag), rounds=8)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    y = (dag_longest_path(rd.from_pandas(dag), rounds=8,
+                          driver_edge_threshold=0, num_buckets=4)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(x, y)
+
+    mk = pd.DataFrame({
+        "src": rng.integers(0, 12, 200).astype(np.int64),
+        "dst": rng.integers(0, 12, 200).astype(np.int64),
+        "w": rng.integers(1, 9, 200).astype(np.int64)})
+    m1 = (markov_power(rd.from_pandas(mk), iters=4)
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    m2 = (markov_power(rd.from_pandas(mk), iters=4,
+                       driver_edge_threshold=0, num_buckets=4)
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(m1, m2)
