@@ -273,27 +273,84 @@ def attach_network_path_geometry(edges: ray.data.Dataset,
     eref = ray.put(net_edges[["src", "dst", weight_col]])
 
     class PathTrace:
+        """Early-terminating CSR Dijkstra per source group (r4): the
+        former per-source ``nx.single_source_dijkstra`` explored the
+        WHOLE graph even when the group needed 3 targets; now the heap
+        stops once every requested target is settled.  Distances are
+        the same left-associated prefix sums; among equal-cost
+        shortest paths the witness may differ from networkx's
+        (heap tie order), which the op's contract allows — distance
+        exactness is what the tests pin."""
+
         def __init__(self):
-            import networkx as nx
             nid, nx_, ny_ = ray.get(nref)
             self.pos = {int(n): (float(a), float(b))
                         for n, a, b in zip(nid, nx_, ny_)}
             e = ray.get(eref)
-            self.g = nx.Graph()
-            for s, d, w in e.itertuples(index=False):
-                self.g.add_edge(int(s), int(d), weight=float(w))
+            s = e["src"].to_numpy(np.int64)
+            d = e["dst"].to_numpy(np.int64)
+            w = e[weight_col].to_numpy(np.float64)
+            self.ids = np.unique(np.concatenate([s, d]))
+            n = len(self.ids)
+            si = np.searchsorted(self.ids, np.concatenate([s, d]))
+            di = np.searchsorted(self.ids, np.concatenate([d, s]))
+            ww = np.concatenate([w, w])
+            order = np.argsort(si, kind="stable")
+            self.adj = di[order]
+            self.wts = ww[order]
+            self.indptr = np.searchsorted(si[order], np.arange(n + 1))
+
+        def _trace(self, src: int, targets: np.ndarray):
+            import heapq
+            s0 = int(np.searchsorted(self.ids, src))
+            if s0 >= len(self.ids) or self.ids[s0] != src:
+                return {}, {}
+            tset = set()
+            for t in targets:
+                ti = int(np.searchsorted(self.ids, t))
+                if ti < len(self.ids) and self.ids[ti] == t:
+                    tset.add(ti)
+            dist = {s0: 0.0}
+            pred = {s0: -1}
+            settled: set = set()
+            heap = [(0.0, s0)]
+            while heap and tset:
+                d0, u = heapq.heappop(heap)
+                if u in settled:
+                    continue
+                if cutoff is not None and d0 > cutoff:
+                    break
+                settled.add(u)
+                tset.discard(u)
+                for ei in range(self.indptr[u], self.indptr[u + 1]):
+                    v = int(self.adj[ei])
+                    nd = d0 + self.wts[ei]
+                    if v not in dist or nd < dist[v]:
+                        dist[v] = nd
+                        pred[v] = u
+                        heapq.heappush(heap, (nd, v))
+            dists, paths = {}, {}
+            for t in targets:
+                ti = int(np.searchsorted(self.ids, t))
+                if (ti >= len(self.ids) or self.ids[ti] != t
+                        or ti not in settled):
+                    continue
+                dists[int(t)] = dist[ti]
+                p = []
+                cur = ti
+                while cur != -1:
+                    p.append(int(self.ids[cur]))
+                    cur = pred[cur]
+                paths[int(t)] = p[::-1]
+            return dists, paths
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            import networkx as nx
             out_s, out_d, out_w, out_g = [], [], [], []
             for src, grp in batch.groupby("src_node", sort=False):
                 src = int(src)
-                if src in self.g:
-                    dists, paths = nx.single_source_dijkstra(
-                        self.g, src, cutoff=cutoff, weight="weight")
-                else:
-                    dists, paths = {}, {}
-                for dst in grp["dst_node"].to_numpy(np.int64):
+                tgts = grp["dst_node"].to_numpy(np.int64)
+                dists, paths = self._trace(src, tgts)
+                for dst in tgts:
                     dst = int(dst)
                     out_s.append(src)
                     out_d.append(dst)
