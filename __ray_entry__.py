@@ -2110,6 +2110,236 @@ def _morph_e2e(sf_dir: str):
     return pd.concat(frames, ignore_index=True)
 
 
+def _morph_multi_e2e(sf_dir: str):
+    """Multi-distance flagship gate (#77): ``morphological_graphs``
+    over the 10×10 grid with center (0,0) and distances [450, 650] —
+    shared cost field + dmax tessellation, per-distance segment /
+    enclosure / pp / mm / pm pruning.  On the grid the Dijkstra cost
+    field is EXACTLY the Manhattan field ``x + y`` (sums of 100.0 are
+    integer-valued floats), so the SQL twin prunes analytically:
+    enclosed cells at dmax satisfy (ex+ey+1)·100 ≤ 650; an enclosure
+    stays at distance d while its cheapest side (ex+ey)·100 ≤ d
+    (reference morphology.py:351-488 shared-context semantics)."""
+    import ray.data
+
+    from city2graph_ray.ops.morphology import morphological_graphs
+
+    GR, K, RES, PMD = 100.0, 10, 5.0, 25.0
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def pts(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        xi = (k * k * synth.QX + k * synth.AX + synth.BX) % synth.MOD
+        yi = (k * k * synth.QY + k * synth.AY + synth.BY) % synth.MOD
+        m = (xi % 10000 != 0) & (yi % 10000 != 0)
+        return pd.DataFrame({"id": k[m], "x": xi[m] / 100.0,
+                             "y": yi[m] / 100.0})
+
+    buildings = cust.map_batches(pts, batch_format="pandas")
+
+    rows = []
+    for v in range(K + 1):
+        for j in range(K):
+            rows.append((v * K + j,
+                         np.array([v * GR, j * GR, v * GR, (j + 1) * GR])))
+    base = (K + 1) * K
+    for v in range(K + 1):
+        for j in range(K):
+            rows.append((base + v * K + j,
+                         np.array([j * GR, v * GR, (j + 1) * GR, v * GR])))
+    segs = ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["seg_id", "coords"]))
+
+    out = morphological_graphs(buildings, segs, center=(0.0, 0.0),
+                               distances=[450.0, 650.0], resolution=RES,
+                               pm_max_distance=PMD)
+
+    def flat(layer: str, a, b, c, d) -> pd.DataFrame:
+        z = np.zeros(len(a), np.int64)
+        return pd.DataFrame({
+            "layer": layer,
+            "a": np.asarray(a, np.int64),
+            "b": np.asarray(b, np.int64) if b is not None else z,
+            "c": np.asarray(c, np.int64) if c is not None else z,
+            "d": np.asarray(d, np.int64) if d is not None else z})
+
+    def tcode(tids: pd.Series) -> np.ndarray:
+        parts = tids.str.split("_", expand=True).astype(np.int64)
+        return (parts[0] * 100000 + parts[1]).to_numpy()
+
+    frames = []
+    for dist, layers in out.items():
+        p = str(int(dist))
+        edges = layers["segment_edges"].to_pandas()
+        tess = layers["tessellation"].to_pandas()
+        pp = layers["place_place"].to_pandas()
+        mm = layers["movement_movement"].to_pandas()
+        pm = layers["place_movement"].to_pandas()
+        frames += [
+            flat(f"{p}:edges", edges["seg_id"], edges["src"],
+                 edges["dst"], edges["edge_key"]),
+            flat(f"{p}:tess", tess["enclosure_index"], tess["cell_ix"],
+                 tess["cell_iy"], tess["bldg_id"]),
+            flat(f"{p}:pp", tcode(pp["src"]) if len(pp) else [],
+                 tcode(pp["dst"]) if len(pp) else [],
+                 pp["enclosure_index"] if len(pp) else [], None),
+            flat(f"{p}:mm", mm["src"], mm["dst"], None, None),
+            flat(f"{p}:pm", pm["id"], pm["seg_id"],
+                 np.floor(pm["distance"].to_numpy(np.float64) * 1e6
+                          + 0.5).astype(np.int64), None),
+        ]
+    return pd.concat(frames, ignore_index=True)
+
+
+def _morph_multi_sql() -> str:
+    """SQL twin of :func:`_morph_multi_e2e`: per-distance UNION of the
+    analytically-pruned layers (Manhattan cost field on the grid)."""
+    pieces = []
+    for d in (450, 650):
+        smax = d // 100          # seg kept iff v+j <= smax
+        pieces.append(f"""
+            SELECT '{d}:edges' AS layer, seg_id AS a, src AS b,
+                   dst AS c, edge_key AS d
+            FROM sedges WHERE segsum <= {smax}
+            UNION ALL
+            SELECT '{d}:tess', t.eid, t.cell_ix, t.cell_iy, t.bid
+            FROM assign t JOIN enc ON enc.eid = t.eid
+            WHERE enc.ex + enc.ey <= {smax}
+            UNION ALL
+            SELECT '{d}:pp',
+                   CAST(string_split(q.tsrc, '_')[1] AS BIGINT)*100000
+                     + CAST(string_split(q.tsrc, '_')[2] AS BIGINT),
+                   CAST(string_split(q.tdst, '_')[1] AS BIGINT)*100000
+                     + CAST(string_split(q.tdst, '_')[2] AS BIGINT),
+                   q.eid, CAST(0 AS BIGINT)
+            FROM pp q JOIN enc ON enc.eid = q.eid
+            WHERE enc.ex + enc.ey <= {smax}
+            UNION ALL
+            SELECT '{d}:mm', i.seg_id, j.seg_id, CAST(0 AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM inc i JOIN inc j
+              ON i.node = j.node AND i.seg_id < j.seg_id
+             AND i.segsum <= {smax} AND j.segsum <= {smax}
+            GROUP BY 1, 2, 3, 4, 5
+            UNION ALL
+            SELECT '{d}:pm', id, seg_id,
+                   CAST(floor(distance * 1000000.0 + 0.5) AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM (SELECT id, seg_id, distance, row_number() OVER (
+                      PARTITION BY id ORDER BY distance, seg_id) AS rn
+                  FROM pmd WHERE segsum <= {smax}
+                    AND distance <= 25.0)
+            WHERE rn = 1""")
+        # NOTE: '{d}:mm' uses GROUP BY for DISTINCT pair semantics
+    body = "\n            UNION ALL".join(pieces)
+    return f"""
+            WITH raw AS (SELECT c_custkey AS id,
+                   ((c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
+                     + {synth.BX}) % {synth.MOD}) AS xi,
+                   ((c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
+                     + {synth.BY}) % {synth.MOD}) AS yi
+                 FROM customer),
+            b AS (SELECT id, xi/100.0 AS x, yi/100.0 AS y FROM raw
+                  WHERE xi % 10000 <> 0 AND yi % 10000 <> 0),
+            vv AS (SELECT i FROM generate_series(0, 10) t(i)),
+            jj AS (SELECT j FROM generate_series(0, 9) t(j)),
+            segs AS MATERIALIZED (
+              SELECT v.i*10 + j.j AS seg_id, v.i*100.0 AS ax,
+                     j.j*100.0 AS ay, v.i*100.0 AS bx,
+                     (j.j+1)*100.0 AS by, v.i + j.j AS segsum
+              FROM vv v, jj j
+              UNION ALL
+              SELECT 110 + v.i*10 + j.j, j.j*100.0, v.i*100.0,
+                     (j.j+1)*100.0, v.i*100.0, v.i + j.j
+              FROM vv v, jj j),
+            nds AS (SELECT row_number() OVER (ORDER BY x, y) - 1
+                        AS node_id, x, y
+                    FROM (SELECT DISTINCT x, y FROM (
+                          SELECT ax AS x, ay AS y FROM segs
+                          UNION ALL SELECT bx, by FROM segs))),
+            resolved AS MATERIALIZED (
+                SELECT s.seg_id, s.segsum, na.node_id AS na,
+                       nb.node_id AS nb
+                FROM segs s
+                JOIN nds na ON na.x = s.ax AND na.y = s.ay
+                JOIN nds nb ON nb.x = s.bx AND nb.y = s.by),
+            sedges AS (SELECT seg_id, segsum, least(na, nb) AS src,
+                              greatest(na, nb) AS dst,
+                              row_number() OVER (
+                                PARTITION BY least(na, nb),
+                                             greatest(na, nb)
+                                ORDER BY seg_id) - 1 AS edge_key
+                       FROM resolved),
+            inc AS (SELECT seg_id, segsum, na AS node FROM resolved
+                    UNION ALL SELECT seg_id, segsum, nb FROM resolved),
+            enc AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY ex, ey) - 1 AS eid,
+                     ex, ey
+              FROM (SELECT e1.ex, e2.ey
+                    FROM generate_series(0, 9) e1(ex),
+                         generate_series(0, 9) e2(ey)
+                    WHERE e1.ex + e2.ey <= 5)),
+            tb AS (SELECT b.id, b.x, b.y, enc.eid
+                   FROM b JOIN enc
+                     ON enc.ex = CAST(floor(b.x/100.0) AS BIGINT)
+                    AND enc.ey = CAST(floor(b.y/100.0) AS BIGINT)),
+            contained AS (SELECT eid, id, x, y,
+                            row_number() OVER (PARTITION BY eid
+                                ORDER BY x, y) - 1 AS rnk
+                          FROM tb),
+            occ AS (SELECT DISTINCT c.eid, e.ex, e.ey
+                    FROM contained c JOIN enc e ON e.eid = c.eid),
+            cel AS (SELECT occ.eid, occ.ex*20 + s1.i AS cell_ix,
+                      occ.ey*20 + s2.j AS cell_iy,
+                      (occ.ex*20 + s1.i + 0.5)*5.0 AS cx,
+                      (occ.ey*20 + s2.j + 0.5)*5.0 AS cy
+                    FROM occ, generate_series(0, 19) s1(i),
+                         generate_series(0, 19) s2(j)),
+            assign AS MATERIALIZED (
+               SELECT eid, cell_ix, cell_iy, rnk, bid FROM (
+                 SELECT cel.eid, cel.cell_ix, cel.cell_iy, ct.rnk,
+                        ct.id AS bid,
+                        (cel.cx - ct.x)*(cel.cx - ct.x)
+                        + (cel.cy - ct.y)*(cel.cy - ct.y) AS d2
+                 FROM cel JOIN contained ct ON ct.eid = cel.eid)
+               QUALIFY row_number() OVER (PARTITION BY eid, cell_ix,
+                   cell_iy ORDER BY d2, rnk) = 1),
+            tid AS (SELECT eid, cell_ix, cell_iy, rnk,
+                      CAST(eid AS VARCHAR) || '_'
+                        || CAST(rnk AS VARCHAR) AS t
+                    FROM assign),
+            pp AS MATERIALIZED (
+               SELECT DISTINCT least(p.t, q.t) AS tsrc,
+                      greatest(p.t, q.t) AS tdst, p.eid
+               FROM tid p JOIN tid q ON p.eid = q.eid
+                 AND ((q.cell_ix = p.cell_ix + 1
+                       AND q.cell_iy = p.cell_iy)
+                   OR (q.cell_ix = p.cell_ix
+                       AND q.cell_iy = p.cell_iy + 1))
+                 AND p.t <> q.t),
+            pmd AS MATERIALIZED (
+              SELECT id, seg_id, segsum,
+                sqrt((x - (ax + t*(bx - ax))) * (x - (ax + t*(bx - ax)))
+                   + (y - (ay + t*(by - ay))) * (y - (ay + t*(by - ay))))
+                  AS distance
+              FROM (SELECT tb.id, s.seg_id, s.segsum, tb.x, tb.y,
+                      s.ax, s.ay, s.bx, s.by,
+                      least(greatest(
+                        ((tb.x - s.ax)*(s.bx - s.ax)
+                         + (tb.y - s.ay)*(s.by - s.ay))
+                        / ((s.bx - s.ax)*(s.bx - s.ax)
+                           + (s.by - s.ay)*(s.by - s.ay)), 0.0), 1.0)
+                        AS t
+                    FROM b tb, segs s
+                    WHERE tb.x >= least(s.ax, s.bx) - 25.0
+                      AND tb.x <= greatest(s.ax, s.bx) + 25.0
+                      AND tb.y >= least(s.ay, s.by) - 25.0
+                      AND tb.y <= greatest(s.ay, s.by) + 25.0))
+            {body}"""
+
+
 def _simhash_md5(sf_dir: str):
     """Exact-complete simhash near-dup pairs: bands=8 > max_hamming=7
     guarantees every qualifying pair shares a band (pigeonhole), and
@@ -7584,6 +7814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_occurrence": _last_occurrence,
         "tess_place_place": _tess_place_place,
         "morph_graph_e2e": _morph_e2e,
+        "morph_multi_e2e": _morph_multi_e2e,
         "event_asof_click": _event_asof,
         "event_range_join": _event_range_join,
         "simhash_md5_pairs": _simhash_md5,
@@ -9625,6 +9856,7 @@ def oracle_sql() -> dict[str, str]:
              AND ((b2.cell_ix = a.cell_ix + 1 AND b2.cell_iy = a.cell_iy)
                OR (b2.cell_ix = a.cell_ix AND b2.cell_iy = a.cell_iy + 1))
              AND a.tess_id <> b2.tess_id""",
+        "morph_multi_e2e": _morph_multi_sql(),
         "morph_graph_e2e": f"""
             WITH raw AS (SELECT c_custkey AS id,
                    ((c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
