@@ -267,14 +267,20 @@ def clip_graph(nodes: ray.data.Dataset, edges: ray.data.Dataset,
     return kept_nodes, kept_edges
 
 
-def connected_components(edges: ray.data.Dataset, max_iters: int = 50) -> ray.data.Dataset:
+def connected_components(edges: ray.data.Dataset, max_iters: int = 50,
+                         driver_edge_threshold: int = 5_000_000,
+                         ) -> ray.data.Dataset:
     """Component label per node via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond" —
     public algorithm): each round is two bucketed groupby shuffles over
     the edge set, no node-label broadcast anywhere, converging in
     O(log n) rounds.  Returns (node_id, component) with component =
     min node id reachable.  Reference keeps the largest component
-    (utils/topology.py:775-825) — compose with a count + semi-filter."""
+    (utils/topology.py:775-825) — compose with a count + semi-filter.
+
+    Below ``driver_edge_threshold`` distinct edges a driver union-find
+    produces the IDENTICAL (node, min-id) labeling without the
+    O(log n) shuffle rounds (pagerank/k-core pattern; parity-tested)."""
 
     def canon(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch["src"].to_numpy(np.int64)
@@ -287,12 +293,41 @@ def connected_components(edges: ray.data.Dataset, max_iters: int = 50) -> ray.da
     e = shuffle.distinct(
         edges.map_batches(canon, batch_format="pandas"), ["u", "v"])
     e = e.materialize()
-    if e.count() == 0:
+    n_edges = e.count()
+    if n_edges == 0:
         # no (non-self) edges: empty component table (all-empty pandas
         # blocks lose their columns, so build it typed)
         return ray.data.from_pandas(pd.DataFrame(
             {"node_id": pd.Series(dtype=np.int64),
              "component": pd.Series(dtype=np.int64)}))
+
+    if n_edges <= driver_edge_threshold:
+        edf = e.to_pandas()
+        u = edf["u"].to_numpy(np.int64)
+        v = edf["v"].to_numpy(np.int64)
+        nid = np.unique(np.concatenate([u, v]))
+        parent = np.arange(len(nid), dtype=np.int64)
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        ui = np.searchsorted(nid, u)
+        vi = np.searchsorted(nid, v)
+        for a, b in zip(ui, vi):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter((find(int(i)) for i in range(len(nid))),
+                            np.int64, len(nid))
+        # component label = MIN node id in the component: since union
+        # always keeps the smaller root, root index == min member index
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node_id": nid, "component": nid[roots]}))
 
     def edge_checksum(ds: ray.data.Dataset) -> tuple[int, int]:
         def part(b: pd.DataFrame) -> pd.DataFrame:

@@ -129,3 +129,20 @@ def test_clip_graph():
     assert set(map(tuple, kedf[["src", "dst"]].to_numpy())) == {(0, 1), (1, 2)}
     # node 3 dropped (no surviving edge references it)
     assert set(kn.to_pandas()["node_id"]) == {0, 1, 2}
+
+
+def test_cc_driver_vs_distributed_parity():
+    import ray.data as rd
+
+    from city2graph_ray.ops.topology import connected_components
+
+    rng = np.random.default_rng(11)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 500, 900).astype(np.int64),
+        "dst": rng.integers(0, 500, 900).astype(np.int64)})
+    a = (connected_components(rd.from_pandas(edges))
+         .to_pandas().sort_values("node_id").reset_index(drop=True))
+    b = (connected_components(rd.from_pandas(edges),
+                              driver_edge_threshold=0)
+         .to_pandas().sort_values("node_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
