@@ -326,3 +326,62 @@ def test_pivot_counts_wide():
     assert out["n_x"].tolist() == [1, 2]
     assert out["n_y"].tolist() == [1, 0]       # 'zz' not listed → ignored
     assert out["n_x"].dtype == np.int64
+
+
+def test_network_knn_k_exceeds_point_count():
+    """Reference tests/test_proximity.py:1338: k larger than the
+    reachable point count emits what exists, no error."""
+    import ray.data as rd
+
+    from city2graph_ray.ops.network import network_knn_graph
+
+    nodes = pd.DataFrame({"node_id": np.arange(4, dtype=np.int64),
+                          "x": [0.0, 1.0, 2.0, 3.0],
+                          "y": [0.0, 0.0, 0.0, 0.0]})
+    edges = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3],
+                          "length": [1.0, 1.0, 1.0]})
+    pts = rd.from_pandas(pd.DataFrame({
+        "id": np.array([10, 11, 12], np.int64),
+        "x": [0.0, 1.0, 3.0], "y": [0.0, 0.0, 0.0]}))
+    out = (network_knn_graph(pts, nodes, edges, k=10)
+           .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True))
+    # every point sees both others (chain is connected): 3*2 pairs
+    assert len(out) == 6
+    got = out[(out["src"] == 10) & (out["dst"] == 12)]["distance"].iloc[0]
+    assert got == 3.0
+
+
+def test_network_fixed_radius_matches_bruteforce():
+    """Reference tests/test_proximity.py:1324: cutoff Dijkstra radius
+    pairs equal the brute-force all-pairs network distances."""
+    import networkx as nx
+    import ray.data as rd
+
+    from city2graph_ray.ops.network import network_fixed_radius_graph
+
+    rng = np.random.default_rng(2)
+    n = 12
+    nodes = pd.DataFrame({"node_id": np.arange(n, dtype=np.int64),
+                          "x": rng.uniform(0, 10, n),
+                          "y": rng.uniform(0, 10, n)})
+    edges = pd.DataFrame({
+        "src": rng.integers(0, n, 20), "dst": rng.integers(0, n, 20)})
+    edges = (edges[edges["src"] != edges["dst"]]
+             .drop_duplicates(["src", "dst"]))
+    edges["length"] = rng.uniform(0.5, 2.0, len(edges))
+    pts = rd.from_pandas(nodes.rename(columns={"node_id": "id"}))
+
+    R = 3.0
+    out = network_fixed_radius_graph(pts, nodes, edges, R).to_pandas()
+    got = set(map(tuple, out[["src", "dst"]].to_numpy()))
+
+    g = nx.Graph()
+    for s, d, w in edges.itertuples(index=False):
+        g.add_edge(int(s), int(d), weight=float(w))
+    want = set()
+    lens = dict(nx.all_pairs_dijkstra_path_length(g, weight="weight"))
+    for u in lens:
+        for v, dd in lens[u].items():
+            if u < v and dd <= R:
+                want.add((u, v))
+    assert got == want
