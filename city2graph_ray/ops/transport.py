@@ -263,16 +263,38 @@ def travel_summary_graph(
 
     stop_times is the big table and streams; trips/calendar/frequencies
     are dimension tables broadcast via closure capture."""
-    active = expand_service_days(calendar, calendar_dates)
-    svc_counts = active.groupby("service_id").size().rename("service_days")
+    no_cal = ((calendar is None or len(calendar) == 0)
+              and (calendar_dates is None or len(calendar_dates) == 0))
+    if no_cal:
+        # reference parity (tests/test_transportation.py:560): a feed
+        # without any calendar falls back to counting each trip once
+        active = pd.DataFrame({"service_id": [], "date": []})
+        svc_counts = pd.Series(dtype=np.int64)
+    else:
+        active = expand_service_days(
+            calendar if calendar is not None else
+            pd.DataFrame(columns=["service_id", "start_date", "end_date",
+                                  "monday", "tuesday", "wednesday",
+                                  "thursday", "friday", "saturday",
+                                  "sunday"]),
+            calendar_dates)
+        svc_counts = (active.groupby("service_id").size()
+                      .rename("service_days"))
     trips2 = trips.copy()
-    trips2["service_days"] = trips2["service_id"].map(svc_counts).fillna(0).astype(int)
+    trips2["service_days"] = (
+        np.int64(1) if no_cal
+        else trips2["service_id"].map(svc_counts).fillna(0).astype(int))
     mult = frequency_multipliers(frequencies).set_index("trip_id")["multiplier"]
     trips2["multiplier"] = trips2["trip_id"].map(mult).fillna(1).astype(int)
     trips2["service_count"] = trips2["service_days"] * trips2["multiplier"]
     sc_map = dict(zip(trips2["trip_id"], trips2["service_count"]))
     t0 = time_to_seconds(start_time) if start_time else None
     t1 = time_to_seconds(end_time) if end_time else None
+    if t0 is not None and t1 is not None and t0 > t1:
+        # reference parity (:640): an inverted time window is a caller
+        # error, not an empty result
+        raise ValueError(
+            f"start_time {start_time!r} is after end_time {end_time!r}")
 
     def legs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()

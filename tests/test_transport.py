@@ -381,3 +381,49 @@ def test_times_to_seconds_vectorized_parity():
     np.testing.assert_array_equal(times_to_seconds(num),
                                   np.array([1.0, 0.0, 7200.0]))
     assert times_to_seconds(pd.Series([], dtype=object)).shape == (0,)
+
+
+def test_travel_summary_no_calendar_falls_back_to_trip_counts():
+    """Reference :560/:573/:640/:728 parity: no calendar → each trip
+    counts once; calendar_dates-only feeds still expand; inverted time
+    window raises; instant window returns empty (zero-duration legs
+    dropped)."""
+    import pytest
+    import ray.data as rd
+
+    from city2graph_ray.ops.transport import travel_summary_graph
+
+    st = pd.DataFrame({
+        "trip_id": ["t1", "t1", "t2", "t2"],
+        "stop_id": ["A", "B", "A", "B"],
+        "stop_sequence": [1, 2, 1, 2],
+        "arrival_time": ["08:00:00", "08:10:00", "09:00:00", "09:10:00"],
+        "departure_time": ["08:00:00", "08:10:00", "09:00:00", "09:10:00"]})
+    trips = pd.DataFrame({"trip_id": ["t1", "t2"],
+                          "service_id": ["s1", "s1"]})
+    empty_cal = pd.DataFrame(columns=[
+        "service_id", "start_date", "end_date", "monday", "tuesday",
+        "wednesday", "thursday", "friday", "saturday", "sunday"])
+
+    out = travel_summary_graph(rd.from_pandas(st), trips,
+                               empty_cal).to_pandas()
+    assert len(out) == 1
+    assert out["frequency"].iloc[0] == 2  # one per trip
+    assert out["mean_travel_time"].iloc[0] == 600.0
+
+    # calendar_dates-only feed: service active on 2 exception days
+    cd = pd.DataFrame({"service_id": ["s1", "s1"],
+                       "date": ["20240101", "20240102"],
+                       "exception_type": [1, 1]})
+    out2 = travel_summary_graph(rd.from_pandas(st), trips, empty_cal,
+                                calendar_dates=cd).to_pandas()
+    assert out2["frequency"].iloc[0] == 4  # 2 days x 2 trips
+
+    with pytest.raises(ValueError, match="after end_time"):
+        travel_summary_graph(rd.from_pandas(st), trips, empty_cal,
+                             start_time="10:00:00", end_time="08:00:00")
+
+    inst = travel_summary_graph(rd.from_pandas(st), trips, empty_cal,
+                                start_time="08:00:00",
+                                end_time="08:00:00")
+    assert inst.count() == 0
