@@ -1175,6 +1175,107 @@ def _delaunay(sf_dir: str):
     return delaunay_graph(customer_points(sf_dir), tiled=True)
 
 
+def _delaunay_small_exact(sf_dir: str):
+    """Exact-config Delaunay sibling (r4): ~n/23 customer points,
+    edge SET value-compared against the empty-circumcircle
+    characterization in SQL — (a,b) is Delaunay iff some triangle
+    (a,b,c) with nonzero orientation has NO point strictly inside its
+    circumcircle (general-position points; the synth coords have no
+    cocircular quads at gate scale).  Certifies the Delaunator
+    machinery the way ivf_ann_exact certifies IVF; the full-corpus
+    `delaunay_edges` stays rows-only."""
+    from city2graph_ray.ops.proximity import delaunay_graph
+    from city2graph_ray.pipelines.tables import customer_points
+
+    pts = customer_points(sf_dir).filter(
+        lambda r: r["id"] % 23 == 0)
+    out = delaunay_graph(pts, tiled=False)
+    return out.map_batches(
+        lambda b: b[["src", "dst"]].astype(np.int64),
+        batch_format="pandas")
+
+
+_DELAUNAY_CTES = f"""p AS (SELECT c_custkey AS id,
+                      {synth.sql_x('c_custkey')} AS x,
+                      {synth.sql_y('c_custkey')} AS y
+               FROM customer WHERE c_custkey % 23 = 0),
+    tri AS MATERIALIZED (
+      SELECT a.id AS ia, a.x AS ax, a.y AS ay,
+             b.id AS ib, b.x AS bx, b.y AS by,
+             c.id AS ic, c.x AS cx, c.y AS cy,
+             (b.x - a.x)*(c.y - a.y) - (b.y - a.y)*(c.x - a.x) AS ori
+      FROM p a JOIN p b ON a.id < b.id
+      JOIN p c ON c.id <> a.id AND c.id <> b.id),
+    bad AS (
+      SELECT DISTINCT t.ia, t.ib, t.ic
+      FROM tri t JOIN p d
+        ON d.id <> t.ia AND d.id <> t.ib AND d.id <> t.ic
+      WHERE t.ori <> 0 AND (
+        ((t.ax - d.x)*((t.by - d.y)
+             * ((t.cx - d.x)*(t.cx - d.x) + (t.cy - d.y)*(t.cy - d.y))
+           - ((t.bx - d.x)*(t.bx - d.x) + (t.by - d.y)*(t.by - d.y))
+             * (t.cy - d.y))
+         - (t.ay - d.y)*((t.bx - d.x)
+             * ((t.cx - d.x)*(t.cx - d.x) + (t.cy - d.y)*(t.cy - d.y))
+           - ((t.bx - d.x)*(t.bx - d.x) + (t.by - d.y)*(t.by - d.y))
+             * (t.cx - d.x))
+         + ((t.ax - d.x)*(t.ax - d.x) + (t.ay - d.y)*(t.ay - d.y))
+             * ((t.bx - d.x)*(t.cy - d.y) - (t.by - d.y)*(t.cx - d.x)))
+        * t.ori > 0)),
+    good AS (
+      SELECT DISTINCT t.ia, t.ib FROM tri t
+      WHERE t.ori <> 0 AND NOT EXISTS (
+        SELECT 1 FROM bad
+        WHERE bad.ia = t.ia AND bad.ib = t.ib AND bad.ic = t.ic))"""
+
+_DELAUNAY_SMALL_SQL = ("WITH " + _DELAUNAY_CTES
+                       + "\n    SELECT ia AS src, ib AS dst FROM good")
+
+
+def _emst_small_exact(sf_dir: str):
+    """Exact-config EMST sibling (r4): same ~n/23 sample as
+    `delaunay_small_exact`.  All pairwise squared distances are
+    DISTINCT on the fixtures (verified), so the MST is unique and the
+    SQL twin applies the cycle property over the certified Delaunay
+    candidate set: edge e is in the MST iff its endpoints are NOT
+    connected by strictly-shorter Delaunay edges (unrolled reach
+    ladder).  Certifies Kruskal/Borůvka output; the full-corpus
+    `emst_edges` stays rows-only."""
+    from city2graph_ray.ops.proximity import euclidean_minimum_spanning_tree
+    from city2graph_ray.pipelines.tables import customer_points
+
+    pts = customer_points(sf_dir).filter(lambda r: r["id"] % 23 == 0)
+    out = euclidean_minimum_spanning_tree(pts)
+    return out.map_batches(
+        lambda b: b[["src", "dst"]].astype(np.int64),
+        batch_format="pandas")
+
+
+def _emst_small_sql(rounds: int = 70) -> str:
+    ctes = [_DELAUNAY_CTES,
+            """de AS MATERIALIZED (
+      SELECT g.ia, g.ib, g.ia*1000000 + g.ib AS eid,
+             (pa.x - pb.x)*(pa.x - pb.x)
+             + (pa.y - pb.y)*(pa.y - pb.y) AS w2
+      FROM good g JOIN p pa ON pa.id = g.ia
+                  JOIN p pb ON pb.id = g.ib)""",
+            """adj AS MATERIALIZED (
+      SELECT ia AS u, ib AS v, w2 FROM de
+      UNION ALL SELECT ib, ia, w2 FROM de)""",
+            "r0 AS (SELECT eid, w2, ia AS node FROM de)"]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+      SELECT eid, w2, node FROM (
+        SELECT eid, w2, node FROM r{k - 1}
+        UNION SELECT r.eid, r.w2, a.v
+        FROM r{k - 1} r JOIN adj a
+          ON a.u = r.node AND a.w2 < r.w2))""")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT de.ia AS src, de.ib AS dst FROM de
+    WHERE NOT EXISTS (SELECT 1 FROM r{rounds} r
+                      WHERE r.eid = de.eid AND r.node = de.ib)""")
+
+
 def _gabriel(sf_dir: str):
     from city2graph_ray.ops.proximity import gabriel_graph
     from city2graph_ray.pipelines.tables import customer_points
@@ -7758,6 +7859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_edges": _segment_edges,
         "dual_edges": _dual_edges,
         "delaunay_edges": _delaunay,
+        "delaunay_small_exact": _delaunay_small_exact,
+        "emst_small_exact": _emst_small_exact,
         "gabriel_edges": _gabriel,
         "rng_edges": _rng,
         "emst_edges": _emst,
@@ -9857,6 +9960,8 @@ def oracle_sql() -> dict[str, str]:
                OR (b2.cell_ix = a.cell_ix AND b2.cell_iy = a.cell_iy + 1))
              AND a.tess_id <> b2.tess_id""",
         "morph_multi_e2e": _morph_multi_sql(),
+        "delaunay_small_exact": _DELAUNAY_SMALL_SQL,
+        "emst_small_exact": _emst_small_sql(),
         "morph_graph_e2e": f"""
             WITH raw AS (SELECT c_custkey AS id,
                    ((c_custkey*c_custkey*{synth.QX} + c_custkey*{synth.AX}
