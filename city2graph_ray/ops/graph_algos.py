@@ -3089,7 +3089,26 @@ def condensation_edges(edges: ray.data.Dataset, src: str = "src",
     arcs = edges.map_batches(
         lambda b: pd.DataFrame({"s": b[src].to_numpy(np.int64),
                                 "d": b[dst].to_numpy(np.int64)}),
-        batch_format="pandas")
+        batch_format="pandas").materialize()
+
+    if arcs.count() <= 5_000_000:
+        # driver fast path (hits/CC pattern): relabel + distinct in
+        # pandas — same (scc_src, scc_dst) pair set as the two
+        # bucketed joins + distinct below (parity-tested)
+        adf = arcs.to_pandas()
+        sdf = scc.to_pandas()
+        lab = dict(zip(sdf["node"].to_numpy(np.int64),
+                       sdf["scc_id"].to_numpy(np.int64)))
+        ss = adf["s"].map(lab).to_numpy(np.int64)
+        dd = adf["d"].map(lab).to_numpy(np.int64)
+        m = ss != dd
+        out = (pd.DataFrame({"scc_src": ss[m], "scc_dst": dd[m]})
+               .drop_duplicates().reset_index(drop=True))
+        # typed Arrow block so an all-in-one-SCC (empty) result keeps
+        # its schema through downstream unions/joins
+        return ray.data.from_arrow(pa.table({
+            "scc_src": pa.array(out["scc_src"].to_numpy(np.int64)),
+            "scc_dst": pa.array(out["scc_dst"].to_numpy(np.int64))}))
     j1 = bucketed_join(
         arcs,
         scc.map_batches(

@@ -1179,3 +1179,43 @@ def test_dag_depth_and_markov_driver_vs_distributed_parity():
                        driver_edge_threshold=0, num_buckets=4)
           .to_pandas().sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(m1, m2)
+
+
+def test_condensation_driver_vs_distributed_parity():
+    import ray.data as rd
+
+    from city2graph_ray.ops.graph_algos import condensation_edges
+
+    rng = np.random.default_rng(9)
+    # sparse digraph: several nontrivial SCCs and a nonempty DAG
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 40, 45).astype(np.int64),
+        "dst": rng.integers(0, 40, 45).astype(np.int64)})
+
+    def canon(ds):
+        return (ds.to_pandas().sort_values(["scc_src", "scc_dst"])
+                .reset_index(drop=True))
+
+    a = canon(condensation_edges(rd.from_pandas(edges)))
+    # distributed branch: monkey-wise force via a tiny threshold is not
+    # parameterized here; instead compare against a networkx oracle
+    import networkx as nx
+    g = nx.DiGraph()
+    g.add_edges_from(edges.values)
+    comp = {n: min(c) for c in nx.strongly_connected_components(g)
+            for n in c}
+    want = sorted({(comp[s], comp[d]) for s, d in edges.values
+                   if comp[s] != comp[d]})
+    # engine scc ids may differ from min-member ids; compare structure
+    # via relabeled-by-member mapping
+    sccmap = {}
+    import city2graph_ray.ops.graph_algos as ga
+    lab = (ga.strongly_connected_components(rd.from_pandas(edges))
+           .to_pandas())
+    eng = dict(zip(lab["node"], lab["scc_id"]))
+    trans = {}
+    for n, sid in eng.items():
+        trans.setdefault(sid, comp[n])
+    got = sorted({(trans[s], trans[d])
+                  for s, d in a[["scc_src", "scc_dst"]].to_numpy()})
+    assert got == want
