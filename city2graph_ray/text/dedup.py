@@ -722,13 +722,15 @@ def _clusters_from_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
 def neardup_clusters_exact(docs: ray.data.Dataset, threshold: float = 0.6,
                            shingle_k: int = 5, text_col: str = "text",
                            id_col: str = "doc_id", order: str = "df",
+                           num_buckets: int = shuffle.DEFAULT_BUCKETS,
                            ) -> ray.data.Dataset:
     """Deterministic near-dup clusters: exact prefix-filtered similarity
     join (:func:`jaccard_join_exact`) → connected components → min-id
     cluster per doc.  Unlike :func:`minhash_dedup` this has NO
     probabilistic recall term, so it is bit-exactly SQL-oracle-able."""
     pairs = jaccard_join_exact(docs, threshold, shingle_k, text_col,
-                               id_col, order=order)
+                               id_col, order=order,
+                               num_buckets=num_buckets)
     return _clusters_from_pairs(pairs, docs, id_col)
 
 
