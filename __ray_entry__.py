@@ -1452,7 +1452,7 @@ def _doc_containment(sf_dir: str):
                               ignore_index=True)})
 
     docs = documents(sf_dir).map_batches(salt, batch_format="pandas")
-    return containment_join(docs, threshold=0.8)
+    return containment_join(docs, threshold=0.8, pin=True)
 
 
 def _doc_tokens(sf_dir: str):
@@ -1536,13 +1536,17 @@ def _ssjoin_edit(sf_dir: str):
 def _ssjoin_jaccard(sf_dir: str):
     from city2graph_ray.pipelines.tables import documents
     from city2graph_ray.text.dedup import jaccard_join_exact
-    return jaccard_join_exact(documents(sf_dir), threshold=0.6, round_to=6)
+    # pin=True: gate corpus is 500 docs (at scale the pruned re-read
+    # streams instead; the op default stays unpinned)
+    return jaccard_join_exact(documents(sf_dir), threshold=0.6, round_to=6,
+                              pin=True)
 
 
 def _neardup_clusters(sf_dir: str):
     from city2graph_ray.pipelines.tables import documents
     from city2graph_ray.text.dedup import neardup_clusters_exact
-    return neardup_clusters_exact(documents(sf_dir), threshold=0.6)
+    return neardup_clusters_exact(documents(sf_dir), threshold=0.6,
+                                  pin=True)
 
 
 def _simhash(sf_dir: str):
@@ -5695,7 +5699,7 @@ def _ssjoin_cosine(sf_dir: str):
     from city2graph_ray.text.dedup import cosine_join_exact
     # 16 buckets: gate corpus is 500 docs (op default stays scale-sized)
     return cosine_join_exact(documents(sf_dir), threshold=0.7, round_to=6,
-                             num_buckets=16)
+                             num_buckets=16, pin=True)
 
 
 def _emb_projection(sf_dir: str):

@@ -302,13 +302,33 @@ def _pairs_with_texts(cand: ray.data.Dataset, docs: ray.data.Dataset,
     from city2graph_ray.joins import bucketed_join
     import pyarrow as pa
 
-    if cand.schema(fetch_if_missing=True) is None:
+    # pin the pair stream ONCE: it is the natural shuffle boundary,
+    # and an unpinned chain would re-execute the whole candidate
+    # pipeline per schema probe + per join (the r3 bucketed_join
+    # hint-trust lesson; measured ~3x re-execution here)
+    cand = cand.materialize()
+    cs = cand.schema()
+    if cs is None:
         # zero candidates (tiny corpus / no LSH collisions): Ray drops
         # the schema of all-empty datasets, which the join rejects —
         # substitute a typed empty pair stream
         cand = ray.data.from_pandas(pd.DataFrame(
             {"a": pd.Series(dtype=np.int64),
              "b": pd.Series(dtype=np.int64)}))
+        cs = cand.schema()
+
+    def _pa(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            dt = np.dtype(t)
+            return pa.string() if dt == object else pa.from_numpy_dtype(dt)
+        except TypeError:
+            return pa.string()
+
+    cand_fields = [(n, _pa(t)) for n, t in zip(cs.names, cs.types)]
+    types = dict(cand_fields)
+    txt = pa.string()
 
     def side(pair_col: str, out_text: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -318,8 +338,14 @@ def _pairs_with_texts(cand: ray.data.Dataset, docs: ray.data.Dataset,
 
     ta = docs.map_batches(side("a", "__text_a"), batch_format="pyarrow")
     tb = docs.map_batches(side("b", "__text_b"), batch_format="pyarrow")
-    j = bucketed_join(cand, ta, on="a", num_buckets=num_buckets)
-    return bucketed_join(j, tb, on="b", num_buckets=num_buckets)
+    j = bucketed_join(cand, ta, on="a", num_buckets=num_buckets,
+                      left_schema=pa.schema(cand_fields),
+                      right_schema=pa.schema([("a", types["a"]),
+                                              ("__text_a", txt)]))
+    return bucketed_join(
+        j, tb, on="b", num_buckets=num_buckets,
+        left_schema=pa.schema([*cand_fields, ("__text_a", txt)]),
+        right_schema=pa.schema([("b", types["b"]), ("__text_b", txt)]))
 
 
 class _JaccardVerify:
@@ -466,7 +492,7 @@ def jaccard_join_exact(docs: ray.data.Dataset, threshold: float = 0.6,
                        id_col: str = "doc_id", round_to: int = 6,
                        order: str = "df",
                        num_buckets: int = shuffle.DEFAULT_BUCKETS,
-                       ) -> ray.data.Dataset:
+                       pin: bool = False) -> ray.data.Dataset:
     """EXACT set-similarity self-join: ALL pairs (a < b) whose
     character-``shingle_k``-gram Jaccard is ≥ ``threshold`` — the
     deterministic companion to the probabilistic MinHash-LSH path
@@ -496,10 +522,21 @@ def jaccard_join_exact(docs: ray.data.Dataset, threshold: float = 0.6,
         raise ValueError("jaccard_join_exact: shingle_k must be ≤ 7 "
                          "(packed shingle ids must stay int64-safe)")
 
+    if pin:
+        # docs is consumed 3x (shingles + both text join-backs) and the
+        # shingle explode 2x (df counts + postings); without pin each
+        # consumer re-executes the upstream pipeline (lazy lineage).
+        # Pin when the corpus fits the object store (the edjoin
+        # contract); leave False at scale and let the pruned re-read
+        # stream.
+        docs = docs.materialize()
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         return _explode_shingles(batch, shingle_k, text_col, id_col)
 
     sh = docs.map_batches(explode, batch_format="pandas")
+    if pin:
+        sh = sh.materialize()
 
     def _prefix(g: pd.DataFrame, order_cols: list[str]) -> pd.DataFrame:
         g = g.sort_values(order_cols, kind="stable")
@@ -592,7 +629,7 @@ def cosine_join_exact(docs: ray.data.Dataset, threshold: float = 0.7,
                       shingle_k: int = 5, text_col: str = "text",
                       id_col: str = "doc_id", round_to: int = 6,
                       num_buckets: int = shuffle.DEFAULT_BUCKETS,
-                      ) -> ray.data.Dataset:
+                      pin: bool = False) -> ray.data.Dataset:
     """EXACT binary-cosine set-similarity self-join: all pairs (a < b)
     with cos(A, B) = |A∩B| / √(|A|·|B|) ≥ ``threshold`` over distinct
     character ``shingle_k``-gram sets.  Output (a, b, cosine).
@@ -613,10 +650,15 @@ def cosine_join_exact(docs: ray.data.Dataset, threshold: float = 0.7,
     p, q = frac.numerator, frac.denominator
     p2, q2 = p * p, q * q
 
+    if pin:  # see jaccard_join_exact: 3x docs / 2x shingle consumers
+        docs = docs.materialize()
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         return _explode_shingles(batch, shingle_k, text_col, id_col)
 
     sh = docs.map_batches(explode, batch_format="pandas")
+    if pin:
+        sh = sh.materialize()
     dfs = shuffle.group_agg(sh, ["s"], {"df": (id_col, "size")},
                             num_buckets=num_buckets)
     from city2graph_ray.joins import bucketed_join
@@ -723,14 +765,14 @@ def neardup_clusters_exact(docs: ray.data.Dataset, threshold: float = 0.6,
                            shingle_k: int = 5, text_col: str = "text",
                            id_col: str = "doc_id", order: str = "df",
                            num_buckets: int = shuffle.DEFAULT_BUCKETS,
-                           ) -> ray.data.Dataset:
+                           pin: bool = False) -> ray.data.Dataset:
     """Deterministic near-dup clusters: exact prefix-filtered similarity
     join (:func:`jaccard_join_exact`) → connected components → min-id
     cluster per doc.  Unlike :func:`minhash_dedup` this has NO
     probabilistic recall term, so it is bit-exactly SQL-oracle-able."""
     pairs = jaccard_join_exact(docs, threshold, shingle_k, text_col,
                                id_col, order=order,
-                               num_buckets=num_buckets)
+                               num_buckets=num_buckets, pin=pin)
     return _clusters_from_pairs(pairs, docs, id_col)
 
 
@@ -1061,7 +1103,7 @@ def containment_join(docs: ray.data.Dataset, threshold: float = 0.8,
                      id_col: str = "doc_id", round_to: int = 6,
                      order: str = "df",
                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
-                     ) -> ray.data.Dataset:
+                     pin: bool = False) -> ray.data.Dataset:
     """EXACT directed containment self-join: all pairs (a ≠ b) with
     ``|shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold`` — the
     near-CONTAINMENT screen (quotes, truncations, wrapper pages) that
@@ -1085,6 +1127,9 @@ def containment_join(docs: ray.data.Dataset, threshold: float = 0.8,
     lever).  ``order="hash"`` (splitmix64, no extra shuffle) remains
     for corpora without heavy shingle skew.  Both are exact.
     """
+    if pin:  # docs also feeds both text join-backs
+        docs = docs.materialize()
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         return _explode_shingles(batch, shingle_k, text_col, id_col)
 
