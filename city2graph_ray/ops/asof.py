@@ -152,6 +152,11 @@ def asof_join(
         raise ValueError(f"bad direction {direction!r}")
     by = [by] if isinstance(by, str) else list(by or [])
 
+    # pin ONCE: the min-max pass, the schema probe and the join would
+    # otherwise each re-execute the upstream pipelines (lazy lineage —
+    # the _pairs_with_texts lesson)
+    left = left.materialize()
+    right = right.materialize()
     lo, hi = _min_max(left, on)
     lschema = left.schema(fetch_if_missing=True)
     rschema = right.schema(fetch_if_missing=True)
@@ -287,6 +292,8 @@ def range_join(
     ``num_buckets`` so typical spans cover O(1) bins."""
     by = [by] if isinstance(by, str) else list(by or [])
 
+    intervals = intervals.materialize()
+    points = points.materialize()
     ilo, ihi = _min_max(intervals, start_col)
     plo, phi = _min_max(points, t_col)
     lo, hi = min(ilo, plo), max(ihi, phi)
