@@ -138,6 +138,7 @@ def asof_join(
     tolerance=None,
     num_buckets: int = _NB,
     suffixes: tuple[str, str] = ("", "_r"),
+    pin: bool = True,
 ) -> ray.data.Dataset:
     """Distributed left as-of join (DuckDB ``ASOF LEFT JOIN`` /
     ``pd.merge_asof`` semantics, exact matches allowed).
@@ -147,16 +148,22 @@ def asof_join(
     (duplicate right timestamps make every as-of engine's pick
     order-dependent, including DuckDB's).  Right value columns come
     back float64/NaT-nullable (left-join misses).
+
+    ``pin=True`` (default) materializes both inputs once so the
+    min-max pass, the schema probe and the join read cached blocks
+    instead of re-executing the upstream lineage three times (the
+    ``_pairs_with_texts`` lesson).  Pass ``pin=False`` when an input
+    is larger than the object store and must stream: the join still
+    works, at the cost of re-running its upstream per consumer —
+    same trade as :func:`text.dedup.jaccard_join_exact`.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction {direction!r}")
     by = [by] if isinstance(by, str) else list(by or [])
 
-    # pin ONCE: the min-max pass, the schema probe and the join would
-    # otherwise each re-execute the upstream pipelines (lazy lineage —
-    # the _pairs_with_texts lesson)
-    left = left.materialize()
-    right = right.materialize()
+    if pin:
+        left = left.materialize()
+        right = right.materialize()
     lo, hi = _min_max(left, on)
     lschema = left.schema(fetch_if_missing=True)
     rschema = right.schema(fetch_if_missing=True)
@@ -283,17 +290,24 @@ def range_join(
     by: str | Sequence[str] | None = None,
     num_buckets: int = _NB,
     suffixes: tuple[str, str] = ("", "_r"),
+    pin: bool = True,
 ) -> ray.data.Dataset:
     """Inner interval join: pairs where ``start <= t <= end`` (and the
     optional ``by`` keys match).  Intervals are replicated to every time
     bin they overlap; points live in one bin; the per-group merge joins
     on the bin id too, so each matching pair appears exactly once.
     Worst-case duplication = interval span / bin width; choose
-    ``num_buckets`` so typical spans cover O(1) bins."""
+    ``num_buckets`` so typical spans cover O(1) bins.
+
+    ``pin=True`` caches both inputs once (three consumers each:
+    min-max, schema probe, join); ``pin=False`` keeps them streaming
+    for larger-than-object-store inputs at re-execution cost — see
+    :func:`asof_join`."""
     by = [by] if isinstance(by, str) else list(by or [])
 
-    intervals = intervals.materialize()
-    points = points.materialize()
+    if pin:
+        intervals = intervals.materialize()
+        points = points.materialize()
     ilo, ihi = _min_max(intervals, start_col)
     plo, phi = _min_max(points, t_col)
     lo, hi = min(ilo, plo), max(ihi, phi)

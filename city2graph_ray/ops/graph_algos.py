@@ -3070,6 +3070,7 @@ def attack_robustness(edges: ray.data.Dataset, n_remove: int,
 def condensation_edges(edges: ray.data.Dataset, src: str = "src",
                        dst: str = "dst",
                        num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                       driver_edge_threshold: int = 5_000_000,
                        ) -> ray.data.Dataset:
     """Condensation DAG of a digraph: one edge (scc_src → scc_dst) per
     pair of DISTINCT strongly connected components joined by at least
@@ -3091,7 +3092,7 @@ def condensation_edges(edges: ray.data.Dataset, src: str = "src",
                                 "d": b[dst].to_numpy(np.int64)}),
         batch_format="pandas").materialize()
 
-    if arcs.count() <= 5_000_000:
+    if arcs.count() <= driver_edge_threshold:
         # driver fast path (hits/CC pattern): relabel + distinct in
         # pandas — same (scc_src, scc_dst) pair set as the two
         # bucketed joins + distinct below (parity-tested)
@@ -3486,9 +3487,15 @@ def markov_power(edges: ray.data.Dataset, iters: int = 4,
     row-stochastic transition matrix built from integer edge weights
     (``P_ij = w_ij / Σ_j w_ij``), from the uniform start — the
     power-iteration approximation of the stationary distribution.
-    Per-iteration rounding to ``round_iter`` decimals keeps float
-    association order out of the result (the pagerank exactness
-    contract), so the unrolled-CTE SQL twin is bit-exact.  States
+    Per-iteration rounding to ``round_iter`` decimals quenches float
+    association-order divergence between the driver path (``np.add.at``
+    in edge order), the distributed rounds (group_agg partial sums)
+    and the SQL twin (the pagerank rounding contract).  As with
+    pagerank, this is a rounding contract, not a guarantee: a partial
+    sum landing within ~1e-16 of a round_iter boundary could still
+    round differently across association orders (never observed at
+    the gate; the int64 recurrences in hits/dag_longest_path are the
+    order-free alternatives when a hard guarantee is needed).  States
     with no in-edges decay to 0 (no teleport floor).  Output
     ``(node, prob)`` rounded to ``round_to``.
 
@@ -3605,6 +3612,7 @@ def markov_power(edges: ray.data.Dataset, iters: int = 4,
 def bowtie_structure(edges: ray.data.Dataset, rounds: int = 12,
                      src: str = "src", dst: str = "dst",
                      num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                     driver_edge_threshold: int = 5_000_000,
                      ) -> pd.DataFrame:
     """Web-graph bow-tie decomposition (Broder et al. 2000, public
     literature): CORE = the largest SCC (ties → smallest scc_id), IN =
@@ -3655,7 +3663,7 @@ def bowtie_structure(edges: ray.data.Dataset, rounds: int = 12,
         batch_format="pandas").materialize()
     node_schema = pa.schema([("node", pa.int64())])
 
-    if e.count() <= 5_000_000:
+    if e.count() <= driver_edge_threshold:
         # driver fast path (hits/dag pattern): bounded-round boolean
         # BFS over the collected int64 edge list is set-identical to
         # the union+distinct sweeps (counts parity-tested)

@@ -375,16 +375,18 @@ def _as_enc_ref(enclosures) -> "ray.ObjectRef":
 
 @ray.remote
 def _enc_assign_stats(enc: pd.DataFrame) -> tuple:
-    """(#enclosures, median max-bbox-side) — scalars only to the driver."""
+    """(#enclosures, median max-bbox-side, max max-bbox-side) —
+    scalars only to the driver."""
     n = len(enc)
     if n == 0:
-        return 0, 1.0
+        return 0, 1.0, 1.0
     sides = np.empty(n, np.float64)
     for i, c in enumerate(enc["coords"]):
         r = np.asarray(c, np.float64).reshape(-1, 2)
         sides[i] = max(r[:, 0].max() - r[:, 0].min(),
                        r[:, 1].max() - r[:, 1].min())
-    return n, float(max(np.median(sides), 1e-9))
+    return (n, float(max(np.median(sides), 1e-9)),
+            float(max(sides.max(), 1e-9)))
 
 
 @ray.remote
@@ -444,9 +446,20 @@ def assign_buildings_to_enclosures(buildings: ray.data.Dataset,
       passes; matches re-attach via a bucketed left join.
 
     Both paths assign the first containing enclosure in table order
-    (min position), so outputs are identical row-for-row."""
+    (min position), so outputs are identical row-for-row.
+
+    Input envelope (ADVICE r4): the cell path requires losslessly
+    int64-castable building ids (it ships them through a typed Arrow
+    shuffle and joins back on them) — non-castable ids raise a clear
+    ``TypeError`` per batch instead of silently truncating.  And
+    ``cell_size`` is clamped to ``max_bbox_side / max_cells_per_side``
+    so a single outlier enclosure (one polygon spanning thousands of
+    median-sized cells) replicates its ring blob to at most
+    ``(max_cells_per_side+1)²`` cells rather than an unbounded number.
+    """
     ref = _as_enc_ref(enclosures)
-    n_enc, med_side = ray.get(_enc_assign_stats.remote(ref))
+    n_enc, med_side, max_side = ray.get(_enc_assign_stats.remote(ref))
+    max_cells_per_side = 64
 
     if n_enc <= broadcast_threshold:
         class Assign:
@@ -475,11 +488,40 @@ def assign_buildings_to_enclosures(buildings: ray.data.Dataset,
     import pyarrow as pa
     from city2graph_ray.joins import bucketed_join
 
+    # clamp: cs below max_side/64 would let the widest enclosure cover
+    # an unbounded (span/cs)² cell set; med_side alone is vulnerable to
+    # one city-spanning outlier polygon (ADVICE r4)
+    floor_cs = max_side / max_cells_per_side
     cs = float(cell_size) if cell_size is not None else max(med_side, 1e-6)
+    cs = max(cs, floor_cs)
     chunk = 50_000
     enc_cells = ray.data.from_arrow_refs(
         [_enc_cell_chunk.remote(ref, lo, min(lo + chunk, n_enc), cs)
          for lo in range(0, n_enc, chunk)])
+
+    def add_jid(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["id"].to_numpy()
+        if ids.dtype.kind not in "iu":
+            # fail loudly instead of silently truncating floats /
+            # crashing mid-shuffle on strings (ADVICE r4): the cell
+            # path round-trips ids through a typed int64 Arrow column
+            cast = ids.astype(np.int64, casting="unsafe") \
+                if ids.dtype.kind == "f" else None
+            if cast is None or not np.array_equal(
+                    cast.astype(ids.dtype), ids):
+                raise TypeError(
+                    "assign_buildings_to_enclosures cell path needs "
+                    f"losslessly int64-castable building ids, got dtype "
+                    f"{ids.dtype}; re-key the buildings table or stay "
+                    "below broadcast_threshold")
+            ids = cast
+        else:
+            ids = ids.astype(np.int64)
+        out = b.copy()
+        out["__jid"] = ids
+        return out
+
+    bset = buildings.map_batches(add_jid, batch_format="pandas")
 
     def pt_cells(b: pd.DataFrame) -> "pa.Table":
         x = b["x"].to_numpy(np.float64)
@@ -491,16 +533,16 @@ def assign_buildings_to_enclosures(buildings: ray.data.Dataset,
             "pos": pa.array(np.full(n, -1, np.int64)),
             "enclosure_index": pa.array(np.full(n, -1, np.int64)),
             "ring": pa.array([b""] * n, pa.binary()),
-            "pid": pa.array(b["id"].to_numpy().astype(np.int64)),
+            "pid": pa.array(b["__jid"].to_numpy(np.int64)),
             "px": pa.array(x, pa.float64()),
             "py": pa.array(y, pa.float64())})
 
-    pts = buildings.map_batches(pt_cells, batch_format="pandas")
+    pts = bset.map_batches(pt_cells, batch_format="pandas")
 
     def refine(g: pd.DataFrame) -> pd.DataFrame:
         enc_rows = g[g["pos"] >= 0].sort_values("pos", kind="stable")
         pt_rows = g[g["pos"] < 0]
-        empty = pd.DataFrame({"id": pd.Series(dtype=np.int64),
+        empty = pd.DataFrame({"__jid": pd.Series(dtype=np.int64),
                               "enclosure_index": pd.Series(dtype=np.int64)})
         if len(enc_rows) == 0 or len(pt_rows) == 0:
             return empty
@@ -518,17 +560,19 @@ def assign_buildings_to_enclosures(buildings: ray.data.Dataset,
             w = np.nonzero(todo)[0][m]
             idx[w] = eid
         hit = idx != -1
-        return pd.DataFrame({"id": pids[hit], "enclosure_index": idx[hit]})
+        return pd.DataFrame({"__jid": pids[hit], "enclosure_index": idx[hit]})
 
     matches = (enc_cells.union(pts).groupby("cell")
                .map_groups(refine, batch_format="pandas"))
+    # join on the validated int64 __jid on BOTH sides so float-typed
+    # (but integral) building id columns still match
     joined = bucketed_join(
-        buildings, matches, on="id", how="left",
-        right_schema=pa.schema([("id", pa.int64()),
+        bset, matches, on="__jid", how="left",
+        right_schema=pa.schema([("__jid", pa.int64()),
                                 ("enclosure_index", pa.int64())]))
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
+        out = b.drop(columns=["__jid"]).copy()
         out["enclosure_index"] = (
             out["enclosure_index"].fillna(-1).astype(np.int64))
         return out

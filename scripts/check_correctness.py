@@ -11,9 +11,10 @@ oracle SQL, its ``queries()`` callable source, and the contents of
 every ``city2graph_ray`` module that source imports (transitively via
 the package's static import graph).  Every green query updates the
 manifest, so sessions certify incrementally; the uninterrupted full
-sweep stays a per-session event.  Caveat (documented): helpers defined
-inside ``__ray_entry__`` itself are not traced — run the full sweep
-after editing shared entry-file helpers.
+sweep stays a per-session event.  Each fingerprint also folds in a
+hash of ``__ray_entry__.py`` itself (r5): editing shared entry-file
+helpers (synth constants, CTE strings, flatteners) invalidates every
+query, forcing the full re-sweep the old manual caveat relied on.
 """
 
 from __future__ import annotations
@@ -86,7 +87,7 @@ def _dep_closure() -> tuple[dict, dict]:
 
 
 def query_fingerprint(fn, sql: str | None, mod_closure: dict,
-                      file_hashes: dict) -> str:
+                      file_hashes: dict, entry_hash: str = "") -> str:
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
@@ -100,6 +101,13 @@ def query_fingerprint(fn, sql: str | None, mod_closure: dict,
     h = hashlib.sha256()
     h.update(src.encode())
     h.update((sql or "<rows-only>").encode())
+    # every fingerprint includes __ray_entry__.py itself (ADVICE r4):
+    # module-level helpers / synth constants / shared CTE strings used
+    # by closures are not visible in the callable's own source, so an
+    # entry-file edit must invalidate the whole manifest — the cost is
+    # one full sweep after entry edits, which the old caveat demanded
+    # manually.
+    h.update(entry_hash.encode())
     for p in sorted(dep_files):
         h.update(file_hashes[p].encode())
     return h.hexdigest()
@@ -174,8 +182,10 @@ def main():
     oracles = entrymod.oracle_sql()
 
     mod_closure, file_hashes = _dep_closure()
+    entry_hash = hashlib.sha256(
+        open(entrymod.__file__, "rb").read()).hexdigest()
     fps = {name: query_fingerprint(fn, oracles.get(name), mod_closure,
-                                   file_hashes)
+                                   file_hashes, entry_hash)
            for name, fn in qs.items()}
     manifest: dict = {}
     if os.path.exists(MANIFEST):

@@ -1219,3 +1219,49 @@ def test_condensation_driver_vs_distributed_parity():
     got = sorted({(trans[s], trans[d])
                   for s, d in a[["scc_src", "scc_dst"]].to_numpy()})
     assert got == want
+
+
+def test_condensation_threshold_forces_distributed():
+    """ADVICE r4: condensation_edges' driver threshold is now a
+    parameter — threshold=0 runs the bucketed-join branch and must
+    produce the identical (scc_src, scc_dst) pair set."""
+    import ray.data as rd
+
+    from city2graph_ray.ops.graph_algos import condensation_edges
+
+    rng = np.random.default_rng(9)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 40, 45).astype(np.int64),
+        "dst": rng.integers(0, 40, 45).astype(np.int64)})
+
+    def canon(ds):
+        return (ds.to_pandas().sort_values(["scc_src", "scc_dst"])
+                .reset_index(drop=True))
+
+    a = canon(condensation_edges(rd.from_pandas(edges)))
+    b = canon(condensation_edges(rd.from_pandas(edges),
+                                 driver_edge_threshold=0))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bowtie_threshold_forces_distributed():
+    """ADVICE r4: bowtie_structure threshold=0 runs the frontier-join
+    BFS branch; the five summary scalars must match the driver sweep."""
+    import ray.data as rd
+
+    from city2graph_ray.ops.graph_algos import bowtie_structure
+
+    # core 3-cycle {5,6,7}, IN tail 1->2->5, OUT tail 7->8->9,
+    # disconnected pair 30->31
+    edges = pd.DataFrame({
+        "src": np.array([5, 6, 7, 1, 2, 7, 8, 30], dtype=np.int64),
+        "dst": np.array([6, 7, 5, 2, 5, 8, 9, 31], dtype=np.int64)})
+    a = bowtie_structure(rd.from_pandas(edges), rounds=6)
+    b = bowtie_structure(rd.from_pandas(edges), rounds=6,
+                         driver_edge_threshold=0)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert int(a["n_core"].iloc[0]) == 3
+    assert int(a["n_in"].iloc[0]) == 2
+    assert int(a["n_out"].iloc[0]) == 2
+    assert int(a["n_other"].iloc[0]) == 2

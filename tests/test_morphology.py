@@ -532,3 +532,67 @@ def test_fallback_keeps_schema_when_tessellation_empty(street_grid):
     assert sorted(out["tess_id"]) == ["fallback_7", "fallback_8"]
     assert (out["enclosure_index"] == -1).all()
     assert {"cell_ix", "cell_iy", "bldg_id", "area"} <= set(out.columns)
+
+
+def test_assign_bucketed_id_castability_and_outlier_clamp(street_grid,
+                                                          grid_buildings):
+    """ADVICE r4: the cell-bucketed path (a) rejects non-int64-castable
+    building ids with a clear TypeError instead of silently truncating,
+    (b) accepts float ids that ARE losslessly castable, and (c) clamps
+    the cell size so one city-spanning outlier enclosure cannot
+    replicate its ring across an unbounded cell count."""
+    import pytest
+
+    from city2graph_ray.ops.morphology import assign_buildings_to_enclosures
+
+    enc = enclosures_from_barriers(street_grid[["seg_id", "coords"]])
+
+    # (a) string ids → loud failure in the cell path
+    bad = grid_buildings.copy()
+    bad["id"] = bad["id"].astype(str)
+    with pytest.raises(Exception, match="int64-castable"):
+        assign_buildings_to_enclosures(
+            rd.from_pandas(bad), enc, broadcast_threshold=0).to_pandas()
+
+    # (a') non-integral float ids → loud failure too
+    frac = grid_buildings.copy()
+    frac["id"] = frac["id"].astype(np.float64) + 0.5
+    with pytest.raises(Exception, match="int64-castable"):
+        assign_buildings_to_enclosures(
+            rd.from_pandas(frac), enc, broadcast_threshold=0).to_pandas()
+
+    # (b) integral float ids work and match the broadcast path
+    okf = grid_buildings.copy()
+    okf["id"] = okf["id"].astype(np.float64)
+
+    def canon(df):
+        out = df[["id", "x", "y", "enclosure_index"]].copy()
+        out["id"] = out["id"].astype(np.int64)
+        return out.sort_values("id").reset_index(drop=True)
+
+    a = canon(assign_buildings_to_enclosures(
+        rd.from_pandas(grid_buildings), enc).to_pandas())
+    b = canon(assign_buildings_to_enclosures(
+        rd.from_pandas(okf), enc, broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+    # (c) one outlier enclosure 1000× the median side: default cell
+    # sizing must still produce the correct assignment (clamp keeps its
+    # covering-cell count bounded at (64+1)² instead of ~10⁶)
+    rings = [np.array([0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0]),
+             np.array([2.0, 0.0, 3.0, 0.0, 3.0, 1.0, 2.0, 1.0]),
+             np.array([4.0, 0.0, 5.0, 0.0, 5.0, 1.0, 4.0, 1.0]),
+             np.array([-1000.0, -1000.0, 1000.0, -1000.0,
+                       1000.0, 1000.0, -1000.0, 1000.0])]
+    enc2 = pd.DataFrame({
+        "enclosure_index": np.arange(4, dtype=np.int64),
+        "coords": rings})
+    pts = pd.DataFrame({"id": np.arange(4, dtype=np.int64),
+                        "x": [0.5, 2.5, 900.0, 5000.0],
+                        "y": [0.5, 0.5, 900.0, 5000.0]})
+    out = (assign_buildings_to_enclosures(
+        rd.from_pandas(pts), enc2, broadcast_threshold=0)
+        .to_pandas().sort_values("id").reset_index(drop=True))
+    np.testing.assert_array_equal(
+        out["enclosure_index"].to_numpy(),
+        np.array([0, 1, 3, -1], dtype=np.int64))

@@ -146,3 +146,67 @@ def test_cc_driver_vs_distributed_parity():
                               driver_edge_threshold=0)
          .to_pandas().sort_values("node_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_clip_graph_driver_vs_distributed_parity():
+    """ADVICE/VERDICT r4 #2: clip_graph's endpoint keep-set gate — the
+    distributed finish (distinct-id shuffle + broadcast semi-filter,
+    threshold=0) keeps identical nodes/edges to the driver set path."""
+    import ray.data as rd
+
+    from city2graph_ray.ops.topology import clip_graph
+
+    rng = np.random.default_rng(21)
+    n = 300
+    nodes = pd.DataFrame({"node_id": np.arange(n, dtype=np.int64),
+                          "x": rng.uniform(0, 20, n),
+                          "y": rng.uniform(0, 20, n)})
+    src = rng.integers(0, n, 800).astype(np.int64)
+    dst = rng.integers(0, n, 800).astype(np.int64)
+    edges = pd.DataFrame({
+        "src": src, "dst": dst,
+        "sx": nodes["x"].to_numpy()[src], "sy": nodes["y"].to_numpy()[src],
+        "dx_": nodes["x"].to_numpy()[dst], "dy_": nodes["y"].to_numpy()[dst]})
+    ring = np.array([2.0, 2.0, 15.0, 2.0, 15.0, 15.0, 2.0, 15.0])
+
+    def canon(nds, eds):
+        ndf = nds.to_pandas().sort_values("node_id").reset_index(drop=True)
+        edf = (eds.to_pandas().sort_values(["src", "dst"])
+               .reset_index(drop=True))
+        return ndf, edf
+
+    an, ae = canon(*clip_graph(rd.from_pandas(nodes),
+                               rd.from_pandas(edges), ring))
+    bn, be = canon(*clip_graph(rd.from_pandas(nodes),
+                               rd.from_pandas(edges), ring,
+                               driver_edge_threshold=0))
+    pd.testing.assert_frame_equal(an, bn)
+    pd.testing.assert_frame_equal(ae, be)
+
+
+def test_largest_component_driver_vs_distributed_parity():
+    """largest_component_filter gate: distributed finish (keyed sizes +
+    scalar winner + bucketed member semi-join, threshold=0) keeps the
+    same edge rows as the driver groupby path, including the
+    smallest-component-id tie-break."""
+    import ray.data as rd
+
+    from city2graph_ray.ops.topology import largest_component_filter
+
+    # two components of EQUAL size (tie → smaller component id wins)
+    # plus a small third one
+    edges = pd.DataFrame({
+        "src": np.array([1, 2, 3, 10, 11, 12, 50], dtype=np.int64),
+        "dst": np.array([2, 3, 4, 11, 12, 13, 51], dtype=np.int64)})
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return (df[["src", "dst"]].sort_values(["src", "dst"])
+                .reset_index(drop=True))
+
+    a = canon(largest_component_filter(rd.from_pandas(edges)))
+    b = canon(largest_component_filter(rd.from_pandas(edges),
+                                       driver_node_threshold=0))
+    pd.testing.assert_frame_equal(a, b)
+    # tie resolved to component 1 (nodes 1-4), not 10-13
+    assert set(a["src"]) == {1, 2, 3}
