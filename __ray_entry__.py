@@ -4263,6 +4263,107 @@ def _zone_betweenness(sf_dir: str):
         orders.map_batches(mk, batch_format="pandas"), num_buckets=8)
 
 
+def _zone_betweenness_diamond(sf_dir: str):
+    """Brandes betweenness over a DIAMOND-CHAIN graph — shared
+    geodesics everywhere (VERDICT r4 #5: closes the heap-forest
+    caveat; the zone_betweenness gate certifies the machinery only on
+    unique-geodesic forests).
+
+    Fixture: a chain of 10 diamonds (spine 3i — branches 3i+1 / 3i+2 —
+    spine 3i+3), vertices gated on the observed ``o_orderkey % 31``
+    residues, so every spine-to-spine hop has TWO shortest paths and
+    σ doubles per diamond.  Bit-exactness argument: every path count
+    is a power of two, so every σ_v/σ_w ratio and hence every Brandes
+    dependency is a dyadic rational with denominator ≤ 2^10 and
+    magnitude < 2^10 — float64 additions of such values are EXACT
+    (exponent span ≪ 53 bits), making the per-source dependencies and
+    their cross-source sums association-order-free.  The SQL twin runs
+    an unrolled per-source BFS σ ladder + backward dependency ladder
+    with the same fractional ratios."""
+    import ray.data
+
+    from city2graph_ray import shuffle
+    from city2graph_ray.ops.graph_algos import betweenness_centrality
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    res = shuffle.distinct(
+        orders.map_batches(
+            lambda b: pd.DataFrame(
+                {"v": b["o_orderkey"].to_numpy(np.int64) % 31}),
+            batch_format="pandas"),
+        ["v"]).to_pandas()          # ≤ 31 rows — fixture-sized
+    vs = set(int(v) for v in res["v"])
+    ed = []
+    for i in range(10):
+        for a, b in ((3 * i, 3 * i + 1), (3 * i, 3 * i + 2),
+                     (3 * i + 1, 3 * i + 3), (3 * i + 2, 3 * i + 3)):
+            if a in vs and b in vs:
+                ed.append((a, b))
+    edf = pd.DataFrame(ed, columns=["src", "dst"]).astype(np.int64)
+    return betweenness_centrality(ray.data.from_pandas(edf),
+                                  num_buckets=8)
+
+
+def _betweenness_diamond_sql(depth: int = 22) -> str:
+    """Unrolled per-source BFS path-count (σ) + backward dependency
+    ladder for the diamond-chain fixture (:func:`
+    _zone_betweenness_diamond`): b{k} grows the (source, node, dist,
+    σ) table one BFS level per round; a{k} walks levels back down
+    accumulating δ(v) = Σ_w σ_v/σ_w·(1+δ(w)) over DAG successors —
+    fractional ratios, exact in float64 because all σ are powers of
+    two.  bc = Σ_s δ_s(v)/2, nodes with positive flow only (the
+    engine emits nonzero partials only)."""
+    ctes = ["""vs AS (SELECT DISTINCT o_orderkey % 31 AS v
+              FROM orders)""",
+            """cand AS (
+              SELECT 3*i AS a, 3*i+1 AS b FROM range(0, 10) t(i)
+              UNION ALL SELECT 3*i, 3*i+2 FROM range(0, 10) t(i)
+              UNION ALL SELECT 3*i+1, 3*i+3 FROM range(0, 10) t(i)
+              UNION ALL SELECT 3*i+2, 3*i+3 FROM range(0, 10) t(i))""",
+            """e0 AS (SELECT a, b FROM cand
+              JOIN vs va ON va.v = cand.a
+              JOIN vs vb ON vb.v = cand.b)""",
+            """edges AS MATERIALIZED (
+              SELECT a AS u, b AS w FROM e0
+              UNION ALL SELECT b, a FROM e0)""",
+            "nodes AS (SELECT DISTINCT u AS n FROM edges)",
+            """b0 AS (SELECT n AS s, n AS v, 0 AS d,
+                     CAST(1 AS BIGINT) AS sig FROM nodes)"""]
+    for k in range(1, depth + 1):
+        ctes.append(f"""b{k} AS MATERIALIZED (
+              SELECT s, v, d, sig FROM b{k - 1}
+              UNION ALL
+              SELECT s, w AS v, {k} AS d,
+                     CAST(sum(sig) AS BIGINT) AS sig
+              FROM (SELECT f.s, e.w, f.sig
+                    FROM b{k - 1} f JOIN edges e ON e.u = f.v
+                    WHERE f.d = {k - 1}
+                      AND NOT EXISTS (SELECT 1 FROM b{k - 1} x
+                                      WHERE x.s = f.s AND x.v = e.w))
+              GROUP BY s, w)""")
+    ctes.append(f"""a{depth + 1} AS (
+              SELECT s, v, d, sig, 0.0::DOUBLE AS delta
+              FROM b{depth} WHERE d > {depth})""")
+    for k in range(depth, -1, -1):
+        ctes.append(f"""a{k} AS MATERIALIZED (
+              SELECT s, v, d, sig, delta FROM a{k + 1}
+              UNION ALL
+              SELECT f.s, f.v, f.d, f.sig,
+                     coalesce((SELECT sum(CAST(f.sig AS DOUBLE)
+                                          / CAST(g.sig AS DOUBLE)
+                                          * (1.0 + g.delta))
+                               FROM edges e
+                               JOIN a{k + 1} g ON g.s = f.s
+                                 AND g.v = e.w AND g.d = f.d + 1
+                               WHERE e.u = f.v), 0.0) AS delta
+              FROM b{depth} f WHERE f.d = {k})""")
+    return ("WITH " + ",\n            ".join(ctes) + """
+            SELECT v AS node, CAST(sum(delta) / 2 AS DOUBLE) AS bc
+            FROM a0 WHERE d >= 1
+            GROUP BY v HAVING sum(delta) > 0""")
+
+
 def _event_resample_ffill(sf_dir: str):
     """Per-user 6-hour-grid resample with forward fill (last
     observation carried forward, max event_id wins timestamp ties),
@@ -4837,6 +4938,51 @@ def _zone_adamic_adar(sf_dir: str):
                     + b["o_custkey"].to_numpy(np.int64)) % 2500}),
         batch_format="pandas")
     return adamic_adar(edges)
+
+
+def _zone_edges_2500(sf_dir: str):
+    """Shared derived zone graph of the kcore family (keys mod 2500)."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    return orders.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["o_orderkey"].to_numpy(np.int64) % 2500,
+            "dst": (b["o_orderkey"].to_numpy(np.int64) * 31
+                    + b["o_custkey"].to_numpy(np.int64)) % 2500}),
+        batch_format="pandas")
+
+
+def _zone_adamic_adar_capped(sf_dir: str):
+    """Hub-capped Adamic–Adar (VERDICT r4 #6 — the 100-TB story for
+    wedge ops IS the cap): centres with degree > 16 are skipped (97 of
+    2500 nodes at sf0.01), so per-centre fan-out is bounded at
+    C(16,2); everything else identical to zone_adamic_adar."""
+    from city2graph_ray.ops.graph_algos import adamic_adar
+
+    return adamic_adar(_zone_edges_2500(sf_dir), max_degree=16)
+
+
+def _zone_jaccard_capped(sf_dir: str):
+    """Hub-capped Jaccard link prediction: wedge CENTRES capped at
+    degree 16 (endpoint degrees in the ratio stay full-graph), the
+    same approximation contract as the capped AA."""
+    from city2graph_ray.ops.graph_algos import jaccard_link_prediction
+
+    return jaccard_link_prediction(_zone_edges_2500(sf_dir),
+                                   max_degree=16)
+
+
+def _zone_clustering_capped(sf_dir: str):
+    """Hub-capped clustering coefficient: celebrity-removal semantics
+    (nodes with full-graph degree > 16 dropped, exact computation on
+    the remaining subgraph) — pure edge filtering, so the SQL twin is
+    the uncapped twin over the filtered edge set."""
+    from city2graph_ray.ops.graph_algos import clustering_coefficient
+
+    return clustering_coefficient(_zone_edges_2500(sf_dir),
+                                  max_degree=16)
 
 
 def _zone_jaccard(sf_dir: str):
@@ -8084,6 +8230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_walks": _zone_walks,
         "zone_sssp": _zone_sssp,
         "zone_betweenness": _zone_betweenness,
+        "zone_betweenness_diamond": _zone_betweenness_diamond,
         "zone_ppr": _zone_ppr,
         "zone_4cliques": _zone_4cliques,
         "emb_kmeans": _emb_kmeans,
@@ -8095,6 +8242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_lpa_modularity": _zone_lpa_modularity,
         "zone_assortativity": _zone_assortativity,
         "zone_adamic_adar": _zone_adamic_adar,
+        "zone_adamic_adar_capped": _zone_adamic_adar_capped,
+        "zone_jaccard_capped": _zone_jaccard_capped,
+        "zone_clustering_capped": _zone_clustering_capped,
         "zone_jaccard": _zone_jaccard,
         "zone_harmonic": _zone_harmonic,
         "zone_hits": _zone_hits,
@@ -9633,6 +9783,7 @@ def oracle_sql() -> dict[str, str]:
         # min/sum recurrence is bit-exact between engines.
         "network_knn": _network_knn_sql(3, 9, 3200.0),
         "zone_betweenness": _betweenness_tree_sql(12),
+        "zone_betweenness_diamond": _betweenness_diamond_sql(22),
         "network_knn_bounded": f"""
             WITH nodes AS ({_SEG_NODES}), segs AS ({_SEG_EPS}),
             resolved AS (
@@ -12003,6 +12154,48 @@ def oracle_sql() -> dict[str, str]:
                              / (n * sx2 - sx * sx) END AS r
             FROM mom""",
         "zone_adamic_adar": _ADAMIC_ADAR_SQL,
+        # capped twins (VERDICT r4 #6): same queries with the hub cap
+        # folded in at the exact spot the engine applies it — AA caps
+        # the weighted CENTRE set, Jaccard caps the wedge-centre join
+        # (endpoint degrees stay full), clustering filters the edge
+        # set by full-graph degree before the exact computation.
+        "zone_adamic_adar_capped": _ADAMIC_ADAR_SQL.replace(
+            "WHERE c >= 2", "WHERE c >= 2 AND c <= 16"),
+        "zone_jaccard_capped": _JACCARD_SQL.replace(
+            "FROM h h1 JOIN h h2 ON h1.u = h2.u AND h1.v < h2.v",
+            "FROM h h1 JOIN h h2 ON h1.u = h2.u AND h1.v < h2.v\n"
+            "      JOIN deg dc ON dc.node = h1.u AND dc.d <= 16"),
+        "zone_clustering_capped": """
+            WITH e00 AS MATERIALIZED (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM (SELECT o_orderkey % 2500 AS s,
+                           (o_orderkey * 31 + o_custkey) % 2500 AS d
+                    FROM orders) WHERE s <> d),
+            degf AS MATERIALIZED (
+              SELECT node, count(*) AS d FROM (
+                SELECT a AS node FROM e00
+                UNION ALL SELECT b FROM e00) GROUP BY node),
+            e0 AS MATERIALIZED (
+              SELECT e00.a, e00.b FROM e00
+              JOIN degf da ON da.node = e00.a AND da.d <= 16
+              JOIN degf db ON db.node = e00.b AND db.d <= 16),
+            tri AS (
+              SELECT e1.a AS u, e1.b AS v, e2.b AS w
+              FROM e0 e1
+              JOIN e0 e2 ON e2.a = e1.b
+              JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tn AS (SELECT node, count(*) AS t FROM (
+                     SELECT u AS node FROM tri
+                     UNION ALL SELECT v FROM tri
+                     UNION ALL SELECT w FROM tri) GROUP BY node),
+            deg AS (SELECT node, count(*) AS d FROM (
+                      SELECT a AS node FROM e0
+                      UNION ALL SELECT b FROM e0) GROUP BY node)
+            SELECT deg.node, coalesce(t, 0) AS triangles, d AS degree,
+                   CASE WHEN d >= 2
+                        THEN 2.0 * coalesce(t, 0) / (d * (d - 1))
+                        ELSE 0.0 END AS coeff
+            FROM deg LEFT JOIN tn USING (node) ORDER BY node""",
         "zone_jaccard": _JACCARD_SQL,
         "zone_harmonic": _HARMONIC_SQL,
         "zone_hits": _hits_sql(3),

@@ -195,8 +195,19 @@ def run_suite(sf_dir: str) -> dict:
 
 def main():
     import ray
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+    addr = os.environ.get("RAY_GRAFT_ADDRESS")
+    if addr:
+        # multi-node mode (scripts/multinode_bench.sh): connect to an
+        # already-running cluster (head + N worker raylets, separate
+        # object stores) instead of owning a local session.  NUM_CPUS
+        # should equal the cluster's total CPU count (it sizes
+        # repartition/warmup, not the session).
+        ray.init(address=addr, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    else:
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False

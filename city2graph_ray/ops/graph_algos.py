@@ -819,6 +819,7 @@ def bipartite_butterflies(table: ray.data.Dataset, key: str, item: str,
 def clustering_coefficient(edges: ray.data.Dataset, src: str = "src",
                            dst: str = "dst",
                            num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                           max_degree: int | None = None,
                            ) -> ray.data.Dataset:
     """Exact per-node local clustering coefficient of the UNDIRECTED
     simplification of an edge list: ``coeff = 2·t / (d·(d−1))`` where
@@ -832,7 +833,15 @@ def clustering_coefficient(edges: ray.data.Dataset, src: str = "src",
     through the closure join, so every matched triangle (u, v, w)
     credits all three vertices via one flat explode + keyed count.
     The coefficient divides exact int64s (2t, d(d−1)) so both engines
-    produce the identical double."""
+    produce the identical double.
+
+    ``max_degree`` (the 100-TB hub cap, VERDICT r4 #6): drop every
+    node whose FULL-graph degree exceeds the cap and compute exactly
+    on the remaining subgraph — the celebrity-removal approximation.
+    Semantics are pure edge filtering (degrees/triangles/coeff all
+    re-measured on the capped subgraph), so the SQL twin is the same
+    query over the filtered edge set — exactly mirrorable, unlike an
+    orientation-dependent wedge skip."""
     import pyarrow as pa
 
     def canon(b: pd.DataFrame) -> pd.DataFrame:
@@ -847,12 +856,28 @@ def clustering_coefficient(edges: ray.data.Dataset, src: str = "src",
         edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
         num_buckets=num_buckets).materialize()
 
-    ends = und.map_batches(
-        lambda b: pd.DataFrame({"node": np.concatenate(
-            [b["a"].to_numpy(), b["b"].to_numpy()])}),
-        batch_format="pandas")
-    deg = shuffle.group_agg(ends, ["node"], {"d": ("node", "size")},
-                            num_buckets=num_buckets).materialize()
+    def _degrees(e: ray.data.Dataset) -> ray.data.Dataset:
+        ends = e.map_batches(
+            lambda b: pd.DataFrame({"node": np.concatenate(
+                [b["a"].to_numpy(), b["b"].to_numpy()])}),
+            batch_format="pandas")
+        return shuffle.group_agg(ends, ["node"], {"d": ("node", "size")},
+                                 num_buckets=num_buckets).materialize()
+
+    if max_degree is not None:
+        from city2graph_ray.joins import semi_filter
+        degf = _degrees(und)
+        hubs = degf.map_batches(
+            lambda b: b.loc[b["d"].to_numpy(np.int64) > max_degree,
+                            ["node"]],
+            batch_format="pandas").to_pandas()
+        if len(hubs):                      # hub ids ≪ edges: broadcast
+            harr = hubs["node"].to_numpy()
+            und = semi_filter(
+                semi_filter(und, harr, "a", keep=False),
+                harr, "b", keep=False).materialize()
+
+    deg = _degrees(und)
 
     ntype = pa.int64()
     for name, typ in zip(edges.schema().names, edges.schema().types):

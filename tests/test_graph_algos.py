@@ -1265,3 +1265,33 @@ def test_bowtie_threshold_forces_distributed():
     assert int(a["n_in"].iloc[0]) == 2
     assert int(a["n_out"].iloc[0]) == 2
     assert int(a["n_other"].iloc[0]) == 2
+
+
+def test_clustering_hub_cap_celebrity_removal():
+    """VERDICT r4 #6: max_degree on clustering_coefficient = exact
+    computation on the hub-removed subgraph (full-graph degrees decide
+    the cut, everything re-measured on the subgraph)."""
+    import networkx as nx
+    import ray.data as rd
+
+    from city2graph_ray.ops.graph_algos import clustering_coefficient
+
+    rng = np.random.default_rng(13)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 60, 400).astype(np.int64),
+        "dst": rng.integers(0, 60, 400).astype(np.int64)})
+    cap = 12
+    out = (clustering_coefficient(rd.from_pandas(edges), max_degree=cap)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    g = nx.Graph()
+    g.add_edges_from(
+        (int(s), int(d)) for s, d in edges.values if s != d)
+    hubs = {n for n, d in g.degree() if d > cap}
+    sub = g.subgraph([n for n in g if n not in hubs]).copy()
+    sub.remove_nodes_from([n for n in list(sub) if sub.degree(n) == 0])
+    want = nx.clustering(sub)
+    assert set(out["node"]) == set(want)
+    for _, r in out.iterrows():
+        assert abs(r["coeff"] - want[int(r["node"])]) < 1e-12
+        assert r["degree"] == sub.degree(int(r["node"]))
