@@ -4940,6 +4940,81 @@ def _zone_adamic_adar(sf_dir: str):
     return adamic_adar(edges)
 
 
+def _edges_canonicalize(policy: str):
+    """canonicalize_edges gate (VERDICT r4 #7 — promotes §2 #56 from
+    tests-only): a derived multigraph (keys mod 300, both orientations
+    present, unique row_seq) canonicalized to unordered (src ≤ dst)
+    with policy='first' (min row_seq wins) or 'key' (dense cumcount in
+    row_seq order) — both exactly mirrored by one SQL window."""
+    def q(sf_dir: str):
+        import ray.data
+
+        from city2graph_ray.ops.topology import canonicalize_edges
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey"])
+        e = orders.map_batches(
+            lambda b: pd.DataFrame({
+                "src": b["o_orderkey"].to_numpy(np.int64) % 300,
+                "dst": b["o_custkey"].to_numpy(np.int64) % 300,
+                "row_seq": b["o_orderkey"].to_numpy(np.int64),
+                "w": b["o_orderkey"].to_numpy(np.int64) % 97}),
+            batch_format="pandas")
+        return canonicalize_edges(e, policy=policy)
+    return q
+
+
+def _geom_validate_lines(sf_dir: str):
+    """validate_gdf gate (VERDICT r4 #7 — promotes §2 #10 from
+    tests-only): a derived segment table with injected garbage — empty
+    geometry (key%13), NaN vertex (key%7), under-length single-point
+    line (key%11) — through validate_coords(linestring); survivors
+    re-emitted as scalar vertex columns so the drop rule AND the
+    pass-through content are both hashed."""
+    import ray.data
+
+    from city2graph_ray.ops.validate import validate_coords
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        c = b["o_custkey"].to_numpy(np.int64)
+        ax, ay = synth.key_to_xy(k)
+        bx, by = synth.key_to_xy(c)
+        rows = []
+        for i in range(len(k)):
+            if k[i] % 13 == 0:
+                rows.append(np.array([], np.float64))   # empty geometry
+            elif k[i] % 7 == 0:
+                rows.append(np.array([ax[i], np.nan, bx[i], by[i]]))
+            elif k[i] % 11 == 0:
+                rows.append(np.array([ax[i], ay[i]]))
+            else:
+                rows.append(np.array([ax[i], ay[i], bx[i], by[i]]))
+        return pd.DataFrame({"seg_id": k, "coords": rows})
+
+    v = validate_coords(orders.map_batches(mk, batch_format="pandas"),
+                        kind="linestring")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "seg_id": pd.Series(dtype=np.int64),
+                "x0": pd.Series(dtype=np.float64),
+                "y0": pd.Series(dtype=np.float64),
+                "x1": pd.Series(dtype=np.float64),
+                "y1": pd.Series(dtype=np.float64)})
+        cc = np.stack([np.asarray(x, np.float64) for x in b["coords"]])
+        return pd.DataFrame({"seg_id": b["seg_id"].to_numpy(np.int64),
+                             "x0": cc[:, 0], "y0": cc[:, 1],
+                             "x1": cc[:, 2], "y1": cc[:, 3]})
+
+    return v.map_batches(fin, batch_format="pandas")
+
+
 def _zone_edges_2500(sf_dir: str):
     """Shared derived zone graph of the kcore family (keys mod 2500)."""
     import ray.data
@@ -8231,6 +8306,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_sssp": _zone_sssp,
         "zone_betweenness": _zone_betweenness,
         "zone_betweenness_diamond": _zone_betweenness_diamond,
+        "edges_canonicalize_first": _edges_canonicalize("first"),
+        "edges_canonicalize_key": _edges_canonicalize("key"),
+        "geom_validate_lines": _geom_validate_lines,
         "zone_ppr": _zone_ppr,
         "zone_4cliques": _zone_4cliques,
         "emb_kmeans": _emb_kmeans,
@@ -9784,6 +9862,35 @@ def oracle_sql() -> dict[str, str]:
         "network_knn": _network_knn_sql(3, 9, 3200.0),
         "zone_betweenness": _betweenness_tree_sql(12),
         "zone_betweenness_diamond": _betweenness_diamond_sql(22),
+        "edges_canonicalize_first": """
+            WITH e AS (SELECT
+                least(o_orderkey % 300, o_custkey % 300) AS src,
+                greatest(o_orderkey % 300, o_custkey % 300) AS dst,
+                o_orderkey AS row_seq, o_orderkey % 97 AS w
+              FROM orders)
+            SELECT src, dst, row_seq, w FROM e
+            QUALIFY row_number() OVER (PARTITION BY src, dst
+                ORDER BY row_seq) = 1""",
+        "edges_canonicalize_key": """
+            WITH e AS (SELECT
+                least(o_orderkey % 300, o_custkey % 300) AS src,
+                greatest(o_orderkey % 300, o_custkey % 300) AS dst,
+                o_orderkey AS row_seq, o_orderkey % 97 AS w
+              FROM orders)
+            SELECT src, dst, row_seq, w,
+                   row_number() OVER (PARTITION BY src, dst
+                       ORDER BY row_seq) - 1 AS edge_key
+            FROM e""",
+        "geom_validate_lines": f"""
+            SELECT o_orderkey AS seg_id,
+                   {synth.sql_x('o_orderkey')} AS x0,
+                   {synth.sql_y('o_orderkey')} AS y0,
+                   {synth.sql_x('o_custkey')} AS x1,
+                   {synth.sql_y('o_custkey')} AS y1
+            FROM orders
+            WHERE o_orderkey % 13 <> 0
+              AND o_orderkey % 7 <> 0
+              AND o_orderkey % 11 <> 0""",
         "network_knn_bounded": f"""
             WITH nodes AS ({_SEG_NODES}), segs AS ({_SEG_EPS}),
             resolved AS (

@@ -295,3 +295,73 @@ def test_mutual_knn_graph_vs_brute(ray_session):
     assert list(zip(got["src"], got["dst"])) == brute
     for s, t, dist in got.itertuples(index=False):
         assert dist == np.sqrt(((xy[s] - xy[t]) ** 2).sum())
+
+
+def test_triangulation_hierarchy_large_offset_coords():
+    """Ported reference conformance (tests/test_proximity.py:116-150):
+    MST ⊆ RNG ⊆ Gabriel ⊆ Delaunay on projected-CRS-like coordinates
+    far from the origin — guards the disc-emptiness predicate against
+    the float regression the reference pinned (valid Gabriel edges
+    dropped when coords ≈ (350000, 5700000))."""
+    from city2graph_ray.ops.proximity import (
+        euclidean_minimum_spanning_tree, gabriel_graph,
+        relative_neighborhood_graph)
+
+    rng = np.random.default_rng(42)
+    coords = (rng.uniform(0.0, 5000.0, size=(150, 2))
+              + np.array([350_000.0, 5_700_000.0]))
+    p = pd.DataFrame({"id": np.arange(150, dtype=np.int64),
+                      "x": coords[:, 0], "y": coords[:, 1]})
+    ds = rd.from_pandas(p)
+
+    def eset(df):
+        return set(map(tuple, df[["src", "dst"]].to_numpy()))
+
+    dl = eset(delaunay_graph(ds).to_pandas())
+    gb = eset(gabriel_graph(ds).to_pandas())
+    rn = eset(relative_neighborhood_graph(ds).to_pandas())
+    ms = eset(euclidean_minimum_spanning_tree(ds).to_pandas())
+    assert ms <= rn <= gb <= dl
+    # brute-force Gabriel at the large offset: edge (u,v) kept iff no
+    # w strictly inside the closed disc on uv
+    d = brute_dist(p)
+    pos = {int(i): j for j, i in enumerate(p["id"])}
+    brute = set()
+    ids = p["id"].to_numpy()
+    for i in range(len(p)):
+        for j in range(i + 1, len(p)):
+            duv2 = d[i, j] ** 2
+            ok = True
+            for w in range(len(p)):
+                if w in (i, j):
+                    continue
+                if d[i, w] ** 2 + d[j, w] ** 2 < duv2 - 1e-9 * duv2:
+                    ok = False
+                    break
+            if ok:
+                brute.add((int(ids[i]), int(ids[j])))
+    assert gb == brute
+
+
+def test_duplicate_edges_reverse_rows_completeness(pts):
+    """Ported reference conformance (tests/test_proximity.py:324-368):
+    the engine's duplicate_edges counterpart is symmetrize_edges — for
+    every undirected proximity builder output it must produce exactly
+    2× rows whose pair set is base ∪ reversed(base)."""
+    from city2graph_ray.ops.topology import symmetrize_edges
+
+    ds = rd.from_pandas(pts)
+    builders = [
+        lambda: fixed_radius_graph(ds, 40.0),
+        lambda: delaunay_graph(ds),
+        lambda: gabriel_graph(ds),
+        lambda: relative_neighborhood_graph(ds),
+        lambda: euclidean_minimum_spanning_tree(ds),
+    ]
+    for build in builders:
+        base = build().to_pandas()
+        dup = symmetrize_edges(build()).to_pandas()
+        pairs = set(map(tuple, base[["src", "dst"]].to_numpy()))
+        assert len(dup) == 2 * len(base)
+        assert set(map(tuple, dup[["src", "dst"]].to_numpy())) \
+            == pairs | {(v, u) for u, v in pairs}
