@@ -4940,6 +4940,64 @@ def _zone_adamic_adar(sf_dir: str):
     return adamic_adar(edges)
 
 
+def _metapath_by_weight(sf_dir: str):
+    """add_metapaths_by_weight gate (promotes §2 #83 from tests-only):
+    node pairs of the order-segment graph whose network shortest-path
+    cost lies in [50, 500], sources sampled node_id % 101.  Bit-exact
+    twin via the network_knn move: measured max shortest-path hop
+    depth under the 500 cutoff is 3 (sf0.01) / 2 (sf0.001), so a
+    6-round distance-capped Bellman-Ford takes its min over the same
+    left-associated prefix sums as the engine's cutoff Dijkstra —
+    output is (src, dst, cost) with no path witness, so no tie
+    exposure at all."""
+    from city2graph_ray.ops.metapath import add_metapaths_by_weight
+    from city2graph_ray.ops.topology import segments_to_graph
+    from city2graph_ray.pipelines.tables import order_segments
+
+    nodes, edges = segments_to_graph(order_segments(sf_dir))
+    edf = edges.to_pandas()
+    c = np.stack([np.asarray(x, np.float64) for x in edf["coords"]])
+    dx = c[:, 0] - c[:, 2]
+    dy = c[:, 1] - c[:, 3]
+    edf["length"] = np.sqrt(dx * dx + dy * dy)
+    srcs = nodes.map_batches(
+        lambda b: pd.DataFrame({"id": b["node_id"].to_numpy(np.int64)[
+            b["node_id"].to_numpy(np.int64) % 101 == 0]}),
+        batch_format="pandas")
+    return add_metapaths_by_weight(
+        srcs, edf[["src", "dst", "length"]], 50.0, 500.0,
+        weight_col="length")
+
+
+def _metapath_by_weight_sql(hops: int = 6, lo: float = 50.0,
+                            hi: float = 500.0) -> str:
+    ctes = [f"nodes AS MATERIALIZED ({_SEG_NODES})",
+            f"segs AS MATERIALIZED ({_SEG_EPS})",
+            """resolved AS (SELECT na.node_id AS a, nb.node_id AS b,
+               sqrt((s.ax-s.bx)*(s.ax-s.bx)
+                  + (s.ay-s.by)*(s.ay-s.by)) AS w
+           FROM segs s
+           JOIN nodes na ON na.x = s.ax AND na.y = s.ay
+           JOIN nodes nb ON nb.x = s.bx AND nb.y = s.by)""",
+            """edges AS MATERIALIZED (
+           SELECT a AS src, b AS dst, w FROM resolved
+           UNION ALL SELECT b, a, w FROM resolved)""",
+            """d0 AS (SELECT node_id AS src, node_id AS dst,
+                     0.0::DOUBLE AS distance
+              FROM nodes WHERE node_id % 101 = 0)"""]
+    for r in range(1, hops + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+              SELECT src, dst, min(distance) AS distance FROM (
+                SELECT * FROM d{r - 1} UNION ALL
+                SELECT d.src, e.dst, d.distance + e.w
+                FROM d{r - 1} d JOIN edges e ON d.dst = e.src)
+              GROUP BY src, dst
+              HAVING min(distance) <= {hi})""")
+    return ("WITH " + ",\n            ".join(ctes) + f"""
+            SELECT src, dst, distance AS cost FROM d{hops}
+            WHERE src <> dst AND distance >= {lo}""")
+
+
 def _edges_canonicalize(policy: str):
     """canonicalize_edges gate (VERDICT r4 #7 — promotes §2 #56 from
     tests-only): a derived multigraph (keys mod 300, both orientations
@@ -5029,14 +5087,46 @@ def _zone_edges_2500(sf_dir: str):
         batch_format="pandas")
 
 
+def _zone_edges_scaled(sf_dir: str):
+    """Derived zone graph for the CAPPED wedge family: node space
+    scales with the data (mod = max(2500, n_orders // 6)) so the
+    degree distribution stays roughly SF-invariant — at sf0.01 this
+    is exactly the mod-2500 graph (cap 16 excludes 97 hubs, the gate
+    certification), while at sf0.1 the mod-2500 graph would densify
+    to ALL-hubs and the capped result would be trivially empty (the
+    r5 stress-audit finding)."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    mod = max(2500, orders.count() // 6)
+    return orders.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["o_orderkey"].to_numpy(np.int64) % mod,
+            "dst": (b["o_orderkey"].to_numpy(np.int64) * 31
+                    + b["o_custkey"].to_numpy(np.int64)) % mod}),
+        batch_format="pandas")
+
+
+_SCALED_MOD_CTE = ("m AS (SELECT greatest(2500, count(*) // 6) AS md "
+                   "FROM orders), ")
+
+
+def _capped_sql(base: str) -> str:
+    """Rewrite an uncapped mod-2500 twin onto the scaled node space."""
+    return base.replace("% 2500", "% (SELECT md FROM m)") \
+               .replace("WITH ", "WITH " + _SCALED_MOD_CTE, 1)
+
+
 def _zone_adamic_adar_capped(sf_dir: str):
     """Hub-capped Adamic–Adar (VERDICT r4 #6 — the 100-TB story for
     wedge ops IS the cap): centres with degree > 16 are skipped (97 of
     2500 nodes at sf0.01), so per-centre fan-out is bounded at
-    C(16,2); everything else identical to zone_adamic_adar."""
+    C(16,2); runs on the scale-invariant zone graph so the cap stays
+    meaningful at every SF."""
     from city2graph_ray.ops.graph_algos import adamic_adar
 
-    return adamic_adar(_zone_edges_2500(sf_dir), max_degree=16)
+    return adamic_adar(_zone_edges_scaled(sf_dir), max_degree=16)
 
 
 def _zone_jaccard_capped(sf_dir: str):
@@ -5045,7 +5135,7 @@ def _zone_jaccard_capped(sf_dir: str):
     same approximation contract as the capped AA."""
     from city2graph_ray.ops.graph_algos import jaccard_link_prediction
 
-    return jaccard_link_prediction(_zone_edges_2500(sf_dir),
+    return jaccard_link_prediction(_zone_edges_scaled(sf_dir),
                                    max_degree=16)
 
 
@@ -5056,7 +5146,7 @@ def _zone_clustering_capped(sf_dir: str):
     the uncapped twin over the filtered edge set."""
     from city2graph_ray.ops.graph_algos import clustering_coefficient
 
-    return clustering_coefficient(_zone_edges_2500(sf_dir),
+    return clustering_coefficient(_zone_edges_scaled(sf_dir),
                                   max_degree=16)
 
 
@@ -8307,6 +8397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_betweenness": _zone_betweenness,
         "zone_betweenness_diamond": _zone_betweenness_diamond,
         "edges_canonicalize_first": _edges_canonicalize("first"),
+        "metapath_by_weight": _metapath_by_weight,
         "edges_canonicalize_key": _edges_canonicalize("key"),
         "geom_validate_lines": _geom_validate_lines,
         "zone_ppr": _zone_ppr,
@@ -9862,6 +9953,7 @@ def oracle_sql() -> dict[str, str]:
         "network_knn": _network_knn_sql(3, 9, 3200.0),
         "zone_betweenness": _betweenness_tree_sql(12),
         "zone_betweenness_diamond": _betweenness_diamond_sql(22),
+        "metapath_by_weight": _metapath_by_weight_sql(6, 50.0, 500.0),
         "edges_canonicalize_first": """
             WITH e AS (SELECT
                 least(o_orderkey % 300, o_custkey % 300) AS src,
@@ -12266,13 +12358,13 @@ def oracle_sql() -> dict[str, str]:
         # the weighted CENTRE set, Jaccard caps the wedge-centre join
         # (endpoint degrees stay full), clustering filters the edge
         # set by full-graph degree before the exact computation.
-        "zone_adamic_adar_capped": _ADAMIC_ADAR_SQL.replace(
-            "WHERE c >= 2", "WHERE c >= 2 AND c <= 16"),
-        "zone_jaccard_capped": _JACCARD_SQL.replace(
+        "zone_adamic_adar_capped": _capped_sql(_ADAMIC_ADAR_SQL.replace(
+            "WHERE c >= 2", "WHERE c >= 2 AND c <= 16")),
+        "zone_jaccard_capped": _capped_sql(_JACCARD_SQL.replace(
             "FROM h h1 JOIN h h2 ON h1.u = h2.u AND h1.v < h2.v",
             "FROM h h1 JOIN h h2 ON h1.u = h2.u AND h1.v < h2.v\n"
-            "      JOIN deg dc ON dc.node = h1.u AND dc.d <= 16"),
-        "zone_clustering_capped": """
+            "      JOIN deg dc ON dc.node = h1.u AND dc.d <= 16")),
+        "zone_clustering_capped": _capped_sql("""
             WITH e00 AS MATERIALIZED (
               SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
               FROM (SELECT o_orderkey % 2500 AS s,
@@ -12302,7 +12394,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d >= 2
                         THEN 2.0 * coalesce(t, 0) / (d * (d - 1))
                         ELSE 0.0 END AS coeff
-            FROM deg LEFT JOIN tn USING (node) ORDER BY node""",
+            FROM deg LEFT JOIN tn USING (node) ORDER BY node"""),
         "zone_jaccard": _JACCARD_SQL,
         "zone_harmonic": _HARMONIC_SQL,
         "zone_hits": _hits_sql(3),

@@ -24,7 +24,7 @@ DEFAULT = [
     "zone_clustering_capped", "zone_jaccard_capped",
     "network_path_geom", "dual_edges", "raster_regions",
     "morph_graph_e2e", "ssjoin_jaccard", "neardup_clusters",
-    "event_retention", "tpch_q8", "zone_hash_walks",
+    "event_retention", "tpch_q8_mktshare", "zone_hash_walks",
 ]
 
 
