@@ -290,6 +290,9 @@ def scaling():
         # density (points clump per lineitem row) and an output-
         # bandwidth-bound stage measures the memory bus, not the engine
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   # never inherit a cluster attachment into the
+                   # pinned local-mode scaling subprocesses
+                   RAY_GRAFT_ADDRESS="",
                    GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"),
                    GRAFT_BENCH_PER_ROW=os.environ.get(
                        "GRAFT_BENCH_PER_ROW", "4"),

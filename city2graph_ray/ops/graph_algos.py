@@ -876,6 +876,14 @@ def clustering_coefficient(edges: ray.data.Dataset, src: str = "src",
             und = semi_filter(
                 semi_filter(und, harr, "a", keep=False),
                 harr, "b", keep=False).materialize()
+        if und.count() == 0:
+            # cap removed every edge: typed empty (all-empty pandas
+            # blocks lose their columns — the repo-wide gotcha)
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "triangles": pa.array([], pa.int64()),
+                "degree": pa.array([], pa.int64()),
+                "coeff": pa.array([], pa.float64())}))
 
     deg = _degrees(und)
 

@@ -38,14 +38,19 @@ export RAY_ADDRESS=$ADDR
 export RAY_GRAFT_ADDRESS=$ADDR
 export RAY_GRAFT_CPUS=$((NODES * CPUS))
 
-python - <<'EOF'
+python - "$NODES" <<'EOF'
+import sys
+
 import ray
 ray.init(address="auto", logging_level="ERROR")
 nodes = [n for n in ray.nodes() if n["Alive"]]
 cpus = sum(int(n["Resources"].get("CPU", 0)) for n in nodes)
+stores = {n["ObjectStoreSocketName"] for n in nodes}
 print(f"cluster: {len(nodes)} raylets, {cpus} CPUs total, "
-      f"{len({n['ObjectStoreSocketName'] for n in nodes})} object stores")
-assert len(nodes) == int(__import__('os').environ['RAY_GRAFT_CPUS']) // int(__import__('os').environ.get('CPUS_PER_NODE', '8') or 8) or True
+      f"{len(stores)} object stores")
+want = int(sys.argv[1])
+assert len(nodes) == want and len(stores) == want, \
+    f"expected {want} raylets with distinct object stores"
 ray.shutdown()
 EOF
 

@@ -143,3 +143,43 @@ def test_range_join_no_by_cross():
                      "t0", "t1", "ts", num_buckets=4).to_pandas()
     pairs = set(zip(got["iv_id"], got["pt_id"]))
     assert pairs == {(0, 10), (1, 11)}
+
+
+def test_asof_and_range_join_pin_false_parity():
+    """ADVICE r4: pin=False keeps both inputs streaming (re-execution
+    instead of materialize) and must produce identical rows to the
+    pinned default on both joins."""
+    from city2graph_ray.ops.asof import asof_join, range_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 4, 60).astype(np.int64),
+        "t": rng.integers(0, 1000, 60).astype(np.int64)})
+    right = (pd.DataFrame({
+        "k": rng.integers(0, 4, 25).astype(np.int64),
+        "t": rng.integers(0, 1000, 25).astype(np.int64),
+        "v": rng.normal(size=25)})
+        .drop_duplicates(["k", "t"]))
+
+    def canon(df):
+        return (df.sort_values(list(df.columns))
+                .reset_index(drop=True))
+
+    a = canon(asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="t", by="k", num_buckets=4).to_pandas())
+    b = canon(asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="t", by="k", num_buckets=4,
+                        pin=False).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+    iv = pd.DataFrame({"iv_id": np.arange(10, dtype=np.int64),
+                       "t0": rng.integers(0, 500, 10).astype(np.int64)})
+    iv["t1"] = iv["t0"] + rng.integers(10, 200, 10).astype(np.int64)
+    pt = pd.DataFrame({"pt_id": np.arange(40, dtype=np.int64),
+                       "ts": rng.integers(0, 700, 40).astype(np.int64)})
+    c = canon(range_join(rd.from_pandas(iv), rd.from_pandas(pt),
+                         "t0", "t1", "ts", num_buckets=4).to_pandas())
+    d = canon(range_join(rd.from_pandas(iv), rd.from_pandas(pt),
+                         "t0", "t1", "ts", num_buckets=4,
+                         pin=False).to_pandas())
+    pd.testing.assert_frame_equal(c, d)

@@ -157,3 +157,22 @@ def test_bowtie_empty_and_ipf_zero_margin():
            .to_pandas().sort_values("o").reset_index(drop=True))
     # zero-flow row (o=2 margin sum 0) stays exactly 0, no NaN garbage
     assert out["flow"].tolist() == [10.0, 0.0]
+
+
+def test_clustering_cap_removes_all_edges_empty(ray_session):
+    """A cap below every degree empties the subgraph: the op must
+    short-circuit to an empty result without crashing (this Ray
+    version drops ALL empty-Dataset schemas through to_pandas — the
+    repo-wide gotcha — so only the row count is assertable), and a
+    non-binding cap must leave the exact result untouched."""
+    import ray.data as rd
+
+    from city2graph_ray.ops.graph_algos import clustering_coefficient
+
+    e = pd.DataFrame({"src": np.array([1, 2, 3], np.int64),
+                      "dst": np.array([2, 3, 1], np.int64)})
+    out = clustering_coefficient(rd.from_pandas(e), max_degree=1)
+    assert len(out.to_pandas()) == 0
+    full = (clustering_coefficient(rd.from_pandas(e), max_degree=99)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert list(full["coeff"]) == [1.0, 1.0, 1.0]
