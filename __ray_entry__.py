@@ -2484,7 +2484,7 @@ def _morph_multi_sql() -> str:
                     AND enc.ey = CAST(floor(b.y/100.0) AS BIGINT)),
             contained AS (SELECT eid, id, x, y,
                             row_number() OVER (PARTITION BY eid
-                                ORDER BY x, y) - 1 AS rnk
+                                ORDER BY x, y, id) - 1 AS rnk
                           FROM tb),
             occ AS (SELECT DISTINCT c.eid, e.ex, e.ey
                     FROM contained c JOIN enc e ON e.eid = c.eid),
@@ -10279,12 +10279,16 @@ def oracle_sql() -> dict[str, str]:
                    ((c_custkey*c_custkey*{synth.QY} + c_custkey*{synth.AY}
                      + {synth.BY}) % {synth.MOD}) AS yi
                  FROM customer),
-            b AS (SELECT id, xi/100.0 AS x, yi/100.0 AS y FROM raw
+            b AS (SELECT id, xi, yi, xi/100.0 AS x, yi/100.0 AS y FROM raw
                   WHERE xi % 2500 <> 0 AND yi % 2500 <> 0),
             g AS (SELECT p_partkey AS gid, (p_partkey % 40) AS c,
                          (p_partkey // 40) AS r FROM part),
             counts AS (
-                SELECT g.gid, count(b.id) AS n_pts
+                -- one Voronoi cell per DISTINCT seed location: exact
+                -- coordinate collisions between buildings merge into
+                -- one cell (engine + reference Voronoi semantics)
+                SELECT g.gid,
+                       count(DISTINCT b.xi * 100000 + b.yi) AS n_pts
                 FROM g LEFT JOIN b ON b.x > g.c*25.0 AND b.x < g.c*25.0+25.0
                                   AND b.y > g.r*25.0 AND b.y < g.r*25.0+25.0
                 GROUP BY g.gid)
@@ -10305,8 +10309,8 @@ def oracle_sql() -> dict[str, str]:
                          (p_partkey // 40) AS r FROM part),
             contained AS (
                 SELECT g.gid, g.c, g.r, b.id, b.x, b.y,
-                       dense_rank() OVER (PARTITION BY g.gid
-                           ORDER BY b.x, b.y) - 1 AS rnk
+                       row_number() OVER (PARTITION BY g.gid
+                           ORDER BY b.x, b.y, b.id) - 1 AS rnk
                 FROM g JOIN b ON b.x > g.c*25.0 AND b.x < g.c*25.0+25.0
                              AND b.y > g.r*25.0 AND b.y < g.r*25.0+25.0),
             occ AS (SELECT DISTINCT gid, c, r FROM contained),
@@ -10323,12 +10327,12 @@ def oracle_sql() -> dict[str, str]:
                          * ((cel.c*5 + cel.i + 0.5)*5.0 - ct.x)
                        + ((cel.r*5 + cel.j + 0.5)*5.0 - ct.y)
                          * ((cel.r*5 + cel.j + 0.5)*5.0 - ct.y) AS d2,
-                       ct.x AS bx, ct.y AS by_
+                       ct.x AS bx, ct.y AS by_, ct.rnk
                 FROM cel JOIN contained ct ON ct.gid = cel.gid)
             SELECT enclosure_index, cell_ix, cell_iy, tess_id, bldg_id
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY enclosure_index,
-                cell_ix, cell_iy ORDER BY d2, bx, by_) = 1""",
+                cell_ix, cell_iy ORDER BY d2, bx, by_, rnk) = 1""",
         "split_connectors": f"""
             WITH s AS (SELECT o_orderkey AS k,
                  sqrt(({synth.sql_x('o_orderkey')} - {synth.sql_x('o_custkey')})
@@ -10373,8 +10377,8 @@ def oracle_sql() -> dict[str, str]:
                          (p_partkey // 40) AS r FROM part),
             contained AS (
                 SELECT g.gid, g.c, g.r, b.id, b.x, b.y,
-                       dense_rank() OVER (PARTITION BY g.gid
-                           ORDER BY b.x, b.y) - 1 AS rnk
+                       row_number() OVER (PARTITION BY g.gid
+                           ORDER BY b.x, b.y, b.id) - 1 AS rnk
                 FROM g JOIN b ON b.x > g.c*25.0 AND b.x < g.c*25.0+25.0
                              AND b.y > g.r*25.0 AND b.y < g.r*25.0+25.0),
             occ AS (SELECT DISTINCT gid, c, r FROM contained),
@@ -10390,13 +10394,13 @@ def oracle_sql() -> dict[str, str]:
                          * ((cel.c*5 + cel.i + 0.5)*5.0 - ct.x)
                        + ((cel.r*5 + cel.j + 0.5)*5.0 - ct.y)
                          * ((cel.r*5 + cel.j + 0.5)*5.0 - ct.y) AS d2,
-                       ct.x AS bx, ct.y AS by_
+                       ct.x AS bx, ct.y AS by_, ct.rnk
                 FROM cel JOIN contained ct ON ct.gid = cel.gid),
             assign AS (
                 SELECT enclosure_index, cell_ix, cell_iy, tess_id
                 FROM scored
                 QUALIFY row_number() OVER (PARTITION BY enclosure_index,
-                    cell_ix, cell_iy ORDER BY d2, bx, by_) = 1)
+                    cell_ix, cell_iy ORDER BY d2, bx, by_, rnk) = 1)
             SELECT DISTINCT least(a.tess_id, b2.tess_id) AS src,
                    greatest(a.tess_id, b2.tess_id) AS dst,
                    a.enclosure_index
@@ -10454,7 +10458,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM b),
             contained AS (SELECT eid, id, x, y,
                             row_number() OVER (PARTITION BY eid
-                                ORDER BY x, y) - 1 AS rnk
+                                ORDER BY x, y, id) - 1 AS rnk
                           FROM tb),
             occ AS (SELECT DISTINCT eid FROM contained),
             cel AS (SELECT occ.eid,

@@ -616,7 +616,13 @@ def zonal_tessellation(buildings: ray.data.Dataset, enclosures,
             return empty
         enc_map = ray.get(ref)
         ring = np.asarray(enc_map[eid], np.float64).reshape(-1, 2)
-        g = g.sort_values(["x", "y"], kind="stable").reset_index(drop=True)
+        # id tie-break: EXACT coordinate collisions between distinct
+        # buildings are real at scale (~11 expected pairs at sf0.1 in
+        # the 10^5-slot synth space; any snapped real-world corpus has
+        # them too) and an (x, y)-only rank is ambiguous between
+        # co-located seeds — caught by the r5 sf0.1 value gate
+        g = g.sort_values(["x", "y", "id"],
+                          kind="stable").reset_index(drop=True)
         bx = g["x"].to_numpy()
         by = g["y"].to_numpy()
         bids = g["id"].to_numpy()
