@@ -59,7 +59,17 @@ def _in_circle(ax, ay, bx, by, cx, cy, px, py):
 
 class Delaunator:
     """Triangulate points[:, 2]. Exposes .triangles (3t int array) and
-    .halfedges like the reference delaunator API."""
+    .halfedges like the reference delaunator API.
+
+    Coincident points: exactly one of an exactly-duplicated (x, y)
+    pair participates in the triangulation; the other is silently
+    skipped (the mapbox/delaunator contract).  Which one survives is
+    deterministic for a given input ORDER (insertion order is the
+    stable argsort by distance-to-circumcenter, index tie-break), so
+    callers that need run-to-run stability must pass points in a
+    deterministic order (the proximity ops sort by id) — relevant at
+    scale, where exact coordinate collisions are expected (~11 pairs
+    at sf0.1 in the 10^5-slot synth space; r5 tessellation lesson)."""
 
     def __init__(self, coords: np.ndarray):
         pts = np.asarray(coords, np.float64).reshape(-1, 2)
