@@ -10354,7 +10354,12 @@ def oracle_sql() -> dict[str, str]:
                     UNION ALL SELECT bx, by_ FROM segs),
             bins AS (SELECT floor(x/20.0 + 0.5)::BIGINT AS qx,
                             floor(y/20.0 + 0.5)::BIGINT AS qy,
-                            avg(x) AS cx, avg(y) AS cy
+                            -- int64-quantized order-free mean (2^-20
+                            -- quantum) matching the engine exactly
+                            sum(floor(x*1048576.0 + 0.5)::BIGINT)
+                              / (count(*) * 1048576.0) AS cx,
+                            sum(floor(y*1048576.0 + 0.5)::BIGINT)
+                              / (count(*) * 1048576.0) AS cy
                      FROM eps GROUP BY 1, 2)
             SELECT s.k AS seg_id,
                    round(b1.cx, 6) AS sx, round(b1.cy, 6) AS sy,

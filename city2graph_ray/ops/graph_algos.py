@@ -1141,6 +1141,8 @@ def harmonic_centrality(edges: ray.data.Dataset, hops: int = 3,
                         src: str = "src", dst: str = "dst",
                         sources: ray.data.Dataset | None = None,
                         num_buckets: int = shuffle.DEFAULT_BUCKETS,
+                        driver_node_threshold: int = 50_000,
+                        driver_edge_threshold: int = 5_000_000,
                         ) -> ray.data.Dataset:
     """Bounded-hop harmonic centrality over the UNDIRECTED
     simplification: ``H(v) = Σ_{u ≠ v, d(v,u) ≤ hops} 1/d(v,u)`` with
@@ -1153,12 +1155,21 @@ def harmonic_centrality(edges: ray.data.Dataset, hops: int = 3,
     score is the FIXED left-to-right expression ``n_1/1 + n_2/2 + …``
     — identical IEEE ops on both engines, no summation-order freedom.
 
-    Scale: one Bellman-Ford relaxation per hop (frontier × edges
-    bucketed join + keyed min), distance tables object-store-resident;
-    the histogram is a (node × hops)-sized keyed count.  All-sources
-    exact centrality is O(Σ|B_hops(v)|·deg) relaxations — on dense
-    graphs pass ``sources`` (a (node_id) Dataset subset) to compute
-    the standard sampled variant instead.  Output
+    Scale: the histogram needs per-node COUNTS, not the (src, dst)
+    pair table, so below ``driver_node_threshold`` nodes (bitset
+    memory = n²/8 bytes; 50k nodes = 312 MB) an exact driver
+    bitset-BFS computes it: one n×(n/8) uint8 reachability matrix,
+    per hop one gather + ``bitwise_or.reduceat`` over the edge list
+    and a popcount of the newly-seen bits — identical integer n_k by
+    construction (parity-tested vs the distributed branch).  This is
+    the r5 fix for a real 10× bomb: the sf0.1 zone graph (2.5k nodes,
+    avg degree ~110) pushed the pair-table Bellman-Ford to ~700M
+    round-3 relaxation rows = a 48-minute wall; the bitset path runs
+    it in milliseconds.  Above the threshold the relaxation path runs
+    unchanged (one frontier × edges bucketed join + keyed min per
+    hop); all-sources exact centrality there is O(Σ|B_hops(v)|·deg)
+    relaxations — on dense graphs pass ``sources`` (a (node_id)
+    Dataset subset) for the standard sampled variant.  Output
     (node, n_reach, harmonic)."""
     import pyarrow as pa
 
@@ -1180,6 +1191,50 @@ def harmonic_centrality(edges: ray.data.Dataset, hops: int = 3,
             "node": pa.array([], pa.int64()),
             "n_reach": pa.array([], pa.int64()),
             "harmonic": pa.array([], pa.float64())}))
+
+    n_edges = und.count()
+    if sources is None and n_edges <= driver_edge_threshold:
+        edf = und.to_pandas()
+        a = edf["a"].to_numpy(np.int64)
+        bb = edf["b"].to_numpy(np.int64)
+        ids = np.unique(np.concatenate([a, bb]))
+        n = len(ids)
+        if n <= driver_node_threshold:
+            ai = np.searchsorted(ids, a)
+            bi = np.searchsorted(ids, bb)
+            heads = np.concatenate([ai, bi])
+            tails = np.concatenate([bi, ai])
+            order = np.argsort(heads, kind="stable")
+            heads, tails = heads[order], tails[order]
+            # group boundaries of equal heads for reduceat
+            uh, starts = np.unique(heads, return_index=True)
+            w = (n + 7) // 8
+            pop = np.array([bin(i).count("1") for i in range(256)],
+                           np.int64)
+            eye = np.zeros((n, w), np.uint8)
+            eye[np.arange(n), np.arange(n) // 8] = \
+                (1 << (np.arange(n) % 8)).astype(np.uint8)
+            seen = eye.copy()
+            cur = eye
+            nk = np.zeros((hops + 1, n), np.int64)
+            for k in range(1, hops + 1):
+                gathered = cur[tails]          # (2m, w) gather
+                red = np.bitwise_or.reduceat(gathered, starts, axis=0)
+                nxt = np.zeros((n, w), np.uint8)
+                nxt[uh] = red
+                new = nxt & ~seen
+                nk[k] = pop[new].sum(axis=1)
+                seen |= nxt
+                cur = nxt
+            h = np.zeros(n, np.float64)
+            total = np.zeros(n, np.int64)
+            for k in range(1, hops + 1):
+                h = h + nk[k] / float(k)   # fixed order: k ascending
+                total += nk[k]
+            # every node in the non-self edge set has >=1 neighbor,
+            # so no zero-reach rows to drop (distributed-path parity)
+            return ray.data.from_pandas(pd.DataFrame({
+                "node": ids, "n_reach": total, "harmonic": h}))
 
     directed = und.map_batches(
         lambda b: pd.DataFrame({

@@ -148,25 +148,35 @@ def cluster_segment_endpoints(segments: ray.data.Dataset, threshold: float,
     groupby-transform
     (data.py:780-787) becomes: endpoints → group_agg(bin) mean →
     broadcast bin→centroid map → rewrite endpoint coords in
-    map_batches.  Interior vertices are untouched."""
+    map_batches.  Interior vertices are untouched.
+
+    The bin mean sums coordinates QUANTIZED to int64 at 2⁻²⁰
+    (floor-plus-half) and divides once: integer sums are
+    association-order-free, so the centroid is bit-identical across
+    block orders, cluster layouts and the SQL twin — a float sum
+    diverged by 1 ulp between the engine's partial sums and DuckDB's
+    avg() at sf0.1 bin sizes (r5 finding) and flipped 6-decimal
+    rounding.  Quantization error ≤ 2⁻²¹ per endpoint (≈ 5·10⁻⁷
+    length units), far below the snap threshold's meaning."""
+    _Q = 1048576.0  # 2^20
 
     def eps(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"bx": [], "by": [], "x": [], "y": []}
+        rows = {"bx": [], "by": [], "qx": [], "qy": []}
         for c in batch["coords"]:
             c = np.asarray(c, np.float64)
             for px, py in ((c[0], c[1]), (c[-2], c[-1])):
                 rows["bx"].append(int(np.floor(px / threshold + 0.5)))
                 rows["by"].append(int(np.floor(py / threshold + 0.5)))
-                rows["x"].append(px)
-                rows["y"].append(py)
+                rows["qx"].append(int(np.floor(px * _Q + 0.5)))
+                rows["qy"].append(int(np.floor(py * _Q + 0.5)))
         return pd.DataFrame(rows)
 
     sums = shuffle.group_agg(
         segments.map_batches(eps, batch_format="pandas"), ["bx", "by"],
-        {"sx": ("x", "sum"), "sy": ("y", "sum"), "n": ("x", "size")})
+        {"sx": ("qx", "sum"), "sy": ("qy", "sum"), "n": ("qx", "size")})
     cent = sums.to_pandas()
-    cent["cx"] = cent["sx"] / cent["n"]
-    cent["cy"] = cent["sy"] / cent["n"]
+    cent["cx"] = cent["sx"] / (cent["n"] * _Q)
+    cent["cy"] = cent["sy"] / (cent["n"] * _Q)
     cmap = {(int(r.bx), int(r.by)): (r.cx, r.cy) for r in cent.itertuples()}
     ref = ray.put(cmap)
 

@@ -1295,3 +1295,33 @@ def test_clustering_hub_cap_celebrity_removal():
     for _, r in out.iterrows():
         assert abs(r["coeff"] - want[int(r["node"])]) < 1e-12
         assert r["degree"] == sub.degree(int(r["node"]))
+
+
+def test_harmonic_bitset_driver_vs_distributed_parity():
+    """r5 scale fix: harmonic_centrality's driver bitset-BFS (counts
+    via bitwise_or.reduceat + popcount) must match the distributed
+    Bellman-Ford histogram path bit-for-bit, and networkx."""
+    import networkx as nx
+    import ray.data as rd
+
+    from city2graph_ray.ops.graph_algos import harmonic_centrality
+
+    rng = np.random.default_rng(3)
+    e = pd.DataFrame({"src": rng.integers(0, 150, 700).astype(np.int64),
+                      "dst": rng.integers(0, 150, 700).astype(np.int64)})
+    a = (harmonic_centrality(rd.from_pandas(e), hops=3)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (harmonic_centrality(rd.from_pandas(e), hops=3,
+                             driver_node_threshold=0)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+    g = nx.Graph()
+    g.add_edges_from((s, d) for s, d in e.values if s != d)
+    for _, r in a.iterrows():
+        ls = nx.single_source_shortest_path_length(
+            g, int(r["node"]), cutoff=3)
+        n_r = sum(1 for _, d in ls.items() if d > 0)
+        want = sum(1.0 / d for _, d in ls.items() if d > 0)
+        assert n_r == r["n_reach"]
+        assert abs(want - r["harmonic"]) < 1e-9
