@@ -11309,8 +11309,10 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100""",
         "tpch_q10_returns": """
             SELECT c_custkey, c_name,
-                   round(sum(round(l_extendedprice * (1 - l_discount),
-                                   2)), 2) AS revenue,
+                   floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100)
+                                           AS BIGINT)))
+                         / 100.0 + 0.5) / 100.0 AS revenue,
                    round(c_acctbal, 2) AS c_acctbal, n_name
             FROM customer
             JOIN orders ON o_custkey = c_custkey
@@ -13420,8 +13422,10 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY p_brand, p_type, p_size""",
         "tpch_q7_volume": """
             SELECT supp_nation, cust_nation, l_year,
-                   round(sum(round(l_extendedprice * (1 - l_discount),
-                                   2)), 2) AS volume
+                   floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100)
+                                           AS BIGINT)))
+                         / 100.0 + 0.5) / 100.0 AS volume
             FROM (SELECT ns.n_name AS supp_nation,
                          nc.n_name AS cust_nation,
                          year(l_shipdate) AS l_year,
@@ -13587,7 +13591,9 @@ def oracle_sql() -> dict[str, str]:
                    FROM sl GROUP BY 1),
             t AS (SELECT sum(cents) AS tc FROM sl)
             SELECT l_partkey, cs / 100.0 AS value
-            FROM pp, t WHERE cs * 10000 > tc * 12
+            FROM pp, t
+            WHERE cs * (5 * (SELECT count(*) FROM part))
+                  > tc * 12
             ORDER BY value DESC, l_partkey""",
         "tpch_q21_waiting": """
             WITH j AS (

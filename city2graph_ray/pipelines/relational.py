@@ -343,12 +343,13 @@ def returned_item_report(sf_dir: str, date_from: str = "1995-01-01",
     customer; a keyed merge sums per customer BEFORE the (small)
     customer-attribute join; the nation dimension is a broadcast
     lookup; the global top-k is per-block partial top-k + a k-row
-    driver merge.  EACH revenue term is rounded to 2dp before any sum
-    (both systems round the identical product double, so the terms
-    match; the per-customer sum then sits ~1e-10 from a whole-cent
-    value — half a cent away from the final 2dp rounding boundary —
-    so no summation order or half-even/half-away tie rule can flip
-    the ranked value)."""
+    driver merge.  Revenue is carried in EXACT integer 1e-4 units —
+    round(price*100) * (100 - round(disc*100)) — summed as int64 and
+    converted once at the end via floor-plus-half to cents: no float
+    summation order and no rounding-tie rule anywhere (the former
+    per-term 2dp rounding flipped a cent at sf0.1 where a 4-decimal
+    product landed on a .xx5 tie that numpy half-even and DuckDB
+    half-away resolve differently — r5 finding)."""
     lo = pd.Timestamp(date_from).to_datetime64()
     hi = pd.Timestamp(date_to).to_datetime64()
 
@@ -360,8 +361,11 @@ def returned_item_report(sf_dir: str, date_from: str = "1995-01-01",
         batch_format="pyarrow")
 
     def li_partial(b: pd.DataFrame) -> pd.DataFrame:
-        rev = np.round(b["l_extendedprice"].to_numpy(np.float64) *
-                       (1.0 - b["l_discount"].to_numpy(np.float64)), 2)
+        cents = np.round(b["l_extendedprice"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        dh = np.round(b["l_discount"].to_numpy(np.float64)
+                      * 100.0).astype(np.int64)
+        rev = cents * (100 - dh)          # exact 1e-4 units, int64
         return (pd.DataFrame({"o_orderkey": b["l_orderkey"], "rev": rev})
                 .groupby("o_orderkey", sort=False).agg(rev=("rev", "sum"))
                 .reset_index())
@@ -397,7 +401,8 @@ def returned_item_report(sf_dir: str, date_from: str = "1995-01-01",
 
     def block_topk(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["revenue"] = np.round(b["revenue"].to_numpy(np.float64), 2)
+        units = b["revenue"].to_numpy(np.float64)   # int64 units
+        b["revenue"] = np.floor(units / 100.0 + 0.5) / 100.0
         return b.sort_values(["revenue", "c_custkey"],
                              ascending=[False, True]).head(k)
 
@@ -680,9 +685,9 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_20",
     only the two nations' traffic is shuffled.  customer is NOT
     broadcast (it scales with SF): orders⋈customer is a bucketed hash
     join, reduced to (o_orderkey, cust_nation) for the qualifying
-    nations only, then lineitem joins it on orderkey.  Revenue terms
-    are rounded to 2dp before summation (see returned_item_report for
-    the exactness argument)."""
+    nations only, then lineitem joins it on orderkey.  Revenue rides
+    as exact integer 1e-4 units, summed int64 and floored-plus-half
+    to cents once (see returned_item_report — the r5 tie-rule fix)."""
     lo = pd.Timestamp(date_from).to_datetime64()
     hi = pd.Timestamp(date_to).to_datetime64()
     pair = [nation_a, nation_b]
@@ -700,13 +705,15 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_20",
     supp_map = supp_map[supp_map["supp_nation"].isin(pair)]
 
     def li_prep(b: pd.DataFrame) -> pd.DataFrame:
-        rev = np.round(b["l_extendedprice"].to_numpy(np.float64) *
-                       (1.0 - b["l_discount"].to_numpy(np.float64)), 2)
+        cents = np.round(b["l_extendedprice"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        dh = np.round(b["l_discount"].to_numpy(np.float64)
+                      * 100.0).astype(np.int64)
         return pd.DataFrame({
             "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
             "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
             "l_year": b["l_shipdate"].dt.year.to_numpy(np.int64),
-            "rev": rev})
+            "rev": cents * (100 - dh)})
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -748,7 +755,7 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_20",
         left_schema=pa.schema([("l_orderkey", pa.int64()),
                                ("l_suppkey", pa.int64()),
                                ("l_year", pa.int64()),
-                               ("rev", pa.float64()),
+                               ("rev", pa.int64()),
                                ("supp_nation", pa.string())]),
         right_schema=pa.schema([("l_orderkey", pa.int64()),
                                 ("cust_nation", pa.string())]))
@@ -765,7 +772,8 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_20",
                             "cust_nation": pd.Series([], dtype=str),
                             "l_year": pd.Series([], dtype=np.int64),
                             "volume": pd.Series([], dtype=np.float64)})
-    out["volume"] = np.round(out["volume"].to_numpy(np.float64), 2)
+    out["volume"] = np.floor(out["volume"].to_numpy(np.float64)
+                             / 100.0 + 0.5) / 100.0
     out = out.sort_values(["supp_nation", "cust_nation", "l_year"]
                           ).reset_index(drop=True)
     return ray.data.from_pandas(out)
@@ -1127,12 +1135,19 @@ def late_shipment_priority(sf_dir: str, late_days: int = 60,
 
 
 def important_parts(sf_dir: str, nations: tuple = (1, 3, 5),
-                    frac_num: int = 12, frac_den: int = 10000,
+                    frac_num: int = 12, frac_den: int | None = None,
                     num_buckets: int = shuffle.DEFAULT_BUCKETS,
                     ) -> ray.data.Dataset:
     """TPC-H-Q11-shaped "important stock" adapted (no partsupp): parts
     whose lineitem revenue from suppliers in ``nations`` exceeds
     ``frac_num/frac_den`` of that slice's total revenue.
+
+    ``frac_den`` defaults to ``5 · #parts`` — the SCALE-AWARE form of
+    TPC-H's 0.0001/SF convention (#parts ∝ SF, so the threshold stays
+    ``frac_num``-fold above the average part share at every SF; at
+    sf0.01 this is exactly the former fixed 12/10000, while the fixed
+    denominator went degenerate-empty at sf0.1 — r5 finding, same
+    class as the capped-wedge node space).
 
     Exactness: revenue rides integer cents (floor(x·100+0.5)); the
     HAVING threshold is the integer cross-product
@@ -1141,6 +1156,10 @@ def important_parts(sf_dir: str, nations: tuple = (1, 3, 5),
     Scale: supplier-key set broadcast (smallest dim), one keyed sum
     per partkey, the global total is a Python-int fold of per-batch
     partials (int64 overflow impossible on the driver)."""
+    if frac_den is None:
+        n_parts = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey"]).count()
+        frac_den = 5 * n_parts
     supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
                            columns=["s_suppkey", "s_nationkey"])
     keys = set(supp.loc[supp["s_nationkey"].isin(list(nations)),
